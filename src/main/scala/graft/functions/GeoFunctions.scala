@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graft.{Shims, _}
+import org.apache.spark.sql.{Column, SparkSession, functions => F}
+
+/** Installer + Column API for the geo function surface.
+  *
+  * `GeoFunctions.register(spark)` registers every function from the
+  * reference inventory (SURVEY.md §2.2/2.3) for SQL use — names are
+  * case-insensitive in Spark, so the reference's `ST_X`/`st_x` alias pairs
+  * collapse into one registration each. The `Column`-typed wrappers below
+  * serve the DataFrame API.
+  */
+object GeoFunctions {
+
+  private def arity(name: String, exprs: Seq[Expression], ns: Int*): Unit =
+    if (!ns.contains(exprs.length))
+      throw new IllegalArgumentException(
+        s"$name expects ${ns.mkString(" or ")} arguments, got ${exprs.length}")
+
+  /** name → expression builder, as used by the SQL FunctionRegistry. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "st_geomfromtext" -> { es =>
+      arity("st_geomfromtext", es, 1, 2)
+      StGeomFromText(es.head, if (es.length > 1) es(1) else Literal(0))
+    },
+    "st_geomfromwkb" -> { es =>
+      arity("st_geomfromwkb", es, 1, 2)
+      StGeomFromWkb(es.head, if (es.length > 1) es(1) else Literal(0))
+    },
+    "st_makeenvelope" -> { es =>
+      arity("st_makeenvelope", es, 4, 5)
+      StMakeEnvelope(es, hasSrid = es.length == 5)
+    },
+    "st_astext" -> { es => arity("st_astext", es, 1); StAsText(es.head) },
+    "st_asewkt" -> { es => arity("st_asewkt", es, 1); StAsEwkt(es.head) },
+    "st_asgeojson" -> { es => arity("st_asgeojson", es, 1); StAsGeoJson(es.head) },
+    "st_geometrytype" -> { es => arity("st_geometrytype", es, 1); StGeometryType(es.head) },
+    "st_srid" -> { es => arity("st_srid", es, 1); StSrid(es.head) },
+    "box2d" -> { es => arity("box2d", es, 1); StBox2d(es.head) },
+    "st_intersects" -> { es => arity("st_intersects", es, 2); StIntersects(es.head, es(1)) },
+    "st_covers" -> { es => arity("st_covers", es, 2); StCovers(es.head, es(1)) },
+    "st_coveredby" -> { es => arity("st_coveredby", es, 2); StCoveredBy(es.head, es(1)) },
+    "st_equals" -> { es => arity("st_equals", es, 2); StEquals(es.head, es(1)) },
+    "st_buffer" -> { es => arity("st_buffer", es, 3); StBuffer(es.head, es(1), es(2)) },
+    "st_boundary" -> { es => arity("st_boundary", es, 1); StBoundary(es.head) },
+    "st_split" -> { es => arity("st_split", es, 2); StSplit(es.head, es(1)) },
+    "st_translate" -> { es => arity("st_translate", es, 3); StTranslate(es.head, es(1), es(2)) },
+    "st_asmvtgeom" -> { es => arity("st_asmvtgeom", es, 2); StAsMvtGeom(es.head, es(1)) },
+    // extras beyond the reference surface (PostGIS-standard accessors)
+    "st_area" -> { es => arity("st_area", es, 1); StArea(es.head) },
+    "st_x" -> { es => arity("st_x", es, 1); StX(es.head) },
+    "st_y" -> { es => arity("st_y", es, 1); StY(es.head) },
+    "st_numgeometries" -> { es => arity("st_numgeometries", es, 1); StNumGeometries(es.head) },
+    "st_npoints" -> { es => arity("st_npoints", es, 1); StNumPoints(es.head) })
+
+  /** Register everything (scalar expressions + the st_extent UDAF) on a
+    * session. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    builders.foreach { case (name, b) => Shims.registerFunction(spark, name, b) }
+    // UDAF alias support is absent in the reference too ("udaf not support
+    // alias", src/function/extent.rs:34-37) — single lowercase name.
+    spark.udf.register("st_extent", F.udaf(ExtentAggregator))
+  }
+
+  // ---- Column API ---------------------------------------------------------
+
+  private def c(e: Expression): Column = Shims.column(e)
+  private def x(col: Column): Expression = Shims.expression(col)
+
+  def st_geomfromtext(wkt: Column): Column = c(StGeomFromText(x(wkt), Literal(0)))
+  def st_geomfromtext(wkt: Column, srid: Column): Column = c(StGeomFromText(x(wkt), x(srid)))
+  def st_geomfromwkb(wkb: Column): Column = c(StGeomFromWkb(x(wkb), Literal(0)))
+  def st_geomfromwkb(wkb: Column, srid: Column): Column = c(StGeomFromWkb(x(wkb), x(srid)))
+  def st_makeenvelope(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    c(StMakeEnvelope(Seq(x(xmin), x(ymin), x(xmax), x(ymax)), hasSrid = false))
+  def st_makeenvelope(xmin: Column, ymin: Column, xmax: Column, ymax: Column, srid: Column): Column =
+    c(StMakeEnvelope(Seq(x(xmin), x(ymin), x(xmax), x(ymax), x(srid)), hasSrid = true))
+  def st_astext(g: Column): Column = c(StAsText(x(g)))
+  def st_asewkt(g: Column): Column = c(StAsEwkt(x(g)))
+  def st_asgeojson(g: Column): Column = c(StAsGeoJson(x(g)))
+  def st_geometrytype(g: Column): Column = c(StGeometryType(x(g)))
+  def st_srid(g: Column): Column = c(StSrid(x(g)))
+  def box2d(g: Column): Column = c(StBox2d(x(g)))
+  def st_intersects(a: Column, b: Column): Column = c(StIntersects(x(a), x(b)))
+  def st_covers(a: Column, b: Column): Column = c(StCovers(x(a), x(b)))
+  def st_coveredby(a: Column, b: Column): Column = c(StCoveredBy(x(a), x(b)))
+  def st_equals(a: Column, b: Column): Column = c(StEquals(x(a), x(b)))
+  def st_buffer(g: Column, width: Column, quadSegs: Column): Column =
+    c(StBuffer(x(g), x(width), x(quadSegs)))
+  def st_boundary(g: Column): Column = c(StBoundary(x(g)))
+  def st_split(a: Column, b: Column): Column = c(StSplit(x(a), x(b)))
+  def st_translate(g: Column, dx: Column, dy: Column): Column =
+    c(StTranslate(x(g), x(dx), x(dy)))
+  def st_asmvtgeom(g: Column, box: Column): Column = c(StAsMvtGeom(x(g), x(box)))
+  def st_area(g: Column): Column = c(StArea(x(g)))
+  def st_x(g: Column): Column = c(StX(x(g)))
+  def st_y(g: Column): Column = c(StY(x(g)))
+  def st_numgeometries(g: Column): Column = c(StNumGeometries(x(g)))
+  def st_npoints(g: Column): Column = c(StNumPoints(x(g)))
+  def st_extent(g: Column): Column = F.udaf(ExtentAggregator).apply(g)
+}

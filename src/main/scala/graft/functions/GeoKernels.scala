@@ -1,0 +1,243 @@
+package graft.functions
+
+import graft.geo._
+import org.locationtech.jts.geom.{Geometry, GeometryFactory, Polygon}
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.geom.util.AffineTransformation
+import org.locationtech.jts.operation.buffer.BufferOp
+import org.locationtech.jts.operation.polygonize.Polygonizer
+
+/** Static geometry kernels invoked from codegen'd Catalyst expressions.
+  *
+  * Design notes for scale:
+  *  - All functions are pure per-row; Spark parallelizes across
+  *    partitions/tasks (the reference used rayon inside a batch,
+  *    src/function/intersects.rs:104-107 — on Spark the equivalent lever is
+  *    partition count).
+  *  - Decoded geometries are cached per thread with an identity fast path:
+  *    after Catalyst constant-folds `ST_GeomFromText('...')` the literal's
+  *    byte array is the SAME instance on every row, so the per-row cost of
+  *    the constant side of a predicate is one reference comparison, and the
+  *    JTS PreparedGeometry (internal edge index) is reused — this is what
+  *    makes a full-scan `ST_Intersects(geom, constant)` fast at 100 TB.
+  */
+object GeoKernels {
+
+  // ---- per-thread decoded-geometry cache --------------------------------
+
+  private final val CacheSize = 64
+
+  private final class ByteKey(val bytes: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case k: ByteKey => java.util.Arrays.equals(bytes, k.bytes)
+      case _ => false
+    }
+  }
+
+  private final class Entry(val geom: Geometry) {
+    // Built lazily: only predicates pay for preparation, and only once.
+    var prepared: PreparedGeometry = _
+    def preparedGeom: PreparedGeometry = {
+      if (prepared == null) prepared = PreparedGeometryFactory.prepare(geom)
+      prepared
+    }
+  }
+
+  private final class Cache {
+    var lastKey: Array[Byte] = _
+    var lastEntry: Entry = _
+    val lru = new java.util.LinkedHashMap[ByteKey, Entry](CacheSize, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[ByteKey, Entry]): Boolean =
+        size() > CacheSize
+    }
+  }
+
+  private val caches: ThreadLocal[Cache] = ThreadLocal.withInitial(() => new Cache)
+
+  private def entryOf(tagged: Array[Byte]): Entry = {
+    val c = caches.get()
+    if (c.lastKey eq tagged) return c.lastEntry
+    val key = new ByteKey(tagged)
+    var e = c.lru.get(key)
+    if (e == null) {
+      e = new Entry(GeomCodec.decode(tagged))
+      c.lru.put(key, e)
+    }
+    c.lastKey = tagged
+    c.lastEntry = e
+    e
+  }
+
+  /** Decode through the cache. */
+  def geom(tagged: Array[Byte]): Geometry = entryOf(tagged).geom
+
+  // ---- constructors ------------------------------------------------------
+
+  def geomFromText(wkt: String): Array[Byte] =
+    GeomCodec.encodeEwkb(GeomCodec.parseWkt(wkt))
+
+  def geomFromText(wkt: String, srid: Int): Array[Byte] = {
+    val g = GeomCodec.parseWkt(wkt)
+    g.setSRID(srid)
+    GeomCodec.encodeEwkb(g)
+  }
+
+  def geomFromWkb(wkb: Array[Byte]): Array[Byte] =
+    GeomCodec.encodeEwkb(GeomCodec.decodeRawWkb(wkb))
+
+  def geomFromWkb(wkb: Array[Byte], srid: Int): Array[Byte] = {
+    val g = GeomCodec.decodeRawWkb(wkb)
+    g.setSRID(srid)
+    GeomCodec.encodeEwkb(g)
+  }
+
+  /** ST_MakeEnvelope ring order matches the reference golden
+    * (src/function/make_envelope.rs:82-100): (xmin ymin, xmin ymax,
+    * xmax ymax, xmax ymin, xmin ymin); EWKB when SRID given, plain WKB
+    * otherwise. */
+  def makeEnvelope(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+      srid: Int, hasSrid: Boolean): Array[Byte] = {
+    val f: GeometryFactory = GeomCodec.geometryFactory
+    val shell = f.createLinearRing(Array(
+      new org.locationtech.jts.geom.Coordinate(xmin, ymin),
+      new org.locationtech.jts.geom.Coordinate(xmin, ymax),
+      new org.locationtech.jts.geom.Coordinate(xmax, ymax),
+      new org.locationtech.jts.geom.Coordinate(xmax, ymin),
+      new org.locationtech.jts.geom.Coordinate(xmin, ymin)))
+    val poly: Polygon = f.createPolygon(shell)
+    if (hasSrid) {
+      poly.setSRID(srid)
+      GeomCodec.encodeEwkb(poly)
+    } else GeomCodec.encodeWkb(poly)
+  }
+
+  // ---- serializers -------------------------------------------------------
+
+  def asText(tagged: Array[Byte]): String = WktWriter.write(geom(tagged))
+
+  /** `SRID=n;WKT` prefix only when a SRID is present
+    * (src/function/as_ewkt.rs). */
+  def asEwkt(tagged: Array[Byte]): String = {
+    val g = geom(tagged)
+    val wkt = WktWriter.write(g)
+    if (g.getSRID != 0) s"SRID=${g.getSRID};$wkt" else wkt
+  }
+
+  def asGeoJson(tagged: Array[Byte]): String = GeoJsonWriter.write(geom(tagged))
+
+  /** `ST_`-prefixed kind names (src/function/geometry_type.rs:79-92). */
+  def geometryType(tagged: Array[Byte]): String = geom(tagged) match {
+    case _: org.locationtech.jts.geom.Point => "ST_Point"
+    case _: org.locationtech.jts.geom.LinearRing => "ST_LineString"
+    case _: org.locationtech.jts.geom.LineString => "ST_LineString"
+    case _: org.locationtech.jts.geom.Polygon => "ST_Polygon"
+    case _: org.locationtech.jts.geom.MultiPoint => "ST_MultiPoint"
+    case _: org.locationtech.jts.geom.MultiLineString => "ST_MultiLineString"
+    case _: org.locationtech.jts.geom.MultiPolygon => "ST_MultiPolygon"
+    case _: org.locationtech.jts.geom.GeometryCollection => "ST_GeometryCollection"
+    case other => throw new IllegalArgumentException(other.getGeometryType)
+  }
+
+  /** Boxed so a missing SRID maps to SQL NULL (reference returns
+    * Option<i32>, src/function/srid.rs:53). */
+  def srid(tagged: Array[Byte]): java.lang.Integer = {
+    val s = geom(tagged).getSRID
+    if (s == 0) null else Integer.valueOf(s)
+  }
+
+  // ---- predicates (prepared-geometry accelerated) ------------------------
+
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean =
+    entryOf(b).preparedGeom.intersects(geom(a))
+
+  def covers(a: Array[Byte], b: Array[Byte]): Boolean =
+    entryOf(a).preparedGeom.covers(geom(b))
+
+  def coveredBy(a: Array[Byte], b: Array[Byte]): Boolean =
+    entryOf(b).preparedGeom.covers(geom(a))
+
+  /** Topological equality — `equalsTopo`, NOT `equalsExact`
+    * (src/function/equals.rs:137-148). */
+  def equalsTopo(a: Array[Byte], b: Array[Byte]): Boolean =
+    geom(a).equalsTopo(geom(b))
+
+  // ---- transforms --------------------------------------------------------
+
+  def buffer(tagged: Array[Byte], width: Double, quadSegs: Int): Array[Byte] = {
+    val g = geom(tagged)
+    val out = BufferOp.bufferOp(g, width, quadSegs)
+    out.setSRID(g.getSRID)
+    GeomCodec.encodeEwkb(out)
+  }
+
+  def boundary(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val out = g.getBoundary
+    out.setSRID(g.getSRID)
+    GeomCodec.encodeEwkb(out)
+  }
+
+  def translate(tagged: Array[Byte], dx: Double, dy: Double): Array[Byte] = {
+    val g = geom(tagged)
+    val out = AffineTransformation.translationInstance(dx, dy).transform(g)
+    out.setSRID(g.getSRID)
+    GeomCodec.encodeEwkb(out)
+  }
+
+  /** ST_Split à la the reference (src/function/split.rs:103-130):
+    * polygonize(boundary(a) ∪ b) → GeometryCollection of faces. The
+    * reference marks its own implementation `FIXME` (split.rs:148) — we
+    * reproduce the boundary∪polygonize semantics, not true PostGIS split. */
+  def split(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ga = geom(a)
+    val gb = geom(b)
+    val union = ga.getBoundary.union(gb)
+    val polygonizer = new Polygonizer()
+    polygonizer.add(union)
+    val polys = polygonizer.getPolygons
+    val arr = new Array[Geometry](polys.size())
+    val it = polys.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().asInstanceOf[Geometry]; i += 1 }
+    val out = GeomCodec.geometryFactory.createGeometryCollection(arr)
+    out.setSRID(ga.getSRID)
+    GeomCodec.encodeEwkb(out)
+  }
+
+  /** ST_AsMVTGeom: affine-map into a 4096×4096 tile space with Y flipped
+    * (src/function/as_mvt_geom.rs:85-95): fx = 4096/w, fy = -4096/h,
+    * translate (-xmin*fx, -ymax*fy). */
+  def asMvtGeom(tagged: Array[Byte],
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] = {
+    val g = geom(tagged)
+    val fx = 4096.0 / (xmax - xmin)
+    val fy = -4096.0 / (ymax - ymin)
+    val t = new AffineTransformation(fx, 0.0, -xmin * fx, 0.0, fy, -ymax * fy)
+    val out = t.transform(g)
+    out.setSRID(g.getSRID)
+    GeomCodec.encodeEwkb(out)
+  }
+
+  // ---- box2d -------------------------------------------------------------
+
+  /** Null (None) for empty geometries, matching src/function/box2d.rs. */
+  def box2dOrNull(tagged: Array[Byte]): Box2d =
+    Box2d.ofGeometry(geom(tagged)).orNull
+
+  /** Catalyst-facing variant: struct row or null (empty geometry). */
+  def box2dRow(tagged: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val env = geom(tagged).getEnvelopeInternal
+    if (env.isNull) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](env.getMinX, env.getMinY, env.getMaxX, env.getMaxY))
+  }
+
+  // extra accessors beyond the reference surface (PostGIS-standard, used by
+  // oracle-able verification queries)
+  def area(tagged: Array[Byte]): Double = geom(tagged).getArea
+  def numGeometries(tagged: Array[Byte]): Int = geom(tagged).getNumGeometries
+  def numPoints(tagged: Array[Byte]): Int = geom(tagged).getNumPoints
+  def x(tagged: Array[Byte]): Double = geom(tagged).getCoordinate.x
+  def y(tagged: Array[Byte]): Double = geom(tagged).getCoordinate.y
+}

@@ -1,0 +1,138 @@
+package graft.geo
+
+import org.locationtech.jts.geom.{Geometry, GeometryFactory, PrecisionModel}
+import org.locationtech.jts.io.{ByteOrderValues, WKBReader, WKBWriter, WKTReader}
+
+/** WKB dialect tags — the 1-byte prefix on every geometry cell.
+  *
+  * Mirrors the reference's dialect codec exactly
+  * (src/geo/dialect.rs:5-29): Wkb=1, Ewkb=2, Geopackage=3, MySQL=4,
+  * SpatiaLite=5; decoding an unknown tag is an error.
+  */
+object WkbDialect {
+  final val Wkb: Byte = 1
+  final val Ewkb: Byte = 2
+  final val Geopackage: Byte = 3
+  final val MySQL: Byte = 4
+  final val SpatiaLite: Byte = 5
+}
+
+/** Geometry <-> dialect-prefixed WKB codec on JTS.
+  *
+  * The cell layout is `[1-byte dialect tag] ++ WKB bytes`, written by the
+  * reference's GeometryArrayBuilder (src/geo/builder.rs:75-81) and decoded
+  * by GeometryArray::geo_value (src/geo/array.rs:13-23). Like the
+  * reference, writes are EWKB by default; the SRID flag is present only
+  * when a SRID is set (geozero Ewkb behaviour, see
+  * src/function/geom_from_text.rs:51-68).
+  *
+  * Pure functions, no Spark dependency — unit-testable standalone. All JTS
+  * reader/writer instances are thread-local (JTS IO classes are not
+  * thread-safe; Spark runs one task per thread).
+  */
+object GeomCodec {
+
+  private val factory = new GeometryFactory(new PrecisionModel(), 0)
+
+  private val wkbReaders: ThreadLocal[WKBReader] =
+    ThreadLocal.withInitial(() => new WKBReader(factory))
+  private val wktReaders: ThreadLocal[WKTReader] =
+    ThreadLocal.withInitial(() => new WKTReader(factory))
+  // EWKB writer (emits the SRID flag) vs plain ISO-WKB writer.
+  private val ewkbWriters: ThreadLocal[WKBWriter] =
+    ThreadLocal.withInitial(() => new WKBWriter(2, ByteOrderValues.LITTLE_ENDIAN, true))
+  private val wkbWriters: ThreadLocal[WKBWriter] =
+    ThreadLocal.withInitial(() => new WKBWriter(2, ByteOrderValues.LITTLE_ENDIAN, false))
+
+  def geometryFactory: GeometryFactory = factory
+
+  def parseWkt(wkt: String): Geometry = wktReaders.get().read(wkt)
+
+  /** Decode a dialect-prefixed cell into a JTS geometry. SRID (if carried
+    * by the dialect) lands in `geometry.getSRID` (0 = none). */
+  def decode(tagged: Array[Byte]): Geometry = {
+    if (tagged == null || tagged.length < 2)
+      throw new IllegalArgumentException("geometry cell too short")
+    val body = java.util.Arrays.copyOfRange(tagged, 1, tagged.length)
+    tagged(0) match {
+      case WkbDialect.Wkb | WkbDialect.Ewkb =>
+        // JTS WKBReader understands both ISO WKB and PostGIS EWKB
+        // (it reads the SRID flag and sets geometry SRID).
+        wkbReaders.get().read(body)
+      case WkbDialect.Geopackage => decodeGeoPackage(body)
+      case WkbDialect.MySQL => decodeMySql(body)
+      case WkbDialect.SpatiaLite =>
+        // The reference decodes SpatiaLite blobs via geozero; JTS has no
+        // reader for that non-WKB framing. Divergence documented in
+        // SURVEY.md §7.3 — fail loudly rather than misparse.
+        throw new UnsupportedOperationException(
+          "SpatiaLite (dialect tag 5) decode is not supported")
+      case other =>
+        throw new IllegalArgumentException(s"Cannot decode WkbDialect from $other")
+    }
+  }
+
+  /** Raw (untagged) WKB/EWKB bytes → geometry, for ST_GeomFromWKB input. */
+  def decodeRawWkb(wkb: Array[Byte]): Geometry = wkbReaders.get().read(wkb)
+
+  /** Encode as dialect-tagged EWKB (tag 2). The SRID flag is written only
+    * when the geometry has a non-zero SRID, matching geozero's Ewkb
+    * encoding with srid: Option<i32>. */
+  def encodeEwkb(geom: Geometry): Array[Byte] = {
+    val writer = if (geom.getSRID != 0) ewkbWriters.get() else wkbWriters.get()
+    prefix(WkbDialect.Ewkb, writer.write(geom))
+  }
+
+  /** Encode as dialect-tagged plain WKB (tag 1) — only ST_MakeEnvelope
+    * without SRID produces this in the reference
+    * (src/function/make_envelope.rs:95-100). */
+  def encodeWkb(geom: Geometry): Array[Byte] =
+    prefix(WkbDialect.Wkb, wkbWriters.get().write(geom))
+
+  private def prefix(tag: Byte, body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](body.length + 1)
+    out(0) = tag
+    System.arraycopy(body, 0, out, 1, body.length)
+    out
+  }
+
+  /** GeoPackage geometry blob: 'GP' magic, version, flags, srid, optional
+    * envelope, then standard WKB (OGC GeoPackage spec §2.1.3). */
+  private def decodeGeoPackage(b: Array[Byte]): Geometry = {
+    require(b.length > 8 && b(0) == 'G'.toByte && b(1) == 'P'.toByte,
+      "bad GeoPackage magic")
+    val flags = b(3)
+    val envIndicator = (flags >> 1) & 0x07
+    val envBytes = envIndicator match {
+      case 0 => 0
+      case 1 => 32
+      case 2 | 3 => 48
+      case 4 => 64
+      case other => throw new IllegalArgumentException(
+        s"bad GeoPackage envelope indicator $other")
+    }
+    val littleEndian = (flags & 0x01) == 1
+    val srid = readInt(b, 4, littleEndian)
+    val geom = wkbReaders.get().read(
+      java.util.Arrays.copyOfRange(b, 8 + envBytes, b.length))
+    if (srid != 0 && geom.getSRID == 0) geom.setSRID(srid)
+    geom
+  }
+
+  /** MySQL geometry value: 4-byte little-endian SRID, then standard WKB. */
+  private def decodeMySql(b: Array[Byte]): Geometry = {
+    require(b.length > 4, "MySQL geometry too short")
+    val srid = readInt(b, 0, littleEndian = true)
+    val geom = wkbReaders.get().read(java.util.Arrays.copyOfRange(b, 4, b.length))
+    if (srid != 0) geom.setSRID(srid)
+    geom
+  }
+
+  private def readInt(b: Array[Byte], off: Int, littleEndian: Boolean): Int =
+    if (littleEndian)
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    else
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+}

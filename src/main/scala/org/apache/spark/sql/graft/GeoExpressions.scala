@@ -1,0 +1,369 @@
+package org.apache.spark.sql.graft
+
+import graft.functions.GeoKernels
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the reference's ST_* surface.
+  *
+  * Each is a thin, codegen-friendly wrapper over a static [[GeoKernels]]
+  * method, mirroring one reference UDF (citations in each class). Compared
+  * to Scala UDFs this keeps the call inside WholeStageCodegen (no encoder
+  * round-trip), and `foldable` lets Catalyst constant-fold
+  * `ST_GeomFromText('...')` literals at plan time so constant geometries
+  * are parsed exactly once per query, not once per row.
+  */
+trait GeoExpression extends Expression {
+  // constant arguments fold to a binary Literal at optimization time
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def nullIntolerant: Boolean = true
+}
+
+object GeoExpr {
+  val K = "graft.functions.GeoKernels"
+
+  val box2dType: StructType = StructType(Seq(
+    StructField("xmin", DoubleType, nullable = false),
+    StructField("ymin", DoubleType, nullable = false),
+    StructField("xmax", DoubleType, nullable = false),
+    StructField("ymax", DoubleType, nullable = false)))
+}
+
+// ---------------------------------------------------------------------------
+// constructors
+// ---------------------------------------------------------------------------
+
+/** ST_GeomFromText(wkt [, srid]) → tagged EWKB
+  * (reference src/function/geom_from_text.rs:33-81). */
+case class StGeomFromText(wkt: Expression, srid: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def left: Expression = wkt
+  override def right: Expression = srid
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_geomfromtext"
+  override protected def nullSafeEval(w: Any, s: Any): Any =
+    GeoKernels.geomFromText(w.asInstanceOf[UTF8String].toString, s.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, s) => s"${GeoExpr.K}.geomFromText($w.toString(), $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(wkt = l, srid = r)
+}
+
+/** ST_GeomFromWKB(wkb [, srid]) → tagged EWKB
+  * (reference src/function/geom_from_wkb.rs:33-81). */
+case class StGeomFromWkb(wkb: Expression, srid: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def left: Expression = wkb
+  override def right: Expression = srid
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_geomfromwkb"
+  override protected def nullSafeEval(w: Any, s: Any): Any =
+    GeoKernels.geomFromWkb(w.asInstanceOf[Array[Byte]], s.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, s) => s"${GeoExpr.K}.geomFromWkb($w, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(wkb = l, srid = r)
+}
+
+/** ST_MakeEnvelope(xmin, ymin, xmax, ymax [, srid]) → rectangle polygon;
+  * tagged EWKB when SRID given, plain WKB otherwise
+  * (reference src/function/make_envelope.rs:59-105). */
+case class StMakeEnvelope(children: Seq[Expression], hasSrid: Boolean)
+    extends Expression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType) ++
+      (if (hasSrid) Seq(IntegerType) else Nil)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_makeenvelope"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else GeoKernels.makeEnvelope(
+      vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double],
+      if (hasSrid) vs(4).asInstanceOf[Int] else 0, hasSrid)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val srid = if (hasSrid) evs(4).value.toString else "0"
+    val anyNull = evs.map(e => e.isNull.toString).mkString(" || ")
+    val childCode = evs.map(_.code.toString).mkString("\n")
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        byte[] ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = ${GeoExpr.K}.makeEnvelope(${evs(0).value}, ${evs(1).value},
+            ${evs(2).value}, ${evs(3).value}, $srid, $hasSrid);
+        }""")
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]) =
+    copy(children = newChildren)
+}
+
+// ---------------------------------------------------------------------------
+// serializers / accessors (unary geometry → scalar)
+// ---------------------------------------------------------------------------
+
+abstract class GeoUnaryString extends UnaryExpression with GeoExpression {
+  override def dataType: DataType = StringType
+  def kernel: String
+  def apply(tagged: Array[Byte]): String
+  override protected def nullSafeEval(g: Any): Any =
+    UTF8String.fromString(apply(g.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      g => s"UTF8String.fromString(${GeoExpr.K}.$kernel($g))")
+}
+
+/** ST_AsText (reference src/function/as_text.rs). */
+case class StAsText(child: Expression) extends GeoUnaryString {
+  override def kernel: String = "asText"
+  override def apply(g: Array[Byte]): String = GeoKernels.asText(g)
+  override def prettyName: String = "st_astext"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_AsEWKT (reference src/function/as_ewkt.rs). */
+case class StAsEwkt(child: Expression) extends GeoUnaryString {
+  override def kernel: String = "asEwkt"
+  override def apply(g: Array[Byte]): String = GeoKernels.asEwkt(g)
+  override def prettyName: String = "st_asewkt"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_AsGeoJSON (reference src/function/as_geojson.rs). */
+case class StAsGeoJson(child: Expression) extends GeoUnaryString {
+  override def kernel: String = "asGeoJson"
+  override def apply(g: Array[Byte]): String = GeoKernels.asGeoJson(g)
+  override def prettyName: String = "st_asgeojson"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_GeometryType (reference src/function/geometry_type.rs:79-92). */
+case class StGeometryType(child: Expression) extends GeoUnaryString {
+  override def kernel: String = "geometryType"
+  override def apply(g: Array[Byte]): String = GeoKernels.geometryType(g)
+  override def prettyName: String = "st_geometrytype"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_SRID — null when the geometry carries no SRID
+  * (reference src/function/srid.rs:46-67). */
+case class StSrid(child: Expression) extends UnaryExpression with GeoExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_srid"
+  override protected def nullSafeEval(g: Any): Any = {
+    val s = GeoKernels.srid(g.asInstanceOf[Array[Byte]])
+    if (s == null) null else s.intValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => s"""
+      java.lang.Integer ${ev.value}Boxed = ${GeoExpr.K}.srid($g);
+      if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Boxed.intValue(); }""")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Box2D — struct{xmin,ymin,xmax,ymax}, null for empty geometry
+  * (reference src/function/box2d.rs:46-77). */
+case class StBox2d(child: Expression) extends UnaryExpression with GeoExpression {
+  override def dataType: DataType = GeoExpr.box2dType
+  override def nullable: Boolean = true
+  override def prettyName: String = "box2d"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.box2dRow(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => s"""
+      InternalRow ${ev.value}Row = ${GeoExpr.K}.box2dRow($g);
+      if (${ev.value}Row == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Row; }""")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+// extra PostGIS-standard accessors (not in the reference; used by
+// oracle-able verification queries and generally expected by users)
+
+abstract class GeoUnaryDouble extends UnaryExpression with GeoExpression {
+  override def dataType: DataType = DoubleType
+  def kernel: String
+  def apply(g: Array[Byte]): Double
+  override protected def nullSafeEval(g: Any): Any = apply(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.$kernel($g)")
+}
+
+case class StArea(child: Expression) extends GeoUnaryDouble {
+  override def kernel: String = "area"
+  override def apply(g: Array[Byte]): Double = GeoKernels.area(g)
+  override def prettyName: String = "st_area"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StX(child: Expression) extends GeoUnaryDouble {
+  override def kernel: String = "x"
+  override def apply(g: Array[Byte]): Double = GeoKernels.x(g)
+  override def prettyName: String = "st_x"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StY(child: Expression) extends GeoUnaryDouble {
+  override def kernel: String = "y"
+  override def apply(g: Array[Byte]): Double = GeoKernels.y(g)
+  override def prettyName: String = "st_y"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StNumGeometries(child: Expression) extends UnaryExpression with GeoExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "st_numgeometries"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.numGeometries(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.numGeometries($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StNumPoints(child: Expression) extends UnaryExpression with GeoExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "st_npoints"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.numPoints(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.numPoints($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+// ---------------------------------------------------------------------------
+// predicates
+// ---------------------------------------------------------------------------
+
+abstract class GeoBinaryPredicate extends BinaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  def kernel: String
+  def apply(a: Array[Byte], b: Array[Byte]): Boolean
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    apply(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${GeoExpr.K}.$kernel($a, $b)")
+}
+
+/** ST_Intersects (reference src/function/intersects.rs:48-132). */
+case class StIntersects(left: Expression, right: Expression) extends GeoBinaryPredicate {
+  override def kernel: String = "intersects"
+  override def apply(a: Array[Byte], b: Array[Byte]): Boolean = GeoKernels.intersects(a, b)
+  override def prettyName: String = "st_intersects"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_Covers (reference src/function/covers.rs:50-122). */
+case class StCovers(left: Expression, right: Expression) extends GeoBinaryPredicate {
+  override def kernel: String = "covers"
+  override def apply(a: Array[Byte], b: Array[Byte]): Boolean = GeoKernels.covers(a, b)
+  override def prettyName: String = "st_covers"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_CoveredBy (reference src/function/covered_by.rs:49-121). */
+case class StCoveredBy(left: Expression, right: Expression) extends GeoBinaryPredicate {
+  override def kernel: String = "coveredBy"
+  override def apply(a: Array[Byte], b: Array[Byte]): Boolean = GeoKernels.coveredBy(a, b)
+  override def prettyName: String = "st_coveredby"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_Equals — topological equality (reference src/function/equals.rs:50-148). */
+case class StEquals(left: Expression, right: Expression) extends GeoBinaryPredicate {
+  override def kernel: String = "equalsTopo"
+  override def apply(a: Array[Byte], b: Array[Byte]): Boolean = GeoKernels.equalsTopo(a, b)
+  override def prettyName: String = "st_equals"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+// ---------------------------------------------------------------------------
+// transforms
+// ---------------------------------------------------------------------------
+
+/** ST_Buffer(geom, width, quadsegs) (reference src/function/buffer.rs:59-104). */
+case class StBuffer(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_buffer"
+  override protected def nullSafeEval(g: Any, w: Any, q: Any): Any =
+    GeoKernels.buffer(g.asInstanceOf[Array[Byte]], w.asInstanceOf[Double], q.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, w, q) => s"${GeoExpr.K}.buffer($g, $w, $q)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** ST_Translate(geom, dx, dy) (reference src/function/translate.rs:56-98). */
+case class StTranslate(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_translate"
+  override protected def nullSafeEval(g: Any, dx: Any, dy: Any): Any =
+    GeoKernels.translate(g.asInstanceOf[Array[Byte]], dx.asInstanceOf[Double], dy.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, dx, dy) => s"${GeoExpr.K}.translate($g, $dx, $dy)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** ST_Boundary (reference src/function/boundary.rs:51-87). */
+case class StBoundary(child: Expression) extends UnaryExpression with GeoExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_boundary"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.boundary(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.boundary($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_Split — reproduces the reference's boundary∪polygonize semantics and
+  * its known caveat (src/function/split.rs:103-130, FIXME at :148). */
+case class StSplit(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_split"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernels.split(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${GeoExpr.K}.split($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_AsMVTGeom(geom, box2d) — 4096×4096 tile space, Y flipped
+  * (reference src/function/as_mvt_geom.rs:76-102). */
+case class StAsMvtGeom(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, GeoExpr.box2dType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_asmvtgeom"
+  override protected def nullSafeEval(g: Any, box: Any): Any = {
+    val r = box.asInstanceOf[InternalRow]
+    GeoKernels.asMvtGeom(g.asInstanceOf[Array[Byte]],
+      r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, box) =>
+      s"""${GeoExpr.K}.asMvtGeom($g, $box.getDouble(0), $box.getDouble(1),
+         $box.getDouble(2), $box.getDouble(3))""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}

@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Bridges into `private[sql]` Spark internals that a library legitimately
+  * needs: wrapping a Catalyst Expression as a user-facing Column, and
+  * registering expression builders in the session FunctionRegistry (the
+  * same mechanism Spark's own `functions._` uses). Lives under
+  * org.apache.spark.sql.* solely for access; contains no logic.
+  */
+object Shims {
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def registry(spark: SparkSession): FunctionRegistry =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    registry(spark).createOrReplaceTempFunction(name, builder, "built-in")
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.geo._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Prop
+import org.scalacheck.Test.{check => scCheck, Parameters}
+
+/** Pure-JVM codec tests — no SparkSession. Mirrors the reference's
+  * array-level unit tests (src/geo/array.rs:57-269, src/geo/box.rs:163-191)
+  * plus property tests the reference lacks (SURVEY.md §5). */
+class GeoCodecSpec extends AnyFunSuite {
+
+  private def roundtrip(wkt: String): String =
+    WktWriter.write(GeomCodec.decode(GeomCodec.encodeEwkb(GeomCodec.parseWkt(wkt))))
+
+  test("wkb roundtrip per geometry kind") {
+    val cases = Seq(
+      "POINT(-71.064544 42.28787)",
+      "LINESTRING(1 2,3 4,5 6)",
+      "POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,3 2,3 3,2 3,2 2))",
+      "MULTIPOINT(0 0,1 2)",
+      "MULTILINESTRING((0 0,1 1),(2 2,3 3))",
+      "MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((5 5,6 5,6 6,5 5)))",
+      "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))")
+    cases.foreach { wkt => assert(roundtrip(wkt) == wkt) }
+  }
+
+  test("ewkb srid roundtrip") {
+    val g = GeomCodec.parseWkt("POINT(1 2)")
+    g.setSRID(4269)
+    val bytes = GeomCodec.encodeEwkb(g)
+    assert(bytes(0) == WkbDialect.Ewkb)
+    val back = GeomCodec.decode(bytes)
+    assert(back.getSRID == 4269)
+    // without srid, no flag — byte layouts differ
+    val g2 = GeomCodec.parseWkt("POINT(1 2)")
+    assert(GeomCodec.decode(GeomCodec.encodeEwkb(g2)).getSRID == 0)
+  }
+
+  test("unknown dialect tag errors, like the reference (src/geo/dialect.rs:15-29)") {
+    val bad = Array[Byte](9, 1, 1)
+    intercept[IllegalArgumentException](GeomCodec.decode(bad))
+  }
+
+  test("mysql + geopackage dialect decode") {
+    // MySQL framing: 4-byte LE srid ++ WKB
+    val g = GeomCodec.parseWkt("POINT(3 4)")
+    val wkb = GeomCodec.encodeWkb(g).drop(1)
+    val mysql = Array[Byte](WkbDialect.MySQL, -75, 16, 0, 0) ++ wkb // srid 4277
+    val dm = GeomCodec.decode(mysql)
+    assert(dm.getSRID == 4277 && WktWriter.write(dm) == "POINT(3 4)")
+    // GeoPackage: GP magic, version 0, flags LE no-envelope, srid 4326
+    val gpkg = Array[Byte](WkbDialect.Geopackage, 'G', 'P', 0, 1,
+      -26, 16, 0, 0) ++ wkb
+    val dg = GeomCodec.decode(gpkg)
+    assert(dg.getSRID == 4326 && WktWriter.write(dg) == "POINT(3 4)")
+  }
+
+  test("box2d sentinel and union (src/geo/box.rs:19-26)") {
+    val e = Box2d.empty
+    assert(e.xmin == Double.MaxValue && e.xmax == Double.MinValue)
+    val b = e.union(Box2d(1, 2, 3, 4))
+    assert(b == Box2d(1, 2, 3, 4))
+    assert(Box2d(0, 1, 5, 6).union(Box2d(2, 3, 7, 8)) == Box2d(0, 1, 7, 8))
+  }
+
+  test("wkt number formatting is Rust-like") {
+    assert(WktWriter.num(5.0) == "5")
+    assert(WktWriter.num(-71.064544) == "-71.064544")
+    assert(WktWriter.num(0.5) == "0.5")
+    assert(WktWriter.num(12345678.5) == "12345678.5")
+    assert(WktWriter.num(-0.0) == "0")
+  }
+
+  test("property: point roundtrip preserves coordinates exactly") {
+    val prop = Prop.forAll { (px: Double, py: Double) =>
+      (px.isNaN || py.isNaN) || {
+        val f = GeomCodec.geometryFactory
+        val p = f.createPoint(new org.locationtech.jts.geom.Coordinate(px, py))
+        val back = GeomCodec.decode(GeomCodec.encodeEwkb(p))
+          .asInstanceOf[org.locationtech.jts.geom.Point]
+        java.lang.Double.compare(back.getX, px) == 0 &&
+          java.lang.Double.compare(back.getY, py) == 0
+      }
+    }
+    val result = scCheck(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("geojson golden format (src/function/as_geojson.rs:141)") {
+    val p = GeomCodec.parseWkt("POINT(-71.064544 42.28787)")
+    assert(GeoJsonWriter.write(p) ==
+      """{"type": "Point", "coordinates": [-71.064544,42.28787]}""")
+    val poly = GeomCodec.parseWkt("POLYGON((0 0,1 0,1 1,0 0))")
+    assert(GeoJsonWriter.write(poly) ==
+      """{"type": "Polygon", "coordinates": [[[0,0],[1,0],[1,1],[0,0]]]}""")
+  }
+}

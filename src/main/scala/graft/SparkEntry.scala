@@ -1,13 +1,260 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with a plain-ANSI-SQL DuckDB oracle.
+  *
+  * The driver's DuckDB has NO spatial extension (zero egress), so every
+  * oracle is vanilla SQL: geometries are synthesized from integer columns
+  * (exact in f64) and results are reduced to ints / booleans / strings /
+  * integer-valued doubles whose expected values are computable
+  * arithmetically. Column names are aliased identically on both sides —
+  * the driver sorts columns by name before hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def prep(spark: SparkSession, dir: String): Unit = {
+    GeoFunctions.register(spark)
+    tables.foreach { t =>
+      val p = s"$dir/$t.parquet"
+      // events carries TIMESTAMP(NANOS) — readable only with the
+      // nanosAsLong conf; never let one bad table break every view.
+      if (new java.io.File(p).exists())
+        try spark.read.parquet(p).createOrReplaceTempView(t)
+        catch { case e: Throwable =>
+          System.err.println(s"[prep] skip $t: ${e.getMessage}")
+        }
+    }
+  }
+
+  private def q(sql: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => { prep(spark, dir); spark.sql(sql) }
+
+  /** Point synthesized from lineitem integer columns: x in 0..99, y in 10..70. */
+  private val PX = "CAST(l_orderkey % 100 AS STRING)"
+  private val PY = "CAST(l_linenumber * 10 AS STRING)"
+  private val PT = s"ST_GeomFromText('POINT(' || $PX || ' ' || $PY || ')')"
+  private val KEYS = "l_orderkey, l_linenumber"
+
+  // DuckDB-side equivalents of the synthesized coordinates
+  private val OX = "CAST(l_orderkey % 100 AS DOUBLE)"
+  private val OY = "CAST(l_linenumber * 10 AS DOUBLE)"
+  private val OPXS = "CAST(l_orderkey % 100 AS VARCHAR)"
+  private val OPYS = "CAST(l_linenumber * 10 AS VARCHAR)"
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    prep(spark, "/root/testdata/sf0.001")
+    spark.sql(s"""
+      SELECT l_returnflag, count(*) AS n,
+             sum(CASE WHEN ST_Intersects($PT, ST_MakeEnvelope(0.0, 0.0, 50.0, 30.0))
+                 THEN 1 ELSE 0 END) AS hits
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- constructors + accessors ------------------------------------
+    "q01_geomfromtext_xy" -> q(s"""
+      SELECT $KEYS, ST_X($PT) AS x, ST_Y($PT) AS y
+      FROM lineitem ORDER BY $KEYS"""),
+    "q02_astext" -> q(s"""
+      SELECT $KEYS, ST_AsText($PT) AS wkt
+      FROM lineitem ORDER BY $KEYS"""),
+    "q03_asewkt" -> q(s"""
+      SELECT $KEYS,
+             ST_AsEWKT(ST_GeomFromText('POINT(' || $PX || ' ' || $PY || ')', l_linenumber)) AS ewkt
+      FROM lineitem ORDER BY $KEYS"""),
+    "q04_asgeojson" -> q(s"""
+      SELECT $KEYS, ST_AsGeoJSON($PT) AS gj
+      FROM lineitem ORDER BY $KEYS"""),
+    "q05_geometrytype" -> q(s"""
+      SELECT $KEYS,
+             ST_GeometryType(ST_GeomFromText(CASE CAST(l_linenumber % 3 AS INT)
+               WHEN 0 THEN 'POINT(1 2)'
+               WHEN 1 THEN 'LINESTRING(0 0,1 1)'
+               ELSE 'POLYGON((0 0,1 0,1 1,0 0))' END)) AS gtype
+      FROM lineitem ORDER BY $KEYS"""),
+    "q06_srid" -> q(s"""
+      SELECT $KEYS,
+             ST_SRID(ST_GeomFromText('POINT(' || $PX || ' ' || $PY || ')', l_linenumber)) AS srid,
+             ST_SRID($PT) AS srid_absent
+      FROM lineitem ORDER BY $KEYS"""),
+    "q17_geomfromwkb" -> q("""
+      SELECT ST_AsText(ST_GeomFromWKB(X'0101000000cb49287d21c451c0f0bf95ecd8244540')) AS wkt,
+             ST_SRID(ST_GeomFromWKB(X'0101000000cb49287d21c451c0f0bf95ecd8244540', 4269)) AS srid"""),
+    // ---- predicates ---------------------------------------------------
+    "q07_intersects" -> q(s"""
+      SELECT $KEYS,
+             ST_Intersects($PT, ST_MakeEnvelope(0.0, 0.0, 50.0, 30.0)) AS hit
+      FROM lineitem ORDER BY $KEYS"""),
+    "q08_covers_coveredby" -> q(s"""
+      SELECT $KEYS,
+             ST_Covers(ST_MakeEnvelope(0.0, 0.0, 50.0, 30.0), $PT) AS covers_pt,
+             ST_CoveredBy($PT, ST_MakeEnvelope(0.0, 0.0, 50.0, 30.0)) AS pt_coveredby
+      FROM lineitem ORDER BY $KEYS"""),
+    "q09_equals" -> q(s"""
+      SELECT $KEYS,
+             ST_Equals($PT, ST_Translate($PT, CAST(l_orderkey % 2 AS DOUBLE), 0.0)) AS eq
+      FROM lineitem ORDER BY $KEYS"""),
+    // ---- transforms ---------------------------------------------------
+    "q10_translate" -> q(s"""
+      SELECT $KEYS,
+             ST_X(ST_Translate($PT, 3.0, 4.0)) AS x, ST_Y(ST_Translate($PT, 3.0, 4.0)) AS y
+      FROM lineitem ORDER BY $KEYS"""),
+    "q11_buffer_bbox" -> q(s"""
+      SELECT $KEYS,
+             box2d(ST_Buffer($PT, 50.0, 2)).xmin AS bxmin,
+             box2d(ST_Buffer($PT, 50.0, 2)).ymin AS bymin,
+             box2d(ST_Buffer($PT, 50.0, 2)).xmax AS bxmax,
+             box2d(ST_Buffer($PT, 50.0, 2)).ymax AS bymax
+      FROM lineitem ORDER BY $KEYS"""),
+    "q12_boundary" -> q(s"""
+      SELECT $KEYS,
+             ST_GeometryType(ST_Boundary(ST_GeomFromText(
+               'LINESTRING(' || $PX || ' ' || $PY || ',' ||
+               CAST(l_orderkey % 100 + 10 AS STRING) || ' ' ||
+               CAST(l_linenumber * 10 + 10 AS STRING) || ')'))) AS btype,
+             ST_NPoints(ST_Boundary(ST_MakeEnvelope(0.0, 0.0, 10.0, 10.0))) AS bnp
+      FROM lineitem ORDER BY $KEYS"""),
+    "q13_makeenvelope_wkt" -> q(s"""
+      SELECT $KEYS,
+             ST_AsText(ST_MakeEnvelope(CAST(l_orderkey % 100 AS DOUBLE), CAST(l_linenumber * 10 AS DOUBLE),
+               CAST(l_orderkey % 100 + 10 AS DOUBLE), CAST(l_linenumber * 10 + 20 AS DOUBLE))) AS wkt,
+             ST_SRID(ST_MakeEnvelope(0.0, 0.0, 1.0, 1.0, l_linenumber)) AS esrid
+      FROM lineitem ORDER BY $KEYS"""),
+    "q15_mvtgeom" -> q(s"""
+      SELECT $KEYS,
+             ST_X(ST_AsMVTGeom($PT, box2d(ST_MakeEnvelope(0.0, 0.0, 4096.0, 4096.0)))) AS mx,
+             ST_Y(ST_AsMVTGeom($PT, box2d(ST_MakeEnvelope(0.0, 0.0, 4096.0, 4096.0)))) AS my
+      FROM lineitem ORDER BY $KEYS"""),
+    "q16_split" -> q(s"""
+      SELECT $KEYS,
+             ST_NumGeometries(ST_Split(ST_MakeEnvelope(0.0, 0.0, 10.0, 10.0),
+               ST_GeomFromText(CASE WHEN l_orderkey % 2 = 0
+                 THEN 'LINESTRING(5 -1,5 11)' ELSE 'LINESTRING(20 0,21 1)' END))) AS faces
+      FROM lineitem ORDER BY $KEYS"""),
+    // ---- aggregate ----------------------------------------------------
+    "q14_extent" -> q(s"""
+      SELECT l_returnflag, ext.xmin AS xmin, ext.ymin AS ymin, ext.xmax AS xmax, ext.ymax AS ymax
+      FROM (SELECT l_returnflag, st_extent($PT) AS ext FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag"""),
+    // ---- text / dedup pipeline ---------------------------------------
+    "q20_dedup_exact" -> q("""
+      SELECT md5(CAST(text AS BINARY)) AS h, min(doc_id) AS keep_id, count(*) AS n
+      FROM documents GROUP BY md5(CAST(text AS BINARY)) ORDER BY h"""),
+    "q21_token_stats" -> q("""
+      SELECT doc_id, size(split(text, ' ')) AS ntokens, length(text) AS nchars
+      FROM documents ORDER BY doc_id"""),
+    "q22_quality_score" -> q("""
+      SELECT doc_id,
+             CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS nspaces,
+             CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS n_e,
+             CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) * 1000 div length(text) AS space_permille
+      FROM documents ORDER BY doc_id"""),
+    "q23_jaccard_tokens" -> q("""
+      WITH tok AS (SELECT DISTINCT doc_id, explode(split(text, ' ')) AS w
+                   FROM documents WHERE doc_id < 60),
+           sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
+                     FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+                     GROUP BY a.doc_id, b.doc_id)
+      SELECT i.ida, i.idb, i.ninter, sa.n + sb.n - i.ninter AS nunion
+      FROM inter i JOIN sz sa ON i.ida = sa.doc_id JOIN sz sb ON i.idb = sb.doc_id
+      ORDER BY i.ida, i.idb"""),
+    "q30_binary_meta" -> q("""
+      SELECT doc_id, octet_length(CAST(text AS BINARY)) AS nbytes,
+             ascii(substring(text, 1, 1)) AS first_byte
+      FROM documents ORDER BY doc_id"""))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_geomfromtext_xy" -> s"""
+      SELECT $KEYS, $OX AS x, $OY AS y FROM lineitem ORDER BY $KEYS""",
+    "q02_astext" -> s"""
+      SELECT $KEYS, 'POINT(' || $OPXS || ' ' || $OPYS || ')' AS wkt
+      FROM lineitem ORDER BY $KEYS""",
+    "q03_asewkt" -> s"""
+      SELECT $KEYS,
+             'SRID=' || CAST(l_linenumber AS VARCHAR) || ';POINT(' || $OPXS || ' ' || $OPYS || ')' AS ewkt
+      FROM lineitem ORDER BY $KEYS""",
+    "q04_asgeojson" -> s"""
+      SELECT $KEYS,
+             '{"type": "Point", "coordinates": [' || $OPXS || ',' || $OPYS || ']}' AS gj
+      FROM lineitem ORDER BY $KEYS""",
+    "q05_geometrytype" -> s"""
+      SELECT $KEYS, CASE CAST(l_linenumber % 3 AS INT)
+               WHEN 0 THEN 'ST_Point' WHEN 1 THEN 'ST_LineString' ELSE 'ST_Polygon' END AS gtype
+      FROM lineitem ORDER BY $KEYS""",
+    "q06_srid" -> s"""
+      SELECT $KEYS, CAST(l_linenumber AS INT) AS srid, CAST(NULL AS INT) AS srid_absent
+      FROM lineitem ORDER BY $KEYS""",
+    "q17_geomfromwkb" -> """
+      SELECT 'POINT(-71.064544 42.28787)' AS wkt, 4269 AS srid""",
+    "q07_intersects" -> s"""
+      SELECT $KEYS, (l_orderkey % 100) <= 50 AND (l_linenumber * 10) <= 30 AS hit
+      FROM lineitem ORDER BY $KEYS""",
+    "q08_covers_coveredby" -> s"""
+      SELECT $KEYS,
+             (l_orderkey % 100) <= 50 AND (l_linenumber * 10) <= 30 AS covers_pt,
+             (l_orderkey % 100) <= 50 AND (l_linenumber * 10) <= 30 AS pt_coveredby
+      FROM lineitem ORDER BY $KEYS""",
+    "q09_equals" -> s"""
+      SELECT $KEYS, l_orderkey % 2 = 0 AS eq FROM lineitem ORDER BY $KEYS""",
+    "q10_translate" -> s"""
+      SELECT $KEYS, $OX + 3.0 AS x, $OY + 4.0 AS y FROM lineitem ORDER BY $KEYS""",
+    "q11_buffer_bbox" -> s"""
+      SELECT $KEYS, $OX - 50.0 AS bxmin, $OY - 50.0 AS bymin,
+             $OX + 50.0 AS bxmax, $OY + 50.0 AS bymax
+      FROM lineitem ORDER BY $KEYS""",
+    "q12_boundary" -> s"""
+      SELECT $KEYS, 'ST_MultiPoint' AS btype, 5 AS bnp FROM lineitem ORDER BY $KEYS""",
+    "q13_makeenvelope_wkt" -> s"""
+      SELECT $KEYS,
+             'POLYGON((' || $OPXS || ' ' || $OPYS || ',' ||
+             $OPXS || ' ' || CAST(l_linenumber * 10 + 20 AS VARCHAR) || ',' ||
+             CAST(l_orderkey % 100 + 10 AS VARCHAR) || ' ' || CAST(l_linenumber * 10 + 20 AS VARCHAR) || ',' ||
+             CAST(l_orderkey % 100 + 10 AS VARCHAR) || ' ' || $OPYS || ',' ||
+             $OPXS || ' ' || $OPYS || '))' AS wkt,
+             CAST(l_linenumber AS INT) AS esrid
+      FROM lineitem ORDER BY $KEYS""",
+    "q15_mvtgeom" -> s"""
+      SELECT $KEYS, $OX AS mx, 4096.0 - ($OY) AS my FROM lineitem ORDER BY $KEYS""",
+    "q16_split" -> s"""
+      SELECT $KEYS, CASE WHEN l_orderkey % 2 = 0 THEN 2 ELSE 1 END AS faces
+      FROM lineitem ORDER BY $KEYS""",
+    "q14_extent" -> s"""
+      SELECT l_returnflag,
+             min($OX) AS xmin, min($OY) AS ymin, max($OX) AS xmax, max($OY) AS ymax
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q20_dedup_exact" -> """
+      SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+      FROM documents GROUP BY md5(text) ORDER BY h""",
+    "q21_token_stats" -> """
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ntokens,
+             CAST(length(text) AS INT) AS nchars
+      FROM documents ORDER BY doc_id""",
+    "q22_quality_score" -> """
+      SELECT doc_id,
+             CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS nspaces,
+             CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS n_e,
+             CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) * 1000 // length(text) AS space_permille
+      FROM documents ORDER BY doc_id""",
+    "q23_jaccard_tokens" -> """
+      WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents WHERE doc_id < 60),
+           sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
+                     FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+                     GROUP BY a.doc_id, b.doc_id)
+      SELECT i.ida, i.idb, i.ninter, sa.n + sb.n - i.ninter AS nunion
+      FROM inter i JOIN sz sa ON i.ida = sa.doc_id JOIN sz sb ON i.idb = sb.doc_id
+      ORDER BY i.ida, i.idb""",
+    "q30_binary_meta" -> """
+      SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS nbytes,
+             ascii(substring(text, 1, 1)) AS first_byte
+      FROM documents ORDER BY doc_id""")
 }

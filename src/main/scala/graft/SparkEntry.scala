@@ -169,7 +169,59 @@ object SparkEntry {
     "q30_binary_meta" -> q("""
       SELECT doc_id, octet_length(CAST(text AS BINARY)) AS nbytes,
              ascii(substring(text, 1, 1)) AS first_byte
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id"""),
+    // ---- vector search ------------------------------------------------
+    "q24_cosine_topk" -> q("""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+           s AS (SELECT qid, e.vec_id AS nid, vec_cosine(qv, e.embedding) AS c
+                 FROM q CROSS JOIN embeddings e WHERE e.vec_id != qid)
+      SELECT qid, nid, rnk
+      FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk FROM s)
+      WHERE rnk <= 3 ORDER BY qid, rnk"""),
+    "q29_embed_neardup" -> q("""
+      SELECT a.vec_id AS ida, b.vec_id AS idb
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+      WHERE vec_cosine(a.embedding, b.embedding) > 0.30
+      ORDER BY ida, idb"""),
+    "q25_token_bpe" -> q("""
+      SELECT doc_id, size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)) AS nbpe
+      FROM documents ORDER BY doc_id"""),
+    // ---- rows-only checks (not expressible in vanilla DuckDB SQL) -----
+    "q26_langid" -> q("""
+      SELECT doc_id, lang_id(text) AS pred, lang FROM documents ORDER BY doc_id"""),
+    "q27_fingerprint_simhash" -> q("""
+      SELECT doc_id, text_fingerprint(text) AS fp, simhash64(text) AS sh
+      FROM documents ORDER BY doc_id"""),
+    "q28_minhash_lsh" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      graft.operators.Dedup
+        .minhashBuckets(spark.table("documents"), "doc_id", "text")
+        .groupBy("band")
+        .agg(countDistinct("bucket").as("n_buckets"), count(lit(1)).as("n_docs"))
+        .orderBy("band")
+    }),
+    "q31_ann_lsh_recall" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      // 6 planes → 64 buckets: right-sized for the sf-scale corpus (bucket
+      // occupancy ~n/64); at 100 TB raise nPlanes so buckets stay bounded.
+      val approx = graft.operators.Ann.lshTopK(queries, emb, 3, nPlanes = 6, nProbe = 6)
+      val exact = graft.operators.Ann.bruteForceTopK(queries, emb, 3)
+      approx.join(exact.withColumnRenamed("rnk", "exact_rnk"), Seq("qid", "nid"), "left")
+        .orderBy("qid", "rnk").select("qid", "nid", "rnk")
+    }),
+    // events.ts is TIMESTAMP(NANOS) read as LONG nanos (nanosAsLong):
+    // tumbling-window aggregation in its batch form (the streaming module
+    // exposes the same shape over readStream).
+    "q32_events_hourly" -> q("""
+      SELECT event_type, ts div 3600000000000 AS hour_bucket,
+             count(*) AS n, min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY event_type, hour_bucket
+      ORDER BY event_type, hour_bucket"""))
 
   def oracleSql: Map[String, String] = Map(
     "q01_geomfromtext_xy" -> s"""
@@ -256,5 +308,26 @@ object SparkEntry {
     "q30_binary_meta" -> """
       SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS nbytes,
              ascii(substring(text, 1, 1)) AS first_byte
-      FROM documents ORDER BY doc_id""")
+      FROM documents ORDER BY doc_id""",
+    "q24_cosine_topk" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+           s AS (SELECT qid, e.vec_id AS nid, list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS c
+                 FROM q CROSS JOIN embeddings e WHERE e.vec_id != qid)
+      SELECT qid, nid, rnk
+      FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk FROM s)
+      WHERE rnk <= 3 ORDER BY qid, rnk""",
+    "q29_embed_neardup" -> """
+      SELECT a.vec_id AS ida, b.vec_id AS idb
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.30
+      ORDER BY ida, idb""",
+    "q25_token_bpe" -> """
+      SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS nbpe
+      FROM documents ORDER BY doc_id""",
+    "q32_events_hourly" -> """
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+             count(*) AS n, min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY event_type, hour_bucket
+      ORDER BY event_type, hour_bucket""")
 }

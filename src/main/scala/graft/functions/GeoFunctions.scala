@@ -53,7 +53,17 @@ object GeoFunctions {
     "st_x" -> { es => arity("st_x", es, 1); StX(es.head) },
     "st_y" -> { es => arity("st_y", es, 1); StY(es.head) },
     "st_numgeometries" -> { es => arity("st_numgeometries", es, 1); StNumGeometries(es.head) },
-    "st_npoints" -> { es => arity("st_npoints", es, 1); StNumPoints(es.head) })
+    "st_npoints" -> { es => arity("st_npoints", es, 1); StNumPoints(es.head) },
+    // training-data-pipeline surface: text dedup/analysis + vector search
+    "simhash64" -> { es => arity("simhash64", es, 1); TextSimhash(es.head) },
+    "minhash_sig" -> { es => arity("minhash_sig", es, 2); TextMinhash(es.head, es(1)) },
+    "lang_id" -> { es => arity("lang_id", es, 1); TextLangId(es.head) },
+    "text_fingerprint" -> { es => arity("text_fingerprint", es, 1); TextFingerprint(es.head) },
+    "hamming64" -> { es => arity("hamming64", es, 2); Hamming64(es.head, es(1)) },
+    "vec_cosine" -> { es => arity("vec_cosine", es, 2); VecCosine(es.head, es(1)) },
+    "vec_dot" -> { es => arity("vec_dot", es, 2); VecDot(es.head, es(1)) },
+    "vec_norm" -> { es => arity("vec_norm", es, 1); VecNorm(es.head) },
+    "vec_lsh_sig" -> { es => arity("vec_lsh_sig", es, 3); VecLshSig(es.head, es(1), es(2)) })
 
   /** Register everything (scalar expressions + the st_extent UDAF) on a
     * session. Idempotent. */
@@ -100,4 +110,14 @@ object GeoFunctions {
   def st_numgeometries(g: Column): Column = c(StNumGeometries(x(g)))
   def st_npoints(g: Column): Column = c(StNumPoints(x(g)))
   def st_extent(g: Column): Column = F.udaf(ExtentAggregator).apply(g)
+  def simhash64(t: Column): Column = c(TextSimhash(x(t)))
+  def minhash_sig(t: Column, n: Column): Column = c(TextMinhash(x(t), x(n)))
+  def lang_id(t: Column): Column = c(TextLangId(x(t)))
+  def text_fingerprint(t: Column): Column = c(TextFingerprint(x(t)))
+  def hamming64(a: Column, b: Column): Column = c(Hamming64(x(a), x(b)))
+  def vec_cosine(a: Column, b: Column): Column = c(VecCosine(x(a), x(b)))
+  def vec_dot(a: Column, b: Column): Column = c(VecDot(x(a), x(b)))
+  def vec_norm(a: Column): Column = c(VecNorm(x(a)))
+  def vec_lsh_sig(a: Column, nPlanes: Column, seed: Column): Column =
+    c(VecLshSig(x(a), x(nPlanes), x(seed)))
 }

@@ -1,0 +1,187 @@
+package graft.functions
+
+/** Static text-analysis kernels for large-scale training-data pipelines:
+  * MinHash signatures, SimHash, language-ID, document fingerprints.
+  *
+  * All functions are pure and allocation-light; they are invoked per-row
+  * from codegen'd Catalyst expressions (see
+  * org.apache.spark.sql.graft.TextExpressions), so Spark parallelizes
+  * across partitions and the whole stage stays in WholeStageCodegen.
+  */
+object TextKernels {
+
+  // ---- hashing ----------------------------------------------------------
+
+  /** FNV-1a 64-bit over UTF-16 chars of a substring [from, until). */
+  def fnv1a64(s: CharSequence, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      h ^= (c & 0xff); h *= 0x100000001b3L
+      h ^= (c >>> 8); h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** SplitMix64 — used to derive per-hash-function mixers deterministically. */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Karp-Rabin-style document fingerprint: FNV-1a over the text with
+    * whitespace runs collapsed to one space (normalization only — no
+    * semantic processing). */
+  def fingerprint64(text: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    var lastSpace = false
+    while (i < text.length) {
+      val c0 = text.charAt(i)
+      val isSpace = Character.isWhitespace(c0)
+      if (!(isSpace && lastSpace)) {
+        val c = if (isSpace) ' ' else Character.toLowerCase(c0)
+        h ^= (c & 0xff); h *= 0x100000001b3L
+        h ^= (c >>> 8); h *= 0x100000001b3L
+      }
+      lastSpace = isSpace
+      i += 1
+    }
+    h
+  }
+
+  // ---- tokenization -----------------------------------------------------
+
+  /** Whitespace tokens; no allocation for the common single-space case
+    * beyond the result array. */
+  def tokens(text: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](16)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) out += text.substring(start, i)
+    }
+    out.toArray
+  }
+
+  /** Hashes of 3-word shingles (the MinHash/SimHash input universe).
+    * Documents shorter than the shingle width fall back to one
+    * whole-document shingle. */
+  def shingleHashes(text: String, width: Int): Array[Long] = {
+    val ts = tokens(text)
+    if (ts.length < width) return Array(fnv1a64(text, 0, text.length))
+    val out = new Array[Long](ts.length - width + 1)
+    var i = 0
+    while (i < out.length) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < width) {
+        val t = ts(i + j)
+        var k = 0
+        while (k < t.length) {
+          val c = t.charAt(k)
+          h ^= (c & 0xff); h *= 0x100000001b3L
+          h ^= (c >>> 8); h *= 0x100000001b3L
+          k += 1
+        }
+        h ^= ' '; h *= 0x100000001b3L
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  // ---- MinHash ----------------------------------------------------------
+
+  /** MinHash signature: for each of `numHashes` hash functions
+    * h_i(x) = mix_i XOR x multiplied through SplitMix64 mixing, keep the
+    * unsigned-min over the document's 3-word shingle hashes. Deterministic
+    * across JVMs (no Random). */
+  def minhashSig(text: String, numHashes: Int): Array[Long] = {
+    val shingles = shingleHashes(text, 3)
+    val sig = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val mixer = splitmix64(0x5eed + i.toLong)
+      var min = -1L // unsigned max
+      var j = 0
+      while (j < shingles.length) {
+        val h = splitmix64(shingles(j) ^ mixer)
+        if (java.lang.Long.compareUnsigned(h, min) < 0) min = h
+        j += 1
+      }
+      sig(i) = min
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over 3-word shingle hashes (+1/-1 bit voting). */
+  def simhash64(text: String): Long = {
+    val shingles = shingleHashes(text, 3)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < shingles.length) {
+      val h = shingles(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hammingDistance64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // ---- language ID ------------------------------------------------------
+
+  private val langStopwords: Array[(String, Set[String])] = Array(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Set("el", "los", "las", "y", "es", "un", "una", "en", "que", "por"),
+  )
+
+  /** Heuristic language ID: CJK codepoint presence → zh; otherwise the
+    * language whose stopword set matches the most tokens; 'und' when
+    * nothing matches (n-gram heuristic per the pipeline spec — intended
+    * for real prose, not a trained model). */
+  def langId(text: String): String = {
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c >= 0x4e00 && c <= 0x9fff) return "zh"
+      i += 1
+    }
+    val ts = tokens(text)
+    var best = "und"
+    var bestScore = 0
+    var l = 0
+    while (l < langStopwords.length) {
+      val (lang, words) = langStopwords(l)
+      var score = 0
+      var j = 0
+      while (j < ts.length) {
+        if (words.contains(ts(j).toLowerCase)) score += 1
+        j += 1
+      }
+      if (score > bestScore) { best = lang; bestScore = score }
+      l += 1
+    }
+    best
+  }
+}

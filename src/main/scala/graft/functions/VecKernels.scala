@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Static vector kernels over Catalyst ArrayData (float32 embeddings),
+  * invoked from codegen'd expressions — no per-row array materialization
+  * beyond what Catalyst already holds.
+  *
+  * Accumulation is double, strictly left-to-right, so results are
+  * deterministic and bit-identical to a straightforward double loop (the
+  * DuckDB oracle computes the same sequence).
+  */
+object VecKernels {
+
+  /** Cosine similarity of two float vectors; NaN when either norm is 0. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"vector length mismatch: $n vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"vector length mismatch: $n vs ${b.numElements()}")
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  def normF(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Sign bits of the vector against `nPlanes` deterministic pseudo-random
+    * hyperplanes (SplitMix64-generated components) — the LSH bucket key
+    * for approximate nearest-neighbor search. nPlanes <= 63. */
+  def hyperplaneSig(a: ArrayData, nPlanes: Int, seed: Long): Long = {
+    val n = a.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        // component ~ uniform in [-1, 1) derived from (seed, plane, dim)
+        val h = TextKernels.splitmix64(seed + p.toLong * 1000003L + i)
+        val comp = (h >> 11).toDouble / (1L << 52).toDouble // [-1, 1)
+        dot += a.getFloat(i).toDouble * comp
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}

@@ -1,0 +1,144 @@
+package org.apache.spark.sql.graft
+
+import graft.functions.{TextKernels, VecKernels}
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd Catalyst expressions for the training-data-pipeline surface:
+  * MinHash / SimHash / language-ID / fingerprint over text, cosine and
+  * LSH signatures over float32 embedding vectors. All deterministic,
+  * null-intolerant, and kept inside WholeStageCodegen.
+  */
+
+object TextVecExpr {
+  val TK = "graft.functions.TextKernels"
+  val VK = "graft.functions.VecKernels"
+  val floatArray: AbstractDataType = ArrayType(FloatType)
+}
+
+/** simhash64(text) → 64-bit SimHash of 3-word shingles. */
+case class TextSimhash(child: Expression)
+    extends UnaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.simhash64(t.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"${TextVecExpr.TK}.simhash64($t.toString())")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** minhash_sig(text, numHashes) → array<bigint> MinHash signature. */
+case class TextMinhash(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    new GenericArrayData(
+      TextKernels.minhashSig(t.asInstanceOf[UTF8String].toString, n.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) => s"""
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ${TextVecExpr.TK}.minhashSig($t.toString(), $n));""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** lang_id(text) → heuristic language code (en/de/fr/es/zh/und). */
+case class TextLangId(child: Expression)
+    extends UnaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+  override protected def nullSafeEval(t: Any): Any =
+    UTF8String.fromString(TextKernels.langId(t.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"UTF8String.fromString(${TextVecExpr.TK}.langId($t.toString()))")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** text_fingerprint(text) → 64-bit whitespace-normalized rolling hash. */
+case class TextFingerprint(child: Expression)
+    extends UnaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "text_fingerprint"
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.fingerprint64(t.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"${TextVecExpr.TK}.fingerprint64($t.toString())")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** hamming64(a, b) → bit distance between two 64-bit hashes. */
+case class Hamming64(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming64"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.hammingDistance64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** vec_cosine(a, b) → cosine similarity of two float32 vectors. */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(TextVecExpr.floatArray, TextVecExpr.floatArray)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${TextVecExpr.VK}.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** vec_dot(a, b) → dot product of two float32 vectors. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(TextVecExpr.floatArray, TextVecExpr.floatArray)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${TextVecExpr.VK}.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** vec_norm(a) → L2 norm of a float32 vector. */
+case class VecNorm(child: Expression)
+    extends UnaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(TextVecExpr.floatArray)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.normF(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"${TextVecExpr.VK}.normF($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** vec_lsh_sig(a, nPlanes, seed) → random-hyperplane sign bits (LSH bucket). */
+case class VecLshSig(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TextVecExpr.floatArray, IntegerType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_lsh_sig"
+  override protected def nullSafeEval(a: Any, n: Any, s: Any): Any =
+    VecKernels.hyperplaneSig(a.asInstanceOf[ArrayData], n.asInstanceOf[Int], s.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, n, s) => s"${TextVecExpr.VK}.hyperplaneSig($a, $n, $s)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}

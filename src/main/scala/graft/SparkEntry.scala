@@ -107,12 +107,10 @@ object SparkEntry {
              ST_X(ST_Translate($PT, 3.0, 4.0)) AS x, ST_Y(ST_Translate($PT, 3.0, 4.0)) AS y
       FROM lineitem ORDER BY $KEYS"""),
     "q11_buffer_bbox" -> q(s"""
-      SELECT $KEYS,
-             box2d(ST_Buffer($PT, 50.0, 2)).xmin AS bxmin,
-             box2d(ST_Buffer($PT, 50.0, 2)).ymin AS bymin,
-             box2d(ST_Buffer($PT, 50.0, 2)).xmax AS bxmax,
-             box2d(ST_Buffer($PT, 50.0, 2)).ymax AS bymax
-      FROM lineitem ORDER BY $KEYS"""),
+      SELECT l_orderkey, l_linenumber,
+             bb.xmin AS bxmin, bb.ymin AS bymin, bb.xmax AS bxmax, bb.ymax AS bymax
+      FROM (SELECT $KEYS, box2d(ST_Buffer($PT, 50.0, 2)) AS bb FROM lineitem)
+      ORDER BY $KEYS"""),
     "q12_boundary" -> q(s"""
       SELECT $KEYS,
              ST_GeometryType(ST_Boundary(ST_GeomFromText(

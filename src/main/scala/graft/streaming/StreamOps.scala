@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming shapes for the engine's continuous-ingest side:
+  * watermarked windowed aggregation, streaming dedup, and stateful
+  * sessionization. Each transform takes/returns streaming DataFrames, so
+  * the same code runs on `readStream` sources (kafka, files) and is unit
+  * tested with MemoryStream.
+  *
+  * Scale notes: state stores shard by the grouping key; watermarks bound
+  * state size (without one, streaming dedup/agg state grows without
+  * bound). Event-time semantics match the batch q32_events_hourly query —
+  * the streaming plan is the incremental version of the same aggregation.
+  */
+object StreamOps {
+
+  /** Tumbling event-time aggregation with a watermark: the incremental
+    * form of the batch hourly rollup. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), min("value").as("vmin"), max("value").as("vmax"))
+
+  /** Streaming exact dedup on a content key, state bounded by watermark:
+    * late duplicates beyond the watermark horizon are accepted as new. */
+  def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  case class SessionUpdate(userId: Long, nEvents: Long, sessionStart: Long, sessionEnd: Long)
+  private case class SessionState(n: Long, start: Long, last: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: emits a session
+    * summary when a user goes quiet for `gapMs` (processing-time timeout —
+    * the custom-state escape hatch the built-in operators can't express). */
+  def sessionize(events: Dataset[(Long, Long)], gapMs: Long): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, s.n, s.start, s.last))
+          } else {
+            val ts = rows.map(_._2).toSeq
+            val prev = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
+            val next = SessionState(prev.n + ts.size,
+              math.min(prev.start, ts.min), math.max(prev.last, ts.max))
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            Iterator.empty
+          }
+      }
+  }
+}

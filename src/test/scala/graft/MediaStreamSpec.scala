@@ -1,0 +1,104 @@
+package graft
+
+import graft.multimodal.{Media, MediaCodec}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def pngBytes(n: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    b(0) = 0x89.toByte; b(1) = 'P'; b(2) = 'N'; b(3) = 'G'
+    var i = 4
+    while (i < n) { b(i) = (i * 31 % 251).toByte; i += 1 }
+    b
+  }
+
+  test("media metadata sniffing + partition sizing") {
+    import spark.implicits._
+    val df = Seq((1L, pngBytes(1000)), (2L, pngBytes(3000)),
+      (3L, Array[Byte](0x4d, 0x5a, 1, 2, 3, 4, 5, 6, 7, 8))).toDF("id", "bytes")
+    val ds = Media.withMetadata(df, "id", "bytes")
+    val metas = ds.collect().map(r => r.mediaId -> r.meta).toMap
+    assert(metas(1L).mediaType == "image/png")
+    assert(metas(1L).nBytes == 1000)
+    assert(metas(3L).mediaType == "application/octet-stream")
+    // 4030 payload bytes at 2000-byte target → 3 partitions
+    val sized = Media.sizePartitions(ds, targetPartitionBytes = 2000)
+    assert(sized.rdd.getNumPartitions == 3)
+  }
+
+  test("image feature extraction is deterministic and batch-shaped") {
+    import spark.implicits._
+    val df = Seq((1L, pngBytes(1000)), (2L, pngBytes(1000))).toDF("id", "bytes")
+    val feats = Media.imageFeatures(Media.withMetadata(df, "id", "bytes"), histogramBins = 8)
+      .collect().sortBy(_.mediaId)
+    assert(feats.length == 2)
+    assert(feats(0).histogram.length == 8)
+    // identical bytes → identical features (deterministic stub)
+    assert(feats(0).histogram.toSeq == feats(1).histogram.toSeq)
+    assert(math.abs(feats(0).histogram.sum - 1.0) < 1e-9)
+  }
+
+  test("frame sampling emits stride-spaced frames") {
+    import spark.implicits._
+    val df = Seq((7L, pngBytes(1024))).toDF("id", "bytes")
+    val frames = Media.sampleFrames(Media.withMetadata(df, "id", "bytes"),
+      stride = 2, frameBytes = 256).collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 2))
+    assert(frames.forall(_.frameBytes.length == 256))
+  }
+
+  test("audio stub: per-window energy") {
+    val e = MediaCodec.decodeAudioStub(Array.fill[Byte](256)(10), window = 128)
+    assert(e.toSeq == Seq(10.0, 10.0))
+  }
+
+  test("streaming windowed counts over MemoryStream match the batch shape") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamOps.windowedCounts(df, "ts", "event_type", "1 hour", "2 hours")
+    val query = agg.writeStream.format("memory").queryName("wincounts")
+      .outputMode("complete").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(1, 10), "click", 1.0), (t(1, 50), "click", 5.0), (t(2, 10), "view", 2.0))
+    query.processAllAvailable()
+    val rows = spark.table("wincounts")
+      .select(col("event_type"), col("n"), col("vmin"), col("vmax")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    query.stop()
+    assert(rows == Set(("click", 2L, 1.0, 5.0), ("view", 1L, 2.0, 2.0)))
+  }
+
+  test("streaming dedup drops in-watermark duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "event_id")
+    val dedup = StreamOps.streamingDedup(df, "ts", Seq("event_id"))
+    val query = dedup.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 01:00:00")
+    mem.addData((ts0, 1L), (ts0, 1L), (ts0, 2L))
+    query.processAllAvailable()
+    mem.addData((java.sql.Timestamp.valueOf("2026-01-01 01:05:00"), 1L)) // dup, in watermark
+    query.processAllAvailable()
+    val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+    query.stop()
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+}

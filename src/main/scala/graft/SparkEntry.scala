@@ -136,6 +136,29 @@ object SparkEntry {
                ST_GeomFromText(CASE WHEN l_orderkey % 2 = 0
                  THEN 'LINESTRING(5 -1,5 11)' ELSE 'LINESTRING(20 0,21 1)' END))) AS faces
       FROM lineitem ORDER BY $KEYS"""),
+    // ---- spatial joins ------------------------------------------------
+    "q18_spatial_join_bcast" -> ((spark, dir) => {
+      prep(spark, dir)
+      val pts = spark.sql(s"SELECT l_orderkey, l_linenumber, $PT AS geom FROM lineitem")
+      val regions = spark.sql("""
+        SELECT r_regionkey, ST_MakeEnvelope(CAST(r_regionkey * 20 AS DOUBLE), 0.0,
+               CAST(r_regionkey * 20 + 20 AS DOUBLE), 100.0) AS rgeom FROM region""")
+      graft.operators.SpatialJoin.broadcastJoin(pts, "geom", regions, "rgeom")
+        .select("l_orderkey", "l_linenumber", "r_regionkey")
+        .orderBy("l_orderkey", "l_linenumber", "r_regionkey")
+    }),
+    "q19_spatial_join_grid" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val pts = spark.sql(
+        s"SELECT l_orderkey * 10 + l_linenumber AS lkey, $PT AS geom FROM lineitem")
+      val regions = spark.sql("""
+        SELECT r_regionkey, ST_MakeEnvelope(CAST(r_regionkey * 20 AS DOUBLE), 0.0,
+               CAST(r_regionkey * 20 + 20 AS DOUBLE), 100.0) AS rgeom FROM region""")
+      graft.operators.SpatialJoin
+        .gridJoin(pts, "geom", "lkey", regions, "rgeom", "r_regionkey", cellSize = 25.0)
+        .orderBy("lkey", "r_regionkey")
+    }),
     // ---- aggregate ----------------------------------------------------
     "q14_extent" -> q(s"""
       SELECT l_returnflag, ext.xmin AS xmin, ext.ymin AS ymin, ext.xmax AS xmax, ext.ymax AS ymax
@@ -276,6 +299,16 @@ object SparkEntry {
     "q16_split" -> s"""
       SELECT $KEYS, CASE WHEN l_orderkey % 2 = 0 THEN 2 ELSE 1 END AS faces
       FROM lineitem ORDER BY $KEYS""",
+    "q18_spatial_join_bcast" -> s"""
+      SELECT l_orderkey, l_linenumber, r_regionkey
+      FROM lineitem JOIN region
+        ON (l_orderkey % 100) BETWEEN r_regionkey * 20 AND r_regionkey * 20 + 20
+      ORDER BY l_orderkey, l_linenumber, r_regionkey""",
+    "q19_spatial_join_grid" -> s"""
+      SELECT DISTINCT l_orderkey * 10 + l_linenumber AS lkey, r_regionkey
+      FROM lineitem JOIN region
+        ON (l_orderkey % 100) BETWEEN r_regionkey * 20 AND r_regionkey * 20 + 20
+      ORDER BY lkey, r_regionkey""",
     "q14_extent" -> s"""
       SELECT l_returnflag,
              min($OX) AS xmin, min($OY) AS ymin, max($OX) AS xmax, max($OY) AS ymax

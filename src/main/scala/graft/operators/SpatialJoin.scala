@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.functions.{GeoFunctions, GeoKernels}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.locationtech.jts.geom.Envelope
+import org.locationtech.jts.index.strtree.STRtree
+
+/** Spatial join acceleration — the operator the reference's R-tree
+  * building block (src/geo/index.rs:23-33) was meant to power but never
+  * got wired to.
+  *
+  * Two strategies, chosen by the size of the right side:
+  *
+  *  - [[broadcastJoin]]: bulk-load the small side into a JTS STRtree,
+  *    broadcast it, and stream the big side through `mapPartitions` —
+  *    bbox candidates from the tree, exact JTS predicate refine. This is
+  *    a map-only join: no shuffle of the big side at all, which is the
+  *    winning plan at 100 TB whenever one side fits in executor memory
+  *    (dimension tables, region polygons, tile grids).
+  *
+  *  - [[gridJoin]]: both sides large — cover each geometry's bbox with
+  *    fixed-size grid cells, shuffle both sides by cell (an equi-join
+  *    Catalyst can hash-partition), refine exactly, and de-dup multi-cell
+  *    matches. Shuffle volume scales with Σ cells-per-geometry, and skew
+  *    is bounded by choosing `cellSize` near the median bbox size (plus
+  *    AQE skew splitting on the cell key).
+  */
+object SpatialJoin {
+
+  /** Supported exact predicates for the refine phase. */
+  private def refine(pred: String): (org.locationtech.jts.geom.Geometry,
+      org.locationtech.jts.geom.Geometry) => Boolean = pred match {
+    case "intersects" => (a, b) => a.intersects(b)
+    case "covers"     => (a, b) => a.covers(b)
+    case "coveredby"  => (a, b) => b.covers(a)
+    case other => throw new IllegalArgumentException(s"unsupported predicate: $other")
+  }
+
+  /** Broadcast-STRtree join. `left` streams; `right` must fit in memory.
+    * Output schema: left columns ++ right columns. The geometry columns
+    * hold dialect-tagged WKB (the engine's standard cell layout). */
+  def broadcastJoin(left: DataFrame, leftGeom: String,
+      right: DataFrame, rightGeom: String,
+      predicate: String = "intersects"): DataFrame = {
+    val spark = left.sparkSession
+    val pred = refine(predicate)
+    val rightRows = right.collect()
+    val rightGeomIdx = right.schema.fieldIndex(rightGeom)
+    val tree = new STRtree()
+    rightRows.zipWithIndex.foreach { case (row, i) =>
+      val bytes = row.getAs[Array[Byte]](rightGeomIdx)
+      if (bytes != null) {
+        val env = GeoKernels.geom(bytes).getEnvelopeInternal
+        if (!env.isNull) tree.insert(env, Integer.valueOf(i))
+      }
+    }
+    tree.build() // build once on the driver; workers only query
+    val bcTree = spark.sparkContext.broadcast(tree)
+    val bcRows = spark.sparkContext.broadcast(rightRows)
+
+    val leftGeomIdx = left.schema.fieldIndex(leftGeom)
+    val outSchema = StructType(left.schema.fields ++ right.schema.fields)
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    left.mapPartitions { rows =>
+      val t = bcTree.value
+      val rrows = bcRows.value
+      rows.flatMap { lrow =>
+        val bytes = lrow.getAs[Array[Byte]](leftGeomIdx)
+        if (bytes == null) Iterator.empty
+        else {
+          val g = GeoKernels.geom(bytes)
+          val env = g.getEnvelopeInternal
+          val cands = t.query(env).iterator()
+          new Iterator[Row] {
+            private var nextRow: Row = _
+            private def advance(): Unit = {
+              nextRow = null
+              while (nextRow == null && cands.hasNext) {
+                val i = cands.next().asInstanceOf[Integer].intValue()
+                val rrow = rrows(i)
+                val rg = GeoKernels.geom(rrow.getAs[Array[Byte]](rightGeomIdx))
+                if (pred(g, rg))
+                  nextRow = Row.fromSeq(lrow.toSeq ++ rrow.toSeq)
+              }
+            }
+            advance()
+            override def hasNext: Boolean = nextRow != null
+            override def next(): Row = { val r = nextRow; advance(); r }
+          }
+        }
+      }
+    }(outEncoder)
+  }
+
+  /** Grid-partitioned spatial join for two large sides: equi-join on
+    * covering cells, exact refine, distinct on the provided keys. */
+  def gridJoin(left: DataFrame, leftGeom: String, leftKey: String,
+      right: DataFrame, rightGeom: String, rightKey: String,
+      cellSize: Double, predicate: String = "intersects"): DataFrame = {
+    GeoFunctions.register(left.sparkSession)
+    def cells(df: DataFrame, geom: String): DataFrame = {
+      val bb = GeoFunctions.box2d(col(geom))
+      df.withColumn("__cells", expr(
+        s"""flatten(transform(
+              sequence(CAST(floor(box2d($geom).xmin / $cellSize) AS INT),
+                       CAST(floor(box2d($geom).xmax / $cellSize) AS INT)),
+              cx -> transform(
+                sequence(CAST(floor(box2d($geom).ymin / $cellSize) AS INT),
+                         CAST(floor(box2d($geom).ymax / $cellSize) AS INT)),
+                cy -> struct(cx, cy))))"""))
+        .withColumn("__cell", explode(col("__cells"))).drop("__cells")
+    }
+    val l = cells(left.select(col(leftKey), col(leftGeom)), leftGeom)
+    val r = cells(right.select(col(rightKey), col(rightGeom)), rightGeom)
+    val predCol: Column = predicate match {
+      case "intersects" => GeoFunctions.st_intersects(col(leftGeom), col(rightGeom))
+      case "covers"     => GeoFunctions.st_covers(col(leftGeom), col(rightGeom))
+      case "coveredby"  => GeoFunctions.st_coveredby(col(leftGeom), col(rightGeom))
+      case other => throw new IllegalArgumentException(s"unsupported predicate: $other")
+    }
+    l.join(r, l("__cell") === r("__cell"))
+      .where(predCol)
+      .select(col(leftKey), col(rightKey))
+      .distinct()
+  }
+}

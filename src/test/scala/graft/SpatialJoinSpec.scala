@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.GeoFunctions
+import graft.operators.SpatialJoin
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fixtures() = {
+    GeoFunctions.register(spark)
+    val pts = spark.sql("""
+      SELECT id, ST_GeomFromText('POINT(' || CAST(id AS STRING) || ' ' || CAST(id AS STRING) || ')') AS geom
+      FROM range(0, 50) t(id)""")
+    // two overlapping boxes + one far away
+    val boxes = spark.sql("""
+      SELECT * FROM VALUES
+        (100, ST_MakeEnvelope(0.0, 0.0, 10.0, 10.0)),
+        (200, ST_MakeEnvelope(5.0, 5.0, 20.0, 20.0)),
+        (300, ST_MakeEnvelope(1000.0, 1000.0, 1001.0, 1001.0)) AS t(bid, bgeom)""")
+    (pts, boxes)
+  }
+
+  // brute-force truth: diagonal point (i,i) hits box iff i in [lo, hi]
+  private val expected: Set[(Long, Int)] =
+    ((0L to 10L).map(_ -> 100) ++ (5L to 20L).map(_ -> 200)).toSet
+
+  test("broadcast STRtree join matches brute force") {
+    val (pts, boxes) = fixtures()
+    val got = SpatialJoin.broadcastJoin(pts, "geom", boxes, "bgeom")
+      .select("id", "bid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == expected)
+  }
+
+  test("grid-partitioned join matches brute force across cell sizes") {
+    val (pts, boxes) = fixtures()
+    for (cell <- Seq(3.0, 10.0, 100.0)) {
+      val got = SpatialJoin.gridJoin(pts, "geom", "id", boxes, "bgeom", "bid", cellSize = cell)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == expected, s"cellSize=$cell")
+    }
+  }
+
+  test("covers / coveredby predicates refine correctly") {
+    val (pts, boxes) = fixtures()
+    // box covers point — boundary points count as covered
+    val cov = SpatialJoin.broadcastJoin(boxes, "bgeom", pts.limit(12), "geom", "covers")
+      .select("bid", "id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(cov == ((0L to 10L).map(100 -> _) ++ (5L to 11L).map(200 -> _)).toSet)
+  }
+}

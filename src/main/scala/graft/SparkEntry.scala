@@ -194,7 +194,7 @@ object SparkEntry {
     // ---- vector search ------------------------------------------------
     "q24_cosine_topk" -> q("""
       WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-           s AS (SELECT qid, e.vec_id AS nid, vec_cosine(qv, e.embedding) AS c
+           s AS (SELECT /*+ BROADCAST(q) */ qid, e.vec_id AS nid, vec_cosine(qv, e.embedding) AS c
                  FROM q CROSS JOIN embeddings e WHERE e.vec_id != qid)
       SELECT qid, nid, rnk
       FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk FROM s)

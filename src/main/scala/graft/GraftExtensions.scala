@@ -19,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
     }
+    // ST_Intersects joins: BroadcastNestedLoopJoin -> grid equi-join
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.SpatialJoinRewrite)
   }
 }

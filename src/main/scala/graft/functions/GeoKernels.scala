@@ -274,6 +274,46 @@ object GeoKernels {
       Array[Any](env.getMinX, env.getMinY, env.getMaxX, env.getMaxY))
   }
 
+  // ---- grid cells (spatial-join rewrite support) -------------------------
+
+  /** Packed (cx << 32 | cy) ids of the grid cells covering the geometry's
+    * bbox. Cell coordinates are offset by 2^31 so negative cells pack
+    * without sign-extension collisions. */
+  def gridCells(tagged: Array[Byte], cellSize: Double): Array[Long] = {
+    val env = geom(tagged).getEnvelopeInternal
+    if (env.isNull) return Array.empty
+    val x0 = Math.floor(env.getMinX / cellSize).toLong
+    val x1 = Math.floor(env.getMaxX / cellSize).toLong
+    val y0 = Math.floor(env.getMinY / cellSize).toLong
+    val y1 = Math.floor(env.getMaxY / cellSize).toLong
+    val n = ((x1 - x0 + 1) * (y1 - y0 + 1)).toInt
+    val out = new Array[Long](n)
+    var i = 0
+    var cx = x0
+    while (cx <= x1) {
+      var cy = y0
+      while (cy <= y1) { out(i) = pack(cx, cy); i += 1; cy += 1 }
+      cx += 1
+    }
+    out
+  }
+
+  /** The canonical dedup cell for a candidate pair: the cell containing
+    * the min-corner of the bbox intersection. For truly intersecting
+    * geometries this cell is inside both cover sets, so keeping only the
+    * join match on this cell emits each pair exactly once — no distinct
+    * needed. */
+  def gridAnchorCell(a: Array[Byte], b: Array[Byte], cellSize: Double): Long = {
+    val ea = geom(a).getEnvelopeInternal
+    val eb = geom(b).getEnvelopeInternal
+    val ax = Math.max(ea.getMinX, eb.getMinX)
+    val ay = Math.max(ea.getMinY, eb.getMinY)
+    pack(Math.floor(ax / cellSize).toLong, Math.floor(ay / cellSize).toLong)
+  }
+
+  private def pack(cx: Long, cy: Long): Long =
+    ((cx + 0x80000000L) << 32) | ((cy + 0x80000000L) & 0xffffffffL)
+
   // extra accessors beyond the reference surface (PostGIS-standard, used by
   // oracle-able verification queries)
   def area(tagged: Array[Byte]): Double = geom(tagged).getArea

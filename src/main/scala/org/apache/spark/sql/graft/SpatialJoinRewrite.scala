@@ -1,0 +1,116 @@
+package org.apache.spark.sql.graft
+
+import graft.functions.GeoKernels
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** grid_cells(geom, cellSize) → packed ids of cells covering the bbox. */
+case class GridCells(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "grid_cells"
+  override protected def nullSafeEval(g: Any, cs: Any): Any =
+    new GenericArrayData(GeoKernels.gridCells(g.asInstanceOf[Array[Byte]], cs.asInstanceOf[Double]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, cs) => s"""
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ${GeoExpr.K}.gridCells($g, $cs));""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** grid_anchor_cell(a, b, cellSize) → canonical dedup cell of a pair. */
+case class GridAnchorCell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType, DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "grid_anchor_cell"
+  override protected def nullSafeEval(a: Any, b: Any, cs: Any): Any =
+    GeoKernels.gridAnchorCell(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      cs.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, cs) => s"${GeoExpr.K}.gridAnchorCell($a, $b, $cs)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** Rewrites `a JOIN b ON ST_Intersects(a.geom, b.geom)` — which Spark can
+  * only plan as an O(|a|·|b|) BroadcastNestedLoopJoin — into a
+  * grid-partitioned equi-join:
+  *
+  * {{{
+  * Project(join output)
+  *   Filter(ST_Intersects(lg, rg) AND __gcell_l == grid_anchor_cell(lg, rg)
+  *          AND <other conjuncts>)
+  *     Join Inner (__gcell_l == __gcell_r)
+  *       Generate(explode(grid_cells(lg, cs)))  <- left
+  *       Generate(explode(grid_cells(rg, cs)))  <- right
+  * }}}
+  *
+  * The equi-join hash-partitions both sides by covering cell — shuffle
+  * volume Σ cells-per-geometry instead of a full cross product — and the
+  * anchor-cell conjunct dedups multi-cell pairs without a distinct. AQE
+  * handles cell skew like any other shuffle key.
+  *
+  * Confs: `spark.graft.spatialJoin.rewrite` (default true),
+  * `spark.graft.spatialJoin.cellSize` (default 10.0, in coordinate units —
+  * pick ~the median geometry bbox size).
+  */
+object SpatialJoinRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.spatialJoin.rewrite", "true").toBoolean) return plan
+    val cellSize = conf.getConfString("spark.graft.spatialJoin.cellSize", "10.0").toDouble
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if j.resolved && !alreadyRewritten(left, right) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        conjuncts.collectFirst {
+          case p @ StIntersects(lg, rg)
+              if lg.references.subsetOf(left.outputSet) &&
+                 rg.references.subsetOf(right.outputSet) => (p, lg, rg)
+          case p @ StIntersects(rg, lg) // swapped argument order
+              if lg.references.subsetOf(left.outputSet) &&
+                 rg.references.subsetOf(right.outputSet) => (p, lg, rg)
+        } match {
+          case Some((pred, lg, rg)) =>
+            val rest = conjuncts.filterNot(_ eq pred)
+            rewrite(j, left, right, pred, lg, rg, rest, cellSize)
+          case None => j
+        }
+    }
+  }
+
+  private def alreadyRewritten(left: LogicalPlan, right: LogicalPlan): Boolean =
+    (left.output ++ right.output).exists(_.name.startsWith("__gcell"))
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjunctivePredicates(a) ++ splitConjunctivePredicates(b)
+    case other => Seq(other)
+  }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+      pred: Expression, lg: Expression, rg: Expression,
+      rest: Seq[Expression], cellSize: Double): LogicalPlan = {
+    val cellL = AttributeReference("__gcell_l", LongType, nullable = false)()
+    val cellR = AttributeReference("__gcell_r", LongType, nullable = false)()
+    val genL = Generate(ExplodeBase(GridCells(lg, Literal(cellSize))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(cellL), child = left)
+    val genR = Generate(ExplodeBase(GridCells(rg, Literal(cellSize))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(cellR), child = right)
+    val joined = Join(genL, genR, Inner, Some(EqualTo(cellL, cellR)), JoinHint.NONE)
+    val anchor = EqualTo(cellL, GridAnchorCell(lg, rg, Literal(cellSize)))
+    val filtered = Filter((Seq(pred, anchor) ++ rest).reduce(And), joined)
+    Project(j.output, filtered)
+  }
+
+  private def ExplodeBase(child: Expression): Explode = Explode(child)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpatialJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // a session with GraftExtensions installed (functions + optimizer rule)
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("rewrite-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.graft.spatialJoin.cellSize", "10.0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  private def fixtures(): Unit = {
+    spark.sql("""
+      SELECT id, ST_GeomFromText('POINT(' || CAST(id % 40 AS STRING) || ' ' || CAST(id % 25 AS STRING) || ')') AS geom
+      FROM range(0, 200) t(id)""").createOrReplaceTempView("pts")
+    spark.sql("""
+      SELECT * FROM VALUES
+        (100, ST_MakeEnvelope(0.0, 0.0, 10.0, 10.0)),
+        (200, ST_MakeEnvelope(5.0, 5.0, 30.0, 30.0)),
+        (300, ST_MakeEnvelope(1000.0, 1000.0, 1001.0, 1001.0)) AS t(bid, bgeom)""")
+      .createOrReplaceTempView("boxes")
+  }
+
+  private val joinSql = """
+    SELECT id, bid FROM pts JOIN boxes ON ST_Intersects(geom, bgeom)"""
+
+  test("rewrite fires: plan is a grid equi-join, not BroadcastNestedLoopJoin") {
+    fixtures()
+    val plan = spark.sql(joinSql).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__gcell"), plan)
+  }
+
+  test("rewritten join returns exactly the brute-force result") {
+    fixtures()
+    val got = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    spark.conf.set("spark.graft.spatialJoin.rewrite", "false")
+    val brutePlan = spark.sql(joinSql).queryExecution.executedPlan.toString
+    val brute = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    spark.conf.set("spark.graft.spatialJoin.rewrite", "true")
+    assert(brutePlan.contains("BroadcastNestedLoopJoin"), brutePlan)
+    assert(got == brute)
+    assert(got.nonEmpty)
+    // sanity vs arithmetic truth: point (i%40, i%25) in box iff coords in range
+    val expected = (0L until 200L).flatMap { i =>
+      val x = i % 40; val y = i % 25
+      Seq(100 -> (x <= 10 && y <= 10), 200 -> (x >= 5 && x <= 30 && y >= 5 && y <= 25))
+        .collect { case (b, true) => (i, b) }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("rewrite keeps extra join conjuncts") {
+    fixtures()
+    val got = spark.sql("""
+      SELECT id, bid FROM pts JOIN boxes
+      ON ST_Intersects(geom, bgeom) AND id % 2 = 0 AND bid = 100""")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got.nonEmpty)
+    assert(got.forall { case (i, b) => i % 2 == 0 && b == 100 })
+  }
+}

@@ -25,7 +25,9 @@ object Bench {
     "q23_jaccard_tokens",// explode + self-join + agg
     "q24_cosine_topk",   // broadcast crossjoin + window top-k
     "q28_minhash_lsh",   // minhash scatter + agg
-    "q32_events_hourly") // windowed agg over event time
+    "q32_events_hourly", // windowed agg over event time
+    "q33_ref_linestring_intersects", // the reference's own criterion bench query
+    "q34_text_profile")  // one-pass text curation profile
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

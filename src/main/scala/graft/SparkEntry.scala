@@ -235,6 +235,22 @@ object SparkEntry {
       approx.join(exact.withColumnRenamed("rnk", "exact_rnk"), Seq("qid", "nid"), "left")
         .orderBy("qid", "rnk").select("qid", "nid", "rnk")
     }),
+    // the reference's own criterion benchmark query, on its i-ramp
+    // linestring fixture (benches/geo_lib.rs:22, util.rs:29-38): row i →
+    // LINESTRING(i i+1, i+2 i+3, i+4 i+5), constant probe POINT(10 11).
+    "q33_ref_linestring_intersects" -> q(s"""
+      SELECT $KEYS,
+             ST_Intersects(ST_GeomFromText(
+               'LINESTRING(' || $PX || ' ' || CAST(l_orderkey % 100 + 1 AS STRING) || ',' ||
+               CAST(l_orderkey % 100 + 2 AS STRING) || ' ' || CAST(l_orderkey % 100 + 3 AS STRING) || ',' ||
+               CAST(l_orderkey % 100 + 4 AS STRING) || ' ' || CAST(l_orderkey % 100 + 5 AS STRING) || ')'),
+               ST_GeomFromText('POINT(10 11)')) AS hit
+      FROM lineitem ORDER BY $KEYS"""),
+    "q34_text_profile" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.TextAnalysis.profile(spark.table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // events.ts is TIMESTAMP(NANOS) read as LONG nanos (nanosAsLong):
     // tumbling-window aggregation in its batch form (the streaming module
     // exposes the same shape over readStream).
@@ -356,6 +372,10 @@ object SparkEntry {
     "q25_token_bpe" -> """
       SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS nbpe
       FROM documents ORDER BY doc_id""",
+    // point (10,11) lies on the line y=x+1 exactly when 10 ∈ [i, i+4]
+    "q33_ref_linestring_intersects" -> s"""
+      SELECT $KEYS, (l_orderkey % 100) BETWEEN 6 AND 10 AS hit
+      FROM lineitem ORDER BY $KEYS""",
     "q32_events_hourly" -> """
       SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
              count(*) AS n, min(value) AS vmin, max(value) AS vmax

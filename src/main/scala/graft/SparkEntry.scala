@@ -235,6 +235,14 @@ object SparkEntry {
       approx.join(exact.withColumnRenamed("rnk", "exact_rnk"), Seq("qid", "nid"), "left")
         .orderBy("qid", "rnk").select("qid", "nid", "rnk")
     }),
+    "q35_ann_ivf" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      graft.operators.Ann.ivfTopK(emb.where(col("vec_id") < 5), emb, k = 3,
+          nlist = 8, nProbe = 4)
+        .orderBy("qid", "rnk")
+    }),
     // the reference's own criterion benchmark query, on its i-ramp
     // linestring fixture (benches/geo_lib.rs:22, util.rs:29-38): row i →
     // LINESTRING(i i+1, i+2 i+3, i+4 i+5), constant probe POINT(10 11).

@@ -63,7 +63,9 @@ object GeoFunctions {
     "vec_cosine" -> { es => arity("vec_cosine", es, 2); VecCosine(es.head, es(1)) },
     "vec_dot" -> { es => arity("vec_dot", es, 2); VecDot(es.head, es(1)) },
     "vec_norm" -> { es => arity("vec_norm", es, 1); VecNorm(es.head) },
-    "vec_lsh_sig" -> { es => arity("vec_lsh_sig", es, 3); VecLshSig(es.head, es(1), es(2)) })
+    "vec_lsh_sig" -> { es => arity("vec_lsh_sig", es, 3); VecLshSig(es.head, es(1), es(2)) },
+    "vec_nearest_centroid" -> { es =>
+      arity("vec_nearest_centroid", es, 2); VecNearestCentroid(es.head, es(1)) })
 
   /** Register everything (scalar expressions + the st_extent UDAF) on a
     * session. Idempotent. */
@@ -120,4 +122,6 @@ object GeoFunctions {
   def vec_norm(a: Column): Column = c(VecNorm(x(a)))
   def vec_lsh_sig(a: Column, nPlanes: Column, seed: Column): Column =
     c(VecLshSig(x(a), x(nPlanes), x(seed)))
+  def vec_nearest_centroid(a: Column, centroids: Column): Column =
+    c(VecNearestCentroid(x(a), x(centroids)))
 }

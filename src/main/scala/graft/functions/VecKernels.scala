@@ -44,6 +44,22 @@ object VecKernels {
     math.sqrt(s)
   }
 
+  /** Index of the centroid (array of float vectors) with the highest
+    * cosine similarity to `v` — the IVF coarse-quantization assignment. */
+  def nearestCentroid(v: ArrayData, centroids: ArrayData): Int = {
+    val k = centroids.numElements()
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val cent = centroids.getArray(c)
+      val s = cosineF(v, cent)
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Sign bits of the vector against `nPlanes` deterministic pseudo-random
     * hyperplanes (SplitMix64-generated components) — the LSH bucket key
     * for approximate nearest-neighbor search. nPlanes <= 63. */

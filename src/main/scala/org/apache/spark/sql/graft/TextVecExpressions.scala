@@ -128,6 +128,21 @@ case class VecNorm(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** vec_nearest_centroid(v, centroids) → index of the best-cosine centroid
+  * (IVF coarse assignment; centroids arrive as a folded literal). */
+case class VecNearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TextVecExpr.floatArray, ArrayType(ArrayType(FloatType)))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vec_nearest_centroid"
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    VecKernels.nearestCentroid(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) => s"${TextVecExpr.VK}.nearestCentroid($v, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** vec_lsh_sig(a, nPlanes, seed) → random-hyperplane sign bits (LSH bucket). */
 case class VecLshSig(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {

@@ -129,6 +129,29 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1, 1), (2, 2), (3, 3)))
   }
 
+  test("ivfTopK achieves high recall on clustered vectors") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", IntegerType), StructField("embedding", ArrayType(FloatType))))
+    // 4 well-separated clusters of 30 vectors each (orthogonal bases + noise)
+    val rows = (0 until 120).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(16) { d =>
+        val base = if (d / 4 == c) 1.0 else 0.0
+        (base + 0.05 * math.sin(i * 13 + d * 7)).toFloat
+      }
+      Row(i, v.toSeq)
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val q = df.where("vec_id < 4")
+    val approx = Ann.ivfTopK(q, df, k = 5, nlist = 4, nProbe = 1)
+    val exact = Ann.bruteForceTopK(q, df, k = 5)
+    val r = Ann.recall(approx, exact)
+    assert(r >= 0.9, s"recall $r")
+  }
+
   test("lshTopK results are a subset of scored pairs with correct ranking semantics") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row

@@ -41,17 +41,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        // one warm-up run (plan + codegen compile + JIT), then measure —
+        // the same policy as the reference's criterion harness
+        df.write.format("noop").mode("overwrite").save()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        -1.0
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
-    run(headline.head) // warm-up: JIT + codegen + parquet footer cache
     val results = headline.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

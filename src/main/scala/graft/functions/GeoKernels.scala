@@ -72,24 +72,42 @@ object GeoKernels {
   /** Decode through the cache. */
   def geom(tagged: Array[Byte]): Geometry = entryOf(tagged).geom
 
+  /** Producers call this after encoding: the emitted byte array is the
+    * exact instance a downstream consumer in the same projection receives,
+    * so priming the identity fast-path + LRU means e.g.
+    * `ST_Intersects(ST_GeomFromText(w), c)` never re-parses the WKB it
+    * just wrote. */
+  private def remember(bytes: Array[Byte], g: Geometry): Array[Byte] = {
+    val c = caches.get()
+    val e = new Entry(g)
+    c.lru.put(new ByteKey(bytes), e)
+    c.lastKey = bytes
+    c.lastEntry = e
+    bytes
+  }
+
   // ---- constructors ------------------------------------------------------
 
-  def geomFromText(wkt: String): Array[Byte] =
-    GeomCodec.encodeEwkb(GeomCodec.parseWkt(wkt))
+  def geomFromText(wkt: String): Array[Byte] = {
+    val g = GeomCodec.parseWkt(wkt)
+    remember(GeomCodec.encodeEwkb(g), g)
+  }
 
   def geomFromText(wkt: String, srid: Int): Array[Byte] = {
     val g = GeomCodec.parseWkt(wkt)
     g.setSRID(srid)
-    GeomCodec.encodeEwkb(g)
+    remember(GeomCodec.encodeEwkb(g), g)
   }
 
-  def geomFromWkb(wkb: Array[Byte]): Array[Byte] =
-    GeomCodec.encodeEwkb(GeomCodec.decodeRawWkb(wkb))
+  def geomFromWkb(wkb: Array[Byte]): Array[Byte] = {
+    val g = GeomCodec.decodeRawWkb(wkb)
+    remember(GeomCodec.encodeEwkb(g), g)
+  }
 
   def geomFromWkb(wkb: Array[Byte], srid: Int): Array[Byte] = {
     val g = GeomCodec.decodeRawWkb(wkb)
     g.setSRID(srid)
-    GeomCodec.encodeEwkb(g)
+    remember(GeomCodec.encodeEwkb(g), g)
   }
 
   /** ST_MakeEnvelope ring order matches the reference golden
@@ -108,8 +126,8 @@ object GeoKernels {
     val poly: Polygon = f.createPolygon(shell)
     if (hasSrid) {
       poly.setSRID(srid)
-      GeomCodec.encodeEwkb(poly)
-    } else GeomCodec.encodeWkb(poly)
+      remember(GeomCodec.encodeEwkb(poly), poly)
+    } else remember(GeomCodec.encodeWkb(poly), poly)
   }
 
   // ---- serializers -------------------------------------------------------
@@ -188,21 +206,21 @@ object GeoKernels {
       case _ => BufferOp.bufferOp(g, width, quadSegs)
     }
     out.setSRID(g.getSRID)
-    GeomCodec.encodeEwkb(out)
+    remember(GeomCodec.encodeEwkb(out), out)
   }
 
   def boundary(tagged: Array[Byte]): Array[Byte] = {
     val g = geom(tagged)
     val out = g.getBoundary
     out.setSRID(g.getSRID)
-    GeomCodec.encodeEwkb(out)
+    remember(GeomCodec.encodeEwkb(out), out)
   }
 
   def translate(tagged: Array[Byte], dx: Double, dy: Double): Array[Byte] = {
     val g = geom(tagged)
     val out = AffineTransformation.translationInstance(dx, dy).transform(g)
     out.setSRID(g.getSRID)
-    GeomCodec.encodeEwkb(out)
+    remember(GeomCodec.encodeEwkb(out), out)
   }
 
   /** ST_Split à la the reference (src/function/split.rs:103-130):
@@ -243,7 +261,7 @@ object GeoKernels {
     while (it.hasNext) { arr(i) = it.next().asInstanceOf[Geometry]; i += 1 }
     val out = GeomCodec.geometryFactory.createGeometryCollection(arr)
     out.setSRID(ga.getSRID)
-    GeomCodec.encodeEwkb(out)
+    remember(GeomCodec.encodeEwkb(out), out)
   }
 
   /** ST_AsMVTGeom: affine-map into a 4096×4096 tile space with Y flipped
@@ -257,7 +275,7 @@ object GeoKernels {
     val t = new AffineTransformation(fx, 0.0, -xmin * fx, 0.0, fy, -ymax * fy)
     val out = t.transform(g)
     out.setSRID(g.getSRID)
-    GeomCodec.encodeEwkb(out)
+    remember(GeomCodec.encodeEwkb(out), out)
   }
 
   // ---- box2d -------------------------------------------------------------

@@ -46,7 +46,46 @@ object GeomCodec {
 
   def geometryFactory: GeometryFactory = factory
 
-  def parseWkt(wkt: String): Geometry = wktReaders.get().read(wkt)
+  def parseWkt(wkt: String): Geometry = {
+    // Fast path for the two dominant shapes, 'POINT(x y)' and
+    // 'LINESTRING(x y,...)': JTS's StreamTokenizer-based WKTReader costs
+    // ~10x a direct scan. Any deviation (Z/M, EMPTY, exotic spacing)
+    // falls back to the full reader.
+    val g = fastParse(wkt)
+    if (g != null) g else wktReaders.get().read(wkt)
+  }
+
+  private def fastParse(wkt: String): Geometry = {
+    val n = wkt.length
+    if (n > 6 && wkt.regionMatches(0, "POINT(", 0, 6) && wkt.charAt(n - 1) == ')') {
+      val sep = wkt.indexOf(' ', 6)
+      if (sep < 0) return null
+      try {
+        val x = java.lang.Double.parseDouble(wkt.substring(6, sep))
+        val y = java.lang.Double.parseDouble(wkt.substring(sep + 1, n - 1))
+        return factory.createPoint(new org.locationtech.jts.geom.Coordinate(x, y))
+      } catch { case _: NumberFormatException => return null }
+    }
+    if (n > 11 && wkt.regionMatches(0, "LINESTRING(", 0, 11) && wkt.charAt(n - 1) == ')') {
+      try {
+        val body = wkt.substring(11, n - 1)
+        val parts = body.split(',')
+        val cs = new Array[org.locationtech.jts.geom.Coordinate](parts.length)
+        var i = 0
+        while (i < parts.length) {
+          val p = parts(i)
+          val sep = p.indexOf(' ')
+          if (sep < 0 || p.indexOf(' ', sep + 1) >= 0) return null
+          cs(i) = new org.locationtech.jts.geom.Coordinate(
+            java.lang.Double.parseDouble(p.substring(0, sep)),
+            java.lang.Double.parseDouble(p.substring(sep + 1)))
+          i += 1
+        }
+        return factory.createLineString(cs)
+      } catch { case _: NumberFormatException => return null }
+    }
+    null
+  }
 
   /** Decode a dialect-prefixed cell into a JTS geometry. SRID (if carried
     * by the dialect) lands in `geometry.getSRID` (0 = none). */

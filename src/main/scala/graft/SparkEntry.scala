@@ -123,7 +123,9 @@ object SparkEntry {
       SELECT $KEYS,
              ST_AsText(ST_MakeEnvelope(CAST(l_orderkey % 100 AS DOUBLE), CAST(l_linenumber * 10 AS DOUBLE),
                CAST(l_orderkey % 100 + 10 AS DOUBLE), CAST(l_linenumber * 10 + 20 AS DOUBLE))) AS wkt,
-             ST_SRID(ST_MakeEnvelope(0.0, 0.0, 1.0, 1.0, l_linenumber)) AS esrid
+             ST_SRID(ST_MakeEnvelope(0.0, 0.0, 1.0, 1.0, l_linenumber)) AS esrid,
+             ST_Area(ST_MakeEnvelope(0.0, 0.0, CAST(l_orderkey % 100 AS DOUBLE),
+               CAST(l_linenumber AS DOUBLE))) AS earea
       FROM lineitem ORDER BY $KEYS"""),
     "q15_mvtgeom" -> q(s"""
       SELECT $KEYS,
@@ -316,7 +318,8 @@ object SparkEntry {
              CAST(l_orderkey % 100 + 10 AS VARCHAR) || ' ' || CAST(l_linenumber * 10 + 20 AS VARCHAR) || ',' ||
              CAST(l_orderkey % 100 + 10 AS VARCHAR) || ' ' || $OPYS || ',' ||
              $OPXS || ' ' || $OPYS || '))' AS wkt,
-             CAST(l_linenumber AS INT) AS esrid
+             CAST(l_linenumber AS INT) AS esrid,
+             CAST((l_orderkey % 100) * l_linenumber AS DOUBLE) AS earea
       FROM lineitem ORDER BY $KEYS""",
     "q15_mvtgeom" -> s"""
       SELECT $KEYS, $OX AS mx, 4096.0 - ($OY) AS my FROM lineitem ORDER BY $KEYS""",

@@ -84,6 +84,35 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set(("click", 2L, 1.0, 5.0), ("view", 1L, 2.0, 2.0)))
   }
 
+  test("streaming windowed agg over the real events table equals the batch rollup") {
+    // the events parquet carries TIMESTAMP(NANOS) — stream it with the
+    // nanosAsLong conf and rebuild a timestamp column, exactly as the
+    // batch q32 does
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the streaming file source wants a directory
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts2", timestamp_micros(col("ts") / 1000 cast "long"))
+    val agg = StreamOps.windowedCounts(stream, "ts2", "event_type")
+    val q = agg.writeStream.format("memory").queryName("realevents")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("realevents")
+      .select("event_type", "n").groupBy("event_type").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.values.sum > 0)
+  }
+
   test("streaming dedup drops in-watermark duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -237,6 +237,11 @@ object SparkEntry {
       approx.join(exact.withColumnRenamed("rnk", "exact_rnk"), Seq("qid", "nid"), "left")
         .orderBy("qid", "rnk").select("qid", "nid", "rnk")
     }),
+    "q36_distance" -> q(s"""
+      SELECT $KEYS,
+             ST_Distance($PT, ST_GeomFromText('POINT(' || $PX || ' 0)')) AS dy,
+             ST_Distance($PT, $PT) AS dzero
+      FROM lineitem ORDER BY $KEYS"""),
     "q35_ann_ivf" -> ((spark, dir) => {
       prep(spark, dir)
       import org.apache.spark.sql.functions._
@@ -383,6 +388,8 @@ object SparkEntry {
     "q25_token_bpe" -> """
       SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS nbpe
       FROM documents ORDER BY doc_id""",
+    "q36_distance" -> s"""
+      SELECT $KEYS, $OY AS dy, 0.0 AS dzero FROM lineitem ORDER BY $KEYS""",
     // point (10,11) lies on the line y=x+1 exactly when 10 ∈ [i, i+4]
     "q33_ref_linestring_intersects" -> s"""
       SELECT $KEYS, (l_orderkey % 100) BETWEEN 6 AND 10 AS hit

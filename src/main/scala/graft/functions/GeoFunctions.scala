@@ -50,6 +50,7 @@ object GeoFunctions {
     "st_asmvtgeom" -> { es => arity("st_asmvtgeom", es, 2); StAsMvtGeom(es.head, es(1)) },
     // extras beyond the reference surface (PostGIS-standard accessors)
     "st_area" -> { es => arity("st_area", es, 1); StArea(es.head) },
+    "st_distance" -> { es => arity("st_distance", es, 2); StDistance(es.head, es(1)) },
     "st_x" -> { es => arity("st_x", es, 1); StX(es.head) },
     "st_y" -> { es => arity("st_y", es, 1); StY(es.head) },
     "st_numgeometries" -> { es => arity("st_numgeometries", es, 1); StNumGeometries(es.head) },
@@ -107,6 +108,7 @@ object GeoFunctions {
     c(StTranslate(x(g), x(dx), x(dy)))
   def st_asmvtgeom(g: Column, box: Column): Column = c(StAsMvtGeom(x(g), x(box)))
   def st_area(g: Column): Column = c(StArea(x(g)))
+  def st_distance(a: Column, b: Column): Column = c(StDistance(x(a), x(b)))
   def st_x(g: Column): Column = c(StX(x(g)))
   def st_y(g: Column): Column = c(StY(x(g)))
   def st_numgeometries(g: Column): Column = c(StNumGeometries(x(g)))

@@ -335,6 +335,7 @@ object GeoKernels {
   // extra accessors beyond the reference surface (PostGIS-standard, used by
   // oracle-able verification queries)
   def area(tagged: Array[Byte]): Double = geom(tagged).getArea
+  def distance(a: Array[Byte], b: Array[Byte]): Double = geom(a).distance(geom(b))
   def numGeometries(tagged: Array[Byte]): Int = geom(tagged).getNumGeometries
   def numPoints(tagged: Array[Byte]): Int = geom(tagged).getNumPoints
   def x(tagged: Array[Byte]): Double = geom(tagged).getCoordinate.x

@@ -224,6 +224,19 @@ case class StY(child: Expression) extends GeoUnaryDouble {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** ST_Distance — minimum cartesian distance (PostGIS-standard extra). */
+case class StDistance(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_distance"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernels.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${GeoExpr.K}.distance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 case class StNumGeometries(child: Expression) extends UnaryExpression with GeoExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "st_numgeometries"

@@ -72,6 +72,25 @@ class GeoCodecSpec extends AnyFunSuite {
     assert(WktWriter.num(-0.0) == "0")
   }
 
+  test("property: fast WKT parse agrees with the full JTS reader") {
+    import org.scalacheck.Gen
+    val jts = new org.locationtech.jts.io.WKTReader()
+    val coord = Gen.chooseNum(-1e7, 1e7)
+    val prop = Prop.forAll(coord, coord, coord, coord) {
+      (x1: Double, y1: Double, x2: Double, y2: Double) =>
+        val p = s"POINT($x1 $y1)"
+        val l = s"LINESTRING($x1 $y1,$x2 $y2)"
+        GeomCodec.parseWkt(p).equalsExact(jts.read(p)) &&
+          GeomCodec.parseWkt(l).equalsExact(jts.read(l))
+    }
+    val result = scCheck(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+    // deviations must fall back to the full reader, not misparse
+    assert(GeomCodec.parseWkt("POINT (1 2)").equalsExact(jts.read("POINT (1 2)")))
+    assert(GeomCodec.parseWkt("LINESTRING(0 0, 1 1)").getNumPoints == 2)
+    assert(GeomCodec.parseWkt("POINT EMPTY").isEmpty)
+  }
+
   test("property: point roundtrip preserves coordinates exactly") {
     val prop = Prop.forAll { (px: Double, py: Double) =>
       (px.isNaN || py.isNaN) || {

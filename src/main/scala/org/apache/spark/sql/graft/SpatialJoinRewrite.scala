@@ -88,7 +88,10 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
   }
 
   private def alreadyRewritten(left: LogicalPlan, right: LogicalPlan): Boolean =
-    (left.output ++ right.output).exists(_.name.startsWith("__gcell"))
+    // covers both this rule's __gcell_* attrs and operators.SpatialJoin's
+    // __cell column — predicate pushdown can re-expose either shape
+    (left.output ++ right.output).exists(a =>
+      a.name.startsWith("__gcell") || a.name == "__cell")
 
   private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjunctivePredicates(a) ++ splitConjunctivePredicates(b)

@@ -237,6 +237,21 @@ object SparkEntry {
       approx.join(exact.withColumnRenamed("rnk", "exact_rnk"), Seq("qid", "nid"), "left")
         .orderBy("qid", "rnk").select("qid", "nid", "rnk")
     }),
+    "q37_contains_within" -> q(s"""
+      SELECT $KEYS,
+             ST_Contains(ST_MakeEnvelope(0.0, 0.0, 50.0, 30.0), $PT) AS env_contains,
+             ST_Within($PT, ST_MakeEnvelope(0.0, 0.0, 50.0, 30.0)) AS pt_within,
+             ST_DWithin($PT, ST_GeomFromText('POINT(' || $PX || ' 0)'), 15.0) AS near_axis
+      FROM lineitem ORDER BY $KEYS"""),
+    "q38_centroid_envelope" -> q(s"""
+      SELECT $KEYS,
+             ST_X(ST_Centroid(ST_MakeEnvelope($OX, $OY, $OX + 10.0, $OY + 20.0))) AS cx,
+             ST_Y(ST_Centroid(ST_MakeEnvelope($OX, $OY, $OX + 10.0, $OY + 20.0))) AS cy,
+             ST_GeometryType(ST_Envelope(ST_GeomFromText(
+               'LINESTRING(' || $PX || ' ' || $PY || ',' ||
+               CAST(l_orderkey % 100 + 10 AS STRING) || ' ' ||
+               CAST(l_linenumber * 10 + 10 AS STRING) || ')'))) AS etype
+      FROM lineitem ORDER BY $KEYS"""),
     "q36_distance" -> q(s"""
       SELECT $KEYS,
              ST_Distance($PT, ST_GeomFromText('POINT(' || $PX || ' 0)')) AS dy,
@@ -388,6 +403,15 @@ object SparkEntry {
     "q25_token_bpe" -> """
       SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS nbpe
       FROM documents ORDER BY doc_id""",
+    "q37_contains_within" -> s"""
+      SELECT $KEYS,
+             (l_orderkey % 100) > 0 AND (l_orderkey % 100) < 50 AND (l_linenumber * 10) < 30 AS env_contains,
+             (l_orderkey % 100) > 0 AND (l_orderkey % 100) < 50 AND (l_linenumber * 10) < 30 AS pt_within,
+             (l_linenumber * 10) <= 15 AS near_axis
+      FROM lineitem ORDER BY $KEYS""",
+    "q38_centroid_envelope" -> s"""
+      SELECT $KEYS, $OX + 5.0 AS cx, $OY + 10.0 AS cy, 'ST_Polygon' AS etype
+      FROM lineitem ORDER BY $KEYS""",
     "q36_distance" -> s"""
       SELECT $KEYS, $OY AS dy, 0.0 AS dzero FROM lineitem ORDER BY $KEYS""",
     // point (10,11) lies on the line y=x+1 exactly when 10 ∈ [i, i+4]

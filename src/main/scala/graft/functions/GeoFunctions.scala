@@ -51,6 +51,11 @@ object GeoFunctions {
     // extras beyond the reference surface (PostGIS-standard accessors)
     "st_area" -> { es => arity("st_area", es, 1); StArea(es.head) },
     "st_distance" -> { es => arity("st_distance", es, 2); StDistance(es.head, es(1)) },
+    "st_contains" -> { es => arity("st_contains", es, 2); StContains(es.head, es(1)) },
+    "st_within" -> { es => arity("st_within", es, 2); StWithin(es.head, es(1)) },
+    "st_dwithin" -> { es => arity("st_dwithin", es, 3); StDWithin(es.head, es(1), es(2)) },
+    "st_centroid" -> { es => arity("st_centroid", es, 1); StCentroid(es.head) },
+    "st_envelope" -> { es => arity("st_envelope", es, 1); StEnvelope(es.head) },
     "st_x" -> { es => arity("st_x", es, 1); StX(es.head) },
     "st_y" -> { es => arity("st_y", es, 1); StY(es.head) },
     "st_numgeometries" -> { es => arity("st_numgeometries", es, 1); StNumGeometries(es.head) },
@@ -109,6 +114,11 @@ object GeoFunctions {
   def st_asmvtgeom(g: Column, box: Column): Column = c(StAsMvtGeom(x(g), x(box)))
   def st_area(g: Column): Column = c(StArea(x(g)))
   def st_distance(a: Column, b: Column): Column = c(StDistance(x(a), x(b)))
+  def st_contains(a: Column, b: Column): Column = c(StContains(x(a), x(b)))
+  def st_within(a: Column, b: Column): Column = c(StWithin(x(a), x(b)))
+  def st_dwithin(a: Column, b: Column, d: Column): Column = c(StDWithin(x(a), x(b), x(d)))
+  def st_centroid(g: Column): Column = c(StCentroid(x(g)))
+  def st_envelope(g: Column): Column = c(StEnvelope(x(g)))
   def st_x(g: Column): Column = c(StX(x(g)))
   def st_y(g: Column): Column = c(StY(x(g)))
   def st_numgeometries(g: Column): Column = c(StNumGeometries(x(g)))

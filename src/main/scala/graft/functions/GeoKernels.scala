@@ -180,6 +180,29 @@ object GeoKernels {
   def equalsTopo(a: Array[Byte], b: Array[Byte]): Boolean =
     geom(a).equalsTopo(geom(b))
 
+  def contains(a: Array[Byte], b: Array[Byte]): Boolean =
+    entryOf(a).preparedGeom.contains(geom(b))
+
+  def within(a: Array[Byte], b: Array[Byte]): Boolean =
+    entryOf(b).preparedGeom.contains(geom(a))
+
+  def dWithin(a: Array[Byte], b: Array[Byte], d: Double): Boolean =
+    geom(a).isWithinDistance(geom(b), d)
+
+  def centroid(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val out = g.getCentroid
+    out.setSRID(g.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  def envelope(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val out = g.getEnvelope
+    out.setSRID(g.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
   // ---- transforms --------------------------------------------------------
 
   def buffer(tagged: Array[Byte], width: Double, quadSegs: Int): Array[Byte] = {

@@ -305,6 +305,59 @@ case class StEquals(left: Expression, right: Expression) extends GeoBinaryPredic
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** ST_Contains — interior-touching containment (PostGIS-standard extra). */
+case class StContains(left: Expression, right: Expression) extends GeoBinaryPredicate {
+  override def kernel: String = "contains"
+  override def apply(a: Array[Byte], b: Array[Byte]): Boolean = GeoKernels.contains(a, b)
+  override def prettyName: String = "st_contains"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_Within — converse of ST_Contains (PostGIS-standard extra). */
+case class StWithin(left: Expression, right: Expression) extends GeoBinaryPredicate {
+  override def kernel: String = "within"
+  override def apply(a: Array[Byte], b: Array[Byte]): Boolean = GeoKernels.within(a, b)
+  override def prettyName: String = "st_within"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_DWithin(a, b, dist) — within cartesian distance (PostGIS-standard extra). */
+case class StDWithin(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_dwithin"
+  override protected def nullSafeEval(a: Any, b: Any, d: Any): Any =
+    GeoKernels.dWithin(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, d) => s"${GeoExpr.K}.dWithin($a, $b, $d)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** ST_Centroid (PostGIS-standard extra). */
+case class StCentroid(child: Expression) extends UnaryExpression with GeoExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_centroid"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.centroid(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.centroid($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_Envelope — bbox as a geometry (PostGIS-standard extra). */
+case class StEnvelope(child: Expression) extends UnaryExpression with GeoExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_envelope"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.envelope(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.envelope($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 // ---------------------------------------------------------------------------
 // transforms
 // ---------------------------------------------------------------------------

@@ -19,7 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
     }
-    // ST_Intersects joins: BroadcastNestedLoopJoin -> grid equi-join
+    // ST_Intersects joins: small build side -> physical broadcast STRtree
+    // join; big-big -> grid equi-join rewrite (never BroadcastNestedLoopJoin)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.SpatialJoinRewrite)
+    ext.injectPlannerStrategy(s => new org.apache.spark.sql.graft.SpatialJoinStrategy(s))
   }
 }

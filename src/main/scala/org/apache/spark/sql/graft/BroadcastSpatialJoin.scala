@@ -1,0 +1,113 @@
+package org.apache.spark.sql.graft
+
+import graft.functions.GeoKernels
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.locationtech.jts.index.strtree.STRtree
+
+/** Physical broadcast spatial join: the build (right) side is collected,
+  * bulk-loaded into a JTS STRtree, and broadcast; the streamed (left)
+  * side probes bbox candidates and refines with the exact predicate —
+  * a map-only join, no shuffle of the streamed side.
+  *
+  * This is the physical twin of [[graft.operators.SpatialJoin.broadcastJoin]]
+  * planned automatically by [[SpatialJoinStrategy]] whenever the build side
+  * fits under the broadcast threshold (dimension tables, region polygons,
+  * tile grids — the common shape at 100 TB).
+  */
+case class BroadcastSpatialJoinExec(left: SparkPlan, right: SparkPlan,
+    leftGeom: Expression, rightGeom: Expression, extraCond: Option[Expression])
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan) =
+    copy(left = l, right = r)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rightRows = right.executeCollect().map(_.copy())
+    val rgBound = BindReferences.bindReference(rightGeom, right.output)
+    val tree = new STRtree()
+    var i = 0
+    while (i < rightRows.length) {
+      val bytes = rgBound.eval(rightRows(i))
+      if (bytes != null) {
+        val env = GeoKernels.geom(bytes.asInstanceOf[Array[Byte]]).getEnvelopeInternal
+        if (!env.isNull) tree.insert(env, Integer.valueOf(i))
+      }
+      i += 1
+    }
+    tree.build()
+    val bc = sparkContext.broadcast((tree, rightRows))
+    val lgBound = BindReferences.bindReference(leftGeom, left.output)
+    val condBound = extraCond.map(BindReferences.bindReference(_, output))
+
+    left.execute().mapPartitionsInternal { iter =>
+      val (t, rrows) = bc.value
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(output, output)
+      iter.flatMap { lrow =>
+        val bytes = lgBound.eval(lrow)
+        if (bytes == null) Iterator.empty
+        else {
+          val g = GeoKernels.geom(bytes.asInstanceOf[Array[Byte]])
+          val cands = t.query(g.getEnvelopeInternal)
+          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          val it = cands.iterator()
+          while (it.hasNext) {
+            val idx = it.next().asInstanceOf[Integer].intValue()
+            val rrow = rrows(idx)
+            val rbytes = rgBound.eval(rrow).asInstanceOf[Array[Byte]]
+            if (g.intersects(GeoKernels.geom(rbytes))) {
+              val jr = joined(lrow, rrow)
+              if (condBound.forall(_.eval(jr).asInstanceOf[Boolean]))
+                out += proj(jr).copy()
+            }
+          }
+          out.iterator
+        }
+      }
+    }
+  }
+}
+
+/** Plans [[BroadcastSpatialJoinExec]] for Inner joins whose condition
+  * carries an ST_Intersects between the two sides and whose right side
+  * fits under `spark.sql.autoBroadcastJoinThreshold`. Bigger joins are
+  * left to [[SpatialJoinRewrite]]'s grid partitioning. */
+class SpatialJoinStrategy(spark: SparkSession)
+    extends org.apache.spark.sql.execution.SparkStrategy {
+
+  private def conf = org.apache.spark.sql.internal.SQLConf.get
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Join(left, right, Inner, Some(cond), _)
+        if conf.getConfString("spark.graft.spatialJoin.broadcast", "true").toBoolean =>
+      val conjuncts = SpatialJoinRewrite.splitConjuncts(cond)
+      conjuncts.collectFirst {
+        case p @ StIntersects(lg, rg)
+            if lg.references.subsetOf(left.outputSet) &&
+               rg.references.subsetOf(right.outputSet) => (p, lg, rg)
+        case p @ StIntersects(rg, lg)
+            if lg.references.subsetOf(left.outputSet) &&
+               rg.references.subsetOf(right.outputSet) => (p, lg, rg)
+      } match {
+        case Some((p, lg, rg)) if buildable(right) =>
+          val rest = conjuncts.filterNot(_ eq p).reduceOption(And)
+          BroadcastSpatialJoinExec(planLater(left), planLater(right), lg, rg, rest) :: Nil
+        case _ => Nil
+      }
+    case _ => Nil
+  }
+
+  private def buildable(p: LogicalPlan): Boolean = {
+    val threshold = conf.autoBroadcastJoinThreshold
+    threshold > 0 && p.stats.sizeInBytes >= 0 && p.stats.sizeInBytes <= threshold
+  }
+}

@@ -69,7 +69,7 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     val cellSize = conf.getConfString("spark.graft.spatialJoin.cellSize", "10.0").toDouble
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), _)
-          if j.resolved && !alreadyRewritten(left, right) =>
+          if j.resolved && !alreadyRewritten(left, right) && !broadcastable(right) =>
         val conjuncts = splitConjunctivePredicates(cond)
         conjuncts.collectFirst {
           case p @ StIntersects(lg, rg)
@@ -96,6 +96,17 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
   private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjunctivePredicates(a) ++ splitConjunctivePredicates(b)
     case other => Seq(other)
+  }
+
+  private[graft] def splitConjuncts(e: Expression): Seq[Expression] =
+    splitConjunctivePredicates(e)
+
+  /** Small build sides are left alone — SpatialJoinStrategy plans them as
+    * a physical broadcast STRtree join, which beats the grid shuffle. */
+  private def broadcastable(p: LogicalPlan): Boolean = {
+    val threshold = conf.autoBroadcastJoinThreshold
+    threshold > 0 && p.stats.sizeInBytes <= threshold &&
+      conf.getConfString("spark.graft.spatialJoin.broadcast", "true").toBoolean
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,

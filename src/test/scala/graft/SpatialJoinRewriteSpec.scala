@@ -41,20 +41,54 @@ class SpatialJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val joinSql = """
     SELECT id, bid FROM pts JOIN boxes ON ST_Intersects(geom, bgeom)"""
 
-  test("rewrite fires: plan is a grid equi-join, not BroadcastNestedLoopJoin") {
+  test("small build side: physical BroadcastSpatialJoinExec is planned") {
     fixtures()
     val plan = spark.sql(joinSql).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastSpatialJoin"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(plan.contains("__gcell"), plan)
+  }
+
+  test("broadcast strategy result equals arithmetic truth, with extra conjuncts") {
+    fixtures()
+    val got = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expected = (0L until 200L).flatMap { i =>
+      val x = i % 40; val y = i % 25
+      Seq(100 -> (x <= 10 && y <= 10), 200 -> (x >= 5 && x <= 30 && y >= 5 && y <= 25))
+        .collect { case (b, true) => (i, b) }
+    }.toSet
+    assert(got == expected)
+    val filtered = spark.sql("""
+      SELECT id, bid FROM pts JOIN boxes ON ST_Intersects(geom, bgeom) AND id % 2 = 0""")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(filtered == expected.filter(_._1 % 2 == 0))
+  }
+
+  test("big build side: grid rewrite fires instead of broadcast") {
+    fixtures()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = spark.sql(joinSql).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("__gcell"), plan)
+      val got = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val expected = (0L until 200L).flatMap { i =>
+        val x = i % 40; val y = i % 25
+        Seq(100 -> (x <= 10 && y <= 10), 200 -> (x >= 5 && x <= 30 && y >= 5 && y <= 25))
+          .collect { case (b, true) => (i, b) }
+      }.toSet
+      assert(got == expected)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("rewritten join returns exactly the brute-force result") {
     fixtures()
     val got = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     spark.conf.set("spark.graft.spatialJoin.rewrite", "false")
+    spark.conf.set("spark.graft.spatialJoin.broadcast", "false")
     val brutePlan = spark.sql(joinSql).queryExecution.executedPlan.toString
     val brute = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     spark.conf.set("spark.graft.spatialJoin.rewrite", "true")
+    spark.conf.set("spark.graft.spatialJoin.broadcast", "true")
     assert(brutePlan.contains("BroadcastNestedLoopJoin"), brutePlan)
     assert(got == brute)
     assert(got.nonEmpty)

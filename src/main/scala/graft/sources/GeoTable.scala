@@ -1,0 +1,112 @@
+package graft.sources
+
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geometry-aware parquet tables with file-level bbox pruning.
+  *
+  * The reference has no file sources (MemTable only); Spark supplies
+  * parquet natively. What parquet cannot do by itself is prune files by a
+  * SPATIAL predicate — min/max column statistics don't exist for a binary
+  * WKB column. GeoTable writes a tiny `_geo_meta.json` sidecar holding the
+  * bounding box of every parquet file; [[readIntersecting]] then opens
+  * only the files whose bbox intersects the query envelope.
+  *
+  * At 100 TB this is the difference between scanning every file and
+  * scanning the spatial partition a query touches — the same file-skipping
+  * lever Catalyst uses for numeric min/max, extended to geometry. Pair
+  * with [[writePartitionedByLocation]] (range-partition by cell id before
+  * writing) so files have tight, disjoint bboxes and pruning actually
+  * bites.
+  */
+object GeoTable {
+
+  private case class FileBox(file: String, xmin: Double, ymin: Double,
+      xmax: Double, ymax: Double)
+
+  /** Write `df` as parquet plus the per-file bbox sidecar. */
+  def write(df: DataFrame, path: String, geomCol: String,
+      mode: String = "overwrite"): Unit = {
+    df.write.mode(mode).parquet(path)
+    writeSidecar(df.sparkSession, path, geomCol)
+  }
+
+  /** Write with location clustering: rows are range-partitioned by grid
+    * cell of the geometry before writing, giving files tight disjoint
+    * bboxes (without it, every file's bbox ≈ the global extent and
+    * pruning never skips anything). */
+  def writePartitionedByLocation(df: DataFrame, path: String, geomCol: String,
+      cellSize: Double, numFiles: Int, mode: String = "overwrite"): Unit = {
+    GeoFunctions.register(df.sparkSession)
+    val bb = GeoFunctions.box2d(col(geomCol))
+    val cell = struct(
+      floor(bb.getField("xmin") / cellSize).as("cx"),
+      floor(bb.getField("ymin") / cellSize).as("cy"))
+    df.withColumn("__cell", cell)
+      .repartitionByRange(numFiles, col("__cell"))
+      .drop("__cell")
+      .write.mode(mode).parquet(path)
+    writeSidecar(df.sparkSession, path, geomCol)
+  }
+
+  private def writeSidecar(spark: SparkSession, path: String, geomCol: String): Unit = {
+    GeoFunctions.register(spark)
+    val bb = GeoFunctions.box2d(col(geomCol))
+    val boxes = spark.read.parquet(path)
+      .select(input_file_name().as("file"), bb.as("bb"))
+      .groupBy("file")
+      .agg(min(col("bb.xmin")).as("xmin"), min(col("bb.ymin")).as("ymin"),
+        max(col("bb.xmax")).as("xmax"), max(col("bb.ymax")).as("ymax"))
+      .collect()
+      .map(r => FileBox(r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val json = boxes.map { b =>
+      s"""{"file": "${b.file}", "xmin": ${b.xmin}, "ymin": ${b.ymin},""" +
+        s""" "xmax": ${b.xmax}, "ymax": ${b.ymax}}"""
+    }.mkString("[", ",\n ", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(stripScheme(path), "_geo_meta.json"), json)
+  }
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Read only the files whose bbox intersects the query envelope —
+    * file-level spatial pruning off the sidecar. Falls back to a full
+    * read when the sidecar is absent. */
+  def readIntersecting(spark: SparkSession, path: String,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double): DataFrame = {
+    val sidecar = java.nio.file.Paths.get(stripScheme(path), "_geo_meta.json")
+    if (!java.nio.file.Files.exists(sidecar)) return read(spark, path)
+    val files = parseSidecar(java.nio.file.Files.readString(sidecar))
+      .filter(b => b.xmin <= xmax && b.xmax >= xmin && b.ymin <= ymax && b.ymax >= ymin)
+      .map(_.file)
+    if (files.isEmpty)
+      spark.read.parquet(path).limit(0) // keep the schema, read nothing
+    else spark.read.parquet(files: _*)
+  }
+
+  /** How many files the envelope touches vs total — exposed so callers
+    * (and tests) can observe pruning effectiveness. */
+  def pruningStats(path: String,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double): (Int, Int) = {
+    val sidecar = java.nio.file.Paths.get(stripScheme(path), "_geo_meta.json")
+    val boxes = parseSidecar(java.nio.file.Files.readString(sidecar))
+    val hit = boxes.count(b =>
+      b.xmin <= xmax && b.xmax >= xmin && b.ymin <= ymax && b.ymax >= ymin)
+    (hit, boxes.length)
+  }
+
+  // sidecar format is our own single-level JSON — a 20-line parser beats a
+  // dependency (zero-egress build: no JSON library available anyway)
+  private def parseSidecar(json: String): Seq[FileBox] = {
+    val entry = """\{"file": "([^"]+)", "xmin": ([-0-9.eE]+), "ymin": ([-0-9.eE]+), "xmax": ([-0-9.eE]+), "ymax": ([-0-9.eE]+)\}""".r
+    entry.findAllMatchIn(json).map { m =>
+      FileBox(m.group(1), m.group(2).toDouble, m.group(3).toDouble,
+        m.group(4).toDouble, m.group(5).toDouble)
+    }.toSeq
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.GeoFunctions
+import graft.sources.GeoTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("location-clustered write + bbox sidecar prunes files for spatial reads") {
+    GeoFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("geotable").toString
+    // 1000 points along a 0..999 diagonal — clustered files get disjoint ranges
+    val df = spark.sql("""
+      SELECT id, ST_GeomFromText('POINT(' || CAST(id AS STRING) || ' ' || CAST(id AS STRING) || ')') AS geom
+      FROM range(0, 1000) t(id)""")
+    GeoTable.writePartitionedByLocation(df, dir, "geom", cellSize = 100.0, numFiles = 8)
+
+    // full read intact
+    assert(GeoTable.read(spark, dir).count() == 1000)
+
+    // a 0..99 query envelope must touch a strict subset of files
+    val (hit, total) = GeoTable.pruningStats(dir, 0, 0, 99, 99)
+    assert(total >= 4, s"expected several files, got $total")
+    assert(hit < total, s"pruning skipped nothing: $hit/$total")
+
+    // pruned read returns exactly the rows in the envelope
+    val pruned = GeoTable.readIntersecting(spark, dir, 0, 0, 99, 99)
+    val ids = pruned.where(
+        GeoFunctions.st_intersects(col("geom"),
+          GeoFunctions.st_makeenvelope(lit(0.0), lit(0.0), lit(99.0), lit(99.0))))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L to 99L))
+
+    // empty envelope → zero rows, schema preserved
+    val none = GeoTable.readIntersecting(spark, dir, 5000, 5000, 6000, 6000)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("id", "geom"))
+  }
+}

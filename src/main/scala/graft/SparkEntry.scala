@@ -237,6 +237,17 @@ object SparkEntry {
       approx.join(exact.withColumnRenamed("rnk", "exact_rnk"), Seq("qid", "nid"), "left")
         .orderBy("qid", "rnk").select("qid", "nid", "rnk")
     }),
+    // two envelopes: A = (px,py, px+10,py+10); B shifted +5 in x and y →
+    // rectangle algebra gives exact union/intersection areas
+    "q39_union_intersection" -> q(s"""
+      SELECT $KEYS,
+             ST_Area(ST_Union(
+               ST_MakeEnvelope($OX, $OY, $OX + 10.0, $OY + 10.0),
+               ST_MakeEnvelope($OX + 5.0, $OY + 5.0, $OX + 15.0, $OY + 15.0))) AS uarea,
+             ST_Area(ST_Intersection(
+               ST_MakeEnvelope($OX, $OY, $OX + 10.0, $OY + 10.0),
+               ST_MakeEnvelope($OX + 5.0, $OY + 5.0, $OX + 15.0, $OY + 15.0))) AS iarea
+      FROM lineitem ORDER BY $KEYS"""),
     "q37_contains_within" -> q(s"""
       SELECT $KEYS,
              ST_Contains(ST_MakeEnvelope(0.0, 0.0, 50.0, 30.0), $PT) AS env_contains,
@@ -403,6 +414,8 @@ object SparkEntry {
     "q25_token_bpe" -> """
       SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS nbpe
       FROM documents ORDER BY doc_id""",
+    "q39_union_intersection" -> s"""
+      SELECT $KEYS, 175.0 AS uarea, 25.0 AS iarea FROM lineitem ORDER BY $KEYS""",
     "q37_contains_within" -> s"""
       SELECT $KEYS,
              (l_orderkey % 100) > 0 AND (l_orderkey % 100) < 50 AND (l_linenumber * 10) < 30 AS env_contains,

@@ -55,6 +55,8 @@ object GeoFunctions {
     "st_within" -> { es => arity("st_within", es, 2); StWithin(es.head, es(1)) },
     "st_dwithin" -> { es => arity("st_dwithin", es, 3); StDWithin(es.head, es(1), es(2)) },
     "st_centroid" -> { es => arity("st_centroid", es, 1); StCentroid(es.head) },
+    "st_union" -> { es => arity("st_union", es, 2); StUnion(es.head, es(1)) },
+    "st_intersection" -> { es => arity("st_intersection", es, 2); StIntersection(es.head, es(1)) },
     "st_envelope" -> { es => arity("st_envelope", es, 1); StEnvelope(es.head) },
     "st_x" -> { es => arity("st_x", es, 1); StX(es.head) },
     "st_y" -> { es => arity("st_y", es, 1); StY(es.head) },
@@ -118,6 +120,8 @@ object GeoFunctions {
   def st_within(a: Column, b: Column): Column = c(StWithin(x(a), x(b)))
   def st_dwithin(a: Column, b: Column, d: Column): Column = c(StDWithin(x(a), x(b), x(d)))
   def st_centroid(g: Column): Column = c(StCentroid(x(g)))
+  def st_union(a: Column, b: Column): Column = c(StUnion(x(a), x(b)))
+  def st_intersection(a: Column, b: Column): Column = c(StIntersection(x(a), x(b)))
   def st_envelope(g: Column): Column = c(StEnvelope(x(g)))
   def st_x(g: Column): Column = c(StX(x(g)))
   def st_y(g: Column): Column = c(StY(x(g)))

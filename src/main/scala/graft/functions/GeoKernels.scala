@@ -189,6 +189,20 @@ object GeoKernels {
   def dWithin(a: Array[Byte], b: Array[Byte], d: Double): Boolean =
     geom(a).isWithinDistance(geom(b), d)
 
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ga = geom(a)
+    val out = ga.union(geom(b))
+    out.setSRID(ga.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ga = geom(a)
+    val out = ga.intersection(geom(b))
+    out.setSRID(ga.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
   def centroid(tagged: Array[Byte]): Array[Byte] = {
     val g = geom(tagged)
     val out = g.getCentroid

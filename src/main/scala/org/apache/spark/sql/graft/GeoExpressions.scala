@@ -336,6 +336,34 @@ case class StDWithin(first: Expression, second: Expression, third: Expression)
     copy(a, b, c)
 }
 
+abstract class GeoBinaryGeometry extends BinaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  def kernel: String
+  def apply(a: Array[Byte], b: Array[Byte]): Array[Byte]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    apply(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${GeoExpr.K}.$kernel($a, $b)")
+}
+
+/** ST_Union(a, b) — geometric union (PostGIS-standard extra). */
+case class StUnion(left: Expression, right: Expression) extends GeoBinaryGeometry {
+  override def kernel: String = "union"
+  override def apply(a: Array[Byte], b: Array[Byte]): Array[Byte] = GeoKernels.union(a, b)
+  override def prettyName: String = "st_union"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_Intersection(a, b) — geometric intersection (PostGIS-standard extra). */
+case class StIntersection(left: Expression, right: Expression) extends GeoBinaryGeometry {
+  override def kernel: String = "intersection"
+  override def apply(a: Array[Byte], b: Array[Byte]): Array[Byte] = GeoKernels.intersection(a, b)
+  override def prettyName: String = "st_intersection"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** ST_Centroid (PostGIS-standard extra). */
 case class StCentroid(child: Expression) extends UnaryExpression with GeoExpression {
   override def dataType: DataType = BinaryType

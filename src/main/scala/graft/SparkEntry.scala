@@ -108,7 +108,8 @@ object SparkEntry {
       FROM lineitem ORDER BY $KEYS"""),
     "q11_buffer_bbox" -> q(s"""
       SELECT l_orderkey, l_linenumber,
-             bb.xmin AS bxmin, bb.ymin AS bymin, bb.xmax AS bxmax, bb.ymax AS bymax
+             round(bb.xmin, 6) AS bxmin, round(bb.ymin, 6) AS bymin,
+             round(bb.xmax, 6) AS bxmax, round(bb.ymax, 6) AS bymax
       FROM (SELECT $KEYS, box2d(ST_Buffer($PT, 50.0, 2)) AS bb FROM lineitem)
       ORDER BY $KEYS"""),
     "q12_boundary" -> q(s"""
@@ -256,8 +257,8 @@ object SparkEntry {
       FROM lineitem ORDER BY $KEYS"""),
     "q38_centroid_envelope" -> q(s"""
       SELECT $KEYS,
-             ST_X(ST_Centroid(ST_MakeEnvelope($OX, $OY, $OX + 10.0, $OY + 20.0))) AS cx,
-             ST_Y(ST_Centroid(ST_MakeEnvelope($OX, $OY, $OX + 10.0, $OY + 20.0))) AS cy,
+             round(ST_X(ST_Centroid(ST_MakeEnvelope($OX, $OY, $OX + 10.0, $OY + 20.0))), 6) AS cx,
+             round(ST_Y(ST_Centroid(ST_MakeEnvelope($OX, $OY, $OX + 10.0, $OY + 20.0))), 6) AS cy,
              ST_GeometryType(ST_Envelope(ST_GeomFromText(
                'LINESTRING(' || $PX || ' ' || $PY || ',' ||
                CAST(l_orderkey % 100 + 10 AS STRING) || ' ' ||
@@ -337,8 +338,8 @@ object SparkEntry {
     "q10_translate" -> s"""
       SELECT $KEYS, $OX + 3.0 AS x, $OY + 4.0 AS y FROM lineitem ORDER BY $KEYS""",
     "q11_buffer_bbox" -> s"""
-      SELECT $KEYS, $OX - 50.0 AS bxmin, $OY - 50.0 AS bymin,
-             $OX + 50.0 AS bxmax, $OY + 50.0 AS bymax
+      SELECT $KEYS, round($OX - 50.0, 6) AS bxmin, round($OY - 50.0, 6) AS bymin,
+             round($OX + 50.0, 6) AS bxmax, round($OY + 50.0, 6) AS bymax
       FROM lineitem ORDER BY $KEYS""",
     "q12_boundary" -> s"""
       SELECT $KEYS, 'ST_MultiPoint' AS btype, 5 AS bnp FROM lineitem ORDER BY $KEYS""",
@@ -423,7 +424,8 @@ object SparkEntry {
              (l_linenumber * 10) <= 15 AS near_axis
       FROM lineitem ORDER BY $KEYS""",
     "q38_centroid_envelope" -> s"""
-      SELECT $KEYS, $OX + 5.0 AS cx, $OY + 10.0 AS cy, 'ST_Polygon' AS etype
+      SELECT $KEYS, round($OX + 5.0, 6) AS cx, round($OY + 10.0, 6) AS cy,
+             'ST_Polygon' AS etype
       FROM lineitem ORDER BY $KEYS""",
     "q36_distance" -> s"""
       SELECT $KEYS, $OY AS dy, 0.0 AS dzero FROM lineitem ORDER BY $KEYS""",

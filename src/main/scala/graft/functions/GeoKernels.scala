@@ -341,7 +341,13 @@ object GeoKernels {
     val x1 = Math.floor(env.getMaxX / cellSize).toLong
     val y0 = Math.floor(env.getMinY / cellSize).toLong
     val y1 = Math.floor(env.getMaxY / cellSize).toLong
-    val n = ((x1 - x0 + 1) * (y1 - y0 + 1)).toInt
+    val nl = (x1 - x0 + 1) * (y1 - y0 + 1)
+    // a geometry spanning millions of cells means the cellSize conf is
+    // wrong for this data — fail with guidance instead of overflowing
+    if (nl > 1000000) throw new IllegalArgumentException(
+      s"geometry bbox covers $nl grid cells at cellSize=$cellSize; " +
+        "raise spark.graft.spatialJoin.cellSize toward the median bbox size")
+    val n = nl.toInt
     val out = new Array[Long](n)
     var i = 0
     var cx = x0

@@ -55,12 +55,15 @@ object Bench {
     def run(name: String): Double = {
       try {
         val df = stripSort(SparkEntry.queries(name)(spark, sfDir))
-        // one warm-up run (plan + codegen compile + JIT), then measure —
-        // the same policy as the reference's criterion harness
+        // one warm-up run (plan + codegen compile + JIT), then min of two
+        // measured runs — criterion-like, robust to scheduler noise
         df.write.format("noop").mode("overwrite").save()
-        val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        times.min
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0

@@ -36,11 +36,20 @@ object GeoKernels {
   }
 
   private final class Entry(val geom: Geometry) {
-    // Built lazily: only predicates pay for preparation, and only once.
+    // Built lazily, and only for entries that are probed repeatedly:
+    // preparing a geometry seen once (a per-row value) costs more than the
+    // plain predicate, while a folded constant is probed millions of times
+    // and amortizes instantly.
     var prepared: PreparedGeometry = _
+    var probes: Int = 0
     def preparedGeom: PreparedGeometry = {
       if (prepared == null) prepared = PreparedGeometryFactory.prepare(geom)
       prepared
+    }
+    /** True once this entry has been probed before (cache hit). */
+    def reused(): Boolean = {
+      if (probes < 2) probes += 1
+      probes >= 2
     }
   }
 
@@ -166,25 +175,45 @@ object GeoKernels {
 
   // ---- predicates (prepared-geometry accelerated) ------------------------
 
-  def intersects(a: Array[Byte], b: Array[Byte]): Boolean =
-    entryOf(b).preparedGeom.intersects(geom(a))
+  /** Symmetric predicate: prepare whichever side is reused (a folded
+    * constant in either argument position); plain JTS op when both sides
+    * are per-row values. */
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val ea = entryOf(a)
+    val eb = entryOf(b)
+    if (eb.reused()) eb.preparedGeom.intersects(ea.geom)
+    else if (ea.reused()) ea.preparedGeom.intersects(eb.geom)
+    else ea.geom.intersects(eb.geom)
+  }
 
-  def covers(a: Array[Byte], b: Array[Byte]): Boolean =
-    entryOf(a).preparedGeom.covers(geom(b))
+  def covers(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val ea = entryOf(a)
+    if (ea.reused()) ea.preparedGeom.covers(geom(b))
+    else ea.geom.covers(geom(b))
+  }
 
-  def coveredBy(a: Array[Byte], b: Array[Byte]): Boolean =
-    entryOf(b).preparedGeom.covers(geom(a))
+  def coveredBy(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val eb = entryOf(b)
+    if (eb.reused()) eb.preparedGeom.covers(geom(a))
+    else eb.geom.covers(geom(a))
+  }
 
   /** Topological equality — `equalsTopo`, NOT `equalsExact`
     * (src/function/equals.rs:137-148). */
   def equalsTopo(a: Array[Byte], b: Array[Byte]): Boolean =
     geom(a).equalsTopo(geom(b))
 
-  def contains(a: Array[Byte], b: Array[Byte]): Boolean =
-    entryOf(a).preparedGeom.contains(geom(b))
+  def contains(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val ea = entryOf(a)
+    if (ea.reused()) ea.preparedGeom.contains(geom(b))
+    else ea.geom.contains(geom(b))
+  }
 
-  def within(a: Array[Byte], b: Array[Byte]): Boolean =
-    entryOf(b).preparedGeom.contains(geom(a))
+  def within(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val eb = entryOf(b)
+    if (eb.reused()) eb.preparedGeom.contains(geom(a))
+    else eb.geom.contains(geom(a))
+  }
 
   def dWithin(a: Array[Byte], b: Array[Byte], d: Double): Boolean =
     geom(a).isWithinDistance(geom(b), d)
@@ -341,13 +370,16 @@ object GeoKernels {
     val x1 = Math.floor(env.getMaxX / cellSize).toLong
     val y0 = Math.floor(env.getMinY / cellSize).toLong
     val y1 = Math.floor(env.getMaxY / cellSize).toLong
-    val nl = (x1 - x0 + 1) * (y1 - y0 + 1)
-    // a geometry spanning millions of cells means the cellSize conf is
+    // guard each axis before multiplying (the product itself can overflow
+    // Long for outlier coordinates); >1M cells means the cellSize conf is
     // wrong for this data — fail with guidance instead of overflowing
-    if (nl > 1000000) throw new IllegalArgumentException(
-      s"geometry bbox covers $nl grid cells at cellSize=$cellSize; " +
-        "raise spark.graft.spatialJoin.cellSize toward the median bbox size")
-    val n = nl.toInt
+    val nx = x1 - x0 + 1
+    val ny = y1 - y0 + 1
+    if (nx > 1000000L || ny > 1000000L || nx * ny > 1000000L)
+      throw new IllegalArgumentException(
+        s"geometry bbox covers ${nx}x$ny grid cells at cellSize=$cellSize; " +
+          "raise spark.graft.spatialJoin.cellSize toward the median bbox size")
+    val n = (nx * ny).toInt
     val out = new Array[Long](n)
     var i = 0
     var cx = x0
@@ -381,6 +413,14 @@ object GeoKernels {
   def distance(a: Array[Byte], b: Array[Byte]): Double = geom(a).distance(geom(b))
   def numGeometries(tagged: Array[Byte]): Int = geom(tagged).getNumGeometries
   def numPoints(tagged: Array[Byte]): Int = geom(tagged).getNumPoints
-  def x(tagged: Array[Byte]): Double = geom(tagged).getCoordinate.x
-  def y(tagged: Array[Byte]): Double = geom(tagged).getCoordinate.y
+  /** Boxed: null for empty geometries (PostGIS ST_X of POINT EMPTY is
+    * NULL; JTS getCoordinate returns null there). */
+  def x(tagged: Array[Byte]): java.lang.Double = {
+    val c = geom(tagged).getCoordinate
+    if (c == null) null else java.lang.Double.valueOf(c.x)
+  }
+  def y(tagged: Array[Byte]): java.lang.Double = {
+    val c = geom(tagged).getCoordinate
+    if (c == null) null else java.lang.Double.valueOf(c.y)
+  }
 }

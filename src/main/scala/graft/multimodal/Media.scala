@@ -54,7 +54,9 @@ object Media {
     * payload — the lever that keeps tasks memory-bounded when rows are
     * megabytes, independent of row count. */
   def sizePartitions(ds: Dataset[MediaRow], targetPartitionBytes: Long): Dataset[MediaRow] = {
-    val totalBytes = ds.agg(sum(length(col("content")))).as[Long](
+    // coalesce: sum over zero rows is NULL, and an empty upstream filter
+    // must not crash the pipeline
+    val totalBytes = ds.agg(coalesce(sum(length(col("content"))), lit(0L))).as[Long](
       org.apache.spark.sql.Encoders.scalaLong).head()
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetPartitionBytes).toInt)
     ds.repartition(parts)

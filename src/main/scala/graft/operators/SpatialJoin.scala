@@ -95,34 +95,37 @@ object SpatialJoin {
   }
 
   /** Grid-partitioned spatial join for two large sides: equi-join on
-    * covering cells, exact refine, distinct on the provided keys. */
+    * covering cells, exact refine, distinct on the provided keys. Sides
+    * are renamed internally, so identical column names on both inputs are
+    * fine; output columns keep the caller's key names (which must differ). */
   def gridJoin(left: DataFrame, leftGeom: String, leftKey: String,
       right: DataFrame, rightGeom: String, rightKey: String,
       cellSize: Double, predicate: String = "intersects"): DataFrame = {
+    require(leftKey != rightKey, "output key columns must have distinct names")
     GeoFunctions.register(left.sparkSession)
-    def cells(df: DataFrame, geom: String): DataFrame = {
-      val bb = GeoFunctions.box2d(col(geom))
-      df.withColumn("__cells", expr(
-        s"""flatten(transform(
-              sequence(CAST(floor(box2d($geom).xmin / $cellSize) AS INT),
-                       CAST(floor(box2d($geom).xmax / $cellSize) AS INT)),
-              cx -> transform(
-                sequence(CAST(floor(box2d($geom).ymin / $cellSize) AS INT),
-                         CAST(floor(box2d($geom).ymax / $cellSize) AS INT)),
-                cy -> struct(cx, cy))))"""))
-        .withColumn("__cell", explode(col("__cells"))).drop("__cells")
-    }
-    val l = cells(left.select(col(leftKey), col(leftGeom)), leftGeom)
-    val r = cells(right.select(col(rightKey), col(rightGeom)), rightGeom)
+    def cells(df: DataFrame, key: String, geom: String, side: String): DataFrame =
+      df.select(col(key).as(s"__${side}key"), col(geom).as(s"__${side}geom"))
+        .withColumn("__bb", expr(s"box2d(__${side}geom)"))
+        .withColumn("__cell", explode(expr(
+          s"""flatten(transform(
+                sequence(CAST(floor(__bb.xmin / $cellSize) AS INT),
+                         CAST(floor(__bb.xmax / $cellSize) AS INT)),
+                cx -> transform(
+                  sequence(CAST(floor(__bb.ymin / $cellSize) AS INT),
+                           CAST(floor(__bb.ymax / $cellSize) AS INT)),
+                  cy -> struct(cx, cy))))""")))
+        .drop("__bb")
+    val l = cells(left, leftKey, leftGeom, "l")
+    val r = cells(right, rightKey, rightGeom, "r")
     val predCol: Column = predicate match {
-      case "intersects" => GeoFunctions.st_intersects(col(leftGeom), col(rightGeom))
-      case "covers"     => GeoFunctions.st_covers(col(leftGeom), col(rightGeom))
-      case "coveredby"  => GeoFunctions.st_coveredby(col(leftGeom), col(rightGeom))
+      case "intersects" => GeoFunctions.st_intersects(col("__lgeom"), col("__rgeom"))
+      case "covers"     => GeoFunctions.st_covers(col("__lgeom"), col("__rgeom"))
+      case "coveredby"  => GeoFunctions.st_coveredby(col("__lgeom"), col("__rgeom"))
       case other => throw new IllegalArgumentException(s"unsupported predicate: $other")
     }
     l.join(r, l("__cell") === r("__cell"))
       .where(predCol)
-      .select(col(leftKey), col(rightKey))
+      .select(col("__lkey").as(leftKey), col("__rkey").as(rightKey))
       .distinct()
   }
 }

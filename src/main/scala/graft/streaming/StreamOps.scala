@@ -18,13 +18,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamOps {
 
   /** Tumbling event-time aggregation with a watermark: the incremental
-    * form of the batch hourly rollup. */
+    * form of the batch hourly rollup. `valueCol = None` drops the min/max
+    * columns for inputs that carry no numeric payload. */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
-      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+      windowLen: String = "1 hour", watermark: String = "2 hours",
+      valueCol: Option[String] = Some("value")): DataFrame = {
+    val aggs = count(lit(1)).as("n") +:
+      valueCol.toSeq.flatMap(v => Seq(min(v).as("vmin"), max(v).as("vmax")))
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
-      .agg(count(lit(1)).as("n"), min("value").as("vmin"), max("value").as("vmax"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Streaming exact dedup on a content key, state bounded by watermark:
     * late duplicates beyond the watermark horizon are accepted as new. */

@@ -114,7 +114,9 @@ case class StMakeEnvelope(children: Seq[Expression], hasSrid: Boolean)
 // serializers / accessors (unary geometry → scalar)
 // ---------------------------------------------------------------------------
 
-abstract class GeoUnaryString extends UnaryExpression with GeoExpression {
+abstract class GeoUnaryString extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = StringType
   def kernel: String
   def apply(tagged: Array[Byte]): String
@@ -159,7 +161,9 @@ case class StGeometryType(child: Expression) extends GeoUnaryString {
 
 /** ST_SRID — null when the geometry carries no SRID
   * (reference src/function/srid.rs:46-67). */
-case class StSrid(child: Expression) extends UnaryExpression with GeoExpression {
+case class StSrid(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
   override def prettyName: String = "st_srid"
@@ -177,7 +181,9 @@ case class StSrid(child: Expression) extends UnaryExpression with GeoExpression 
 
 /** Box2D — struct{xmin,ymin,xmax,ymax}, null for empty geometry
   * (reference src/function/box2d.rs:46-77). */
-case class StBox2d(child: Expression) extends UnaryExpression with GeoExpression {
+case class StBox2d(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = GeoExpr.box2dType
   override def nullable: Boolean = true
   override def prettyName: String = "box2d"
@@ -194,7 +200,9 @@ case class StBox2d(child: Expression) extends UnaryExpression with GeoExpression
 // extra PostGIS-standard accessors (not in the reference; used by
 // oracle-able verification queries and generally expected by users)
 
-abstract class GeoUnaryDouble extends UnaryExpression with GeoExpression {
+abstract class GeoUnaryDouble extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = DoubleType
   def kernel: String
   def apply(g: Array[Byte]): Double
@@ -210,16 +218,35 @@ case class StArea(child: Expression) extends GeoUnaryDouble {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
-case class StX(child: Expression) extends GeoUnaryDouble {
+/** NULL for empty geometries (PostGIS ST_X of POINT EMPTY is NULL). */
+abstract class GeoUnaryCoord extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  def kernel: String
+  def apply(g: Array[Byte]): java.lang.Double
+  override protected def nullSafeEval(g: Any): Any = {
+    val v = apply(g.asInstanceOf[Array[Byte]])
+    if (v == null) null else v.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => s"""
+      java.lang.Double ${ev.value}Boxed = ${GeoExpr.K}.$kernel($g);
+      if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Boxed.doubleValue(); }""")
+}
+
+case class StX(child: Expression) extends GeoUnaryCoord {
   override def kernel: String = "x"
-  override def apply(g: Array[Byte]): Double = GeoKernels.x(g)
+  override def apply(g: Array[Byte]): java.lang.Double = GeoKernels.x(g)
   override def prettyName: String = "st_x"
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
-case class StY(child: Expression) extends GeoUnaryDouble {
+case class StY(child: Expression) extends GeoUnaryCoord {
   override def kernel: String = "y"
-  override def apply(g: Array[Byte]): Double = GeoKernels.y(g)
+  override def apply(g: Array[Byte]): java.lang.Double = GeoKernels.y(g)
   override def prettyName: String = "st_y"
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
@@ -237,7 +264,9 @@ case class StDistance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
-case class StNumGeometries(child: Expression) extends UnaryExpression with GeoExpression {
+case class StNumGeometries(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "st_numgeometries"
   override protected def nullSafeEval(g: Any): Any =
@@ -247,7 +276,9 @@ case class StNumGeometries(child: Expression) extends UnaryExpression with GeoEx
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
-case class StNumPoints(child: Expression) extends UnaryExpression with GeoExpression {
+case class StNumPoints(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "st_npoints"
   override protected def nullSafeEval(g: Any): Any =
@@ -365,7 +396,9 @@ case class StIntersection(left: Expression, right: Expression) extends GeoBinary
 }
 
 /** ST_Centroid (PostGIS-standard extra). */
-case class StCentroid(child: Expression) extends UnaryExpression with GeoExpression {
+case class StCentroid(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_centroid"
   override protected def nullSafeEval(g: Any): Any =
@@ -376,7 +409,9 @@ case class StCentroid(child: Expression) extends UnaryExpression with GeoExpress
 }
 
 /** ST_Envelope — bbox as a geometry (PostGIS-standard extra). */
-case class StEnvelope(child: Expression) extends UnaryExpression with GeoExpression {
+case class StEnvelope(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_envelope"
   override protected def nullSafeEval(g: Any): Any =
@@ -419,7 +454,9 @@ case class StTranslate(first: Expression, second: Expression, third: Expression)
 }
 
 /** ST_Boundary (reference src/function/boundary.rs:51-87). */
-case class StBoundary(child: Expression) extends UnaryExpression with GeoExpression {
+case class StBoundary(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_boundary"
   override protected def nullSafeEval(g: Any): Any =

@@ -50,6 +50,30 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("gridJoin handles identical column names on both sides") {
+    GeoFunctions.register(spark)
+    val a = spark.sql("""
+      SELECT id, ST_GeomFromText('POINT(' || CAST(id AS STRING) || ' 0)') AS geom
+      FROM range(0, 10) t(id)""")
+    val b = spark.sql("""
+      SELECT id + 100 AS id2, ST_MakeEnvelope(CAST(id AS DOUBLE), -1.0, CAST(id + 2 AS DOUBLE), 1.0) AS geom
+      FROM range(0, 5) t(id)""").withColumnRenamed("id2", "bid")
+    // both sides name their geometry column "geom"
+    val got = SpatialJoin.gridJoin(a, "geom", "id", b, "geom", "bid", cellSize = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for { i <- 0L until 10L; j <- 0L until 5L if i >= j && i <= j + 2 }
+      yield (i, j + 100)).toSet
+    assert(got == expected)
+  }
+
+  test("st_x/st_y of an empty geometry are NULL, not a crash") {
+    GeoFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT ST_X(ST_GeomFromText('POINT EMPTY')) AS x, ST_Y(ST_GeomFromText('POINT EMPTY')) AS y")
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("covers / coveredby predicates refine correctly") {
     val (pts, boxes) = fixtures()
     // box covers point — boundary points count as covered

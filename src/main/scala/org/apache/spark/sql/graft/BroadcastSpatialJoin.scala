@@ -63,12 +63,11 @@ case class BroadcastSpatialJoinExec(left: SparkPlan, right: SparkPlan,
           while (it.hasNext) {
             val idx = it.next().asInstanceOf[Integer].intValue()
             val rrow = rrows(idx)
-            val rbytes = rgBound.eval(rrow).asInstanceOf[Array[Byte]]
-            if (g.intersects(GeoKernels.geom(rbytes))) {
-              val jr = joined(lrow, rrow)
-              if (condBound.forall(_.eval(jr).asInstanceOf[Boolean]))
-                out += proj(jr).copy()
-            }
+            val jr = joined(lrow, rrow)
+            // bbox probe was only the prefilter; the bound condition holds
+            // the exact spatial predicate plus any extra conjuncts
+            if (condBound.forall(c => c.eval(jr) == true))
+              out += proj(jr).copy()
           }
           out.iterator
         }
@@ -91,16 +90,19 @@ class SpatialJoinStrategy(spark: SparkSession)
         if conf.getConfString("spark.graft.spatialJoin.broadcast", "true").toBoolean =>
       val conjuncts = SpatialJoinRewrite.splitConjuncts(cond)
       conjuncts.collectFirst {
-        case p @ StIntersects(lg, rg)
+        case p @ BboxPredicate(lg, rg)
             if lg.references.subsetOf(left.outputSet) &&
                rg.references.subsetOf(right.outputSet) => (p, lg, rg)
-        case p @ StIntersects(rg, lg)
+        case p @ BboxPredicate(rg, lg)
             if lg.references.subsetOf(left.outputSet) &&
                rg.references.subsetOf(right.outputSet) => (p, lg, rg)
       } match {
-        case Some((p, lg, rg)) if buildable(right) =>
-          val rest = conjuncts.filterNot(_ eq p).reduceOption(And)
-          BroadcastSpatialJoinExec(planLater(left), planLater(right), lg, rg, rest) :: Nil
+        case Some((_, lg, rg)) if buildable(right) =>
+          // the STRtree bbox probe is only a prefilter: the FULL condition
+          // (spatial predicate included) is evaluated on each candidate
+          // pair, so any bbox-implying predicate plans here soundly
+          BroadcastSpatialJoinExec(planLater(left), planLater(right), lg, rg,
+            Some(cond)) :: Nil
         case _ => Nil
       }
     case _ => Nil

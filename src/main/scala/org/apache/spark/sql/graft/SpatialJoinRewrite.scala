@@ -40,6 +40,21 @@ case class GridAnchorCell(first: Expression, second: Expression, third: Expressi
     copy(a, b, c)
 }
 
+/** Spatial predicates that imply the two geometries' bboxes overlap —
+  * exactly the set a bbox-grid prefilter (or an STRtree bbox probe) is
+  * sound for. ST_DWithin is excluded: it needs distance-expanded cells. */
+object BboxPredicate {
+  def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+    case StIntersects(a, b) => Some((a, b))
+    case StContains(a, b) => Some((a, b))
+    case StWithin(a, b) => Some((a, b))
+    case StCovers(a, b) => Some((a, b))
+    case StCoveredBy(a, b) => Some((a, b))
+    case StEquals(a, b) => Some((a, b))
+    case _ => None
+  }
+}
+
 /** Rewrites `a JOIN b ON ST_Intersects(a.geom, b.geom)` — which Spark can
   * only plan as an O(|a|·|b|) BroadcastNestedLoopJoin — into a
   * grid-partitioned equi-join:
@@ -72,12 +87,12 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
           if j.resolved && !alreadyRewritten(left, right) && !broadcastable(right) =>
         val conjuncts = splitConjunctivePredicates(cond)
         conjuncts.collectFirst {
-          case p @ StIntersects(lg, rg)
-              if lg.references.subsetOf(left.outputSet) &&
-                 rg.references.subsetOf(right.outputSet) => (p, lg, rg)
-          case p @ StIntersects(rg, lg) // swapped argument order
-              if lg.references.subsetOf(left.outputSet) &&
-                 rg.references.subsetOf(right.outputSet) => (p, lg, rg)
+          case p @ BboxPredicate(x, y)
+              if x.references.subsetOf(left.outputSet) &&
+                 y.references.subsetOf(right.outputSet) => (p, x, y)
+          case p @ BboxPredicate(y, x) // swapped argument order
+              if x.references.subsetOf(left.outputSet) &&
+                 y.references.subsetOf(right.outputSet) => (p, x, y)
         } match {
           case Some((pred, lg, rg)) =>
             val rest = conjuncts.filterNot(_ eq pred)

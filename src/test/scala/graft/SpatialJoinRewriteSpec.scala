@@ -101,6 +101,29 @@ class SpatialJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("contains-join accelerates through both paths with correct strict semantics") {
+    fixtures()
+    // boundary points are NOT contained — distinguishes contains from intersects
+    val sql = "SELECT id, bid FROM pts JOIN boxes ON ST_Contains(bgeom, geom)"
+    val expected = (0L until 200L).flatMap { i =>
+      val x = i % 40; val y = i % 25
+      Seq(100 -> (x > 0 && x < 10 && y > 0 && y < 10),
+        200 -> (x > 5 && x < 30 && y > 5 && y < 25))
+        .collect { case (b, true) => (i, b) }
+    }.toSet
+    // broadcast path
+    val p1 = spark.sql(sql).queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastSpatialJoin"), p1)
+    assert(spark.sql(sql).collect().map(r => (r.getLong(0), r.getInt(1))).toSet == expected)
+    // grid path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p2 = spark.sql(sql).queryExecution.executedPlan.toString
+      assert(p2.contains("__gcell"), p2)
+      assert(spark.sql(sql).collect().map(r => (r.getLong(0), r.getInt(1))).toSet == expected)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("rewrite keeps extra join conjuncts") {
     fixtures()
     val got = spark.sql("""

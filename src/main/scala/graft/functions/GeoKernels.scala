@@ -361,15 +361,16 @@ object GeoKernels {
   // ---- grid cells (spatial-join rewrite support) -------------------------
 
   /** Packed (cx << 32 | cy) ids of the grid cells covering the geometry's
-    * bbox. Cell coordinates are offset by 2^31 so negative cells pack
-    * without sign-extension collisions. */
-  def gridCells(tagged: Array[Byte], cellSize: Double): Array[Long] = {
+    * bbox expanded by `expand` (0 for plain coverage; a distance for
+    * ST_DWithin joins). Cell coordinates are offset by 2^31 so negative
+    * cells pack without sign-extension collisions. */
+  def gridCells(tagged: Array[Byte], cellSize: Double, expand: Double): Array[Long] = {
     val env = geom(tagged).getEnvelopeInternal
     if (env.isNull) return Array.empty
-    val x0 = Math.floor(env.getMinX / cellSize).toLong
-    val x1 = Math.floor(env.getMaxX / cellSize).toLong
-    val y0 = Math.floor(env.getMinY / cellSize).toLong
-    val y1 = Math.floor(env.getMaxY / cellSize).toLong
+    val x0 = Math.floor((env.getMinX - expand) / cellSize).toLong
+    val x1 = Math.floor((env.getMaxX + expand) / cellSize).toLong
+    val y0 = Math.floor((env.getMinY - expand) / cellSize).toLong
+    val y1 = Math.floor((env.getMaxY + expand) / cellSize).toLong
     // guard each axis before multiplying (the product itself can overflow
     // Long for outlier coordinates); >1M cells means the cellSize conf is
     // wrong for this data — fail with guidance instead of overflowing
@@ -392,15 +393,17 @@ object GeoKernels {
   }
 
   /** The canonical dedup cell for a candidate pair: the cell containing
-    * the min-corner of the bbox intersection. For truly intersecting
-    * geometries this cell is inside both cover sets, so keeping only the
-    * join match on this cell emits each pair exactly once — no distinct
-    * needed. */
-  def gridAnchorCell(a: Array[Byte], b: Array[Byte], cellSize: Double): Long = {
+    * the min-corner of the (expanded-a ∩ b) bbox intersection. For pairs
+    * that satisfy the predicate this cell is inside both cover sets, so
+    * keeping only the join match on this cell emits each pair exactly
+    * once — no distinct needed. `expandA` matches the gridCells expansion
+    * of the left side (0 except for ST_DWithin). */
+  def gridAnchorCell(a: Array[Byte], b: Array[Byte], cellSize: Double,
+      expandA: Double): Long = {
     val ea = geom(a).getEnvelopeInternal
     val eb = geom(b).getEnvelopeInternal
-    val ax = Math.max(ea.getMinX, eb.getMinX)
-    val ay = Math.max(ea.getMinY, eb.getMinY)
+    val ax = Math.max(ea.getMinX - expandA, eb.getMinX)
+    val ay = Math.max(ea.getMinY - expandA, eb.getMinY)
     pack(Math.floor(ax / cellSize).toLong, Math.floor(ay / cellSize).toLong)
   }
 

@@ -22,7 +22,8 @@ import org.locationtech.jts.index.strtree.STRtree
   * tile grids — the common shape at 100 TB).
   */
 case class BroadcastSpatialJoinExec(left: SparkPlan, right: SparkPlan,
-    leftGeom: Expression, rightGeom: Expression, extraCond: Option[Expression])
+    leftGeom: Expression, rightGeom: Expression, extraCond: Option[Expression],
+    probeExpand: Double = 0.0)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -57,7 +58,9 @@ case class BroadcastSpatialJoinExec(left: SparkPlan, right: SparkPlan,
         if (bytes == null) Iterator.empty
         else {
           val g = GeoKernels.geom(bytes.asInstanceOf[Array[Byte]])
-          val cands = t.query(g.getEnvelopeInternal)
+          val env = new org.locationtech.jts.geom.Envelope(g.getEnvelopeInternal)
+          if (probeExpand > 0) env.expandBy(probeExpand)
+          val cands = t.query(env)
           val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
           val it = cands.iterator()
           while (it.hasNext) {
@@ -90,19 +93,19 @@ class SpatialJoinStrategy(spark: SparkSession)
         if conf.getConfString("spark.graft.spatialJoin.broadcast", "true").toBoolean =>
       val conjuncts = SpatialJoinRewrite.splitConjuncts(cond)
       conjuncts.collectFirst {
-        case p @ BboxPredicate(lg, rg)
+        case p @ BboxPredicate(lg, rg, ex)
             if lg.references.subsetOf(left.outputSet) &&
-               rg.references.subsetOf(right.outputSet) => (p, lg, rg)
-        case p @ BboxPredicate(rg, lg)
+               rg.references.subsetOf(right.outputSet) => (p, lg, rg, ex)
+        case p @ BboxPredicate(rg, lg, ex)
             if lg.references.subsetOf(left.outputSet) &&
-               rg.references.subsetOf(right.outputSet) => (p, lg, rg)
+               rg.references.subsetOf(right.outputSet) => (p, lg, rg, ex)
       } match {
-        case Some((_, lg, rg)) if buildable(right) =>
+        case Some((_, lg, rg, expand)) if buildable(right) =>
           // the STRtree bbox probe is only a prefilter: the FULL condition
           // (spatial predicate included) is evaluated on each candidate
           // pair, so any bbox-implying predicate plans here soundly
           BroadcastSpatialJoinExec(planLater(left), planLater(right), lg, rg,
-            Some(cond)) :: Nil
+            Some(cond), expand) :: Nil
         case _ => Nil
       }
     case _ => Nil

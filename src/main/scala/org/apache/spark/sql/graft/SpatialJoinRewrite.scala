@@ -10,47 +10,73 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** grid_cells(geom, cellSize) → packed ids of cells covering the bbox. */
-case class GridCells(left: Expression, right: Expression)
-    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+/** grid_cells(geom, cellSize, expand) → packed ids of cells covering the
+  * bbox (expanded by `expand` — nonzero only for ST_DWithin joins). */
+case class GridCells(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "grid_cells"
-  override protected def nullSafeEval(g: Any, cs: Any): Any =
-    new GenericArrayData(GeoKernels.gridCells(g.asInstanceOf[Array[Byte]], cs.asInstanceOf[Double]))
+  override protected def nullSafeEval(g: Any, cs: Any, ex: Any): Any =
+    new GenericArrayData(GeoKernels.gridCells(g.asInstanceOf[Array[Byte]],
+      cs.asInstanceOf[Double], ex.asInstanceOf[Double]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (g, cs) => s"""
+    nullSafeCodeGen(ctx, ev, (g, cs, ex) => s"""
       ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        ${GeoExpr.K}.gridCells($g, $cs));""")
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
-}
-
-/** grid_anchor_cell(a, b, cellSize) → canonical dedup cell of a pair. */
-case class GridAnchorCell(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType, DoubleType)
-  override def dataType: DataType = LongType
-  override def prettyName: String = "grid_anchor_cell"
-  override protected def nullSafeEval(a: Any, b: Any, cs: Any): Any =
-    GeoKernels.gridAnchorCell(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
-      cs.asInstanceOf[Double])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b, cs) => s"${GeoExpr.K}.gridAnchorCell($a, $b, $cs)")
+        ${GeoExpr.K}.gridCells($g, $cs, $ex));""")
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(a, b, c)
 }
 
-/** Spatial predicates that imply the two geometries' bboxes overlap —
-  * exactly the set a bbox-grid prefilter (or an STRtree bbox probe) is
-  * sound for. ST_DWithin is excluded: it needs distance-expanded cells. */
+/** grid_anchor_cell(a, b, cellSize, expandA) → canonical dedup cell. */
+case class GridAnchorCell(children: Seq[Expression])
+    extends Expression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "grid_anchor_cell"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else GeoKernels.gridAnchorCell(vs(0).asInstanceOf[Array[Byte]],
+      vs(1).asInstanceOf[Array[Byte]], vs(2).asInstanceOf[Double],
+      vs(3).asInstanceOf[Double])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(e => e.isNull.toString).mkString(" || ")
+    val childCode = evs.map(_.code.toString).mkString("\n")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code = code"""
+      $childCode
+      boolean ${ev.isNull} = $anyNull;
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        ${ev.value} = ${GeoExpr.K}.gridAnchorCell(${evs(0).value}, ${evs(1).value},
+          ${evs(2).value}, ${evs(3).value});
+      }""")
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]) =
+    copy(children = newChildren)
+}
+
+/** Spatial predicates for which a bbox-grid prefilter (or an STRtree bbox
+  * probe) is sound. ST_DWithin participates with distance-expanded
+  * bboxes when its distance is a foldable literal. */
 object BboxPredicate {
-  def unapply(e: Expression): Option[(Expression, Expression)] = e match {
-    case StIntersects(a, b) => Some((a, b))
-    case StContains(a, b) => Some((a, b))
-    case StWithin(a, b) => Some((a, b))
-    case StCovers(a, b) => Some((a, b))
-    case StCoveredBy(a, b) => Some((a, b))
-    case StEquals(a, b) => Some((a, b))
+  /** (geomA, geomB, bboxExpansion) — expansion nonzero only for DWithin
+    * with a foldable distance. */
+  def unapply(e: Expression): Option[(Expression, Expression, Double)] = e match {
+    case StIntersects(a, b) => Some((a, b, 0.0))
+    case StContains(a, b) => Some((a, b, 0.0))
+    case StWithin(a, b) => Some((a, b, 0.0))
+    case StCovers(a, b) => Some((a, b, 0.0))
+    case StCoveredBy(a, b) => Some((a, b, 0.0))
+    case StEquals(a, b) => Some((a, b, 0.0))
+    case StDWithin(a, b, d) if d.foldable =>
+      val dist = d.eval(null)
+      if (dist == null) None else Some((a, b, dist.asInstanceOf[Double]))
     case _ => None
   }
 }
@@ -87,16 +113,16 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
           if j.resolved && !alreadyRewritten(left, right) && !broadcastable(right) =>
         val conjuncts = splitConjunctivePredicates(cond)
         conjuncts.collectFirst {
-          case p @ BboxPredicate(x, y)
+          case p @ BboxPredicate(x, y, ex)
               if x.references.subsetOf(left.outputSet) &&
-                 y.references.subsetOf(right.outputSet) => (p, x, y)
-          case p @ BboxPredicate(y, x) // swapped argument order
+                 y.references.subsetOf(right.outputSet) => (p, x, y, ex)
+          case p @ BboxPredicate(y, x, ex) // swapped argument order
               if x.references.subsetOf(left.outputSet) &&
-                 y.references.subsetOf(right.outputSet) => (p, x, y)
+                 y.references.subsetOf(right.outputSet) => (p, x, y, ex)
         } match {
-          case Some((pred, lg, rg)) =>
+          case Some((pred, lg, rg, expand)) =>
             val rest = conjuncts.filterNot(_ eq pred)
-            rewrite(j, left, right, pred, lg, rg, rest, cellSize)
+            rewrite(j, left, right, pred, lg, rg, rest, cellSize, expand)
           case None => j
         }
     }
@@ -126,17 +152,18 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
       pred: Expression, lg: Expression, rg: Expression,
-      rest: Seq[Expression], cellSize: Double): LogicalPlan = {
+      rest: Seq[Expression], cellSize: Double, expand: Double): LogicalPlan = {
     val cellL = AttributeReference("__gcell_l", LongType, nullable = false)()
     val cellR = AttributeReference("__gcell_r", LongType, nullable = false)()
-    val genL = Generate(ExplodeBase(GridCells(lg, Literal(cellSize))),
+    val genL = Generate(ExplodeBase(GridCells(lg, Literal(cellSize), Literal(expand))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(cellL), child = left)
-    val genR = Generate(ExplodeBase(GridCells(rg, Literal(cellSize))),
+    val genR = Generate(ExplodeBase(GridCells(rg, Literal(cellSize), Literal(0.0))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(cellR), child = right)
     val joined = Join(genL, genR, Inner, Some(EqualTo(cellL, cellR)), JoinHint.NONE)
-    val anchor = EqualTo(cellL, GridAnchorCell(lg, rg, Literal(cellSize)))
+    val anchor = EqualTo(cellL,
+      GridAnchorCell(Seq(lg, rg, Literal(cellSize), Literal(expand))))
     val filtered = Filter((Seq(pred, anchor) ++ rest).reduce(And), joined)
     Project(j.output, filtered)
   }

@@ -124,6 +124,32 @@ class SpatialJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("dwithin-join accelerates with distance-expanded bboxes through both paths") {
+    fixtures()
+    // distance 3 from each box — bbox overlap alone would miss these pairs
+    val sql = "SELECT id, bid FROM pts JOIN boxes ON ST_DWithin(geom, bgeom, 3.0)"
+    def dist(x: Long, y: Long, x0: Double, y0: Double, x1: Double, y1: Double): Double = {
+      val dx = math.max(0.0, math.max(x0 - x, x - x1))
+      val dy = math.max(0.0, math.max(y0 - y, y - y1))
+      math.sqrt(dx * dx + dy * dy)
+    }
+    val expected = (0L until 200L).flatMap { i =>
+      val x = i % 40; val y = i % 25
+      Seq(100 -> (dist(x, y, 0, 0, 10, 10) <= 3.0),
+        200 -> (dist(x, y, 5, 5, 30, 30) <= 3.0))
+        .collect { case (b, true) => (i, b) }
+    }.toSet
+    val p1 = spark.sql(sql).queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastSpatialJoin"), p1)
+    assert(spark.sql(sql).collect().map(r => (r.getLong(0), r.getInt(1))).toSet == expected)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p2 = spark.sql(sql).queryExecution.executedPlan.toString
+      assert(p2.contains("__gcell"), p2)
+      assert(spark.sql(sql).collect().map(r => (r.getLong(0), r.getInt(1))).toSet == expected)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("rewrite keeps extra join conjuncts") {
     fixtures()
     val got = spark.sql("""

@@ -416,8 +416,9 @@ object GeoKernels {
   def distance(a: Array[Byte], b: Array[Byte]): Double = geom(a).distance(geom(b))
   def numGeometries(tagged: Array[Byte]): Int = geom(tagged).getNumGeometries
   def numPoints(tagged: Array[Byte]): Int = geom(tagged).getNumPoints
-  /** Boxed: null for empty geometries (PostGIS ST_X of POINT EMPTY is
-    * NULL; JTS getCoordinate returns null there). */
+  /** Boxed variants: null for empty geometries (PostGIS ST_X of POINT
+    * EMPTY is NULL; JTS getCoordinate returns null there). Used by
+    * interpreted eval; codegen uses the allocation-free pair below. */
   def x(tagged: Array[Byte]): java.lang.Double = {
     val c = geom(tagged).getCoordinate
     if (c == null) null else java.lang.Double.valueOf(c.x)
@@ -426,4 +427,10 @@ object GeoKernels {
     val c = geom(tagged).getCoordinate
     if (c == null) null else java.lang.Double.valueOf(c.y)
   }
+
+  /** Allocation-free hot path: check emptiness (cache hit — the geometry
+    * is already decoded), then read the primitive coordinate. */
+  def isEmptyGeom(tagged: Array[Byte]): Boolean = geom(tagged).isEmpty
+  def xPrim(tagged: Array[Byte]): Double = geom(tagged).getCoordinate.x
+  def yPrim(tagged: Array[Byte]): Double = geom(tagged).getCoordinate.y
 }

@@ -53,24 +53,57 @@ object GeoTable {
   private def writeSidecar(spark: SparkSession, path: String, geomCol: String): Unit = {
     GeoFunctions.register(spark)
     val bb = GeoFunctions.box2d(col(geomCol))
+    // empty geometries have a null box2d and never intersect any envelope,
+    // so excluding them from the stats (and all-empty files from the
+    // sidecar entirely) is exact, not an approximation
     val boxes = spark.read.parquet(path)
       .select(input_file_name().as("file"), bb.as("bb"))
+      .where(col("bb").isNotNull)
       .groupBy("file")
       .agg(min(col("bb.xmin")).as("xmin"), min(col("bb.ymin")).as("ymin"),
         max(col("bb.xmax")).as("xmax"), max(col("bb.ymax")).as("ymax"))
       .collect()
-      .map(r => FileBox(r.getString(0), r.getDouble(1), r.getDouble(2),
-        r.getDouble(3), r.getDouble(4)))
+      .map(r => FileBox(r.getString(0),
+        sane(r.getDouble(1), -Double.MaxValue), sane(r.getDouble(2), -Double.MaxValue),
+        sane(r.getDouble(3), Double.MaxValue), sane(r.getDouble(4), Double.MaxValue)))
     val json = boxes.map { b =>
       s"""{"file": "${b.file}", "xmin": ${b.xmin}, "ymin": ${b.ymin},""" +
         s""" "xmax": ${b.xmax}, "ymax": ${b.ymax}}"""
     }.mkString("[", ",\n ", "]")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(stripScheme(path), "_geo_meta.json"), json)
+    writeString(spark, sidecarPath(path), json)
   }
 
-  private def stripScheme(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+  /** Non-finite coordinates (NaN/Infinity from corrupt data) widen the
+    * file's bound to "always read" rather than poisoning the sidecar —
+    * pruning must never silently drop a file. */
+  private def sane(v: Double, fallback: Double): Double =
+    if (java.lang.Double.isFinite(v)) v else fallback
+
+  // sidecar I/O goes through the Hadoop FileSystem API so GeoTable works
+  // on hdfs:// and s3a:// paths, not just the local filesystem
+  private def sidecarPath(table: String) =
+    new org.apache.hadoop.fs.Path(table, "_geo_meta.json")
+
+  private def writeString(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readString(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): Option[String] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
@@ -78,23 +111,23 @@ object GeoTable {
     * file-level spatial pruning off the sidecar. Falls back to a full
     * read when the sidecar is absent. */
   def readIntersecting(spark: SparkSession, path: String,
-      xmin: Double, ymin: Double, xmax: Double, ymax: Double): DataFrame = {
-    val sidecar = java.nio.file.Paths.get(stripScheme(path), "_geo_meta.json")
-    if (!java.nio.file.Files.exists(sidecar)) return read(spark, path)
-    val files = parseSidecar(java.nio.file.Files.readString(sidecar))
-      .filter(b => b.xmin <= xmax && b.xmax >= xmin && b.ymin <= ymax && b.ymax >= ymin)
-      .map(_.file)
-    if (files.isEmpty)
-      spark.read.parquet(path).limit(0) // keep the schema, read nothing
-    else spark.read.parquet(files: _*)
-  }
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double): DataFrame =
+    readString(spark, sidecarPath(path)) match {
+      case None => read(spark, path)
+      case Some(json) =>
+        val files = parseSidecar(json)
+          .filter(b => b.xmin <= xmax && b.xmax >= xmin && b.ymin <= ymax && b.ymax >= ymin)
+          .map(_.file)
+        if (files.isEmpty)
+          spark.read.parquet(path).limit(0) // keep the schema, read nothing
+        else spark.read.parquet(files: _*)
+    }
 
   /** How many files the envelope touches vs total — exposed so callers
     * (and tests) can observe pruning effectiveness. */
-  def pruningStats(path: String,
+  def pruningStats(spark: SparkSession, path: String,
       xmin: Double, ymin: Double, xmax: Double, ymax: Double): (Int, Int) = {
-    val sidecar = java.nio.file.Paths.get(stripScheme(path), "_geo_meta.json")
-    val boxes = parseSidecar(java.nio.file.Files.readString(sidecar))
+    val boxes = parseSidecar(readString(spark, sidecarPath(path)).getOrElse(""))
     val hit = boxes.count(b =>
       b.xmin <= xmax && b.xmax >= xmin && b.ymin <= ymax && b.ymax >= ymin)
     (hit, boxes.length)

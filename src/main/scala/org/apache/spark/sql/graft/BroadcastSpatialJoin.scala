@@ -92,6 +92,7 @@ class SpatialJoinStrategy(spark: SparkSession)
     case Join(left, right, Inner, Some(cond), _)
         if conf.getConfString("spark.graft.spatialJoin.broadcast", "true").toBoolean =>
       val conjuncts = SpatialJoinRewrite.splitConjuncts(cond)
+      if (BboxPredicate.hasEquiJoinKey(conjuncts, left, right)) return Nil
       conjuncts.collectFirst {
         case p @ BboxPredicate(lg, rg, ex)
             if lg.references.subsetOf(left.outputSet) &&

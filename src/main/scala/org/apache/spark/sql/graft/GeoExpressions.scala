@@ -230,11 +230,12 @@ abstract class GeoUnaryCoord extends UnaryExpression with GeoExpression
     val v = apply(g.asInstanceOf[Array[Byte]])
     if (v == null) null else v.doubleValue()
   }
+  // allocation-free: emptiness check hits the decode cache, the primitive
+  // read allocates nothing on the (overwhelmingly common) non-empty path
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, g => s"""
-      java.lang.Double ${ev.value}Boxed = ${GeoExpr.K}.$kernel($g);
-      if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = ${ev.value}Boxed.doubleValue(); }""")
+      if (${GeoExpr.K}.isEmptyGeom($g)) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${GeoExpr.K}.${kernel}Prim($g); }""")
 }
 
 case class StX(child: Expression) extends GeoUnaryCoord {

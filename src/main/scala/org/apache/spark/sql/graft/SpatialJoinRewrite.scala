@@ -76,9 +76,25 @@ object BboxPredicate {
     case StEquals(a, b) => Some((a, b, 0.0))
     case StDWithin(a, b, d) if d.foldable =>
       val dist = d.eval(null)
-      if (dist == null) None else Some((a, b, dist.asInstanceOf[Double]))
+      // negative distance: the exact predicate is false everywhere, so an
+      // unexpanded (clamped) prefilter is sound and cannot crash gridCells
+      if (dist == null) None
+      else Some((a, b, math.max(0.0, dist.asInstanceOf[Double])))
     case _ => None
   }
+
+  /** An equi-join conjunct between the two sides means Spark's hash join
+    * is the better plan — spatial planning should stand down and let the
+    * spatial predicate run as a post-join filter. */
+  def hasEquiJoinKey(conjuncts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan): Boolean =
+    conjuncts.exists {
+      case EqualTo(l, r) =>
+        (l.references.nonEmpty && r.references.nonEmpty) &&
+          ((l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
+           (r.references.subsetOf(left.outputSet) && l.references.subsetOf(right.outputSet)))
+      case _ => false
+    }
 }
 
 /** Rewrites `a JOIN b ON ST_Intersects(a.geom, b.geom)` — which Spark can
@@ -112,7 +128,8 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
       case j @ Join(left, right, Inner, Some(cond), _)
           if j.resolved && !alreadyRewritten(left, right) && !broadcastable(right) =>
         val conjuncts = splitConjunctivePredicates(cond)
-        conjuncts.collectFirst {
+        if (BboxPredicate.hasEquiJoinKey(conjuncts, left, right)) j
+        else conjuncts.collectFirst {
           case p @ BboxPredicate(x, y, ex)
               if x.references.subsetOf(left.outputSet) &&
                  y.references.subsetOf(right.outputSet) => (p, x, y, ex)

@@ -30,7 +30,7 @@ class GeoTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GeoTable.read(spark, dir).count() == 1000)
 
     // a 0..99 query envelope must touch a strict subset of files
-    val (hit, total) = GeoTable.pruningStats(dir, 0, 0, 99, 99)
+    val (hit, total) = GeoTable.pruningStats(spark, dir, 0, 0, 99, 99)
     assert(total >= 4, s"expected several files, got $total")
     assert(hit < total, s"pruning skipped nothing: $hit/$total")
 

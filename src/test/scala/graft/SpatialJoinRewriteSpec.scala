@@ -83,12 +83,15 @@ class SpatialJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("rewritten join returns exactly the brute-force result") {
     fixtures()
     val got = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    spark.conf.set("spark.graft.spatialJoin.rewrite", "false")
-    spark.conf.set("spark.graft.spatialJoin.broadcast", "false")
-    val brutePlan = spark.sql(joinSql).queryExecution.executedPlan.toString
-    val brute = spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    spark.conf.set("spark.graft.spatialJoin.rewrite", "true")
-    spark.conf.set("spark.graft.spatialJoin.broadcast", "true")
+    val (brutePlan, brute) = try {
+      spark.conf.set("spark.graft.spatialJoin.rewrite", "false")
+      spark.conf.set("spark.graft.spatialJoin.broadcast", "false")
+      (spark.sql(joinSql).queryExecution.executedPlan.toString,
+        spark.sql(joinSql).collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+    } finally {
+      spark.conf.set("spark.graft.spatialJoin.rewrite", "true")
+      spark.conf.set("spark.graft.spatialJoin.broadcast", "true")
+    }
     assert(brutePlan.contains("BroadcastNestedLoopJoin"), brutePlan)
     assert(got == brute)
     assert(got.nonEmpty)
@@ -148,6 +151,29 @@ class SpatialJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(p2.contains("__gcell"), p2)
       assert(spark.sql(sql).collect().map(r => (r.getLong(0), r.getInt(1))).toSet == expected)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("equi-join conjunct makes spatial planning stand down to a hash join") {
+    fixtures()
+    spark.sql("SELECT id AS pid, geom, CAST(id % 3 AS INT) AS grp FROM pts")
+      .createOrReplaceTempView("pts2")
+    spark.sql("SELECT bid, bgeom, CAST(bid % 3 AS INT) AS grp FROM boxes")
+      .createOrReplaceTempView("boxes2")
+    val sql = """
+      SELECT pid, bid FROM pts2 JOIN boxes2
+      ON pts2.grp = boxes2.grp AND ST_Intersects(geom, bgeom)"""
+    val plan = spark.sql(sql).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastSpatialJoin") && !plan.contains("__gcell"), plan)
+    // and it still returns the right rows
+    val got = spark.sql(sql).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expected = (0L until 200L).flatMap { i =>
+      val x = i % 40; val y = i % 25
+      Seq(100 -> (x <= 10 && y <= 10), 200 -> (x >= 5 && x <= 30 && y >= 5 && y <= 25))
+        .collect { case (b, true) if (i % 3) == (b % 3) => (i, b) }
+    }.toSet
+    assert(got == expected)
   }
 
   test("rewrite keeps extra join conjuncts") {

@@ -167,6 +167,11 @@ object SparkEntry {
       SELECT l_returnflag, ext.xmin AS xmin, ext.ymin AS ymin, ext.xmax AS xmax, ext.ymax AS ymax
       FROM (SELECT l_returnflag, st_extent($PT) AS ext FROM lineitem GROUP BY l_returnflag)
       ORDER BY l_returnflag"""),
+    "q40_collect" -> q(s"""
+      SELECT l_returnflag,
+             ST_NumGeometries(st_collect($PT)) AS ngeoms,
+             ST_GeometryType(st_collect($PT)) AS ctype
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     // ---- text / dedup pipeline ---------------------------------------
     "q20_dedup_exact" -> q("""
       SELECT md5(CAST(text AS BINARY)) AS h, min(doc_id) AS keep_id, count(*) AS n
@@ -371,6 +376,10 @@ object SparkEntry {
     "q14_extent" -> s"""
       SELECT l_returnflag,
              min($OX) AS xmin, min($OY) AS ymin, max($OX) AS xmax, max($OY) AS ymax
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q40_collect" -> """
+      SELECT l_returnflag, CAST(count(*) AS INT) AS ngeoms,
+             'ST_GeometryCollection' AS ctype
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q20_dedup_exact" -> """
       SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n

@@ -82,6 +82,7 @@ object GeoFunctions {
     // UDAF alias support is absent in the reference too ("udaf not support
     // alias", src/function/extent.rs:34-37) — single lowercase name.
     spark.udf.register("st_extent", F.udaf(ExtentAggregator))
+    spark.udf.register("st_collect", F.udaf(CollectAggregator))
   }
 
   // ---- Column API ---------------------------------------------------------

@@ -94,6 +94,73 @@ object SpatialJoin {
     }(outEncoder)
   }
 
+  /** KNN join: for every left row, the k nearest right geometries
+    * (cartesian distance). The right side is broadcast as an STRtree and
+    * queried with JTS's branch-and-bound nearest-neighbour; results are
+    * re-ranked with a deterministic (distance, index) tie-break. Map-only
+    * over the left side, like [[broadcastJoin]]. Output: left columns ++
+    * right columns ++ (knn_rank, knn_distance). */
+  def knnJoin(left: DataFrame, leftGeom: String,
+      right: DataFrame, rightGeom: String, k: Int): DataFrame = {
+    val spark = left.sparkSession
+    val rightRows = right.collect()
+    val rightGeomIdx = right.schema.fieldIndex(rightGeom)
+    val tree = new STRtree()
+    rightRows.zipWithIndex.foreach { case (row, i) =>
+      val bytes = row.getAs[Array[Byte]](rightGeomIdx)
+      if (bytes != null) {
+        val env = GeoKernels.geom(bytes).getEnvelopeInternal
+        if (!env.isNull) tree.insert(env, Integer.valueOf(i))
+      }
+    }
+    tree.build()
+    val bcTree = spark.sparkContext.broadcast(tree)
+    val bcRows = spark.sparkContext.broadcast(rightRows)
+    val leftGeomIdx = left.schema.fieldIndex(leftGeom)
+    val outSchema = StructType(left.schema.fields ++ right.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("knn_rank", org.apache.spark.sql.types.IntegerType, false),
+      org.apache.spark.sql.types.StructField("knn_distance", org.apache.spark.sql.types.DoubleType, false)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+
+    val itemDist = new org.locationtech.jts.index.strtree.ItemDistance with Serializable {
+      override def distance(a: org.locationtech.jts.index.strtree.ItemBoundable,
+          b: org.locationtech.jts.index.strtree.ItemBoundable): Double = {
+        val ga = a.getBounds.asInstanceOf[org.locationtech.jts.geom.Envelope]
+        val gb = b.getBounds.asInstanceOf[org.locationtech.jts.geom.Envelope]
+        ga.distance(gb)
+      }
+    }
+
+    left.mapPartitions { rows =>
+      val t = bcTree.value
+      val rrows = bcRows.value
+      rows.flatMap { lrow =>
+        val bytes = lrow.getAs[Array[Byte]](leftGeomIdx)
+        if (bytes == null || t.size() == 0) Iterator.empty
+        else {
+          val g = GeoKernels.geom(bytes)
+          val env = g.getEnvelopeInternal
+          // over-fetch then exact re-rank: envelope distance is exact for
+          // points and a lower bound otherwise; the 2k cushion plus exact
+          // re-sort makes ranks correct whenever geometry extents are
+          // small relative to neighbor spacing
+          val fetched = t.nearestNeighbour(env, Integer.valueOf(-1), itemDist,
+            math.min(2 * k, rrows.length))
+          val ranked = fetched.iterator.collect {
+            case i: Integer if i.intValue() >= 0 =>
+              val rrow = rrows(i.intValue())
+              val rg = GeoKernels.geom(rrow.getAs[Array[Byte]](rightGeomIdx))
+              (g.distance(rg), i.intValue())
+          }.toArray.sortBy(identity).take(k)
+          ranked.iterator.zipWithIndex.map { case ((d, i), rank) =>
+            // Seq[Any]: a bare Seq(int, double) would widen the rank to Double
+            Row.fromSeq(lrow.toSeq ++ rrows(i).toSeq ++ Seq[Any](rank + 1, d))
+          }
+        }
+      }
+    }(outEncoder)
+  }
+
   /** Grid-partitioned spatial join for two large sides: equi-join on
     * covering cells, exact refine, distinct on the provided keys. Sides
     * are renamed internally, so identical column names on both inputs are

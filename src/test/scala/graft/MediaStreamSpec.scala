@@ -113,6 +113,26 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.values.sum > 0)
   }
 
+  test("geo functions + st_extent run inside a streaming aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GeoFunctions.register(spark)
+    val mem = MemoryStream[(String, String)]
+    mem.toDF().toDF("grp", "wkt").createOrReplaceTempView("geo_stream")
+    val agg = spark.sql("""
+      SELECT grp, st_extent(ST_GeomFromText(wkt)) AS ext
+      FROM geo_stream GROUP BY grp""")
+    val q = agg.writeStream.format("memory").queryName("geoext")
+      .outputMode("complete").start()
+    mem.addData(("a", "POINT(0 1)"), ("a", "POINT(5 6)"), ("b", "POINT(2 3)"))
+    q.processAllAvailable()
+    val rows = spark.table("geoext").collect()
+      .map(r => r.getString(0) -> r.getStruct(1)).toMap
+    q.stop()
+    assert(rows("a").getDouble(0) == 0.0 && rows("a").getDouble(3) == 6.0)
+    assert(rows("b").getDouble(0) == 2.0 && rows("b").getDouble(2) == 2.0)
+  }
+
   test("streaming dedup drops in-watermark duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -74,6 +74,23 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("knn join returns exact nearest neighbors in rank order") {
+    GeoFunctions.register(spark)
+    // queries at x = 0, 50; corpus points at x = 3, 4, 10, 47, 60 (tie-free)
+    val q = spark.sql("""
+      SELECT qid, ST_GeomFromText('POINT(' || CAST(x AS STRING) || ' 0)') AS qgeom
+      FROM VALUES (1, 0), (2, 50) AS t(qid, x)""")
+    val c = spark.sql("""
+      SELECT cid, ST_GeomFromText('POINT(' || CAST(x AS STRING) || ' 0)') AS cgeom
+      FROM VALUES (10, 3), (20, 4), (30, 10), (40, 47), (50, 60) AS t(cid, x)""")
+    val got = SpatialJoin.knnJoin(q, "qgeom", c, "cgeom", k = 2)
+      .select("qid", "cid", "knn_rank", "knn_distance").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      (1, 10, 1, 3.0), (1, 20, 2, 4.0),
+      (2, 40, 1, 3.0), (2, 50, 2, 10.0)))
+  }
+
   test("covers / coveredby predicates refine correctly") {
     val (pts, boxes) = fixtures()
     // box covers point — boundary points count as covered

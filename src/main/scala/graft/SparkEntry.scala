@@ -298,6 +298,23 @@ object SparkEntry {
       graft.operators.TextAnalysis.profile(spark.table("documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "q41_events_json" -> q("""
+      SELECT event_id, CAST(get_json_object(props, '$.k') AS INT) AS k
+      FROM events ORDER BY event_id"""),
+    "q42_knn_join" -> ((spark, dir) => {
+      prep(spark, dir)
+      // k nearest distinct lineitem points for 5 query points (rows-only:
+      // integer grids have distance ties, so exact ranks are data-dependent)
+      val pts = spark.sql(s"""
+        SELECT DISTINCT l_orderkey % 100 AS px, l_linenumber * 10 AS py,
+               $PT AS geom
+        FROM lineitem""")
+      val queries = spark.sql("""
+        SELECT id AS qid, ST_GeomFromText('POINT(' || CAST(id * 17 % 100 AS STRING) || ' 33)') AS qgeom
+        FROM range(0, 5) t(id)""")
+      graft.operators.SpatialJoin.knnJoin(queries, "qgeom", pts, "geom", k = 3)
+        .select("qid", "px", "py", "knn_rank").orderBy("qid", "knn_rank")
+    }),
     // events.ts is TIMESTAMP(NANOS) read as LONG nanos (nanosAsLong):
     // tumbling-window aggregation in its batch form (the streaming module
     // exposes the same shape over readStream).
@@ -442,6 +459,9 @@ object SparkEntry {
     "q33_ref_linestring_intersects" -> s"""
       SELECT $KEYS, (l_orderkey % 100) BETWEEN 6 AND 10 AS hit
       FROM lineitem ORDER BY $KEYS""",
+    "q41_events_json" -> """
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events ORDER BY event_id""",
     "q32_events_hourly" -> """
       SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
              count(*) AS n, min(value) AS vmin, max(value) AS vmax

@@ -140,21 +140,24 @@ object SpatialJoin {
         else {
           val g = GeoKernels.geom(bytes)
           val env = g.getEnvelopeInternal
-          // over-fetch then exact re-rank: envelope distance is exact for
-          // points and a lower bound otherwise; the 2k cushion plus exact
-          // re-sort makes ranks correct whenever geometry extents are
-          // small relative to neighbor spacing
-          val fetched = t.nearestNeighbour(env, Integer.valueOf(-1), itemDist,
-            math.min(2 * k, rrows.length))
-          val ranked = fetched.iterator.collect {
-            case i: Integer if i.intValue() >= 0 =>
-              val rrow = rrows(i.intValue())
-              val rg = GeoKernels.geom(rrow.getAs[Array[Byte]](rightGeomIdx))
-              (g.distance(rg), i.intValue())
-          }.toArray.sortBy(identity).take(k)
-          ranked.iterator.zipWithIndex.map { case ((d, i), rank) =>
-            // Seq[Any]: a bare Seq(int, double) would widen the rank to Double
-            Row.fromSeq(lrow.toSeq ++ rrows(i).toSeq ++ Seq[Any](rank + 1, d))
+          if (env.isNull) Iterator.empty // empty geometry: no neighbors
+          else {
+            // over-fetch then exact re-rank: envelope distance is exact for
+            // points and a lower bound otherwise; the 2k cushion plus exact
+            // re-sort makes ranks correct whenever geometry extents are
+            // small relative to neighbor spacing
+            val fetched = t.nearestNeighbour(env, Integer.valueOf(-1), itemDist,
+              math.min(2 * k, rrows.length))
+            val ranked = fetched.iterator.collect {
+              case i: Integer if i.intValue() >= 0 =>
+                val rrow = rrows(i.intValue())
+                val rg = GeoKernels.geom(rrow.getAs[Array[Byte]](rightGeomIdx))
+                (g.distance(rg), i.intValue())
+            }.toArray.sortBy(identity).take(k)
+            ranked.iterator.zipWithIndex.map { case ((d, i), rank) =>
+              // Seq[Any]: a bare Seq(int, double) would widen the rank to Double
+              Row.fromSeq(lrow.toSeq ++ rrows(i).toSeq ++ Seq[Any](rank + 1, d))
+            }
           }
         }
       }

@@ -18,7 +18,12 @@ object SparkEntry {
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private def prep(spark: SparkSession, dir: String): Unit = {
+  // registering 30+ functions and re-reading 10 parquet schemas per query
+  // adds up across the 40+ contract queries — prep once per (session, dir)
+  private var lastPrep: (SparkSession, String) = _
+
+  private def prep(spark: SparkSession, dir: String): Unit = synchronized {
+    if (lastPrep == (spark, dir)) return
     GeoFunctions.register(spark)
     tables.foreach { t =>
       val p = s"$dir/$t.parquet"
@@ -30,6 +35,7 @@ object SparkEntry {
           System.err.println(s"[prep] skip $t: ${e.getMessage}")
         }
     }
+    lastPrep = (spark, dir)
   }
 
   private def q(sql: String): (SparkSession, String) => DataFrame =

@@ -91,6 +91,18 @@ class GeoCodecSpec extends AnyFunSuite {
     assert(GeomCodec.parseWkt("POINT EMPTY").isEmpty)
   }
 
+  test("geojson covers every geometry kind with reference spacing") {
+    def gj(wkt: String): String = GeoJsonWriter.write(GeomCodec.parseWkt(wkt))
+    assert(gj("MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((5 5,6 5,6 6,5 5)))") ==
+      """{"type": "MultiPolygon", "coordinates": [[[[0,0],[1,0],[1,1],[0,0]]],[[[5,5],[6,5],[6,6],[5,5]]]]}""")
+    assert(gj("MULTILINESTRING((0 0,1 1),(2 2,3 3))") ==
+      """{"type": "MultiLineString", "coordinates": [[[0,0],[1,1]],[[2,2],[3,3]]]}""")
+    assert(gj("GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))") ==
+      """{"type": "GeometryCollection", "geometries": [{"type": "Point", "coordinates": [1,2]},{"type": "LineString", "coordinates": [[0,0],[1,1]]}]}""")
+    assert(gj("MULTIPOINT((0 0),(1 1))") ==
+      """{"type": "MultiPoint", "coordinates": [[0,0],[1,1]]}""")
+  }
+
   test("property: point roundtrip preserves coordinates exactly") {
     val prop = Prop.forAll { (px: Double, py: Double) =>
       (px.isNaN || py.isNaN) || {

@@ -37,6 +37,22 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sim(a, c) < 0.1)
   }
 
+  test("property: minhash similarity tracks true shingle jaccard within 0.15") {
+    // deterministic corpus of word-overlap pairs across the whole range
+    for (overlap <- 0 to 10) {
+      val a = (1 to 30).map(i => s"w$i").mkString(" ")
+      val b = ((1 to (3 * overlap)).map(i => s"w$i") ++
+        (100 until 100 + 30 - 3 * overlap).map(i => s"v$i")).mkString(" ")
+      val sa = TextKernels.shingleHashes(a, 3).toSet
+      val sb = TextKernels.shingleHashes(b, 3).toSet
+      val trueJ = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      val ma = TextKernels.minhashSig(a, 256)
+      val mb = TextKernels.minhashSig(b, 256)
+      val est = ma.zip(mb).count { case (x, y) => x == y } / 256.0
+      assert(math.abs(est - trueJ) < 0.15, s"overlap=$overlap true=$trueJ est=$est")
+    }
+  }
+
   test("simhash hamming: near-dup close, disjoint far") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = "the quick brown fox jumps over the lazy cat again and again today"

@@ -165,7 +165,8 @@ object SparkEntry {
         SELECT r_regionkey, ST_MakeEnvelope(CAST(r_regionkey * 20 AS DOUBLE), 0.0,
                CAST(r_regionkey * 20 + 20 AS DOUBLE), 100.0) AS rgeom FROM region""")
       graft.operators.SpatialJoin
-        .gridJoin(pts, "geom", "lkey", regions, "rgeom", "r_regionkey", cellSize = 25.0)
+        .gridJoin(pts, "geom", regions, "rgeom", cellSize = 25.0)
+        .select("lkey", "r_regionkey")
         .orderBy("lkey", "r_regionkey")
     }),
     // ---- aggregate ----------------------------------------------------
@@ -222,32 +223,56 @@ object SparkEntry {
     "q25_token_bpe" -> q("""
       SELECT doc_id, size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)) AS nbpe
       FROM documents ORDER BY doc_id"""),
-    // ---- rows-only checks (not expressible in vanilla DuckDB SQL) -----
+    // ---- oracle-able invariant reformulations -------------------------
+    // the lang_id heuristic (CJK scan + stopword argmax with first-wins
+    // ties) is replicated exactly in the DuckDB oracle, so the prediction
+    // itself is hash-checked, not just executed
     "q26_langid" -> q("""
       SELECT doc_id, lang_id(text) AS pred, lang FROM documents ORDER BY doc_id"""),
+    // fingerprint/simhash are custom 64-bit hashes DuckDB can't recompute;
+    // what it CAN check: the normalization contract (case + whitespace-run
+    // invariance), self-distance zero, and that fingerprints distinguish
+    // exactly the distinct texts — all emitted as per-row booleans
     "q27_fingerprint_simhash" -> q("""
-      SELECT doc_id, text_fingerprint(text) AS fp, simhash64(text) AS sh
-      FROM documents ORDER BY doc_id"""),
+      SELECT d.doc_id,
+             text_fingerprint(d.text) = text_fingerprint(upper(replace(d.text, ' ', '  '))) AS fp_norm_ok,
+             simhash64(d.text) = simhash64(replace(d.text, ' ', '  ')) AS sh_ws_ok,
+             hamming64(simhash64(d.text), simhash64(d.text)) = 0 AS sh_self_ok,
+             s.nfp = s.ntxt AS fp_distinct_ok
+      FROM documents d CROSS JOIN
+           (SELECT count(DISTINCT text_fingerprint(text)) AS nfp,
+                   count(DISTINCT text) AS ntxt FROM documents) s
+      ORDER BY d.doc_id"""),
+    // end-to-end LSH near-dup pipeline with a deterministic guarantee:
+    // 64 bands of 1 hash make a J>=0.35 pair's candidate-miss probability
+    // (1-J)^64 <= 1e-12, and the corpus has a clean similarity gap (planted
+    // near-dups at J>=0.5, background J<0.2), so the surviving pairs equal
+    // the exact 3-token-shingle-Jaccard>=0.35 pairs DuckDB computes
     "q28_minhash_lsh" -> ((spark, dir) => {
       prep(spark, dir)
-      import org.apache.spark.sql.functions._
       graft.operators.Dedup
-        .minhashBuckets(spark.table("documents"), "doc_id", "text")
-        .groupBy("band")
-        .agg(countDistinct("bucket").as("n_buckets"), count(lit(1)).as("n_docs"))
-        .orderBy("band")
+        .minhashNearDups(spark.table("documents"), "doc_id", "text",
+          threshold = 0.35, numHashes = 64, bands = 64, refineOnShingles = true)
+        .select("ida", "idb", "inter", "uni")
+        .orderBy("ida", "idb")
     }),
+    // recall vs the (exact, q24-oracled) brute force as a calibrated
+    // boolean: nPlanes=4 → 16 buckets, margin-aware multi-probe of 8 ≈
+    // half the corpus; measured recall 0.60/0.67/0.87 at sf0.1/0.01/0.001
+    // (embeddings are near-random, so this is the honest LSH ceiling).
+    // Deterministic: seeded planes, fixed data.
     "q31_ann_lsh_recall" -> ((spark, dir) => {
       prep(spark, dir)
       import org.apache.spark.sql.functions._
       val emb = spark.table("embeddings")
       val queries = emb.where(col("vec_id") < 5)
-      // 6 planes → 64 buckets: right-sized for the sf-scale corpus (bucket
-      // occupancy ~n/64); at 100 TB raise nPlanes so buckets stay bounded.
-      val approx = graft.operators.Ann.lshTopK(queries, emb, 3, nPlanes = 6, nProbe = 6)
+      val approx = graft.operators.Ann.lshTopK(queries, emb, 3, nPlanes = 4, nProbe = 7)
       val exact = graft.operators.Ann.bruteForceTopK(queries, emb, 3)
-      approx.join(exact.withColumnRenamed("rnk", "exact_rnk"), Seq("qid", "nid"), "left")
-        .orderBy("qid", "rnk").select("qid", "nid", "rnk")
+      val hit = approx.join(exact, Seq("qid", "nid"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"),
+          (col("n_hit") >= col("n_exact") * 0.5).as("recall_ok"))
     }),
     // two envelopes: A = (px,py, px+10,py+10); B shifted +5 in x and y →
     // rectangle algebra gives exact union/intersection areas
@@ -280,13 +305,22 @@ object SparkEntry {
              ST_Distance($PT, ST_GeomFromText('POINT(' || $PX || ' 0)')) AS dy,
              ST_Distance($PT, $PT) AS dzero
       FROM lineitem ORDER BY $KEYS"""),
+    // IVF recall vs brute force, same calibrated-boolean shape as q31:
+    // nlist=8, nProbe=4 probes ~half the lists; measured recall
+    // 0.93/0.87/0.73 at sf0.1/0.01/0.001. Deterministic: seeded training
+    // sample + init, fixed data.
     "q35_ann_ivf" -> ((spark, dir) => {
       prep(spark, dir)
       import org.apache.spark.sql.functions._
       val emb = spark.table("embeddings")
-      graft.operators.Ann.ivfTopK(emb.where(col("vec_id") < 5), emb, k = 3,
-          nlist = 8, nProbe = 4)
-        .orderBy("qid", "rnk")
+      val queries = emb.where(col("vec_id") < 5)
+      val approx = graft.operators.Ann.ivfTopK(queries, emb, k = 3, nlist = 8, nProbe = 4)
+      val exact = graft.operators.Ann.bruteForceTopK(queries, emb, 3)
+      val hit = approx.join(exact, Seq("qid", "nid"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"),
+          (col("n_hit") >= col("n_exact") * 0.6).as("recall_ok"))
     }),
     // the reference's own criterion benchmark query, on its i-ramp
     // linestring fixture (benches/geo_lib.rs:22, util.rs:29-38): row i →
@@ -299,18 +333,27 @@ object SparkEntry {
                CAST(l_orderkey % 100 + 4 AS STRING) || ' ' || CAST(l_orderkey % 100 + 5 AS STRING) || ')'),
                ST_GeomFromText('POINT(10 11)')) AS hit
       FROM lineitem ORDER BY $KEYS"""),
+    // full profile runs; the oracle-able columns (counts, the replicated
+    // lang heuristic, the arithmetic quality formula rounded to 6dp) are
+    // hash-checked — the fingerprint column is covered by q27's invariants
     "q34_text_profile" -> ((spark, dir) => {
       prep(spark, dir)
+      import org.apache.spark.sql.functions._
       graft.operators.TextAnalysis.profile(spark.table("documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_bpe"), col("n_chars"),
+          col("lang_pred"), round(col("quality"), 6).as("quality"))
         .orderBy("doc_id")
     }),
     "q41_events_json" -> q("""
       SELECT event_id, CAST(get_json_object(props, '$.k') AS INT) AS k
       FROM events ORDER BY event_id"""),
+    // k nearest distinct lineitem points for 5 query points. Coordinates
+    // are integers, so squared distances are exact integers DuckDB can
+    // rank too; ties at any rank have EQUAL d2, making the (qid, rank, d2)
+    // sequence deterministic even though the tied point identity isn't.
     "q42_knn_join" -> ((spark, dir) => {
       prep(spark, dir)
-      // k nearest distinct lineitem points for 5 query points (rows-only:
-      // integer grids have distance ties, so exact ranks are data-dependent)
+      import org.apache.spark.sql.functions._
       val pts = spark.sql(s"""
         SELECT DISTINCT l_orderkey % 100 AS px, l_linenumber * 10 AS py,
                $PT AS geom
@@ -319,7 +362,29 @@ object SparkEntry {
         SELECT id AS qid, ST_GeomFromText('POINT(' || CAST(id * 17 % 100 AS STRING) || ' 33)') AS qgeom
         FROM range(0, 5) t(id)""")
       graft.operators.SpatialJoin.knnJoin(queries, "qgeom", pts, "geom", k = 3)
-        .select("qid", "px", "py", "knn_rank").orderBy("qid", "knn_rank")
+        .select(col("qid"), col("knn_rank"),
+          round(col("knn_distance") * col("knn_distance")).cast("long").as("d2"))
+        .orderBy("qid", "knn_rank")
+    }),
+    // GeoTable round-trip with file-level bbox pruning on the sidecar:
+    // write location-clustered, read back only files intersecting the
+    // envelope, then row-filter — result is layout-independent (the
+    // pruning is a file-skip optimization), so plain SQL can oracle it;
+    // pruned_some asserts the sidecar actually skipped files.
+    "q43_geotable_prune" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_geotable_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      val src = spark.sql(s"SELECT l_orderkey, l_linenumber, $PT AS geom FROM lineitem")
+      graft.sources.GeoTable.writePartitionedByLocation(src, out, "geom",
+        cellSize = 10.0, numFiles = 8)
+      val (hit, total) = graft.sources.GeoTable.pruningStats(spark, out, 0.0, 0.0, 30.0, 25.0)
+      graft.sources.GeoTable.readIntersecting(spark, out, 0.0, 0.0, 30.0, 25.0)
+        .where(expr("ST_Intersects(geom, ST_MakeEnvelope(0.0, 0.0, 30.0, 25.0))"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          lit(hit < total).as("pruned_some"))
+        .orderBy("l_orderkey", "l_linenumber")
     }),
     // events.ts is TIMESTAMP(NANOS) read as LONG nanos (nanosAsLong):
     // tumbling-window aggregation in its batch form (the streaming module
@@ -330,7 +395,95 @@ object SparkEntry {
       FROM events GROUP BY event_type, hour_bucket
       ORDER BY event_type, hour_bucket"""))
 
+  // DuckDB replica of TextKernels.langId: CJK codepoint scan, then
+  // stopword-count argmax with first-wins tie-break over (en, de, fr, es),
+  // 'und' when no stopword matches. Expects s_en..s_es in scope.
+  private val LANG_SCORES = """
+    len(list_filter(string_split(lower(text), ' '),
+      w -> w IN ('the','and','of','to','a','in','is','that','it','for'))) AS s_en,
+    len(list_filter(string_split(lower(text), ' '),
+      w -> w IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS s_de,
+    len(list_filter(string_split(lower(text), ' '),
+      w -> w IN ('le','la','les','et','est','un','une','dans','que','pour'))) AS s_fr,
+    len(list_filter(string_split(lower(text), ' '),
+      w -> w IN ('el','los','las','y','es','un','una','en','que','por'))) AS s_es"""
+
+  private val LANG_CASE = """
+    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+         WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_es THEN 'fr'
+         ELSE 'es' END"""
+
   def oracleSql: Map[String, String] = Map(
+    "q26_langid" -> s"""
+      WITH sc AS (SELECT doc_id, lang, text, $LANG_SCORES
+                  FROM documents)
+      SELECT doc_id, $LANG_CASE AS pred, lang FROM sc ORDER BY doc_id""",
+    "q27_fingerprint_simhash" -> """
+      SELECT doc_id, true AS fp_norm_ok, true AS sh_ws_ok, true AS sh_self_ok,
+             true AS fp_distinct_ok
+      FROM documents ORDER BY doc_id""",
+    // exact 3-token-shingle Jaccard >= 0.35 pairs — what the LSH pipeline
+    // must find given the 64x1 banding and the corpus's similarity gap
+    "q28_minhash_lsh" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+                  FROM t, unnest(generate_series(1, len(l) - 2)) AS u(i)),
+           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           ip AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+      SELECT ida, idb, CAST(ninter AS INT) AS inter,
+             CAST(sa.n + sb.n - ninter AS INT) AS uni
+      FROM ip JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+      WHERE ninter * 1.0 / (sa.n + sb.n - ninter) >= 0.35
+      ORDER BY ida, idb""",
+    "q31_ann_lsh_recall" -> """
+      SELECT CAST(15 AS BIGINT) AS n_exact, true AS recall_ok""",
+    "q35_ann_ivf" -> """
+      SELECT CAST(15 AS BIGINT) AS n_exact, true AS recall_ok""",
+    "q34_text_profile" -> s"""
+      WITH base AS (
+        SELECT doc_id, text,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_bpe,
+          CAST(length(text) AS INT) AS n_chars,
+          CAST(length(text) AS DOUBLE) AS nc,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS na,
+          CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS ns,
+          $LANG_SCORES
+        FROM documents)
+      SELECT doc_id, n_tokens, n_bpe, n_chars, $LANG_CASE AS lang_pred,
+        round((CASE WHEN nc BETWEEN 50 AND 10000 THEN 1.0
+                    WHEN nc BETWEEN 20 AND 100000 THEN 0.5 ELSE 0.0 END) * 0.3
+            + (CASE WHEN (nc - ns) / greatest(nt, 1.0) BETWEEN 2.5 AND 12.0
+                    THEN 1.0 ELSE 0.3 END) * 0.2
+            + (na / greatest(nc, 1.0)) * 0.3
+            + (CASE WHEN ns / greatest(nc, 1.0) BETWEEN 0.05 AND 0.4
+                    THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+      FROM base ORDER BY doc_id""",
+    // integer squared distances per (qid, rank): ties share a d2 value, so
+    // the sequence is deterministic regardless of which tied point wins
+    "q42_knn_join" -> """
+      WITH pts AS (SELECT DISTINCT l_orderkey % 100 AS px, l_linenumber * 10 AS py
+                   FROM lineitem),
+           q AS (SELECT id AS qid, id * 17 % 100 AS qx, 33 AS qy
+                 FROM range(0, 5) t(id)),
+           d AS (SELECT qid,
+                        (px - qx) * (px - qx) + (py - qy) * (py - qy) AS d2,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY (px - qx) * (px - qx) + (py - qy) * (py - qy), px, py) AS rnk
+                 FROM q CROSS JOIN pts)
+      SELECT qid, CAST(rnk AS INT) AS knn_rank, CAST(d2 AS BIGINT) AS d2
+      FROM d WHERE rnk <= 3 ORDER BY qid, knn_rank""",
+    "q43_geotable_prune" -> """
+      SELECT l_orderkey, l_linenumber, true AS pruned_some
+      FROM lineitem
+      WHERE (l_orderkey % 100) <= 30 AND (l_linenumber * 10) <= 25
+      ORDER BY l_orderkey, l_linenumber""",
     "q01_geomfromtext_xy" -> s"""
       SELECT $KEYS, $OX AS x, $OY AS y FROM lineitem ORDER BY $KEYS""",
     "q02_astext" -> s"""
@@ -391,8 +544,10 @@ object SparkEntry {
       FROM lineitem JOIN region
         ON (l_orderkey % 100) BETWEEN r_regionkey * 20 AND r_regionkey * 20 + 20
       ORDER BY l_orderkey, l_linenumber, r_regionkey""",
+    // no DISTINCT: anchor-cell dedup emits each qualifying (row, region)
+    // pair exactly once, so the full join multiset is the oracle
     "q19_spatial_join_grid" -> s"""
-      SELECT DISTINCT l_orderkey * 10 + l_linenumber AS lkey, r_regionkey
+      SELECT l_orderkey * 10 + l_linenumber AS lkey, r_regionkey
       FROM lineitem JOIN region
         ON (l_orderkey % 100) BETWEEN r_regionkey * 20 AND r_regionkey * 20 + 20
       ORDER BY lkey, r_regionkey""",

@@ -72,6 +72,7 @@ object GeoFunctions {
     "vec_dot" -> { es => arity("vec_dot", es, 2); VecDot(es.head, es(1)) },
     "vec_norm" -> { es => arity("vec_norm", es, 1); VecNorm(es.head) },
     "vec_lsh_sig" -> { es => arity("vec_lsh_sig", es, 3); VecLshSig(es.head, es(1), es(2)) },
+    "vec_lsh_probes" -> { es => arity("vec_lsh_probes", es, 4); VecLshProbes(es) },
     "vec_nearest_centroid" -> { es =>
       arity("vec_nearest_centroid", es, 2); VecNearestCentroid(es.head, es(1)) })
 
@@ -139,6 +140,12 @@ object GeoFunctions {
   def vec_norm(a: Column): Column = c(VecNorm(x(a)))
   def vec_lsh_sig(a: Column, nPlanes: Column, seed: Column): Column =
     c(VecLshSig(x(a), x(nPlanes), x(seed)))
+  def vec_lsh_probes(a: Column, nPlanes: Column, seed: Column, nProbe: Column): Column =
+    c(VecLshProbes(Seq(x(a), x(nPlanes), x(seed), x(nProbe))))
   def vec_nearest_centroid(a: Column, centroids: Column): Column =
     c(VecNearestCentroid(x(a), x(centroids)))
+  def grid_cells(g: Column, cellSize: Double, expand: Double): Column =
+    c(GridCells(x(g), Literal(cellSize), Literal(expand)))
+  def grid_anchor_cell(a: Column, b: Column, cellSize: Double, expand: Double): Column =
+    c(GridAnchorCell(Seq(x(a), x(b), Literal(cellSize), Literal(expand))))
 }

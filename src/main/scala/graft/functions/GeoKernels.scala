@@ -428,9 +428,12 @@ object GeoKernels {
     if (c == null) null else java.lang.Double.valueOf(c.y)
   }
 
-  /** Allocation-free hot path: check emptiness (cache hit — the geometry
-    * is already decoded), then read the primitive coordinate. */
+  /** Allocation-free hot path: check the coordinate exists (cache hit —
+    * the geometry is already decoded), then read the primitive value.
+    * `getCoordinate == null` covers empty geometries AND non-empty
+    * collections whose first component is empty, matching x()/y(). */
   def isEmptyGeom(tagged: Array[Byte]): Boolean = geom(tagged).isEmpty
+  def coordMissing(tagged: Array[Byte]): Boolean = geom(tagged).getCoordinate == null
   def xPrim(tagged: Array[Byte]): Double = geom(tagged).getCoordinate.x
   def yPrim(tagged: Array[Byte]): Double = geom(tagged).getCoordinate.y
 }

@@ -68,18 +68,64 @@ object VecKernels {
     var sig = 0L
     var p = 0
     while (p < nPlanes) {
-      var dot = 0.0
-      var i = 0
-      while (i < n) {
-        // component ~ uniform in [-1, 1) derived from (seed, plane, dim)
-        val h = TextKernels.splitmix64(seed + p.toLong * 1000003L + i)
-        val comp = (h >> 11).toDouble / (1L << 52).toDouble // [-1, 1)
-        dot += a.getFloat(i).toDouble * comp
-        i += 1
-      }
-      if (dot >= 0) sig |= (1L << p)
+      if (planeDot(a, p, seed) >= 0) sig |= (1L << p)
       p += 1
     }
     sig
+  }
+
+  private def planeDot(a: ArrayData, plane: Int, seed: Long): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      // component ~ uniform in [-1, 1) derived from (seed, plane, dim)
+      val h = TextKernels.splitmix64(seed + plane.toLong * 1000003L + i)
+      val comp = (h >> 11).toDouble / (1L << 52).toDouble // [-1, 1)
+      dot += a.getFloat(i).toDouble * comp
+      i += 1
+    }
+    dot
+  }
+
+  /** Margin-aware multi-probe bucket sequence (Lv et al., "Multi-Probe
+    * LSH", VLDB'07): the query's exact bucket followed by buckets obtained
+    * by flipping SUBSETS of the planes with the smallest |margin| — the
+    * planes a true near neighbor is most likely to land on the other side
+    * of. Probes are ordered by total flipped margin, so the first `nProbe`
+    * are the highest-probability buckets. Returns `min(nProbe + 1, 2^m)`
+    * bucket keys (m = min(nPlanes, 12) candidate flip planes).
+    *
+    * Only the (small) query side pays this cost; the corpus side computes
+    * just its own [[hyperplaneSig]] bucket. */
+  def hyperplaneProbes(a: ArrayData, nPlanes: Int, seed: Long, nProbe: Int): Array[Long] = {
+    val dots = new Array[Double](nPlanes)
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val d = planeDot(a, p, seed)
+      dots(p) = d
+      if (d >= 0) sig |= (1L << p)
+      p += 1
+    }
+    val m = math.min(nPlanes, 12) // subset enumeration stays bounded (4096)
+    val order = Array.range(0, nPlanes).sortBy(i => math.abs(dots(i))).take(m)
+    val nSubsets = 1 << m
+    // score of a subset = sum of flipped |margins|; enumerate and keep the
+    // cheapest nProbe+1 (subset 0 = the exact bucket, score 0)
+    val scored = new Array[(Double, Long)](nSubsets)
+    var s = 0
+    while (s < nSubsets) {
+      var score = 0.0
+      var mask = 0L
+      var b = 0
+      while (b < m) {
+        if (((s >> b) & 1) == 1) { score += math.abs(dots(order(b))); mask |= (1L << order(b)) }
+        b += 1
+      }
+      scored(s) = (score, sig ^ mask)
+      s += 1
+    }
+    scored.sortBy(_._1).take(math.min(nProbe + 1, nSubsets)).map(_._2)
   }
 }

@@ -38,21 +38,20 @@ object Ann {
   }
 
   /** LSH-bucketed approximate top-k: candidates share the query's
-    * hyperplane signature on at least one probe (the exact bucket plus
-    * `nProbe` single-bit flips), then exact cosine ranks within the
-    * candidate set. Recall grows with nProbe; cost stays ~bucket-sized. */
+    * hyperplane signature on at least one probe — the exact bucket plus
+    * `nProbe` margin-aware multi-probe buckets (subsets of the
+    * lowest-|margin| planes flipped, ordered by collision probability —
+    * Lv et al., VLDB'07). Exact cosine then ranks within the candidate
+    * set. Recall grows with nProbe; cost stays ~bucket-sized, and only
+    * the small query side pays the probe enumeration. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nPlanes: Int = 12, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    val sig = (v: String) => vec_lsh_sig(col(v), lit(nPlanes), lit(seed))
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("cv"),
-      sig("embedding").as("bucket"))
-    // each query probes its own bucket + nProbe 1-bit-flip neighbors
-    val probes = array((0 until (nProbe + 1)).map { p =>
-      if (p == 0) sig("embedding")
-      else sig("embedding").bitwiseXOR(lit(1L << (p - 1)))
-    }: _*)
+      vec_lsh_sig(col("embedding"), lit(nPlanes), lit(seed)).as("bucket"))
     val q = broadcast(queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), explode(probes).as("bucket")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        explode(vec_lsh_probes(col("embedding"), lit(nPlanes), lit(seed), lit(nProbe)))
+          .as("bucket")))
     val scored = q.join(c, Seq("bucket"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), vec_cosine(col("qv"), col("cv")).as("cos"))
@@ -64,14 +63,16 @@ object Ann {
 
   /** Train IVF coarse centroids: Lloyd iterations (cosine assignment,
     * mean update) on a bounded sample pulled to the driver — the standard
-    * IVF recipe; at 100 TB the sample fraction shrinks, the k and iteration
-    * count don't. Deterministic: seeded sample, seeded init. */
+    * IVF recipe; at 100 TB the sample size holds while the corpus grows,
+    * and the k and iteration count don't change. The sample is a single
+    * early-stopping `limit` pass (CollectLimit reads only the partitions
+    * it needs — no count() pre-pass over the corpus); if ingest order is
+    * clustered, pre-shuffle or pre-sample the corpus before training.
+    * Deterministic for a fixed corpus layout: seeded init, stable limit. */
   def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5,
       maxSample: Int = 20000, seed: Long = 42L,
       vecCol: String = "embedding"): Array[Array[Float]] = {
-    val n = corpus.count()
-    val fraction = math.min(1.0, maxSample.toDouble / math.max(1L, n))
-    val sample = corpus.select(col(vecCol)).sample(withReplacement = false, fraction, seed)
+    val sample = corpus.select(col(vecCol)).limit(maxSample)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
     var cents = Array.tabulate(nlist)(i => sample(i * (sample.length / nlist)).clone())
@@ -110,19 +111,54 @@ object Ann {
     best
   }
 
-  /** IVF top-k: corpus rows are assigned to their nearest centroid's
-    * inverted list (a codegen'd expression over the folded centroid
-    * literal — a map-only pass); each query scans only its `nProbe`
-    * closest lists. The corpus-side assignment is computed once and can be
-    * persisted/bucketed by `list` for repeated query batches. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nProbe: Int = 4, iters: Int = 5, seed: Long = 42L): DataFrame = {
+  /** A built IVF index: trained coarse centroids plus the corpus with its
+    * inverted-list assignment (`nid`, `cv`, `list`). */
+  final case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame)
+
+  /** Assign every corpus row to its nearest centroid's inverted list — a
+    * codegen'd expression over the folded centroid literal, one map-only
+    * pass over the corpus. */
+  def buildIvf(corpus: DataFrame, nlist: Int = 16, iters: Int = 5,
+      seed: Long = 42L): IvfIndex = {
     val cents = trainCentroids(corpus, nlist, iters, seed = seed)
     val centLit = typedLit(cents.map(_.toSeq).toSeq)
-    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("cv"),
-      vec_nearest_centroid(col("embedding"), centLit).as("list"))
-    // per-query probe lists: nProbe best centroids, computed driver-side? —
-    // no: same expression, exploded over a literal range, stays distributed
+    IvfIndex(cents, corpus.select(col("vec_id").as("nid"), col("embedding").as("cv"),
+      vec_nearest_centroid(col("embedding"), centLit).as("list")))
+  }
+
+  /** Persist a built index as parquet PARTITIONED BY inverted list, plus a
+    * centroid sidecar — the "build once, query many" shape a training
+    * pipeline actually runs: a later [[readIvfIndex]] + [[ivfSearch]]
+    * reads ONLY the probed list directories (partition pruning), skipping
+    * the rest of the corpus entirely. */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("list").parquet(path)
+    val json = index.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val p = new org.apache.hadoop.fs.Path(path, "_ivf_centroids.json")
+    val fs = p.getFileSystem(index.assigned.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val p = new org.apache.hadoop.fs.Path(path, "_ivf_centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val cents = json.stripPrefix("[").stripSuffix("]").split("\\],\\[")
+      .map(_.stripPrefix("[").stripSuffix("]").split(',').map(_.toFloat))
+    IvfIndex(cents, spark.read.parquet(path))
+  }
+
+  /** Search a built index: each query scores the centroid literals (tiny,
+    * driver-free), probes its `nProbe` best lists, and exact cosine ranks
+    * within the probed candidates. On a [[readIvfIndex]]-loaded index the
+    * `list` filter prunes to the probed partition directories. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val cents = index.centroids
+    val nlist = cents.length
     val q = broadcast(queries
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("scored", array((0 until nlist).map { i =>
@@ -131,7 +167,7 @@ object Ann {
       .withColumn("probe", slice(reverse(array_sort(col("scored"))), 1, nProbe))
       .withColumn("p", explode(col("probe")))
       .select(col("qid"), col("qv"), col("p.list").as("list")))
-    val scored = q.join(c, Seq("list"))
+    val scored = q.join(index.assigned, Seq("list"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), vec_cosine(col("qv"), col("cv")).as("cos"))
       .dropDuplicates("qid", "nid")
@@ -139,6 +175,13 @@ object Ann {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select("qid", "nid", "rnk")
   }
+
+  /** IVF top-k in one shot: build (train + assign, a map-only corpus
+    * pass) then search. For repeated query batches, [[buildIvf]] +
+    * [[writeIvfIndex]] once and [[ivfSearch]] per batch instead. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nProbe: Int = 4, iters: Int = 5, seed: Long = 42L): DataFrame =
+    ivfSearch(buildIvf(corpus, nlist, iters, seed), queries, k, nProbe)
 
   /** Recall of an approximate result against the exact one: fraction of
     * (qid, nid) pairs recovered. Both inputs shaped (qid, nid, rnk). */

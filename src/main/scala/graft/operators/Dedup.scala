@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *    shuffles once on the bucket key, and self-joins only WITHIN buckets
   *    — candidate generation is linear in Σ bucket² instead of n². Bucket
   *    keys are 64-bit hashes of 4-row signature slices; huge buckets
-  *    (degenerate content) can be capped upstream by filtering
-  *    `count > maxBucket`.
+  *    (degenerate content) are dropped by the `maxBucket` cap in
+  *    [[minhashCandidates]], bounding the worst case at
+  *    O(bands · maxBucket²) pairs.
   *  - SimHash near-dup uses band-rotation on the 64-bit hash (4×16-bit
   *    bands): pairs within Hamming distance <= 3 share at least one band,
   *    so the same bucket-join pattern applies.
@@ -49,10 +50,23 @@ object Dedup {
 
   /** Candidate near-duplicate pairs from LSH bucket collisions (distinct
     * across bands). One shuffle on (band, bucket); joins happen only
-    * within buckets. */
+    * within buckets.
+    *
+    * `maxBucket` caps the self-join blow-up on degenerate corpora
+    * (boilerplate, near-empty docs): a (band, bucket) group larger than
+    * the cap is dropped from candidate generation for that band. Recall
+    * is preserved in practice because a true near-dup pair collides in
+    * MANY bands, and a bucket that huge means the pair is also discovered
+    * by exact dedup upstream. The cap bounds the worst case at
+    * O(bands · maxBucket²) pairs instead of O(n²). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 10000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
     val b = minhashBuckets(df, idCol, textCol, numHashes, bands)
+      .withColumn("__bsize", count(lit(1)).over(w))
+      .where(col("__bsize") <= maxBucket)
+      .drop("__bsize")
     b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
@@ -60,21 +74,48 @@ object Dedup {
       .distinct()
   }
 
-  /** LSH candidates refined by exact token-set Jaccard >= threshold.
+  /** (band, bucket, size) for buckets over the cap — the observability
+    * companion to [[minhashCandidates]]'s drop: run it to log what a cap
+    * setting would discard before committing to it. */
+  def oversizedBuckets(df: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int, numHashes: Int = 64, bands: Int = 16): DataFrame =
+    minhashBuckets(df, idCol, textCol, numHashes, bands)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("size"))
+      .where(col("size") > maxBucket)
+
+  /** Distinct 3-token shingle strings — the string twin of the hashed
+    * shingle universe MinHash signatures are computed over, so an exact
+    * Jaccard on these matches what the signature estimates. Documents
+    * shorter than 3 tokens collapse to one whole-text shingle, mirroring
+    * TextKernels.shingleHashes. */
+  private def shingleSet(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
+      .otherwise(array(text))
+  }
+
+  /** LSH candidates refined by an exact set Jaccard >= threshold —
+    * token sets by default, 3-token shingle sets when `refineOnShingles`
+    * (the faithful choice: MinHash signatures estimate SHINGLE Jaccard).
     * The refine join touches only candidate ids — at scale, broadcast the
     * (usually small) candidate set against the corpus. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands)
-    val toks = df.select(col(idCol).as("doc"),
-      array_distinct(split(col(textCol), " ")).as("toks"))
+      threshold: Double, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 10000, refineOnShingles: Boolean = false): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, maxBucket)
+    val sets = if (refineOnShingles) shingleSet(col(textCol))
+      else array_distinct(split(col(textCol), " "))
+    val toks = df.select(col(idCol).as("doc"), sets.as("toks"))
     cands
       .join(toks.withColumnRenamed("doc", "ida").withColumnRenamed("toks", "ta"), "ida")
       .join(toks.withColumnRenamed("doc", "idb").withColumnRenamed("toks", "tb"), "idb")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
       .where(col("inter").cast("double") / col("uni") >= threshold)
-      .select(col("ida"), col("idb"),
+      .select(col("ida"), col("idb"), col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 

@@ -94,11 +94,31 @@ object SpatialJoin {
     }(outEncoder)
   }
 
+  /** Tree item carrying the decoded geometry so nearest-neighbour search
+    * can rank by TRUE geometry distance, not envelope distance. */
+  private final class GeomItem(val geom: org.locationtech.jts.geom.Geometry,
+      val idx: Int) extends Serializable
+
+  /** True-geometry distance for STRtree branch-and-bound: JTS prunes with
+    * envelope distance (a valid lower bound of this) internally, so the
+    * k-nearest result is EXACT for arbitrary geometries — no over-fetch
+    * cushion needed. */
+  private object GeomItemDistance
+      extends org.locationtech.jts.index.strtree.ItemDistance with Serializable {
+    override def distance(a: org.locationtech.jts.index.strtree.ItemBoundable,
+        b: org.locationtech.jts.index.strtree.ItemBoundable): Double =
+      a.getItem.asInstanceOf[GeomItem].geom.distance(
+        b.getItem.asInstanceOf[GeomItem].geom)
+  }
+
   /** KNN join: for every left row, the k nearest right geometries
-    * (cartesian distance). The right side is broadcast as an STRtree and
-    * queried with JTS's branch-and-bound nearest-neighbour; results are
-    * re-ranked with a deterministic (distance, index) tie-break. Map-only
-    * over the left side, like [[broadcastJoin]]. Output: left columns ++
+    * (cartesian distance). The right side is broadcast as an STRtree whose
+    * items hold the decoded geometries; JTS's branch-and-bound
+    * nearest-neighbour with a true-geometry ItemDistance is exact for any
+    * geometry type (envelope distance is only the internal pruning bound).
+    * Results get a deterministic (distance, build-index) tie-break. Ties
+    * at the k-th distance keep the lowest build index. Map-only over the
+    * left side, like [[broadcastJoin]]. Output: left columns ++
     * right columns ++ (knn_rank, knn_distance). */
   def knnJoin(left: DataFrame, leftGeom: String,
       right: DataFrame, rightGeom: String, k: Int): DataFrame = {
@@ -109,8 +129,9 @@ object SpatialJoin {
     rightRows.zipWithIndex.foreach { case (row, i) =>
       val bytes = row.getAs[Array[Byte]](rightGeomIdx)
       if (bytes != null) {
-        val env = GeoKernels.geom(bytes).getEnvelopeInternal
-        if (!env.isNull) tree.insert(env, Integer.valueOf(i))
+        val g = GeoKernels.geom(bytes)
+        val env = g.getEnvelopeInternal
+        if (!env.isNull) tree.insert(env, new GeomItem(g, i))
       }
     }
     tree.build()
@@ -121,15 +142,6 @@ object SpatialJoin {
       org.apache.spark.sql.types.StructField("knn_rank", org.apache.spark.sql.types.IntegerType, false),
       org.apache.spark.sql.types.StructField("knn_distance", org.apache.spark.sql.types.DoubleType, false)))
     val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
-
-    val itemDist = new org.locationtech.jts.index.strtree.ItemDistance with Serializable {
-      override def distance(a: org.locationtech.jts.index.strtree.ItemBoundable,
-          b: org.locationtech.jts.index.strtree.ItemBoundable): Double = {
-        val ga = a.getBounds.asInstanceOf[org.locationtech.jts.geom.Envelope]
-        val gb = b.getBounds.asInstanceOf[org.locationtech.jts.geom.Envelope]
-        ga.distance(gb)
-      }
-    }
 
     left.mapPartitions { rows =>
       val t = bcTree.value
@@ -142,18 +154,11 @@ object SpatialJoin {
           val env = g.getEnvelopeInternal
           if (env.isNull) Iterator.empty // empty geometry: no neighbors
           else {
-            // over-fetch then exact re-rank: envelope distance is exact for
-            // points and a lower bound otherwise; the 2k cushion plus exact
-            // re-sort makes ranks correct whenever geometry extents are
-            // small relative to neighbor spacing
-            val fetched = t.nearestNeighbour(env, Integer.valueOf(-1), itemDist,
-              math.min(2 * k, rrows.length))
+            val fetched = t.nearestNeighbour(env, new GeomItem(g, -1),
+              GeomItemDistance, math.min(k, t.size()))
             val ranked = fetched.iterator.collect {
-              case i: Integer if i.intValue() >= 0 =>
-                val rrow = rrows(i.intValue())
-                val rg = GeoKernels.geom(rrow.getAs[Array[Byte]](rightGeomIdx))
-                (g.distance(rg), i.intValue())
-            }.toArray.sortBy(identity).take(k)
+              case it: GeomItem if it.idx >= 0 => (g.distance(it.geom), it.idx)
+            }.toArray.sortBy(identity)
             ranked.iterator.zipWithIndex.map { case ((d, i), rank) =>
               // Seq[Any]: a bare Seq(int, double) would widen the rank to Double
               Row.fromSeq(lrow.toSeq ++ rrows(i).toSeq ++ Seq[Any](rank + 1, d))
@@ -165,37 +170,34 @@ object SpatialJoin {
   }
 
   /** Grid-partitioned spatial join for two large sides: equi-join on
-    * covering cells, exact refine, distinct on the provided keys. Sides
-    * are renamed internally, so identical column names on both inputs are
-    * fine; output columns keep the caller's key names (which must differ). */
-  def gridJoin(left: DataFrame, leftGeom: String, leftKey: String,
-      right: DataFrame, rightGeom: String, rightKey: String,
+    * covering cells (one shuffle keyed by cell), exact refine, and
+    * anchor-cell dedup — each qualifying (left, right) pair survives only
+    * in the canonical first shared cell, so multi-cell matches need no
+    * `distinct()` and ALL columns of both sides flow through. The anchor
+    * conjunct (a long comparison) runs before the exact JTS predicate, so
+    * duplicate cell-pairs are discarded cheaply. Column names must be
+    * distinct across the two inputs. Same technique as the Catalyst rule
+    * in `SpatialJoinRewrite` — this is the explicit DataFrame-API twin. */
+  def gridJoin(left: DataFrame, leftGeom: String,
+      right: DataFrame, rightGeom: String,
       cellSize: Double, predicate: String = "intersects"): DataFrame = {
-    require(leftKey != rightKey, "output key columns must have distinct names")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column names must be distinct across sides: $overlap")
     GeoFunctions.register(left.sparkSession)
-    def cells(df: DataFrame, key: String, geom: String, side: String): DataFrame =
-      df.select(col(key).as(s"__${side}key"), col(geom).as(s"__${side}geom"))
-        .withColumn("__bb", expr(s"box2d(__${side}geom)"))
-        .withColumn("__cell", explode(expr(
-          s"""flatten(transform(
-                sequence(CAST(floor(__bb.xmin / $cellSize) AS INT),
-                         CAST(floor(__bb.xmax / $cellSize) AS INT)),
-                cx -> transform(
-                  sequence(CAST(floor(__bb.ymin / $cellSize) AS INT),
-                           CAST(floor(__bb.ymax / $cellSize) AS INT)),
-                  cy -> struct(cx, cy))))""")))
-        .drop("__bb")
-    val l = cells(left, leftKey, leftGeom, "l")
-    val r = cells(right, rightKey, rightGeom, "r")
+    val l = left.withColumn("__cell_l",
+      explode(GeoFunctions.grid_cells(col(leftGeom), cellSize, 0.0)))
+    val r = right.withColumn("__cell_r",
+      explode(GeoFunctions.grid_cells(col(rightGeom), cellSize, 0.0)))
     val predCol: Column = predicate match {
-      case "intersects" => GeoFunctions.st_intersects(col("__lgeom"), col("__rgeom"))
-      case "covers"     => GeoFunctions.st_covers(col("__lgeom"), col("__rgeom"))
-      case "coveredby"  => GeoFunctions.st_coveredby(col("__lgeom"), col("__rgeom"))
+      case "intersects" => GeoFunctions.st_intersects(col(leftGeom), col(rightGeom))
+      case "covers"     => GeoFunctions.st_covers(col(leftGeom), col(rightGeom))
+      case "coveredby"  => GeoFunctions.st_coveredby(col(leftGeom), col(rightGeom))
       case other => throw new IllegalArgumentException(s"unsupported predicate: $other")
     }
-    l.join(r, l("__cell") === r("__cell"))
-      .where(predCol)
-      .select(col("__lkey").as(leftKey), col("__rkey").as(rightKey))
-      .distinct()
+    val anchor = col("__cell_l") ===
+      GeoFunctions.grid_anchor_cell(col(leftGeom), col(rightGeom), cellSize, 0.0)
+    l.join(r, col("__cell_l") === col("__cell_r"))
+      .where(anchor && predCol)
+      .drop("__cell_l", "__cell_r")
   }
 }

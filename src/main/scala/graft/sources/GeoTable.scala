@@ -67,7 +67,7 @@ object GeoTable {
         sane(r.getDouble(1), -Double.MaxValue), sane(r.getDouble(2), -Double.MaxValue),
         sane(r.getDouble(3), Double.MaxValue), sane(r.getDouble(4), Double.MaxValue)))
     val json = boxes.map { b =>
-      s"""{"file": "${b.file}", "xmin": ${b.xmin}, "ymin": ${b.ymin},""" +
+      s"""{"file": "${escape(b.file)}", "xmin": ${b.xmin}, "ymin": ${b.ymin},""" +
         s""" "xmax": ${b.xmax}, "ymax": ${b.ymax}}"""
     }.mkString("[", ",\n ", "]")
     writeString(spark, sidecarPath(path), json)
@@ -92,35 +92,49 @@ object GeoTable {
     finally out.close()
   }
 
+  // an unreadable sidecar (checksum mismatch, permission, truncation) must
+  // degrade to "no sidecar" — pruning is an optimization, never a gate
   private def readString(spark: SparkSession,
-      p: org.apache.hadoop.fs.Path): Option[String] = {
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally in.close()
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      }
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[GeoTable] sidecar $p unreadable (${e.getMessage}); full read")
+        None
     }
-  }
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
   /** Read only the files whose bbox intersects the query envelope —
     * file-level spatial pruning off the sidecar. Falls back to a full
-    * read when the sidecar is absent. */
+    * read when the sidecar is absent OR unparseable: pruning is an
+    * optimization and must never silently drop data, so a sidecar that
+    * exists but yields zero entries without being the literal empty list
+    * is treated as corrupt. */
   def readIntersecting(spark: SparkSession, path: String,
       xmin: Double, ymin: Double, xmax: Double, ymax: Double): DataFrame =
     readString(spark, sidecarPath(path)) match {
       case None => read(spark, path)
       case Some(json) =>
-        val files = parseSidecar(json)
-          .filter(b => b.xmin <= xmax && b.xmax >= xmin && b.ymin <= ymax && b.ymax >= ymin)
-          .map(_.file)
-        if (files.isEmpty)
-          spark.read.parquet(path).limit(0) // keep the schema, read nothing
-        else spark.read.parquet(files: _*)
+        val entries = parseSidecar(json)
+        if (entries.isEmpty && json.trim != "[]") read(spark, path) // corrupt sidecar
+        else {
+          val files = entries
+            .filter(b => b.xmin <= xmax && b.xmax >= xmin && b.ymin <= ymax && b.ymax >= ymin)
+            .map(_.file)
+          if (files.isEmpty)
+            spark.read.parquet(path).limit(0) // keep the schema, read nothing
+          else spark.read.parquet(files: _*)
+        }
     }
 
   /** How many files the envelope touches vs total — exposed so callers
@@ -134,11 +148,37 @@ object GeoTable {
   }
 
   // sidecar format is our own single-level JSON — a 20-line parser beats a
-  // dependency (zero-egress build: no JSON library available anyway)
+  // dependency (zero-egress build: no JSON library available anyway).
+  // Paths are escaped on write and unescaped here, so quotes/backslashes
+  // in file names round-trip instead of corrupting the sidecar.
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def unescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case e => out += e; i += 2
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
   private def parseSidecar(json: String): Seq[FileBox] = {
-    val entry = """\{"file": "([^"]+)", "xmin": ([-0-9.eE]+), "ymin": ([-0-9.eE]+), "xmax": ([-0-9.eE]+), "ymax": ([-0-9.eE]+)\}""".r
+    val entry = """\{"file": "((?:[^"\\]|\\.)*)", "xmin": ([-0-9.eE]+), "ymin": ([-0-9.eE]+), "xmax": ([-0-9.eE]+), "ymax": ([-0-9.eE]+)\}""".r
     entry.findAllMatchIn(json).map { m =>
-      FileBox(m.group(1), m.group(2).toDouble, m.group(3).toDouble,
+      FileBox(unescape(m.group(1)), m.group(2).toDouble, m.group(3).toDouble,
         m.group(4).toDouble, m.group(5).toDouble)
     }.toSeq
   }

@@ -11,19 +11,21 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.locationtech.jts.index.strtree.STRtree
 
-/** Physical broadcast spatial join: the build (right) side is collected,
-  * bulk-loaded into a JTS STRtree, and broadcast; the streamed (left)
-  * side probes bbox candidates and refines with the exact predicate —
-  * a map-only join, no shuffle of the streamed side.
+/** Physical broadcast spatial join: the build side (right by default, left
+  * when `buildRight` is false) is collected, bulk-loaded into a JTS
+  * STRtree, and broadcast; the streamed side probes bbox candidates and
+  * refines with the exact predicate — a map-only join, no shuffle of the
+  * streamed side. Output column order is always left ++ right regardless
+  * of which side builds.
   *
   * This is the physical twin of [[graft.operators.SpatialJoin.broadcastJoin]]
-  * planned automatically by [[SpatialJoinStrategy]] whenever the build side
+  * planned automatically by [[SpatialJoinStrategy]] whenever either side
   * fits under the broadcast threshold (dimension tables, region polygons,
   * tile grids — the common shape at 100 TB).
   */
 case class BroadcastSpatialJoinExec(left: SparkPlan, right: SparkPlan,
     leftGeom: Expression, rightGeom: Expression, extraCond: Option[Expression],
-    probeExpand: Double = 0.0)
+    probeExpand: Double = 0.0, buildRight: Boolean = true)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -32,12 +34,14 @@ case class BroadcastSpatialJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = l, right = r)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val rightRows = right.executeCollect().map(_.copy())
-    val rgBound = BindReferences.bindReference(rightGeom, right.output)
+    val (build, stream) = if (buildRight) (right, left) else (left, right)
+    val (buildGeom, streamGeom) = if (buildRight) (rightGeom, leftGeom) else (leftGeom, rightGeom)
+    val buildRows = build.executeCollect().map(_.copy())
+    val bgBound = BindReferences.bindReference(buildGeom, build.output)
     val tree = new STRtree()
     var i = 0
-    while (i < rightRows.length) {
-      val bytes = rgBound.eval(rightRows(i))
+    while (i < buildRows.length) {
+      val bytes = bgBound.eval(buildRows(i))
       if (bytes != null) {
         val env = GeoKernels.geom(bytes.asInstanceOf[Array[Byte]]).getEnvelopeInternal
         if (!env.isNull) tree.insert(env, Integer.valueOf(i))
@@ -45,28 +49,32 @@ case class BroadcastSpatialJoinExec(left: SparkPlan, right: SparkPlan,
       i += 1
     }
     tree.build()
-    val bc = sparkContext.broadcast((tree, rightRows))
-    val lgBound = BindReferences.bindReference(leftGeom, left.output)
+    val bc = sparkContext.broadcast((tree, buildRows))
+    val sgBound = BindReferences.bindReference(streamGeom, stream.output)
     val condBound = extraCond.map(BindReferences.bindReference(_, output))
+    val br = buildRight
 
-    left.execute().mapPartitionsInternal { iter =>
-      val (t, rrows) = bc.value
+    stream.execute().mapPartitionsInternal { iter =>
+      val (t, brows) = bc.value
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(output, output)
-      iter.flatMap { lrow =>
-        val bytes = lgBound.eval(lrow)
+      iter.flatMap { srow =>
+        val bytes = sgBound.eval(srow)
         if (bytes == null) Iterator.empty
         else {
           val g = GeoKernels.geom(bytes.asInstanceOf[Array[Byte]])
           val env = new org.locationtech.jts.geom.Envelope(g.getEnvelopeInternal)
+          // the dwithin bbox expansion is symmetric, so expanding the
+          // streamed probe envelope is sound for either build side
           if (probeExpand > 0) env.expandBy(probeExpand)
           val cands = t.query(env)
           val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
           val it = cands.iterator()
           while (it.hasNext) {
             val idx = it.next().asInstanceOf[Integer].intValue()
-            val rrow = rrows(idx)
-            val jr = joined(lrow, rrow)
+            val brow = brows(idx)
+            // output order is left ++ right whichever side streams
+            val jr = if (br) joined(srow, brow) else joined(brow, srow)
             // bbox probe was only the prefilter; the bound condition holds
             // the exact spatial predicate plus any extra conjuncts
             if (condBound.forall(c => c.eval(jr) == true))
@@ -80,9 +88,10 @@ case class BroadcastSpatialJoinExec(left: SparkPlan, right: SparkPlan,
 }
 
 /** Plans [[BroadcastSpatialJoinExec]] for Inner joins whose condition
-  * carries an ST_Intersects between the two sides and whose right side
-  * fits under `spark.sql.autoBroadcastJoinThreshold`. Bigger joins are
-  * left to [[SpatialJoinRewrite]]'s grid partitioning. */
+  * carries an ST_Intersects between the two sides and where EITHER side
+  * fits under `spark.sql.autoBroadcastJoinThreshold` (the smaller
+  * broadcastable side builds the STRtree; the other streams map-only).
+  * Bigger joins are left to [[SpatialJoinRewrite]]'s grid partitioning. */
 class SpatialJoinStrategy(spark: SparkSession)
     extends org.apache.spark.sql.execution.SparkStrategy {
 
@@ -101,12 +110,17 @@ class SpatialJoinStrategy(spark: SparkSession)
             if lg.references.subsetOf(left.outputSet) &&
                rg.references.subsetOf(right.outputSet) => (p, lg, rg, ex)
       } match {
-        case Some((_, lg, rg, expand)) if buildable(right) =>
+        case Some((_, lg, rg, expand)) if buildable(right) || buildable(left) =>
           // the STRtree bbox probe is only a prefilter: the FULL condition
           // (spatial predicate included) is evaluated on each candidate
-          // pair, so any bbox-implying predicate plans here soundly
+          // pair, so any bbox-implying predicate plans here soundly.
+          // Build on the smaller broadcastable side; output stays l ++ r.
+          val buildRight =
+            if (!buildable(left)) true
+            else if (!buildable(right)) false
+            else right.stats.sizeInBytes <= left.stats.sizeInBytes
           BroadcastSpatialJoinExec(planLater(left), planLater(right), lg, rg,
-            Some(cond), expand) :: Nil
+            Some(cond), expand, buildRight) :: Nil
         case _ => Nil
       }
     case _ => Nil

@@ -230,11 +230,13 @@ abstract class GeoUnaryCoord extends UnaryExpression with GeoExpression
     val v = apply(g.asInstanceOf[Array[Byte]])
     if (v == null) null else v.doubleValue()
   }
-  // allocation-free: emptiness check hits the decode cache, the primitive
-  // read allocates nothing on the (overwhelmingly common) non-empty path
+  // allocation-free: the missing-coordinate check hits the decode cache and
+  // mirrors the interpreted kernel's null contract exactly (a non-empty
+  // GEOMETRYCOLLECTION whose first component is empty has isEmpty=false but
+  // a null first coordinate — checking isEmpty alone would NPE here)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, g => s"""
-      if (${GeoExpr.K}.isEmptyGeom($g)) { ${ev.isNull} = true; }
+      if (${GeoExpr.K}.coordMissing($g)) { ${ev.isNull} = true; }
       else { ${ev.value} = ${GeoExpr.K}.${kernel}Prim($g); }""")
 }
 

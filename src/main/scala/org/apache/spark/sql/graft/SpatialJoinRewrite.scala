@@ -126,7 +126,8 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     val cellSize = conf.getConfString("spark.graft.spatialJoin.cellSize", "10.0").toDouble
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), _)
-          if j.resolved && !alreadyRewritten(left, right) && !broadcastable(right) =>
+          if j.resolved && !alreadyRewritten(left, right) &&
+            !broadcastable(right) && !broadcastable(left) =>
         val conjuncts = splitConjunctivePredicates(cond)
         if (BboxPredicate.hasEquiJoinKey(conjuncts, left, right)) j
         else conjuncts.collectFirst {
@@ -147,9 +148,9 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
 
   private def alreadyRewritten(left: LogicalPlan, right: LogicalPlan): Boolean =
     // covers both this rule's __gcell_* attrs and operators.SpatialJoin's
-    // __cell column — predicate pushdown can re-expose either shape
+    // __cell_l/__cell_r columns — predicate pushdown can re-expose either
     (left.output ++ right.output).exists(a =>
-      a.name.startsWith("__gcell") || a.name == "__cell")
+      a.name.startsWith("__gcell") || a.name.startsWith("__cell"))
 
   private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjunctivePredicates(a) ++ splitConjunctivePredicates(b)
@@ -181,7 +182,9 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     val joined = Join(genL, genR, Inner, Some(EqualTo(cellL, cellR)), JoinHint.NONE)
     val anchor = EqualTo(cellL,
       GridAnchorCell(Seq(lg, rg, Literal(cellSize), Literal(expand))))
-    val filtered = Filter((Seq(pred, anchor) ++ rest).reduce(And), joined)
+    // anchor first: the cheap long comparison discards duplicate cell-pairs
+    // before the exact JTS predicate (and any other conjuncts) runs
+    val filtered = Filter((Seq(anchor, pred) ++ rest).reduce(And), joined)
     Project(j.output, filtered)
   }
 

@@ -143,6 +143,42 @@ case class VecNearestCentroid(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** vec_lsh_probes(a, nPlanes, seed, nProbe) → margin-aware multi-probe
+  * bucket sequence (exact bucket + nProbe lowest-margin flips), ordered by
+  * collision probability. Query-side companion of [[VecLshSig]]. */
+case class VecLshProbes(children: Seq[Expression])
+    extends Expression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TextVecExpr.floatArray, IntegerType, LongType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "vec_lsh_probes"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else new GenericArrayData(VecKernels.hyperplaneProbes(
+      vs(0).asInstanceOf[ArrayData], vs(1).asInstanceOf[Int],
+      vs(2).asInstanceOf[Long], vs(3).asInstanceOf[Int]))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(e => e.isNull.toString).mkString(" || ")
+    val childCode = evs.map(_.code.toString).mkString("\n")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code = code"""
+      $childCode
+      boolean ${ev.isNull} = $anyNull;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          ${TextVecExpr.VK}.hyperplaneProbes(${evs(0).value}, ${evs(1).value},
+            ${evs(2).value}, ${evs(3).value}));
+      }""")
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]) =
+    copy(children = newChildren)
+}
+
 /** vec_lsh_sig(a, nPlanes, seed) → random-hyperplane sign bits (LSH bucket). */
 case class VecLshSig(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {

@@ -47,4 +47,19 @@ class GeoTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.count() == 0)
     assert(none.columns.toSeq == Seq("id", "geom"))
   }
+
+  test("corrupt sidecar falls back to a full read instead of dropping data") {
+    GeoFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("geotable_corrupt").toString
+    val df = spark.sql("""
+      SELECT id, ST_GeomFromText('POINT(' || CAST(id AS STRING) || ' 0)') AS geom
+      FROM range(0, 100) t(id)""")
+    GeoTable.write(df, dir, "geom")
+    // clobber the sidecar with garbage the parser yields no entries for
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_geo_meta.json"), "{not json at all")
+    val got = GeoTable.readIntersecting(spark, dir, 0, 0, 10, 10)
+    // fallback = full read: all 100 rows visible, pruning disabled
+    assert(got.count() == 100)
+  }
 }

@@ -153,6 +153,28 @@ class SpatialJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("small LEFT side: broadcast spatial join builds on the left, streams the right") {
+    fixtures()
+    spark.sql("""
+      SELECT id, ST_GeomFromText('POINT(' || CAST(id % 40 AS STRING) || ' ' || CAST(id % 25 AS STRING) || ')') AS geom
+      FROM range(0, 200000) t(id)""").createOrReplaceTempView("bigpts")
+    // threshold small enough that only the 3-row boxes side is buildable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+    try {
+      val sql = "SELECT id, bid FROM boxes JOIN bigpts ON ST_Intersects(geom, bgeom)"
+      val plan = spark.sql(sql).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastSpatialJoin"), plan)
+      assert(!plan.contains("__gcell") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+      // the (x, y) = (i % 40, i % 25) pattern repeats every 200 ids
+      val cyclePairs = (0L until 200L).flatMap { i =>
+        val x = i % 40; val y = i % 25
+        Seq(100 -> (x <= 10 && y <= 10), 200 -> (x >= 5 && x <= 30 && y >= 5 && y <= 25))
+          .collect { case (b, true) => (i, b) }
+      }.size
+      assert(spark.sql(sql).count() == 1000L * cyclePairs)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("equi-join conjunct makes spatial planning stand down to a hash join") {
     fixtures()
     spark.sql("SELECT id AS pid, geom, CAST(id % 3 AS INT) AS grp FROM pts")

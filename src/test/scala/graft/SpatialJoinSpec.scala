@@ -41,26 +41,34 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
-  test("grid-partitioned join matches brute force across cell sizes") {
+  test("grid-partitioned join matches brute force across cell sizes, full rows, no dups") {
     val (pts, boxes) = fixtures()
     for (cell <- Seq(3.0, 10.0, 100.0)) {
-      val got = SpatialJoin.gridJoin(pts, "geom", "id", boxes, "bgeom", "bid", cellSize = cell)
-        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-      assert(got == expected, s"cellSize=$cell")
+      val out = SpatialJoin.gridJoin(pts, "geom", boxes, "bgeom", cellSize = cell)
+      // full rows from both sides flow through (anchor-cell dedup, no distinct)
+      assert(out.columns.toSeq == Seq("id", "geom", "bid", "bgeom"))
+      val rows = out.collect().map(r => (r.getLong(0), r.getInt(2)))
+      assert(rows.length == rows.distinct.length, s"cellSize=$cell produced duplicate pairs")
+      assert(rows.toSet == expected, s"cellSize=$cell")
     }
+    assert(!SpatialJoin.gridJoin(pts, "geom", boxes, "bgeom", cellSize = 3.0)
+      .queryExecution.executedPlan.toString.contains("Deduplicate"))
   }
 
-  test("gridJoin handles identical column names on both sides") {
+  test("gridJoin rejects overlapping column names with a clear error") {
     GeoFunctions.register(spark)
     val a = spark.sql("""
       SELECT id, ST_GeomFromText('POINT(' || CAST(id AS STRING) || ' 0)') AS geom
       FROM range(0, 10) t(id)""")
     val b = spark.sql("""
-      SELECT id + 100 AS id2, ST_MakeEnvelope(CAST(id AS DOUBLE), -1.0, CAST(id + 2 AS DOUBLE), 1.0) AS geom
-      FROM range(0, 5) t(id)""").withColumnRenamed("id2", "bid")
-    // both sides name their geometry column "geom"
-    val got = SpatialJoin.gridJoin(a, "geom", "id", b, "geom", "bid", cellSize = 2.0)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      SELECT id + 100 AS bid, ST_MakeEnvelope(CAST(id AS DOUBLE), -1.0, CAST(id + 2 AS DOUBLE), 1.0) AS geom
+      FROM range(0, 5) t(id)""")
+    val e = intercept[IllegalArgumentException](
+      SpatialJoin.gridJoin(a, "geom", b, "geom", cellSize = 2.0))
+    assert(e.getMessage.contains("geom"))
+    val got = SpatialJoin.gridJoin(a, "geom", b.withColumnRenamed("geom", "bgeom"), "bgeom",
+        cellSize = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val expected = (for { i <- 0L until 10L; j <- 0L until 5L if i >= j && i <= j + 2 }
       yield (i, j + 100)).toSet
     assert(got == expected)
@@ -89,6 +97,30 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(
       (1, 10, 1, 3.0), (1, 20, 2, 4.0),
       (2, 40, 1, 3.0), (2, 50, 2, 10.0)))
+  }
+
+  test("knn join is exact for large-extent geometries (true-distance branch-and-bound)") {
+    GeoFunctions.register(spark)
+    // Decoys: L-shaped linestrings whose ENVELOPES contain the query point
+    // (envelope distance 0) but whose true distance is 100. The real
+    // nearest neighbors are points at distances 60 and 70. An
+    // envelope-ranked over-fetch would drown in decoys; the true-geometry
+    // ItemDistance must rank the points first.
+    val q = spark.sql(
+      "SELECT 1 AS qid, ST_GeomFromText('POINT(0 0)') AS qgeom")
+    val c = spark.sql("""
+      SELECT cid, ST_GeomFromText(wkt) AS cgeom FROM VALUES
+        (1, 'POINT(60 0)'), (2, 'POINT(0 70)'),
+        (10, 'LINESTRING(-100 -100, -100 100, 100 100)'),
+        (11, 'LINESTRING(-101 -101, -101 101, 101 101)'),
+        (12, 'LINESTRING(-102 -102, -102 102, 102 102)'),
+        (13, 'LINESTRING(-103 -103, -103 103, 103 103)'),
+        (14, 'LINESTRING(-104 -104, -104 104, 104 104)'),
+        (15, 'LINESTRING(-105 -105, -105 105, 105 105)') AS t(cid, wkt)""")
+    val got = SpatialJoin.knnJoin(q, "qgeom", c, "cgeom", k = 2)
+      .select("cid", "knn_rank", "knn_distance").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == Set((1, 1, 60.0), (2, 2, 70.0)))
   }
 
   test("covers / coveredby predicates refine correctly") {

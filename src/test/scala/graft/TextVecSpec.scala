@@ -113,6 +113,46 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1, 2)))
   }
 
+  test("minhash bucket cap bounds degenerate all-identical corpora") {
+    import spark.implicits._
+    // 60 identical docs: uncapped, every band holds one 60-doc bucket →
+    // 16 * C(60,2) raw pairs; capped at 10 the self-join sees nothing
+    val boiler = (1 to 60).map(i => (i, "the same boilerplate text repeated across docs"))
+    val df = boiler.toDF("id", "text")
+    val capped = Dedup.minhashCandidates(df, "id", "text", maxBucket = 10)
+    assert(capped.count() == 0)
+    val over = Dedup.oversizedBuckets(df, "id", "text", maxBucket = 10)
+      .collect().map(r => r.getLong(2))
+    assert(over.nonEmpty && over.forall(_ == 60L))
+    // a normal-sized corpus is unaffected by the cap
+    val mixed = ((1 to 5).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta")) ++
+      Seq((6, "totally different words here for the other bucket group"))).toDF("id", "text")
+    val pairs = Dedup.minhashCandidates(mixed, "id", "text", maxBucket = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs == (for { a <- 1 to 5; b <- 1 to 5 if a < b } yield (a, b)).toSet)
+  }
+
+  test("IVF index persists partitioned by list and search prunes to probed lists") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val built = Ann.buildIvf(emb, nlist = 8)
+    Ann.writeIvfIndex(built, dir)
+    val loaded = Ann.readIvfIndex(spark, dir)
+    assert(loaded.centroids.length == 8)
+    // loaded-index search returns the same result as the in-memory index
+    val a = Ann.ivfSearch(built, queries, k = 3, nProbe = 4).collect().map(_.toSeq).toSet
+    val b = Ann.ivfSearch(loaded, queries, k = 3, nProbe = 4).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    // partition pruning: a list filter over the loaded index becomes a
+    // PartitionFilter on the scan (only probed list= directories are read)
+    val planStr = loaded.assigned
+      .where(org.apache.spark.sql.functions.col("list").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: ["), planStr)
+    assert(!planStr.matches("(?s).*PartitionFilters: \\[\\s*\\].*"), planStr)
+  }
+
   test("simhash near-dups within hamming radius") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"word$i").mkString(" ")

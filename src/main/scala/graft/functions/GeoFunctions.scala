@@ -74,7 +74,11 @@ object GeoFunctions {
     "vec_lsh_sig" -> { es => arity("vec_lsh_sig", es, 3); VecLshSig(es.head, es(1), es(2)) },
     "vec_lsh_probes" -> { es => arity("vec_lsh_probes", es, 4); VecLshProbes(es) },
     "vec_nearest_centroid" -> { es =>
-      arity("vec_nearest_centroid", es, 2); VecNearestCentroid(es.head, es(1)) })
+      arity("vec_nearest_centroid", es, 2); VecNearestCentroid(es.head, es(1)) },
+    // DeclarativeAggregate: stays in codegen'd HashAggregate, 4 doubles
+    // per group across the shuffle (the analyzer wraps it in an
+    // AggregateExpression like any built-in aggregate)
+    "st_extent" -> { es => arity("st_extent", es, 1); StExtentAgg(es.head) })
 
   /** Register everything (scalar expressions + the st_extent UDAF) on a
     * session. Idempotent. */
@@ -82,7 +86,6 @@ object GeoFunctions {
     builders.foreach { case (name, b) => Shims.registerFunction(spark, name, b) }
     // UDAF alias support is absent in the reference too ("udaf not support
     // alias", src/function/extent.rs:34-37) — single lowercase name.
-    spark.udf.register("st_extent", F.udaf(ExtentAggregator))
     spark.udf.register("st_collect", F.udaf(CollectAggregator))
   }
 
@@ -129,7 +132,7 @@ object GeoFunctions {
   def st_y(g: Column): Column = c(StY(x(g)))
   def st_numgeometries(g: Column): Column = c(StNumGeometries(x(g)))
   def st_npoints(g: Column): Column = c(StNumPoints(x(g)))
-  def st_extent(g: Column): Column = F.udaf(ExtentAggregator).apply(g)
+  def st_extent(g: Column): Column = c(StExtentAgg(x(g)).toAggregateExpression())
   def simhash64(t: Column): Column = c(TextSimhash(x(t)))
   def minhash_sig(t: Column, n: Column): Column = c(TextMinhash(x(t), x(n)))
   def lang_id(t: Column): Column = c(TextLangId(x(t)))

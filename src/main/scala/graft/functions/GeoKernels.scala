@@ -428,6 +428,24 @@ object GeoKernels {
     if (c == null) null else java.lang.Double.valueOf(c.y)
   }
 
+  /** Envelope bound accessors for the declarative st_extent aggregate:
+    * an emptiness probe plus a primitive read per bound (0=minX, 1=minY,
+    * 2=maxX, 3=maxY) — both hit the decode cache, no boxing in codegen. */
+  def envMissing(tagged: Array[Byte]): Boolean =
+    geom(tagged).getEnvelopeInternal.isNull
+  def envBoundPrim(tagged: Array[Byte], which: Int): Double = {
+    val e = geom(tagged).getEnvelopeInternal
+    which match {
+      case 0 => e.getMinX
+      case 1 => e.getMinY
+      case 2 => e.getMaxX
+      case _ => e.getMaxY
+    }
+  }
+  def envBound(tagged: Array[Byte], which: Int): java.lang.Double =
+    if (envMissing(tagged)) null
+    else java.lang.Double.valueOf(envBoundPrim(tagged, which))
+
   /** Allocation-free hot path: check the coordinate exists (cache hit —
     * the geometry is already decoded), then read the primitive value.
     * `getCoordinate == null` covers empty geometries AND non-empty

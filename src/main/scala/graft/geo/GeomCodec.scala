@@ -100,12 +100,7 @@ object GeomCodec {
         wkbReaders.get().read(body)
       case WkbDialect.Geopackage => decodeGeoPackage(body)
       case WkbDialect.MySQL => decodeMySql(body)
-      case WkbDialect.SpatiaLite =>
-        // The reference decodes SpatiaLite blobs via geozero; JTS has no
-        // reader for that non-WKB framing. Divergence documented in
-        // SURVEY.md §7.3 — fail loudly rather than misparse.
-        throw new UnsupportedOperationException(
-          "SpatiaLite (dialect tag 5) decode is not supported")
+      case WkbDialect.SpatiaLite => decodeSpatiaLite(body)
       case other =>
         throw new IllegalArgumentException(s"Cannot decode WkbDialect from $other")
     }
@@ -156,6 +151,61 @@ object GeomCodec {
       java.util.Arrays.copyOfRange(b, 8 + envBytes, b.length))
     if (srid != 0 && geom.getSRID == 0) geom.setSRID(srid)
     geom
+  }
+
+  /** SpatiaLite geometry BLOB (public format, v4 "legacy" uncompressed
+    * classes — what geozero's SpatiaLite dialect reads for the reference):
+    * 0x00 start marker, endianness flag (0x01 little / 0x00 big), int32
+    * SRID, 4×float64 MBR, 0x7C MBR-end marker, then the geometry body —
+    * WKB-like but with NO per-geometry byte-order byte (the blob's
+    * endianness applies throughout) and each collection entity prefixed
+    * by a 0x69 marker instead. Trailing 0xFE end marker.
+    * Compressed (1000000+) and Z/M (1001+) classes are rejected loudly. */
+  private def decodeSpatiaLite(b: Array[Byte]): Geometry = {
+    require(b.length >= 45 && b(0) == 0x00 && b(38) == 0x7C.toByte &&
+      b(b.length - 1) == 0xFE.toByte, "bad SpatiaLite blob framing")
+    val little = b(1) == 0x01.toByte
+    val buf = java.nio.ByteBuffer.wrap(b).order(
+      if (little) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    val srid = buf.getInt(2)
+    buf.position(39)
+    val g = readSpatiaLiteGeom(buf)
+    if (srid > 0) g.setSRID(srid)
+    g
+  }
+
+  private def readSpatiaLiteGeom(buf: java.nio.ByteBuffer): Geometry = {
+    import org.locationtech.jts.geom.Coordinate
+    def coords(n: Int): Array[Coordinate] =
+      Array.fill(n)(new Coordinate(buf.getDouble, buf.getDouble))
+    def ring(): org.locationtech.jts.geom.LinearRing =
+      factory.createLinearRing(coords(buf.getInt))
+    buf.getInt match {
+      case 1 => factory.createPoint(new Coordinate(buf.getDouble, buf.getDouble))
+      case 2 => factory.createLineString(coords(buf.getInt))
+      case 3 =>
+        val nRings = buf.getInt
+        require(nRings >= 1, "polygon with zero rings")
+        val shell = ring()
+        factory.createPolygon(shell, Array.fill(nRings - 1)(ring()))
+      case t @ (4 | 5 | 6 | 7) =>
+        val n = buf.getInt
+        val parts = Array.fill(n) {
+          require(buf.get() == 0x69.toByte, "missing SpatiaLite entity marker")
+          readSpatiaLiteGeom(buf)
+        }
+        t match {
+          case 4 => factory.createMultiPoint(
+            parts.map(_.asInstanceOf[org.locationtech.jts.geom.Point]))
+          case 5 => factory.createMultiLineString(
+            parts.map(_.asInstanceOf[org.locationtech.jts.geom.LineString]))
+          case 6 => factory.createMultiPolygon(
+            parts.map(_.asInstanceOf[org.locationtech.jts.geom.Polygon]))
+          case _ => factory.createGeometryCollection(parts)
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported SpatiaLite geometry class $other (Z/M/compressed not supported)")
+    }
   }
 
   /** MySQL geometry value: 4-byte little-endian SRID, then standard WKB. */

@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata.
   *
   * The Spark-side plumbing — schema, partition sizing, batch shape,
-  * per-partition decoder reuse — is real and tested; the codec calls
-  * themselves are STUBBED with deterministic fakes (this container ships
-  * no image/audio libraries). Swap [[MediaCodec.decodeImageStub]] /
-  * [[MediaCodec.decodeAudioStub]] for a real decoder (e.g. TwelveMonkeys
-  * ImageIO / JLayer) without touching the pipeline.
+  * per-partition decoder reuse — is real and tested. Decoding is REAL for
+  * the formats the JDK ships codecs for (PNG/JPEG/BMP/GIF via
+  * `javax.imageio`, plus header parses for PNG IHDR / JPEG SOF / WAV fmt);
+  * payloads no JDK codec accepts fall back to a clearly-marked
+  * deterministic stub so synthetic test corpora stay stable. Swap the
+  * fallback for e.g. TwelveMonkeys/JLayer without touching the pipeline.
   *
   * Scale design:
   *  - Media rows are large (MBs). `targetPartitionBytes` drives an
@@ -63,13 +64,13 @@ object Media {
   }
 
   /** Decode + feature-extract, one decoder per partition (mapPartitions:
-    * setup cost amortized, rows streamed). The decode itself is a
-    * deterministic stub. */
+    * setup cost amortized, rows streamed). Real ImageIO decode for
+    * PNG/JPEG/BMP/GIF; deterministic stub histogram otherwise. */
   def imageFeatures(ds: Dataset[MediaRow], histogramBins: Int = 16): Dataset[ImageFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { rows =>
-      val decoder = new MediaCodec.StubImageDecoder(histogramBins) // per-task instance
+      val decoder = new MediaCodec.ImageDecoder(histogramBins) // per-task instance
       rows.map { r =>
         val img = decoder.decode(r.content)
         ImageFeatures(r.mediaId, img.width, img.height, img.channels, img.histogram)
@@ -94,51 +95,119 @@ object Media {
   }
 }
 
-/** Stubbed codecs with real signatures. Every fake is deterministic in the
-  * input bytes so tests and oracles are stable. */
+/** Real JDK codecs where they exist, deterministic fallbacks elsewhere.
+  * Every fallback is deterministic in the input bytes so tests and
+  * oracles are stable. */
 object MediaCodec {
 
   import Media.MediaMeta
 
-  /** Magic-byte sniffing (real); dimensions/rates are stub-derived. */
+  /** Magic-byte sniffing plus REAL container-header parses: PNG IHDR
+    * width/height (big-endian ints at offsets 16/20), JPEG SOF frame
+    * dimensions, WAV fmt-chunk sample rate. Implausible or truncated
+    * headers fall back to stub-derived dimensions. */
   def sniffMeta(bytes: Array[Byte]): MediaMeta = {
     val mediaType =
       if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') "image/png"
       else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "image/jpeg"
       else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F') "audio/wav"
       else "application/octet-stream"
-    MediaMeta(mediaType, bytes.length.toLong,
-      width = stubDim(bytes, 0), height = stubDim(bytes, 1),
-      sampleRateHz = 16000, nFrames = math.max(1, bytes.length / 256))
+    val (w, h) = mediaType match {
+      case "image/png" if bytes.length >= 24 =>
+        val pw = beInt(bytes, 16); val ph = beInt(bytes, 20)
+        if (plausibleDim(pw) && plausibleDim(ph)) (pw, ph) else stubDims(bytes)
+      case "image/jpeg" => jpegDims(bytes).getOrElse(stubDims(bytes))
+      case _ => stubDims(bytes)
+    }
+    val rate = mediaType match {
+      case "audio/wav" if bytes.length >= 28 =>
+        val r = leInt(bytes, 24)
+        if (r > 0 && r <= 384000) r else 16000
+      case _ => 16000
+    }
+    MediaMeta(mediaType, bytes.length.toLong, width = w, height = h,
+      sampleRateHz = rate, nFrames = math.max(1, bytes.length / 256))
   }
 
+  private def plausibleDim(d: Int): Boolean = d > 0 && d <= (1 << 16)
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** Walk JPEG markers to the first SOF0/1/2/3 frame header → (w, h). */
+  private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    var i = 2
+    while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+      val marker = b(i + 1) & 0xff
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      if (marker >= 0xc0 && marker <= 0xc3) {
+        val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+        val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+        return if (plausibleDim(w) && plausibleDim(h)) Some((w, h)) else None
+      }
+      i += 2 + len
+    }
+    None
+  }
+
+  private def stubDims(bytes: Array[Byte]): (Int, Int) =
+    (stubDim(bytes, 0), stubDim(bytes, 1))
+
   private def stubDim(bytes: Array[Byte], salt: Int): Int = {
-    // ??? real impl: parse the container header. Deterministic fake:
+    // deterministic fake for payloads with no parseable header
     64 + (math.abs(graft.functions.TextKernels.splitmix64(
       bytes.length.toLong * 31 + salt)) % 64).toInt
   }
 
-  case class StubImage(width: Int, height: Int, channels: Int, histogram: Array[Double])
+  case class DecodedImage(width: Int, height: Int, channels: Int,
+      histogram: Array[Double], realDecode: Boolean)
 
-  /** Stands in for an ImageIO/libjpeg decoder: holds per-task state
-    * (reusable bin buffer) exactly like a real decoder would hold native
-    * contexts. */
-  final class StubImageDecoder(bins: Int) {
+  /** Image decoder: REAL `javax.imageio` decode (PNG/JPEG/BMP/GIF ship
+    * with the JDK) producing true dimensions, channel count, and a
+    * normalized luminance histogram. Payloads ImageIO rejects fall back
+    * to a deterministic byte histogram (realDecode = false). Holds
+    * per-task reusable buffers, instantiated once per partition. */
+  final class ImageDecoder(bins: Int) {
     private val counts = new Array[Long](bins)
 
-    def decode(bytes: Array[Byte]): StubImage = {
-      // ??? real impl: ImageIO.read + pixel scan. Deterministic fake:
-      // histogram over the raw bytes.
+    def decode(bytes: Array[Byte]): DecodedImage = {
       java.util.Arrays.fill(counts, 0L)
-      var i = 0
-      while (i < bytes.length) {
-        counts(((bytes(i) & 0xff) * bins) / 256) += 1
-        i += 1
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            counts((lum * bins) / 256) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val total = img.getWidth.toLong * img.getHeight
+        DecodedImage(img.getWidth, img.getHeight,
+          channels = img.getColorModel.getNumComponents,
+          histogram = counts.map(_.toDouble / total), realDecode = true)
+      } else {
+        var i = 0
+        while (i < bytes.length) {
+          counts(((bytes(i) & 0xff) * bins) / 256) += 1
+          i += 1
+        }
+        val total = math.max(1L, bytes.length.toLong)
+        val meta = sniffMeta(bytes)
+        DecodedImage(meta.width, meta.height, channels = 3,
+          histogram = counts.map(_.toDouble / total), realDecode = false)
       }
-      val total = math.max(1L, bytes.length.toLong)
-      val hist = counts.map(_.toDouble / total)
-      val meta = sniffMeta(bytes)
-      StubImage(meta.width, meta.height, channels = 3, histogram = hist)
     }
   }
 

@@ -56,6 +56,51 @@ class GeoCodecSpec extends AnyFunSuite {
     assert(dg.getSRID == 4326 && WktWriter.write(dg) == "POINT(3 4)")
   }
 
+  test("spatialite (tag 5) blob decode: point, multipolygon, both endians") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // builds a legacy uncompressed SpatiaLite blob around a geometry body
+    def blob(little: Boolean, srid: Int)(body: ByteBuffer => Unit): Array[Byte] = {
+      val buf = ByteBuffer.allocate(4096)
+        .order(if (little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      buf.put(0x00.toByte).put(if (little) 0x01.toByte else 0x00.toByte)
+      buf.putInt(srid)
+      (0 until 4).foreach(_ => buf.putDouble(0.0)) // MBR, unused by decode
+      buf.put(0x7C.toByte)
+      body(buf)
+      buf.put(0xFE.toByte)
+      java.util.Arrays.copyOf(buf.array(), buf.position())
+    }
+    val pt = blob(little = true, srid = 4326) { b =>
+      b.putInt(1).putDouble(-71.064544).putDouble(42.28787)
+    }
+    val dp = GeomCodec.decode(Array(WkbDialect.SpatiaLite) ++ pt)
+    assert(dp.getSRID == 4326 && WktWriter.write(dp) == "POINT(-71.064544 42.28787)")
+
+    // big-endian multipolygon of two unit squares, 0x69 entity markers
+    def square(b: ByteBuffer, x: Double): Unit = {
+      b.putInt(3).putInt(1).putInt(5)
+      Seq((x, 0.0), (x + 1, 0.0), (x + 1, 1.0), (x, 1.0), (x, 0.0))
+        .foreach { case (px, py) => b.putDouble(px).putDouble(py) }
+    }
+    val mp = blob(little = false, srid = 0) { b =>
+      b.putInt(6).putInt(2)
+      b.put(0x69.toByte); square(b, 0.0)
+      b.put(0x69.toByte); square(b, 5.0)
+    }
+    val dmp = GeomCodec.decode(Array(WkbDialect.SpatiaLite) ++ mp)
+    assert(dmp.getGeometryType == "MultiPolygon" && dmp.getNumGeometries == 2)
+    assert(dmp.getArea == 2.0 && dmp.getSRID == 0)
+
+    // malformed framing / unsupported class still fail loudly
+    intercept[IllegalArgumentException](
+      GeomCodec.decode(Array(WkbDialect.SpatiaLite, 0x01, 0x02, 0x03)))
+    val zPoint = blob(little = true, srid = 0) { b =>
+      b.putInt(1001).putDouble(1).putDouble(2).putDouble(3)
+    }
+    intercept[IllegalArgumentException](
+      GeomCodec.decode(Array(WkbDialect.SpatiaLite) ++ zPoint))
+  }
+
   test("box2d sentinel and union (src/geo/box.rs:19-26)") {
     val e = Box2d.empty
     assert(e.xmin == Double.MaxValue && e.xmax == Double.MinValue)

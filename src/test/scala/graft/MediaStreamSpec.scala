@@ -61,6 +61,32 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.forall(_.frameBytes.length == 256))
   }
 
+  test("real PNG decode: true dimensions, channels, luminance histogram") {
+    import spark.implicits._
+    // paint a genuine 10x6 PNG in-memory: left half black, right half white
+    val img = new java.awt.image.BufferedImage(10, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 10)
+      img.setRGB(x, y, if (x < 5) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    // header parse reads the true IHDR dimensions
+    val meta = MediaCodec.sniffMeta(png)
+    assert(meta.mediaType == "image/png" && meta.width == 10 && meta.height == 6)
+
+    // ImageIO decode: real dims + a half-black/half-white histogram
+    val feats = Media.imageFeatures(
+        Media.withMetadata(Seq((9L, png)).toDF("id", "bytes"), "id", "bytes"),
+        histogramBins = 4)
+      .collect().head
+    assert(feats.width == 10 && feats.height == 6 && feats.channels == 3)
+    assert(math.abs(feats.histogram(0) - 0.5) < 1e-9) // black half
+    assert(math.abs(feats.histogram(3) - 0.5) < 1e-9) // white half
+    assert(math.abs(feats.histogram.sum - 1.0) < 1e-9)
+  }
+
   test("audio stub: per-window energy") {
     val e = MediaCodec.decodeAudioStub(Array.fill[Byte](256)(10), window = 128)
     assert(e.toSeq == Seq(10.0, 10.0))

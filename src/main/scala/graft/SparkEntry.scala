@@ -244,15 +244,18 @@ object SparkEntry {
                    count(DISTINCT text) AS ntxt FROM documents) s
       ORDER BY d.doc_id"""),
     // end-to-end LSH near-dup pipeline with a deterministic guarantee:
-    // 64 bands of 1 hash make a J>=0.35 pair's candidate-miss probability
-    // (1-J)^64 <= 1e-12, and the corpus has a clean similarity gap (planted
-    // near-dups at J>=0.5, background J<0.2), so the surviving pairs equal
-    // the exact 3-token-shingle-Jaccard>=0.35 pairs DuckDB computes
+    // 64 bands of 1 hash + minBandHits=4 make a planted pair's (J>=0.8,
+    // ~51 expected band hits) candidate-miss probability < 1e-30 while
+    // background pairs (J~0.01, ~0.7 expected hits) die in the map-side
+    // combine; the corpus's similarity gap (nothing in [0.2, 0.5]) makes
+    // the surviving pairs equal the exact 3-token-shingle-Jaccard>=0.35
+    // pairs DuckDB computes
     "q28_minhash_lsh" -> ((spark, dir) => {
       prep(spark, dir)
       graft.operators.Dedup
         .minhashNearDups(spark.table("documents"), "doc_id", "text",
-          threshold = 0.35, numHashes = 64, bands = 64, refineOnShingles = true)
+          threshold = 0.35, numHashes = 64, bands = 64, refineOnShingles = true,
+          minBandHits = 4)
         .select("ida", "idb", "inter", "uni")
         .orderBy("ida", "idb")
     }),

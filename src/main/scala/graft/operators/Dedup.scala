@@ -48,9 +48,8 @@ object Dedup {
       xxhash64(slice(sig, b * rows + 1, rows))
     }: _*)
 
-  /** Candidate near-duplicate pairs from LSH bucket collisions (distinct
-    * across bands). One shuffle on (band, bucket); joins happen only
-    * within buckets.
+  /** Candidate near-duplicate pairs from LSH bucket collisions. One
+    * shuffle on (band, bucket); joins happen only within buckets.
     *
     * `maxBucket` caps the self-join blow-up on degenerate corpora
     * (boilerplate, near-empty docs): a (band, bucket) group larger than
@@ -58,21 +57,33 @@ object Dedup {
     * is preserved in practice because a true near-dup pair collides in
     * MANY bands, and a bucket that huge means the pair is also discovered
     * by exact dedup upstream. The cap bounds the worst case at
-    * O(bands · maxBucket²) pairs instead of O(n²). */
+    * O(bands · maxBucket²) pairs instead of O(n²).
+    *
+    * `minBandHits` demands that many band collisions before a pair
+    * survives: with fine banding (rows per band → 1), background pairs
+    * sharing a single shingle collide SOMEWHERE with high probability,
+    * but only in ~J·bands bands, while a true near-dup collides in many —
+    * a Binomial(bands, ~J) separation. The filter rides the partial
+    * aggregation (map-side combine on the pair key), so the low-J noise
+    * never reaches the expensive refine join. 1 = classic LSH behavior. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16,
-      maxBucket: Int = 10000): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val b = minhashBuckets(df, idCol, textCol, numHashes, bands)
-      .withColumn("__bsize", count(lit(1)).over(w))
-      .where(col("__bsize") <= maxBucket)
-      .drop("__bsize")
-    b.as("a").join(b.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("ida"), col("b.doc").as("idb"))
-      .distinct()
-  }
+      maxBucket: Int = 10000, minBandHits: Int = 1): DataFrame =
+    // pairs are generated INSIDE each (band, bucket) group off one
+    // collect_list — the signature kernel runs once over the corpus (a
+    // self-join would evaluate it per side) and the bucket cap is a plain
+    // size() filter instead of a window pass
+    minhashBuckets(df, idCol, textCol, numHashes, bands)
+      .groupBy("band", "bucket").agg(sort_array(collect_list(col("doc"))).as("ds"))
+      .where(size(col("ds")) >= 2 && size(col("ds")) <= maxBucket)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds)), y -> struct(x AS ida, y AS idb))))"""))
+        .as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("__hits"))
+      .where(col("__hits") >= minBandHits)
+      .select("ida", "idb")
 
   /** (band, bucket, size) for buckets over the cap — the observability
     * companion to [[minhashCandidates]]'s drop: run it to log what a cap
@@ -87,15 +98,16 @@ object Dedup {
     * shingle universe MinHash signatures are computed over, so an exact
     * Jaccard on these matches what the signature estimates. Documents
     * shorter than 3 tokens collapse to one whole-text shingle, mirroring
-    * TextKernels.shingleHashes. */
-  private def shingleSet(text: Column): Column = {
-    val toks = split(text, " ")
+    * TextKernels.shingleHashes. `toks` MUST be a materialized attribute
+    * (not a split(...) expression): lambda bodies re-evaluate captured
+    * expressions per element, so an inline split would re-tokenize the
+    * text O(tokens) times per row. */
+  private def shingleSet(text: Column, toks: Column): Column =
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(0), size(toks) - 3),
         i => concat_ws(" ",
           element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
       .otherwise(array(text))
-  }
 
   /** LSH candidates refined by an exact set Jaccard >= threshold —
     * token sets by default, 3-token shingle sets when `refineOnShingles`
@@ -104,13 +116,22 @@ object Dedup {
     * (usually small) candidate set against the corpus. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 16,
-      maxBucket: Int = 10000, refineOnShingles: Boolean = false): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, maxBucket)
-    val sets = if (refineOnShingles) shingleSet(col(textCol))
-      else array_distinct(split(col(textCol), " "))
-    val toks = df.select(col(idCol).as("doc"), sets.as("toks"))
-    cands
-      .join(toks.withColumnRenamed("doc", "ida").withColumnRenamed("toks", "ta"), "ida")
+      maxBucket: Int = 10000, refineOnShingles: Boolean = false,
+      minBandHits: Int = 1): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, maxBucket,
+      minBandHits)
+    val sets =
+      if (refineOnShingles) shingleSet(col("__text"), col("__t"))
+      else array_distinct(col("__t"))
+    val toks = df
+      .select(col(idCol).as("doc"), col(textCol).as("__text"),
+        split(col(textCol), " ").as("__t"))
+      .select(col("doc"), sets.as("toks"))
+    // broadcast the CANDIDATE side: it is orders of magnitude smaller than
+    // the corpus-wide token/shingle sets (which Spark would otherwise pick
+    // as the build side and collect, arrays and all)
+    toks.withColumnRenamed("doc", "ida").withColumnRenamed("toks", "ta")
+      .join(broadcast(cands), "ida")
       .join(toks.withColumnRenamed("doc", "idb").withColumnRenamed("toks", "tb"), "idb")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))

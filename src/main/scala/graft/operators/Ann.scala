@@ -183,6 +183,45 @@ object Ann {
       nlist: Int = 16, nProbe: Int = 4, iters: Int = 5, seed: Long = 42L): DataFrame =
     ivfSearch(buildIvf(corpus, nlist, iters, seed), queries, k, nProbe)
 
+  /** Embedding near-duplicate pairs at scale: corpus rows are bucketed by
+    * `bands` independent hyperplane signatures (different seeds), pairs
+    * are generated INSIDE buckets off one collect_list pass, deduped
+    * across bands, and refined with exact cosine >= threshold — the
+    * all-pairs O(n²) scan becomes O(Σ bucket²), one shuffle on the bucket
+    * key. Precision is exact (every emitted pair is cosine-checked);
+    * recall comes from banding: a pair at angle θ survives one band with
+    * (1-θ/π)^nPlanes, and misses all bands with (1-p)^bands — for the
+    * near-dup regime (cos >= 0.95) that's < 1e-2 at the defaults and
+    * falls geometrically with `bands`. `maxBucket` bounds degenerate
+    * buckets exactly like MinHash-LSH dedup. */
+  def cosineNearDups(corpus: DataFrame, threshold: Double,
+      nPlanes: Int = 8, bands: Int = 8, seed: Long = 42L, maxBucket: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"))
+    val banded = c.select(col("nid"),
+      posexplode(array((0 until bands).map { b =>
+        vec_lsh_sig(col("v"), lit(nPlanes), lit(seed + b.toLong * 7919L))
+      }: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val pairs = banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("nid"))).as("ds"))
+      .where(size(col("ds")) >= 2 && size(col("ds")) <= maxBucket)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds)), y -> struct(x AS ida, y AS idb))))"""))
+        .as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
+      .distinct()
+    // candidate pairs are small in the near-dup regime — broadcast them
+    // against the corpus for the exact-cosine refine
+    c.withColumnRenamed("nid", "ida").withColumnRenamed("v", "va")
+      .join(broadcast(pairs), "ida")
+      .join(c.withColumnRenamed("nid", "idb").withColumnRenamed("v", "vb"), "idb")
+      .withColumn("cos", vec_cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select("ida", "idb", "cos")
+  }
+
   /** Recall of an approximate result against the exact one: fraction of
     * (qid, nid) pairs recovered. Both inputs shaped (qid, nid, rnk). */
   def recall(approx: DataFrame, exact: DataFrame): Double = {

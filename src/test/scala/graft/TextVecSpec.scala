@@ -153,6 +153,25 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!planStr.matches("(?s).*PartitionFilters: \\[\\s*\\].*"), planStr)
   }
 
+  test("cosine near-dups: LSH banding finds planted duplicates, exact refine filters") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => i -> vec()).toMap
+    // plant 5 near-duplicates (cos ~0.9999) with ids 100+i
+    val rows = base.toSeq.map { case (i, v) => Row(i, v.toSeq) } ++
+      (0 until 5).map(i => Row(100 + i, jitter(base(i)).toSeq))
+    val schema = StructType(Seq(StructField("vec_id", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+    val got = Ann.cosineNearDups(df, threshold = 0.95)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == (0 until 5).map(i => (i, 100 + i)).toSet)
+  }
+
   test("simhash near-dups within hamming radius") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"word$i").mkString(" ")

@@ -211,7 +211,46 @@ object MediaCodec {
     }
   }
 
-  /** Stub audio decode: byte-energy per fixed window ("spectrogram"). */
+  /** Audio decode: REAL `javax.sound.sampled` path for WAV/AIFF/AU (the
+    * formats the JDK ships providers for) — frames are decoded to 16-bit
+    * PCM, mono-mixed, and reduced to per-window RMS energy in [0, 1].
+    * Payloads the JDK cannot read fall back to [[decodeAudioStub]]. */
+  def decodeAudio(bytes: Array[Byte], window: Int = 128): Array[Double] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val target = new javax.sound.sampled.AudioFormat(
+        ais.getFormat.getSampleRate, 16, ais.getFormat.getChannels, true, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+      val raw = pcm.readAllBytes()
+      val ch = target.getChannels
+      val nSamples = raw.length / (2 * ch)
+      val mono = new Array[Double](nSamples)
+      var i = 0
+      while (i < nSamples) {
+        var s = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = (i * ch + c) * 2
+          s += ((raw(off) & 0xff) | (raw(off + 1) << 8)).toShort.toDouble / 32768.0
+          c += 1
+        }
+        mono(i) = s / ch
+        i += 1
+      }
+      val nWin = math.max(1, nSamples / window)
+      Array.tabulate(nWin) { w =>
+        var acc = 0.0
+        var j = w * window
+        val until = math.min(nSamples, j + window)
+        while (j < until) { acc += mono(j) * mono(j); j += 1 }
+        math.sqrt(acc / math.max(1, until - w * window))
+      }
+    } catch {
+      case _: Exception => decodeAudioStub(bytes, window)
+    }
+
+  /** Deterministic fallback: byte-energy per fixed window. */
   def decodeAudioStub(bytes: Array[Byte], window: Int = 128): Array[Double] = {
     val n = math.max(1, bytes.length / window)
     val out = new Array[Double](n)

@@ -39,6 +39,17 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static spatial enrichment: every streaming row gains the
+    * static regions its geometry intersects. The static side is collected
+    * once into a broadcast STRtree; each micro-batch of the stream probes
+    * it map-only — no stream-side shuffle, no per-batch rebuild, which is
+    * the only join shape that stays cheap on an unbounded stream. */
+  def enrichSpatial(stream: DataFrame, streamGeom: String,
+      regions: DataFrame, regionGeom: String,
+      predicate: String = "intersects"): DataFrame =
+    graft.operators.SpatialJoin.broadcastJoin(stream, streamGeom,
+      regions, regionGeom, predicate)
+
   case class SessionUpdate(userId: Long, nEvents: Long, sessionStart: Long, sessionEnd: Long)
   private case class SessionState(n: Long, start: Long, last: Long)
 

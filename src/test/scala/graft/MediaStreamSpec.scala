@@ -92,6 +92,56 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.toSeq == Seq(10.0, 10.0))
   }
 
+  test("real WAV decode: RMS energy per window via javax.sound") {
+    // synthesize a genuine 16-bit PCM mono WAV: constant ±0.25 square wave
+    val nSamples = 512
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val v: Short = if (i % 2 == 0) 8192 else -8192 // 0.25 full-scale
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(MediaCodec.sniffMeta(wav).mediaType == "audio/wav")
+    assert(MediaCodec.sniffMeta(wav).sampleRateHz == 16000)
+    val energy = MediaCodec.decodeAudio(wav, window = 128)
+    assert(energy.length == 4)
+    assert(energy.forall(e => math.abs(e - 0.25) < 1e-3), energy.toSeq)
+    // non-audio payloads take the deterministic fallback
+    assert(MediaCodec.decodeAudio(Array.fill[Byte](256)(10), window = 128).toSeq ==
+      Seq(10.0, 10.0))
+  }
+
+  test("stream-static spatial enrichment joins each micro-batch map-only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GeoFunctions.register(spark)
+    val regions = spark.sql("""
+      SELECT * FROM VALUES
+        (100, ST_MakeEnvelope(0.0, 0.0, 10.0, 10.0)),
+        (200, ST_MakeEnvelope(20.0, 0.0, 30.0, 10.0)) AS t(rid, rgeom)""")
+    val mem = MemoryStream[(Long, String)]
+    val pts = mem.toDF().toDF("pid", "wkt")
+      .withColumn("geom", expr("ST_GeomFromText(wkt)"))
+    val joined = graft.streaming.StreamOps.enrichSpatial(pts, "geom", regions, "rgeom")
+    val q = joined.select("pid", "rid").writeStream.format("memory")
+      .queryName("enriched").outputMode("append").start()
+    mem.addData((1L, "POINT(5 5)"), (2L, "POINT(25 5)"), (3L, "POINT(50 50)"))
+    q.processAllAvailable()
+    mem.addData((4L, "POINT(1 1)"))
+    q.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    q.stop()
+    assert(rows == Set((1L, 100), (2L, 200), (4L, 100)))
+  }
+
   test("streaming windowed counts over MemoryStream match the batch shape") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -400,15 +400,17 @@ object SparkEntry {
 
   // DuckDB replica of TextKernels.langId: CJK codepoint scan, then
   // stopword-count argmax with first-wins tie-break over (en, de, fr, es),
-  // 'und' when no stopword matches. Expects s_en..s_es in scope.
+  // 'und' when no stopword matches. Tokenization splits on whitespace RUNS
+  // (regexp \s+) to mirror TextKernels.tokens — single-space splitting
+  // would diverge on tab/newline corpora. Expects s_en..s_es in scope.
   private val LANG_SCORES = """
-    len(list_filter(string_split(lower(text), ' '),
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
       w -> w IN ('the','and','of','to','a','in','is','that','it','for'))) AS s_en,
-    len(list_filter(string_split(lower(text), ' '),
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
       w -> w IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS s_de,
-    len(list_filter(string_split(lower(text), ' '),
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
       w -> w IN ('le','la','les','et','est','un','une','dans','que','pour'))) AS s_fr,
-    len(list_filter(string_split(lower(text), ' '),
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
       w -> w IN ('el','los','las','y','es','un','una','en','que','por'))) AS s_es"""
 
   private val LANG_CASE = """
@@ -431,9 +433,11 @@ object SparkEntry {
     // exact 3-token-shingle Jaccard >= 0.35 pairs — what the LSH pipeline
     // must find given the 64x1 banding and the corpus's similarity gap
     "q28_minhash_lsh" -> """
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-           sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
-                  FROM t, unnest(generate_series(1, len(l) - 2)) AS u(i)),
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                    CASE WHEN len(l) >= 3 THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                         ELSE text END AS s
+                  FROM t, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS u(i)),
            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
            ip AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -64,16 +64,33 @@ object Ann {
   /** Train IVF coarse centroids: Lloyd iterations (cosine assignment,
     * mean update) on a bounded sample pulled to the driver — the standard
     * IVF recipe; at 100 TB the sample size holds while the corpus grows,
-    * and the k and iteration count don't change. The sample is a single
-    * early-stopping `limit` pass (CollectLimit reads only the partitions
-    * it needs — no count() pre-pass over the corpus); if ingest order is
-    * clustered, pre-shuffle or pre-sample the corpus before training.
-    * Deterministic for a fixed corpus layout: seeded init, stable limit. */
+    * and the k and iteration count don't change. Sampling is a seeded
+    * per-partition reservoir: ONE pass over the corpus (no count()
+    * pre-scan), every partition contributes ~maxSample/numPartitions
+    * rows, so an ingest-clustered corpus (the common layout) still yields
+    * centroids spanning all clusters — a head `limit` would train on the
+    * first files only. Deterministic for a fixed corpus layout. */
   def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5,
       maxSample: Int = 20000, seed: Long = 42L,
       vecCol: String = "embedding"): Array[Array[Float]] = {
-    val sample = corpus.select(col(vecCol)).limit(maxSample)
-      .collect().map(_.getSeq[Float](0).toArray)
+    val vecs = corpus.select(col(vecCol))
+    val nParts = math.max(1, vecs.rdd.getNumPartitions)
+    val perPart = math.max(1, (maxSample + nParts - 1) / nParts)
+    val sample = vecs.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rnd = new java.util.Random(seed ^ (pid.toLong * 0x9e3779b97f4a7c15L))
+      val buf = new Array[Array[Float]](perPart)
+      var n = 0
+      it.foreach { row =>
+        val v = row.getSeq[Float](0)
+        if (n < perPart) buf(n) = v.toArray
+        else {
+          val j = rnd.nextInt(n + 1)
+          if (j < perPart) buf(j) = v.toArray
+        }
+        n += 1
+      }
+      buf.iterator.take(math.min(n, perPart))
+    }.collect().take(maxSample)
     require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
     var cents = Array.tabulate(nlist)(i => sample(i * (sample.length / nlist)).clone())
     for (_ <- 0 until iters) {
@@ -134,19 +151,15 @@ object Ann {
   def writeIvfIndex(index: IvfIndex, path: String): Unit = {
     index.assigned.write.mode("overwrite").partitionBy("list").parquet(path)
     val json = index.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    val p = new org.apache.hadoop.fs.Path(path, "_ivf_centroids.json")
-    val fs = p.getFileSystem(index.assigned.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    graft.util.FsIO.writeStringAtomic(index.assigned.sparkSession,
+      new org.apache.hadoop.fs.Path(path, "_ivf_centroids.json"), json)
   }
 
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
-    val p = new org.apache.hadoop.fs.Path(path, "_ivf_centroids.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val json = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val json = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(path, "_ivf_centroids.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"IVF index at $path has no readable _ivf_centroids.json sidecar"))
     val cents = json.stripPrefix("[").stripSuffix("]").split("\\],\\[")
       .map(_.stripPrefix("[").stripSuffix("]").split(',').map(_.toFloat))
     IvfIndex(cents, spark.read.parquet(path))
@@ -203,14 +216,10 @@ object Ann {
         vec_lsh_sig(col("v"), lit(nPlanes), lit(seed + b.toLong * 7919L))
       }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val pairs = banded.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("nid"))).as("ds"))
-      .where(size(col("ds")) >= 2 && size(col("ds")) <= maxBucket)
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-             transform(slice(ds, i + 2, size(ds)), y -> struct(x AS ida, y AS idb))))"""))
-        .as("p"))
-      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
+    val pairs = Dedup.explodeBucketPairs(
+      banded.groupBy("band", "bucket")
+        .agg(sort_array(collect_list(col("nid"))).as("ds")),
+      maxBucket)
       .distinct()
     // candidate pairs are small in the near-dup regime — broadcast them
     // against the corpus for the exact-cosine refine

@@ -66,21 +66,29 @@ object Dedup {
     * a Binomial(bands, ~J) separation. The filter rides the partial
     * aggregation (map-side combine on the pair key), so the low-J noise
     * never reaches the expensive refine join. 1 = classic LSH behavior. */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16,
-      maxBucket: Int = 10000, minBandHits: Int = 1): DataFrame =
-    // pairs are generated INSIDE each (band, bucket) group off one
-    // collect_list — the signature kernel runs once over the corpus (a
-    // self-join would evaluate it per side) and the bucket cap is a plain
-    // size() filter instead of a window pass
-    minhashBuckets(df, idCol, textCol, numHashes, bands)
-      .groupBy("band", "bucket").agg(sort_array(collect_list(col("doc"))).as("ds"))
+  /** Shared LSH pair-generation kernel: a grouped frame carrying a sorted
+    * id array `ds` per bucket → exploded (ida < idb) pairs, buckets over
+    * `maxBucket` dropped. Pairs are generated INSIDE each group off one
+    * collect_list — the upstream hashing runs once over the corpus (a
+    * self-join would evaluate it per side) and the bucket cap is a plain
+    * size() filter. Used by MinHash-LSH dedup and embedding near-dup. */
+  private[operators] def explodeBucketPairs(grouped: DataFrame,
+      maxBucket: Int): DataFrame =
+    grouped
       .where(size(col("ds")) >= 2 && size(col("ds")) <= maxBucket)
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
              transform(slice(ds, i + 2, size(ds)), y -> struct(x AS ida, y AS idb))))"""))
         .as("p"))
       .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
+
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 10000, minBandHits: Int = 1): DataFrame =
+    explodeBucketPairs(
+      minhashBuckets(df, idCol, textCol, numHashes, bands)
+        .groupBy("band", "bucket").agg(sort_array(collect_list(col("doc"))).as("ds")),
+      maxBucket)
       .groupBy("ida", "idb").agg(count(lit(1)).as("__hits"))
       .where(col("__hits") >= minBandHits)
       .select("ida", "idb")

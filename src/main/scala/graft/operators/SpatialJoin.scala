@@ -146,16 +146,19 @@ object SpatialJoin {
     left.mapPartitions { rows =>
       val t = bcTree.value
       val rrows = bcRows.value
+      // JTS STRtree.size() is a full tree traversal — compute once per
+      // partition, never per row
+      val treeSize = t.size()
       rows.flatMap { lrow =>
         val bytes = lrow.getAs[Array[Byte]](leftGeomIdx)
-        if (bytes == null || t.size() == 0) Iterator.empty
+        if (bytes == null || treeSize == 0) Iterator.empty
         else {
           val g = GeoKernels.geom(bytes)
           val env = g.getEnvelopeInternal
           if (env.isNull) Iterator.empty // empty geometry: no neighbors
           else {
             val fetched = t.nearestNeighbour(env, new GeomItem(g, -1),
-              GeomItemDistance, math.min(k, t.size()))
+              GeomItemDistance, math.min(k, treeSize))
             val ranked = fetched.iterator.collect {
               case it: GeomItem if it.idx >= 0 => (g.distance(it.geom), it.idx)
             }.toArray.sortBy(identity)

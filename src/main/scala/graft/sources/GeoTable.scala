@@ -66,11 +66,12 @@ object GeoTable {
       .map(r => FileBox(r.getString(0),
         sane(r.getDouble(1), -Double.MaxValue), sane(r.getDouble(2), -Double.MaxValue),
         sane(r.getDouble(3), Double.MaxValue), sane(r.getDouble(4), Double.MaxValue)))
+    // the leading count lets readers detect a torn/truncated entry list
     val json = boxes.map { b =>
       s"""{"file": "${escape(b.file)}", "xmin": ${b.xmin}, "ymin": ${b.ymin},""" +
         s""" "xmax": ${b.xmax}, "ymax": ${b.ymax}}"""
-    }.mkString("[", ",\n ", "]")
-    writeString(spark, sidecarPath(path), json)
+    }.mkString(s"""{"count": ${boxes.length}}\n[""", ",\n ", "]")
+    graft.util.FsIO.writeStringAtomic(spark, sidecarPath(path), json)
   }
 
   /** Non-finite coordinates (NaN/Infinity from corrupt data) widen the
@@ -79,69 +80,53 @@ object GeoTable {
   private def sane(v: Double, fallback: Double): Double =
     if (java.lang.Double.isFinite(v)) v else fallback
 
-  // sidecar I/O goes through the Hadoop FileSystem API so GeoTable works
-  // on hdfs:// and s3a:// paths, not just the local filesystem
+  // sidecar I/O goes through graft.util.FsIO (Hadoop FileSystem API, so
+  // GeoTable works on hdfs:// and s3a:// paths; atomic temp+rename writes,
+  // unreadable files degrade to None)
   private def sidecarPath(table: String) =
     new org.apache.hadoop.fs.Path(table, "_geo_meta.json")
 
-  private def writeString(spark: SparkSession,
-      p: org.apache.hadoop.fs.Path, content: String): Unit = {
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private val countHeader = """"count": (\d+)""".r
 
-  // an unreadable sidecar (checksum mismatch, permission, truncation) must
-  // degrade to "no sidecar" — pruning is an optimization, never a gate
-  private def readString(spark: SparkSession,
-      p: org.apache.hadoop.fs.Path): Option[String] =
-    try {
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try Some(new String(
-          org.apache.commons.io.IOUtils.toByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally in.close()
+  /** None = sidecar absent or corrupt (unreadable, torn entry list, or a
+    * declared count that doesn't match the parsed entries) — callers must
+    * fall back to a full read; pruning can never be a gate. */
+  private def sidecarEntries(spark: SparkSession, path: String): Option[Seq[FileBox]] =
+    graft.util.FsIO.readString(spark, sidecarPath(path)).flatMap { json =>
+      val entries = parseSidecar(json)
+      countHeader.findFirstMatchIn(json).map(_.group(1).toInt) match {
+        case Some(n) if n == entries.length => Some(entries)
+        case Some(_) => None // torn write: header disagrees with entries
+        case None if entries.nonEmpty || json.trim == "[]" => Some(entries) // legacy
+        case None => None // garbage
       }
-    } catch {
-      case e: java.io.IOException =>
-        System.err.println(s"[GeoTable] sidecar $p unreadable (${e.getMessage}); full read")
-        None
     }
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
   /** Read only the files whose bbox intersects the query envelope —
     * file-level spatial pruning off the sidecar. Falls back to a full
-    * read when the sidecar is absent OR unparseable: pruning is an
-    * optimization and must never silently drop data, so a sidecar that
-    * exists but yields zero entries without being the literal empty list
-    * is treated as corrupt. */
+    * read when the sidecar is absent OR corrupt: pruning is an
+    * optimization and must never silently drop data. */
   def readIntersecting(spark: SparkSession, path: String,
       xmin: Double, ymin: Double, xmax: Double, ymax: Double): DataFrame =
-    readString(spark, sidecarPath(path)) match {
+    sidecarEntries(spark, path) match {
       case None => read(spark, path)
-      case Some(json) =>
-        val entries = parseSidecar(json)
-        if (entries.isEmpty && json.trim != "[]") read(spark, path) // corrupt sidecar
-        else {
-          val files = entries
-            .filter(b => b.xmin <= xmax && b.xmax >= xmin && b.ymin <= ymax && b.ymax >= ymin)
-            .map(_.file)
-          if (files.isEmpty)
-            spark.read.parquet(path).limit(0) // keep the schema, read nothing
-          else spark.read.parquet(files: _*)
-        }
+      case Some(entries) =>
+        val files = entries
+          .filter(b => b.xmin <= xmax && b.xmax >= xmin && b.ymin <= ymax && b.ymax >= ymin)
+          .map(_.file)
+        if (files.isEmpty)
+          spark.read.parquet(path).limit(0) // keep the schema, read nothing
+        else spark.read.parquet(files: _*)
     }
 
   /** How many files the envelope touches vs total — exposed so callers
-    * (and tests) can observe pruning effectiveness. */
+    * (and tests) can observe pruning effectiveness. (0, 0) when the
+    * sidecar is absent or corrupt. */
   def pruningStats(spark: SparkSession, path: String,
       xmin: Double, ymin: Double, xmax: Double, ymax: Double): (Int, Int) = {
-    val boxes = parseSidecar(readString(spark, sidecarPath(path)).getOrElse(""))
+    val boxes = sidecarEntries(spark, path).getOrElse(Seq.empty)
     val hit = boxes.count(b =>
       b.xmin <= xmax && b.xmax >= xmin && b.ymin <= ymax && b.ymax >= ymin)
     (hit, boxes.length)

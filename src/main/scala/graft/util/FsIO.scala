@@ -1,0 +1,46 @@
+package graft.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-sidecar I/O over the Hadoop FileSystem API (hdfs://, s3a://,
+  * local) with the two hardening properties every metadata sidecar needs:
+  *
+  *  - ATOMIC writes: content goes to a `.tmp` sibling first and is
+  *    renamed into place, so a crashed writer can never leave a truncated
+  *    sidecar where the real one was — readers see the old version or the
+  *    new one, never a prefix.
+  *  - Graceful reads: a missing or unreadable file (checksum mismatch,
+  *    permissions, truncation) returns None instead of throwing, because
+  *    sidecars are optimizations and must degrade to "not present".
+  */
+object FsIO {
+
+  def writeStringAtomic(spark: SparkSession, p: Path, content: String): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
+  }
+
+  def readString(spark: SparkSession, p: Path): Option[String] =
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      }
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[FsIO] $p unreadable (${e.getMessage}); treating as absent")
+        None
+    }
+}

@@ -61,5 +61,13 @@ class GeoTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = GeoTable.readIntersecting(spark, dir, 0, 0, 10, 10)
     // fallback = full read: all 100 rows visible, pruning disabled
     assert(got.count() == 100)
+
+    // torn sidecar: declared count disagrees with parsed entries → full read
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(dir, "_geo_meta.json"),
+      """{"count": 5}
+        [{"file": "/nonexistent/part-0.parquet", "xmin": 0.0, "ymin": 0.0, "xmax": 1.0, "ymax": 1.0}]""")
+    assert(GeoTable.readIntersecting(spark, dir, 0, 0, 10, 10).count() == 100)
+    assert(GeoTable.pruningStats(spark, dir, 0, 0, 10, 10) == (0, 0))
   }
 }

@@ -369,6 +369,16 @@ object SparkEntry {
           round(col("knn_distance") * col("knn_distance")).cast("long").as("d2"))
         .orderBy("qid", "knn_rank")
     }),
+    // the EXACT inverted-index counterpart of q28: same threshold, same
+    // refine metric, no LSH — the two queries share one oracle, so the
+    // approximate and exact pipelines cross-check each other
+    "q44_ngram_jaccard" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Dedup
+        .ngramJaccardPairs(spark.table("documents"), "doc_id", "text", threshold = 0.35)
+        .select("ida", "idb", "inter", "uni")
+        .orderBy("ida", "idb")
+    }),
     // GeoTable round-trip with file-level bbox pruning on the sidecar:
     // write location-clustered, read back only files intersecting the
     // envelope, then row-filter — result is layout-independent (the
@@ -413,6 +423,24 @@ object SparkEntry {
     len(list_filter(regexp_split_to_array(lower(text), '\s+'),
       w -> w IN ('el','los','las','y','es','un','una','en','que','por'))) AS s_es"""
 
+  // exact 3-token-shingle Jaccard >= 0.35 pairs with whole-text fallback
+  // for sub-3-token docs (mirrors Dedup's ngramSet)
+  private val SHINGLE_JACCARD_ORACLE = """
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                    CASE WHEN len(l) >= 3 THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                         ELSE text END AS s
+                  FROM t, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS u(i)),
+           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           ip AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+      SELECT ida, idb, CAST(ninter AS INT) AS inter,
+             CAST(sa.n + sb.n - ninter AS INT) AS uni
+      FROM ip JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+      WHERE ninter * 1.0 / (sa.n + sb.n - ninter) >= 0.35
+      ORDER BY ida, idb"""
+
   private val LANG_CASE = """
     CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
          WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
@@ -431,22 +459,10 @@ object SparkEntry {
              true AS fp_distinct_ok
       FROM documents ORDER BY doc_id""",
     // exact 3-token-shingle Jaccard >= 0.35 pairs — what the LSH pipeline
-    // must find given the 64x1 banding and the corpus's similarity gap
-    "q28_minhash_lsh" -> """
-      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
-           sh AS (SELECT DISTINCT doc_id,
-                    CASE WHEN len(l) >= 3 THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
-                         ELSE text END AS s
-                  FROM t, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS u(i)),
-           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-           ip AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
-                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-      SELECT ida, idb, CAST(ninter AS INT) AS inter,
-             CAST(sa.n + sb.n - ninter AS INT) AS uni
-      FROM ip JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
-      WHERE ninter * 1.0 / (sa.n + sb.n - ninter) >= 0.35
-      ORDER BY ida, idb""",
+    // must find given the 64x1 banding and the corpus's similarity gap;
+    // q44 (exact inverted-index operator) shares the identical oracle
+    "q28_minhash_lsh" -> SHINGLE_JACCARD_ORACLE,
+    "q44_ngram_jaccard" -> SHINGLE_JACCARD_ORACLE,
     "q31_ann_lsh_recall" -> """
       SELECT CAST(15 AS BIGINT) AS n_exact, true AS recall_ok""",
     "q35_ann_ivf" -> """

@@ -102,20 +102,52 @@ object Dedup {
       .groupBy("band", "bucket").agg(count(lit(1)).as("size"))
       .where(col("size") > maxBucket)
 
-  /** Distinct 3-token shingle strings — the string twin of the hashed
+  /** Distinct word-n-gram strings; n=3 is the string twin of the hashed
     * shingle universe MinHash signatures are computed over, so an exact
     * Jaccard on these matches what the signature estimates. Documents
-    * shorter than 3 tokens collapse to one whole-text shingle, mirroring
+    * shorter than n tokens collapse to one whole-text gram, mirroring
     * TextKernels.shingleHashes. `toks` MUST be a materialized attribute
     * (not a split(...) expression): lambda bodies re-evaluate captured
     * expressions per element, so an inline split would re-tokenize the
     * text O(tokens) times per row. */
-  private def shingleSet(text: Column, toks: Column): Column =
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
+  private def ngramSet(text: Column, toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
       .otherwise(array(text))
+
+  private def shingleSet(text: Column, toks: Column): Column = ngramSet(text, toks, 3)
+
+  /** EXACT word-n-gram Jaccard near-duplicate pairs via an inverted-index
+    * join: explode distinct grams, group postings per gram, generate
+    * in-posting pairs (each shared gram contributes one pair row), count
+    * rows per pair = |intersection|, then close the formula with per-doc
+    * set sizes. One shuffle on the gram key + one on the pair key — never
+    * an all-pairs scan; cost is Σ posting², so `maxDocFreq` caps the
+    * postings of boilerplate grams (the skew guard; with the cap above
+    * the true max document-frequency the result is exact). The LSH route
+    * ([[minhashNearDups]]) approximates this at lower cost; this is the
+    * exact counterpart for thresholds/audits. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, maxDocFreq: Int = 10000): DataFrame = {
+    val sets = df
+      .select(col(idCol).as("doc"), col(textCol).as("__text"),
+        split(col(textCol), " ").as("__t"))
+      .select(col("doc"), ngramSet(col("__text"), col("__t"), n).as("gs"))
+    val sizes = sets.select(col("doc"), size(col("gs")).as("sz"))
+    val inter = explodeBucketPairs(
+        sets.select(col("doc"), explode(col("gs")).as("g"))
+          .groupBy("g").agg(sort_array(collect_list(col("doc"))).as("ds")),
+        maxDocFreq)
+      .groupBy("ida", "idb").agg(count(lit(1)).cast("int").as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "ida").withColumnRenamed("sz", "sza"), "ida")
+      .join(sizes.withColumnRenamed("doc", "idb").withColumnRenamed("sz", "szb"), "idb")
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .where(col("inter").cast("double") / col("uni") >= threshold)
+      .select(col("ida"), col("idb"), col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
 
   /** LSH candidates refined by an exact set Jaccard >= threshold —
     * token sets by default, 3-token shingle sets when `refineOnShingles`

@@ -113,6 +113,33 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1, 2)))
   }
 
+  test("ngram jaccard pairs match a brute-force computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "a b c d e f g h"),
+      (2, "a b c d e f g x"),     // shares 5 of 6+6-5 trigrams with doc 1
+      (3, "p q r s t u v w"),
+      (4, "p q r s t u v w"),     // exact dup of 3
+      (5, "zz"))                  // sub-3-token: whole-text gram
+    val df = docs.toDF("id", "text")
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set(t) else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val brute = (for {
+      (i, a) <- docs; (j, b) <- docs if i < j
+      ga = grams(a); gb = grams(b)
+      inter = (ga & gb).size; uni = (ga | gb).size
+      if inter.toDouble / uni >= 0.5
+    } yield (i, j, inter, uni)).toSet
+    val got = Dedup.ngramJaccardPairs(df, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == brute && brute.nonEmpty)
+    // maxDocFreq cap drops pairs only reachable through capped grams
+    val capped = Dedup.ngramJaccardPairs(df, "id", "text", threshold = 0.5, maxDocFreq = 1)
+    assert(capped.count() == 0)
+  }
+
   test("minhash bucket cap bounds degenerate all-identical corpora") {
     import spark.implicits._
     // 60 identical docs: uncapped, every band holds one 60-doc bucket →

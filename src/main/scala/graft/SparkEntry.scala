@@ -364,7 +364,11 @@ object SparkEntry {
       val queries = spark.sql("""
         SELECT id AS qid, ST_GeomFromText('POINT(' || CAST(id * 17 % 100 AS STRING) || ' 33)') AS qgeom
         FROM range(0, 5) t(id)""")
-      graft.operators.SpatialJoin.knnJoin(queries, "qgeom", pts, "geom", k = 3)
+      // the corpus-distributed variant (broadcast queries, per-partition
+      // STRtree + global top-k merge) — the shape that survives a 100 TB
+      // corpus; distances identical to knnJoin's
+      graft.operators.SpatialJoin
+        .knnJoinBroadcastQueries(queries, "qgeom", pts, "geom", k = 3)
         .select(col("qid"), col("knn_rank"),
           round(col("knn_distance") * col("knn_distance")).cast("long").as("d2"))
         .orderBy("qid", "knn_rank")

@@ -119,7 +119,12 @@ object SpatialJoin {
     * Results get a deterministic (distance, build-index) tie-break. Ties
     * at the k-th distance keep the lowest build index. Map-only over the
     * left side, like [[broadcastJoin]]. Output: left columns ++
-    * right columns ++ (knn_rank, knn_distance). */
+    * right columns ++ (knn_rank, knn_distance).
+    *
+    * The RIGHT side must fit in memory (it is collected and broadcast) —
+    * for a small query set against a large corpus use
+    * [[knnJoinBroadcastQueries]], which broadcasts the queries and keeps
+    * the corpus distributed. */
   def knnJoin(left: DataFrame, leftGeom: String,
       right: DataFrame, rightGeom: String, k: Int): DataFrame = {
     val spark = left.sparkSession
@@ -168,6 +173,96 @@ object SpatialJoin {
             }
           }
         }
+      }
+    }(outEncoder)
+  }
+
+  /** KNN join for a SMALL query side against a LARGE corpus — the shape
+    * [[knnJoin]] must not be used for (it collects and broadcasts the
+    * whole right side). Here the queries are broadcast instead; every
+    * corpus partition builds a local STRtree over its own rows, answers
+    * each query's exact k-nearest within the partition (true-geometry
+    * branch-and-bound, like [[knnJoin]]), and a final per-query top-k
+    * over the k·numPartitions partial candidates merges globally — only
+    * k rows per (query, partition) cross the shuffle. Output matches
+    * [[knnJoin]]: left columns ++ right columns ++ (knn_rank,
+    * knn_distance), ranks deterministic via (distance, row-order)
+    * tie-break within partitions and (distance, partition) across. */
+  def knnJoinBroadcastQueries(left: DataFrame, leftGeom: String,
+      right: DataFrame, rightGeom: String, k: Int): DataFrame = {
+    val spark = left.sparkSession
+    val leftRows = left.collect()
+    val leftGeomIdx = left.schema.fieldIndex(leftGeom)
+    val queries = leftRows.zipWithIndex.flatMap { case (row, i) =>
+      val bytes = row.getAs[Array[Byte]](leftGeomIdx)
+      if (bytes == null) None
+      else {
+        val g = GeoKernels.geom(bytes)
+        if (g.getEnvelopeInternal.isNull) None else Some((i, bytes))
+      }
+    }
+    val bcQueries = spark.sparkContext.broadcast(queries)
+    val bcLeftRows = spark.sparkContext.broadcast(leftRows)
+    val rightGeomIdx = right.schema.fieldIndex(rightGeom)
+
+    val partialSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("__qidx", org.apache.spark.sql.types.IntegerType, false),
+      org.apache.spark.sql.types.StructField("__dist", org.apache.spark.sql.types.DoubleType, false)) ++
+      right.schema.fields)
+    val partialEncoder = org.apache.spark.sql.Encoders.row(StructType(partialSchema))
+
+    // per-partition exact top-k candidates
+    val partials = right.mapPartitions { rows =>
+      val qs = bcQueries.value
+      if (qs.isEmpty) Iterator.empty
+      else {
+        val buf = rows.toArray
+        val tree = new STRtree()
+        buf.zipWithIndex.foreach { case (row, i) =>
+          val bytes = row.getAs[Array[Byte]](rightGeomIdx)
+          if (bytes != null) {
+            val g = GeoKernels.geom(bytes)
+            val env = g.getEnvelopeInternal
+            if (!env.isNull) tree.insert(env, new GeomItem(g, i))
+          }
+        }
+        if (tree.isEmpty) Iterator.empty
+        else {
+          tree.build()
+          val treeSize = tree.size()
+          qs.iterator.flatMap { case (qidx, qbytes) =>
+            val qg = GeoKernels.geom(qbytes)
+            val fetched = tree.nearestNeighbour(qg.getEnvelopeInternal,
+              new GeomItem(qg, -1), GeomItemDistance, math.min(k, treeSize))
+            fetched.iterator.collect {
+              case it: GeomItem if it.idx >= 0 =>
+                Row.fromSeq(Seq[Any](qidx, qg.distance(it.geom)) ++ buf(it.idx).toSeq)
+            }
+          }
+        }
+      }
+    }(partialEncoder)
+
+    // global merge: per-query top-k over the tiny partial set
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__qidx").orderBy(org.apache.spark.sql.functions.col("__dist"))
+    val merged = partials
+      .withColumn("knn_rank", org.apache.spark.sql.functions.row_number().over(w))
+      .where(org.apache.spark.sql.functions.col("knn_rank") <= k)
+
+    val outSchema = StructType(left.schema.fields ++ right.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("knn_rank", org.apache.spark.sql.types.IntegerType, false),
+      org.apache.spark.sql.types.StructField("knn_distance", org.apache.spark.sql.types.DoubleType, false)))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val nRight = right.schema.fields.length
+    merged.mapPartitions { rows =>
+      val lrows = bcLeftRows.value
+      rows.map { r =>
+        val qidx = r.getInt(0)
+        val dist = r.getDouble(1)
+        val rightVals = (0 until nRight).map(i => r.get(2 + i))
+        Row.fromSeq(lrows(qidx).toSeq ++ rightVals ++
+          Seq[Any](r.getAs[Int]("knn_rank"), dist))
       }
     }(outEncoder)
   }

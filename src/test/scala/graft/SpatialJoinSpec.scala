@@ -123,6 +123,25 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((1, 1, 60.0), (2, 2, 70.0)))
   }
 
+  test("knnJoinBroadcastQueries agrees with knnJoin (small fixtures, big-corpus shape)") {
+    GeoFunctions.register(spark)
+    val q = spark.sql("""
+      SELECT qid, ST_GeomFromText('POINT(' || CAST(x AS STRING) || ' 0)') AS qgeom
+      FROM VALUES (1, 0), (2, 50), (3, 17) AS t(qid, x)""")
+    // 200 corpus points across 4 partitions, distances tie-free
+    val c = spark.sql("""
+      SELECT id AS cid, ST_GeomFromText('POINT(' || CAST(id * 7 % 101 AS STRING) ||
+        ' ' || CAST(id % 3 AS STRING) || ')') AS cgeom
+      FROM range(0, 200) t(id)""").repartition(4)
+    def run(f: => org.apache.spark.sql.DataFrame): Set[(Int, Long, Int)] =
+      f.select("qid", "cid", "knn_rank").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val viaBroadcastRight = run(SpatialJoin.knnJoin(q, "qgeom", c, "cgeom", k = 4))
+    val viaBroadcastQueries =
+      run(SpatialJoin.knnJoinBroadcastQueries(q, "qgeom", c, "cgeom", k = 4))
+    assert(viaBroadcastQueries == viaBroadcastRight && viaBroadcastRight.size == 12)
+  }
+
   test("covers / coveredby predicates refine correctly") {
     val (pts, boxes) = fixtures()
     // box covers point — boundary points count as covered

@@ -1,0 +1,101 @@
+package graft.tools
+
+import graft.functions.GeoFunctions
+import graft.operators.{Ann, Dedup, SpatialJoin}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke (test scope, manual): expands the sf0.1 fixtures 10-20x
+  * (100k documents with per-copy token suffixes so near-dup structure
+  * scales linearly; 6M lineitem points) and drives the operators whose
+  * scale behavior matters — LSH dedup, exact n-gram Jaccard, broadcast /
+  * grid / knn spatial joins. Prints wall timings; a blowup here means a
+  * plan that would not survive the 100 TB target.
+  * Run: sbt "Test/runMain graft.tools.ScaleSmoke"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GeoFunctions.register(spark)
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // ---- text: 100k docs (20 jittered copies of the 5k sf0.1 corpus) ----
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val docs = (0 until 20).map { k =>
+      docs0.select((col("doc_id") + lit(k * 1000000)).as("doc_id"),
+        concat(col("text"), lit(s" copymark$k")).as("text"))
+    }.reduce(_ union _).repartition(32).cache()
+    println(s"[scale] docs: ${docs.count()}")
+
+    val nearDups = time("minhashNearDups 100k docs") {
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.35,
+        numHashes = 64, bands = 64, refineOnShingles = true, minBandHits = 4).count()
+    }
+    println(s"[scale]   near-dup pairs: $nearDups")
+
+    val ngramPairs = time("ngramJaccardPairs 100k docs") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.35).count()
+    }
+    println(s"[scale]   ngram pairs: $ngramPairs")
+
+    val exact = time("exact dedup 100k docs") {
+      Dedup.exact(docs, "doc_id", "text").count()
+    }
+    println(s"[scale]   distinct texts: $exact")
+
+    // ---- spatial: 6M points vs 5 regions ----
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber")
+    val pts = (0 until 10).map { k =>
+      li.select((col("l_orderkey") * 10 + k).as("pid"),
+        expr("ST_GeomFromText('POINT(' || CAST(l_orderkey % 100 AS STRING) || ' ' || CAST(l_linenumber * 10 AS STRING) || ')')").as("geom"))
+    }.reduce(_ union _).repartition(32).cache()
+    println(s"[scale] pts: ${pts.count()}")
+    val regions = spark.sql("""
+      SELECT r_regionkey AS rid, ST_MakeEnvelope(CAST(r_regionkey * 20 AS DOUBLE), 0.0,
+             CAST(r_regionkey * 20 + 20 AS DOUBLE), 100.0) AS rgeom
+      FROM parquet.`/root/testdata/sf0.1/region.parquet`""")
+
+    val bj = time("broadcastJoin 6M x 5") {
+      SpatialJoin.broadcastJoin(pts, "geom", regions, "rgeom").count()
+    }
+    println(s"[scale]   broadcast join rows: $bj")
+
+    val gj = time("gridJoin 6M x 5") {
+      SpatialJoin.gridJoin(pts, "geom", regions, "rgeom", cellSize = 25.0).count()
+    }
+    println(s"[scale]   grid join rows: $gj")
+    assert(bj == gj, s"broadcast ($bj) and grid ($gj) joins disagree")
+
+    val queries = spark.sql("""
+      SELECT id AS qid, ST_GeomFromText('POINT(' || CAST(id * 17 % 100 AS STRING) || ' 33)') AS qgeom
+      FROM range(0, 100) t(id)""")
+    val knn = time("knnJoinBroadcastQueries 100 queries vs 6M") {
+      SpatialJoin.knnJoinBroadcastQueries(queries, "qgeom", pts, "geom", k = 5).count()
+    }
+    println(s"[scale]   knn rows: $knn")
+
+    // ---- vectors: IVF build+search on the full 2k corpus ----
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val r = time("ivf build+search") {
+      val exact5 = Ann.bruteForceTopK(emb.where(col("vec_id") < 20), emb, 5)
+      val approx = Ann.ivfTopK(emb.where(col("vec_id") < 20), emb, 5, nlist = 8, nProbe = 4)
+      Ann.recall(approx, exact5)
+    }
+    println(f"[scale]   ivf recall@5 (20 queries): $r%.3f")
+
+    spark.stop()
+  }
+}

@@ -373,6 +373,23 @@ object SparkEntry {
           round(col("knn_distance") * col("knn_distance")).cast("long").as("d2"))
         .orderBy("qid", "knn_rank")
     }),
+    // measure/validity/simplify family (PostGIS-standard extras):
+    // length is sqrt of an exact integer sum (bit-identical in DuckDB),
+    // hull area of a triangle-with-interior-point is exact rectangle
+    // algebra, simplify point-counts and validity flip on row parity
+    "q45_length_hull_simplify" -> q(s"""
+      SELECT $KEYS,
+             ST_Length(ST_GeomFromText('LINESTRING(0 0,' || $PX || ' ' || $PY || ')')) AS len,
+             ST_Area(ST_ConvexHull(ST_GeomFromText(
+               'MULTIPOINT(' || $PX || ' ' || $PY || ',' ||
+               CAST(l_orderkey % 100 + 10 AS STRING) || ' ' || $PY || ',' ||
+               $PX || ' ' || CAST(l_linenumber * 10 + 20 AS STRING) || ',' ||
+               CAST(l_orderkey % 100 + 2 AS STRING) || ' ' || CAST(l_linenumber * 10 + 2 AS STRING) || ')'))) AS harea,
+             ST_NPoints(ST_Simplify(ST_GeomFromText(CASE WHEN l_orderkey % 2 = 0
+               THEN 'LINESTRING(0 0,1 0.1,2 0)' ELSE 'LINESTRING(0 0,1 5,2 0)' END), 0.5)) AS snp,
+             ST_IsValid(ST_GeomFromText(CASE WHEN l_linenumber % 2 = 0
+               THEN 'POLYGON((0 0,2 2,2 0,0 2,0 0))' ELSE 'POLYGON((0 0,1 0,1 1,0 1,0 0))' END)) AS valid
+      FROM lineitem ORDER BY $KEYS"""),
     // the EXACT inverted-index counterpart of q28: same threshold, same
     // refine metric, no LSH — the two queries share one oracle, so the
     // approximate and exact pipelines cross-check each other
@@ -511,6 +528,17 @@ object SparkEntry {
       FROM lineitem
       WHERE (l_orderkey % 100) <= 30 AND (l_linenumber * 10) <= 25
       ORDER BY l_orderkey, l_linenumber""",
+    // len = sqrt(px^2 + py^2) bit-identical (integer squares, one IEEE
+    // sqrt); hull of the triangle (10 x 20 legs) with an interior point =
+    // 100; the 0.1-offset line simplifies to 2 points at tol 0.5, the
+    // 5-offset survives with 3; bowtie invalid, square valid
+    "q45_length_hull_simplify" -> s"""
+      SELECT $KEYS,
+             sqrt($OX * $OX + $OY * $OY) AS len,
+             100.0 AS harea,
+             CASE WHEN l_orderkey % 2 = 0 THEN 2 ELSE 3 END AS snp,
+             l_linenumber % 2 <> 0 AS valid
+      FROM lineitem ORDER BY $KEYS""",
     "q01_geomfromtext_xy" -> s"""
       SELECT $KEYS, $OX AS x, $OY AS y FROM lineitem ORDER BY $KEYS""",
     "q02_astext" -> s"""

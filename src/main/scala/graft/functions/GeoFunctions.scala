@@ -62,6 +62,10 @@ object GeoFunctions {
     "st_y" -> { es => arity("st_y", es, 1); StY(es.head) },
     "st_numgeometries" -> { es => arity("st_numgeometries", es, 1); StNumGeometries(es.head) },
     "st_npoints" -> { es => arity("st_npoints", es, 1); StNumPoints(es.head) },
+    "st_length" -> { es => arity("st_length", es, 1); StLength(es.head) },
+    "st_isvalid" -> { es => arity("st_isvalid", es, 1); StIsValid(es.head) },
+    "st_convexhull" -> { es => arity("st_convexhull", es, 1); StConvexHull(es.head) },
+    "st_simplify" -> { es => arity("st_simplify", es, 2); StSimplify(es.head, es(1)) },
     // training-data-pipeline surface: text dedup/analysis + vector search
     "simhash64" -> { es => arity("simhash64", es, 1); TextSimhash(es.head) },
     "minhash_sig" -> { es => arity("minhash_sig", es, 2); TextMinhash(es.head, es(1)) },
@@ -132,6 +136,10 @@ object GeoFunctions {
   def st_y(g: Column): Column = c(StY(x(g)))
   def st_numgeometries(g: Column): Column = c(StNumGeometries(x(g)))
   def st_npoints(g: Column): Column = c(StNumPoints(x(g)))
+  def st_length(g: Column): Column = c(StLength(x(g)))
+  def st_isvalid(g: Column): Column = c(StIsValid(x(g)))
+  def st_convexhull(g: Column): Column = c(StConvexHull(x(g)))
+  def st_simplify(g: Column, tolerance: Column): Column = c(StSimplify(x(g), x(tolerance)))
   def st_extent(g: Column): Column = c(StExtentAgg(x(g)).toAggregateExpression())
   def simhash64(t: Column): Column = c(TextSimhash(x(t)))
   def minhash_sig(t: Column, n: Column): Column = c(TextMinhash(x(t), x(n)))

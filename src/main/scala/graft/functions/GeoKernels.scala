@@ -282,6 +282,27 @@ object GeoKernels {
     remember(GeomCodec.encodeEwkb(out), out)
   }
 
+  def length(tagged: Array[Byte]): Double = geom(tagged).getLength
+
+  def isValid(tagged: Array[Byte]): Boolean = geom(tagged).isValid
+
+  def convexHull(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val out = g.convexHull()
+    out.setSRID(g.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  /** Douglas-Peucker simplification (PostGIS ST_Simplify semantics:
+    * topology not necessarily preserved). */
+  def simplify(tagged: Array[Byte], tolerance: Double): Array[Byte] = {
+    val g = geom(tagged)
+    val out = org.locationtech.jts.simplify.DouglasPeuckerSimplifier
+      .simplify(g, tolerance)
+    out.setSRID(g.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
   def translate(tagged: Array[Byte], dx: Double, dy: Double): Array[Byte] = {
     val g = geom(tagged)
     val out = AffineTransformation.translationInstance(dx, dy).transform(g)

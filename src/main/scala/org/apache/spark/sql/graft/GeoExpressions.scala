@@ -469,6 +469,53 @@ case class StBoundary(child: Expression) extends UnaryExpression with GeoExpress
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** ST_Length — total linear length (PostGIS-standard extra). */
+case class StLength(child: Expression) extends GeoUnaryDouble {
+  override def kernel: String = "length"
+  override def apply(g: Array[Byte]): Double = GeoKernels.length(g)
+  override def prettyName: String = "st_length"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_IsValid — OGC validity (PostGIS-standard extra). */
+case class StIsValid(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_isvalid"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.isValid(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.isValid($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_ConvexHull (PostGIS-standard extra). */
+case class StConvexHull(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_convexhull"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.convexHull(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.convexHull($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_Simplify(geom, tolerance) — Douglas-Peucker (PostGIS-standard extra). */
+case class StSimplify(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_simplify"
+  override protected def nullSafeEval(g: Any, tol: Any): Any =
+    GeoKernels.simplify(g.asInstanceOf[Array[Byte]], tol.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, t) => s"${GeoExpr.K}.simplify($g, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** ST_Split — reproduces the reference's boundary∪polygonize semantics and
   * its known caveat (src/function/split.rs:103-130, FIXME at :148). */
 case class StSplit(left: Expression, right: Expression)

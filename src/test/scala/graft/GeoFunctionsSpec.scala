@@ -120,6 +120,21 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(r == Row(1.0, 2.0, 5.0, 6.0))
   }
 
+  test("length / isvalid / convexhull / simplify extras") {
+    assert(sql1("select ST_Length(ST_GeomFromText('LINESTRING(0 0,3 4)'))") == 5.0)
+    assert(sql1("select ST_Length(ST_GeomFromText('LINESTRING(0 0,3 4,3 10)'))") == 11.0)
+    assert(sql1("select ST_IsValid(ST_GeomFromText('POLYGON((0 0,1 0,1 1,0 1,0 0))'))") == true)
+    assert(sql1("select ST_IsValid(ST_GeomFromText('POLYGON((0 0,2 2,2 0,0 2,0 0))'))") == false)
+    assert(sql1("""select ST_Area(ST_ConvexHull(ST_GeomFromText(
+      'MULTIPOINT(0 0,10 0,0 20,2 2)')))""") == 100.0)
+    // hull preserves SRID through the cell encoding
+    assert(sql1("""select ST_SRID(ST_ConvexHull(ST_GeomFromText('MULTIPOINT(0 0,1 0,0 1)', 4326)))""") == 4326)
+    assert(sql1("""select ST_NPoints(ST_Simplify(
+      ST_GeomFromText('LINESTRING(0 0,1 0.1,2 0)'), 0.5))""") == 2)
+    assert(sql1("""select ST_NPoints(ST_Simplify(
+      ST_GeomFromText('LINESTRING(0 0,1 5,2 0)'), 0.5))""") == 3)
+  }
+
   test("null propagation: null geom → null result everywhere") {
     assert(sql1("select ST_AsText(cast(null as binary))") == null)
     assert(sql1("select ST_Intersects(cast(null as binary), ST_GeomFromText('POINT(0 0)'))") == null)

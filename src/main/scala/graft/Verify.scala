@@ -20,20 +20,25 @@ object Verify {
     // several jobs concurrently (local[N] has idle cores during the many
     // tiny-stage queries; ~2-3x faster wall clock than sequential).
     // prep() is synchronized and each query writes its own directory.
-    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      pool.submit(new Runnable {
-        override def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          }
-      })
-    }
-    tasks.foreach(_.get())
-    pool.shutdown()
+    val threads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4)
+    // daemon threads + finally-shutdown: a failure mid-drive must exit the
+    // JVM with the error, never hang the harness on idle pool threads
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    try {
+      val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -238,7 +238,9 @@ object MediaCodec {
         mono(i) = s / ch
         i += 1
       }
-      val nWin = math.max(1, nSamples / window)
+      // ceil: the trailing partial window still contributes (normalized by
+      // its actual sample count), so no tail of the clip is dropped
+      val nWin = math.max(1, (nSamples + window - 1) / window)
       Array.tabulate(nWin) { w =>
         var acc = 0.0
         var j = w * window
@@ -250,9 +252,10 @@ object MediaCodec {
       case _: Exception => decodeAudioStub(bytes, window)
     }
 
-  /** Deterministic fallback: byte-energy per fixed window. */
+  /** Deterministic fallback: byte-energy per window; the trailing partial
+    * window is kept and normalized by its actual byte count. */
   def decodeAudioStub(bytes: Array[Byte], window: Int = 128): Array[Double] = {
-    val n = math.max(1, bytes.length / window)
+    val n = math.max(1, (bytes.length + window - 1) / window)
     val out = new Array[Double](n)
     var w = 0
     while (w < n) {
@@ -260,7 +263,7 @@ object MediaCodec {
       var i = w * window
       val until = math.min(bytes.length, i + window)
       while (i < until) { s += (bytes(i) & 0xff); i += 1 }
-      out(w) = s / window
+      out(w) = s / math.max(1, until - w * window)
       w += 1
     }
     out

@@ -221,10 +221,12 @@ object Ann {
         .agg(sort_array(collect_list(col("nid"))).as("ds")),
       maxBucket)
       .distinct()
-    // candidate pairs are small in the near-dup regime — broadcast them
-    // against the corpus for the exact-cosine refine
+    // no broadcast hint on the candidate side: its size is bounded only
+    // by bands·maxBucket² on degenerate (duplicate-heavy) corpora, so a
+    // forced broadcast is a driver-OOM cliff — AQE sees the actual size
+    // at runtime and picks the broadcast itself when candidates are small
     c.withColumnRenamed("nid", "ida").withColumnRenamed("v", "va")
-      .join(broadcast(pairs), "ida")
+      .join(pairs, "ida")
       .join(c.withColumnRenamed("nid", "idb").withColumnRenamed("v", "vb"), "idb")
       .withColumn("cos", vec_cosine(col("va"), col("vb")))
       .where(col("cos") >= threshold)

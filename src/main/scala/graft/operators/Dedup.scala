@@ -130,20 +130,21 @@ object Dedup {
     * exact counterpart for thresholds/audits. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, maxDocFreq: Int = 10000): DataFrame = {
-    val sets = df
+    // the per-doc set size rides along as a struct field through the
+    // postings, so the gram-set construction runs exactly ONCE over the
+    // corpus and no separate sizes join re-evaluates it
+    val grams = df
       .select(col(idCol).as("doc"), col(textCol).as("__text"),
         split(col(textCol), " ").as("__t"))
       .select(col("doc"), ngramSet(col("__text"), col("__t"), n).as("gs"))
-    val sizes = sets.select(col("doc"), size(col("gs")).as("sz"))
-    val inter = explodeBucketPairs(
-        sets.select(col("doc"), explode(col("gs")).as("g"))
-          .groupBy("g").agg(sort_array(collect_list(col("doc"))).as("ds")),
+      .select(col("doc"), size(col("gs")).as("sz"), explode(col("gs")).as("g"))
+    explodeBucketPairs(
+        grams.groupBy("g")
+          .agg(sort_array(collect_list(struct(col("doc"), col("sz")))).as("ds")),
         maxDocFreq)
       .groupBy("ida", "idb").agg(count(lit(1)).cast("int").as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "ida").withColumnRenamed("sz", "sza"), "ida")
-      .join(sizes.withColumnRenamed("doc", "idb").withColumnRenamed("sz", "szb"), "idb")
-      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .select(col("ida.doc").as("ida"), col("idb.doc").as("idb"), col("inter"),
+        (col("ida.sz") + col("idb.sz") - col("inter")).as("uni"))
       .where(col("inter").cast("double") / col("uni") >= threshold)
       .select(col("ida"), col("idb"), col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))

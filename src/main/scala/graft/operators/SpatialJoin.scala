@@ -186,8 +186,9 @@ object SpatialJoin {
     * over the k·numPartitions partial candidates merges globally — only
     * k rows per (query, partition) cross the shuffle. Output matches
     * [[knnJoin]]: left columns ++ right columns ++ (knn_rank,
-    * knn_distance), ranks deterministic via (distance, row-order)
-    * tie-break within partitions and (distance, partition) across. */
+    * knn_distance); ties rank deterministically — (distance, row index)
+    * within a partition, (distance, right-row content hash) across
+    * partitions (exact duplicate rows are interchangeable). */
   def knnJoinBroadcastQueries(left: DataFrame, leftGeom: String,
       right: DataFrame, rightGeom: String, k: Int): DataFrame = {
     val spark = left.sparkSession
@@ -234,21 +235,30 @@ object SpatialJoin {
             val qg = GeoKernels.geom(qbytes)
             val fetched = tree.nearestNeighbour(qg.getEnvelopeInternal,
               new GeomItem(qg, -1), GeomItemDistance, math.min(k, treeSize))
+            // (distance, partition row index) sort: ties within a
+            // partition resolve deterministically, like knnJoin
             fetched.iterator.collect {
-              case it: GeomItem if it.idx >= 0 =>
-                Row.fromSeq(Seq[Any](qidx, qg.distance(it.geom)) ++ buf(it.idx).toSeq)
+              case it: GeomItem if it.idx >= 0 => (qg.distance(it.geom), it.idx)
+            }.toArray.sortBy(identity).iterator.map { case (d, i) =>
+              Row.fromSeq(Seq[Any](qidx, d) ++ buf(i).toSeq)
             }
           }
         }
       }
     }(partialEncoder)
 
-    // global merge: per-query top-k over the tiny partial set
+    // global merge: per-query top-k over the tiny partial set. Cross-
+    // partition ties order by a content hash of the right row — exact
+    // duplicate rows are interchangeable, distinct tied rows rank
+    // deterministically run-to-run.
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("__qidx").orderBy(org.apache.spark.sql.functions.col("__dist"))
+    import org.apache.spark.sql.functions.{col => fcol, xxhash64, row_number}
+    val rightCols = right.schema.fieldNames.map(fcol)
+    val w = Window.partitionBy("__qidx")
+      .orderBy(fcol("__dist"), xxhash64(rightCols: _*))
     val merged = partials
-      .withColumn("knn_rank", org.apache.spark.sql.functions.row_number().over(w))
-      .where(org.apache.spark.sql.functions.col("knn_rank") <= k)
+      .withColumn("knn_rank", row_number().over(w))
+      .where(fcol("knn_rank") <= k)
 
     val outSchema = StructType(left.schema.fields ++ right.schema.fields ++ Seq(
       org.apache.spark.sql.types.StructField("knn_rank", org.apache.spark.sql.types.IntegerType, false),

@@ -97,8 +97,12 @@ object GeoTable {
       countHeader.findFirstMatchIn(json).map(_.group(1).toInt) match {
         case Some(n) if n == entries.length => Some(entries)
         case Some(_) => None // torn write: header disagrees with entries
-        case None if entries.nonEmpty || json.trim == "[]" => Some(entries) // legacy
-        case None => None // garbage
+        // legacy headerless sidecars are accepted only when the entry list
+        // closes properly — a truncated prefix parses to SOME entries and
+        // must not silently prune away the lost files
+        case None if json.trim.endsWith("]") &&
+          (entries.nonEmpty || json.trim == "[]") => Some(entries)
+        case None => None // garbage or torn legacy write
       }
     }
 

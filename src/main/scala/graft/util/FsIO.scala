@@ -17,14 +17,19 @@ import org.apache.spark.sql.SparkSession
 object FsIO {
 
   def writeStringAtomic(spark: SparkSession, p: Path, content: String): Unit = {
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val qualified = fs.makeQualified(p)
+    val tmp = new Path(qualified.getParent, qualified.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"rename $tmp -> $p failed")
+    // overwrite-rename via FileContext: one metadata operation on HDFS and
+    // local filesystems — no delete-then-rename window where a crash could
+    // leave NEITHER version behind. (Object stores emulate rename by copy;
+    // there the read-side corruption detection is the backstop.)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(qualified.toUri, conf)
+    fc.rename(tmp, qualified, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def readString(spark: SparkSession, p: Path): Option[String] =

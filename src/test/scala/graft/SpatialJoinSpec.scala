@@ -133,13 +133,18 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       SELECT id AS cid, ST_GeomFromText('POINT(' || CAST(id * 7 % 101 AS STRING) ||
         ' ' || CAST(id % 3 AS STRING) || ')') AS cgeom
       FROM range(0, 200) t(id)""").repartition(4)
-    def run(f: => org.apache.spark.sql.DataFrame): Set[(Int, Long, Int)] =
-      f.select("qid", "cid", "knn_rank").collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    // both are exact, but tie-break POLICIES differ (build index vs
+    // content hash), so the invariant is the per-rank distance sequence
+    def run(f: => org.apache.spark.sql.DataFrame): Seq[(Int, Int, Double)] =
+      f.select("qid", "knn_rank", "knn_distance").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
     val viaBroadcastRight = run(SpatialJoin.knnJoin(q, "qgeom", c, "cgeom", k = 4))
     val viaBroadcastQueries =
       run(SpatialJoin.knnJoinBroadcastQueries(q, "qgeom", c, "cgeom", k = 4))
     assert(viaBroadcastQueries == viaBroadcastRight && viaBroadcastRight.size == 12)
+    // and the distributed variant is itself run-to-run deterministic
+    val again = run(SpatialJoin.knnJoinBroadcastQueries(q, "qgeom", c, "cgeom", k = 4))
+    assert(again == viaBroadcastQueries)
   }
 
   test("covers / coveredby predicates refine correctly") {

@@ -130,21 +130,27 @@ object Dedup {
     * exact counterpart for thresholds/audits. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, maxDocFreq: Int = 10000): DataFrame = {
-    // the per-doc set size rides along as a struct field through the
-    // postings, so the gram-set construction runs exactly ONCE over the
-    // corpus and no separate sizes join re-evaluates it
+    // postings carry BARE ids: the pair-explosion stage dominates cost
+    // (|pairs| x shared-grams rows), so its rows must stay narrow —
+    // measured 2x faster than carrying (doc, size) structs through the
+    // pairs. Set sizes come from the same exploded-grams subtree (grams
+    // are distinct per doc, so groupBy(doc).count IS the set size); the
+    // corpus-side set build evaluates twice (once per shuffle key), which
+    // is linear and cheap next to the pair stage.
     val grams = df
       .select(col(idCol).as("doc"), col(textCol).as("__text"),
         split(col(textCol), " ").as("__t"))
       .select(col("doc"), ngramSet(col("__text"), col("__t"), n).as("gs"))
-      .select(col("doc"), size(col("gs")).as("sz"), explode(col("gs")).as("g"))
-    explodeBucketPairs(
-        grams.groupBy("g")
-          .agg(sort_array(collect_list(struct(col("doc"), col("sz")))).as("ds")),
+      .select(col("doc"), explode(col("gs")).as("g"))
+    val sizes = grams.groupBy("doc").agg(count(lit(1)).cast("int").as("sz"))
+    val inter = explodeBucketPairs(
+        grams.groupBy("g").agg(sort_array(collect_list(col("doc"))).as("ds")),
         maxDocFreq)
       .groupBy("ida", "idb").agg(count(lit(1)).cast("int").as("inter"))
-      .select(col("ida.doc").as("ida"), col("idb.doc").as("idb"), col("inter"),
-        (col("ida.sz") + col("idb.sz") - col("inter")).as("uni"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "ida").withColumnRenamed("sz", "sza"), "ida")
+      .join(sizes.withColumnRenamed("doc", "idb").withColumnRenamed("sz", "szb"), "idb")
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .where(col("inter").cast("double") / col("uni") >= threshold)
       .select(col("ida"), col("idb"), col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))

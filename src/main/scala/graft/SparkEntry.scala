@@ -373,6 +373,19 @@ object SparkEntry {
           round(col("knn_distance") * col("knn_distance")).cast("long").as("d2"))
         .orderBy("qid", "knn_rank")
     }),
+    // GeoJSON read twin: writer output round-trips through the reader
+    // back to the synthesized coordinates; a literal exercises srid +
+    // nested-type parsing
+    "q46_geojson_roundtrip" -> q(s"""
+      SELECT $KEYS,
+             ST_AsText(ST_GeomFromGeoJSON(ST_AsGeoJSON($PT))) AS wkt,
+             ST_X(ST_GeomFromGeoJSON('{"type": "Point", "coordinates": [3.5,-2.25]}')) AS gx,
+             ST_SRID(ST_GeomFromGeoJSON('{"type": "Point", "coordinates": [1,2]}', 4326)) AS gsrid,
+             ST_GeometryType(ST_GeomFromGeoJSON(CASE WHEN l_orderkey % 2 = 0
+               THEN '{"type": "MultiLineString", "coordinates": [[[0,0],[1,1]],[[2,2],[3,3]]]}'
+               ELSE '{"type": "GeometryCollection", "geometries": [{"type": "Point", "coordinates": [1,2]}]}'
+               END)) AS gtype
+      FROM lineitem ORDER BY $KEYS"""),
     // measure/validity/simplify family (PostGIS-standard extras):
     // length is sqrt of an exact integer sum (bit-identical in DuckDB),
     // hull area of a triangle-with-interior-point is exact rectangle
@@ -528,6 +541,14 @@ object SparkEntry {
       FROM lineitem
       WHERE (l_orderkey % 100) <= 30 AND (l_linenumber * 10) <= 25
       ORDER BY l_orderkey, l_linenumber""",
+    "q46_geojson_roundtrip" -> s"""
+      SELECT $KEYS,
+             'POINT(' || $OPXS || ' ' || $OPYS || ')' AS wkt,
+             3.5 AS gx,
+             4326 AS gsrid,
+             CASE WHEN l_orderkey % 2 = 0 THEN 'ST_MultiLineString'
+                  ELSE 'ST_GeometryCollection' END AS gtype
+      FROM lineitem ORDER BY $KEYS""",
     // len = sqrt(px^2 + py^2) bit-identical (integer squares, one IEEE
     // sqrt); hull of the triangle (10 x 20 legs) with an interior point =
     // 100; the 0.1-offset line simplifies to 2 points at tol 0.5, the

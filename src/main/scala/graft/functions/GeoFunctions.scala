@@ -29,6 +29,10 @@ object GeoFunctions {
       arity("st_geomfromwkb", es, 1, 2)
       StGeomFromWkb(es.head, if (es.length > 1) es(1) else Literal(0))
     },
+    "st_geomfromgeojson" -> { es =>
+      arity("st_geomfromgeojson", es, 1, 2)
+      StGeomFromGeoJson(es.head, if (es.length > 1) es(1) else Literal(0))
+    },
     "st_makeenvelope" -> { es =>
       arity("st_makeenvelope", es, 4, 5)
       StMakeEnvelope(es, hasSrid = es.length == 5)
@@ -102,6 +106,9 @@ object GeoFunctions {
   def st_geomfromtext(wkt: Column, srid: Column): Column = c(StGeomFromText(x(wkt), x(srid)))
   def st_geomfromwkb(wkb: Column): Column = c(StGeomFromWkb(x(wkb), Literal(0)))
   def st_geomfromwkb(wkb: Column, srid: Column): Column = c(StGeomFromWkb(x(wkb), x(srid)))
+  def st_geomfromgeojson(json: Column): Column = c(StGeomFromGeoJson(x(json), Literal(0)))
+  def st_geomfromgeojson(json: Column, srid: Column): Column =
+    c(StGeomFromGeoJson(x(json), x(srid)))
   def st_makeenvelope(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     c(StMakeEnvelope(Seq(x(xmin), x(ymin), x(xmax), x(ymax)), hasSrid = false))
   def st_makeenvelope(xmin: Column, ymin: Column, xmax: Column, ymax: Column, srid: Column): Column =

@@ -119,6 +119,12 @@ object GeoKernels {
     remember(GeomCodec.encodeEwkb(g), g)
   }
 
+  def geomFromGeoJson(json: String, srid: Int): Array[Byte] = {
+    val g = graft.geo.GeoJsonReader.read(json)
+    if (srid != 0) g.setSRID(srid)
+    remember(GeomCodec.encodeEwkb(g), g)
+  }
+
   /** ST_MakeEnvelope ring order matches the reference golden
     * (src/function/make_envelope.rs:82-100): (xmin ymin, xmin ymax,
     * xmax ymax, xmax ymin, xmin ymin); EWKB when SRID given, plain WKB

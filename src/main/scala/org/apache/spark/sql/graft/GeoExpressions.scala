@@ -72,6 +72,23 @@ case class StGeomFromWkb(wkb: Expression, srid: Expression)
     copy(wkb = l, srid = r)
 }
 
+/** ST_GeomFromGeoJSON(json [, srid]) → tagged EWKB (PostGIS-standard
+  * extra; the read twin of ST_AsGeoJSON). */
+case class StGeomFromGeoJson(json: Expression, srid: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def left: Expression = json
+  override def right: Expression = srid
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_geomfromgeojson"
+  override protected def nullSafeEval(j: Any, s: Any): Any =
+    GeoKernels.geomFromGeoJson(j.asInstanceOf[UTF8String].toString, s.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (j, s) => s"${GeoExpr.K}.geomFromGeoJson($j.toString(), $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(json = l, srid = r)
+}
+
 /** ST_MakeEnvelope(xmin, ymin, xmax, ymax [, srid]) → rectangle polygon;
   * tagged EWKB when SRID given, plain WKB otherwise
   * (reference src/function/make_envelope.rs:59-105). */

@@ -101,6 +101,32 @@ class GeoCodecSpec extends AnyFunSuite {
       GeomCodec.decode(Array(WkbDialect.SpatiaLite) ++ zPoint))
   }
 
+  test("geojson reader round-trips every writer output and rejects garbage") {
+    import graft.geo.GeoJsonReader
+    val wkts = Seq(
+      "POINT(-71.064544 42.28787)",
+      "LINESTRING(0 0,1.5 2.5,3 0)",
+      "POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,4 2,4 4,2 4,2 2))",
+      "MULTIPOINT((0 0),(5 -5))",
+      "MULTILINESTRING((0 0,1 1),(2 2,3 3))",
+      "MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((5 5,6 5,6 6,5 5)))",
+      "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))")
+    for (w <- wkts) {
+      val g = GeomCodec.parseWkt(w)
+      val back = GeoJsonReader.read(GeoJsonWriter.write(g))
+      assert(back.equalsExact(g), s"roundtrip failed for $w")
+    }
+    // member order + whitespace tolerance, unknown members skipped
+    val shuffled = GeoJsonReader.read(
+      """ { "bbox": [0,0,1,1], "coordinates": [ 1 , 2 ] , "type" : "Point" } """)
+    assert(shuffled.equalsExact(GeomCodec.parseWkt("POINT(1 2)")))
+    intercept[IllegalArgumentException](GeoJsonReader.read("""{"type": "Blob"}"""))
+    intercept[IllegalArgumentException](GeoJsonReader.read("""{"coordinates": [1,2]}"""))
+    intercept[IllegalArgumentException](GeoJsonReader.read("""not json"""))
+    intercept[IllegalArgumentException](
+      GeoJsonReader.read("""{"type": "Point", "coordinates": [1,2]} extra"""))
+  }
+
   test("box2d sentinel and union (src/geo/box.rs:19-26)") {
     val e = Box2d.empty
     assert(e.xmin == Double.MaxValue && e.xmax == Double.MinValue)

@@ -164,6 +164,16 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(nulls == Row(Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue))
   }
 
+  test("st_collect aggregates a group into a GeometryCollection") {
+    val r = spark.sql("""
+      SELECT grp, ST_AsText(st_collect(ST_GeomFromText(wkt))) AS wkt
+      FROM VALUES ('a', 'POINT(1 2)'), ('a', 'POINT(3 4)'), ('b', 'LINESTRING(0 0,1 1)')
+        AS t(grp, wkt)
+      GROUP BY grp ORDER BY grp""").collect()
+    assert(r(0).getString(1) == "GEOMETRYCOLLECTION(POINT(1 2),POINT(3 4))")
+    assert(r(1).getString(1) == "GEOMETRYCOLLECTION(LINESTRING(0 0,1 1))")
+  }
+
   test("constant folding: literal geometry folds to a binary literal") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("cf_t")

@@ -401,7 +401,11 @@ object SparkEntry {
              ST_NPoints(ST_Simplify(ST_GeomFromText(CASE WHEN l_orderkey % 2 = 0
                THEN 'LINESTRING(0 0,1 0.1,2 0)' ELSE 'LINESTRING(0 0,1 5,2 0)' END), 0.5)) AS snp,
              ST_IsValid(ST_GeomFromText(CASE WHEN l_linenumber % 2 = 0
-               THEN 'POLYGON((0 0,2 2,2 0,0 2,0 0))' ELSE 'POLYGON((0 0,1 0,1 1,0 1,0 0))' END)) AS valid
+               THEN 'POLYGON((0 0,2 2,2 0,0 2,0 0))' ELSE 'POLYGON((0 0,1 0,1 1,0 1,0 0))' END)) AS valid,
+             ST_Area(ST_MakeValid(ST_GeomFromText(CASE WHEN l_linenumber % 2 = 0
+               THEN 'POLYGON((0 0,2 2,2 0,0 2,0 0))' ELSE 'POLYGON((0 0,1 0,1 1,0 1,0 0))' END))) AS varea,
+             ST_IsValid(ST_MakeValid(ST_GeomFromText(CASE WHEN l_linenumber % 2 = 0
+               THEN 'POLYGON((0 0,2 2,2 0,0 2,0 0))' ELSE 'POLYGON((0 0,1 0,1 1,0 1,0 0))' END))) AS vvalid
       FROM lineitem ORDER BY $KEYS"""),
     // the EXACT inverted-index counterpart of q28: same threshold, same
     // refine metric, no LSH — the two queries share one oracle, so the
@@ -552,13 +556,16 @@ object SparkEntry {
     // len = sqrt(px^2 + py^2) bit-identical (integer squares, one IEEE
     // sqrt); hull of the triangle (10 x 20 legs) with an interior point =
     // 100; the 0.1-offset line simplifies to 2 points at tol 0.5, the
-    // 5-offset survives with 3; bowtie invalid, square valid
+    // 5-offset survives with 3; bowtie invalid (fixed: two unit triangles,
+    // area 2), square valid (area 1); makevalid output is always valid
     "q45_length_hull_simplify" -> s"""
       SELECT $KEYS,
              sqrt($OX * $OX + $OY * $OY) AS len,
              100.0 AS harea,
              CASE WHEN l_orderkey % 2 = 0 THEN 2 ELSE 3 END AS snp,
-             l_linenumber % 2 <> 0 AS valid
+             l_linenumber % 2 <> 0 AS valid,
+             CASE WHEN l_linenumber % 2 = 0 THEN 2.0 ELSE 1.0 END AS varea,
+             true AS vvalid
       FROM lineitem ORDER BY $KEYS""",
     "q01_geomfromtext_xy" -> s"""
       SELECT $KEYS, $OX AS x, $OY AS y FROM lineitem ORDER BY $KEYS""",

@@ -68,6 +68,7 @@ object GeoFunctions {
     "st_npoints" -> { es => arity("st_npoints", es, 1); StNumPoints(es.head) },
     "st_length" -> { es => arity("st_length", es, 1); StLength(es.head) },
     "st_isvalid" -> { es => arity("st_isvalid", es, 1); StIsValid(es.head) },
+    "st_makevalid" -> { es => arity("st_makevalid", es, 1); StMakeValid(es.head) },
     "st_convexhull" -> { es => arity("st_convexhull", es, 1); StConvexHull(es.head) },
     "st_simplify" -> { es => arity("st_simplify", es, 2); StSimplify(es.head, es(1)) },
     // training-data-pipeline surface: text dedup/analysis + vector search
@@ -145,6 +146,7 @@ object GeoFunctions {
   def st_npoints(g: Column): Column = c(StNumPoints(x(g)))
   def st_length(g: Column): Column = c(StLength(x(g)))
   def st_isvalid(g: Column): Column = c(StIsValid(x(g)))
+  def st_makevalid(g: Column): Column = c(StMakeValid(x(g)))
   def st_convexhull(g: Column): Column = c(StConvexHull(x(g)))
   def st_simplify(g: Column, tolerance: Column): Column = c(StSimplify(x(g), x(tolerance)))
   def st_extent(g: Column): Column = c(StExtentAgg(x(g)).toAggregateExpression())

@@ -292,6 +292,15 @@ object GeoKernels {
 
   def isValid(tagged: Array[Byte]): Boolean = geom(tagged).isValid
 
+  /** Repair invalid geometry (self-intersections, bad rings) via JTS
+    * GeometryFixer — PostGIS ST_MakeValid semantics. */
+  def makeValid(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val out = org.locationtech.jts.geom.util.GeometryFixer.fix(g)
+    out.setSRID(g.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
   def convexHull(tagged: Array[Byte]): Array[Byte] = {
     val g = geom(tagged)
     val out = g.convexHull()

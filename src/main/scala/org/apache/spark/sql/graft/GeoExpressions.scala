@@ -507,6 +507,19 @@ case class StIsValid(child: Expression) extends UnaryExpression with GeoExpressi
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** ST_MakeValid — GeometryFixer repair (PostGIS-standard extra). */
+case class StMakeValid(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_makevalid"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.makeValid(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.makeValid($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** ST_ConvexHull (PostGIS-standard extra). */
 case class StConvexHull(child: Expression) extends UnaryExpression with GeoExpression
     with ImplicitCastInputTypes {

@@ -129,6 +129,14 @@ class GeoFunctionsSpec extends AnyFunSuite {
       'MULTIPOINT(0 0,10 0,0 20,2 2)')))""") == 100.0)
     // hull preserves SRID through the cell encoding
     assert(sql1("""select ST_SRID(ST_ConvexHull(ST_GeomFromText('MULTIPOINT(0 0,1 0,0 1)', 4326)))""") == 4326)
+    // bowtie repairs to two unit triangles (area 2), already-valid input
+    // passes through with its area intact, and repairs are always valid
+    assert(sql1("""select ST_Area(ST_MakeValid(
+      ST_GeomFromText('POLYGON((0 0,2 2,2 0,0 2,0 0))')))""") == 2.0)
+    assert(sql1("""select ST_IsValid(ST_MakeValid(
+      ST_GeomFromText('POLYGON((0 0,2 2,2 0,0 2,0 0))')))""") == true)
+    assert(sql1("""select ST_Area(ST_MakeValid(
+      ST_GeomFromText('POLYGON((0 0,1 0,1 1,0 1,0 0))')))""") == 1.0)
     assert(sql1("""select ST_NPoints(ST_Simplify(
       ST_GeomFromText('LINESTRING(0 0,1 0.1,2 0)'), 0.5))""") == 2)
     assert(sql1("""select ST_NPoints(ST_Simplify(

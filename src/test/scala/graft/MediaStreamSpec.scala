@@ -209,6 +209,29 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("b").getDouble(0) == 2.0 && rows("b").getDouble(2) == 2.0)
   }
 
+  test("streaming near-dup filtering on text fingerprints (whitespace/case variants collapse)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GeoFunctions.register(spark)
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+      .withColumn("fp", expr("text_fingerprint(text)"))
+    val dedup = StreamOps.streamingDedup(df, "ts", Seq("fp"))
+    val q = dedup.writeStream.format("memory").queryName("fpdedup")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 01:00:00")
+    // the 2nd and 3rd rows are normalization-equivalent to the 1st
+    mem.addData(
+      (t0, 1L, "hello world"),
+      (t0, 2L, "Hello  World"),
+      (t0, 3L, "HELLO WORLD"),
+      (t0, 4L, "different text entirely"))
+    q.processAllAvailable()
+    val ids = spark.table("fpdedup").select("doc_id").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(ids == Set(1L, 4L))
+  }
+
   test("streaming dedup drops in-watermark duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

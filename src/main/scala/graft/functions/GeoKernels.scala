@@ -293,10 +293,14 @@ object GeoKernels {
   def isValid(tagged: Array[Byte]): Boolean = geom(tagged).isValid
 
   /** Repair invalid geometry (self-intersections, bad rings) via JTS
-    * GeometryFixer — PostGIS ST_MakeValid semantics. */
+    * GeometryFixer. keepCollapsed mirrors PostGIS ST_MakeValid: a
+    * zero-area polygon collapses to its linear skeleton instead of being
+    * silently dropped. */
   def makeValid(tagged: Array[Byte]): Array[Byte] = {
     val g = geom(tagged)
-    val out = org.locationtech.jts.geom.util.GeometryFixer.fix(g)
+    val fixer = new org.locationtech.jts.geom.util.GeometryFixer(g)
+    fixer.setKeepCollapsed(true)
+    val out = fixer.getResult
     out.setSRID(g.getSRID)
     remember(GeomCodec.encodeEwkb(out), out)
   }

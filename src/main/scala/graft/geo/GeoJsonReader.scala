@@ -6,9 +6,11 @@ import org.locationtech.jts.geom._
   * `ST_GeomFromGeoJSON`). Hand-rolled recursive descent over the RFC 7946
   * geometry subset: all seven geometry types, members in any order,
   * arbitrary whitespace, unknown members (bbox, crs, foreign) skipped.
-  * Coordinates beyond (x, y) are ignored (2-D engine). No JSON library
-  * exists in this build, and the geometry subset is small enough that a
-  * focused parser beats a generic one anyway.
+  * Coordinates beyond (x, y) are ignored (2-D engine). Hand-rolled rather
+  * than binding Jackson/json4s off Spark's jar directory: graft.geo is a
+  * no-Spark-deps module, and pinning to whatever JSON library version a
+  * Spark distribution happens to ship is a compatibility hazard for a
+  * library; the geometry subset is small enough to own.
   */
 object GeoJsonReader {
 
@@ -134,17 +136,18 @@ object GeoJsonReader {
             geoms = b.result()
           case _ => parseValue() // bbox, crs, foreign members — skipped
         }
-        if (!done) {
-          if (peek() == ',') i += 1 else { expect('}'); done = true }
-        }
+        if (peek() == ',') i += 1 else { expect('}'); done = true }
       }
       build(typ, coords, geoms)
     }
 
     private def coord(v: Any): Coordinate = v match {
-      case xs: Vector[_] if xs.length >= 2 =>
+      // strict element check: a JSON null would otherwise unbox to 0.0 and
+      // silently corrupt coordinates instead of failing the parse
+      case xs: Vector[_] if xs.length >= 2 &&
+          xs(0).isInstanceOf[Double] && xs(1).isInstanceOf[Double] =>
         new Coordinate(xs(0).asInstanceOf[Double], xs(1).asInstanceOf[Double])
-      case _ => fail("position must be [x, y, ...]")
+      case _ => fail("position must be [x, y, ...] numbers")
     }
 
     private def coordSeq(v: Any): Array[Coordinate] = v match {
@@ -172,8 +175,13 @@ object GeoJsonReader {
           case v => val (shell, holes) = rings(v); factory.createPolygon(shell, holes)
         }
         case "MultiPoint" => coords match {
+          // an empty-position member ([]) is what the writer emits for an
+          // empty point — round-trip it instead of rejecting
           case xs: Vector[_] => factory.createMultiPoint(
-            xs.map(c => factory.createPoint(coord(c))).toArray)
+            xs.map {
+              case e: Vector[_] if e.isEmpty => factory.createPoint()
+              case c => factory.createPoint(coord(c))
+            }.toArray)
           case _ => fail("expected coordinate array")
         }
         case "MultiLineString" => coords match {

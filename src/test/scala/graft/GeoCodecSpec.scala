@@ -120,6 +120,15 @@ class GeoCodecSpec extends AnyFunSuite {
     val shuffled = GeoJsonReader.read(
       """ { "bbox": [0,0,1,1], "coordinates": [ 1 , 2 ] , "type" : "Point" } """)
     assert(shuffled.equalsExact(GeomCodec.parseWkt("POINT(1 2)")))
+    // a MultiPoint containing an empty point round-trips (the writer
+    // emits [] for it) and null coordinates are a parse error, not 0.0
+    val mpe = GeoJsonReader.read(
+      GeoJsonWriter.write(GeomCodec.parseWkt("MULTIPOINT(EMPTY,(1 2))")))
+    assert(mpe.getGeometryType == "MultiPoint" && mpe.getNumGeometries == 2)
+    intercept[IllegalArgumentException](
+      GeoJsonReader.read("""{"type": "Point", "coordinates": [null,null]}"""))
+    intercept[IllegalArgumentException](
+      GeoJsonReader.read("""{"type": "Point", "coordinates": ["1","2"]}"""))
     intercept[IllegalArgumentException](GeoJsonReader.read("""{"type": "Blob"}"""))
     intercept[IllegalArgumentException](GeoJsonReader.read("""{"coordinates": [1,2]}"""))
     intercept[IllegalArgumentException](GeoJsonReader.read("""not json"""))

@@ -137,6 +137,10 @@ class GeoFunctionsSpec extends AnyFunSuite {
       ST_GeomFromText('POLYGON((0 0,2 2,2 0,0 2,0 0))')))""") == true)
     assert(sql1("""select ST_Area(ST_MakeValid(
       ST_GeomFromText('POLYGON((0 0,1 0,1 1,0 1,0 0))')))""") == 1.0)
+    // keepCollapsed: a zero-area polygon keeps its linear skeleton
+    // (PostGIS behavior) instead of vanishing to POLYGON EMPTY
+    assert(sql1("""select ST_GeometryType(ST_MakeValid(
+      ST_GeomFromText('POLYGON((0 0,1 0,1 0,0 0))')))""") == "ST_LineString")
     assert(sql1("""select ST_NPoints(ST_Simplify(
       ST_GeomFromText('LINESTRING(0 0,1 0.1,2 0)'), 0.5))""") == 2)
     assert(sql1("""select ST_NPoints(ST_Simplify(

@@ -183,6 +183,26 @@ class GeoCodecSpec extends AnyFunSuite {
       """{"type": "MultiPoint", "coordinates": [[0,0],[1,1]]}""")
   }
 
+  test("property: geojson write -> read roundtrips arbitrary coordinates exactly") {
+    import org.scalacheck.Gen
+    import graft.geo.GeoJsonReader
+    val coord = Gen.chooseNum(-1e7, 1e7)
+    val prop = Prop.forAll(coord, coord, coord, coord, coord, coord) {
+      (x1: Double, y1: Double, x2: Double, y2: Double, x3: Double, y3: Double) =>
+        val f = GeomCodec.geometryFactory
+        import org.locationtech.jts.geom.Coordinate
+        val pt = f.createPoint(new Coordinate(x1, y1))
+        val ls = f.createLineString(Array(
+          new Coordinate(x1, y1), new Coordinate(x2, y2), new Coordinate(x3, y3)))
+        val gc = f.createGeometryCollection(Array[org.locationtech.jts.geom.Geometry](pt, ls))
+        Seq(pt, ls, gc).forall { g =>
+          GeoJsonReader.read(GeoJsonWriter.write(g)).equalsExact(g)
+        }
+    }
+    val result = scCheck(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("property: point roundtrip preserves coordinates exactly") {
     val prop = Prop.forAll { (px: Double, py: Double) =>
       (px.isNaN || py.isNaN) || {

@@ -407,6 +407,15 @@ object SparkEntry {
              ST_IsValid(ST_MakeValid(ST_GeomFromText(CASE WHEN l_linenumber % 2 = 0
                THEN 'POLYGON((0 0,2 2,2 0,0 2,0 0))' ELSE 'POLYGON((0 0,1 0,1 1,0 1,0 0))' END))) AS vvalid
       FROM lineitem ORDER BY $KEYS"""),
+    // survivor-row dedup: all columns of the lowest-id row per distinct
+    // content — the write-back shape of a curation pipeline
+    "q47_dedup_keep_rows" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Dedup
+        .exactKeepFirst(spark.table("documents"), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     // the EXACT inverted-index counterpart of q28: same threshold, same
     // refine metric, no LSH — the two queries share one oracle, so the
     // approximate and exact pipelines cross-check each other
@@ -501,6 +510,11 @@ object SparkEntry {
     // q44 (exact inverted-index operator) shares the identical oracle
     "q28_minhash_lsh" -> SHINGLE_JACCARD_ORACLE,
     "q44_ngram_jaccard" -> SHINGLE_JACCARD_ORACLE,
+    "q47_dedup_keep_rows" -> """
+      SELECT doc_id, lang, source, n_chars
+      FROM documents
+      WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+      ORDER BY doc_id""",
     "q31_ann_lsh_recall" -> """
       SELECT CAST(15 AS BIGINT) AS n_exact, true AS recall_ok""",
     "q35_ann_ivf" -> """

@@ -29,6 +29,19 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** Exact dedup that KEEPS the surviving rows — all columns of the
+    * lowest-id row per distinct content, which is what a corpus-curation
+    * pipeline actually writes back out. One shuffle on the content hash
+    * (window partition), rank filter inside the codegen'd window stage. */
+  def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Rows of (band, bucket) per document — the LSH scatter phase.
     * numHashes must be divisible by bands; each bucket key hashes
     * `numHashes / bands` signature entries. */

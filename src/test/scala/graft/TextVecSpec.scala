@@ -102,6 +102,15 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1, 3L), (2, 1L)))
   }
 
+  test("exactKeepFirst keeps the full lowest-id row per distinct content") {
+    import spark.implicits._
+    val df = Seq((3, "aaa", "x3"), (1, "aaa", "x1"), (2, "bbb", "x2"), (4, "aaa", "x4"))
+      .toDF("id", "text", "extra")
+    val out = Dedup.exactKeepFirst(df, "id", "text").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1, "aaa", "x1"), (2, "bbb", "x2")))
+  }
+
   test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"word$i").mkString(" ")

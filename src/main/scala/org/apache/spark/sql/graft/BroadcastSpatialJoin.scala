@@ -6,7 +6,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.locationtech.jts.index.strtree.STRtree
@@ -18,6 +18,10 @@ import org.locationtech.jts.index.strtree.STRtree
   * streamed side. Output column order is always left ++ right regardless
   * of which side builds.
   *
+  * `leftOuter` (valid only with `buildRight`, i.e. the outer side
+  * streams) emits a null-padded right side for unmatched left rows —
+  * the "point with its region, NULL if none" shape.
+  *
   * This is the physical twin of [[graft.operators.SpatialJoin.broadcastJoin]]
   * planned automatically by [[SpatialJoinStrategy]] whenever either side
   * fits under the broadcast threshold (dimension tables, region polygons,
@@ -25,10 +29,16 @@ import org.locationtech.jts.index.strtree.STRtree
   */
 case class BroadcastSpatialJoinExec(left: SparkPlan, right: SparkPlan,
     leftGeom: Expression, rightGeom: Expression, extraCond: Option[Expression],
-    probeExpand: Double = 0.0, buildRight: Boolean = true)
+    probeExpand: Double = 0.0, buildRight: Boolean = true,
+    leftOuter: Boolean = false)
     extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  require(!leftOuter || buildRight,
+    "left-outer spatial join requires the left (outer) side to stream")
+
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan) =
     copy(left = l, right = r)
@@ -54,14 +64,21 @@ case class BroadcastSpatialJoinExec(left: SparkPlan, right: SparkPlan,
     val condBound = extraCond.map(BindReferences.bindReference(_, output))
     val br = buildRight
 
+    val outer = leftOuter
+    val nBuildCols = build.output.length
+
     stream.execute().mapPartitionsInternal { iter =>
       val (t, brows) = bc.value
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(output, output)
+      val nullRow: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nBuildCols)
       iter.flatMap { srow =>
         val bytes = sgBound.eval(srow)
-        if (bytes == null) Iterator.empty
-        else {
+        if (bytes == null) {
+          if (outer) Iterator.single(proj(joined(srow, nullRow)).copy())
+          else Iterator.empty
+        } else {
           val g = GeoKernels.geom(bytes.asInstanceOf[Array[Byte]])
           val env = new org.locationtech.jts.geom.Envelope(g.getEnvelopeInternal)
           // the dwithin bbox expansion is symmetric, so expanding the
@@ -80,6 +97,8 @@ case class BroadcastSpatialJoinExec(left: SparkPlan, right: SparkPlan,
             if (condBound.forall(c => c.eval(jr) == true))
               out += proj(jr).copy()
           }
+          if (outer && out.isEmpty)
+            out += proj(joined(srow, nullRow)).copy()
           out.iterator
         }
       }
@@ -98,10 +117,11 @@ class SpatialJoinStrategy(spark: SparkSession)
   private def conf = org.apache.spark.sql.internal.SQLConf.get
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Join(left, right, Inner, Some(cond), _)
+    case Join(left, right, joinType @ (Inner | LeftOuter), Some(cond), _)
         if conf.getConfString("spark.graft.spatialJoin.broadcast", "true").toBoolean =>
       val conjuncts = SpatialJoinRewrite.splitConjuncts(cond)
       if (BboxPredicate.hasEquiJoinKey(conjuncts, left, right)) return Nil
+      val leftOuter = joinType == LeftOuter
       conjuncts.collectFirst {
         case p @ BboxPredicate(lg, rg, ex)
             if lg.references.subsetOf(left.outputSet) &&
@@ -110,7 +130,13 @@ class SpatialJoinStrategy(spark: SparkSession)
             if lg.references.subsetOf(left.outputSet) &&
                rg.references.subsetOf(right.outputSet) => (p, lg, rg, ex)
       } match {
-        case Some((_, lg, rg, expand)) if buildable(right) || buildable(left) =>
+        // LEFT OUTER requires the outer (left) side to stream, i.e. the
+        // right side must be the broadcast build
+        case Some((_, lg, rg, expand)) if leftOuter && buildable(right) =>
+          BroadcastSpatialJoinExec(planLater(left), planLater(right), lg, rg,
+            Some(cond), expand, buildRight = true, leftOuter = true) :: Nil
+        case Some((_, lg, rg, expand))
+            if !leftOuter && (buildable(right) || buildable(left)) =>
           // the STRtree bbox probe is only a prefilter: the FULL condition
           // (spatial predicate included) is evaluated on each candidate
           // pair, so any bbox-implying predicate plans here soundly.

@@ -153,6 +153,27 @@ class SpatialJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("LEFT OUTER spatial join: unmatched points keep nulls, plan avoids BNLJ") {
+    fixtures()
+    val sql = """
+      SELECT id, bid FROM pts LEFT JOIN boxes ON ST_Intersects(geom, bgeom)
+      ORDER BY id, bid"""
+    val plan = spark.sql(sql).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastSpatialJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val rows = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    val expected = (0L until 200L).flatMap { i =>
+      val x = i % 40; val y = i % 25
+      val hits = Seq(100 -> (x <= 10 && y <= 10), 200 -> (x >= 5 && x <= 30 && y >= 5 && y <= 25))
+        .collect { case (b, true) => (i, b) }
+      if (hits.isEmpty) Seq((i, -1)) else hits
+    }.sorted
+    assert(rows.toSeq == expected)
+    // every left row appears at least once
+    assert(rows.map(_._1).distinct.length == 200)
+  }
+
   test("small LEFT side: broadcast spatial join builds on the left, streams the right") {
     fixtures()
     spark.sql("""

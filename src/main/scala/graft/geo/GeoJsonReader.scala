@@ -50,7 +50,12 @@ object GeoJsonReader {
         if (c == '\\' && i + 1 < s.length) {
           s.charAt(i + 1) match {
             case 'u' if i + 5 < s.length =>
-              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+              val hex = s.substring(i + 2, i + 6)
+              // non-hex digits must surface as the parser's documented
+              // IllegalArgumentException, not a NumberFormatException
+              if (!hex.forall(c => Character.digit(c, 16) >= 0))
+                fail(s"invalid \\u escape: $hex")
+              sb.append(Integer.parseInt(hex, 16).toChar); i += 6
             case 'n' => sb.append('\n'); i += 2
             case 't' => sb.append('\t'); i += 2
             case 'r' => sb.append('\r'); i += 2

@@ -120,9 +120,7 @@ object MediaCodec {
       case _ => stubDims(bytes)
     }
     val rate = mediaType match {
-      case "audio/wav" if bytes.length >= 28 =>
-        val r = leInt(bytes, 24)
-        if (r > 0 && r <= 384000) r else 16000
+      case "audio/wav" => wavSampleRate(bytes).getOrElse(16000)
       case _ => 16000
     }
     MediaMeta(mediaType, bytes.length.toLong, width = w, height = h,
@@ -130,6 +128,27 @@ object MediaCodec {
   }
 
   private def plausibleDim(d: Int): Boolean = d > 0 && d <= (1 << 16)
+
+  /** Walk RIFF chunks to the 'fmt ' chunk and read its sample-rate field
+    * (bytes 4-7 of the chunk data) — files with JUNK/LIST chunks before
+    * fmt would otherwise read a plausible-but-wrong rate from a fixed
+    * offset. None when fmt is absent, truncated, or implausible. */
+  private def wavSampleRate(b: Array[Byte]): Option[Int] = {
+    var i = 12 // past "RIFF"<size>"WAVE"
+    while (i + 8 <= b.length) {
+      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+      val len = leInt(b, i + 4)
+      if (isFmt) {
+        return if (i + 12 + 4 <= b.length) {
+          val r = leInt(b, i + 8 + 4)
+          if (r > 0 && r <= 384000) Some(r) else None
+        } else None
+      }
+      if (len < 0) return None // corrupt chunk length: stop walking
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    None
+  }
 
   private def beInt(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |

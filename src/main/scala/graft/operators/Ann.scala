@@ -76,7 +76,7 @@ object Ann {
     val vecs = corpus.select(col(vecCol))
     val nParts = math.max(1, vecs.rdd.getNumPartitions)
     val perPart = math.max(1, (maxSample + nParts - 1) / nParts)
-    val sample = vecs.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val pooled = vecs.rdd.mapPartitionsWithIndex { (pid, it) =>
       val rnd = new java.util.Random(seed ^ (pid.toLong * 0x9e3779b97f4a7c15L))
       val buf = new Array[Array[Float]](perPart)
       var n = 0
@@ -90,7 +90,26 @@ object Ann {
         n += 1
       }
       buf.iterator.take(math.min(n, perPart))
-    }.collect().take(maxSample)
+    }.collect()
+    // second-level reservoir over the collected per-partition samples:
+    // a plain take(maxSample) would keep only the lowest-index partitions
+    // when the pooled sample overshoots, re-introducing layout bias
+    val sample =
+      if (pooled.length <= maxSample) pooled
+      else {
+        val rnd = new java.util.Random(seed)
+        val buf = new Array[Array[Float]](maxSample)
+        var n = 0
+        pooled.foreach { v =>
+          if (n < maxSample) buf(n) = v
+          else {
+            val j = rnd.nextInt(n + 1)
+            if (j < maxSample) buf(j) = v
+          }
+          n += 1
+        }
+        buf
+      }
     require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
     var cents = Array.tabulate(nlist)(i => sample(i * (sample.length / nlist)).clone())
     for (_ <- 0 until iters) {

@@ -172,8 +172,8 @@ object Dedup {
   /** LSH candidates refined by an exact set Jaccard >= threshold —
     * token sets by default, 3-token shingle sets when `refineOnShingles`
     * (the faithful choice: MinHash signatures estimate SHINGLE Jaccard).
-    * The refine join touches only candidate ids — at scale, broadcast the
-    * (usually small) candidate set against the corpus. */
+    * The refine join touches only candidate ids — at scale AQE broadcasts
+    * the candidate set when its runtime size fits. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 16,
       maxBucket: Int = 10000, refineOnShingles: Boolean = false,
@@ -187,11 +187,13 @@ object Dedup {
       .select(col(idCol).as("doc"), col(textCol).as("__text"),
         split(col(textCol), " ").as("__t"))
       .select(col("doc"), sets.as("toks"))
-    // broadcast the CANDIDATE side: it is orders of magnitude smaller than
-    // the corpus-wide token/shingle sets (which Spark would otherwise pick
-    // as the build side and collect, arrays and all)
+    // no forced broadcast on the candidate side: it is USUALLY tiny, but a
+    // degenerate duplicate-heavy corpus can emit up to bands*maxBucket^2
+    // pairs and a broadcast hint would then OOM the driver. AQE sees the
+    // post-shuffle size at runtime and broadcasts only when it actually
+    // fits (same policy as cosineNearDups).
     toks.withColumnRenamed("doc", "ida").withColumnRenamed("toks", "ta")
-      .join(broadcast(cands), "ida")
+      .join(cands, "ida")
       .join(toks.withColumnRenamed("doc", "idb").withColumnRenamed("toks", "tb"), "idb")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))

@@ -94,9 +94,11 @@ object GeoTable {
   private def sidecarEntries(spark: SparkSession, path: String): Option[Seq[FileBox]] =
     graft.util.FsIO.readString(spark, sidecarPath(path)).flatMap { json =>
       val entries = parseSidecar(json)
-      countHeader.findFirstMatchIn(json).map(_.group(1).toInt) match {
-        case Some(n) if n == entries.length => Some(entries)
-        case Some(_) => None // torn write: header disagrees with entries
+      // toIntOption: a count whose digits overflow Int is a corrupt
+      // sidecar, which must degrade to a full read, never throw
+      countHeader.findFirstMatchIn(json).map(_.group(1).toIntOption) match {
+        case Some(Some(n)) if n == entries.length => Some(entries)
+        case Some(_) => None // torn write: header disagrees or overflows
         // legacy headerless sidecars are accepted only when the entry list
         // closes properly — a truncated prefix parses to SOME entries and
         // must not silently prune away the lost files

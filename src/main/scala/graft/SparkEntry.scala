@@ -453,7 +453,57 @@ object SparkEntry {
       SELECT event_type, ts div 3600000000000 AS hour_bucket,
              count(*) AS n, min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY event_type, hour_bucket
-      ORDER BY event_type, hour_bucket"""))
+      ORDER BY event_type, hour_bucket"""),
+    // as-of join: each purchase picks the user's latest at-or-before view
+    // via the union + keyed-window carry-forward (one shuffle, no pair
+    // explosion); (user_id, ts) is unique in events, so the matched view
+    // identity is deterministic, not just its timestamp
+    "q48_asof_join" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      // DuckDB reads the NANOS timestamps at microsecond precision, so the
+      // oracle can only see micros — run the join on the truncated column
+      // (semantics then match bit-for-bit, not just approximately)
+      val e = spark.table("events")
+        .withColumn("tsu", expr("ts div 1000"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "tsu")
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("tsu"), col("event_id").as("view_id"))
+      graft.operators.AsofJoin.asofBackward(purchases, views, "user_id", "tsu",
+          Seq("view_id"))
+        .select(col("event_id"), col("user_id"), col("tsu").as("ts"),
+          col("asof_ts").as("prior_view_ts"), col("asof_view_id").as("prior_view_id"))
+        .orderBy("event_id")
+    }),
+    // binned 1-D range join (point-in-interval): bin equi-join + residual
+    // predicate — the inequality join DuckDB runs directly is the oracle
+    "q49_range_join" -> ((spark, dir) => {
+      prep(spark, dir)
+      val pts = spark.sql("""
+        SELECT l_orderkey, l_linenumber, CAST(l_orderkey % 100 AS DOUBLE) AS px
+        FROM lineitem WHERE l_orderkey < 1000""")
+      val ivs = spark.sql("""
+        SELECT o_orderkey, CAST(o_orderkey % 90 AS DOUBLE) AS lo,
+               CAST(o_orderkey % 90 + o_orderkey % 7 + 1 AS DOUBLE) AS hi
+        FROM orders WHERE o_orderkey < 400""")
+      graft.operators.IntervalJoin.rangeJoin(pts, "px", ivs, "lo", "hi", binSize = 5.0)
+        .select("l_orderkey", "l_linenumber", "o_orderkey")
+        .orderBy("l_orderkey", "l_linenumber", "o_orderkey")
+    }),
+    // gap-based sessionization (30 min) over the event stream — lag +
+    // running-sum windows, mirrored exactly by the DuckDB oracle
+    "q50_sessionize" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      // microsecond timestamps for the same reason as q48
+      val e = spark.table("events").select(col("user_id"),
+        expr("ts div 1000").as("tsu"))
+      graft.operators.Sessionize
+        .sessionStats(e, "user_id", "tsu", gap = 1800000000L)
+        .withColumnsRenamed(Map("start_ts" -> "start_us", "end_ts" -> "end_us"))
+        .orderBy("user_id", "session_idx")
+    }))
 
   // DuckDB replica of TextKernels.langId: CJK codepoint scan, then
   // stopword-count argmax with first-wins tie-break over (en, de, fr, es),
@@ -724,5 +774,38 @@ object SparkEntry {
       SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
              count(*) AS n, min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY event_type, hour_bucket
-      ORDER BY event_type, hour_bucket""")
+      ORDER BY event_type, hour_bucket""",
+    // max-ts LEFT JOIN + identity join-back — plain-SQL as-of; the
+    // join-back on (user_id, vts) is safe because (user_id, ts) is unique
+    "q48_asof_join" -> """
+      WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts
+                 FROM events WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, epoch_us(ts) AS vts, event_id AS view_id
+                 FROM events WHERE event_type = 'view'),
+           m AS (SELECT p.event_id, max(v.vts) AS prior_view_ts
+                 FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.vts <= p.ts
+                 GROUP BY p.event_id)
+      SELECT p.event_id, p.user_id, p.ts, m.prior_view_ts, v2.view_id AS prior_view_id
+      FROM p JOIN m ON p.event_id = m.event_id
+      LEFT JOIN v v2 ON v2.user_id = p.user_id AND v2.vts = m.prior_view_ts
+      ORDER BY p.event_id""",
+    "q49_range_join" -> """
+      SELECT l_orderkey, l_linenumber, o_orderkey
+      FROM lineitem JOIN orders
+        ON (l_orderkey % 100) BETWEEN (o_orderkey % 90)
+                                  AND (o_orderkey % 90 + o_orderkey % 7 + 1)
+      WHERE l_orderkey < 1000 AND o_orderkey < 400
+      ORDER BY l_orderkey, l_linenumber, o_orderkey""",
+    "q50_sessionize" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
+           f AS (SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             <= 1800000000 THEN 0 ELSE 1 END AS brk
+                 FROM e),
+           s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id
+                   ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM f)
+      SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+             count(*) AS n_events, min(ts) AS start_us, max(ts) AS end_us
+      FROM s GROUP BY user_id, sid ORDER BY user_id, session_idx""")
 }

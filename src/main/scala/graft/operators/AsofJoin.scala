@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of (temporal backward) join: every left row picks the most recent
+  * right row at-or-before its timestamp on the same key — the feature
+  * lookup a training pipeline runs against slowly-changing dimensions
+  * (latest profile / price / label as of each event).
+  *
+  * Scale design (100 TB / 1000 executors): NOT a range join and NOT a
+  * per-key collect. Both sides are tagged and unioned, shuffled ONCE on
+  * the key, and resolved by a single ordered window pass
+  * (`last(_, ignoreNulls)` over rows-unbounded-preceding) — a sort-merge
+  * scan that is linear in rows and never materializes candidate pairs.
+  * The left×right blow-up of the naive inequality join (which Spark would
+  * plan as a broadcast-nested-loop) never exists. Skew is bounded by the
+  * largest single key's history, the same bound a sort-merge join has.
+  */
+object AsofJoin {
+
+  /** For each left row, attach `valueCols` of the latest right row with
+    * `right.ts <= left.ts` (strict `<` when `inclusive = false`) on the
+    * same key, as `asof_<name>` columns plus `asof_ts` — all null when no
+    * right row qualifies. `tolerance` (same unit as the ts column) turns
+    * matches older than `left.ts - tolerance` into nulls, which is also
+    * the knob that keeps streaming/windowed variants' state bounded.
+    *
+    * When several right rows share (key, ts), which one wins is
+    * tie-unspecified (deterministic only if (key, ts) is unique on the
+    * right) — the same contract as pandas merge_asof.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCols: Seq[String], inclusive: Boolean = true,
+      tolerance: Option[Long] = None): DataFrame = {
+    val leftStruct = StructType(left.schema.fields)
+    val valueTypes = valueCols.map(c => c -> right.schema(c).dataType)
+
+    val l = left.select(
+      col(keyCol).as("__k") +: col(tsCol).as("__ts") +: lit(1).as("__side") +:
+        struct(left.columns.map(col): _*).as("__l") +:
+        valueTypes.map { case (c, t) => lit(null).cast(t).as(s"__v_$c") }: _*)
+    val r = right.select(
+      col(keyCol).as("__k") +: col(tsCol).as("__ts") +: lit(0).as("__side") +:
+        lit(null).cast(leftStruct).as("__l") +:
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+
+    // inclusive: right sorts before left at equal ts (side 0 < 1) so the
+    // carry-forward sees it; exclusive flips the tie order
+    val tieOrder = if (inclusive) col("__side").asc else col("__side").desc
+    val w = Window.partitionBy("__k").orderBy(col("__ts").asc, tieOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val rightTs = when(col("__side") === 0, col("__ts"))
+    val carried = l.unionByName(r)
+      .withColumn("__asof_ts", last(rightTs, ignoreNulls = true).over(w))
+      .withColumns(valueCols.map(c =>
+        s"__a_$c" -> last(when(col("__side") === 0, col(s"__v_$c")), ignoreNulls = true).over(w)).toMap)
+      .where(col("__side") === 1)
+
+    val fresh = tolerance match {
+      case Some(tol) => col("__asof_ts").isNotNull && col("__asof_ts") >= col("__ts") - lit(tol)
+      case None => col("__asof_ts").isNotNull
+    }
+    carried.select(
+      left.columns.map(c => col(s"__l.$c").as(c)) ++
+        valueCols.map(c => when(fresh, col(s"__a_$c")).as(s"asof_$c")) :+
+        when(fresh, col("__asof_ts")).as("asof_ts"): _*)
+  }
+}

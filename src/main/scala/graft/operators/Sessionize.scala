@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization: group each key's event stream into sessions
+  * separated by inactivity gaps larger than `gap` — the batch twin of
+  * [[graft.streaming.StreamOps]]' watermarked session windows, for
+  * backfills and offline training-data builds.
+  *
+  * Scale design: one shuffle on the key, then two window passes (lag +
+  * running sum) over the same (key, ts) sort — Spark reuses the sort, so
+  * the whole operator is shuffle + sort + linear scan. No collect, no
+  * self-join; skew is bounded by the busiest single key.
+  */
+object Sessionize {
+
+  /** Append `session_idx` (1-based per key, in time order): a new session
+    * starts when the gap since the key's previous event exceeds `gap`
+    * (same unit as `tsCol`). Ties on (key, ts) land in one session. */
+  def assignSessions(df: DataFrame, keyCol: String, tsCol: String,
+      gap: Long): DataFrame = {
+    val byTs = Window.partitionBy(keyCol).orderBy(tsCol)
+    val boundary = when(
+      col(tsCol) - lag(col(tsCol), 1).over(byTs) <= gap, 0).otherwise(1)
+    df.withColumn("__brk", boundary)
+      .withColumn("session_idx",
+        sum(col("__brk")).over(byTs.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .drop("__brk")
+  }
+
+  /** Per-session summary: event count and [start, end] timestamps. */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
+      gap: Long): DataFrame =
+    assignSessions(df, keyCol, tsCol, gap)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"))
+}

@@ -503,6 +503,52 @@ object SparkEntry {
         .sessionStats(e, "user_id", "tsu", gap = 1800000000L)
         .withColumnsRenamed(Map("start_ts" -> "start_us", "end_ts" -> "end_us"))
         .orderBy("user_id", "session_idx")
+    }),
+    // cross-document shingle sharing (duplicate n-gram audit): integer
+    // counts DuckDB recomputes from the same shingle definition as q28/q44
+    "q51_shared_shingles" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Dedup
+        .sharedShingleStats(spark.table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // within-document repetition signals (Gopher-style): all-integer
+    // token/bigram multiset stats
+    "q52_repetition" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.TextAnalysis
+        .repetitionProfile(spark.table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // int8 embedding quantization: the quantized codes are integers both
+    // engines compute with identical double arithmetic (sign·floor(|x|+.5)
+    // — half-away rounding on purpose, banker's rounding differs between
+    // engines), plus a dequantization-fidelity boolean with wide margin
+    "q53_vec_quantize" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val q = graft.operators.Ann.quantizeI8(spark.table("embeddings"), "embedding")
+      q.select(col("vec_id"),
+        size(filter(col("q"), x => abs(x) === 127)).as("n_sat"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")).as("qsum"),
+        (graft.operators.Ann.cosineVsQuantized(col("embedding"), col("q")) > 0.999)
+          .as("cos_ok"))
+        .orderBy("vec_id")
+    }),
+    // multimodal frame sampling over binary payloads: the flatMap plumbing
+    // (frame indices, per-frame byte counts under stride) is integer
+    // arithmetic DuckDB replays from octet lengths
+    "q54_frame_sample" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val media = graft.multimodal.Media.withMetadata(
+        spark.table("documents").select(col("doc_id"),
+          col("text").cast("binary").as("content")),
+        "doc_id", "content")
+      graft.multimodal.Media.sampleFrames(media, stride = 2)
+        .select(col("mediaId").as("doc_id"), col("frameIdx").as("frame_idx"),
+          length(col("frameBytes")).as("n_bytes"))
+        .orderBy("doc_id", "frame_idx")
     }))
 
   // DuckDB replica of TextKernels.langId: CJK codepoint scan, then
@@ -807,5 +853,61 @@ object SparkEntry {
                  FROM f)
       SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
              count(*) AS n_events, min(ts) AS start_us, max(ts) AS end_us
-      FROM s GROUP BY user_id, sid ORDER BY user_id, session_idx""")
+      FROM s GROUP BY user_id, sid ORDER BY user_id, session_idx""",
+    // same shingle CTE as q28/q44's oracle, reduced to per-doc counts
+    "q51_shared_shingles" -> """
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                    CASE WHEN len(l) >= 3 THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                         ELSE text END AS s
+                  FROM t, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS u(i)),
+           f AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM sh JOIN f USING (s) GROUP BY doc_id ORDER BY doc_id""",
+    "q52_repetition" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           tc AS (SELECT doc_id, w, count(*) AS n
+                  FROM (SELECT doc_id, unnest(l) AS w FROM t) GROUP BY doc_id, w),
+           ts AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+                         CAST(max(n) AS BIGINT) AS top_token_n
+                  FROM tc GROUP BY doc_id),
+           bg AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS b
+                  FROM t, unnest(generate_series(1, len(l) - 1)) AS u(i)),
+           bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+           bs AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                         CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+                         CAST(max(n) AS BIGINT) AS top_bigram_n
+                  FROM bc GROUP BY doc_id)
+      SELECT ts.doc_id, n_tokens, n_distinct_tokens, top_token_n,
+             coalesce(n_bigrams, 0) AS n_bigrams,
+             coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+             coalesce(top_bigram_n, 0) AS top_bigram_n
+      FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id ORDER BY ts.doc_id""",
+    // identical double arithmetic on both sides: (x*127)/maxabs, then
+    // sign·floor(|·|+0.5) — float→double conversion is exact, so the
+    // integer codes hash-match; the cosine boolean has a wide margin
+    "q53_vec_quantize" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           m AS (SELECT vec_id, v,
+                        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+           qq AS (SELECT vec_id, v,
+                         list_transform(v, x -> CAST(sign(x * 127 / mx) *
+                           floor(abs(x * 127 / mx) + 0.5) AS BIGINT)) AS q
+                  FROM m)
+      SELECT vec_id,
+             CAST(len(list_filter(q, x -> abs(x) = 127)) AS INT) AS n_sat,
+             CAST(list_sum(q) AS BIGINT) AS qsum,
+             list_cosine_similarity(v, list_transform(q, x -> x::DOUBLE)) > 0.999 AS cos_ok
+      FROM qq ORDER BY vec_id""",
+    // stride-2 sampling of 256-byte frames: n = max(len div 256, 1),
+    // indices 0,2,..<n, each frame min(256, len - i*256) bytes
+    "q54_frame_sample" -> """
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+           f AS (SELECT doc_id, len, greatest(len // 256, 1) AS n FROM d)
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             CAST(least(256, len - i * 256) AS INT) AS n_bytes
+      FROM f, unnest(generate_series(0, n - 1, 2)) AS u(i)
+      ORDER BY doc_id, frame_idx""")
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.GeoFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -258,5 +258,45 @@ object Ann {
     val hit = approx.join(exact, Seq("qid", "nid")).count().toDouble
     val total = exact.count().toDouble
     if (total == 0) 1.0 else hit / total
+  }
+
+  /** Symmetric int8 quantization of an embedding column — the 4× memory /
+    * bandwidth lever for 100 TB vector corpora (a 64-dim float corpus
+    * shrinks from 256 B to 64 B per row before any index is built; cosine
+    * ranking is scale-invariant, so top-k over dequantized vectors is
+    * unchanged up to quantization noise).
+    *
+    * Per row: `scale = maxabs / 127` and `q[i] = round_half_away(
+    * v[i] * 127 / maxabs)` as tinyint (an all-zero vector quantizes to
+    * zeros with scale 0). Everything is built-in higher-order functions
+    * over a materialized maxabs column — one codegen'd map pass, no
+    * shuffle, no UDF. Rounding is `sign · floor(|x| + 0.5)` (half away
+    * from zero) so results are reproducible across engines that disagree
+    * on banker's rounding. |q[i]| never exceeds 127 by construction. */
+  def quantizeI8(df: DataFrame, vecCol: String, outCol: String = "q",
+      scaleCol: String = "qscale"): DataFrame = {
+    val maxabs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.withColumn("__mx", maxabs)
+      .withColumn(outCol,
+        when(col("__mx") > 0, transform(col(vecCol), { x =>
+          val v = x.cast("double") * lit(127.0) / col("__mx")
+          (signum(v) * floor(abs(v) + lit(0.5))).cast("tinyint")
+        })).otherwise(transform(col(vecCol), _ => lit(0).cast("tinyint"))))
+      .withColumn(scaleCol, col("__mx") / lit(127.0))
+      .drop("__mx")
+  }
+
+  /** Cosine similarity between a float/double array column and an integer
+    * (quantized) array column, computed on the integer codes directly —
+    * cosine is scale-invariant, so dequantization cancels and never needs
+    * to materialize. Pure higher-order functions, stays in codegen. */
+  def cosineVsQuantized(vec: Column, q: Column): Column = {
+    val dot = aggregate(zip_with(vec, q, (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val n1 = sqrt(aggregate(transform(vec, a => a.cast("double") * a.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val n2 = sqrt(aggregate(transform(q, b => b.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    dot / (n1 * n2)
   }
 }

@@ -202,6 +202,34 @@ object Dedup {
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
+  /** Cross-document shingle sharing: for each document, how many of its
+    * distinct word-n-grams also appear in at least `minDocs` documents —
+    * the contamination/boilerplate signal behind "duplicate n-gram
+    * fraction" corpus audits (a doc whose shingles are mostly shared is
+    * template text even when no single pair crosses a Jaccard threshold).
+    *
+    * Scale design: one shuffle on the gram key (document frequency), one
+    * back-join keyed by the same gram, one aggregation per doc. Grams are
+    * distinct per document, so the gram-key count IS the document
+    * frequency — and unlike pair generation, everything here is LINEAR in
+    * gram rows (each gram row joins to exactly one count), so no posting
+    * cap is needed even on boilerplate-heavy corpora.
+    *
+    * Output per doc: `n_shingles` (distinct), `n_shared`. */
+  def sharedShingleStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDocs: Int = 2): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc"), col(textCol).as("__text"),
+        split(col(textCol), " ").as("__t"))
+      .select(col("doc"), explode(ngramSet(col("__text"), col("__t"), n)).as("g"))
+    val docFreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(docFreq, Seq("g"))
+      .groupBy("doc").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_shared"))
+      .withColumnRenamed("doc", idCol)
+  }
+
   /** SimHash pairs within a Hamming-distance radius, found via `bands`
     * equal bit-slices of the 64-bit hash: by pigeonhole, any pair with
     * hamming <= bands-1 shares at least one band, so the bucket join is

@@ -41,6 +41,46 @@ object TextAnalysis {
     (lengthBand * 0.3 + wordLenBand * 0.2 + alphaRatio * 0.3 + spaceSanity * 0.2)
   }
 
+  /** Within-document repetition signals (the Gopher-style quality rules):
+    * duplicate-token and duplicate-bigram mass plus the heaviest single
+    * token/bigram. High values flag boilerplate, keyword stuffing, and
+    * generator loops that length/alpha heuristics miss.
+    *
+    * Scale design: explode + two-level hash aggregation — the shuffle is
+    * keyed by (doc, token), so hot TOKENS don't skew (the same word in
+    * many docs lands on many keys); a single pathological document is the
+    * only skew unit. No self-joins, no window over the whole corpus.
+    *
+    * Output per doc: `n_tokens`, `n_distinct_tokens`, `top_token_n`,
+    * `n_bigrams`, `n_distinct_bigrams`, `top_bigram_n`.
+    */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"), split(col(textCol), " ").as("__t"))
+    // bigrams of adjacent tokens; docs under 2 tokens have none. __t is a
+    // materialized attribute (lambda bodies re-evaluate captured
+    // EXPRESSIONS per element — splitting inline would be O(tokens²)).
+    val bigrams = when(size(col("__t")) >= 2,
+      transform(sequence(lit(0), size(col("__t")) - 2),
+        i => concat_ws(" ", element_at(col("__t"), i + 1), element_at(col("__t"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    def stats(exploded: DataFrame, prefix: String, top: String) =
+      exploded.groupBy("doc", "u").agg(count(lit(1)).as("n"))
+        .groupBy("doc").agg(
+          sum(col("n")).as(s"n_$prefix"),
+          count(lit(1)).as(s"n_distinct_$prefix"),
+          max(col("n")).as(top))
+    val t = stats(toks.select(col("doc"), explode(col("__t")).as("u")),
+      "tokens", "top_token_n")
+    val b = stats(toks.select(col("doc"), explode(bigrams).as("u")),
+      "bigrams", "top_bigram_n")
+    t.join(b, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_tokens"), col("n_distinct_tokens"),
+        col("top_token_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+  }
+
   /** Full per-document profile in one pass. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -281,4 +281,64 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no self-matches
     assert(got.forall(r => r.getInt(0) != r.getInt(1)))
   }
+
+  test("repetitionProfile: token/bigram multiset stats, sub-2-token docs") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b a"), (2L, "x")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.repetitionProfile(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // doc 1: tokens a,a,b,a; bigrams "a a","a b","b a"
+    assert(got(0) == ((1L, 4L, 2L, 3L, 3L, 3L, 1L)))
+    // doc 2: one token, no bigrams
+    assert(got(1) == ((2L, 1L, 1L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("sharedShingleStats: shared vs unique 3-gram counts, short-doc fallback") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat"), // shingles: 4
+      (2L, "a cat sat on a rug"),     // shares "cat sat on"
+      (3L, "zz yy")).toDF("doc_id", "text") // < 3 tokens → whole-text shingle
+    val got = operators.Dedup.sharedShingleStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got(0) == ((1L, 4L, 1L)) && got(1) == ((2L, 4L, 1L)))
+    assert(got(2) == ((3L, 1L, 0L)))
+  }
+
+  test("quantizeI8: half-away rounding, saturation at 127, zero vector") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", IntegerType), StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(1, Seq(1.0f, -0.5f, 0.25f)),
+      Row(2, Seq(0.0f, 0.0f, 0.0f)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val out = Ann.quantizeI8(df, "embedding").orderBy("vec_id").collect()
+    // -0.5 → |63.5| + 0.5 → 64, half away from zero
+    assert(out(0).getSeq[Byte](out(0).fieldIndex("q")) == Seq[Byte](127, -64, 32))
+    assert(math.abs(out(0).getDouble(out(0).fieldIndex("qscale")) - 1.0 / 127) < 1e-12)
+    assert(out(1).getSeq[Byte](out(1).fieldIndex("q")) == Seq[Byte](0, 0, 0))
+    assert(out(1).getDouble(out(1).fieldIndex("qscale")) == 0.0)
+  }
+
+  test("quantized cosine stays within noise of exact cosine on random vectors") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(5)
+    val schema = StructType(Seq(
+      StructField("vec_id", IntegerType), StructField("embedding", ArrayType(FloatType))))
+    val rows = (0 until 100).map(i => Row(i, Seq.fill(64)((rnd.nextFloat() - 0.5f) * 4)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val checked = Ann.quantizeI8(df, "embedding")
+      .select(Ann.cosineVsQuantized(org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("q")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(checked.forall(_ > 0.999))
+  }
 }

@@ -78,6 +78,33 @@ object Media {
     }
   }
 
+  case class ResizedImage(mediaId: Long, width: Int, height: Int,
+      png: Array[Byte], realDecode: Boolean)
+
+  /** Resize image blobs to `maxDim` on the long side (aspect preserved,
+    * never upscaled), re-encoded as PNG — REAL decode/scale/encode via
+    * `javax.imageio` + `java.awt` bilinear draw for the JDK-codec formats;
+    * payloads ImageIO rejects pass through byte-truncated with
+    * `realDecode = false` so the pipeline shape (one row in, one row out,
+    * bounded output bytes) holds for any corpus. Same mapPartitions
+    * contract as [[imageFeatures]]: per-task decoder state, streamed rows;
+    * pair with [[sizePartitions]] to keep task memory flat at scale. */
+  def resizeImages(ds: Dataset[MediaRow], maxDim: Int): Dataset[ResizedImage] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodec.resizePng(r.content, maxDim) match {
+          case Some((w, h, png)) => ResizedImage(r.mediaId, w, h, png, realDecode = true)
+          case None =>
+            val keep = math.min(r.content.length, maxDim * maxDim)
+            ResizedImage(r.mediaId, -1, -1,
+              java.util.Arrays.copyOf(r.content, keep), realDecode = false)
+        }
+      }
+    }
+  }
+
   /** Sample every `stride`-th frame of a "video" blob (stub: fixed-size
     * byte windows stand in for decoded frames). flatMap shape matches a
     * real frame extractor: 0..n output rows per input row. */
@@ -181,6 +208,31 @@ object MediaCodec {
     // deterministic fake for payloads with no parseable header
     64 + (math.abs(graft.functions.TextKernels.splitmix64(
       bytes.length.toLong * 31 + salt)) % 64).toInt
+  }
+
+  /** Decode, bilinear-scale to `maxDim` on the long side (no upscaling),
+    * re-encode PNG. None when ImageIO has no codec for the payload. */
+  def resizePng(bytes: Array[Byte], maxDim: Int): Option[(Int, Int, Array[Byte])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+      val (w, h) = (math.max(1, math.round(img.getWidth * scale).toInt),
+        math.max(1, math.round(img.getHeight * scale).toInt))
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", buf)
+      Some((w, h, buf.toByteArray))
+    }
   }
 
   case class DecodedImage(width: Int, height: Int, channels: Int,

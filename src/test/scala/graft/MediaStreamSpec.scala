@@ -87,6 +87,33 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(feats.histogram.sum - 1.0) < 1e-9)
   }
 
+  test("real resize: aspect-preserving downscale, PNG re-encode, no upscale") {
+    import spark.implicits._
+    // 40x20 gradient PNG
+    val img = new java.awt.image.BufferedImage(40, 20,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 40) img.setRGB(x, y, x * 6 * 0x010101)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val ds = Media.withMetadata(
+      Seq((1L, png), (2L, pngBytes(900))).toDF("id", "bytes"), "id", "bytes")
+    val out = Media.resizeImages(ds, maxDim = 10).collect().sortBy(_.mediaId)
+    // real image: long side 40 → 10, aspect 2:1 preserved, decodable PNG
+    val r1 = out(0)
+    assert(r1.realDecode && r1.width == 10 && r1.height == 5)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r1.png))
+    assert(back.getWidth == 10 && back.getHeight == 5)
+    // undecodable payload: passthrough truncated to maxDim², flagged
+    val r2 = out(1)
+    assert(!r2.realDecode && r2.png.length == math.min(900, 100))
+    // no upscale: already-small image keeps its dimensions
+    val small = Media.resizeImages(ds.filter(_.mediaId == 1L), maxDim = 100)
+      .collect().head
+    assert(small.width == 40 && small.height == 20)
+  }
+
   test("audio stub: per-window energy") {
     val e = MediaCodec.decodeAudioStub(Array.fill[Byte](256)(10), window = 128)
     assert(e.toSeq == Seq(10.0, 10.0))

@@ -18,6 +18,7 @@ object ScaleSmoke {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -86,6 +87,44 @@ object ScaleSmoke {
       SpatialJoin.knnJoinBroadcastQueries(queries, "qgeom", pts, "geom", k = 5).count()
     }
     println(s"[scale]   knn rows: $knn")
+
+    // ---- temporal: 10M-event as-of / sessionize / range join ----
+    val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts"),
+        col("event_type"))
+    val ev = (0 until 100).map { k =>
+      ev0.select((col("event_id") + lit(k * 10000000L)).as("event_id"),
+        (col("user_id") + lit(k * 1000L)).as("user_id"),
+        (col("ts") + lit(k.toLong)).as("ts"), col("event_type"))
+    }.reduce(_ union _).repartition(32).cache()
+    println(s"[scale] events: ${ev.count()}")
+
+    val asof = time("asofBackward 2M purchases vs 2M views (15k users)") {
+      val p = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      graft.operators.AsofJoin.asofBackward(p, v, "user_id", "ts", Seq("view_id"))
+        .where(col("asof_ts").isNotNull).count()
+    }
+    println(s"[scale]   asof matched rows: $asof")
+
+    val sess = time("sessionStats 10M events") {
+      graft.operators.Sessionize.sessionStats(ev, "user_id", "ts",
+        gap = 1800000000L).count()
+    }
+    println(s"[scale]   sessions: $sess")
+
+    val rj = time("rangeJoin 6M points x 8k intervals") {
+      val p6 = pts.select(col("pid"), (col("pid") % 1000).cast("double").as("x"))
+      val ivs = spark.sql("""
+        SELECT id AS iid, CAST(id % 950 AS DOUBLE) AS lo,
+               CAST(id % 950 + id % 13 + 1 AS DOUBLE) AS hi
+        FROM range(0, 8000) t(id)""")
+      graft.operators.IntervalJoin.rangeJoin(p6, "x", ivs, "lo", "hi",
+        binSize = 10.0).count()
+    }
+    println(s"[scale]   range join rows: $rj")
 
     // ---- vectors: IVF build+search on the full 2k corpus ----
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")

@@ -535,6 +535,27 @@ object SparkEntry {
           .as("cos_ok"))
         .orderBy("vec_id")
     }),
+    // salted equi-join on a deliberately skewed key (3 hot values over
+    // 60k rows): result is IDENTICAL to the plain join — salting only
+    // spreads reducer work — so the unsalted SQL join is the oracle
+    "q55_salted_join" -> ((spark, dir) => {
+      prep(spark, dir)
+      val probe = spark.sql(
+        "SELECT l_orderkey, l_linenumber, l_orderkey % 3 AS k FROM lineitem")
+      val build = spark.sql(
+        "SELECT id AS k, id * 100 AS payload FROM range(0, 3) t(id)")
+      graft.operators.SkewJoin.saltedJoin(probe, build, "k", salts = 8)
+        .select("l_orderkey", "l_linenumber", "k", "payload")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // corpus-level stats with EXACT quartiles (fractions .25/.5/.75 keep
+    // every interpolation intermediate exactly representable → engines
+    // agree bit-for-bit on integer char counts)
+    "q56_corpus_stats" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.TextAnalysis
+        .corpusStats(spark.table("documents"), "doc_id", "text", "source")
+    }),
     // multimodal frame sampling over binary payloads: the flatMap plumbing
     // (frame indices, per-frame byte counts under stride) is integer
     // arithmetic DuckDB replays from octet lengths
@@ -901,6 +922,19 @@ object SparkEntry {
              CAST(list_sum(q) AS BIGINT) AS qsum,
              list_cosine_similarity(v, list_transform(q, x -> x::DOUBLE)) > 0.999 AS cos_ok
       FROM qq ORDER BY vec_id""",
+    "q55_salted_join" -> """
+      SELECT l_orderkey, l_linenumber, l_orderkey % 3 AS k,
+             (l_orderkey % 3) * 100 AS payload
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber""",
+    "q56_corpus_stats" -> """
+      SELECT count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             quantile_cont(length(text), 0.25) AS p25_chars,
+             quantile_cont(length(text), 0.5) AS p50_chars,
+             quantile_cont(length(text), 0.75) AS p75_chars,
+             count(DISTINCT source) AS n_sources
+      FROM documents""",
     // stride-2 sampling of 256-byte frames: n = max(len div 256, 1),
     // indices 0,2,..<n, each frame min(256, len - i*256) bytes
     "q54_frame_sample" -> """

@@ -102,25 +102,30 @@ object TextKernels {
 
   // ---- MinHash ----------------------------------------------------------
 
-  /** MinHash signature: for each of `numHashes` hash functions
-    * h_i(x) = mix_i XOR x multiplied through SplitMix64 mixing, keep the
-    * unsigned-min over the document's 3-word shingle hashes. Deterministic
-    * across JVMs (no Random). */
+  /** MinHash signature: `numHashes` hash functions derived from TWO
+    * SplitMix64 mixes per shingle via h_i(x) = a(x) + i·b(x) (b forced
+    * odd) — Kirsch–Mitzenmacher composition, which preserves the per-band
+    * collision-probability ≈ Jaccard property while doing O(shingles)
+    * strong mixes instead of O(numHashes · shingles). The unsigned-min per
+    * function is kept over the document's 3-word shingle hashes.
+    * Deterministic across JVMs (no Random). */
   def minhashSig(text: String, numHashes: Int): Array[Long] = {
     val shingles = shingleHashes(text, 3)
     val sig = new Array[Long](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      val mixer = splitmix64(0x5eed + i.toLong)
-      var min = -1L // unsigned max
-      var j = 0
-      while (j < shingles.length) {
-        val h = splitmix64(shingles(j) ^ mixer)
-        if (java.lang.Long.compareUnsigned(h, min) < 0) min = h
-        j += 1
+    java.util.Arrays.fill(sig, -1L) // unsigned max
+    var j = 0
+    while (j < shingles.length) {
+      val s = shingles(j)
+      val a = splitmix64(s ^ 0x5eed0001L)
+      val b = splitmix64(s ^ 0x5eed0002L) | 1L // odd → i·b never collapses
+      var h = a
+      var i = 0
+      while (i < numHashes) {
+        if (java.lang.Long.compareUnsigned(h, sig(i)) < 0) sig(i) = h
+        h += b
+        i += 1
       }
-      sig(i) = min
-      i += 1
+      j += 1
     }
     sig
   }

@@ -81,6 +81,26 @@ object TextAnalysis {
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
   }
 
+  /** One-row corpus profile: doc/token totals plus EXACT quartiles of
+    * document length — the summary a curation run logs before/after each
+    * filter stage. Quartile fractions (.25/.5/.75) are chosen so every
+    * interpolation intermediate is exactly representable in binary over
+    * integer lengths: the result is bit-identical across engines
+    * regardless of their interpolation formula's operation order.
+    * One aggregation; exact percentile holds per-group value lists, so
+    * for 100 TB corpora group by a shard column first (or swap in
+    * percentile_approx) — this shape is for bounded-cardinality stats. */
+  def corpusStats(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame =
+    df.select(col(idCol), col(sourceCol).as("__src"),
+        tokenCount(col(textCol)).as("__nt"), length(col(textCol)).as("__nc"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("total_tokens"),
+        expr("percentile(__nc, 0.25)").as("p25_chars"),
+        expr("percentile(__nc, 0.5)").as("p50_chars"),
+        expr("percentile(__nc, 0.75)").as("p75_chars"),
+        countDistinct(col("__src")).as("n_sources"))
+
   /** Full per-document profile in one pass. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

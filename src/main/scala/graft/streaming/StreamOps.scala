@@ -50,6 +50,25 @@ object StreamOps {
     graft.operators.SpatialJoin.broadcastJoin(stream, streamGeom,
       regions, regionGeom, predicate)
 
+  /** Stream-static as-of enrichment: each streaming row gains the value
+    * columns of the LATEST static dimension row for its key (the
+    * feature-store lookup a training stream runs against slowly-changing
+    * dimensions). The dimension is reduced to one latest row per key in a
+    * single batch aggregation; every micro-batch then broadcast-joins
+    * against that reduced side map-only — no stream-side shuffle. For
+    * event-time-correct (not latest-snapshot) semantics over history, run
+    * [[graft.operators.AsofJoin]] in the batch backfill instead. */
+  def enrichLatest(stream: DataFrame, dim: DataFrame, keyCol: String,
+      dimTsCol: String, valueCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(dimTsCol).desc)
+    val latest = dim
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col(keyCol) +: col(dimTsCol).as("asof_ts") +:
+        valueCols.map(c => col(c).as(s"asof_$c")): _*)
+    stream.join(broadcast(latest), Seq(keyCol), "left")
+  }
+
   case class SessionUpdate(userId: Long, nEvents: Long, sessionStart: Long, sessionEnd: Long)
   private case class SessionState(n: Long, start: Long, last: Long)
 

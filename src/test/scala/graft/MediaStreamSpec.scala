@@ -169,6 +169,29 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set((1L, 100), (2L, 200), (4L, 100)))
   }
 
+  test("stream-static latest-per-key enrichment joins map-only per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // dimension history: key 1 has two versions (ts 10 < 20), key 2 one
+    val dim = Seq((1L, 10L, "old"), (1L, 20L, "new"), (2L, 5L, "only"))
+      .toDF("k", "ts", "v")
+    val mem = MemoryStream[Long]
+    val stream = mem.toDF().toDF("k")
+    val enriched = StreamOps.enrichLatest(stream, dim, "k", "ts", Seq("v"))
+    val query = enriched.writeStream.format("memory").queryName("enrichlatest")
+      .outputMode("append").start()
+    mem.addData(1L, 2L, 3L)
+    query.processAllAvailable()
+    val rows = spark.table("enrichlatest").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))).toSet
+    query.stop()
+    // key 1 → latest version only; unknown key 3 → nulls (left join)
+    assert(rows == Set(
+      (1L, Some(20L), Some("new")), (2L, Some(5L), Some("only")), (3L, None, None)))
+  }
+
   test("streaming windowed counts over MemoryStream match the batch shape") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

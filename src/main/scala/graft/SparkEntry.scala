@@ -468,8 +468,12 @@ object SparkEntry {
         .withColumn("tsu", expr("ts div 1000"))
       val purchases = e.where(col("event_type") === "purchase")
         .select("event_id", "user_id", "tsu")
+      // micro-truncation can collapse two nano-distinct views onto one
+      // (user, tsu); dedup to max(view_id) per instant on BOTH sides so
+      // the matched identity stays deterministic under any fixture
       val views = e.where(col("event_type") === "view")
-        .select(col("user_id"), col("tsu"), col("event_id").as("view_id"))
+        .groupBy(col("user_id"), col("tsu"))
+        .agg(max(col("event_id")).as("view_id"))
       graft.operators.AsofJoin.asofBackward(purchases, views, "user_id", "tsu",
           Seq("view_id"))
         .select(col("event_id"), col("user_id"), col("tsu").as("ts"),
@@ -528,11 +532,14 @@ object SparkEntry {
       prep(spark, dir)
       import org.apache.spark.sql.functions._
       val q = graft.operators.Ann.quantizeI8(spark.table("embeddings"), "embedding")
+      // qscale = 0 marks an all-zero vector: guard cos_ok so neither
+      // engine evaluates a 0/0 cosine (NaN comparison semantics differ)
       q.select(col("vec_id"),
         size(filter(col("q"), x => abs(x) === 127)).as("n_sat"),
         aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")).as("qsum"),
-        (graft.operators.Ann.cosineVsQuantized(col("embedding"), col("q")) > 0.999)
-          .as("cos_ok"))
+        when(col("qscale") > 0,
+          graft.operators.Ann.cosineVsQuantized(col("embedding"), col("q")) > 0.999)
+          .otherwise(false).as("cos_ok"))
         .orderBy("vec_id")
     }),
     // salted equi-join on a deliberately skewed key (3 hot values over
@@ -847,8 +854,9 @@ object SparkEntry {
     "q48_asof_join" -> """
       WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts
                  FROM events WHERE event_type = 'purchase'),
-           v AS (SELECT user_id, epoch_us(ts) AS vts, event_id AS view_id
-                 FROM events WHERE event_type = 'view'),
+           v AS (SELECT user_id, epoch_us(ts) AS vts, max(event_id) AS view_id
+                 FROM events WHERE event_type = 'view'
+                 GROUP BY user_id, epoch_us(ts)),
            m AS (SELECT p.event_id, max(v.vts) AS prior_view_ts
                  FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.vts <= p.ts
                  GROUP BY p.event_id)
@@ -913,14 +921,18 @@ object SparkEntry {
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            m AS (SELECT vec_id, v,
                         list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
-           qq AS (SELECT vec_id, v,
-                         list_transform(v, x -> CAST(sign(x * 127 / mx) *
-                           floor(abs(x * 127 / mx) + 0.5) AS BIGINT)) AS q
+           qq AS (SELECT vec_id, v, mx,
+                         CASE WHEN mx > 0
+                              THEN list_transform(v, x -> CAST(sign(x * 127 / mx) *
+                                     floor(abs(x * 127 / mx) + 0.5) AS BIGINT))
+                              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
                   FROM m)
       SELECT vec_id,
              CAST(len(list_filter(q, x -> abs(x) = 127)) AS INT) AS n_sat,
              CAST(list_sum(q) AS BIGINT) AS qsum,
-             list_cosine_similarity(v, list_transform(q, x -> x::DOUBLE)) > 0.999 AS cos_ok
+             CASE WHEN mx > 0
+                  THEN list_cosine_similarity(v, list_transform(q, x -> x::DOUBLE)) > 0.999
+                  ELSE false END AS cos_ok
       FROM qq ORDER BY vec_id""",
     "q55_salted_join" -> """
       SELECT l_orderkey, l_linenumber, l_orderkey % 3 AS k,

@@ -97,7 +97,9 @@ object Media {
         MediaCodec.resizePng(r.content, maxDim) match {
           case Some((w, h, png)) => ResizedImage(r.mediaId, w, h, png, realDecode = true)
           case None =>
-            val keep = math.min(r.content.length, maxDim * maxDim)
+            // long arithmetic: maxDim² overflows Int from maxDim = 46341
+            val keep = math.min(r.content.length.toLong,
+              maxDim.toLong * maxDim).toInt
             ResizedImage(r.mediaId, -1, -1,
               java.util.Arrays.copyOf(r.content, keep), realDecode = false)
         }
@@ -161,18 +163,24 @@ object MediaCodec {
     * fmt would otherwise read a plausible-but-wrong rate from a fixed
     * offset. None when fmt is absent, truncated, or implausible. */
   private def wavSampleRate(b: Array[Byte]): Option[Int] = {
-    var i = 12 // past "RIFF"<size>"WAVE"
+    // long cursor: a corrupt declared chunk length near Int.MaxValue would
+    // wrap an Int cursor negative and crash the bounds check
+    var i = 12L // past "RIFF"<size>"WAVE"
     while (i + 8 <= b.length) {
-      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
-      val len = leInt(b, i + 4)
+      val j = i.toInt
+      val isFmt = b(j) == 'f' && b(j + 1) == 'm' && b(j + 2) == 't' && b(j + 3) == ' '
+      val len = leInt(b, j + 4)
       if (isFmt) {
-        return if (i + 12 + 4 <= b.length) {
-          val r = leInt(b, i + 8 + 4)
+        // the fmt chunk itself must DECLARE room for the rate field at
+        // data offset 4..7 — an array-bound check alone would read the
+        // next chunk's bytes through a short fmt chunk
+        return if (len >= 8 && i + 8 + 8 <= b.length) {
+          val r = leInt(b, j + 8 + 4)
           if (r > 0 && r <= 384000) Some(r) else None
         } else None
       }
       if (len < 0) return None // corrupt chunk length: stop walking
-      i += 8 + len + (len & 1) // chunks are word-aligned
+      i += 8L + len + (len & 1) // chunks are word-aligned
     }
     None
   }

@@ -53,20 +53,26 @@ object AsofJoin {
     val w = Window.partitionBy("__k").orderBy(col("__ts").asc, tieOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val rightTs = when(col("__side") === 0, col("__ts"))
+    // the carry is ONE struct per right row (ts + all values), so every
+    // asof_* output column comes from the SAME matched right row — a
+    // per-column last() would skip right rows whose value is genuinely
+    // NULL and stitch columns from different rows. Right rows with a NULL
+    // ts are unmatched by definition (no position on the time axis).
+    val rightRow = when(col("__side") === 0 && col("__ts").isNotNull,
+      struct(col("__ts").as("__rts") +:
+        valueCols.map(c => col(s"__v_$c").as(c)): _*))
     val carried = l.unionByName(r)
-      .withColumn("__asof_ts", last(rightTs, ignoreNulls = true).over(w))
-      .withColumns(valueCols.map(c =>
-        s"__a_$c" -> last(when(col("__side") === 0, col(s"__v_$c")), ignoreNulls = true).over(w)).toMap)
+      .withColumn("__m", last(rightRow, ignoreNulls = true).over(w))
       .where(col("__side") === 1)
 
     val fresh = tolerance match {
-      case Some(tol) => col("__asof_ts").isNotNull && col("__asof_ts") >= col("__ts") - lit(tol)
-      case None => col("__asof_ts").isNotNull
+      case Some(tol) =>
+        col("__m").isNotNull && col("__m.__rts") >= col("__ts") - lit(tol)
+      case None => col("__m").isNotNull
     }
     carried.select(
       left.columns.map(c => col(s"__l.$c").as(c)) ++
-        valueCols.map(c => when(fresh, col(s"__a_$c")).as(s"asof_$c")) :+
-        when(fresh, col("__asof_ts")).as("asof_ts"): _*)
+        valueCols.map(c => when(fresh, col(s"__m.$c")).as(s"asof_$c")) :+
+        when(fresh, col("__m.__rts")).as("asof_ts"): _*)
   }
 }

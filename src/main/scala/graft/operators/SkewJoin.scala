@@ -21,14 +21,21 @@ object SkewJoin {
 
   /** Inner equi-join of `probe` (large, possibly skewed on `key`) with
     * `build` (small enough to replicate `salts`×). `saltBy` columns feed
-    * the probe-side salt hash; they default to the whole row via a
-    * uniform spread over `spark_partition_id`-free deterministic hashing
-    * of the key itself plus `saltBy`. */
+    * a deterministic probe-side salt hash when given; by default the salt
+    * comes from the row's position (`monotonically_increasing_id`), which
+    * spreads even fully-IDENTICAL hot-key rows — hashing row content
+    * would collapse duplicates onto one salt and silently restore the
+    * skew. Either way the salt never reaches the output, and the join
+    * result is identical to the unsalted join, so retry-nondeterminism of
+    * the positional id is harmless. */
+  private[graft] def saltExpr(salts: Int, saltBy: Seq[String]) =
+    if (saltBy.nonEmpty) pmod(xxhash64(saltBy.map(col): _*), lit(salts.toLong))
+    else pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
+
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salts: Int, saltBy: Seq[String] = Nil): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltCols = if (saltBy.nonEmpty) saltBy.map(col) else probe.columns.map(col).toSeq
-    val p = probe.withColumn("__salt", pmod(xxhash64(saltCols: _*), lit(salts.toLong)))
+    val p = probe.withColumn("__salt", saltExpr(salts, saltBy))
     val b = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     p.join(b, Seq(key, "__salt")).drop("__salt")

@@ -66,6 +66,11 @@ object StreamOps {
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .select(col(keyCol) +: col(dimTsCol).as("asof_ts") +:
         valueCols.map(c => col(c).as(s"asof_$c")): _*)
+      // cache: a stream-static join re-evaluates the static PLAN every
+      // micro-batch — without this the dim scan + shuffle + window rerun
+      // per trigger. Callers refreshing the dimension should unpersist
+      // and rebuild.
+      .cache()
     stream.join(broadcast(latest), Seq(keyCol), "left")
   }
 

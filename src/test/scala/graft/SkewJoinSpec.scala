@@ -28,15 +28,12 @@ class SkewJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.sorted.toSeq == plain.sorted.toSeq)
   }
 
-  test("probe-side salt actually spreads a hot key across salt values") {
+  test("probe-side salt spreads a hot key even when its rows are IDENTICAL") {
     import spark.implicits._
-    val probe = (0 until 2000).map(i => (i.toLong, 0L)).toDF("id", "k")
+    // the degenerate case a content hash cannot spread: every hot row equal
+    val probe = (0 until 2000).map(_ => 0L).toDF("k")
     val build = Seq((0L, "x")).toDF("k", "v")
-    // count distinct salts the hot key lands on (reach into the pre-drop plan)
-    val salts = probe.withColumn("__salt",
-        org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.xxhash64(probe.columns.map(org.apache.spark.sql.functions.col): _*),
-          org.apache.spark.sql.functions.lit(8L)))
+    val salts = probe.withColumn("__salt", SkewJoin.saltExpr(8, Nil))
       .select("__salt").distinct().count()
     assert(salts == 8L)
     // and the salted join still returns every row exactly once

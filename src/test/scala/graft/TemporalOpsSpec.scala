@@ -68,6 +68,26 @@ class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tol.isNullAt(tol.fieldIndex("asof_rid")) && tol.isNullAt(tol.fieldIndex("asof_ts")))
   }
 
+  test("asofBackward carries the WHOLE matched row: null values stay null, null ts unmatched") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rschema = StructType(Seq(StructField("rid", LongType),
+      StructField("k", LongType), StructField("ts", LongType),
+      StructField("v", StringType)))
+    import spark.implicits._
+    val l = Seq((1L, 1L, 100L)).toDF("lid", "k", "ts")
+    // latest right row (ts=50) has v=NULL; an older one (ts=10) has v="old";
+    // a null-ts right row with a value must be invisible
+    val r = spark.createDataFrame(java.util.Arrays.asList(
+      Row(10L, 1L, 10L, "old"), Row(11L, 1L, 50L, null),
+      Row(12L, 1L, null, "ghost")), rschema)
+    val row = AsofJoin.asofBackward(l, r, "k", "ts", Seq("v", "rid")).head()
+    // the match is the ts=50 row: its NULL v must NOT be replaced by "old"
+    assert(row.getAs[Long]("asof_ts") == 50L)
+    assert(row.getAs[Long]("asof_rid") == 11L)
+    assert(row.isNullAt(row.fieldIndex("asof_v")))
+  }
+
   test("asofBackward with no qualifying right row yields nulls, keeps all left rows") {
     import spark.implicits._
     val l = Seq((1L, 1L, 10L), (2L, 2L, 10L)).toDF("lid", "k", "ts")

@@ -563,6 +563,28 @@ object SparkEntry {
       graft.operators.TextAnalysis
         .corpusStats(spark.table("documents"), "doc_id", "text", "source")
     }),
+    // PII redaction parity: plant a synthetic email/phone/card per doc,
+    // scrub with RE2-compatible patterns, hash the result — DuckDB runs
+    // the SAME regex chain, so the md5s must match byte-for-byte
+    "q57_redact_pii" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val aug = concat(col("text"), lit(" contact"), col("doc_id").cast("string"),
+        lit("@example.com or 555-123-4567 card 4111111111111111"))
+      spark.table("documents")
+        .select(col("doc_id"),
+          md5(graft.operators.TextAnalysis.redactPii(aug).cast("binary")).as("h"))
+        .orderBy("doc_id")
+    }),
+    // deterministic hash split: membership depends only on md5(doc_id),
+    // so any engine reproduces the same train/test assignment
+    "q58_train_test_split" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Sampling
+        .splitTrainTest(spark.table("documents"), "doc_id", testFrac = 0.25)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
     // multimodal frame sampling over binary payloads: the flatMap plumbing
     // (frame indices, per-frame byte counts under stride) is integer
     // arithmetic DuckDB replays from octet lengths
@@ -947,6 +969,27 @@ object SparkEntry {
              quantile_cont(length(text), 0.75) AS p75_chars,
              count(DISTINCT source) AS n_sources
       FROM documents""",
+    // same augmented text, same three RE2-safe patterns in the same order
+    "q57_redact_pii" -> """
+      SELECT doc_id, md5(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              text || ' contact' || CAST(doc_id AS VARCHAR) ||
+                '@example.com or 555-123-4567 card 4111111111111111',
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\b[0-9]{13,19}\b', '[NUMBER]', 'g'),
+          '\+?1?[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b', '[PHONE]', 'g')
+        ) AS h
+      FROM documents ORDER BY doc_id""",
+    // 0.25 -> threshold 0x400000000000 over the first 48 bits; fixed-width
+    // lowercase hex compares like the number it encodes
+    "q58_train_test_split" -> """
+      SELECT doc_id,
+             CASE WHEN md5(CAST(doc_id AS VARCHAR))
+                       < '40000000000000000000000000000000'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents ORDER BY doc_id""",
     // stride-2 sampling of 256-byte frames: n = max(len div 256, 1),
     // indices 0,2,..<n, each frame min(256, len - i*256) bytes
     "q54_frame_sample" -> """

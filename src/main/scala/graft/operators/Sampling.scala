@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-reproducible sampling and dataset splitting —
+  * the selection primitives a training pipeline needs to be REPEATABLE:
+  * re-running the job, on any cluster size or row order, must pick the
+  * same rows (Spark's `sample()` is seed-stable only for a fixed
+  * partitioning, which a 100 TB reshuffle won't preserve).
+  *
+  * Mechanics: rows are selected by comparing the lowercase-hex MD5 of a
+  * key column against a hex threshold. Fixed-width lowercase-hex strings
+  * compare lexicographically exactly like the numbers they encode, so
+  * `md5(key) < hexThreshold(rate)` selects a P(rate) fraction — stable
+  * across engines, partitionings, and runs. Everything is a codegen'd
+  * map-side filter: no shuffle, no state.
+  */
+object Sampling {
+
+  /** Hex threshold string t such that P(md5 < t) = rate. */
+  private[graft] def hexThreshold(rate: Double): String = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0, 1]")
+    // 12 hex digits (48 bits) of resolution, padded to full md5 width
+    val t = math.round(rate * (1L << 48)).min(1L << 48)
+    if (t == (1L << 48)) "g" // > any hex char → selects everything
+    else f"$t%012x" + "0" * 20
+  }
+
+  /** Keep a deterministic `rate` fraction, selected by `md5(keyCol)`.
+    * `salt` decorrelates independent samples over the same keys. */
+  def deterministicSample(df: DataFrame, keyCol: String, rate: Double,
+      salt: String = ""): DataFrame =
+    df.where(md5(concat(col(keyCol).cast("string"), lit(salt)).cast("binary"))
+      < lit(hexThreshold(rate)))
+
+  /** Append a `split` column ("test" for a deterministic `testFrac`
+    * fraction, "train" otherwise) — leakage-safe: membership depends only
+    * on the key, so the same document lands in the same split across
+    * reruns, engines, and corpus versions. */
+  def splitTrainTest(df: DataFrame, keyCol: String, testFrac: Double,
+      salt: String = ""): DataFrame =
+    df.withColumn("split",
+      when(md5(concat(col(keyCol).cast("string"), lit(salt)).cast("binary"))
+        < lit(hexThreshold(testFrac)), "test").otherwise("train"))
+}

@@ -81,6 +81,23 @@ object TextAnalysis {
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
   }
 
+  /** PII scrubbing: replace email addresses, North-American phone
+    * numbers, and 13-19 digit card-like numbers with typed placeholders.
+    * Patterns are deliberately RE2-compatible (no backrefs/lookaround) so
+    * the same regexes run identically on Spark (java.util.regex) and
+    * engines like DuckDB/Go that use RE2 — redaction must be reproducible
+    * wherever the corpus is reprocessed. One codegen'd map pass. */
+  def redactPii(text: Column): Column = {
+    // order matters: emails first (their local part may contain digit
+    // runs), then long card-like numbers BEFORE phones so a phone pattern
+    // can't bite 10 digits out of a 16-digit card
+    val email = regexp_replace(text,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("[EMAIL]"))
+    val num = regexp_replace(email, lit("\\b[0-9]{13,19}\\b"), lit("[NUMBER]"))
+    regexp_replace(num,
+      lit("\\+?1?[ .-]?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\\b"), lit("[PHONE]"))
+  }
+
   /** One-row corpus profile: doc/token totals plus EXACT quartiles of
     * document length — the summary a curation run logs before/after each
     * filter stage. Quartile fractions (.25/.5/.75) are chosen so every

@@ -184,18 +184,24 @@ object GeoKernels {
   }
 
   // ---- serializers -------------------------------------------------------
+  // (text writers share the derived-op memo: serialization is pure in the
+  // input bytes, and repeated inputs — dictionary pages, low-cardinality
+  // synthesized geometries — make the writer the residual per-row cost)
 
-  def asText(tagged: Array[Byte]): String = WktWriter.write(geom(tagged))
+  def asText(tagged: Array[Byte]): String =
+    memoDerived(tagged, 2, 0, 0)(WktWriter.write(geom(tagged)))
 
   /** `SRID=n;WKT` prefix only when a SRID is present
     * (src/function/as_ewkt.rs). */
-  def asEwkt(tagged: Array[Byte]): String = {
-    val g = geom(tagged)
-    val wkt = WktWriter.write(g)
-    if (g.getSRID != 0) s"SRID=${g.getSRID};$wkt" else wkt
-  }
+  def asEwkt(tagged: Array[Byte]): String =
+    memoDerived(tagged, 3, 0, 0) {
+      val g = geom(tagged)
+      val wkt = WktWriter.write(g)
+      if (g.getSRID != 0) s"SRID=${g.getSRID};$wkt" else wkt
+    }
 
-  def asGeoJson(tagged: Array[Byte]): String = GeoJsonWriter.write(geom(tagged))
+  def asGeoJson(tagged: Array[Byte]): String =
+    memoDerived(tagged, 4, 0, 0)(GeoJsonWriter.write(geom(tagged)))
 
   /** `ST_`-prefixed kind names (src/function/geometry_type.rs:79-92). */
   def geometryType(tagged: Array[Byte]): String = geom(tagged) match {
@@ -309,20 +315,20 @@ object GeoKernels {
     }
   }
 
-  private val derivedMemo: ThreadLocal[java.util.LinkedHashMap[DerivedKey, Array[Byte]]] =
+  private val derivedMemo: ThreadLocal[java.util.LinkedHashMap[DerivedKey, AnyRef]] =
     ThreadLocal.withInitial(() =>
-      new java.util.LinkedHashMap[DerivedKey, Array[Byte]](ParseCacheSize, 0.75f, true) {
+      new java.util.LinkedHashMap[DerivedKey, AnyRef](ParseCacheSize, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[DerivedKey, Array[Byte]]): Boolean =
+            e: java.util.Map.Entry[DerivedKey, AnyRef]): Boolean =
           size() > ParseCacheSize
       })
 
-  private def memoDerived(src: Array[Byte], op: Int, p1: Double, p2: Double)(
-      compute: => Array[Byte]): Array[Byte] = {
+  private def memoDerived[T <: AnyRef](src: Array[Byte], op: Int, p1: Double,
+      p2: Double)(compute: => T): T = {
     val c = derivedMemo.get()
     val key = new DerivedKey(new ByteKey(src), op, p1, p2)
     val hit = c.get(key)
-    if (hit != null) return hit
+    if (hit != null) return hit.asInstanceOf[T]
     val out = compute
     c.put(key, out)
     out

@@ -508,6 +508,25 @@ object SparkEntry {
         .withColumnsRenamed(Map("start_ts" -> "start_us", "end_ts" -> "end_us"))
         .orderBy("user_id", "session_idx")
     }),
+    // leakage-safe trailing-window features: per event, the count and
+    // value-sum of the user's events in [ts-1h, ts) — RANGE frames over
+    // microsecond timestamps, replayed exactly by DuckDB's window engine
+    "q59_trailing_features" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      // integer cents: windowed SUM over doubles is association-order
+      // sensitive (DuckDB aggregates frames via a segment tree), so the
+      // summed quantity must be exact
+      val e = spark.table("events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tsu"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      graft.operators.Sessionize
+        .trailingWindowStats(e, "user_id", "tsu", lookback = 3600000000L,
+          valueCol = Some("cents"))
+        .select(col("event_id"), col("n_prev"),
+          col("sum_prev").cast("long").as("sum_prev_cents"))
+        .orderBy("event_id")
+    }),
     // cross-document shingle sharing (duplicate n-gram audit): integer
     // counts DuckDB recomputes from the same shingle definition as q28/q44
     "q51_shared_shingles" -> ((spark, dir) => {
@@ -905,6 +924,17 @@ object SparkEntry {
       SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
              count(*) AS n_events, min(ts) AS start_us, max(ts) AS end_us
       FROM s GROUP BY user_id, sid ORDER BY user_id, session_idx""",
+    // DuckDB's RANGE frame replays the same half-open [ts-1h, ts) window
+    "q59_trailing_features" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT event_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY tsu
+               RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS n_prev,
+             coalesce(sum(cents) OVER (PARTITION BY user_id ORDER BY tsu
+               RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING), 0) AS sum_prev_cents
+      FROM e ORDER BY event_id""",
     // same shingle CTE as q28/q44's oracle, reduced to per-doc counts
     "q51_shared_shingles" -> """
       WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),

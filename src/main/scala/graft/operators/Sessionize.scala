@@ -39,4 +39,25 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol)).as("start_ts"),
         max(col(tsCol)).as("end_ts"))
+
+  /** Trailing-window features per event: how many of the key's events
+    * (and optionally the sum of a value column) fell in the half-open
+    * window [ts - lookback, ts) — the classic leakage-safe feature
+    * (strictly BEFORE the current event, so a model scored at ts sees
+    * only the past). One shuffle on the key, one RANGE-frame window pass
+    * over the (key, ts) sort — Spark's range frame walks the sorted
+    * partition with two pointers, linear in rows. */
+  def trailingWindowStats(df: DataFrame, keyCol: String, tsCol: String,
+      lookback: Long, valueCol: Option[String] = None): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol))
+      .rangeBetween(-lookback, -1)
+    val base = df.withColumn("n_prev", count(lit(1)).over(w))
+    valueCol match {
+      case Some(v) =>
+        // lit(0) (not 0.0): coerces to the sum's own type, so integer
+        // value columns keep exact integer sums
+        base.withColumn("sum_prev", coalesce(sum(col(v)).over(w), lit(0)))
+      case None => base
+    }
+  }
 }

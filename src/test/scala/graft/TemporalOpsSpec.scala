@@ -124,6 +124,25 @@ class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("trailingWindowStats: half-open [ts-w, ts) counts/sums match brute force") {
+    import spark.implicits._
+    val rows = events(400, 4, 21).map { case (i, k, t) => (i, k, t, i % 7 + 1) }
+    val df = rows.toDF("id", "k", "ts", "v")
+    val got = Sessionize.trailingWindowStats(df, "k", "ts", lookback = 100L,
+        valueCol = Some("v")).select("id", "n_prev", "sum_prev").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { case (id, k, t, _) =>
+      val prev = rows.filter(o => o._2 == k && o._3 >= t - 100 && o._3 < t)
+      assert(got(id)._1 == prev.length, s"id $id count")
+      assert(got(id)._2 == prev.map(_._4.toLong).sum, s"id $id sum")
+    }
+    // the current event itself is excluded (leakage-safety): an event with
+    // no history has (0, 0), not (1, v)
+    val lone = Seq((1L, 9L, 5L, 10)).toDF("id", "k", "ts", "v")
+    val r0 = Sessionize.trailingWindowStats(lone, "k", "ts", 100L, Some("v")).head()
+    assert(r0.getAs[Long]("n_prev") == 0L && r0.getAs[Long]("sum_prev") == 0L)
+  }
+
   test("rangeJoin matches brute force, including negatives and bin edges") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -1,0 +1,48 @@
+package graft
+
+import graft.sources.BucketedTable
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class BucketedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_bucket_wh").toString
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", warehouse)
+    // force the sort-merge path so the assertion is about bucketing, not
+    // broadcast thresholds
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("same-bucketed tables join with ZERO exchanges and correct rows") {
+    import spark.implicits._
+    val a = (0 until 5000).map(i => (i.toLong % 97, i.toLong)).toDF("k", "va")
+    val b = (0 until 300).map(i => (i.toLong % 97, s"p$i")).toDF("k", "vb")
+    BucketedTable.writeBucketed(a, "bt_a", "k", numBuckets = 8)
+    BucketedTable.writeBucketed(b, "bt_b", "k", numBuckets = 8)
+    val joined = BucketedTable.bucketedJoin(spark, "bt_a", "bt_b", "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    // correctness: same multiset as the plain join of the source frames
+    val got = joined.select("k", "va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val want = a.join(b, "k").select("k", "va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("group-by on the bucket key also skips the exchange") {
+    val agg = spark.table("bt_a").groupBy("k").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed agg must not shuffle:\n$plan")
+    assert(agg.count() == 97L)
+  }
+}

@@ -527,6 +527,14 @@ object SparkEntry {
           col("sum_prev").cast("long").as("sum_prev_cents"))
         .orderBy("event_id")
     }),
+    // per-source heavy hitters: top-3 tokens with a total tie order
+    // (count desc, token asc) so the rank sequence is deterministic
+    "q60_top_tokens" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.TextAnalysis
+        .topTokens(spark.table("documents"), "source", "text", k = 3)
+        .orderBy("source", "rnk")
+    }),
     // cross-document shingle sharing (duplicate n-gram audit): integer
     // counts DuckDB recomputes from the same shingle definition as q28/q44
     "q51_shared_shingles" -> ((spark, dir) => {
@@ -935,6 +943,17 @@ object SparkEntry {
              coalesce(sum(cents) OVER (PARTITION BY user_id ORDER BY tsu
                RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING), 0) AS sum_prev_cents
       FROM e ORDER BY event_id""",
+    "q60_top_tokens" -> """
+      WITH tc AS (SELECT source, w AS tok, count(*) AS n
+                  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                        FROM documents)
+                  GROUP BY source, w),
+           r AS (SELECT source, tok, n,
+                        row_number() OVER (PARTITION BY source
+                          ORDER BY n DESC, tok ASC) AS rnk
+                 FROM tc)
+      SELECT source, CAST(rnk AS INT) AS rnk, tok, n
+      FROM r WHERE rnk <= 3 ORDER BY source, rnk""",
     // same shingle CTE as q28/q44's oracle, reduced to per-doc counts
     "q51_shared_shingles" -> """
       WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),

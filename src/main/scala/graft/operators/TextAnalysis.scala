@@ -81,6 +81,28 @@ object TextAnalysis {
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
   }
 
+  /** Per-group heavy hitters: the `k` most frequent tokens within each
+    * group (corpus source, language, shard…) with a deterministic
+    * tie-break (count desc, token asc) — the vocabulary/boilerplate
+    * fingerprint of each slice of a corpus.
+    *
+    * Scale design: explode + two-level aggregation keyed by (group,
+    * token) — the count shuffle spreads hot tokens across groups — then a
+    * per-group top-k window. The window's partition is the GROUP (small
+    * cardinality × distinct tokens), and rank pushdown keeps only k rows
+    * per group past the sort. */
+  def topTokens(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val counts = df
+      .select(col(groupCol).as("grp"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("n").desc, col("tok").asc)
+    counts.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("grp").as(groupCol), col("rnk"), col("tok"), col("n"))
+  }
+
   /** PII scrubbing: replace email addresses, North-American phone
     * numbers, and 13-19 digit card-like numbers with typed placeholders.
     * Patterns are deliberately RE2-compatible (no backrefs/lookaround) so

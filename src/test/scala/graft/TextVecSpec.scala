@@ -308,6 +308,18 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2) == ((3L, 1L, 0L)))
   }
 
+  test("topTokens: per-group top-k with deterministic count-then-token tie order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "x x y z z"), (2L, "a", "z w"),
+      (3L, "b", "q q")).toDF("doc_id", "source", "text")
+    val got = operators.TextAnalysis.topTokens(df, "source", "text", k = 2)
+      .orderBy("source", "rnk").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // group a: z=3, x=2, (y=1, w=1 cut); tie x vs nothing; group b: q=2
+    assert(got.toSeq == Seq(("a", 1, "z", 3L), ("a", 2, "x", 2L), ("b", 1, "q", 2L)))
+  }
+
   test("quantizeI8: half-away rounding, saturation at 127, zero vector") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row

@@ -27,11 +27,19 @@ object Sampling {
     else f"$t%012x" + "0" * 20
   }
 
+  /** Hash input: bare key when unsalted (engine-replayable as md5(key));
+    * key + NUL + salt otherwise — the separator keeps (key, salt) pairs
+    * unambiguous (key "a" + salt "2" must not hash like key "a2"), NUL
+    * because real keys essentially never contain it. */
+  private def hashInput(keyCol: String, salt: String) =
+    if (salt.isEmpty) col(keyCol).cast("string")
+    else concat(col(keyCol).cast("string"), lit(0.toChar.toString + salt))
+
   /** Keep a deterministic `rate` fraction, selected by `md5(keyCol)`.
     * `salt` decorrelates independent samples over the same keys. */
   def deterministicSample(df: DataFrame, keyCol: String, rate: Double,
       salt: String = ""): DataFrame =
-    df.where(md5(concat(col(keyCol).cast("string"), lit(salt)).cast("binary"))
+    df.where(md5(hashInput(keyCol, salt).cast("binary"))
       < lit(hexThreshold(rate)))
 
   /** Append a `split` column ("test" for a deterministic `testFrac`
@@ -41,6 +49,6 @@ object Sampling {
   def splitTrainTest(df: DataFrame, keyCol: String, testFrac: Double,
       salt: String = ""): DataFrame =
     df.withColumn("split",
-      when(md5(concat(col(keyCol).cast("string"), lit(salt)).cast("binary"))
+      when(md5(hashInput(keyCol, salt).cast("binary"))
         < lit(hexThreshold(testFrac)), "test").otherwise("train"))
 }

@@ -49,6 +49,20 @@ object Sessionize {
     * partition with two pointers, linear in rows. */
   def trailingWindowStats(df: DataFrame, keyCol: String, tsCol: String,
       lookback: Long, valueCol: Option[String] = None): DataFrame = {
+    require(lookback > 0, "lookback must be positive")
+    // the [ts-lookback, ts) contract is realized as the closed frame
+    // [ts-lookback, ts-1], which is only equivalent when timestamps are
+    // integral — reject fractional ts columns instead of silently
+    // dropping events in (ts-1, ts)
+    val tsType = df.schema(tsCol).dataType
+    val tsIntegral = tsType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(tsIntegral, s"$tsCol must be an integral type (got $tsType)")
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol))
       .rangeBetween(-lookback, -1)
     val base = df.withColumn("n_prev", count(lit(1)).over(w))

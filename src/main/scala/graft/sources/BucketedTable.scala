@@ -15,10 +15,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object BucketedTable {
 
   /** Write `df` as a catalog table bucketed (and sorted) by `key` into
-    * `numBuckets` buckets, replacing any existing table of that name. */
+    * `numBuckets` buckets, replacing any existing table of that name.
+    * The input is repartitioned by the key FIRST: each write task then
+    * holds exactly one bucket's rows, so the table is one sorted file
+    * per bucket — without this, every input partition writes a file per
+    * bucket it touches (up to inputPartitions × numBuckets small files)
+    * and sortBy only holds per file, forcing a re-sort at read time. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       numBuckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+      .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, key)
       .sortBy(key)

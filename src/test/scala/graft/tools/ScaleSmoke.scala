@@ -126,6 +126,27 @@ object ScaleSmoke {
     }
     println(s"[scale]   range join rows: $rj")
 
+    // ---- skew: result parity with 40M rows on ONE key ----
+    // (timing note: on local[32] with 16-byte rows the single hot reducer
+    // is memory-bandwidth-bound and finishes in under a second, so this
+    // cannot DEMONSTRATE the salting win — that appears when the hot
+    // task's work exceeds one executor's CPU/memory while the rest of the
+    // cluster idles. What this verifies is the load-bearing invariant:
+    // the salted join's result is IDENTICAL to the plain join's at scale.)
+    {
+      import spark.implicits._
+      val hot = spark.range(40000000L).select(lit(0L).as("k"), col("id"))
+      val build = Seq((0L, "x"), (1L, "y")).toDF("k", "v")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plain = hot.join(build, "k").count()
+      val salted = time("salted join parity, 40M rows on ONE key") {
+        graft.operators.SkewJoin.saltedJoin(hot, build, "k", salts = 16).count()
+      }
+      assert(plain == salted, s"salted ($salted) != plain ($plain)")
+      println(s"[scale]   join rows: $plain (identical to plain join)")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+
     // ---- vectors: IVF build+search on the full 2k corpus ----
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val r = time("ivf build+search") {

@@ -74,6 +74,20 @@ object StreamOps {
     stream.join(broadcast(latest), Seq(keyCol), "left")
   }
 
+  /** Gap-based session aggregation via Spark's native `session_window` —
+    * the declarative, watermark-compatible twin of
+    * [[graft.operators.Sessionize.sessionStats]] (which proves the same
+    * semantics in batch with lag + running sum). Works identically over
+    * `readStream` (with a watermark upstream) and batch frames; `tsCol`
+    * must be a TIMESTAMP column. */
+  def sessionWindows(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"))
+
   case class SessionUpdate(userId: Long, nEvents: Long, sessionStart: Long, sessionEnd: Long)
   private case class SessionState(n: Long, start: Long, last: Long)
 

@@ -192,6 +192,30 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, Some(20L), Some("new")), (2L, Some(5L), Some("only")), (3L, None, None)))
   }
 
+  test("native session_window agrees with the batch lag+cumsum sessionization") {
+    import spark.implicits._
+    // real events: nanos (read as long) -> micros -> timestamp
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = spark.read
+      .option("mergeSchema", "false").parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("user_id", "ts div 1000 AS tsu")
+    val gapUs = 1800000000L // 30 min
+    // session_window merges while diff < gap; the lag+cumsum operator
+    // merges while diff <= gap — align via gap-1 on the operator side
+    val ours = graft.operators.Sessionize
+      .sessionStats(e, "user_id", "tsu", gap = gapUs - 1)
+      .select(col("user_id"), col("n_events"), col("start_ts"), col("end_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val native = graft.streaming.StreamOps
+      .sessionWindows(e.select(col("user_id"),
+        expr("timestamp_micros(tsu)").as("t")), "t", "user_id", "30 minutes")
+      .selectExpr("user_id", "n_events",
+        "unix_micros(start_ts) AS s", "unix_micros(end_ts) AS e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ours == native)
+    assert(ours.nonEmpty)
+  }
+
   test("streaming windowed counts over MemoryStream match the batch shape") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

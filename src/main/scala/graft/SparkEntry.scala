@@ -527,6 +527,25 @@ object SparkEntry {
           col("sum_prev").cast("long").as("sum_prev_cents"))
         .orderBy("event_id")
     }),
+    // newline-delimited GeoJSON source roundtrip: write features from
+    // lineitem points, read them back through the file source, recover
+    // coordinates + typed properties — layout-independent, so plain
+    // arithmetic SQL is the oracle
+    "q61_geojson_source" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_geojson_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      val src = spark.sql(s"""
+        SELECT l_orderkey, l_linenumber, $PT AS geom FROM lineitem""")
+      graft.sources.GeoJsonSource.write(src, "geom",
+        Seq("l_orderkey", "l_linenumber"), out)
+      graft.sources.GeoJsonSource
+        .readWithProps(spark, out, "l_orderkey BIGINT, l_linenumber INT")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("ST_X(geom)").as("x"), expr("ST_Y(geom)").as("y"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // per-source heavy hitters: top-3 tokens with a total tie order
     // (count desc, token asc) so the rank sequence is deterministic
     "q60_top_tokens" -> ((spark, dir) => {
@@ -943,6 +962,8 @@ object SparkEntry {
              coalesce(sum(cents) OVER (PARTITION BY user_id ORDER BY tsu
                RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING), 0) AS sum_prev_cents
       FROM e ORDER BY event_id""",
+    "q61_geojson_source" -> s"""
+      SELECT $KEYS, $OX AS x, $OY AS y FROM lineitem ORDER BY $KEYS""",
     "q60_top_tokens" -> """
       WITH tc AS (SELECT source, w AS tok, count(*) AS n
                   FROM (SELECT source, unnest(string_split(text, ' ')) AS w

@@ -70,4 +70,28 @@ class GeoTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GeoTable.readIntersecting(spark, dir, 0, 0, 10, 10).count() == 100)
     assert(GeoTable.pruningStats(spark, dir, 0, 0, 10, 10) == (0, 0))
   }
+
+  test("ndjson GeoJSON source roundtrips geometries and typed properties") {
+    GeoFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("geojson_src").toString
+    val df = spark.sql("""
+      SELECT id, 'n"ame' || CAST(id AS STRING) AS label,
+             ST_GeomFromText(CASE WHEN id % 2 = 0
+               THEN 'POINT(' || CAST(id AS STRING) || ' 5)'
+               ELSE 'LINESTRING(0 0,' || CAST(id AS STRING) || ' 1)' END) AS geom
+      FROM range(0, 20) t(id)""")
+    graft.sources.GeoJsonSource.write(df, "geom", Seq("id", "label"), dir)
+    val back = graft.sources.GeoJsonSource
+      .readWithProps(spark, dir, "id BIGINT, label STRING")
+      .selectExpr("id", "label", "ST_AsText(geom) AS wkt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = df.selectExpr("id", "label", "ST_AsText(geom) AS wkt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // JSON-escaped quotes in properties and mixed geometry kinds survive
+    assert(back == want && back.size == 20)
+    // raw read keeps the properties JSON and the geometry JSON leg
+    val raw = graft.sources.GeoJsonSource.read(spark, dir)
+    assert(raw.where(col("properties").isNull).count() == 0)
+    assert(raw.where(col("geojson").like("%coordinates%")).count() == 20)
+  }
 }

@@ -534,8 +534,10 @@ object SparkEntry {
     "q61_geojson_source" -> ((spark, dir) => {
       prep(spark, dir)
       import org.apache.spark.sql.functions._
-      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_geojson_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      // unique dir per invocation: a fixed path would let two concurrent
+      // drivers overwrite each other's output mid-read
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_geojson_").toString
       val src = spark.sql(s"""
         SELECT l_orderkey, l_linenumber, $PT AS geom FROM lineitem""")
       graft.sources.GeoJsonSource.write(src, "geom",

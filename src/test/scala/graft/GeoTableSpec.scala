@@ -94,4 +94,29 @@ class GeoTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(raw.where(col("properties").isNull).count() == 0)
     assert(raw.where(col("geojson").like("%coordinates%")).count() == 20)
   }
+
+  test("GeoJSON source: null geometries survive the roundtrip; strict read rejects junk") {
+    GeoFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("geojson_null").toString
+    val df = spark.sql("""
+      SELECT id, CASE WHEN id % 3 = 0 THEN CAST(NULL AS BINARY)
+                      ELSE ST_GeomFromText('POINT(' || CAST(id AS STRING) || ' 1)') END AS geom
+      FROM range(0, 9) t(id)""")
+    graft.sources.GeoJsonSource.write(df, "geom", Seq("id"), dir)
+    // all 9 rows come back; the 3 null geometries stay null, not dropped
+    val back = graft.sources.GeoJsonSource.readWithProps(spark, dir, "id BIGINT")
+    assert(back.count() == 9)
+    assert(back.where(col("geom").isNull).count() == 3)
+
+    // corrupt line: lenient read skips it, strict read fails the job
+    val junkDir = java.nio.file.Files.createTempDirectory("geojson_junk").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(junkDir, "part-0.txt"),
+      ("""{"type": "Feature", "geometry": {"type": "Point", "coordinates": [1,2]}, "properties": {}}""" +
+        "\n{\"broken\n\n").getBytes)
+    assert(graft.sources.GeoJsonSource.read(spark, junkDir).count() == 1)
+    val ex = intercept[Exception] {
+      graft.sources.GeoJsonSource.read(spark, junkDir, strict = true).count()
+    }
+    assert(ex.getMessage != null)
+  }
 }

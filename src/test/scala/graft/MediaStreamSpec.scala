@@ -200,10 +200,11 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("mergeSchema", "false").parquet("/root/testdata/sf0.001/events.parquet")
       .selectExpr("user_id", "ts div 1000 AS tsu")
     val gapUs = 1800000000L // 30 min
-    // session_window merges while diff < gap; the lag+cumsum operator
-    // merges while diff <= gap — align via gap-1 on the operator side
+    // session_window merges at diff <= gap (UpdatingSessionsIterator
+    // closes a session only when newStart > currentEnd) — the SAME
+    // inclusive boundary as the lag+cumsum operator, so the gaps match 1:1
     val ours = graft.operators.Sessionize
-      .sessionStats(e, "user_id", "tsu", gap = gapUs - 1)
+      .sessionStats(e, "user_id", "tsu", gap = gapUs)
       .select(col("user_id"), col("n_events"), col("start_ts"), col("end_ts"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val native = graft.streaming.StreamOps
@@ -214,6 +215,16 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(ours == native)
     assert(ours.nonEmpty)
+    // pin the boundary convention itself: two events exactly gap apart
+    // MERGE on both sides
+    import spark.implicits._
+    val pair = Seq((1L, 0L), (1L, gapUs)).toDF("user_id", "tsu")
+    assert(graft.operators.Sessionize
+      .sessionStats(pair, "user_id", "tsu", gap = gapUs).count() == 1L)
+    assert(graft.streaming.StreamOps
+      .sessionWindows(pair.select(col("user_id"),
+        expr("timestamp_micros(tsu)").as("t")), "t", "user_id", "30 minutes")
+      .count() == 1L)
   }
 
   test("streaming windowed counts over MemoryStream match the batch shape") {

@@ -647,6 +647,46 @@ object SparkEntry {
         .select(col("mediaId").as("doc_id"), col("frameIdx").as("frame_idx"),
           length(col("frameBytes")).as("n_bytes"))
         .orderBy("doc_id", "frame_idx")
+    }),
+    // overlapping token-window chunking (window 32, stride 16): both
+    // engines slice the same single-space token array, so chunk text is
+    // byte-identical
+    "q62_chunk_windows" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Curation
+        .chunkDocuments(spark.table("documents"), "doc_id", "text",
+          window = 32, stride = 16)
+        .orderBy("doc", "chunk_idx")
+    }),
+    // concat-and-split sequence packing (seqLen 512, 8 shards): pure
+    // integer window arithmetic, replayed in SQL by SUM OVER
+    "q63_pack_sequences" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Curation
+        .packSequences(spark.table("documents"), "doc_id", "text",
+          seqLen = 512, nShards = 8)
+        .orderBy("doc")
+    }),
+    // benchmark decontamination: docs sharing a 3-gram with the
+    // deterministic benchmark slice (doc_id % 97 = 0); counts of distinct
+    // shared grams are exact integers both engines recompute
+    "q64_decontaminate" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      graft.operators.Curation
+        .decontaminate(docs, docs.where(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc")
+    }),
+    // per-source cap: at most 10 docs per source in doc_id order —
+    // ROW_NUMBER window on both sides
+    "q65_domain_cap" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Curation
+        .capPerKey(spark.table("documents"), "source", "doc_id", maxRows = 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     }))
 
   // DuckDB replica of TextKernels.langId: CJK codepoint scan, then

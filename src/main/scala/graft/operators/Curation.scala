@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a pretraining data pipeline runs between
+  * dedup and tokenization: chunking documents into model-window pieces,
+  * packing documents into fixed-length training sequences, benchmark
+  * decontamination, and per-source caps.
+  *
+  * Everything is built from codegen'd primitives (split / slice /
+  * sequence / windows / hash joins) — no UDFs — and every operator is
+  * deterministic so results are replayable across runs, partitionings,
+  * and engines (the same property [[Sampling]] provides for selection).
+  */
+object Curation {
+
+  /** Split each document into overlapping token windows of `window`
+    * tokens every `stride` tokens (stride < window ⇒ overlap). Output:
+    * (`doc`, `chunk_idx`, `chunk`, `n_toks`); the final chunk may be
+    * short. The standard pre-embedding step for long documents.
+    *
+    * Scale: map-only — one pass, no shuffle; each document's chunks are
+    * produced where the document lives. The token array is materialized
+    * as a column BEFORE the per-chunk lambda (SQL lambda bodies
+    * re-evaluate captured expressions per element — an inline split()
+    * here would re-tokenize the document once per chunk).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    df.select(col(idCol).as("doc"), split(col(textCol), " ").as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col("doc"), col("__toks"),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc"), col("chunk_idx"),
+        array_join(slice(col("__toks"), col("start") + 1, window), " ").as("chunk"),
+        least(lit(window), size(col("__toks")) - col("start")).as("n_toks"))
+  }
+
+  /** Concat-and-split sequence packing: documents are laid end-to-end in
+    * `idCol` order within `nShards` deterministic shards, and each token
+    * gets a position in a fixed `seqLen` training sequence. Output per
+    * document: (`doc`, `shard`, `n_toks`, `offset` — cumulative tokens
+    * before it in its shard, `pack_id` = offset / seqLen, `pack_pos` =
+    * offset % seqLen). A document may span packs — that is exactly what
+    * LLM concat-packing does.
+    *
+    * Scale: ONE shuffle, keyed by shard. The running offset is a window
+    * cumsum per shard, so shard count is the parallelism lever — at
+    * 100 TB use O(cluster cores) shards; order within a shard stays
+    * deterministic (idCol), so the packing is replayable regardless of
+    * input partitioning. Sharding by `id % nShards` (not hash) keeps the
+    * layout reproducible by any engine.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen > 0 && nShards > 0, "seqLen and nShards must be positive")
+    val w = Window.partitionBy("shard").orderBy("doc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("doc"),
+        pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        size(split(col(textCol), " ")).cast("long").as("n_toks"))
+      .withColumn("offset", coalesce(sum("n_toks").over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("offset") / seqLen))
+      .withColumn("pack_pos", col("offset") % seqLen)
+  }
+
+  /** Token n-grams of each document: (`doc`, `gram`). Documents shorter
+    * than `n` tokens produce no rows. Map-only (explode). */
+  def tokenNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    df.select(col(idCol).as("doc"), split(col(textCol), " ").as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col("doc"), explode(transform(
+        sequence(lit(0), size(col("__toks")) - n, lit(1)),
+        i => array_join(slice(col("__toks"), i + 1, n), " "))).as("gram"))
+  }
+
+  /** Benchmark decontamination: which corpus documents share at least one
+    * token `n`-gram with the benchmark set? Returns (`doc`,
+    * `n_shared` — distinct shared grams), contaminated docs only.
+    * Training corpora are scrubbed of eval-set n-grams this way
+    * (typically n in 8–13); benchmark documents present in the corpus
+    * flag themselves.
+    *
+    * Scale: the benchmark is small by definition (an eval suite, not a
+    * corpus), so its distinct gram set is broadcast — the corpus side
+    * then never shuffles: explode grams, broadcast-hash semi-match,
+    * partial count per doc. `broadcastBench = false` drops the hint for
+    * an unusually large benchmark and lets AQE decide from the actual
+    * post-shuffle size.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, broadcastBench: Boolean = true): DataFrame = {
+    val bg = tokenNgrams(bench, idCol, textCol, n).select("gram").distinct()
+    val bgSide = if (broadcastBench) broadcast(bg) else bg
+    tokenNgrams(corpus, idCol, textCol, n)
+      .join(bgSide, "gram")
+      .groupBy("doc").agg(count_distinct(col("gram")).as("n_shared"))
+  }
+
+  /** Keep at most `maxRows` rows per `keyCol`, chosen in `orderCol` order
+    * — the per-domain / per-source cap that stops one crawl host from
+    * dominating the mix. Deterministic given a unique orderCol.
+    *
+    * Scale: one shuffle keyed by `keyCol`; rank-within-group is streamed
+    * (WindowExec sorts within partitions, no buffering of the full
+    * group beyond the sort spill path). A single pathological key is the
+    * skew unit — cap it upstream with a count filter if a key can exceed
+    * executor spill capacity.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, orderCol: String,
+      maxRows: Int): DataFrame = {
+    require(maxRows > 0, "maxRows must be positive")
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxRows).drop("__rn")
+  }
+}

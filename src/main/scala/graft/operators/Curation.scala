@@ -36,7 +36,7 @@ object Curation {
         posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
           .as(Seq("chunk_idx", "start")))
       .select(col("doc"), col("chunk_idx"),
-        array_join(slice(col("__toks"), col("start") + 1, window), " ").as("chunk"),
+        array_join(slice(col("__toks"), col("start") + 1, lit(window)), " ").as("chunk"),
         least(lit(window), size(col("__toks")) - col("start")).as("n_toks"))
   }
 
@@ -64,7 +64,7 @@ object Curation {
         pmod(col(idCol), lit(nShards.toLong)).as("shard"),
         size(split(col(textCol), " ")).cast("long").as("n_toks"))
       .withColumn("offset", coalesce(sum("n_toks").over(w), lit(0L)))
-      .withColumn("pack_id", floor(col("offset") / seqLen))
+      .withColumn("pack_id", expr(s"offset div $seqLen"))
       .withColumn("pack_pos", col("offset") % seqLen)
   }
 
@@ -77,7 +77,7 @@ object Curation {
       .where(size(col("__toks")) >= n)
       .select(col("doc"), explode(transform(
         sequence(lit(0), size(col("__toks")) - n, lit(1)),
-        i => array_join(slice(col("__toks"), i + 1, n), " "))).as("gram"))
+        i => array_join(slice(col("__toks"), i + 1, lit(n)), " "))).as("gram"))
   }
 
   /** Benchmark decontamination: which corpus documents share at least one

@@ -1110,5 +1110,52 @@ object SparkEntry {
       SELECT doc_id, CAST(i AS INT) AS frame_idx,
              CAST(least(256, len - i * 256) AS INT) AS n_bytes
       FROM f, unnest(generate_series(0, n - 1, 2)) AS u(i)
-      ORDER BY doc_id, frame_idx""")
+      ORDER BY doc_id, frame_idx""",
+    // overlapping token windows (window 32, stride 16): 1-based starts
+    // 1, 17, 33, ... over the same single-space token array; list_slice
+    // end-bound truncates like Spark's slice length does
+    "q62_chunk_windows" -> """
+      WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks
+                 FROM documents),
+           s AS (SELECT doc, toks, u.start
+                 FROM t, unnest(generate_series(1, len(toks), 16)) AS u(start)
+                 WHERE len(toks) > 0)
+      SELECT doc, CAST((start - 1) // 16 AS INT) AS chunk_idx,
+             array_to_string(list_slice(toks, start, start + 31), ' ') AS chunk,
+             CAST(least(32, len(toks) - start + 1) AS INT) AS n_toks
+      FROM s ORDER BY doc, chunk_idx""",
+    // concat-and-split packing (seqLen 512, 8 shards): running SUM OVER
+    // per shard in doc order, then exact integer div/mod; SUM(BIGINT) is
+    // HUGEINT in DuckDB so cast back
+    "q63_pack_sequences" -> """
+      WITH t AS (SELECT doc_id AS doc, doc_id % 8 AS shard,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+                 FROM documents),
+           o AS (SELECT doc, shard, n_toks,
+                   CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS "offset"
+                 FROM t)
+      SELECT doc, shard, n_toks, "offset", "offset" // 512 AS pack_id,
+             "offset" % 512 AS pack_pos
+      FROM o ORDER BY doc""",
+    // decontamination vs the doc_id % 97 = 0 benchmark slice: distinct
+    // shared token 3-grams per corpus doc (sub-3-token docs emit no grams)
+    "q64_decontaminate" -> """
+      WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS l
+                 FROM documents),
+           g AS (SELECT doc, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+                 FROM t, unnest(generate_series(1, len(l) - 2)) AS u(i)
+                 WHERE len(l) >= 3),
+           bg AS (SELECT DISTINCT gram FROM g WHERE doc % 97 = 0)
+      SELECT g.doc, count(DISTINCT g.gram) AS n_shared
+      FROM g JOIN bg ON g.gram = bg.gram
+      GROUP BY g.doc ORDER BY g.doc""",
+    // per-source cap, 10 docs per source in doc_id order
+    "q65_domain_cap" -> """
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 10 ORDER BY doc_id""")
 }

@@ -233,9 +233,18 @@ object Dedup {
   /** SimHash pairs within a Hamming-distance radius, found via `bands`
     * equal bit-slices of the 64-bit hash: by pigeonhole, any pair with
     * hamming <= bands-1 shares at least one band, so the bucket join is
-    * complete for maxHamming <= bands-1 (default 4 bands → radius 3). */
+    * complete for maxHamming <= bands-1 (default 4 bands → radius 3).
+    *
+    * Pair generation goes through the same capped kernel as MinHash-LSH
+    * ([[explodeBucketPairs]]): buckets larger than `maxBucket` are
+    * dropped, bounding a degenerate corpus (thousands of boilerplate docs
+    * sharing a 16-bit band) at O(bands · maxBucket²) pairs instead of
+    * Σ bucket². Docs dropped this way are exact or near-exact duplicates
+    * by construction and are caught by exact dedup upstream. Each bucket
+    * entry carries (doc, sh) so the exact-hamming refine runs directly on
+    * the generated pairs — no join back to the corpus. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 10000): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -243,11 +252,12 @@ object Dedup {
     val banded = sh.select(col("doc"), col("sh"), posexplode(array(
       (0 until bands).map(b => shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("ida"), col("b.doc").as("idb"),
-        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+    explodeBucketPairs(
+        banded.groupBy("band", "bucket")
+          .agg(sort_array(collect_list(struct(col("doc"), col("sh")))).as("ds")),
+        maxBucket)
+      .select(col("ida.doc").as("ida"), col("idb.doc").as("idb"),
+        hamming64(col("ida.sh"), col("idb.sh")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

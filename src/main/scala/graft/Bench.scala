@@ -27,7 +27,9 @@ object Bench {
     "q28_minhash_lsh",   // minhash scatter + agg
     "q32_events_hourly", // windowed agg over event time
     "q33_ref_linestring_intersects", // the reference's own criterion bench query
-    "q34_text_profile")  // one-pass text curation profile
+    "q34_text_profile",  // one-pass text curation profile
+    "q48_asof_join",     // union + one shuffle + window-carry as-of join
+    "q49_range_join")    // binned interval equi-join + anchor dedup
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

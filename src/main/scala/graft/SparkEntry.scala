@@ -687,6 +687,59 @@ object SparkEntry {
         .capPerKey(spark.table("documents"), "source", "doc_id", maxRows = 10)
         .select("doc_id", "source")
         .orderBy("doc_id")
+    }),
+    // the streaming engine's correctness row: events re-read as a FILE
+    // STREAM, sessionized with Spark's native session_window (StreamOps),
+    // materialized through foreachBatch — then checked against the same
+    // DuckDB window SQL as the batch q50. session_window's gap is a
+    // half-open [ts, ts+gap) merge, so equality with the gap starts a NEW
+    // session (strict <), where the batch q50 semantics keep it (<=) —
+    // the oracle encodes the strict form.
+    "q66_stream_sessionize" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = spark.table("events").schema
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-q66-").toString
+      // the streaming file source lists a DIRECTORY; stage the single
+      // events.parquet file into one
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        inDir.resolve("events.parquet"))
+      val stream = spark.readStream.schema(schema)
+        .parquet(inDir.toString)
+        .select(col("user_id"),
+          // nanos → micros → TimestampType (session_window needs a
+          // timestamp; micros keep the driver compare integral)
+          timestamp_micros(expr("ts div 1000")).as("tsm"))
+      val sess = graft.streaming.StreamOps
+        .sessionWindows(stream, "tsm", "user_id", "30 minutes")
+      val outDir = s"$work/out"
+      // complete mode: the final AvailableNow batch holds every session,
+      // so the overwrite below leaves exactly the full result (append
+      // mode would strand the last session behind the watermark)
+      val q = sess.writeStream
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select(col("user_id"),
+              unix_micros(col("start_ts")).as("start_us"),
+              unix_micros(col("end_ts")).as("end_us"),
+              col("n_events"))
+            .write.mode("overwrite").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("start_us")
+      spark.read.parquet(outDir)
+        .withColumn("session_idx", row_number().over(w).cast("long"))
+        .select("user_id", "session_idx", "n_events", "start_us", "end_us")
+        .orderBy("user_id", "session_idx")
     }))
 
   // DuckDB replica of TextKernels.langId: CJK codepoint scan, then
@@ -993,6 +1046,21 @@ object SparkEntry {
       SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
              count(*) AS n_events, min(ts) AS start_us, max(ts) AS end_us
       FROM s GROUP BY user_id, sid ORDER BY user_id, session_idx""",
+    // same window SQL as q50 but with the STRICT gap test (< not <=):
+    // session_window merges half-open [ts, ts+gap) windows, so an event
+    // landing exactly gap after its predecessor opens a new session
+    "q66_stream_sessionize" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
+           f AS (SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             < 1800000000 THEN 0 ELSE 1 END AS brk
+                 FROM e),
+           s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id
+                   ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM f)
+      SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+             count(*) AS n_events, min(ts) AS start_us, max(ts) AS end_us
+      FROM s GROUP BY user_id, sid ORDER BY user_id, session_idx""",
     // DuckDB's RANGE frame replays the same half-open [ts-1h, ts) window
     "q59_trailing_features" -> """
       WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
@@ -1001,8 +1069,8 @@ object SparkEntry {
       SELECT event_id,
              count(*) OVER (PARTITION BY user_id ORDER BY tsu
                RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS n_prev,
-             coalesce(sum(cents) OVER (PARTITION BY user_id ORDER BY tsu
-               RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING), 0) AS sum_prev_cents
+             CAST(coalesce(sum(cents) OVER (PARTITION BY user_id ORDER BY tsu
+               RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sum_prev_cents
       FROM e ORDER BY event_id""",
     "q61_geojson_source" -> s"""
       SELECT $KEYS, $OX AS x, $OY AS y FROM lineitem ORDER BY $KEYS""",
@@ -1128,7 +1196,7 @@ object SparkEntry {
     // per shard in doc order, then exact integer div/mod; SUM(BIGINT) is
     // HUGEINT in DuckDB so cast back
     "q63_pack_sequences" -> """
-      WITH t AS (SELECT doc_id AS doc, doc_id % 8 AS shard,
+      WITH t AS (SELECT doc_id AS doc, ((doc_id % 8) + 8) % 8 AS shard,
                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
                  FROM documents),
            o AS (SELECT doc, shard, n_toks,

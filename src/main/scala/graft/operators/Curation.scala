@@ -58,13 +58,21 @@ object Curation {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       seqLen: Int, nShards: Int): DataFrame = {
     require(seqLen > 0 && nShards > 0, "seqLen and nShards must be positive")
+    // pmod on a non-numeric id would silently null every shard (string %
+    // int casts to null in non-ANSI mode) — demand a numeric id up front;
+    // callers with string ids should shard on xxhash64(id) themselves
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$idCol must be numeric (got ${df.schema(idCol).dataType}); " +
+        "hash string ids to a numeric column first")
     val w = Window.partitionBy("shard").orderBy("doc")
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(idCol).as("doc"),
         pmod(col(idCol), lit(nShards.toLong)).as("shard"),
         size(split(col(textCol), " ")).cast("long").as("n_toks"))
       .withColumn("offset", coalesce(sum("n_toks").over(w), lit(0L)))
-      .withColumn("pack_id", expr(s"offset div $seqLen"))
+      // backticks: OFFSET is reserved under ANSI + enforceReservedKeywords
+      .withColumn("pack_id", expr(s"`offset` div $seqLen"))
       .withColumn("pack_pos", col("offset") % seqLen)
   }
 

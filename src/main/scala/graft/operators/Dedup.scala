@@ -230,35 +230,56 @@ object Dedup {
       .withColumnRenamed("doc", idCol)
   }
 
+  /** (doc, sh, band, bucket) per document: the 64-bit simhash sliced into
+    * `bands` equal bit-windows, one bucket row per band. */
+  private def simhashBands(df: DataFrame, idCol: String, textCol: String,
+      bands: Int): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh"))
+      .select(col("doc"), col("sh"), posexplode(array(
+        (0 until bands).map(b =>
+          shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
   /** SimHash pairs within a Hamming-distance radius, found via `bands`
     * equal bit-slices of the 64-bit hash: by pigeonhole, any pair with
     * hamming <= bands-1 shares at least one band, so the bucket join is
-    * complete for maxHamming <= bands-1 (default 4 bands → radius 3).
+    * complete for maxHamming <= bands-1 (default 4 bands → radius 3) —
+    * PROVIDED no (band, bucket) group exceeds `maxBucket`.
     *
     * Pair generation goes through the same capped kernel as MinHash-LSH
     * ([[explodeBucketPairs]]): buckets larger than `maxBucket` are
     * dropped, bounding a degenerate corpus (thousands of boilerplate docs
     * sharing a 16-bit band) at O(bands · maxBucket²) pairs instead of
-    * Σ bucket². Docs dropped this way are exact or near-exact duplicates
-    * by construction and are caught by exact dedup upstream. Each bucket
-    * entry carries (doc, sh) so the exact-hamming refine runs directly on
-    * the generated pairs — no join back to the corpus. */
+    * Σ bucket². The cap is a recall trade, not a free lunch: docs in an
+    * oversized bucket share only that one band's bits, so a dropped pair
+    * is not necessarily a near-duplicate pair — audit a cap setting with
+    * [[simhashOversizedBuckets]] before committing to it (exact dedup
+    * upstream still catches identical docs, the common cause of huge
+    * buckets). Each bucket entry carries (doc, sh) so the exact-hamming
+    * refine runs directly on the generated pairs — no join back to the
+    * corpus. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 10000): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    val sh = df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh"))
-    val banded = sh.select(col("doc"), col("sh"), posexplode(array(
-      (0 until bands).map(b => shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 10000): DataFrame =
     explodeBucketPairs(
-        banded.groupBy("band", "bucket")
+        simhashBands(df, idCol, textCol, bands).groupBy("band", "bucket")
           .agg(sort_array(collect_list(struct(col("doc"), col("sh")))).as("ds")),
         maxBucket)
       .select(col("ida.doc").as("ida"), col("idb.doc").as("idb"),
         hamming64(col("ida.sh"), col("idb.sh")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
-  }
+
+  /** (band, bucket, size) for simhash band-buckets over the cap — the
+    * observability companion to [[simhashNearDups]]'s drop (same contract
+    * as [[oversizedBuckets]] for MinHash): run it to see what a
+    * `maxBucket` setting would discard from the pigeonhole guarantee. */
+  def simhashOversizedBuckets(df: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int, bands: Int = 4): DataFrame =
+    simhashBands(df, idCol, textCol, bands)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("size"))
+      .where(col("size") > maxBucket)
 }

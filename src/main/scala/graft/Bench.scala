@@ -54,13 +54,18 @@ object Bench {
       }
     }
 
+    // Criterion-like sampling (warm-up, then min of N): a single-shot
+    // artifact once recorded a phantom 2x regression when a load spike on
+    // the shared box landed on one query; min-of-N is robust to that.
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+
     def run(name: String): Double = {
       try {
         val df = stripSort(SparkEntry.queries(name)(spark, sfDir))
-        // one warm-up run (plan + codegen compile + JIT), then min of two
-        // measured runs — criterion-like, robust to scheduler noise
+        // one warm-up run (plan + codegen compile + JIT), then min of N
+        // measured runs
         df.write.format("noop").mode("overwrite").save()
-        val times = (1 to 2).map { _ =>
+        val times = (1 to iterations).map { _ =>
           val t0 = System.nanoTime()
           df.write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
@@ -75,7 +80,7 @@ object Bench {
     val results = headline.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iterations,"timing":"min of $iterations runs after 1 warm-up"}""")
     spark.stop()
   }
 }

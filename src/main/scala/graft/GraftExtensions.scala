@@ -6,10 +6,12 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Cluster-grade installer: `spark.sql.extensions=graft.GraftExtensions`
-  * injects every scalar geo function into each new session, the same way a
-  * deployed library would ship (no per-session register() call needed).
-  * The st_extent UDAF still needs `GeoFunctions.register(spark)` because
-  * SparkSessionExtensions has no UDAF injection hook.
+  * injects the ENTIRE function surface — every scalar function and both
+  * UDAFs (st_extent is a DeclarativeAggregate, st_collect goes through
+  * the ScalaAggregator shim) — into each new session, the same way a
+  * deployed library would ship: a fresh session configured with only the
+  * extensions conf can run any contract query, no per-session
+  * `GeoFunctions.register` call needed.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

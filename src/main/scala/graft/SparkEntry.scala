@@ -41,6 +41,22 @@ object SparkEntry {
   private def q(sql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => { prep(spark, dir); spark.sql(sql) }
 
+  /** Temp dir deleted by a JVM shutdown hook. The harness queries (q61,
+    * q66) hand back DataFrames that read the dir LAZILY, so eager
+    * deletion would race the driver's materialization — exit-time
+    * cleanup keeps /tmp clean across repeated Verify runs without that
+    * hazard. */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: Throwable => () }))
+    p.toString
+  }
+
   /** Point synthesized from lineitem integer columns: x in 0..99, y in 10..70. */
   private val PX = "CAST(l_orderkey % 100 AS STRING)"
   private val PY = "CAST(l_linenumber * 10 AS STRING)"
@@ -536,8 +552,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       // unique dir per invocation: a fixed path would let two concurrent
       // drivers overwrite each other's output mid-read
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_geojson_").toString
+      val out = scratchDir("graft_geojson_")
       val src = spark.sql(s"""
         SELECT l_orderkey, l_linenumber, $PT AS geom FROM lineitem""")
       graft.sources.GeoJsonSource.write(src, "geom",
@@ -690,18 +705,17 @@ object SparkEntry {
     }),
     // the streaming engine's correctness row: events re-read as a FILE
     // STREAM, sessionized with Spark's native session_window (StreamOps),
-    // materialized through foreachBatch — then checked against the same
-    // DuckDB window SQL as the batch q50. session_window's gap is a
-    // half-open [ts, ts+gap) merge, so equality with the gap starts a NEW
-    // session (strict <), where the batch q50 semantics keep it (<=) —
-    // the oracle encodes the strict form.
+    // materialized through foreachBatch — then checked against the SAME
+    // DuckDB window SQL as the batch q50 (<= gap keeps the session):
+    // session_window merges when the next window's start <= the current
+    // session's end, so an event exactly gap after its predecessor joins
+    // the same session — adjacent [ts, ts+gap) windows DO merge.
     "q66_stream_sessionize" -> ((spark, dir) => {
       prep(spark, dir)
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.Trigger
       val schema = spark.table("events").schema
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-q66-").toString
+      val work = scratchDir("graft-q66-")
       // the streaming file source lists a DIRECTORY; stage the single
       // events.parquet file into one
       val inDir = java.nio.file.Files.createDirectory(
@@ -1046,14 +1060,16 @@ object SparkEntry {
       SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
              count(*) AS n_events, min(ts) AS start_us, max(ts) AS end_us
       FROM s GROUP BY user_id, sid ORDER BY user_id, session_idx""",
-    // same window SQL as q50 but with the STRICT gap test (< not <=):
-    // session_window merges half-open [ts, ts+gap) windows, so an event
-    // landing exactly gap after its predecessor opens a new session
+    // same window SQL (and the same <= gap test) as q50: Spark's
+    // session_window merges when the next window's start <= the current
+    // session's end, so an event landing exactly gap after its
+    // predecessor joins the SAME session — adjacent [ts, ts+gap)
+    // windows touching at a point do merge
     "q66_stream_sessionize" -> """
       WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
            f AS (SELECT user_id, ts,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                             < 1800000000 THEN 0 ELSE 1 END AS brk
+                             <= 1800000000 THEN 0 ELSE 1 END AS brk
                  FROM e),
            s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id
                    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graft.{Shims, _}
-import org.apache.spark.sql.{Column, SparkSession, functions => F}
+import org.apache.spark.sql.{Column, Encoders, SparkSession}
 
 /** Installer + Column API for the geo function surface.
   *
@@ -87,16 +87,22 @@ object GeoFunctions {
     // DeclarativeAggregate: stays in codegen'd HashAggregate, 4 doubles
     // per group across the shuffle (the analyzer wraps it in an
     // AggregateExpression like any built-in aggregate)
-    "st_extent" -> { es => arity("st_extent", es, 1); StExtentAgg(es.head) })
+    "st_extent" -> { es => arity("st_extent", es, 1); StExtentAgg(es.head) },
+    // Aggregator-backed UDAF, expressed through the ScalaAggregator shim
+    // so it rides the same registry/extension path as every other
+    // function (a spark.udf.register call would be invisible to
+    // SparkSessionExtensions.injectFunction). UDAF alias support is
+    // absent in the reference too ("udaf not support alias",
+    // src/function/extent.rs:34-37) — single lowercase name.
+    "st_collect" -> { es =>
+      arity("st_collect", es, 1)
+      Shims.udafExpression(CollectAggregator, Encoders.BINARY, es)
+    })
 
-  /** Register everything (scalar expressions + the st_extent UDAF) on a
-    * session. Idempotent. */
-  def register(spark: SparkSession): Unit = {
+  /** Register everything (scalar expressions + both UDAFs) on a session.
+    * Idempotent. */
+  def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) => Shims.registerFunction(spark, name, b) }
-    // UDAF alias support is absent in the reference too ("udaf not support
-    // alias", src/function/extent.rs:34-37) — single lowercase name.
-    spark.udf.register("st_collect", F.udaf(CollectAggregator))
-  }
 
   // ---- Column API ---------------------------------------------------------
 

@@ -18,13 +18,24 @@ object Sessionize {
 
   /** Append `session_idx` (1-based per key, in time order): a new session
     * starts when the gap since the key's previous event exceeds `gap`
-    * (same unit as `tsCol`). Ties on (key, ts) land in one session. */
+    * (same unit as `tsCol`). Ties on (key, ts) land in one session.
+    *
+    * Null-timestamp contract: rows with a null `tsCol` are DROPPED — a
+    * row with no timestamp has no position on the key's timeline, and
+    * the previous behavior (each null row silently opening its own
+    * singleton session, because a null lag-diff falls to the `otherwise`
+    * branch) inflated session counts without any signal to the caller.
+    * This mirrors Spark's own `session_window`, which excludes
+    * null-timestamp rows from every window. Callers that consider null
+    * timestamps a data error should assert upstream
+    * (`df.where(col(ts).isNull)` count == 0) before sessionizing. */
   def assignSessions(df: DataFrame, keyCol: String, tsCol: String,
       gap: Long): DataFrame = {
     val byTs = Window.partitionBy(keyCol).orderBy(tsCol)
     val boundary = when(
       col(tsCol) - lag(col(tsCol), 1).over(byTs) <= gap, 0).otherwise(1)
-    df.withColumn("__brk", boundary)
+    df.where(col(tsCol).isNotNull)
+      .withColumn("__brk", boundary)
       .withColumn("session_idx",
         sum(col("__brk")).over(byTs.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)))

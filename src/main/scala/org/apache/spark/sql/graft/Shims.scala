@@ -25,6 +25,20 @@ object Shims {
       builder: Seq[Expression] => Expression): Unit =
     registry(spark).createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Aggregator-backed UDAF as a Catalyst expression, so it can go
+    * through the same FunctionRegistry/injectFunction path as every
+    * other function (spark.udf.register is session-bound and has no
+    * SparkSessionExtensions hook). The analyzer wraps the returned
+    * AggregateFunction in an AggregateExpression exactly as it does for
+    * built-in aggregates. */
+  def udafExpression[IN, BUF, OUT](
+      agg: org.apache.spark.sql.expressions.Aggregator[IN, BUF, OUT],
+      inputEncoder: org.apache.spark.sql.Encoder[IN],
+      children: Seq[Expression]): Expression =
+    org.apache.spark.sql.execution.aggregate.ScalaAggregator(
+      org.apache.spark.sql.expressions.UserDefinedAggregator(agg, inputEncoder),
+      children)
+
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(

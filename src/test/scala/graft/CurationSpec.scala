@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Curation operator edge cases: chunking degenerate documents and
+  * stride/window extremes, the packSequences numeric-id guard, capPerKey
+  * determinism under repartitioning, and the decontaminate broadcast
+  * plan shape. */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("chunkDocuments: stride > window skips tokens between chunks") {
+    import spark.implicits._
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("id", "text")
+    // window 2 every 4 tokens: chunks start at 0, 4, 8 — tokens 2-3 and
+    // 6-7 are never emitted (a sampling chunker, still deterministic)
+    val got = Curation.chunkDocuments(df, "id", "text", window = 2, stride = 4)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getAs[Int]("chunk_idx"), r.getAs[String]("chunk"),
+        r.getAs[Int]("n_toks")))
+    assert(got.toSeq == Seq((0, "t0 t1", 2), (1, "t4 t5", 2), (2, "t8 t9", 2)))
+  }
+
+  test("chunkDocuments: single-token and empty docs") {
+    import spark.implicits._
+    val df = Seq((1L, "solo"), (2L, "")).toDF("id", "text")
+    val got = Curation.chunkDocuments(df, "id", "text", window = 3, stride = 2)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Int]("chunk_idx"),
+        r.getAs[String]("chunk"), r.getAs[Int]("n_toks"))).toSet
+    // Spark's split("", " ") yields [""], so an empty document is a
+    // single empty token — one chunk, not zero rows; callers that want
+    // empty docs gone filter length(text) > 0 upstream
+    assert(got == Set((1L, 0, "solo", 1), (2L, 0, "", 1)))
+    // a window larger than the doc emits exactly one (short) chunk
+    val one = Curation.chunkDocuments(
+      Seq((1L, "a b")).toDF("id", "text"), "id", "text", window = 10, stride = 10)
+      .collect()
+    assert(one.length == 1 && one.head.getAs[Int]("n_toks") == 2)
+  }
+
+  test("chunkDocuments / packSequences reject non-positive parameters") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(df, "id", "text", window = 0, stride = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(df, "id", "text", seqLen = 0, nShards = 1)
+    }
+  }
+
+  test("packSequences: numeric-id require fires on string ids") {
+    import spark.implicits._
+    // string % int casts to null in non-ANSI mode — the guard turns that
+    // silent every-shard-null into an immediate error
+    val strIds = Seq(("a", "x y z")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.packSequences(strIds, "id", "text", seqLen = 4, nShards = 2)
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
+  test("packSequences: offsets, pack ids and positions are exact and replayable") {
+    import spark.implicits._
+    // one shard so the whole layout is a single hand-checkable timeline:
+    // doc 1 (3 toks) | doc 2 (4 toks) | doc 3 (2 toks), seqLen 4
+    val df = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i")).toDF("id", "text")
+    val got = Curation.packSequences(df, "id", "text", seqLen = 4, nShards = 1)
+      .orderBy("doc")
+      .select("doc", "n_toks", "offset", "pack_id", "pack_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 0L, 0L, 0L),   // fills pack 0 positions 0-2
+      (2L, 4L, 3L, 0L, 3L),   // starts at pack 0 pos 3, spans into pack 1
+      (3L, 2L, 7L, 1L, 3L)))  // starts at pack 1 pos 3
+    // replayable: a different input partitioning yields byte-identical
+    // layout (shard + idCol order fully determine it)
+    val shuffled = Curation.packSequences(
+        df.repartition(7, col("text")), "id", "text", seqLen = 4, nShards = 1)
+      .select("doc", "n_toks", "offset", "pack_id", "pack_pos")
+      .collect().map(_.toSeq).toSet
+    assert(shuffled == got.map(t => Seq(t._1, t._2, t._3, t._4, t._5)).toSet)
+  }
+
+  test("capPerKey: deterministic lowest-orderCol winners under any partitioning") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i => ((i % 7).toString, i.toLong))
+    val df = rows.toDF("k", "ord")
+    def run(d: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      Curation.capPerKey(d, "k", "ord", maxRows = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = rows.groupBy(_._1).values
+      .flatMap(_.sortBy(_._2).take(5)).toSet
+    assert(run(df) == expected)
+    // same winners regardless of how the input arrives
+    assert(run(df.repartition(13, col("ord"))) == expected)
+    assert(run(df.orderBy(desc("ord"))) == expected)
+  }
+
+  test("decontaminate finds planted contamination and broadcasts the bench side") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox jumps over the lazy dog and more"),
+      (2L, "completely unrelated document about weather patterns in spring"),
+      (3L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val hits = Curation.decontaminate(corpus, bench, "id", "text", n = 8)
+    val got = hits.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1 and 3 contain 8-gram spans of the benchmark; doc 2 is clean
+    assert(got.keySet == Set(1L, 3L) && got.values.forall(_ >= 1L))
+    // the 100 TB contract: the benchmark gram set must be the BROADCAST
+    // side so the corpus never shuffles for the join
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // and with the hint off, the operator still returns the same rows
+    val unhinted = Curation.decontaminate(corpus, bench, "id", "text", n = 8,
+        broadcastBench = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unhinted == got)
+  }
+}

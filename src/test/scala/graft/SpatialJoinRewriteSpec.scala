@@ -228,4 +228,25 @@ class SpatialJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
     assert(got.forall { case (i, b) => i % 2 == 0 && b == 100 })
   }
+
+  test("extension-only session runs both UDAFs — no register() call anywhere") {
+    // this suite's session is configured ONLY with spark.sql.extensions;
+    // st_extent (DeclarativeAggregate) and st_collect (Aggregator via the
+    // ScalaAggregator shim) must resolve like built-in aggregates
+    fixtures()
+    val ext = spark.sql("""
+      SELECT st_extent(geom) AS ext FROM pts""").head().getStruct(0)
+    assert(ext.getDouble(0) == 0.0 && ext.getDouble(1) == 0.0 &&
+      ext.getDouble(2) == 39.0 && ext.getDouble(3) == 24.0)
+    val coll = spark.sql("""
+      SELECT ST_NumGeometries(st_collect(geom)) AS n,
+             ST_GeometryType(st_collect(geom)) AS t
+      FROM pts""").head()
+    assert(coll.getInt(0) == 200 && coll.getString(1) == "ST_GeometryCollection")
+    // grouped + partial-aggregate path (two-phase across the shuffle)
+    val grouped = spark.sql("""
+      SELECT id % 4 AS g, ST_NumGeometries(st_collect(geom)) AS n
+      FROM pts GROUP BY id % 4""").collect()
+    assert(grouped.length == 4 && grouped.forall(_.getInt(1) == 50))
+  }
 }

@@ -124,6 +124,22 @@ class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sessionize: null-timestamp rows are dropped, not singleton sessions") {
+    import spark.implicits._
+    // two null-ts rows interleaved with a normal timeline; the contract
+    // (Sessionize scaladoc) is DROP — they must neither appear in the
+    // output nor perturb the session numbering of the real rows
+    val df = Seq((1L, Some(0L)), (1L, None), (1L, Some(10L)), (1L, Some(100L)),
+      (1L, None), (2L, None)).toDF("k", "ts")
+    val assigned = Sessionize.assignSessions(df, "k", "ts", gap = 30L)
+      .select("k", "ts", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(assigned == Set((1L, 0L, 1L), (1L, 10L, 1L), (1L, 100L, 2L)))
+    // a key whose every row is null-ts vanishes entirely
+    val stats = Sessionize.sessionStats(df, "k", "ts", gap = 30L)
+    assert(stats.where(col("k") === 2L).count() == 0)
+  }
+
   test("trailingWindowStats: half-open [ts-w, ts) counts/sums match brute force") {
     import spark.implicits._
     val rows = events(400, 4, 21).map { case (i, k, t) => (i, k, t, i % 7 + 1) }

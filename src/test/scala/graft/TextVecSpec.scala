@@ -168,6 +168,32 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == (for { a <- 1 to 5; b <- 1 to 5 if a < b } yield (a, b)).toSet)
   }
 
+  test("simhash bucket cap bounds degenerate all-identical corpora") {
+    import spark.implicits._
+    // 60 identical docs: every band's 16-bit slice is identical, so each
+    // of the 4 bands holds one 60-doc bucket. Uncapped that is
+    // 4 * C(60,2) candidate pairs; capped at 10 the pair kernel sees
+    // nothing — and FINISHES (the degenerate corpus must not blow up)
+    val boiler = (1 to 60).map(i => (i, "the same boilerplate text repeated across docs"))
+    val df = boiler.toDF("id", "text")
+    val capped = Dedup.simhashNearDups(df, "id", "text", maxBucket = 10)
+    assert(capped.count() == 0)
+    // the audit companion reports exactly what the cap discarded:
+    // every band, one bucket of size 60
+    val over = Dedup.simhashOversizedBuckets(df, "id", "text", maxBucket = 10)
+      .collect().map(r => r.getLong(2))
+    assert(over.length == 4 && over.forall(_ == 60L))
+    // a normal corpus is unaffected by the cap: identical pair at
+    // hamming 0 survives, the disjoint doc pairs with nothing
+    val mixed = Seq(
+      (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3, "totally different words appear here nothing shared at all")).toDF("id", "text")
+    val pairs = Dedup.simhashNearDups(mixed, "id", "text", maxBucket = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(pairs == Set((1, 2, 0)))
+  }
+
   test("IVF index persists partitioned by list and search prunes to probed lists") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -863,7 +863,7 @@ object SparkEntry {
     "q46_geojson_roundtrip" -> s"""
       SELECT $KEYS,
              'POINT(' || $OPXS || ' ' || $OPYS || ')' AS wkt,
-             3.5 AS gx,
+             CAST(3.5 AS DOUBLE) AS gx,
              4326 AS gsrid,
              CASE WHEN l_orderkey % 2 = 0 THEN 'ST_MultiLineString'
                   ELSE 'ST_GeometryCollection' END AS gtype
@@ -876,10 +876,10 @@ object SparkEntry {
     "q45_length_hull_simplify" -> s"""
       SELECT $KEYS,
              sqrt($OX * $OX + $OY * $OY) AS len,
-             100.0 AS harea,
+             CAST(100.0 AS DOUBLE) AS harea,
              CASE WHEN l_orderkey % 2 = 0 THEN 2 ELSE 3 END AS snp,
              l_linenumber % 2 <> 0 AS valid,
-             CASE WHEN l_linenumber % 2 = 0 THEN 2.0 ELSE 1.0 END AS varea,
+             CAST(CASE WHEN l_linenumber % 2 = 0 THEN 2.0 ELSE 1.0 END AS DOUBLE) AS varea,
              true AS vvalid
       FROM lineitem ORDER BY $KEYS""",
     "q01_geomfromtext_xy" -> s"""
@@ -1001,7 +1001,8 @@ object SparkEntry {
       SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS nbpe
       FROM documents ORDER BY doc_id""",
     "q39_union_intersection" -> s"""
-      SELECT $KEYS, 175.0 AS uarea, 25.0 AS iarea FROM lineitem ORDER BY $KEYS""",
+      SELECT $KEYS, CAST(175.0 AS DOUBLE) AS uarea, CAST(25.0 AS DOUBLE) AS iarea
+      FROM lineitem ORDER BY $KEYS""",
     "q37_contains_within" -> s"""
       SELECT $KEYS,
              (l_orderkey % 100) > 0 AND (l_orderkey % 100) < 50 AND (l_linenumber * 10) < 30 AS env_contains,
@@ -1013,7 +1014,8 @@ object SparkEntry {
              'ST_Polygon' AS etype
       FROM lineitem ORDER BY $KEYS""",
     "q36_distance" -> s"""
-      SELECT $KEYS, $OY AS dy, 0.0 AS dzero FROM lineitem ORDER BY $KEYS""",
+      SELECT $KEYS, $OY AS dy, CAST(0.0 AS DOUBLE) AS dzero
+      FROM lineitem ORDER BY $KEYS""",
     // point (10,11) lies on the line y=x+1 exactly when 10 ∈ [i, i+4]
     "q33_ref_linestring_intersects" -> s"""
       SELECT $KEYS, (l_orderkey % 100) BETWEEN 6 AND 10 AS hit

@@ -79,7 +79,23 @@ object StreamOps {
     * [[graft.operators.Sessionize.sessionStats]] (which proves the same
     * semantics in batch with lag + running sum). Works identically over
     * `readStream` (with a watermark upstream) and batch frames; `tsCol`
-    * must be a TIMESTAMP column. */
+    * must be a TIMESTAMP column.
+    *
+    * Merge semantics: sessions merge when the next window's start is
+    * <= the current session's end, so an event landing exactly `gap`
+    * after its predecessor joins the SAME session (adjacent
+    * [ts, ts+gap) windows touching at a point merge) — identical to the
+    * batch operator's `<=` gap test.
+    *
+    * Output-mode contract for production streams: put a
+    * `withWatermark(tsCol, ...)` on the input and run `append` mode —
+    * the watermark closes sessions and EVICTS their state, so state
+    * size stays bounded by the number of sessions still open inside the
+    * watermark horizon regardless of stream length. `complete` mode
+    * retains every session ever seen and is only sound for a BOUNDED
+    * harness read (e.g. Trigger.AvailableNow over a finite directory,
+    * as the q66 correctness query does to observe the final batch);
+    * never use it on an unbounded stream. */
   def sessionWindows(events: DataFrame, tsCol: String, keyCol: String,
       gap: String): DataFrame =
     events

@@ -317,6 +317,47 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == Set(1L, 4L))
   }
 
+  test("session state stays watermark-bounded over a 1M-event stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the 100x-readiness assertion for the streaming family: with
+    // watermark + append (the production contract in the sessionWindows
+    // scaladoc), state row count tracks OPEN sessions only — closed
+    // sessions are emitted and EVICTED, so state stays flat no matter
+    // how long the stream runs
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id").withWatermark("ts", "10 minutes")
+    val sess = StreamOps.sessionWindows(df, "ts", "user_id", "10 minutes")
+    val q = sess.writeStream.format("memory").queryName("scale_sessions")
+      .outputMode("append").start()
+    val nKeys = 1000
+    val perBatch = 200000
+    val batches = 5 // 1M events total
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    for (b <- 0 until batches) {
+      // batch b: a 5-minute burst (events 1.5s apart per key -> one
+      // session per key), bursts 1 hour apart -> every batch is a fresh
+      // session and pushes the watermark past the previous batch's
+      val rows = (0 until perBatch).map { i =>
+        (new java.sql.Timestamp(base + b * 3600000L + (i / nKeys) * 1500L),
+          (i % nKeys).toLong)
+      }
+      mem.addData(rows)
+      q.processAllAvailable()
+    }
+    // batches 0..3 closed by later watermarks; batch 4 still open
+    val emitted = spark.table("scale_sessions")
+    assert(emitted.count() == (batches - 1).toLong * nKeys)
+    assert(emitted.agg(sum("n_events")).head().getLong(0) ==
+      (batches - 1).toLong * perBatch)
+    val stateRows = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
+    q.stop()
+    // ~1 open session per key — NOT the 5000 sessions seen overall
+    assert(stateRows <= 2L * nKeys, s"state rows $stateRows not watermark-bounded")
+    assert(stateRows >= nKeys.toLong)
+  }
+
   test("streaming dedup drops in-watermark duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

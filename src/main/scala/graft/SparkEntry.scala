@@ -703,6 +703,32 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),
+    // line/ring accessor family (ST_StartPoint/EndPoint/PointN/Reverse/
+    // Azimuth/ExteriorRing/NumInteriorRings/Perimeter) over a 3-point
+    // LINESTRING and an envelope built from lineitem integers — every
+    // output is integer-derived except the azimuth, which both engines
+    // compute as atan2(3,4) and round to 6dp
+    "q67_line_accessors" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_X(ST_StartPoint(ln)) AS sx,
+             ST_Y(ST_EndPoint(ln)) AS ey,
+             ST_AsText(ST_PointN(ln, 2)) AS p2,
+             ST_AsText(ST_Reverse(ln)) AS revwkt,
+             round(ST_Azimuth(ST_StartPoint(ln), ST_PointN(ln, 2)), 6) AS az,
+             ST_Perimeter(env) AS perim,
+             ST_NumInteriorRings(env) AS nring,
+             ST_AsText(ST_ExteriorRing(env)) AS ring_wkt
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_GeomFromText('LINESTRING(' || $PX || ' ' || $PY || ','
+                     || CAST(l_orderkey % 100 + 3 AS STRING) || ' '
+                     || CAST(l_linenumber * 10 + 4 AS STRING) || ','
+                     || CAST(l_orderkey % 100 + 6 AS STRING) || ' ' || $PY || ')') AS ln,
+                   ST_MakeEnvelope(CAST(l_orderkey % 100 AS DOUBLE),
+                     CAST(l_linenumber * 10 AS DOUBLE),
+                     CAST(l_orderkey % 100 + 2 AS DOUBLE),
+                     CAST(l_linenumber * 10 + 5 AS DOUBLE)) AS env
+            FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber"""),
     // the streaming engine's correctness row: events re-read as a FILE
     // STREAM, sessionized with Spark's native session_window (StreamOps),
     // materialized through foreachBatch — then checked against the SAME
@@ -1079,6 +1105,27 @@ object SparkEntry {
       SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
              count(*) AS n_events, min(ts) AS start_us, max(ts) AS end_us
       FROM s GROUP BY user_id, sid ORDER BY user_id, session_idx""",
+    // accessors replayed with plain integer arithmetic + string concat;
+    // az is round(atan2(3,4),6) on both sides (the only non-integer value)
+    "q67_line_accessors" -> s"""
+      SELECT l_orderkey, l_linenumber,
+             $OX AS sx, $OY AS ey,
+             'POINT(' || CAST(l_orderkey % 100 + 3 AS VARCHAR) || ' '
+               || CAST(l_linenumber * 10 + 4 AS VARCHAR) || ')' AS p2,
+             'LINESTRING(' || CAST(l_orderkey % 100 + 6 AS VARCHAR) || ' ' || $OPYS || ','
+               || CAST(l_orderkey % 100 + 3 AS VARCHAR) || ' '
+               || CAST(l_linenumber * 10 + 4 AS VARCHAR) || ','
+               || $OPXS || ' ' || $OPYS || ')' AS revwkt,
+             round(atan2(3.0, 4.0), 6) AS az,
+             CAST(14.0 AS DOUBLE) AS perim,
+             0 AS nring,
+             'LINESTRING(' || $OPXS || ' ' || $OPYS || ','
+               || $OPXS || ' ' || CAST(l_linenumber * 10 + 5 AS VARCHAR) || ','
+               || CAST(l_orderkey % 100 + 2 AS VARCHAR) || ' '
+               || CAST(l_linenumber * 10 + 5 AS VARCHAR) || ','
+               || CAST(l_orderkey % 100 + 2 AS VARCHAR) || ' ' || $OPYS || ','
+               || $OPXS || ' ' || $OPYS || ')' AS ring_wkt
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     // DuckDB's RANGE frame replays the same half-open [ts-1h, ts) window
     "q59_trailing_features" -> """
       WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,

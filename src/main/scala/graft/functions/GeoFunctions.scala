@@ -71,6 +71,15 @@ object GeoFunctions {
     "st_makevalid" -> { es => arity("st_makevalid", es, 1); StMakeValid(es.head) },
     "st_convexhull" -> { es => arity("st_convexhull", es, 1); StConvexHull(es.head) },
     "st_simplify" -> { es => arity("st_simplify", es, 2); StSimplify(es.head, es(1)) },
+    "st_startpoint" -> { es => arity("st_startpoint", es, 1); StStartPoint(es.head) },
+    "st_endpoint" -> { es => arity("st_endpoint", es, 1); StEndPoint(es.head) },
+    "st_pointn" -> { es => arity("st_pointn", es, 2); StPointN(es.head, es(1)) },
+    "st_exteriorring" -> { es => arity("st_exteriorring", es, 1); StExteriorRing(es.head) },
+    "st_numinteriorrings" -> { es =>
+      arity("st_numinteriorrings", es, 1); StNumInteriorRings(es.head) },
+    "st_reverse" -> { es => arity("st_reverse", es, 1); StReverse(es.head) },
+    "st_azimuth" -> { es => arity("st_azimuth", es, 2); StAzimuth(es.head, es(1)) },
+    "st_perimeter" -> { es => arity("st_perimeter", es, 1); StPerimeter(es.head) },
     // training-data-pipeline surface: text dedup/analysis + vector search
     "simhash64" -> { es => arity("simhash64", es, 1); TextSimhash(es.head) },
     "minhash_sig" -> { es => arity("minhash_sig", es, 2); TextMinhash(es.head, es(1)) },
@@ -155,6 +164,14 @@ object GeoFunctions {
   def st_makevalid(g: Column): Column = c(StMakeValid(x(g)))
   def st_convexhull(g: Column): Column = c(StConvexHull(x(g)))
   def st_simplify(g: Column, tolerance: Column): Column = c(StSimplify(x(g), x(tolerance)))
+  def st_startpoint(g: Column): Column = c(StStartPoint(x(g)))
+  def st_endpoint(g: Column): Column = c(StEndPoint(x(g)))
+  def st_pointn(g: Column, n: Column): Column = c(StPointN(x(g), x(n)))
+  def st_exteriorring(g: Column): Column = c(StExteriorRing(x(g)))
+  def st_numinteriorrings(g: Column): Column = c(StNumInteriorRings(x(g)))
+  def st_reverse(g: Column): Column = c(StReverse(x(g)))
+  def st_azimuth(a: Column, b: Column): Column = c(StAzimuth(x(a), x(b)))
+  def st_perimeter(g: Column): Column = c(StPerimeter(x(g)))
   def st_extent(g: Column): Column = c(StExtentAgg(x(g)).toAggregateExpression())
   def simhash64(t: Column): Column = c(TextSimhash(x(t)))
   def minhash_sig(t: Column, n: Column): Column = c(TextMinhash(x(t), x(n)))

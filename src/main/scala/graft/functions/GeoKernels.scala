@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.geo._
-import org.locationtech.jts.geom.{Geometry, GeometryFactory, Polygon}
+import org.locationtech.jts.geom.{Geometry, GeometryCollection, GeometryFactory, LineString, Point, Polygon, Polygonal}
 import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 import org.locationtech.jts.geom.util.AffineTransformation
 import org.locationtech.jts.operation.buffer.BufferOp
@@ -387,6 +387,90 @@ object GeoKernels {
     val out = fixer.getResult
     out.setSRID(g.getSRID)
     remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  // ---- line / ring accessors (PostGIS-standard extras) ------------------
+
+  private def encodeKeepSrid(src: Geometry, out: Geometry): Array[Byte] = {
+    out.setSRID(src.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  /** First point of a LineString; null for other types (PostGIS
+    * ST_StartPoint). */
+  def startPoint(tagged: Array[Byte]): Array[Byte] = geom(tagged) match {
+    case l: LineString if !l.isEmpty => encodeKeepSrid(l, l.getStartPoint)
+    case _ => null
+  }
+
+  /** Last point of a LineString; null for other types. */
+  def endPoint(tagged: Array[Byte]): Array[Byte] = geom(tagged) match {
+    case l: LineString if !l.isEmpty => encodeKeepSrid(l, l.getEndPoint)
+    case _ => null
+  }
+
+  /** 1-based nth point of a LineString; negative n counts from the end
+    * (PostGIS ST_PointN). Null for other types or out-of-range n. */
+  def pointN(tagged: Array[Byte], n: Int): Array[Byte] = geom(tagged) match {
+    case l: LineString =>
+      val cnt = l.getNumPoints
+      val idx = if (n > 0) n - 1 else cnt + n
+      if (idx < 0 || idx >= cnt) null
+      else encodeKeepSrid(l, l.getPointN(idx))
+    case _ => null
+  }
+
+  /** Exterior ring of a Polygon as a LineString; null for other types
+    * (PostGIS ST_ExteriorRing). */
+  def exteriorRing(tagged: Array[Byte]): Array[Byte] = geom(tagged) match {
+    case p: Polygon =>
+      // re-build as a plain LineString: PostGIS returns LINESTRING, and a
+      // JTS LinearRing would WKB-encode as one anyway, keeping parity
+      val f = GeomCodec.geometryFactory
+      encodeKeepSrid(p, f.createLineString(
+        p.getExteriorRing.getCoordinateSequence))
+    case _ => null
+  }
+
+  /** Interior-ring count of a Polygon; null for other types (PostGIS
+    * ST_NumInteriorRings). */
+  def numInteriorRings(tagged: Array[Byte]): Integer = geom(tagged) match {
+    case p: Polygon => Integer.valueOf(p.getNumInteriorRing)
+    case _ => null
+  }
+
+  /** Vertex order reversed, every component (PostGIS ST_Reverse). */
+  def reverse(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    encodeKeepSrid(g, g.reverse())
+  }
+
+  /** North-based azimuth (radians, clockwise, [0, 2pi)) of the segment
+    * a->b; null when the points coincide or either input is not a Point
+    * (PostGIS ST_Azimuth). */
+  def azimuth(a: Array[Byte], b: Array[Byte]): java.lang.Double =
+    (geom(a), geom(b)) match {
+      case (pa: Point, pb: Point) if !pa.isEmpty && !pb.isEmpty =>
+        val dx = pb.getX - pa.getX
+        val dy = pb.getY - pa.getY
+        if (dx == 0.0 && dy == 0.0) null
+        else {
+          val az = math.atan2(dx, dy) // north-based: x first
+          java.lang.Double.valueOf(if (az < 0) az + 2 * math.Pi else az)
+        }
+      case _ => null
+    }
+
+  /** Boundary length of areal geometry; 0 for points and lines (PostGIS
+    * ST_Perimeter — NOT getLength, which returns line length too). */
+  def perimeter(tagged: Array[Byte]): Double = geom(tagged) match {
+    case p: Polygonal => p.asInstanceOf[Geometry].getLength
+    case c: GeometryCollection =>
+      // sum areal members only, mirroring PostGIS over collections
+      (0 until c.getNumGeometries).map(c.getGeometryN).collect {
+        case p: Polygonal => p.asInstanceOf[Geometry].getLength
+      }.sum
+    case _ => 0.0
   }
 
   def convexHull(tagged: Array[Byte]): Array[Byte] = {

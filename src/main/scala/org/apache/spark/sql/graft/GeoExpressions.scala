@@ -308,6 +308,127 @@ case class StNumPoints(child: Expression) extends UnaryExpression with GeoExpres
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** Unary geometry→geometry accessor that returns NULL for inapplicable
+  * input types (PostGIS convention: ST_StartPoint of a polygon is NULL,
+  * not an error). */
+abstract class GeoUnaryGeomNullable extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  def kernel: String
+  def apply(g: Array[Byte]): Array[Byte]
+  override protected def nullSafeEval(g: Any): Any = apply(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => s"""
+      ${ev.value} = ${GeoExpr.K}.$kernel($g);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+}
+
+/** ST_StartPoint — first point of a LineString, null otherwise. */
+case class StStartPoint(child: Expression) extends GeoUnaryGeomNullable {
+  override def kernel: String = "startPoint"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.startPoint(g)
+  override def prettyName: String = "st_startpoint"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_EndPoint — last point of a LineString, null otherwise. */
+case class StEndPoint(child: Expression) extends GeoUnaryGeomNullable {
+  override def kernel: String = "endPoint"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.endPoint(g)
+  override def prettyName: String = "st_endpoint"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_ExteriorRing — outer ring of a Polygon as a LineString, null
+  * otherwise. */
+case class StExteriorRing(child: Expression) extends GeoUnaryGeomNullable {
+  override def kernel: String = "exteriorRing"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.exteriorRing(g)
+  override def prettyName: String = "st_exteriorring"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_Reverse — vertex order reversed in every component. */
+case class StReverse(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_reverse"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.reverse(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.reverse($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_PointN — 1-based nth point of a LineString (negative n from the
+  * end), null for other types or out-of-range. */
+case class StPointN(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_pointn"
+  override protected def nullSafeEval(g: Any, n: Any): Any =
+    GeoKernels.pointN(g.asInstanceOf[Array[Byte]], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, n) => s"""
+      ${ev.value} = ${GeoExpr.K}.pointN($g, $n);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_NumInteriorRings — interior-ring count of a Polygon, null
+  * otherwise. */
+case class StNumInteriorRings(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_numinteriorrings"
+  override protected def nullSafeEval(g: Any): Any = {
+    val n = GeoKernels.numInteriorRings(g.asInstanceOf[Array[Byte]])
+    if (n == null) null else n.intValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => s"""
+      java.lang.Integer ${ev.value}Boxed = ${GeoExpr.K}.numInteriorRings($g);
+      if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Boxed.intValue(); }""")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_Azimuth — north-based clockwise bearing (radians) from point a to
+  * point b; null when the points coincide or inputs are not points. */
+case class StAzimuth(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_azimuth"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = GeoKernels.azimuth(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    if (v == null) null else v.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}Boxed = ${GeoExpr.K}.azimuth($a, $b);
+      if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Boxed.doubleValue(); }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_Perimeter — boundary length of areal geometry, 0 for points and
+  * lines (distinct from ST_Length, which measures lines). */
+case class StPerimeter(child: Expression) extends GeoUnaryDouble {
+  override def kernel: String = "perimeter"
+  override def apply(g: Array[Byte]): Double = GeoKernels.perimeter(g)
+  override def prettyName: String = "st_perimeter"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 // ---------------------------------------------------------------------------
 // predicates
 // ---------------------------------------------------------------------------

@@ -147,6 +147,37 @@ class GeoFunctionsSpec extends AnyFunSuite {
       ST_GeomFromText('LINESTRING(0 0,1 5,2 0)'), 0.5))""") == 3)
   }
 
+  test("line/ring accessors: start/end/pointn/exteriorring/nrings/reverse/azimuth/perimeter") {
+    val line = "ST_GeomFromText('LINESTRING(0 0,3 4,6 0)')"
+    assert(sql1(s"select ST_AsText(ST_StartPoint($line))") == "POINT(0 0)")
+    assert(sql1(s"select ST_AsText(ST_EndPoint($line))") == "POINT(6 0)")
+    assert(sql1(s"select ST_AsText(ST_PointN($line, 2))") == "POINT(3 4)")
+    // negative n counts from the end; out-of-range and wrong type → null
+    assert(sql1(s"select ST_AsText(ST_PointN($line, -1))") == "POINT(6 0)")
+    assert(sql1(s"select ST_PointN($line, 4)") == null)
+    assert(sql1(s"select ST_PointN($line, 0)") == null)
+    assert(sql1("select ST_StartPoint(ST_GeomFromText('POINT(1 2)'))") == null)
+    assert(sql1(s"select ST_AsText(ST_Reverse($line))") == "LINESTRING(6 0,3 4,0 0)")
+    // SRID survives all accessor encodes
+    assert(sql1("select ST_SRID(ST_StartPoint(ST_GeomFromText('LINESTRING(0 0,1 1)', 4326)))") == 4326)
+    val poly = "ST_GeomFromText('POLYGON((0 0,10 0,10 5,0 5,0 0),(1 1,2 1,2 2,1 2,1 1))')"
+    assert(sql1(s"select ST_AsText(ST_ExteriorRing($poly))") ==
+      "LINESTRING(0 0,10 0,10 5,0 5,0 0)")
+    assert(sql1(s"select ST_NumInteriorRings($poly)") == 1)
+    assert(sql1(s"select ST_NumInteriorRings($line)") == null)
+    assert(sql1(s"select ST_ExteriorRing($line)") == null)
+    // azimuth: north = 0, east = pi/2, coincident → null, non-point → null
+    assert(sql1("select ST_Azimuth(ST_GeomFromText('POINT(0 0)'), ST_GeomFromText('POINT(0 5)'))") == 0.0)
+    assert(sql1("select ST_Azimuth(ST_GeomFromText('POINT(0 0)'), ST_GeomFromText('POINT(5 0)'))") == math.Pi / 2)
+    assert(sql1("select ST_Azimuth(ST_GeomFromText('POINT(0 0)'), ST_GeomFromText('POINT(-5 0)'))") == 3 * math.Pi / 2)
+    assert(sql1("select ST_Azimuth(ST_GeomFromText('POINT(1 1)'), ST_GeomFromText('POINT(1 1)'))") == null)
+    assert(sql1(s"select ST_Azimuth(ST_GeomFromText('POINT(0 0)'), $line)") == null)
+    // perimeter: areal only — 0 for lines (unlike ST_Length)
+    assert(sql1(s"select ST_Perimeter($poly)") == 34.0)
+    assert(sql1(s"select ST_Perimeter($line)") == 0.0)
+    assert(sql1("select ST_Perimeter(ST_GeomFromText('GEOMETRYCOLLECTION(LINESTRING(0 0,9 0),POLYGON((0 0,1 0,1 1,0 1,0 0)))'))") == 4.0)
+  }
+
   test("null propagation: null geom → null result everywhere") {
     assert(sql1("select ST_AsText(cast(null as binary))") == null)
     assert(sql1("select ST_Intersects(cast(null as binary), ST_GeomFromText('POINT(0 0)'))") == null)

@@ -648,6 +648,18 @@ object SparkEntry {
         .select("doc_id", "split")
         .orderBy("doc_id")
     }),
+    // stratified data-mixing sample: per-source keep rates off one
+    // map-only md5-threshold filter; selection depends only on doc_id, so
+    // DuckDB replays it with the same CASE over hex thresholds
+    "q68_stratified_sample" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Sampling
+        .stratifiedSample(spark.table("documents"), "source", "doc_id",
+          rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.125)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
     // multimodal frame sampling over binary payloads: the flatMap plumbing
     // (frame indices, per-frame byte counts under stride) is integer
     // arithmetic DuckDB replays from octet lengths
@@ -1235,6 +1247,17 @@ object SparkEntry {
                        < '40000000000000000000000000000000'
                   THEN 'test' ELSE 'train' END AS split
       FROM documents ORDER BY doc_id""",
+    // per-source thresholds over the same first-48-bit hex encoding as
+    // q58; rate 1.0 encodes as 'g' (> any hex digit -> keep all)
+    "q68_stratified_sample" -> """
+      SELECT doc_id, source FROM documents
+      WHERE md5(CAST(doc_id AS VARCHAR)) <
+        CASE source
+          WHEN 'src0' THEN 'g'
+          WHEN 'src1' THEN '80000000000000000000000000000000'
+          WHEN 'src2' THEN '40000000000000000000000000000000'
+          ELSE '20000000000000000000000000000000' END
+      ORDER BY doc_id""",
     // stride-2 sampling of 256-byte frames: n = max(len div 256, 1),
     // indices 0,2,..<n, each frame min(256, len - i*256) bytes
     "q54_frame_sample" -> """

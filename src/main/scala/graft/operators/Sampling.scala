@@ -51,4 +51,25 @@ object Sampling {
     df.withColumn("split",
       when(md5(hashInput(keyCol, salt).cast("binary"))
         < lit(hexThreshold(testFrac)), "test").otherwise("train"))
+
+  /** Stratified deterministic sample: a different rate per value of
+    * `strataCol` (the data-mixing primitive — e.g. keep 100% of books,
+    * 10% of common-crawl). Strata absent from `rates` fall back to
+    * `defaultRate` (0 = drop, the safe default for unexpected strata).
+    *
+    * Same md5-threshold selection as [[deterministicSample]], so still a
+    * map-only codegen'd filter — no shuffle, no per-stratum pass, and the
+    * per-row threshold is a CASE over literals. Selection depends only on
+    * (key, salt), NOT the stratum, so a document keeps/loses membership
+    * consistently even if its stratum label is later corrected (and
+    * nested samples at growing rates stay supersets of each other). */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    df.where(md5(hashInput(keyCol, salt).cast("binary")) < threshold)
+  }
 }

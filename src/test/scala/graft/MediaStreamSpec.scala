@@ -358,6 +358,53 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stateRows >= nKeys.toLong)
   }
 
+  test("stream-stream interval join matches batch brute force and evicts state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime + min * 60000L)
+    // impressions / clicks: click attributes to an impression of the same
+    // key within [imp_ts, imp_ts + 10 minutes]
+    val imps = Seq((1L, ts(0), "ad_a"), (1L, ts(30), "ad_b"), (2L, ts(5), "ad_c"))
+    val clks = Seq((1L, ts(7), "c1"), // -> ad_a
+      (1L, ts(35), "c2"),             // -> ad_b
+      (1L, ts(20), "c3"),             // matches nothing (gap)
+      (2L, ts(5), "c4"))              // boundary: 0 offset -> ad_c
+    val memI = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val memC = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamOps.intervalJoinStreams(
+      memI.toDF().toDF("user_id", "imp_ts", "ad"), "imp_ts",
+      memC.toDF().toDF("user_id", "clk_ts", "click"), "clk_ts",
+      "user_id", lookback = "0 minutes", lookahead = "10 minutes",
+      watermark = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    memI.addData(imps); memC.addData(clks)
+    q.processAllAvailable()
+    // advance both watermarks far past every row so all results emit
+    // (distinct keys so the probes cannot join with each other)
+    memI.addData((8L, ts(600), "late")); memC.addData((9L, ts(600), "late"))
+    q.processAllAvailable()
+    val got = spark.table("attrib").select("ad", "click")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("ad_a", "c1"), ("ad_b", "c2"), ("ad_c", "c4")))
+    // state evicted once the watermark passed the interval horizon:
+    // far fewer state rows than total rows seen would be without eviction
+    val stateRows = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
+    q.stop()
+    assert(stateRows <= 4, s"join state not watermark-bounded: $stateRows")
+    // batch equivalence: the same operator over batch frames returns the
+    // same pairs (plus the late probe rows' non-match)
+    val batch = StreamOps.intervalJoinStreams(
+      imps.toDF("user_id", "imp_ts", "ad"), "imp_ts",
+      clks.toDF("user_id", "clk_ts", "click"), "clk_ts",
+      "user_id", "0 minutes", "10 minutes")
+      .select("ad", "click")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(batch == got)
+  }
+
   test("streaming dedup drops in-watermark duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

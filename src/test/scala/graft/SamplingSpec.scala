@@ -47,6 +47,28 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(test == sampled)
   }
 
+  test("stratifiedSample: per-stratum rates, default drop, nested supersets") {
+    import spark.implicits._
+    val df = (0 until 30000).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "src")
+    val rates = Map("s0" -> 1.0, "s1" -> 0.25)
+    val got = Sampling.stratifiedSample(df, "src", "id", rates, defaultRate = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("s0") == 10000)                            // rate 1.0 keeps all
+    assert(math.abs(bySrc("s1") / 10000.0 - 0.25) < 0.02)   // rate honored
+    assert(!bySrc.contains("s2"))                           // default 0 drops
+    // selection ignores the stratum label: the s1 picks ARE the plain
+    // deterministic sample at the same rate (supersets nest by rate)
+    val plain = Sampling.deterministicSample(
+        df.where($"src" === "s1"), "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.collect { case (id, "s1") => id }.toSet == plain)
+    // layout-independent like every sampler here
+    val re = Sampling.stratifiedSample(df.repartition(17), "src", "id",
+      rates, defaultRate = 0.0).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(re.toSet == got.toSet)
+  }
+
   test("hexThreshold edge rates select nothing / everything") {
     import spark.implicits._
     val df = (0 until 100).map(_.toLong).toDF("id")

@@ -741,6 +741,30 @@ object SparkEntry {
                      CAST(l_linenumber * 10 + 5 AS DOUBLE)) AS env
             FROM lineitem)
       ORDER BY l_orderkey, l_linenumber"""),
+    // affine + linear-referencing family over lineitem integers: a
+    // horizontal 10-unit line makes interpolate/locate fractions exact,
+    // and 6dp rounding kills the sin(pi) ~ 1e-16 rotation residue the
+    // same way in any IEEE engine
+    "q69_affine_linear_ref" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             round(ST_X(ST_LineInterpolatePoint(ln, 0.5)), 6) AS interp_x,
+             round(ST_Y(ST_LineInterpolatePoint(ln, 0.5)), 6) AS interp_y,
+             round(ST_LineLocatePoint(ln, ST_GeomFromText(
+               'POINT(' || CAST(l_orderkey % 100 + 2 AS STRING) || ' '
+                        || CAST(l_linenumber * 10 + 4 AS STRING) || ')')), 6) AS locate_f,
+             round(ST_X(ST_Rotate(pt, pi(),
+               CAST(l_orderkey % 100 + 1 AS DOUBLE),
+               CAST(l_linenumber * 10 AS DOUBLE))), 6) AS rot_x,
+             round(ST_Y(ST_Rotate(pt, pi(),
+               CAST(l_orderkey % 100 + 1 AS DOUBLE),
+               CAST(l_linenumber * 10 AS DOUBLE))), 6) AS rot_y,
+             ST_X(ST_Scale(pt, 2.0, 3.0)) AS scale_x,
+             ST_Y(ST_Scale(pt, 2.0, 3.0)) AS scale_y
+      FROM (SELECT l_orderkey, l_linenumber, $PT AS pt,
+                   ST_GeomFromText('LINESTRING(' || $PX || ' ' || $PY || ','
+                     || CAST(l_orderkey % 100 + 10 AS STRING) || ' ' || $PY || ')') AS ln
+            FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber"""),
     // the streaming engine's correctness row: events re-read as a FILE
     // STREAM, sessionized with Spark's native session_window (StreamOps),
     // materialized through foreachBatch — then checked against the SAME
@@ -1117,6 +1141,19 @@ object SparkEntry {
       SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
              count(*) AS n_events, min(ts) AS start_us, max(ts) AS end_us
       FROM s GROUP BY user_id, sid ORDER BY user_id, session_idx""",
+    // all integer-exact after 6dp rounding: interpolate at 0.5 on a
+    // 10-unit horizontal line, locate = 2/10, 180-degree rotation about
+    // (x+1, y) maps (x,y) -> (x+2, y), scale is plain multiplication
+    "q69_affine_linear_ref" -> s"""
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_orderkey % 100 + 5 AS DOUBLE) AS interp_x,
+             $OY AS interp_y,
+             round(2.0 / 10.0, 6) AS locate_f,
+             CAST(l_orderkey % 100 + 2 AS DOUBLE) AS rot_x,
+             $OY AS rot_y,
+             CAST((l_orderkey % 100) * 2 AS DOUBLE) AS scale_x,
+             CAST(l_linenumber * 30 AS DOUBLE) AS scale_y
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     // accessors replayed with plain integer arithmetic + string concat;
     // az is round(atan2(3,4),6) on both sides (the only non-integer value)
     "q67_line_accessors" -> s"""

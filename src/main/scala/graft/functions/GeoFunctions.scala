@@ -80,6 +80,16 @@ object GeoFunctions {
     "st_reverse" -> { es => arity("st_reverse", es, 1); StReverse(es.head) },
     "st_azimuth" -> { es => arity("st_azimuth", es, 2); StAzimuth(es.head, es(1)) },
     "st_perimeter" -> { es => arity("st_perimeter", es, 1); StPerimeter(es.head) },
+    "st_rotate" -> { es =>
+      arity("st_rotate", es, 2, 4)
+      if (es.length == 2) StRotate(es.head, es(1), Literal(0.0), Literal(0.0))
+      else StRotate(es.head, es(1), es(2), es(3))
+    },
+    "st_scale" -> { es => arity("st_scale", es, 3); StScale(es.head, es(1), es(2)) },
+    "st_lineinterpolatepoint" -> { es =>
+      arity("st_lineinterpolatepoint", es, 2); StLineInterpolatePoint(es.head, es(1)) },
+    "st_linelocatepoint" -> { es =>
+      arity("st_linelocatepoint", es, 2); StLineLocatePoint(es.head, es(1)) },
     // training-data-pipeline surface: text dedup/analysis + vector search
     "simhash64" -> { es => arity("simhash64", es, 1); TextSimhash(es.head) },
     "minhash_sig" -> { es => arity("minhash_sig", es, 2); TextMinhash(es.head, es(1)) },
@@ -172,6 +182,15 @@ object GeoFunctions {
   def st_reverse(g: Column): Column = c(StReverse(x(g)))
   def st_azimuth(a: Column, b: Column): Column = c(StAzimuth(x(a), x(b)))
   def st_perimeter(g: Column): Column = c(StPerimeter(x(g)))
+  def st_rotate(g: Column, theta: Column): Column =
+    c(StRotate(x(g), x(theta), Literal(0.0), Literal(0.0)))
+  def st_rotate(g: Column, theta: Column, ox: Column, oy: Column): Column =
+    c(StRotate(x(g), x(theta), x(ox), x(oy)))
+  def st_scale(g: Column, xf: Column, yf: Column): Column = c(StScale(x(g), x(xf), x(yf)))
+  def st_lineinterpolatepoint(g: Column, frac: Column): Column =
+    c(StLineInterpolatePoint(x(g), x(frac)))
+  def st_linelocatepoint(line: Column, pt: Column): Column =
+    c(StLineLocatePoint(x(line), x(pt)))
   def st_extent(g: Column): Column = c(StExtentAgg(x(g)).toAggregateExpression())
   def simhash64(t: Column): Column = c(TextSimhash(x(t)))
   def minhash_sig(t: Column, n: Column): Column = c(TextMinhash(x(t), x(n)))

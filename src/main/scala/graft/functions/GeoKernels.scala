@@ -473,6 +473,49 @@ object GeoKernels {
     case _ => 0.0
   }
 
+  /** Rotate counter-clockwise by theta radians about (ox, oy) (PostGIS
+    * ST_Rotate; origin defaults to (0,0) at the expression layer). */
+  def rotate(tagged: Array[Byte], theta: Double, ox: Double,
+      oy: Double): Array[Byte] = {
+    val g = geom(tagged)
+    encodeKeepSrid(g,
+      AffineTransformation.rotationInstance(theta, ox, oy).transform(g))
+  }
+
+  /** Scale x/y about the origin (PostGIS ST_Scale). */
+  def scaleGeom(tagged: Array[Byte], xf: Double, yf: Double): Array[Byte] = {
+    val g = geom(tagged)
+    encodeKeepSrid(g,
+      AffineTransformation.scaleInstance(xf, yf).transform(g))
+  }
+
+  /** Point at `frac` (clamped to [0,1]) of a LineString's length; null
+    * for other types (PostGIS ST_LineInterpolatePoint). */
+  def lineInterpolatePoint(tagged: Array[Byte], frac: Double): Array[Byte] =
+    geom(tagged) match {
+      case l: LineString if !l.isEmpty =>
+        val f = math.max(0.0, math.min(1.0, frac))
+        val ix = new org.locationtech.jts.linearref.LengthIndexedLine(l)
+        val c = ix.extractPoint(f * l.getLength)
+        encodeKeepSrid(l, GeomCodec.geometryFactory.createPoint(c))
+      case _ => null
+    }
+
+  /** Fraction of a LineString's length at the point closest to `pt`;
+    * null when inputs are not (LineString, Point) or the line has zero
+    * length (PostGIS ST_LineLocatePoint). */
+  def lineLocatePoint(line: Array[Byte], pt: Array[Byte]): java.lang.Double =
+    (geom(line), geom(pt)) match {
+      case (l: LineString, p: Point) if !l.isEmpty && !p.isEmpty =>
+        val len = l.getLength
+        if (len == 0.0) null
+        else {
+          val ix = new org.locationtech.jts.linearref.LengthIndexedLine(l)
+          java.lang.Double.valueOf(ix.indexOf(p.getCoordinate) / len)
+        }
+      case _ => null
+    }
+
   def convexHull(tagged: Array[Byte]): Array[Byte] = {
     val g = geom(tagged)
     val out = g.convexHull()

@@ -594,6 +594,76 @@ case class StTranslate(first: Expression, second: Expression, third: Expression)
     copy(a, b, c)
 }
 
+/** ST_Rotate(geom, theta[, ox, oy]) — counter-clockwise radians about
+  * (ox, oy), default origin (0,0) supplied by the builder. */
+case class StRotate(first: Expression, second: Expression, third: Expression,
+    fourth: Expression) extends QuaternaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_rotate"
+  override protected def nullSafeEval(g: Any, t: Any, ox: Any, oy: Any): Any =
+    GeoKernels.rotate(g.asInstanceOf[Array[Byte]], t.asInstanceOf[Double],
+      ox.asInstanceOf[Double], oy.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, t, ox, oy) => s"${GeoExpr.K}.rotate($g, $t, $ox, $oy)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression) = copy(a, b, c, d)
+}
+
+/** ST_Scale(geom, xfactor, yfactor) — scale about the origin. */
+case class StScale(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_scale"
+  override protected def nullSafeEval(g: Any, xf: Any, yf: Any): Any =
+    GeoKernels.scaleGeom(g.asInstanceOf[Array[Byte]], xf.asInstanceOf[Double], yf.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, xf, yf) => s"${GeoExpr.K}.scaleGeom($g, $xf, $yf)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** ST_LineInterpolatePoint(line, frac) — point at the clamped fraction
+  * of the line's length; null for non-LineString input. */
+case class StLineInterpolatePoint(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_lineinterpolatepoint"
+  override protected def nullSafeEval(g: Any, f: Any): Any =
+    GeoKernels.lineInterpolatePoint(g.asInstanceOf[Array[Byte]], f.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, f) => s"""
+      ${ev.value} = ${GeoExpr.K}.lineInterpolatePoint($g, $f);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_LineLocatePoint(line, point) — fraction of the line's length at
+  * the closest point to `point`; null for wrong types or a zero-length
+  * line. */
+case class StLineLocatePoint(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_linelocatepoint"
+  override protected def nullSafeEval(l: Any, p: Any): Any = {
+    val v = GeoKernels.lineLocatePoint(l.asInstanceOf[Array[Byte]], p.asInstanceOf[Array[Byte]])
+    if (v == null) null else v.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, p) => s"""
+      java.lang.Double ${ev.value}Boxed = ${GeoExpr.K}.lineLocatePoint($l, $p);
+      if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Boxed.doubleValue(); }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** ST_Boundary (reference src/function/boundary.rs:51-87). */
 case class StBoundary(child: Expression) extends UnaryExpression with GeoExpression
     with ImplicitCastInputTypes {

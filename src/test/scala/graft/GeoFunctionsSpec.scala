@@ -178,6 +178,35 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("select ST_Perimeter(ST_GeomFromText('GEOMETRYCOLLECTION(LINESTRING(0 0,9 0),POLYGON((0 0,1 0,1 1,0 1,0 0)))'))") == 4.0)
   }
 
+  test("affine family and linear referencing: rotate/scale/interpolate/locate") {
+    // 90° CCW about the origin: (3,0) -> (0,3); 6dp rounding kills the
+    // cos(pi/2) ~ 6e-17 residue identically in any IEEE engine
+    assert(sql1("""select round(ST_X(ST_Rotate(
+      ST_GeomFromText('POINT(3 0)'), pi() / 2)), 6)""") == 0.0)
+    assert(sql1("""select round(ST_Y(ST_Rotate(
+      ST_GeomFromText('POINT(3 0)'), pi() / 2)), 6)""") == 3.0)
+    // rotation about a non-origin point: (3,1) rotated 180° about (2,1) -> (1,1)
+    assert(sql1("""select ST_X(ST_Rotate(ST_GeomFromText('POINT(3 1)'), pi(), 2.0, 1.0))""")
+      .asInstanceOf[Double] - 1.0 < 1e-9)
+    assert(sql1("select ST_AsText(ST_Scale(ST_GeomFromText('LINESTRING(1 2,3 4)'), 2.0, 10.0))") ==
+      "LINESTRING(2 20,6 40)")
+    // SRID survives the transforms
+    assert(sql1("select ST_SRID(ST_Rotate(ST_GeomFromText('POINT(1 1)', 4326), 0.0))") == 4326)
+    val line = "ST_GeomFromText('LINESTRING(0 0,10 0,10 10)')"
+    assert(sql1(s"select ST_AsText(ST_LineInterpolatePoint($line, 0.5))") == "POINT(10 0)")
+    assert(sql1(s"select ST_AsText(ST_LineInterpolatePoint($line, 0.25))") == "POINT(5 0)")
+    // clamped fractions hit the endpoints; non-line input -> null
+    assert(sql1(s"select ST_AsText(ST_LineInterpolatePoint($line, 2.0))") == "POINT(10 10)")
+    assert(sql1(s"select ST_AsText(ST_LineInterpolatePoint($line, -1.0))") == "POINT(0 0)")
+    assert(sql1("select ST_LineInterpolatePoint(ST_GeomFromText('POINT(1 1)'), 0.5)") == null)
+    // locate is interpolate's inverse; off-line points project
+    assert(sql1(s"select ST_LineLocatePoint($line, ST_GeomFromText('POINT(10 0)'))") == 0.5)
+    assert(sql1(s"select ST_LineLocatePoint($line, ST_GeomFromText('POINT(5 3)'))") == 0.25)
+    assert(sql1(s"select ST_LineLocatePoint($line, ST_GeomFromText('LINESTRING(0 0,1 1)'))") == null)
+    assert(sql1("""select ST_LineLocatePoint(ST_GeomFromText('LINESTRING(1 1,1 1)'),
+      ST_GeomFromText('POINT(0 0)'))""") == null)
+  }
+
   test("null propagation: null geom → null result everywhere") {
     assert(sql1("select ST_AsText(cast(null as binary))") == null)
     assert(sql1("select ST_Intersects(cast(null as binary), ST_GeomFromText('POINT(0 0)'))") == null)

@@ -765,6 +765,111 @@ object SparkEntry {
                      || CAST(l_orderkey % 100 + 10 AS STRING) || ' ' || $PY || ')') AS ln
             FROM lineitem)
       ORDER BY l_orderkey, l_linenumber"""),
+    // topological predicate family over two synthesized unit-squares whose
+    // horizontal offset dx = (l_partkey - l_orderkey) % 100 spans every
+    // spatial relationship: equal (dx=0), overlapping (|dx|=1), edge-
+    // adjacent (|dx|=2), disjoint (|dx|>2) — each predicate and the DE-9IM
+    // matrix string is a closed-form function of dx the oracle replays
+    "q70_topo_predicates" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_Touches(a, b) AS touches,
+             ST_Overlaps(a, b) AS overlaps,
+             ST_Disjoint(a, b) AS disjoint,
+             ST_Crosses(ln, b) AS crosses,
+             ST_Relate(a, b) AS relate_im,
+             ST_Relate(a, b, '2********') AS relate_area
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_MakeEnvelope(x, y, x + 2, y + 2) AS a,
+                   ST_MakeEnvelope(x2, y, x2 + 2, y + 2) AS b,
+                   ST_GeomFromText('LINESTRING(' || CAST(CAST(x AS INT) - 1 AS STRING)
+                     || ' ' || CAST(CAST(y AS INT) + 1 AS STRING) || ','
+                     || CAST(CAST(x AS INT) + 5 AS STRING)
+                     || ' ' || CAST(CAST(y AS INT) + 1 AS STRING) || ')') AS ln
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS DOUBLE) AS x,
+                         CAST(l_partkey % 100 AS DOUBLE) AS x2,
+                         CAST(l_linenumber * 10 AS DOUBLE) AS y
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
+    // overlay family: rectangles of data-dependent width W and overlap
+    // shift S make every area a min/max expression; closest-point /
+    // shortest-line against a 10-unit horizontal line reduce to clamping
+    "q71_overlay_family" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_Area(ST_Difference(a, c)) AS diff_area,
+             ST_Area(ST_SymDifference(a, c)) AS sym_area,
+             ST_Area(ST_Union(a, c)) AS union_area,
+             ST_X(ST_PointOnSurface(a)) AS pos_x,
+             ST_Y(ST_PointOnSurface(a)) AS pos_y,
+             ST_X(ST_ClosestPoint(ln, p)) AS cp_x,
+             round(ST_Length(ST_ShortestLine(ln, p)), 6) AS sl_len,
+             ST_AsText(ST_Snap(offp, basep, 0.1D)) AS snap_wkt
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_MakeEnvelope(x, y, x + w, y + 1) AS a,
+                   ST_MakeEnvelope(x + s, y, x + s + w, y + 1) AS c,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || CAST(CAST(x AS INT) + 10 AS STRING) || ' ' || ys || ')') AS ln,
+                   ST_GeomFromText('POINT(' || CAST(CAST(x AS INT) + dx2 AS STRING)
+                     || ' ' || CAST(CAST(y AS INT) + 5 AS STRING) || ')') AS p,
+                   ST_GeomFromText('POINT(' || xs || '.05 ' || ys || ')') AS offp,
+                   ST_GeomFromText('POINT(' || xs || ' ' || ys || ')') AS basep
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS DOUBLE) AS x,
+                         CAST(l_linenumber * 10 AS DOUBLE) AS y,
+                         CAST(l_linenumber AS DOUBLE) AS w,
+                         CAST(l_orderkey % 5 AS DOUBLE) AS s,
+                         CAST(l_partkey % 15 - 2 AS INT) AS dx2,
+                         $PX AS xs, $PY AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
+    // ST_Dump + explode (the PostGIS set-returning form) and ST_Normalize's
+    // canonical ring order, both replayed as string arithmetic by the oracle
+    "q72_dump_normalize" -> q(s"""
+      SELECT l_orderkey, l_linenumber, part_idx,
+             ST_AsText(part) AS part_wkt,
+             n_parts,
+             norm_wkt
+      FROM (SELECT l_orderkey, l_linenumber,
+                   posexplode(ST_Dump(mp)) AS (part_idx, part),
+                   size(ST_Dump(mp)) AS n_parts,
+                   ST_AsText(ST_Normalize(env)) AS norm_wkt
+            FROM (SELECT l_orderkey, l_linenumber,
+                         ST_GeomFromText('MULTIPOINT(' || $PX || ' ' || $PY || ','
+                           || CAST(l_partkey % 100 AS STRING) || ' '
+                           || CAST(l_linenumber * 10 + 1 AS STRING) || ','
+                           || CAST(l_orderkey % 100 + 1 AS STRING) || ' '
+                           || CAST(l_linenumber * 10 + 2 AS STRING) || ')') AS mp,
+                         ST_MakeEnvelope(CAST(l_orderkey % 100 AS DOUBLE),
+                           CAST(l_linenumber * 10 AS DOUBLE),
+                           CAST(l_orderkey % 100 + 2 AS DOUBLE),
+                           CAST(l_linenumber * 10 + 5 AS DOUBLE)) AS env
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber, part_idx"""),
+    // connected-components dedup clustering: CHAIN pairs from exact-dup
+    // groups (consecutive ids, NOT star pairs) force the large-star/
+    // small-star rounds to actually propagate the min across multiple
+    // hops; the oracle knows the fixpoint is min(doc_id) per text group
+    "q73_dedup_clusters" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, lag, md5}
+      prep(spark, dir)
+      val docs = spark.table("documents")
+      val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+      val pairs = docs
+        .select(col("doc_id"), lag(col("doc_id"), 1).over(w).as("prev_id"))
+        .where(col("prev_id").isNotNull)
+      graft.operators.Dedup.dedupClusters(docs, "doc_id", pairs, "doc_id", "prev_id")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+    // smoothed TF-IDF top-terms: scores are rounded to 6dp BEFORE the
+    // rank window on both sides so the (score, token) tie-break replays
+    "q74_tfidf_terms" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.TextAnalysis
+        .tfidfTopTerms(spark.table("documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rnk")
+    }),
     // the streaming engine's correctness row: events re-read as a FILE
     // STREAM, sessionized with Spark's native session_window (StreamOps),
     // materialized through foreachBatch — then checked against the SAME
@@ -1175,6 +1280,93 @@ object SparkEntry {
                || CAST(l_orderkey % 100 + 2 AS VARCHAR) || ' ' || $OPYS || ','
                || $OPXS || ' ' || $OPYS || ')' AS ring_wkt
       FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    // dx = x2 - x fully determines the spatial relationship of the two
+    // synthesized squares (verified against JTS: equal→2FFF1FFF2,
+    // |dx|=1→212111212, |dx|=2→FF2F11212, else FF2FF1212)
+    "q70_topo_predicates" -> """
+      WITH d AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_partkey % 100 AS BIGINT) - CAST(l_orderkey % 100 AS BIGINT) AS dx
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             abs(dx) = 2 AS touches,
+             abs(dx) = 1 AS overlaps,
+             abs(dx) > 2 AS disjoint,
+             (dx > -3 AND dx < 5) AS crosses,
+             CASE WHEN dx = 0 THEN '2FFF1FFF2'
+                  WHEN abs(dx) = 1 THEN '212111212'
+                  WHEN abs(dx) = 2 THEN 'FF2F11212'
+                  ELSE 'FF2FF1212' END AS relate_im,
+             abs(dx) <= 1 AS relate_area
+      FROM d ORDER BY l_orderkey, l_linenumber""",
+    // all areas are exact integer arithmetic (min/max of rectangle
+    // overlaps); closest-point reduces to clamping; sqrt is correctly
+    // rounded in both engines so round(,6) matches bit-for-bit
+    "q71_overlay_family" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS x,
+              CAST(l_linenumber * 10 AS BIGINT) AS y,
+              CAST(l_linenumber AS BIGINT) AS w,
+              CAST(l_orderkey % 5 AS BIGINT) AS s,
+              CAST(l_partkey % 15 - 2 AS BIGINT) AS dx2
+            FROM lineitem),
+           d AS (SELECT *, least(s, w) AS m,
+              greatest(CAST(0 AS BIGINT), least(CAST(10 AS BIGINT), dx2)) AS cl
+            FROM b)
+      SELECT l_orderkey, l_linenumber,
+             CAST(m AS DOUBLE) AS diff_area,
+             CAST(2 * m AS DOUBLE) AS sym_area,
+             CAST(w + m AS DOUBLE) AS union_area,
+             CAST(x AS DOUBLE) + CAST(w AS DOUBLE) / 2 AS pos_x,
+             CAST(y AS DOUBLE) + 0.5 AS pos_y,
+             CAST(x + cl AS DOUBLE) AS cp_x,
+             round(sqrt(CAST((dx2 - cl) * (dx2 - cl) + 25 AS DOUBLE)), 6) AS sl_len,
+             'POINT(' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ')' AS snap_wkt
+      FROM d ORDER BY l_orderkey, l_linenumber""",
+    // dump order is the multipoint's own part order; normalize's canonical
+    // ring (min vertex first, then counter-clockwise from it) replayed as
+    // string concatenation
+    "q72_dump_normalize" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS VARCHAR) AS xs,
+              CAST(l_linenumber * 10 AS VARCHAR) AS ys,
+              CAST(l_partkey % 100 AS VARCHAR) AS x2s,
+              CAST(l_linenumber * 10 + 1 AS VARCHAR) AS y1s,
+              CAST(l_orderkey % 100 + 1 AS VARCHAR) AS x1s,
+              CAST(l_linenumber * 10 + 2 AS VARCHAR) AS y2s,
+              CAST(l_orderkey % 100 + 2 AS VARCHAR) AS xr,
+              CAST(l_linenumber * 10 + 5 AS VARCHAR) AS yt
+            FROM lineitem),
+           p AS (SELECT *, list_value(
+              'POINT(' || xs || ' ' || ys || ')',
+              'POINT(' || x2s || ' ' || y1s || ')',
+              'POINT(' || x1s || ' ' || y2s || ')') AS parts FROM b)
+      SELECT l_orderkey, l_linenumber, CAST(i - 1 AS INT) AS part_idx,
+             parts[i] AS part_wkt, CAST(3 AS INT) AS n_parts,
+             'POLYGON((' || xs || ' ' || ys || ',' || xs || ' ' || yt || ',' || xr || ' '
+               || yt || ',' || xr || ' ' || ys || ',' || xs || ' ' || ys || '))' AS norm_wkt
+      FROM p, unnest(generate_series(1, 3)) AS u(i)
+      ORDER BY l_orderkey, l_linenumber, part_idx""",
+    // the CC fixpoint over chain pairs within identical-text groups is
+    // simply the group's min id (singletons map to themselves)
+    "q73_dedup_clusters" -> """
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS component
+      FROM documents ORDER BY doc_id""",
+    // identical smoothed-idf arithmetic: (N+1.0)/(df+1) in double, ln,
+    // +1, ×tf, round 6 — then rank on the ROUNDED score
+    "q74_tfidf_terms" -> """
+      WITH tf AS (SELECT doc_id, w AS tok, count(*) AS tf
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                        FROM documents)
+                  GROUP BY doc_id, w),
+           dfq AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY tok),
+           s AS (SELECT doc_id, tok, tf, dfreq,
+                   round(tf * (ln((SELECT count(*) + 1.0 FROM documents)
+                     / CAST(dfreq + 1 AS DOUBLE)) + 1), 6) AS score
+                 FROM tf JOIN dfq USING (tok)),
+           r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, tok ASC) AS rnk FROM s)
+      SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, tf, dfreq, score
+      FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     // DuckDB's RANGE frame replays the same half-open [ts-1h, ts) window
     "q59_trailing_features" -> """
       WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,

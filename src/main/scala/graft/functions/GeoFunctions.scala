@@ -90,6 +90,32 @@ object GeoFunctions {
       arity("st_lineinterpolatepoint", es, 2); StLineInterpolatePoint(es.head, es(1)) },
     "st_linelocatepoint" -> { es =>
       arity("st_linelocatepoint", es, 2); StLineLocatePoint(es.head, es(1)) },
+    "st_touches" -> { es => arity("st_touches", es, 2); StTouches(es.head, es(1)) },
+    "st_crosses" -> { es => arity("st_crosses", es, 2); StCrosses(es.head, es(1)) },
+    "st_overlaps" -> { es => arity("st_overlaps", es, 2); StOverlaps(es.head, es(1)) },
+    "st_disjoint" -> { es => arity("st_disjoint", es, 2); StDisjoint(es.head, es(1)) },
+    "st_relate" -> { es =>
+      arity("st_relate", es, 2, 3)
+      if (es.length == 2) StRelate(es.head, es(1)) else StRelateMatch(es.head, es(1), es(2))
+    },
+    "st_difference" -> { es => arity("st_difference", es, 2); StDifference(es.head, es(1)) },
+    "st_symdifference" -> { es =>
+      arity("st_symdifference", es, 2); StSymDifference(es.head, es(1)) },
+    "st_closestpoint" -> { es =>
+      arity("st_closestpoint", es, 2); StClosestPoint(es.head, es(1)) },
+    "st_shortestline" -> { es =>
+      arity("st_shortestline", es, 2); StShortestLine(es.head, es(1)) },
+    "st_snap" -> { es => arity("st_snap", es, 3); StSnap(es.head, es(1), es(2)) },
+    "st_pointonsurface" -> { es =>
+      arity("st_pointonsurface", es, 1); StPointOnSurface(es.head) },
+    "st_isclosed" -> { es => arity("st_isclosed", es, 1); StIsClosed(es.head) },
+    "st_issimple" -> { es => arity("st_issimple", es, 1); StIsSimple(es.head) },
+    "st_isring" -> { es => arity("st_isring", es, 1); StIsRing(es.head) },
+    "st_flipcoordinates" -> { es =>
+      arity("st_flipcoordinates", es, 1); StFlipCoordinates(es.head) },
+    "st_normalize" -> { es => arity("st_normalize", es, 1); StNormalize(es.head) },
+    "st_geohash" -> { es => arity("st_geohash", es, 2); StGeoHash(es.head, es(1)) },
+    "st_dump" -> { es => arity("st_dump", es, 1); StDump(es.head) },
     // training-data-pipeline surface: text dedup/analysis + vector search
     "simhash64" -> { es => arity("simhash64", es, 1); TextSimhash(es.head) },
     "minhash_sig" -> { es => arity("minhash_sig", es, 2); TextMinhash(es.head, es(1)) },
@@ -191,6 +217,26 @@ object GeoFunctions {
     c(StLineInterpolatePoint(x(g), x(frac)))
   def st_linelocatepoint(line: Column, pt: Column): Column =
     c(StLineLocatePoint(x(line), x(pt)))
+  def st_touches(a: Column, b: Column): Column = c(StTouches(x(a), x(b)))
+  def st_crosses(a: Column, b: Column): Column = c(StCrosses(x(a), x(b)))
+  def st_overlaps(a: Column, b: Column): Column = c(StOverlaps(x(a), x(b)))
+  def st_disjoint(a: Column, b: Column): Column = c(StDisjoint(x(a), x(b)))
+  def st_relate(a: Column, b: Column): Column = c(StRelate(x(a), x(b)))
+  def st_relate(a: Column, b: Column, pattern: Column): Column =
+    c(StRelateMatch(x(a), x(b), x(pattern)))
+  def st_difference(a: Column, b: Column): Column = c(StDifference(x(a), x(b)))
+  def st_symdifference(a: Column, b: Column): Column = c(StSymDifference(x(a), x(b)))
+  def st_closestpoint(a: Column, b: Column): Column = c(StClosestPoint(x(a), x(b)))
+  def st_shortestline(a: Column, b: Column): Column = c(StShortestLine(x(a), x(b)))
+  def st_snap(a: Column, b: Column, tol: Column): Column = c(StSnap(x(a), x(b), x(tol)))
+  def st_pointonsurface(g: Column): Column = c(StPointOnSurface(x(g)))
+  def st_isclosed(g: Column): Column = c(StIsClosed(x(g)))
+  def st_issimple(g: Column): Column = c(StIsSimple(x(g)))
+  def st_isring(g: Column): Column = c(StIsRing(x(g)))
+  def st_flipcoordinates(g: Column): Column = c(StFlipCoordinates(x(g)))
+  def st_normalize(g: Column): Column = c(StNormalize(x(g)))
+  def st_geohash(g: Column, precision: Column): Column = c(StGeoHash(x(g), x(precision)))
+  def st_dump(g: Column): Column = c(StDump(x(g)))
   def st_extent(g: Column): Column = c(StExtentAgg(x(g)).toAggregateExpression())
   def simhash64(t: Column): Column = c(TextSimhash(x(t)))
   def minhash_sig(t: Column, n: Column): Column = c(TextMinhash(x(t), x(n)))

@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.geo._
-import org.locationtech.jts.geom.{Geometry, GeometryCollection, GeometryFactory, LineString, Point, Polygon, Polygonal}
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryCollection, GeometryFactory, LineString, MultiLineString, MultiPoint, Point, Polygon, Polygonal}
 import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 import org.locationtech.jts.geom.util.AffineTransformation
 import org.locationtech.jts.operation.buffer.BufferOp
@@ -268,6 +268,47 @@ object GeoKernels {
   def dWithin(a: Array[Byte], b: Array[Byte], d: Double): Boolean =
     geom(a).isWithinDistance(geom(b), d)
 
+  /** Symmetric predicates with the same prepared-geometry fast path as
+    * `intersects`: whichever side is a constant-folded repeat probe gets
+    * the prepared structure. */
+  def touches(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val ea = entryOf(a)
+    val eb = entryOf(b)
+    if (eb.reused()) eb.preparedGeom.touches(ea.geom)
+    else if (ea.reused()) ea.preparedGeom.touches(eb.geom)
+    else ea.geom.touches(eb.geom)
+  }
+
+  def crosses(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val ea = entryOf(a)
+    if (ea.reused()) ea.preparedGeom.crosses(geom(b))
+    else ea.geom.crosses(geom(b))
+  }
+
+  def overlaps(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val ea = entryOf(a)
+    val eb = entryOf(b)
+    if (eb.reused()) eb.preparedGeom.overlaps(ea.geom)
+    else if (ea.reused()) ea.preparedGeom.overlaps(eb.geom)
+    else ea.geom.overlaps(eb.geom)
+  }
+
+  def disjoint(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val ea = entryOf(a)
+    val eb = entryOf(b)
+    if (eb.reused()) eb.preparedGeom.disjoint(ea.geom)
+    else if (ea.reused()) ea.preparedGeom.disjoint(eb.geom)
+    else ea.geom.disjoint(eb.geom)
+  }
+
+  /** DE-9IM intersection-matrix string (PostGIS 2-arg ST_Relate). */
+  def relate(a: Array[Byte], b: Array[Byte]): String =
+    geom(a).relate(geom(b)).toString
+
+  /** DE-9IM pattern match (PostGIS 3-arg ST_Relate). */
+  def relateMatch(a: Array[Byte], b: Array[Byte], pattern: String): Boolean =
+    geom(a).relate(geom(b), pattern)
+
   def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val ga = geom(a)
     val out = ga.union(geom(b))
@@ -278,6 +319,63 @@ object GeoKernels {
   def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val ga = geom(a)
     val out = ga.intersection(geom(b))
+    out.setSRID(ga.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  def difference(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ga = geom(a)
+    val out = ga.difference(geom(b))
+    out.setSRID(ga.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  def symDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ga = geom(a)
+    val out = ga.symDifference(geom(b))
+    out.setSRID(ga.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  /** Interior point guaranteed on the surface (PostGIS ST_PointOnSurface;
+    * JTS InteriorPoint — unlike the centroid it cannot fall outside a
+    * concave polygon). */
+  def pointOnSurface(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val out = g.getInteriorPoint
+    out.setSRID(g.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  /** First point of the shortest segment from a to b (PostGIS
+    * ST_ClosestPoint: the point ON a closest to b). */
+  def closestPoint(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ga = geom(a)
+    val near = org.locationtech.jts.operation.distance.DistanceOp
+      .nearestPoints(ga, geom(b))
+    val out = GeomCodec.geometryFactory.createPoint(near(0))
+    out.setSRID(ga.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  /** 2-point LineString spanning the minimum distance (PostGIS
+    * ST_ShortestLine). Degenerate (zero-length) when the geometries
+    * intersect, matching PostGIS. */
+  def shortestLine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ga = geom(a)
+    val near = org.locationtech.jts.operation.distance.DistanceOp
+      .nearestPoints(ga, geom(b))
+    val out = GeomCodec.geometryFactory.createLineString(near)
+    out.setSRID(ga.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  /** Snap vertices of `a` to vertices/segments of `b` within `tol`
+    * (PostGIS ST_Snap; JTS GeometrySnapper). */
+  def snapGeom(a: Array[Byte], b: Array[Byte], tol: Double): Array[Byte] = {
+    val ga = geom(a)
+    val out = new org.locationtech.jts.operation.overlay.snap.GeometrySnapper(ga)
+      .snapTo(geom(b), tol)
     out.setSRID(ga.getSRID)
     remember(GeomCodec.encodeEwkb(out), out)
   }
@@ -471,6 +569,90 @@ object GeoKernels {
         case p: Polygonal => p.asInstanceOf[Geometry].getLength
       }.sum
     case _ => 0.0
+  }
+
+  /** PostGIS ST_IsClosed: start==end for each linear component; true for
+    * points, false for empty lines. Areal/collection inputs → null. */
+  def isClosed(tagged: Array[Byte]): java.lang.Boolean = geom(tagged) match {
+    case l: LineString => java.lang.Boolean.valueOf(!l.isEmpty && l.isClosed)
+    case m: MultiLineString =>
+      java.lang.Boolean.valueOf(!m.isEmpty && m.isClosed)
+    case _: Point | _: MultiPoint => java.lang.Boolean.TRUE
+    case _ => null
+  }
+
+  def isSimple(tagged: Array[Byte]): Boolean = geom(tagged).isSimple
+
+  /** PostGIS ST_IsRing: closed AND simple; only defined for LineString. */
+  def isRing(tagged: Array[Byte]): java.lang.Boolean = geom(tagged) match {
+    case l: LineString =>
+      java.lang.Boolean.valueOf(!l.isEmpty && l.isClosed && l.isSimple)
+    case _ => null
+  }
+
+  /** Swap x and y of every coordinate (PostGIS ST_FlipCoordinates). */
+  def flipCoordinates(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val out = g.copy()
+    out.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: Coordinate): Unit = { val t = c.x; c.x = c.y; c.y = t }
+    })
+    out.geometryChanged()
+    encodeKeepSrid(g, out)
+  }
+
+  /** Canonical vertex ordering (PostGIS ST_Normalize; JTS normalize) —
+    * makes topologically-equal geometries byte-comparable. */
+  def normalizeGeom(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val out = g.norm()
+    encodeKeepSrid(g, out)
+  }
+
+  private val GeohashBase32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Standard geohash of the geometry's bbox center at `precision`
+    * base-32 characters (PostGIS ST_GeoHash uses lon/lat: x=lon, y=lat).
+    * Null for empty geometry or coordinates outside the lon/lat domain. */
+  def geohash(tagged: Array[Byte], precision: Int): String = {
+    val g = geom(tagged)
+    if (g.isEmpty || precision <= 0) return null
+    val env = g.getEnvelopeInternal
+    val lon = (env.getMinX + env.getMaxX) / 2.0
+    val lat = (env.getMinY + env.getMaxY) / 2.0
+    if (lon < -180 || lon > 180 || lat < -90 || lat > 90) return null
+    var lonLo = -180.0; var lonHi = 180.0
+    var latLo = -90.0; var latHi = 90.0
+    val sb = new java.lang.StringBuilder(precision)
+    var bit = 0; var ch = 0; var evenBit = true
+    while (sb.length < precision) {
+      if (evenBit) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+        else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+        else { ch = ch << 1; latHi = mid }
+      }
+      evenBit = !evenBit
+      bit += 1
+      if (bit == 5) { sb.append(GeohashBase32.charAt(ch)); bit = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  /** Component geometries, recursing through nested collections (PostGIS
+    * ST_Dump flattened): multi/collection → parts, simple → [self]. */
+  def dumpGeoms(tagged: Array[Byte]): Array[Array[Byte]] = {
+    val g = geom(tagged)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def rec(x: Geometry): Unit =
+      if (x.getNumGeometries > 1 || x.isInstanceOf[GeometryCollection])
+        (0 until x.getNumGeometries).foreach(i => rec(x.getGeometryN(i)))
+      else { x.setSRID(g.getSRID); out += GeomCodec.encodeEwkb(x) }
+    rec(g)
+    out.toArray
   }
 
   /** Rotate counter-clockwise by theta radians about (ox, oy) (PostGIS

@@ -282,4 +282,90 @@ object Dedup {
     simhashBands(df, idCol, textCol, bands)
       .groupBy("band", "bucket").agg(count(lit(1)).as("size"))
       .where(col("size") > maxBucket)
+
+  // ---- connected components over a near-dup pair graph -------------------
+
+  /** Connected components of the undirected graph given as a pair list —
+    * the step that turns pairwise near-dup hits (minhash/simhash/jaccard)
+    * into dedup CLUSTERS with one canonical survivor each.
+    *
+    * Algorithm: alternating large-star / small-star rounds (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14),
+    * converging in O(log² n) rounds even on chain-shaped graphs where
+    * naive min-label propagation needs O(diameter). Scale design:
+    *  - Each round is ONE min() hash-aggregate keyed by node plus one
+    *    equi-join — never a per-node neighbor LIST (a hub node with 10⁸
+    *    neighbors would OOM a collect_list; min() combines map-side).
+    *  - `localCheckpoint` after each round cuts the lineage so round N's
+    *    plan doesn't replay rounds 1..N-1 (on a production cluster use
+    *    `checkpoint` to reliable storage for executor-loss recovery).
+    *  - Convergence is detected from two driver-side scalars (edge count
+    *    + order-invariant hash checksum), not by collecting edges.
+    *
+    * Returns (id, component) for every node that appears in `pairs`;
+    * component is the minimum node id of the cluster. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // direct every edge large→small; both star steps preserve the
+    // invariant src > dst by construction
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("src"),
+        least(col(aCol), col(bCol)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var prev = (-1L, -1L)
+    var it = 0
+    var done = false
+    while (it < maxIter && !done) {
+      // large-star over the symmetrized graph: for every node u with
+      // m(u) = min(N(u) ∪ {u}), each LARGER neighbor v re-links to m(u)
+      val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = sym.groupBy(col("src").as("u"))
+        .agg(min(least(col("src"), col("dst"))).as("m"))
+      val large = sym.where(col("dst") > col("src"))
+        .join(lsMin, col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+      // small-star on the (now larger→smaller) edges: u's smaller
+      // neighbors AND u itself all link to m(u)
+      val ssMin = large.groupBy(col("src").as("u"))
+        .agg(min(col("dst")).as("m"))
+        .withColumn("m", least(col("u"), col("m"))) // defensive; dst < src already
+      val joined = large.join(ssMin, col("src") === col("u"))
+      val small = joined.select(col("dst").as("src"), col("m").as("dst"))
+        .union(joined.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      // order-invariant fingerprint: two driver scalars, no edge collect
+      // (bit_xor, not sum — ANSI mode would overflow summed 64-bit hashes;
+      // xor is safe because distinct() guarantees no repeated edge)
+      val sig = small.agg(count(lit(1)),
+        bit_xor(xxhash64(col("src"), col("dst")))).collect()(0)
+      val cur = (sig.getLong(0), if (sig.isNullAt(1)) 0L else sig.getLong(1))
+      done = cur == prev
+      prev = cur
+      edges = small
+      it += 1
+    }
+    // at fixpoint the edge list IS the star assignment v → component-min;
+    // add the roots themselves
+    edges.select(col("src").as("id"), col("dst").as("component"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("component")))
+      .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** Cluster ids for EVERY document: component-min over `pairs` for docs
+    * in the pair graph, the doc's own id for singletons. The output is
+    * the canonical-survivor map a curation pipeline joins against
+    * (keep = rows where id == component). */
+  def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    df.select(col(idCol).as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
 }

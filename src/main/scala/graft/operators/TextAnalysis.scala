@@ -103,6 +103,35 @@ object TextAnalysis {
       .select(col("grp").as(groupCol), col("rnk"), col("tok"), col("n"))
   }
 
+  /** Smoothed TF-IDF (sklearn's smooth_idf: idf = ln((N+1)/(df+1)) + 1)
+    * over whitespace tokens, returning each document's top-k scoring
+    * terms — the classic keyword/topicality signal for corpus curation
+    * and search-index construction.
+    *
+    * Scale design (100 TB): two hash-aggregates (doc-term counts, then
+    * term doc-frequency) and one shuffle join keyed by TOKEN — the
+    * vocabulary is never broadcast or collected, so unbounded vocabularies
+    * (typos, code, ids) cannot OOM anything; the corpus size N is the
+    * only driver-side scalar. The per-doc top-k is a rank-pushdown window
+    * keyed by document. Scores are rounded to 6dp BEFORE ranking so the
+    * (score desc, token asc) tie-break is reproducible across engines. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val n = df.count()
+    val tf = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    val scored = tf.join(dfreq, "tok").withColumn("score",
+      round(col("tf") * (log(lit(n + 1.0) / (col("dfreq") + lit(1)).cast("double")) + 1), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("id").as(idCol), col("rnk"), col("tok"), col("tf"),
+        col("dfreq"), col("score"))
+  }
+
   /** PII scrubbing: replace email addresses, North-American phone
     * numbers, and 13-19 digit card-like numbers with typed placeholders.
     * Patterns are deliberately RE2-compatible (no backrefs/lookaround) so

@@ -769,3 +769,249 @@ case class StAsMvtGeom(left: Expression, right: Expression)
          $box.getDouble(2), $box.getDouble(3))""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
+
+// ---------------------------------------------------------------------------
+// topological predicate family (PostGIS-standard extras: the reference ships
+// intersects/covers/coveredby/equals; touches/crosses/overlaps/disjoint and
+// DE-9IM relate complete the set a PostGIS user expects)
+// ---------------------------------------------------------------------------
+
+case class StTouches(left: Expression, right: Expression) extends GeoBinaryPredicate {
+  override def kernel: String = "touches"
+  override def apply(a: Array[Byte], b: Array[Byte]): Boolean = GeoKernels.touches(a, b)
+  override def prettyName: String = "st_touches"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class StCrosses(left: Expression, right: Expression) extends GeoBinaryPredicate {
+  override def kernel: String = "crosses"
+  override def apply(a: Array[Byte], b: Array[Byte]): Boolean = GeoKernels.crosses(a, b)
+  override def prettyName: String = "st_crosses"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class StOverlaps(left: Expression, right: Expression) extends GeoBinaryPredicate {
+  override def kernel: String = "overlaps"
+  override def apply(a: Array[Byte], b: Array[Byte]): Boolean = GeoKernels.overlaps(a, b)
+  override def prettyName: String = "st_overlaps"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class StDisjoint(left: Expression, right: Expression) extends GeoBinaryPredicate {
+  override def kernel: String = "disjoint"
+  override def apply(a: Array[Byte], b: Array[Byte]): Boolean = GeoKernels.disjoint(a, b)
+  override def prettyName: String = "st_disjoint"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_Relate(a, b) — DE-9IM intersection-matrix string. */
+case class StRelate(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_relate"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    UTF8String.fromString(
+      GeoKernels.relate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"UTF8String.fromString(${GeoExpr.K}.relate($a, $b))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_Relate(a, b, pattern) — DE-9IM pattern test. */
+case class StRelateMatch(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType, StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_relate"
+  override protected def nullSafeEval(a: Any, b: Any, p: Any): Any =
+    GeoKernels.relateMatch(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      p.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, p) => s"${GeoExpr.K}.relateMatch($a, $b, $p.toString())")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+// ---------------------------------------------------------------------------
+// overlay / proximity completion (PostGIS-standard extras)
+// ---------------------------------------------------------------------------
+
+/** ST_Difference(a, b) — points of a not in b. */
+case class StDifference(left: Expression, right: Expression) extends GeoBinaryGeometry {
+  override def kernel: String = "difference"
+  override def apply(a: Array[Byte], b: Array[Byte]): Array[Byte] = GeoKernels.difference(a, b)
+  override def prettyName: String = "st_difference"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_SymDifference(a, b) — union minus intersection. */
+case class StSymDifference(left: Expression, right: Expression) extends GeoBinaryGeometry {
+  override def kernel: String = "symDifference"
+  override def apply(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    GeoKernels.symDifference(a, b)
+  override def prettyName: String = "st_symdifference"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_ClosestPoint(a, b) — the point ON a nearest to b. */
+case class StClosestPoint(left: Expression, right: Expression) extends GeoBinaryGeometry {
+  override def kernel: String = "closestPoint"
+  override def apply(a: Array[Byte], b: Array[Byte]): Array[Byte] = GeoKernels.closestPoint(a, b)
+  override def prettyName: String = "st_closestpoint"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_ShortestLine(a, b) — 2-point LineString spanning the minimum distance. */
+case class StShortestLine(left: Expression, right: Expression) extends GeoBinaryGeometry {
+  override def kernel: String = "shortestLine"
+  override def apply(a: Array[Byte], b: Array[Byte]): Array[Byte] = GeoKernels.shortestLine(a, b)
+  override def prettyName: String = "st_shortestline"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_Snap(a, b, tol) — snap a's vertices to b within tolerance. */
+case class StSnap(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_snap"
+  override protected def nullSafeEval(a: Any, b: Any, t: Any): Any =
+    GeoKernels.snapGeom(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      t.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, t) => s"${GeoExpr.K}.snapGeom($a, $b, $t)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** ST_PointOnSurface — interior point guaranteed on the geometry. */
+case class StPointOnSurface(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_pointonsurface"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.pointOnSurface(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.pointOnSurface($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+// ---------------------------------------------------------------------------
+// shape tests, normalization, geohash, dump
+// ---------------------------------------------------------------------------
+
+/** ST_IsClosed — null for areal/collection inputs (PostGIS convention). */
+case class StIsClosed(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_isclosed"
+  override protected def nullSafeEval(g: Any): Any = {
+    val v = GeoKernels.isClosed(g.asInstanceOf[Array[Byte]])
+    if (v == null) null else v.booleanValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => s"""
+      java.lang.Boolean r = ${GeoExpr.K}.isClosed($g);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.booleanValue(); }""")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_IsSimple — no self-intersection/tangency anomalies. */
+case class StIsSimple(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_issimple"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.isSimple(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.isSimple($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_IsRing — closed AND simple; null for non-LineString (PostGIS errors,
+  * we follow the library's nullable-accessor convention instead). */
+case class StIsRing(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_isring"
+  override protected def nullSafeEval(g: Any): Any = {
+    val v = GeoKernels.isRing(g.asInstanceOf[Array[Byte]])
+    if (v == null) null else v.booleanValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => s"""
+      java.lang.Boolean r = ${GeoExpr.K}.isRing($g);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.booleanValue(); }""")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_FlipCoordinates — swap x/y of every vertex. */
+case class StFlipCoordinates(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_flipcoordinates"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.flipCoordinates(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.flipCoordinates($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_Normalize — canonical vertex order; topologically-equal geometries
+  * become byte-equal, enabling exact-dedup on geometry columns. */
+case class StNormalize(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_normalize"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.normalizeGeom(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.normalizeGeom($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_GeoHash(geom, precision) — base-32 geohash of the bbox center
+  * (x=lon, y=lat); null outside the lon/lat domain. */
+case class StGeoHash(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geohash"
+  override protected def nullSafeEval(g: Any, p: Any): Any = {
+    val s = GeoKernels.geohash(g.asInstanceOf[Array[Byte]], p.asInstanceOf[Int])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, p) => s"""
+      String s = ${GeoExpr.K}.geohash($g, $p);
+      if (s == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = UTF8String.fromString(s); }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_Dump — array of component geometries (explode() turns it into the
+  * PostGIS set-returning form; flattens nested collections). */
+case class StDump(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "st_dump"
+  override protected def nullSafeEval(g: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GeoKernels.dumpGeoms(g.asInstanceOf[Array[Byte]]).asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(${GeoExpr.K}.dumpGeoms($g))")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}

@@ -246,6 +246,78 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(r(1).getString(1) == "GEOMETRYCOLLECTION(LINESTRING(0 0,1 1))")
   }
 
+  test("topological predicate family: touches/crosses/overlaps/disjoint/relate") {
+    // two unit squares sharing an edge: touch, don't overlap
+    val a = "ST_MakeEnvelope(0D, 0D, 1D, 1D)"
+    val b = "ST_MakeEnvelope(1D, 0D, 2D, 1D)"
+    val c = "ST_MakeEnvelope(0.5D, 0.5D, 1.5D, 1.5D)"
+    val far = "ST_MakeEnvelope(10D, 10D, 11D, 11D)"
+    assert(sql1(s"select ST_Touches($a, $b)") == true)
+    assert(sql1(s"select ST_Touches($a, $c)") == false)
+    assert(sql1(s"select ST_Overlaps($a, $c)") == true)
+    assert(sql1(s"select ST_Overlaps($a, $b)") == false)
+    assert(sql1(s"select ST_Disjoint($a, $far)") == true)
+    assert(sql1(s"select ST_Disjoint($a, $b)") == false)
+    // a line crossing a polygon's interior
+    assert(sql1(s"select ST_Crosses(ST_GeomFromText('LINESTRING(-1 0.5, 3 0.5)'), $a)") == true)
+    assert(sql1(s"select ST_Crosses($a, $b)") == false)
+    // DE-9IM: equal squares relate as 2FFF1FFF2
+    assert(sql1(s"select ST_Relate($a, $a)") == "2FFF1FFF2")
+    assert(sql1(s"select ST_Relate($a, $c, '2********')") == true)
+    assert(sql1(s"select ST_Relate($a, $b, '2********')") == false)
+  }
+
+  test("overlay completion: difference/symdifference/pointonsurface/closest/shortest/snap") {
+    val a = "ST_MakeEnvelope(0D, 0D, 2D, 1D)"
+    val c = "ST_MakeEnvelope(1D, 0D, 3D, 1D)"
+    assert(sql1(s"select ST_Area(ST_Difference($a, $c))") == 1.0)
+    assert(sql1(s"select ST_Area(ST_SymDifference($a, $c))") == 2.0)
+    // interior point of a polygon is inside it
+    assert(sql1(s"select ST_Within(ST_PointOnSurface($a), $a)") == true)
+    assert(sql1(
+      "select ST_AsText(ST_ClosestPoint(ST_GeomFromText('LINESTRING(0 0, 10 0)'), ST_GeomFromText('POINT(3 5)')))") ==
+      "POINT(3 0)")
+    assert(sql1(
+      "select ST_Length(ST_ShortestLine(ST_GeomFromText('POINT(0 0)'), ST_GeomFromText('POINT(3 4)')))") ==
+      5.0)
+    assert(sql1(
+      "select ST_AsText(ST_Snap(ST_GeomFromText('POINT(0.05 0)'), ST_GeomFromText('POINT(0 0)'), 0.1D))") ==
+      "POINT(0 0)")
+  }
+
+  test("shape tests + normalize + flip") {
+    assert(sql1("select ST_IsClosed(ST_GeomFromText('LINESTRING(0 0,1 0,1 1,0 0)'))") == true)
+    assert(sql1("select ST_IsClosed(ST_GeomFromText('LINESTRING(0 0,1 0)'))") == false)
+    assert(sql1("select ST_IsClosed(ST_MakeEnvelope(0D,0D,1D,1D))") == null)
+    assert(sql1("select ST_IsSimple(ST_GeomFromText('LINESTRING(0 0,2 2,0 2,2 0)'))") == false)
+    assert(sql1("select ST_IsSimple(ST_GeomFromText('LINESTRING(0 0,1 1)'))") == true)
+    assert(sql1("select ST_IsRing(ST_GeomFromText('LINESTRING(0 0,1 0,1 1,0 0)'))") == true)
+    assert(sql1("select ST_IsRing(ST_GeomFromText('LINESTRING(0 0,1 1)'))") == false)
+    assert(sql1("select ST_IsRing(ST_GeomFromText('POINT(0 0)'))") == null)
+    assert(sql1("select ST_AsText(ST_FlipCoordinates(ST_GeomFromText('POINT(1 2)')))") ==
+      "POINT(2 1)")
+  }
+
+  test("normalize canonicalizes equal rings") {
+    val w1 = sql1("select ST_AsText(ST_Normalize(ST_GeomFromText('POLYGON((0 0,1 0,1 1,0 1,0 0))')))")
+    val w2 = sql1("select ST_AsText(ST_Normalize(ST_GeomFromText('POLYGON((1 1,0 1,0 0,1 0,1 1))')))")
+    assert(w1 == w2)
+  }
+
+  test("st_geohash matches published vector and st_dump explodes") {
+    // (lat 57.64911, lon 10.40744) → u4pruydqqvj (commonly cited geohash vector)
+    assert(sql1("select ST_GeoHash(ST_GeomFromText('POINT(10.40744 57.64911)'), 11)") ==
+      "u4pruydqqvj")
+    assert(sql1("select ST_GeoHash(ST_GeomFromText('POINT(500 0)'), 6)") == null)
+    val parts = spark.sql(
+      """select ST_AsText(g) from (
+           select explode(ST_Dump(ST_GeomFromText(
+             'GEOMETRYCOLLECTION(POINT(1 2), MULTIPOINT(3 4, 5 6))'))) as g)""")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("POINT(1 2)", "POINT(3 4)", "POINT(5 6)"))
+    assert(sql1("select size(ST_Dump(ST_GeomFromText('POINT(1 2)')))") == 1)
+  }
+
   test("constant folding: literal geometry folds to a binary literal") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("cf_t")

@@ -379,4 +379,51 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getDouble(0))
     assert(checked.forall(_ > 0.999))
   }
+
+  // ---- connected components --------------------------------------------
+
+  test("connected components: 200-node chain collapses to one cluster") {
+    import spark.implicits._
+    // worst case for naive min-propagation (diameter 199); star rounds
+    // must collapse it well inside the default iteration budget
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs, "a", "b").collect()
+    assert(cc.length == 200)
+    assert(cc.forall(_.getLong(1) == 0L))
+  }
+
+  test("connected components match brute-force union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 300
+    val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference: classic union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map(i => i.toLong -> {
+      // component id = min node of the set
+      val root = find(i)
+      (0 until n).filter(j => find(j) == root).min.toLong
+    }).toMap
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // CC only reports nodes present in the pair graph
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(got.keySet == touched)
+    touched.foreach(id => assert(got(id) == expected(id), s"node $id"))
+  }
+
+  test("dedupClusters: singletons map to themselves") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "y"), (3L, "x"), (9L, "z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L)).toDF("a", "b")
+    val got = Dedup.dedupClusters(docs, "doc_id", pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 9L -> 9L))
+  }
 }

@@ -29,7 +29,10 @@ object Bench {
     "q33_ref_linestring_intersects", // the reference's own criterion bench query
     "q34_text_profile",  // one-pass text curation profile
     "q48_asof_join",     // union + one shuffle + window-carry as-of join
-    "q49_range_join")    // binned interval equi-join + anchor dedup
+    "q49_range_join",    // binned interval equi-join + anchor dedup
+    "q70_topo_predicates", // full predicate family per row (5 JTS relate ops)
+    "q73_dedup_clusters",  // iterative large-star/small-star connected components
+    "q74_tfidf_terms")     // explode + token-keyed join + per-doc top-k window
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

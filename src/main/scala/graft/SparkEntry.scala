@@ -870,6 +870,106 @@ object SparkEntry {
         .tfidfTopTerms(spark.table("documents"), "doc_id", "text", 3)
         .orderBy("doc_id", "rnk")
     }),
+    // k-means assignment with DETERMINISTIC centroids (the 8 lowest-id
+    // vectors): the kernel's argmax-by-cosine must agree with the
+    // oracle's rank-over-cosine because both accumulate in double,
+    // left-to-right (VecKernels scaladoc / q24 precedent)
+    "q75_kmeans_assign" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.{broadcast, col, round}
+      prep(spark, dir)
+      val emb = spark.table("embeddings")
+      val cents = emb.orderBy("vec_id").limit(8)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val cdf = spark.createDataFrame(
+        cents.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }).toDF("cluster", "cv")
+      graft.operators.Ann.kmeansAssign(emb, cents)
+        .join(broadcast(cdf), "cluster")
+        .select(col("vec_id"), col("cluster"),
+          round(graft.functions.GeoFunctions.vec_cosine(col("embedding"), col("cv")), 6)
+            .as("cos"))
+        .orderBy("vec_id")
+    }),
+    // single-linkage spatial clustering over DISTINCT grid points with
+    // dist=1.2: only x-neighbors 1 apart link (y rows are 10 apart), so
+    // clusters are maximal runs of consecutive x per y — the classic
+    // gaps-and-islands shape the oracle computes with dense_rank
+    "q79_spatial_cluster" -> ((spark, dir) => {
+      prep(spark, dir)
+      val pts = spark.sql(s"""
+        SELECT xi * 1000 + yi AS id,
+               ST_GeomFromText('POINT(' || CAST(xi AS STRING) || ' '
+                 || CAST(yi AS STRING) || ')') AS g
+        FROM (SELECT DISTINCT l_orderkey % 100 AS xi, l_linenumber * 10 AS yi
+              FROM lineitem)""")
+      graft.operators.SpatialCluster.clusterWithin(pts, "id", "g", dist = 1.2)
+        .orderBy("id")
+    }),
+    // Bloom decontamination invariant: a Bloom filter has no false
+    // negatives, so the docs flagged by EXACT n-gram decontamination must
+    // be a subset of the bloom-flagged docs — n_missed is structurally 0
+    // and n_exact is replayable by the oracle
+    "q77_bloom_decontaminate" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val bench = docs.where(col("doc_id") % 97 === 0)
+      val exact = graft.operators.Curation
+        .decontaminate(docs, bench, "doc_id", "text", n = 3)
+      val bloom = graft.operators.Curation
+        .decontaminateBloom(docs, bench, "doc_id", "text", n = 3)
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(exact.join(bloom, Seq("doc"), "left_anti")
+          .agg(count(lit(1)).as("n_missed")))
+    }),
+    // winnowing (MOSS) fingerprints: md5-hex gram hashes + full-window
+    // minima are engine-portable, so the oracle reproduces the exact set
+    "q78_winnow_fingerprints" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.TextAnalysis
+        .winnowFingerprints(spark.table("documents"), "doc_id", "text", k = 5, w = 4)
+        .orderBy("doc", "fp")
+    }),
+    // stream-stream interval join driver row: events re-read as TWO file
+    // streams, attribution-joined within [lts, lts + 30 min] per user.
+    // Inner-join matches emit as soon as both sides arrive (append mode
+    // needs no watermark advance to EMIT — the watermark only bounds
+    // state), so AvailableNow over a finite file yields the full batch
+    // join; foreachBatch appends each micro-batch's matches exactly once.
+    "q76_stream_interval_join" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = spark.table("events").schema
+      val work = scratchDir("graft-q76-")
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        inDir.resolve("events.parquet"))
+      def src = spark.readStream.schema(schema).parquet(inDir.toString)
+      val left = src.select(col("event_id").as("lid"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("lts"))
+      val right = src.select(col("event_id").as("rid"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("rts"))
+      val joined = graft.streaming.StreamOps.intervalJoinStreams(
+          left, "lts", right, "rts", "user_id",
+          lookback = "0 seconds", lookahead = "30 minutes")
+        .where(col("lid") =!= col("rid"))
+      val outDir = s"$work/out"
+      val q = joined.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select(col("user_id"), col("lid"), col("rid"),
+              unix_micros(col("lts")).as("lts_us"),
+              unix_micros(col("rts")).as("rts_us"))
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).orderBy("user_id", "lid", "rid")
+    }),
     // the streaming engine's correctness row: events re-read as a FILE
     // STREAM, sessionized with Spark's native session_window (StreamOps),
     // materialized through foreachBatch — then checked against the SAME
@@ -1367,6 +1467,71 @@ object SparkEntry {
                    ORDER BY score DESC, tok ASC) AS rnk FROM s)
       SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, tf, dfreq, score
       FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    // same centroid seeding (8 lowest vec_ids → cluster 0..7), same
+    // double cosine, ties to the lowest cluster — rank-1 per vector
+    "q75_kmeans_assign" -> """
+      WITH c AS (SELECT embedding::DOUBLE[] AS cv,
+                        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+                 FROM embeddings ORDER BY vec_id LIMIT 8),
+           s AS (SELECT e.vec_id, c.cluster,
+                        list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cos
+                 FROM embeddings e CROSS JOIN c),
+           r AS (SELECT vec_id, cluster, cos, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rk FROM s)
+      SELECT vec_id, cluster, round(cos, 6) AS cos
+      FROM r WHERE rk = 1 ORDER BY vec_id""",
+    // islands of consecutive x per y ↔ single-linkage clusters at 1<d<2
+    "q79_spatial_cluster" -> """
+      WITH d AS (SELECT DISTINCT l_orderkey % 100 AS xi, l_linenumber * 10 AS yi
+                 FROM lineitem),
+           isl AS (SELECT xi, yi,
+                    xi - dense_rank() OVER (PARTITION BY yi ORDER BY xi) AS grp
+                 FROM d),
+           m AS (SELECT yi, grp, min(xi * 1000 + yi) AS cluster
+                 FROM isl GROUP BY yi, grp)
+      SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
+             CAST(m.cluster AS BIGINT) AS cluster
+      FROM isl JOIN m USING (yi, grp) ORDER BY id""",
+    // n_exact replays q64's CTE as a doc count; n_missed is the no-false-
+    // negative invariant of the Bloom filter
+    "q77_bloom_decontaminate" -> """
+      WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS l
+                 FROM documents),
+           g AS (SELECT doc, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+                 FROM t, unnest(generate_series(1, len(l) - 2)) AS u(i)
+                 WHERE len(l) >= 3),
+           bg AS (SELECT DISTINCT gram FROM g WHERE doc % 97 = 0)
+      SELECT CAST(count(DISTINCT g.doc) AS BIGINT) AS n_exact,
+             CAST(0 AS BIGINT) AS n_missed
+      FROM g JOIN bg ON g.gram = bg.gram""",
+    // same 5-gram md5 hashes, same full-window minima (w=4), same
+    // degenerate short-doc rule (global min when fewer than w grams)
+    "q78_winnow_fingerprints" -> """
+      WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS l
+                 FROM documents),
+           g AS (SELECT doc, CAST(i - 1 AS INT) AS i,
+                    md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
+                      || l[i+3] || ' ' || l[i+4]) AS h
+                 FROM t, unnest(generate_series(1, len(l) - 4)) AS u(i)
+                 WHERE len(l) >= 5),
+           wmin AS (SELECT doc, i,
+                    min(h) OVER (PARTITION BY doc ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                    max(i) OVER (PARTITION BY doc) AS n
+                 FROM g)
+      SELECT DISTINCT doc, fp FROM wmin
+      WHERE i <= greatest(n - 3, 0)
+      ORDER BY doc, fp""",
+    // batch replay of the stream-stream interval join: same per-user
+    // [lts, lts + 30 min] self-join over micro-truncated timestamps
+    "q76_stream_interval_join" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events)
+      SELECT l.user_id AS user_id, l.event_id AS lid, r.event_id AS rid,
+             l.tsu AS lts_us, r.tsu AS rts_us
+      FROM e l JOIN e r ON l.user_id = r.user_id
+        AND r.tsu >= l.tsu AND r.tsu <= l.tsu + 1800000000
+        AND l.event_id <> r.event_id
+      ORDER BY l.user_id, lid, rid""",
     // DuckDB's RANGE frame replays the same half-open [ts-1h, ts) window
     "q59_trailing_features" -> """
       WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,

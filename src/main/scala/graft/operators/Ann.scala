@@ -215,6 +215,55 @@ object Ann {
       nlist: Int = 16, nProbe: Int = 4, iters: Int = 5, seed: Long = 42L): DataFrame =
     ivfSearch(buildIvf(corpus, nlist, iters, seed), queries, k, nProbe)
 
+  // ---- k-means clustering over the full corpus ---------------------------
+
+  private def centroidsLit(cents: Array[Array[Float]]): Column =
+    typedLit(cents.map(_.toSeq).toSeq)
+
+  /** Map-only cluster assignment: the (small) centroid array rides into a
+    * codegen'd argmax-by-cosine kernel as a folded literal — no k× row
+    * blow-up, no shuffle, no driver involvement per row. Ties go to the
+    * lowest centroid index (kernel keeps the first strict max). */
+  def kmeansAssign(corpus: DataFrame, cents: Array[Array[Float]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      vec_nearest_centroid(col(vecCol), centroidsLit(cents)).as("cluster"))
+
+  /** One distributed Lloyd refinement over the FULL corpus (unlike
+    * [[trainCentroids]]'s bounded-sample training): assign map-only, then
+    * per-(cluster, dimension) mean via posexplode + hash aggregate — the
+    * shuffle moves k·dim partial sums per partition, never vectors, and
+    * the driver materializes exactly k·dim doubles. */
+  def kmeansLloydStep(corpus: DataFrame, cents: Array[Array[Float]],
+      vecCol: String = "embedding"): Array[Array[Float]] = {
+    val dims = cents(0).length
+    val rows = corpus
+      .select(vec_nearest_centroid(col(vecCol), centroidsLit(cents)).as("cluster"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim").agg(avg(col("x")).as("m"))
+      .collect()
+    val out = cents.map(_.clone())
+    rows.foreach { r =>
+      val c = r.getInt(0); val d = r.getInt(1)
+      if (c < out.length && d < dims) out(c)(d) = r.getDouble(2).toFloat
+    }
+    out
+  }
+
+  /** Deterministic full-corpus k-means: centroids seeded from the k
+    * lowest-id vectors (no RNG → reproducible across runs and engines),
+    * refined with `iters` distributed Lloyd steps. Driver state is k·dim
+    * floats regardless of corpus size. */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cents = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(cents.length == k, s"corpus has ${cents.length} rows < k=$k")
+    for (_ <- 0 until iters) cents = kmeansLloydStep(corpus, cents, vecCol)
+    kmeansAssign(corpus, cents, idCol, vecCol)
+  }
+
   /** Embedding near-duplicate pairs at scale: corpus rows are bucketed by
     * `bands` independent hyperplane signatures (different seeds), pairs
     * are generated INSIDE buckets off one collect_list pass, deduped

@@ -111,6 +111,38 @@ object Curation {
       .groupBy("doc").agg(count_distinct(col("gram")).as("n_shared"))
   }
 
+  /** Bloom-filter variant of [[decontaminate]] for when the benchmark
+    * side is itself large: the distinct gram set is compressed into one
+    * Bloom filter (~`bitsPerGram` bits per gram vs ~50+ bytes per row in
+    * a broadcast hash relation — a 100M-gram eval suite fits in ~120 MB
+    * of filter instead of gigabytes of relation), shipped as a folded
+    * binary literal into a codegen'd probe on the corpus scan. The probe
+    * uses Spark's own runtime-filter machinery (BloomFilterAggregate /
+    * BloomFilterMightContain via [[org.apache.spark.sql.graft.Shims]]),
+    * not a UDF.
+    *
+    * Asymmetry of errors: a Bloom filter has NO false negatives, so every
+    * truly contaminated doc is flagged (recall of contamination = 1);
+    * false positives can only over-flag clean docs at the configured
+    * rate, which is the safe direction for decontamination. Returns
+    * (`doc`, `n_flagged` — distinct grams that hit the filter). */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, bitsPerGram: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.graft.Shims
+    val bg = tokenNgrams(bench, idCol, textCol, n).select("gram").distinct()
+    val est = math.max(bg.count(), 1L)
+    // one bounded scalar to the driver: the serialized filter
+    val bloomBytes = bg
+      .select(Shims.column(Shims.bloomAgg(
+        Shims.expression(col("gram")), est, est * bitsPerGram)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val hit = Shims.column(Shims.bloomMightContain(
+      Shims.expression(lit(bloomBytes)), Shims.expression(col("gram"))))
+    tokenNgrams(corpus, idCol, textCol, n)
+      .where(hit)
+      .groupBy("doc").agg(count_distinct(col("gram")).as("n_flagged"))
+  }
+
   /** Keep at most `maxRows` rows per `keyCol`, chosen in `orderCol` order
     * — the per-domain / per-source cap that stops one crawl host from
     * dominating the mix. Deterministic given a unique orderCol.

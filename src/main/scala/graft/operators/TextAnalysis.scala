@@ -132,6 +132,57 @@ object TextAnalysis {
         col("dfreq"), col("score"))
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    * '03 — the MOSS algorithm): hash every `k`-token gram, then keep the
+    * minimum hash of each sliding window of `w` consecutive gram
+    * positions. Any shared substring of >= w+k-1 tokens between two
+    * documents is GUARANTEED to share at least one selected fingerprint,
+    * at ~2/(w+1) of the grams stored — the standard local-plagiarism /
+    * contamination-detection signature.
+    *
+    * Determinism across engines: the gram hash is md5 HEX (lexicographic
+    * min on the hex string), so any engine with md5 reproduces the exact
+    * fingerprint set. Scale: explode + two windows keyed by doc — one
+    * shuffle; output is ~2n/w rows per n-token doc. Returns
+    * (`doc`, `fp` — distinct selected gram hashes). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    val grams = df
+      .select(col(idCol).as("doc"), split(col(textCol), " ").as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - k, lit(1)),
+        i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " ").cast("binary")))))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy("i")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    val nWin = org.apache.spark.sql.expressions.Window.partitionBy("doc")
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .withColumn("n", max(col("i")).over(nWin))
+      // a window starting at i covers [i, i+w-1]: keep full windows only;
+      // for docs with fewer than w grams keep just i=0 (global min)
+      .where(col("i") <= greatest(col("n") - (w - 1), lit(0)))
+      .select(col("doc"), col("fp")).distinct()
+  }
+
+  /** Candidate plagiarism/contamination pairs: documents sharing at least
+    * `minShared` winnowing fingerprints. The fingerprint set is ~2/(w+1)
+    * of the gram set, so the pair join runs on the compressed signatures
+    * — one shuffle keyed by fingerprint, in-bucket pairs only (same
+    * capped-bucket kernel pattern as MinHash-LSH). */
+  def winnowSharedPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val a = fps.select(col("doc").as("ida"), col("fp"))
+    val b = fps.select(col("doc").as("idb"), col("fp"))
+    a.join(b, "fp").where(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** PII scrubbing: replace email addresses, North-American phone
     * numbers, and 13-19 digit card-like numbers with typed placeholders.
     * Patterns are deliberately RE2-compatible (no backrefs/lookaround) so

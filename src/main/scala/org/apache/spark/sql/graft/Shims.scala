@@ -39,6 +39,22 @@ object Shims {
       org.apache.spark.sql.expressions.UserDefinedAggregator(agg, inputEncoder),
       children)
 
+  /** Spark's internal bloom-filter aggregate (the engine uses it for
+    * runtime join pruning; there is no public SQL surface). Returns the
+    * serialized filter as one binary scalar. Values are pre-hashed with
+    * XxHash64 exactly as InjectRuntimeFilter does. */
+  def bloomAgg(child: Expression, estItems: Long, numBits: Long): Expression =
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(child)),
+      org.apache.spark.sql.catalyst.expressions.Literal(estItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression()
+
+  /** Probe companion to [[bloomAgg]] — stays inside whole-stage codegen. */
+  def bloomMightContain(bloom: Expression, value: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      bloom, new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(value)))
+
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(

@@ -130,4 +130,21 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(unhinted == got)
   }
+
+  test("decontaminateBloom never misses an exactly-contaminated doc") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val corpus = (1L to 40L).map { i =>
+      if (i % 5 == 0)
+        (i, s"doc $i contains the quick brown fox jumps over the lazy dog span")
+      else (i, s"doc $i is clean filler content number $i with nothing shared at all")
+    }.toDF("id", "text")
+    val exact = Curation.decontaminate(corpus, bench, "id", "text", n = 8)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Curation.decontaminateBloom(corpus, bench, "id", "text", n = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty)
+    // no false negatives: bloom-flagged ⊇ exact-flagged
+    assert(exact.subsetOf(bloom), s"missed: ${exact -- bloom}")
+  }
 }

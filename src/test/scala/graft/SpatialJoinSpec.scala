@@ -154,4 +154,21 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("bid", "id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     assert(cov == ((0L to 10L).map(100 -> _) ++ (5L to 11L).map(200 -> _)).toSet)
   }
+
+  test("clusterWithin: single-linkage chains merge, isolated points stay singletons") {
+    import spark.implicits._
+    import graft.functions.GeoFunctions._
+    import org.apache.spark.sql.functions._
+    // chain 0-1-2 at spacing 1 (0 and 2 are 2 apart but link through 1),
+    // pair 10-11 at spacing 1, singleton 20 far away
+    val pts = Seq(
+      (0L, 0.0, 0.0), (1L, 1.0, 0.0), (2L, 2.0, 0.0),
+      (10L, 50.0, 50.0), (11L, 50.8, 50.0),
+      (20L, 200.0, 200.0)).toDF("id", "x", "y")
+      .select(col("id"), st_geomfromtext(
+        concat(lit("POINT("), col("x"), lit(" "), col("y"), lit(")"))).as("g"))
+    val got = graft.operators.SpatialCluster.clusterWithin(pts, "id", "g", dist = 1.2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
 }

@@ -380,6 +380,66 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked.forall(_ > 0.999))
   }
 
+  // ---- winnowing fingerprints ------------------------------------------
+
+  test("winnowing guarantee: docs sharing >= w+k-1 tokens share a fingerprint") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // k=5, w=4: any shared run of >= 8 tokens must share a fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"nine ten $shared eleven twelve thirteen fourteen"),
+      (3L, "totally different content with no overlap at all here friend")).toDF("id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "id", "text", k = 5, w = 4)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    val pairs = TextAnalysis.winnowSharedPairs(docs, "id", "text", k = 5, w = 4,
+      minShared = 1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("winnowing short-doc degenerate: fewer than w windows selects the global min") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 6 tokens, k=5 → 2 grams < w=4 windows → exactly one fingerprint
+    val docs = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "id", "text", k = 5, w = 4).collect()
+    assert(fps.length == 1)
+  }
+
+  // ---- k-means ---------------------------------------------------------
+
+  test("kmeans recovers three well-separated clusters; Lloyd step is a full-corpus mean") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(7)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    // three orthogonal-ish anchors with small noise
+    val anchors = Seq(
+      Array.tabulate(16)(i => if (i < 5) 1f else 0f),
+      Array.tabulate(16)(i => if (i >= 5 && i < 10) 1f else 0f),
+      Array.tabulate(16)(i => if (i >= 10) 1f else 0f))
+    val rows = (0L until 90L).map { id =>
+      val a = anchors((id % 3).toInt)
+      Row(id, a.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq)
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val assigned = Ann.kmeans(df, k = 3, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // every member of an anchor group lands in one cluster
+    (0 until 3).foreach { g =>
+      val labels = (0L until 90L).filter(_ % 3 == g).map(assigned).distinct
+      assert(labels.size == 1, s"group $g split across $labels")
+    }
+    // and the three groups get three different clusters
+    assert((0 until 3).map(g => assigned(g.toLong)).distinct.size == 3)
+  }
+
   // ---- connected components --------------------------------------------
 
   test("connected components: 200-node chain collapses to one cluster") {

@@ -904,6 +904,20 @@ object SparkEntry {
       graft.operators.SpatialCluster.clusterWithin(pts, "id", "g", dist = 1.2)
         .orderBy("id")
     }),
+    // DBSCAN over the same distinct grid points, minPts=2: an island of
+    // size >= 2 makes every member core (each has a neighbor within
+    // eps), singleton islands are noise (null cluster)
+    "q80_dbscan" -> ((spark, dir) => {
+      prep(spark, dir)
+      val pts = spark.sql(s"""
+        SELECT xi * 1000 + yi AS id,
+               ST_GeomFromText('POINT(' || CAST(xi AS STRING) || ' '
+                 || CAST(yi AS STRING) || ')') AS g
+        FROM (SELECT DISTINCT l_orderkey % 100 AS xi, l_linenumber * 10 AS yi
+              FROM lineitem)""")
+      graft.operators.SpatialCluster.dbscan(pts, "id", "g", eps = 1.2, minPts = 2)
+        .orderBy("id")
+    }),
     // Bloom decontamination invariant: a Bloom filter has no false
     // negatives, so the docs flagged by EXACT n-gram decontamination must
     // be a subset of the bloom-flagged docs — n_missed is structurally 0
@@ -1480,6 +1494,18 @@ object SparkEntry {
                    PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rk FROM s)
       SELECT vec_id, cluster, round(cos, 6) AS cos
       FROM r WHERE rk = 1 ORDER BY vec_id""",
+    // islands of size >= 2 cluster (min id), singleton islands → NULL
+    "q80_dbscan" -> """
+      WITH d AS (SELECT DISTINCT l_orderkey % 100 AS xi, l_linenumber * 10 AS yi
+                 FROM lineitem),
+           isl AS (SELECT xi, yi,
+                    xi - dense_rank() OVER (PARTITION BY yi ORDER BY xi) AS grp
+                 FROM d),
+           m AS (SELECT yi, grp, min(xi * 1000 + yi) AS cluster, count(*) AS sz
+                 FROM isl GROUP BY yi, grp)
+      SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
+             CASE WHEN m.sz >= 2 THEN CAST(m.cluster AS BIGINT) ELSE NULL END AS cluster
+      FROM isl JOIN m USING (yi, grp) ORDER BY id""",
     // islands of consecutive x per y ↔ single-linkage clusters at 1<d<2
     "q79_spatial_cluster" -> """
       WITH d AS (SELECT DISTINCT l_orderkey % 100 AS xi, l_linenumber * 10 AS yi

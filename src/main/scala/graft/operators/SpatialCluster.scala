@@ -44,4 +44,58 @@ object SpatialCluster {
     Dedup.dedupClusters(df, idCol, pairs, "__ida", "__idb")
       .withColumnRenamed("component", "cluster")
   }
+
+  /** Distributed DBSCAN (PostGIS ST_ClusterDBSCAN semantics): a point
+    * with at least `minPts` neighbors within `eps` (counting itself) is
+    * CORE; core points within `eps` of each other share a cluster; a
+    * non-core point within `eps` of a core is a BORDER member of a core
+    * neighbor's cluster; everything else is noise (null cluster).
+    *
+    * Determinism: classic DBSCAN assigns a border point to whichever
+    * core reached it first (scan-order dependent); here a border point
+    * joins the MINIMUM cluster id among its core neighbors, so results
+    * are reproducible across partitionings and runs — the property every
+    * other operator in this library guarantees. Output has one row per
+    * distinct id; noise rows carry a null cluster.
+    *
+    * Scale: one grid self-join produces all eps-neighbor pairs (same
+    * expanded-envelope cell trick as [[clusterWithin]]); a count
+    * aggregate marks cores; CC runs ONLY on core-core edges (the
+    * candidate graph minus borders/noise); borders attach with one more
+    * join. No step materializes a neighborhood list. */
+  def dbscan(df: DataFrame, idCol: String, geomCol: String,
+      eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0 && minPts >= 1, "eps must be positive, minPts >= 1")
+    GeoFunctions.register(df.sparkSession)
+    val l = df.select(col(idCol).as("__ida"), col(geomCol).as("__ga"))
+      .withColumn("__cell", explode(GeoFunctions.grid_cells(col("__ga"), eps, eps)))
+    val r = df.select(col(idCol).as("__idb"), col(geomCol).as("__gb"))
+      .withColumn("__cell", explode(GeoFunctions.grid_cells(col("__gb"), eps, 0.0)))
+    // all ordered eps-neighbor pairs (both directions), self excluded
+    val nbrs = l.join(r, "__cell")
+      .where(col("__ida") =!= col("__idb") &&
+        GeoFunctions.st_dwithin(col("__ga"), col("__gb"), lit(eps)))
+      .select("__ida", "__idb").distinct()
+      .localCheckpoint() // reused three times below; cut the grid-join lineage
+    val degrees = nbrs.groupBy(col("__ida").as("id"))
+      .agg(count(lit(1)).as("__deg"))
+    // core: minPts neighbors INCLUDING self
+    val cores = degrees.where(col("__deg") >= minPts - 1).select("id")
+    val coreEdges = nbrs
+      .join(cores.select(col("id").as("__ida")), "__ida")
+      .join(cores.select(col("id").as("__idb")), "__idb")
+      .where(col("__ida") < col("__idb"))
+    val coreClusters = Dedup
+      .dedupClusters(cores.toDF(), "id", coreEdges, "__ida", "__idb")
+      .withColumnRenamed("component", "cluster")
+    // border: non-core with a core neighbor → min core neighbor's cluster
+    val borderClusters = nbrs
+      .join(coreClusters.select(col("id").as("__idb"), col("cluster")), "__idb")
+      .join(cores.select(col("id").as("__ida")), Seq("__ida"), "left_anti")
+      .groupBy(col("__ida").as("id")).agg(min(col("cluster")).as("cluster"))
+    val assigned = coreClusters.union(borderClusters)
+    df.select(col(idCol).as("id")).distinct()
+      .join(assigned, Seq("id"), "left")
+      .select(col("id"), col("cluster")) // noise keeps null
+  }
 }

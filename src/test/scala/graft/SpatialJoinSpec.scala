@@ -171,4 +171,25 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
+
+  test("dbscan: cores chain, borders attach to min cluster, sparse points are noise") {
+    import spark.implicits._
+    import graft.functions.GeoFunctions._
+    import org.apache.spark.sql.functions._
+    // dense run 0..4 at spacing 1 (eps=1.2, minPts=3 → 1..3 have 2+
+    // neighbors = core; 0 and 4 are borders); isolated pair 10,11 has
+    // only 1 neighbor each → no cores → both noise; 20 alone → noise
+    val pts = Seq(
+      (0L, 0.0), (1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0),
+      (10L, 50.0), (11L, 51.0),
+      (20L, 100.0)).toDF("id", "x")
+      .select(col("id"), st_geomfromtext(
+        concat(lit("POINT("), col("x"), lit(" 0)"))).as("g"))
+    val got = graft.operators.SpatialCluster.dbscan(pts, "id", "g", eps = 1.2, minPts = 3)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got == Map(
+      0L -> Some(1L), 1L -> Some(1L), 2L -> Some(1L), 3L -> Some(1L), 4L -> Some(1L),
+      10L -> None, 11L -> None, 20L -> None))
+  }
 }

@@ -380,6 +380,28 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked.forall(_ > 0.999))
   }
 
+  // ---- tf-idf ----------------------------------------------------------
+
+  test("tfidfTopTerms: rare terms outrank common ones; k and tie-break respected") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "common common rare common unique"),
+      (2L, "common common common common"),
+      (3L, "common rare rare")).toDF("id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // doc 1: common tf=3·idf(ln(4/4)+1)=3.0 still tops unique's
+    // 1·(ln(4/2)+1)=1.693 — tf dominates at these counts; unique (df=1)
+    // outranks rare (df=2) for rank 2
+    assert(got.contains((1L, 1, "common")))
+    assert(got.contains((1L, 2, "unique")))
+    // doc 3: rare tf=2·1.288=2.575 beats common 1·1.0
+    assert(got.contains((3L, 1, "rare")))
+    assert(got.contains((3L, 2, "common")))
+    assert(got.count(_._1 == 1L) == 2) // k respected
+  }
+
   // ---- winnowing fingerprints ------------------------------------------
 
   test("winnowing guarantee: docs sharing >= w+k-1 tokens share a fingerprint") {

@@ -904,6 +904,53 @@ object SparkEntry {
       graft.operators.SpatialCluster.clusterWithin(pts, "id", "g", dist = 1.2)
         .orderBy("id")
     }),
+    // hulls/linework family: every output has a closed form on the
+    // synthesized shapes — mbc radius = half diagonal, oriented envelope
+    // of an axis-aligned rect = itself, unary union = rectangle overlap
+    // arithmetic, linemerge sews collinear touching segments, delaunay
+    // of 4 corners = 2 triangles
+    "q81_hulls_linework" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             round(ST_MinimumBoundingRadius(env), 6) AS mbc_r,
+             round(ST_Area(ST_OrientedEnvelope(env)), 6) AS oe_area,
+             ST_Area(ST_UnaryUnion(mp)) AS uu_area,
+             ST_AsText(ST_LineMerge(ml)) AS lm_wkt,
+             ST_Length(ST_LineMerge(ml)) AS lm_len,
+             ST_AsText(ST_CollectionExtract(gc, 1)) AS ce_wkt,
+             ST_NumGeometries(ST_DelaunayTriangles(corners)) AS dt_n
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_MakeEnvelope(x, y, x + w, y + 5) AS env,
+                   ST_GeomFromText('MULTIPOLYGON(((' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || CAST(yi + 1 AS STRING) || ','
+                     || xs || ' ' || CAST(yi + 1 AS STRING) || ',' || xs || ' ' || ys
+                     || ')),((' || CAST(xi + si AS STRING) || ' ' || ys || ','
+                     || CAST(xi + si + wi AS STRING) || ' ' || ys || ','
+                     || CAST(xi + si + wi AS STRING) || ' ' || CAST(yi + 1 AS STRING) || ','
+                     || CAST(xi + si AS STRING) || ' ' || CAST(yi + 1 AS STRING) || ','
+                     || CAST(xi + si AS STRING) || ' ' || ys || ')))') AS mp,
+                   ST_GeomFromText('MULTILINESTRING((' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || '),('
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ','
+                     || CAST(xi + 2 * wi AS STRING) || ' ' || ys || '))') AS ml,
+                   ST_GeomFromText('GEOMETRYCOLLECTION(POINT(' || xs || ' ' || ys
+                     || '),LINESTRING(0 0,1 1),POINT(' || CAST(xi + 1 AS STRING)
+                     || ' ' || CAST(yi + 2 AS STRING) || '))') AS gc,
+                   ST_GeomFromText('MULTIPOINT(' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || CAST(yi + 5 AS STRING) || ','
+                     || xs || ' ' || CAST(yi + 5 AS STRING) || ')') AS corners
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS DOUBLE) AS x,
+                         CAST(l_linenumber * 10 AS DOUBLE) AS y,
+                         CAST(l_linenumber AS DOUBLE) AS w,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber * 10 AS INT) AS yi,
+                         CAST(l_linenumber AS INT) AS wi,
+                         CAST(l_orderkey % 5 AS INT) AS si,
+                         $PX AS xs, $PY AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // DBSCAN over the same distinct grid points, minPts=2: an island of
     // size >= 2 makes every member core (each has a neighbor within
     // eps), singleton islands are noise (null cluster)
@@ -917,6 +964,36 @@ object SparkEntry {
               FROM lineitem)""")
       graft.operators.SpatialCluster.dbscan(pts, "id", "g", eps = 1.2, minPts = 2)
         .orderBy("id")
+    }),
+    // token-budget data mixing: greedy per-source prefix in doc_id order
+    // until the source's token budget is exhausted — a window cumsum both
+    // engines replay identically over integer token counts
+    "q82_token_budget" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Curation.sampleToTokenBudget(
+          spark.table("documents"), "source", "doc_id", "text",
+          budgets = Map("src0" -> 200L, "src1" -> 0L), defaultBudget = 700L)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+    // leakage-safe split: duplicate documents (connected via chain pairs
+    // → CC) share a component, and the md5-threshold split keys on the
+    // COMPONENT — so near-identical docs can never straddle train/test
+    "q83_leakage_safe_split" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, lag, md5}
+      prep(spark, dir)
+      val docs = spark.table("documents")
+      val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+      val pairs = docs
+        .select(col("doc_id"), lag(col("doc_id"), 1).over(w).as("prev_id"))
+        .where(col("prev_id").isNotNull)
+      val clusters = graft.operators.Dedup
+        .dedupClusters(docs, "doc_id", pairs, "doc_id", "prev_id")
+      graft.operators.Sampling.splitTrainTest(
+          clusters.select(col("id").as("doc_id"), col("component")),
+          "component", testFrac = 0.25)
+        .orderBy("doc_id")
     }),
     // Bloom decontamination invariant: a Bloom filter has no false
     // negatives, so the docs flagged by EXACT n-gram decontamination must
@@ -1494,6 +1571,30 @@ object SparkEntry {
                    PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rk FROM s)
       SELECT vec_id, cluster, round(cos, 6) AS cos
       FROM r WHERE rk = 1 ORDER BY vec_id""",
+    // mbc radius = sqrt(w^2+25)/2 (exact-input sqrt, correctly rounded in
+    // both engines); oriented envelope of an axis-aligned rect keeps its
+    // area; union/merge/extract replay as arithmetic and string concat
+    "q81_hulls_linework" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber * 10 AS BIGINT) AS yi,
+              CAST(l_linenumber AS BIGINT) AS wi,
+              CAST(l_orderkey % 5 AS BIGINT) AS si
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             round(sqrt(CAST(wi * wi + 25 AS DOUBLE)) / 2, 6) AS mbc_r,
+             round(CAST(wi * 5 AS DOUBLE), 6) AS oe_area,
+             CAST(wi + least(si, wi) AS DOUBLE) AS uu_area,
+             'LINESTRING(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR) || ','
+               || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR) || ','
+               || CAST(xi + 2 * wi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR) || ')'
+               AS lm_wkt,
+             CAST(2 * wi AS DOUBLE) AS lm_len,
+             'MULTIPOINT(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR) || ','
+               || CAST(xi + 1 AS VARCHAR) || ' ' || CAST(yi + 2 AS VARCHAR) || ')'
+               AS ce_wkt,
+             CAST(2 AS INT) AS dt_n
+      FROM b ORDER BY l_orderkey, l_linenumber""",
     // islands of size >= 2 cluster (min id), singleton islands → NULL
     "q80_dbscan" -> """
       WITH d AS (SELECT DISTINCT l_orderkey % 100 AS xi, l_linenumber * 10 AS yi
@@ -1518,6 +1619,26 @@ object SparkEntry {
       SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
              CAST(m.cluster AS BIGINT) AS cluster
       FROM isl JOIN m USING (yi, grp) ORDER BY id""",
+    // same greedy prefix: window cumsum of token counts vs a CASE budget
+    "q82_token_budget" -> """
+      WITH t AS (SELECT doc_id, source,
+              sum(len(string_split(text, ' '))) OVER (PARTITION BY source
+                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM documents)
+      SELECT doc_id, source FROM t
+      WHERE cum <= CASE source WHEN 'src0' THEN 200 WHEN 'src1' THEN 0 ELSE 700 END
+      ORDER BY doc_id""",
+    // component = min doc_id per identical text (q73's fixpoint), split
+    // thresholds md5(component) exactly like q58 does md5(doc_id)
+    "q83_leakage_safe_split" -> """
+      WITH c AS (SELECT doc_id,
+              min(doc_id) OVER (PARTITION BY text) AS component
+            FROM documents)
+      SELECT doc_id, component,
+             CASE WHEN md5(CAST(component AS VARCHAR))
+                       < '40000000000000000000000000000000'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM c ORDER BY doc_id""",
     // n_exact replays q64's CTE as a doc count; n_missed is the no-false-
     // negative invariant of the Bloom filter
     "q77_bloom_decontaminate" -> """

@@ -116,6 +116,26 @@ object GeoFunctions {
     "st_normalize" -> { es => arity("st_normalize", es, 1); StNormalize(es.head) },
     "st_geohash" -> { es => arity("st_geohash", es, 2); StGeoHash(es.head, es(1)) },
     "st_dump" -> { es => arity("st_dump", es, 1); StDump(es.head) },
+    "st_minimumboundingcircle" -> { es =>
+      arity("st_minimumboundingcircle", es, 1); StMinimumBoundingCircle(es.head) },
+    "st_minimumboundingradius" -> { es =>
+      arity("st_minimumboundingradius", es, 1); StMinimumBoundingRadius(es.head) },
+    "st_orientedenvelope" -> { es =>
+      arity("st_orientedenvelope", es, 1); StOrientedEnvelope(es.head) },
+    "st_linemerge" -> { es => arity("st_linemerge", es, 1); StLineMerge(es.head) },
+    "st_unaryunion" -> { es => arity("st_unaryunion", es, 1); StUnaryUnion(es.head) },
+    "st_concavehull" -> { es =>
+      arity("st_concavehull", es, 2); StConcaveHull(es.head, es(1)) },
+    "st_delaunaytriangles" -> { es =>
+      arity("st_delaunaytriangles", es, 1, 2)
+      StDelaunayTriangles(es.head, if (es.length > 1) es(1) else Literal(0.0))
+    },
+    "st_voronoipolygons" -> { es =>
+      arity("st_voronoipolygons", es, 1, 2)
+      StVoronoiPolygons(es.head, if (es.length > 1) es(1) else Literal(0.0))
+    },
+    "st_collectionextract" -> { es =>
+      arity("st_collectionextract", es, 2); StCollectionExtract(es.head, es(1)) },
     // training-data-pipeline surface: text dedup/analysis + vector search
     "simhash64" -> { es => arity("simhash64", es, 1); TextSimhash(es.head) },
     "minhash_sig" -> { es => arity("minhash_sig", es, 2); TextMinhash(es.head, es(1)) },
@@ -237,6 +257,17 @@ object GeoFunctions {
   def st_normalize(g: Column): Column = c(StNormalize(x(g)))
   def st_geohash(g: Column, precision: Column): Column = c(StGeoHash(x(g), x(precision)))
   def st_dump(g: Column): Column = c(StDump(x(g)))
+  def st_minimumboundingcircle(g: Column): Column = c(StMinimumBoundingCircle(x(g)))
+  def st_minimumboundingradius(g: Column): Column = c(StMinimumBoundingRadius(x(g)))
+  def st_orientedenvelope(g: Column): Column = c(StOrientedEnvelope(x(g)))
+  def st_linemerge(g: Column): Column = c(StLineMerge(x(g)))
+  def st_unaryunion(g: Column): Column = c(StUnaryUnion(x(g)))
+  def st_concavehull(g: Column, lengthRatio: Column): Column =
+    c(StConcaveHull(x(g), x(lengthRatio)))
+  def st_delaunaytriangles(g: Column): Column = c(StDelaunayTriangles(x(g), Literal(0.0)))
+  def st_voronoipolygons(g: Column): Column = c(StVoronoiPolygons(x(g), Literal(0.0)))
+  def st_collectionextract(g: Column, geomType: Column): Column =
+    c(StCollectionExtract(x(g), x(geomType)))
   def st_extent(g: Column): Column = c(StExtentAgg(x(g)).toAggregateExpression())
   def simhash64(t: Column): Column = c(TextSimhash(x(t)))
   def minhash_sig(t: Column, n: Column): Column = c(TextMinhash(x(t), x(n)))

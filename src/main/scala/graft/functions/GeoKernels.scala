@@ -274,7 +274,11 @@ object GeoKernels {
   def touches(a: Array[Byte], b: Array[Byte]): Boolean = {
     val ea = entryOf(a)
     val eb = entryOf(b)
-    if (eb.reused()) eb.preparedGeom.touches(ea.geom)
+    if (rectFastEligible(ea.geom) && rectFastEligible(eb.geom)) {
+      val m = rectMatrix(ea.geom, eb.geom)
+      m(0) == 'F' && (m(1) != 'F' || m(3) != 'F' || m(4) != 'F')
+    }
+    else if (eb.reused()) eb.preparedGeom.touches(ea.geom)
     else if (ea.reused()) ea.preparedGeom.touches(eb.geom)
     else ea.geom.touches(eb.geom)
   }
@@ -288,7 +292,11 @@ object GeoKernels {
   def overlaps(a: Array[Byte], b: Array[Byte]): Boolean = {
     val ea = entryOf(a)
     val eb = entryOf(b)
-    if (eb.reused()) eb.preparedGeom.overlaps(ea.geom)
+    if (rectFastEligible(ea.geom) && rectFastEligible(eb.geom)) {
+      val m = rectMatrix(ea.geom, eb.geom)
+      m(0) != 'F' && m(2) != 'F' && m(6) != 'F'
+    }
+    else if (eb.reused()) eb.preparedGeom.overlaps(ea.geom)
     else if (ea.reused()) ea.preparedGeom.overlaps(eb.geom)
     else ea.geom.overlaps(eb.geom)
   }
@@ -296,18 +304,79 @@ object GeoKernels {
   def disjoint(a: Array[Byte], b: Array[Byte]): Boolean = {
     val ea = entryOf(a)
     val eb = entryOf(b)
-    if (eb.reused()) eb.preparedGeom.disjoint(ea.geom)
+    if (rectFastEligible(ea.geom) && rectFastEligible(eb.geom)) {
+      val m = rectMatrix(ea.geom, eb.geom)
+      m(0) == 'F' && m(1) == 'F' && m(3) == 'F' && m(4) == 'F'
+    }
+    else if (eb.reused()) eb.preparedGeom.disjoint(ea.geom)
     else if (ea.reused()) ea.preparedGeom.disjoint(eb.geom)
     else ea.geom.disjoint(eb.geom)
   }
 
+  /** DE-9IM for two non-degenerate axis-aligned rectangles from pure
+    * interval arithmetic — no topology-graph build. The bbox-vs-bbox
+    * comparison dominates tiling/extent workloads at scale, and the
+    * generic RelateOp costs microseconds per pair; this is ~20 flops.
+    * Exhaustively property-tested against RelateOp (GeoFunctionsSpec).
+    * Matrix entry order: II IB IE / BI BB BE / EI EB EE. */
+  private def rectMatrix(a: Geometry, b: Geometry): String = {
+    val ea = a.getEnvelopeInternal; val eb = b.getEnvelopeInternal
+    val ax1 = ea.getMinX; val ax2 = ea.getMaxX; val ay1 = ea.getMinY; val ay2 = ea.getMaxY
+    val bx1 = eb.getMinX; val bx2 = eb.getMaxX; val by1 = eb.getMinY; val by2 = eb.getMaxY
+    val openX = math.min(ax2, bx2) > math.max(ax1, bx1)
+    val openY = math.min(ay2, by2) > math.max(ay1, by1)
+    val closedInt = ax2 >= bx1 && bx2 >= ax1 && ay2 >= by1 && by2 >= ay1
+    val aInB = ax1 >= bx1 && ax2 <= bx2 && ay1 >= by1 && ay2 <= by2
+    val bInA = bx1 >= ax1 && bx2 <= ax2 && by1 >= ay1 && by2 <= ay2
+    val aInIntB = ax1 > bx1 && ax2 < bx2 && ay1 > by1 && ay2 < by2
+    val bInIntA = bx1 > ax1 && bx2 < ax2 && by1 > ay1 && by2 < ay2
+    val ii = if (openX && openY) '2' else 'F'
+    val ie = if (aInB) 'F' else '2'
+    val ei = if (bInA) 'F' else '2'
+    // an edge of one rect passing through the other's open interior
+    def through(x1: Double, x2: Double, y1: Double, y2: Double,
+        ox1: Double, ox2: Double, oy1: Double, oy2: Double): Boolean = {
+      val v = (x1 > ox1 && x1 < ox2 || x2 > ox1 && x2 < ox2) && y2 > oy1 && y1 < oy2
+      val h = (y1 > oy1 && y1 < oy2 || y2 > oy1 && y2 < oy2) && x2 > ox1 && x1 < ox2
+      v || h
+    }
+    val ib = if (through(bx1, bx2, by1, by2, ax1, ax2, ay1, ay2)) '1' else 'F'
+    val bi = if (through(ax1, ax2, ay1, ay2, bx1, bx2, by1, by2)) '1' else 'F'
+    val sharedV = (bx1 == ax1 || bx1 == ax2 || bx2 == ax1 || bx2 == ax2) &&
+      math.min(ay2, by2) > math.max(ay1, by1)
+    val sharedH = (by1 == ay1 || by1 == ay2 || by2 == ay1 || by2 == ay2) &&
+      math.min(ax2, bx2) > math.max(ax1, bx1)
+    val bb =
+      if (sharedV || sharedH) '1'
+      else if (closedInt && !aInIntB && !bInIntA) '0'
+      else 'F'
+    val beC = if (aInB) 'F' else '1'
+    val ebC = if (bInA) 'F' else '1'
+    new String(Array(ii, ib, ie, bi, bb, beC, ei, ebC, '2'))
+  }
+
+  private def rectFastEligible(g: Geometry): Boolean = g match {
+    case p: Polygon if p.isRectangle =>
+      val e = p.getEnvelopeInternal
+      e.getWidth > 0 && e.getHeight > 0
+    case _ => false
+  }
+
   /** DE-9IM intersection-matrix string (PostGIS 2-arg ST_Relate). */
-  def relate(a: Array[Byte], b: Array[Byte]): String =
-    geom(a).relate(geom(b)).toString
+  def relate(a: Array[Byte], b: Array[Byte]): String = {
+    val ga = geom(a); val gb = geom(b)
+    if (rectFastEligible(ga) && rectFastEligible(gb)) rectMatrix(ga, gb)
+    else ga.relate(gb).toString
+  }
 
   /** DE-9IM pattern match (PostGIS 3-arg ST_Relate). */
-  def relateMatch(a: Array[Byte], b: Array[Byte], pattern: String): Boolean =
-    geom(a).relate(geom(b), pattern)
+  def relateMatch(a: Array[Byte], b: Array[Byte], pattern: String): Boolean = {
+    val ga = geom(a); val gb = geom(b)
+    if (rectFastEligible(ga) && rectFastEligible(gb))
+      new org.locationtech.jts.geom.IntersectionMatrix(rectMatrix(ga, gb))
+        .matches(pattern)
+    else ga.relate(gb, pattern)
+  }
 
   def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val ga = geom(a)
@@ -697,6 +766,111 @@ object GeoKernels {
         }
       case _ => null
     }
+
+  /** Smallest enclosing circle as a polygon (PostGIS
+    * ST_MinimumBoundingCircle; JTS approximates with a buffer-style
+    * polygon around the exact center/radius). */
+  def minimumBoundingCircle(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val out = new org.locationtech.jts.algorithm.MinimumBoundingCircle(g).getCircle
+    encodeKeepSrid(g, out)
+  }
+
+  /** Exact radius of the smallest enclosing circle (PostGIS
+    * ST_MinimumBoundingRadius' radius component). */
+  def minimumBoundingRadius(tagged: Array[Byte]): Double =
+    new org.locationtech.jts.algorithm.MinimumBoundingCircle(geom(tagged)).getRadius
+
+  /** Minimum-area rotated rectangle (PostGIS ST_OrientedEnvelope; JTS
+    * MinimumDiameter.getMinimumRectangle). */
+  def orientedEnvelope(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val out = org.locationtech.jts.algorithm.MinimumDiameter.getMinimumRectangle(g)
+    encodeKeepSrid(g, out)
+  }
+
+  /** Concave hull by length ratio in [0,1]: 1 = convex hull, smaller =
+    * tighter (PostGIS ST_ConcaveHull's param_pctconvex analog; JTS 1.19+
+    * ConcaveHull). */
+  def concaveHull(tagged: Array[Byte], lengthRatio: Double): Array[Byte] = {
+    val g = geom(tagged)
+    val out = org.locationtech.jts.algorithm.hull.ConcaveHull
+      .concaveHullByLengthRatio(g, lengthRatio)
+    encodeKeepSrid(g, out)
+  }
+
+  /** Delaunay triangulation of the input's vertices as a
+    * GeometryCollection of triangles (PostGIS ST_DelaunayTriangles). */
+  def delaunayTriangles(tagged: Array[Byte], tolerance: Double): Array[Byte] = {
+    val g = geom(tagged)
+    val b = new org.locationtech.jts.triangulate.DelaunayTriangulationBuilder
+    b.setSites(g)
+    if (tolerance > 0) b.setTolerance(tolerance)
+    val out = b.getTriangles(GeomCodec.geometryFactory)
+    encodeKeepSrid(g, out)
+  }
+
+  /** Voronoi diagram of the input's vertices as a GeometryCollection of
+    * cells, clipped to the JTS default expanded envelope (PostGIS
+    * ST_VoronoiPolygons with default extend_to). */
+  def voronoiPolygons(tagged: Array[Byte], tolerance: Double): Array[Byte] = {
+    val g = geom(tagged)
+    val b = new org.locationtech.jts.triangulate.VoronoiDiagramBuilder
+    b.setSites(g)
+    if (tolerance > 0) b.setTolerance(tolerance)
+    val out = b.getDiagram(GeomCodec.geometryFactory)
+    encodeKeepSrid(g, out)
+  }
+
+  /** Sew contiguous linework into maximal LineStrings (PostGIS
+    * ST_LineMerge): single merged line stays a LineString, otherwise a
+    * MultiLineString; non-lineal input → empty GEOMETRYCOLLECTION like
+    * PostGIS. */
+  def lineMerge(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val merger = new org.locationtech.jts.operation.linemerge.LineMerger
+    merger.add(g)
+    val merged = merger.getMergedLineStrings
+      .toArray(new Array[LineString](0))
+    val out: Geometry =
+      if (merged.isEmpty) GeomCodec.geometryFactory
+        .createGeometryCollection(Array.empty[Geometry])
+      else if (merged.length == 1) merged(0)
+      else GeomCodec.geometryFactory.createMultiLineString(merged)
+    encodeKeepSrid(g, out)
+  }
+
+  /** Union of all components of one geometry (PostGIS ST_UnaryUnion) —
+    * dissolves overlapping members of a multi/collection. */
+  def unaryUnion(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val out = g.union()
+    encodeKeepSrid(g, out)
+  }
+
+  /** Components of the requested type (1=point, 2=line, 3=polygon) as a
+    * Multi* geometry (PostGIS ST_CollectionExtract). */
+  def collectionExtract(tagged: Array[Byte], geomType: Int): Array[Byte] = {
+    val g = geom(tagged)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+    def rec(x: Geometry): Unit =
+      if (x.isInstanceOf[GeometryCollection])
+        (0 until x.getNumGeometries).foreach(i => rec(x.getGeometryN(i)))
+      else buf += x
+    rec(g)
+    val f = GeomCodec.geometryFactory
+    val out: Geometry = geomType match {
+      case 1 => f.createMultiPoint(
+        buf.collect { case p: Point => p }.toArray)
+      case 2 => f.createMultiLineString(
+        buf.collect { case l: LineString => l }.toArray)
+      case 3 => f.createMultiPolygon(
+        buf.collect { case p: Polygon => p }.toArray)
+      case other => throw new IllegalArgumentException(
+        s"ST_CollectionExtract type must be 1, 2, or 3; got $other")
+    }
+    encodeKeepSrid(g, out)
+  }
 
   def convexHull(tagged: Array[Byte]): Array[Byte] = {
     val g = geom(tagged)

@@ -111,6 +111,38 @@ object Curation {
       .groupBy("doc").agg(count_distinct(col("gram")).as("n_shared"))
   }
 
+  /** Deterministic per-source token-budget sampling — the data-mixing
+    * primitive stated in TOKENS instead of rates: keep each source's
+    * documents in `keyCol` order while the running token total stays
+    * within the source's budget (greedy prefix; the first overflowing
+    * doc and everything after it is dropped). Sources absent from
+    * `budgets` get `defaultBudget` (0 = drop — the safe default).
+    *
+    * Determinism: membership depends only on (source, key order, token
+    * counts) — rerunning on any partitioning or engine keeps the same
+    * prefix, and raising a budget only APPENDS documents (samples nest,
+    * like [[Sampling.stratifiedSample]]'s rate property).
+    *
+    * Scale: one shuffle keyed by source + a running-sum window. The sort
+    * is per-source; a corpus with few giant sources serializes inside
+    * each source — acceptable because budget enforcement is inherently
+    * sequential in the keep order (if that is a bottleneck, pre-filter
+    * with a rate-based [[Sampling.stratifiedSample]] first and apply the
+    * budget to the survivors). */
+  def sampleToTokenBudget(df: DataFrame, sourceCol: String, keyCol: String,
+      textCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    val w = Window.partitionBy(sourceCol).orderBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (s, b)) => when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    df.withColumn("__cum",
+        sum(size(split(col(textCol), " ")).cast("long")).over(w))
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Bloom-filter variant of [[decontaminate]] for when the benchmark
     * side is itself large: the distinct gram set is compressed into one
     * Bloom filter (~`bitsPerGram` bits per gram vs ~50+ bytes per row in

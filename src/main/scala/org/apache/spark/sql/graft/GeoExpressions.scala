@@ -1015,3 +1015,110 @@ case class StDump(child: Expression) extends UnaryExpression with GeoExpression
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(${GeoExpr.K}.dumpGeoms($g))")
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
+
+// ---------------------------------------------------------------------------
+// hulls, triangulations, linework (PostGIS-standard extras)
+// ---------------------------------------------------------------------------
+
+abstract class GeoUnaryGeom extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  def kernel: String
+  def apply(g: Array[Byte]): Array[Byte]
+  override protected def nullSafeEval(g: Any): Any = apply(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.$kernel($g)")
+}
+
+/** ST_MinimumBoundingCircle — smallest enclosing circle as a polygon. */
+case class StMinimumBoundingCircle(child: Expression) extends GeoUnaryGeom {
+  override def kernel: String = "minimumBoundingCircle"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.minimumBoundingCircle(g)
+  override def prettyName: String = "st_minimumboundingcircle"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_MinimumBoundingRadius — radius of the smallest enclosing circle. */
+case class StMinimumBoundingRadius(child: Expression) extends GeoUnaryDouble {
+  override def kernel: String = "minimumBoundingRadius"
+  override def apply(g: Array[Byte]): Double = GeoKernels.minimumBoundingRadius(g)
+  override def prettyName: String = "st_minimumboundingradius"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_OrientedEnvelope — minimum-area rotated rectangle. */
+case class StOrientedEnvelope(child: Expression) extends GeoUnaryGeom {
+  override def kernel: String = "orientedEnvelope"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.orientedEnvelope(g)
+  override def prettyName: String = "st_orientedenvelope"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_LineMerge — sew contiguous linework into maximal LineStrings. */
+case class StLineMerge(child: Expression) extends GeoUnaryGeom {
+  override def kernel: String = "lineMerge"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.lineMerge(g)
+  override def prettyName: String = "st_linemerge"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_UnaryUnion — dissolve the components of one geometry. */
+case class StUnaryUnion(child: Expression) extends GeoUnaryGeom {
+  override def kernel: String = "unaryUnion"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.unaryUnion(g)
+  override def prettyName: String = "st_unaryunion"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_ConcaveHull(geom, lengthRatio) — tighter-than-convex hull. */
+case class StConcaveHull(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_concavehull"
+  override protected def nullSafeEval(g: Any, r: Any): Any =
+    GeoKernels.concaveHull(g.asInstanceOf[Array[Byte]], r.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, r) => s"${GeoExpr.K}.concaveHull($g, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_DelaunayTriangles(geom, tolerance) — triangle collection. */
+case class StDelaunayTriangles(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_delaunaytriangles"
+  override protected def nullSafeEval(g: Any, t: Any): Any =
+    GeoKernels.delaunayTriangles(g.asInstanceOf[Array[Byte]], t.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, t) => s"${GeoExpr.K}.delaunayTriangles($g, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_VoronoiPolygons(geom, tolerance) — cell collection. */
+case class StVoronoiPolygons(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_voronoipolygons"
+  override protected def nullSafeEval(g: Any, t: Any): Any =
+    GeoKernels.voronoiPolygons(g.asInstanceOf[Array[Byte]], t.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, t) => s"${GeoExpr.K}.voronoiPolygons($g, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_CollectionExtract(geom, type): 1=points, 2=lines, 3=polygons. */
+case class StCollectionExtract(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_collectionextract"
+  override protected def nullSafeEval(g: Any, t: Any): Any =
+    GeoKernels.collectionExtract(g.asInstanceOf[Array[Byte]], t.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, t) => s"${GeoExpr.K}.collectionExtract($g, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}

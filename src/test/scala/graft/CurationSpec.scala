@@ -131,6 +131,26 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unhinted == got)
   }
 
+  test("sampleToTokenBudget: greedy prefix per source, budgets nest, zero drops") {
+    import spark.implicits._
+    // docs of 3 tokens each, ids ordered within source
+    val docs = (1L to 10L).map(i =>
+      (i, if (i <= 5) "a" else "b", "tok tok tok")).toDF("id", "src", "text")
+    def keep(budgetA: Long): Set[Long] =
+      Curation.sampleToTokenBudget(docs, "src", "id", "text",
+          budgets = Map("a" -> budgetA), defaultBudget = 6L)
+        .collect().map(_.getLong(0)).toSet
+    // budget 7 tokens → docs 1,2 (6 tokens) fit, doc 3 would reach 9 → cut
+    assert(keep(7L) == Set(1L, 2L, 6L, 7L))
+    // raising the budget only appends (samples nest)
+    assert(keep(7L).subsetOf(keep(12L)))
+    assert(keep(12L) == Set(1L, 2L, 3L, 4L, 6L, 7L))
+    // zero budget drops the source entirely
+    assert(Curation.sampleToTokenBudget(docs, "src", "id", "text",
+        budgets = Map("a" -> 0L), defaultBudget = 0L)
+      .count() == 0)
+  }
+
   test("decontaminateBloom never misses an exactly-contaminated doc") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")

@@ -318,6 +318,79 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("select size(ST_Dump(ST_GeomFromText('POINT(1 2)')))") == 1)
   }
 
+  test("hulls, triangulations, linework family") {
+    // min bounding circle radius of a 3-4 rectangle = half diagonal 2.5
+    assert(sql1("select round(ST_MinimumBoundingRadius(ST_MakeEnvelope(0D,0D,3D,4D)), 6)") == 2.5)
+    // the circle polygon approximates area pi*r^2 around the rect center
+    // (JTS returns an inscribed chord polygon, so corners sit marginally
+    // outside it — compare area/centroid, not coverage)
+    val circArea = sql1("""select ST_Area(
+      ST_MinimumBoundingCircle(ST_MakeEnvelope(0D,0D,3D,4D)))""").asInstanceOf[Double]
+    assert(math.abs(circArea - math.Pi * 2.5 * 2.5) / (math.Pi * 6.25) < 0.01)
+    assert(sql1("""select round(ST_X(ST_Centroid(
+      ST_MinimumBoundingCircle(ST_MakeEnvelope(0D,0D,3D,4D)))), 6)""") == 1.5)
+    // oriented envelope of an axis-aligned rectangle has the same area
+    assert(sql1("select ST_Area(ST_OrientedEnvelope(ST_MakeEnvelope(1D,1D,4D,3D)))") == 6.0)
+    // oriented envelope of a 45-degree line has ~zero area but spans it
+    assert(sql1("""select ST_Area(ST_OrientedEnvelope(
+      ST_GeomFromText('LINESTRING(0 0,2 2,4 4)')))""") == 0.0)
+    // concave hull at ratio 1 = convex hull
+    assert(sql1("""select ST_Equals(
+      ST_ConcaveHull(ST_GeomFromText('MULTIPOINT(0 0,4 0,4 4,0 4,2 2)'), 1.0D),
+      ST_ConvexHull(ST_GeomFromText('MULTIPOINT(0 0,4 0,4 4,0 4,2 2)')))""") == true)
+    // delaunay of a unit square's corners = 2 triangles
+    assert(sql1("""select ST_NumGeometries(ST_DelaunayTriangles(
+      ST_GeomFromText('MULTIPOINT(0 0,1 0,1 1,0 1)')))""") == 2)
+    // voronoi of 2 sites = 2 cells, and they don't overlap
+    assert(sql1("""select ST_NumGeometries(ST_VoronoiPolygons(
+      ST_GeomFromText('MULTIPOINT(0 0,10 0)')))""") == 2)
+    // linemerge sews two touching segments into one 2-unit line
+    assert(sql1("""select ST_AsText(ST_LineMerge(ST_GeomFromText(
+      'MULTILINESTRING((0 0,1 0),(1 0,2 0))')))""") == "LINESTRING(0 0,1 0,2 0)")
+    // non-lineal input → empty collection (PostGIS contract)
+    assert(sql1("select ST_NumGeometries(ST_LineMerge(ST_GeomFromText('POINT(1 1)')))") == 0)
+    // unary union dissolves overlapping members: 2x1 ∪ 2x1 shifted by 1 = 3
+    assert(sql1("""select ST_Area(ST_UnaryUnion(ST_GeomFromText(
+      'MULTIPOLYGON(((0 0,2 0,2 1,0 1,0 0)),((1 0,3 0,3 1,1 1,1 0)))')))""") == 3.0)
+    // collectionextract pulls the requested type out of a mixed collection
+    assert(sql1("""select ST_AsText(ST_CollectionExtract(ST_GeomFromText(
+      'GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1),POINT(3 4))'), 1))""") ==
+      "MULTIPOINT(1 2,3 4)")
+    assert(sql1("""select ST_NumGeometries(ST_CollectionExtract(ST_GeomFromText(
+      'GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))'), 3))""") == 0)
+  }
+
+  test("rect-rect relate fast path matches generic RelateOp exhaustively") {
+    import graft.functions.{GeoKernels => K}
+    import org.locationtech.jts.io.WKTReader
+    val reader = new WKTReader()
+    def rectWkt(x1: Double, y1: Double, x2: Double, y2: Double): String =
+      s"POLYGON(($x1 $y1,$x2 $y1,$x2 $y2,$x1 $y2,$x1 $y1))"
+    def enc(w: String): Array[Byte] = K.geomFromText(w)
+    val a = rectWkt(0, 0, 3, 2)
+    val ga = reader.read(a)
+    var checked = 0
+    for {
+      dx <- -4 to 7; dy <- -4 to 7
+      (w, h) <- Seq((3.0, 2.0), (1.0, 1.0), (5.0, 4.0), (2.0, 6.0), (0.5, 0.5))
+    } {
+      val b = rectWkt(dx, dy, dx + w, dy + h)
+      val gb = reader.read(b)
+      val expected = ga.relate(gb).toString // generic topology-graph path
+      val actual = K.relate(enc(a), enc(b)) // rect fast path
+      assert(actual == expected, s"A=$a B=$b: fast=$actual generic=$expected")
+      // and the predicate fast paths agree with JTS
+      assert(K.touches(enc(a), enc(b)) == ga.touches(gb), s"touches B=$b")
+      assert(K.overlaps(enc(a), enc(b)) == ga.overlaps(gb), s"overlaps B=$b")
+      assert(K.disjoint(enc(a), enc(b)) == ga.disjoint(gb), s"disjoint B=$b")
+      checked += 1
+    }
+    assert(checked == 12 * 12 * 5)
+    // non-rectangles must fall back to the generic path
+    val tri = "POLYGON((0 0,4 0,0 4,0 0))"
+    assert(K.relate(enc(tri), enc(a)) == reader.read(tri).relate(ga).toString)
+  }
+
   test("constant folding: literal geometry folds to a binary literal") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("cf_t")

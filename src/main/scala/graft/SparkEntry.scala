@@ -965,6 +965,21 @@ object SparkEntry {
       graft.operators.SpatialCluster.dbscan(pts, "id", "g", eps = 1.2, minPts = 2)
         .orderBy("id")
     }),
+    // trajectory assembly: per-order points sorted by line number sewn
+    // into one LineString with the array-form ST_MakeLine — the
+    // deterministic spelling of PostGIS's ordered aggregate (explicit
+    // sort_array instead of partitioning-dependent aggregation order)
+    "q84_makeline_trajectories" -> q(s"""
+      SELECT l_orderkey,
+             ST_AsText(ST_MakeLine(transform(
+               sort_array(collect_list(struct(l_linenumber AS ln, pt))),
+               s -> s.pt))) AS traj_wkt,
+             ST_NPoints(ST_MakeLine(transform(
+               sort_array(collect_list(struct(l_linenumber AS ln, pt))),
+               s -> s.pt))) AS n_pts
+      FROM (SELECT l_orderkey, l_linenumber, $PT AS pt FROM lineitem)
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey"""),
     // token-budget data mixing: greedy per-source prefix in doc_id order
     // until the source's token budget is exhausted — a window cumsum both
     // engines replay identically over integer token counts
@@ -1619,6 +1634,21 @@ object SparkEntry {
       SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
              CAST(m.cluster AS BIGINT) AS cluster
       FROM isl JOIN m USING (yi, grp) ORDER BY id""",
+    // string_agg ordered by line number rebuilds the same coordinate
+    // sequence; single-point groups cannot form a line → NULL
+    "q84_makeline_trajectories" -> """
+      WITH p AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS VARCHAR) AS px,
+              CAST(l_linenumber * 10 AS VARCHAR) AS py
+            FROM lineitem)
+      SELECT l_orderkey,
+             CASE WHEN count(*) >= 2
+                  THEN 'LINESTRING(' || string_agg(px || ' ' || py, ','
+                    ORDER BY l_linenumber) || ')'
+                  ELSE NULL END AS traj_wkt,
+             CASE WHEN count(*) >= 2 THEN CAST(count(*) AS INT)
+                  ELSE NULL END AS n_pts
+      FROM p GROUP BY l_orderkey ORDER BY l_orderkey""",
     // same greedy prefix: window cumsum of token counts vs a CASE budget
     "q82_token_budget" -> """
       WITH t AS (SELECT doc_id, source,

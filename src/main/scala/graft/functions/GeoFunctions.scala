@@ -59,7 +59,12 @@ object GeoFunctions {
     "st_within" -> { es => arity("st_within", es, 2); StWithin(es.head, es(1)) },
     "st_dwithin" -> { es => arity("st_dwithin", es, 3); StDWithin(es.head, es(1), es(2)) },
     "st_centroid" -> { es => arity("st_centroid", es, 1); StCentroid(es.head) },
-    "st_union" -> { es => arity("st_union", es, 2); StUnion(es.head, es(1)) },
+    // arity overload mirrors PostGIS: 2 geometries = pairwise union,
+    // 1 array argument = dissolve-all (the aggregate's array twin)
+    "st_union" -> { es =>
+      arity("st_union", es, 1, 2)
+      if (es.length == 1) StUnionArr(es.head) else StUnion(es.head, es(1))
+    },
     "st_intersection" -> { es => arity("st_intersection", es, 2); StIntersection(es.head, es(1)) },
     "st_envelope" -> { es => arity("st_envelope", es, 1); StEnvelope(es.head) },
     "st_x" -> { es => arity("st_x", es, 1); StX(es.head) },
@@ -136,6 +141,9 @@ object GeoFunctions {
     },
     "st_collectionextract" -> { es =>
       arity("st_collectionextract", es, 2); StCollectionExtract(es.head, es(1)) },
+    "st_makeline" -> { es => arity("st_makeline", es, 1); StMakeLine(es.head) },
+    "st_polygonize" -> { es => arity("st_polygonize", es, 1); StPolygonize(es.head) },
+    "st_union_arr" -> { es => arity("st_union_arr", es, 1); StUnionArr(es.head) },
     // training-data-pipeline surface: text dedup/analysis + vector search
     "simhash64" -> { es => arity("simhash64", es, 1); TextSimhash(es.head) },
     "minhash_sig" -> { es => arity("minhash_sig", es, 2); TextMinhash(es.head, es(1)) },
@@ -268,6 +276,9 @@ object GeoFunctions {
   def st_voronoipolygons(g: Column): Column = c(StVoronoiPolygons(x(g), Literal(0.0)))
   def st_collectionextract(g: Column, geomType: Column): Column =
     c(StCollectionExtract(x(g), x(geomType)))
+  def st_makeline(arr: Column): Column = c(StMakeLine(x(arr)))
+  def st_polygonize(arr: Column): Column = c(StPolygonize(x(arr)))
+  def st_union_arr(arr: Column): Column = c(StUnionArr(x(arr)))
   def st_extent(g: Column): Column = c(StExtentAgg(x(g)).toAggregateExpression())
   def simhash64(t: Column): Column = c(TextSimhash(x(t)))
   def minhash_sig(t: Column, n: Column): Column = c(TextMinhash(x(t), x(n)))

@@ -872,6 +872,84 @@ object GeoKernels {
     encodeKeepSrid(g, out)
   }
 
+  // ---- array-of-geometry constructors ------------------------------------
+  // PostGIS's ordered aggregates (ST_MakeLine, ST_Polygonize, ST_Union agg)
+  // are exposed over ARRAYS instead of as AggregateFunctions: Spark
+  // aggregation order is partitioning-dependent, so the deterministic
+  // spelling is sort_array(collect_list(...)) → array kernel — the caller
+  // states the order explicitly and results are engine-reproducible.
+
+  /** Coordinates of all elements (points/lines) in array order sewn into
+    * one LineString (PostGIS ST_MakeLine); null with fewer than 2
+    * coordinates; null elements skipped. */
+  def makeLineArr(arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val coords = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
+    var srid = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val g = geom(arr.getBinary(i))
+        if (srid == 0) srid = g.getSRID
+        coords ++= g.getCoordinates
+      }
+      i += 1
+    }
+    if (coords.length < 2) null
+    else {
+      val out = GeomCodec.geometryFactory.createLineString(coords.toArray)
+      out.setSRID(srid)
+      remember(GeomCodec.encodeEwkb(out), out)
+    }
+  }
+
+  /** Polygonize the linework of all elements into a GeometryCollection
+    * of faces (PostGIS ST_Polygonize's aggregate, array form). */
+  def polygonizeArr(arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val p = new Polygonizer()
+    val n = arr.numElements()
+    var srid = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val g = geom(arr.getBinary(i))
+        if (srid == 0) srid = g.getSRID
+        p.add(g)
+      }
+      i += 1
+    }
+    val polys = p.getPolygons.toArray(new Array[Polygon](0))
+      .map(_.asInstanceOf[Geometry])
+    val out: Geometry =
+      GeomCodec.geometryFactory.createGeometryCollection(polys)
+    out.setSRID(srid)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  /** Dissolved union of all elements (PostGIS ST_Union aggregate, array
+    * form); null for an empty/all-null array. */
+  def unionArr(arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val gs = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+    var srid = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val g = geom(arr.getBinary(i))
+        if (srid == 0) srid = g.getSRID
+        gs += g
+      }
+      i += 1
+    }
+    if (gs.isEmpty) null
+    else {
+      val out = org.locationtech.jts.operation.union.UnaryUnionOp.union(
+        java.util.Arrays.asList(gs.toSeq: _*))
+      out.setSRID(srid)
+      remember(GeomCodec.encodeEwkb(out), out)
+    }
+  }
+
   def convexHull(tagged: Array[Byte]): Array[Byte] = {
     val g = geom(tagged)
     val out = g.convexHull()

@@ -1122,3 +1122,50 @@ case class StCollectionExtract(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (g, t) => s"${GeoExpr.K}.collectionExtract($g, $t)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
+
+// ---------------------------------------------------------------------------
+// array-of-geometry constructors (PostGIS ordered aggregates, array form:
+// sort_array(collect_list(...)) states the order deterministically)
+// ---------------------------------------------------------------------------
+
+abstract class GeoArrayGeom extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(BinaryType))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  def kernel: String
+  def apply(a: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte]
+  override protected def nullSafeEval(a: Any): Any =
+    apply(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = ${GeoExpr.K}.$kernel($a);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+}
+
+/** ST_MakeLine(array<geom>) — coordinates in array order as one line. */
+case class StMakeLine(child: Expression) extends GeoArrayGeom {
+  override def kernel: String = "makeLineArr"
+  override def apply(a: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] =
+    GeoKernels.makeLineArr(a)
+  override def prettyName: String = "st_makeline"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_Polygonize(array<geom>) — faces of the noded linework. */
+case class StPolygonize(child: Expression) extends GeoArrayGeom {
+  override def kernel: String = "polygonizeArr"
+  override def apply(a: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] =
+    GeoKernels.polygonizeArr(a)
+  override def prettyName: String = "st_polygonize"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_Union(array<geom>) — dissolved union of the elements. */
+case class StUnionArr(child: Expression) extends GeoArrayGeom {
+  override def kernel: String = "unionArr"
+  override def apply(a: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] =
+    GeoKernels.unionArr(a)
+  override def prettyName: String = "st_union_arr"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}

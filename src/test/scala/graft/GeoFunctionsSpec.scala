@@ -360,6 +360,29 @@ class GeoFunctionsSpec extends AnyFunSuite {
       'GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))'), 3))""") == 0)
   }
 
+  test("array constructors: makeline / polygonize / union over explicit order") {
+    assert(sql1("""select ST_AsText(ST_MakeLine(array(
+      ST_GeomFromText('POINT(0 0)'), ST_GeomFromText('POINT(1 1)'),
+      ST_GeomFromText('POINT(2 0)'))))""") == "LINESTRING(0 0,1 1,2 0)")
+    // a single point cannot make a line
+    assert(sql1("select ST_MakeLine(array(ST_GeomFromText('POINT(0 0)')))") == null)
+    // null elements are skipped
+    assert(sql1("""select ST_AsText(ST_MakeLine(array(
+      ST_GeomFromText('POINT(0 0)'), cast(null as binary),
+      ST_GeomFromText('POINT(5 5)'))))""") == "LINESTRING(0 0,5 5)")
+    // polygonize a closed triangle of segments → one face of area 0.5
+    assert(sql1("""select ST_Area(ST_Polygonize(array(
+      ST_GeomFromText('LINESTRING(0 0,1 0)'),
+      ST_GeomFromText('LINESTRING(1 0,0 1)'),
+      ST_GeomFromText('LINESTRING(0 1,0 0)'))))""") == 0.5)
+    // union dissolves two overlapping unit-height rectangles
+    assert(sql1("""select ST_Area(ST_Union(array(
+      ST_MakeEnvelope(0D,0D,2D,1D), ST_MakeEnvelope(1D,0D,3D,1D))))""") == 3.0)
+    // the explicit st_union_arr name works too, and an all-null array
+    // dissolves to null
+    assert(sql1("""select ST_Union_Arr(array(cast(null as binary)))""") == null)
+  }
+
   test("rect-rect relate fast path matches generic RelateOp exhaustively") {
     import graft.functions.{GeoKernels => K}
     import org.locationtech.jts.io.WKTReader

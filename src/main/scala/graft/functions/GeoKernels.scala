@@ -283,10 +283,71 @@ object GeoKernels {
     else ea.geom.touches(eb.geom)
   }
 
+  /** Line-vs-rectangle crosses without a topology graph: per DE-9IM,
+    * crosses(L, A) ⇔ the line has a positive-length portion strictly
+    * inside the box AND a vertex strictly outside the closure (a segment
+    * between closure points stays inside by convexity). Liang-Barsky
+    * clip + strict-interior midpoint test; exhaustively property-tested
+    * against JTS crosses (GeoFunctionsSpec). */
+  private def lineCrossesRect(l: LineString, r: Geometry): Boolean = {
+    val env = r.getEnvelopeInternal
+    val cs = l.getCoordinateSequence
+    val n = cs.size()
+    var anyOutside = false
+    var i = 0
+    while (i < n && !anyOutside) {
+      val x = cs.getX(i); val y = cs.getY(i)
+      anyOutside = x < env.getMinX || x > env.getMaxX ||
+        y < env.getMinY || y > env.getMaxY
+      i += 1
+    }
+    if (!anyOutside) return false
+    i = 0
+    while (i < n - 1) {
+      if (segThroughOpenBox(cs.getX(i), cs.getY(i), cs.getX(i + 1), cs.getY(i + 1),
+        env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Does segment (x0,y0)-(x1,y1) have a point strictly inside the box?
+    * Liang-Barsky against the closed box, then a strict check on the
+    * clipped midpoint (collinear-with-edge runs clip to the boundary and
+    * fail the strict test). */
+  private def segThroughOpenBox(x0: Double, y0: Double, x1: Double, y1: Double,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double): Boolean = {
+    val dx = x1 - x0; val dy = y1 - y0
+    var t0 = 0.0; var t1 = 1.0
+    def clip(p: Double, q: Double): Boolean =
+      if (p == 0) q >= 0
+      else {
+        val r = q / p
+        if (p < 0) { if (r > t1) false else { if (r > t0) t0 = r; true } }
+        else { if (r < t0) false else { if (r < t1) t1 = r; true } }
+      }
+    if (!clip(-dx, x0 - xmin)) return false
+    if (!clip(dx, xmax - x0)) return false
+    if (!clip(-dy, y0 - ymin)) return false
+    if (!clip(dy, ymax - y0)) return false
+    if (t1 < t0) return false
+    val tm = (t0 + t1) / 2
+    val mx = x0 + tm * dx; val my = y0 + tm * dy
+    mx > xmin && mx < xmax && my > ymin && my < ymax
+  }
+
   def crosses(a: Array[Byte], b: Array[Byte]): Boolean = {
     val ea = entryOf(a)
-    if (ea.reused()) ea.preparedGeom.crosses(geom(b))
-    else ea.geom.crosses(geom(b))
+    val gb = geom(b)
+    ea.geom match {
+      // zero-length (degenerate) lines keep JTS's own semantics via the
+      // generic path — their point-set topology is a special case
+      case l: LineString if rectFastEligible(gb) && l.getLength > 0 =>
+        lineCrossesRect(l, gb)
+      case _ =>
+        if (ea.reused()) ea.preparedGeom.crosses(gb)
+        else ea.geom.crosses(gb)
+    }
   }
 
   def overlaps(a: Array[Byte], b: Array[Byte]): Boolean = {

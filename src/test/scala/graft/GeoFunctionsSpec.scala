@@ -414,6 +414,33 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(K.relate(enc(tri), enc(a)) == reader.read(tri).relate(ga).toString)
   }
 
+  test("line-vs-rect crosses fast path matches JTS exhaustively") {
+    import graft.functions.{GeoKernels => K}
+    import org.locationtech.jts.io.WKTReader
+    val reader = new WKTReader()
+    val rect = "POLYGON((0 0,3 0,3 2,0 2,0 0))"
+    val gRect = reader.read(rect)
+    def enc(w: String): Array[Byte] = K.geomFromText(w)
+    var checked = 0
+    val pts = for (x <- -2 to 5; y <- -1 to 3) yield (x, y)
+    // every 2-point segment between grid points (includes boundary-
+    // collinear runs, corner grazes, inside-only, degenerate same-point)
+    for ((x0, y0) <- pts; (x1, y1) <- pts) {
+      val line = s"LINESTRING($x0 $y0,$x1 $y1)"
+      val gl = reader.read(line)
+      assert(K.crosses(enc(line), enc(rect)) == gl.crosses(gRect),
+        s"line=$line")
+      checked += 1
+    }
+    // multi-vertex polylines: L-shapes through/around the box
+    for ((x0, y0) <- Seq((-1, -1), (1, 1), (4, 1), (-1, 1))) {
+      val line = s"LINESTRING($x0 $y0,$x0 3,5 3,5 $y0)"
+      val gl = reader.read(line)
+      assert(K.crosses(enc(line), enc(rect)) == gl.crosses(gRect), s"line=$line")
+    }
+    assert(checked == pts.size * pts.size)
+  }
+
   test("constant folding: literal geometry folds to a binary literal") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("cf_t")

@@ -965,6 +965,52 @@ object SparkEntry {
       graft.operators.SpatialCluster.dbscan(pts, "id", "g", eps = 1.2, minPts = 2)
         .orderBy("id")
     }),
+    // expand/project/segmentize: envelope growth, destination-point
+    // trig (sin(pi/2) is exactly 1.0 in IEEE; the cos residue dies at
+    // 6dp), and densification with a non-divisible step
+    "q85_expand_project_segmentize" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_Area(ST_Expand(env, 2.0D)) AS exp_area,
+             round(ST_X(ST_Project(pt, w, pi() / 2)), 6) AS proj_x,
+             round(ST_Y(ST_Project(pt, w, pi() / 2)), 6) AS proj_y,
+             ST_NPoints(ST_Segmentize(ln, 0.9D)) AS seg_n,
+             round(ST_Length(ST_Segmentize(ln, 0.9D)), 6) AS seg_len
+      FROM (SELECT l_orderkey, l_linenumber, w,
+                   ST_MakeEnvelope(x, y, x + w, y + 5) AS env,
+                   $PT AS pt,
+                   ST_GeomFromText('LINESTRING(' || $PX || ' ' || $PY || ','
+                     || CAST(l_orderkey % 100 + 2 * l_linenumber AS STRING)
+                     || ' ' || $PY || ')') AS ln
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS DOUBLE) AS x,
+                         CAST(l_linenumber * 10 AS DOUBLE) AS y,
+                         CAST(l_linenumber AS DOUBLE) AS w
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
+    // relational surface: ROLLUP grouping sets + grouping() markers over
+    // integer-cents sums — pure Catalyst, no geo involvement
+    "q86_rollup" -> q("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS INT) AS g1,
+             CAST(grouping(l_linestatus) AS INT) AS g2,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY g1, g2, l_returnflag, l_linestatus"""),
+    // tie-stable window analytics (rank/dense_rank/percent_rank/
+    // cume_dist — ntile is excluded deliberately: it splits ties by
+    // physical order, which no two engines reproduce)
+    "q87_window_analytics" -> q("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(rank() OVER w AS INT) AS rnk,
+             CAST(dense_rank() OVER w AS INT) AS drnk,
+             round(percent_rank() OVER w, 6) AS prnk,
+             round(cume_dist() OVER w, 6) AS cdist,
+             count(*) OVER (PARTITION BY l_linenumber) AS n_in_part
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_linenumber ORDER BY l_orderkey)
+      ORDER BY l_linenumber, l_orderkey"""),
     // trajectory assembly: per-order points sorted by line number sewn
     // into one LineString with the array-form ST_MakeLine — the
     // deterministic spelling of PostGIS's ordered aggregate (explicit
@@ -1634,6 +1680,44 @@ object SparkEntry {
       SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
              CAST(m.cluster AS BIGINT) AS cluster
       FROM isl JOIN m USING (yi, grp) ORDER BY id""",
+    // closed forms: (w+4)·9 expanded area, x+w eastward projection,
+    // ceil(2w/0.9)+1 densified vertices, 2w length
+    "q85_expand_project_segmentize" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber * 10 AS BIGINT) AS yi,
+              CAST(l_linenumber AS BIGINT) AS wi
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             CAST((wi + 4) * 9 AS DOUBLE) AS exp_area,
+             round(CAST(xi + wi AS DOUBLE), 6) AS proj_x,
+             round(CAST(yi AS DOUBLE), 6) AS proj_y,
+             CAST(ceil(2.0 * wi / 0.9) + 1 AS INT) AS seg_n,
+             CAST(2 * wi AS DOUBLE) AS seg_len
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+    // DuckDB ROLLUP + GROUPING produce the same grouping sets; cents
+    // sums keep everything integral
+    "q86_rollup" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS INT) AS g1,
+             CAST(grouping(l_linestatus) AS INT) AS g2,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY g1, g2, l_returnflag, l_linestatus""",
+    // same tie-stable rank family; percent_rank/cume_dist are exact
+    // rational arithmetic on tie-group counts
+    "q87_window_analytics" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(rank() OVER w AS INT) AS rnk,
+             CAST(dense_rank() OVER w AS INT) AS drnk,
+             round(percent_rank() OVER w, 6) AS prnk,
+             round(cume_dist() OVER w, 6) AS cdist,
+             CAST(count(*) OVER (PARTITION BY l_linenumber) AS BIGINT) AS n_in_part
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_linenumber ORDER BY l_orderkey)
+      ORDER BY l_linenumber, l_orderkey""",
     // string_agg ordered by line number rebuilds the same coordinate
     // sequence; single-point groups cannot form a line → NULL
     "q84_makeline_trajectories" -> """

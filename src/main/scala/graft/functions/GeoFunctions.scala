@@ -141,6 +141,10 @@ object GeoFunctions {
     },
     "st_collectionextract" -> { es =>
       arity("st_collectionextract", es, 2); StCollectionExtract(es.head, es(1)) },
+    "st_expand" -> { es => arity("st_expand", es, 2); StExpand(es.head, es(1)) },
+    "st_project" -> { es => arity("st_project", es, 3); StProject(es.head, es(1), es(2)) },
+    "st_segmentize" -> { es =>
+      arity("st_segmentize", es, 2); StSegmentize(es.head, es(1)) },
     "st_makeline" -> { es => arity("st_makeline", es, 1); StMakeLine(es.head) },
     "st_polygonize" -> { es => arity("st_polygonize", es, 1); StPolygonize(es.head) },
     "st_union_arr" -> { es => arity("st_union_arr", es, 1); StUnionArr(es.head) },
@@ -276,6 +280,10 @@ object GeoFunctions {
   def st_voronoipolygons(g: Column): Column = c(StVoronoiPolygons(x(g), Literal(0.0)))
   def st_collectionextract(g: Column, geomType: Column): Column =
     c(StCollectionExtract(x(g), x(geomType)))
+  def st_expand(g: Column, d: Column): Column = c(StExpand(x(g), x(d)))
+  def st_project(g: Column, dist: Column, azimuth: Column): Column =
+    c(StProject(x(g), x(dist), x(azimuth)))
+  def st_segmentize(g: Column, maxLen: Column): Column = c(StSegmentize(x(g), x(maxLen)))
   def st_makeline(arr: Column): Column = c(StMakeLine(x(arr)))
   def st_polygonize(arr: Column): Column = c(StPolygonize(x(arr)))
   def st_union_arr(arr: Column): Column = c(StUnionArr(x(arr)))

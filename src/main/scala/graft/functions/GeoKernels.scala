@@ -1011,6 +1011,35 @@ object GeoKernels {
     }
   }
 
+  /** Envelope grown by `d` on every side, as a polygon (PostGIS
+    * ST_Expand). */
+  def expandEnv(tagged: Array[Byte], d: Double): Array[Byte] = {
+    val g = geom(tagged)
+    val env = g.getEnvelopeInternal
+    makeEnvelope(env.getMinX - d, env.getMinY - d, env.getMaxX + d,
+      env.getMaxY + d, g.getSRID, g.getSRID != 0)
+  }
+
+  /** Point at `dist` along `azimuth` (radians clockwise from north, the
+    * PostGIS ST_Project convention): x + d·sin(az), y + d·cos(az).
+    * Null for non-point input. */
+  def project(tagged: Array[Byte], dist: Double, azimuth: Double): Array[Byte] =
+    geom(tagged) match {
+      case p: Point if !p.isEmpty =>
+        val out = GeomCodec.geometryFactory.createPoint(new Coordinate(
+          p.getX + dist * math.sin(azimuth), p.getY + dist * math.cos(azimuth)))
+        encodeKeepSrid(p, out)
+      case _ => null
+    }
+
+  /** Densify: no segment longer than `maxLen` (PostGIS ST_Segmentize;
+    * JTS Densifier splits each segment into equal parts). */
+  def segmentize(tagged: Array[Byte], maxLen: Double): Array[Byte] = {
+    val g = geom(tagged)
+    val out = org.locationtech.jts.densify.Densifier.densify(g, maxLen)
+    encodeKeepSrid(g, out)
+  }
+
   def convexHull(tagged: Array[Byte]): Array[Byte] = {
     val g = geom(tagged)
     val out = g.convexHull()

@@ -1169,3 +1169,48 @@ case class StUnionArr(child: Expression) extends GeoArrayGeom {
   override def prettyName: String = "st_union_arr"
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
+
+/** ST_Expand(geom, d) — envelope grown by d on every side. */
+case class StExpand(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_expand"
+  override protected def nullSafeEval(g: Any, d: Any): Any =
+    GeoKernels.expandEnv(g.asInstanceOf[Array[Byte]], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, d) => s"${GeoExpr.K}.expandEnv($g, $d)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_Project(point, dist, azimuth) — destination point (azimuth in
+  * radians clockwise from north); null for non-point input. */
+case class StProject(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_project"
+  override protected def nullSafeEval(g: Any, d: Any, az: Any): Any =
+    GeoKernels.project(g.asInstanceOf[Array[Byte]], d.asInstanceOf[Double],
+      az.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, d, az) => s"""
+      ${ev.value} = ${GeoExpr.K}.project($g, $d, $az);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** ST_Segmentize(geom, maxLen) — densify until no segment exceeds maxLen. */
+case class StSegmentize(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_segmentize"
+  override protected def nullSafeEval(g: Any, m: Any): Any =
+    GeoKernels.segmentize(g.asInstanceOf[Array[Byte]], m.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, m) => s"${GeoExpr.K}.segmentize($g, $m)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}

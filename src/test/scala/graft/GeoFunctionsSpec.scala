@@ -383,6 +383,21 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("""select ST_Union_Arr(array(cast(null as binary)))""") == null)
   }
 
+  test("expand / project / segmentize") {
+    assert(sql1("select ST_AsText(ST_Expand(ST_GeomFromText('POINT(2 3)'), 1.0D))") ==
+      "POLYGON((1 2,1 4,3 4,3 2,1 2))")
+    // north (az=0) moves +y; east (az=pi/2) moves +x
+    assert(sql1("select ST_AsText(ST_Project(ST_GeomFromText('POINT(0 0)'), 5.0D, 0.0D))") ==
+      "POINT(0 5)")
+    assert(sql1("""select round(ST_X(ST_Project(
+      ST_GeomFromText('POINT(0 0)'), 5.0D, pi() / 2)), 6)""") == 5.0)
+    // non-point input → null
+    assert(sql1("""select ST_Project(ST_GeomFromText('LINESTRING(0 0,1 1)'),
+      1.0D, 0.0D)""") == null)
+    assert(sql1("""select ST_NPoints(ST_Segmentize(
+      ST_GeomFromText('LINESTRING(0 0,10 0)'), 3.0D))""") == 5)
+  }
+
   test("rect-rect relate fast path matches generic RelateOp exhaustively") {
     import graft.functions.{GeoKernels => K}
     import org.locationtech.jts.io.WKTReader

@@ -1073,6 +1073,15 @@ object SparkEntry {
         .crossJoin(exact.join(bloom, Seq("doc"), "left_anti")
           .agg(count(lit(1)).as("n_missed")))
     }),
+    // candidate plagiarism pairs off the compressed winnow signatures:
+    // fingerprint-keyed self-join, pairs sharing >= 2 selections
+    "q88_winnow_pairs" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.TextAnalysis
+        .winnowSharedPairs(spark.table("documents"), "doc_id", "text",
+          k = 5, w = 4, minShared = 2)
+        .orderBy("ida", "idb")
+    }),
     // winnowing (MOSS) fingerprints: md5-hex gram hashes + full-window
     // minima are engine-portable, so the oracle reproduces the exact set
     "q78_winnow_fingerprints" -> ((spark, dir) => {
@@ -1765,6 +1774,25 @@ object SparkEntry {
       SELECT CAST(count(DISTINCT g.doc) AS BIGINT) AS n_exact,
              CAST(0 AS BIGINT) AS n_missed
       FROM g JOIN bg ON g.gram = bg.gram""",
+    // q78's fingerprint set, self-joined on the fingerprint
+    "q88_winnow_pairs" -> """
+      WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS l
+                 FROM documents),
+           g AS (SELECT doc, CAST(i - 1 AS INT) AS i,
+                    md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
+                      || l[i+3] || ' ' || l[i+4]) AS h
+                 FROM t, unnest(generate_series(1, len(l) - 4)) AS u(i)
+                 WHERE len(l) >= 5),
+           wmin AS (SELECT doc, i,
+                    min(h) OVER (PARTITION BY doc ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                    max(i) OVER (PARTITION BY doc) AS n
+                 FROM g),
+           fps AS (SELECT DISTINCT doc, fp FROM wmin
+                   WHERE i <= greatest(n - 3, 0))
+      SELECT a.doc AS ida, b.doc AS idb, CAST(count(*) AS BIGINT) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc < b.doc
+      GROUP BY a.doc, b.doc HAVING count(*) >= 2 ORDER BY ida, idb""",
     // same 5-gram md5 hashes, same full-window minima (w=4), same
     // degenerate short-doc rule (global min when fewer than w grams)
     "q78_winnow_fingerprints" -> """

@@ -83,7 +83,14 @@ object Bench {
     val results = headline.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iterations,"timing":"min of $iterations runs after 1 warm-up"}""")
+    // headline set grows across rounds; this subtotal covers the queries
+    // benchmarked since round 5 so round-over-round totals stay comparable
+    val r5Set = Set("q02_astext", "q07_intersects", "q11_buffer_bbox", "q14_extent",
+      "q16_split", "q20_dedup_exact", "q23_jaccard_tokens", "q24_cosine_topk",
+      "q28_minhash_lsh", "q32_events_hourly", "q33_ref_linestring_intersects",
+      "q34_text_profile", "q48_asof_join", "q49_range_join")
+    val subtotal = results.collect { case (k, v) if r5Set(k) && v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_r5_subset":$subtotal,"queries":$qs,"sf":"$sfDir","iterations":$iterations,"timing":"min of $iterations runs after 1 warm-up"}""")
     spark.stop()
   }
 }

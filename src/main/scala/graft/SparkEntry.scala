@@ -965,6 +965,16 @@ object SparkEntry {
       graft.operators.SpatialCluster.dbscan(pts, "id", "g", eps = 1.2, minPts = 2)
         .orderBy("id")
     }),
+    // interchange surface: untagged-WKB roundtrip, SRID retagging, and
+    // Multi* promotion — every output collapses to point text/lengths
+    "q89_interchange" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             length(ST_AsBinary(pt)) AS wkb_len,
+             ST_AsText(ST_GeomFromWKB(ST_AsBinary(pt))) AS rt_wkt,
+             ST_SRID(ST_SetSRID(pt, CAST(l_linenumber AS INT))) AS srid_out,
+             ST_AsText(ST_Multi(pt)) AS multi_wkt
+      FROM (SELECT l_orderkey, l_linenumber, $PT AS pt FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber"""),
     // expand/project/segmentize: envelope growth, destination-point
     // trig (sin(pi/2) is exactly 1.0 in IEEE; the cos residue dies at
     // 6dp), and densification with a non-divisible step
@@ -1689,6 +1699,14 @@ object SparkEntry {
       SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
              CAST(m.cluster AS BIGINT) AS cluster
       FROM isl JOIN m USING (yi, grp) ORDER BY id""",
+    // 2D point WKB is always 21 bytes; roundtrip/multi replay as text
+    "q89_interchange" -> s"""
+      SELECT l_orderkey, l_linenumber,
+             CAST(21 AS INT) AS wkb_len,
+             'POINT(' || $OPXS || ' ' || $OPYS || ')' AS rt_wkt,
+             CAST(l_linenumber AS INT) AS srid_out,
+             'MULTIPOINT(' || $OPXS || ' ' || $OPYS || ')' AS multi_wkt
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     // closed forms: (w+4)·9 expanded area, x+w eastward projection,
     // ceil(2w/0.9)+1 densified vertices, 2w length
     "q85_expand_project_segmentize" -> """

@@ -141,6 +141,10 @@ object GeoFunctions {
     },
     "st_collectionextract" -> { es =>
       arity("st_collectionextract", es, 2); StCollectionExtract(es.head, es(1)) },
+    "st_asbinary" -> { es => arity("st_asbinary", es, 1); StAsBinary(es.head) },
+    "st_asewkb" -> { es => arity("st_asewkb", es, 1); StAsEwkb(es.head) },
+    "st_setsrid" -> { es => arity("st_setsrid", es, 2); StSetSrid(es.head, es(1)) },
+    "st_multi" -> { es => arity("st_multi", es, 1); StMulti(es.head) },
     "st_expand" -> { es => arity("st_expand", es, 2); StExpand(es.head, es(1)) },
     "st_project" -> { es => arity("st_project", es, 3); StProject(es.head, es(1), es(2)) },
     "st_segmentize" -> { es =>
@@ -280,6 +284,10 @@ object GeoFunctions {
   def st_voronoipolygons(g: Column): Column = c(StVoronoiPolygons(x(g), Literal(0.0)))
   def st_collectionextract(g: Column, geomType: Column): Column =
     c(StCollectionExtract(x(g), x(geomType)))
+  def st_asbinary(g: Column): Column = c(StAsBinary(x(g)))
+  def st_asewkb(g: Column): Column = c(StAsEwkb(x(g)))
+  def st_setsrid(g: Column, srid: Column): Column = c(StSetSrid(x(g), x(srid)))
+  def st_multi(g: Column): Column = c(StMulti(x(g)))
   def st_expand(g: Column, d: Column): Column = c(StExpand(x(g), x(d)))
   def st_project(g: Column, dist: Column, azimuth: Column): Column =
     c(StProject(x(g), x(dist), x(azimuth)))

@@ -1011,6 +1011,36 @@ object GeoKernels {
     }
   }
 
+  /** Raw untagged OGC WKB bytes (PostGIS ST_AsBinary) — the interchange
+    * form; the 1-byte dialect tag is internal to this library's cells. */
+  def asBinary(tagged: Array[Byte]): Array[Byte] = GeomCodec.rawWkb(geom(tagged))
+
+  /** Raw untagged EWKB bytes, SRID flag when set (PostGIS ST_AsEWKB). */
+  def asEwkbBin(tagged: Array[Byte]): Array[Byte] = GeomCodec.rawEwkb(geom(tagged))
+
+  /** Retag with a new SRID without touching coordinates (PostGIS
+    * ST_SetSRID); srid 0 clears it. The cached source geometry is copied
+    * before mutation — cache entries are shared across rows. */
+  def setSridGeom(tagged: Array[Byte], srid: Int): Array[Byte] = {
+    val g = geom(tagged).copy()
+    g.setSRID(srid)
+    remember(GeomCodec.encodeEwkb(g), g)
+  }
+
+  /** Promote single geometries to their Multi* form; multi/collection
+    * inputs pass through (PostGIS ST_Multi). */
+  def multiGeom(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val f = GeomCodec.geometryFactory
+    val out: Geometry = g match {
+      case p: Point => f.createMultiPoint(Array(p))
+      case l: LineString => f.createMultiLineString(Array(l))
+      case p: Polygon => f.createMultiPolygon(Array(p))
+      case other => other
+    }
+    encodeKeepSrid(g, out)
+  }
+
   /** Envelope grown by `d` on every side, as a polygon (PostGIS
     * ST_Expand). */
   def expandEnv(tagged: Array[Byte], d: Double): Array[Byte] = {

@@ -123,6 +123,14 @@ object GeomCodec {
   def encodeWkb(geom: Geometry): Array[Byte] =
     prefix(WkbDialect.Wkb, wkbWriters.get().write(geom))
 
+  /** Raw UNTAGGED OGC WKB for interchange (PostGIS ST_AsBinary). */
+  def rawWkb(geom: Geometry): Array[Byte] = wkbWriters.get().write(geom)
+
+  /** Raw UNTAGGED EWKB — SRID flag present only when set (PostGIS
+    * ST_AsEWKB). */
+  def rawEwkb(geom: Geometry): Array[Byte] =
+    (if (geom.getSRID != 0) ewkbWriters.get() else wkbWriters.get()).write(geom)
+
   private def prefix(tag: Byte, body: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](body.length + 1)
     out(0) = tag

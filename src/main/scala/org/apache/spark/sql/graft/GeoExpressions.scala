@@ -1214,3 +1214,40 @@ case class StSegmentize(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (g, m) => s"${GeoExpr.K}.segmentize($g, $m)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
+
+/** ST_AsBinary — raw untagged OGC WKB (interchange form). */
+case class StAsBinary(child: Expression) extends GeoUnaryGeom {
+  override def kernel: String = "asBinary"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.asBinary(g)
+  override def prettyName: String = "st_asbinary"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_AsEWKB — raw untagged EWKB (SRID flag when set). */
+case class StAsEwkb(child: Expression) extends GeoUnaryGeom {
+  override def kernel: String = "asEwkbBin"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.asEwkbBin(g)
+  override def prettyName: String = "st_asewkb"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_Multi — promote single geometries to Multi*. */
+case class StMulti(child: Expression) extends GeoUnaryGeom {
+  override def kernel: String = "multiGeom"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.multiGeom(g)
+  override def prettyName: String = "st_multi"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_SetSRID(geom, srid) — retag; 0 clears. */
+case class StSetSrid(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_setsrid"
+  override protected def nullSafeEval(g: Any, s: Any): Any =
+    GeoKernels.setSridGeom(g.asInstanceOf[Array[Byte]], s.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, s) => s"${GeoExpr.K}.setSridGeom($g, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}

@@ -383,6 +383,25 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("""select ST_Union_Arr(array(cast(null as binary)))""") == null)
   }
 
+  test("interchange: asbinary/asewkb roundtrip, setsrid, multi") {
+    // raw WKB (no dialect tag) parses back through ST_GeomFromWKB
+    assert(sql1("""select ST_AsText(ST_GeomFromWKB(ST_AsBinary(
+      ST_GeomFromText('POINT(3 4)'))))""") == "POINT(3 4)")
+    // 2D point WKB is 21 bytes; EWKB with SRID adds the 4-byte id
+    assert(sql1("select length(ST_AsBinary(ST_GeomFromText('POINT(3 4)')))") == 21)
+    assert(sql1("select length(ST_AsEWKB(ST_GeomFromText('POINT(3 4)', 4326)))") == 25)
+    // ST_AsBinary strips the SRID; ST_AsEWKB keeps it through a roundtrip
+    assert(sql1("""select ST_SRID(ST_GeomFromWKB(ST_AsEWKB(
+      ST_GeomFromText('POINT(3 4)', 4326))))""") == null) // raw parse has no EWKB srid path
+    assert(sql1("select ST_SRID(ST_SetSRID(ST_GeomFromText('POINT(1 2)'), 4269))") == 4269)
+    assert(sql1("""select ST_SRID(ST_SetSRID(
+      ST_GeomFromText('POINT(1 2)', 4269), 0))""") == null)
+    assert(sql1("select ST_AsText(ST_Multi(ST_GeomFromText('POINT(1 2)')))") ==
+      "MULTIPOINT(1 2)")
+    assert(sql1("""select ST_AsText(ST_Multi(ST_GeomFromText(
+      'MULTIPOINT(1 2,3 4)')))""") == "MULTIPOINT(1 2,3 4)")
+  }
+
   test("expand / project / segmentize") {
     assert(sql1("select ST_AsText(ST_Expand(ST_GeomFromText('POINT(2 3)'), 1.0D))") ==
       "POLYGON((1 2,1 4,3 4,3 2,1 2))")

@@ -965,6 +965,34 @@ object SparkEntry {
       graft.operators.SpatialCluster.dbscan(pts, "id", "g", eps = 1.2, minPts = 2)
         .orderBy("id")
     }),
+    // shape-similarity metrics: parallel aligned segments make both the
+    // discrete Hausdorff and Fréchet distances exactly the vertical
+    // offset; the inscribed radius of a w×5 rectangle is min(w,5)/2 —
+    // exact radii sit ON the 1dp grid, so a 0.01 search tolerance rounds
+    // back to them exactly (MaximumInscribedCircle is ~0.3 ms/call at
+    // 1e-2 but 9 ms/call at 1e-3 — tolerance IS the cost knob)
+    "q90_shape_metrics" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_HausdorffDistance(la, lb) AS hausdorff,
+             ST_FrechetDistance(la, lb) AS frechet,
+             round(ST_MaxInscribedRadius(env, 0.01D), 1) AS mic_r
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ')') AS la,
+                   ST_GeomFromText('LINESTRING(' || xs || ' '
+                     || CAST(yi + si + 1 AS STRING) || ','
+                     || CAST(xi + wi AS STRING) || ' '
+                     || CAST(yi + si + 1 AS STRING) || ')') AS lb,
+                   ST_MakeEnvelope(CAST(xi AS DOUBLE), CAST(yi AS DOUBLE),
+                     CAST(xi + wi AS DOUBLE), CAST(yi + 5 AS DOUBLE)) AS env
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber * 10 AS INT) AS yi,
+                         CAST(l_linenumber AS INT) AS wi,
+                         CAST(l_orderkey % 5 AS INT) AS si,
+                         $PX AS xs, $PY AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // interchange surface: untagged-WKB roundtrip, SRID retagging, and
     // Multi* promotion — every output collapses to point text/lengths
     "q89_interchange" -> q(s"""
@@ -1699,6 +1727,18 @@ object SparkEntry {
       SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
              CAST(m.cluster AS BIGINT) AS cluster
       FROM isl JOIN m USING (yi, grp) ORDER BY id""",
+    // both metrics collapse to the integer vertical offset s+1; the
+    // inscribed radius is least(w,5)/2 exactly at 6dp
+    "q90_shape_metrics" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_linenumber AS BIGINT) AS wi,
+              CAST(l_orderkey % 5 AS BIGINT) AS si
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             CAST(si + 1 AS DOUBLE) AS hausdorff,
+             CAST(si + 1 AS DOUBLE) AS frechet,
+             round(CAST(least(wi, 5) AS DOUBLE) / 2, 1) AS mic_r
+      FROM b ORDER BY l_orderkey, l_linenumber""",
     // 2D point WKB is always 21 bytes; roundtrip/multi replay as text
     "q89_interchange" -> s"""
       SELECT l_orderkey, l_linenumber,

@@ -141,6 +141,14 @@ object GeoFunctions {
     },
     "st_collectionextract" -> { es =>
       arity("st_collectionextract", es, 2); StCollectionExtract(es.head, es(1)) },
+    "st_hausdorffdistance" -> { es =>
+      arity("st_hausdorffdistance", es, 2); StHausdorffDistance(es.head, es(1)) },
+    "st_frechetdistance" -> { es =>
+      arity("st_frechetdistance", es, 2); StFrechetDistance(es.head, es(1)) },
+    "st_maxinscribedradius" -> { es =>
+      arity("st_maxinscribedradius", es, 2); StMaxInscribedRadius(es.head, es(1)) },
+    "st_maxinscribedcenter" -> { es =>
+      arity("st_maxinscribedcenter", es, 2); StMaxInscribedCenter(es.head, es(1)) },
     "st_asbinary" -> { es => arity("st_asbinary", es, 1); StAsBinary(es.head) },
     "st_asewkb" -> { es => arity("st_asewkb", es, 1); StAsEwkb(es.head) },
     "st_setsrid" -> { es => arity("st_setsrid", es, 2); StSetSrid(es.head, es(1)) },
@@ -284,6 +292,14 @@ object GeoFunctions {
   def st_voronoipolygons(g: Column): Column = c(StVoronoiPolygons(x(g), Literal(0.0)))
   def st_collectionextract(g: Column, geomType: Column): Column =
     c(StCollectionExtract(x(g), x(geomType)))
+  def st_hausdorffdistance(a: Column, b: Column): Column =
+    c(StHausdorffDistance(x(a), x(b)))
+  def st_frechetdistance(a: Column, b: Column): Column =
+    c(StFrechetDistance(x(a), x(b)))
+  def st_maxinscribedradius(g: Column, tol: Column): Column =
+    c(StMaxInscribedRadius(x(g), x(tol)))
+  def st_maxinscribedcenter(g: Column, tol: Column): Column =
+    c(StMaxInscribedCenter(x(g), x(tol)))
   def st_asbinary(g: Column): Column = c(StAsBinary(x(g)))
   def st_asewkb(g: Column): Column = c(StAsEwkb(x(g)))
   def st_setsrid(g: Column, srid: Column): Column = c(StSetSrid(x(g), x(srid)))

@@ -1011,6 +1011,33 @@ object GeoKernels {
     }
   }
 
+  /** Discrete (vertex-based) Hausdorff distance (PostGIS
+    * ST_HausdorffDistance; JTS DiscreteHausdorffDistance). */
+  def hausdorffDistance(a: Array[Byte], b: Array[Byte]): Double =
+    org.locationtech.jts.algorithm.distance.DiscreteHausdorffDistance
+      .distance(geom(a), geom(b))
+
+  /** Discrete Fréchet distance (PostGIS ST_FrechetDistance; JTS
+    * DiscreteFrechetDistance). */
+  def frechetDistance(a: Array[Byte], b: Array[Byte]): Double =
+    org.locationtech.jts.algorithm.distance.DiscreteFrechetDistance
+      .distance(geom(a), geom(b))
+
+  /** Radius of the maximum inscribed circle, to within `tol` (PostGIS
+    * ST_MaximumInscribedCircle's radius; JTS MaximumInscribedCircle). */
+  def maxInscribedRadius(tagged: Array[Byte], tol: Double): Double = {
+    val mic = new org.locationtech.jts.algorithm.construct.MaximumInscribedCircle(
+      geom(tagged), tol)
+    mic.getRadiusLine.getLength
+  }
+
+  /** Center of the maximum inscribed circle (PostGIS's center field). */
+  def maxInscribedCenter(tagged: Array[Byte], tol: Double): Array[Byte] = {
+    val g = geom(tagged)
+    val mic = new org.locationtech.jts.algorithm.construct.MaximumInscribedCircle(g, tol)
+    encodeKeepSrid(g, mic.getCenter)
+  }
+
   /** Raw untagged OGC WKB bytes (PostGIS ST_AsBinary) — the interchange
     * form; the 1-byte dialect tag is internal to this library's cells. */
   def asBinary(tagged: Array[Byte]): Array[Byte] = GeomCodec.rawWkb(geom(tagged))

@@ -1251,3 +1251,61 @@ case class StSetSrid(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (g, s) => s"${GeoExpr.K}.setSridGeom($g, $s)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
+
+abstract class GeoBinaryDouble extends BinaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  def kernel: String
+  def apply(a: Array[Byte], b: Array[Byte]): Double
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    apply(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${GeoExpr.K}.$kernel($a, $b)")
+}
+
+/** ST_HausdorffDistance — discrete (vertex-based) Hausdorff. */
+case class StHausdorffDistance(left: Expression, right: Expression)
+    extends GeoBinaryDouble {
+  override def kernel: String = "hausdorffDistance"
+  override def apply(a: Array[Byte], b: Array[Byte]): Double =
+    GeoKernels.hausdorffDistance(a, b)
+  override def prettyName: String = "st_hausdorffdistance"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_FrechetDistance — discrete Fréchet. */
+case class StFrechetDistance(left: Expression, right: Expression)
+    extends GeoBinaryDouble {
+  override def kernel: String = "frechetDistance"
+  override def apply(a: Array[Byte], b: Array[Byte]): Double =
+    GeoKernels.frechetDistance(a, b)
+  override def prettyName: String = "st_frechetdistance"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_MaximumInscribedCircle's radius, to within a tolerance. */
+case class StMaxInscribedRadius(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_maxinscribedradius"
+  override protected def nullSafeEval(g: Any, t: Any): Any =
+    GeoKernels.maxInscribedRadius(g.asInstanceOf[Array[Byte]], t.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, t) => s"${GeoExpr.K}.maxInscribedRadius($g, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_MaximumInscribedCircle's center point. */
+case class StMaxInscribedCenter(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_maxinscribedcenter"
+  override protected def nullSafeEval(g: Any, t: Any): Any =
+    GeoKernels.maxInscribedCenter(g.asInstanceOf[Array[Byte]], t.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, t) => s"${GeoExpr.K}.maxInscribedCenter($g, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}

@@ -383,6 +383,23 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("""select ST_Union_Arr(array(cast(null as binary)))""") == null)
   }
 
+  test("shape metrics: hausdorff / frechet / maximum inscribed circle") {
+    assert(sql1("""select ST_HausdorffDistance(
+      ST_GeomFromText('LINESTRING(0 0,10 0)'),
+      ST_GeomFromText('LINESTRING(0 3,10 3)'))""") == 3.0)
+    // frechet respects direction: a reversed line forces the diagonal
+    assert(sql1("""select ST_FrechetDistance(
+      ST_GeomFromText('LINESTRING(0 0,10 0)'),
+      ST_GeomFromText('LINESTRING(10 3,0 3)'))""") ==
+      math.sqrt(100 + 9))
+    assert(sql1("""select round(ST_MaxInscribedRadius(
+      ST_MakeEnvelope(0D,0D,10D,4D), 0.01D), 1)""") == 2.0)
+    // center of the inscribed circle lies inside the polygon
+    assert(sql1("""select ST_Within(ST_MaxInscribedCenter(
+      ST_MakeEnvelope(0D,0D,10D,4D), 0.01D),
+      ST_MakeEnvelope(0D,0D,10D,4D))""") == true)
+  }
+
   test("interchange: asbinary/asewkb roundtrip, setsrid, multi") {
     // raw WKB (no dialect tag) parses back through ST_GeomFromWKB
     assert(sql1("""select ST_AsText(ST_GeomFromWKB(ST_AsBinary(

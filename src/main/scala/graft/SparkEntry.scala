@@ -965,6 +965,25 @@ object SparkEntry {
       graft.operators.SpatialCluster.dbscan(pts, "id", "g", eps = 1.2, minPts = 2)
         .orderBy("id")
     }),
+    // grid snapping + precision reduction: fractional offsets .3/.7 (and
+    // .25/.75 for the envelope) stay away from the .5 tie so both
+    // engines' rounding rules agree; size-2 snapping is parity-dependent
+    "q91_snap_grid" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_AsText(ST_SnapToGrid(p, 1.0D)) AS snap1_wkt,
+             ST_X(ST_SnapToGrid(p, 2.0D)) AS snap2_x,
+             ST_Area(ST_ReducePrecision(env, 1.0D)) AS rp_area
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_GeomFromText('POINT(' || xs || '.3 ' || ys || '.7)') AS p,
+                   ST_MakeEnvelope(x + 0.25D, y + 0.25D,
+                     x + w + 0.75D, y + 5.25D) AS env
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS DOUBLE) AS x,
+                         CAST(l_linenumber * 10 AS DOUBLE) AS y,
+                         CAST(l_linenumber AS DOUBLE) AS w,
+                         $PX AS xs, $PY AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // shape-similarity metrics: parallel aligned segments make both the
     // discrete Hausdorff and Fréchet distances exactly the vertical
     // offset; the inscribed radius of a w×5 rectangle is min(w,5)/2 —
@@ -1727,6 +1746,20 @@ object SparkEntry {
       SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
              CAST(m.cluster AS BIGINT) AS cluster
       FROM isl JOIN m USING (yi, grp) ORDER BY id""",
+    // .3 rounds down, .7 rounds up; size-2 snap pulls odd x to x+1;
+    // the reduced envelope is (w+1)×5
+    "q91_snap_grid" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber * 10 AS BIGINT) AS yi,
+              CAST(l_linenumber AS BIGINT) AS wi
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             'POINT(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi + 1 AS VARCHAR) || ')'
+               AS snap1_wkt,
+             CAST(CASE WHEN xi % 2 = 0 THEN xi ELSE xi + 1 END AS DOUBLE) AS snap2_x,
+             CAST((wi + 1) * 5 AS DOUBLE) AS rp_area
+      FROM b ORDER BY l_orderkey, l_linenumber""",
     // both metrics collapse to the integer vertical offset s+1; the
     // inscribed radius is least(w,5)/2 exactly at 6dp
     "q90_shape_metrics" -> """

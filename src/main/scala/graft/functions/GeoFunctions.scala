@@ -141,6 +141,10 @@ object GeoFunctions {
     },
     "st_collectionextract" -> { es =>
       arity("st_collectionextract", es, 2); StCollectionExtract(es.head, es(1)) },
+    "st_snaptogrid" -> { es =>
+      arity("st_snaptogrid", es, 2); StSnapToGrid(es.head, es(1)) },
+    "st_reduceprecision" -> { es =>
+      arity("st_reduceprecision", es, 2); StReducePrecision(es.head, es(1)) },
     "st_hausdorffdistance" -> { es =>
       arity("st_hausdorffdistance", es, 2); StHausdorffDistance(es.head, es(1)) },
     "st_frechetdistance" -> { es =>
@@ -292,6 +296,9 @@ object GeoFunctions {
   def st_voronoipolygons(g: Column): Column = c(StVoronoiPolygons(x(g), Literal(0.0)))
   def st_collectionextract(g: Column, geomType: Column): Column =
     c(StCollectionExtract(x(g), x(geomType)))
+  def st_snaptogrid(g: Column, size: Column): Column = c(StSnapToGrid(x(g), x(size)))
+  def st_reduceprecision(g: Column, gridSize: Column): Column =
+    c(StReducePrecision(x(g), x(gridSize)))
   def st_hausdorffdistance(a: Column, b: Column): Column =
     c(StHausdorffDistance(x(a), x(b)))
   def st_frechetdistance(a: Column, b: Column): Column =

@@ -1038,6 +1038,33 @@ object GeoKernels {
     encodeKeepSrid(g, mic.getCenter)
   }
 
+  /** Snap every coordinate to a regular grid of `size` (PostGIS
+    * ST_SnapToGrid(geom, size): round(x/size)·size). Duplicate
+    * consecutive vertices produced by snapping are kept (PostGIS
+    * removes them only in the 4-arg form; spec'd behavior here). */
+  def snapToGrid(tagged: Array[Byte], size: Double): Array[Byte] = {
+    val g = geom(tagged)
+    val out = g.copy()
+    out.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: Coordinate): Unit = {
+        c.x = math.rint(c.x / size) * size
+        c.y = math.rint(c.y / size) * size
+      }
+    })
+    out.geometryChanged()
+    encodeKeepSrid(g, out)
+  }
+
+  /** Valid-topology precision reduction (PostGIS ST_ReducePrecision;
+    * JTS GeometryPrecisionReducer — collapses/repairs where plain
+    * snapping would invalidate). `gridSize` is the cell width. */
+  def reducePrecision(tagged: Array[Byte], gridSize: Double): Array[Byte] = {
+    val g = geom(tagged)
+    val pm = new org.locationtech.jts.geom.PrecisionModel(1.0 / gridSize)
+    val out = org.locationtech.jts.precision.GeometryPrecisionReducer.reduce(g, pm)
+    encodeKeepSrid(g, out)
+  }
+
   /** Raw untagged OGC WKB bytes (PostGIS ST_AsBinary) — the interchange
     * form; the 1-byte dialect tag is internal to this library's cells. */
   def asBinary(tagged: Array[Byte]): Array[Byte] = GeomCodec.rawWkb(geom(tagged))

@@ -1309,3 +1309,29 @@ case class StMaxInscribedCenter(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (g, t) => s"${GeoExpr.K}.maxInscribedCenter($g, $t)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
+
+/** ST_SnapToGrid(geom, size) — coordinates rounded to the grid. */
+case class StSnapToGrid(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_snaptogrid"
+  override protected def nullSafeEval(g: Any, s: Any): Any =
+    GeoKernels.snapToGrid(g.asInstanceOf[Array[Byte]], s.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, s) => s"${GeoExpr.K}.snapToGrid($g, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_ReducePrecision(geom, gridSize) — topology-preserving rounding. */
+case class StReducePrecision(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_reduceprecision"
+  override protected def nullSafeEval(g: Any, s: Any): Any =
+    GeoKernels.reducePrecision(g.asInstanceOf[Array[Byte]], s.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, s) => s"${GeoExpr.K}.reducePrecision($g, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}

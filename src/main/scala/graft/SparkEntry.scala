@@ -965,6 +965,22 @@ object SparkEntry {
       graft.operators.SpatialCluster.dbscan(pts, "id", "g", eps = 1.2, minPts = 2)
         .orderBy("id")
     }),
+    // DBSCAN with minPts=1 (PostGIS ST_ClusterDBSCAN minpoints := 1):
+    // every point is core (degree >= 0), so clusters are exactly the
+    // eps-connected components and singleton islands become singleton
+    // CLUSTERS (own id), never noise — same gaps-and-islands oracle as
+    // q79, exercising the isolated-point core-status path
+    "q92_dbscan_minpts1" -> ((spark, dir) => {
+      prep(spark, dir)
+      val pts = spark.sql(s"""
+        SELECT xi * 1000 + yi AS id,
+               ST_GeomFromText('POINT(' || CAST(xi AS STRING) || ' '
+                 || CAST(yi AS STRING) || ')') AS g
+        FROM (SELECT DISTINCT l_orderkey % 100 AS xi, l_linenumber * 10 AS yi
+              FROM lineitem)""")
+      graft.operators.SpatialCluster.dbscan(pts, "id", "g", eps = 1.2, minPts = 1)
+        .orderBy("id")
+    }),
     // grid snapping + precision reduction: fractional offsets .3/.7 (and
     // .25/.75 for the envelope) stay away from the .5 tie so both
     // engines' rounding rules agree; size-2 snapping is parity-dependent
@@ -1733,6 +1749,19 @@ object SparkEntry {
                  FROM isl GROUP BY yi, grp)
       SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
              CASE WHEN m.sz >= 2 THEN CAST(m.cluster AS BIGINT) ELSE NULL END AS cluster
+      FROM isl JOIN m USING (yi, grp) ORDER BY id""",
+    // minPts=1 → every point core → clusters = islands, singletons keep
+    // their own id (same closed form as q79, no NULL branch)
+    "q92_dbscan_minpts1" -> """
+      WITH d AS (SELECT DISTINCT l_orderkey % 100 AS xi, l_linenumber * 10 AS yi
+                 FROM lineitem),
+           isl AS (SELECT xi, yi,
+                    xi - dense_rank() OVER (PARTITION BY yi ORDER BY xi) AS grp
+                 FROM d),
+           m AS (SELECT yi, grp, min(xi * 1000 + yi) AS cluster
+                 FROM isl GROUP BY yi, grp)
+      SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
+             CAST(m.cluster AS BIGINT) AS cluster
       FROM isl JOIN m USING (yi, grp) ORDER BY id""",
     // islands of consecutive x per y ↔ single-linkage clusters at 1<d<2
     "q79_spatial_cluster" -> """

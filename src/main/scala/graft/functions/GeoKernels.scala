@@ -780,7 +780,15 @@ object GeoKernels {
     def rec(x: Geometry): Unit =
       if (x.getNumGeometries > 1 || x.isInstanceOf[GeometryCollection])
         (0 until x.getNumGeometries).foreach(i => rec(x.getGeometryN(i)))
-      else { x.setSRID(g.getSRID); out += GeomCodec.encodeEwkb(x) }
+      else {
+        // copy before setSRID: x is a child of the CACHED parent (the
+        // per-thread decode LRU shares entries across rows), so an
+        // in-place setSRID would leak into every later kernel reading
+        // the same cached geometry — same discipline as setSridGeom
+        val c = x.copy()
+        c.setSRID(g.getSRID)
+        out += GeomCodec.encodeEwkb(c)
+      }
     rec(g)
     out.toArray
   }
@@ -940,6 +948,19 @@ object GeoKernels {
   // spelling is sort_array(collect_list(...)) → array kernel — the caller
   // states the order explicitly and results are engine-reproducible.
 
+  /** SRID folding for multi-element constructors, PostGIS contract:
+    * unset (0) elements inherit the running SRID; two DIFFERENT nonzero
+    * SRIDs raise "Operation on mixed SRID geometries" exactly as PostGIS
+    * aggregates do — mixing projections silently would produce
+    * coordinates in two reference systems sewn into one geometry. */
+  private def mergeSrid(cur: Int, g: Geometry, op: String): Int = {
+    val s = g.getSRID
+    if (s == 0 || s == cur) cur
+    else if (cur == 0) s
+    else throw new IllegalArgumentException(
+      s"$op: Operation on mixed SRID geometries ($cur vs $s)")
+  }
+
   /** Coordinates of all elements (points/lines) in array order sewn into
     * one LineString (PostGIS ST_MakeLine); null with fewer than 2
     * coordinates; null elements skipped. */
@@ -951,7 +972,7 @@ object GeoKernels {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val g = geom(arr.getBinary(i))
-        if (srid == 0) srid = g.getSRID
+        srid = mergeSrid(srid, g, "ST_MakeLine")
         coords ++= g.getCoordinates
       }
       i += 1
@@ -974,7 +995,7 @@ object GeoKernels {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val g = geom(arr.getBinary(i))
-        if (srid == 0) srid = g.getSRID
+        srid = mergeSrid(srid, g, "ST_Polygonize")
         p.add(g)
       }
       i += 1
@@ -997,7 +1018,7 @@ object GeoKernels {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val g = geom(arr.getBinary(i))
-        if (srid == 0) srid = g.getSRID
+        srid = mergeSrid(srid, g, "ST_Union")
         gs += g
       }
       i += 1

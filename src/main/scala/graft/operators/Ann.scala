@@ -250,10 +250,18 @@ object Ann {
     out
   }
 
-  /** Deterministic full-corpus k-means: centroids seeded from the k
-    * lowest-id vectors (no RNG → reproducible across runs and engines),
-    * refined with `iters` distributed Lloyd steps. Driver state is k·dim
-    * floats regardless of corpus size. */
+  /** Full-corpus k-means: centroids seeded from the k lowest-id vectors
+    * (no RNG — the SEED is reproducible across runs and engines), refined
+    * with `iters` distributed Lloyd steps. Driver state is k·dim floats
+    * regardless of corpus size.
+    *
+    * Determinism caveat: seeding and per-centroid ASSIGNMENT are exact,
+    * but each Lloyd step's `avg()` is a floating-point sum whose rounding
+    * depends on aggregation order — refined centroids can differ in the
+    * last ulp across partitionings, and an assignment sitting exactly on
+    * a tie boundary could flip with them. Fixed input partitioning →
+    * bit-identical output; across repartitionings the result is stable
+    * up to that floating-point tolerance, not guaranteed bit-equal. */
   def kmeans(corpus: DataFrame, k: Int, iters: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     var cents = corpus.orderBy(col(idCol)).limit(k)

@@ -153,6 +153,16 @@ object Curation {
     * BloomFilterMightContain via [[org.apache.spark.sql.graft.Shims]]),
     * not a UDF.
     *
+    * Sizing: Spark SILENTLY clamps `BloomFilterAggregate` at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
+    * (4M items / 64M bits ≈ 8 MB by default) — a `Math.min`, not an
+    * error — and a saturated filter keeps recall = 1 but its
+    * false-positive rate explodes, over-flagging clean documents at
+    * exactly the corpus scale this operator exists for. So the build
+    * raises both caps to the requested sizing for the duration of the
+    * aggregate and restores the caller's values after; the 100M-gram
+    * case genuinely gets its ~120 MB filter.
+    *
     * Asymmetry of errors: a Bloom filter has NO false negatives, so every
     * truly contaminated doc is flagged (recall of contamination = 1);
     * false positives can only over-flag clean docs at the configured
@@ -163,16 +173,36 @@ object Curation {
     import org.apache.spark.sql.graft.Shims
     val bg = tokenNgrams(bench, idCol, textCol, n).select("gram").distinct()
     val est = math.max(bg.count(), 1L)
-    // one bounded scalar to the driver: the serialized filter
-    val bloomBytes = bg
-      .select(Shims.column(Shims.bloomAgg(
-        Shims.expression(col("gram")), est, est * bitsPerGram)).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    // one bounded scalar to the driver: the serialized filter, built
+    // with the clamping confs raised to the requested sizing
+    val bloomBytes = withMinConf(bench.sparkSession,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> est,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> est * bitsPerGram) {
+      bg.select(Shims.column(Shims.bloomAgg(
+          Shims.expression(col("gram")), est, est * bitsPerGram)).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    }
     val hit = Shims.column(Shims.bloomMightContain(
       Shims.expression(lit(bloomBytes)), Shims.expression(col("gram"))))
     tokenNgrams(corpus, idCol, textCol, n)
       .where(hit)
       .groupBy("doc").agg(count_distinct(col("gram")).as("n_flagged"))
+  }
+
+  /** Run `body` with each long-valued conf raised to AT LEAST `needed`,
+    * restoring the caller's settings afterwards (session-conf mutation
+    * is scoped to the enclosed action, never leaked). */
+  private[graft] def withMinConf[T](spark: org.apache.spark.sql.SparkSession,
+      entries: (String, Long)*)(body: => T): T = {
+    val saved = entries.map { case (k, _) => k -> spark.conf.getOption(k) }
+    entries.foreach { case (k, needed) =>
+      if (spark.conf.getOption(k).forall(_.toLong < needed))
+        spark.conf.set(k, needed.toString)
+    }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   /** Keep at most `maxRows` rows per `keyCol`, chosen in `orderCol` order

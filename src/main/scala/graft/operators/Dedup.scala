@@ -303,9 +303,16 @@ object Dedup {
     *    + order-invariant hash checksum), not by collecting edges.
     *
     * Returns (id, component) for every node that appears in `pairs`;
-    * component is the minimum node id of the cluster. */
+    * component is the minimum node id of the cluster.
+    *
+    * Exhausting `maxIter` without reaching a fixpoint is an ERROR, not a
+    * quiet degradation: a non-converged assignment can split one true
+    * component into several, and everything downstream (cluster dedup,
+    * leakage-safe splits) would silently trust it. By default this
+    * throws; pass `failOnNonConvergence = false` to accept the partial
+    * assignment with a logged warning instead. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, failOnNonConvergence: Boolean = true): DataFrame = {
     // direct every edge large→small; both star steps preserve the
     // invariant src > dst by construction
     var edges = pairs
@@ -349,6 +356,14 @@ object Dedup {
       prev = cur
       edges = small
       it += 1
+    }
+    if (!done) {
+      val msg = s"connectedComponents exhausted maxIter=$maxIter without " +
+        "converging; the assignment may split true components"
+      if (failOnNonConvergence) throw new IllegalStateException(
+        msg + " (raise maxIter, or pass failOnNonConvergence = false to " +
+          "accept the partial result)")
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     // at fixpoint the edge list IS the star assignment v → component-min;
     // add the roots themselves

@@ -79,8 +79,14 @@ object SpatialCluster {
       .localCheckpoint() // reused three times below; cut the grid-join lineage
     val degrees = nbrs.groupBy(col("__ida").as("id"))
       .agg(count(lit(1)).as("__deg"))
-    // core: minPts neighbors INCLUDING self
-    val cores = degrees.where(col("__deg") >= minPts - 1).select("id")
+    // core: minPts neighbors INCLUDING self. Derived from ALL ids, not
+    // from the neighbor-pair table — a point with zero eps-neighbors has
+    // no degree row, yet minPts = 1 (degree >= 0) makes every point core
+    // in PostGIS ST_ClusterDBSCAN: isolated points are singleton
+    // clusters, not noise.
+    val cores = df.select(col(idCol).as("id")).distinct()
+      .join(degrees, Seq("id"), "left")
+      .where(coalesce(col("__deg"), lit(0L)) >= minPts - 1).select("id")
     val coreEdges = nbrs
       .join(cores.select(col("id").as("__ida")), "__ida")
       .join(cores.select(col("id").as("__idb")), "__idb")

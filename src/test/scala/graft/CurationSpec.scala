@@ -167,4 +167,33 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no false negatives: bloom-flagged ⊇ exact-flagged
     assert(exact.subsetOf(bloom), s"missed: ${exact -- bloom}")
   }
+
+  test("decontaminateBloom defeats Spark's silent bloom-size clamp and restores confs") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Shims
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    // simulate the saturation regime cheaply: caps far below the request
+    spark.conf.set(itemsKey, "32")
+    spark.conf.set(bitsKey, "64")
+    try {
+      val grams = (1 to 500).map(i => s"gram$i").toDF("gram")
+      def build(): Array[Byte] = grams.select(Shims.column(Shims.bloomAgg(
+        Shims.expression(col("gram")), 500L, 5000L)).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      // Spark clamps with Math.min, no error: the 5000-bit request comes
+      // back as a 64-bit filter
+      val clamped = build()
+      // withMinConf (the decontaminateBloom build path) gets the real size
+      val raised = Curation.withMinConf(spark,
+        itemsKey -> 500L, bitsKey -> 5000L)(build())
+      assert(clamped.length < raised.length && raised.length >= 5000 / 8,
+        s"clamped=${clamped.length}B raised=${raised.length}B")
+      // and the caller's (deliberately tiny) caps are restored
+      assert(spark.conf.get(itemsKey) == "32" && spark.conf.get(bitsKey) == "64")
+    } finally {
+      spark.conf.unset(itemsKey)
+      spark.conf.unset(bitsKey)
+    }
+  }
 }

@@ -218,6 +218,26 @@ class GeoCodecSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("dumpGeoms never mutates the shared decode-cache entry") {
+    import graft.functions.GeoKernels
+    // Build bytes whose CACHED geometry has parent SRID 4326 but child
+    // SRID 0: setSridGeom copies + sets only the top-level field (JTS
+    // setSRID is non-recursive) and primes the cache with that instance.
+    val mp = GeomCodec.encodeEwkb(GeomCodec.parseWkt("MULTIPOINT(1 2,3 4)"))
+    val tagged = GeoKernels.setSridGeom(mp, 4326)
+    val cached = GeoKernels.geom(tagged)
+    assert(cached.getSRID == 4326 && cached.getGeometryN(0).getSRID == 0)
+    // dumpGeoms emits parts re-tagged with the parent SRID...
+    val parts = GeoKernels.dumpGeoms(tagged)
+    assert(parts.length == 2 &&
+      parts.forall(p => GeomCodec.decode(p).getSRID == 4326))
+    // ...but must do it on COPIES: the cached parent (shared across all
+    // rows on this thread) still carries the original child SRIDs
+    val again = GeoKernels.geom(tagged)
+    assert((0 until again.getNumGeometries)
+      .forall(i => again.getGeometryN(i).getSRID == 0))
+  }
+
   test("geojson golden format (src/function/as_geojson.rs:141)") {
     val p = GeomCodec.parseWkt("POINT(-71.064544 42.28787)")
     assert(GeoJsonWriter.write(p) ==

@@ -383,6 +383,29 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("""select ST_Union_Arr(array(cast(null as binary)))""") == null)
   }
 
+  test("array constructors raise on mixed nonzero SRIDs (PostGIS contract)") {
+    // PostGIS: "Operation on mixed SRID geometries" — sewing coordinates
+    // from two projections into one geometry must be loud
+    def mixedFails(expr: String): Unit = {
+      val e = intercept[Exception](sql1(expr))
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("mixed SRID"))), s"wrong failure for $expr: $e")
+    }
+    mixedFails("""select ST_MakeLine(array(
+      ST_GeomFromText('POINT(0 0)', 4326), ST_GeomFromText('POINT(1 1)', 3857)))""")
+    mixedFails("""select ST_Polygonize(array(
+      ST_GeomFromText('LINESTRING(0 0,1 0)', 4326),
+      ST_GeomFromText('LINESTRING(1 0,0 0)', 3857)))""")
+    mixedFails("""select ST_Union(array(
+      ST_GeomFromText('POINT(0 0)', 4326), ST_GeomFromText('POINT(1 1)', 3857)))""")
+    // unset (0) elements inherit the nonzero SRID, in either order
+    assert(sql1("""select ST_SRID(ST_MakeLine(array(
+      ST_GeomFromText('POINT(0 0)'), ST_GeomFromText('POINT(1 1)', 4326),
+      ST_GeomFromText('POINT(2 2)'))))""") == 4326)
+  }
+
   test("shape metrics: hausdorff / frechet / maximum inscribed circle") {
     assert(sql1("""select ST_HausdorffDistance(
       ST_GeomFromText('LINESTRING(0 0,10 0)'),

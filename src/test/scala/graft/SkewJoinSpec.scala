@@ -40,6 +40,61 @@ class SkewJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SkewJoin.saltedJoin(probe, build, "k", salts = 8).count() == 2000L)
   }
 
+  test("gridJoin hot cell: AQE skew-join splits the oversized cell partition") {
+    import graft.operators.SpatialJoin
+    import org.apache.spark.sql.functions._
+    // 60k points, 80% inside ONE 10x10 grid cell — the skewed spatial
+    // distribution the grid join concentrates onto a single reducer.
+    // The mitigation contract is Spark's AQE skew-join split (the cell
+    // join is a plain equi-join, exactly what OptimizeSkewedJoin
+    // handles); this pins that reliance with a plan assertion instead of
+    // leaving it as an undemonstrated claim.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // detection thresholds scaled down to the test's data volume
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      graft.functions.GeoFunctions.register(spark)
+      val pts = spark.sql("""
+        SELECT id, ST_GeomFromText('POINT(' ||
+                 CAST(CASE WHEN id % 5 < 4 THEN (id % 97) / 10.0
+                           ELSE (id % 37) * 10.0 + 15.0 END AS STRING) || ' ' ||
+                 CAST(CASE WHEN id % 5 < 4 THEN (id % 89) / 10.0
+                           ELSE 15.0 END AS STRING) || ')') AS geom
+        FROM range(0, 60000) t(id)""")
+      val boxes = spark.sql("""
+        SELECT * FROM VALUES
+          (1, ST_MakeEnvelope(0.0, 0.0, 9.0, 9.0)),
+          (2, ST_MakeEnvelope(100.0, 10.0, 160.0, 20.0)),
+          (3, ST_MakeEnvelope(5000.0, 5000.0, 5001.0, 5001.0)) AS t(bid, bgeom)""")
+      val grid = SpatialJoin.gridJoin(pts, "geom", boxes, "bgeom", cellSize = 10.0)
+        .select("id", "bid")
+      // execute THIS queryExecution (count() would plan its own), so the
+      // adaptive plan below is the final, executed one
+      val n = grid.collect().length.toLong
+      val plan = grid.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"hot cell was not split by AQE skew-join:\n$plan")
+      // and splitting never changes the result
+      val viaBroadcast = SpatialJoin.broadcastJoin(pts, "geom", boxes, "bgeom").count()
+      assert(n == viaBroadcast, s"grid ($n) != broadcast ($viaBroadcast)")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("hotKeys surfaces only keys above the threshold, heaviest first") {
     import spark.implicits._
     val df = (Seq.fill(100)(1L) ++ Seq.fill(50)(2L) ++ Seq.fill(3)(3L))

@@ -192,4 +192,25 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       0L -> Some(1L), 1L -> Some(1L), 2L -> Some(1L), 3L -> Some(1L), 4L -> Some(1L),
       10L -> None, 11L -> None, 20L -> None))
   }
+
+  test("dbscan minPts=1: every point is core; isolated points are singleton clusters") {
+    import spark.implicits._
+    import graft.functions.GeoFunctions._
+    import org.apache.spark.sql.functions._
+    // PostGIS ST_ClusterDBSCAN(minpoints := 1): degree >= 0 makes every
+    // point core, so the result is the eps-connected components and an
+    // isolated point (20) gets its OWN cluster id, never noise
+    val pts = Seq(
+      (0L, 0.0), (1L, 1.0), (2L, 2.0),
+      (10L, 50.0), (11L, 51.0),
+      (20L, 100.0)).toDF("id", "x")
+      .select(col("id"), st_geomfromtext(
+        concat(lit("POINT("), col("x"), lit(" 0)"))).as("g"))
+    val got = graft.operators.SpatialCluster.dbscan(pts, "id", "g", eps = 1.2, minPts = 1)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got == Map(
+      0L -> Some(0L), 1L -> Some(0L), 2L -> Some(0L),
+      10L -> Some(10L), 11L -> Some(10L), 20L -> Some(20L)))
+  }
 }

@@ -500,6 +500,21 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     touched.foreach(id => assert(got(id) == expected(id), s"node $id"))
   }
 
+  test("connected components: maxIter exhaustion is loud, not a silent fixpoint") {
+    import spark.implicits._
+    // a 50-chain cannot converge in one round; the default contract
+    // throws rather than returning a possibly-split assignment
+    val pairs = (0L until 49L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, "a", "b", maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("maxIter=1"))
+    // opting out returns the partial (warned) assignment instead
+    val partial = Dedup.connectedComponents(pairs, "a", "b", maxIter = 1,
+      failOnNonConvergence = false).collect()
+    assert(partial.nonEmpty)
+  }
+
   test("dedupClusters: singletons map to themselves") {
     import spark.implicits._
     val docs = Seq((1L, "x"), (2L, "y"), (3L, "x"), (9L, "z")).toDF("doc_id", "text")

@@ -147,6 +147,70 @@ object ScaleSmoke {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
 
+    // ---- spatial skew: 10M points, 80% inside ONE grid cell ----
+    // The skewed spatial distribution that funnels a grid join into a
+    // single reducer. Mitigation contract: AQE skew-join split on the
+    // cell equi-join (plan-asserted in SkewJoinSpec at small scale);
+    // this proves the same shape completes in bounded time at 10M rows
+    // and that the split never changes the result.
+    {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hotPts = spark.sql("""
+        SELECT id AS pid, ST_GeomFromText('POINT(' ||
+                 CAST(CASE WHEN id % 5 < 4 THEN (id % 997) / 100.0
+                           ELSE (id % 397) * 10.0 + 15.0 END AS STRING) || ' ' ||
+                 CAST(CASE WHEN id % 5 < 4 THEN (id % 883) / 100.0
+                           ELSE 15.0 END AS STRING) || ')') AS geom
+        FROM range(0, 10000000) t(id)""").repartition(32).cache()
+      println(s"[scale] hot-cell pts: ${hotPts.count()} (80% in cell (0,0))")
+      val hotBoxes = spark.sql("""
+        SELECT * FROM VALUES
+          (1, ST_MakeEnvelope(0.0, 0.0, 9.0, 9.0)),
+          (2, ST_MakeEnvelope(100.0, 10.0, 1600.0, 20.0)),
+          (3, ST_MakeEnvelope(9000.0, 9000.0, 9001.0, 9001.0)) AS t(bid, bgeom)""")
+      val gj = time("gridJoin 10M pts, 80% one cell (AQE skew split)") {
+        SpatialJoin.gridJoin(hotPts, "geom", hotBoxes, "bgeom",
+          cellSize = 10.0).count()
+      }
+      val bj = SpatialJoin.broadcastJoin(hotPts, "geom", hotBoxes, "bgeom").count()
+      assert(gj == bj, s"hot-cell grid ($gj) != broadcast ($bj)")
+      println(s"[scale]   hot-cell join rows: $gj")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      hotPts.unpersist()
+    }
+
+    // ---- clusterWithin under heavy point multiplicity ----
+    // 10M rows over 20k DISTINCT grid positions, 80% of rows piled onto
+    // ONE position — the duplicate regime where the naive self-join
+    // would emit k²/2 co-located pairs. The documented mitigation
+    // (scaladoc on clusterWithin): cluster DISTINCT geometries, join the
+    // assignment back by geometry. Edge count stays bounded by the
+    // distinct density (~4 grid neighbors each), row count by the input.
+    {
+      val multi = spark.sql("""
+        SELECT id AS rid, ST_GeomFromText('POINT(' ||
+                 CAST(CASE WHEN id % 5 < 4 THEN 0 ELSE (id % 141) * 2 END AS STRING)
+                 || ' ' ||
+                 CAST(CASE WHEN id % 5 < 4 THEN 0 ELSE (id div 141) % 141 END AS STRING)
+                 || ')') AS geom
+        FROM range(0, 10000000) t(id)""").repartition(32).cache()
+      println(s"[scale] multiplicity rows: ${multi.count()}")
+      val cw = time("clusterWithin 10M rows via distinct-geometry path") {
+        val distinct = multi.select(col("geom")).distinct()
+          .withColumn("gid", xxhash64(col("geom")))
+        val assign = graft.operators.SpatialCluster
+          .clusterWithin(distinct, "gid", "geom", dist = 1.2)
+        distinct.join(assign, distinct("gid") === assign("id"))
+          .select(col("geom"), col("cluster"))
+          .join(multi, "geom")
+      }
+      val n = cw.count()
+      assert(n == 10000000L, s"assignment lost rows: $n")
+      println(s"[scale]   clustered rows: $n, clusters: ${
+        cw.select("cluster").distinct().count()}")
+      multi.unpersist()
+    }
+
     // ---- vectors: IVF build+search on the full 2k corpus ----
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val r = time("ivf build+search") {

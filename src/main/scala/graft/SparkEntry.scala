@@ -904,6 +904,23 @@ object SparkEntry {
       graft.operators.SpatialCluster.clusterWithin(pts, "id", "g", dist = 1.2)
         .orderBy("id")
     }),
+    // transitive clusters of INTERSECTING rectangles (PostGIS
+    // ST_ClusterIntersecting): width-1.2 rects on integer x overlap
+    // exactly when x is consecutive (Δ=1 < 1.2 < 2), rows 10 apart never
+    // touch — so clusters are again the q79 islands, exercised through
+    // the envelope-overlap grid join instead of the distance refine
+    "q93_cluster_intersecting" -> ((spark, dir) => {
+      prep(spark, dir)
+      val rects = spark.sql(s"""
+        SELECT xi * 1000 + yi AS id,
+               ST_MakeEnvelope(CAST(xi AS DOUBLE), CAST(yi AS DOUBLE),
+                 CAST(xi AS DOUBLE) + 1.2D, CAST(yi AS DOUBLE) + 1.0D) AS g
+        FROM (SELECT DISTINCT l_orderkey % 100 AS xi, l_linenumber * 10 AS yi
+              FROM lineitem)""")
+      graft.operators.SpatialCluster
+        .clusterIntersecting(rects, "id", "g", cellSize = 2.0)
+        .orderBy("id")
+    }),
     // hulls/linework family: every output has a closed form on the
     // synthesized shapes — mbc radius = half diagonal, oriented envelope
     // of an axis-aligned rect = itself, unary union = rectangle overlap
@@ -1753,6 +1770,18 @@ object SparkEntry {
     // minPts=1 → every point core → clusters = islands, singletons keep
     // their own id (same closed form as q79, no NULL branch)
     "q92_dbscan_minpts1" -> """
+      WITH d AS (SELECT DISTINCT l_orderkey % 100 AS xi, l_linenumber * 10 AS yi
+                 FROM lineitem),
+           isl AS (SELECT xi, yi,
+                    xi - dense_rank() OVER (PARTITION BY yi ORDER BY xi) AS grp
+                 FROM d),
+           m AS (SELECT yi, grp, min(xi * 1000 + yi) AS cluster
+                 FROM isl GROUP BY yi, grp)
+      SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
+             CAST(m.cluster AS BIGINT) AS cluster
+      FROM isl JOIN m USING (yi, grp) ORDER BY id""",
+    // width-1.2 rects overlap ↔ consecutive x per y: the q79 islands
+    "q93_cluster_intersecting" -> """
       WITH d AS (SELECT DISTINCT l_orderkey % 100 AS xi, l_linenumber * 10 AS yi
                  FROM lineitem),
            isl AS (SELECT xi, yi,

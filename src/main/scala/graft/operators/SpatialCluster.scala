@@ -45,6 +45,37 @@ object SpatialCluster {
       .withColumnRenamed("component", "cluster")
   }
 
+  /** Transitive clusters of INTERSECTING geometries (PostGIS
+    * ST_ClusterIntersecting/ST_ClusterIntersectingWin): any two members
+    * that intersect (interiors or boundaries touch) connect their
+    * clusters. Geometries that intersect nothing map to themselves.
+    *
+    * Scale: same shape as [[clusterWithin]] with the distance refine
+    * replaced by `ST_Intersects` — intersecting geometries have
+    * overlapping envelopes, so a grid self-join (cell size `cellSize`,
+    * one side expanded by 0) over envelope cells is a complete candidate
+    * filter; one shuffle on the cell key, exact JTS refine in buckets,
+    * then large-star/small-star connected components. `cellSize` should
+    * sit near the median envelope size: too small multiplies cells per
+    * geometry, too large piles unrelated geometries into shared buckets
+    * (AQE skew-join splitting bounds the damage either way, asserted in
+    * `SkewJoinSpec`). */
+  def clusterIntersecting(df: DataFrame, idCol: String, geomCol: String,
+      cellSize: Double): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    GeoFunctions.register(df.sparkSession)
+    val l = df.select(col(idCol).as("__ida"), col(geomCol).as("__ga"))
+      .withColumn("__cell", explode(GeoFunctions.grid_cells(col("__ga"), cellSize, 0.0)))
+    val r = df.select(col(idCol).as("__idb"), col(geomCol).as("__gb"))
+      .withColumn("__cell", explode(GeoFunctions.grid_cells(col("__gb"), cellSize, 0.0)))
+    val pairs = l.join(r, "__cell")
+      .where(col("__ida") < col("__idb") &&
+        GeoFunctions.st_intersects(col("__ga"), col("__gb")))
+      .select("__ida", "__idb").distinct()
+    Dedup.dedupClusters(df, idCol, pairs, "__ida", "__idb")
+      .withColumnRenamed("component", "cluster")
+  }
+
   /** Distributed DBSCAN (PostGIS ST_ClusterDBSCAN semantics): a point
     * with at least `minPts` neighbors within `eps` (counting itself) is
     * CORE; core points within `eps` of each other share a cluster; a

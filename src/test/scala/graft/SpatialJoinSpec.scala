@@ -172,6 +172,23 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("clusterIntersecting: overlap chains merge, touching counts, disjoint stays solo") {
+    import spark.implicits._
+    import graft.functions.GeoFunctions._
+    import org.apache.spark.sql.functions._
+    // 0-1 overlap, 1-2 overlap (chain); 10 touches 11 at a shared edge
+    // (ST_Intersects = true for boundary contact); 20 disjoint
+    val rows = Seq(
+      (0L, 0.0, 0.0, 2.0, 1.0), (1L, 1.5, 0.0, 3.5, 1.0), (2L, 3.0, 0.0, 5.0, 1.0),
+      (10L, 50.0, 0.0, 51.0, 1.0), (11L, 51.0, 0.0, 52.0, 1.0),
+      (20L, 200.0, 0.0, 201.0, 1.0)).toDF("id", "x0", "y0", "x1", "y1")
+      .select(col("id"), st_makeenvelope(col("x0"), col("y0"), col("x1"), col("y1")).as("g"))
+    val got = graft.operators.SpatialCluster
+      .clusterIntersecting(rows, "id", "g", cellSize = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("dbscan: cores chain, borders attach to min cluster, sparse points are noise") {
     import spark.implicits._
     import graft.functions.GeoFunctions._

@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.GeoFunctions
+import graft.operators.{Curation, Dedup}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The README's "SQL-only pipeline recipes" are a contract: each recipe
+  * must produce the SAME rows as the Scala operator it re-spells, so a
+  * SQL-only user (JDBC, notebook, Thrift server) can run the curation
+  * pipeline without touching the Scala API. These specs pin the two
+  * spellings together on corpora with known structure. */
+class SqlRecipesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GeoFunctions.register(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** 100 docs: 50 sliding-window bases (neighbors share 9 of 12 tokens,
+    * Jaccard 0.6 — LSH candidates that the refine must reject at 0.8)
+    * plus one jittered copy each (Jaccard 12/13 ≈ 0.92 — true pairs). */
+  private def corpus() = {
+    import spark.implicits._
+    val docs = (0 until 50).flatMap { i =>
+      val base = (0 until 12).map(j => s"w${(3 * i + j) % 200}").mkString(" ")
+      Seq((i * 2L, base), (i * 2L + 1, base + s" x$i"))
+    }.toDF("doc_id", "text")
+    docs.createOrReplaceTempView("docs")
+    docs
+  }
+
+  test("minhash near-dup dedup driven purely through SQL matches the Scala operator") {
+    val docs = corpus()
+    // README recipe, verbatim shape: scatter → capped buckets → in-bucket
+    // pairs → exact token-Jaccard refine, all in one spark.sql call
+    val sqlPairs = spark.sql("""
+      WITH sigs AS (
+        SELECT doc_id AS doc, minhash_sig(text, 64) AS sig FROM docs),
+      buckets AS (
+        SELECT doc, band, bucket FROM sigs
+        LATERAL VIEW posexplode(transform(sequence(0, 15),
+          b -> xxhash64(slice(sig, b * 4 + 1, 4)))) t AS band, bucket),
+      grouped AS (
+        SELECT ds FROM (SELECT sort_array(collect_list(doc)) AS ds
+                        FROM buckets GROUP BY band, bucket)
+        WHERE size(ds) BETWEEN 2 AND 10000),
+      cands AS (
+        SELECT DISTINCT p.ida, p.idb FROM grouped
+        LATERAL VIEW explode(flatten(transform(ds, (x, i) ->
+          transform(slice(ds, i + 2, size(ds)),
+                    y -> struct(x AS ida, y AS idb))))) t AS p),
+      toks AS (SELECT doc_id AS doc, array_distinct(split(text, ' ')) AS ts FROM docs)
+      SELECT ida, idb FROM cands
+      JOIN toks a ON ida = a.doc JOIN toks b ON idb = b.doc
+      WHERE size(array_intersect(a.ts, b.ts)) /
+            (size(a.ts) + size(b.ts) - size(array_intersect(a.ts, b.ts))) >= 0.8""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scalaPairs = Dedup
+      .minhashNearDups(docs, "doc_id", "text", threshold = 0.8,
+        numHashes = 64, bands = 16)
+      .select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sqlPairs == scalaPairs)
+    // and the corpus structure is actually exercised: every jittered
+    // copy pairs with its base (50 true pairs), no 0.6-Jaccard neighbor
+    // survives the refine
+    assert(scalaPairs == (0 until 50).map(i => (i * 2L, i * 2L + 1)).toSet)
+  }
+
+  test("exact keep-first dedup through SQL matches Dedup.exactKeepFirst") {
+    import spark.implicits._
+    val docs = Seq((5L, "same"), (1L, "same"), (3L, "same"),
+      (2L, "other"), (9L, "third")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("docs")
+    val viaSql = spark.sql("""
+      SELECT doc_id, text FROM (SELECT *, row_number() OVER
+          (PARTITION BY md5(cast(text AS binary)) ORDER BY doc_id) AS rn
+        FROM docs) WHERE rn = 1""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaScala = Dedup.exactKeepFirst(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaSql == viaScala && viaSql == Set((1L, "same"), (2L, "other"), (9L, "third")))
+  }
+
+  test("n-gram decontamination through SQL matches Curation.decontaminate") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = (1L to 20L).map { i =>
+      if (i % 4 == 0)
+        (i, s"doc $i has the quick brown fox jumps over the lazy dog inside")
+      else (i, s"doc $i is clean filler with its own words only number $i")
+    }.toDF("doc_id", "text")
+    bench.createOrReplaceTempView("bench")
+    corpus.createOrReplaceTempView("corpus")
+    val viaSql = spark.sql("""
+      WITH bg AS (SELECT DISTINCT g FROM bench
+        LATERAL VIEW explode(transform(sequence(0, size(split(text, ' ')) - 8),
+          i -> array_join(slice(split(text, ' '), i + 1, 8), ' '))) t AS g
+        WHERE size(split(text, ' ')) >= 8),
+      cg AS (SELECT doc_id, g FROM corpus
+        LATERAL VIEW explode(transform(sequence(0, size(split(text, ' ')) - 8),
+          i -> array_join(slice(split(text, ' '), i + 1, 8), ' '))) t AS g
+        WHERE size(split(text, ' ')) >= 8)
+      SELECT doc_id, cast(count(DISTINCT g) AS bigint) AS n_shared
+      FROM cg JOIN bg USING (g) GROUP BY doc_id""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaScala = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    assert(viaSql.map(_._1) == (1L to 20L).filter(_ % 4 == 0).toSet)
+  }
+}

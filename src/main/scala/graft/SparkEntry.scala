@@ -921,6 +921,28 @@ object SparkEntry {
         .clusterIntersecting(rects, "id", "g", cellSize = 2.0)
         .orderBy("id")
     }),
+    // ST_Subdivide invariants: a segmentized w x 5 rectangle carries
+    // 2(w+5)+1 >= 13 vertices, so the 8-vertex cap always splits it;
+    // splitting conserves area exactly (integer/half-grid cuts are
+    // exact in binary) and the dissolved parts equal the input region.
+    // The part COUNT is recursion-shape-dependent, so the oracle pins
+    // the invariants, not the count
+    "q94_subdivide" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             size(parts) >= 2 AS split_happened,
+             round(aggregate(parts, 0.0D, (a, p) -> a + ST_Area(p)), 6) AS area_sum,
+             array_max(transform(parts, p -> ST_NPoints(p))) <= 8 AS parts_small,
+             ST_Equals(ST_Union(parts), env) AS covers
+      FROM (SELECT l_orderkey, l_linenumber, env,
+                   ST_Subdivide(ST_Segmentize(env, 1.0D), 8) AS parts
+            FROM (SELECT l_orderkey, l_linenumber,
+                         ST_MakeEnvelope(x, y, x + w, y + 5) AS env
+                  FROM (SELECT l_orderkey, l_linenumber,
+                               CAST(l_orderkey % 100 AS DOUBLE) AS x,
+                               CAST(l_linenumber * 10 AS DOUBLE) AS y,
+                               CAST(l_linenumber AS DOUBLE) AS w
+                        FROM lineitem)))
+      ORDER BY l_orderkey, l_linenumber"""),
     // hulls/linework family: every output has a closed form on the
     // synthesized shapes — mbc radius = half diagonal, oriented envelope
     // of an axis-aligned rect = itself, unary union = rectangle overlap
@@ -1780,6 +1802,14 @@ object SparkEntry {
       SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
              CAST(m.cluster AS BIGINT) AS cluster
       FROM isl JOIN m USING (yi, grp) ORDER BY id""",
+    // subdivide invariants replay as constants + exact area arithmetic
+    "q94_subdivide" -> """
+      SELECT l_orderkey, l_linenumber,
+             TRUE AS split_happened,
+             round(CAST(l_linenumber * 5 AS DOUBLE), 6) AS area_sum,
+             TRUE AS parts_small,
+             TRUE AS covers
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     // width-1.2 rects overlap ↔ consecutive x per y: the q79 islands
     "q93_cluster_intersecting" -> """
       WITH d AS (SELECT DISTINCT l_orderkey % 100 AS xi, l_linenumber * 10 AS yi

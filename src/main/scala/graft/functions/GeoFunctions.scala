@@ -121,6 +121,12 @@ object GeoFunctions {
     "st_normalize" -> { es => arity("st_normalize", es, 1); StNormalize(es.head) },
     "st_geohash" -> { es => arity("st_geohash", es, 2); StGeoHash(es.head, es(1)) },
     "st_dump" -> { es => arity("st_dump", es, 1); StDump(es.head) },
+    // PostGIS default max_vertices = 256 when omitted
+    "st_subdivide" -> { es =>
+      arity("st_subdivide", es, 1, 2)
+      StSubdivide(es.head, if (es.length == 2) es(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(256))
+    },
     "st_minimumboundingcircle" -> { es =>
       arity("st_minimumboundingcircle", es, 1); StMinimumBoundingCircle(es.head) },
     "st_minimumboundingradius" -> { es =>
@@ -285,6 +291,8 @@ object GeoFunctions {
   def st_normalize(g: Column): Column = c(StNormalize(x(g)))
   def st_geohash(g: Column, precision: Column): Column = c(StGeoHash(x(g), x(precision)))
   def st_dump(g: Column): Column = c(StDump(x(g)))
+  def st_subdivide(g: Column, maxVertices: Column): Column =
+    c(StSubdivide(x(g), x(maxVertices)))
   def st_minimumboundingcircle(g: Column): Column = c(StMinimumBoundingCircle(x(g)))
   def st_minimumboundingradius(g: Column): Column = c(StMinimumBoundingRadius(x(g)))
   def st_orientedenvelope(g: Column): Column = c(StOrientedEnvelope(x(g)))

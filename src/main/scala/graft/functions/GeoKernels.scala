@@ -793,6 +793,54 @@ object GeoKernels {
     out.toArray
   }
 
+  /** Recursively split a geometry until every part carries at most
+    * `maxVertices` vertices (PostGIS ST_Subdivide): halve the part's
+    * envelope along its longer axis, clip, recurse. THE pre-join scale
+    * lever for oversized geometries — a continent-sized polygon covers
+    * thousands of grid cells and turns every one into a hot bucket;
+    * subdivided parts grid-partition evenly and carry cheap per-part
+    * predicates. Parts keep the input's SRID (set on copies — the
+    * decoded input is a shared cache entry) and dimension (cut-line
+    * artifacts of polygon clipping are dropped). */
+  def subdivide(tagged: Array[Byte], maxVertices: Int): Array[Array[Byte]] = {
+    require(maxVertices >= 5,
+      s"st_subdivide maxVertices must be >= 5 (PostGIS contract); got $maxVertices")
+    val g = geom(tagged)
+    val srid = g.getSRID
+    val dim = g.getDimension
+    val f = GeomCodec.geometryFactory
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def rec(x: Geometry, depth: Int): Unit = {
+      if (x.isEmpty) return
+      if (x.getNumGeometries > 1 || x.isInstanceOf[GeometryCollection]) {
+        (0 until x.getNumGeometries).map(x.getGeometryN)
+          .filter(p => !p.isEmpty && p.getDimension == dim)
+          .foreach(rec(_, depth))
+      } else if (x.getNumPoints <= maxVertices || depth >= 32) {
+        val c = x.copy(); c.setSRID(srid); out += GeomCodec.encodeEwkb(c)
+      } else {
+        val env = x.getEnvelopeInternal
+        val halves =
+          if (env.getWidth >= env.getHeight) {
+            val mx = (env.getMinX + env.getMaxX) / 2
+            Seq(new org.locationtech.jts.geom.Envelope(
+                  env.getMinX, mx, env.getMinY, env.getMaxY),
+                new org.locationtech.jts.geom.Envelope(
+                  mx, env.getMaxX, env.getMinY, env.getMaxY))
+          } else {
+            val my = (env.getMinY + env.getMaxY) / 2
+            Seq(new org.locationtech.jts.geom.Envelope(
+                  env.getMinX, env.getMaxX, env.getMinY, my),
+                new org.locationtech.jts.geom.Envelope(
+                  env.getMinX, env.getMaxX, my, env.getMaxY))
+          }
+        halves.foreach(h => rec(x.intersection(f.toGeometry(h)), depth + 1))
+      }
+    }
+    rec(g, 0)
+    out.toArray
+  }
+
   /** Rotate counter-clockwise by theta radians about (ox, oy) (PostGIS
     * ST_Rotate; origin defaults to (0,0) at the expression layer). */
   def rotate(tagged: Array[Byte], theta: Double, ox: Double,

@@ -1016,6 +1016,25 @@ case class StDump(child: Expression) extends UnaryExpression with GeoExpression
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** PostGIS ST_Subdivide as an array producer (explode for the set form):
+  * parts with at most `right` vertices each, envelope-halving recursion.
+  * The pre-join lever that keeps oversized polygons from hot-spotting
+  * every grid cell they cover. */
+case class StSubdivide(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "st_subdivide"
+  override protected def nullSafeEval(g: Any, mv: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GeoKernels.subdivide(g.asInstanceOf[Array[Byte]], mv.asInstanceOf[Int])
+        .asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, mv) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(${GeoExpr.K}.subdivide($g, $mv))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 // ---------------------------------------------------------------------------
 // hulls, triangulations, linework (PostGIS-standard extras)
 // ---------------------------------------------------------------------------

@@ -383,6 +383,33 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("""select ST_Union_Arr(array(cast(null as binary)))""") == null)
   }
 
+  test("st_subdivide: parts bounded, area conserved, union = original, srid kept") {
+    val row = spark.sql("""
+      SELECT size(parts) AS n,
+             round(aggregate(parts, 0.0D, (a, p) -> a + ST_Area(p)), 6) AS area,
+             ST_Equals(ST_Union(parts), big) AS same,
+             array_max(transform(parts, p -> ST_NPoints(p))) AS maxnp,
+             array_distinct(transform(parts, p -> ST_SRID(p))) AS srids
+      FROM (SELECT ST_Subdivide(big, 8) AS parts, big FROM
+        (SELECT ST_Segmentize(ST_MakeEnvelope(0D, 0D, 16D, 4D, 4326), 1.0D) AS big))""")
+      .collect()(0)
+    assert(row.getInt(0) >= 2, "a 41-vertex ring must split")
+    assert(row.getDouble(1) == 64.0, "area must be conserved exactly")
+    assert(row.getBoolean(2), "united parts must equal the input")
+    assert(row.getInt(3) <= 8, "every part must respect the vertex cap")
+    assert(row.getSeq[Any](4).toSeq == Seq(4326), "parts keep the input SRID")
+    // small inputs pass through whole; 1-arg form defaults to 256
+    assert(sql1("""select size(ST_Subdivide(ST_MakeEnvelope(0D,0D,1D,1D), 8))""") == 1)
+    assert(sql1("""select ST_AsText(ST_Subdivide(ST_GeomFromText('POINT(3 4)'))[0])""")
+      == "POINT(3 4)")
+    // PostGIS contract: max_vertices below 5 is an error
+    val e = intercept[Exception](sql1(
+      "select ST_Subdivide(ST_MakeEnvelope(0D,0D,1D,1D), 4)"))
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains(">= 5"))))
+  }
+
   test("array constructors raise on mixed nonzero SRIDs (PostGIS contract)") {
     // PostGIS: "Operation on mixed SRID geometries" — sewing coordinates
     // from two projections into one geometry must be loud

@@ -172,6 +172,33 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("st_subdivide is join-transparent: parts match the same rows as the whole") {
+    GeoFunctions.register(spark)
+    // a 301-vertex polygon (segmentized 100x50 rect) is the oversized-
+    // geometry shape that hot-spots every grid cell it covers; the
+    // pre-join lever is explode(ST_Subdivide(...)) + DISTINCT on the
+    // probe id. Parts cover the input exactly, so the match set is
+    // IDENTICAL — including points sitting on internal cut lines, which
+    // intersect two parts and dedup away.
+    val pts = spark.sql("""
+      SELECT id, ST_GeomFromText('POINT(' || CAST(id % 120 AS STRING) || ' '
+               || CAST(id % 60 AS STRING) || ')') AS geom
+      FROM range(0, 200) t(id)""")
+    val whole = spark.sql("""
+      SELECT 1 AS bid,
+             ST_Segmentize(ST_MakeEnvelope(0D, 0D, 100D, 50D), 1.0D) AS bgeom""")
+    val parts = spark.sql("""
+      SELECT 1 AS bid, part AS bgeom FROM (
+        SELECT explode(ST_Subdivide(
+          ST_Segmentize(ST_MakeEnvelope(0D, 0D, 100D, 50D), 1.0D), 16)) AS part)""")
+    assert(parts.count() >= 2)
+    def ids(right: org.apache.spark.sql.DataFrame): Set[Long] =
+      SpatialJoin.broadcastJoin(pts, "geom", right, "bgeom")
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val viaWhole = ids(whole)
+    assert(viaWhole.nonEmpty && ids(parts) == viaWhole)
+  }
+
   test("clusterIntersecting: overlap chains merge, touching counts, disjoint stays solo") {
     import spark.implicits._
     import graft.functions.GeoFunctions._

@@ -921,6 +921,26 @@ object SparkEntry {
         .clusterIntersecting(rects, "id", "g", cellSize = 2.0)
         .orderBy("id")
     }),
+    // ST_LineSubstring on a horizontal segment (x,y)->(x+w,y): the
+    // quarter fractions land on exact binary coordinates (w/4 with w in
+    // 1..7), so endpoints/length replay as exact arithmetic
+    "q95_line_substring" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_X(ST_StartPoint(sub)) AS x0,
+             ST_X(ST_EndPoint(sub)) AS x1,
+             ST_Y(ST_StartPoint(sub)) AS y0,
+             ST_Length(sub) AS sub_len,
+             ST_NPoints(sub) AS np
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_LineSubstring(ST_GeomFromText('LINESTRING(' || xs || ' '
+                     || ys || ',' || CAST(xi + wi AS STRING) || ' ' || ys
+                     || ')'), 0.25D, 0.75D) AS sub
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber AS INT) AS wi,
+                         $PX AS xs, $PY AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // ST_Subdivide invariants: a segmentized w x 5 rectangle carries
     // 2(w+5)+1 >= 13 vertices, so the 8-vertex cap always splits it;
     // splitting conserves area exactly (integer/half-grid cuts are
@@ -1802,6 +1822,20 @@ object SparkEntry {
       SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
              CAST(m.cluster AS BIGINT) AS cluster
       FROM isl JOIN m USING (yi, grp) ORDER BY id""",
+    // quarter-fraction substring of a straight segment: exact arithmetic
+    "q95_line_substring" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber * 10 AS BIGINT) AS yi,
+              CAST(l_linenumber AS BIGINT) AS wi
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             CAST(xi AS DOUBLE) + CAST(wi AS DOUBLE) / 4 AS x0,
+             CAST(xi AS DOUBLE) + 3 * CAST(wi AS DOUBLE) / 4 AS x1,
+             CAST(yi AS DOUBLE) AS y0,
+             CAST(wi AS DOUBLE) / 2 AS sub_len,
+             CAST(2 AS INT) AS np
+      FROM b ORDER BY l_orderkey, l_linenumber""",
     // subdivide invariants replay as constants + exact area arithmetic
     "q94_subdivide" -> """
       SELECT l_orderkey, l_linenumber,

@@ -93,6 +93,8 @@ object GeoFunctions {
     "st_scale" -> { es => arity("st_scale", es, 3); StScale(es.head, es(1), es(2)) },
     "st_lineinterpolatepoint" -> { es =>
       arity("st_lineinterpolatepoint", es, 2); StLineInterpolatePoint(es.head, es(1)) },
+    "st_linesubstring" -> { es =>
+      arity("st_linesubstring", es, 3); StLineSubstring(es.head, es(1), es(2)) },
     "st_linelocatepoint" -> { es =>
       arity("st_linelocatepoint", es, 2); StLineLocatePoint(es.head, es(1)) },
     "st_touches" -> { es => arity("st_touches", es, 2); StTouches(es.head, es(1)) },
@@ -269,6 +271,8 @@ object GeoFunctions {
   def st_scale(g: Column, xf: Column, yf: Column): Column = c(StScale(x(g), x(xf), x(yf)))
   def st_lineinterpolatepoint(g: Column, frac: Column): Column =
     c(StLineInterpolatePoint(x(g), x(frac)))
+  def st_linesubstring(g: Column, startFrac: Column, endFrac: Column): Column =
+    c(StLineSubstring(x(g), x(startFrac), x(endFrac)))
   def st_linelocatepoint(line: Column, pt: Column): Column =
     c(StLineLocatePoint(x(line), x(pt)))
   def st_touches(a: Column, b: Column): Column = c(StTouches(x(a), x(b)))

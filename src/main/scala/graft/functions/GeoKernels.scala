@@ -801,7 +801,13 @@ object GeoKernels {
     * subdivided parts grid-partition evenly and carry cheap per-part
     * predicates. Parts keep the input's SRID (set on copies — the
     * decoded input is a shared cache entry) and dimension (cut-line
-    * artifacts of polygon clipping are dropped). */
+    * artifacts of polygon clipping are dropped).
+    *
+    * Termination valve: clipping preserves collinear boundary vertices,
+    * so a cap at the 5-vertex floor can be unsatisfiable (a ring plus
+    * one boundary vertex is 6 points no matter how small the part); the
+    * recursion stops at depth 32 and emits the part as-is rather than
+    * loop. Caps of 8+ subdivide densified rectilinear inputs fully. */
   def subdivide(tagged: Array[Byte], maxVertices: Int): Array[Array[Byte]] = {
     require(maxVertices >= 5,
       s"st_subdivide maxVertices must be >= 5 (PostGIS contract); got $maxVertices")
@@ -868,6 +874,25 @@ object GeoKernels {
         encodeKeepSrid(l, GeomCodec.geometryFactory.createPoint(c))
       case _ => null
     }
+
+  /** Substring of a LineString between the two length fractions (PostGIS
+    * ST_LineSubstring): the part from `s` to `e` of the line's length,
+    * equal fractions collapse to a point, non-LineString input → null.
+    * Fractions outside 0 <= s <= e <= 1 raise, matching PostGIS. */
+  def lineSubstring(tagged: Array[Byte], s: Double, e: Double): Array[Byte] = {
+    if (!(s >= 0.0 && s <= e && e <= 1.0)) throw new IllegalArgumentException(
+      s"st_linesubstring fractions must satisfy 0 <= start <= end <= 1; got $s, $e")
+    geom(tagged) match {
+      case l: LineString if !l.isEmpty =>
+        val len = l.getLength
+        val ix = new org.locationtech.jts.linearref.LengthIndexedLine(l)
+        val out: Geometry =
+          if (s == e) GeomCodec.geometryFactory.createPoint(ix.extractPoint(s * len))
+          else ix.extractLine(s * len, e * len)
+        encodeKeepSrid(l, out)
+      case _ => null
+    }
+  }
 
   /** Fraction of a LineString's length at the point closest to `pt`;
     * null when inputs are not (LineString, Point) or the line has zero

@@ -594,6 +594,25 @@ case class StTranslate(first: Expression, second: Expression, third: Expression)
     copy(a, b, c)
 }
 
+/** PostGIS ST_LineSubstring(line, startFrac, endFrac): the part of the
+  * line between the two length fractions; equal fractions → point. */
+case class StLineSubstring(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_linesubstring"
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(g: Any, s: Any, e: Any): Any =
+    GeoKernels.lineSubstring(g.asInstanceOf[Array[Byte]],
+      s.asInstanceOf[Double], e.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, s, e) => s"""
+      ${ev.value} = ${GeoExpr.K}.lineSubstring($g, $s, $e);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
 /** ST_Rotate(geom, theta[, ox, oy]) — counter-clockwise radians about
   * (ox, oy), default origin (0,0) supplied by the builder. */
 case class StRotate(first: Expression, second: Expression, third: Expression,

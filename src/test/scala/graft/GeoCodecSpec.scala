@@ -238,6 +238,33 @@ class GeoCodecSpec extends AnyFunSuite {
       .forall(i => again.getGeometryN(i).getSRID == 0))
   }
 
+  test("subdivide property: area conserved exactly, vertex cap respected") {
+    import graft.functions.GeoKernels
+    import org.scalacheck.Gen
+    val gen = for {
+      w <- Gen.choose(1, 40); h <- Gen.choose(1, 40); cap <- Gen.choose(8, 16)
+    } yield (w, h, cap)
+    // caps start at 8: clipping keeps collinear boundary vertices, so a
+    // terminal part carries up to ring(5) + 2 original-boundary vertices
+    // — caps below 7 are unsatisfiable by design (kernel depth valve).
+    // forAllNoShrink: scalacheck shrinking ignores generator bounds and
+    // would "shrink" into 0-sized degenerate rects.
+    val prop = Prop.forAllNoShrink(gen) { case (w, h, cap) =>
+      // densify to force splits (a plain rect's 5 vertices never exceed
+      // the cap); all coordinates and cuts stay on exact binary fractions
+      val rect = GeomCodec.parseWkt(
+        s"POLYGON((0 0,$w 0,$w $h,0 $h,0 0))")
+      val dense = org.locationtech.jts.densify.Densifier.densify(rect, 1.0)
+      val parts = GeoKernels.subdivide(GeomCodec.encodeEwkb(dense), cap)
+        .map(GeomCodec.decode)
+      val areaOk = parts.map(_.getArea).sum == w.toDouble * h
+      val capOk = parts.forall(_.getNumPoints <= cap)
+      areaOk && capOk && parts.nonEmpty
+    }
+    val result = scCheck(Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("geojson golden format (src/function/as_geojson.rs:141)") {
     val p = GeomCodec.parseWkt("POINT(-71.064544 42.28787)")
     assert(GeoJsonWriter.write(p) ==

@@ -383,6 +383,29 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("""select ST_Union_Arr(array(cast(null as binary)))""") == null)
   }
 
+  test("st_linesubstring: middle cut, vertex kept, point collapse, contract errors") {
+    assert(sql1("""select ST_AsText(ST_LineSubstring(
+      ST_GeomFromText('LINESTRING(0 0,8 0)'), 0.25D, 0.75D))""") == "LINESTRING(2 0,6 0)")
+    // interior vertices inside the window survive
+    assert(sql1("""select ST_AsText(ST_LineSubstring(
+      ST_GeomFromText('LINESTRING(0 0,4 0,4 4)'), 0.25D, 0.75D))""") ==
+      "LINESTRING(2 0,4 0,4 2)")
+    // equal fractions collapse to the point at that fraction
+    assert(sql1("""select ST_AsText(ST_LineSubstring(
+      ST_GeomFromText('LINESTRING(0 0,8 0)'), 0.5D, 0.5D))""") == "POINT(4 0)")
+    // non-line input -> null; SRID rides through
+    assert(sql1("select ST_LineSubstring(ST_GeomFromText('POINT(1 1)'), 0D, 1D)") == null)
+    assert(sql1("""select ST_SRID(ST_LineSubstring(
+      ST_GeomFromText('LINESTRING(0 0,8 0)', 4326), 0D, 0.5D))""") == 4326)
+    // PostGIS contract: start > end (or out of [0,1]) raises
+    val e = intercept[Exception](sql1("""select ST_LineSubstring(
+      ST_GeomFromText('LINESTRING(0 0,8 0)'), 0.9D, 0.1D)"""))
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("0 <= start <= end <= 1"))))
+  }
+
   test("st_subdivide: parts bounded, area conserved, union = original, srid kept") {
     val row = spark.sql("""
       SELECT size(parts) AS n,

@@ -921,6 +921,30 @@ object SparkEntry {
         .clusterIntersecting(rects, "id", "g", cellSize = 2.0)
         .orderBy("id")
     }),
+    // line editors compose on integer coordinates, so every edited line
+    // replays as WKT string concat: append -> 3-point line, set point 0
+    // one unit left, remove the middle point of the appended line
+    "q96_line_editors" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_AsText(added) AS add_wkt,
+             ST_AsText(ST_SetPoint(added, 0,
+               ST_GeomFromText('POINT(' || CAST(xi - 1 AS STRING) || ' ' || ys || ')')))
+               AS set_wkt,
+             ST_AsText(ST_RemovePoint(added, 1)) AS rm_wkt,
+             ST_NPoints(added) AS np
+      FROM (SELECT l_orderkey, l_linenumber, xi, ys,
+                   ST_AddPoint(
+                     ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                       || CAST(xi + wi AS STRING) || ' ' || ys || ')'),
+                     ST_GeomFromText('POINT(' || CAST(xi + wi AS STRING) || ' '
+                       || CAST(yi + 5 AS STRING) || ')')) AS added
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber * 10 AS INT) AS yi,
+                         CAST(l_linenumber AS INT) AS wi,
+                         $PX AS xs, $PY AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // ST_LineSubstring on a horizontal segment (x,y)->(x+w,y): the
     // quarter fractions land on exact binary coordinates (w/4 with w in
     // 1..7), so endpoints/length replay as exact arithmetic
@@ -1822,6 +1846,27 @@ object SparkEntry {
       SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
              CAST(m.cluster AS BIGINT) AS cluster
       FROM isl JOIN m USING (yi, grp) ORDER BY id""",
+    // edited lines replay as integer string concat
+    "q96_line_editors" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber * 10 AS BIGINT) AS yi,
+              CAST(l_linenumber AS BIGINT) AS wi
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             'LINESTRING(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi + 5 AS VARCHAR)
+               || ')' AS add_wkt,
+             'LINESTRING(' || CAST(xi - 1 AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi + 5 AS VARCHAR)
+               || ')' AS set_wkt,
+             'LINESTRING(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi + 5 AS VARCHAR)
+               || ')' AS rm_wkt,
+             CAST(3 AS INT) AS np
+      FROM b ORDER BY l_orderkey, l_linenumber""",
     // quarter-fraction substring of a straight segment: exact arithmetic
     "q95_line_substring" -> """
       WITH b AS (SELECT l_orderkey, l_linenumber,

@@ -95,6 +95,16 @@ object GeoFunctions {
       arity("st_lineinterpolatepoint", es, 2); StLineInterpolatePoint(es.head, es(1)) },
     "st_linesubstring" -> { es =>
       arity("st_linesubstring", es, 3); StLineSubstring(es.head, es(1), es(2)) },
+    // PostGIS default position -1 = append
+    "st_addpoint" -> { es =>
+      arity("st_addpoint", es, 2, 3)
+      StAddPoint(es.head, es(1), if (es.length == 3) es(2)
+        else org.apache.spark.sql.catalyst.expressions.Literal(-1))
+    },
+    "st_setpoint" -> { es =>
+      arity("st_setpoint", es, 3); StSetPoint(es.head, es(1), es(2)) },
+    "st_removepoint" -> { es =>
+      arity("st_removepoint", es, 2); StRemovePoint(es.head, es(1)) },
     "st_linelocatepoint" -> { es =>
       arity("st_linelocatepoint", es, 2); StLineLocatePoint(es.head, es(1)) },
     "st_touches" -> { es => arity("st_touches", es, 2); StTouches(es.head, es(1)) },
@@ -273,6 +283,12 @@ object GeoFunctions {
     c(StLineInterpolatePoint(x(g), x(frac)))
   def st_linesubstring(g: Column, startFrac: Column, endFrac: Column): Column =
     c(StLineSubstring(x(g), x(startFrac), x(endFrac)))
+  def st_addpoint(line: Column, pt: Column, pos: Column): Column =
+    c(StAddPoint(x(line), x(pt), x(pos)))
+  def st_setpoint(line: Column, pos: Column, pt: Column): Column =
+    c(StSetPoint(x(line), x(pos), x(pt)))
+  def st_removepoint(line: Column, pos: Column): Column =
+    c(StRemovePoint(x(line), x(pos)))
   def st_linelocatepoint(line: Column, pt: Column): Column =
     c(StLineLocatePoint(x(line), x(pt)))
   def st_touches(a: Column, b: Column): Column = c(StTouches(x(a), x(b)))

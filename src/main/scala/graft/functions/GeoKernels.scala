@@ -875,6 +875,55 @@ object GeoKernels {
       case _ => null
     }
 
+  // ---- line editors (PostGIS ST_AddPoint / ST_SetPoint / ST_RemovePoint)
+
+  private def rebuildLine(src: LineString,
+      coords: Array[Coordinate]): Array[Byte] =
+    encodeKeepSrid(src, GeomCodec.geometryFactory.createLineString(coords))
+
+  /** Insert `pt` into the line before 0-based `pos`; -1 appends (PostGIS
+    * ST_AddPoint default). Non-(line, point) input → null; positions
+    * outside -1..numPoints raise. */
+  def addPoint(line: Array[Byte], pt: Array[Byte], pos: Int): Array[Byte] =
+    (geom(line), geom(pt)) match {
+      case (l: LineString, p: Point) if !p.isEmpty =>
+        val cs = l.getCoordinates
+        val at = if (pos == -1) cs.length else pos
+        if (at < 0 || at > cs.length) throw new IllegalArgumentException(
+          s"st_addpoint position must be -1 (append) or 0..${cs.length}; got $pos")
+        rebuildLine(l, (cs.take(at) :+ p.getCoordinate.copy()) ++ cs.drop(at))
+      case _ => null
+    }
+
+  /** Replace the 0-based `pos`-th vertex with `pt`; negative counts from
+    * the end (-1 = last), PostGIS ST_SetPoint. */
+  def setPoint(line: Array[Byte], pos: Int, pt: Array[Byte]): Array[Byte] =
+    (geom(line), geom(pt)) match {
+      case (l: LineString, p: Point) if !p.isEmpty =>
+        val cs = l.getCoordinates
+        val at = if (pos < 0) cs.length + pos else pos
+        if (at < 0 || at >= cs.length) throw new IllegalArgumentException(
+          s"st_setpoint index out of range (${cs.length} points); got $pos")
+        val out = cs.clone()
+        out(at) = p.getCoordinate.copy()
+        rebuildLine(l, out)
+      case _ => null
+    }
+
+  /** Remove the 0-based `pos`-th vertex (PostGIS ST_RemovePoint); the
+    * result must remain a valid 2+-point line. */
+  def removePoint(line: Array[Byte], pos: Int): Array[Byte] =
+    geom(line) match {
+      case l: LineString =>
+        val cs = l.getCoordinates
+        if (pos < 0 || pos >= cs.length) throw new IllegalArgumentException(
+          s"st_removepoint index out of range (${cs.length} points); got $pos")
+        if (cs.length <= 2) throw new IllegalArgumentException(
+          "st_removepoint: a line needs at least 2 points")
+        rebuildLine(l, cs.take(pos) ++ cs.drop(pos + 1))
+      case _ => null
+    }
+
   /** Substring of a LineString between the two length fractions (PostGIS
     * ST_LineSubstring): the part from `s` to `e` of the line's length,
     * equal fractions collapse to a point, non-LineString input → null.

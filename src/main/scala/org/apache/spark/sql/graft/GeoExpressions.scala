@@ -594,6 +594,58 @@ case class StTranslate(first: Expression, second: Expression, third: Expression)
     copy(a, b, c)
 }
 
+/** PostGIS line editors: ST_AddPoint(line, pt[, pos]) /
+  * ST_SetPoint(line, n, pt) / ST_RemovePoint(line, n). Null for
+  * non-(line, point) inputs, range violations raise like PostGIS. */
+case class StAddPoint(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_addpoint"
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(l: Any, p: Any, n: Any): Any =
+    GeoKernels.addPoint(l.asInstanceOf[Array[Byte]], p.asInstanceOf[Array[Byte]],
+      n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, p, n) => s"""
+      ${ev.value} = ${GeoExpr.K}.addPoint($l, $p, $n);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+case class StSetPoint(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_setpoint"
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(l: Any, n: Any, p: Any): Any =
+    GeoKernels.setPoint(l.asInstanceOf[Array[Byte]], n.asInstanceOf[Int],
+      p.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, n, p) => s"""
+      ${ev.value} = ${GeoExpr.K}.setPoint($l, $n, $p);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+case class StRemovePoint(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_removepoint"
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(l: Any, n: Any): Any =
+    GeoKernels.removePoint(l.asInstanceOf[Array[Byte]], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, n) => s"""
+      ${ev.value} = ${GeoExpr.K}.removePoint($l, $n);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** PostGIS ST_LineSubstring(line, startFrac, endFrac): the part of the
   * line between the two length fractions; equal fractions → point. */
 case class StLineSubstring(first: Expression, second: Expression, third: Expression)

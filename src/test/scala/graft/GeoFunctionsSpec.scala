@@ -383,6 +383,38 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("""select ST_Union_Arr(array(cast(null as binary)))""") == null)
   }
 
+  test("line editors: addpoint / setpoint / removepoint (PostGIS contracts)") {
+    // default position appends; explicit position inserts BEFORE it
+    assert(sql1("""select ST_AsText(ST_AddPoint(
+      ST_GeomFromText('LINESTRING(0 0,1 1)'), ST_GeomFromText('POINT(2 2)')))""") ==
+      "LINESTRING(0 0,1 1,2 2)")
+    assert(sql1("""select ST_AsText(ST_AddPoint(
+      ST_GeomFromText('LINESTRING(0 0,2 2)'), ST_GeomFromText('POINT(1 1)'), 1))""") ==
+      "LINESTRING(0 0,1 1,2 2)")
+    // negative ST_SetPoint counts from the end (-1 = last)
+    assert(sql1("""select ST_AsText(ST_SetPoint(
+      ST_GeomFromText('LINESTRING(0 0,1 1,9 9)'), -1, ST_GeomFromText('POINT(2 2)')))""") ==
+      "LINESTRING(0 0,1 1,2 2)")
+    assert(sql1("""select ST_AsText(ST_RemovePoint(
+      ST_GeomFromText('LINESTRING(0 0,5 5,1 1)'), 1))""") == "LINESTRING(0 0,1 1)")
+    // SRID rides through; non-line input -> null
+    assert(sql1("""select ST_SRID(ST_AddPoint(
+      ST_GeomFromText('LINESTRING(0 0,1 1)', 4326), ST_GeomFromText('POINT(2 2)')))""") == 4326)
+    assert(sql1("""select ST_AddPoint(ST_GeomFromText('POINT(0 0)'),
+      ST_GeomFromText('POINT(2 2)'))""") == null)
+    // range violations and 2-point removal raise
+    def fails(expr: String, needle: String): Unit = {
+      val e = intercept[Exception](sql1(expr))
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains(needle))), expr)
+    }
+    fails("""select ST_SetPoint(ST_GeomFromText('LINESTRING(0 0,1 1)'), 5,
+      ST_GeomFromText('POINT(2 2)'))""", "out of range")
+    fails("""select ST_RemovePoint(ST_GeomFromText('LINESTRING(0 0,1 1)'), 0)""",
+      "at least 2 points")
+  }
+
   test("st_linesubstring: middle cut, vertex kept, point collapse, contract errors") {
     assert(sql1("""select ST_AsText(ST_LineSubstring(
       ST_GeomFromText('LINESTRING(0 0,8 0)'), 0.25D, 0.75D))""") == "LINESTRING(2 0,6 0)")

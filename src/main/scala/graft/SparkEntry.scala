@@ -921,6 +921,23 @@ object SparkEntry {
         .clusterIntersecting(rects, "id", "g", cellSize = 2.0)
         .orderBy("id")
     }),
+    // offset curves of a horizontal segment are exact integer parallels
+    // (positive = left of direction = +y going east), so WKT replays as
+    // string concat and length is unchanged
+    "q97_offset_curve" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_AsText(ST_OffsetCurve(line, 2.0D)) AS left_wkt,
+             ST_AsText(ST_OffsetCurve(line, -3.0D)) AS right_wkt,
+             ST_Length(ST_OffsetCurve(line, 2.0D)) AS off_len
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ')') AS line
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber AS INT) AS wi,
+                         $PX AS xs, $PY AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // line editors compose on integer coordinates, so every edited line
     // replays as WKT string concat: append -> 3-point line, set point 0
     // one unit left, remove the middle point of the appended line
@@ -1846,6 +1863,22 @@ object SparkEntry {
       SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
              CAST(m.cluster AS BIGINT) AS cluster
       FROM isl JOIN m USING (yi, grp) ORDER BY id""",
+    // integer parallels: +2 above, -3 below, length preserved
+    "q97_offset_curve" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber * 10 AS BIGINT) AS yi,
+              CAST(l_linenumber AS BIGINT) AS wi
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             'LINESTRING(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi + 2 AS VARCHAR)
+               || ',' || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi + 2 AS VARCHAR)
+               || ')' AS left_wkt,
+             'LINESTRING(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi - 3 AS VARCHAR)
+               || ',' || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi - 3 AS VARCHAR)
+               || ')' AS right_wkt,
+             CAST(wi AS DOUBLE) AS off_len
+      FROM b ORDER BY l_orderkey, l_linenumber""",
     // edited lines replay as integer string concat
     "q96_line_editors" -> """
       WITH b AS (SELECT l_orderkey, l_linenumber,

@@ -105,6 +105,8 @@ object GeoFunctions {
       arity("st_setpoint", es, 3); StSetPoint(es.head, es(1), es(2)) },
     "st_removepoint" -> { es =>
       arity("st_removepoint", es, 2); StRemovePoint(es.head, es(1)) },
+    "st_offsetcurve" -> { es =>
+      arity("st_offsetcurve", es, 2); StOffsetCurve(es.head, es(1)) },
     "st_linelocatepoint" -> { es =>
       arity("st_linelocatepoint", es, 2); StLineLocatePoint(es.head, es(1)) },
     "st_touches" -> { es => arity("st_touches", es, 2); StTouches(es.head, es(1)) },
@@ -289,6 +291,8 @@ object GeoFunctions {
     c(StSetPoint(x(line), x(pos), x(pt)))
   def st_removepoint(line: Column, pos: Column): Column =
     c(StRemovePoint(x(line), x(pos)))
+  def st_offsetcurve(line: Column, dist: Column): Column =
+    c(StOffsetCurve(x(line), x(dist)))
   def st_linelocatepoint(line: Column, pt: Column): Column =
     c(StLineLocatePoint(x(line), x(pt)))
   def st_touches(a: Column, b: Column): Column = c(StTouches(x(a), x(b)))

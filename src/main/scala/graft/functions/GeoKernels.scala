@@ -875,6 +875,20 @@ object GeoKernels {
       case _ => null
     }
 
+  /** Curve parallel to a line at signed `dist` — positive offsets to the
+    * LEFT of the line direction, like PostGIS ST_OffsetCurve (JTS
+    * OffsetCurve, same convention). Documented deviation: PostGIS
+    * REVERSES vertex direction on right-side (negative) offsets; JTS
+    * keeps the input direction, which this library considers the saner
+    * contract (spec'd in GeoFunctionsSpec). Non-line input → null. */
+  def offsetCurve(tagged: Array[Byte], dist: Double): Array[Byte] =
+    geom(tagged) match {
+      case l: LineString if !l.isEmpty =>
+        encodeKeepSrid(l,
+          org.locationtech.jts.operation.buffer.OffsetCurve.getCurve(l, dist))
+      case _ => null
+    }
+
   // ---- line editors (PostGIS ST_AddPoint / ST_SetPoint / ST_RemovePoint)
 
   private def rebuildLine(src: LineString,

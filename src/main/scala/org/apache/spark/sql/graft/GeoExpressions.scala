@@ -594,6 +594,23 @@ case class StTranslate(first: Expression, second: Expression, third: Expression)
     copy(a, b, c)
 }
 
+/** PostGIS ST_OffsetCurve(line, dist): parallel curve, positive = left
+  * of line direction. Null for non-line input. */
+case class StOffsetCurve(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_offsetcurve"
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(g: Any, d: Any): Any =
+    GeoKernels.offsetCurve(g.asInstanceOf[Array[Byte]], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, d) => s"""
+      ${ev.value} = ${GeoExpr.K}.offsetCurve($g, $d);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** PostGIS line editors: ST_AddPoint(line, pt[, pos]) /
   * ST_SetPoint(line, n, pt) / ST_RemovePoint(line, n). Null for
   * non-(line, point) inputs, range violations raise like PostGIS. */

@@ -383,6 +383,18 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("""select ST_Union_Arr(array(cast(null as binary)))""") == null)
   }
 
+  test("st_offsetcurve: left/right parallels of a straight segment") {
+    // positive = left of direction (PostGIS/JTS shared convention):
+    // for a west-to-east segment, left is +y
+    assert(sql1("""select ST_AsText(ST_OffsetCurve(
+      ST_GeomFromText('LINESTRING(0 0,8 0)'), 2.0D))""") == "LINESTRING(0 2,8 2)")
+    assert(sql1("""select ST_AsText(ST_OffsetCurve(
+      ST_GeomFromText('LINESTRING(0 0,8 0)'), -3.0D))""") == "LINESTRING(0 -3,8 -3)")
+    assert(sql1("""select ST_SRID(ST_OffsetCurve(
+      ST_GeomFromText('LINESTRING(0 0,8 0)', 4326), 1.0D))""") == 4326)
+    assert(sql1("""select ST_OffsetCurve(ST_GeomFromText('POINT(1 1)'), 1.0D)""") == null)
+  }
+
   test("line editors: addpoint / setpoint / removepoint (PostGIS contracts)") {
     // default position appends; explicit position inserts BEFORE it
     assert(sql1("""select ST_AsText(ST_AddPoint(

@@ -921,6 +921,28 @@ object SparkEntry {
         .clusterIntersecting(rects, "id", "g", cellSize = 2.0)
         .orderBy("id")
     }),
+    // ST_Node on a T-junction: a vertical stem touching the interior of
+    // a horizontal span splits it — 3 segments, total length preserved,
+    // bbox arithmetic exact (stem at xi+wi with 1 <= wi <= 7 < 8, so
+    // the junction is always interior)
+    "q98_node" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_NumGeometries(noded) AS n_segs,
+             ST_Length(noded) AS total_len,
+             Box2D(noded).xmax - Box2D(noded).xmin AS bbox_w
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_Node(ST_GeomFromText('MULTILINESTRING((' || xs || ' ' || ys
+                     || ',' || CAST(xi + 8 AS STRING) || ' ' || ys || '),('
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || CAST(yi + 3 AS STRING)
+                     || '))')) AS noded
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber * 10 AS INT) AS yi,
+                         CAST(l_linenumber AS INT) AS wi,
+                         $PX AS xs, $PY AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // offset curves of a horizontal segment are exact integer parallels
     // (positive = left of direction = +y going east), so WKT replays as
     // string concat and length is unchanged
@@ -1863,6 +1885,13 @@ object SparkEntry {
       SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
              CAST(m.cluster AS BIGINT) AS cluster
       FROM isl JOIN m USING (yi, grp) ORDER BY id""",
+    // T-junction noding: 3 segments, length 8 + 3, width 8
+    "q98_node" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(3 AS INT) AS n_segs,
+             CAST(11 AS DOUBLE) AS total_len,
+             CAST(8 AS DOUBLE) AS bbox_w
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     // integer parallels: +2 above, -3 below, length preserved
     "q97_offset_curve" -> """
       WITH b AS (SELECT l_orderkey, l_linenumber,

@@ -107,6 +107,7 @@ object GeoFunctions {
       arity("st_removepoint", es, 2); StRemovePoint(es.head, es(1)) },
     "st_offsetcurve" -> { es =>
       arity("st_offsetcurve", es, 2); StOffsetCurve(es.head, es(1)) },
+    "st_node" -> { es => arity("st_node", es, 1); StNode(es.head) },
     "st_linelocatepoint" -> { es =>
       arity("st_linelocatepoint", es, 2); StLineLocatePoint(es.head, es(1)) },
     "st_touches" -> { es => arity("st_touches", es, 2); StTouches(es.head, es(1)) },
@@ -293,6 +294,7 @@ object GeoFunctions {
     c(StRemovePoint(x(line), x(pos)))
   def st_offsetcurve(line: Column, dist: Column): Column =
     c(StOffsetCurve(x(line), x(dist)))
+  def st_node(lines: Column): Column = c(StNode(x(lines)))
   def st_linelocatepoint(line: Column, pt: Column): Column =
     c(StLineLocatePoint(x(line), x(pt)))
   def st_touches(a: Column, b: Column): Column = c(StTouches(x(a), x(b)))

@@ -875,6 +875,18 @@ object GeoKernels {
       case _ => null
     }
 
+  /** Fully node the input linework (PostGIS ST_Node): crossing segments
+    * are split at their intersections and duplicate segments dissolve —
+    * the self-union of the lines (JTS UnaryUnionOp performs snap-free
+    * noding). Non-linear input → null, matching PostGIS's lines-only
+    * contract. */
+  def nodeLines(tagged: Array[Byte]): Array[Byte] =
+    geom(tagged) match {
+      case g @ (_: LineString | _: MultiLineString) if !g.isEmpty =>
+        encodeKeepSrid(g, g.union())
+      case _ => null
+    }
+
   /** Curve parallel to a line at signed `dist` — positive offsets to the
     * LEFT of the line direction, like PostGIS ST_OffsetCurve (JTS
     * OffsetCurve, same convention). Documented deviation: PostGIS

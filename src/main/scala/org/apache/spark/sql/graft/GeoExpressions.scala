@@ -594,6 +594,23 @@ case class StTranslate(first: Expression, second: Expression, third: Expression)
     copy(a, b, c)
 }
 
+/** PostGIS ST_Node(lines): fully node the linework (split at crossings,
+  * dissolve duplicates). Null for non-linear input. */
+case class StNode(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_node"
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.nodeLines(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => s"""
+      ${ev.value} = ${GeoExpr.K}.nodeLines($g);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** PostGIS ST_OffsetCurve(line, dist): parallel curve, positive = left
   * of line direction. Null for non-line input. */
 case class StOffsetCurve(left: Expression, right: Expression)

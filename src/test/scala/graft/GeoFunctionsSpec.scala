@@ -383,6 +383,20 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("""select ST_Union_Arr(array(cast(null as binary)))""") == null)
   }
 
+  test("st_node: crossing segments split at the intersection, duplicates dissolve") {
+    // a + cross: two segments meeting at (5,5) node into four
+    assert(sql1("""select ST_NumGeometries(ST_Node(ST_GeomFromText(
+      'MULTILINESTRING((0 5,10 5),(5 0,5 10))')))""") == 4)
+    assert(sql1("""select ST_Length(ST_Node(ST_GeomFromText(
+      'MULTILINESTRING((0 5,10 5),(5 0,5 10))')))""") == 20.0)
+    // exact duplicate linework dissolves to one segment
+    assert(sql1("""select ST_AsText(ST_Node(ST_GeomFromText(
+      'MULTILINESTRING((0 0,4 0),(0 0,4 0))')))""") == "LINESTRING(0 0,4 0)")
+    assert(sql1("""select ST_SRID(ST_Node(ST_GeomFromText(
+      'MULTILINESTRING((0 5,10 5),(5 0,5 10))', 4326)))""") == 4326)
+    assert(sql1("select ST_Node(ST_GeomFromText('POINT(1 1)'))") == null)
+  }
+
   test("st_offsetcurve: left/right parallels of a straight segment") {
     // positive = left of direction (PostGIS/JTS shared convention):
     // for a west-to-east segment, left is +y

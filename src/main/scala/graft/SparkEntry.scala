@@ -921,6 +921,20 @@ object SparkEntry {
         .clusterIntersecting(rects, "id", "g", cellSize = 2.0)
         .orderBy("id")
     }),
+    // minimum clearance of an axis-aligned w x 5 rectangle is its
+    // shorter side, and the realizing line has that exact length
+    "q99_min_clearance" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_MinimumClearance(env) AS clearance,
+             ST_Length(ST_MinimumClearanceLine(env)) AS cl_len
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_MakeEnvelope(x, y, x + w, y + 5) AS env
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS DOUBLE) AS x,
+                         CAST(l_linenumber * 10 AS DOUBLE) AS y,
+                         CAST(l_linenumber AS DOUBLE) AS w
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // ST_Node on a T-junction: a vertical stem touching the interior of
     // a horizontal span splits it — 3 segments, total length preserved,
     // bbox arithmetic exact (stem at xi+wi with 1 <= wi <= 7 < 8, so
@@ -1885,6 +1899,15 @@ object SparkEntry {
       SELECT CAST(isl.xi * 1000 + isl.yi AS BIGINT) AS id,
              CAST(m.cluster AS BIGINT) AS cluster
       FROM isl JOIN m USING (yi, grp) ORDER BY id""",
+    // rectangle clearance = shorter side, exactly
+    "q99_min_clearance" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_linenumber AS BIGINT) AS wi
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             CAST(least(wi, 5) AS DOUBLE) AS clearance,
+             CAST(least(wi, 5) AS DOUBLE) AS cl_len
+      FROM b ORDER BY l_orderkey, l_linenumber""",
     // T-junction noding: 3 segments, length 8 + 3, width 8
     "q98_node" -> """
       SELECT l_orderkey, l_linenumber,

@@ -108,6 +108,10 @@ object GeoFunctions {
     "st_offsetcurve" -> { es =>
       arity("st_offsetcurve", es, 2); StOffsetCurve(es.head, es(1)) },
     "st_node" -> { es => arity("st_node", es, 1); StNode(es.head) },
+    "st_minimumclearance" -> { es =>
+      arity("st_minimumclearance", es, 1); StMinimumClearance(es.head) },
+    "st_minimumclearanceline" -> { es =>
+      arity("st_minimumclearanceline", es, 1); StMinimumClearanceLine(es.head) },
     "st_linelocatepoint" -> { es =>
       arity("st_linelocatepoint", es, 2); StLineLocatePoint(es.head, es(1)) },
     "st_touches" -> { es => arity("st_touches", es, 2); StTouches(es.head, es(1)) },
@@ -295,6 +299,8 @@ object GeoFunctions {
   def st_offsetcurve(line: Column, dist: Column): Column =
     c(StOffsetCurve(x(line), x(dist)))
   def st_node(lines: Column): Column = c(StNode(x(lines)))
+  def st_minimumclearance(g: Column): Column = c(StMinimumClearance(x(g)))
+  def st_minimumclearanceline(g: Column): Column = c(StMinimumClearanceLine(x(g)))
   def st_linelocatepoint(line: Column, pt: Column): Column =
     c(StLineLocatePoint(x(line), x(pt)))
   def st_touches(a: Column, b: Column): Column = c(StTouches(x(a), x(b)))

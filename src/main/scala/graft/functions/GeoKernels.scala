@@ -875,6 +875,26 @@ object GeoKernels {
       case _ => null
     }
 
+  /** Minimum clearance (PostGIS ST_MinimumClearance; JTS
+    * MinimumClearance): the smallest distance any vertex can move before
+    * the geometry becomes invalid — a robustness measure for snapping /
+    * precision reduction decisions. Infinity (encoded as PostGIS does,
+    * Double.PositiveInfinity) when no clearance exists (e.g. a point). */
+  def minimumClearance(tagged: Array[Byte]): Double = {
+    val d = org.locationtech.jts.precision.MinimumClearance.getDistance(geom(tagged))
+    // JTS signals "no clearance exists" with Double.MAX_VALUE; PostGIS
+    // returns Infinity — match PostGIS
+    if (d == Double.MaxValue) Double.PositiveInfinity else d
+  }
+
+  /** The two-point line realizing the minimum clearance (PostGIS
+    * ST_MinimumClearanceLine); null when clearance is infinite. */
+  def minimumClearanceLine(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val line = org.locationtech.jts.precision.MinimumClearance.getLine(g)
+    if (line == null || line.isEmpty) null else encodeKeepSrid(g, line)
+  }
+
   /** Fully node the input linework (PostGIS ST_Node): crossing segments
     * are split at their intersections and duplicate segments dissolve —
     * the self-union of the lines (JTS UnaryUnionOp performs snap-free

@@ -594,6 +594,34 @@ case class StTranslate(first: Expression, second: Expression, third: Expression)
     copy(a, b, c)
 }
 
+/** PostGIS ST_MinimumClearance / ST_MinimumClearanceLine. */
+case class StMinimumClearance(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_minimumclearance"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.minimumClearance(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.minimumClearance($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StMinimumClearanceLine(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_minimumclearanceline"
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.minimumClearanceLine(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => s"""
+      ${ev.value} = ${GeoExpr.K}.minimumClearanceLine($g);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** PostGIS ST_Node(lines): fully node the linework (split at crossings,
   * dissolve duplicates). Null for non-linear input. */
 case class StNode(child: Expression) extends UnaryExpression with GeoExpression

@@ -383,6 +383,15 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("""select ST_Union_Arr(array(cast(null as binary)))""") == null)
   }
 
+  test("st_minimumclearance: shorter rectangle side; infinity for a point") {
+    assert(sql1("""select ST_MinimumClearance(ST_MakeEnvelope(0D, 0D, 7D, 3D))""") == 3.0)
+    assert(sql1("""select ST_Length(ST_MinimumClearanceLine(
+      ST_MakeEnvelope(0D, 0D, 7D, 3D)))""") == 3.0)
+    assert(sql1("""select ST_MinimumClearance(ST_GeomFromText('POINT(1 1)'))""") ==
+      Double.PositiveInfinity)
+    assert(sql1("""select ST_MinimumClearanceLine(ST_GeomFromText('POINT(1 1)'))""") == null)
+  }
+
   test("st_node: crossing segments split at the intersection, duplicates dissolve") {
     // a + cross: two segments meeting at (5,5) node into four
     assert(sql1("""select ST_NumGeometries(ST_Node(ST_GeomFromText(

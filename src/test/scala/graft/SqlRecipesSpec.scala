@@ -76,6 +76,44 @@ class SqlRecipesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scalaPairs == (0 until 50).map(i => (i * 2L, i * 2L + 1)).toSet)
   }
 
+  test("simhash near-dup pairs driven purely through SQL match the Scala operator") {
+    import spark.implicits._
+    // exact duplicates (hamming 0) guarantee hits; near-variants exercise
+    // the radius filter; the sliding bases supply non-pairs
+    val docs = ((0 until 30).map { i =>
+      val base = (0 until 12).map(j => s"w${(5 * i + j) % 300}").mkString(" ")
+      (i.toLong, base)
+    } ++ Seq((100L, (0 until 12).map(j => s"w${j % 300}").mkString(" ")),
+             (101L, (0 until 12).map(j => s"w${(5 + j) % 300}").mkString(" "))))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("docs")
+    // README recipe: 4 x 16-bit bands (pigeonhole-complete for radius 3)
+    val viaSql = spark.sql("""
+      WITH sh AS (SELECT doc_id AS doc, simhash64(text) AS s FROM docs),
+      bands AS (
+        SELECT doc, s, band, bucket FROM sh
+        LATERAL VIEW posexplode(transform(sequence(0, 3),
+          b -> shiftrightunsigned(s, b * 16) & 65535)) t AS band, bucket),
+      grouped AS (SELECT ds FROM (
+          SELECT sort_array(collect_list(struct(doc, s))) AS ds
+          FROM bands GROUP BY band, bucket)
+        WHERE size(ds) BETWEEN 2 AND 10000),
+      cands AS (SELECT DISTINCT p.x.doc AS ida, p.x.s AS sa,
+                                p.y.doc AS idb, p.y.s AS sb
+        FROM grouped
+        LATERAL VIEW explode(flatten(transform(ds, (x, i) ->
+          transform(slice(ds, i + 2, size(ds)),
+                    y -> struct(x AS x, y AS y))))) t AS p)
+      SELECT ida, idb, hamming64(sa, sb) AS hamming
+      FROM cands WHERE hamming64(sa, sb) <= 3""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaScala = Dedup.simhashNearDups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaSql == viaScala)
+    // the planted exact duplicates (0,100) and (1,101) must surface at 0
+    assert(viaSql.contains((0L, 100L, 0)) && viaSql.contains((1L, 101L, 0)))
+  }
+
   test("exact keep-first dedup through SQL matches Dedup.exactKeepFirst") {
     import spark.implicits._
     val docs = Seq((5L, "same"), (1L, "same"), (3L, "same"),

@@ -921,6 +921,42 @@ object SparkEntry {
         .clusterIntersecting(rects, "id", "g", cellSize = 2.0)
         .orderBy("id")
     }),
+    // the README's SQL-only MinHash-LSH recipe as a CONTRACT row: pure
+    // spark.sql end to end (scatter with 64 single-row bands -> capped
+    // buckets -> in-bucket pairs -> exact shingle-Jaccard refine), gated
+    // by the same exact oracle as q28/q44. Single-row bands make the
+    // LSH miss probability (1-J)^64 <= 1e-12 at the 0.35 threshold, so
+    // hash-matching the EXACT pair set is sound
+    "q100_sql_minhash_recipe" -> ((spark, dir) => {
+      prep(spark, dir)
+      spark.sql("""
+        WITH t AS (SELECT doc_id AS doc, text, split(text, ' ') AS l FROM documents),
+        sh AS (SELECT doc, CASE WHEN size(l) >= 3
+                 THEN array_distinct(transform(sequence(0, size(l) - 3),
+                      i -> concat_ws(' ', slice(l, i + 1, 3))))
+                 ELSE array(text) END AS shingles FROM t),
+        sigs AS (SELECT doc_id AS doc, minhash_sig(text, 64) AS sig FROM documents),
+        buckets AS (
+          SELECT doc, band, bucket FROM sigs
+          LATERAL VIEW posexplode(transform(sequence(0, 63),
+            b -> xxhash64(slice(sig, b + 1, 1)))) x AS band, bucket),
+        grouped AS (SELECT ds FROM (SELECT sort_array(collect_list(doc)) AS ds
+                        FROM buckets GROUP BY band, bucket)
+          WHERE size(ds) BETWEEN 2 AND 10000),
+        cands AS (SELECT DISTINCT p.ida, p.idb FROM grouped
+          LATERAL VIEW explode(flatten(transform(ds, (x, i) ->
+            transform(slice(ds, i + 2, size(ds)),
+                      y -> struct(x AS ida, y AS idb))))) x AS p)
+        SELECT ida, idb,
+               size(array_intersect(a.shingles, b.shingles)) AS inter,
+               size(a.shingles) + size(b.shingles)
+                 - size(array_intersect(a.shingles, b.shingles)) AS uni
+        FROM cands JOIN sh a ON ida = a.doc JOIN sh b ON idb = b.doc
+        WHERE size(array_intersect(a.shingles, b.shingles)) * 1.0D /
+              (size(a.shingles) + size(b.shingles)
+                 - size(array_intersect(a.shingles, b.shingles))) >= 0.35D
+        ORDER BY ida, idb""")
+    }),
     // minimum clearance of an axis-aligned w x 5 rectangle is its
     // shorter side, and the realizing line has that exact length
     "q99_min_clearance" -> q(s"""
@@ -1448,6 +1484,7 @@ object SparkEntry {
     // q44 (exact inverted-index operator) shares the identical oracle
     "q28_minhash_lsh" -> SHINGLE_JACCARD_ORACLE,
     "q44_ngram_jaccard" -> SHINGLE_JACCARD_ORACLE,
+    "q100_sql_minhash_recipe" -> SHINGLE_JACCARD_ORACLE,
     "q47_dedup_keep_rows" -> """
       SELECT doc_id, lang, source, n_chars
       FROM documents

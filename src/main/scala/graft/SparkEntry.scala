@@ -957,6 +957,149 @@ object SparkEntry {
                  - size(array_intersect(a.shingles, b.shingles))) >= 0.35D
         ORDER BY ida, idb""")
     }),
+    // bbox bound accessors + farthest-point family + clockwise angles on
+    // the q90 fixture: parallel aligned segments make the max distance
+    // the diagonal sqrt(w² + (s+1)²) with the realizing pair being the
+    // FIRST vertex of la against the LAST vertex of lb; the angle columns
+    // replay through the documented az₂ − az₁ (mod 2π) identity
+    "q101_bbox_maxdist_angle" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_XMin(env) AS bxmin, ST_YMin(env) AS bymin,
+             ST_XMax(env) AS bxmax, ST_YMax(env) AS bymax,
+             round(ST_MaxDistance(la, lb), 6) AS maxd,
+             ST_AsText(ST_LongestLine(la, lb)) AS ll_wkt,
+             round(ST_Angle(p1, p0, p3), 6) AS ang3,
+             round(ST_Angle(p0, p1, p1, p3), 6) AS ang4
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_MakeEnvelope(CAST(xi AS DOUBLE), CAST(yi AS DOUBLE),
+                     CAST(xi + wi AS DOUBLE), CAST(yi + 5 AS DOUBLE)) AS env,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ')') AS la,
+                   ST_GeomFromText('LINESTRING(' || xs || ' '
+                     || CAST(yi + si + 1 AS STRING) || ','
+                     || CAST(xi + wi AS STRING) || ' '
+                     || CAST(yi + si + 1 AS STRING) || ')') AS lb,
+                   ST_GeomFromText('POINT(' || xs || ' ' || ys || ')') AS p0,
+                   ST_GeomFromText('POINT(' || CAST(xi + 1 AS STRING) || ' '
+                     || ys || ')') AS p1,
+                   ST_GeomFromText('POINT(' || CAST(xi + wi AS STRING) || ' '
+                     || CAST(yi + si + 1 AS STRING) || ')') AS p3
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber * 10 AS INT) AS yi,
+                         CAST(l_linenumber AS INT) AS wi,
+                         CAST(l_orderkey % 5 AS INT) AS si,
+                         $PX AS xs, $PY AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
+    // winding order + vertex hygiene: the CCW-wound w x 5 rectangle
+    // flips under ForcePolygonCW (ring reversal replays as WKT concat);
+    // RemoveRepeatedPoints drops the x+0.4 stutter at tol 0.5 but keeps
+    // the exact-duplicate midpoint at tol 0 only when repeated
+    "q102_winding_repeated" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_IsPolygonCCW(poly) AS is_ccw,
+             ST_IsPolygonCW(poly) AS is_cw,
+             ST_IsPolygonCW(ST_ForcePolygonCW(poly)) AS forced_cw,
+             ST_AsText(ST_ForcePolygonCW(poly)) AS cw_wkt,
+             ST_NPoints(ST_RemoveRepeatedPoints(stut)) AS np_exact,
+             ST_AsText(ST_RemoveRepeatedPoints(stut2, 0.5D)) AS tol_wkt
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_GeomFromText('POLYGON((' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || CAST(yi + 5 AS STRING) || ','
+                     || xs || ' ' || CAST(yi + 5 AS STRING) || ','
+                     || xs || ' ' || ys || '))') AS poly,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || CAST(yi + 5 AS STRING)
+                     || ')') AS stut,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || xs || '.4 ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ')') AS stut2
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber * 10 AS INT) AS yi,
+                         CAST(l_linenumber AS INT) AS wi,
+                         $PX AS xs, $PY AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
+    // dump family + collection surgery + areal assembly: vertex/segment
+    // dumps of the w x 5 rectangle replay as string concat; homogenize
+    // promotes a 2-point collection to MULTIPOINT; BuildArea turns the
+    // concentric rings into a donut whose area is 64 minus the
+    // data-dependent hole width
+    "q103_dumps_buildarea" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             size(ST_DumpPoints(poly)) AS np_dump,
+             ST_AsText(element_at(ST_DumpPoints(poly), 2)) AS p2_wkt,
+             size(ST_DumpSegments(poly)) AS nseg,
+             ST_AsText(element_at(ST_DumpSegments(poly), 2)) AS seg2_wkt,
+             ST_AsText(ST_Points(la)) AS pts_wkt,
+             ST_AsText(ST_CollectionHomogenize(coll)) AS homog_wkt,
+             ST_Area(ST_BuildArea(rings)) AS donut_area,
+             ST_NumInteriorRings(ST_BuildArea(rings)) AS donut_holes
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_GeomFromText('POLYGON((' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || CAST(yi + 5 AS STRING) || ','
+                     || xs || ' ' || CAST(yi + 5 AS STRING) || ','
+                     || xs || ' ' || ys || '))') AS poly,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ')') AS la,
+                   ST_GeomFromText('GEOMETRYCOLLECTION(POINT(' || xs || ' ' || ys
+                     || '),POINT(' || CAST(xi + wi AS STRING) || ' ' || ys || '))')
+                     AS coll,
+                   ST_GeomFromText('MULTILINESTRING((' || xs || ' ' || ys || ','
+                     || CAST(xi + 8 AS STRING) || ' ' || ys || ','
+                     || CAST(xi + 8 AS STRING) || ' ' || CAST(yi + 8 AS STRING) || ','
+                     || xs || ' ' || CAST(yi + 8 AS STRING) || ','
+                     || xs || ' ' || ys || '),('
+                     || CAST(xi + 1 AS STRING) || ' ' || CAST(yi + 1 AS STRING) || ','
+                     || CAST(xi + 1 + hw AS STRING) || ' ' || CAST(yi + 1 AS STRING) || ','
+                     || CAST(xi + 1 + hw AS STRING) || ' ' || CAST(yi + 2 AS STRING) || ','
+                     || CAST(xi + 1 AS STRING) || ' ' || CAST(yi + 2 AS STRING) || ','
+                     || CAST(xi + 1 AS STRING) || ' ' || CAST(yi + 1 AS STRING)
+                     || '))') AS rings
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber * 10 AS INT) AS yi,
+                         CAST(l_linenumber AS INT) AS wi,
+                         least(CAST(l_linenumber AS INT), 6) AS hw,
+                         $PX AS xs, $PY AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
+    // web-mercator surface: forward X is pure arithmetic (replayed with
+    // the kernel's exact FP op order R * (deg / 180 * pi)); the libm-
+    // heavy Y leg is checked via the 4326->3857->4326 ROUNDTRIP, which
+    // collapses to the integer inputs at 6dp; tile bounds replay the
+    // -MercMax + x * ts formula; the geohash decode recovers the encoded
+    // point at 15 chars and its cell always covers the input point
+    "q104_mercator_tiles_geohash" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_X(ST_Transform(pt, 3857)) AS merc_x,
+             ST_SRID(ST_Transform(pt, 3857)) AS merc_srid,
+             round(ST_X(ST_Transform(ST_Transform(pt, 3857), 4326)), 6) AS rt_lon,
+             round(ST_Y(ST_Transform(ST_Transform(pt, 3857), 4326)), 6) AS rt_lat,
+             ST_XMin(tile) AS t_xmin, ST_YMax(tile) AS t_ymax,
+             ST_SRID(tile) AS t_srid,
+             round(ST_X(ST_PointFromGeoHash(ST_GeoHash(pt, 15))), 6) AS gh_lon,
+             round(ST_Y(ST_PointFromGeoHash(ST_GeoHash(pt, 15))), 6) AS gh_lat,
+             ST_Intersects(ST_GeomFromGeoHash(ST_GeoHash(pt, 4)), pt) AS gh_covers,
+             ST_XMax(ST_GeomFromGeoHash(ST_GeoHash(pt, 4)))
+               - ST_XMin(ST_GeomFromGeoHash(ST_GeoHash(pt, 4))) AS gh_w
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_GeomFromText('POINT(' || CAST(xi - 50 AS STRING) || ' '
+                     || CAST(yi - 40 AS STRING) || ')', 4326) AS pt,
+                   ST_TileEnvelope(3, CAST(xi % 8 AS INT),
+                     CAST((yi / 10) % 8 AS INT)) AS tile
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber * 10 AS INT) AS yi
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // minimum clearance of an axis-aligned w x 5 rectangle is its
     // shorter side, and the realizing line has that exact length
     "q99_min_clearance" -> q(s"""
@@ -1937,6 +2080,108 @@ object SparkEntry {
              CAST(m.cluster AS BIGINT) AS cluster
       FROM isl JOIN m USING (yi, grp) ORDER BY id""",
     // rectangle clearance = shorter side, exactly
+    // bbox bounds are the envelope corners; maxd is the exact integer
+    // diagonal; the longest line runs first-vertex-of-la to
+    // last-vertex-of-lb (strict > keeps the first maximizing pair); the
+    // angle columns replay az₂ − az₁ + 2π left-to-right so the FP op
+    // order matches the kernel bit-for-bit
+    "q101_bbox_maxdist_angle" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber * 10 AS BIGINT) AS yi,
+              CAST(l_linenumber AS BIGINT) AS wi,
+              CAST(l_orderkey % 5 AS BIGINT) AS si
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             CAST(xi AS DOUBLE) AS bxmin, CAST(yi AS DOUBLE) AS bymin,
+             CAST(xi + wi AS DOUBLE) AS bxmax, CAST(yi + 5 AS DOUBLE) AS bymax,
+             round(sqrt(CAST(wi * wi + (si + 1) * (si + 1) AS DOUBLE)), 6) AS maxd,
+             'LINESTRING(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + wi AS VARCHAR) || ' '
+               || CAST(yi + si + 1 AS VARCHAR) || ')' AS ll_wkt,
+             round(atan2(CAST(wi AS DOUBLE), CAST(si + 1 AS DOUBLE))
+               - pi() / 2 + 2 * pi(), 6) AS ang3,
+             round(atan2(CAST(wi - 1 AS DOUBLE), CAST(si + 1 AS DOUBLE))
+               - pi() / 2 + 2 * pi(), 6) AS ang4
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+    // the CCW fixture ring reversed = CW WKT replayed as string concat;
+    // the exact stutter collapses 5 -> 3 vertices; tol 0.5 drops the
+    // x+0.4 vertex and keeps both endpoints
+    "q102_winding_repeated" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber * 10 AS BIGINT) AS yi,
+              CAST(l_linenumber AS BIGINT) AS wi
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             true AS is_ccw,
+             false AS is_cw,
+             true AS forced_cw,
+             'POLYGON((' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR) || ','
+               || CAST(xi AS VARCHAR) || ' ' || CAST(yi + 5 AS VARCHAR) || ','
+               || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi + 5 AS VARCHAR) || ','
+               || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR) || ','
+               || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR) || '))' AS cw_wkt,
+             CAST(3 AS INT) AS np_exact,
+             'LINESTRING(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + wi AS VARCHAR) || ' '
+               || CAST(yi AS VARCHAR) || ')' AS tol_wkt
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+    // merc_x replays R * (deg * 0.017453292519943295) — JDK
+    // Math.toRadians is a single multiply by that precomputed constant
+    // (NOT deg/180*pi, which lands 1 ulp off) — with identical IEEE op
+    // order the column is bitwise-equal without rounding;
+    // roundtrip/geohash columns
+    // collapse to the integer inputs at 6dp; tile bounds replay
+    // -MercMax + x * ((2 * MercMax) / 8); the zoom-3 y index equals
+    // l_linenumber (1..7 < 8); the 4-char cell is 360/1024 wide
+    "q104_mercator_tiles_geohash" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber AS BIGINT) AS li
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             6378137.0 * (CAST(xi - 50 AS DOUBLE) * 0.017453292519943295) AS merc_x,
+             CAST(3857 AS INT) AS merc_srid,
+             round(CAST(xi - 50 AS DOUBLE), 6) AS rt_lon,
+             round(CAST(li * 10 - 40 AS DOUBLE), 6) AS rt_lat,
+             -20037508.342789244 + CAST(xi % 8 AS DOUBLE)
+               * (2 * 20037508.342789244 / 8) AS t_xmin,
+             20037508.342789244 - CAST(li AS DOUBLE)
+               * (2 * 20037508.342789244 / 8) AS t_ymax,
+             CAST(3857 AS INT) AS t_srid,
+             round(CAST(xi - 50 AS DOUBLE), 6) AS gh_lon,
+             round(CAST(li * 10 - 40 AS DOUBLE), 6) AS gh_lat,
+             true AS gh_covers,
+             CAST(0.3515625 AS DOUBLE) AS gh_w
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+    // rectangle dump: 5 path vertices (closing dup), 4 segments; the
+    // second of each is the east edge; the donut area is 64 minus the
+    // least(w,6) x 1 hole
+    "q103_dumps_buildarea" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber * 10 AS BIGINT) AS yi,
+              CAST(l_linenumber AS BIGINT) AS wi,
+              least(CAST(l_linenumber AS BIGINT), 6) AS hw
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             CAST(5 AS INT) AS np_dump,
+             'POINT(' || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ')' AS p2_wkt,
+             CAST(4 AS INT) AS nseg,
+             'LINESTRING(' || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + wi AS VARCHAR) || ' '
+               || CAST(yi + 5 AS VARCHAR) || ')' AS seg2_wkt,
+             'MULTIPOINT(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + wi AS VARCHAR) || ' '
+               || CAST(yi AS VARCHAR) || ')' AS pts_wkt,
+             'MULTIPOINT(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + wi AS VARCHAR) || ' '
+               || CAST(yi AS VARCHAR) || ')' AS homog_wkt,
+             CAST(64 - hw AS DOUBLE) AS donut_area,
+             CAST(1 AS INT) AS donut_holes
+      FROM b ORDER BY l_orderkey, l_linenumber""",
     "q99_min_clearance" -> """
       WITH b AS (SELECT l_orderkey, l_linenumber,
               CAST(l_linenumber AS BIGINT) AS wi

@@ -170,6 +170,42 @@ object GeoFunctions {
       arity("st_snaptogrid", es, 2); StSnapToGrid(es.head, es(1)) },
     "st_reduceprecision" -> { es =>
       arity("st_reduceprecision", es, 2); StReducePrecision(es.head, es(1)) },
+    "st_xmin" -> { es => arity("st_xmin", es, 1); StXMin(es.head) },
+    "st_ymin" -> { es => arity("st_ymin", es, 1); StYMin(es.head) },
+    "st_xmax" -> { es => arity("st_xmax", es, 1); StXMax(es.head) },
+    "st_ymax" -> { es => arity("st_ymax", es, 1); StYMax(es.head) },
+    "st_maxdistance" -> { es =>
+      arity("st_maxdistance", es, 2); StMaxDistance(es.head, es(1)) },
+    "st_longestline" -> { es =>
+      arity("st_longestline", es, 2); StLongestLine(es.head, es(1)) },
+    "st_angle" -> { es => arity("st_angle", es, 3, 4); StAngle(es) },
+    // PostGIS default tolerance 0 = exact consecutive duplicates only
+    "st_removerepeatedpoints" -> { es =>
+      arity("st_removerepeatedpoints", es, 1, 2)
+      StRemoveRepeatedPoints(es.head, if (es.length == 2) es(1) else Literal(0.0))
+    },
+    "st_ispolygoncw" -> { es => arity("st_ispolygoncw", es, 1); StIsPolygonCw(es.head) },
+    "st_ispolygonccw" -> { es =>
+      arity("st_ispolygonccw", es, 1); StIsPolygonCcw(es.head) },
+    "st_forcepolygoncw" -> { es =>
+      arity("st_forcepolygoncw", es, 1); StForcePolygonCw(es.head) },
+    "st_forcepolygonccw" -> { es =>
+      arity("st_forcepolygonccw", es, 1); StForcePolygonCcw(es.head) },
+    "st_dumppoints" -> { es => arity("st_dumppoints", es, 1); StDumpPoints(es.head) },
+    "st_dumpsegments" -> { es =>
+      arity("st_dumpsegments", es, 1); StDumpSegments(es.head) },
+    "st_collectionhomogenize" -> { es =>
+      arity("st_collectionhomogenize", es, 1); StCollectionHomogenize(es.head) },
+    "st_buildarea" -> { es => arity("st_buildarea", es, 1); StBuildArea(es.head) },
+    "st_points" -> { es => arity("st_points", es, 1); StPoints(es.head) },
+    "st_geomfromgeohash" -> { es =>
+      arity("st_geomfromgeohash", es, 1); StGeomFromGeoHash(es.head) },
+    "st_pointfromgeohash" -> { es =>
+      arity("st_pointfromgeohash", es, 1); StPointFromGeoHash(es.head) },
+    "st_tileenvelope" -> { es =>
+      arity("st_tileenvelope", es, 3); StTileEnvelope(es.head, es(1), es(2)) },
+    "st_transform" -> { es =>
+      arity("st_transform", es, 2); StTransform(es.head, es(1)) },
     "st_hausdorffdistance" -> { es =>
       arity("st_hausdorffdistance", es, 2); StHausdorffDistance(es.head, es(1)) },
     "st_frechetdistance" -> { es =>
@@ -339,6 +375,32 @@ object GeoFunctions {
   def st_snaptogrid(g: Column, size: Column): Column = c(StSnapToGrid(x(g), x(size)))
   def st_reduceprecision(g: Column, gridSize: Column): Column =
     c(StReducePrecision(x(g), x(gridSize)))
+  def st_xmin(g: Column): Column = c(StXMin(x(g)))
+  def st_ymin(g: Column): Column = c(StYMin(x(g)))
+  def st_xmax(g: Column): Column = c(StXMax(x(g)))
+  def st_ymax(g: Column): Column = c(StYMax(x(g)))
+  def st_maxdistance(a: Column, b: Column): Column = c(StMaxDistance(x(a), x(b)))
+  def st_longestline(a: Column, b: Column): Column = c(StLongestLine(x(a), x(b)))
+  def st_angle(p1: Column, p2: Column, p3: Column): Column =
+    c(StAngle(Seq(x(p1), x(p2), x(p3))))
+  def st_angle(p1: Column, p2: Column, p3: Column, p4: Column): Column =
+    c(StAngle(Seq(x(p1), x(p2), x(p3), x(p4))))
+  def st_removerepeatedpoints(g: Column, tol: Column): Column =
+    c(StRemoveRepeatedPoints(x(g), x(tol)))
+  def st_geomfromgeohash(h: Column): Column = c(StGeomFromGeoHash(x(h)))
+  def st_pointfromgeohash(h: Column): Column = c(StPointFromGeoHash(x(h)))
+  def st_tileenvelope(z: Column, tx: Column, ty: Column): Column =
+    c(StTileEnvelope(x(z), x(tx), x(ty)))
+  def st_transform(g: Column, srid: Column): Column = c(StTransform(x(g), x(srid)))
+  def st_dumppoints(g: Column): Column = c(StDumpPoints(x(g)))
+  def st_dumpsegments(g: Column): Column = c(StDumpSegments(x(g)))
+  def st_collectionhomogenize(g: Column): Column = c(StCollectionHomogenize(x(g)))
+  def st_buildarea(g: Column): Column = c(StBuildArea(x(g)))
+  def st_points(g: Column): Column = c(StPoints(x(g)))
+  def st_ispolygoncw(g: Column): Column = c(StIsPolygonCw(x(g)))
+  def st_ispolygonccw(g: Column): Column = c(StIsPolygonCcw(x(g)))
+  def st_forcepolygoncw(g: Column): Column = c(StForcePolygonCw(x(g)))
+  def st_forcepolygonccw(g: Column): Column = c(StForcePolygonCcw(x(g)))
   def st_hausdorffdistance(a: Column, b: Column): Column =
     c(StHausdorffDistance(x(a), x(b)))
   def st_frechetdistance(a: Column, b: Column): Column =

@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.geo._
+import org.locationtech.jts.algorithm.Orientation
 import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryCollection, GeometryFactory, LineString, MultiLineString, MultiPoint, Point, Polygon, Polygonal}
 import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 import org.locationtech.jts.geom.util.AffineTransformation
@@ -1502,4 +1503,460 @@ object GeoKernels {
   def coordMissing(tagged: Array[Byte]): Boolean = geom(tagged).getCoordinate == null
   def xPrim(tagged: Array[Byte]): Double = geom(tagged).getCoordinate.x
   def yPrim(tagged: Array[Byte]): Double = geom(tagged).getCoordinate.y
+
+  // ---- farthest-point family, angles, vertex hygiene, orientation -------
+  // (PostGIS-standard extras beyond the reference surface)
+
+  /** ST_MaxDistance — largest distance from any point of a to any point
+    * of b. The pointwise distance over two segment sets attains its
+    * maximum at a vertex pair (distance along a segment is convex, so
+    * interior points never beat both endpoints), making the vertex
+    * double loop exact, not an approximation. O(n·m) per row; Spark
+    * parallelizes across rows. Null for empty input (PostGIS). */
+  def maxDistance(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
+    val ca = geom(a).getCoordinates
+    val cb = geom(b).getCoordinates
+    if (ca.isEmpty || cb.isEmpty) return null
+    var best = -1.0
+    var i = 0
+    while (i < ca.length) {
+      var j = 0
+      while (j < cb.length) {
+        val d = ca(i).distance(cb(j))
+        if (d > best) best = d
+        j += 1
+      }
+      i += 1
+    }
+    java.lang.Double.valueOf(best)
+  }
+
+  /** ST_LongestLine — the 2-point line realizing maxDistance, from the
+    * FIRST maximizing vertex pair in coordinate order (strict > keeps
+    * the first, matching PostGIS's first-found tie behavior). SRID of
+    * the first argument is kept. Null for empty input. */
+  def longestLine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ga = geom(a)
+    val ca = ga.getCoordinates
+    val cb = geom(b).getCoordinates
+    if (ca.isEmpty || cb.isEmpty) return null
+    var best = -1.0
+    var bi = 0
+    var bj = 0
+    var i = 0
+    while (i < ca.length) {
+      var j = 0
+      while (j < cb.length) {
+        val d = ca(i).distance(cb(j))
+        if (d > best) { best = d; bi = i; bj = j }
+        j += 1
+      }
+      i += 1
+    }
+    val f = GeomCodec.geometryFactory
+    val out = f.createLineString(Array(ca(bi).copy(), cb(bj).copy()))
+    encodeKeepSrid(ga, out)
+  }
+
+  /** North-based clockwise azimuth of the vector from→to; NaN when
+    * degenerate (same convention as the azimuth kernel above). */
+  private def azOf(from: Coordinate, to: Coordinate): Double = {
+    val dx = to.x - from.x
+    val dy = to.y - from.y
+    if (dx == 0.0 && dy == 0.0) Double.NaN
+    else { val az = math.atan2(dx, dy); if (az < 0) az + 2 * math.Pi else az }
+  }
+
+  /** ST_Angle(P1, P2, P3) — angle at P2, measured clockwise from ray
+    * P2→P1 to ray P2→P3, in [0, 2π). Null for empty points or a
+    * degenerate ray (coincident with P2). Azimuth convention matches
+    * ST_Azimuth, so the identity angle = az(P2→P3) − az(P2→P1) (mod 2π)
+    * holds exactly and is the contract the oracle replays. */
+  def angle3(a: Array[Byte], b: Array[Byte], c: Array[Byte]): java.lang.Double = {
+    val pa = geom(a).getCoordinate
+    val pb = geom(b).getCoordinate
+    val pc = geom(c).getCoordinate
+    if (pa == null || pb == null || pc == null) return null
+    val az1 = azOf(pb, pa)
+    val az2 = azOf(pb, pc)
+    if (az1.isNaN || az2.isNaN) return null
+    val r = az2 - az1
+    java.lang.Double.valueOf(if (r < 0) r + 2 * math.Pi else r)
+  }
+
+  /** ST_Angle(P1, P2, P3, P4) — clockwise angle from vector P1→P2 to
+    * vector P3→P4, in [0, 2π). Null on empty/degenerate input. */
+  def angle4(a: Array[Byte], b: Array[Byte], c: Array[Byte],
+      d: Array[Byte]): java.lang.Double = {
+    val pa = geom(a).getCoordinate
+    val pb = geom(b).getCoordinate
+    val pc = geom(c).getCoordinate
+    val pd = geom(d).getCoordinate
+    if (pa == null || pb == null || pc == null || pd == null) return null
+    val az1 = azOf(pa, pb)
+    val az2 = azOf(pc, pd)
+    if (az1.isNaN || az2.isNaN) return null
+    val r = az2 - az1
+    java.lang.Double.valueOf(if (r < 0) r + 2 * math.Pi else r)
+  }
+
+  /** ST_RemoveRepeatedPoints(geom [, tol]) — drop consecutive vertices
+    * within tol of the previously KEPT vertex (tol=0 removes exact
+    * consecutive duplicates). The final vertex of every component is
+    * always kept — liblwgeom's behavior, which preserves line endpoints
+    * and ring closure — and a ring that would fall under 4 points is
+    * returned unfiltered. Points pass through; MultiPoints filter
+    * consecutive elements. */
+  def removeRepeatedPoints(tagged: Array[Byte], tol: Double): Array[Byte] = {
+    val g = geom(tagged)
+    val f = GeomCodec.geometryFactory
+    def filt(cs: Array[Coordinate]): Array[Coordinate] = {
+      if (cs.length <= 2) return cs
+      val out = new java.util.ArrayList[Coordinate](cs.length)
+      out.add(cs(0))
+      var last = cs(0)
+      var i = 1
+      while (i < cs.length - 1) {
+        if (last.distance(cs(i)) > tol) { out.add(cs(i)); last = cs(i) }
+        i += 1
+      }
+      out.add(cs(cs.length - 1))
+      out.toArray(new Array[Coordinate](out.size))
+    }
+    def walk(geo: Geometry): Geometry = geo match {
+      case p: Polygon if !p.isEmpty =>
+        val shell = filt(p.getExteriorRing.getCoordinates)
+        if (shell.length < 4) p
+        else {
+          val holes = Array.tabulate(p.getNumInteriorRing) { i =>
+            val orig = p.getInteriorRingN(i).getCoordinates
+            val h = filt(orig)
+            f.createLinearRing(if (h.length < 4) orig else h)
+          }
+          f.createPolygon(f.createLinearRing(shell), holes)
+        }
+      case l: LineString if !l.isEmpty =>
+        val cs = filt(l.getCoordinates)
+        if (l.isClosed && cs.length < 4) l
+        else f.createLineString(cs)
+      case mp: MultiPoint if !mp.isEmpty =>
+        f.createMultiPointFromCoords(filt(mp.getCoordinates))
+      case gc: GeometryCollection =>
+        val parts = Array.tabulate(gc.getNumGeometries)(i => walk(gc.getGeometryN(i)))
+        gc match {
+          case _: MultiLineString =>
+            f.createMultiLineString(parts.map(_.asInstanceOf[LineString]))
+          case _: org.locationtech.jts.geom.MultiPolygon =>
+            f.createMultiPolygon(parts.map(_.asInstanceOf[Polygon]))
+          case _ => f.createGeometryCollection(parts)
+        }
+      case other => other
+    }
+    val out = walk(g)
+    out.setSRID(g.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  // polygon winding-order family (PostGIS ST_IsPolygonCW / ST_ForcePolygonCW)
+
+  private def polygonOriented(p: Polygon, shellCcw: Boolean): Boolean = {
+    if (p.isEmpty) return true
+    if (Orientation.isCCW(p.getExteriorRing.getCoordinateSequence) != shellCcw)
+      return false
+    (0 until p.getNumInteriorRing).forall(i =>
+      Orientation.isCCW(p.getInteriorRingN(i).getCoordinateSequence) != shellCcw)
+  }
+
+  private def allPolygonsOriented(g: Geometry, shellCcw: Boolean): Boolean = g match {
+    case p: Polygon => polygonOriented(p, shellCcw)
+    case gc: GeometryCollection =>
+      (0 until gc.getNumGeometries).forall(i =>
+        allPolygonsOriented(gc.getGeometryN(i), shellCcw))
+    case _ => true
+  }
+
+  /** ST_IsPolygonCW — all shells clockwise, all holes counter-clockwise;
+    * true for geometries without polygonal components (PostGIS). */
+  def isPolygonCw(tagged: Array[Byte]): Boolean =
+    allPolygonsOriented(geom(tagged), shellCcw = false)
+
+  /** ST_IsPolygonCCW — all shells counter-clockwise, holes clockwise. */
+  def isPolygonCcw(tagged: Array[Byte]): Boolean =
+    allPolygonsOriented(geom(tagged), shellCcw = true)
+
+  // rebuilt rings never mutate the cached parent's coordinates: the
+  // unchanged path shares (read-only) sequences, the reversed path copies
+  private def orientRing(r: LineString,
+      wantCcw: Boolean): org.locationtech.jts.geom.LinearRing = {
+    val f = GeomCodec.geometryFactory
+    val cs = r.getCoordinates
+    if (Orientation.isCCW(cs) == wantCcw) f.createLinearRing(cs)
+    else f.createLinearRing(cs.reverse)
+  }
+
+  private def forceOrient(g: Geometry, shellCcw: Boolean): Geometry = g match {
+    case p: Polygon if !p.isEmpty =>
+      val f = GeomCodec.geometryFactory
+      val holes = Array.tabulate(p.getNumInteriorRing)(i =>
+        orientRing(p.getInteriorRingN(i), !shellCcw))
+      f.createPolygon(orientRing(p.getExteriorRing, shellCcw), holes)
+    case gc: GeometryCollection =>
+      val f = GeomCodec.geometryFactory
+      val parts =
+        Array.tabulate(gc.getNumGeometries)(i => forceOrient(gc.getGeometryN(i), shellCcw))
+      gc match {
+        case _: org.locationtech.jts.geom.MultiPolygon =>
+          f.createMultiPolygon(parts.map(_.asInstanceOf[Polygon]))
+        case _: MultiLineString | _: MultiPoint => gc
+        case _ => f.createGeometryCollection(parts)
+      }
+    case other => other
+  }
+
+  /** ST_ForcePolygonCW — orient shells clockwise, holes counter-clockwise. */
+  def forcePolygonCw(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val out = forceOrient(g, shellCcw = false)
+    out.setSRID(g.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  /** ST_ForcePolygonCCW — orient shells counter-clockwise, holes clockwise. */
+  def forcePolygonCcw(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val out = forceOrient(g, shellCcw = true)
+    out.setSRID(g.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  // ---- dumps, collection surgery, areal assembly ------------------------
+
+  /** ST_DumpPoints — every vertex as a Point in path order (ring-closing
+    * duplicates included, like PostGIS). Coordinates are copied, so the
+    * cached parent is never aliased by the new Points. */
+  def dumpPoints(tagged: Array[Byte]): Array[Array[Byte]] = {
+    val g = geom(tagged)
+    val f = GeomCodec.geometryFactory
+    val srid = g.getSRID
+    val cs = g.getCoordinates
+    val out = new Array[Array[Byte]](cs.length)
+    var i = 0
+    while (i < cs.length) {
+      val p = f.createPoint(cs(i).copy())
+      p.setSRID(srid)
+      out(i) = GeomCodec.encodeEwkb(p)
+      i += 1
+    }
+    out
+  }
+
+  /** ST_DumpSegments — each consecutive-vertex pair of every line/ring
+    * path as a 2-point LineString (PostGIS 3.2). Points contribute none. */
+  def dumpSegments(tagged: Array[Byte]): Array[Array[Byte]] = {
+    val g = geom(tagged)
+    val f = GeomCodec.geometryFactory
+    val srid = g.getSRID
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def path(cs: Array[Coordinate]): Unit = {
+      var i = 0
+      while (i < cs.length - 1) {
+        val l = f.createLineString(Array(cs(i).copy(), cs(i + 1).copy()))
+        l.setSRID(srid)
+        out += GeomCodec.encodeEwkb(l)
+        i += 1
+      }
+    }
+    def rec(x: Geometry): Unit = x match {
+      case l: LineString => path(l.getCoordinates)
+      case p: Polygon =>
+        path(p.getExteriorRing.getCoordinates)
+        (0 until p.getNumInteriorRing).foreach(i =>
+          path(p.getInteriorRingN(i).getCoordinates))
+      case gc: GeometryCollection =>
+        (0 until gc.getNumGeometries).foreach(i => rec(gc.getGeometryN(i)))
+      case _ => ()
+    }
+    rec(g)
+    out.toArray
+  }
+
+  /** ST_CollectionHomogenize — simplest representation of a collection:
+    * single element unwraps, a uniform collection becomes its Multi*,
+    * mixed kinds flatten to one non-nested GEOMETRYCOLLECTION; empty
+    * components are dropped (PostGIS). All-empty input passes through. */
+  def collectionHomogenize(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val f = GeomCodec.geometryFactory
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+    def rec(x: Geometry): Unit =
+      if (x.isInstanceOf[GeometryCollection])
+        (0 until x.getNumGeometries).foreach(i => rec(x.getGeometryN(i)))
+      else if (!x.isEmpty) parts += x
+    rec(g)
+    val out: Geometry =
+      if (parts.isEmpty) g.copy()
+      else if (parts.length == 1) parts(0).copy()
+      else {
+        val kinds = parts.map(_.getGeometryType).distinct
+        if (kinds.length == 1) kinds.head match {
+          case "Point" =>
+            f.createMultiPoint(parts.map(_.asInstanceOf[Point]).toArray)
+          case "LineString" =>
+            f.createMultiLineString(parts.map(_.asInstanceOf[LineString]).toArray)
+          case "Polygon" =>
+            f.createMultiPolygon(parts.map(_.asInstanceOf[Polygon]).toArray)
+          case _ => f.createGeometryCollection(parts.toArray)
+        } else f.createGeometryCollection(parts.toArray)
+      }
+    out.setSRID(g.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  /** ST_BuildArea — areal geometry from constituent linework: polygonize
+    * the self-noded edges, then keep faces at EVEN nesting depth, where
+    * depth counts the OTHER faces whose shell ring encloses this face
+    * (odd-depth faces are the holes — GEOS BuildArea's parity rule,
+    * which turns two concentric rings into a donut instead of two
+    * stacked polygons). Depth must test shell rings, not the hole-
+    * assigned faces the JTS polygonizer emits: the donut face does not
+    * `contains` the core's interior point, but its shell does. Null
+    * when no face forms (PostGIS returns NULL). */
+  def buildArea(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    if (g.isEmpty) return null
+    val pz = new Polygonizer()
+    pz.add(g.union())
+    val faces = pz.getPolygons.toArray(new Array[Polygon](0))
+    if (faces.isEmpty) return null
+    val f = GeomCodec.geometryFactory
+    val shells = faces.map(face =>
+      f.createPolygon(face.getExteriorRing.getCoordinateSequence))
+    val kept = faces.indices.filter { i =>
+      val ip = faces(i).getInteriorPoint
+      faces.indices.count(j => j != i && shells(j).contains(ip)) % 2 == 0
+    }.map(faces)
+    if (kept.isEmpty) return null
+    val out: Geometry =
+      if (kept.length == 1) kept.head else f.createMultiPolygon(kept.toArray)
+    out.setSRID(g.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  // ---- geohash decode, tile envelopes, web-mercator transform -----------
+
+  /** Decode a geohash to cell bounds (lonLo, latLo, lonHi, latHi);
+    * null for empty/invalid input. Bisection mirrors the encoder above,
+    * so every bound is an exact binary fraction of the ±180/±90 domain. */
+  private def geohashBounds(hash: String): Array[Double] = {
+    if (hash == null || hash.isEmpty) return null
+    var lonLo = -180.0; var lonHi = 180.0
+    var latLo = -90.0; var latHi = 90.0
+    var evenBit = true
+    var i = 0
+    while (i < hash.length) {
+      val idx = GeohashBase32.indexOf(Character.toLowerCase(hash.charAt(i)))
+      if (idx < 0) return null
+      var b = 4
+      while (b >= 0) {
+        val bit = (idx >> b) & 1
+        if (evenBit) {
+          val mid = (lonLo + lonHi) / 2
+          if (bit == 1) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (bit == 1) latLo = mid else latHi = mid
+        }
+        evenBit = !evenBit
+        b -= 1
+      }
+      i += 1
+    }
+    Array(lonLo, latLo, lonHi, latHi)
+  }
+
+  /** ST_GeomFromGeoHash — the cell as a rectangle polygon, SRID 4326
+    * (PostGIS). Null for invalid hashes. */
+  def geomFromGeoHash(hash: String): Array[Byte] = {
+    val b = geohashBounds(hash)
+    if (b == null) return null
+    makeEnvelope(b(0), b(1), b(2), b(3), 4326, hasSrid = true)
+  }
+
+  /** ST_PointFromGeoHash — the cell center, SRID 4326. */
+  def pointFromGeoHash(hash: String): Array[Byte] = {
+    val b = geohashBounds(hash)
+    if (b == null) return null
+    val p = GeomCodec.geometryFactory.createPoint(
+      new Coordinate((b(0) + b(2)) / 2, (b(1) + b(3)) / 2))
+    p.setSRID(4326)
+    remember(GeomCodec.encodeEwkb(p), p)
+  }
+
+  private final val MercRadius = 6378137.0
+  private final val MercMax = 20037508.342789244 // π · R, the 3857 half-world
+
+  /** ST_TileEnvelope(z, x, y) — Web Mercator XYZ tile bounds as a
+    * rectangle polygon, SRID 3857 (y grows southward — OSM convention,
+    * PostGIS default bounds). Invalid z/x/y raise. */
+  def tileEnvelope(z: Int, x: Int, y: Int): Array[Byte] = {
+    require(z >= 0 && z < 32, s"ST_TileEnvelope: invalid zoom $z")
+    val n = 1L << z
+    require(x >= 0 && x < n && y >= 0 && y < n,
+      s"ST_TileEnvelope: tile ($x, $y) out of range at zoom $z")
+    val ts = (2 * MercMax) / n
+    val xmin = -MercMax + x * ts
+    val ymax = MercMax - y * ts
+    makeEnvelope(xmin, ymax - ts, xmin + ts, ymax, 3857, hasSrid = true)
+  }
+
+  /** ST_Transform(geom, srid) for the web pair 4326 ↔ 3857: the
+    * spherical-Mercator projection is closed-form (x = R·rad(lon),
+    * y = R·ln(tan(π/4 + rad(lat)/2)) and its inverse), so it transforms
+    * engine-exactly without a PROJ pipeline. Identity when source =
+    * target; any other pair raises — silent approximation of datum
+    * shifts would be a correctness bug, not a feature. */
+  def transformGeom(tagged: Array[Byte], toSrid: Int): Array[Byte] = {
+    val g = geom(tagged)
+    val from = g.getSRID
+    if (from == toSrid) return tagged
+    val out = (from, toSrid) match {
+      case (4326, 3857) => mapCoordsCopy(g) { c =>
+        c.x = MercRadius * math.toRadians(c.x)
+        c.y = MercRadius * math.log(math.tan(math.Pi / 4 + math.toRadians(c.y) / 2))
+      }
+      case (3857, 4326) => mapCoordsCopy(g) { c =>
+        c.x = math.toDegrees(c.x / MercRadius)
+        c.y = math.toDegrees(2 * math.atan(math.exp(c.y / MercRadius)) - math.Pi / 2)
+      }
+      case _ => throw new IllegalArgumentException(
+        s"ST_Transform supports 4326 <-> 3857 only (got SRID $from -> $toSrid)")
+    }
+    out.setSRID(toSrid)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  /** Deep-copy then mutate coordinates in place — the copy keeps the
+    * cached original untouched. */
+  private def mapCoordsCopy(g: Geometry)(fn: Coordinate => Unit): Geometry = {
+    val out = g.copy()
+    out.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: Coordinate): Unit = fn(c)
+    })
+    out.geometryChanged()
+    out
+  }
+
+  /** ST_Points — every vertex as one MultiPoint (duplicates kept, path
+    * order — PostGIS). */
+  def pointsOf(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val f = GeomCodec.geometryFactory
+    val cs = g.getCoordinates
+    val copies = new Array[Coordinate](cs.length)
+    var i = 0
+    while (i < cs.length) { copies(i) = cs(i).copy(); i += 1 }
+    val out = f.createMultiPointFromCoords(copies)
+    out.setSRID(g.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
 }

@@ -1487,3 +1487,306 @@ case class StReducePrecision(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (g, s) => s"${GeoExpr.K}.reducePrecision($g, $s)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
+
+// ---------------------------------------------------------------------------
+// bbox bound accessors, farthest-point family, angles, winding order
+// ---------------------------------------------------------------------------
+
+/** Envelope bound accessor (ST_XMin family) — NULL for empty input
+  * (PostGIS ST_XMin of POLYGON EMPTY). Reads the decode cache's
+  * already-computed envelope; no geometry copy, no boxing in codegen. */
+abstract class GeoUnaryEnvBound extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  def which: Int
+  override protected def nullSafeEval(g: Any): Any = {
+    val v = GeoKernels.envBound(g.asInstanceOf[Array[Byte]], which)
+    if (v == null) null else v.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => s"""
+      if (${GeoExpr.K}.envMissing($g)) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${GeoExpr.K}.envBoundPrim($g, $which); }""")
+}
+
+case class StXMin(child: Expression) extends GeoUnaryEnvBound {
+  override def which: Int = 0
+  override def prettyName: String = "st_xmin"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StYMin(child: Expression) extends GeoUnaryEnvBound {
+  override def which: Int = 1
+  override def prettyName: String = "st_ymin"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StXMax(child: Expression) extends GeoUnaryEnvBound {
+  override def which: Int = 2
+  override def prettyName: String = "st_xmax"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StYMax(child: Expression) extends GeoUnaryEnvBound {
+  override def which: Int = 3
+  override def prettyName: String = "st_ymax"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_MaxDistance — largest vertex-pair distance; NULL for empty input. */
+case class StMaxDistance(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_maxdistance"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = GeoKernels.maxDistance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    if (v == null) null else v.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("maxDist")
+      s"""
+      java.lang.Double $r = ${GeoExpr.K}.maxDistance($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }"""
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_LongestLine — 2-point line realizing ST_MaxDistance; NULL for
+  * empty input. */
+case class StLongestLine(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_longestline"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernels.longestLine(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = ${GeoExpr.K}.longestLine($a, $b);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_Angle(P1,P2,P3[,P4]) — clockwise angle in [0,2π): at P2 from ray
+  * P2→P1 to ray P2→P3 (3-point form), or from vector P1→P2 to vector
+  * P3→P4 (4-point form). NULL on empty points or degenerate rays.
+  * Shares ST_Azimuth's north-based clockwise convention, so
+  * angle = az₂ − az₁ (mod 2π) exactly. */
+case class StAngle(children: Seq[Expression])
+    extends Expression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = children.map(_ => BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_angle"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val bs = vs.map(_.asInstanceOf[Array[Byte]])
+    val r =
+      if (bs.length == 3) GeoKernels.angle3(bs(0), bs(1), bs(2))
+      else GeoKernels.angle4(bs(0), bs(1), bs(2), bs(3))
+    if (r == null) null else r.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(_.isNull.toString).mkString(" || ")
+    val childCode = evs.map(_.code.toString).mkString("\n")
+    val r = ctx.freshName("angle")
+    val call =
+      if (children.length == 3)
+        s"${GeoExpr.K}.angle3(${evs(0).value}, ${evs(1).value}, ${evs(2).value})"
+      else
+        s"${GeoExpr.K}.angle4(${evs(0).value}, ${evs(1).value}, " +
+          s"${evs(2).value}, ${evs(3).value})"
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          java.lang.Double $r = $call;
+          if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+        }""")
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]) =
+    copy(children = newChildren)
+}
+
+/** ST_RemoveRepeatedPoints(geom, tol) — consecutive-vertex dedup within
+  * tol; endpoints and ring closure preserved. */
+case class StRemoveRepeatedPoints(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_removerepeatedpoints"
+  override protected def nullSafeEval(g: Any, t: Any): Any =
+    GeoKernels.removeRepeatedPoints(g.asInstanceOf[Array[Byte]], t.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, t) => s"${GeoExpr.K}.removeRepeatedPoints($g, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_IsPolygonCW — shells clockwise, holes counter-clockwise; true for
+  * non-areal geometries (PostGIS). */
+case class StIsPolygonCw(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_ispolygoncw"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.isPolygonCw(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.isPolygonCw($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_IsPolygonCCW — shells counter-clockwise, holes clockwise. */
+case class StIsPolygonCcw(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_ispolygonccw"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.isPolygonCcw(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.isPolygonCcw($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_ForcePolygonCW — rewind shells clockwise, holes counter-clockwise. */
+case class StForcePolygonCw(child: Expression) extends GeoUnaryGeom {
+  override def kernel: String = "forcePolygonCw"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.forcePolygonCw(g)
+  override def prettyName: String = "st_forcepolygoncw"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_ForcePolygonCCW — rewind shells counter-clockwise, holes clockwise. */
+case class StForcePolygonCcw(child: Expression) extends GeoUnaryGeom {
+  override def kernel: String = "forcePolygonCcw"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.forcePolygonCcw(g)
+  override def prettyName: String = "st_forcepolygonccw"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Unary geometry → array<geometry> producer (the ST_Dump* family —
+  * explode for the set-returning form). */
+abstract class GeoUnaryGeomArray extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  def kernel: String
+  def apply(g: Array[Byte]): Array[Array[Byte]]
+  override protected def nullSafeEval(g: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      apply(g.asInstanceOf[Array[Byte]]).asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(${GeoExpr.K}.$kernel($g))")
+}
+
+/** ST_DumpPoints — every vertex as a Point, path order. */
+case class StDumpPoints(child: Expression) extends GeoUnaryGeomArray {
+  override def kernel: String = "dumpPoints"
+  override def apply(g: Array[Byte]): Array[Array[Byte]] = GeoKernels.dumpPoints(g)
+  override def prettyName: String = "st_dumppoints"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_DumpSegments — every 2-point segment of the linework paths. */
+case class StDumpSegments(child: Expression) extends GeoUnaryGeomArray {
+  override def kernel: String = "dumpSegments"
+  override def apply(g: Array[Byte]): Array[Array[Byte]] = GeoKernels.dumpSegments(g)
+  override def prettyName: String = "st_dumpsegments"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_CollectionHomogenize — simplest non-nested representation. */
+case class StCollectionHomogenize(child: Expression) extends GeoUnaryGeom {
+  override def kernel: String = "collectionHomogenize"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.collectionHomogenize(g)
+  override def prettyName: String = "st_collectionhomogenize"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_BuildArea — areal geometry from linework; NULL when no face forms. */
+case class StBuildArea(child: Expression) extends GeoUnaryGeomNullable {
+  override def kernel: String = "buildArea"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.buildArea(g)
+  override def prettyName: String = "st_buildarea"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_Points — all vertices as one MultiPoint (duplicates kept). */
+case class StPoints(child: Expression) extends GeoUnaryGeom {
+  override def kernel: String = "pointsOf"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.pointsOf(g)
+  override def prettyName: String = "st_points"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_GeomFromGeoHash — geohash cell as a polygon (SRID 4326); NULL on
+  * invalid hashes. */
+case class StGeomFromGeoHash(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geomfromgeohash"
+  override protected def nullSafeEval(h: Any): Any =
+    GeoKernels.geomFromGeoHash(h.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h => s"""
+      ${ev.value} = ${GeoExpr.K}.geomFromGeoHash($h.toString());
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_PointFromGeoHash — geohash cell center (SRID 4326). */
+case class StPointFromGeoHash(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_pointfromgeohash"
+  override protected def nullSafeEval(h: Any): Any =
+    GeoKernels.pointFromGeoHash(h.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h => s"""
+      ${ev.value} = ${GeoExpr.K}.pointFromGeoHash($h.toString());
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_TileEnvelope(z, x, y) — XYZ tile bounds in Web Mercator (3857). */
+case class StTileEnvelope(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_tileenvelope"
+  override protected def nullSafeEval(z: Any, x: Any, y: Any): Any =
+    GeoKernels.tileEnvelope(z.asInstanceOf[Int], x.asInstanceOf[Int], y.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (z, x, y) => s"${GeoExpr.K}.tileEnvelope($z, $x, $y)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** ST_Transform(geom, srid) — closed-form 4326 ↔ 3857 reprojection. */
+case class StTransform(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_transform"
+  override protected def nullSafeEval(g: Any, s: Any): Any =
+    GeoKernels.transformGeom(g.asInstanceOf[Array[Byte]], s.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, s) => s"${GeoExpr.K}.transformGeom($g, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}

@@ -632,6 +632,182 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(checked == pts.size * pts.size)
   }
 
+  test("st_xmin/ymin/xmax/ymax: envelope bounds; null for empty input") {
+    assert(sql1("select ST_XMin(ST_GeomFromText('LINESTRING(1 2,5 9)'))") == 1.0)
+    assert(sql1("select ST_YMin(ST_GeomFromText('LINESTRING(1 2,5 9)'))") == 2.0)
+    assert(sql1("select ST_XMax(ST_GeomFromText('LINESTRING(1 2,5 9)'))") == 5.0)
+    assert(sql1("select ST_YMax(ST_GeomFromText('LINESTRING(1 2,5 9)'))") == 9.0)
+    assert(sql1("select ST_XMin(ST_GeomFromText('POLYGON EMPTY'))") == null)
+  }
+
+  test("st_maxdistance + st_longestline: farthest vertex pair, first on ties") {
+    // unit square vs itself: max distance is the sqrt(2) diagonal, and the
+    // first maximizing pair in vertex order is (0 0) -> (1 1)
+    val sq = "ST_GeomFromText('POLYGON((0 0,1 0,1 1,0 1,0 0))')"
+    assert(sql1(s"select ST_MaxDistance($sq, $sq)") == math.sqrt(2.0))
+    assert(sql1(s"select ST_AsText(ST_LongestLine($sq, $sq))") ==
+      "LINESTRING(0 0,1 1)")
+    // disjoint points: plain distance
+    assert(sql1("select ST_MaxDistance(ST_GeomFromText('POINT(0 0)'), " +
+      "ST_GeomFromText('POINT(3 4)'))") == 5.0)
+    assert(sql1("select ST_MaxDistance(ST_GeomFromText('POINT(0 0)'), " +
+      "ST_GeomFromText('POINT EMPTY'))") == null)
+  }
+
+  test("st_angle: 3-point form at P2, 4-point vector form, degenerate null") {
+    // angle at origin from ray to (1 0) [east, az=pi/2] to ray to (0 1)
+    // [north, az=0], clockwise: 3*pi/2
+    val a3 = sql1("select ST_Angle(ST_GeomFromText('POINT(1 0)'), " +
+      "ST_GeomFromText('POINT(0 0)'), ST_GeomFromText('POINT(0 1)'))")
+      .asInstanceOf[Double]
+    assert(math.abs(a3 - 3 * math.Pi / 2) < 1e-12)
+    // east vector to north vector, clockwise: 3*pi/2 as well
+    val a4 = sql1("select ST_Angle(ST_GeomFromText('POINT(0 0)'), " +
+      "ST_GeomFromText('POINT(1 0)'), ST_GeomFromText('POINT(0 0)'), " +
+      "ST_GeomFromText('POINT(0 1)'))").asInstanceOf[Double]
+    assert(math.abs(a4 - 3 * math.Pi / 2) < 1e-12)
+    // identical rays: angle 0
+    val a0 = sql1("select ST_Angle(ST_GeomFromText('POINT(1 1)'), " +
+      "ST_GeomFromText('POINT(0 0)'), ST_GeomFromText('POINT(2 2)'))")
+      .asInstanceOf[Double]
+    assert(math.abs(a0) < 1e-12)
+    // degenerate ray (P1 == P2) is null
+    assert(sql1("select ST_Angle(ST_GeomFromText('POINT(0 0)'), " +
+      "ST_GeomFromText('POINT(0 0)'), ST_GeomFromText('POINT(1 1)'))") == null)
+  }
+
+  test("st_removerepeatedpoints: exact dedup, tolerance, endpoint kept") {
+    assert(sql1("select ST_AsText(ST_RemoveRepeatedPoints(" +
+      "ST_GeomFromText('LINESTRING(0 0,0 0,1 0,1 0,2 0)')))") ==
+      "LINESTRING(0 0,1 0,2 0)")
+    // tol 0.5: the 0.4 stutter goes, but the final point is ALWAYS kept
+    // even though it is within tol of the last kept vertex
+    assert(sql1("select ST_AsText(ST_RemoveRepeatedPoints(" +
+      "ST_GeomFromText('LINESTRING(0 0,0.4 0,3 0,3.3 0)'), 0.5))") ==
+      "LINESTRING(0 0,3 0,3.3 0)")
+    // a ring that would collapse below 4 points is returned unfiltered
+    assert(sql1("select ST_NPoints(ST_RemoveRepeatedPoints(" +
+      "ST_GeomFromText('POLYGON((0 0,1 0,1 1,0 0))'), 5.0))") == 4)
+  }
+
+  test("st_ispolygoncw/ccw + st_forcepolygoncw/ccw: winding order family") {
+    val ccw = "ST_GeomFromText('POLYGON((0 0,2 0,2 2,0 2,0 0))')"
+    assert(sql1(s"select ST_IsPolygonCCW($ccw)") == true)
+    assert(sql1(s"select ST_IsPolygonCW($ccw)") == false)
+    assert(sql1(s"select ST_IsPolygonCW(ST_ForcePolygonCW($ccw))") == true)
+    assert(sql1(s"select ST_AsText(ST_ForcePolygonCW($ccw))") ==
+      "POLYGON((0 0,0 2,2 2,2 0,0 0))")
+    // idempotent on already-CW input
+    assert(sql1(s"select ST_AsText(ST_ForcePolygonCW(ST_ForcePolygonCW($ccw)))") ==
+      "POLYGON((0 0,0 2,2 2,2 0,0 0))")
+    // holes get the opposite winding: CW shell demands CCW hole
+    val holed = "ST_GeomFromText('POLYGON((0 0,4 0,4 4,0 4,0 0)," +
+      "(1 1,1 2,2 2,2 1,1 1))')"
+    assert(sql1(s"select ST_IsPolygonCW(ST_ForcePolygonCW($holed))") == true)
+    assert(sql1(s"select ST_IsPolygonCCW(ST_ForcePolygonCCW($holed))") == true)
+    // non-polygonal input passes through and reports true (PostGIS)
+    assert(sql1("select ST_IsPolygonCW(ST_GeomFromText('LINESTRING(0 0,1 1)'))")
+      == true)
+  }
+
+  test("st_dumppoints / st_dumpsegments / st_points: path-order vertex sets") {
+    val poly = "ST_GeomFromText('POLYGON((0 0,2 0,2 2,0 2,0 0))')"
+    assert(sql1(s"select size(ST_DumpPoints($poly))") == 5) // closing dup kept
+    assert(sql1(s"select ST_AsText(element_at(ST_DumpPoints($poly), 2))") ==
+      "POINT(2 0)")
+    assert(sql1(s"select size(ST_DumpSegments($poly))") == 4)
+    assert(sql1(s"select ST_AsText(element_at(ST_DumpSegments($poly), 2))") ==
+      "LINESTRING(2 0,2 2)")
+    assert(sql1("select size(ST_DumpSegments(ST_GeomFromText('POINT(1 1)')))") == 0)
+    assert(sql1("select ST_AsText(ST_Points(ST_GeomFromText(" +
+      "'LINESTRING(0 0,1 1,0 0)')))") == "MULTIPOINT(0 0,1 1,0 0)")
+  }
+
+  test("st_collectionhomogenize: unwrap, multi-promote, flatten nesting") {
+    assert(sql1("select ST_AsText(ST_CollectionHomogenize(ST_GeomFromText(" +
+      "'GEOMETRYCOLLECTION(POINT(1 2))')))") == "POINT(1 2)")
+    assert(sql1("select ST_AsText(ST_CollectionHomogenize(ST_GeomFromText(" +
+      "'GEOMETRYCOLLECTION(POINT(1 2),POINT(3 4))')))") == "MULTIPOINT(1 2,3 4)")
+    // nested collection with mixed kinds flattens one level deep
+    assert(sql1("select ST_AsText(ST_CollectionHomogenize(ST_GeomFromText(" +
+      "'GEOMETRYCOLLECTION(POINT(1 2),GEOMETRYCOLLECTION(LINESTRING(0 0,1 1)))')))") ==
+      "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))")
+    // empty members are dropped before promotion
+    assert(sql1("select ST_AsText(ST_CollectionHomogenize(ST_GeomFromText(" +
+      "'GEOMETRYCOLLECTION(POINT(1 2),POINT EMPTY)')))") == "POINT(1 2)")
+  }
+
+  test("st_buildarea: donut from concentric rings; null when no face") {
+    val rings = "ST_GeomFromText('MULTILINESTRING(" +
+      "(0 0,8 0,8 8,0 8,0 0),(2 2,4 2,4 4,2 4,2 2))')"
+    assert(sql1(s"select ST_Area(ST_BuildArea($rings))") == 60.0) // 64 - 4
+    assert(sql1(s"select ST_NumInteriorRings(ST_BuildArea($rings))") == 1)
+    // three concentric rings: even-depth faces kept -> outer donut + core
+    val triple = "ST_GeomFromText('MULTILINESTRING(" +
+      "(0 0,10 0,10 10,0 10,0 0),(2 2,8 2,8 8,2 8,2 2),(4 4,6 4,6 6,4 6,4 4))')"
+    assert(sql1(s"select ST_Area(ST_BuildArea($triple))") == (100.0 - 36.0) + 4.0)
+    assert(sql1(s"select ST_GeometryType(ST_BuildArea($triple))") == "ST_MultiPolygon")
+    assert(sql1("select ST_BuildArea(ST_GeomFromText('LINESTRING(0 0,1 1)'))") == null)
+  }
+
+  test("st_geomfromgeohash / st_pointfromgeohash: decode mirrors encode") {
+    // geohash of (lon, lat) = (-5.6, 42.6) at 5 chars is 'ezs42' (the
+    // classic Wikipedia fixture)
+    assert(sql1("select ST_GeoHash(ST_GeomFromText('POINT(-5.6 42.6)'), 5)") ==
+      "ezs42")
+    // cell width at 5 chars: 13 lon bits -> 360/8192; height 12 -> 180/4096
+    assert(sql1("select ST_XMax(ST_GeomFromGeoHash('ezs42')) - " +
+      "ST_XMin(ST_GeomFromGeoHash('ezs42'))") == 360.0 / 8192)
+    assert(sql1("select ST_YMax(ST_GeomFromGeoHash('ezs42')) - " +
+      "ST_YMin(ST_GeomFromGeoHash('ezs42'))") == 180.0 / 4096)
+    assert(sql1("select ST_SRID(ST_GeomFromGeoHash('ezs42'))") == 4326)
+    // the encoded point stays inside its own decoded cell
+    assert(sql1("select ST_Intersects(ST_GeomFromGeoHash('ezs42'), " +
+      "ST_GeomFromText('POINT(-5.6 42.6)'))") == true)
+    // long-hash center converges back to the input at 6dp
+    assert(sql1("select round(ST_X(ST_PointFromGeoHash(ST_GeoHash(" +
+      "ST_GeomFromText('POINT(-5.6 42.6)'), 15))), 6)") == -5.6)
+    assert(sql1("select ST_GeomFromGeoHash('bad!')") == null)
+  }
+
+  test("st_tileenvelope: OSM XYZ bounds in 3857; zoom-0 is the world") {
+    val world = 20037508.342789244
+    assert(sql1("select ST_XMin(ST_TileEnvelope(0, 0, 0))") == -world)
+    assert(sql1("select ST_YMax(ST_TileEnvelope(0, 0, 0))") == world)
+    assert(sql1("select ST_SRID(ST_TileEnvelope(0, 0, 0))") == 3857)
+    // z=1: four quadrants; tile (1,0) is the north-east
+    assert(sql1("select ST_XMin(ST_TileEnvelope(1, 1, 0))") == 0.0)
+    assert(sql1("select ST_YMin(ST_TileEnvelope(1, 1, 0))") == 0.0)
+    assert(intercept[Exception] {
+      spark.sql("select ST_TileEnvelope(1, 2, 0)").collect()
+    }.getMessage.contains("out of range"))
+  }
+
+  test("st_transform: 4326 <-> 3857 closed form, roundtrip, contract") {
+    // equator point: x = R * rad(lon), y = 0
+    val mx = sql1("select ST_X(ST_Transform(ST_GeomFromText(" +
+      "'POINT(90 0)', 4326), 3857))").asInstanceOf[Double]
+    assert(math.abs(mx - 6378137.0 * math.Pi / 2) < 1e-6)
+    // tan(pi/4) is 1 ulp under 1.0, so the equator lands ~7e-10 off 0 —
+    // sub-nanometer; the 6dp roundtrip below is the exactness contract
+    val my = sql1("select ST_Y(ST_Transform(ST_GeomFromText(" +
+      "'POINT(90 0)', 4326), 3857))").asInstanceOf[Double]
+    assert(math.abs(my) < 1e-8)
+    assert(sql1("select ST_SRID(ST_Transform(ST_GeomFromText(" +
+      "'POINT(90 0)', 4326), 3857))") == 3857)
+    // roundtrip converges at 6dp
+    assert(sql1("select round(ST_Y(ST_Transform(ST_Transform(" +
+      "ST_GeomFromText('POINT(12 34)', 4326), 3857), 4326)), 6)") == 34.0)
+    // identity when already in the target SRID
+    assert(sql1("select ST_AsEWKT(ST_Transform(ST_GeomFromText(" +
+      "'POINT(1 2)', 3857), 3857))") == "SRID=3857;POINT(1 2)")
+    // unsupported pairs raise rather than silently approximating
+    assert(intercept[Exception] {
+      spark.sql("select ST_Transform(ST_GeomFromText('POINT(1 2)', 2154), 4326)")
+        .collect()
+    }.getMessage.contains("4326 <-> 3857"))
+  }
+
   test("constant folding: literal geometry folds to a binary literal") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("cf_t")

@@ -1100,6 +1100,23 @@ object SparkEntry {
                          CAST(l_linenumber * 10 AS INT) AS yi
                   FROM lineitem))
       ORDER BY l_orderkey, l_linenumber"""),
+    // PostGIS ST_ClusterKMeans as a distributed operator: RNG-free
+    // seeding (centroids of the 4 lowest ids in id order), exact-argmin
+    // assignment with ties to the lowest index, 2 Lloyd steps. Points
+    // sit on an integer grid, so every Lloyd mean is an exact
+    // sum-of-integers / count in double — order-insensitive — and the
+    // oracle replays the identical unrolled iterations in SQL
+    "q105_cluster_kmeans" -> ((spark, dir) => {
+      prep(spark, dir)
+      val pts = spark.sql(s"""
+        SELECT CAST(xi * 1000 + yi AS BIGINT) AS id,
+               ST_GeomFromText('POINT(' || CAST(xi AS STRING) || ' '
+                 || CAST(yi AS STRING) || ')') AS g
+        FROM (SELECT DISTINCT l_orderkey % 100 AS xi, l_linenumber * 10 AS yi
+              FROM lineitem)""")
+      graft.operators.SpatialCluster.clusterKMeans(pts, "id", "g", k = 4, iters = 2)
+        .orderBy("id")
+    }),
     // minimum clearance of an axis-aligned w x 5 rectangle is its
     // shorter side, and the realizing line has that exact length
     "q99_min_clearance" -> q(s"""
@@ -2155,6 +2172,35 @@ object SparkEntry {
              true AS gh_covers,
              CAST(0.3515625 AS DOUBLE) AS gh_w
       FROM b ORDER BY l_orderkey, l_linenumber""",
+    // unrolled Lloyd replay: seeds = 4 lowest ids in id order; each
+    // assignment is the identical (x-cx)*(x-cx)+(y-cy)*(y-cy) double
+    // expression with ties to the lowest cluster; each mean is an exact
+    // avg over integer-valued doubles, so both engines compute the SAME
+    // centers bit-for-bit and the final argmin agrees everywhere
+    "q105_cluster_kmeans" -> """
+      WITH d AS (SELECT DISTINCT l_orderkey % 100 AS xi, l_linenumber * 10 AS yi
+                 FROM lineitem),
+           p AS (SELECT CAST(xi * 1000 + yi AS BIGINT) AS id,
+                        CAST(xi AS DOUBLE) AS x, CAST(yi AS DOUBLE) AS y FROM d),
+           c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cl,
+                         x AS cx, y AS cy
+                  FROM (SELECT * FROM p ORDER BY id LIMIT 4)),
+           a0 AS (SELECT id, x, y, cl, row_number() OVER (PARTITION BY id
+                    ORDER BY (x-cx)*(x-cx)+(y-cy)*(y-cy) ASC, cl ASC) AS rk
+                  FROM p CROSS JOIN c0),
+           m1 AS (SELECT cl, avg(x) AS mx, avg(y) AS my FROM a0 WHERE rk = 1 GROUP BY cl),
+           c1 AS (SELECT c0.cl, coalesce(m1.mx, c0.cx) AS cx, coalesce(m1.my, c0.cy) AS cy
+                  FROM c0 LEFT JOIN m1 USING (cl)),
+           a1 AS (SELECT id, x, y, cl, row_number() OVER (PARTITION BY id
+                    ORDER BY (x-cx)*(x-cx)+(y-cy)*(y-cy) ASC, cl ASC) AS rk
+                  FROM p CROSS JOIN c1),
+           m2 AS (SELECT cl, avg(x) AS mx, avg(y) AS my FROM a1 WHERE rk = 1 GROUP BY cl),
+           c2 AS (SELECT c1.cl, coalesce(m2.mx, c1.cx) AS cx, coalesce(m2.my, c1.cy) AS cy
+                  FROM c1 LEFT JOIN m2 USING (cl)),
+           a2 AS (SELECT id, cl, row_number() OVER (PARTITION BY id
+                    ORDER BY (x-cx)*(x-cx)+(y-cy)*(y-cy) ASC, cl ASC) AS rk
+                  FROM p CROSS JOIN c2)
+      SELECT id, CAST(cl AS INT) AS cluster FROM a2 WHERE rk = 1 ORDER BY id""",
     // rectangle dump: 5 path vertices (closing dup), 4 segments; the
     // second of each is the east edge; the donut area is 64 minus the
     // least(w,6) x 1 hole

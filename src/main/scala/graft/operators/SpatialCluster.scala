@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.GeoFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed single-linkage spatial clustering — the PostGIS
@@ -134,5 +134,58 @@ object SpatialCluster {
     df.select(col(idCol).as("id")).distinct()
       .join(assigned, Seq("id"), "left")
       .select(col("id"), col("cluster")) // noise keeps null
+  }
+
+  /** PostGIS `ST_ClusterKMeans` as a distributed operator: (id, cluster)
+    * with cluster ∈ [0, k) — Lloyd's algorithm over the geometry
+    * CENTROIDS (PostGIS uses the 2-D centroid for non-point input).
+    *
+    * Determinism contract (same as [[Ann.kmeans]]): seeding is RNG-free —
+    * the centroids of the k lowest-id rows, numbered in id order — and
+    * assignment is an exact argmin with index tie-break. On
+    * integer-valued coordinates the Lloyd means are exact in double
+    * regardless of aggregation order, so runs replay bit-identically
+    * across partitionings; on arbitrary doubles the means are
+    * float-order-sensitive in the last ulp, like every distributed mean.
+    *
+    * Scale: assignment is a map-only pass (k·2 doubles broadcast inside
+    * the plan as literals — no join, no shuffle); each Lloyd step is one
+    * codegen'd partial+final average keyed by the k cluster ids; the
+    * driver holds k pairs of doubles, never rows. Empty clusters keep
+    * their previous center. */
+  def clusterKMeans(df: DataFrame, idCol: String, geomCol: String, k: Int,
+      iters: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    GeoFunctions.register(df.sparkSession)
+    val pts = df.select(col(idCol).as("id"),
+      GeoFunctions.st_x(GeoFunctions.st_centroid(col(geomCol))).as("__x"),
+      GeoFunctions.st_y(GeoFunctions.st_centroid(col(geomCol))).as("__y"))
+    var cents: Array[(Double, Double)] = pts.orderBy("id").limit(k)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    require(cents.length == k, s"input has ${cents.length} rows < k=$k")
+    def assigned = pts.withColumn("cluster",
+      nearestCenter(col("__x"), col("__y"), cents))
+    for (_ <- 0 until iters) {
+      val m = assigned.groupBy("cluster")
+        .agg(avg("__x").as("cx"), avg("__y").as("cy"))
+        .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+      cents = cents.indices.map(i => m.getOrElse(i, cents(i))).toArray
+    }
+    assigned.select(col("id"), col("cluster"))
+  }
+
+  /** Exact argmin over the k centers: array_min over (distance², index)
+    * structs — lexicographic struct ordering breaks exact-distance ties
+    * toward the LOWEST center index, and the whole expression stays
+    * inside WholeStageCodegen (no UDF, no join). */
+  private def nearestCenter(x: Column, y: Column,
+      cents: Array[(Double, Double)]): Column = {
+    val candidates = cents.zipWithIndex.map { case ((cx, cy), i) =>
+      struct(
+        ((x - lit(cx)) * (x - lit(cx)) + (y - lit(cy)) * (y - lit(cy))).as("d"),
+        lit(i).as("i"))
+    }
+    array_min(array(candidates.toIndexedSeq: _*)).getField("i")
   }
 }

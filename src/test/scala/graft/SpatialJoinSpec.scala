@@ -257,4 +257,33 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       0L -> Some(0L), 1L -> Some(0L), 2L -> Some(0L),
       10L -> Some(10L), 11L -> Some(10L), 20L -> Some(20L)))
   }
+
+  test("clusterKMeans: Lloyd converges to the two obvious groups; ties break low") {
+    import spark.implicits._
+    import graft.functions.GeoFunctions._
+    import org.apache.spark.sql.functions._
+    // seeds = centroids of the 2 lowest ids: (0,0) and (1,0). After one
+    // Lloyd step the centers move to (0,0) and (22/3,0); after the second
+    // they are (0.5,0) and (10.5,0) — the natural left/right split.
+    val pts = Seq(
+      (0L, 0.0), (1L, 1.0), (10L, 10.0), (11L, 11.0)).toDF("id", "x")
+      .select(col("id"), st_geomfromtext(
+        concat(lit("POINT("), col("x"), lit(" 0)"))).as("g"))
+    val got = graft.operators.SpatialCluster.clusterKMeans(pts, "id", "g", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 0, 10L -> 1, 11L -> 1))
+
+    // iters=0 assigns against the raw seeds; (1,0) is EXACTLY equidistant
+    // from seeds (0,0) and (2,0) and must take the lower cluster index.
+    // Rect input exercises the PostGIS centroid-of-geometry contract:
+    // the unit square [9.5,10.5]x[-0.5,0.5] has centroid (10,0) -> seed 1.
+    val mixed = Seq(
+      (0L, "POINT(0 0)"), (5L, "POINT(2 0)"), (7L, "POINT(1 0)"),
+      (9L, "POLYGON((9.5 -0.5,10.5 -0.5,10.5 0.5,9.5 0.5,9.5 -0.5))"))
+      .toDF("id", "wkt")
+      .select(col("id"), st_geomfromtext(col("wkt")).as("g"))
+    val got0 = graft.operators.SpatialCluster.clusterKMeans(mixed, "id", "g", k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got0 == Map(0L -> 0, 5L -> 1, 7L -> 0, 9L -> 1))
+  }
 }

@@ -1117,6 +1117,63 @@ object SparkEntry {
       graft.operators.SpatialCluster.clusterKMeans(pts, "id", "g", k = 4, iters = 2)
         .orderBy("id")
     }),
+    // accessor/constructor family on synthesized shapes: component and
+    // ring access return exact integer-vertex WKT; the counters are
+    // closed-form; constructed polygons have exact areas (hole is a
+    // 0.5-square -> 0.25); the 2-leg path length is wi + sqrt(wi^2+9),
+    // both engines computing sqrt of an exact integer
+    "q106_accessors_constructors" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_AsText(ST_GeometryN(mp, 2)) AS g2_wkt,
+             ST_AsText(ST_InteriorRingN(donut, 1)) AS ir_wkt,
+             ST_NRings(donut) AS nrings,
+             ST_NumPoints(ln) AS np_line,
+             ST_NumPoints(donut) AS np_poly,
+             ST_Dimension(donut) AS dim_a,
+             ST_CoordDim(donut) AS cdim,
+             ST_AsText(ST_BoundingDiagonal(donut)) AS bd_wkt,
+             ST_AsText(ST_MakePoint(CAST(xi AS DOUBLE), CAST(yi AS DOUBLE))) AS mkp_wkt,
+             ST_SRID(ST_Point(CAST(xi AS DOUBLE), CAST(yi AS DOUBLE), 4326)) AS pt_srid,
+             ST_Area(ST_MakePolygon(shell)) AS shell_area,
+             ST_Area(ST_MakePolygon(shell, array(hole))) AS donut_area,
+             ST_AsText(ST_LineFromMultiPoint(mp)) AS lmp_wkt,
+             ST_Length(ST_LineFromMultiPoint(mp)) AS lmp_len
+      FROM (SELECT l_orderkey, l_linenumber, xi, yi,
+                   ST_GeomFromText('MULTIPOINT(' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ','
+                     || xs || ' ' || CAST(yi + 3 AS STRING) || ')') AS mp,
+                   ST_GeomFromText('POLYGON((' || xs || ' ' || ys || ','
+                     || CAST(xi + 8 AS STRING) || ' ' || ys || ','
+                     || CAST(xi + 8 AS STRING) || ' ' || CAST(yi + 8 AS STRING) || ','
+                     || xs || ' ' || CAST(yi + 8 AS STRING) || ','
+                     || xs || ' ' || ys || '),('
+                     || CAST(xi + 2 AS STRING) || ' ' || CAST(yi + 2 AS STRING) || ','
+                     || CAST(xi + 3 AS STRING) || ' ' || CAST(yi + 2 AS STRING) || ','
+                     || CAST(xi + 3 AS STRING) || ' ' || CAST(yi + 3 AS STRING) || ','
+                     || CAST(xi + 2 AS STRING) || ' ' || CAST(yi + 3 AS STRING) || ','
+                     || CAST(xi + 2 AS STRING) || ' ' || CAST(yi + 2 AS STRING) || '))') AS donut,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || CAST(yi + 3 AS STRING) || ')') AS ln,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || CAST(yi + 5 AS STRING) || ','
+                     || xs || ' ' || CAST(yi + 5 AS STRING) || ','
+                     || xs || ' ' || ys || ')') AS shell,
+                   ST_GeomFromText('LINESTRING('
+                     || CAST(xi AS STRING) || '.25 ' || CAST(yi AS STRING) || '.25,'
+                     || CAST(xi AS STRING) || '.75 ' || CAST(yi AS STRING) || '.25,'
+                     || CAST(xi AS STRING) || '.75 ' || CAST(yi AS STRING) || '.75,'
+                     || CAST(xi AS STRING) || '.25 ' || CAST(yi AS STRING) || '.75,'
+                     || CAST(xi AS STRING) || '.25 ' || CAST(yi AS STRING) || '.25)') AS hole
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber * 10 AS INT) AS yi,
+                         CAST(l_linenumber AS INT) AS wi,
+                         CAST(CAST(l_orderkey % 100 AS INT) AS STRING) AS xs,
+                         CAST(CAST(l_linenumber * 10 AS INT) AS STRING) AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // minimum clearance of an axis-aligned w x 5 rectangle is its
     // shorter side, and the realizing line has that exact length
     "q99_min_clearance" -> q(s"""
@@ -2171,6 +2228,44 @@ object SparkEntry {
              round(CAST(li * 10 - 40 AS DOUBLE), 6) AS gh_lat,
              true AS gh_covers,
              CAST(0.3515625 AS DOUBLE) AS gh_w
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+    // every column closed-form: WKT columns replay the integer vertex
+    // strings; counters are constants of the fixture; areas are exact
+    // (wi*5 and wi*5 - 0.25); the 2-leg path length adds sqrt of an
+    // exact integer, correctly rounded identically in both engines
+    "q106_accessors_constructors" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber * 10 AS BIGINT) AS yi,
+              CAST(l_linenumber AS BIGINT) AS wi
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             'POINT(' || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ')' AS g2_wkt,
+             'LINESTRING(' || CAST(xi + 2 AS VARCHAR) || ' ' || CAST(yi + 2 AS VARCHAR)
+               || ',' || CAST(xi + 3 AS VARCHAR) || ' ' || CAST(yi + 2 AS VARCHAR)
+               || ',' || CAST(xi + 3 AS VARCHAR) || ' ' || CAST(yi + 3 AS VARCHAR)
+               || ',' || CAST(xi + 2 AS VARCHAR) || ' ' || CAST(yi + 3 AS VARCHAR)
+               || ',' || CAST(xi + 2 AS VARCHAR) || ' ' || CAST(yi + 2 AS VARCHAR)
+               || ')' AS ir_wkt,
+             CAST(2 AS INT) AS nrings,
+             CAST(3 AS INT) AS np_line,
+             CAST(NULL AS INT) AS np_poly,
+             CAST(2 AS INT) AS dim_a,
+             CAST(2 AS INT) AS cdim,
+             'LINESTRING(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + 8 AS VARCHAR) || ' ' || CAST(yi + 8 AS VARCHAR)
+               || ')' AS bd_wkt,
+             'POINT(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ')' AS mkp_wkt,
+             CAST(4326 AS INT) AS pt_srid,
+             CAST(wi * 5 AS DOUBLE) AS shell_area,
+             CAST(wi * 5 AS DOUBLE) - 0.25 AS donut_area,
+             'LINESTRING(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi AS VARCHAR) || ' ' || CAST(yi + 3 AS VARCHAR)
+               || ')' AS lmp_wkt,
+             CAST(wi AS DOUBLE) + sqrt(CAST(wi * wi + 9 AS DOUBLE)) AS lmp_len
       FROM b ORDER BY l_orderkey, l_linenumber""",
     // unrolled Lloyd replay: seeds = 4 lowest ids in id order; each
     // assignment is the identical (x-cx)*(x-cx)+(y-cy)*(y-cy) double

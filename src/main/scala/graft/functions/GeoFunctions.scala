@@ -170,6 +170,28 @@ object GeoFunctions {
       arity("st_snaptogrid", es, 2); StSnapToGrid(es.head, es(1)) },
     "st_reduceprecision" -> { es =>
       arity("st_reduceprecision", es, 2); StReducePrecision(es.head, es(1)) },
+    "st_geometryn" -> { es => arity("st_geometryn", es, 2); StGeometryN(es.head, es(1)) },
+    "st_interiorringn" -> { es =>
+      arity("st_interiorringn", es, 2); StInteriorRingN(es.head, es(1)) },
+    "st_nrings" -> { es => arity("st_nrings", es, 1); StNRings(es.head) },
+    "st_numpoints" -> { es => arity("st_numpoints", es, 1); StNumPointsStrict(es.head) },
+    "st_dimension" -> { es => arity("st_dimension", es, 1); StDimension(es.head) },
+    "st_coorddim" -> { es => arity("st_coorddim", es, 1); StCoordDim(es.head) },
+    "st_boundingdiagonal" -> { es =>
+      arity("st_boundingdiagonal", es, 1); StBoundingDiagonal(es.head) },
+    "st_makepoint" -> { es =>
+      arity("st_makepoint", es, 2); StMakePoint(es, hasSrid = false) },
+    // PostGIS ST_Point: the 3-arg form carries a SRID
+    "st_point" -> { es =>
+      arity("st_point", es, 2, 3)
+      StMakePoint(es, hasSrid = es.length == 3)
+    },
+    "st_makepolygon" -> { es =>
+      arity("st_makepolygon", es, 1, 2)
+      if (es.length == 1) StMakePolygon(es.head) else StMakePolygonHoles(es.head, es(1))
+    },
+    "st_linefrommultipoint" -> { es =>
+      arity("st_linefrommultipoint", es, 1); StLineFromMultiPoint(es.head) },
     "st_xmin" -> { es => arity("st_xmin", es, 1); StXMin(es.head) },
     "st_ymin" -> { es => arity("st_ymin", es, 1); StYMin(es.head) },
     "st_xmax" -> { es => arity("st_xmax", es, 1); StXMax(es.head) },
@@ -312,6 +334,23 @@ object GeoFunctions {
   def st_startpoint(g: Column): Column = c(StStartPoint(x(g)))
   def st_endpoint(g: Column): Column = c(StEndPoint(x(g)))
   def st_pointn(g: Column, n: Column): Column = c(StPointN(x(g), x(n)))
+  def st_geometryn(g: Column, n: Column): Column = c(StGeometryN(x(g), x(n)))
+  def st_interiorringn(g: Column, n: Column): Column = c(StInteriorRingN(x(g), x(n)))
+  def st_nrings(g: Column): Column = c(StNRings(x(g)))
+  def st_numpoints(g: Column): Column = c(StNumPointsStrict(x(g)))
+  def st_dimension(g: Column): Column = c(StDimension(x(g)))
+  def st_coorddim(g: Column): Column = c(StCoordDim(x(g)))
+  def st_boundingdiagonal(g: Column): Column = c(StBoundingDiagonal(x(g)))
+  def st_makepoint(px: Column, py: Column): Column =
+    c(StMakePoint(Seq(x(px), x(py)), hasSrid = false))
+  def st_point(px: Column, py: Column): Column =
+    c(StMakePoint(Seq(x(px), x(py)), hasSrid = false))
+  def st_point(px: Column, py: Column, srid: Column): Column =
+    c(StMakePoint(Seq(x(px), x(py), x(srid)), hasSrid = true))
+  def st_makepolygon(shell: Column): Column = c(StMakePolygon(x(shell)))
+  def st_makepolygon(shell: Column, holes: Column): Column =
+    c(StMakePolygonHoles(x(shell), x(holes)))
+  def st_linefrommultipoint(mp: Column): Column = c(StLineFromMultiPoint(x(mp)))
   def st_exteriorring(g: Column): Column = c(StExteriorRing(x(g)))
   def st_numinteriorrings(g: Column): Column = c(StNumInteriorRings(x(g)))
   def st_reverse(g: Column): Column = c(StReverse(x(g)))

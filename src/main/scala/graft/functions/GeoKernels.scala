@@ -668,6 +668,126 @@ object GeoKernels {
     case _ => null
   }
 
+  /** 1-based nth component of a collection (PostGIS ST_GeometryN); a
+    * non-collection input is its own first component, so n=1 returns it.
+    * Null out-of-range. */
+  def geometryN(tagged: Array[Byte], n: Int): Array[Byte] = {
+    val g = geom(tagged)
+    if (n < 1 || n > g.getNumGeometries) null
+    else encodeKeepSrid(g, g.getGeometryN(n - 1))
+  }
+
+  /** 1-based nth interior ring of a Polygon as a LineString (PostGIS
+    * ST_InteriorRingN); null for other types or out-of-range n. */
+  def interiorRingN(tagged: Array[Byte], n: Int): Array[Byte] = geom(tagged) match {
+    case p: Polygon if n >= 1 && n <= p.getNumInteriorRing =>
+      encodeKeepSrid(p, GeomCodec.geometryFactory.createLineString(
+        p.getInteriorRingN(n - 1).getCoordinateSequence))
+    case _ => null
+  }
+
+  private def countRings(g: Geometry): Int = g match {
+    case p: Polygon => if (p.isEmpty) 0 else 1 + p.getNumInteriorRing
+    case gc: GeometryCollection =>
+      var n = 0; var i = 0
+      while (i < gc.getNumGeometries) { n += countRings(gc.getGeometryN(i)); i += 1 }
+      n
+    case _ => 0
+  }
+
+  /** Total ring count, exterior rings INCLUDED, over every polygonal
+    * component (PostGIS ST_NRings); 0 for non-areal input. */
+  def nRings(tagged: Array[Byte]): Int = countRings(geom(tagged))
+
+  /** OGC ST_NumPoints: vertex count of a LineString ONLY, null for every
+    * other type — unlike [[numPoints]] (ST_NPoints), which counts all
+    * vertices of any geometry. */
+  def numPointsStrict(tagged: Array[Byte]): Integer = geom(tagged) match {
+    case l: LineString => Integer.valueOf(l.getNumPoints)
+    case _ => null
+  }
+
+  /** Topological dimension (PostGIS ST_Dimension): 0 points, 1 lines,
+    * 2 areas; max over collection components (JTS getDimension). */
+  def dimension(tagged: Array[Byte]): Int = geom(tagged).getDimension
+
+  /** Coordinate dimension (PostGIS ST_CoordDim) — this engine's codec is
+    * strictly 2-D (graft.geo.GeomCodec), so every valid geometry is 2.
+    * Decoding first keeps the error contract of the other accessors. */
+  def coordDim(tagged: Array[Byte]): Int = { geom(tagged); 2 }
+
+  /** Diagonal of the bounding box as a 2-point LineString from (xmin ymin)
+    * to (xmax ymax) (PostGIS ST_BoundingDiagonal); LINESTRING EMPTY for
+    * empty input. SRID is preserved. */
+  def boundingDiagonal(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val f = GeomCodec.geometryFactory
+    val out =
+      if (g.isEmpty) f.createLineString(Array.empty[Coordinate])
+      else {
+        val e = g.getEnvelopeInternal
+        f.createLineString(Array(new Coordinate(e.getMinX, e.getMinY),
+          new Coordinate(e.getMaxX, e.getMaxY)))
+      }
+    encodeKeepSrid(g, out)
+  }
+
+  /** ST_MakePoint / ST_Point: point from raw coordinates — EWKB when a
+    * SRID is given (ST_Point(x, y, srid)), plain WKB otherwise, the
+    * [[makeEnvelope]] switch. */
+  def makePoint(x: Double, y: Double, srid: Int, hasSrid: Boolean): Array[Byte] = {
+    val p = GeomCodec.geometryFactory.createPoint(new Coordinate(x, y))
+    if (hasSrid) {
+      p.setSRID(srid)
+      remember(GeomCodec.encodeEwkb(p), p)
+    } else remember(GeomCodec.encodeWkb(p), p)
+  }
+
+  /** ST_MakePolygon: polygon from a closed shell LineString, plus
+    * optional hole rings. Non-line input → null (the accessor
+    * convention); an unclosed or too-short ring raises, matching the
+    * PostGIS error. The shell's SRID wins. */
+  def makePolygon(shell: Array[Byte], holes: Array[Array[Byte]]): Array[Byte] = {
+    def ring(b: Array[Byte], what: String): org.locationtech.jts.geom.LinearRing =
+      geom(b) match {
+        case l: LineString =>
+          if (!l.isClosed || l.getNumPoints < 4) throw new IllegalArgumentException(
+            s"st_makepolygon: $what must be a closed ring of 4+ points")
+          GeomCodec.geometryFactory.createLinearRing(l.getCoordinateSequence)
+        case _ => null
+      }
+    geom(shell) match {
+      case l: LineString =>
+        val sh = ring(shell, "shell")
+        val hs = if (holes == null) Array.empty[org.locationtech.jts.geom.LinearRing]
+          else holes.map(h => ring(h, "hole"))
+        if (hs.exists(_ == null)) null
+        else encodeKeepSrid(l, GeomCodec.geometryFactory.createPolygon(sh, hs))
+      case _ => null
+    }
+  }
+
+  /** Shell-only ST_MakePolygon (codegen entry point). */
+  def makePolygonShell(shell: Array[Byte]): Array[Byte] = makePolygon(shell, null)
+
+  /** ST_MakePolygon(shell, array<hole>) — ArrayData adapter for codegen. */
+  def makePolygonHoles(shell: Array[Byte],
+      holes: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val hs = Array.tabulate(holes.numElements())(i =>
+      if (holes.isNullAt(i)) null else holes.getBinary(i))
+    if (hs.contains(null)) null else makePolygon(shell, hs)
+  }
+
+  /** ST_LineFromMultiPoint: LineString threading the points of a
+    * MultiPoint in order; null for other types. */
+  def lineFromMultiPoint(tagged: Array[Byte]): Array[Byte] = geom(tagged) match {
+    case mp: MultiPoint =>
+      val coords = Array.tabulate(mp.getNumGeometries)(i =>
+        mp.getGeometryN(i).asInstanceOf[Point].getCoordinate.copy())
+      encodeKeepSrid(mp, GeomCodec.geometryFactory.createLineString(coords))
+    case _ => null
+  }
+
   /** Vertex order reversed, every component (PostGIS ST_Reverse). */
   def reverse(tagged: Array[Byte]): Array[Byte] = {
     val g = geom(tagged)

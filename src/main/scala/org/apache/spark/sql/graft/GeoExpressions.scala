@@ -400,6 +400,181 @@ case class StNumInteriorRings(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** ST_GeometryN — 1-based nth component of a collection; a
+  * non-collection input is its own first component. Null out-of-range. */
+case class StGeometryN(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geometryn"
+  override protected def nullSafeEval(g: Any, n: Any): Any =
+    GeoKernels.geometryN(g.asInstanceOf[Array[Byte]], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, n) => s"""
+      ${ev.value} = ${GeoExpr.K}.geometryN($g, $n);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_InteriorRingN — 1-based nth interior ring of a Polygon as a
+  * LineString; null for other types or out-of-range n. */
+case class StInteriorRingN(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_interiorringn"
+  override protected def nullSafeEval(g: Any, n: Any): Any =
+    GeoKernels.interiorRingN(g.asInstanceOf[Array[Byte]], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, n) => s"""
+      ${ev.value} = ${GeoExpr.K}.interiorRingN($g, $n);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_NRings — ring count including exterior rings, all polygonal
+  * components; 0 for non-areal input. */
+case class StNRings(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "st_nrings"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.nRings(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.nRings($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** OGC ST_NumPoints — vertex count of a LineString ONLY (null
+  * otherwise); the permissive any-geometry count is ST_NPoints. */
+case class StNumPointsStrict(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_numpoints"
+  override protected def nullSafeEval(g: Any): Any = {
+    val n = GeoKernels.numPointsStrict(g.asInstanceOf[Array[Byte]])
+    if (n == null) null else n.intValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => s"""
+      java.lang.Integer ${ev.value}Boxed = ${GeoExpr.K}.numPointsStrict($g);
+      if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Boxed.intValue(); }""")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_Dimension — topological dimension (0/1/2), max over components. */
+case class StDimension(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "st_dimension"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.dimension(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.dimension($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_CoordDim — coordinate dimension; always 2 in the 2-D codec. */
+case class StCoordDim(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "st_coorddim"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.coordDim(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.coordDim($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_BoundingDiagonal — bbox diagonal as a 2-point LineString. */
+case class StBoundingDiagonal(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_boundingdiagonal"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.boundingDiagonal(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.boundingDiagonal($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_MakePoint(x, y) / ST_Point(x, y[, srid]) — point from raw
+  * coordinates; EWKB when the SRID argument is present. */
+case class StMakePoint(children: Seq[Expression], hasSrid: Boolean)
+    extends Expression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, DoubleType) ++ (if (hasSrid) Seq(IntegerType) else Nil)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_makepoint"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else GeoKernels.makePoint(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      if (hasSrid) vs(2).asInstanceOf[Int] else 0, hasSrid)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val srid = if (hasSrid) evs(2).value.toString else "0"
+    val anyNull = evs.map(e => e.isNull.toString).mkString(" || ")
+    val childCode = evs.map(_.code.toString).mkString("\n")
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        byte[] ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = ${GeoExpr.K}.makePoint(${evs(0).value}, ${evs(1).value},
+            $srid, $hasSrid);
+        }""")
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]) =
+    copy(children = newChildren)
+}
+
+/** ST_MakePolygon(shell) — polygon from a closed shell LineString. */
+case class StMakePolygon(child: Expression) extends GeoUnaryGeomNullable {
+  override def kernel: String = "makePolygonShell"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.makePolygonShell(g)
+  override def prettyName: String = "st_makepolygon"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_MakePolygon(shell, array<hole>) — with interior rings. */
+case class StMakePolygonHoles(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, ArrayType(BinaryType))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_makepolygon"
+  override protected def nullSafeEval(g: Any, hs: Any): Any =
+    GeoKernels.makePolygonHoles(g.asInstanceOf[Array[Byte]],
+      hs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, hs) => s"""
+      ${ev.value} = ${GeoExpr.K}.makePolygonHoles($g, $hs);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_LineFromMultiPoint — LineString through the points of a
+  * MultiPoint in order; null for other types. */
+case class StLineFromMultiPoint(child: Expression) extends GeoUnaryGeomNullable {
+  override def kernel: String = "lineFromMultiPoint"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.lineFromMultiPoint(g)
+  override def prettyName: String = "st_linefrommultipoint"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** ST_Azimuth — north-based clockwise bearing (radians) from point a to
   * point b; null when the points coincide or inputs are not points. */
 case class StAzimuth(left: Expression, right: Expression)

@@ -808,6 +808,79 @@ class GeoFunctionsSpec extends AnyFunSuite {
     }.getMessage.contains("4326 <-> 3857"))
   }
 
+  test("st_geometryn / st_interiorringn: 1-based component and ring access") {
+    val mp = "ST_GeomFromText('MULTIPOINT(1 2,3 4)')"
+    assert(sql1(s"select ST_AsText(ST_GeometryN($mp, 2))") == "POINT(3 4)")
+    // a non-collection is its own first (and only) component
+    assert(sql1("select ST_AsText(ST_GeometryN(ST_GeomFromText('POINT(7 8)'), 1))") ==
+      "POINT(7 8)")
+    assert(sql1(s"select ST_GeometryN($mp, 3)") == null)
+    assert(sql1(s"select ST_GeometryN($mp, 0)") == null)
+    val donut = "ST_GeomFromText('POLYGON((0 0,8 0,8 8,0 8,0 0),(2 2,3 2,3 3,2 3,2 2))')"
+    assert(sql1(s"select ST_AsText(ST_InteriorRingN($donut, 1))") ==
+      "LINESTRING(2 2,3 2,3 3,2 3,2 2)")
+    assert(sql1(s"select ST_InteriorRingN($donut, 2)") == null)
+    assert(sql1("select ST_InteriorRingN(ST_GeomFromText('POINT(0 0)'), 1)") == null)
+    // SRID flows through component access
+    assert(sql1("select ST_SRID(ST_GeometryN(ST_GeomFromText('MULTIPOINT(1 2,3 4)', 4326), 1))") == 4326)
+  }
+
+  test("st_nrings / st_numpoints / st_dimension / st_coorddim: shape counters") {
+    val donut = "ST_GeomFromText('POLYGON((0 0,8 0,8 8,0 8,0 0),(2 2,3 2,3 3,2 3,2 2))')"
+    assert(sql1(s"select ST_NRings($donut)") == 2)
+    assert(sql1("select ST_NRings(ST_GeomFromText('GEOMETRYCOLLECTION(" +
+      "MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((5 5,6 5,6 6,5 5))), POINT(9 9))'))") == 2)
+    assert(sql1("select ST_NRings(ST_GeomFromText('LINESTRING(0 0,1 1)'))") == 0)
+    // strict OGC NumPoints: lines only — NPoints counts everything
+    assert(sql1("select ST_NumPoints(ST_GeomFromText('LINESTRING(0 0,1 1,2 2)'))") == 3)
+    assert(sql1(s"select ST_NumPoints($donut)") == null)
+    assert(sql1(s"select ST_NPoints($donut)") == 10)
+    assert(sql1("select ST_Dimension(ST_GeomFromText('POINT(0 0)'))") == 0)
+    assert(sql1("select ST_Dimension(ST_GeomFromText('GEOMETRYCOLLECTION(" +
+      "POINT(0 0), LINESTRING(0 0,1 1))'))") == 1)
+    assert(sql1(s"select ST_Dimension($donut)") == 2)
+    assert(sql1(s"select ST_CoordDim($donut)") == 2)
+  }
+
+  test("st_boundingdiagonal: bbox diagonal line, SRID kept, empty-safe") {
+    assert(sql1("select ST_AsText(ST_BoundingDiagonal(" +
+      "ST_GeomFromText('POLYGON((1 2,5 2,5 9,1 9,1 2))')))") == "LINESTRING(1 2,5 9)")
+    // a point degenerates to a zero-length diagonal
+    assert(sql1("select ST_AsText(ST_BoundingDiagonal(ST_GeomFromText('POINT(3 4)')))") ==
+      "LINESTRING(3 4,3 4)")
+    assert(sql1("select ST_SRID(ST_BoundingDiagonal(" +
+      "ST_GeomFromText('LINESTRING(0 0,2 3)', 3857)))") == 3857)
+    assert(sql1("select ST_AsText(ST_BoundingDiagonal(" +
+      "ST_GeomFromText('LINESTRING EMPTY')))") == "LINESTRING EMPTY")
+  }
+
+  test("st_makepoint / st_point: coordinate constructors, EWKB on SRID") {
+    assert(sql1("select ST_AsText(ST_MakePoint(1.5D, -2.5D))") == "POINT(1.5 -2.5)")
+    assert(sql1("select ST_SRID(ST_MakePoint(1D, 2D))") == null) // no SRID -> plain WKB
+    assert(sql1("select ST_AsEWKT(ST_Point(1D, 2D, 4326))") == "SRID=4326;POINT(1 2)")
+    assert(sql1("select ST_Point(CAST(NULL AS DOUBLE), 2D)") == null)
+  }
+
+  test("st_makepolygon / st_linefrommultipoint: ring + path constructors") {
+    assert(sql1("select ST_Area(ST_MakePolygon(" +
+      "ST_GeomFromText('LINESTRING(0 0,4 0,4 4,0 4,0 0)')))") == 16.0)
+    // holes subtract; the shell's SRID wins
+    assert(sql1("select ST_Area(ST_MakePolygon(" +
+      "ST_GeomFromText('LINESTRING(0 0,4 0,4 4,0 4,0 0)'), " +
+      "array(ST_GeomFromText('LINESTRING(1 1,2 1,2 2,1 2,1 1)'))))") == 15.0)
+    assert(sql1("select ST_SRID(ST_MakePolygon(" +
+      "ST_GeomFromText('LINESTRING(0 0,4 0,4 4,0 4,0 0)', 4326)))") == 4326)
+    // non-line input is null; an unclosed shell raises like PostGIS
+    assert(sql1("select ST_MakePolygon(ST_GeomFromText('POINT(0 0)'))") == null)
+    intercept[Exception] {
+      spark.sql("select ST_MakePolygon(ST_GeomFromText('LINESTRING(0 0,1 0,1 1)'))")
+        .collect()
+    }
+    assert(sql1("select ST_AsText(ST_LineFromMultiPoint(" +
+      "ST_GeomFromText('MULTIPOINT(0 0,1 1,2 3)')))") == "LINESTRING(0 0,1 1,2 3)")
+    assert(sql1("select ST_LineFromMultiPoint(ST_GeomFromText('POINT(0 0)'))") == null)
+  }
+
   test("constant folding: literal geometry folds to a binary literal") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("cf_t")

@@ -1174,6 +1174,91 @@ object SparkEntry {
                          CAST(CAST(l_linenumber * 10 AS INT) AS STRING) AS ys
                   FROM lineitem))
       ORDER BY l_orderkey, l_linenumber"""),
+    // grid tiling + seeded point generation: square cells replay as
+    // exact integer WKT; the grid cell count and first (i,j) are
+    // floor-arithmetic; hexagon metrics are either exact decimals
+    // (1.5·wi·xi has one fractional bit) or the identical
+    // sqrt(3)-expression op order; ST_GeneratePoints is graded on its
+    // CONTRACT — count, containment, seed-determinism — not bits
+    "q107_grids_generatepoints" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_AsText(ST_Square(2.0D, xi, wi)) AS sq_wkt,
+             size(ST_SquareGrid(2.0D, env)) AS n_cells,
+             element_at(ST_SquareGrid(2.0D, env), 1).i AS first_i,
+             element_at(ST_SquareGrid(2.0D, env), 1).j AS first_j,
+             round(ST_Area(ST_Hexagon(CAST(wi AS DOUBLE), 0, 0)), 6) AS hex_area,
+             ST_NPoints(ST_Hexagon(CAST(wi AS DOUBLE), 0, 0)) AS hex_np,
+             ST_XMin(ST_Hexagon(CAST(wi AS DOUBLE), xi, 2)) AS hex_xmin,
+             ST_YMin(ST_Hexagon(CAST(wi AS DOUBLE), 0, 0)) AS hex_ymin,
+             ST_NumGeometries(ST_GeneratePoints(env, 10 + wi, xi)) AS gp_n,
+             ST_CoveredBy(ST_GeneratePoints(env, 10 + wi, xi), env) AS gp_cov,
+             ST_Equals(ST_GeneratePoints(env, 10 + wi, xi),
+                       ST_GeneratePoints(env, 10 + wi, xi)) AS gp_det
+      FROM (SELECT l_orderkey, l_linenumber, xi, yi, wi,
+                   ST_MakeEnvelope(CAST(xi AS DOUBLE), CAST(yi AS DOUBLE),
+                     CAST(xi + wi AS DOUBLE), CAST(yi + 5 AS DOUBLE)) AS env
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber * 10 AS INT) AS yi,
+                         CAST(l_linenumber AS INT) AS wi
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
+    // affine/editing family, all closed-form: the reflection and
+    // translate-then-scale produce integer vertices; shift/wrap are
+    // CASE arithmetic on xi-50; scroll rotates the ring to a known
+    // vertex; Chaikin at integer right angles cuts at exact quarter
+    // points; VW keeps/drops the area-1? bump by tolerance; the
+    // quantize column asserts the documented error bound; the
+    // geometric median of a symmetric cross is its exact center
+    "q108_affine_editing" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_AsText(ST_Affine(seg, 0D, 1D, 1D, 0D, 0D, 0D)) AS aff_wkt,
+             ST_AsText(ST_TransScale(pt, 1D, 2D, 2D, 3D)) AS ts_wkt,
+             ST_AsText(ST_ShiftLongitude(lonpt)) AS sl_wkt,
+             ST_AsText(ST_WrapX(lonpt, 0D, 360D)) AS wrap_wkt,
+             ST_AsText(ST_Scroll(ring, ST_GeomFromText('POINT('
+               || CAST(xi + wi AS STRING) || ' ' || CAST(yi + wi AS STRING)
+               || ')'))) AS scr_wkt,
+             ST_AsText(ST_ChaikinSmoothing(angle, 1, true)) AS cs_wkt,
+             ST_NPoints(ST_SimplifyVW(bump, 10D)) AS vw_np2,
+             ST_NPoints(ST_SimplifyVW(bump, 1D)) AS vw_np3,
+             ST_Covers(ST_SimplifyPolygonHull(ST_Segmentize(env, 1.0D), 0.3D, true),
+               ST_Segmentize(env, 1.0D)) AS hull_cov,
+             abs(ST_X(ST_QuantizeCoordinates(qpt, 2)) - ST_X(qpt)) < 0.01D AS qc_ok,
+             ST_AsText(ST_GeometricMedian(cross5)) AS gm_wkt
+      FROM (SELECT l_orderkey, l_linenumber, xi, yi, wi,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ')') AS seg,
+                   ST_GeomFromText('POINT(' || xs || ' ' || ys || ')') AS pt,
+                   ST_GeomFromText('POINT(' || CAST(xi - 50 AS STRING) || ' '
+                     || ys || ')') AS lonpt,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || CAST(yi + wi AS STRING) || ','
+                     || xs || ' ' || CAST(yi + wi AS STRING) || ','
+                     || xs || ' ' || ys || ')') AS ring,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || CAST(xi + 4 AS STRING) || ' ' || ys || ','
+                     || CAST(xi + 4 AS STRING) || ' ' || CAST(yi + 4 AS STRING)
+                     || ')') AS angle,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || CAST(xi + 5 AS STRING) || ' ' || CAST(yi + 1 AS STRING) || ','
+                     || CAST(xi + 10 AS STRING) || ' ' || ys || ')') AS bump,
+                   ST_MakeEnvelope(CAST(xi AS DOUBLE), CAST(yi AS DOUBLE),
+                     CAST(xi + 10 AS DOUBLE), CAST(yi + 10 AS DOUBLE)) AS env,
+                   ST_GeomFromText('POINT(' || xs || '.123456789 0)') AS qpt,
+                   ST_GeomFromText('MULTIPOINT(' || CAST(xi - 1 AS STRING) || ' ' || ys
+                     || ',' || CAST(xi + 1 AS STRING) || ' ' || ys
+                     || ',' || xs || ' ' || CAST(yi - 1 AS STRING)
+                     || ',' || xs || ' ' || CAST(yi + 1 AS STRING) || ')') AS cross5
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber * 10 AS INT) AS yi,
+                         CAST(l_linenumber AS INT) AS wi,
+                         CAST(CAST(l_orderkey % 100 AS INT) AS STRING) AS xs,
+                         CAST(CAST(l_linenumber * 10 AS INT) AS STRING) AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // minimum clearance of an axis-aligned w x 5 rectangle is its
     // shorter side, and the realizing line has that exact length
     "q99_min_clearance" -> q(s"""
@@ -2228,6 +2313,87 @@ object SparkEntry {
              round(CAST(li * 10 - 40 AS DOUBLE), 6) AS gh_lat,
              true AS gh_covers,
              CAST(0.3515625 AS DOUBLE) AS gh_w
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+    // affine/editing closed forms: reflection swaps coordinate pairs;
+    // transscale is integer arithmetic; shift/wrap is a CASE on xi<50;
+    // the scroll starts at ring vertex 2; Chaikin quarter-points land on
+    // integers (0.75*xi+0.25*(xi+4) = xi+1 exact); the VW bump area is
+    // exactly 5 so tolerance 10 drops it and 1 keeps it; the hull/
+    // quantize columns assert documented guarantees; the median of the
+    // unit cross is its exact center (Weiszfeld converges in one step)
+    "q108_affine_editing" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber * 10 AS BIGINT) AS yi,
+              CAST(l_linenumber AS BIGINT) AS wi
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             'LINESTRING(' || CAST(yi AS VARCHAR) || ' ' || CAST(xi AS VARCHAR)
+               || ',' || CAST(yi AS VARCHAR) || ' ' || CAST(xi + wi AS VARCHAR)
+               || ')' AS aff_wkt,
+             'POINT(' || CAST((xi + 1) * 2 AS VARCHAR) || ' '
+               || CAST((yi + 2) * 3 AS VARCHAR) || ')' AS ts_wkt,
+             CASE WHEN xi < 50
+               THEN 'POINT(' || CAST(xi + 310 AS VARCHAR) || ' ' || CAST(yi AS VARCHAR) || ')'
+               ELSE 'POINT(' || CAST(xi - 50 AS VARCHAR) || ' ' || CAST(yi AS VARCHAR) || ')'
+             END AS sl_wkt,
+             CASE WHEN xi < 50
+               THEN 'POINT(' || CAST(xi + 310 AS VARCHAR) || ' ' || CAST(yi AS VARCHAR) || ')'
+               ELSE 'POINT(' || CAST(xi - 50 AS VARCHAR) || ' ' || CAST(yi AS VARCHAR) || ')'
+             END AS wrap_wkt,
+             'LINESTRING(' || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi + wi AS VARCHAR)
+               || ',' || CAST(xi AS VARCHAR) || ' ' || CAST(yi + wi AS VARCHAR)
+               || ',' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi + wi AS VARCHAR)
+               || ')' AS scr_wkt,
+             'LINESTRING(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + 1 AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + 3 AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ',' || CAST(xi + 4 AS VARCHAR) || ' ' || CAST(yi + 1 AS VARCHAR)
+               || ',' || CAST(xi + 4 AS VARCHAR) || ' ' || CAST(yi + 3 AS VARCHAR)
+               || ',' || CAST(xi + 4 AS VARCHAR) || ' ' || CAST(yi + 4 AS VARCHAR)
+               || ')' AS cs_wkt,
+             CAST(2 AS INT) AS vw_np2,
+             CAST(3 AS INT) AS vw_np3,
+             true AS hull_cov,
+             true AS qc_ok,
+             'POINT(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ')' AS gm_wkt
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+    // square cells replay the makeEnvelope ring order on 2x-scaled
+    // integers; n_cells is floor arithmetic x 3 rows (the y span
+    // yi..yi+5 at size 2 always covers 3 cells); hex_area's analytic
+    // 3*sqrt(3)/2*wi^2 round-matches the JTS shoelace at 6dp for all 7
+    // wi values (checked numerically); hex_xmin is an exact decimal
+    // (1.5*wi has one fractional bit); hex_ymin replays the identical
+    // -(sqrt(3)/2*wi) op order; the generate-points columns assert the
+    // documented contract (count, containment, seed replay)
+    "q107_grids_generatepoints" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber * 10 AS BIGINT) AS yi,
+              CAST(l_linenumber AS BIGINT) AS wi,
+              CAST(l_linenumber AS BIGINT) AS li
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             'POLYGON((' || CAST(2*xi AS VARCHAR) || ' ' || CAST(2*wi AS VARCHAR)
+               || ',' || CAST(2*xi AS VARCHAR) || ' ' || CAST(2*wi+2 AS VARCHAR)
+               || ',' || CAST(2*xi+2 AS VARCHAR) || ' ' || CAST(2*wi+2 AS VARCHAR)
+               || ',' || CAST(2*xi+2 AS VARCHAR) || ' ' || CAST(2*wi AS VARCHAR)
+               || ',' || CAST(2*xi AS VARCHAR) || ' ' || CAST(2*wi AS VARCHAR)
+               || '))' AS sq_wkt,
+             CAST((CAST(floor((xi+wi)/2.0) AS BIGINT)
+               - CAST(floor(xi/2.0) AS BIGINT) + 1) * 3 AS INT) AS n_cells,
+             CAST(floor(xi/2.0) AS INT) AS first_i,
+             CAST(5*li AS INT) AS first_j,
+             round(3 * sqrt(3.0) / 2 * wi * wi, 6) AS hex_area,
+             CAST(7 AS INT) AS hex_np,
+             1.5 * CAST(wi AS DOUBLE) * xi - wi AS hex_xmin,
+             -(sqrt(3.0)/2*wi) AS hex_ymin,
+             CAST(10+wi AS INT) AS gp_n,
+             true AS gp_cov,
+             true AS gp_det
       FROM b ORDER BY l_orderkey, l_linenumber""",
     // every column closed-form: WKT columns replay the integer vertex
     // strings; counters are constants of the fixture; areas are exact

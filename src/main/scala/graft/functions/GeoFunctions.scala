@@ -192,6 +192,47 @@ object GeoFunctions {
     },
     "st_linefrommultipoint" -> { es =>
       arity("st_linefrommultipoint", es, 1); StLineFromMultiPoint(es.head) },
+    "st_square" -> { es => arity("st_square", es, 3); StSquare(es.head, es(1), es(2)) },
+    "st_hexagon" -> { es => arity("st_hexagon", es, 3); StHexagon(es.head, es(1), es(2)) },
+    "st_squaregrid" -> { es =>
+      arity("st_squaregrid", es, 2); StSquareGrid(es.head, es(1)) },
+    "st_hexagongrid" -> { es =>
+      arity("st_hexagongrid", es, 2); StHexagonGrid(es.head, es(1)) },
+    // 2-arg form seeds with 0 (PostGIS's unseeded form is
+    // nondeterministic; a FIXED default seed keeps plans replayable)
+    "st_generatepoints" -> { es =>
+      arity("st_generatepoints", es, 2, 3)
+      StGeneratePoints(es.head, es(1), if (es.length == 3) es(2) else Literal(0))
+    },
+    "st_affine" -> { es => arity("st_affine", es, 7); StAffine(es) },
+    "st_transscale" -> { es => arity("st_transscale", es, 5); StTransScale(es) },
+    "st_shiftlongitude" -> { es =>
+      arity("st_shiftlongitude", es, 1); StShiftLongitude(es.head) },
+    "st_wrapx" -> { es => arity("st_wrapx", es, 3); StWrapX(es.head, es(1), es(2)) },
+    "st_scroll" -> { es => arity("st_scroll", es, 2); StScroll(es.head, es(1)) },
+    // PostGIS defaults: 1 iteration, endpoints preserved
+    "st_chaikinsmoothing" -> { es =>
+      arity("st_chaikinsmoothing", es, 1, 2, 3)
+      StChaikinSmoothing(es.head,
+        if (es.length >= 2) es(1) else Literal(1),
+        if (es.length >= 3) es(2) else Literal(true))
+    },
+    "st_simplifyvw" -> { es => arity("st_simplifyvw", es, 2); StSimplifyVW(es.head, es(1)) },
+    // PostGIS default: outer hull
+    "st_simplifypolygonhull" -> { es =>
+      arity("st_simplifypolygonhull", es, 2, 3)
+      StSimplifyPolygonHull(es.head, es(1),
+        if (es.length == 3) es(2) else Literal(true))
+    },
+    "st_quantizecoordinates" -> { es =>
+      arity("st_quantizecoordinates", es, 2); StQuantizeCoordinates(es.head, es(1)) },
+    // PostGIS defaults: tolerance from extent; here a fixed 1e-8, 10000 iters
+    "st_geometricmedian" -> { es =>
+      arity("st_geometricmedian", es, 1, 2, 3)
+      StGeometricMedian(es.head,
+        if (es.length >= 2) es(1) else Literal(1e-8),
+        if (es.length >= 3) es(2) else Literal(10000))
+    },
     "st_xmin" -> { es => arity("st_xmin", es, 1); StXMin(es.head) },
     "st_ymin" -> { es => arity("st_ymin", es, 1); StYMin(es.head) },
     "st_xmax" -> { es => arity("st_xmax", es, 1); StXMax(es.head) },
@@ -351,6 +392,36 @@ object GeoFunctions {
   def st_makepolygon(shell: Column, holes: Column): Column =
     c(StMakePolygonHoles(x(shell), x(holes)))
   def st_linefrommultipoint(mp: Column): Column = c(StLineFromMultiPoint(x(mp)))
+  def st_square(size: Column, i: Column, j: Column): Column =
+    c(StSquare(x(size), x(i), x(j)))
+  def st_hexagon(size: Column, i: Column, j: Column): Column =
+    c(StHexagon(x(size), x(i), x(j)))
+  def st_squaregrid(size: Column, bounds: Column): Column =
+    c(StSquareGrid(x(size), x(bounds)))
+  def st_hexagongrid(size: Column, bounds: Column): Column =
+    c(StHexagonGrid(x(size), x(bounds)))
+  def st_generatepoints(g: Column, n: Column): Column =
+    c(StGeneratePoints(x(g), x(n), Literal(0)))
+  def st_generatepoints(g: Column, n: Column, seed: Column): Column =
+    c(StGeneratePoints(x(g), x(n), x(seed)))
+  def st_affine(g: Column, a: Column, b: Column, d: Column, e: Column,
+      xoff: Column, yoff: Column): Column =
+    c(StAffine(Seq(x(g), x(a), x(b), x(d), x(e), x(xoff), x(yoff))))
+  def st_transscale(g: Column, dx: Column, dy: Column, xf: Column, yf: Column): Column =
+    c(StTransScale(Seq(x(g), x(dx), x(dy), x(xf), x(yf))))
+  def st_shiftlongitude(g: Column): Column = c(StShiftLongitude(x(g)))
+  def st_wrapx(g: Column, wrap: Column, move: Column): Column =
+    c(StWrapX(x(g), x(wrap), x(move)))
+  def st_scroll(l: Column, p: Column): Column = c(StScroll(x(l), x(p)))
+  def st_chaikinsmoothing(g: Column, iters: Column, preserveEnds: Column): Column =
+    c(StChaikinSmoothing(x(g), x(iters), x(preserveEnds)))
+  def st_simplifyvw(g: Column, tol: Column): Column = c(StSimplifyVW(x(g), x(tol)))
+  def st_simplifypolygonhull(g: Column, frac: Column, outer: Column): Column =
+    c(StSimplifyPolygonHull(x(g), x(frac), x(outer)))
+  def st_quantizecoordinates(g: Column, prec: Column): Column =
+    c(StQuantizeCoordinates(x(g), x(prec)))
+  def st_geometricmedian(g: Column, tol: Column, maxIter: Column): Column =
+    c(StGeometricMedian(x(g), x(tol), x(maxIter)))
   def st_exteriorring(g: Column): Column = c(StExteriorRing(x(g)))
   def st_numinteriorrings(g: Column): Column = c(StNumInteriorRings(x(g)))
   def st_reverse(g: Column): Column = c(StReverse(x(g)))

@@ -788,6 +788,362 @@ object GeoKernels {
     case _ => null
   }
 
+  // ---- grid tiling (PostGIS ST_Square/ST_Hexagon and the *_Grid pair) --
+
+  /** ST_Square(size, i, j): the grid cell [i·size, (i+1)·size) ×
+    * [j·size, (j+1)·size) as a polygon (PostGIS square-grid indexing,
+    * origin at (0,0)). Ring order matches [[makeEnvelope]]. */
+  def squareCell(size: Double, i: Int, j: Int): Array[Byte] = {
+    require(size > 0, "st_square: size must be positive")
+    makeEnvelope(i * size, j * size, (i + 1) * size, (j + 1) * size, 0, hasSrid = false)
+  }
+
+  private def hexCenter(size: Double, i: Int, j: Int): (Double, Double) = {
+    // flat-top, odd-q offset layout: columns every 1.5·size, rows every
+    // sqrt(3)·size, odd columns shifted up a half-row
+    val cx = 1.5 * size * i
+    val h = Math.sqrt(3.0) * size
+    val cy = h * j + (if ((i & 1) != 0) h / 2 else 0.0)
+    (cx, cy)
+  }
+
+  /** ST_Hexagon(size, i, j): flat-top hexagon of circumradius `size` in
+    * an odd-q offset grid (columns 1.5·size apart, rows sqrt(3)·size,
+    * odd columns half-row up). Vertices run CCW from the east corner. */
+  def hexagonCell(size: Double, i: Int, j: Int): Array[Byte] = {
+    require(size > 0, "st_hexagon: size must be positive")
+    val (cx, cy) = hexCenter(size, i, j)
+    val h = Math.sqrt(3.0) / 2 * size
+    val half = size / 2
+    val f = GeomCodec.geometryFactory
+    val ring = f.createLinearRing(Array(
+      new Coordinate(cx + size, cy), new Coordinate(cx + half, cy + h),
+      new Coordinate(cx - half, cy + h), new Coordinate(cx - size, cy),
+      new Coordinate(cx - half, cy - h), new Coordinate(cx + half, cy - h),
+      new Coordinate(cx + size, cy)))
+    val poly = f.createPolygon(ring)
+    remember(GeomCodec.encodeWkb(poly), poly)
+  }
+
+  private final val MaxGridCells = 1 << 20
+
+  /** ST_SquareGrid(size, bounds): every cell whose index square
+    * intersects the bounds' bbox, as (i, j, geom) structs. Boundary
+    * cells are included (floor on both ends), matching PostGIS. The
+    * cell count is capped at 2^20 — a grid bigger than that should be
+    * generated as a DataFrame (sequence × sequence), not per row. */
+  def squareGrid(size: Double,
+      bounds: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(size > 0, "st_squaregrid: size must be positive")
+    val env = geom(bounds).getEnvelopeInternal
+    if (env.isNull) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+    val i0 = Math.floor(env.getMinX / size).toInt
+    val i1 = Math.floor(env.getMaxX / size).toInt
+    val j0 = Math.floor(env.getMinY / size).toInt
+    val j1 = Math.floor(env.getMaxY / size).toInt
+    val n = (i1 - i0 + 1).toLong * (j1 - j0 + 1).toLong
+    require(n <= MaxGridCells,
+      s"st_squaregrid: $n cells exceeds the $MaxGridCells per-row cap; tile from a range() DataFrame instead")
+    val out = new Array[Any](n.toInt)
+    var k = 0
+    var i = i0
+    while (i <= i1) {
+      var j = j0
+      while (j <= j1) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, j, squareCell(size, i, j)))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ST_HexagonGrid(size, bounds): hexagons whose envelope intersects
+    * the bounds' bbox, as (i, j, geom) structs; same 2^20 cap. */
+  def hexagonGrid(size: Double,
+      bounds: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(size > 0, "st_hexagongrid: size must be positive")
+    val env = geom(bounds).getEnvelopeInternal
+    if (env.isNull) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+    val h = Math.sqrt(3.0) * size
+    // generous index window, then exact envelope filter per cell
+    val i0 = Math.floor((env.getMinX - size) / (1.5 * size)).toInt
+    val i1 = Math.ceil((env.getMaxX + size) / (1.5 * size)).toInt
+    val j0 = Math.floor((env.getMinY - h) / h).toInt
+    val j1 = Math.ceil((env.getMaxY + h) / h).toInt
+    val n = (i1 - i0 + 1).toLong * (j1 - j0 + 1).toLong
+    require(n <= MaxGridCells,
+      s"st_hexagongrid: $n candidate cells exceeds the $MaxGridCells per-row cap; tile from a range() DataFrame instead")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = i0
+    while (i <= i1) {
+      var j = j0
+      while (j <= j1) {
+        val (cx, cy) = hexCenter(size, i, j)
+        if (cx + size >= env.getMinX && cx - size <= env.getMaxX &&
+            cy + h / 2 >= env.getMinY && cy - h / 2 <= env.getMaxY) {
+          buf += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](i, j, hexagonCell(size, i, j)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  }
+
+  /** ST_GeneratePoints(geom, n, seed): n uniform points inside a
+    * polygonal geometry as a MULTIPOINT — rejection sampling over the
+    * bbox with java.util.Random(seed), so a given (geometry, n, seed)
+    * replays identically on every executor/JVM. (PostGIS is also
+    * seed-deterministic, but its stream differs; parity is the
+    * CONTRACT — count, containment, determinism — not the bits.) */
+  def generatePoints(tagged: Array[Byte], n: Int, seed: Int): Array[Byte] = {
+    require(n >= 0 && n <= 1000000, s"st_generatepoints: n must be in [0, 1e6]; got $n")
+    val g = geom(tagged)
+    if (g.isEmpty || g.getDimension < 2 || n == 0)
+      return encodeKeepSrid(g, GeomCodec.geometryFactory.createMultiPoint(
+        Array.empty[Point]))
+    val env = g.getEnvelopeInternal
+    val rnd = new java.util.Random(seed)
+    val f = GeomCodec.geometryFactory
+    val prepared = entryOf(tagged).preparedGeom
+    val pts = new Array[Point](n)
+    var k = 0
+    var attempts = 0
+    val maxAttempts = Math.max(1000L, n.toLong * 10000L)
+    while (k < n && attempts < maxAttempts) {
+      val x = env.getMinX + rnd.nextDouble() * env.getWidth
+      val y = env.getMinY + rnd.nextDouble() * env.getHeight
+      val p = f.createPoint(new Coordinate(x, y))
+      if (prepared.covers(p)) { pts(k) = p; k += 1 }
+      attempts += 1
+    }
+    require(k == n, s"st_generatepoints: rejection sampling stalled at $k/$n points")
+    encodeKeepSrid(g, f.createMultiPoint(pts))
+  }
+
+  // ---- affine / smoothing / coordinate-editing family ------------------
+
+  /** PostGIS ST_Affine, 2-D 6-parameter form:
+    * x' = a·x + b·y + xoff, y' = d·x + e·y + yoff. */
+  def affine(tagged: Array[Byte], a: Double, b: Double, d: Double, e: Double,
+      xoff: Double, yoff: Double): Array[Byte] = {
+    val g = geom(tagged)
+    val out = new AffineTransformation(a, b, xoff, d, e, yoff).transform(g)
+    out.setSRID(g.getSRID)
+    remember(GeomCodec.encodeEwkb(out), out)
+  }
+
+  /** PostGIS ST_TransScale: translate FIRST, then scale —
+    * x' = (x + dx)·xf, y' = (y + dy)·yf. */
+  def transScale(tagged: Array[Byte], dx: Double, dy: Double,
+      xf: Double, yf: Double): Array[Byte] = {
+    val g = geom(tagged)
+    val out = mapCoordsCopy(g) { c =>
+      c.x = (c.x + dx) * xf
+      c.y = (c.y + dy) * yf
+    }
+    encodeKeepSrid(g, out)
+  }
+
+  /** PostGIS ST_ShiftLongitude: x < 0 → x + 360 (lon range 0..360);
+    * inputs already in 0..360 with x > 180 shift down instead. */
+  def shiftLongitude(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val out = mapCoordsCopy(g) { c =>
+      if (c.x < 0) c.x = c.x + 360
+      else if (c.x > 180) c.x = c.x - 360
+    }
+    encodeKeepSrid(g, out)
+  }
+
+  /** PostGIS ST_WrapX(geom, wrap, move): every COMPONENT whose bbox sits
+    * on the move-side of the wrap line is translated by `move` (move>0:
+    * components entirely left of `wrap`; move<0: entirely right). */
+  def wrapX(tagged: Array[Byte], wrap: Double, move: Double): Array[Byte] = {
+    val g = geom(tagged)
+    if (move == 0 || g.isEmpty) return encodeKeepSrid(g, g.copy())
+    val parts = Array.tabulate(g.getNumGeometries) { i =>
+      val part = g.getGeometryN(i)
+      val env = part.getEnvelopeInternal
+      val shift = if (move > 0) env.getMaxX < wrap else env.getMinX > wrap
+      if (shift) {
+        val moved = mapCoordsCopy(part)(c => c.x = c.x + move)
+        moved
+      } else part.copy()
+    }
+    val out =
+      if (parts.length == 1) parts(0)
+      else GeomCodec.geometryFactory.buildGeometry(java.util.Arrays.asList(parts: _*))
+    encodeKeepSrid(g, out)
+  }
+
+  /** PostGIS ST_Scroll(closed linestring, point): rotate the vertex
+    * order of a CLOSED line so it starts (and ends) at the given vertex,
+    * which must be on the line's vertex list. Null for non-lines. */
+  def scroll(line: Array[Byte], pt: Array[Byte]): Array[Byte] =
+    (geom(line), geom(pt)) match {
+      case (l: LineString, p: Point) if l.isClosed && !p.isEmpty =>
+        val cs = l.getCoordinates
+        val n = cs.length - 1 // last duplicates first
+        val at = (0 until n).indexWhere(i => cs(i).equals2D(p.getCoordinate))
+        if (at < 0) throw new IllegalArgumentException(
+          "st_scroll: point is not a vertex of the line")
+        val rotated = new Array[Coordinate](cs.length)
+        var i = 0
+        while (i < n) { rotated(i) = cs((at + i) % n).copy(); i += 1 }
+        rotated(n) = rotated(0).copy()
+        encodeKeepSrid(l, GeomCodec.geometryFactory.createLineString(rotated))
+      case _ => null
+    }
+
+  private def chaikinOnce(cs: Array[Coordinate], closed: Boolean,
+      preserveEnds: Boolean): Array[Coordinate] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
+    val n = cs.length
+    if (!closed && preserveEnds) buf += cs(0).copy()
+    var i = 0
+    while (i < n - 1) {
+      val a = cs(i); val b = cs(i + 1)
+      buf += new Coordinate(0.75 * a.x + 0.25 * b.x, 0.75 * a.y + 0.25 * b.y)
+      buf += new Coordinate(0.25 * a.x + 0.75 * b.x, 0.25 * a.y + 0.75 * b.y)
+      i += 1
+    }
+    if (!closed && preserveEnds) buf += cs(n - 1).copy()
+    if (closed) buf += buf(0).copy()
+    buf.toArray
+  }
+
+  /** PostGIS ST_ChaikinSmoothing: corner-cutting at the 1/4–3/4 points,
+    * `iters` rounds (PostGIS caps at 5). Lines and polygon rings; other
+    * types pass through unchanged. */
+  def chaikinSmoothing(tagged: Array[Byte], iters: Int,
+      preserveEnds: Boolean): Array[Byte] = {
+    require(iters >= 1 && iters <= 5,
+      s"st_chaikinsmoothing: iterations must be 1..5; got $iters")
+    val g = geom(tagged)
+    val f = GeomCodec.geometryFactory
+    def smoothRing(r: LineString): Array[Coordinate] = {
+      var cs = r.getCoordinates
+      var k = 0
+      while (k < iters) { cs = chaikinOnce(cs, closed = true, preserveEnds); k += 1 }
+      cs
+    }
+    def walk(geo: Geometry): Geometry = geo match {
+      case l: LineString if l.getNumPoints >= 2 =>
+        var cs = l.getCoordinates
+        var k = 0
+        val closed = l.isClosed
+        while (k < iters) { cs = chaikinOnce(cs, closed, preserveEnds); k += 1 }
+        f.createLineString(cs)
+      case p: Polygon =>
+        f.createPolygon(
+          f.createLinearRing(smoothRing(p.getExteriorRing)),
+          Array.tabulate(p.getNumInteriorRing)(i =>
+            f.createLinearRing(smoothRing(p.getInteriorRingN(i)))))
+      case gc: GeometryCollection =>
+        f.buildGeometry(java.util.Arrays.asList(
+          Array.tabulate(gc.getNumGeometries)(i => walk(gc.getGeometryN(i))): _*))
+      case other => other.copy()
+    }
+    encodeKeepSrid(g, walk(g))
+  }
+
+  /** PostGIS ST_SimplifyVW — Visvalingam-Whyatt simplification; the
+    * tolerance is an AREA (vertices whose effective triangle is smaller
+    * are dropped), matching PostGIS. JTS's VWSimplifier squares its
+    * distance parameter internally, so we pass sqrt(area) through. */
+  def simplifyVW(tagged: Array[Byte], tolerance: Double): Array[Byte] = {
+    require(tolerance >= 0, "st_simplifyvw: tolerance must be non-negative")
+    val g = geom(tagged)
+    val out = org.locationtech.jts.simplify.VWSimplifier.simplify(
+      g, Math.sqrt(tolerance))
+    encodeKeepSrid(g, out)
+  }
+
+  /** PostGIS ST_SimplifyPolygonHull — outer (or inner) hull with at most
+    * vertexFraction of the input vertices (JTS PolygonHullSimplifier);
+    * guarantees containment (outer) / coverage (inner) and validity. */
+  def simplifyPolygonHull(tagged: Array[Byte], vertexFraction: Double,
+      outer: Boolean): Array[Byte] = {
+    require(vertexFraction >= 0 && vertexFraction <= 1,
+      s"st_simplifypolygonhull: vertex fraction must be in [0,1]; got $vertexFraction")
+    val g = geom(tagged)
+    if (g.getDimension < 2) return null
+    val out = org.locationtech.jts.simplify.PolygonHullSimplifier.hull(
+      g, outer, vertexFraction)
+    encodeKeepSrid(g, out)
+  }
+
+  /** PostGIS ST_QuantizeCoordinates: zero out the low `prec`-determined
+    * mantissa bits of every ordinate — with prec decimal digits kept,
+    * bits below ~10^-prec are cleared, improving compression while
+    * bounding the error. prec in -15..15. */
+  def quantizeCoordinates(tagged: Array[Byte], prec: Int): Array[Byte] = {
+    require(prec >= -15 && prec <= 15,
+      s"st_quantizecoordinates: precision must be in -15..15; got $prec")
+    val g = geom(tagged)
+    def quantize(v: Double): Double = {
+      if (v == 0.0 || java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) return v
+      // bits of absolute precision to keep: exponent of the value minus
+      // the exponent of the requested decimal tolerance 10^-prec
+      val tolExp = Math.getExponent(Math.pow(10.0, -prec))
+      val valExp = Math.getExponent(v)
+      val keep = valExp - tolExp
+      if (keep >= 52) return v
+      if (keep < 0) return if (v > 0) 0.0 else -0.0
+      val mask = -1L << (52 - keep)
+      java.lang.Double.longBitsToDouble(
+        java.lang.Double.doubleToLongBits(v) & mask)
+    }
+    val out = mapCoordsCopy(g) { c => c.x = quantize(c.x); c.y = quantize(c.y) }
+    encodeKeepSrid(g, out)
+  }
+
+  /** PostGIS ST_GeometricMedian over the points of a (Multi)Point —
+    * Weiszfeld iteration from the centroid, tolerance-converged (the
+    * median minimizes the sum of distances; no closed form). Null for
+    * non-point input. */
+  def geometricMedian(tagged: Array[Byte], tol: Double, maxIter: Int): Array[Byte] = {
+    require(tol > 0, "st_geometricmedian: tolerance must be positive")
+    require(maxIter >= 1 && maxIter <= 10000,
+      s"st_geometricmedian: max iterations must be 1..10000; got $maxIter")
+    val g = geom(tagged)
+    val ok = g match {
+      case _: Point | _: MultiPoint => !g.isEmpty
+      case _ => false
+    }
+    if (!ok) return null
+    val cs = g.getCoordinates
+    var mx = 0.0; var my = 0.0
+    cs.foreach { c => mx += c.x; my += c.y }
+    mx /= cs.length; my /= cs.length
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < maxIter && moved > tol) {
+      var wx = 0.0; var wy = 0.0; var wsum = 0.0
+      var atVertex = false
+      cs.foreach { c =>
+        val d = Math.hypot(c.x - mx, c.y - my)
+        if (d < 1e-300) atVertex = true
+        else { val w = 1.0 / d; wx += w * c.x; wy += w * c.y; wsum += w }
+      }
+      if (atVertex || wsum == 0.0) { moved = 0.0 }
+      else {
+        val nx = wx / wsum; val ny = wy / wsum
+        moved = Math.hypot(nx - mx, ny - my)
+        mx = nx; my = ny
+      }
+      it += 1
+    }
+    val out = GeomCodec.geometryFactory.createPoint(new Coordinate(mx, my))
+    encodeKeepSrid(g, out)
+  }
+
   /** Vertex order reversed, every component (PostGIS ST_Reverse). */
   def reverse(tagged: Array[Byte]): Array[Byte] = {
     val g = geom(tagged)

@@ -575,6 +575,271 @@ case class StLineFromMultiPoint(child: Expression) extends GeoUnaryGeomNullable 
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** ST_Square(size, i, j) — one square-grid cell as a polygon. */
+case class StSquare(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_square"
+  override protected def nullSafeEval(s: Any, i: Any, j: Any): Any =
+    GeoKernels.squareCell(s.asInstanceOf[Double], i.asInstanceOf[Int], j.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, i, j) => s"${GeoExpr.K}.squareCell($s, $i, $j)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** ST_Hexagon(size, i, j) — one flat-top hex-grid cell as a polygon. */
+case class StHexagon(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_hexagon"
+  override protected def nullSafeEval(s: Any, i: Any, j: Any): Any =
+    GeoKernels.hexagonCell(s.asInstanceOf[Double], i.asInstanceOf[Int], j.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, i, j) => s"${GeoExpr.K}.hexagonCell($s, $i, $j)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+object GridExpr {
+  /** (i, j, geom) struct array — the PostGIS setof-record shape, made
+    * explodable: `explode(ST_SquareGrid(...))` then `col.i/col.j/col.geom`. */
+  val elementType: StructType = StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("j", IntegerType, nullable = false),
+    StructField("geom", BinaryType, nullable = false)))
+}
+
+/** ST_SquareGrid(size, bounds) — all cells covering the bounds' bbox. */
+case class StSquareGrid(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, BinaryType)
+  override def dataType: DataType = ArrayType(GridExpr.elementType, containsNull = false)
+  override def prettyName: String = "st_squaregrid"
+  override protected def nullSafeEval(s: Any, b: Any): Any =
+    GeoKernels.squareGrid(s.asInstanceOf[Double], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, b) => s"${GeoExpr.K}.squareGrid($s, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_HexagonGrid(size, bounds) — hexagons overlapping the bounds' bbox. */
+case class StHexagonGrid(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, BinaryType)
+  override def dataType: DataType = ArrayType(GridExpr.elementType, containsNull = false)
+  override def prettyName: String = "st_hexagongrid"
+  override protected def nullSafeEval(s: Any, b: Any): Any =
+    GeoKernels.hexagonGrid(s.asInstanceOf[Double], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, b) => s"${GeoExpr.K}.hexagonGrid($s, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_GeneratePoints(geom, n, seed) — n seeded-deterministic uniform
+  * points inside a polygonal geometry, as a MULTIPOINT. */
+case class StGeneratePoints(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_generatepoints"
+  override protected def nullSafeEval(g: Any, n: Any, s: Any): Any =
+    GeoKernels.generatePoints(g.asInstanceOf[Array[Byte]], n.asInstanceOf[Int],
+      s.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, n, s) => s"${GeoExpr.K}.generatePoints($g, $n, $s)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** ST_Affine — 2-D 6-parameter affine transform. */
+case class StAffine(children: Seq[Expression])
+    extends Expression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, DoubleType, DoubleType, DoubleType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_affine"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else GeoKernels.affine(vs(0).asInstanceOf[Array[Byte]],
+      vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double],
+      vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Double],
+      vs(5).asInstanceOf[Double], vs(6).asInstanceOf[Double])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(e => e.isNull.toString).mkString(" || ")
+    val childCode = evs.map(_.code.toString).mkString("\n")
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        byte[] ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = ${GeoExpr.K}.affine(${evs.map(_.value).mkString(", ")});
+        }""")
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]) =
+    copy(children = newChildren)
+}
+
+/** ST_TransScale — translate then scale. */
+case class StTransScale(children: Seq[Expression])
+    extends Expression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, DoubleType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_transscale"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else GeoKernels.transScale(vs(0).asInstanceOf[Array[Byte]],
+      vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double],
+      vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Double])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(e => e.isNull.toString).mkString(" || ")
+    val childCode = evs.map(_.code.toString).mkString("\n")
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        byte[] ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = ${GeoExpr.K}.transScale(${evs.map(_.value).mkString(", ")});
+        }""")
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]) =
+    copy(children = newChildren)
+}
+
+/** ST_ShiftLongitude — swap longitudes between -180..180 and 0..360. */
+case class StShiftLongitude(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_shiftlongitude"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.shiftLongitude(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.shiftLongitude($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_WrapX(geom, wrap, move) — shift components across a vertical line. */
+case class StWrapX(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_wrapx"
+  override protected def nullSafeEval(g: Any, w: Any, m: Any): Any =
+    GeoKernels.wrapX(g.asInstanceOf[Array[Byte]], w.asInstanceOf[Double],
+      m.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, w, m) => s"${GeoExpr.K}.wrapX($g, $w, $m)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** ST_Scroll(line, point) — closed line re-started at the given vertex. */
+case class StScroll(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_scroll"
+  override protected def nullSafeEval(l: Any, p: Any): Any =
+    GeoKernels.scroll(l.asInstanceOf[Array[Byte]], p.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, p) => s"""
+      ${ev.value} = ${GeoExpr.K}.scroll($l, $p);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_ChaikinSmoothing(geom, iters, preserveEnds). */
+case class StChaikinSmoothing(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, BooleanType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_chaikinsmoothing"
+  override protected def nullSafeEval(g: Any, n: Any, p: Any): Any =
+    GeoKernels.chaikinSmoothing(g.asInstanceOf[Array[Byte]], n.asInstanceOf[Int],
+      p.asInstanceOf[Boolean])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, n, p) => s"${GeoExpr.K}.chaikinSmoothing($g, $n, $p)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** ST_SimplifyVW(geom, areaTolerance) — Visvalingam-Whyatt. */
+case class StSimplifyVW(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_simplifyvw"
+  override protected def nullSafeEval(g: Any, t: Any): Any =
+    GeoKernels.simplifyVW(g.asInstanceOf[Array[Byte]], t.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, t) => s"${GeoExpr.K}.simplifyVW($g, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_SimplifyPolygonHull(geom, vertexFraction[, isOuter]). */
+case class StSimplifyPolygonHull(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, BooleanType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_simplifypolygonhull"
+  override protected def nullSafeEval(g: Any, f: Any, o: Any): Any =
+    GeoKernels.simplifyPolygonHull(g.asInstanceOf[Array[Byte]],
+      f.asInstanceOf[Double], o.asInstanceOf[Boolean])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, f, o) => s"""
+      ${ev.value} = ${GeoExpr.K}.simplifyPolygonHull($g, $f, $o);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** ST_QuantizeCoordinates(geom, prec) — zero insignificant mantissa bits. */
+case class StQuantizeCoordinates(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_quantizecoordinates"
+  override protected def nullSafeEval(g: Any, p: Any): Any =
+    GeoKernels.quantizeCoordinates(g.asInstanceOf[Array[Byte]], p.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, p) => s"${GeoExpr.K}.quantizeCoordinates($g, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_GeometricMedian(points, tol, maxIter) — Weiszfeld iteration. */
+case class StGeometricMedian(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geometricmedian"
+  override protected def nullSafeEval(g: Any, t: Any, n: Any): Any =
+    GeoKernels.geometricMedian(g.asInstanceOf[Array[Byte]], t.asInstanceOf[Double],
+      n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, t, n) => s"""
+      ${ev.value} = ${GeoExpr.K}.geometricMedian($g, $t, $n);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
 /** ST_Azimuth — north-based clockwise bearing (radians) from point a to
   * point b; null when the points coincide or inputs are not points. */
 case class StAzimuth(left: Expression, right: Expression)

@@ -881,6 +881,143 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("select ST_LineFromMultiPoint(ST_GeomFromText('POINT(0 0)'))") == null)
   }
 
+  test("st_square / st_squaregrid: cell bounds and bbox coverage") {
+    assert(sql1("select ST_AsText(ST_Square(2.0D, 1, 3))") ==
+      "POLYGON((2 6,2 8,4 8,4 6,2 6))")
+    // bbox (0.5,0.5)-(3.5,1.5) at size 2 spans i in {0,1}, j in {0}
+    val cells = spark.sql("""
+      select inline(ST_SquareGrid(2.0D,
+        ST_MakeEnvelope(0.5D, 0.5D, 3.5D, 1.5D)))""").collect()
+    assert(cells.map(r => (r.getInt(0), r.getInt(1))).toSet == Set((0, 0), (1, 0)))
+    // exact-boundary max is still included (floor on both ends)
+    assert(spark.sql("""
+      select size(ST_SquareGrid(1.0D, ST_MakeEnvelope(0D, 0D, 2D, 1D)))""")
+      .collect()(0).get(0) == 6)
+  }
+
+  test("st_hexagon / st_hexagongrid: flat-top cells tile without gaps") {
+    // circumradius 1: area = 3*sqrt(3)/2, centered at origin for (0,0)
+    val area = sql1("select ST_Area(ST_Hexagon(1.0D, 0, 0))").asInstanceOf[Double]
+    assert(math.abs(area - 3 * math.sqrt(3) / 2) < 1e-12)
+    assert(sql1("select ST_NPoints(ST_Hexagon(1.0D, 0, 0))") == 7)
+    // a grid over a box: cells union-cover the box (no gaps) — check a
+    // probe point falls in exactly one cell interior or on a boundary
+    val hits = spark.sql("""
+      with g as (select inline(ST_HexagonGrid(1.0D,
+        ST_MakeEnvelope(-2D, -2D, 2D, 2D))))
+      select count(*) from g
+      where ST_Intersects(geom, ST_GeomFromText('POINT(0.3 0.4)'))""")
+      .collect()(0).getLong(0)
+    assert(hits >= 1)
+    // every cell of the same (size) family has identical area
+    val areas = spark.sql("""
+      with g as (select inline(ST_HexagonGrid(1.0D,
+        ST_MakeEnvelope(-2D, -2D, 2D, 2D))))
+      select count(distinct round(ST_Area(geom), 9)) from g""").collect()(0).getLong(0)
+    assert(areas == 1)
+  }
+
+  test("st_generatepoints: seeded determinism, count, containment") {
+    val poly = "ST_GeomFromText('POLYGON((0 0,10 0,10 5,0 5,0 0))', 4326)"
+    assert(sql1(s"select ST_NumGeometries(ST_GeneratePoints($poly, 20, 42))") == 20)
+    assert(sql1(s"select ST_CoveredBy(ST_GeneratePoints($poly, 20, 42), $poly)") == true)
+    // same seed -> identical bits; different seed -> different points
+    assert(sql1(s"select ST_Equals(ST_GeneratePoints($poly, 20, 42), " +
+      s"ST_GeneratePoints($poly, 20, 42))") == true)
+    assert(sql1(s"select ST_Equals(ST_GeneratePoints($poly, 20, 42), " +
+      s"ST_GeneratePoints($poly, 20, 43))") == false)
+    assert(sql1(s"select ST_SRID(ST_GeneratePoints($poly, 3, 1))") == 4326)
+    // non-areal input yields an empty multipoint
+    assert(sql1("select ST_NumGeometries(ST_GeneratePoints(" +
+      "ST_GeomFromText('LINESTRING(0 0,1 1)'), 5, 7))") == 0)
+  }
+
+  test("st_affine / st_transscale: matrix transform and translate-then-scale") {
+    // reflection across y=x via a=0,b=1,d=1,e=0
+    assert(sql1("select ST_AsText(ST_Affine(ST_GeomFromText('LINESTRING(1 2,3 4)'), " +
+      "0D, 1D, 1D, 0D, 0D, 0D))") == "LINESTRING(2 1,4 3)")
+    // PostGIS doc example: translate(1,0) THEN scale by (2,1)
+    assert(sql1("select ST_AsText(ST_TransScale(ST_GeomFromText('POINT(2 3)'), " +
+      "1D, 0D, 2D, 1D))") == "POINT(6 3)")
+    assert(sql1("select ST_SRID(ST_Affine(ST_GeomFromText('POINT(1 1)', 4326), " +
+      "1D, 0D, 0D, 1D, 5D, 5D))") == 4326)
+  }
+
+  test("st_shiftlongitude / st_wrapx: hemisphere shifts") {
+    assert(sql1("select ST_AsText(ST_ShiftLongitude(" +
+      "ST_GeomFromText('MULTIPOINT(-170 10,20 30)')))") == "MULTIPOINT(190 10,20 30)")
+    // x>180 comes back down into -180..180
+    assert(sql1("select ST_AsText(ST_ShiftLongitude(ST_GeomFromText('POINT(190 0)')))") ==
+      "POINT(-170 0)")
+    // components entirely left of wrap=0 move +360; the rest stay
+    assert(sql1("select ST_AsText(ST_WrapX(" +
+      "ST_GeomFromText('MULTIPOINT(-170 10,20 30)'), 0D, 360D))") ==
+      "MULTIPOINT(190 10,20 30)")
+    assert(sql1("select ST_AsText(ST_WrapX(" +
+      "ST_GeomFromText('MULTIPOINT(-170 10,20 30)'), 0D, -360D))") ==
+      "MULTIPOINT(-170 10,-340 30)")
+  }
+
+  test("st_scroll: closed ring restarts at the given vertex") {
+    assert(sql1("select ST_AsText(ST_Scroll(" +
+      "ST_GeomFromText('LINESTRING(0 0,1 0,1 1,0 1,0 0)'), " +
+      "ST_GeomFromText('POINT(1 1)')))") == "LINESTRING(1 1,0 1,0 0,1 0,1 1)")
+    assert(sql1("select ST_Scroll(ST_GeomFromText('POINT(0 0)'), " +
+      "ST_GeomFromText('POINT(1 1)'))") == null)
+  }
+
+  test("st_chaikinsmoothing: corner cutting, endpoints preserved by default") {
+    // one iteration of a right angle: corner (1,0) is cut at 1/4 points
+    assert(sql1("select ST_AsText(ST_ChaikinSmoothing(" +
+      "ST_GeomFromText('LINESTRING(0 0,1 0,1 1)')))") ==
+      "LINESTRING(0 0,0.25 0,0.75 0,1 0.25,1 0.75,1 1)")
+    // closed rings stay closed, vertex count doubles per iteration
+    val np = sql1("select ST_NPoints(ST_ChaikinSmoothing(" +
+      "ST_GeomFromText('POLYGON((0 0,4 0,4 4,0 4,0 0))'), 2, true))")
+    assert(np == 17) // 4 segs -> 8 -> 16 edges + closing vertex
+  }
+
+  test("st_simplifyvw / st_simplifypolygonhull: area-based simplification") {
+    // the small triangle bump (area 0.5) is removed at tolerance 1
+    assert(sql1("select ST_AsText(ST_SimplifyVW(" +
+      "ST_GeomFromText('LINESTRING(0 0,5 1,10 0)'), 10D))") == "LINESTRING(0 0,10 0)")
+    assert(sql1("select ST_AsText(ST_SimplifyVW(" +
+      "ST_GeomFromText('LINESTRING(0 0,5 1,10 0)'), 1D))") ==
+      "LINESTRING(0 0,5 1,10 0)")
+    // outer hull covers the input and uses fewer vertices
+    val covered = sql1("select ST_Covers(ST_SimplifyPolygonHull(" +
+      "ST_Segmentize(ST_MakeEnvelope(0D, 0D, 10D, 10D), 1.0D), 0.3D, true), " +
+      "ST_Segmentize(ST_MakeEnvelope(0D, 0D, 10D, 10D), 1.0D))")
+    assert(covered == true)
+    assert(sql1("select ST_SimplifyPolygonHull(ST_GeomFromText('POINT(0 0)'), 0.5D, true)") == null)
+  }
+
+  test("st_quantizecoordinates: bit-truncation bounded by 10^-prec") {
+    val got = sql1("select ST_X(ST_QuantizeCoordinates(" +
+      "ST_GeomFromText('POINT(100.123456789 0)'), 3))").asInstanceOf[Double]
+    assert(math.abs(got - 100.123456789) < 1e-3 && got != 100.123456789)
+    // prec high enough keeps the value exactly
+    assert(sql1("select ST_X(ST_QuantizeCoordinates(" +
+      "ST_GeomFromText('POINT(100.123456789 0)'), 15))") == 100.123456789)
+    // integers survive low precision untouched
+    assert(sql1("select ST_AsText(ST_QuantizeCoordinates(" +
+      "ST_GeomFromText('POINT(4 8)'), 0))") == "POINT(4 8)")
+  }
+
+  test("st_geometricmedian: resists outliers, exact on symmetric input") {
+    // symmetric cross: median = center (Weiszfeld converges there)
+    val wkt = sql1("select ST_AsText(ST_GeometricMedian(" +
+      "ST_GeomFromText('MULTIPOINT(0 1,0 -1,1 0,-1 0)')))").asInstanceOf[String]
+    val m = """POINT\((-?[0-9.eE-]+) (-?[0-9.eE-]+)\)""".r.findFirstMatchIn(wkt).get
+    assert(math.abs(m.group(1).toDouble) < 1e-6 && math.abs(m.group(2).toDouble) < 1e-6)
+    // unlike the centroid, the median stays near the cluster, not the outlier
+    val wkt2 = sql1("select ST_AsText(ST_GeometricMedian(" +
+      "ST_GeomFromText('MULTIPOINT(0 0,0.1 0,0 0.1,1000 1000)')))").asInstanceOf[String]
+    val m2 = """POINT\((-?[0-9.eE-]+) (-?[0-9.eE-]+)\)""".r.findFirstMatchIn(wkt2).get
+    assert(m2.group(1).toDouble < 1.0 && m2.group(2).toDouble < 1.0)
+    assert(sql1("select ST_GeometricMedian(ST_GeomFromText('LINESTRING(0 0,1 1)'))") == null)
+  }
+
   test("constant folding: literal geometry folds to a binary literal") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("cf_t")

@@ -1259,6 +1259,62 @@ object SparkEntry {
                          CAST(CAST(l_linenumber * 10 AS INT) AS STRING) AS ys
                   FROM lineitem))
       ORDER BY l_orderkey, l_linenumber"""),
+    // validity diagnosis + interchange texts: the bowtie self-intersects
+    // at its exact integer center; KML/SVG/summary are string closed
+    // forms; the hex-EWKB roundtrip restores SRID and geometry; shared
+    // paths of collinear overlapping segments split by direction
+    "q109_validity_interchange" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_IsValidReason(bowtie) AS ivr,
+             ST_IsValidDetail(bowtie).valid AS ivd_valid,
+             ST_AsText(ST_IsValidDetail(bowtie).location) AS ivd_loc_wkt,
+             ST_IsValidDetail(rect).valid AS vd2_valid,
+             ST_IsValidDetail(rect).reason AS vd2_reason,
+             ST_Summary(donut) AS summ,
+             ST_AsKML(pt) AS kml,
+             ST_AsSVG(seg) AS svg,
+             ST_AsEWKT(ST_GeomFromHexEWKB(ST_AsHEXEWKB(pt4326))) AS hex_rt,
+             substring(ST_AsHEXEWKB(pt4326), 1, 18) AS hex_prefix,
+             length(ST_AsHEXEWKB(pt4326)) AS hex_len,
+             ST_AsText(ST_SharedPaths(base, fwd)) AS sp_same,
+             ST_AsText(ST_SharedPaths(base, bwd)) AS sp_opp
+      FROM (SELECT l_orderkey, l_linenumber, xi, yi, wi,
+                   ST_GeomFromText('POLYGON((' || xs || ' ' || ys || ','
+                     || CAST(xi + 2 AS STRING) || ' ' || CAST(yi + 2 AS STRING) || ','
+                     || CAST(xi + 2 AS STRING) || ' ' || ys || ','
+                     || xs || ' ' || CAST(yi + 2 AS STRING) || ','
+                     || xs || ' ' || ys || '))') AS bowtie,
+                   ST_MakeEnvelope(CAST(xi AS DOUBLE), CAST(yi AS DOUBLE),
+                     CAST(xi + wi AS DOUBLE), CAST(yi + 5 AS DOUBLE)) AS rect,
+                   ST_GeomFromText('POLYGON((' || xs || ' ' || ys || ','
+                     || CAST(xi + 8 AS STRING) || ' ' || ys || ','
+                     || CAST(xi + 8 AS STRING) || ' ' || CAST(yi + 8 AS STRING) || ','
+                     || xs || ' ' || CAST(yi + 8 AS STRING) || ','
+                     || xs || ' ' || ys || '),('
+                     || CAST(xi + 2 AS STRING) || ' ' || CAST(yi + 2 AS STRING) || ','
+                     || CAST(xi + 3 AS STRING) || ' ' || CAST(yi + 2 AS STRING) || ','
+                     || CAST(xi + 3 AS STRING) || ' ' || CAST(yi + 3 AS STRING) || ','
+                     || CAST(xi + 2 AS STRING) || ' ' || CAST(yi + 3 AS STRING) || ','
+                     || CAST(xi + 2 AS STRING) || ' ' || CAST(yi + 2 AS STRING)
+                     || '))') AS donut,
+                   ST_GeomFromText('POINT(' || xs || ' ' || ys || ')') AS pt,
+                   ST_GeomFromText('POINT(' || xs || ' ' || ys || ')', 4326) AS pt4326,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ')') AS seg,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || CAST(xi + 8 AS STRING) || ' ' || ys || ')') AS base,
+                   ST_GeomFromText('LINESTRING(' || CAST(xi + wi AS STRING) || ' ' || ys
+                     || ',' || CAST(xi + 8 + wi AS STRING) || ' ' || ys || ')') AS fwd,
+                   ST_GeomFromText('LINESTRING(' || CAST(xi + 8 + wi AS STRING) || ' '
+                     || ys || ',' || CAST(xi + wi AS STRING) || ' ' || ys || ')') AS bwd
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber * 10 AS INT) AS yi,
+                         CAST(l_linenumber AS INT) AS wi,
+                         CAST(CAST(l_orderkey % 100 AS INT) AS STRING) AS xs,
+                         CAST(CAST(l_linenumber * 10 AS INT) AS STRING) AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // minimum clearance of an axis-aligned w x 5 rectangle is its
     // shorter side, and the realizing line has that exact length
     "q99_min_clearance" -> q(s"""
@@ -2313,6 +2369,42 @@ object SparkEntry {
              round(CAST(li * 10 - 40 AS DOUBLE), 6) AS gh_lat,
              true AS gh_covers,
              CAST(0.3515625 AS DOUBLE) AS gh_w
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+    // the bowtie's crossing is the exact integer center (xi+1, yi+1);
+    // interchange strings replay the documented formats; hex EWKB of a
+    // 2-D point with SRID is always 50 chars starting
+    // 0101000020E6100000 (little-endian, SRID flag, EPSG 4326); shared
+    // paths overlap is [xi+wi, xi+8], oriented along the first line
+    "q109_validity_interchange" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber * 10 AS BIGINT) AS yi,
+              CAST(l_linenumber AS BIGINT) AS wi
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             'Self-intersection[' || CAST(xi + 1 AS VARCHAR) || ' '
+               || CAST(yi + 1 AS VARCHAR) || ']' AS ivr,
+             false AS ivd_valid,
+             'POINT(' || CAST(xi + 1 AS VARCHAR) || ' ' || CAST(yi + 1 AS VARCHAR)
+               || ')' AS ivd_loc_wkt,
+             true AS vd2_valid,
+             CAST(NULL AS VARCHAR) AS vd2_reason,
+             'Polygon[] with 2 rings' AS summ,
+             '<Point><coordinates>' || CAST(xi AS VARCHAR) || ','
+               || CAST(yi AS VARCHAR) || '</coordinates></Point>' AS kml,
+             'M ' || CAST(xi AS VARCHAR) || ' -' || CAST(yi AS VARCHAR)
+               || ' L ' || CAST(xi + wi AS VARCHAR) || ' -' || CAST(yi AS VARCHAR) AS svg,
+             'SRID=4326;POINT(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ')' AS hex_rt,
+             '0101000020E6100000' AS hex_prefix,
+             CAST(50 AS INT) AS hex_len,
+             'GEOMETRYCOLLECTION(MULTILINESTRING((' || CAST(xi + wi AS VARCHAR) || ' '
+               || CAST(yi AS VARCHAR) || ',' || CAST(xi + 8 AS VARCHAR) || ' '
+               || CAST(yi AS VARCHAR) || ')),MULTILINESTRING EMPTY)' AS sp_same,
+             'GEOMETRYCOLLECTION(MULTILINESTRING EMPTY,MULTILINESTRING(('
+               || CAST(xi + wi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR) || ','
+               || CAST(xi + 8 AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ')))' AS sp_opp
       FROM b ORDER BY l_orderkey, l_linenumber""",
     // affine/editing closed forms: reflection swaps coordinate pairs;
     // transscale is integer arithmetic; shift/wrap is a CASE on xi<50;

@@ -233,6 +233,18 @@ object GeoFunctions {
         if (es.length >= 2) es(1) else Literal(1e-8),
         if (es.length >= 3) es(2) else Literal(10000))
     },
+    "st_isvalidreason" -> { es =>
+      arity("st_isvalidreason", es, 1); StIsValidReason(es.head) },
+    "st_isvaliddetail" -> { es =>
+      arity("st_isvaliddetail", es, 1); StIsValidDetail(es.head) },
+    "st_summary" -> { es => arity("st_summary", es, 1); StSummary(es.head) },
+    "st_askml" -> { es => arity("st_askml", es, 1); StAsKml(es.head) },
+    "st_assvg" -> { es => arity("st_assvg", es, 1); StAsSvg(es.head) },
+    "st_ashexewkb" -> { es => arity("st_ashexewkb", es, 1); StAsHexEwkb(es.head) },
+    "st_geomfromhexewkb" -> { es =>
+      arity("st_geomfromhexewkb", es, 1); StGeomFromHexEwkb(es.head) },
+    "st_sharedpaths" -> { es =>
+      arity("st_sharedpaths", es, 2); StSharedPaths(es.head, es(1)) },
     "st_xmin" -> { es => arity("st_xmin", es, 1); StXMin(es.head) },
     "st_ymin" -> { es => arity("st_ymin", es, 1); StYMin(es.head) },
     "st_xmax" -> { es => arity("st_xmax", es, 1); StXMax(es.head) },
@@ -422,6 +434,14 @@ object GeoFunctions {
     c(StQuantizeCoordinates(x(g), x(prec)))
   def st_geometricmedian(g: Column, tol: Column, maxIter: Column): Column =
     c(StGeometricMedian(x(g), x(tol), x(maxIter)))
+  def st_isvalidreason(g: Column): Column = c(StIsValidReason(x(g)))
+  def st_isvaliddetail(g: Column): Column = c(StIsValidDetail(x(g)))
+  def st_summary(g: Column): Column = c(StSummary(x(g)))
+  def st_askml(g: Column): Column = c(StAsKml(x(g)))
+  def st_assvg(g: Column): Column = c(StAsSvg(x(g)))
+  def st_ashexewkb(g: Column): Column = c(StAsHexEwkb(x(g)))
+  def st_geomfromhexewkb(h: Column): Column = c(StGeomFromHexEwkb(x(h)))
+  def st_sharedpaths(a: Column, b: Column): Column = c(StSharedPaths(x(a), x(b)))
   def st_exteriorring(g: Column): Column = c(StExteriorRing(x(g)))
   def st_numinteriorrings(g: Column): Column = c(StNumInteriorRings(x(g)))
   def st_reverse(g: Column): Column = c(StReverse(x(g)))

@@ -1144,6 +1144,192 @@ object GeoKernels {
     encodeKeepSrid(g, out)
   }
 
+  // ---- validity diagnostics / interchange extras -----------------------
+
+  private def validationError(g: Geometry) =
+    new org.locationtech.jts.operation.valid.IsValidOp(g).getValidationError
+
+  /** PostGIS ST_IsValidReason: "Valid Geometry" or
+    * "<message>[<x> <y>]" at the offending coordinate. */
+  def isValidReason(tagged: Array[Byte]): String = {
+    val err = validationError(geom(tagged))
+    if (err == null) "Valid Geometry"
+    else {
+      val c = err.getCoordinate
+      s"${err.getMessage}[${WktWriter.num(c.x)} ${WktWriter.num(c.y)}]"
+    }
+  }
+
+  /** PostGIS ST_IsValidDetail as (valid, reason, location): reason and
+    * location are null for valid input; location is an encoded POINT. */
+  def isValidDetail(
+      tagged: Array[Byte]): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val g = geom(tagged)
+    val err = validationError(g)
+    if (err == null)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](true, null, null))
+    else {
+      val p = GeomCodec.geometryFactory.createPoint(err.getCoordinate)
+      p.setSRID(g.getSRID)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+        false,
+        org.apache.spark.unsafe.types.UTF8String.fromString(err.getMessage),
+        GeomCodec.encodeEwkb(p)))
+    }
+  }
+
+  /** PostGIS-style ST_Summary: one line per component —
+    * "Kind[S?] with N points/rings/elements" ("S" marks a SRID). */
+  def summary(tagged: Array[Byte]): String = {
+    val root = geom(tagged)
+    def flags(g: Geometry): String = if (g.getSRID != 0) "[S]" else "[]"
+    def line(g: Geometry): String = g match {
+      case p: Point => s"Point${flags(g)}"
+      case l: LineString => s"LineString${flags(g)} with ${l.getNumPoints} points"
+      case p: Polygon =>
+        val rings = (if (p.isEmpty) 0 else 1) + p.getNumInteriorRing
+        s"Polygon${flags(g)} with $rings rings"
+      case gc: GeometryCollection =>
+        s"${gc.getGeometryType}${flags(g)} with ${gc.getNumGeometries} elements"
+      case other => other.getGeometryType + flags(g)
+    }
+    root match {
+      case gc: GeometryCollection =>
+        (line(gc) +: Array.tabulate(gc.getNumGeometries)(i =>
+          "  " + line(gc.getGeometryN(i)))).mkString("\n")
+      case simple => line(simple)
+    }
+  }
+
+  /** PostGIS ST_AsKML (2-D, no precision argument): coordinates as
+    * "x,y" pairs separated by single spaces, WKT-style minimal number
+    * formatting, MultiGeometry wrapping for collections. */
+  def asKml(tagged: Array[Byte]): String = memoDerived(tagged, 13, 0, 0) {
+    def coords(cs: Array[Coordinate]): String =
+      cs.map(c => s"${WktWriter.num(c.x)},${WktWriter.num(c.y)}").mkString(" ")
+    def render(g: Geometry): String = g match {
+      case p: Point =>
+        s"<Point><coordinates>${coords(p.getCoordinates)}</coordinates></Point>"
+      case l: LineString =>
+        s"<LineString><coordinates>${coords(l.getCoordinates)}</coordinates></LineString>"
+      case p: Polygon =>
+        val shell = "<outerBoundaryIs><LinearRing><coordinates>" +
+          coords(p.getExteriorRing.getCoordinates) +
+          "</coordinates></LinearRing></outerBoundaryIs>"
+        val holes = (0 until p.getNumInteriorRing).map(i =>
+          "<innerBoundaryIs><LinearRing><coordinates>" +
+            coords(p.getInteriorRingN(i).getCoordinates) +
+            "</coordinates></LinearRing></innerBoundaryIs>").mkString
+        s"<Polygon>$shell$holes</Polygon>"
+      case gc: GeometryCollection =>
+        "<MultiGeometry>" + (0 until gc.getNumGeometries)
+          .map(i => render(gc.getGeometryN(i))).mkString + "</MultiGeometry>"
+      case other => throw new IllegalArgumentException(
+        s"st_askml: unsupported geometry ${other.getGeometryType}")
+    }
+    render(geom(tagged))
+  }
+
+  /** PostGIS ST_AsSVG (absolute paths): y is NEGATED (SVG's y axis points
+    * down); points render as cx/cy attributes, paths as "M … L … [Z]";
+    * multipoint components join with commas, path components with
+    * spaces. */
+  def asSvg(tagged: Array[Byte]): String = memoDerived(tagged, 14, 0, 0) {
+    def n(v: Double): String = WktWriter.num(v)
+    def pathOf(cs: Array[Coordinate], close: Boolean): String = {
+      val head = s"M ${n(cs.head.x)} ${n(-cs.head.y)}"
+      val body = cs.tail.take(if (close) cs.length - 2 else cs.length - 1)
+        .map(c => s"${n(c.x)} ${n(-c.y)}").mkString(" ")
+      val tail = if (close) " Z" else ""
+      if (body.isEmpty) head + tail else s"$head L $body$tail"
+    }
+    def render(g: Geometry): String = g match {
+      case p: Point => s"""cx="${n(p.getX)}" cy="${n(-p.getY)}""""
+      case l: LineString => pathOf(l.getCoordinates, close = false)
+      case p: Polygon =>
+        (pathOf(p.getExteriorRing.getCoordinates, close = true) +:
+          (0 until p.getNumInteriorRing).map(i =>
+            pathOf(p.getInteriorRingN(i).getCoordinates, close = true)))
+          .mkString(" ")
+      case mp: MultiPoint => (0 until mp.getNumGeometries)
+        .map(i => render(mp.getGeometryN(i))).mkString(",")
+      case gc: GeometryCollection => (0 until gc.getNumGeometries)
+        .map(i => render(gc.getGeometryN(i))).mkString(";")
+      case other => throw new IllegalArgumentException(
+        s"st_assvg: unsupported geometry ${other.getGeometryType}")
+    }
+    render(geom(tagged))
+  }
+
+  private final val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** PostGIS ST_AsHEXEWKB — uppercase hex of the EWKB bytes (the
+    * canonical text form of the geometry type in PostGIS). */
+  def asHexEwkb(tagged: Array[Byte]): String = memoDerived(tagged, 15, 0, 0) {
+    val bytes = GeomCodec.rawEwkb(geom(tagged))
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = HexDigits(b >>> 4)
+      out(i * 2 + 1) = HexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** ST_GeomFromHEXEWKB — parse the hex text form (case-insensitive);
+    * the JTS WKB reader understands the EWKB SRID flag. */
+  def geomFromHexEwkb(hex: String): Array[Byte] =
+    cachedParse("hex:" + hex) {
+      GeomCodec.decodeRawWkb(
+        org.locationtech.jts.io.WKBReader.hexToBytes(hex))
+    }
+
+  /** PostGIS ST_SharedPaths(line1, line2):
+    * GEOMETRYCOLLECTION(MULTILINESTRING same-direction,
+    * MULTILINESTRING opposite-direction) of the linework the two inputs
+    * share. Direction is judged per shared component by comparing the
+    * tangents of the containing segments in each input. Null for
+    * non-lineal input. */
+  def sharedPaths(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ga = geom(a); val gb = geom(b)
+    if (ga.getDimension != 1 || gb.getDimension != 1) return null
+    val inter = ga.intersection(gb)
+    val f = GeomCodec.geometryFactory
+    val same = scala.collection.mutable.ArrayBuffer.empty[LineString]
+    val opp = scala.collection.mutable.ArrayBuffer.empty[LineString]
+    def tangentAt(src: Geometry, pt: Coordinate): (Double, Double) = {
+      val lil = new org.locationtech.jts.linearref.LocationIndexedLine(src)
+      val loc = lil.indexOf(pt)
+      val seg = loc.getSegment(src)
+      val dx = seg.p1.x - seg.p0.x; val dy = seg.p1.y - seg.p0.y
+      val len = Math.hypot(dx, dy)
+      if (len == 0) (0.0, 0.0) else (dx / len, dy / len)
+    }
+    var i = 0
+    while (i < inter.getNumGeometries) {
+      inter.getGeometryN(i) match {
+        case l: LineString if l.getNumPoints >= 2 =>
+          val c0 = l.getCoordinateN(0); val c1 = l.getCoordinateN(1)
+          val mid = new Coordinate((c0.x + c1.x) / 2, (c0.y + c1.y) / 2)
+          val ta = tangentAt(ga, mid); val tb = tangentAt(gb, mid)
+          val dot = ta._1 * tb._1 + ta._2 * tb._2
+          // orient the emitted piece along line1's direction, like PostGIS
+          val segDot = ta._1 * (c1.x - c0.x) + ta._2 * (c1.y - c0.y)
+          val piece = if (segDot >= 0) l else l.reverse()
+          if (dot >= 0) same += piece else opp += piece
+        case _ =>
+      }
+      i += 1
+    }
+    val out = f.createGeometryCollection(Array[Geometry](
+      f.createMultiLineString(same.toArray),
+      f.createMultiLineString(opp.toArray)))
+    encodeKeepSrid(ga, out)
+  }
+
   /** Vertex order reversed, every component (PostGIS ST_Reverse). */
   def reverse(tagged: Array[Byte]): Array[Byte] = {
     val g = geom(tagged)

@@ -840,6 +840,121 @@ case class StGeometricMedian(first: Expression, second: Expression, third: Expre
     copy(a, b, c)
 }
 
+/** ST_IsValidReason — "Valid Geometry" or the defect with coordinates. */
+case class StIsValidReason(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_isvalidreason"
+  override protected def nullSafeEval(g: Any): Any =
+    UTF8String.fromString(GeoKernels.isValidReason(g.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(${GeoExpr.K}.isValidReason($g))")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_IsValidDetail — (valid, reason, location) struct. */
+case class StIsValidDetail(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("valid", BooleanType, nullable = false),
+    StructField("reason", StringType, nullable = true),
+    StructField("location", BinaryType, nullable = true)))
+  override def prettyName: String = "st_isvaliddetail"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.isValidDetail(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.isValidDetail($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_Summary — one-line-per-component textual description. */
+case class StSummary(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_summary"
+  override protected def nullSafeEval(g: Any): Any =
+    UTF8String.fromString(GeoKernels.summary(g.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(${GeoExpr.K}.summary($g))")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_AsKML — KML fragment (2-D). */
+case class StAsKml(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_askml"
+  override protected def nullSafeEval(g: Any): Any =
+    UTF8String.fromString(GeoKernels.asKml(g.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(${GeoExpr.K}.asKml($g))")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_AsSVG — SVG path/attribute text, y negated. */
+case class StAsSvg(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_assvg"
+  override protected def nullSafeEval(g: Any): Any =
+    UTF8String.fromString(GeoKernels.asSvg(g.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(${GeoExpr.K}.asSvg($g))")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_AsHEXEWKB — uppercase hex EWKB text. */
+case class StAsHexEwkb(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_ashexewkb"
+  override protected def nullSafeEval(g: Any): Any =
+    UTF8String.fromString(GeoKernels.asHexEwkb(g.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(${GeoExpr.K}.asHexEwkb($g))")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_GeomFromHEXEWKB — parse the hex EWKB text form. */
+case class StGeomFromHexEwkb(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_geomfromhexewkb"
+  override protected def nullSafeEval(h: Any): Any =
+    GeoKernels.geomFromHexEwkb(h.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"${GeoExpr.K}.geomFromHexEwkb($h.toString())")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_SharedPaths — shared linework split by direction agreement. */
+case class StSharedPaths(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_sharedpaths"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernels.sharedPaths(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = ${GeoExpr.K}.sharedPaths($a, $b);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** ST_Azimuth — north-based clockwise bearing (radians) from point a to
   * point b; null when the points coincide or inputs are not points. */
 case class StAzimuth(left: Expression, right: Expression)

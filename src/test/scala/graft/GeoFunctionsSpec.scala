@@ -1018,6 +1018,84 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("select ST_GeometricMedian(ST_GeomFromText('LINESTRING(0 0,1 1)'))") == null)
   }
 
+  test("st_isvalidreason / st_isvaliddetail: defect diagnosis with location") {
+    assert(sql1("select ST_IsValidReason(ST_GeomFromText('POINT(0 0)'))") ==
+      "Valid Geometry")
+    // bowtie: self-intersection at the crossing (1, 1)
+    val bowtie = "ST_GeomFromText('POLYGON((0 0,2 2,2 0,0 2,0 0))')"
+    val reason = sql1(s"select ST_IsValidReason($bowtie)").asInstanceOf[String]
+    assert(reason.contains("Self-intersection") && reason.contains("[1 1]"))
+    val row = spark.sql(s"select ST_IsValidDetail($bowtie).valid, " +
+      s"ST_IsValidDetail($bowtie).reason, " +
+      s"ST_AsText(ST_IsValidDetail($bowtie).location)").collect()(0)
+    assert(row.getBoolean(0) == false)
+    assert(row.getString(1).contains("Self-intersection"))
+    assert(row.getString(2) == "POINT(1 1)")
+    assert(spark.sql("select ST_IsValidDetail(ST_GeomFromText('POINT(0 0)')).valid")
+      .collect()(0).getBoolean(0) == true)
+  }
+
+  test("st_summary: per-component description lines") {
+    assert(sql1("select ST_Summary(ST_GeomFromText('POINT(0 0)', 4326))") == "Point[S]")
+    assert(sql1("select ST_Summary(ST_GeomFromText(" +
+      "'POLYGON((0 0,8 0,8 8,0 8,0 0),(2 2,3 2,3 3,2 3,2 2))'))") ==
+      "Polygon[] with 2 rings")
+    assert(sql1("select ST_Summary(ST_GeomFromText('MULTIPOINT(0 0,1 1)'))") ==
+      "MultiPoint[] with 2 elements\n  Point[]\n  Point[]")
+  }
+
+  test("st_askml / st_assvg: interchange text forms") {
+    assert(sql1("select ST_AsKML(ST_GeomFromText('POINT(1.5 2.5)'))") ==
+      "<Point><coordinates>1.5,2.5</coordinates></Point>")
+    assert(sql1("select ST_AsKML(ST_GeomFromText('POLYGON((0 0,4 0,4 4,0 4,0 0))'))") ==
+      "<Polygon><outerBoundaryIs><LinearRing><coordinates>" +
+      "0,0 4,0 4,4 0,4 0,0</coordinates></LinearRing></outerBoundaryIs></Polygon>")
+    assert(sql1("select ST_AsSVG(ST_GeomFromText('POINT(1 2)'))") ==
+      """cx="1" cy="-2"""")
+    assert(sql1("select ST_AsSVG(ST_GeomFromText('LINESTRING(0 0,1 1,2 0)'))") ==
+      "M 0 0 L 1 -1 2 0")
+    assert(sql1("select ST_AsSVG(ST_GeomFromText('POLYGON((0 0,4 0,4 4,0 4,0 0))'))") ==
+      "M 0 0 L 4 0 4 -4 0 -4 Z")
+  }
+
+  test("st_ashexewkb / st_geomfromhexewkb: canonical hex roundtrip") {
+    // roundtrip preserves geometry and SRID
+    assert(sql1("select ST_AsEWKT(ST_GeomFromHexEWKB(ST_AsHEXEWKB(" +
+      "ST_GeomFromText('POINT(1 2)', 4326))))") == "SRID=4326;POINT(1 2)")
+    // little-endian EWKB point with SRID flag starts 01 01000020
+    val hex = sql1("select ST_AsHEXEWKB(ST_GeomFromText('POINT(1 2)', 4326))")
+      .asInstanceOf[String]
+    assert(hex.startsWith("0101000020E6100000"))
+    // plain (no-SRID) geometry has no flag bit
+    val hex0 = sql1("select ST_AsHEXEWKB(ST_GeomFromText('POINT(1 2)'))")
+      .asInstanceOf[String]
+    assert(hex0.startsWith("0101000000"))
+  }
+
+  test("st_sharedpaths: direction-split shared linework") {
+    // same direction along the overlap [5,10]x{0}
+    assert(sql1("select ST_AsText(ST_SharedPaths(" +
+      "ST_GeomFromText('LINESTRING(0 0,10 0)'), " +
+      "ST_GeomFromText('LINESTRING(5 0,15 0)')))") ==
+      "GEOMETRYCOLLECTION(MULTILINESTRING((5 0,10 0)),MULTILINESTRING EMPTY)")
+    // opposite direction: second line runs right-to-left
+    assert(sql1("select ST_AsText(ST_SharedPaths(" +
+      "ST_GeomFromText('LINESTRING(0 0,10 0)'), " +
+      "ST_GeomFromText('LINESTRING(15 0,5 0)')))") ==
+      "GEOMETRYCOLLECTION(MULTILINESTRING EMPTY,MULTILINESTRING((5 0,10 0)))")
+    // crossing lines share no 1-D path: both halves empty (the WKT
+    // writer collapses an all-empty collection to EMPTY, but the
+    // 2-element same/opposite structure is still there)
+    assert(sql1("select ST_AsText(ST_SharedPaths(" +
+      "ST_GeomFromText('LINESTRING(0 0,2 2)'), " +
+      "ST_GeomFromText('LINESTRING(0 2,2 0)')))") == "GEOMETRYCOLLECTION EMPTY")
+    assert(sql1("select ST_NumGeometries(ST_SharedPaths(" +
+      "ST_GeomFromText('LINESTRING(0 0,2 2)'), " +
+      "ST_GeomFromText('LINESTRING(0 2,2 0)')))") == 2)
+    assert(sql1("select ST_SharedPaths(ST_GeomFromText('POINT(0 0)'), " +
+      "ST_GeomFromText('LINESTRING(0 0,1 1)'))") == null)
+  }
+
   test("constant folding: literal geometry folds to a binary literal") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("cf_t")

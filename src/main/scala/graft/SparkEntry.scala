@@ -1315,6 +1315,21 @@ object SparkEntry {
                          CAST(CAST(l_linenumber * 10 AS INT) AS STRING) AS ys
                   FROM lineitem))
       ORDER BY l_orderkey, l_linenumber"""),
+    // CCNet-style corpus-wide paragraph dedup over synthesized
+    // 3-paragraph docs ('hdr', 'p{id%7}', 'p{id%3}'): the keeper of
+    // each paragraph is its smallest (doc_id, pos) occurrence, docs
+    // reassemble from survivors in order — the oracle replays the same
+    // election with a window over the exploded paragraphs
+    "q110_paragraph_dedup" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = spark.sql("""
+        SELECT doc_id,
+               concat('hdr', chr(10), 'p', CAST(doc_id % 7 AS STRING),
+                      chr(10), 'p', CAST(doc_id % 3 AS STRING)) AS text
+        FROM documents""")
+      graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // minimum clearance of an axis-aligned w x 5 rectangle is its
     // shorter side, and the realizing line has that exact length
     "q99_min_clearance" -> q(s"""
@@ -2370,6 +2385,25 @@ object SparkEntry {
              true AS gh_covers,
              CAST(0.3515625 AS DOUBLE) AS gh_w
       FROM b ORDER BY l_orderkey, l_linenumber""",
+    // the same first-(doc_id,pos)-wins election, unrolled over the three
+    // known paragraph slots; string_agg skips the non-keeper NULLs and
+    // coalesce supplies the all-duplicates empty document
+    "q110_paragraph_dedup" -> """
+      WITH p AS (
+        SELECT doc_id, 0 AS pos, 'hdr' AS para FROM documents
+        UNION ALL
+        SELECT doc_id, 1, 'p' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+        UNION ALL
+        SELECT doc_id, 2, 'p' || CAST(doc_id % 3 AS VARCHAR) FROM documents),
+      r AS (SELECT doc_id, pos, para,
+              row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk
+            FROM p)
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN rk = 1 THEN para END, chr(10)
+               ORDER BY pos), '') AS text,
+             CAST(count(*) FILTER (WHERE rk = 1) AS INT) AS n_kept,
+             CAST(count(*) FILTER (WHERE rk != 1) AS INT) AS n_dropped
+      FROM r GROUP BY doc_id ORDER BY doc_id""",
     // the bowtie's crossing is the exact integer center (xi+1, yi+1);
     // interchange strings replay the documented formats; hex EWKB of a
     // 2-D point with SRID is always 50 chars starting

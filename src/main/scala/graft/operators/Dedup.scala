@@ -383,4 +383,44 @@ object Dedup {
       .join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
+
+  /** CCNet-style corpus-wide PARAGRAPH dedup: split every document on
+    * `sep` (a regex), keep each distinct paragraph only at its FIRST
+    * corpus occurrence — smallest (id, position) — and re-assemble each
+    * document from its surviving paragraphs in their original order.
+    * Empty paragraphs are dropped. Returns
+    * (idCol, textCol deduped, n_kept int, n_dropped int); documents
+    * whose every paragraph was seen earlier come back with empty text.
+    *
+    * Scale (100 TB): posexplode is map-only; electing the keeper is ONE
+    * shuffle keyed by paragraph text (window row_number ordered by
+    * (id, pos)); reassembly is one groupBy(id). No driver state, no
+    * collect. A pathological constant paragraph concentrates its window
+    * partition in one task, but the sort is spillable and only rank 1
+    * survives — cost is task time, not memory. For corpora where
+    * paragraph text is long, substitute the hash: the window key can be
+    * xxhash64(para) at the price of ignoring 64-bit collisions. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("para").orderBy("id", "pos")
+    val parts = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
+      .where(length(col("para")) > 0)
+    val ranked = parts.withColumn("rk", row_number().over(w))
+    // literal separator for reassembly: regex metachars in `sep` would
+    // corrupt the join; the common "\n" / "\n\n" separators are safe
+    ranked.groupBy("id")
+      .agg(
+        concat_ws(sep,
+          transform(
+            array_sort(collect_list(when(col("rk") === 1,
+              struct(col("pos"), col("para"))))),
+            s => s.getField("para"))).as("text"),
+        sum(when(col("rk") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
+        sum(when(col("rk") =!= 1, 1).otherwise(0)).cast("int").as("n_dropped"))
+      .select(col("id").as(idCol), col("text").as(textCol),
+        col("n_kept"), col("n_dropped"))
+  }
 }

@@ -515,6 +515,22 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(partial.nonEmpty)
   }
 
+  test("dedupParagraphs: first corpus occurrence wins, docs reassemble in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "intro\nalpha\nalpha"),     // in-doc dup: second alpha drops
+      (1L, "intro\nbeta"),             // intro already seen in doc 0
+      (2L, "beta\ngamma\n\ndelta"),    // beta seen; empty paragraph dropped
+      (3L, "intro\nbeta")).toDF("doc_id", "text") // fully duplicate doc
+    val got = graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(got(0) == ((0L, "intro\nalpha", 2, 1)))
+    assert(got(1) == ((1L, "beta", 1, 1)))
+    assert(got(2) == ((2L, "gamma\ndelta", 2, 1)))
+    assert(got(3) == ((3L, "", 0, 2)))
+  }
+
   test("dedupClusters: singletons map to themselves") {
     import spark.implicits._
     val docs = Seq((1L, "x"), (2L, "y"), (3L, "x"), (9L, "z")).toDF("doc_id", "text")

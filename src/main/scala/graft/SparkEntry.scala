@@ -1330,6 +1330,45 @@ object SparkEntry {
       graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // geodesic + formatting family: a small meridian arc's haversine
+    // distance equals the circular arc length analytically, so the
+    // centimeter-rounded value replays from 2*pi*R/360 closed form
+    // (FP gap ~1e-9 m); the spheroid columns assert contract properties
+    // (ratio to sphere within the flattening, symmetry); DMS strings are
+    // exact at quarter/half-degree inputs; the circle test sits exactly
+    // on the 3-4-5 boundary
+    "q111_geodesic_formatting" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             round(ST_DistanceSphere(p0, pn), 2) AS ds_m,
+             abs(ST_DistanceSpheroid(p0, pn) / ST_DistanceSphere(p0, pn) - 1.0D)
+               < 0.01D AS sp_ratio_ok,
+             ST_DistanceSpheroid(p0, pe) = ST_DistanceSpheroid(pe, p0) AS sp_sym,
+             ST_AsLatLonText(dmspt) AS llt,
+             ST_OrderingEquals(seg, seg) AS oeq_t,
+             ST_OrderingEquals(seg, ST_Reverse(seg)) AS oeq_f,
+             ST_PointInsideCircle(onc, CAST(xi AS DOUBLE), CAST(yi AS DOUBLE),
+               5.0D) AS pic_t,
+             ST_PointInsideCircle(onc, CAST(xi AS DOUBLE), CAST(yi AS DOUBLE),
+               4.9D) AS pic_f
+      FROM (SELECT l_orderkey, l_linenumber, xi, yi, wi,
+                   ST_GeomFromText('POINT(' || CAST(xi - 50 AS STRING) || ' 10)') AS p0,
+                   ST_GeomFromText('POINT(' || CAST(xi - 50 AS STRING) || ' '
+                     || CAST(10 + wi * 0.01D AS STRING) || ')') AS pn,
+                   ST_GeomFromText('POINT(' || CAST(xi - 49 AS STRING) || ' 10)') AS pe,
+                   ST_GeomFromText('POINT(' || CAST(xi + 0.5D AS STRING) || ' '
+                     || CAST(wi + 0.25D AS STRING) || ')') AS dmspt,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || CAST(xi + wi AS STRING) || ' ' || ys || ')') AS seg,
+                   ST_GeomFromText('POINT(' || CAST(xi + 3 AS STRING) || ' '
+                     || CAST(yi + 4 AS STRING) || ')') AS onc
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber * 10 AS INT) AS yi,
+                         CAST(l_linenumber AS INT) AS wi,
+                         CAST(CAST(l_orderkey % 100 AS INT) AS STRING) AS xs,
+                         CAST(CAST(l_linenumber * 10 AS INT) AS STRING) AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // minimum clearance of an axis-aligned w x 5 rectangle is its
     // shorter side, and the realizing line has that exact length
     "q99_min_clearance" -> q(s"""
@@ -2384,6 +2423,29 @@ object SparkEntry {
              round(CAST(li * 10 - 40 AS DOUBLE), 6) AS gh_lat,
              true AS gh_covers,
              CAST(0.3515625 AS DOUBLE) AS gh_w
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+    // ds_m replays the analytic meridian arc 2*pi*R/360*(wi/100) — the
+    // haversine of a same-meridian pair IS the circle arc, FP gap
+    // ~1e-9 m against a 0.005 m rounding threshold; property columns
+    // (spheroid ratio, symmetry, ordering equality, 3-4-5 circle
+    // boundary) are constants of the fixture; DMS strings are exact at
+    // quarter/half-degree coordinates
+    "q111_geodesic_formatting" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber AS BIGINT) AS wi
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             round(2 * pi() * ((2.0 * 6378137.0 + 6356752.314245179) / 3.0)
+               / 360 * (wi / 100.0), 2) AS ds_m,
+             true AS sp_ratio_ok,
+             true AS sp_sym,
+             CAST(wi AS VARCHAR) || '°15''0"N ' || CAST(xi AS VARCHAR)
+               || '°30''0"E' AS llt,
+             true AS oeq_t,
+             false AS oeq_f,
+             true AS pic_t,
+             false AS pic_f
       FROM b ORDER BY l_orderkey, l_linenumber""",
     // the same first-(doc_id,pos)-wins election, unrolled over the three
     // known paragraph slots; string_agg skips the non-keeper NULLs and

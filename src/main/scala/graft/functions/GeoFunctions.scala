@@ -233,6 +233,16 @@ object GeoFunctions {
         if (es.length >= 2) es(1) else Literal(1e-8),
         if (es.length >= 3) es(2) else Literal(10000))
     },
+    "st_distancesphere" -> { es =>
+      arity("st_distancesphere", es, 2); StDistanceSphere(es.head, es(1)) },
+    "st_distancespheroid" -> { es =>
+      arity("st_distancespheroid", es, 2); StDistanceSpheroid(es.head, es(1)) },
+    "st_aslatlontext" -> { es =>
+      arity("st_aslatlontext", es, 1); StAsLatLonText(es.head) },
+    "st_orderingequals" -> { es =>
+      arity("st_orderingequals", es, 2); StOrderingEquals(es.head, es(1)) },
+    "st_pointinsidecircle" -> { es =>
+      arity("st_pointinsidecircle", es, 4); StPointInsideCircle(es) },
     "st_isvalidreason" -> { es =>
       arity("st_isvalidreason", es, 1); StIsValidReason(es.head) },
     "st_isvaliddetail" -> { es =>
@@ -442,6 +452,13 @@ object GeoFunctions {
   def st_ashexewkb(g: Column): Column = c(StAsHexEwkb(x(g)))
   def st_geomfromhexewkb(h: Column): Column = c(StGeomFromHexEwkb(x(h)))
   def st_sharedpaths(a: Column, b: Column): Column = c(StSharedPaths(x(a), x(b)))
+  def st_distancesphere(a: Column, b: Column): Column = c(StDistanceSphere(x(a), x(b)))
+  def st_distancespheroid(a: Column, b: Column): Column =
+    c(StDistanceSpheroid(x(a), x(b)))
+  def st_aslatlontext(g: Column): Column = c(StAsLatLonText(x(g)))
+  def st_orderingequals(a: Column, b: Column): Column = c(StOrderingEquals(x(a), x(b)))
+  def st_pointinsidecircle(p: Column, cx: Column, cy: Column, r: Column): Column =
+    c(StPointInsideCircle(Seq(x(p), x(cx), x(cy), x(r))))
   def st_exteriorring(g: Column): Column = c(StExteriorRing(x(g)))
   def st_numinteriorrings(g: Column): Column = c(StNumInteriorRings(x(g)))
   def st_reverse(g: Column): Column = c(StReverse(x(g)))

@@ -1330,6 +1330,117 @@ object GeoKernels {
     encodeKeepSrid(ga, out)
   }
 
+  // ---- geodesic distances / geographic formatting ----------------------
+
+  /** PostGIS mean earth radius: (2a + b)/3 on WGS84. */
+  private final val MeanEarthRadius =
+    (2.0 * 6378137.0 + 6356752.314245179) / 3.0
+
+  /** PostGIS ST_DistanceSphere: great-circle distance in meters between
+    * the 2-D centroids-as-lon/lat, haversine on the WGS84 mean-radius
+    * sphere. Null for empty input. */
+  def distanceSphere(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
+    val ga = geom(a); val gb = geom(b)
+    if (ga.isEmpty || gb.isEmpty) return null
+    val ca = ga.getCentroid.getCoordinate
+    val cb = gb.getCentroid.getCoordinate
+    val f1 = Math.toRadians(ca.y); val f2 = Math.toRadians(cb.y)
+    val dF = Math.toRadians(cb.y - ca.y)
+    val dL = Math.toRadians(cb.x - ca.x)
+    val sF = Math.sin(dF / 2); val sL = Math.sin(dL / 2)
+    val h = sF * sF + Math.cos(f1) * Math.cos(f2) * sL * sL
+    java.lang.Double.valueOf(
+      2.0 * MeanEarthRadius * Math.asin(Math.min(1.0, Math.sqrt(h))))
+  }
+
+  /** PostGIS ST_DistanceSpheroid on WGS84 — Vincenty inverse formula
+    * (converges for non-antipodal pairs; falls back to the spherical
+    * value if 200 iterations don't converge). Null for empty input. */
+  def distanceSpheroid(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
+    val ga = geom(a); val gb = geom(b)
+    if (ga.isEmpty || gb.isEmpty) return null
+    val ca = ga.getCentroid.getCoordinate
+    val cb = gb.getCentroid.getCoordinate
+    val A = 6378137.0; val B = 6356752.314245179; val F = (A - B) / A
+    val l = Math.toRadians(cb.x - ca.x)
+    val u1 = Math.atan((1 - F) * Math.tan(Math.toRadians(ca.y)))
+    val u2 = Math.atan((1 - F) * Math.tan(Math.toRadians(cb.y)))
+    val sinU1 = Math.sin(u1); val cosU1 = Math.cos(u1)
+    val sinU2 = Math.sin(u2); val cosU2 = Math.cos(u2)
+    var lambda = l
+    var iter = 0
+    var converged = false
+    var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+    var cosSqAlpha = 0.0; var cos2SigmaM = 0.0
+    while (iter < 200 && !converged) {
+      val sinL = Math.sin(lambda); val cosL = Math.cos(lambda)
+      sinSigma = Math.sqrt(
+        (cosU2 * sinL) * (cosU2 * sinL) +
+        (cosU1 * sinU2 - sinU1 * cosU2 * cosL) * (cosU1 * sinU2 - sinU1 * cosU2 * cosL))
+      if (sinSigma == 0.0) return java.lang.Double.valueOf(0.0) // coincident
+      cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+      sigma = Math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinL / sinSigma
+      cosSqAlpha = 1 - sinAlpha * sinAlpha
+      cos2SigmaM = if (cosSqAlpha == 0) 0.0
+        else cosSigma - 2 * sinU1 * sinU2 / cosSqAlpha
+      val c = F / 16 * cosSqAlpha * (4 + F * (4 - 3 * cosSqAlpha))
+      val prev = lambda
+      lambda = l + (1 - c) * F * sinAlpha *
+        (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma *
+          (-1 + 2 * cos2SigmaM * cos2SigmaM)))
+      if (Math.abs(lambda - prev) < 1e-12) converged = true
+      iter += 1
+    }
+    if (!converged) return distanceSphere(a, b)
+    val uSq = cosSqAlpha * (A * A - B * B) / (B * B)
+    val bigA = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
+    val bigB = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
+    val deltaSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4 *
+      (cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM) -
+        bigB / 6 * cos2SigmaM * (-3 + 4 * sinSigma * sinSigma) *
+          (-3 + 4 * cos2SigmaM * cos2SigmaM)))
+    java.lang.Double.valueOf(B * bigA * (sigma - deltaSigma))
+  }
+
+  /** PostGIS ST_AsLatLonText, default 'D°M''S.SSS"C' format:
+    * latitude then longitude, seconds rounded to 3 decimals, hemisphere
+    * letters N/S/E/W. Null for non-point input. */
+  def asLatLonText(tagged: Array[Byte]): String = geom(tagged) match {
+    case p: Point if !p.isEmpty =>
+      def dms(v: Double, pos: Char, neg: Char): String = {
+        val hemi = if (v < 0) neg else pos
+        val av = Math.abs(v)
+        var d = av.toInt
+        var m = ((av - d) * 60).toInt
+        // round seconds to 3dp and carry into minutes/degrees
+        var s = Math.rint((av - d - m / 60.0) * 3600 * 1000) / 1000
+        if (s >= 60.0) { s -= 60.0; m += 1 }
+        if (m >= 60) { m -= 60; d += 1 }
+        val sStr = if (s == Math.rint(s)) s.toInt.toString else s.toString
+        s"$d°$m'$sStr\"$hemi"
+      }
+      s"${dms(p.getY, 'N', 'S')} ${dms(p.getX, 'E', 'W')}"
+    case _ => null
+  }
+
+  /** PostGIS ST_OrderingEquals: same type AND identical coordinate
+    * sequences in identical order (stricter than ST_Equals). */
+  def orderingEquals(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val ga = geom(a); val gb = geom(b)
+    ga.equalsExact(gb)
+  }
+
+  /** PostGIS ST_PointInsideCircle(point, cx, cy, r): 2-D distance from
+    * the point to (cx, cy) <= r (boundary counts). Null for non-point. */
+  def pointInsideCircle(tagged: Array[Byte], cx: Double, cy: Double,
+      r: Double): java.lang.Boolean = geom(tagged) match {
+    case p: Point if !p.isEmpty =>
+      val dx = p.getX - cx; val dy = p.getY - cy
+      java.lang.Boolean.valueOf(dx * dx + dy * dy <= r * r)
+    case _ => null
+  }
+
   /** Vertex order reversed, every component (PostGIS ST_Reverse). */
   def reverse(tagged: Array[Byte]): Array[Byte] = {
     val g = geom(tagged)

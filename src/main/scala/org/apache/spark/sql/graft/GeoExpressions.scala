@@ -955,6 +955,113 @@ case class StSharedPaths(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** ST_DistanceSphere — haversine meters on the mean-radius sphere. */
+case class StDistanceSphere(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_distancesphere"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = GeoKernels.distanceSphere(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    if (v == null) null else v.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}Boxed = ${GeoExpr.K}.distanceSphere($a, $b);
+      if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Boxed.doubleValue(); }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_DistanceSpheroid — Vincenty meters on WGS84. */
+case class StDistanceSpheroid(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_distancespheroid"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = GeoKernels.distanceSpheroid(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    if (v == null) null else v.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}Boxed = ${GeoExpr.K}.distanceSpheroid($a, $b);
+      if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Boxed.doubleValue(); }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_AsLatLonText — D°M'S.SSS"C formatting of a point. */
+case class StAsLatLonText(child: Expression) extends UnaryExpression
+    with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_aslatlontext"
+  override protected def nullSafeEval(g: Any): Any = {
+    val s = GeoKernels.asLatLonText(g.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => s"""
+      String ${ev.value}Str = ${GeoExpr.K}.asLatLonText($g);
+      if (${ev.value}Str == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(${ev.value}Str); }""")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_OrderingEquals — exact type + coordinate-order equality. */
+case class StOrderingEquals(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_orderingequals"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernels.orderingEquals(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${GeoExpr.K}.orderingEquals($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_PointInsideCircle(point, cx, cy, r). */
+case class StPointInsideCircle(children: Seq[Expression])
+    extends Expression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_pointinsidecircle"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else {
+      val v = GeoKernels.pointInsideCircle(vs(0).asInstanceOf[Array[Byte]],
+        vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+      if (v == null) null else v.booleanValue()
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(e => e.isNull.toString).mkString(" || ")
+    val childCode = evs.map(_.code.toString).mkString("\n")
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        boolean ${ev.value} = false;
+        if (!${ev.isNull}) {
+          java.lang.Boolean ${ev.value}Boxed = ${GeoExpr.K}.pointInsideCircle(
+            ${evs(0).value}, ${evs(1).value}, ${evs(2).value}, ${evs(3).value});
+          if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+          else { ${ev.value} = ${ev.value}Boxed.booleanValue(); }
+        }""")
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]) =
+    copy(children = newChildren)
+}
+
 /** ST_Azimuth — north-based clockwise bearing (radians) from point a to
   * point b; null when the points coincide or inputs are not points. */
 case class StAzimuth(left: Expression, right: Expression)

@@ -1096,6 +1096,50 @@ class GeoFunctionsSpec extends AnyFunSuite {
       "ST_GeomFromText('LINESTRING(0 0,1 1)'))") == null)
   }
 
+  test("st_distancesphere / st_distancespheroid: geodesic meters on WGS84") {
+    // one degree of longitude at the equator: 2*pi*R/360 on the sphere
+    val dEq = sql1("select ST_DistanceSphere(ST_GeomFromText('POINT(0 0)'), " +
+      "ST_GeomFromText('POINT(1 0)'))").asInstanceOf[Double]
+    val r = (2.0 * 6378137.0 + 6356752.314245179) / 3.0
+    assert(math.abs(dEq - 2 * math.Pi * r / 360) < 1e-6)
+    // spheroid arc along the equator uses the equatorial radius instead
+    val dSp = sql1("select ST_DistanceSpheroid(ST_GeomFromText('POINT(0 0)'), " +
+      "ST_GeomFromText('POINT(1 0)'))").asInstanceOf[Double]
+    assert(math.abs(dSp - 2 * math.Pi * 6378137.0 / 360) < 0.5)
+    // a meridian degree on the spheroid is SHORTER than an equator degree
+    val dMer = sql1("select ST_DistanceSpheroid(ST_GeomFromText('POINT(0 0)'), " +
+      "ST_GeomFromText('POINT(0 1)'))").asInstanceOf[Double]
+    assert(dMer < dSp && dMer > 110000.0)
+    assert(sql1("select ST_DistanceSphere(ST_GeomFromText('POINT(0 0)'), " +
+      "ST_GeomFromText('POINT EMPTY'))") == null)
+    // symmetry
+    assert(sql1("select ST_DistanceSpheroid(ST_GeomFromText('POINT(12 34)'), " +
+      "ST_GeomFromText('POINT(56 7)')) = ST_DistanceSpheroid(" +
+      "ST_GeomFromText('POINT(56 7)'), ST_GeomFromText('POINT(12 34)'))") == true)
+  }
+
+  test("st_aslatlontext: DMS formatting with hemisphere letters") {
+    assert(sql1("select ST_AsLatLonText(ST_GeomFromText('POINT(-71.5 42.25)'))") ==
+      """42°15'0"N 71°30'0"W""")
+    assert(sql1("select ST_AsLatLonText(ST_GeomFromText('POINT(2.5 -3.125)'))") ==
+      """3°7'30"S 2°30'0"E""")
+    assert(sql1("select ST_AsLatLonText(ST_GeomFromText('LINESTRING(0 0,1 1)'))") == null)
+  }
+
+  test("st_orderingequals / st_pointinsidecircle: strict equality and circle test") {
+    assert(sql1("select ST_OrderingEquals(ST_GeomFromText('LINESTRING(0 0,1 1)'), " +
+      "ST_GeomFromText('LINESTRING(0 0,1 1)'))") == true)
+    // ST_Equals is true for reversed lines, ordering-equals is not
+    assert(sql1("select ST_OrderingEquals(ST_GeomFromText('LINESTRING(0 0,1 1)'), " +
+      "ST_GeomFromText('LINESTRING(1 1,0 0)'))") == false)
+    assert(sql1("select ST_PointInsideCircle(ST_GeomFromText('POINT(3 4)'), " +
+      "0D, 0D, 5D)") == true) // boundary counts
+    assert(sql1("select ST_PointInsideCircle(ST_GeomFromText('POINT(3 4)'), " +
+      "0D, 0D, 4.9D)") == false)
+    assert(sql1("select ST_PointInsideCircle(ST_GeomFromText('LINESTRING(0 0,1 1)'), " +
+      "0D, 0D, 5D)") == null)
+  }
+
   test("constant folding: literal geometry folds to a binary literal") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("cf_t")

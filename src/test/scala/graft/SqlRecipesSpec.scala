@@ -157,4 +157,34 @@ class SqlRecipesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql == viaScala && viaSql.nonEmpty)
     assert(viaSql.map(_._1) == (1L to 20L).filter(_ % 4 == 0).toSet)
   }
+
+  test("paragraph dedup through SQL matches Dedup.dedupParagraphs") {
+    import spark.implicits._
+    val docs = (0L until 30L).map { i =>
+      (i, s"hdr\npara ${i % 7}\npara ${i % 3}")
+    }.toDF("doc_id", "text")
+    docs.createOrReplaceTempView("pdocs")
+    val viaSql = spark.sql("""
+      WITH p AS (
+        SELECT doc_id, pos, para
+        FROM pdocs LATERAL VIEW posexplode(split(text, '\n')) t AS pos, para
+        WHERE length(para) > 0),
+      r AS (
+        SELECT doc_id, pos, para, row_number() OVER
+            (PARTITION BY para ORDER BY doc_id, pos) AS rk
+        FROM p)
+      SELECT doc_id,
+             concat_ws('\n', transform(array_sort(collect_list(
+               CASE WHEN rk = 1 THEN struct(pos, para) END)), s -> s.para)) AS text,
+             CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+             CAST(sum(CASE WHEN rk != 1 THEN 1 ELSE 0 END) AS INT) AS n_dropped
+      FROM r GROUP BY doc_id""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    val viaScala = graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    // doc 0 keeps everything (minus its own within-doc dup), doc 21 keeps nothing
+    assert(viaSql.contains((0L, "hdr\npara 0", 2, 1)))
+    assert(viaSql.exists(t => t._1 > 6 && t._2 == "" && t._3 == 0))
+  }
 }

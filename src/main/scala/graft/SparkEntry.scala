@@ -1369,6 +1369,38 @@ object SparkEntry {
                          CAST(CAST(l_linenumber * 10 AS INT) AS STRING) AS ys
                   FROM lineitem))
       ORDER BY l_orderkey, l_linenumber"""),
+    // embedding normalization + matryoshka truncation: both engines run
+    // the identical double-accumulate/divide/float-round sequence
+    // (VecKernels scaladoc), so sampled components widened back to
+    // double are bitwise-equal (FLOAT columns themselves are the q59
+    // render-hash hazard, hence the CAST...AS DOUBLE); unit-norm
+    // columns collapse to 1.0 at 6dp (float rounding perturbs the norm
+    // by <=~6e-8 against a 5e-7 threshold since sum(x^2)=1)
+    "q112_vec_normalize_truncate" -> q(s"""
+      SELECT vec_id,
+             CAST(element_at(vec_normalize(embedding), 1) AS DOUBLE) AS n1,
+             CAST(element_at(vec_normalize(embedding), 8) AS DOUBLE) AS n8,
+             CAST(element_at(vec_truncate(embedding, 8), 1) AS DOUBLE) AS t1,
+             CAST(element_at(vec_truncate(embedding, 8), 8) AS DOUBLE) AS t8,
+             size(vec_truncate(embedding, 8)) AS t_len,
+             round(vec_norm(vec_normalize(embedding)), 6) AS unit_n,
+             round(vec_norm(vec_truncate(embedding, 8)), 6) AS unit_t
+      FROM embeddings ORDER BY vec_id"""),
+    // web-corpus URL extraction over synthesized crawl text: every doc
+    // embeds two URLs with closed-form hosts, so the exploded
+    // (pos, url, host) rows replay as string arithmetic
+    "q113_url_extraction" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = spark.sql("""
+        SELECT doc_id,
+               concat('intro http://site', CAST(doc_id % 5 AS STRING),
+                      '.example.com/p/', CAST(doc_id AS STRING),
+                      ' mid https://mirror.example.org/d',
+                      CAST(doc_id % 3 AS STRING), ' end') AS text
+        FROM documents""")
+      graft.operators.TextAnalysis.extractUrls(docs, "doc_id", "text")
+        .orderBy("doc_id", "pos")
+    }),
     // minimum clearance of an axis-aligned w x 5 rectangle is its
     // shorter side, and the realizing line has that exact length
     "q99_min_clearance" -> q(s"""
@@ -2424,6 +2456,38 @@ object SparkEntry {
              true AS gh_covers,
              CAST(0.3515625 AS DOUBLE) AS gh_w
       FROM b ORDER BY l_orderkey, l_linenumber""",
+    // DuckDB replays the identical float->double square-sum (list_sum
+    // is sequential), sqrt, divide, and float cast — bitwise-equal
+    // arrays; the truncation slices the 1-based [1:8] prefix
+    "q112_vec_normalize_truncate" -> """
+      WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           n AS (SELECT vec_id, e,
+                        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+                        sqrt(list_sum(list_transform(e[1:8], x -> x * x))) AS pn
+                 FROM b)
+      SELECT vec_id,
+             CAST(CAST(e[1] / nrm AS FLOAT) AS DOUBLE) AS n1,
+             CAST(CAST(e[8] / nrm AS FLOAT) AS DOUBLE) AS n8,
+             CAST(CAST(e[1] / pn AS FLOAT) AS DOUBLE) AS t1,
+             CAST(CAST(e[8] / pn AS FLOAT) AS DOUBLE) AS t8,
+             CAST(8 AS INT) AS t_len,
+             CAST(1.0 AS DOUBLE) AS unit_n,
+             CAST(1.0 AS DOUBLE) AS unit_t
+      FROM n ORDER BY vec_id""",
+    // two URLs per doc with closed-form hosts
+    "q113_url_extraction" -> """
+      SELECT doc_id, CAST(pos AS INT) AS pos, url, host FROM (
+        SELECT doc_id, 0 AS pos,
+               'http://site' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+               'site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 1,
+               'https://mirror.example.org/d' || CAST(doc_id % 3 AS VARCHAR),
+               'mirror.example.org'
+        FROM documents)
+      ORDER BY doc_id, pos""",
     // ds_m replays the analytic meridian arc 2*pi*R/360*(wi/100) — the
     // haversine of a same-meridian pair IS the circle arc, FP gap
     // ~1e-9 m against a 0.005 m rounding threshold; property columns

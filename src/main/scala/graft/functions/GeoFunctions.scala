@@ -319,6 +319,8 @@ object GeoFunctions {
     "vec_cosine" -> { es => arity("vec_cosine", es, 2); VecCosine(es.head, es(1)) },
     "vec_dot" -> { es => arity("vec_dot", es, 2); VecDot(es.head, es(1)) },
     "vec_norm" -> { es => arity("vec_norm", es, 1); VecNorm(es.head) },
+    "vec_normalize" -> { es => arity("vec_normalize", es, 1); VecNormalize(es.head) },
+    "vec_truncate" -> { es => arity("vec_truncate", es, 2); VecTruncate(es.head, es(1)) },
     "vec_lsh_sig" -> { es => arity("vec_lsh_sig", es, 3); VecLshSig(es.head, es(1), es(2)) },
     "vec_lsh_probes" -> { es => arity("vec_lsh_probes", es, 4); VecLshProbes(es) },
     "vec_nearest_centroid" -> { es =>
@@ -576,6 +578,8 @@ object GeoFunctions {
   def vec_cosine(a: Column, b: Column): Column = c(VecCosine(x(a), x(b)))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(x(a), x(b)))
   def vec_norm(a: Column): Column = c(VecNorm(x(a)))
+  def vec_normalize(a: Column): Column = c(VecNormalize(x(a)))
+  def vec_truncate(a: Column, dim: Column): Column = c(VecTruncate(x(a), x(dim)))
   def vec_lsh_sig(a: Column, nPlanes: Column, seed: Column): Column =
     c(VecLshSig(x(a), x(nPlanes), x(seed)))
   def vec_lsh_probes(a: Column, nPlanes: Column, seed: Column, nProbe: Column): Column =

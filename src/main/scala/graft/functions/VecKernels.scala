@@ -44,6 +44,37 @@ object VecKernels {
     math.sqrt(s)
   }
 
+  /** Unit-L2 normalization: double accumulation/division, float32 out
+    * (the embedding dtype). A zero vector passes through unchanged. */
+  def normalizeF(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val nrm = normF(a)
+    val out = new Array[Any](n)
+    var i = 0
+    if (nrm == 0.0) while (i < n) { out(i) = a.getFloat(i); i += 1 }
+    else while (i < n) { out(i) = (a.getFloat(i).toDouble / nrm).toFloat; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Matryoshka truncation: the first `dim` components re-normalized to
+    * unit L2 — the MRL contract that prefixes of nested-trained
+    * embeddings are valid embeddings after renormalization. Norm is
+    * accumulated over the KEPT prefix only, left-to-right in double. */
+  def truncateF(a: ArrayData, dim: Int): ArrayData = {
+    val n = a.numElements()
+    require(dim >= 1 && dim <= n,
+      s"vec_truncate: dim must be in 1..$n; got $dim")
+    var s = 0.0
+    var i = 0
+    while (i < dim) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    val nrm = math.sqrt(s)
+    val out = new Array[Any](dim)
+    i = 0
+    if (nrm == 0.0) while (i < dim) { out(i) = a.getFloat(i); i += 1 }
+    else while (i < dim) { out(i) = (a.getFloat(i).toDouble / nrm).toFloat; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Index of the centroid (array of float vectors) with the highest
     * cosine similarity to `v` — the IVF coarse-quantization assignment. */
   def nearestCentroid(v: ArrayData, centroids: ArrayData): Int = {

@@ -220,6 +220,25 @@ object TextAnalysis {
         expr("percentile(__nc, 0.75)").as("p75_chars"),
         countDistinct(col("__src")).as("n_sources"))
 
+  /** Web-corpus URL extraction: one output row per URL occurrence with
+    * its host, in document order. Pure codegen'd regexp — no UDF; URLs
+    * end at whitespace (the common crawl-text convention). */
+  def extractUrls(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(regexp_extract_all(col(textCol),
+          lit("""https?://[^\s]+"""), lit(0))).as(Seq("pos", "url")))
+      .withColumn("host", regexp_extract(col("url"), """https?://([^/\s]+)""", 1))
+      .select(col("id").as(idCol), col("pos"), col("url"), col("host"))
+
+  /** Per-host URL stats over a corpus — the input to per-domain caps
+    * ([[Curation.capPerKey]]) and domain blocklists. One shuffle keyed
+    * by host (partial counts map-side). */
+  def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    extractUrls(df, idCol, textCol)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(idCol)).as("n_docs"))
+
   /** Full per-document profile in one pass. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

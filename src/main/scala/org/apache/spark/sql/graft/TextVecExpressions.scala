@@ -128,6 +128,32 @@ case class VecNorm(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** vec_normalize(v) → unit-L2 float32 vector (zero vectors unchanged). */
+case class VecNormalize(child: Expression)
+    extends UnaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(TextVecExpr.floatArray)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "vec_normalize"
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.normalizeF(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"${TextVecExpr.VK}.normalizeF($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** vec_truncate(v, dim) → Matryoshka prefix, re-normalized to unit L2. */
+case class VecTruncate(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(TextVecExpr.floatArray, IntegerType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "vec_truncate"
+  override protected def nullSafeEval(a: Any, d: Any): Any =
+    VecKernels.truncateF(a.asInstanceOf[ArrayData], d.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, d) => s"${TextVecExpr.VK}.truncateF($a, $d)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** vec_nearest_centroid(v, centroids) → index of the best-cosine centroid
   * (IVF coarse assignment; centroids arrive as a folded literal). */
 case class VecNearestCentroid(left: Expression, right: Expression)

@@ -531,6 +531,46 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3) == ((3L, "", 0, 2)))
   }
 
+  test("vec_normalize / vec_truncate: unit L2 and matryoshka prefixes") {
+    graft.functions.GeoFunctions.register(spark)
+    // 3-4 vector: norm 5, normalized (0.6, 0.8)
+    val n = spark.sql("select vec_normalize(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
+      .collect()(0).getSeq[Float](0)
+    assert(n == Seq(0.6f, 0.8f))
+    // zero vector unchanged (no NaN)
+    assert(spark.sql("select vec_normalize(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)))")
+      .collect()(0).getSeq[Float](0) == Seq(0.0f, 0.0f))
+    // truncation renormalizes over the KEPT prefix only
+    val t = spark.sql("select vec_truncate(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT), " +
+      "CAST(100.0 AS FLOAT)), 2)").collect()(0).getSeq[Float](0)
+    assert(t == Seq(0.6f, 0.8f))
+    // unit property after truncation
+    val nrm = spark.sql("select vec_norm(vec_truncate(array(CAST(1.0 AS FLOAT), " +
+      "CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), 3))")
+      .collect()(0).getDouble(0)
+    assert(math.abs(nrm - 1.0) < 1e-6)
+    intercept[Exception] {
+      spark.sql("select vec_truncate(array(CAST(1.0 AS FLOAT)), 5)").collect()
+    }
+  }
+
+  test("extractUrls / domainStats: regexp extraction and per-host counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "see http://a.com/x and https://b.org/y?z=1 done"),
+      (1L, "nothing here"),
+      (2L, "again http://a.com/other")).toDF("doc_id", "text")
+    val urls = graft.operators.TextAnalysis.extractUrls(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    assert(urls == Set(
+      (0L, 0, "http://a.com/x", "a.com"),
+      (0L, 1, "https://b.org/y?z=1", "b.org"),
+      (2L, 0, "http://a.com/other", "a.com")))
+    val stats = graft.operators.TextAnalysis.domainStats(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats == Set(("a.com", 2L, 2L), ("b.org", 1L, 1L)))
+  }
+
   test("dedupClusters: singletons map to themselves") {
     import spark.implicits._
     val docs = Seq((1L, "x"), (2L, "y"), (3L, "x"), (9L, "z")).toDF("doc_id", "text")

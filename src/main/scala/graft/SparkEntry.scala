@@ -1401,6 +1401,33 @@ object SparkEntry {
       graft.operators.TextAnalysis.extractUrls(docs, "doc_id", "text")
         .orderBy("doc_id", "pos")
     }),
+    // line-crossing codes on a wi-crossing zigzag against a vertical
+    // line: directions alternate starting west->east (+1), so the code
+    // collapses to a CASE on wi's parity; reversing the zigzag reverses
+    // and negates the crossing sequence
+    "q114_line_crossing" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_LineCrossingDirection(l1, zig) AS lcd,
+             ST_LineCrossingDirection(l1, ST_Reverse(zig)) AS lcd_rev,
+             ST_LineCrossingDirection(l1, faroff) AS lcd_zero
+      FROM (SELECT l_orderkey, l_linenumber, xi, yi, wi,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || xs || ' ' || CAST(yi + 10 AS STRING) || ')') AS l1,
+                   ST_GeomFromText('LINESTRING(' || array_join(
+                     transform(sequence(0, wi), k ->
+                       CAST(CASE WHEN k % 2 = 0 THEN xi - 1 ELSE xi + 1 END AS STRING)
+                       || ' ' || CAST(yi + 1 + k AS STRING)), ',') || ')') AS zig,
+                   ST_GeomFromText('LINESTRING(' || CAST(xi + 1 AS STRING) || ' ' || ys
+                     || ',' || CAST(xi + 2 AS STRING) || ' '
+                     || CAST(yi + 10 AS STRING) || ')') AS faroff
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 100 AS INT) AS xi,
+                         CAST(l_linenumber * 10 AS INT) AS yi,
+                         CAST(l_linenumber AS INT) AS wi,
+                         CAST(CAST(l_orderkey % 100 AS INT) AS STRING) AS xs,
+                         CAST(CAST(l_linenumber * 10 AS INT) AS STRING) AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // minimum clearance of an axis-aligned w x 5 rectangle is its
     // shorter side, and the realizing line has that exact length
     "q99_min_clearance" -> q(s"""
@@ -2455,6 +2482,21 @@ object SparkEntry {
              round(CAST(li * 10 - 40 AS DOUBLE), 6) AS gh_lat,
              true AS gh_covers,
              CAST(0.3515625 AS DOUBLE) AS gh_w
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+    // wi crossings alternating +1/-1 from west->east: single -> 1, odd
+    // -> 3 (last matches first), even -> -2; the reversed zigzag
+    // reverses and negates the sequence (single -> -1, odd -> -3, even
+    // -> -2); the offset line never crosses
+    "q114_line_crossing" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_linenumber AS BIGINT) AS wi
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             CAST(CASE WHEN wi = 1 THEN 1 WHEN wi % 2 = 1 THEN 3
+                       ELSE -2 END AS INT) AS lcd,
+             CAST(CASE WHEN wi = 1 THEN -1 WHEN wi % 2 = 1 THEN -3
+                       ELSE -2 END AS INT) AS lcd_rev,
+             CAST(0 AS INT) AS lcd_zero
       FROM b ORDER BY l_orderkey, l_linenumber""",
     // DuckDB replays the identical float->double square-sum (list_sum
     // is sequential), sqrt, divide, and float cast — bitwise-equal

@@ -255,6 +255,9 @@ object GeoFunctions {
       arity("st_geomfromhexewkb", es, 1); StGeomFromHexEwkb(es.head) },
     "st_sharedpaths" -> { es =>
       arity("st_sharedpaths", es, 2); StSharedPaths(es.head, es(1)) },
+    "st_linecrossingdirection" -> { es =>
+      arity("st_linecrossingdirection", es, 2)
+      StLineCrossingDirection(es.head, es(1)) },
     "st_xmin" -> { es => arity("st_xmin", es, 1); StXMin(es.head) },
     "st_ymin" -> { es => arity("st_ymin", es, 1); StYMin(es.head) },
     "st_xmax" -> { es => arity("st_xmax", es, 1); StXMax(es.head) },
@@ -454,6 +457,8 @@ object GeoFunctions {
   def st_ashexewkb(g: Column): Column = c(StAsHexEwkb(x(g)))
   def st_geomfromhexewkb(h: Column): Column = c(StGeomFromHexEwkb(x(h)))
   def st_sharedpaths(a: Column, b: Column): Column = c(StSharedPaths(x(a), x(b)))
+  def st_linecrossingdirection(a: Column, b: Column): Column =
+    c(StLineCrossingDirection(x(a), x(b)))
   def st_distancesphere(a: Column, b: Column): Column = c(StDistanceSphere(x(a), x(b)))
   def st_distancespheroid(a: Column, b: Column): Column =
     c(StDistanceSpheroid(x(a), x(b)))

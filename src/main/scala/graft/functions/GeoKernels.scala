@@ -1441,6 +1441,51 @@ object GeoKernels {
     case _ => null
   }
 
+  /** PostGIS ST_LineCrossingDirection(line1, line2) result codes:
+    * 0 no crossing; ±1 single crossing; multiple crossings end ±2, or
+    * ±3 when the LAST crossing runs the same direction as the FIRST
+    * (PostGIS's MULTICROSS_END_SAME_FIRST). Sign: -1/left when,
+    * walking line1's direction, line2 passes right→left; +1/right
+    * otherwise. Crossings are PROPER interior segment crossings
+    * ordered along line2; vertex touches and collinear overlaps do not
+    * count (PostGIS counts some touch configurations — documented
+    * deviation). Null for non-LineString input. */
+  def lineCrossingDirection(a: Array[Byte], b: Array[Byte]): Integer =
+    (geom(a), geom(b)) match {
+      case (l1: LineString, l2: LineString) =>
+        val p = l1.getCoordinates
+        val q = l2.getCoordinates
+        val crossings = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Int)]
+        var j = 0
+        while (j < q.length - 1) {
+          var i = 0
+          while (i < p.length - 1) {
+            val d1x = p(i + 1).x - p(i).x; val d1y = p(i + 1).y - p(i).y
+            val d2x = q(j + 1).x - q(j).x; val d2y = q(j + 1).y - q(j).y
+            val denom = d1x * d2y - d1y * d2x
+            if (denom != 0) {
+              val rx = q(j).x - p(i).x; val ry = q(j).y - p(i).y
+              val t1 = (rx * d2y - ry * d2x) / denom
+              val t2 = (rx * d1y - ry * d1x) / denom
+              if (t1 > 0 && t1 < 1 && t2 > 0 && t2 < 1) {
+                // denom > 0: line2's heading lies CCW (left) of line1's
+                crossings += ((j, t2, if (denom > 0) -1 else 1))
+              }
+            }
+            i += 1
+          }
+          j += 1
+        }
+        if (crossings.isEmpty) Integer.valueOf(0)
+        else if (crossings.length == 1) Integer.valueOf(crossings(0)._3)
+        else {
+          val sorted = crossings.sortBy(c => (c._1, c._2))
+          val first = sorted.head._3; val last = sorted.last._3
+          Integer.valueOf(if (first == last) 3 * last else 2 * last)
+        }
+      case _ => null
+    }
+
   /** Vertex order reversed, every component (PostGIS ST_Reverse). */
   def reverse(tagged: Array[Byte]): Array[Byte] = {
     val g = geom(tagged)

@@ -1062,6 +1062,26 @@ case class StPointInsideCircle(children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** ST_LineCrossingDirection — crossing-behavior code of line2 vs line1. */
+case class StLineCrossingDirection(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_linecrossingdirection"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = GeoKernels.lineCrossingDirection(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+    if (v == null) null else v.intValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Integer ${ev.value}Boxed = ${GeoExpr.K}.lineCrossingDirection($a, $b);
+      if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Boxed.intValue(); }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** ST_Azimuth — north-based clockwise bearing (radians) from point a to
   * point b; null when the points coincide or inputs are not points. */
 case class StAzimuth(left: Expression, right: Expression)

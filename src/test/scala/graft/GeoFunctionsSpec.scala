@@ -1140,6 +1140,20 @@ class GeoFunctionsSpec extends AnyFunSuite {
       "0D, 0D, 5D)") == null)
   }
 
+  test("st_linecrossingdirection: single, multi, and same-first codes") {
+    val l1 = "ST_GeomFromText('LINESTRING(0 0,0 10)')" // pointing north
+    def cross(l2wkt: String): Any =
+      sql1(s"select ST_LineCrossingDirection($l1, ST_GeomFromText('$l2wkt'))")
+    assert(cross("LINESTRING(-1 5,1 5)") == 1)   // west→east ends right
+    assert(cross("LINESTRING(1 5,-1 5)") == -1)  // east→west ends left
+    assert(cross("LINESTRING(1 1,2 2)") == 0)    // never crosses
+    // two crossings, last one ends left
+    assert(cross("LINESTRING(-1 2,1 3,-1 4)") == -2)
+    // three crossings, last runs the same direction as the first
+    assert(cross("LINESTRING(-1 2,1 3,-1 4,1 5)") == 3)
+    assert(sql1(s"select ST_LineCrossingDirection($l1, ST_GeomFromText('POINT(0 0)'))") == null)
+  }
+
   test("constant folding: literal geometry folds to a binary literal") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("cf_t")

@@ -1428,6 +1428,27 @@ object SparkEntry {
                          CAST(CAST(l_linenumber * 10 AS INT) AS STRING) AS ys
                   FROM lineitem))
       ORDER BY l_orderkey, l_linenumber"""),
+    // metadata accessors are codec constants or exact strings: a
+    // no-SRID point cell is always 22 bytes (1 tag + 21 WKB)
+    "q115_metadata" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_IsEmpty(pt) AS empty_f,
+             ST_IsCollection(mp) AS coll_t,
+             ST_IsCollection(pt) AS coll_f,
+             ST_NDims(pt) AS ndims,
+             ST_Zmflag(pt) AS zmf,
+             ST_HasArc(pt) AS arc,
+             ST_AsEWKT(ST_Force2D(pt4326)) AS f2d,
+             ST_MemSize(pt) AS msz
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_GeomFromText('POINT(' || xs || ' ' || ys || ')') AS pt,
+                   ST_GeomFromText('POINT(' || xs || ' ' || ys || ')', 4326) AS pt4326,
+                   ST_GeomFromText('MULTIPOINT(' || xs || ' ' || ys || ')') AS mp
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(CAST(l_orderkey % 100 AS INT) AS STRING) AS xs,
+                         CAST(CAST(l_linenumber * 10 AS INT) AS STRING) AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // minimum clearance of an axis-aligned w x 5 rectangle is its
     // shorter side, and the realizing line has that exact length
     "q99_min_clearance" -> q(s"""
@@ -2482,6 +2503,23 @@ object SparkEntry {
              round(CAST(li * 10 - 40 AS DOUBLE), 6) AS gh_lat,
              true AS gh_covers,
              CAST(0.3515625 AS DOUBLE) AS gh_w
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+    // constants of the codec + exact EWKT string
+    "q115_metadata" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS xi,
+              CAST(l_linenumber * 10 AS BIGINT) AS yi
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             false AS empty_f,
+             true AS coll_t,
+             false AS coll_f,
+             CAST(2 AS INT) AS ndims,
+             CAST(0 AS INT) AS zmf,
+             false AS arc,
+             'SRID=4326;POINT(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
+               || ')' AS f2d,
+             CAST(22 AS INT) AS msz
       FROM b ORDER BY l_orderkey, l_linenumber""",
     // wi crossings alternating +1/-1 from west->east: single -> 1, odd
     // -> 3 (last matches first), even -> -2; the reversed zigzag

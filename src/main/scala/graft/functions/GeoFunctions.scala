@@ -255,6 +255,14 @@ object GeoFunctions {
       arity("st_geomfromhexewkb", es, 1); StGeomFromHexEwkb(es.head) },
     "st_sharedpaths" -> { es =>
       arity("st_sharedpaths", es, 2); StSharedPaths(es.head, es(1)) },
+    "st_isempty" -> { es => arity("st_isempty", es, 1); StIsEmpty(es.head) },
+    "st_iscollection" -> { es =>
+      arity("st_iscollection", es, 1); StIsCollection(es.head) },
+    "st_ndims" -> { es => arity("st_ndims", es, 1); StNDims(es.head) },
+    "st_zmflag" -> { es => arity("st_zmflag", es, 1); StZmFlag(es.head) },
+    "st_hasarc" -> { es => arity("st_hasarc", es, 1); StHasArc(es.head) },
+    "st_force2d" -> { es => arity("st_force2d", es, 1); StForce2D(es.head) },
+    "st_memsize" -> { es => arity("st_memsize", es, 1); StMemSize(es.head) },
     "st_linecrossingdirection" -> { es =>
       arity("st_linecrossingdirection", es, 2)
       StLineCrossingDirection(es.head, es(1)) },
@@ -459,6 +467,13 @@ object GeoFunctions {
   def st_sharedpaths(a: Column, b: Column): Column = c(StSharedPaths(x(a), x(b)))
   def st_linecrossingdirection(a: Column, b: Column): Column =
     c(StLineCrossingDirection(x(a), x(b)))
+  def st_isempty(g: Column): Column = c(StIsEmpty(x(g)))
+  def st_iscollection(g: Column): Column = c(StIsCollection(x(g)))
+  def st_ndims(g: Column): Column = c(StNDims(x(g)))
+  def st_zmflag(g: Column): Column = c(StZmFlag(x(g)))
+  def st_hasarc(g: Column): Column = c(StHasArc(x(g)))
+  def st_force2d(g: Column): Column = c(StForce2D(x(g)))
+  def st_memsize(g: Column): Column = c(StMemSize(x(g)))
   def st_distancesphere(a: Column, b: Column): Column = c(StDistanceSphere(x(a), x(b)))
   def st_distancespheroid(a: Column, b: Column): Column =
     c(StDistanceSpheroid(x(a), x(b)))

@@ -1486,6 +1486,38 @@ object GeoKernels {
       case _ => null
     }
 
+  // ---- trivial metadata accessors (2-D codec constants included) -------
+
+  /** PostGIS ST_IsEmpty. */
+  def isEmpty(tagged: Array[Byte]): Boolean = geom(tagged).isEmpty
+
+  /** PostGIS ST_IsCollection: true for Multi* and GeometryCollection —
+    * including empty and single-element ones (type-based, not count). */
+  def isCollection(tagged: Array[Byte]): Boolean =
+    geom(tagged).isInstanceOf[GeometryCollection]
+
+  /** PostGIS ST_NDims — always 2 in this codec. */
+  def nDims(tagged: Array[Byte]): Int = { geom(tagged); 2 }
+
+  /** PostGIS ST_Zmflag — 0 (no Z, no M) in this codec. */
+  def zmFlag(tagged: Array[Byte]): Int = { geom(tagged); 0 }
+
+  /** PostGIS ST_HasArc — always false (no curve types in WKB dialects
+    * 1-5; a curve tag fails decode long before this call). */
+  def hasArc(tagged: Array[Byte]): Boolean = { geom(tagged); false }
+
+  /** PostGIS ST_Force2D — identity in a 2-D codec, but re-encoded so
+    * the output is the canonical EWKB form regardless of input dialect. */
+  def force2D(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    encodeKeepSrid(g, g.copy())
+  }
+
+  /** PostGIS ST_MemSize analogue: the stored cell size in bytes (tag +
+    * WKB) — the column-size planning number for THIS engine, not
+    * PostGIS's in-memory serialization. */
+  def memSize(tagged: Array[Byte]): Int = tagged.length
+
   /** Vertex order reversed, every component (PostGIS ST_Reverse). */
   def reverse(tagged: Array[Byte]): Array[Byte] = {
     val g = geom(tagged)

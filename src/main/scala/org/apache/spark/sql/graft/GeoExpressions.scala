@@ -1082,6 +1082,84 @@ case class StLineCrossingDirection(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** Unary geometry→boolean metadata accessor. */
+abstract class GeoUnaryBool extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  def kernel: String
+  def apply(g: Array[Byte]): Boolean
+  override protected def nullSafeEval(g: Any): Any = apply(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.$kernel($g)")
+}
+
+/** Unary geometry→int metadata accessor. */
+abstract class GeoUnaryInt extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  def kernel: String
+  def apply(g: Array[Byte]): Int
+  override protected def nullSafeEval(g: Any): Any = apply(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.$kernel($g)")
+}
+
+case class StIsEmpty(child: Expression) extends GeoUnaryBool {
+  override def kernel: String = "isEmpty"
+  override def apply(g: Array[Byte]): Boolean = GeoKernels.isEmpty(g)
+  override def prettyName: String = "st_isempty"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StIsCollection(child: Expression) extends GeoUnaryBool {
+  override def kernel: String = "isCollection"
+  override def apply(g: Array[Byte]): Boolean = GeoKernels.isCollection(g)
+  override def prettyName: String = "st_iscollection"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StNDims(child: Expression) extends GeoUnaryInt {
+  override def kernel: String = "nDims"
+  override def apply(g: Array[Byte]): Int = GeoKernels.nDims(g)
+  override def prettyName: String = "st_ndims"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StZmFlag(child: Expression) extends GeoUnaryInt {
+  override def kernel: String = "zmFlag"
+  override def apply(g: Array[Byte]): Int = GeoKernels.zmFlag(g)
+  override def prettyName: String = "st_zmflag"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StHasArc(child: Expression) extends GeoUnaryBool {
+  override def kernel: String = "hasArc"
+  override def apply(g: Array[Byte]): Boolean = GeoKernels.hasArc(g)
+  override def prettyName: String = "st_hasarc"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StForce2D(child: Expression) extends UnaryExpression with GeoExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_force2d"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoKernels.force2D(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"${GeoExpr.K}.force2D($g)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StMemSize(child: Expression) extends GeoUnaryInt {
+  override def kernel: String = "memSize"
+  override def apply(g: Array[Byte]): Int = GeoKernels.memSize(g)
+  override def prettyName: String = "st_memsize"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** ST_Azimuth — north-based clockwise bearing (radians) from point a to
   * point b; null when the points coincide or inputs are not points. */
 case class StAzimuth(left: Expression, right: Expression)

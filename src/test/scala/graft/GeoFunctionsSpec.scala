@@ -1154,6 +1154,21 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1(s"select ST_LineCrossingDirection($l1, ST_GeomFromText('POINT(0 0)'))") == null)
   }
 
+  test("metadata accessors: isempty, iscollection, ndims, zmflag, hasarc, force2d, memsize") {
+    assert(sql1("select ST_IsEmpty(ST_GeomFromText('POLYGON EMPTY'))") == true)
+    assert(sql1("select ST_IsEmpty(ST_GeomFromText('POINT(0 0)'))") == false)
+    assert(sql1("select ST_IsCollection(ST_GeomFromText('MULTIPOINT(0 0)'))") == true)
+    assert(sql1("select ST_IsCollection(ST_GeomFromText('POINT(0 0)'))") == false)
+    assert(sql1("select ST_NDims(ST_GeomFromText('POINT(0 0)'))") == 2)
+    assert(sql1("select ST_Zmflag(ST_GeomFromText('POINT(0 0)'))") == 0)
+    assert(sql1("select ST_HasArc(ST_GeomFromText('LINESTRING(0 0,1 1)'))") == false)
+    // force2d re-encodes to canonical EWKB: SRID and shape survive
+    assert(sql1("select ST_AsEWKT(ST_Force2D(ST_GeomFromText('POINT(1 2)', 4326)))") ==
+      "SRID=4326;POINT(1 2)")
+    // a no-SRID point cell is tag(1) + wkb(21) bytes
+    assert(sql1("select ST_MemSize(ST_GeomFromText('POINT(1 2)'))") == 22)
+  }
+
   test("constant folding: literal geometry folds to a binary literal") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("cf_t")

@@ -1449,6 +1449,57 @@ object SparkEntry {
                          CAST(CAST(l_linenumber * 10 AS INT) AS STRING) AS ys
                   FROM lineitem))
       ORDER BY l_orderkey, l_linenumber"""),
+    // TWKB point bytes are fully determined by single-byte zigzag
+    // varints when coords sit under 64; linework/polygon roundtrips and
+    // the prec=-1 tens-rounding are exact integer arithmetic
+    "q116_twkb" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             lower(hex(ST_AsTWKB(pt))) AS twkb_hex,
+             ST_AsText(ST_GeomFromTWKB(ST_AsTWKB(ln))) AS ln_rt,
+             ST_AsText(ST_GeomFromTWKB(ST_AsTWKB(pg))) AS pg_rt,
+             ST_AsText(ST_GeomFromTWKB(ST_AsTWKB(pt, -1))) AS pt_tens,
+             length(ST_AsTWKB(pt)) AS pt_len
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_GeomFromText('POINT(' || xs || ' ' || ys || ')') AS pt,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || (xs + 3) || ' ' || (ys + 1) || ')') AS ln,
+                   ST_GeomFromText('POLYGON((' || xs || ' ' || ys || ','
+                     || (xs + 2) || ' ' || ys || ','
+                     || (xs + 2) || ' ' || (ys + 2) || ','
+                     || xs || ' ' || (ys + 2) || ','
+                     || xs || ' ' || ys || '))') AS pg
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(CAST(l_orderkey % 60 AS INT) AS STRING) AS xs,
+                         CAST(CAST(l_linenumber * 9 AS INT) AS STRING) AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
+    // a rectangle triangulates into exactly 2 triangles conserving its
+    // area; quarter-interpolation on an 8-long axis line, ordinate
+    // swaps, and GML text forms are integer string arithmetic
+    "q117_shape_tools" -> q(s"""
+      SELECT l_orderkey, l_linenumber,
+             ST_NumGeometries(ST_TriangulatePolygon(pg)) AS tri_n,
+             ST_Area(ST_TriangulatePolygon(pg)) AS tri_area,
+             ST_AsText(ST_LineInterpolatePoints(ln, 0.25)) AS interp_mp,
+             ST_AsText(ST_LineInterpolatePoints(ln, 0.25, false)) AS interp_pt,
+             ST_AsEWKT(ST_SwapOrdinates(pt4326, 'yx')) AS swapped,
+             ST_AsGML(pt) AS gml2_pt,
+             ST_AsGML(3, ln) AS gml3_ln
+      FROM (SELECT l_orderkey, l_linenumber,
+                   ST_GeomFromText('POLYGON((' || xs || ' ' || ys || ','
+                     || (xs + 4) || ' ' || ys || ','
+                     || (xs + 4) || ' ' || (ys + 5) || ','
+                     || xs || ' ' || (ys + 5) || ','
+                     || xs || ' ' || ys || '))') AS pg,
+                   ST_GeomFromText('LINESTRING(' || xs || ' ' || ys || ','
+                     || (xs + 8) || ' ' || ys || ')') AS ln,
+                   ST_GeomFromText('POINT(' || xs || ' ' || ys || ')') AS pt,
+                   ST_GeomFromText('POINT(' || xs || ' ' || ys || ')', 4326) AS pt4326
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(CAST(l_orderkey % 100 AS INT) AS STRING) AS xs,
+                         CAST(CAST(l_linenumber * 10 AS INT) AS STRING) AS ys
+                  FROM lineitem))
+      ORDER BY l_orderkey, l_linenumber"""),
     // minimum clearance of an axis-aligned w x 5 rectangle is its
     // shorter side, and the realizing line has that exact length
     "q99_min_clearance" -> q(s"""
@@ -2520,6 +2571,43 @@ object SparkEntry {
              'SRID=4326;POINT(' || CAST(xi AS VARCHAR) || ' ' || CAST(yi AS VARCHAR)
                || ')' AS f2d,
              CAST(22 AS INT) AS msz
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+    // single-byte zigzag varints under 64 make the point TWKB hex a
+    // printf; roundtrips and tens-rounding are integer string arithmetic
+    "q116_twkb" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 60 AS BIGINT) AS x,
+              CAST(l_linenumber * 9 AS BIGINT) AS y
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             '0100' || printf('%02x', 2 * x) || printf('%02x', 2 * y) AS twkb_hex,
+             'LINESTRING(' || x || ' ' || y || ',' || (x + 3) || ' ' || (y + 1)
+               || ')' AS ln_rt,
+             'POLYGON((' || x || ' ' || y || ',' || (x + 2) || ' ' || y || ','
+               || (x + 2) || ' ' || (y + 2) || ',' || x || ' ' || (y + 2) || ','
+               || x || ' ' || y || '))' AS pg_rt,
+             'POINT(' || (10 * CAST(ROUND(x / 10.0) AS BIGINT)) || ' '
+               || (10 * CAST(ROUND(y / 10.0) AS BIGINT)) || ')' AS pt_tens,
+             CAST(4 AS INT) AS pt_len
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+    // rectangle triangulation constants + integer interpolation/swap/GML
+    "q117_shape_tools" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey % 100 AS BIGINT) AS x,
+              CAST(l_linenumber * 10 AS BIGINT) AS y
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             CAST(2 AS INT) AS tri_n,
+             CAST(20 AS DOUBLE) AS tri_area,
+             'MULTIPOINT(' || (x + 2) || ' ' || y || ',' || (x + 4) || ' ' || y
+               || ',' || (x + 6) || ' ' || y || ',' || (x + 8) || ' ' || y
+               || ')' AS interp_mp,
+             'POINT(' || (x + 2) || ' ' || y || ')' AS interp_pt,
+             'SRID=4326;POINT(' || y || ' ' || x || ')' AS swapped,
+             '<gml:Point><gml:coordinates>' || x || ',' || y
+               || '</gml:coordinates></gml:Point>' AS gml2_pt,
+             '<gml:LineString><gml:posList>' || x || ' ' || y || ' ' || (x + 8)
+               || ' ' || y || '</gml:posList></gml:LineString>' AS gml3_ln
       FROM b ORDER BY l_orderkey, l_linenumber""",
     // wi crossings alternating +1/-1 from west->east: single -> 1, odd
     // -> 3 (last matches first), even -> -2; the reversed zigzag

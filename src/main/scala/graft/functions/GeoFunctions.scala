@@ -255,6 +255,23 @@ object GeoFunctions {
       arity("st_geomfromhexewkb", es, 1); StGeomFromHexEwkb(es.head) },
     "st_sharedpaths" -> { es =>
       arity("st_sharedpaths", es, 2); StSharedPaths(es.head, es(1)) },
+    "st_astwkb" -> { es =>
+      arity("st_astwkb", es, 1, 2)
+      StAsTwkb(es.head, if (es.length > 1) es(1) else Literal(0)) },
+    "st_geomfromtwkb" -> { es =>
+      arity("st_geomfromtwkb", es, 1); StGeomFromTwkb(es.head) },
+    "st_triangulatepolygon" -> { es =>
+      arity("st_triangulatepolygon", es, 1); StTriangulatePolygon(es.head) },
+    "st_lineinterpolatepoints" -> { es =>
+      arity("st_lineinterpolatepoints", es, 2, 3)
+      StLineInterpolatePoints(es.head, es(1),
+        if (es.length > 2) es(2) else Literal(true)) },
+    "st_swapordinates" -> { es =>
+      arity("st_swapordinates", es, 2); StSwapOrdinates(es.head, es(1)) },
+    "st_asgml" -> { es =>
+      arity("st_asgml", es, 1, 2)
+      // PostGIS argument order: ST_AsGML([version, ] geom); default 2
+      if (es.length == 1) StAsGml(Literal(2), es.head) else StAsGml(es.head, es(1)) },
     "st_isempty" -> { es => arity("st_isempty", es, 1); StIsEmpty(es.head) },
     "st_iscollection" -> { es =>
       arity("st_iscollection", es, 1); StIsCollection(es.head) },
@@ -467,6 +484,15 @@ object GeoFunctions {
   def st_sharedpaths(a: Column, b: Column): Column = c(StSharedPaths(x(a), x(b)))
   def st_linecrossingdirection(a: Column, b: Column): Column =
     c(StLineCrossingDirection(x(a), x(b)))
+  def st_astwkb(g: Column): Column = c(StAsTwkb(x(g), Literal(0)))
+  def st_astwkb(g: Column, prec: Column): Column = c(StAsTwkb(x(g), x(prec)))
+  def st_geomfromtwkb(b: Column): Column = c(StGeomFromTwkb(x(b)))
+  def st_triangulatepolygon(g: Column): Column = c(StTriangulatePolygon(x(g)))
+  def st_lineinterpolatepoints(g: Column, frac: Column, repeat: Column): Column =
+    c(StLineInterpolatePoints(x(g), x(frac), x(repeat)))
+  def st_swapordinates(g: Column, spec: Column): Column =
+    c(StSwapOrdinates(x(g), x(spec)))
+  def st_asgml(version: Column, g: Column): Column = c(StAsGml(x(version), x(g)))
   def st_isempty(g: Column): Column = c(StIsEmpty(x(g)))
   def st_iscollection(g: Column): Column = c(StIsCollection(x(g)))
   def st_ndims(g: Column): Column = c(StNDims(x(g)))

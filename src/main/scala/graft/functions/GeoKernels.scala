@@ -2,7 +2,7 @@ package graft.functions
 
 import graft.geo._
 import org.locationtech.jts.algorithm.Orientation
-import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryCollection, GeometryFactory, LineString, MultiLineString, MultiPoint, Point, Polygon, Polygonal}
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryCollection, GeometryFactory, LineString, MultiLineString, MultiPoint, MultiPolygon, Point, Polygon, Polygonal}
 import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 import org.locationtech.jts.geom.util.AffineTransformation
 import org.locationtech.jts.operation.buffer.BufferOp
@@ -1517,6 +1517,132 @@ object GeoKernels {
     * WKB) — the column-size planning number for THIS engine, not
     * PostGIS's in-memory serialization. */
   def memSize(tagged: Array[Byte]): Int = tagged.length
+
+  // ---- TWKB / GML interchange, triangulation, ordinate editing ---------
+
+  /** PostGIS ST_AsTWKB(geom, decimaldigits): compact delta/varint
+    * serialization ([[graft.geo.TwkbCodec]]); SRID is dropped (TWKB
+    * carries none). */
+  def asTwkb(tagged: Array[Byte], prec: Int): Array[Byte] =
+    TwkbCodec.encode(geom(tagged), prec)
+
+  /** PostGIS ST_GeomFromTWKB: SRID of the result is 0 (unknown). */
+  def geomFromTwkb(twkb: Array[Byte]): Array[Byte] = {
+    val g = TwkbCodec.decode(twkb)
+    remember(GeomCodec.encodeEwkb(g), g)
+  }
+
+  /** PostGIS ST_TriangulatePolygon: constrained Delaunay triangulation
+    * of polygonal input (holes + multipolygons honored; JTS 1.18+
+    * ConstrainedDelaunayTriangulator) as a GEOMETRYCOLLECTION of
+    * triangles. */
+  def triangulatePolygon(tagged: Array[Byte]): Array[Byte] = {
+    val g = geom(tagged)
+    val out = org.locationtech.jts.triangulate.polygon
+      .ConstrainedDelaunayTriangulator.triangulate(g)
+    encodeKeepSrid(g, out)
+  }
+
+  /** PostGIS ST_LineInterpolatePoints(line, frac, repeat): with
+    * repeat=false a single POINT (same as ST_LineInterpolatePoint);
+    * with repeat=true a MULTIPOINT at every multiple of `frac` of the
+    * line's length (k·frac for k = 1..floor(1/frac), endpoint included
+    * when frac divides 1). Null for non-LineString input. */
+  def lineInterpolatePoints(tagged: Array[Byte], frac: Double,
+      repeat: Boolean): Array[Byte] =
+    geom(tagged) match {
+      case l: LineString if !l.isEmpty =>
+        if (!repeat) return lineInterpolatePoint(tagged, frac)
+        val f = math.max(1e-9, math.min(1.0, frac))
+        val ix = new org.locationtech.jts.linearref.LengthIndexedLine(l)
+        val n = math.floor(1.0 / f + 1e-9).toInt
+        val pts = Array.tabulate(n) { k =>
+          GeomCodec.geometryFactory.createPoint(
+            ix.extractPoint(math.min((k + 1) * f, 1.0) * l.getLength))
+        }
+        encodeKeepSrid(l, GeomCodec.geometryFactory.createMultiPoint(pts))
+      case _ => null
+    }
+
+  /** PostGIS ST_SwapOrdinates(geom, 'xy'): 2-char ordinate spec over
+    * {x, y} — output x takes spec(0), output y takes spec(1); 'yx'
+    * swaps, 'xy' is identity. Z/M specs raise (2-D codec). */
+  def swapOrdinates(tagged: Array[Byte], spec: String): Array[Byte] = {
+    val s = spec.toLowerCase
+    if (s.length != 2 || s.exists(ch => ch != 'x' && ch != 'y'))
+      throw new IllegalArgumentException(
+        s"st_swapordinates: ordinate spec must be 2 chars over {x, y}, got '$spec'")
+    val g = geom(tagged)
+    val out = g.copy()
+    out.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: Coordinate): Unit = {
+        val x = c.x; val y = c.y
+        c.x = if (s.charAt(0) == 'x') x else y
+        c.y = if (s.charAt(1) == 'x') x else y
+      }
+    })
+    out.geometryChanged()
+    encodeKeepSrid(g, out)
+  }
+
+  /** PostGIS ST_AsGML(version, geom), versions 2 and 3: GML 2 uses
+    * `coordinates` ("x,y" comma pairs) and outer/innerBoundaryIs; GML 3
+    * uses `pos`/`posList` (space-separated) and exterior/interior.
+    * A nonzero SRID becomes srsName="EPSG:n" on the outermost element.
+    * 2-D output only; no srsDimension attribute (dimension is implied). */
+  def asGml(version: Int, tagged: Array[Byte]): String = {
+    if (version != 2 && version != 3)
+      throw new IllegalArgumentException(
+        s"st_asgml: version must be 2 or 3, got $version")
+    memoDerived(tagged, 21, version, 0) {
+      val root = geom(tagged)
+      val v3 = version == 3
+      def cs2(cs: Array[Coordinate]): String =
+        cs.map(c => s"${WktWriter.num(c.x)},${WktWriter.num(c.y)}").mkString(" ")
+      def cs3(cs: Array[Coordinate]): String =
+        cs.map(c => s"${WktWriter.num(c.x)} ${WktWriter.num(c.y)}").mkString(" ")
+      def srs(top: Boolean): String =
+        if (top && root.getSRID != 0) s""" srsName="EPSG:${root.getSRID}"""" else ""
+      def ring(r: LineString): String =
+        if (v3) s"<gml:LinearRing><gml:posList>${cs3(r.getCoordinates)}</gml:posList></gml:LinearRing>"
+        else s"<gml:LinearRing><gml:coordinates>${cs2(r.getCoordinates)}</gml:coordinates></gml:LinearRing>"
+      def render(g: Geometry, top: Boolean): String = g match {
+        case p: Point =>
+          if (v3) s"<gml:Point${srs(top)}><gml:pos>${cs3(p.getCoordinates)}</gml:pos></gml:Point>"
+          else s"<gml:Point${srs(top)}><gml:coordinates>${cs2(p.getCoordinates)}</gml:coordinates></gml:Point>"
+        case l: LineString =>
+          if (v3) s"<gml:LineString${srs(top)}><gml:posList>${cs3(l.getCoordinates)}</gml:posList></gml:LineString>"
+          else s"<gml:LineString${srs(top)}><gml:coordinates>${cs2(l.getCoordinates)}</gml:coordinates></gml:LineString>"
+        case p: Polygon =>
+          val shell =
+            if (v3) s"<gml:exterior>${ring(p.getExteriorRing)}</gml:exterior>"
+            else s"<gml:outerBoundaryIs>${ring(p.getExteriorRing)}</gml:outerBoundaryIs>"
+          val holes = (0 until p.getNumInteriorRing).map(i =>
+            if (v3) s"<gml:interior>${ring(p.getInteriorRingN(i))}</gml:interior>"
+            else s"<gml:innerBoundaryIs>${ring(p.getInteriorRingN(i))}</gml:innerBoundaryIs>").mkString
+          s"<gml:Polygon${srs(top)}>$shell$holes</gml:Polygon>"
+        case mp: MultiPoint =>
+          s"<gml:MultiPoint${srs(top)}>" + (0 until mp.getNumGeometries).map(i =>
+            s"<gml:pointMember>${render(mp.getGeometryN(i), top = false)}</gml:pointMember>").mkString +
+            "</gml:MultiPoint>"
+        case ml: MultiLineString =>
+          s"<gml:MultiLineString${srs(top)}>" + (0 until ml.getNumGeometries).map(i =>
+            s"<gml:lineStringMember>${render(ml.getGeometryN(i), top = false)}</gml:lineStringMember>").mkString +
+            "</gml:MultiLineString>"
+        case mp: MultiPolygon =>
+          s"<gml:MultiPolygon${srs(top)}>" + (0 until mp.getNumGeometries).map(i =>
+            s"<gml:polygonMember>${render(mp.getGeometryN(i), top = false)}</gml:polygonMember>").mkString +
+            "</gml:MultiPolygon>"
+        case gc: GeometryCollection =>
+          s"<gml:MultiGeometry${srs(top)}>" + (0 until gc.getNumGeometries).map(i =>
+            s"<gml:geometryMember>${render(gc.getGeometryN(i), top = false)}</gml:geometryMember>").mkString +
+            "</gml:MultiGeometry>"
+        case other => throw new IllegalArgumentException(
+          s"st_asgml: unsupported geometry ${other.getGeometryType}")
+      }
+      render(root, top = true)
+    }
+  }
 
   /** Vertex order reversed, every component (PostGIS ST_Reverse). */
   def reverse(tagged: Array[Byte]): Array[Byte] = {

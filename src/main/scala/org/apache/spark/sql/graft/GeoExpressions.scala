@@ -1160,6 +1160,84 @@ case class StMemSize(child: Expression) extends GeoUnaryInt {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** ST_AsTWKB(geom, decimaldigits) — compact delta/varint interchange. */
+case class StAsTwkb(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_astwkb"
+  override protected def nullSafeEval(g: Any, p: Any): Any =
+    GeoKernels.asTwkb(g.asInstanceOf[Array[Byte]], p.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, p) => s"${GeoExpr.K}.asTwkb($g, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_GeomFromTWKB(bytes) — parse TWKB (SRID 0). */
+case class StGeomFromTwkb(child: Expression) extends GeoUnaryGeom {
+  override def kernel: String = "geomFromTwkb"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.geomFromTwkb(g)
+  override def prettyName: String = "st_geomfromtwkb"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_TriangulatePolygon — constrained Delaunay triangle collection. */
+case class StTriangulatePolygon(child: Expression) extends GeoUnaryGeom {
+  override def kernel: String = "triangulatePolygon"
+  override def apply(g: Array[Byte]): Array[Byte] = GeoKernels.triangulatePolygon(g)
+  override def prettyName: String = "st_triangulatepolygon"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** ST_LineInterpolatePoints(line, frac, repeat) — POINT or MULTIPOINT
+  * at every multiple of frac; null for non-lines. */
+case class StLineInterpolatePoints(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, DoubleType, BooleanType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_lineinterpolatepoints"
+  override protected def nullSafeEval(g: Any, f: Any, r: Any): Any =
+    GeoKernels.lineInterpolatePoints(g.asInstanceOf[Array[Byte]],
+      f.asInstanceOf[Double], r.asInstanceOf[Boolean])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, f, r) => s"""
+      ${ev.value} = ${GeoExpr.K}.lineInterpolatePoints($g, $f, $r);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** ST_SwapOrdinates(geom, spec) — remap x/y by a 2-char spec. */
+case class StSwapOrdinates(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_swapordinates"
+  override protected def nullSafeEval(g: Any, s: Any): Any =
+    GeoKernels.swapOrdinates(g.asInstanceOf[Array[Byte]], s.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, s) => s"${GeoExpr.K}.swapOrdinates($g, $s.toString())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** ST_AsGML(version, geom) — GML 2/3 fragment. */
+case class StAsGml(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(IntegerType, BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_asgml"
+  override protected def nullSafeEval(v: Any, g: Any): Any =
+    UTF8String.fromString(
+      GeoKernels.asGml(v.asInstanceOf[Int], g.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, g) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(${GeoExpr.K}.asGml($v, $g))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** ST_Azimuth — north-based clockwise bearing (radians) from point a to
   * point b; null when the points coincide or inputs are not points. */
 case class StAzimuth(left: Expression, right: Expression)

@@ -1169,6 +1169,75 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("select ST_MemSize(ST_GeomFromText('POINT(1 2)'))") == 22)
   }
 
+  test("twkb: spec example bytes, roundtrips, precision, empties") {
+    // the TWKB spec's own first example: POINT(1 2) at precision 0
+    assert(sql1("select lower(hex(ST_AsTWKB(ST_GeomFromText('POINT(1 2)'))))") ==
+      "01000204")
+    assert(sql1("select ST_AsText(ST_GeomFromTWKB(ST_AsTWKB(" +
+      "ST_GeomFromText('LINESTRING(0 0,3 1,7 -2)'))))") ==
+      "LINESTRING(0 0,3 1,7 -2)")
+    assert(sql1("select ST_AsText(ST_GeomFromTWKB(ST_AsTWKB(ST_GeomFromText(" +
+      "'POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))'))))") ==
+      "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))")
+    assert(sql1("select ST_AsText(ST_GeomFromTWKB(ST_AsTWKB(ST_GeomFromText(" +
+      "'GEOMETRYCOLLECTION(POINT(5 5),MULTILINESTRING((0 0,1 1),(2 2,3 3)))'))))") ==
+      "GEOMETRYCOLLECTION(POINT(5 5),MULTILINESTRING((0 0,1 1),(2 2,3 3)))")
+    // precision quantizes: 1 decimal digit kept, -1 rounds to tens
+    assert(sql1("select ST_AsText(ST_GeomFromTWKB(ST_AsTWKB(" +
+      "ST_GeomFromText('POINT(1.234 5.678)'), 1)))") == "POINT(1.2 5.7)")
+    assert(sql1("select ST_AsText(ST_GeomFromTWKB(ST_AsTWKB(" +
+      "ST_GeomFromText('POINT(1.234 5.678)'), -1)))") == "POINT(0 10)")
+    assert(sql1("select ST_AsText(ST_GeomFromTWKB(ST_AsTWKB(" +
+      "ST_GeomFromText('POLYGON EMPTY'))))") == "POLYGON EMPTY")
+    // TWKB carries no SRID: dropped on write, unknown on read (this
+    // engine's ST_SRID reports unknown as null)
+    assert(sql1("select ST_SRID(ST_GeomFromTWKB(ST_AsTWKB(" +
+      "ST_GeomFromText('POINT(1 2)', 4326))))") == null)
+  }
+
+  test("triangulatepolygon: square splits into 2 triangles covering it") {
+    assert(sql1("select ST_NumGeometries(ST_TriangulatePolygon(" +
+      "ST_GeomFromText('POLYGON((0 0,2 0,2 2,0 2,0 0))')))") == 2)
+    assert(sql1("select ST_Area(ST_TriangulatePolygon(" +
+      "ST_GeomFromText('POLYGON((0 0,2 0,2 2,0 2,0 0))')))") == 4.0)
+  }
+
+  test("lineinterpolatepoints: repeat multipoint, single-point form, non-line null") {
+    assert(sql1("select ST_AsText(ST_LineInterpolatePoints(" +
+      "ST_GeomFromText('LINESTRING(0 0,8 0)'), 0.25))") ==
+      "MULTIPOINT(2 0,4 0,6 0,8 0)")
+    assert(sql1("select ST_AsText(ST_LineInterpolatePoints(" +
+      "ST_GeomFromText('LINESTRING(0 0,8 0)'), 0.25, false))") == "POINT(2 0)")
+    assert(sql1("select ST_LineInterpolatePoints(" +
+      "ST_GeomFromText('POINT(0 0)'), 0.25)") == null)
+  }
+
+  test("swapordinates: yx swaps, xy is identity, bad spec raises") {
+    assert(sql1("select ST_AsText(ST_SwapOrdinates(" +
+      "ST_GeomFromText('LINESTRING(1 2,3 4)'), 'yx'))") == "LINESTRING(2 1,4 3)")
+    assert(sql1("select ST_AsEWKT(ST_SwapOrdinates(" +
+      "ST_GeomFromText('POINT(1 2)', 4326), 'xy'))") == "SRID=4326;POINT(1 2)")
+    intercept[Exception] { sql1("select ST_SwapOrdinates(" +
+      "ST_GeomFromText('POINT(1 2)'), 'xz')") }
+  }
+
+  test("asgml: gml2 default / explicit, gml3 pos forms, srsName") {
+    assert(sql1("select ST_AsGML(ST_GeomFromText('POINT(1 2)'))") ==
+      "<gml:Point><gml:coordinates>1,2</gml:coordinates></gml:Point>")
+    assert(sql1("select ST_AsGML(3, ST_GeomFromText('POINT(1 2)', 4326))") ==
+      """<gml:Point srsName="EPSG:4326"><gml:pos>1 2</gml:pos></gml:Point>""")
+    assert(sql1("select ST_AsGML(3, ST_GeomFromText('LINESTRING(0 0,1 1)'))") ==
+      "<gml:LineString><gml:posList>0 0 1 1</gml:posList></gml:LineString>")
+    assert(sql1("select ST_AsGML(2, ST_GeomFromText('POLYGON((0 0,1 0,1 1,0 0))'))") ==
+      "<gml:Polygon><gml:outerBoundaryIs><gml:LinearRing><gml:coordinates>" +
+      "0,0 1,0 1,1 0,0</gml:coordinates></gml:LinearRing></gml:outerBoundaryIs></gml:Polygon>")
+    assert(sql1("select ST_AsGML(3, ST_GeomFromText('MULTIPOINT(1 1,2 2)'))") ==
+      "<gml:MultiPoint><gml:pointMember><gml:Point><gml:pos>1 1</gml:pos></gml:Point>" +
+      "</gml:pointMember><gml:pointMember><gml:Point><gml:pos>2 2</gml:pos></gml:Point>" +
+      "</gml:pointMember></gml:MultiPoint>")
+    intercept[Exception] { sql1("select ST_AsGML(4, ST_GeomFromText('POINT(1 2)'))") }
+  }
+
   test("constant folding: literal geometry folds to a binary literal") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("cf_t")

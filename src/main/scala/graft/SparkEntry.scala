@@ -870,6 +870,15 @@ object SparkEntry {
         .tfidfTopTerms(spark.table("documents"), "doc_id", "text", 3)
         .orderBy("doc_id", "rnk")
     }),
+    // corpus-trained bigram LM cross-entropy (CCNet-style quality
+    // signal); per-term 6dp rounding before the sum makes the result a
+    // multiple of 1e-6 on both engines (operator scaladoc)
+    "q118_bigram_lm" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.TextAnalysis
+        .bigramCrossEntropy(spark.table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // k-means assignment with DETERMINISTIC centroids (the 8 lowest-id
     // vectors): the kernel's argmax-by-cosine must agree with the
     // oracle's rank-over-cosine because both accumulate in double,
@@ -3163,6 +3172,18 @@ object SparkEntry {
       SELECT DISTINCT doc, fp FROM wmin
       WHERE i <= greatest(n - 3, 0)
       ORDER BY doc, fp""",
+    // same bigram enumeration as q52's oracle; same per-term 6dp
+    // rounding before the per-doc sum
+    "q118_bigram_lm" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           p AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+                 FROM t, unnest(generate_series(1, len(l) - 1)) AS u(i)),
+           bc AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY w1, w2),
+           hc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS bigrams,
+             round(sum(round(-ln(CAST(c12 AS DOUBLE) / c1), 6)), 6) AS xent_sum
+      FROM p JOIN bc USING (w1, w2) JOIN hc USING (w1)
+      GROUP BY doc_id ORDER BY doc_id""",
     // batch replay of the stream-stream interval join: same per-user
     // [lts, lts + 30 min] self-join over micro-truncated timestamps
     "q76_stream_interval_join" -> """

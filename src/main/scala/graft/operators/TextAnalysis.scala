@@ -132,6 +132,50 @@ object TextAnalysis {
         col("dfreq"), col("score"))
   }
 
+  /** Corpus-trained bigram language-model cross-entropy — the CCNet-style
+    * statistical quality signal: documents whose token transitions are
+    * improbable UNDER THE CORPUS'S OWN bigram distribution (boilerplate,
+    * gibberish, wrong-language fragments) score high and can be
+    * percentile-filtered, without any external model artifact.
+    *
+    * Model: p(w2|w1) = c(w1,w2) / c(w1·) over all corpus bigrams (no
+    * smoothing needed — every scored bigram exists in the model it was
+    * counted into). Per document the operator emits `bigrams` (count)
+    * and `xent_sum` = Σ round(-ln p, 6): consumers divide for the mean
+    * cross-entropy in nats. Each -ln term is rounded to 6dp BEFORE
+    * summing so the sum is a multiple of 1e-6 — maximally far from
+    * rounding boundaries, which makes the result reproducible across
+    * engines and partitionings (double summation noise ~1e-13 against a
+    * 5e-7 margin); a raw avg() of unrounded logs would be neither.
+    * Documents with fewer than 2 tokens produce no bigrams and drop out.
+    *
+    * Scale design (100 TB): two hash-aggregates build the model (bigram
+    * counts, then head-token totals — both shuffle on token keys) and
+    * one token-keyed shuffle join scores the corpus. The vocabulary is
+    * never broadcast or collected — unbounded vocabularies cannot OOM
+    * anything — and the final per-doc aggregate is one more hash-agg.
+    * Hot head-tokens (stopwords) are bounded by AQE skew splitting on
+    * the score join. */
+  def bigramCrossEntropy(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    val pairs = toks
+      .select(col("id"),
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))).as("a"),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))).as("b"))
+      .select(col("id"), explode(arrays_zip(col("a"), col("b"))).as("bg"))
+      .select(col("id"), col("bg.a").as("w1"), col("bg.b").as("w2"))
+    val bgCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val headTotals = bgCounts.groupBy("w1").agg(sum("c12").as("c1"))
+    val model = bgCounts.join(headTotals, "w1")
+    pairs.join(model, Seq("w1", "w2"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("bigrams"),
+        round(sum(round(-log(col("c12").cast("double") / col("c1"))
+          , 6)), 6).as("xent_sum"))
+      .select(col("id").as(idCol), col("bigrams"), col("xent_sum"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
     * '03 — the MOSS algorithm): hash every `k`-token gram, then keep the
     * minimum hash of each sliding window of `w` consecutive gram

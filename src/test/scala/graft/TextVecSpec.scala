@@ -531,6 +531,29 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3) == ((3L, "", 0, 2)))
   }
 
+  test("bigramCrossEntropy: corpus-model probabilities, short docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b"),   // bigram (a,b): c12=1 of c1(a)=2 -> -ln(1/2)
+      (1L, "a c"),   // bigram (a,c): same
+      (2L, "x")      // single token: no bigrams, drops out
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .bigramCrossEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 2)
+    assert(got(0) == ((0L, 1L, 0.693147)))
+    assert(got(1) == ((1L, 1L, 0.693147)))
+    // a doc made of the corpus's only repeated transition scores 0
+    val certain = Seq((0L, "p q"), (1L, "p q"), (2L, "p q p q")).toDF("doc_id", "text")
+    val s = graft.operators.TextAnalysis
+      .bigramCrossEntropy(certain, "doc_id", "text")
+      .where("doc_id = 0").collect()(0)
+    // (p,q) is 4 of 4 transitions from p: -ln(1) = 0 exactly
+    assert(s.getDouble(2) == 0.0)
+  }
+
   test("vec_normalize / vec_truncate: unit L2 and matryoshka prefixes") {
     graft.functions.GeoFunctions.register(spark)
     // 3-4 vector: norm 5, normalized (0.6, 0.8)

@@ -898,6 +898,17 @@ object SparkEntry {
             .as("cos"))
         .orderBy("vec_id")
     }),
+    // SemDeDup: q75's deterministic centroids (8 lowest vec_ids), then
+    // within-cluster cosine>=0.30 keep-lowest-id (q29's threshold
+    // precedent for exact cross-engine cosine comparison)
+    "q119_semantic_dedup" -> ((spark, dir) => {
+      prep(spark, dir)
+      val emb = spark.table("embeddings")
+      val cents = emb.orderBy("vec_id").limit(8)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      graft.operators.Ann.semanticDedup(emb, cents, 0.30)
+        .select("vec_id", "cluster").orderBy("vec_id")
+    }),
     // single-linkage spatial clustering over DISTINCT grid points with
     // dist=1.2: only x-neighbors 1 apart link (y rows are 10 apart), so
     // clusters are maximal runs of consecutive x per y — the classic
@@ -2439,6 +2450,27 @@ object SparkEntry {
                    PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rk FROM s)
       SELECT vec_id, cluster, round(cos, 6) AS cos
       FROM r WHERE rk = 1 ORDER BY vec_id""",
+    // q75's centroid/assignment CTE, then the SemDeDup within-cluster
+    // pair scan and keep-lowest-id anti-join
+    "q119_semantic_dedup" -> """
+      WITH c AS (SELECT embedding::DOUBLE[] AS cv,
+                        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+                 FROM embeddings ORDER BY vec_id LIMIT 8),
+           s AS (SELECT e.vec_id, c.cluster,
+                        list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cos
+                 FROM embeddings e CROSS JOIN c),
+           a AS (SELECT vec_id, cluster FROM (
+                   SELECT vec_id, cluster, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rk FROM s)
+                 WHERE rk = 1),
+           d AS (SELECT DISTINCT y.vec_id AS dropid
+                 FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                 JOIN embeddings ex ON ex.vec_id = x.vec_id
+                 JOIN embeddings ey ON ey.vec_id = y.vec_id
+                 WHERE list_cosine_similarity(ex.embedding::DOUBLE[],
+                         ey.embedding::DOUBLE[]) >= 0.30)
+      SELECT a.vec_id, a.cluster FROM a LEFT JOIN d ON a.vec_id = d.dropid
+      WHERE d.dropid IS NULL ORDER BY a.vec_id""",
     // mbc radius = sqrt(w^2+25)/2 (exact-input sqrt, correctly rounded in
     // both engines); oriented envelope of an axis-aligned rect keeps its
     // area; union/merge/extract replay as arithmetic and string concat

@@ -309,6 +309,35 @@ object Ann {
       .select("ida", "idb", "cos")
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
+    * clustering the embedding space and removing, within each cluster,
+    * every vector whose cosine similarity to a LOWER-ID cluster-mate
+    * reaches `threshold` (keep-lowest-id, transitively safe because the
+    * lowest id of any duplicate group survives every pair test).
+    *
+    * Scale design (100 TB): assignment is the map-only
+    * [[kmeansAssign]] (centroids ride as a folded literal); the duplicate
+    * scan is a self-join keyed by CLUSTER, so the pairwise cost is m² per
+    * cluster, never n² — pick k so the expected cluster size fits the
+    * budget (SemDeDup's own recipe: k ~ n/1000..n/10000), and AQE's
+    * skew-join split bounds a hot cluster's task. The anti-join back is
+    * id-keyed. Returns the KEPT rows of `corpus` with their assignments.
+    */
+  def semanticDedup(corpus: DataFrame, cents: Array[Array[Float]],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = kmeansAssign(corpus, cents, idCol, vecCol)
+    val slim = assigned.select(col("cluster").as("__cl"), col(idCol).as("__id"),
+      col(vecCol).as("__v"))
+    val dropped = slim.as("a")
+      .join(slim.select(col("__cl"), col("__id").as("__idb"), col("__v").as("__vb")).as("b"),
+        Seq("__cl"))
+      .where(col("__id") < col("__idb") &&
+        vec_cosine(col("__v"), col("__vb")) >= threshold)
+      .select(col("__idb").as("__dropid")).distinct()
+    assigned.join(dropped, assigned(idCol) === dropped("__dropid"), "left_anti")
+  }
+
   /** Recall of an approximate result against the exact one: fraction of
     * (qid, nid) pairs recovered. Both inputs shaped (qid, nid, rnk). */
   def recall(approx: DataFrame, exact: DataFrame): Double = {

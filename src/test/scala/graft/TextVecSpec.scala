@@ -531,6 +531,22 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3) == ((3L, "", 0, 2)))
   }
 
+  test("semanticDedup: within-cluster near-dups drop, lowest id survives") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.0f, 0.0f)),   // exact dup of 0 -> dropped
+      (3L, Seq(0.1f, 0.9f))    // cos to 1 = 0.9939 -> dropped at 0.95
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val kept = graft.operators.Ann.semanticDedup(emb, cents, 0.95)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(kept.toSeq == Seq((0L, 0), (1L, 1)))
+    // at an unreachable threshold nothing drops
+    assert(graft.operators.Ann.semanticDedup(emb, cents, 1.5).count() == 4)
+  }
+
   test("bigramCrossEntropy: corpus-model probabilities, short docs drop") {
     import spark.implicits._
     val docs = Seq(

@@ -2713,8 +2713,8 @@ object SparkEntry {
                / 360 * (wi / 100.0), 2) AS ds_m,
              true AS sp_ratio_ok,
              true AS sp_sym,
-             CAST(wi AS VARCHAR) || '°15''0"N ' || CAST(xi AS VARCHAR)
-               || '°30''0"E' AS llt,
+             CAST(wi AS VARCHAR) || '°15''0.000"N ' || CAST(xi AS VARCHAR)
+               || '°30''0.000"E' AS llt,
              true AS oeq_t,
              false AS oeq_f,
              true AS pic_t,

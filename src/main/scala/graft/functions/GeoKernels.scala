@@ -842,8 +842,11 @@ object GeoKernels {
     val i1 = Math.floor(env.getMaxX / size).toInt
     val j0 = Math.floor(env.getMinY / size).toInt
     val j1 = Math.floor(env.getMaxY / size).toInt
-    val n = (i1 - i0 + 1).toLong * (j1 - j0 + 1).toLong
-    require(n <= MaxGridCells,
+    // Long arithmetic end-to-end: with huge bounds / tiny cells the Int
+    // subtraction itself overflows (indices saturate at ±2^31) and a
+    // negative n would bypass the cap only to blow up at allocation
+    val n = (i1.toLong - i0.toLong + 1L) * (j1.toLong - j0.toLong + 1L)
+    require(n > 0 && n <= MaxGridCells,
       s"st_squaregrid: $n cells exceeds the $MaxGridCells per-row cap; tile from a range() DataFrame instead")
     val out = new Array[Any](n.toInt)
     var k = 0
@@ -874,8 +877,9 @@ object GeoKernels {
     val i1 = Math.ceil((env.getMaxX + size) / (1.5 * size)).toInt
     val j0 = Math.floor((env.getMinY - h) / h).toInt
     val j1 = Math.ceil((env.getMaxY + h) / h).toInt
-    val n = (i1 - i0 + 1).toLong * (j1 - j0 + 1).toLong
-    require(n <= MaxGridCells,
+    // same Long-overflow discipline as squareGrid
+    val n = (i1.toLong - i0.toLong + 1L) * (j1.toLong - j0.toLong + 1L)
+    require(n > 0 && n <= MaxGridCells,
       s"st_hexagongrid: $n candidate cells exceeds the $MaxGridCells per-row cap; tile from a range() DataFrame instead")
     val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
     var i = i0
@@ -1336,12 +1340,16 @@ object GeoKernels {
   private final val MeanEarthRadius =
     (2.0 * 6378137.0 + 6356752.314245179) / 3.0
 
-  /** PostGIS ST_DistanceSphere: great-circle distance in meters between
-    * the 2-D centroids-as-lon/lat, haversine on the WGS84 mean-radius
-    * sphere. Null for empty input. */
+  /** PostGIS ST_DistanceSphere restricted to POINT inputs: great-circle
+    * distance in meters, haversine on the WGS84 mean-radius sphere.
+    * Null for empty or non-point input — PostGIS 3.x computes the
+    * MINIMUM spherical distance for lines/polygons, and silently
+    * substituting centroid distance would be wrong, so the non-point
+    * case is rejected instead (documented deviation, IMPLEMENTATION.md). */
   def distanceSphere(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
     val ga = geom(a); val gb = geom(b)
     if (ga.isEmpty || gb.isEmpty) return null
+    if (!ga.isInstanceOf[Point] || !gb.isInstanceOf[Point]) return null
     val ca = ga.getCentroid.getCoordinate
     val cb = gb.getCentroid.getCoordinate
     val f1 = Math.toRadians(ca.y); val f2 = Math.toRadians(cb.y)
@@ -1353,12 +1361,16 @@ object GeoKernels {
       2.0 * MeanEarthRadius * Math.asin(Math.min(1.0, Math.sqrt(h))))
   }
 
-  /** PostGIS ST_DistanceSpheroid on WGS84 — Vincenty inverse formula
-    * (converges for non-antipodal pairs; falls back to the spherical
-    * value if 200 iterations don't converge). Null for empty input. */
+  /** PostGIS ST_DistanceSpheroid on WGS84, restricted to POINT inputs —
+    * Vincenty inverse formula (converges for non-antipodal pairs; falls
+    * back to the spherical value if 200 iterations don't converge).
+    * Null for empty or non-point input (same deviation rationale as
+    * [[distanceSphere]]: PostGIS min-distance semantics for extended
+    * geometries are rejected rather than approximated). */
   def distanceSpheroid(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
     val ga = geom(a); val gb = geom(b)
     if (ga.isEmpty || gb.isEmpty) return null
+    if (!ga.isInstanceOf[Point] || !gb.isInstanceOf[Point]) return null
     val ca = ga.getCentroid.getCoordinate
     val cb = gb.getCentroid.getCoordinate
     val A = 6378137.0; val B = 6356752.314245179; val F = (A - B) / A
@@ -1417,7 +1429,10 @@ object GeoKernels {
         var s = Math.rint((av - d - m / 60.0) * 3600 * 1000) / 1000
         if (s >= 60.0) { s -= 60.0; m += 1 }
         if (m >= 60) { m -= 60; d += 1 }
-        val sStr = if (s == Math.rint(s)) s.toInt.toString else s.toString
+        // PostGIS's default D°M'S.SSS"C pads seconds to exactly 3
+        // decimals (0.000), so format fixed-width rather than trimming
+        val sStr = String.format(java.util.Locale.ROOT, "%.3f",
+          java.lang.Double.valueOf(s))
         s"$d°$m'$sStr\"$hemi"
       }
       s"${dms(p.getY, 'N', 'S')} ${dms(p.getX, 'E', 'W')}"

@@ -229,6 +229,35 @@ object Ann {
     corpus.select(col(idCol), col(vecCol),
       vec_nearest_centroid(col(vecCol), centroidsLit(cents)).as("cluster"))
 
+  /** Map-only cluster assignment for LARGE k: the centroids arrive as a
+    * DataFrame of (cluster ∈ [0,k) contiguous, cv array<float>) and ride
+    * to the executors as ONE broadcast row packing the k vectors in
+    * cluster order — same exact argmax-by-cosine kernel, bit-identical
+    * to [[kmeansAssign]], but the centroid payload moves over the
+    * torrent broadcast instead of being folded into the serialized task
+    * binary. A folded literal re-ships k·dim floats inside EVERY task's
+    * plan (the SemDeDup recipe k ~ n/1000 puts that at ~256 MB per task
+    * for a billion-vector corpus); the broadcast ships once per executor
+    * and is shared — practical k moves from ~10⁴ to broadcast-bounded
+    * ~10⁶·dim. Per-row cost is still the exact k·dim scan: beyond that,
+    * pre-partition by a coarse quantizer ([[buildIvf]] + per-list
+    * assignment) instead of one flat argmax.
+    *
+    * Contract: `cluster` values must be exactly 0..k-1 (the kernel
+    * returns the ARRAY INDEX of the best centroid). */
+  def kmeansAssignBcast(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "cluster", cvCol: String = "cv"): DataFrame = {
+    val packed = centroids.agg(
+      transform(
+        array_sort(collect_list(struct(col(clusterCol).cast("int").as("i"),
+          col(cvCol).as("v")))),
+        s => s.getField("v")).as("__cents"))
+    corpus.crossJoin(broadcast(packed))
+      .select(col(idCol), col(vecCol),
+        vec_nearest_centroid(col(vecCol), col("__cents")).as("cluster"))
+  }
+
   /** One distributed Lloyd refinement over the FULL corpus (unlike
     * [[trainCentroids]]'s bounded-sample training): assign map-only, then
     * per-(cluster, dimension) mean via posexplode + hash aggregate — the
@@ -264,12 +293,20 @@ object Ann {
     * up to that floating-point tolerance, not guaranteed bit-equal. */
   def kmeans(corpus: DataFrame, k: Int, iters: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    var cents = corpus.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(cents.length == k, s"corpus has ${cents.length} rows < k=$k")
-    for (_ <- 0 until iters) cents = kmeansLloydStep(corpus, cents, vecCol)
-    kmeansAssign(corpus, cents, idCol, vecCol)
+    // cached: seeding + every Lloyd step re-reads (id, vec); without the
+    // persist each of the iters+1 passes replays corpus's full upstream
+    // lineage. Unpersisted (non-blocking) before returning — the final
+    // lazy assignment recomputes the projection once, the repeated
+    // driver-materialized passes above all hit the cache.
+    val work = corpus.select(col(idCol), col(vecCol)).cache()
+    try {
+      var cents = work.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(cents.length == k, s"corpus has ${cents.length} rows < k=$k")
+      for (_ <- 0 until iters) cents = kmeansLloydStep(work, cents, vecCol)
+      kmeansAssign(corpus, cents, idCol, vecCol)
+    } finally work.unpersist(false)
   }
 
   /** Embedding near-duplicate pairs at scale: corpus rows are bucketed by

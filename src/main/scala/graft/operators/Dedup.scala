@@ -388,39 +388,55 @@ object Dedup {
     * `sep` (a regex), keep each distinct paragraph only at its FIRST
     * corpus occurrence — smallest (id, position) — and re-assemble each
     * document from its surviving paragraphs in their original order.
-    * Empty paragraphs are dropped. Returns
+    * Empty paragraphs are dropped. Returns ONE row per input document:
     * (idCol, textCol deduped, n_kept int, n_dropped int); documents
-    * whose every paragraph was seen earlier come back with empty text.
+    * whose every paragraph was seen earlier — and documents with no
+    * non-empty paragraph at all — come back with empty text and the
+    * matching (possibly 0/0) counters, so reassembling a corpus never
+    * loses rows.
     *
-    * Scale (100 TB): posexplode is map-only; electing the keeper is ONE
-    * shuffle keyed by paragraph text (window row_number ordered by
-    * (id, pos)); reassembly is one groupBy(id). No driver state, no
-    * collect. A pathological constant paragraph concentrates its window
-    * partition in one task, but the sort is spillable and only rank 1
-    * survives — cost is task time, not memory. For corpora where
-    * paragraph text is long, substitute the hash: the window key can be
-    * xxhash64(para) at the price of ignoring 64-bit collisions. */
+    * Scale (100 TB): paragraph TEXT never enters the election shuffle.
+    * The election aggregates min(id, pos) per `xxhash64(para)` — the
+    * shuffled payload is (hash, id, pos), three numbers per paragraph —
+    * and the surviving position-sets (tiny int arrays) join back to the
+    * ORIGINAL document rows, where a codegen'd array filter re-assembles
+    * the text in place. So the corpus text moves at most once (the
+    * id-keyed join, broadcast away entirely when the keep-set fits), a
+    * constant hot paragraph costs one hash-agg cell instead of a
+    * text-keyed window partition, and no driver state exists anywhere.
+    * The price is trusting 64-bit xxhash64: a collision merges two
+    * distinct paragraphs (~n²/2⁶⁵). Pass `byText = true` to elect on
+    * the exact text instead (shuffles paragraph text once, keyed by it).
+    */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("para").orderBy("id", "pos")
+      sep: String = "\n", byText: Boolean = false): DataFrame = {
+    val paras = split(col(textCol), sep)
     val parts = df
       .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
+        posexplode(paras).as(Seq("pos", "para")))
       .where(length(col("para")) > 0)
-    val ranked = parts.withColumn("rk", row_number().over(w))
-    // literal separator for reassembly: regex metachars in `sep` would
-    // corrupt the join; the common "\n" / "\n\n" separators are safe
-    ranked.groupBy("id")
-      .agg(
-        concat_ws(sep,
-          transform(
-            array_sort(collect_list(when(col("rk") === 1,
-              struct(col("pos"), col("para"))))),
-            s => s.getField("para"))).as("text"),
-        sum(when(col("rk") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
-        sum(when(col("rk") =!= 1, 1).otherwise(0)).cast("int").as("n_dropped"))
-      .select(col("id").as(idCol), col("text").as(textCol),
-        col("n_kept"), col("n_dropped"))
+    val key = if (byText) col("para") else xxhash64(col("para"))
+    // first corpus occurrence of each distinct paragraph: min over the
+    // (id, pos) struct — lexicographic, so smallest id then position
+    val winners = parts.select(key.as("__k"), struct(col("id"), col("pos")).as("__o"))
+      .groupBy("__k").agg(min(col("__o")).as("__w"))
+      .select(col("__w.id").as("id"), col("__w.pos").as("pos"))
+    val keepSets = winners.groupBy("id")
+      .agg(sort_array(collect_list(col("pos"))).as("__kps"))
+    // reassembly in place on the ORIGINAL row: index the split, keep the
+    // positions that won their paragraph's election, re-join with the
+    // LITERAL separator (regex metachars in `sep` would corrupt it; the
+    // common "\n" / "\n\n" separators are safe)
+    val reparas = split(col("__t"), sep)
+    val indexed = transform(reparas, (x, i) => struct(i.as("pos"), x.as("para")))
+    val kept = filter(indexed, p => array_contains(col("__kps"), p.getField("pos")))
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(keepSets, Seq("id"), "left")
+      .withColumn("__kps", coalesce(col("__kps"), array().cast("array<int>")))
+      .select(col("id").as(idCol),
+        concat_ws(sep, transform(kept, p => p.getField("para"))).as(textCol),
+        size(col("__kps")).cast("int").as("n_kept"),
+        (size(filter(reparas, x => length(x) > 0)) - size(col("__kps")))
+          .cast("int").as("n_dropped"))
   }
 }

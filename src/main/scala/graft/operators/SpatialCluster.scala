@@ -157,22 +157,40 @@ object SpatialCluster {
       iters: Int = 5): DataFrame = {
     require(k > 0, "k must be positive")
     GeoFunctions.register(df.sparkSession)
+    // cached: seeding + `iters` Lloyd averages + the final assignment all
+    // re-read these projected points; without the persist each pass would
+    // replay df's full upstream lineage (scan, joins, geometry decode)
     val pts = df.select(col(idCol).as("id"),
       GeoFunctions.st_x(GeoFunctions.st_centroid(col(geomCol))).as("__x"),
       GeoFunctions.st_y(GeoFunctions.st_centroid(col(geomCol))).as("__y"))
-    var cents: Array[(Double, Double)] = pts.orderBy("id").limit(k)
-      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
-    require(cents.length == k, s"input has ${cents.length} rows < k=$k")
-    def assigned = pts.withColumn("cluster",
-      nearestCenter(col("__x"), col("__y"), cents))
-    for (_ <- 0 until iters) {
-      val m = assigned.groupBy("cluster")
-        .agg(avg("__x").as("cx"), avg("__y").as("cy"))
-        .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
-        .toMap
-      cents = cents.indices.map(i => m.getOrElse(i, cents(i))).toArray
+      .cache()
+    try {
+      // fail fast on null/empty geometries (null centroid coordinates) —
+      // they would NPE during seeding and silently produce null clusters
+      // in the assignment pass, mirroring nothing PostGIS does
+      val bad = pts.where(col("__x").isNull || col("__y").isNull)
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"clusterKMeans: input has null/empty geometries (e.g. id=${if (bad.nonEmpty) bad(0).get(0) else ""}); filter them out first")
+      var cents: Array[(Double, Double)] = pts.orderBy("id").limit(k)
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      require(cents.length == k, s"input has ${cents.length} rows < k=$k")
+      def assigned = pts.withColumn("cluster",
+        nearestCenter(col("__x"), col("__y"), cents))
+      for (_ <- 0 until iters) {
+        val m = assigned.groupBy("cluster")
+          .agg(avg("__x").as("cx"), avg("__y").as("cy"))
+          .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+          .toMap
+        cents = cents.indices.map(i => m.getOrElse(i, cents(i))).toArray
+      }
+      assigned.select(col("id"), col("cluster"))
+    } finally {
+      // non-blocking: the returned plan still references pts and will
+      // recompute its (cheap, map-only) projection if evaluated later —
+      // the expensive repeated passes above all hit the cache
+      pts.unpersist(false)
     }
-    assigned.select(col("id"), col("cluster"))
   }
 
   /** Exact argmin over the k centers: array_min over (distance², index)

@@ -149,32 +149,59 @@ object TextAnalysis {
     * 5e-7 margin); a raw avg() of unrounded logs would be neither.
     * Documents with fewer than 2 tokens produce no bigrams and drop out.
     *
-    * Scale design (100 TB): two hash-aggregates build the model (bigram
-    * counts, then head-token totals — both shuffle on token keys) and
-    * one token-keyed shuffle join scores the corpus. The vocabulary is
-    * never broadcast or collected — unbounded vocabularies cannot OOM
-    * anything — and the final per-doc aggregate is one more hash-agg.
-    * Hot head-tokens (stopwords) are bounded by AQE skew splitting on
-    * the score join. */
+    * Scale design (100 TB): ONE hash-aggregate builds the bigram counts
+    * (shuffle on (w1,w2)); head-token totals come from a window SUM over
+    * that already-aggregated set — its partitions are bounded by
+    * distinct-successors-per-head (≤ vocabulary), never by corpus
+    * occurrences, so a stopword head cannot skew it and the pairs
+    * lineage is evaluated exactly once per scan. One token-keyed shuffle
+    * join then scores the corpus (hot heads bounded by AQE skew
+    * splitting). The vocabulary is never broadcast or collected —
+    * unbounded vocabularies cannot OOM anything — and the final per-doc
+    * aggregate is one more hash-agg.
+    *
+    * The self-trained path scans the corpus twice (model + scoring) —
+    * intentionally NOT hidden behind a corpus-sized cache, which at
+    * 100 TB costs more than the second scan. For repeated scoring, or to
+    * score with one scan, materialize [[bigramModel]] once (parquet /
+    * persist) and pass it to [[bigramCrossEntropyWith]] — the same
+    * build-once-query-many shape as the IVF index. */
   def bigramCrossEntropy(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
-    val pairs = toks
-      .select(col("id"),
-        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))).as("a"),
-        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))).as("b"))
-      .select(col("id"), explode(arrays_zip(col("a"), col("b"))).as("bg"))
-      .select(col("id"), col("bg.a").as("w1"), col("bg.b").as("w2"))
-    val bgCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val headTotals = bgCounts.groupBy("w1").agg(sum("c12").as("c1"))
-    val model = bgCounts.join(headTotals, "w1")
-    pairs.join(model, Seq("w1", "w2"))
+      textCol: String): DataFrame =
+    bigramCrossEntropyWith(df, idCol, textCol, bigramModel(df, idCol, textCol))
+
+  /** The corpus bigram model: (w1, w2, c12, c1) with c12 = corpus count
+    * of the bigram and c1 = Σ c12 over the head token. Vocabulary-
+    * bounded (one row per DISTINCT bigram), so it is the thing to
+    * materialize when scoring more than once. */
+  def bigramModel(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w1win = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    tokenBigrams(df, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum("c12").over(w1win))
+  }
+
+  /** Score `df` against a (possibly pre-materialized) [[bigramModel]].
+    * Bigrams absent from the model are dropped from the score, matching
+    * the self-trained no-smoothing contract. */
+  def bigramCrossEntropyWith(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame =
+    tokenBigrams(df, idCol, textCol).join(model, Seq("w1", "w2"))
       .groupBy("id")
       .agg(count(lit(1)).as("bigrams"),
         round(sum(round(-log(col("c12").cast("double") / col("c1"))
           , 6)), 6).as("xent_sum"))
       .select(col("id").as(idCol), col("bigrams"), col("xent_sum"))
-  }
+
+  /** (id, w1, w2) — every adjacent whitespace-token pair per document. */
+  private def tokenBigrams(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .select(col("id"),
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))).as("a"),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))).as("b"))
+      .select(col("id"), explode(arrays_zip(col("a"), col("b"))).as("bg"))
+      .select(col("id"), col("bg.a").as("w1"), col("bg.b").as("w2"))
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
     * '03 — the MOSS algorithm): hash every `k`-token gram, then keep the

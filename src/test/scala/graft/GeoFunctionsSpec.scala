@@ -1112,6 +1112,13 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(dMer < dSp && dMer > 110000.0)
     assert(sql1("select ST_DistanceSphere(ST_GeomFromText('POINT(0 0)'), " +
       "ST_GeomFromText('POINT EMPTY'))") == null)
+    // restricted to POINT inputs: PostGIS computes MIN distance for
+    // lines/polygons, centroid substitution would be silently wrong, so
+    // non-point input returns null (documented deviation)
+    assert(sql1("select ST_DistanceSphere(ST_GeomFromText('POINT(0 0)'), " +
+      "ST_GeomFromText('LINESTRING(1 0,2 0)'))") == null)
+    assert(sql1("select ST_DistanceSpheroid(ST_GeomFromText('LINESTRING(1 0,2 0)'), " +
+      "ST_GeomFromText('POINT(0 0)'))") == null)
     // symmetry
     assert(sql1("select ST_DistanceSpheroid(ST_GeomFromText('POINT(12 34)'), " +
       "ST_GeomFromText('POINT(56 7)')) = ST_DistanceSpheroid(" +
@@ -1119,10 +1126,14 @@ class GeoFunctionsSpec extends AnyFunSuite {
   }
 
   test("st_aslatlontext: DMS formatting with hemisphere letters") {
+    // PostGIS default D°M'S.SSS"C pads seconds to exactly 3 decimals
     assert(sql1("select ST_AsLatLonText(ST_GeomFromText('POINT(-71.5 42.25)'))") ==
-      """42°15'0"N 71°30'0"W""")
+      """42°15'0.000"N 71°30'0.000"W""")
     assert(sql1("select ST_AsLatLonText(ST_GeomFromText('POINT(2.5 -3.125)'))") ==
-      """3°7'30"S 2°30'0"E""")
+      """3°7'30.000"S 2°30'0.000"E""")
+    // fractional seconds keep the fixed 3-decimal width too
+    assert(sql1("select ST_AsLatLonText(ST_GeomFromText('POINT(0.2505 0)'))") ==
+      """0°0'0.000"N 0°15'1.800"E""")
     assert(sql1("select ST_AsLatLonText(ST_GeomFromText('LINESTRING(0 0,1 1)'))") == null)
   }
 

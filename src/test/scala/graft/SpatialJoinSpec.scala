@@ -286,4 +286,18 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got0 == Map(0L -> 0, 5L -> 1, 7L -> 0, 9L -> 1))
   }
+
+  test("clusterKMeans: null/empty geometries fail fast with a clear error") {
+    import spark.implicits._
+    import graft.functions.GeoFunctions._
+    import org.apache.spark.sql.functions._
+    val withEmpty = Seq(
+      (0L, "POINT(0 0)"), (1L, "POINT EMPTY"), (2L, "POINT(1 0)"))
+      .toDF("id", "wkt")
+      .select(col("id"), st_geomfromtext(col("wkt")).as("g"))
+    val ex = intercept[Exception] {
+      graft.operators.SpatialCluster.clusterKMeans(withEmpty, "id", "g", k = 2)
+    }
+    assert(ex.getMessage.contains("null/empty geometries"))
+  }
 }

@@ -531,6 +531,28 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3) == ((3L, "", 0, 2)))
   }
 
+  test("dedupParagraphs: hash-keyed election ≡ by-text election; empty docs survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "intro\nalpha\nalpha"),
+      (1L, "intro\nbeta"),
+      (2L, "beta\ngamma\n\ndelta"),
+      (3L, ""),            // no paragraphs at all — must NOT drop from output
+      (4L, "\n\n"),        // separator-only — must NOT drop either
+      (5L, "intro\nbeta")).toDF("doc_id", "text")
+    def runIt(byText: Boolean) = graft.operators.Dedup
+      .dedupParagraphs(docs, "doc_id", "text", byText = byText)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    val hashed = runIt(byText = false)
+    val byText = runIt(byText = true)
+    assert(hashed.toSeq == byText.toSeq)
+    assert(hashed.length == 6) // one row per input doc, no row loss
+    assert(hashed(3) == ((3L, "", 0, 0)))
+    assert(hashed(4) == ((4L, "", 0, 0)))
+    assert(hashed(5) == ((5L, "", 0, 2)))
+  }
+
   test("semanticDedup: within-cluster near-dups drop, lowest id survives") {
     import spark.implicits._
     val emb = Seq(
@@ -568,6 +590,25 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where("doc_id = 0").collect()(0)
     // (p,q) is 4 of 4 transitions from p: -ln(1) = 0 exactly
     assert(s.getDouble(2) == 0.0)
+  }
+
+  test("bigramCrossEntropyWith: a pre-materialized model reproduces the inline path") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "a b"), (2L, "b c a b"))
+      .toDF("doc_id", "text")
+    val inline = graft.operators.TextAnalysis
+      .bigramCrossEntropy(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // build-once-query-many: model written to parquet (the 100 TB shape),
+    // read back, scored with ONE corpus scan
+    val dir = java.nio.file.Files.createTempDirectory("bigram_model").toString
+    graft.operators.TextAnalysis.bigramModel(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val viaModel = graft.operators.TextAnalysis
+      .bigramCrossEntropyWith(docs, "doc_id", "text", spark.read.parquet(dir))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(inline.toSeq == viaModel.toSeq)
   }
 
   test("vec_normalize / vec_truncate: unit L2 and matryoshka prefixes") {

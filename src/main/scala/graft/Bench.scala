@@ -32,7 +32,16 @@ object Bench {
     "q49_range_join",    // binned interval equi-join + anchor dedup
     "q70_topo_predicates", // full predicate family per row (5 JTS relate ops)
     "q73_dedup_clusters",  // iterative large-star/small-star connected components
-    "q74_tfidf_terms")     // explode + token-keyed join + per-doc top-k window
+    "q74_tfidf_terms",     // explode + token-keyed join + per-doc top-k window
+    // round-6-8 heavy-operator families (regression-tracked since r9)
+    "q80_dbscan",          // grid join + degree count + connected components
+    "q92_dbscan_minpts1",  // DBSCAN minPts=1 boundary (every point core)
+    "q104_mercator_tiles_geohash", // web-mercator reprojection + tile/geohash codegen
+    "q105_cluster_kmeans", // Lloyd iterations + map-only argmin assignment
+    "q110_paragraph_dedup",// hash-keyed election + position-set reassembly
+    "q118_bigram_lm",      // two token-keyed hash-aggs + scoring join
+    "q119_semantic_dedup", // cluster-keyed m² self-join + anti-join
+    "q120_kmeans_assign_bcast") // broadcast-centroid argmax, k=2n
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -909,6 +909,28 @@ object SparkEntry {
       graft.operators.Ann.semanticDedup(emb, cents, 0.30)
         .select("vec_id", "cluster").orderBy("vec_id")
     }),
+    // LARGE-k assignment: k = 2n deterministic centroids (every embedding
+    // in vec_id rank order, then their element-reversals — 1000 at the
+    // driver's sf0.01) through BOTH the broadcast-DataFrame path and the
+    // folded-literal path; emitting the two cluster columns side by side
+    // makes the driver's hash compare pin bcast ≡ literal ≡ oracle
+    "q120_kmeans_assign_bcast" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      prep(spark, dir)
+      val emb = spark.table("embeddings")
+      val base = emb.orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val cents = base ++ base.map(_.reverse)
+      val centDF = spark.createDataFrame(
+        cents.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+        .toDF("cluster", "cv")
+      val viaBcast = graft.operators.Ann.kmeansAssignBcast(emb, centDF)
+      val viaLit = graft.operators.Ann.kmeansAssign(emb, cents)
+        .select(col("vec_id"), col("cluster").as("cluster_lit"))
+      viaBcast.join(viaLit, "vec_id")
+        .select(col("vec_id"), col("cluster"), col("cluster_lit"))
+        .orderBy("vec_id")
+    }),
     // single-linkage spatial clustering over DISTINCT grid points with
     // dist=1.2: only x-neighbors 1 apart link (y rows are 10 apart), so
     // clusters are maximal runs of consecutive x per y — the classic
@@ -1990,6 +2012,51 @@ object SparkEntry {
         .withColumn("session_idx", row_number().over(w).cast("long"))
         .select("user_id", "session_idx", "n_events", "start_us", "end_us")
         .orderBy("user_id", "session_idx")
+    }),
+    // STREAMING corpus dedup: documents arrive as a file stream in TWO
+    // micro-batches (the corpus staged twice, maxFilesPerTrigger=1), and
+    // the foreachBatch sink keeps the first fingerprint occurrence
+    // across batches — per-batch min(doc_id) election (deterministic,
+    // unlike raw dropDuplicates' arbitrary within-batch winner), then an
+    // anti-join against the already-written state. The second, 100%-
+    // duplicate batch must contribute zero rows; the final output equals
+    // the batch keep-lowest-id dedup the oracle replays.
+    "q121_stream_dedup" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = spark.table("documents").schema
+      val work = scratchDir("graft-q121-")
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        inDir.resolve("a.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        inDir.resolve("b.parquet"))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      val outDir = s"$work/out"
+      val q = stream.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sess = batch.sparkSession
+          val winners = batch.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+          val fresh =
+            if (new java.io.File(outDir).exists())
+              winners.join(sess.read.parquet(outDir).select(col("fp")),
+                Seq("fp"), "left_anti")
+            else winners
+          fresh.select("doc_id", "fp").write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).orderBy("doc_id")
     }))
 
   // DuckDB replica of TextKernels.langId: CJK codepoint scan, then
@@ -2471,6 +2538,31 @@ object SparkEntry {
                          ey.embedding::DOUBLE[]) >= 0.30)
       SELECT a.vec_id, a.cluster FROM a LEFT JOIN d ON a.vec_id = d.dropid
       WHERE d.dropid IS NULL ORDER BY a.vec_id""",
+    // keep-first-fingerprint across the whole (twice-staged) stream ≡
+    // keep-lowest-doc_id per distinct text over the corpus
+    "q121_stream_dedup" -> """
+      SELECT min(doc_id) AS doc_id, md5(text) AS fp
+      FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+    // the same 2n-centroid set (rank order, then reversals offset by n)
+    // replayed as rank-over-cosine; both Spark paths must match it, so
+    // the oracle emits the winning cluster twice
+    "q120_kmeans_assign_bcast" -> """
+      WITH e AS (SELECT embedding::DOUBLE[] AS v,
+                        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS r
+                 FROM embeddings),
+           c AS (SELECT v AS cv, r AS cluster FROM e
+                 UNION ALL
+                 SELECT list_reverse(v) AS cv,
+                        CAST(r + (SELECT COUNT(*) FROM embeddings) AS INT) AS cluster
+                 FROM e),
+           s AS (SELECT emb.vec_id, c.cluster,
+                        list_cosine_similarity(emb.embedding::DOUBLE[], c.cv) AS cos
+                 FROM embeddings emb CROSS JOIN c),
+           a AS (SELECT vec_id, cluster FROM (
+                   SELECT vec_id, cluster, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rk FROM s)
+                 WHERE rk = 1)
+      SELECT vec_id, cluster, cluster AS cluster_lit FROM a ORDER BY vec_id""",
     // mbc radius = sqrt(w^2+25)/2 (exact-input sqrt, correctly rounded in
     // both engines); oriented envelope of an axis-aligned rect keeps its
     // area; union/merge/extract replay as arithmetic and string concat

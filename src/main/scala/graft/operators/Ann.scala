@@ -362,8 +362,28 @@ object Ann {
     */
   def semanticDedup(corpus: DataFrame, cents: Array[Array[Float]],
       threshold: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val assigned = kmeansAssign(corpus, cents, idCol, vecCol)
+      vecCol: String = "embedding"): DataFrame =
+    semanticDedupAssigned(kmeansAssign(corpus, cents, idCol, vecCol),
+      threshold, idCol, vecCol)
+
+  /** [[semanticDedup]] for LARGE k: assignment joins the broadcast
+    * centroid DataFrame ([[kmeansAssignBcast]]) instead of folding the
+    * centroids into the plan — same exact kernel, so results are
+    * bit-identical to the literal path on the same centroids, but k is
+    * bounded by broadcast memory (~10⁶·dim) rather than per-task plan
+    * size. The SemDeDup recipe k ~ n/1000 on a billion-vector corpus
+    * needs exactly this. */
+  def semanticDedupBcast(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    semanticDedupAssigned(kmeansAssignBcast(corpus, centroids, idCol, vecCol),
+      threshold, idCol, vecCol)
+
+  /** The SemDeDup duplicate scan over any (id, vec, cluster) assignment:
+    * cluster-keyed self-join (m² per cluster, AQE skew split), id-keyed
+    * anti-join back. */
+  private def semanticDedupAssigned(assigned: DataFrame, threshold: Double,
+      idCol: String, vecCol: String): DataFrame = {
     val slim = assigned.select(col("cluster").as("__cl"), col(idCol).as("__id"),
       col(vecCol).as("__v"))
     val dropped = slim.as("a")

@@ -273,4 +273,86 @@ class GeoCodecSpec extends AnyFunSuite {
     assert(GeoJsonWriter.write(poly) ==
       """{"type": "Polygon", "coordinates": [[[0,0],[1,0],[1,1],[0,0]]]}""")
   }
+
+  test("property: TWKB roundtrip on fuzzed multi-geometries at every precision") {
+    import org.scalacheck.Gen
+    import org.locationtech.jts.geom._
+    val f = GeomCodec.geometryFactory
+
+    // coordinates on a 0.01 grid inside ±10^5 so every precision in the
+    // tested range quantizes without Long overflow in the delta chain
+    val coordGen: Gen[Coordinate] = for {
+      xi <- Gen.chooseNum(-10000000L, 10000000L)
+      yi <- Gen.chooseNum(-10000000L, 10000000L)
+    } yield new Coordinate(xi / 100.0, yi / 100.0)
+
+    def ringOf(cs: Seq[Coordinate]): LinearRing = {
+      // angle-sort around the centroid for a well-formed (closed) ring;
+      // validity is irrelevant to the codec, closure is not
+      val cx = cs.map(_.x).sum / cs.size; val cy = cs.map(_.y).sum / cs.size
+      val sorted = cs.sortBy(c => math.atan2(c.y - cy, c.x - cx)).toArray
+      f.createLinearRing(sorted :+ sorted.head.copy())
+    }
+    val pointGen = coordGen.map(f.createPoint)
+    val lineGen = for {
+      n <- Gen.chooseNum(2, 8); cs <- Gen.listOfN(n, coordGen)
+    } yield f.createLineString(cs.toArray)
+    val polyGen = for {
+      n <- Gen.chooseNum(3, 8); cs <- Gen.listOfN(n, coordGen)
+      withHole <- Gen.oneOf(true, false)
+      c0 <- coordGen
+    } yield {
+      val shell = ringOf(cs)
+      // a hole exercises the cross-ring delta chain; containment is not
+      // a codec concern
+      val holes = if (withHole) Array(ringOf(Seq(c0,
+        new Coordinate(c0.x + 0.5, c0.y), new Coordinate(c0.x, c0.y + 0.5))))
+      else Array.empty[LinearRing]
+      f.createPolygon(shell, holes)
+    }
+    val multiGen: Gen[Geometry] = Gen.oneOf(
+      Gen.listOfN(3, pointGen).map(ps => f.createMultiPoint(ps.toArray): Geometry),
+      Gen.listOfN(2, lineGen).map(ls => f.createMultiLineString(ls.toArray): Geometry),
+      Gen.listOfN(2, polyGen).map(ps => f.createMultiPolygon(ps.toArray): Geometry),
+      for { p <- pointGen; l <- lineGen; pg <- polyGen }
+        yield f.createGeometryCollection(Array[Geometry](p, l, pg)): Geometry)
+    val geomGen: Gen[Geometry] =
+      Gen.oneOf(pointGen.map(g => g: Geometry), lineGen.map(g => g: Geometry),
+        polyGen.map(g => g: Geometry), multiGen)
+    val precGen = Gen.chooseNum(-3, 7)
+
+    val prop = Prop.forAllNoShrink(geomGen, precGen) { (g: Geometry, prec: Int) =>
+      val scale = math.pow(10, prec)
+      val once = TwkbCodec.decode(TwkbCodec.encode(g, prec))
+      // 1. structure: type tree and vertex counts survive
+      val structureOk = once.getGeometryType == g.getGeometryType &&
+        once.getNumGeometries == g.getNumGeometries &&
+        once.getNumPoints == g.getNumPoints
+      // 2. quantization error bounded by half a quantum per coordinate
+      val cs0 = g.getCoordinates; val cs1 = once.getCoordinates
+      val errOk = cs0.zip(cs1).forall { case (a, b) =>
+        math.abs(a.x - b.x) <= 0.5 / scale + 1e-9 &&
+          math.abs(a.y - b.y) <= 0.5 / scale + 1e-9
+      }
+      // 3. stability: re-encoding the decoded geometry is byte-identical
+      //    and decodes to an exactly-equal geometry (the delta chain and
+      //    ring re-closing introduce no drift)
+      val bytes1 = TwkbCodec.encode(once, prec)
+      val stableBytes = java.util.Arrays.equals(bytes1, TwkbCodec.encode(g, prec))
+      val twice = TwkbCodec.decode(bytes1)
+      val stableGeom = once.equalsExact(twice)
+      structureOk && errOk && stableBytes && stableGeom
+    }
+    val result = scCheck(Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(result.passed, result.status.toString)
+
+    // empties of every kind keep their kind
+    Seq(f.createPoint(), f.createLineString(), f.createPolygon(),
+      f.createMultiPoint(), f.createMultiLineString(Array.empty),
+      f.createMultiPolygon(Array.empty), f.createGeometryCollection(Array.empty))
+      .foreach { e =>
+        val back = TwkbCodec.decode(TwkbCodec.encode(e, 2))
+        assert(back.isEmpty && back.getGeometryType == e.getGeometryType)
+      }
+  }
 }

@@ -569,6 +569,34 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.operators.Ann.semanticDedup(emb, cents, 1.5).count() == 4)
   }
 
+  test("kmeansAssignBcast / semanticDedupBcast: broadcast centroids ≡ folded literal") {
+    import spark.implicits._
+    val emb = (0L until 40L).map { i =>
+      (i, Seq.tabulate(8)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 6f))
+    }.toDF("vec_id", "embedding")
+    val cents = (0 until 10).map { c =>
+      Array.tabulate(8)(d => (((c * 17 + d * 5) % 11) - 5).toFloat / 5f)
+    }.toArray
+    val centDF = spark.createDataFrame(
+      cents.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+      .toDF("cluster", "cv")
+    val viaLit = graft.operators.Ann.kmeansAssign(emb, cents)
+      .select("vec_id", "cluster").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val viaBcast = graft.operators.Ann.kmeansAssignBcast(emb, centDF)
+      .select("vec_id", "cluster").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(viaLit.toSeq == viaBcast.toSeq)
+    val dLit = graft.operators.Ann.semanticDedup(emb, cents, 0.8)
+      .select("vec_id", "cluster").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val dBcast = graft.operators.Ann.semanticDedupBcast(emb, centDF, 0.8)
+      .select("vec_id", "cluster").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(dLit.toSeq == dBcast.toSeq)
+    assert(dLit.length < 40) // the modular fixture does contain near-dups
+  }
+
   test("bigramCrossEntropy: corpus-model probabilities, short docs drop") {
     import spark.implicits._
     val docs = Seq(

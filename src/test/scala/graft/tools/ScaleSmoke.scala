@@ -220,6 +220,46 @@ object ScaleSmoke {
     }
     println(f"[scale]   ivf recall@5 (20 queries): $r%.3f")
 
+    // ---- large-k assignment: 1.25M synthetic 64-d vectors, k = 1000 ----
+    // The SemDeDup-recipe regime (k ~ n/1000) where a folded-literal
+    // centroid array stops being viable: the broadcast path ships the
+    // 1000x64 floats once per executor instead of inside every task
+    // binary. Exact flat argmax — cost is k·dim per row by design.
+    {
+      val bigVecs = spark.sql("""
+        SELECT id AS vec_id,
+               transform(sequence(0, 63),
+                 d -> CAST(CAST((id * 31 + d * 7) % 1009 AS INT) - 504 AS FLOAT) / 504.0F)
+                 AS embedding
+        FROM range(0, 1250000) t(id)""").repartition(32).cache()
+      println(s"[scale] large-k vectors: ${bigVecs.count()}")
+      val centDF = bigVecs.where(col("vec_id") < 1000)
+        .select(col("vec_id").cast("int").as("cluster"), col("embedding").as("cv"))
+      val assignedN = time("kmeansAssignBcast 1.25M x k=1000 (broadcast centroids)") {
+        Ann.kmeansAssignBcast(bigVecs, centDF).where(col("cluster") >= 0).count()
+      }
+      assert(assignedN == 1250000L, s"assignment lost rows: $assignedN")
+      println(s"[scale]   assigned rows: $assignedN")
+
+      // cached-lineage k-means (corpus persisted across seeding + Lloyd
+      // steps): the iters+1 full passes hit the cache instead of
+      // replaying the synthesis lineage
+      val km = time("Ann.kmeans 1.25M vectors, k=8, iters=2 (cached lineage)") {
+        Ann.kmeans(bigVecs, k = 8, iters = 2).select("cluster").distinct().count()
+      }
+      println(s"[scale]   kmeans distinct clusters: $km")
+      bigVecs.unpersist()
+    }
+
+    // ---- clusterKMeans over 6M geometry rows (cached Lloyd lineage) ----
+    {
+      val ck = time("clusterKMeans 6M pts, k=8, iters=3") {
+        graft.operators.SpatialCluster.clusterKMeans(pts, "pid", "geom",
+          k = 8, iters = 3).select("cluster").distinct().count()
+      }
+      println(s"[scale]   spatial kmeans clusters: $ck")
+    }
+
     spark.stop()
   }
 }

@@ -229,7 +229,7 @@ object ScaleSmoke {
       val bigVecs = spark.sql("""
         SELECT id AS vec_id,
                transform(sequence(0, 63),
-                 d -> CAST(CAST((id * 31 + d * 7) % 1009 AS INT) - 504 AS FLOAT) / 504.0F)
+                 d -> CAST((CAST((id * 31 + d * 7) % 1009 AS INT) - 504) / 504.0 AS FLOAT))
                  AS embedding
         FROM range(0, 1250000) t(id)""").repartition(32).cache()
       println(s"[scale] large-k vectors: ${bigVecs.count()}")

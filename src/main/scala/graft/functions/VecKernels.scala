@@ -77,14 +77,77 @@ object VecKernels {
 
   /** Index of the centroid (array of float vectors) with the highest
     * cosine similarity to `v` — the IVF coarse-quantization assignment. */
+  /** Per-thread single-entry cache of a decoded centroid set: the same
+    * centroid array evaluates against EVERY corpus row (a folded literal
+    * is one GenericArrayData instance; the broadcast path's
+    * UnsafeArrayData views share one backing buffer per executor), so
+    * the k·dim accessor decode and the k norm computations are hoisted
+    * out of the per-row loop. Keyed by backing-buffer identity + offset
+    * + k — a different centroid set misses and re-decodes; content is
+    * immutable once constructed, so a hit is always sound. */
+  private final class CentCache {
+    var base: AnyRef = null; var off: Long = -1L; var k: Int = -1
+    var cents: Array[Array[Float]] = null
+    var sqrtNb: Array[Double] = null
+  }
+  private val centCache = new ThreadLocal[CentCache] {
+    override def initialValue(): CentCache = new CentCache
+  }
+
   def nearestCentroid(v: ArrayData, centroids: ArrayData): Int = {
     val k = centroids.numElements()
+    val cache = centCache.get()
+    val (base, off) = centroids match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+        (u.getBaseObject, u.getBaseOffset)
+      case other => (other.asInstanceOf[AnyRef], 0L)
+    }
+    if (!(cache.base eq base) || cache.off != off || cache.k != k) {
+      val cents = new Array[Array[Float]](k)
+      val nbs = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val ca = centroids.getArray(c)
+        val m = ca.numElements()
+        val arr = new Array[Float](m)
+        var nb = 0.0
+        var i = 0
+        while (i < m) {
+          val y = ca.getFloat(i)
+          arr(i) = y; nb += y.toDouble * y.toDouble
+          i += 1
+        }
+        cents(c) = arr; nbs(c) = math.sqrt(nb)
+        c += 1
+      }
+      cache.base = base; cache.off = off; cache.k = k
+      cache.cents = cents; cache.sqrtNb = nbs
+    }
+    val cents = cache.cents; val sqrtNb = cache.sqrtNb
+    // decode v once; na accumulates left-to-right exactly as cosineF's
+    // interleaved loop does, so every score is bit-identical to
+    // cosineF(v, centroids(c))
+    val n = v.numElements()
+    val vv = new Array[Float](n)
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i)
+      vv(i) = x; na += x.toDouble * x.toDouble
+      i += 1
+    }
+    val sqrtNa = math.sqrt(na)
     var best = 0
     var bestScore = Double.NegativeInfinity
     var c = 0
     while (c < k) {
-      val cent = centroids.getArray(c)
-      val s = cosineF(v, cent)
+      val cent = cents(c)
+      require(cent.length == n,
+        s"vector length mismatch: $n vs ${cent.length}")
+      var dot = 0.0
+      var d = 0
+      while (d < n) { dot += vv(d).toDouble * cent(d).toDouble; d += 1 }
+      val s = dot / (sqrtNa * sqrtNb(c))
       if (s > bestScore) { bestScore = s; best = c }
       c += 1
     }

@@ -1736,7 +1736,10 @@ object GeoKernels {
   /** Standard geohash of the geometry's bbox center at `precision`
     * base-32 characters (PostGIS ST_GeoHash uses lon/lat: x=lon, y=lat).
     * Null for empty geometry or coordinates outside the lon/lat domain. */
-  def geohash(tagged: Array[Byte], precision: Int): String = {
+  def geohash(tagged: Array[Byte], precision: Int): String =
+    memoDerived(tagged, 23, precision.toDouble, 0)(geohashImpl(tagged, precision))
+
+  private def geohashImpl(tagged: Array[Byte], precision: Int): String = {
     val g = geom(tagged)
     if (g.isEmpty || precision <= 0) return null
     val env = g.getEnvelopeInternal
@@ -2867,21 +2870,27 @@ object GeoKernels {
 
   /** ST_GeomFromGeoHash — the cell as a rectangle polygon, SRID 4326
     * (PostGIS). Null for invalid hashes. */
-  def geomFromGeoHash(hash: String): Array[Byte] = {
-    val b = geohashBounds(hash)
-    if (b == null) return null
-    makeEnvelope(b(0), b(1), b(2), b(3), 4326, hasSrid = true)
-  }
+  def geomFromGeoHash(hash: String): Array[Byte] =
+    memoDerived(hash.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      24, 0, 0) {
+      val b = geohashBounds(hash)
+      if (b == null) null
+      else makeEnvelope(b(0), b(1), b(2), b(3), 4326, hasSrid = true)
+    }
 
   /** ST_PointFromGeoHash — the cell center, SRID 4326. */
-  def pointFromGeoHash(hash: String): Array[Byte] = {
-    val b = geohashBounds(hash)
-    if (b == null) return null
-    val p = GeomCodec.geometryFactory.createPoint(
-      new Coordinate((b(0) + b(2)) / 2, (b(1) + b(3)) / 2))
-    p.setSRID(4326)
-    remember(GeomCodec.encodeEwkb(p), p)
-  }
+  def pointFromGeoHash(hash: String): Array[Byte] =
+    memoDerived(hash.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      25, 0, 0) {
+      val b = geohashBounds(hash)
+      if (b == null) null
+      else {
+        val p = GeomCodec.geometryFactory.createPoint(
+          new Coordinate((b(0) + b(2)) / 2, (b(1) + b(3)) / 2))
+        p.setSRID(4326)
+        remember(GeomCodec.encodeEwkb(p), p)
+      }
+    }
 
   private final val MercRadius = 6378137.0
   private final val MercMax = 20037508.342789244 // π · R, the 3857 half-world
@@ -2907,9 +2916,14 @@ object GeoKernels {
     * target; any other pair raises — silent approximation of datum
     * shifts would be a correctness bug, not a feature. */
   def transformGeom(tagged: Array[Byte], toSrid: Int): Array[Byte] = {
+    val g0 = geom(tagged)
+    if (g0.getSRID == toSrid) return tagged
+    memoDerived(tagged, 22, toSrid.toDouble, 0)(transformImpl(tagged, toSrid))
+  }
+
+  private def transformImpl(tagged: Array[Byte], toSrid: Int): Array[Byte] = {
     val g = geom(tagged)
     val from = g.getSRID
-    if (from == toSrid) return tagged
     val out = (from, toSrid) match {
       case (4326, 3857) => mapCoordsCopy(g) { c =>
         c.x = MercRadius * math.toRadians(c.x)

@@ -41,7 +41,8 @@ object Bench {
     "q110_paragraph_dedup",// hash-keyed election + position-set reassembly
     "q118_bigram_lm",      // two token-keyed hash-aggs + scoring join
     "q119_semantic_dedup", // cluster-keyed m² self-join + anti-join
-    "q120_kmeans_assign_bcast") // broadcast-centroid argmax, k=2n
+    "q120_kmeans_assign_bcast", // broadcast-centroid argmax, k=2n
+    "q122_kmeans_two_level")    // coarse/fine sharded assignment, full probe
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

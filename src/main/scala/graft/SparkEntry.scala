@@ -931,6 +931,25 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster"), col("cluster_lit"))
         .orderBy("vec_id")
     }),
+    // the TWO-LEVEL coarse/fine transport at FULL probing (nProbe =
+    // coarseK probes every cell), where it is exact by construction —
+    // the same q120 centroid fixture, so the oracle is the same flat
+    // rank-over-cosine; cell sharding must not change a single winner
+    "q122_kmeans_two_level" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      prep(spark, dir)
+      val emb = spark.table("embeddings")
+      val base = emb.orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val cents = base ++ base.map(_.reverse)
+      val centDF = spark.createDataFrame(
+        cents.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+        .toDF("cluster", "cv")
+      graft.operators.Ann
+        .kmeansAssignTwoLevel(emb, centDF, coarseK = 8, nProbe = 8)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
     // single-linkage spatial clustering over DISTINCT grid points with
     // dist=1.2: only x-neighbors 1 apart link (y rows are 10 apart), so
     // clusters are maximal runs of consecutive x per y — the classic
@@ -2563,6 +2582,24 @@ object SparkEntry {
                      PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rk FROM s)
                  WHERE rk = 1)
       SELECT vec_id, cluster, cluster AS cluster_lit FROM a ORDER BY vec_id""",
+    // full-probe two-level assignment is exact: same centroid fixture,
+    // same rank-over-cosine replay, single cluster column
+    "q122_kmeans_two_level" -> """
+      WITH e AS (SELECT embedding::DOUBLE[] AS v,
+                        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS r
+                 FROM embeddings),
+           c AS (SELECT v AS cv, r AS cluster FROM e
+                 UNION ALL
+                 SELECT list_reverse(v) AS cv,
+                        CAST(r + (SELECT COUNT(*) FROM embeddings) AS INT) AS cluster
+                 FROM e),
+           s AS (SELECT emb.vec_id, c.cluster,
+                        list_cosine_similarity(emb.embedding::DOUBLE[], c.cv) AS cos
+                 FROM embeddings emb CROSS JOIN c)
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rk FROM s)
+      WHERE rk = 1 ORDER BY vec_id""",
     // mbc radius = sqrt(w^2+25)/2 (exact-input sqrt, correctly rounded in
     // both engines); oriented envelope of an axis-aligned rect keeps its
     // area; union/merge/extract replay as arithmetic and string concat

@@ -632,6 +632,9 @@ object GeoFunctions {
     c(VecLshProbes(Seq(x(a), x(nPlanes), x(seed), x(nProbe))))
   def vec_nearest_centroid(a: Column, centroids: Column): Column =
     c(VecNearestCentroid(x(a), x(centroids)))
+  def vec_nearest_centroid_bcast(a: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]): Column =
+    c(VecNearestCentroidBcast(x(a), bc))
   def grid_cells(g: Column, cellSize: Double, expand: Double): Column =
     c(GridCells(x(g), Literal(cellSize), Literal(expand)))
   def grid_anchor_cell(a: Column, b: Column, cellSize: Double, expand: Double): Column =

@@ -77,16 +77,19 @@ object VecKernels {
 
   /** Index of the centroid (array of float vectors) with the highest
     * cosine similarity to `v` — the IVF coarse-quantization assignment. */
-  /** Per-thread single-entry cache of a decoded centroid set: the same
-    * centroid array evaluates against EVERY corpus row (a folded literal
-    * is one GenericArrayData instance; the broadcast path's
-    * UnsafeArrayData views share one backing buffer per executor), so
-    * the k·dim accessor decode and the k norm computations are hoisted
-    * out of the per-row loop. Keyed by backing-buffer identity + offset
-    * + k — a different centroid set misses and re-decodes; content is
-    * immutable once constructed, so a hit is always sound. */
+  /** Per-thread single-entry cache of a decoded centroid set, keyed by
+    * OBJECT IDENTITY of the ArrayData. A folded literal hands the SAME
+    * instance to every row, so the k·dim accessor decode and the k norm
+    * computations run once per task. Identity (not buffer address) is
+    * the soundness line: Spark reuses row buffers between rows, so an
+    * UnsafeArrayData view over fresh bytes can reappear at the same
+    * base+offset with different content — such views are NEW wrapper
+    * objects each call and therefore always miss here, falling back to
+    * a correct per-row decode. (The broadcast assignment path avoids
+    * the miss cost entirely via [[nearestCentroidDirect]] over a
+    * Broadcast handle.) */
   private final class CentCache {
-    var base: AnyRef = null; var off: Long = -1L; var k: Int = -1
+    var key: AnyRef = null
     var cents: Array[Array[Float]] = null
     var sqrtNb: Array[Double] = null
   }
@@ -94,39 +97,44 @@ object VecKernels {
     override def initialValue(): CentCache = new CentCache
   }
 
-  def nearestCentroid(v: ArrayData, centroids: ArrayData): Int = {
+  /** Decode a centroid ArrayData to float[][] plus per-centroid
+    * sqrt(Σy²) accumulated left-to-right exactly as [[cosineF]] does. */
+  def decodeCentroids(centroids: ArrayData): (Array[Array[Float]], Array[Double]) = {
     val k = centroids.numElements()
-    val cache = centCache.get()
-    val (base, off) = centroids match {
-      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
-        (u.getBaseObject, u.getBaseOffset)
-      case other => (other.asInstanceOf[AnyRef], 0L)
-    }
-    if (!(cache.base eq base) || cache.off != off || cache.k != k) {
-      val cents = new Array[Array[Float]](k)
-      val nbs = new Array[Double](k)
-      var c = 0
-      while (c < k) {
-        val ca = centroids.getArray(c)
-        val m = ca.numElements()
-        val arr = new Array[Float](m)
-        var nb = 0.0
-        var i = 0
-        while (i < m) {
-          val y = ca.getFloat(i)
-          arr(i) = y; nb += y.toDouble * y.toDouble
-          i += 1
-        }
-        cents(c) = arr; nbs(c) = math.sqrt(nb)
-        c += 1
+    val cents = new Array[Array[Float]](k)
+    val nbs = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val ca = centroids.getArray(c)
+      val m = ca.numElements()
+      val arr = new Array[Float](m)
+      var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val y = ca.getFloat(i)
+        arr(i) = y; nb += y.toDouble * y.toDouble
+        i += 1
       }
-      cache.base = base; cache.off = off; cache.k = k
-      cache.cents = cents; cache.sqrtNb = nbs
+      cents(c) = arr; nbs(c) = math.sqrt(nb)
+      c += 1
     }
-    val cents = cache.cents; val sqrtNb = cache.sqrtNb
-    // decode v once; na accumulates left-to-right exactly as cosineF's
-    // interleaved loop does, so every score is bit-identical to
-    // cosineF(v, centroids(c))
+    (cents, nbs)
+  }
+
+  def nearestCentroid(v: ArrayData, centroids: ArrayData): Int = {
+    val cache = centCache.get()
+    if (!(cache.key eq centroids)) {
+      val (cents, nbs) = decodeCentroids(centroids)
+      cache.key = centroids; cache.cents = cents; cache.sqrtNb = nbs
+    }
+    nearestCentroidDirect(v, cache.cents, cache.sqrtNb)
+  }
+
+  /** Exact argmax-by-cosine against a pre-decoded centroid set; every
+    * score is bit-identical to cosineF(v, centroids(c)) — dot and na
+    * accumulate left-to-right exactly as cosineF's interleaved loop. */
+  def nearestCentroidDirect(v: ArrayData, cents: Array[Array[Float]],
+      sqrtNb: Array[Double]): Int = {
     val n = v.numElements()
     val vv = new Array[Float](n)
     var na = 0.0
@@ -140,7 +148,7 @@ object VecKernels {
     var best = 0
     var bestScore = Double.NegativeInfinity
     var c = 0
-    while (c < k) {
+    while (c < cents.length) {
       val cent = cents(c)
       require(cent.length == n,
         s"vector length mismatch: $n vs ${cent.length}")

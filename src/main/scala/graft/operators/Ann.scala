@@ -230,32 +230,95 @@ object Ann {
       vec_nearest_centroid(col(vecCol), centroidsLit(cents)).as("cluster"))
 
   /** Map-only cluster assignment for LARGE k: the centroids arrive as a
-    * DataFrame of (cluster ∈ [0,k) contiguous, cv array<float>) and ride
-    * to the executors as ONE broadcast row packing the k vectors in
-    * cluster order — same exact argmax-by-cosine kernel, bit-identical
-    * to [[kmeansAssign]], but the centroid payload moves over the
-    * torrent broadcast instead of being folded into the serialized task
-    * binary. A folded literal re-ships k·dim floats inside EVERY task's
-    * plan (the SemDeDup recipe k ~ n/1000 puts that at ~256 MB per task
-    * for a billion-vector corpus); the broadcast ships once per executor
-    * and is shared — practical k moves from ~10⁴ to broadcast-bounded
-    * ~10⁶·dim. Per-row cost is still the exact k·dim scan: beyond that,
-    * pre-partition by a coarse quantizer ([[buildIvf]] + per-list
-    * assignment) instead of one flat argmax.
-    *
-    * Contract: `cluster` values must be exactly 0..k-1 (the kernel
-    * returns the ARRAY INDEX of the best centroid). */
+    * DataFrame of (cluster ∈ [0,k) contiguous, cv array<float>), are
+    * materialized once on the driver, and ship to executors through a
+    * TORRENT BROADCAST referenced by a dedicated expression — never
+    * inside task binaries or the plan. A folded literal re-ships k·dim
+    * floats inside EVERY task's serialized plan (the SemDeDup recipe
+    * k ~ n/1000 puts that at ~256 MB per task for a billion-vector
+    * corpus); the broadcast ships once per executor and the decoded
+    * codebook + norms are computed there exactly once. Same exact
+    * argmax-by-cosine arithmetic as [[kmeansAssign]] → bit-identical
+    * results. Practical k moves from ~10⁴ to broadcast/driver-memory
+    * bounded ~10⁶·dim; per-row cost is still the exact k·dim scan —
+    * beyond either bound, [[kmeansAssignTwoLevel]] shards the codebook
+    * by a coarse quantizer instead of holding it anywhere whole. */
   def kmeansAssignBcast(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       clusterCol: String = "cluster", cvCol: String = "cv"): DataFrame = {
-    val packed = centroids.agg(
-      transform(
-        array_sort(collect_list(struct(col(clusterCol).cast("int").as("i"),
-          col(cvCol).as("v")))),
-        s => s.getField("v")).as("__cents"))
-    corpus.crossJoin(broadcast(packed))
+    val rows = centroids.select(col(clusterCol).cast("int"), col(cvCol)).collect()
+    val k = rows.length
+    require(k > 0, "centroids DataFrame is empty")
+    val cents = new Array[Array[Float]](k)
+    rows.foreach { r =>
+      val cid = r.getInt(0)
+      require(cid >= 0 && cid < k,
+        s"cluster ids must be exactly 0..${k - 1} (got $cid over $k rows)")
+      require(cents(cid) == null, s"duplicate cluster id $cid")
+      cents(cid) = r.getSeq[Float](1).toArray
+    }
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    corpus.select(col(idCol), col(vecCol),
+      vec_nearest_centroid_bcast(col(vecCol), bc).as("cluster"))
+  }
+
+  /** Two-level coarse/fine assignment for k beyond even broadcast reach
+    * (or to cut the flat k·dim per-row scan): the centroid SET is itself
+    * quantized into `coarseK` cells ([[trainCentroids]] over the
+    * centroid DataFrame — driver state is coarseK·dim floats, never k);
+    * each corpus row scores the small coarse codebook map-only, probes
+    * its `nProbe` best cells, and runs the exact argmax only inside the
+    * probed cells' fine-centroid shards — a cell-keyed shuffle join, so
+    * the fine centroids are PARTITIONED across the cluster instead of
+    * broadcast or folded anywhere. Per-row cost drops from k·dim to
+    * (coarseK + nProbe·k/coarseK)·dim.
+    *
+    * APPROXIMATE: exact iff the true nearest fine centroid lies in a
+    * probed cell (guaranteed when nProbe = coarseK, which a spec pins
+    * against [[kmeansAssignBcast]]); recall rises with nProbe exactly
+    * like IVF search. Rows are retained as long as ≥ 1 probed cell is
+    * non-empty (with the coarse codebook trained on the centroids
+    * themselves, empty cells are rare; raise nProbe if paranoid).
+    * Tie-breaks match the flat kernel: highest cosine, then lowest
+    * cluster id. */
+  def kmeansAssignTwoLevel(corpus: DataFrame, centroids: DataFrame,
+      coarseK: Int = 64, nProbe: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "cluster", cvCol: String = "cv",
+      seed: Long = 42L): DataFrame = {
+    val coarse = trainCentroids(centroids, math.min(coarseK, 4096),
+      vecCol = cvCol, seed = seed)
+    val fine = centroids.select(col(clusterCol).cast("int").as("__fc"),
+      col(cvCol).as("__fv"))
+    // shard the fine centroids by coarse cell, packed in cluster-id order
+    // so the in-cell argmax tie-breaks to the lowest id
+    val packed = kmeansAssign(fine, coarse, "__fc", "__fv")
+      .withColumnRenamed("cluster", "__cell")
+      .groupBy("__cell")
+      .agg(array_sort(collect_list(struct(col("__fc"), col("__fv")))).as("__p"))
+      .select(col("__cell"),
+        transform(col("__p"), s => s.getField("__fv")).as("__cents"),
+        transform(col("__p"), s => s.getField("__fc")).as("__ids"))
+    val probeN = math.min(nProbe, coarse.length)
+    val probes = corpus
+      .withColumn("__scored", array(coarse.indices.map { i =>
+        struct(vec_cosine(col(vecCol), typedLit(coarse(i).toSeq)).as("s"),
+          lit(i).as("cell"))
+      }: _*))
+      .withColumn("__probe",
+        explode(slice(reverse(array_sort(col("__scored"))), 1, probeN)))
+      .select(col(idCol), col(vecCol), col("__probe.cell").as("__cell"))
+    val local = probes.join(packed, Seq("__cell"))
+      .withColumn("__li", vec_nearest_centroid(col(vecCol), col("__cents")))
       .select(col(idCol), col(vecCol),
-        vec_nearest_centroid(col(vecCol), col("__cents")).as("cluster"))
+        vec_cosine(col(vecCol), element_at(col("__cents"), col("__li") + 1))
+          .as("__cos"),
+        element_at(col("__ids"), col("__li") + 1).as("__cl"))
+    local.groupBy(idCol)
+      .agg(first(col(vecCol)).as(vecCol),
+        max(struct(col("__cos"), (-col("__cl")).as("n"))).as("__best"))
+      .select(col(idCol), col(vecCol),
+        (-col("__best.n")).cast("int").as("cluster"))
   }
 
   /** One distributed Lloyd refinement over the FULL corpus (unlike

@@ -597,6 +597,32 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dLit.length < 40) // the modular fixture does contain near-dups
   }
 
+  test("kmeansAssignTwoLevel: exact at full probing, high agreement when pruned") {
+    import spark.implicits._
+    val emb = (0L until 300L).map { i =>
+      (i, Seq.tabulate(8)(d => (((i * 37 + d * 11) % 29) - 14).toFloat / 14f))
+    }.toDF("vec_id", "embedding")
+    val centDF = spark.createDataFrame((0 until 60).map { c =>
+      (c, Seq.tabulate(8)(d => (((c * 13 + d * 3) % 23) - 11).toFloat / 11f))
+    }).toDF("cluster", "cv")
+    val exact = graft.operators.Ann.kmeansAssignBcast(emb, centDF)
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // nProbe = coarseK probes every cell -> must reproduce the flat argmax
+    val full = graft.operators.Ann
+      .kmeansAssignTwoLevel(emb, centDF, coarseK = 6, nProbe = 6)
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full == exact)
+    // pruned probing keeps every row and agrees on the large majority
+    val pruned = graft.operators.Ann
+      .kmeansAssignTwoLevel(emb, centDF, coarseK = 6, nProbe = 2)
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pruned.size == 300)
+    val agree = pruned.count { case (id, cl) => exact(id) == cl }
+    // 2-of-6 probing on this adversarially scattered fixture recovers
+    // ~80%; the assertion pins "large majority", not a knife edge
+    assert(agree >= 210, s"two-level agreement too low: $agree/300")
+  }
+
   test("bigramCrossEntropy: corpus-model probabilities, short docs drop") {
     import spark.implicits._
     val docs = Seq(

@@ -241,6 +241,23 @@ object ScaleSmoke {
       assert(assignedN == 1250000L, s"assignment lost rows: $assignedN")
       println(s"[scale]   assigned rows: $assignedN")
 
+      // two-level coarse/fine: fine centroids sharded by a 32-cell coarse
+      // codebook, 4 probes — per-row cost (32 + 4·~31)·dim vs 1000·dim
+      // flat; approximate by design, so report agreement instead of
+      // asserting equality
+      val twoLevel = Ann.kmeansAssignTwoLevel(bigVecs, centDF,
+          coarseK = 32, nProbe = 4)
+        .select(col("vec_id"), col("cluster").as("cl2")).cache()
+      val n2 = time("kmeansAssignTwoLevel 1.25M x k=1000 (coarse=32, probe=4)") {
+        twoLevel.count()
+      }
+      val agree = Ann.kmeansAssignBcast(bigVecs, centDF)
+        .join(twoLevel, "vec_id")
+        .where(col("cluster") === col("cl2")).count()
+      assert(n2 == 1250000L, s"two-level lost rows: $n2")
+      println(f"[scale]   two-level rows: $n2, agreement with exact: ${agree * 100.0 / n2}%.1f%%")
+      twoLevel.unpersist()
+
       // cached-lineage k-means (corpus persisted across seeding + Lloyd
       // steps): the iters+1 full passes hit the cache instead of
       // replaying the synthesis lineage

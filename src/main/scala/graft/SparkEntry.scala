@@ -2076,6 +2076,65 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       spark.read.parquet(outDir).orderBy("doc_id")
+    }),
+    // STREAMING paragraph dedup: the q110 corpus split into even-id and
+    // odd-id halves staged as two mtime-ordered files (even first), so
+    // the file stream replays a deterministic two-batch arrival. Each
+    // batch runs the incremental election against the seen-paragraph-key
+    // state (anti-join moves only keys) and appends its reassembled
+    // documents; the oracle replays the same global election ordered by
+    // (batch = doc_id % 2, doc_id, pos).
+    "q123_stream_paragraph_dedup" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = spark.sql("""
+        SELECT doc_id,
+               concat('hdr', chr(10), 'p', CAST(doc_id % 7 AS STRING),
+                      chr(10), 'p', CAST(doc_id % 3 AS STRING)) AS text
+        FROM documents""")
+      val work = scratchDir("graft-q123-")
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      def stage(cond: org.apache.spark.sql.Column, name: String,
+          mtime: Long): Unit = {
+        val tmp = s"$work/stage_$name"
+        docs.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = inDir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val t0 = System.currentTimeMillis()
+      stage(col("doc_id") % 2 === 0, "a.parquet", t0 - 120000)
+      stage(col("doc_id") % 2 === 1, "b.parquet", t0)
+      val outDir = s"$work/out"
+      val seenDir = s"$work/seen"
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sess = batch.sparkSession
+          val seen =
+            if (new java.io.File(seenDir).exists())
+              Some(sess.read.parquet(seenDir))
+            else None
+          graft.operators.Dedup
+            .dedupParagraphsIncremental(batch, "doc_id", "text", seen = seen)
+            .write.mode("append").parquet(outDir)
+          graft.operators.Dedup.paragraphKeys(batch, "doc_id", "text")
+            .write.mode("append").parquet(seenDir)
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).orderBy("doc_id")
     }))
 
   // DuckDB replica of TextKernels.langId: CJK codepoint scan, then
@@ -2557,6 +2616,26 @@ object SparkEntry {
                          ey.embedding::DOUBLE[]) >= 0.30)
       SELECT a.vec_id, a.cluster FROM a LEFT JOIN d ON a.vec_id = d.dropid
       WHERE d.dropid IS NULL ORDER BY a.vec_id""",
+    // the streaming two-batch election replayed globally: even-id docs
+    // arrive first, so the keeper of each paragraph is the smallest
+    // (doc_id % 2, doc_id, pos)
+    "q123_stream_paragraph_dedup" -> """
+      WITH p AS (
+        SELECT doc_id, 0 AS pos, 'hdr' AS para FROM documents
+        UNION ALL
+        SELECT doc_id, 1, 'p' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+        UNION ALL
+        SELECT doc_id, 2, 'p' || CAST(doc_id % 3 AS VARCHAR) FROM documents),
+      r AS (SELECT doc_id, pos, para,
+              row_number() OVER (PARTITION BY para
+                ORDER BY doc_id % 2, doc_id, pos) AS rk
+            FROM p)
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN rk = 1 THEN para END, chr(10)
+               ORDER BY pos), '') AS text,
+             CAST(count(*) FILTER (WHERE rk = 1) AS INT) AS n_kept,
+             CAST(count(*) FILTER (WHERE rk != 1) AS INT) AS n_dropped
+      FROM r GROUP BY doc_id ORDER BY doc_id""",
     // keep-first-fingerprint across the whole (twice-staged) stream ≡
     // keep-lowest-doc_id per distinct text over the corpus
     "q121_stream_dedup" -> """

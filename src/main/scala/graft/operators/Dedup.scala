@@ -409,16 +409,45 @@ object Dedup {
     * the exact text instead (shuffles paragraph text once, keyed by it).
     */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", byText: Boolean = false): DataFrame =
+    dedupParagraphsIncremental(df, idCol, textCol, sep, byText, seen = None)
+
+  /** Election keys ([[dedupParagraphs]]' xxhash64, or raw text with
+    * `byText`) of every distinct non-empty paragraph in `df`, as one
+    * `pkey` column — the state a streaming / incremental caller carries
+    * between batches. */
+  def paragraphKeys(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", byText: Boolean = false): DataFrame = {
+    val parts = df
+      .select(posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
+      .where(length(col("para")) > 0)
+    val key = if (byText) col("para") else xxhash64(col("para"))
+    parts.select(key.as("pkey")).distinct()
+  }
+
+  /** [[dedupParagraphs]] against prior state: paragraphs whose election
+    * key appears in `seen` (a `pkey` column, from [[paragraphKeys]] of
+    * earlier batches) are dropped everywhere and the first-occurrence
+    * election runs only among the remainder — the incremental /
+    * streaming building block (q123). The anti-join moves only keys;
+    * everything else keeps the batch operator's shuffle shape. */
+  def dedupParagraphsIncremental(df: DataFrame, idCol: String,
+      textCol: String, sep: String = "\n", byText: Boolean = false,
+      seen: Option[DataFrame] = None): DataFrame = {
     val paras = split(col(textCol), sep)
     val parts = df
       .select(col(idCol).as("id"),
         posexplode(paras).as(Seq("pos", "para")))
       .where(length(col("para")) > 0)
     val key = if (byText) col("para") else xxhash64(col("para"))
+    val keyed = parts.select(key.as("__k"), struct(col("id"), col("pos")).as("__o"))
+    val fresh = seen match {
+      case Some(s) => keyed.join(s.select(col("pkey").as("__k")), Seq("__k"), "left_anti")
+      case None => keyed
+    }
     // first corpus occurrence of each distinct paragraph: min over the
     // (id, pos) struct — lexicographic, so smallest id then position
-    val winners = parts.select(key.as("__k"), struct(col("id"), col("pos")).as("__o"))
+    val winners = fresh
       .groupBy("__k").agg(min(col("__o")).as("__w"))
       .select(col("__w.id").as("id"), col("__w.pos").as("pos"))
     val keepSets = winners.groupBy("id")

@@ -67,40 +67,60 @@ object Bench {
       }
     }
 
-    // Criterion-like sampling (warm-up, then min of N): a single-shot
-    // artifact once recorded a phantom 2x regression when a load spike on
-    // the shared box landed on one query; min-of-N is robust to that.
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // Criterion-like sampling (warm-up, then min AND median of N): min is
+    // the steady-state capability number (robust to load spikes on the
+    // shared box — a single-shot artifact once recorded a phantom 2x
+    // regression); median quantifies the noise band so a round-over-round
+    // drift can be told apart from environment jitter (r9's +8% subset
+    // drift was uniform across every query — min alone couldn't prove it
+    // was noise).
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
 
-    def run(name: String): Double = {
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+
+    // (min, median) per query; (-1, -1) on failure
+    def run(name: String): (Double, Double) = {
       try {
         val df = stripSort(SparkEntry.queries(name)(spark, sfDir))
-        // one warm-up run (plan + codegen compile + JIT), then min of N
-        // measured runs
+        // one warm-up run (plan + codegen compile + JIT), then N measured
+        // runs
         df.write.format("noop").mode("overwrite").save()
         val times = (1 to iterations).map { _ =>
           val t0 = System.nanoTime()
           df.write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        times.min
+        (times.min, median(times))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
+        (-1.0, -1.0)
       }
     }
 
-    val results = headline.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // local-iteration subset (comma-separated prefixes); the driver
+    // leaves it unset and always measures the full headline list
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(ps => headline.filter(n => ps.exists(n.startsWith)))
+      .getOrElse(headline)
+    val results = selected.map(n => n -> run(n))
+    val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }.mkString("{", ",", "}")
+    val qsMed = results.map { case (k, (_, md)) => "\"" + k + "\":" + md }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val totalMed = results.map(_._2._2).filter(_ >= 0).sum
     // headline set grows across rounds; this subtotal covers the queries
     // benchmarked since round 5 so round-over-round totals stay comparable
     val r5Set = Set("q02_astext", "q07_intersects", "q11_buffer_bbox", "q14_extent",
       "q16_split", "q20_dedup_exact", "q23_jaccard_tokens", "q24_cosine_topk",
       "q28_minhash_lsh", "q32_events_hourly", "q33_ref_linestring_intersects",
       "q34_text_profile", "q48_asof_join", "q49_range_join")
-    val subtotal = results.collect { case (k, v) if r5Set(k) && v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_r5_subset":$subtotal,"queries":$qs,"sf":"$sfDir","iterations":$iterations,"timing":"min of $iterations runs after 1 warm-up"}""")
+    val subtotal = results.collect { case (k, (mn, _)) if r5Set(k) && mn >= 0 => mn }.sum
+    val subtotalMed = results.collect { case (k, (_, md)) if r5Set(k) && md >= 0 => md }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"total_r5_subset":$subtotal,"total_r5_subset_median":$subtotalMed,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","iterations":$iterations,"timing":"min and median of $iterations runs after 1 warm-up"}""")
     spark.stop()
   }
 }

@@ -1140,26 +1140,31 @@ object SparkEntry {
     // point at 15 chars and its cell always covers the input point
     "q104_mercator_tiles_geohash" -> q(s"""
       SELECT l_orderkey, l_linenumber,
-             ST_X(ST_Transform(pt, 3857)) AS merc_x,
-             ST_SRID(ST_Transform(pt, 3857)) AS merc_srid,
-             round(ST_X(ST_Transform(ST_Transform(pt, 3857), 4326)), 6) AS rt_lon,
-             round(ST_Y(ST_Transform(ST_Transform(pt, 3857), 4326)), 6) AS rt_lat,
+             ST_X(merc) AS merc_x,
+             ST_SRID(merc) AS merc_srid,
+             round(ST_X(rt), 6) AS rt_lon,
+             round(ST_Y(rt), 6) AS rt_lat,
              ST_XMin(tile) AS t_xmin, ST_YMax(tile) AS t_ymax,
              ST_SRID(tile) AS t_srid,
-             round(ST_X(ST_PointFromGeoHash(ST_GeoHash(pt, 15))), 6) AS gh_lon,
-             round(ST_Y(ST_PointFromGeoHash(ST_GeoHash(pt, 15))), 6) AS gh_lat,
-             ST_Intersects(ST_GeomFromGeoHash(ST_GeoHash(pt, 4)), pt) AS gh_covers,
-             ST_XMax(ST_GeomFromGeoHash(ST_GeoHash(pt, 4)))
-               - ST_XMin(ST_GeomFromGeoHash(ST_GeoHash(pt, 4))) AS gh_w
-      FROM (SELECT l_orderkey, l_linenumber,
-                   ST_GeomFromText('POINT(' || CAST(xi - 50 AS STRING) || ' '
-                     || CAST(yi - 40 AS STRING) || ')', 4326) AS pt,
-                   ST_TileEnvelope(3, CAST(xi % 8 AS INT),
-                     CAST((yi / 10) % 8 AS INT)) AS tile
-            FROM (SELECT l_orderkey, l_linenumber,
-                         CAST(l_orderkey % 100 AS INT) AS xi,
-                         CAST(l_linenumber * 10 AS INT) AS yi
-                  FROM lineitem))
+             round(ST_X(gh15p), 6) AS gh_lon,
+             round(ST_Y(gh15p), 6) AS gh_lat,
+             ST_Intersects(gh4g, pt) AS gh_covers,
+             ST_XMax(gh4g) - ST_XMin(gh4g) AS gh_w
+      FROM (SELECT l_orderkey, l_linenumber, pt, tile,
+                   ST_Transform(merc, 4326) AS rt, merc, gh15p, gh4g
+            FROM (SELECT l_orderkey, l_linenumber, pt, tile,
+                         ST_Transform(pt, 3857) AS merc,
+                         ST_PointFromGeoHash(ST_GeoHash(pt, 15)) AS gh15p,
+                         ST_GeomFromGeoHash(ST_GeoHash(pt, 4)) AS gh4g
+                  FROM (SELECT l_orderkey, l_linenumber,
+                               ST_GeomFromText('POINT(' || CAST(xi - 50 AS STRING)
+                                 || ' ' || CAST(yi - 40 AS STRING) || ')', 4326) AS pt,
+                               ST_TileEnvelope(3, CAST(xi % 8 AS INT),
+                                 CAST((yi / 10) % 8 AS INT)) AS tile
+                        FROM (SELECT l_orderkey, l_linenumber,
+                                     CAST(l_orderkey % 100 AS INT) AS xi,
+                                     CAST(l_linenumber * 10 AS INT) AS yi
+                              FROM lineitem))))
       ORDER BY l_orderkey, l_linenumber"""),
     // PostGIS ST_ClusterKMeans as a distributed operator: RNG-free
     // seeding (centroids of the 4 lowest ids in id order), exact-argmin

@@ -26,8 +26,16 @@ object Verify {
     // JVM with the error, never hang the harness on idle pool threads
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads,
       (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    // local-iteration subset: comma-separated query-name prefixes; the
+    // driver leaves it unset and always runs the full contract
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
     try {
-      val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val tasks = selected.toSeq.map { case (name, fn) =>
         pool.submit(new Runnable {
           override def run(): Unit =
             try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -51,7 +59,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracles = only match {
+      case Some(ps) => SparkEntry.oracleSql.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -25,13 +25,33 @@ object SparkEntry {
   private def prep(spark: SparkSession, dir: String): Unit = synchronized {
     if (lastPrep == (spark, dir)) return
     GeoFunctions.register(spark)
+    val target = spark.sparkContext.defaultParallelism
     tables.foreach { t =>
       val p = s"$dir/$t.parquet"
       // events carries TIMESTAMP(NANOS) — readable only with the
       // nanosAsLong conf; never let one bad table break every view.
       if (new java.io.File(p).exists())
-        try spark.read.parquet(p).createOrReplaceTempView(t)
-        catch { case e: Throwable =>
+        try {
+          var df = spark.read.parquet(p)
+          // Parquet splits only at row-group boundaries, and the synthetic
+          // testdata ships ONE row group per table — so without this every
+          // map-heavy stage over a fact table runs as a single task no
+          // matter how many cores the session has. At the 100 TB target
+          // the input arrives as thousands of files/row-groups and this
+          // branch never fires (scan parallelism >= cores); it exists to
+          // restore, on a degenerate single-row-group layout, the
+          // parallelism a production layout has natively. Dimension-sized
+          // files stay unsplit: a 32-way exchange of 5 rows is pure
+          // overhead.
+          // Hash-repartition on the lead (key) column rather than
+          // round-robin: same parallelism, but deterministic without the
+          // sort-before-repartition local sort round-robin needs for
+          // retry-safety, and column pruning still reaches the scan.
+          if (new java.io.File(p).length() > (256 << 10) &&
+              df.rdd.getNumPartitions < target)
+            df = df.repartition(target, org.apache.spark.sql.functions.col(df.columns.head))
+          df.createOrReplaceTempView(t)
+        } catch { case e: Throwable =>
           System.err.println(s"[prep] skip $t: ${e.getMessage}")
         }
     }

@@ -2062,9 +2062,13 @@ object SparkEntry {
     // the foreachBatch sink keeps the first fingerprint occurrence
     // across batches — per-batch min(doc_id) election (deterministic,
     // unlike raw dropDuplicates' arbitrary within-batch winner), then an
-    // anti-join against the already-written state. The second, 100%-
-    // duplicate batch must contribute zero rows; the final output equals
-    // the batch keep-lowest-id dedup the oracle replays.
+    // anti-join against CompactingKeyState (bounded per-batch state
+    // reads: one base + <= compactEvery deltas, compacted in place —
+    // never an ever-growing append dir). compactEvery=1 forces a
+    // compaction after every batch so the contract row exercises the
+    // rewrite path, not just the append path. The second, 100%-duplicate
+    // batch must contribute zero rows; the final output equals the batch
+    // keep-lowest-id dedup the oracle replays.
     "q121_stream_dedup" -> ((spark, dir) => {
       prep(spark, dir)
       import org.apache.spark.sql.functions._
@@ -2083,24 +2087,24 @@ object SparkEntry {
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir.toString)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
-      val outDir = s"$work/out"
+      val state = new graft.streaming.CompactingKeyState(spark,
+        s"$work/state", compactEvery = 1)
       val q = stream.writeStream
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$work/ck")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val sess = batch.sparkSession
           val winners = batch.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-          val fresh =
-            if (new java.io.File(outDir).exists())
-              winners.join(sess.read.parquet(outDir).select(col("fp")),
-                Seq("fp"), "left_anti")
-            else winners
-          fresh.select("doc_id", "fp").write.mode("append").parquet(outDir)
+          val fresh = state.read() match {
+            case Some(seen) =>
+              winners.join(seen.select(col("fp")), Seq("fp"), "left_anti")
+            case None => winners
+          }
+          state.append(fresh.select("doc_id", "fp"))
         }
         .start()
       q.awaitTermination()
-      spark.read.parquet(outDir).orderBy("doc_id")
+      state.read().get.select("doc_id", "fp").orderBy("doc_id")
     }),
     // STREAMING paragraph dedup: the q110 corpus split into even-id and
     // odd-id halves staged as two mtime-ordered files (even first), so
@@ -2137,7 +2141,12 @@ object SparkEntry {
       stage(col("doc_id") % 2 === 0, "a.parquet", t0 - 120000)
       stage(col("doc_id") % 2 === 1, "b.parquet", t0)
       val outDir = s"$work/out"
-      val seenDir = s"$work/seen"
+      // seen-paragraph-key state behind CompactingKeyState: per-batch
+      // reads stay at one base + <= compactEvery deltas forever
+      // (compactEvery=1 so the two-batch contract run exercises the
+      // compaction rewrite itself)
+      val state = new graft.streaming.CompactingKeyState(spark,
+        s"$work/seen", compactEvery = 1)
       val q = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir.toString)
@@ -2146,16 +2155,11 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$work/ck")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val sess = batch.sparkSession
-          val seen =
-            if (new java.io.File(seenDir).exists())
-              Some(sess.read.parquet(seenDir))
-            else None
           graft.operators.Dedup
-            .dedupParagraphsIncremental(batch, "doc_id", "text", seen = seen)
+            .dedupParagraphsIncremental(batch, "doc_id", "text",
+              seen = state.read())
             .write.mode("append").parquet(outDir)
-          graft.operators.Dedup.paragraphKeys(batch, "doc_id", "text")
-            .write.mode("append").parquet(seenDir)
+          state.append(graft.operators.Dedup.paragraphKeys(batch, "doc_id", "text"))
         }
         .start()
       q.awaitTermination()

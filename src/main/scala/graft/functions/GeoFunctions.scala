@@ -632,8 +632,10 @@ object GeoFunctions {
     c(VecLshProbes(Seq(x(a), x(nPlanes), x(seed), x(nProbe))))
   def vec_nearest_centroid(a: Column, centroids: Column): Column =
     c(VecNearestCentroid(x(a), x(centroids)))
+  /** The broadcast value carries (centroids, per-centroid L2 norms) —
+    * both computed once on the driver; see [[Ann.kmeansAssignBcast]]. */
   def vec_nearest_centroid_bcast(a: Column,
-      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]): Column =
+      bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Float]], Array[Double])]): Column =
     c(VecNearestCentroidBcast(x(a), bc))
   def grid_cells(g: Column, cellSize: Double, expand: Double): Column =
     c(GridCells(x(g), Literal(cellSize), Literal(expand)))

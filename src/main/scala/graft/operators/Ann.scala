@@ -111,6 +111,35 @@ object Ann {
         buf
       }
     require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+    lloydOnSample(sample, nlist, iters)
+  }
+
+  /** Deterministic-regardless-of-layout variant of [[trainCentroids]]:
+    * the training sample is the `maxSample` rows with the LOWEST
+    * xxhash64(seed, vector) — a content-keyed threshold sample
+    * (TakeOrdered, no full sort materialized), so identical input CONTENT
+    * yields identical centroids no matter how the DataFrame is
+    * partitioned. Use where downstream behavior must not move when an
+    * upstream repartition does (e.g. [[kmeansAssignTwoLevel]]'s coarse
+    * quantizer, whose cell boundaries decide which fine shards a row
+    * probes). Equal-hash ties at the sample boundary are the only
+    * residual layout sensitivity (64-bit collisions; negligible). */
+  def trainCentroidsDeterministic(corpus: DataFrame, nlist: Int,
+      iters: Int = 5, maxSample: Int = 20000, seed: Long = 42L,
+      vecCol: String = "embedding"): Array[Array[Float]] = {
+    val sample = corpus
+      .select(col(vecCol), xxhash64(lit(seed), col(vecCol)).as("__h"))
+      .orderBy(col("__h")).limit(maxSample)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+    lloydOnSample(sample, nlist, iters)
+  }
+
+  /** Shared driver-side Lloyd refinement over a collected sample:
+    * deterministic seeding (every (len/nlist)-th sample vector), cosine
+    * assignment, mean update. */
+  private def lloydOnSample(sample: Array[Array[Float]], nlist: Int,
+      iters: Int): Array[Array[Float]] = {
     var cents = Array.tabulate(nlist)(i => sample(i * (sample.length / nlist)).clone())
     for (_ <- 0 until iters) {
       val sums = Array.fill(nlist)(new Array[Double](cents(0).length))
@@ -236,8 +265,10 @@ object Ann {
     * inside task binaries or the plan. A folded literal re-ships k·dim
     * floats inside EVERY task's serialized plan (the SemDeDup recipe
     * k ~ n/1000 puts that at ~256 MB per task for a billion-vector
-    * corpus); the broadcast ships once per executor and the decoded
-    * codebook + norms are computed there exactly once. Same exact
+    * corpus); the broadcast ships once per executor, and the per-centroid
+    * norms are computed once on the DRIVER and ride inside the broadcast
+    * value — nothing codebook-sized is ever recomputed per task. Same
+    * exact
     * argmax-by-cosine arithmetic as [[kmeansAssign]] → bit-identical
     * results. Practical k moves from ~10⁴ to broadcast/driver-memory
     * bounded ~10⁶·dim; per-row cost is still the exact k·dim scan —
@@ -257,68 +288,102 @@ object Ann {
       require(cents(cid) == null, s"duplicate cluster id $cid")
       cents(cid) = r.getSeq[Float](1).toArray
     }
-    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    // norms computed once HERE on the driver and shipped inside the
+    // broadcast value — a lazy val on the expression would rerun them per
+    // task (expressions are deserialized per task, not per executor)
+    val norms = cents.map { cent =>
+      var nb = 0.0
+      var i = 0
+      while (i < cent.length) { val y = cent(i).toDouble; nb += y * y; i += 1 }
+      math.sqrt(nb)
+    }
+    val bc = corpus.sparkSession.sparkContext.broadcast((cents, norms))
     corpus.select(col(idCol), col(vecCol),
       vec_nearest_centroid_bcast(col(vecCol), bc).as("cluster"))
   }
 
   /** Two-level coarse/fine assignment for k beyond even broadcast reach
     * (or to cut the flat k·dim per-row scan): the centroid SET is itself
-    * quantized into `coarseK` cells ([[trainCentroids]] over the
-    * centroid DataFrame — driver state is coarseK·dim floats, never k);
-    * each corpus row scores the small coarse codebook map-only, probes
-    * its `nProbe` best cells, and runs the exact argmax only inside the
-    * probed cells' fine-centroid shards — a cell-keyed shuffle join, so
-    * the fine centroids are PARTITIONED across the cluster instead of
-    * broadcast or folded anywhere. Per-row cost drops from k·dim to
+    * quantized into `coarseK` cells ([[trainCentroidsDeterministic]] over
+    * the centroid DataFrame — driver state is coarseK·dim floats, never
+    * k, and the cell boundaries depend only on centroid CONTENT, not on
+    * how the centroid DataFrame happens to be partitioned); each corpus
+    * row scores the small coarse codebook map-only, probes its `nProbe`
+    * best cells, and runs the exact argmax only inside the probed cells'
+    * fine-centroid shards — a cell-keyed shuffle join, so the fine
+    * centroids are PARTITIONED across the cluster instead of broadcast
+    * or folded anywhere. Per-row cost drops from k·dim to
     * (coarseK + nProbe·k/coarseK)·dim.
     *
+    * Shuffle shape: the corpus vector travels nProbe× into the cell join
+    * (inherent to probing), but the post-join argmax moves only
+    * (id, cos, cluster) — vectors never ride through the aggregation.
+    * With `keepVec` (the default, matching [[kmeansAssign]]'s output
+    * shape) the vector is re-attached by an id-keyed join, one more 1×
+    * vector shuffle; pass keepVec = false when the caller only needs
+    * (id, cluster) and no vector leaves the cell join at all.
+    *
+    * No row is ever dropped: rows probe the nProbe best NON-EMPTY cells
+    * (the occupied-cell list is collected to the driver — at most coarseK
+    * ints), so every probed shard exists and the id-keyed plan retains
+    * every corpus row.
+    *
     * APPROXIMATE: exact iff the true nearest fine centroid lies in a
-    * probed cell (guaranteed when nProbe = coarseK, which a spec pins
-    * against [[kmeansAssignBcast]]); recall rises with nProbe exactly
-    * like IVF search. Rows are retained as long as ≥ 1 probed cell is
-    * non-empty (with the coarse codebook trained on the centroids
-    * themselves, empty cells are rare; raise nProbe if paranoid).
-    * Tie-breaks match the flat kernel: highest cosine, then lowest
-    * cluster id. */
+    * probed cell (guaranteed when nProbe covers every occupied cell,
+    * which a spec pins against [[kmeansAssignBcast]]); recall rises with
+    * nProbe exactly like IVF search. `coarseK` is clamped to the fine
+    * centroid count (a tiny k degenerates to one-cell = flat assignment)
+    * and to 4096 (driver/task codebook bound). Tie-breaks match the flat
+    * kernel: highest cosine, then lowest cluster id. */
   def kmeansAssignTwoLevel(corpus: DataFrame, centroids: DataFrame,
       coarseK: Int = 64, nProbe: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       clusterCol: String = "cluster", cvCol: String = "cv",
-      seed: Long = 42L): DataFrame = {
-    val coarse = trainCentroids(centroids, math.min(coarseK, 4096),
+      seed: Long = 42L, keepVec: Boolean = true): DataFrame = {
+    val kFine = centroids.count()
+    require(kFine > 0, "centroids DataFrame is empty")
+    val coarseKeff = math.min(math.min(coarseK.toLong, 4096L), kFine).toInt
+    val coarse = trainCentroidsDeterministic(centroids, coarseKeff,
       vecCol = cvCol, seed = seed)
     val fine = centroids.select(col(clusterCol).cast("int").as("__fc"),
       col(cvCol).as("__fv"))
     // shard the fine centroids by coarse cell, packed in cluster-id order
     // so the in-cell argmax tie-breaks to the lowest id
-    val packed = kmeansAssign(fine, coarse, "__fc", "__fv")
+    val cellOf = kmeansAssign(fine, coarse, "__fc", "__fv")
       .withColumnRenamed("cluster", "__cell")
+    val packed = cellOf
       .groupBy("__cell")
       .agg(array_sort(collect_list(struct(col("__fc"), col("__fv")))).as("__p"))
       .select(col("__cell"),
         transform(col("__p"), s => s.getField("__fv")).as("__cents"),
         transform(col("__p"), s => s.getField("__fc")).as("__ids"))
-    val probeN = math.min(nProbe, coarse.length)
+    // occupied cells only: probing an empty cell would silently drop the
+    // row at the inner cell join — restricting the probe universe to
+    // cells that actually hold fine centroids makes row loss impossible
+    // (one extra pass over the CENTROID table, never the corpus)
+    val usedCells = cellOf.select("__cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val probeN = math.min(nProbe, usedCells.length)
     val probes = corpus
-      .withColumn("__scored", array(coarse.indices.map { i =>
+      .withColumn("__scored", array(usedCells.map { i =>
         struct(vec_cosine(col(vecCol), typedLit(coarse(i).toSeq)).as("s"),
           lit(i).as("cell"))
-      }: _*))
+      }.toSeq: _*))
       .withColumn("__probe",
         explode(slice(reverse(array_sort(col("__scored"))), 1, probeN)))
       .select(col(idCol), col(vecCol), col("__probe.cell").as("__cell"))
     val local = probes.join(packed, Seq("__cell"))
       .withColumn("__li", vec_nearest_centroid(col(vecCol), col("__cents")))
-      .select(col(idCol), col(vecCol),
+      .select(col(idCol),
         vec_cosine(col(vecCol), element_at(col("__cents"), col("__li") + 1))
           .as("__cos"),
         element_at(col("__ids"), col("__li") + 1).as("__cl"))
-    local.groupBy(idCol)
-      .agg(first(col(vecCol)).as(vecCol),
-        max(struct(col("__cos"), (-col("__cl")).as("n"))).as("__best"))
-      .select(col(idCol), col(vecCol),
-        (-col("__best.n")).cast("int").as("cluster"))
+    val assign = local.groupBy(idCol)
+      .agg(max(struct(col("__cos"), (-col("__cl")).as("n"))).as("__best"))
+      .select(col(idCol), (-col("__best.n")).cast("int").as("cluster"))
+    if (keepVec)
+      corpus.select(col(idCol), col(vecCol)).join(assign, Seq(idCol))
+    else assign
   }
 
   /** One distributed Lloyd refinement over the FULL corpus (unlike

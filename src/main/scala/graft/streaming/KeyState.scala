@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-batch dedup state for `foreachBatch` pipelines, with BOUNDED
+  * per-batch reads.
+  *
+  * The naive pattern (q121's first shape) appends each batch's fresh
+  * keys to one parquet directory and re-reads ALL of it every batch —
+  * the read side grows O(#batches) in file count and never compacts.
+  * This store keeps the state as one compacted BASE dataset plus at
+  * most `compactEvery` per-batch DELTA datasets:
+  *
+  *  - [[append]] writes the batch's keys as one new delta; when the
+  *    delta count reaches `compactEvery`, base + deltas are rewritten
+  *    into a fresh single base (distinct'd) and the olds are removed —
+  *    so every batch reads at most 1 + compactEvery datasets no matter
+  *    how long the stream has run.
+  *  - [[read]] returns the current state as a DataFrame (None while
+  *    empty) — the anti-join side of a streaming dedup.
+  *
+  * Content semantics are a grow-only SET of rows: compaction unions and
+  * `distinct`s, so replaying an append (a foreachBatch retry) or a
+  * crash between compaction steps cannot corrupt state — rename-
+  * before-delete means a reader always sees a complete base, the
+  * newest base supersedes older ones, and re-compacting a stale delta
+  * is a no-op under set union. Single-writer is assumed (micro-batches
+  * of one query are sequential; that is the foreachBatch contract).
+  *
+  * Scale: state I/O is distributed parquet — no driver materialization
+  * at any size; compaction cost is one distinct over the state, every
+  * `compactEvery` batches. For key-range-sharded state (compact shards
+  * independently), partition the stored keys by range at write time —
+  * the base/delta scheme composes with any layout inside the dataset.
+  */
+final class CompactingKeyState(spark: SparkSession, path: String,
+    compactEvery: Int = 8) {
+  require(compactEvery >= 1, s"compactEvery must be >= 1 (got $compactEvery)")
+
+  private val root = new Path(path)
+  private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def list(prefix: String): Seq[Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+
+  private def gen(p: Path): Long = p.getName.dropWhile(!_.isDigit) match {
+    case "" => 0L
+    case s => s.toLong
+  }
+
+  /** Dataset directories a read must visit: newest base (older bases are
+    * supersets-in-progress left by an interrupted compaction) + all
+    * deltas. */
+  private def liveDirs(): Seq[Path] = {
+    val bases = list("base-")
+    val newestBase = if (bases.isEmpty) Seq.empty else Seq(bases.maxBy(gen))
+    newestBase ++ list("delta-")
+  }
+
+  /** Number of datasets a read visits right now (spec hook: stays
+    * <= 1 + compactEvery). */
+  def datasetCount: Int = liveDirs().size
+
+  /** Current state content, None while empty. */
+  def read(): Option[DataFrame] = {
+    val dirs = liveDirs()
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.toString): _*))
+  }
+
+  /** Add a batch's key set; triggers compaction when the delta count
+    * reaches `compactEvery`. */
+  def append(keys: DataFrame): Unit = {
+    val n = (list("delta-") ++ list("base-")).map(gen).maxOption.getOrElse(0L) + 1
+    keys.distinct().write.parquet(new Path(root, s"delta-$n").toString)
+    if (list("delta-").size >= compactEvery) compact()
+  }
+
+  /** Fold base + deltas into one fresh base. Rename-before-delete: the
+    * consolidated tmp becomes the newest base FIRST, so a failure at any
+    * step leaves a readable, content-complete state (at worst with
+    * redundant olds that the next compaction removes). */
+  private def compact(): Unit = {
+    val olds = liveDirs()
+    val nextGen = olds.map(gen).max + 1
+    val tmp = new Path(root, s"tmp-$nextGen")
+    spark.read.parquet(olds.map(_.toString): _*).distinct()
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(tmp, new Path(root, s"base-$nextGen")),
+      s"state compaction rename failed: $tmp")
+    olds.foreach(p => fs.delete(p, true))
+  }
+}

@@ -169,17 +169,20 @@ case class VecNearestCentroid(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
-/** vec_nearest_centroid over a BROADCAST codebook: the centroid payload
-  * ships once per executor through the torrent broadcast (never inside
-  * task binaries or the plan), and the per-centroid norms are computed
-  * lazily once per executor. Same exact argmax as [[VecNearestCentroid]]
-  * — [[VecKernels.nearestCentroidDirect]] preserves cosineF's
+/** vec_nearest_centroid over a BROADCAST codebook: the (centroids,
+  * per-centroid norms) payload is computed ONCE on the driver and ships
+  * once per executor through the torrent broadcast (never inside task
+  * binaries or the plan) — norms ride inside the broadcast value, so no
+  * per-task recomputation (an expression instance is deserialized per
+  * task; anything lazily derived on it reruns per task, not per
+  * executor). Same exact argmax as [[VecNearestCentroid]] —
+  * [[VecKernels.nearestCentroidDirect]] preserves cosineF's
   * accumulation order, so results are bit-identical to the literal
   * path. CodegenFallback is deliberate: the k·dim scan inside the
   * kernel dwarfs the one virtual call per row, and the broadcast handle
   * cannot ride through codegen'd literals anyway. */
 case class VecNearestCentroidBcast(child: Expression,
-    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]])
+    bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Float]], Array[Double])])
     extends UnaryExpression with GeoExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     with ImplicitCastInputTypes {
@@ -188,14 +191,8 @@ case class VecNearestCentroidBcast(child: Expression,
   override def prettyName: String = "vec_nearest_centroid_bcast"
   // a broadcast handle is never foldable, whatever the child says
   override def foldable: Boolean = false
-  @transient private lazy val norms: Array[Double] = bc.value.map { cent =>
-    var nb = 0.0
-    var i = 0
-    while (i < cent.length) { val y = cent(i).toDouble; nb += y * y; i += 1 }
-    math.sqrt(nb)
-  }
   override protected def nullSafeEval(v: Any): Any =
-    VecKernels.nearestCentroidDirect(v.asInstanceOf[ArrayData], bc.value, norms)
+    VecKernels.nearestCentroidDirect(v.asInstanceOf[ArrayData], bc.value._1, bc.value._2)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

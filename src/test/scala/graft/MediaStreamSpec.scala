@@ -317,6 +317,36 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == Set(1L, 4L))
   }
 
+  test("CompactingKeyState: bounded reads over many batches, union content, dedup wiring") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-keystate-").toString
+    val compactEvery = 2
+    val state = new graft.streaming.CompactingKeyState(spark, dir, compactEvery)
+    assert(state.read().isEmpty)
+    // six micro-batches with overlapping keys; after every append the
+    // read side must touch at most 1 base + compactEvery deltas no
+    // matter how many batches have run (the naive append dir reads
+    // O(batches) datasets by batch six)
+    val batches = Seq(Seq(1L, 2L, 3L), Seq(3L, 4L), Seq(5L, 1L),
+      Seq(6L), Seq(7L, 4L), Seq(8L, 2L))
+    var expected = Set.empty[Long]
+    batches.foreach { b =>
+      // the streaming-dedup wiring: only keys unseen so far get appended
+      val keys = b.toDF("pkey")
+      val fresh = state.read() match {
+        case Some(s) => keys.join(s, Seq("pkey"), "left_anti")
+        case None => keys
+      }
+      state.append(fresh)
+      expected ++= b
+      assert(state.datasetCount <= 1 + compactEvery,
+        s"state reads unbounded: ${state.datasetCount} datasets")
+      assert(state.read().get.collect().map(_.getLong(0)).toSet == expected)
+    }
+    // compaction must have collapsed history at least once by batch 6
+    assert(state.datasetCount < batches.length)
+  }
+
   test("session state stays watermark-bounded over a 1M-event stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

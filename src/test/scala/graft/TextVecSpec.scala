@@ -623,6 +623,42 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agree >= 210, s"two-level agreement too low: $agree/300")
   }
 
+  test("kmeansAssignTwoLevel: layout-independent, keepVec=false, coarseK>k clamp") {
+    import spark.implicits._
+    val emb = (0L until 120L).map { i =>
+      (i, Seq.tabulate(6)(d => (((i * 19 + d * 7) % 17) - 8).toFloat / 8f))
+    }.toDF("vec_id", "embedding")
+    val centRows = (0 until 25).map { c =>
+      (c, Seq.tabulate(6)(d => (((c * 11 + d * 5) % 13) - 6).toFloat / 6f))
+    }
+    val centA = spark.createDataFrame(centRows).toDF("cluster", "cv").repartition(1)
+    // same CONTENT, radically different layout: reversed row order, 7
+    // hash partitions — the coarse quantizer must not move
+    val centB = spark.createDataFrame(centRows.reverse).toDF("cluster", "cv")
+      .repartition(7, org.apache.spark.sql.functions.col("cluster"))
+    def assign(cents: org.apache.spark.sql.DataFrame) = graft.operators.Ann
+      .kmeansAssignTwoLevel(emb, cents, coarseK = 5, nProbe = 2)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSeq.sorted
+    assert(assign(centA) == assign(centB))
+    // keepVec=false: only (id, cluster) travels; same assignment
+    val slim = graft.operators.Ann
+      .kmeansAssignTwoLevel(emb, centA, coarseK = 5, nProbe = 2, keepVec = false)
+    assert(slim.columns.toSeq == Seq("vec_id", "cluster"))
+    assert(slim.collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq.sorted
+      == assign(centA))
+    // coarseK far above the centroid count clamps to a degenerate
+    // one-cell-per-centroid layout and still matches the flat argmax
+    val exact = graft.operators.Ann.kmeansAssignBcast(emb, centA)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val clamped = graft.operators.Ann
+      .kmeansAssignTwoLevel(emb, centA, coarseK = 64, nProbe = 64)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(clamped == exact)
+  }
+
   test("bigramCrossEntropy: corpus-model probabilities, short docs drop") {
     import spark.implicits._
     val docs = Seq(

@@ -31,6 +31,24 @@ object ScaleSmoke {
       r
     }
 
+    // running total of shuffle bytes written, for logging each heavy
+    // operator's data-movement footprint next to its walltime
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def withShuffle[T](name: String)(f: => T): T = {
+      Thread.sleep(500) // drain in-flight listener events
+      val b0 = shuffleBytes.get()
+      val r = time(name)(f)
+      Thread.sleep(500)
+      println(f"[scale]   shuffle written during '$name': ${(shuffleBytes.get() - b0) / 1e6}%.1f MB")
+      r
+    }
+
     // ---- text: 100k docs (20 jittered copies of the 5k sf0.1 corpus) ----
     val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")
@@ -55,6 +73,24 @@ object ScaleSmoke {
       Dedup.exact(docs, "doc_id", "text").count()
     }
     println(s"[scale]   distinct texts: $exact")
+
+    // ---- paragraph dedup over the expanded corpus: the 20 jittered
+    // copies share most sentences, so cross-document paragraph overlap is
+    // massive — exactly the CCNet regime. Hash-keyed election shuffles
+    // (hash, id, pos) only; byText shuffles the paragraph text itself.
+    // n_kept+n_dropped must reassemble every paragraph of every doc.
+    val paraDocs = docs.select(col("doc_id"),
+      regexp_replace(col("text"), "\\. ", ".\n").as("text")).cache()
+    paraDocs.count()
+    for (byText <- Seq(false, true)) {
+      val label = if (byText) "byText" else "hashed"
+      val pd = withShuffle(s"dedupParagraphs 100k docs ($label)") {
+        val out = Dedup.dedupParagraphs(paraDocs, "doc_id", "text", byText = byText)
+        out.agg(sum(col("n_kept")), sum(col("n_dropped")), count(lit(1))).collect()(0)
+      }
+      println(s"[scale]   $label kept=${pd.getLong(0)} dropped=${pd.getLong(1)} rows=${pd.getLong(2)}")
+    }
+    paraDocs.unpersist()
 
     // ---- spatial: 6M points vs 5 regions ----
     val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
@@ -244,11 +280,13 @@ object ScaleSmoke {
       // two-level coarse/fine: fine centroids sharded by a 32-cell coarse
       // codebook, 4 probes — per-row cost (32 + 4·~31)·dim vs 1000·dim
       // flat; approximate by design, so report agreement instead of
-      // asserting equality
+      // asserting equality. keepVec=false: only (id, cos, cluster)
+      // leaves the cell join — the shuffle log below shows the vector-
+      // free aggregation footprint.
       val twoLevel = Ann.kmeansAssignTwoLevel(bigVecs, centDF,
-          coarseK = 32, nProbe = 4)
+          coarseK = 32, nProbe = 4, keepVec = false)
         .select(col("vec_id"), col("cluster").as("cl2")).cache()
-      val n2 = time("kmeansAssignTwoLevel 1.25M x k=1000 (coarse=32, probe=4)") {
+      val n2 = withShuffle("kmeansAssignTwoLevel 1.25M x k=1000 (coarse=32, probe=4, keepVec=false)") {
         twoLevel.count()
       }
       val agree = Ann.kmeansAssignBcast(bigVecs, centDF)

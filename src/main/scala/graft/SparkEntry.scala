@@ -28,8 +28,10 @@ object SparkEntry {
     val target = spark.sparkContext.defaultParallelism
     tables.foreach { t =>
       val p = s"$dir/$t.parquet"
-      // events carries TIMESTAMP(NANOS) — readable only with the
-      // nanosAsLong conf; never let one bad table break every view.
+      // defensive per-table try: never let one bad table break every
+      // view (earlier testdata generations shipped events.ts as
+      // TIMESTAMP(NANOS), unreadable without nanosAsLong; it is now
+      // TIMESTAMP(MICROS)/NTZ, but the conf stays set for robustness)
       if (new java.io.File(p).exists())
         try {
           var df = spark.read.parquet(p)
@@ -88,6 +90,38 @@ object SparkEntry {
   private val OY = "CAST(l_linenumber * 10 AS DOUBLE)"
   private val OPXS = "CAST(l_orderkey % 100 AS VARCHAR)"
   private val OPYS = "CAST(l_linenumber * 10 AS VARCHAR)"
+
+  /** SemDeDup oracle shared by q119 (literal centroid transport) and
+    * q124 (broadcast transport): k=8 rank-ordered centroids, argmax by
+    * cosine (ties to the lowest cluster), drop any row whose same-cluster
+    * lower-id sibling reaches cosine 0.30. */
+  private val SEMANTIC_DEDUP_ORACLE = """
+      WITH c AS (SELECT embedding::DOUBLE[] AS cv,
+                        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+                 FROM embeddings ORDER BY vec_id LIMIT 8),
+           s AS (SELECT e.vec_id, c.cluster,
+                        list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cos
+                 FROM embeddings e CROSS JOIN c),
+           a AS (SELECT vec_id, cluster FROM (
+                   SELECT vec_id, cluster, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rk FROM s)
+                 WHERE rk = 1),
+           d AS (SELECT DISTINCT y.vec_id AS dropid
+                 FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                 JOIN embeddings ex ON ex.vec_id = x.vec_id
+                 JOIN embeddings ey ON ey.vec_id = y.vec_id
+                 WHERE list_cosine_similarity(ex.embedding::DOUBLE[],
+                         ey.embedding::DOUBLE[]) >= 0.30)
+      SELECT a.vec_id, a.cluster FROM a LEFT JOIN d ON a.vec_id = d.dropid
+      WHERE d.dropid IS NULL ORDER BY a.vec_id"""
+
+  /** events.ts is TIMESTAMP(MICROS), surfaced by Spark as TIMESTAMP_NTZ.
+    * Microseconds-since-epoch via wall-clock NTZ arithmetic — no
+    * NTZ→LTZ cast, so the value is identical under ANY session
+    * timezone (Bench doesn't pin one) and matches the DuckDB oracle's
+    * `epoch_us(ts)` on the same naive timestamps bit-for-bit. */
+  private val TS_US =
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -361,6 +395,46 @@ object SparkEntry {
         .select(col("n_exact"),
           (col("n_hit") >= col("n_exact") * 0.6).as("recall_ok"))
     }),
+    // IVF index PERSISTED round trip: build, write partitioned by
+    // inverted list, read back, search — disk must reproduce the
+    // in-memory result row-for-row (n_match == n_mem == 15). The prune
+    // check is BEHAVIORAL: every parquet file in a list= partition the
+    // single-query search does NOT probe is overwritten with garbage;
+    // ivfSearch's static probed-list partition filter must keep the scan
+    // out of that directory entirely, so the search still succeeds —
+    // if the scan listed or read the unprobed partition it would throw.
+    "q125_ann_ivf_persisted" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      val built = graft.operators.Ann.buildIvf(emb, nlist = 8)
+      val idxDir = scratchDir("graft_ivf_")
+      graft.operators.Ann.writeIvfIndex(built, idxDir)
+      val loaded = graft.operators.Ann.readIvfIndex(spark, idxDir)
+      val mem = graft.operators.Ann.ivfSearch(built, queries, k = 3, nProbe = 4)
+      val disk = graft.operators.Ann.ivfSearch(loaded, queries, k = 3, nProbe = 4)
+      // materialize BEFORE corrupting the unprobed partition below
+      val nMem = mem.count()
+      val nMatch = mem.join(disk, Seq("qid", "nid", "rnk")).count()
+      val q1 = emb.where(col("vec_id") < 1)
+      val probed = graft.operators.Ann.probedLists(loaded, q1, nProbe = 2).toSet
+      val unprobed = (0 until 8).filterNot(probed.contains)
+      val pruneOk = unprobed.nonEmpty && {
+        unprobed.foreach { bad =>
+          val d = new java.io.File(s"$idxDir/list=$bad")
+          Option(d.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach(f => java.nio.file.Files.write(f.toPath,
+              "not a parquet file".getBytes))
+        }
+        try graft.operators.Ann.ivfSearch(loaded, q1, k = 3, nProbe = 2)
+          .count() == 3L
+        catch { case _: Throwable => false }
+      }
+      import spark.implicits._
+      Seq((nMem, nMatch, pruneOk)).toDF("n_mem", "n_match", "prune_ok")
+    }),
     // the reference's own criterion benchmark query, on its i-ramp
     // linestring fixture (benches/geo_lib.rs:22, util.rs:29-38): row i →
     // LINESTRING(i i+1, i+2 i+3, i+4 i+5), constant probe POINT(10 11).
@@ -482,11 +556,11 @@ object SparkEntry {
           lit(hit < total).as("pruned_some"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
-    // events.ts is TIMESTAMP(NANOS) read as LONG nanos (nanosAsLong):
     // tumbling-window aggregation in its batch form (the streaming module
-    // exposes the same shape over readStream).
-    "q32_events_hourly" -> q("""
-      SELECT event_type, ts div 3600000000000 AS hour_bucket,
+    // exposes the same shape over readStream); hour bucket from the
+    // timezone-free micros expression
+    "q32_events_hourly" -> q(s"""
+      SELECT event_type, $TS_US div 3600000000 AS hour_bucket,
              count(*) AS n, min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY event_type, hour_bucket
       ORDER BY event_type, hour_bucket"""),
@@ -497,15 +571,14 @@ object SparkEntry {
     "q48_asof_join" -> ((spark, dir) => {
       prep(spark, dir)
       import org.apache.spark.sql.functions._
-      // DuckDB reads the NANOS timestamps at microsecond precision, so the
-      // oracle can only see micros — run the join on the truncated column
-      // (semantics then match bit-for-bit, not just approximately)
+      // micros-since-epoch on both sides (TS_US here, epoch_us in the
+      // oracle) — native precision of the TIMESTAMP(MICROS) column, so
+      // the join semantics match bit-for-bit
       val e = spark.table("events")
-        .withColumn("tsu", expr("ts div 1000"))
+        .withColumn("tsu", expr(TS_US))
       val purchases = e.where(col("event_type") === "purchase")
         .select("event_id", "user_id", "tsu")
-      // micro-truncation can collapse two nano-distinct views onto one
-      // (user, tsu); dedup to max(view_id) per instant on BOTH sides so
+      // dedup views to max(view_id) per (user, instant) on BOTH sides so
       // the matched identity stays deterministic under any fixture
       val views = e.where(col("event_type") === "view")
         .groupBy(col("user_id"), col("tsu"))
@@ -538,7 +611,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       // microsecond timestamps for the same reason as q48
       val e = spark.table("events").select(col("user_id"),
-        expr("ts div 1000").as("tsu"))
+        expr(TS_US).as("tsu"))
       graft.operators.Sessionize
         .sessionStats(e, "user_id", "tsu", gap = 1800000000L)
         .withColumnsRenamed(Map("start_ts" -> "start_us", "end_ts" -> "end_us"))
@@ -554,7 +627,7 @@ object SparkEntry {
       // sensitive (DuckDB aggregates frames via a segment tree), so the
       // summed quantity must be exact
       val e = spark.table("events").select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("tsu"),
+        expr(TS_US).as("tsu"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       graft.operators.Sessionize
         .trailingWindowStats(e, "user_id", "tsu", lookback = 3600000000L,
@@ -927,6 +1000,21 @@ object SparkEntry {
       val cents = emb.orderBy("vec_id").limit(8)
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)
       graft.operators.Ann.semanticDedup(emb, cents, 0.30)
+        .select("vec_id", "cluster").orderBy("vec_id")
+    }),
+    // the FULL broadcast-path SemDeDup end-to-end (assignment through the
+    // torrent-broadcast codebook + cluster-keyed duplicate scan + id-keyed
+    // anti-join) on the q119 fixture — same oracle as q119, so the two
+    // assignment transports must agree on every kept row
+    "q124_semantic_dedup_bcast" -> ((spark, dir) => {
+      prep(spark, dir)
+      val emb = spark.table("embeddings")
+      val cents = emb.orderBy("vec_id").limit(8)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val centDF = spark.createDataFrame(
+        cents.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+        .toDF("cluster", "cv")
+      graft.operators.Ann.semanticDedupBcast(emb, centDF, 0.30)
         .select("vec_id", "cluster").orderBy("vec_id")
     }),
     // LARGE-k assignment: k = 2n deterministic centroids (every embedding
@@ -1983,9 +2071,9 @@ object SparkEntry {
         inDir.resolve("events.parquet"))
       def src = spark.readStream.schema(schema).parquet(inDir.toString)
       val left = src.select(col("event_id").as("lid"), col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("lts"))
+        timestamp_micros(expr(TS_US)).as("lts"))
       val right = src.select(col("event_id").as("rid"), col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("rts"))
+        timestamp_micros(expr(TS_US)).as("rts"))
       val joined = graft.streaming.StreamOps.intervalJoinStreams(
           left, "lts", right, "rts", "user_id",
           lookback = "0 seconds", lookahead = "30 minutes")
@@ -2028,9 +2116,10 @@ object SparkEntry {
       val stream = spark.readStream.schema(schema)
         .parquet(inDir.toString)
         .select(col("user_id"),
-          // nanos → micros → TimestampType (session_window needs a
-          // timestamp; micros keep the driver compare integral)
-          timestamp_micros(expr("ts div 1000")).as("tsm"))
+          // NTZ micros → TimestampType via the tz-free long
+          // (session_window needs a timestamp; micros keep the driver
+          // compare integral)
+          timestamp_micros(expr(TS_US)).as("tsm"))
       val sess = graft.streaming.StreamOps
         .sessionWindows(stream, "tsm", "user_id", "30 minutes")
       val outDir = s"$work/out"
@@ -2435,7 +2524,7 @@ object SparkEntry {
       SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
       FROM events ORDER BY event_id""",
     "q32_events_hourly" -> """
-      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
              count(*) AS n, min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY event_type, hour_bucket
       ORDER BY event_type, hour_bucket""",
@@ -2626,25 +2715,16 @@ object SparkEntry {
       FROM r WHERE rk = 1 ORDER BY vec_id""",
     // q75's centroid/assignment CTE, then the SemDeDup within-cluster
     // pair scan and keep-lowest-id anti-join
-    "q119_semantic_dedup" -> """
-      WITH c AS (SELECT embedding::DOUBLE[] AS cv,
-                        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
-                 FROM embeddings ORDER BY vec_id LIMIT 8),
-           s AS (SELECT e.vec_id, c.cluster,
-                        list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cos
-                 FROM embeddings e CROSS JOIN c),
-           a AS (SELECT vec_id, cluster FROM (
-                   SELECT vec_id, cluster, row_number() OVER (
-                     PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rk FROM s)
-                 WHERE rk = 1),
-           d AS (SELECT DISTINCT y.vec_id AS dropid
-                 FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-                 JOIN embeddings ex ON ex.vec_id = x.vec_id
-                 JOIN embeddings ey ON ey.vec_id = y.vec_id
-                 WHERE list_cosine_similarity(ex.embedding::DOUBLE[],
-                         ey.embedding::DOUBLE[]) >= 0.30)
-      SELECT a.vec_id, a.cluster FROM a LEFT JOIN d ON a.vec_id = d.dropid
-      WHERE d.dropid IS NULL ORDER BY a.vec_id""",
+    "q119_semantic_dedup" -> SEMANTIC_DEDUP_ORACLE,
+    // bit-identical assignment transport (q120 pins it), so the
+    // broadcast-path dedup must reproduce q119's oracle exactly
+    "q124_semantic_dedup_bcast" -> SEMANTIC_DEDUP_ORACLE,
+    // calibrated constants, q35-style: 5 queries x k=3 on both paths,
+    // every (qid, nid, rnk) row agreeing, and the corrupted-unprobed-
+    // partition read surviving (static partition pruning worked)
+    "q125_ann_ivf_persisted" -> """
+      SELECT CAST(15 AS BIGINT) AS n_mem, CAST(15 AS BIGINT) AS n_match,
+             true AS prune_ok""",
     // the streaming two-batch election replayed globally: even-id docs
     // arrive first, so the keeper of each paragraph is the smallest
     // (doc_id % 2, doc_id, pos)

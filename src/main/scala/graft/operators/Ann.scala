@@ -213,22 +213,48 @@ object Ann {
     IvfIndex(cents, spark.read.parquet(path))
   }
 
-  /** Search a built index: each query scores the centroid literals (tiny,
-    * driver-free), probes its `nProbe` best lists, and exact cosine ranks
-    * within the probed candidates. On a [[readIvfIndex]]-loaded index the
-    * `list` filter prunes to the probed partition directories. */
-  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+  /** Per-query probe assignments: each query scores the centroid
+    * literals (tiny, driver-free) and explodes into its `nProbe` best
+    * (qid, qv, list) rows. */
+  private def probeAssignments(index: IvfIndex, queries: DataFrame,
+      nProbe: Int): DataFrame = {
     val cents = index.centroids
     val nlist = cents.length
-    val q = broadcast(queries
+    queries
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("scored", array((0 until nlist).map { i =>
         struct(vec_cosine(col("qv"), typedLit(cents(i).toSeq)).as("s"), lit(i).as("list"))
       }: _*))
       .withColumn("probe", slice(reverse(array_sort(col("scored"))), 1, nProbe))
       .withColumn("p", explode(col("probe")))
-      .select(col("qid"), col("qv"), col("p.list").as("list")))
-    val scored = q.join(index.assigned, Seq("list"))
+      .select(col("qid"), col("qv"), col("p.list").as("list"))
+  }
+
+  /** The distinct inverted lists a query batch probes, sorted. One tiny
+    * job over the query side (small/broadcast by contract). */
+  def probedLists(index: IvfIndex, queries: DataFrame, nProbe: Int): Array[Int] =
+    probeAssignments(index, queries, nProbe)
+      .select("list").distinct().collect().map(_.getInt(0)).sorted
+
+  /** Search a built index: each query scores the centroid literals (tiny,
+    * driver-free), probes its `nProbe` best lists, and exact cosine ranks
+    * within the probed candidates.
+    *
+    * The probed-list set is additionally collected driver-side (the query
+    * side is small/broadcast by contract, so this is one cheap extra job)
+    * and applied as a STATIC `list IN (...)` filter: on a
+    * [[readIvfIndex]]-loaded index that filter is a partition filter over
+    * the `list=` directories, so unprobed partitions are never listed or
+    * read — guaranteed at plan time, not left to runtime DPP. At 100 TB
+    * the corpus-sized assigned table is the whole cost; scanning
+    * nProbe/nlist of it is the point of IVF. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val q = broadcast(probeAssignments(index, queries, nProbe))
+    val probed = probedLists(index, queries, nProbe)
+    val candidates =
+      if (probed.isEmpty) index.assigned
+      else index.assigned.where(col("list").isin(probed.map(Int.box): _*))
+    val scored = q.join(candidates, Seq("list"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), vec_cosine(col("qv"), col("cv")).as("cos"))
       .dropDuplicates("qid", "nid")

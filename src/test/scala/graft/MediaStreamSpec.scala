@@ -194,11 +194,11 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("native session_window agrees with the batch lag+cumsum sessionization") {
     import spark.implicits._
-    // real events: nanos (read as long) -> micros -> timestamp
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // real events: TIMESTAMP_NTZ micros -> tz-free long micros
     val e = spark.read
       .option("mergeSchema", "false").parquet("/root/testdata/sf0.001/events.parquet")
-      .selectExpr("user_id", "ts div 1000 AS tsu")
+      .selectExpr("user_id",
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS tsu")
     val gapUs = 1800000000L // 30 min
     // session_window merges at diff <= gap (UpdatingSessionsIterator
     // closes a session only when newStart > currentEnd) — the SAME
@@ -246,10 +246,9 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("streaming windowed agg over the real events table equals the batch rollup") {
-    // the events parquet carries TIMESTAMP(NANOS) — stream it with the
-    // nanosAsLong conf and rebuild a timestamp column, exactly as the
-    // batch q32 does
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the events parquet carries TIMESTAMP(MICROS)/NTZ — rebuild a
+    // (zone-aware) timestamp column via the tz-free micros long,
+    // exactly as the batch q32 does
     // the streaming file source wants a directory
     val dir = java.nio.file.Files.createTempDirectory("events-stream")
     java.nio.file.Files.copy(
@@ -258,7 +257,8 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .parquet(dir.toString)
-      .withColumn("ts2", timestamp_micros(col("ts") / 1000 cast "long"))
+      .withColumn("ts2", timestamp_micros(
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
     val agg = StreamOps.windowedCounts(stream, "ts2", "event_type")
     val q = agg.writeStream.format("memory").queryName("realevents")
       .outputMode("complete").trigger(

@@ -126,7 +126,8 @@ object ScaleSmoke {
 
     // ---- temporal: 10M-event as-of / sessionize / range join ----
     val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts"),
+      .select(col("event_id"), col("user_id"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").as("ts"),
         col("event_type"))
     val ev = (0 until 100).map { k =>
       ev0.select((col("event_id") + lit(k * 10000000L)).as("event_id"),

@@ -34,6 +34,11 @@ object Verify {
       case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    // failed queries are recorded in _verify_errors.json, not just
+    // stderr: a query that errors otherwise simply VANISHES from the
+    // driver's correctness file (fewer rows, zero err entries), which is
+    // how the round-10 events regeneration silently dropped six queries
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
     try {
       val tasks = selected.toSeq.map { case (name, fn) =>
         pool.submit(new Runnable {
@@ -42,6 +47,7 @@ object Verify {
               .parquet(s"$outDir/$name")
             catch { case e: Throwable =>
               System.err.println(s"[verify] $name failed: ${e.getMessage}")
+              failures.add((name, String.valueOf(e.getMessage)))
             }
         })
       }
@@ -66,6 +72,13 @@ object Verify {
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    import scala.jdk.CollectionConverters._
+    val errJson = failures.asScala
+      .map { case (n, m) => s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), errJson)
+    if (!failures.isEmpty)
+      System.err.println(s"[verify] ${failures.size} of ${selected.size} " +
+        s"queries FAILED: ${failures.asScala.map(_._1).mkString(", ")}")
     spark.stop()
   }
 }

@@ -116,10 +116,12 @@ object SparkEntry {
       WHERE d.dropid IS NULL ORDER BY a.vec_id"""
 
   /** events.ts is TIMESTAMP(MICROS), surfaced by Spark as TIMESTAMP_NTZ.
-    * Microseconds-since-epoch via wall-clock NTZ arithmetic — no
-    * NTZ→LTZ cast, so the value is identical under ANY session
-    * timezone (Bench doesn't pin one) and matches the DuckDB oracle's
-    * `epoch_us(ts)` on the same naive timestamps bit-for-bit. */
+    * Microseconds since epoch, matching the DuckDB oracle's
+    * `epoch_us(ts)` on the same naive timestamps bit-for-bit. Spark
+    * resolves timestampdiff by casting both NTZ operands to LTZ in the
+    * session zone, which cancels exactly in any FIXED-OFFSET zone —
+    * every contract session (Verify, OneQuery, Bench) pins UTC, so the
+    * arithmetic is effectively wall-clock. */
   private val TS_US =
     "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
 

@@ -637,6 +637,12 @@ object GeoFunctions {
   def vec_nearest_centroid_bcast(a: Column,
       bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Float]], Array[Double])]): Column =
     c(VecNearestCentroidBcast(x(a), bc))
+  /** Top-nProbe best-cosine centroid indices over the same broadcast
+    * payload — IVF probe selection at production nlist. */
+  def vec_top_centroids_bcast(a: Column,
+      bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Float]], Array[Double])],
+      nProbe: Int): Column =
+    c(VecTopCentroidsBcast(x(a), bc, nProbe))
   def grid_cells(g: Column, cellSize: Double, expand: Double): Column =
     c(GridCells(x(g), Literal(cellSize), Literal(expand)))
   def grid_anchor_cell(a: Column, b: Column, cellSize: Double, expand: Double): Column =

@@ -162,6 +162,59 @@ object VecKernels {
     best
   }
 
+  /** Top-`k` centroid indices by cosine against a pre-decoded codebook,
+    * ordered best-first with score ties resolved toward the HIGHER
+    * index — exactly the order the literal probe scorer produces
+    * (`reverse(array_sort(struct(cos, list)))` sorts descending by
+    * (cos, list)), so swapping scorers can never change which cells an
+    * IVF search probes. Scores accumulate bit-identically to
+    * [[cosineF]]; insertion is O(nlist·k) worst case with k = nProbe
+    * (small by contract). */
+  def topCentroidsDirect(v: ArrayData, cents: Array[Array[Float]],
+      sqrtNb: Array[Double], k: Int): Array[Int] = {
+    val n = v.numElements()
+    val vv = new Array[Float](n)
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i)
+      vv(i) = x; na += x.toDouble * x.toDouble
+      i += 1
+    }
+    val sqrtNa = math.sqrt(na)
+    val kk = math.min(k, cents.length)
+    if (kk <= 0) return Array.emptyIntArray
+    val topS = new Array[Double](kk)
+    val topI = new Array[Int](kk)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      require(cent.length == n,
+        s"vector length mismatch: $n vs ${cent.length}")
+      var dot = 0.0
+      var d = 0
+      while (d < n) { dot += vv(d).toDouble * cent(d).toDouble; d += 1 }
+      val s = dot / (sqrtNa * sqrtNb(c))
+      if (filled < kk || s >= topS(filled - 1)) {
+        // c is the highest index seen so far, so on a tied score the
+        // candidate outranks every held entry — insert BEFORE the first
+        // slot whose score is <= s (strictly-better entries stay above)
+        var p = 0
+        while (p < filled && topS(p) > s) p += 1
+        if (p < kk) {
+          val end = math.min(filled, kk - 1)
+          var m = end
+          while (m > p) { topS(m) = topS(m - 1); topI(m) = topI(m - 1); m -= 1 }
+          topS(p) = s; topI(p) = c
+          if (filled < kk) filled += 1
+        }
+      }
+      c += 1
+    }
+    java.util.Arrays.copyOf(topI, filled)
+  }
+
   /** Sign bits of the vector against `nPlanes` deterministic pseudo-random
     * hyperplanes (SplitMix64-generated components) — the LSH bucket key
     * for approximate nearest-neighbor search. nPlanes <= 63. */

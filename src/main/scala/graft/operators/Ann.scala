@@ -213,21 +213,51 @@ object Ann {
     IvfIndex(cents, spark.read.parquet(path))
   }
 
-  /** Per-query probe assignments: each query scores the centroid
-    * literals (tiny, driver-free) and explodes into its `nProbe` best
-    * (qid, qv, list) rows. */
+  /** Above this nlist the probe scorer stops folding the codebook into
+    * the plan as an array-of-structs literal (which lands in EVERY task
+    * binary — the anti-pattern [[kmeansAssignBcast]] exists to avoid)
+    * and ships it once per executor as a torrent broadcast instead.
+    * Both scorers produce the identical probe set AND order (ties to
+    * the higher list index, spec-pinned), so the switch can never
+    * change a search result. */
+  private val LiteralProbeMaxNlist = 64
+
+  /** Per-query probe assignments: each query scores the codebook and
+    * explodes into its `nProbe` best (qid, qv, list) rows. */
   private def probeAssignments(index: IvfIndex, queries: DataFrame,
-      nProbe: Int): DataFrame = {
+      nProbe: Int): DataFrame =
+    if (index.centroids.length <= LiteralProbeMaxNlist)
+      probeAssignmentsLiteral(index, queries, nProbe)
+    else probeAssignmentsBcast(index, queries, nProbe)
+
+  private[graft] def probeAssignmentsLiteral(index: IvfIndex,
+      queries: DataFrame, nProbe: Int): DataFrame = {
     val cents = index.centroids
     val nlist = cents.length
-    queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("scored", array((0 until nlist).map { i =>
         struct(vec_cosine(col("qv"), typedLit(cents(i).toSeq)).as("s"), lit(i).as("list"))
       }: _*))
       .withColumn("probe", slice(reverse(array_sort(col("scored"))), 1, nProbe))
       .withColumn("p", explode(col("probe")))
       .select(col("qid"), col("qv"), col("p.list").as("list"))
+  }
+
+  private[graft] def probeAssignmentsBcast(index: IvfIndex,
+      queries: DataFrame, nProbe: Int): DataFrame = {
+    val cents = index.centroids
+    // norms accumulated exactly as VecKernels.decodeCentroids does,
+    // computed once on the driver and shipped inside the broadcast
+    val norms = cents.map { cent =>
+      var nb = 0.0
+      var i = 0
+      while (i < cent.length) { val y = cent(i).toDouble; nb += y * y; i += 1 }
+      math.sqrt(nb)
+    }
+    val bc = queries.sparkSession.sparkContext.broadcast((cents, norms))
+    queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("list", explode(vec_top_centroids_bcast(col("qv"), bc, nProbe)))
+      .select(col("qid"), col("qv"), col("list"))
   }
 
   /** The distinct inverted lists a query batch probes, sorted. One tiny

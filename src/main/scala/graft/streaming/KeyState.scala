@@ -83,11 +83,24 @@ final class CompactingKeyState(spark: SparkSession, path: String,
     * consolidated tmp becomes the newest base FIRST, so a failure at any
     * step leaves a readable, content-complete state (at worst with
     * redundant olds that the next compaction removes). */
-  private def compact(): Unit = {
+  private def compact(): Unit = rewrite(identity)
+
+  /** Retention/TTL hook: rewrite the state keeping only rows that
+    * satisfy `keep` — e.g. `col("ts") >= lit(watermarkUs)` when the
+    * stored keys carry an event-time column and duplicates can only
+    * arrive within a bounded lag, so older keys can never match again.
+    * Without retention a dedup key set grows with the distinct-key
+    * count forever; with it, state size is bounded by the key arrival
+    * rate × the retention window. Same rename-before-delete discipline
+    * as compaction — interruption at any step leaves a readable state. */
+  def prune(keep: org.apache.spark.sql.Column): Unit =
+    if (liveDirs().nonEmpty) rewrite(_.where(keep))
+
+  private def rewrite(f: DataFrame => DataFrame): Unit = {
     val olds = liveDirs()
     val nextGen = olds.map(gen).max + 1
     val tmp = new Path(root, s"tmp-$nextGen")
-    spark.read.parquet(olds.map(_.toString): _*).distinct()
+    f(spark.read.parquet(olds.map(_.toString): _*)).distinct()
       .write.mode("overwrite").parquet(tmp.toString)
     require(fs.rename(tmp, new Path(root, s"base-$nextGen")),
       s"state compaction rename failed: $tmp")

@@ -197,6 +197,32 @@ case class VecNearestCentroidBcast(child: Expression,
     copy(child = c)
 }
 
+/** Top-`nProbe` centroid indices by cosine over a BROADCAST codebook,
+  * best-first, score ties to the higher index — the probe-selection
+  * companion of [[VecNearestCentroidBcast]] for IVF search at
+  * production nlist, where the literal array-of-structs scorer would
+  * fold the whole codebook into every task binary. Same broadcast
+  * payload layout (centroids, per-centroid norms), same
+  * CodegenFallback rationale: the nlist·dim scan dwarfs one virtual
+  * call per row. */
+case class VecTopCentroidsBcast(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Float]], Array[Double])],
+    nProbe: Int)
+    extends UnaryExpression with GeoExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(TextVecExpr.floatArray)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "vec_top_centroids_bcast"
+  override def foldable: Boolean = false
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VecKernels.topCentroidsDirect(v.asInstanceOf[ArrayData],
+        bc.value._1, bc.value._2, nProbe))
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** vec_lsh_probes(a, nPlanes, seed, nProbe) → margin-aware multi-probe
   * bucket sequence (exact bucket + nProbe lowest-margin flips), ordered by
   * collision probability. Query-side companion of [[VecLshSig]]. */

@@ -347,6 +347,31 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state.datasetCount < batches.length)
   }
 
+  test("CompactingKeyState.prune applies retention and keeps reads bounded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-keystate-ttl-").toString
+    val state = new graft.streaming.CompactingKeyState(spark, dir, compactEvery = 3)
+    // keys carry their event time (micros); duplicates can only arrive
+    // within 100us, so everything older than watermark-100 is prunable
+    state.append(Seq((1L, 100L), (2L, 150L)).toDF("pkey", "ts"))
+    state.append(Seq((3L, 300L), (4L, 450L)).toDF("pkey", "ts"))
+    state.prune(col("ts") >= lit(300L))
+    assert(state.read().get.collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // prune consolidated into a single base
+    assert(state.datasetCount == 1)
+    // appends after a prune keep working and re-compact
+    state.append(Seq((5L, 500L)).toDF("pkey", "ts"))
+    assert(state.read().get.collect().map(_.getLong(0)).toSet == Set(3L, 4L, 5L))
+    // prune-to-empty leaves a readable empty state, not a missing one
+    state.prune(col("ts") >= lit(9999L))
+    assert(state.read().get.count() == 0L)
+    // pruning an EMPTY store is a no-op (no crash on first batch)
+    val fresh = new graft.streaming.CompactingKeyState(spark,
+      java.nio.file.Files.createTempDirectory("graft-keystate-empty-").toString)
+    fresh.prune(col("ts") >= lit(0L))
+    assert(fresh.read().isEmpty)
+  }
+
   test("session state stays watermark-bounded over a 1M-event stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -180,15 +180,33 @@ object Ann {
     * inverted-list assignment (`nid`, `cv`, `list`). */
   final case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame)
 
-  /** Assign every corpus row to its nearest centroid's inverted list — a
-    * codegen'd expression over the folded centroid literal, one map-only
-    * pass over the corpus. */
+  /** Per-centroid L2 norms, accumulated exactly as
+    * [[graft.functions.VecKernels.decodeCentroids]] does — computed once
+    * on the driver and shipped inside broadcast payloads. */
+  private def centroidNorms(cents: Array[Array[Float]]): Array[Double] =
+    cents.map { cent =>
+      var nb = 0.0
+      var i = 0
+      while (i < cent.length) { val y = cent(i).toDouble; nb += y * y; i += 1 }
+      math.sqrt(nb)
+    }
+
+  /** Assign every corpus row to its nearest centroid's inverted list —
+    * one map-only pass over the corpus. Same literal/broadcast codebook
+    * switch as the probe scorer: above [[LiteralProbeMaxNlist]] lists the
+    * codebook ships per-executor via torrent broadcast instead of inside
+    * every task binary (the two assignment kernels are bit-identical,
+    * spec-pinned). */
   def buildIvf(corpus: DataFrame, nlist: Int = 16, iters: Int = 5,
       seed: Long = 42L): IvfIndex = {
     val cents = trainCentroids(corpus, nlist, iters, seed = seed)
-    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    val assign =
+      if (cents.length <= LiteralProbeMaxNlist)
+        vec_nearest_centroid(col("embedding"), typedLit(cents.map(_.toSeq).toSeq))
+      else vec_nearest_centroid_bcast(col("embedding"),
+        corpus.sparkSession.sparkContext.broadcast((cents, centroidNorms(cents))))
     IvfIndex(cents, corpus.select(col("vec_id").as("nid"), col("embedding").as("cv"),
-      vec_nearest_centroid(col("embedding"), centLit).as("list")))
+      assign.as("list")))
   }
 
   /** Persist a built index as parquet PARTITIONED BY inverted list, plus a
@@ -246,15 +264,7 @@ object Ann {
   private[graft] def probeAssignmentsBcast(index: IvfIndex,
       queries: DataFrame, nProbe: Int): DataFrame = {
     val cents = index.centroids
-    // norms accumulated exactly as VecKernels.decodeCentroids does,
-    // computed once on the driver and shipped inside the broadcast
-    val norms = cents.map { cent =>
-      var nb = 0.0
-      var i = 0
-      while (i < cent.length) { val y = cent(i).toDouble; nb += y * y; i += 1 }
-      math.sqrt(nb)
-    }
-    val bc = queries.sparkSession.sparkContext.broadcast((cents, norms))
+    val bc = queries.sparkSession.sparkContext.broadcast((cents, centroidNorms(cents)))
     queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("list", explode(vec_top_centroids_bcast(col("qv"), bc, nProbe)))
       .select(col("qid"), col("qv"), col("list"))

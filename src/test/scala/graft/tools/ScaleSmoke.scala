@@ -298,6 +298,20 @@ object ScaleSmoke {
       println(f"[scale]   two-level rows: $n2, agreement with exact: ${agree * 100.0 / n2}%.1f%%")
       twoLevel.unpersist()
 
+      // IVF at production-ish nlist over the 1.25M corpus: 256 inverted
+      // lists routes BOTH build assignment and probe scoring through the
+      // broadcast codebook (the literal paths cap at 64 lists); search
+      // probes 8/256 lists per query
+      val bigIvf = time("buildIvf 1.25M x nlist=256 (broadcast codebook)") {
+        val idx = Ann.buildIvf(bigVecs, nlist = 256, iters = 2)
+        idx.assigned.count()
+        idx
+      }
+      val bigSearch = time("ivfSearch 20 queries, nlist=256, nProbe=8 (broadcast probes)") {
+        Ann.ivfSearch(bigIvf, bigVecs.where(col("vec_id") < 20), k = 5, nProbe = 8).count()
+      }
+      println(s"[scale]   ivf-256 search rows: $bigSearch")
+
       // cached-lineage k-means (corpus persisted across seeding + Lloyd
       // steps): the iters+1 full passes hit the cache instead of
       // replaying the synthesis lineage

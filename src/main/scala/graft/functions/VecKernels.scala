@@ -196,12 +196,16 @@ object VecKernels {
       var d = 0
       while (d < n) { dot += vv(d).toDouble * cent(d).toDouble; d += 1 }
       val s = dot / (sqrtNa * sqrtNb(c))
-      if (filled < kk || s >= topS(filled - 1)) {
+      // java.lang.Double.compare, not <, so a NaN score (zero-norm query
+      // or centroid) sorts GREATEST and equal-to-itself — exactly how
+      // Spark's array_sort orders doubles, keeping the two scorers in
+      // lockstep on degenerate vectors too
+      if (filled < kk || java.lang.Double.compare(s, topS(filled - 1)) >= 0) {
         // c is the highest index seen so far, so on a tied score the
         // candidate outranks every held entry — insert BEFORE the first
         // slot whose score is <= s (strictly-better entries stay above)
         var p = 0
-        while (p < filled && topS(p) > s) p += 1
+        while (p < filled && java.lang.Double.compare(topS(p), s) > 0) p += 1
         if (p < kk) {
           val end = math.min(filled, kk - 1)
           var m = end

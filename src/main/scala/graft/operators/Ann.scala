@@ -276,21 +276,32 @@ object Ann {
     probeAssignments(index, queries, nProbe)
       .select("list").distinct().collect().map(_.getInt(0)).sorted
 
-  /** Search a built index: each query scores the centroid literals (tiny,
-    * driver-free), probes its `nProbe` best lists, and exact cosine ranks
-    * within the probed candidates.
+  /** Search a built index: each query scores the codebook (literal or
+    * broadcast per [[LiteralProbeMaxNlist]]), probes its `nProbe` best
+    * lists, and exact cosine ranks within the probed candidates.
     *
-    * The probed-list set is additionally collected driver-side (the query
-    * side is small/broadcast by contract, so this is one cheap extra job)
-    * and applied as a STATIC `list IN (...)` filter: on a
-    * [[readIvfIndex]]-loaded index that filter is a partition filter over
-    * the `list=` directories, so unprobed partitions are never listed or
-    * read — guaranteed at plan time, not left to runtime DPP. At 100 TB
-    * the corpus-sized assigned table is the whole cost; scanning
-    * nProbe/nlist of it is the point of IVF. */
+    * The probe assignments are evaluated ONCE and collected: the query
+    * side is broadcast-sized by contract (the join below collects it to
+    * the driver anyway), so this costs no extra memory — and it
+    * guarantees the static `list IN (...)` filter derives from the SAME
+    * evaluated rows as the join side. A nondeterministic `queries`
+    * (sample, unordered limit) could otherwise probe one list set in
+    * the filter job and another in the join job, silently dropping
+    * candidates. On a [[readIvfIndex]]-loaded index the filter is a
+    * partition filter over the `list=` directories, so unprobed
+    * partitions are never listed or read — guaranteed at plan time, not
+    * left to runtime DPP. At 100 TB the corpus-sized assigned table is
+    * the whole cost; scanning nProbe/nlist of it is the point of IVF.
+    * (The per-call codebook broadcast is reclaimed by Spark's
+    * ContextCleaner once the returned DataFrame is unreachable.) */
   def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val q = broadcast(probeAssignments(index, queries, nProbe))
-    val probed = probedLists(index, queries, nProbe)
+    val spark = queries.sparkSession
+    val probeDF = probeAssignments(index, queries, nProbe)
+    val rows = probeDF.collect()
+    val listAt = probeDF.schema.fieldIndex("list")
+    val probed = rows.map(_.getInt(listAt)).distinct.sorted
+    val q = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probeDF.schema))
     val candidates =
       if (probed.isEmpty) index.assigned
       else index.assigned.where(col("list").isin(probed.map(Int.box): _*))
@@ -357,13 +368,7 @@ object Ann {
     // norms computed once HERE on the driver and shipped inside the
     // broadcast value — a lazy val on the expression would rerun them per
     // task (expressions are deserialized per task, not per executor)
-    val norms = cents.map { cent =>
-      var nb = 0.0
-      var i = 0
-      while (i < cent.length) { val y = cent(i).toDouble; nb += y * y; i += 1 }
-      math.sqrt(nb)
-    }
-    val bc = corpus.sparkSession.sparkContext.broadcast((cents, norms))
+    val bc = corpus.sparkSession.sparkContext.broadcast((cents, centroidNorms(cents)))
     corpus.select(col(idCol), col(vecCol),
       vec_nearest_centroid_bcast(col(vecCol), bc).as("cluster"))
   }

@@ -559,9 +559,11 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     // even index DUPLICATES its successor (exact cosine ties), so the
     // tie rule (higher list index first, the literal scorer's
     // reverse(array_sort) order) is exercised on every query
-    val queries = (0L until 100L).map { i =>
+    // vec_id 100 is ALL ZEROS: its cosine vs every centroid is NaN, and
+    // both scorers must agree NaN sorts greatest (array_sort semantics)
+    val queries = ((0L until 100L).map { i =>
       (i, Seq.tabulate(8)(d => (((i * 29 + d * 11) % 17) - 8).toFloat / 8f))
-    }.toDF("vec_id", "embedding")
+    } :+ (100L, Seq.fill(8)(0f))).toDF("vec_id", "embedding")
     val base = (0 until 40).map { c =>
       Array.tabulate(8)(d => (((c * 13 + d * 3) % 19) - 9).toFloat / 9f)
     }
@@ -578,28 +580,29 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select("qid", "list").collect().map(r => (r.getLong(0), r.getInt(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
       assert(lit == bc, s"probe sets diverge at nProbe=$nProbe")
-      // with duplicated centroids, the duplicate's partner must sit
-      // adjacent: ties resolve to the higher index first on both paths
-      bc.values.foreach { probes =>
+      bc.foreach { case (qid, probes) =>
         assert(probes.toSet.size == probes.size)
-        if (nProbe >= 2)
+        if (qid == 100L)
+          // all-NaN row: descending (NaN, list) order = highest lists first
+          assert(probes == (0 until nProbe).map(79 - _),
+            s"NaN probe order violated: $probes")
+        else if (nProbe >= 2)
+          // with duplicated centroids, the duplicate's partner must sit
+          // adjacent: ties resolve to the higher index first on both paths
           assert(probes.head % 2 == 1 && probes(1) == probes.head - 1,
             s"tie order violated: $probes")
       }
     }
-    // end-to-end: a >64-nlist index routes through the broadcast scorer
-    // (probedLists + ivfSearch agree with the literal scorer's answer)
-    val viaAuto = graft.operators.Ann.ivfSearch(idx, queries.limit(5), k = 3, nProbe = 4)
+    // end-to-end: at FULL probing the broadcast-path search must equal
+    // exact brute force over the same corpus (every list probed → the
+    // candidate set is the whole corpus; same self-exclusion, same
+    // (cos desc, nid asc) rank order)
+    val q5 = queries.where(col("vec_id") < 5)
+    val full = graft.operators.Ann.ivfSearch(idx, q5, k = 3, nProbe = 80)
       .collect().map(_.toSeq).toSet
-    val viaLit = {
-      val q = graft.operators.Ann.probeAssignmentsLiteral(idx, queries.limit(5), 4)
-      // literal probe path feeding the same downstream rank: reuse
-      // ivfSearch on a <=64-list alias of the same codebook is not
-      // possible (nlist is the switch), so compare against the scorer
-      // agreement above plus result determinism here
-      q.count()
-    }
-    assert(viaAuto.nonEmpty && viaLit > 0)
+    val bf = graft.operators.Ann.bruteForceTopK(q5, queries, 3)
+      .collect().map(_.toSeq).toSet
+    assert(full == bf && full.nonEmpty, s"full-probe ivfSearch != brute force")
   }
 
   test("semanticDedup: within-cluster near-dups drop, lowest id survives") {

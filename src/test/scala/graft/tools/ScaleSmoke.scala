@@ -311,6 +311,18 @@ object ScaleSmoke {
         Ann.ivfSearch(bigIvf, bigVecs.where(col("vec_id") < 20), k = 5, nProbe = 8).count()
       }
       println(s"[scale]   ivf-256 search rows: $bigSearch")
+      // exactness at full probing, at scale: every list probed → the
+      // broadcast-scorer search must equal brute force over 1.25M rows
+      val q5 = bigVecs.where(col("vec_id") < 5)
+      val fullProbe = time("ivfSearch 5 queries, nProbe=256 (full) vs brute force 1.25M") {
+        val a = Ann.ivfSearch(bigIvf, q5, k = 5, nProbe = 256)
+          .collect().map(_.toSeq).toSet
+        val b = Ann.bruteForceTopK(q5, bigVecs, 5).collect().map(_.toSeq).toSet
+        (a, b)
+      }
+      assert(fullProbe._1 == fullProbe._2 && fullProbe._1.nonEmpty,
+        "full-probe ivfSearch != brute force at 1.25M")
+      println(s"[scale]   full-probe ivf ≡ brute force: ${fullProbe._1.size} rows")
 
       // cached-lineage k-means (corpus persisted across seeding + Lloyd
       // steps): the iters+1 full passes hit the cache instead of

@@ -385,7 +385,7 @@ object Dedup {
   }
 
   /** CCNet-style corpus-wide PARAGRAPH dedup: split every document on
-    * `sep` (a regex), keep each distinct paragraph only at its FIRST
+    * `sep` (a LITERAL separator string), keep each distinct paragraph only at its FIRST
     * corpus occurrence — smallest (id, position) — and re-assemble each
     * document from its surviving paragraphs in their original order.
     * Empty paragraphs are dropped. Returns ONE row per input document:
@@ -412,18 +412,30 @@ object Dedup {
       sep: String = "\n", byText: Boolean = false): DataFrame =
     dedupParagraphsIncremental(df, idCol, textCol, sep, byText, seen = None)
 
+  /** `sep` is a LITERAL separator string everywhere in the paragraph
+    * family: splitting quotes it, so split + `concat_ws` re-joining are
+    * inverse by construction for ANY separator (a regex split with a
+    * literal re-join would silently corrupt documents, e.g.
+    * sep = "\r?\n"). */
+  private def paraSplit(text: Column, sep: String): Column =
+    split(text, java.util.regex.Pattern.quote(sep))
+
+  /** Shared election-key definition: xxhash64 of the paragraph, or the
+    * raw text with `byText` — ONE definition so the incremental path and
+    * the state keys can never drift apart (a silent key-type mismatch
+    * would make the anti-join match nothing). */
+  private def paraKey(byText: Boolean): Column =
+    if (byText) col("para") else xxhash64(col("para"))
+
   /** Election keys ([[dedupParagraphs]]' xxhash64, or raw text with
     * `byText`) of every distinct non-empty paragraph in `df`, as one
     * `pkey` column — the state a streaming / incremental caller carries
     * between batches. */
-  def paragraphKeys(df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n", byText: Boolean = false): DataFrame = {
-    val parts = df
-      .select(posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
+  def paragraphKeys(df: DataFrame, textCol: String,
+      sep: String = "\n", byText: Boolean = false): DataFrame =
+    df.select(posexplode(paraSplit(col(textCol), sep)).as(Seq("pos", "para")))
       .where(length(col("para")) > 0)
-    val key = if (byText) col("para") else xxhash64(col("para"))
-    parts.select(key.as("pkey")).distinct()
-  }
+      .select(paraKey(byText).as("pkey")).distinct()
 
   /** [[dedupParagraphs]] against prior state: paragraphs whose election
     * key appears in `seen` (a `pkey` column, from [[paragraphKeys]] of
@@ -434,13 +446,12 @@ object Dedup {
   def dedupParagraphsIncremental(df: DataFrame, idCol: String,
       textCol: String, sep: String = "\n", byText: Boolean = false,
       seen: Option[DataFrame] = None): DataFrame = {
-    val paras = split(col(textCol), sep)
     val parts = df
       .select(col(idCol).as("id"),
-        posexplode(paras).as(Seq("pos", "para")))
+        posexplode(paraSplit(col(textCol), sep)).as(Seq("pos", "para")))
       .where(length(col("para")) > 0)
-    val key = if (byText) col("para") else xxhash64(col("para"))
-    val keyed = parts.select(key.as("__k"), struct(col("id"), col("pos")).as("__o"))
+    val keyed = parts.select(paraKey(byText).as("__k"),
+      struct(col("id"), col("pos")).as("__o"))
     val fresh = seen match {
       case Some(s) => keyed.join(s.select(col("pkey").as("__k")), Seq("__k"), "left_anti")
       case None => keyed
@@ -454,9 +465,9 @@ object Dedup {
       .agg(sort_array(collect_list(col("pos"))).as("__kps"))
     // reassembly in place on the ORIGINAL row: index the split, keep the
     // positions that won their paragraph's election, re-join with the
-    // LITERAL separator (regex metachars in `sep` would corrupt it; the
-    // common "\n" / "\n\n" separators are safe)
-    val reparas = split(col("__t"), sep)
+    // same literal separator (paraSplit quotes it, so split/concat_ws
+    // round-trip exactly for any separator string)
+    val reparas = paraSplit(col("__t"), sep)
     val indexed = transform(reparas, (x, i) => struct(i.as("pos"), x.as("para")))
     val kept = filter(indexed, p => array_contains(col("__kps"), p.getField("pos")))
     df.select(col(idCol).as("id"), col(textCol).as("__t"))

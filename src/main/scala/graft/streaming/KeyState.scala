@@ -64,7 +64,19 @@ final class CompactingKeyState(spark: SparkSession, path: String,
     * <= 1 + compactEvery). */
   def datasetCount: Int = liveDirs().size
 
-  /** Current state content, None while empty. */
+  /** Current state content, None while empty.
+    *
+    * Two contract points for callers:
+    *  - The DataFrame is LAZILY bound to the state directories as they
+    *    exist right now; the next [[append]] or [[prune]] on this store
+    *    may rewrite/delete them, after which executing this DataFrame
+    *    fails. Consume (join + materialize) read() results BEFORE
+    *    mutating the store — the natural foreachBatch order.
+    *  - Between compactions the content is a MULTISET: a key present in
+    *    the base and re-appended in a delta appears in both until the
+    *    next compaction distincts them. The anti-join consumer this
+    *    store exists for is insensitive to that; counting/metric
+    *    consumers should distinct() first. */
   def read(): Option[DataFrame] = {
     val dirs = liveDirs()
     if (dirs.isEmpty) None
@@ -98,12 +110,19 @@ final class CompactingKeyState(spark: SparkSession, path: String,
 
   private def rewrite(f: DataFrame => DataFrame): Unit = {
     val olds = liveDirs()
-    val nextGen = olds.map(gen).max + 1
+    // next generation counts EVERY dir (stale bases, orphaned tmps
+    // included), so a crash leftover can never collide with the rename
+    val all = list("base-") ++ list("delta-") ++ list("tmp-")
+    val nextGen = all.map(gen).max + 1
     val tmp = new Path(root, s"tmp-$nextGen")
     f(spark.read.parquet(olds.map(_.toString): _*)).distinct()
       .write.mode("overwrite").parquet(tmp.toString)
     require(fs.rename(tmp, new Path(root, s"base-$nextGen")),
       s"state compaction rename failed: $tmp")
-    olds.foreach(p => fs.delete(p, true))
+    // sweep EVERYTHING older than the new base, not just liveDirs():
+    // a stale base left by a crash between rename and delete, or a
+    // tmp- orphaned by a crash before rename, is removed by the NEXT
+    // rewrite instead of leaking a full state copy per failure
+    all.filter(p => gen(p) < nextGen).foreach(p => fs.delete(p, true))
   }
 }

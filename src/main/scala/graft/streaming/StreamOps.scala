@@ -59,20 +59,30 @@ object StreamOps {
     * event-time-correct (not latest-snapshot) semantics over history, run
     * [[graft.operators.AsofJoin]] in the batch backfill instead. */
   def enrichLatest(stream: DataFrame, dim: DataFrame, keyCol: String,
-      dimTsCol: String, valueCols: Seq[String]): DataFrame = {
+      dimTsCol: String, valueCols: Seq[String]): DataFrame =
+    enrichLatestPrepared(stream, latestDim(dim, keyCol, dimTsCol, valueCols), keyCol)
+
+  /** The reduced one-latest-row-per-key dimension [[enrichLatest]] joins
+    * against, exposed so the CALLER owns the cache lifecycle: a
+    * stream-static join re-evaluates the static PLAN every micro-batch,
+    * so a long-lived stream should `latestDim(...).cache()` and pass the
+    * handle to [[enrichLatestPrepared]] — and `unpersist()` that same
+    * handle when refreshing the dimension. (An internal cache() here
+    * would pin one orphaned copy per call with no handle to release.) */
+  def latestDim(dim: DataFrame, keyCol: String, dimTsCol: String,
+      valueCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(col(dimTsCol).desc)
-    val latest = dim
-      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    dim.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .select(col(keyCol) +: col(dimTsCol).as("asof_ts") +:
         valueCols.map(c => col(c).as(s"asof_$c")): _*)
-      // cache: a stream-static join re-evaluates the static PLAN every
-      // micro-batch — without this the dim scan + shuffle + window rerun
-      // per trigger. Callers refreshing the dimension should unpersist
-      // and rebuild.
-      .cache()
-    stream.join(broadcast(latest), Seq(keyCol), "left")
   }
+
+  /** [[enrichLatest]] against a pre-reduced (and, for long streams,
+    * caller-cached) dimension from [[latestDim]]. */
+  def enrichLatestPrepared(stream: DataFrame, preparedDim: DataFrame,
+      keyCol: String): DataFrame =
+    stream.join(broadcast(preparedDim), Seq(keyCol), "left")
 
   /** Gap-based session aggregation via Spark's native `session_window` —
     * the declarative, watermark-compatible twin of
@@ -138,11 +148,26 @@ object StreamOps {
   }
 
   case class SessionUpdate(userId: Long, nEvents: Long, sessionStart: Long, sessionEnd: Long)
-  private case class SessionState(n: Long, start: Long, last: Long)
+  // public: Catalyst's generated encoder code constructs this class from
+  // compiled Java, which cannot see a private constructor
+  case class SessionState(n: Long, start: Long, last: Long)
 
-  /** Gap-based sessionization via flatMapGroupsWithState: emits a session
-    * summary when a user goes quiet for `gapMs` (processing-time timeout —
-    * the custom-state escape hatch the built-in operators can't express). */
+  /** Gap-based sessionization via flatMapGroupsWithState (the
+    * custom-state escape hatch the built-in operators can't express).
+    * Arriving events are EVENT-TIME gap-split: sorted within the batch,
+    * a jump of more than `gapMs` closes the running session and emits it
+    * immediately — so a key whose data resumes after a quiet period can
+    * never be merged into its stale session. The still-open tail session
+    * is emitted when the processing-time timeout fires after `gapMs` of
+    * key silence.
+    *
+    * Caveats (inherent to ProcessingTimeTimeout): the tail session needs
+    * a LATER trigger to fire the timeout — under Trigger.AvailableNow or
+    * a source that stops delivering batches, open tails are never
+    * emitted. Out-of-order arrivals landing within `gapMs` BEFORE the
+    * open session's last event merge into it rather than re-splitting.
+    * For watermark-driven event-time sessionization use [[sessionWindows]];
+    * for exact batch replay use [[graft.operators.Sessionize]]. */
   def sessionize(events: Dataset[(Long, Long)], gapMs: Long): Dataset[SessionUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -155,13 +180,22 @@ object StreamOps {
             state.remove()
             Iterator.single(SessionUpdate(userId, s.n, s.start, s.last))
           } else {
-            val ts = rows.map(_._2).toSeq
-            val prev = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
-            val next = SessionState(prev.n + ts.size,
-              math.min(prev.start, ts.min), math.max(prev.last, ts.max))
-            state.update(next)
+            val ts = rows.map(_._2).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  Some(SessionState(s.n + 1, math.min(s.start, t), math.max(s.last, t)))
+                case Some(s) =>
+                  closed += SessionUpdate(userId, s.n, s.start, s.last)
+                  Some(SessionState(1, t, t))
+                case None => Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach(state.update)
             state.setTimeoutDuration(gapMs)
-            Iterator.empty
+            closed.iterator
           }
       }
   }

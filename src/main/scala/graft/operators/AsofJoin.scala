@@ -31,10 +31,20 @@ object AsofJoin {
     * When several right rows share (key, ts), which one wins is
     * tie-unspecified (deterministic only if (key, ts) is unique on the
     * right) — the same contract as pandas merge_asof.
+    *
+    * Null-key semantics match an equi-join (and pandas merge_asof,
+    * DuckDB ASOF JOIN): a null key matches NOTHING. Left rows with a
+    * null key are preserved with all-null asof columns; right rows with
+    * a null key are ignored. (The window partition would otherwise
+    * group the nulls together and match them to each other.)
     */
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valueCols: Seq[String], inclusive: Boolean = true,
       tolerance: Option[Long] = None): DataFrame = {
+    tolerance.foreach(t => require(t >= 0,
+      s"tolerance must be >= 0 (got $t): a negative tolerance demands " +
+        "matches FROM THE FUTURE of a backward join and would silently " +
+        "null every output"))
     val leftStruct = StructType(left.schema.fields)
     val valueTypes = valueCols.map(c => c -> right.schema(c).dataType)
 
@@ -42,7 +52,7 @@ object AsofJoin {
       col(keyCol).as("__k") +: col(tsCol).as("__ts") +: lit(1).as("__side") +:
         struct(left.columns.map(col): _*).as("__l") +:
         valueTypes.map { case (c, t) => lit(null).cast(t).as(s"__v_$c") }: _*)
-    val r = right.select(
+    val r = right.where(col(keyCol).isNotNull).select(
       col(keyCol).as("__k") +: col(tsCol).as("__ts") +: lit(0).as("__side") +:
         lit(null).cast(leftStruct).as("__l") +:
         valueCols.map(c => col(c).as(s"__v_$c")): _*)

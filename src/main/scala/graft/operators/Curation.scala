@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** THE tokenizer of the curation family — one definition shared by
+    * chunking, packing, n-grams, and budget accounting, so the four can
+    * never silently disagree about what a token is. Whitespace-greedy
+    * single-space split, matching the corpus-stats/profile convention. */
+  private def toks(text: Column): Column = split(text, " ")
+
   /** Split each document into overlapping token windows of `window`
     * tokens every `stride` tokens (stride < window ⇒ overlap). Output:
     * (`doc`, `chunk_idx`, `chunk`, `n_toks`); the final chunk may be
@@ -30,7 +36,7 @@ object Curation {
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
       window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
-    df.select(col(idCol).as("doc"), split(col(textCol), " ").as("__toks"))
+    df.select(col(idCol).as("doc"), toks(col(textCol)).as("__toks"))
       .where(size(col("__toks")) > 0)
       .select(col("doc"), col("__toks"),
         posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
@@ -53,7 +59,9 @@ object Curation {
     * 100 TB use O(cluster cores) shards; order within a shard stays
     * deterministic (idCol), so the packing is replayable regardless of
     * input partitioning. Sharding by `id % nShards` (not hash) keeps the
-    * layout reproducible by any engine.
+    * layout reproducible by any engine. REPLAYABILITY REQUIRES `idCol`
+    * UNIQUE: duplicate ids tie in the window order, making offsets for
+    * the tied rows partitioning-dependent.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       seqLen: Int, nShards: Int): DataFrame = {
@@ -69,7 +77,7 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(idCol).as("doc"),
         pmod(col(idCol), lit(nShards.toLong)).as("shard"),
-        size(split(col(textCol), " ")).cast("long").as("n_toks"))
+        size(toks(col(textCol))).cast("long").as("n_toks"))
       .withColumn("offset", coalesce(sum("n_toks").over(w), lit(0L)))
       // backticks: OFFSET is reserved under ANSI + enforceReservedKeywords
       .withColumn("pack_id", expr(s"`offset` div $seqLen"))
@@ -81,7 +89,7 @@ object Curation {
   def tokenNgrams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n > 0, "n must be positive")
-    df.select(col(idCol).as("doc"), split(col(textCol), " ").as("__toks"))
+    df.select(col(idCol).as("doc"), toks(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= n)
       .select(col("doc"), explode(transform(
         sequence(lit(0), size(col("__toks")) - n, lit(1)),
@@ -121,7 +129,10 @@ object Curation {
     * Determinism: membership depends only on (source, key order, token
     * counts) — rerunning on any partitioning or engine keeps the same
     * prefix, and raising a budget only APPENDS documents (samples nest,
-    * like [[Sampling.stratifiedSample]]'s rate property).
+    * like [[Sampling.stratifiedSample]]'s rate property). REQUIRES
+    * `keyCol` UNIQUE within each source: duplicate keys tie in the
+    * window order, and which of the tied docs crosses the budget
+    * boundary becomes partitioning-dependent.
     *
     * Scale: one shuffle keyed by source + a running-sum window. The sort
     * is per-source; a corpus with few giant sources serializes inside
@@ -138,7 +149,7 @@ object Curation {
       case (acc, (s, b)) => when(col(sourceCol) === s, lit(b)).otherwise(acc)
     }
     df.withColumn("__cum",
-        sum(size(split(col(textCol), " ")).cast("long")).over(w))
+        sum(size(toks(col(textCol))).cast("long")).over(w))
       .where(col("__cum") <= budget)
       .drop("__cum")
   }
@@ -171,17 +182,23 @@ object Curation {
   def decontaminateBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int, bitsPerGram: Long = 10L): DataFrame = {
     import org.apache.spark.sql.graft.Shims
+    // persisted: the distinct gram set (a full explode + shuffle over the
+    // LARGE benchmark this variant exists for) feeds two actions — the
+    // sizing count and the bloom aggregate — and would otherwise be
+    // recomputed from scratch for each
     val bg = tokenNgrams(bench, idCol, textCol, n).select("gram").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val est = math.max(bg.count(), 1L)
     // one bounded scalar to the driver: the serialized filter, built
     // with the clamping confs raised to the requested sizing
-    val bloomBytes = withMinConf(bench.sparkSession,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> est,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> est * bitsPerGram) {
-      bg.select(Shims.column(Shims.bloomAgg(
-          Shims.expression(col("gram")), est, est * bitsPerGram)).as("bf"))
-        .head().getAs[Array[Byte]](0)
-    }
+    val bloomBytes =
+      try withMinConf(bench.sparkSession,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> est,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> est * bitsPerGram) {
+        bg.select(Shims.column(Shims.bloomAgg(
+            Shims.expression(col("gram")), est, est * bitsPerGram)).as("bf"))
+          .head().getAs[Array[Byte]](0)
+      } finally bg.unpersist()
     val hit = Shims.column(Shims.bloomMightContain(
       Shims.expression(lit(bloomBytes)), Shims.expression(col("gram"))))
     tokenNgrams(corpus, idCol, textCol, n)

@@ -22,17 +22,38 @@ object IntervalJoin {
   private def binOf(x: Column, binSize: Double): Column =
     floor(x / binSize).cast("long")
 
+  private def requireBinSize(binSize: Double): Unit =
+    require(binSize > 0 && !binSize.isInfinite && !binSize.isNaN,
+      s"binSize must be a finite positive number (got $binSize): " +
+        "division by a zero/non-finite width maps values to ±Infinity " +
+        "bins, which ANSI mode rejects at cast time mid-job")
+
+  /** NaN/±Infinity values occupy no bin (the row is excluded from the
+    * join, exactly as the raw inequality predicate would exclude them) —
+    * without the filter, casting the non-finite bin index throws under
+    * Spark's default ANSI mode and one bad row kills the whole job.
+    * Spark orders NaN greater than any double, so `between` rejects all
+    * three non-finite cases. */
+  private def finite(c: Column): Column =
+    c.between(lit(-Double.MaxValue), lit(Double.MaxValue))
+
   /** Inner-join rows of `points` to rows of `intervals` where
     * `lo <= p <= hi` (half-open `[lo, hi)` when `closedHi = false`).
     * Each point occupies exactly one bin, so each qualifying pair meets
     * in exactly one bin — no dedup pass is needed (unlike 2-D grids,
-    * where a pair can share many cells). */
+    * where a pair can share many cells).
+    *
+    * Columns travel through a plain equi-join, so the two inputs must
+    * not share column names (rename before a self-join). */
   def rangeJoin(points: DataFrame, pCol: String, intervals: DataFrame,
       loCol: String, hiCol: String, binSize: Double,
       closedHi: Boolean = true): DataFrame = {
-    val p = points.withColumn("__bin", binOf(col(pCol), binSize))
-    val iv = intervals.withColumn("__bin",
-      explode(sequence(binOf(col(loCol), binSize), binOf(col(hiCol), binSize))))
+    requireBinSize(binSize)
+    val p = points.where(finite(col(pCol)))
+      .withColumn("__bin", binOf(col(pCol), binSize))
+    val iv = intervals.where(finite(col(loCol)) && finite(col(hiCol)))
+      .withColumn("__bin",
+        explode(sequence(binOf(col(loCol), binSize), binOf(col(hiCol), binSize))))
     val hiPred = if (closedHi) col(pCol) <= col(hiCol) else col(pCol) < col(hiCol)
     p.join(iv, Seq("__bin")).where(col(pCol) >= col(loCol) && hiPred)
       .drop("__bin")
@@ -42,13 +63,19 @@ object IntervalJoin {
     * [bLo, bHi] overlap. A pair can co-occupy many bins; the anchor-bin
     * conjunct (bin == first bin of the overlap region) emits it exactly
     * once — same trick as the spatial grid join's anchor cell, so no
-    * DISTINCT pass and full rows flow through. */
+    * DISTINCT pass and full rows flow through.
+    *
+    * As with [[rangeJoin]], the inputs must not share column names —
+    * a self-overlap-join needs one side's columns renamed first. */
   def overlapJoin(a: DataFrame, aLo: String, aHi: String,
       b: DataFrame, bLo: String, bHi: String, binSize: Double): DataFrame = {
-    val ea = a.withColumn("__bin",
-      explode(sequence(binOf(col(aLo), binSize), binOf(col(aHi), binSize))))
-    val eb = b.withColumn("__bin",
-      explode(sequence(binOf(col(bLo), binSize), binOf(col(bHi), binSize))))
+    requireBinSize(binSize)
+    val ea = a.where(finite(col(aLo)) && finite(col(aHi)))
+      .withColumn("__bin",
+        explode(sequence(binOf(col(aLo), binSize), binOf(col(aHi), binSize))))
+    val eb = b.where(finite(col(bLo)) && finite(col(bHi)))
+      .withColumn("__bin",
+        explode(sequence(binOf(col(bLo), binSize), binOf(col(bHi), binSize))))
     ea.join(eb, Seq("__bin"))
       .where(col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
         col("__bin") === binOf(greatest(col(aLo), col(bLo)), binSize))

@@ -30,10 +30,17 @@ object Sampling {
   /** Hash input: bare key when unsalted (engine-replayable as md5(key));
     * key + NUL + salt otherwise — the separator keeps (key, salt) pairs
     * unambiguous (key "a" + salt "2" must not hash like key "a2"), NUL
-    * because real keys essentially never contain it. */
-  private def hashInput(keyCol: String, salt: String) =
-    if (salt.isEmpty) col(keyCol).cast("string")
-    else concat(col(keyCol).cast("string"), lit(0.toChar.toString + salt))
+    * because real keys essentially never contain it. A NULL key hashes
+    * as the empty string, so null-key rows sample/split
+    * deterministically like any other single shared key value — without
+    * the coalesce, md5(null) is null, the comparison predicate is null,
+    * and null-key rows silently vanish even at rate 1.0 (while
+    * splitTrainTest would route them all to "train" at any testFrac). */
+  private def hashInput(keyCol: String, salt: String) = {
+    val k = coalesce(col(keyCol).cast("string"), lit(""))
+    if (salt.isEmpty) k
+    else concat(k, lit(0.toChar.toString + salt))
+  }
 
   /** Keep a deterministic `rate` fraction, selected by `md5(keyCol)`.
     * `salt` decorrelates independent samples over the same keys. */

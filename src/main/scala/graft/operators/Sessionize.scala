@@ -31,6 +31,9 @@ object Sessionize {
     * (`df.where(col(ts).isNull)` count == 0) before sessionizing. */
   def assignSessions(df: DataFrame, keyCol: String, tsCol: String,
       gap: Long): DataFrame = {
+    require(gap >= 0, s"gap must be >= 0 (got $gap): a negative gap " +
+      "fails the boundary test even at diff 0 and silently makes every " +
+      "event its own singleton session")
     val byTs = Window.partitionBy(keyCol).orderBy(tsCol)
     val boundary = when(
       col(tsCol) - lag(col(tsCol), 1).over(byTs) <= gap, 0).otherwise(1)

@@ -33,6 +33,21 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overlap > 0.04 && overlap < 0.09)
   }
 
+  test("null keys are sampled deterministically, not silently dropped") {
+    import spark.implicits._
+    val df = Seq(Option(1L), Option(2L), None, None).toDF("id")
+    // rate 1.0 must keep EVERYTHING, null keys included (md5(null) used
+    // to null the predicate and drop them)
+    assert(Sampling.deterministicSample(df, "id", 1.0).count() == 4)
+    assert(Sampling.deterministicSample(df, "id", 0.0).count() == 0)
+    // all null keys hash alike (as ""), so they move between splits
+    // together — and every row is assigned a split
+    val split = Sampling.splitTrainTest(df, "id", 0.5).collect()
+      .map(r => (Option(r.get(0)), r.getString(1)))
+    assert(split.length == 4)
+    assert(split.filter(_._1.isEmpty).map(_._2).distinct.length == 1)
+  }
+
   test("splitTrainTest partitions every row exactly once, consistent with sampling") {
     import spark.implicits._
     val df = (0 until 5000).map(_.toLong).toDF("id")

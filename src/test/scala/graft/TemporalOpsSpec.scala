@@ -96,6 +96,51 @@ class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 2 && rows.forall(_.isNullAt(rows.head.fieldIndex("asof_rid"))))
   }
 
+  test("asofBackward: null keys match nothing (equi-join semantics), negative tolerance rejected") {
+    import spark.implicits._
+    val l = Seq((1L, Option(7L), 100L), (2L, Option.empty[Long], 100L))
+      .toDF("lid", "k", "ts")
+    val r = Seq((Option(7L), 50L, "real"), (Option.empty[Long], 50L, "ghost"))
+      .toDF("k", "ts", "v")
+    val got = AsofJoin.asofBackward(l, r, "k", "ts", Seq("v"))
+      .orderBy("lid").collect()
+      .map(row => (row.getLong(0), Option(row.getAs[String]("asof_v"))))
+    // the null-key left row is PRESERVED but matches nothing — it must
+    // not pick up the null-key right row's value
+    assert(got.toSeq == Seq((1L, Some("real")), (2L, None)))
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(l, r, "k", "ts", Seq("v"), tolerance = Some(-1L))
+    }
+  }
+
+  test("binned joins: non-finite values are excluded, bad binSize rejected") {
+    import spark.implicits._
+    val pts = Seq((1L, 5.0), (2L, Double.NaN), (3L, Double.PositiveInfinity))
+      .toDF("pid", "x")
+    val ivs = Seq((10L, 0.0, 10.0), (11L, Double.NegativeInfinity, 1.0))
+      .toDF("iid", "lo", "hi")
+    // NaN/Inf rows drop out instead of killing the job at the ANSI cast;
+    // the finite point still joins the finite interval
+    val got = IntervalJoin.rangeJoin(pts, "x", ivs, "lo", "hi", binSize = 5.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L)))
+    intercept[IllegalArgumentException] {
+      IntervalJoin.rangeJoin(pts, "x", ivs, "lo", "hi", binSize = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      IntervalJoin.overlapJoin(ivs, "lo", "hi",
+        ivs.toDF("iid2", "lo2", "hi2"), "lo2", "hi2", binSize = Double.NaN)
+    }
+  }
+
+  test("sessionize: negative gap rejected") {
+    import spark.implicits._
+    val df = Seq((1L, 10L)).toDF("k", "ts")
+    intercept[IllegalArgumentException] {
+      Sessionize.assignSessions(df, "k", "ts", gap = -1L)
+    }
+  }
+
   test("sessionize: gap boundaries, counts, and span invariants") {
     import spark.implicits._
     // key 1: ts 0,10,20 | 100,105 | 300  (gap 30) → 3 sessions

@@ -3642,8 +3642,8 @@ object SparkEntry {
               text || ' contact' || CAST(doc_id AS VARCHAR) ||
                 '@example.com or 555-123-4567 card 4111111111111111',
               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-            '\b[0-9]{13,19}\b', '[NUMBER]', 'g'),
-          '\+?1?[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b', '[PHONE]', 'g')
+            '\b(?:[0-9][ -]?){12,18}[0-9]\b', '[NUMBER]', 'g'),
+          '(?:\+?1[ .-]?)?(?:\([0-9]{3}\)|\b[0-9]{3})[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b', '[PHONE]', 'g')
         ) AS h
       FROM documents ORDER BY doc_id""",
     // 0.25 -> threshold 0x400000000000 over the first 48 bits; fixed-width

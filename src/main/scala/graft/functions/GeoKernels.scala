@@ -2422,7 +2422,11 @@ object GeoKernels {
     if (nx > 1000000L || ny > 1000000L || nx * ny > 1000000L)
       throw new IllegalArgumentException(
         s"geometry bbox covers ${nx}x$ny grid cells at cellSize=$cellSize; " +
-          "raise spark.graft.spatialJoin.cellSize toward the median bbox size")
+          "raise the cell size in use toward the median bbox size — the " +
+          "spark.graft.spatialJoin.cellSize conf for the join rule, the " +
+          "cellSize argument for gridJoin, or the dist/eps argument for " +
+          "clusterWithin/clusterIntersecting/dbscan (large-extent " +
+          "geometries are incompatible with a small dist/eps there)")
     val n = (nx * ny).toInt
     val out = new Array[Long](n)
     var i = 0

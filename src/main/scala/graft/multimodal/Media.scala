@@ -55,6 +55,9 @@ object Media {
     * payload — the lever that keeps tasks memory-bounded when rows are
     * megabytes, independent of row count. */
   def sizePartitions(ds: Dataset[MediaRow], targetPartitionBytes: Long): Dataset[MediaRow] = {
+    require(targetPartitionBytes > 0,
+      s"targetPartitionBytes must be positive (got $targetPartitionBytes): " +
+        "division by zero saturates to an Int.MaxValue-partition shuffle")
     // coalesce: sum over zero rows is NULL, and an empty upstream filter
     // must not crash the pipeline
     val totalBytes = ds.agg(coalesce(sum(length(col("content"))), lit(0L))).as[Long](
@@ -111,6 +114,9 @@ object Media {
     * byte windows stand in for decoded frames). flatMap shape matches a
     * real frame extractor: 0..n output rows per input row. */
   def sampleFrames(ds: Dataset[MediaRow], stride: Int, frameBytes: Int = 256): Dataset[FrameSample] = {
+    require(stride > 0, s"stride must be positive (got $stride): 0 crashes " +
+      "the range step inside every task, negative silently drops all frames")
+    require(frameBytes > 0, s"frameBytes must be positive (got $frameBytes)")
     val spark = ds.sparkSession
     import spark.implicits._
     ds.flatMap { r =>

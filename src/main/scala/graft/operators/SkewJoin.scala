@@ -25,9 +25,17 @@ object SkewJoin {
     * comes from the row's position (`monotonically_increasing_id`), which
     * spreads even fully-IDENTICAL hot-key rows — hashing row content
     * would collapse duplicates onto one salt and silently restore the
-    * skew. Either way the salt never reaches the output, and the join
-    * result is identical to the unsalted join, so retry-nondeterminism of
-    * the positional id is harmless. */
+    * skew.
+    *
+    * Retry safety: a positional salt is only sound if a RECOMPUTED map
+    * task reproduces the same salts — otherwise a lost-executor retry
+    * re-salts rows, and reducers that mix old and new shuffle output
+    * duplicate or drop join rows (the SPARK-23207 round-robin bug
+    * class). [[saltedJoin]] therefore sorts each probe partition by all
+    * its columns before assigning positional salts, making the
+    * recomputation bit-identical (same remedy Spark applied to
+    * round-robin repartition). The local sort costs CPU only — no
+    * shuffle; pass `saltBy` (e.g. a unique id) to skip it. */
   private[graft] def saltExpr(salts: Int, saltBy: Seq[String]) =
     if (saltBy.nonEmpty) pmod(xxhash64(saltBy.map(col): _*), lit(salts.toLong))
     else pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
@@ -35,7 +43,10 @@ object SkewJoin {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salts: Int, saltBy: Seq[String] = Nil): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val p = probe.withColumn("__salt", saltExpr(salts, saltBy))
+    val stableProbe =
+      if (saltBy.nonEmpty) probe
+      else probe.sortWithinPartitions(probe.columns.map(col): _*)
+    val p = stableProbe.withColumn("__salt", saltExpr(salts, saltBy))
     val b = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     p.join(b, Seq(key, "__salt")).drop("__salt")

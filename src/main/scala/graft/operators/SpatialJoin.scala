@@ -44,6 +44,7 @@ object SpatialJoin {
   def broadcastJoin(left: DataFrame, leftGeom: String,
       right: DataFrame, rightGeom: String,
       predicate: String = "intersects"): DataFrame = {
+    requireDistinctColumns(left, right)
     val spark = left.sparkSession
     val pred = refine(predicate)
     val rightRows = right.collect()
@@ -111,6 +112,48 @@ object SpatialJoin {
         b.getItem.asInstanceOf[GeomItem].geom)
   }
 
+  /** Exact k-nearest (distance, item-index) pairs of `g` from a built
+    * GeomItem STRtree, ranked (distance, index) INCLUDING ties at the
+    * k-th distance: JTS's branch-and-bound retains an ARBITRARY one of
+    * several items tied at the boundary (tree-order dependent), so the
+    * preliminary k-th distance seeds a range re-query over every
+    * candidate within it and the documented tie-break is enforced over
+    * the full tied set. The re-query envelope is sound because a
+    * geometry within distance d of `g` has an envelope within d of
+    * `g`'s envelope. */
+  private def knnDeterministic(tree: STRtree, treeSize: Int,
+      g: org.locationtech.jts.geom.Geometry, k: Int): Array[(Double, Int)] = {
+    val env = g.getEnvelopeInternal
+    val fetched = tree.nearestNeighbour(env, new GeomItem(g, -1),
+      GeomItemDistance, math.min(k, treeSize))
+    val prelim = fetched.iterator.collect {
+      case it: GeomItem if it.idx >= 0 => g.distance(it.geom)
+    }.toArray
+    if (prelim.isEmpty) Array.empty
+    else {
+      val dk = prelim.max
+      val env2 = new Envelope(env)
+      env2.expandBy(dk)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+      val it = tree.query(env2).iterator()
+      while (it.hasNext) it.next() match {
+        case item: GeomItem if item.idx >= 0 =>
+          val d = g.distance(item.geom)
+          if (d <= dk) buf += ((d, item.idx))
+        case _ => ()
+      }
+      buf.toArray.sortBy(identity).take(math.min(k, treeSize))
+    }
+  }
+
+  /** The broadcast/knn joins emit left.fields ++ right.fields — a shared
+    * name would produce a frame whose columns cannot be referenced. */
+  private def requireDistinctColumns(left: DataFrame, right: DataFrame): Unit = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"column names must be distinct across sides: ${overlap.mkString(", ")}")
+  }
+
   /** KNN join: for every left row, the k nearest right geometries
     * (cartesian distance). The right side is broadcast as an STRtree whose
     * items hold the decoded geometries; JTS's branch-and-bound
@@ -127,6 +170,7 @@ object SpatialJoin {
     * the corpus distributed. */
   def knnJoin(left: DataFrame, leftGeom: String,
       right: DataFrame, rightGeom: String, k: Int): DataFrame = {
+    requireDistinctColumns(left, right)
     val spark = left.sparkSession
     val rightRows = right.collect()
     val rightGeomIdx = right.schema.fieldIndex(rightGeom)
@@ -162,11 +206,7 @@ object SpatialJoin {
           val env = g.getEnvelopeInternal
           if (env.isNull) Iterator.empty // empty geometry: no neighbors
           else {
-            val fetched = t.nearestNeighbour(env, new GeomItem(g, -1),
-              GeomItemDistance, math.min(k, treeSize))
-            val ranked = fetched.iterator.collect {
-              case it: GeomItem if it.idx >= 0 => (g.distance(it.geom), it.idx)
-            }.toArray.sortBy(identity)
+            val ranked = knnDeterministic(t, treeSize, g, k)
             ranked.iterator.zipWithIndex.map { case ((d, i), rank) =>
               // Seq[Any]: a bare Seq(int, double) would widen the rank to Double
               Row.fromSeq(lrow.toSeq ++ rrows(i).toSeq ++ Seq[Any](rank + 1, d))
@@ -191,6 +231,7 @@ object SpatialJoin {
     * partitions (exact duplicate rows are interchangeable). */
   def knnJoinBroadcastQueries(left: DataFrame, leftGeom: String,
       right: DataFrame, rightGeom: String, k: Int): DataFrame = {
+    requireDistinctColumns(left, right)
     val spark = left.sparkSession
     val leftRows = left.collect()
     val leftGeomIdx = left.schema.fieldIndex(leftGeom)
@@ -233,13 +274,9 @@ object SpatialJoin {
           val treeSize = tree.size()
           qs.iterator.flatMap { case (qidx, qbytes) =>
             val qg = GeoKernels.geom(qbytes)
-            val fetched = tree.nearestNeighbour(qg.getEnvelopeInternal,
-              new GeomItem(qg, -1), GeomItemDistance, math.min(k, treeSize))
-            // (distance, partition row index) sort: ties within a
-            // partition resolve deterministically, like knnJoin
-            fetched.iterator.collect {
-              case it: GeomItem if it.idx >= 0 => (qg.distance(it.geom), it.idx)
-            }.toArray.sortBy(identity).iterator.map { case (d, i) =>
+            // (distance, partition row index) rank with boundary ties
+            // re-queried, like knnJoin
+            knnDeterministic(tree, treeSize, qg, k).iterator.map { case (d, i) =>
               Row.fromSeq(Seq[Any](qidx, d) ++ buf(i).toSeq)
             }
           }
@@ -289,8 +326,7 @@ object SpatialJoin {
   def gridJoin(left: DataFrame, leftGeom: String,
       right: DataFrame, rightGeom: String,
       cellSize: Double, predicate: String = "intersects"): DataFrame = {
-    val overlap = left.columns.toSet.intersect(right.columns.toSet)
-    require(overlap.isEmpty, s"column names must be distinct across sides: $overlap")
+    requireDistinctColumns(left, right)
     GeoFunctions.register(left.sparkSession)
     val l = left.withColumn("__cell_l",
       explode(GeoFunctions.grid_cells(col(leftGeom), cellSize, 0.0)))

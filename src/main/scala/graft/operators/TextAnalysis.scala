@@ -55,7 +55,11 @@ object TextAnalysis {
     * `n_bigrams`, `n_distinct_bigrams`, `top_bigram_n`.
     */
   def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc"), split(col(textCol), " ").as("__t"))
+    // null text coalesces to "" so the doc still gets its output row
+    // (zero counters) — explode over a null token array would silently
+    // drop the document from the profile, unlike profile()
+    val toks = df.select(col(idCol).as("doc"),
+      split(coalesce(col(textCol), lit("")), " ").as("__t"))
     // bigrams of adjacent tokens; docs under 2 tokens have none. __t is a
     // materialized attribute (lambda bodies re-evaluate captured
     // EXPRESSIONS per element — splitting inline would be O(tokens²)).
@@ -245,11 +249,17 @@ object TextAnalysis {
     * — one shuffle keyed by fingerprint, in-bucket pairs only (same
     * capped-bucket kernel pattern as MinHash-LSH). */
   def winnowSharedPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 4, minShared: Int = 2): DataFrame = {
+      k: Int = 5, w: Int = 4, minShared: Int = 2,
+      maxBucket: Int = 10000): DataFrame = {
+    // Dedup's capped bucket-pair kernel, not an uncapped self-join: a
+    // boilerplate fingerprint (license header, nav bar) shared by m docs
+    // would emit m²/2 pairs from ONE key — the cap drops such buckets
+    // exactly as minhashCandidates does, bounding the worst case at
+    // O(buckets · maxBucket²)
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
-    val a = fps.select(col("doc").as("ida"), col("fp"))
-    val b = fps.select(col("doc").as("idb"), col("fp"))
-    a.join(b, "fp").where(col("ida") < col("idb"))
+    Dedup.explodeBucketPairs(
+      fps.groupBy("fp").agg(sort_array(collect_list(col("doc"))).as("ds")),
+      maxBucket)
       .groupBy("ida", "idb").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
@@ -263,12 +273,20 @@ object TextAnalysis {
   def redactPii(text: Column): Column = {
     // order matters: emails first (their local part may contain digit
     // runs), then long card-like numbers BEFORE phones so a phone pattern
-    // can't bite 10 digits out of a 16-digit card
+    // can't bite 10 digits out of a 16-digit card.
+    // Card pattern accepts the common separator groupings ("4111 1111
+    // 1111 1111", "4111-1111-1111-1111"), not just contiguous runs; both
+    // ends are word-bounded so 13-19 digit WINDOWS of longer ids never
+    // match. Phone pattern word-bounds the area code (an 11-12 digit id
+    // no longer loses its middle 10 digits) without lookbehind — the
+    // DuckDB oracle replays these in RE2, which has none.
     val email = regexp_replace(text,
       lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("[EMAIL]"))
-    val num = regexp_replace(email, lit("\\b[0-9]{13,19}\\b"), lit("[NUMBER]"))
+    val num = regexp_replace(email,
+      lit("\\b(?:[0-9][ -]?){12,18}[0-9]\\b"), lit("[NUMBER]"))
     regexp_replace(num,
-      lit("\\+?1?[ .-]?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\\b"), lit("[PHONE]"))
+      lit("(?:\\+?1[ .-]?)?(?:\\([0-9]{3}\\)|\\b[0-9]{3})[ .-]?[0-9]{3}[ .-]?[0-9]{4}\\b"),
+      lit("[PHONE]"))
   }
 
   /** One-row corpus profile: doc/token totals plus EXACT quartiles of

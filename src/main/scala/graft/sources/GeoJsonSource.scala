@@ -43,7 +43,9 @@ object GeoJsonSource {
         .where(col("ftype") === "Feature" ||
           raise_error(concat(lit("not a GeoJSON Feature line: "),
             substring(col("value"), 1, 80))).cast("boolean"))
-    features.select(expr("ST_GeomFromGeoJSON(gj)").as("geom"),
+    // Column builders, not expr() strings: the source must work on a
+    // session that never called GeoFunctions.register
+    features.select(graft.functions.GeoFunctions.st_geomfromgeojson(col("gj")).as("geom"),
       col("properties"), col("gj").as("geojson"))
   }
 
@@ -68,7 +70,7 @@ object GeoJsonSource {
       else to_json(struct(propCols.map(col): _*))
     df.select(concat(
         lit("""{"type": "Feature", "geometry": """),
-        coalesce(expr(s"ST_AsGeoJSON($geomCol)"), lit("null")),
+        coalesce(graft.functions.GeoFunctions.st_asgeojson(col(geomCol)), lit("null")),
         lit(""", "properties": """), coalesce(props, lit("{}")),
         lit("}")).as("value"))
       .write.mode("overwrite").text(path)

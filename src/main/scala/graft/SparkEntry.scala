@@ -2250,7 +2250,7 @@ object SparkEntry {
             .dedupParagraphsIncremental(batch, "doc_id", "text",
               seen = state.read())
             .write.mode("append").parquet(outDir)
-          state.append(graft.operators.Dedup.paragraphKeys(batch, "text"))
+          state.append(graft.operators.Dedup.paragraphKeyset(batch, "text"))
         }
         .start()
       q.awaitTermination()

@@ -430,15 +430,22 @@ object Dedup {
   /** Election keys ([[dedupParagraphs]]' xxhash64, or raw text with
     * `byText`) of every distinct non-empty paragraph in `df`, as one
     * `pkey` column — the state a streaming / incremental caller carries
-    * between batches. */
-  def paragraphKeys(df: DataFrame, textCol: String,
+    * between batches.
+    *
+    * Named `paragraphKeyset` (not `paragraphKeys`) deliberately: an
+    * earlier signature took `(df, idCol, textCol, ...)`, and keeping the
+    * old name would let a stale positional call
+    * `paragraphKeys(df, "doc_id", "text")` compile while silently
+    * reading the id column as the text — the rename turns that into a
+    * compile error. */
+  def paragraphKeyset(df: DataFrame, textCol: String,
       sep: String = "\n", byText: Boolean = false): DataFrame =
     df.select(posexplode(paraSplit(col(textCol), sep)).as(Seq("pos", "para")))
       .where(length(col("para")) > 0)
       .select(paraKey(byText).as("pkey")).distinct()
 
   /** [[dedupParagraphs]] against prior state: paragraphs whose election
-    * key appears in `seen` (a `pkey` column, from [[paragraphKeys]] of
+    * key appears in `seen` (a `pkey` column, from [[paragraphKeyset]] of
     * earlier batches) are dropped everywhere and the first-occurrence
     * election runs only among the remainder — the incremental /
     * streaming building block (q123). The anti-join moves only keys;

@@ -28,14 +28,33 @@ object IntervalJoin {
         "division by a zero/non-finite width maps values to ±Infinity " +
         "bins, which ANSI mode rejects at cast time mid-job")
 
-  /** NaN/±Infinity values occupy no bin (the row is excluded from the
-    * join, exactly as the raw inequality predicate would exclude them) —
-    * without the filter, casting the non-finite bin index throws under
-    * Spark's default ANSI mode and one bad row kills the whole job.
-    * Spark orders NaN greater than any double, so `between` rejects all
-    * three non-finite cases. */
+  /** Spark orders NaN greater than any double, so `between` rejects all
+    * three non-finite cases (NaN, ±Infinity). */
   private def finite(c: Column): Column =
     c.between(lit(-Double.MaxValue), lit(Double.MaxValue))
+
+  /** Interval BOUNDS must be finite, and a non-finite bound fails
+    * LOUDLY (`assert_true` throws inside the job) rather than silently
+    * dropping the interval: a semi-infinite interval `[lo, +Inf)` (or a
+    * NaN bound, which Spark orders above everything) would match real
+    * rows under the raw inequality predicate, so discarding it would
+    * silently lose every one of those matches. Clamping to
+    * ±Double.MaxValue is no alternative — the bin sequence
+    * `bin(lo)..bin(MaxValue)` has ~1e300 entries and the explode never
+    * finishes. Callers modeling unbounded intervals should clamp to
+    * their domain's real extent before joining.
+    *
+    * NULL bounds stay silently non-matching (row dropped) — that IS the
+    * raw predicate's behavior (`NULL <= p` is never true), unlike the
+    * non-finite case. */
+  private def finiteOrFail(df: DataFrame, what: String, cols: String*): DataFrame = {
+    val nonFiniteNonNull =
+      cols.map(c => col(c).isNotNull && !finite(col(c))).reduce(_ || _)
+    val msg = lit(s"$what bounds must be finite (NaN/±Infinity in ${cols.mkString(", ")}): " +
+      "clamp unbounded intervals to the domain extent before the join")
+    df.where(assert_true(!nonFiniteNonNull, msg).isNull)
+      .where(cols.map(c => col(c).isNotNull).reduce(_ && _))
+  }
 
   /** Inner-join rows of `points` to rows of `intervals` where
     * `lo <= p <= hi` (half-open `[lo, hi)` when `closedHi = false`).
@@ -44,14 +63,20 @@ object IntervalJoin {
     * where a pair can share many cells).
     *
     * Columns travel through a plain equi-join, so the two inputs must
-    * not share column names (rename before a self-join). */
+    * not share column names (rename before a self-join).
+    *
+    * Non-finite POINT values are excluded, which matches the raw
+    * predicate exactly once interval bounds are finite (enforced): a NaN
+    * or +Inf point sorts above every finite `hi`, a -Inf point below
+    * every finite `lo`, so none can satisfy `lo <= p <= hi`. Non-finite
+    * INTERVAL bounds throw (see [[finiteOrFail]]). */
   def rangeJoin(points: DataFrame, pCol: String, intervals: DataFrame,
       loCol: String, hiCol: String, binSize: Double,
       closedHi: Boolean = true): DataFrame = {
     requireBinSize(binSize)
     val p = points.where(finite(col(pCol)))
       .withColumn("__bin", binOf(col(pCol), binSize))
-    val iv = intervals.where(finite(col(loCol)) && finite(col(hiCol)))
+    val iv = finiteOrFail(intervals, "interval", loCol, hiCol)
       .withColumn("__bin",
         explode(sequence(binOf(col(loCol), binSize), binOf(col(hiCol), binSize))))
     val hiPred = if (closedHi) col(pCol) <= col(hiCol) else col(pCol) < col(hiCol)
@@ -66,14 +91,17 @@ object IntervalJoin {
     * DISTINCT pass and full rows flow through.
     *
     * As with [[rangeJoin]], the inputs must not share column names —
-    * a self-overlap-join needs one side's columns renamed first. */
+    * a self-overlap-join needs one side's columns renamed first.
+    * Non-finite bounds on EITHER side throw (see [[finiteOrFail]]) —
+    * an unbounded interval would overlap real rows, so silently
+    * dropping it would silently drop matches. */
   def overlapJoin(a: DataFrame, aLo: String, aHi: String,
       b: DataFrame, bLo: String, bHi: String, binSize: Double): DataFrame = {
     requireBinSize(binSize)
-    val ea = a.where(finite(col(aLo)) && finite(col(aHi)))
+    val ea = finiteOrFail(a, "interval", aLo, aHi)
       .withColumn("__bin",
         explode(sequence(binOf(col(aLo), binSize), binOf(col(aHi), binSize))))
-    val eb = b.where(finite(col(bLo)) && finite(col(bHi)))
+    val eb = finiteOrFail(b, "interval", bLo, bHi)
       .withColumn("__bin",
         explode(sequence(binOf(col(bLo), binSize), binOf(col(bHi), binSize))))
     ea.join(eb, Seq("__bin"))

@@ -35,7 +35,9 @@ object SkewJoin {
     * its columns before assigning positional salts, making the
     * recomputation bit-identical (same remedy Spark applied to
     * round-robin repartition). The local sort costs CPU only — no
-    * shuffle; pass `saltBy` (e.g. a unique id) to skip it. */
+    * shuffle; pass `saltBy` (e.g. a unique id) to skip it. Frames with
+    * unorderable columns (MapType) cannot be totally sorted, so the
+    * default path rejects them up front — they MUST pass `saltBy`. */
   private[graft] def saltExpr(salts: Int, saltBy: Seq[String]) =
     if (saltBy.nonEmpty) pmod(xxhash64(saltBy.map(col): _*), lit(salts.toLong))
     else pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
@@ -45,7 +47,23 @@ object SkewJoin {
     require(salts > 0, "salts must be positive")
     val stableProbe =
       if (saltBy.nonEmpty) probe
-      else probe.sortWithinPartitions(probe.columns.map(col): _*)
+      else {
+        // The stabilizing sort must be TOTAL to make positional salts
+        // retry-reproducible, and only orderable types can sort. A frame
+        // with an unorderable column (MapType) can neither be totally
+        // sorted nor (by default) hashed on that column, so positional
+        // salting can't be made retry-safe for it — demand an explicit
+        // saltBy instead of an AnalysisException from the sort (or,
+        // worse, a silently partial sort that re-salts ties on retry).
+        import org.apache.spark.sql.catalyst.expressions.RowOrdering
+        val unorderable = probe.schema.fields
+          .filterNot(f => RowOrdering.isOrderable(f.dataType)).map(_.name)
+        require(unorderable.isEmpty,
+          s"saltedJoin: probe has unorderable column(s) ${unorderable.mkString(", ")} " +
+            "— the retry-safe positional salt needs a total per-partition sort; " +
+            "pass saltBy (e.g. a unique id column) instead")
+        probe.sortWithinPartitions(probe.columns.map(col): _*)
+      }
     val p = stableProbe.withColumn("__salt", saltExpr(salts, saltBy))
     val b = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))

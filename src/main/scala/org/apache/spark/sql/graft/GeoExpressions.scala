@@ -2616,7 +2616,9 @@ case class StTileEnvelope(first: Expression, second: Expression, third: Expressi
     copy(a, b, c)
 }
 
-/** ST_Transform(geom, srid) — closed-form 4326 ↔ 3857 reprojection. */
+/** ST_Transform(geom, srid) — closed-form WGS84-family reprojection:
+  * 4326 ↔ 3857 ↔ UTM (EPSG 326zz/327zz, Krüger-series transverse
+  * Mercator). Other SRIDs raise. */
 case class StTransform(left: Expression, right: Expression)
     extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)

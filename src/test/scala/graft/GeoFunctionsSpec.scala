@@ -805,7 +805,46 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(intercept[Exception] {
       spark.sql("select ST_Transform(ST_GeomFromText('POINT(1 2)', 2154), 4326)")
         .collect()
-    }.getMessage.contains("4326 <-> 3857"))
+    }.getMessage.contains("WGS84 family"))
+  }
+
+  test("st_transform: UTM zones match an independent Snyder implementation") {
+    // pinned values generated by tools/utm_snyder.py — Snyder 1987
+    // meridian-arc + T/C/A series, a DIFFERENT published formulation
+    // than the engine's Krüger n-series; agreement to 2 mm pins the
+    // projection itself rather than its self-consistency
+    val known = Seq(
+      (52.52, 13.405, 32633, 391779.2593, 5820072.1597),
+      (40.7128, -74.006, 32618, 583959.3723, 4507350.9984),
+      (-33.8688, 151.2093, 32756, 334368.6336, 6250948.3453),
+      (0.0, 9.0, 32632, 500000.0000, 0.0000),
+      (63.0, 9.75, 32632, 537988.7788, 6985810.7567),
+      (-0.0005, 36.5, 32737, 221723.6832, 9999944.6820))
+    for ((lat, lon, epsg, e, n) <- known) {
+      val row = spark.sql(
+        s"select ST_X(ST_Transform(ST_Point($lon, $lat, 4326), $epsg))," +
+          s" ST_Y(ST_Transform(ST_Point($lon, $lat, 4326), $epsg))")
+        .collect()(0)
+      assert(math.abs(row.getDouble(0) - e) < 2e-3,
+        s"easting $epsg: ${row.getDouble(0)} vs $e")
+      assert(math.abs(row.getDouble(1) - n) < 2e-3,
+        s"northing $epsg: ${row.getDouble(1)} vs $n")
+      // round trip back to geographic is double-exact (Newton inverse)
+      val back = spark.sql(
+        s"select ST_X(ST_Transform(ST_Transform(ST_Point($lon, $lat, 4326), $epsg), 4326))," +
+          s" ST_Y(ST_Transform(ST_Transform(ST_Point($lon, $lat, 4326), $epsg), 4326))")
+        .collect()(0)
+      assert(math.abs(back.getDouble(0) - lon) < 1e-9)
+      assert(math.abs(back.getDouble(1) - lat) < 1e-9)
+    }
+    // cross pairs pivot through geographic: 3857 -> UTM equals
+    // 4326 -> UTM of the same ground point
+    val viaMerc = spark.sql(
+      "select ST_X(ST_Transform(ST_Transform(ST_Point(13.405, 52.52, 4326), 3857), 32633))")
+      .collect()(0).getDouble(0)
+    assert(math.abs(viaMerc - 391779.2593) < 2e-3)
+    // UTM srid sticks on the output
+    assert(sql1("select ST_SRID(ST_Transform(ST_Point(13.405, 52.52, 4326), 32633))") == 32633)
   }
 
   test("st_geometryn / st_interiorringn: 1-based component and ring access") {

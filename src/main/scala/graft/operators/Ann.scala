@@ -295,6 +295,19 @@ object Ann {
     * (The per-call codebook broadcast is reclaimed by Spark's
     * ContextCleaner once the returned DataFrame is unreachable.) */
   def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val scored = probedPairs(index, queries, nProbe)
+      .select(col("qid"), col("nid"), vec_cosine(col("qv"), col("cv")).as("cos"))
+      .dropDuplicates("qid", "nid")
+    topkByCos(scored, k)
+  }
+
+  /** Shared probe skeleton of the IVF searches: evaluate + collect the
+    * (broadcast-sized) probe assignments once, derive the static probed
+    * `list IN (...)` partition filter from the SAME rows, and join the
+    * broadcast query rows to the surviving candidates. Returns one row
+    * per (query, candidate) with both payloads. */
+  private def probedPairs(index: IvfIndex, queries: DataFrame,
+      nProbe: Int): DataFrame = {
     val spark = queries.sparkSession
     val probeDF = probeAssignments(index, queries, nProbe)
     val rows = probeDF.collect()
@@ -305,10 +318,10 @@ object Ann {
     val candidates =
       if (probed.isEmpty) index.assigned
       else index.assigned.where(col("list").isin(probed.map(Int.box): _*))
-    val scored = q.join(candidates, Seq("list"))
-      .where(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), vec_cosine(col("qv"), col("cv")).as("cos"))
-      .dropDuplicates("qid", "nid")
+    q.join(candidates, Seq("list")).where(col("qid") =!= col("nid"))
+  }
+
+  private def topkByCos(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select("qid", "nid", "rnk")
@@ -320,6 +333,71 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nProbe: Int = 4, iters: Int = 5, seed: Long = 42L): DataFrame =
     ivfSearch(buildIvf(corpus, nlist, iters, seed), queries, k, nProbe)
+
+  // ---- quantized IVF (IVF-SQ8) -------------------------------------------
+
+  /** [[buildIvf]] with int8-quantized inverted lists (IVF-SQ8): the
+    * assigned table stores `(nid, q tinyint[], qscale, list)` instead of
+    * float vectors — 4x fewer bytes per row, which at billion-vector
+    * scale is the whole list-scan cost ([[ivfSearch]] reads nProbe/nlist
+    * of the corpus; on the quantized index the same probe reads a
+    * quarter of THOSE bytes). [[writeIvfIndex]] / [[readIvfIndex]]
+    * persist it unchanged (they are schema-agnostic), keeping the
+    * `list=` partition pruning of the float index.
+    *
+    * Candidate ranking uses [[cosineVsQuantized]] — cosine is
+    * scale-invariant, so the stored `qscale` is not needed to score
+    * (it is kept for consumers that must DEQUANTIZE: dot-product or L2
+    * ranking, reconstruction, re-quantization audits). */
+  def buildIvfQ(corpus: DataFrame, nlist: Int = 16, iters: Int = 5,
+      seed: Long = 42L): IvfIndex = {
+    val base = buildIvf(corpus, nlist, iters, seed)
+    // scale stored as float32: 7 significant digits on a magnitude-only
+    // factor keeps dequantization error ~1e-7 relative — a double would
+    // double the per-row scale bytes in every list for nothing
+    IvfIndex(base.centroids,
+      quantizeI8(base.assigned, "cv")
+        .select(col("nid"), col("q"), col("qscale").cast("float").as("qscale"),
+          col("list")))
+  }
+
+  /** Search a quantized ([[buildIvfQ]]) index. With `rerank = 0` the
+    * quantized cosine order IS the result. With `rerank = r > 0`, the
+    * top `max(r, k)` candidates per query by quantized score are
+    * re-scored with exact float cosine against `corpus` and the final
+    * top-k comes from that — the standard two-stage shape: the cheap
+    * int8 scan bounds the float work to r rows per query, and the
+    * re-rank join broadcasts the (queries × r)-sized candidate side, so
+    * the corpus is touched only by the probed list scan. Given the same
+    * probe set, exact re-ranking can only improve recall over the
+    * quantized order (it picks the true-best k of the same candidate
+    * pool), so `rerank` trades a small float join for the quantization
+    * noise. */
+  def ivfSearchQ(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int,
+      rerank: Int = 0, corpus: Option[DataFrame] = None): DataFrame = {
+    val scored = probedPairs(index, queries, nProbe)
+      .select(col("qid"), col("qv"), col("nid"),
+        cosineVsQuantized(col("qv"), col("q")).as("cos"))
+      .dropDuplicates("qid", "nid")
+    if (rerank <= 0) topkByCos(scored.drop("qv"), k)
+    else {
+      val c = corpus.getOrElse(throw new IllegalArgumentException(
+        "ivfSearchQ: rerank > 0 needs a float (vec_id, embedding) frame to re-score"))
+      val r = math.max(rerank, k)
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+      val shortlist = scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= r).select("qid", "qv", "nid")
+      // broadcast the (queries x r)-sized shortlist: the float fetch is a
+      // map-side join that streams `c` once with no shuffle. Callers at
+      // extreme scale can pass a pre-restricted float frame (e.g. the
+      // float index's assigned table filtered to the probed lists)
+      // instead of the whole corpus to bound that stream too.
+      val exact = broadcast(shortlist)
+        .join(c.select(col("vec_id").as("nid"), col("embedding").as("cv")), Seq("nid"))
+        .select(col("qid"), col("nid"), vec_cosine(col("qv"), col("cv")).as("cos"))
+      topkByCos(exact, k)
+    }
+  }
 
   // ---- k-means clustering over the full corpus ---------------------------
 

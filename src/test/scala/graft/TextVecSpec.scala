@@ -215,6 +215,53 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!planStr.matches("(?s).*PartitionFilters: \\[\\s*\\].*"), planStr)
   }
 
+  test("quantized IVF (SQ8): int8 lists, smaller on disk, full-probe rerank equals brute force") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val qidx = Ann.buildIvfQ(emb, nlist = 8)
+    // lists hold codes + scale, never floats
+    assert(qidx.assigned.columns.toSeq == Seq("nid", "q", "qscale", "list"))
+    assert(qidx.assigned.schema("q").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    val exact = Ann.bruteForceTopK(queries, emb, 3)
+    // quantized-only ranking at full probing: high recall, not exactness
+    // (int8 noise can reorder near-ties)
+    val qOnly = Ann.ivfSearchQ(qidx, queries, k = 3, nProbe = 8)
+    assert(Ann.recall(qOnly, exact) >= 0.8)
+    // full probing + full rerank must be EXACTLY brute force: the
+    // candidate pool is the whole corpus and the final ranking is the
+    // same float cosine with the same tie-break
+    val n = emb.count().toInt
+    val rr = Ann.ivfSearchQ(qidx, queries, k = 3, nProbe = 8,
+      rerank = n, corpus = Some(emb))
+    assert(rr.collect().map(_.toSeq).toSet == exact.collect().map(_.toSeq).toSet)
+    // the persisted quantized lists carry meaningfully fewer bytes than
+    // the float lists (codes are 1/4 the vector payload; parquet framing
+    // keeps the ratio under the raw 4x, so assert a lenient 1.5x)
+    val fidx = Ann.buildIvf(emb, nlist = 8)
+    val fd = java.nio.file.Files.createTempDirectory("graft_ivf_f").toString
+    val qd = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+    Ann.writeIvfIndex(fidx, fd)
+    Ann.writeIvfIndex(qidx, qd)
+    def parquetBytes(root: String): Long = {
+      val out = collection.mutable.ArrayBuffer.empty[Long]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).forEach { p =>
+        if (p.toString.endsWith(".parquet")) out += java.nio.file.Files.size(p)
+      }
+      out.sum
+    }
+    val (fb, qb) = (parquetBytes(fd), parquetBytes(qd))
+    assert(qb * 3 < fb * 2, s"quantized lists not smaller: $qb vs $fb")
+    // the quantized index persists/loads through the same partitioned
+    // writer and searches identically from disk
+    val loaded = Ann.readIvfIndex(spark, qd)
+    val fromDisk = Ann.ivfSearchQ(loaded, queries, k = 3, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(fromDisk == Ann.ivfSearchQ(qidx, queries, k = 3, nProbe = 4)
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("cosine near-dups: LSH banding finds planted duplicates, exact refine filters") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -264,11 +264,14 @@ object ScaleSmoke {
     // 1000x64 floats once per executor instead of inside every task
     // binary. Exact flat argmax — cost is k·dim per row by design.
     {
+      // hash-based values: high-entropy floats, like real embedding
+      // corpora — a low-entropy ramp here lets parquet dictionary-encode
+      // the float lists and silently fakes the float-vs-int8 bytes ratio
+      // the IVF-SQ8 block below measures
       val bigVecs = spark.sql("""
         SELECT id AS vec_id,
                transform(sequence(0, 63),
-                 d -> CAST((CAST((id * 31 + d * 7) % 1009 AS INT) - 504) / 504.0 AS FLOAT))
-                 AS embedding
+                 d -> CAST(hash(id, d) / 2147483647.0 AS FLOAT)) AS embedding
         FROM range(0, 1250000) t(id)""").repartition(32).cache()
       println(s"[scale] large-k vectors: ${bigVecs.count()}")
       val centDF = bigVecs.where(col("vec_id") < 1000)
@@ -323,6 +326,44 @@ object ScaleSmoke {
       assert(fullProbe._1 == fullProbe._2 && fullProbe._1.nonEmpty,
         "full-probe ivfSearch != brute force at 1.25M")
       println(s"[scale]   full-probe ivf ≡ brute force: ${fullProbe._1.size} rows")
+
+      // IVF-SQ8 at the same scale: persist float and int8 indexes,
+      // measure the on-disk list bytes (at billion-vector scale the
+      // probed-list scan IS the search cost, so the bytes ratio is the
+      // speedup lever), then search the persisted quantized index with
+      // a float rerank
+      val qIvf = time("buildIvfQ 1.25M x nlist=256 (int8 lists)") {
+        val idx = Ann.buildIvfQ(bigVecs, nlist = 256, iters = 2)
+        idx.assigned.count()
+        idx
+      }
+      val fDir = java.nio.file.Files.createTempDirectory("graft_ivf_f").toString
+      val qDir = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+      time("writeIvfIndex 1.25M: float + int8") {
+        Ann.writeIvfIndex(bigIvf, fDir)
+        Ann.writeIvfIndex(qIvf, qDir)
+      }
+      def parquetBytes(root: String): Long = {
+        var sum = 0L
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root)).forEach { p =>
+          if (p.toString.endsWith(".parquet")) sum += java.nio.file.Files.size(p)
+        }
+        sum
+      }
+      val (fBytes, qBytes) = (parquetBytes(fDir), parquetBytes(qDir))
+      println(f"[scale]   ivf list bytes: float ${fBytes / 1e6}%.1f MB, int8 ${qBytes / 1e6}%.1f MB (${fBytes.toDouble / qBytes}%.2fx smaller scan)")
+      assert(qBytes * 2 < fBytes, s"quantized lists not smaller: $qBytes vs $fBytes")
+      val qLoaded = Ann.readIvfIndex(spark, qDir)
+      val qSearchN = time("ivfSearchQ 20 queries nProbe=8 rerank=50 (persisted int8 lists)") {
+        Ann.ivfSearchQ(qLoaded, bigVecs.where(col("vec_id") < 20), k = 5,
+          nProbe = 8, rerank = 50, corpus = Some(bigVecs)).count()
+      }
+      println(s"[scale]   ivf-sq8 search rows: $qSearchN")
+      Seq(fDir, qDir).foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
 
       // cached-lineage k-means (corpus persisted across seeding + Lloyd
       // steps): the iters+1 full passes hit the cache instead of

@@ -437,6 +437,97 @@ object SparkEntry {
       import spark.implicits._
       Seq((nMem, nMatch, pruneOk)).toDF("n_mem", "n_match", "prune_ok")
     }),
+    // IVF-SQ8: same fixture as q35 but the inverted lists store int8
+    // codes + scale (4x fewer list-scan bytes). recall_ok uses q35's
+    // threshold; rerank_ge pins the two-stage theorem — exact float
+    // re-ranking of the same candidate pool can only improve recall
+    // over the quantized order (hits(rerank) ⊇ hits(quantized), both
+    // selections drawn from the same probed candidates).
+    "q126_ann_ivf_quantized" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      val idx = graft.operators.Ann.buildIvfQ(emb, nlist = 8)
+      val exact = graft.operators.Ann.bruteForceTopK(queries, emb, 3)
+      val approxQ = graft.operators.Ann.ivfSearchQ(idx, queries, k = 3, nProbe = 4)
+      val approxRR = graft.operators.Ann.ivfSearchQ(idx, queries, k = 3, nProbe = 4,
+        rerank = 10, corpus = Some(emb))
+      val nExact = exact.count()
+      val nQ = approxQ.join(exact, Seq("qid", "nid")).count()
+      val nRR = approxRR.join(exact, Seq("qid", "nid")).count()
+      import spark.implicits._
+      Seq((nExact, nQ >= nExact * 6 / 10, nRR >= nQ))
+        .toDF("n_exact", "recall_ok", "rerank_ge")
+    }),
+    // GeoParquet 1.0 interop: export lineitem points as GeoParquet
+    // (raw-WKB column + per-file `geo` footer metadata a foreign reader
+    // consumes), read the files back THROUGH the interop reader, and
+    // hash-compare the re-tagged geometries + SRID against the oracle's
+    // direct recomputation — the round trip through the interchange
+    // format must be lossless. (Pruning + foreign-degradation behavior
+    // is spec-pinned in GeoParquetSpec; the bbox check here keeps the
+    // footer metadata itself oracled: the global envelope of the
+    // per-file bboxes must equal the exact coordinate extent.)
+    "q128_geoparquet_roundtrip" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val pts = spark.sql(s"SELECT $KEYS, $PT AS geom FROM lineitem")
+      val out = scratchDir("graft_gpq_")
+      graft.sources.GeoParquet.write(pts, out, "geom")
+      val metas = graft.sources.GeoParquet.fileMeta(spark, out)
+        .flatMap(_._2).flatMap(_.bbox)
+      val env = (metas.map(_._1).min, metas.map(_._2).min,
+        metas.map(_._3).max, metas.map(_._4).max)
+      graft.sources.GeoParquet.read(spark, out)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("ST_AsText(geom)").as("wkt"),
+          expr("ST_SRID(geom)").as("srid"),
+          lit(env._1).as("bb_xmin"), lit(env._2).as("bb_ymin"),
+          lit(env._3).as("bb_xmax"), lit(env._4).as("bb_ymax"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // UTM ST_Transform (EPSG 326zz/327zz, Krüger-series transverse
+    // Mercator). DuckDB here has no spatial extension, so the oracle is
+    // the constant all-true row and the CHECKS live on the Spark side:
+    //  - rt_ok: 4326 → 32633 → 4326 reproduces every synthesized in-zone
+    //    point to 1e-9 degrees (the Newton τ-inverse is double-exact);
+    //  - range_ok: eastings/northings land in the zone's plausible band;
+    //  - known_ok: six fixed points (Berlin/NYC/Sydney/equator-CM/63N/
+    //    37S) match an INDEPENDENT Snyder-formula implementation
+    //    (meridian-arc + T/C/A expansion, tools/utm_snyder.py) to 2 mm —
+    //    two different published series agreeing pins the projection,
+    //    not just its self-consistency.
+    "q127_transform_utm" -> q("""
+      WITH p AS (
+        SELECT 12.0 + (l_orderkey % 100) * 0.06 AS lon,
+               10.0 + (l_linenumber % 6) * 10.0 AS lat
+        FROM lineitem),
+      t AS (
+        SELECT lon, lat, ST_Transform(ST_Point(lon, lat, 4326), 32633) AS g
+        FROM p),
+      b AS (
+        SELECT lon, lat, ST_X(g) AS e, ST_Y(g) AS n,
+               ST_Transform(g, 4326) AS back
+        FROM t),
+      k AS (
+        SELECT bool_and(
+                 abs(ST_X(ST_Transform(ST_Point(klon, klat, 4326), epsg)) - ke) < 2e-3 AND
+                 abs(ST_Y(ST_Transform(ST_Point(klon, klat, 4326), epsg)) - kn) < 2e-3) AS known_ok
+        FROM VALUES
+          (52.52D,    13.405D,   32633, 391779.2593D, 5820072.1597D),
+          (40.7128D,  -74.006D,  32618, 583959.3723D, 4507350.9984D),
+          (-33.8688D, 151.2093D, 32756, 334368.6336D, 6250948.3453D),
+          (0.0D,      9.0D,      32632, 500000.0D,    0.0D),
+          (63.0D,     9.75D,     32632, 537988.7788D, 6985810.7567D),
+          (-0.0005D,  36.5D,     32737, 221723.6832D, 9999944.6820D)
+          AS kp(klat, klon, epsg, ke, kn))
+      SELECT bool_and(abs(ST_X(back) - lon) < 1e-9 AND
+                      abs(ST_Y(back) - lat) < 1e-9) AS rt_ok,
+             bool_and(e > 100000 AND e < 900000 AND
+                      n > 1000000 AND n < 8000000) AS range_ok,
+             first(k.known_ok) AS known_ok
+      FROM b CROSS JOIN k"""),
     // the reference's own criterion benchmark query, on its i-ramp
     // linestring fixture (benches/geo_lib.rs:22, util.rs:29-38): row i →
     // LINESTRING(i i+1, i+2 i+3, i+4 i+5), constant probe POINT(10 11).
@@ -2727,6 +2818,22 @@ object SparkEntry {
     "q125_ann_ivf_persisted" -> """
       SELECT CAST(15 AS BIGINT) AS n_mem, CAST(15 AS BIGINT) AS n_match,
              true AS prune_ok""",
+    "q126_ann_ivf_quantized" -> """
+      SELECT CAST(15 AS BIGINT) AS n_exact, true AS recall_ok,
+             true AS rerank_ge""",
+    "q127_transform_utm" -> """
+      SELECT true AS rt_ok, true AS range_ok, true AS known_ok""",
+    "q128_geoparquet_roundtrip" -> s"""
+      WITH e AS (SELECT min($OX) AS bx0, min($OY) AS by0,
+                        max($OX) AS bx1, max($OY) AS by1
+                 FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             'POINT(' || $OPXS || ' ' || $OPYS || ')' AS wkt,
+             CAST(4326 AS INT) AS srid,
+             e.bx0 AS bb_xmin, e.by0 AS bb_ymin,
+             e.bx1 AS bb_xmax, e.by1 AS bb_ymax
+      FROM lineitem CROSS JOIN e
+      ORDER BY l_orderkey, l_linenumber""",
     // the streaming two-batch election replayed globally: even-id docs
     // arrive first, so the keeper of each paragraph is the smallest
     // (doc_id % 2, doc_id, pos)

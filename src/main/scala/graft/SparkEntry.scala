@@ -19,11 +19,14 @@ object SparkEntry {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   // registering 30+ functions and re-reading 10 parquet schemas per query
-  // adds up across the 40+ contract queries — prep once per (session, dir)
-  private var lastPrep: (SparkSession, String) = _
+  // adds up across the 40+ contract queries — prep once per (session, dir).
+  // Keyed per SESSION (not a single slot): the sf0.1 twin rows run on a
+  // derived newSession concurrently with the base contract's session, and
+  // a single-slot cache would thrash a full re-prep on every interleave.
+  private val prepped = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   private def prep(spark: SparkSession, dir: String): Unit = synchronized {
-    if (lastPrep == (spark, dir)) return
+    if (prepped.get(spark) == dir) return
     GeoFunctions.register(spark)
     val target = spark.sparkContext.defaultParallelism
     tables.foreach { t =>
@@ -57,7 +60,7 @@ object SparkEntry {
           System.err.println(s"[prep] skip $t: ${e.getMessage}")
         }
     }
-    lastPrep = (spark, dir)
+    prepped.put(spark, dir)
   }
 
   private def q(sql: String): (SparkSession, String) => DataFrame =
@@ -135,7 +138,7 @@ object SparkEntry {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private lazy val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- constructors + accessors ------------------------------------
     "q01_geomfromtext_xy" -> q(s"""
       SELECT $KEYS, ST_X($PT) AS x, ST_Y($PT) AS y
@@ -2389,7 +2392,7 @@ object SparkEntry {
          WHEN s_fr >= s_es THEN 'fr'
          ELSE 'es' END"""
 
-  def oracleSql: Map[String, String] = Map(
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q26_langid" -> s"""
       WITH sc AS (SELECT doc_id, lang, text, $LANG_SCORES
                   FROM documents)
@@ -3828,4 +3831,75 @@ object SparkEntry {
                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         FROM documents)
       WHERE rn <= 10 ORDER BY doc_id""")
+
+  // ---- sf0.1 twin rows (scale-dependent-bug tripwire) -----------------
+
+  /** Bench-subset queries re-run at 10x the contract's scale factor
+    * through the SAME closures (zero query-logic duplication). The
+    * contract drives correctness at sf0.01 only; a wrong answer that
+    * appears only at larger inputs — partition-count-sensitive state
+    * like the r9 buffer-cache bug — passes sf0.01 and ships. Each twin
+    * hash-compares the full sf0.1 result against DuckDB, so that class
+    * of bug now fails the gate instead of surviving until a judge audit. */
+  private val sf01TwinNames = Seq(
+    "q02_astext", "q07_intersects", "q11_buffer_bbox", "q14_extent",
+    "q16_split", "q20_dedup_exact", "q23_jaccard_tokens", "q24_cosine_topk",
+    "q28_minhash_lsh", "q32_events_hourly", "q33_ref_linestring_intersects",
+    "q34_text_profile", "q48_asof_join", "q49_range_join")
+
+  /** Twins run on a derived `newSession` — own temp-view namespace over
+    * the shared SparkContext — so their sf0.1 `prep` can never clobber
+    * the sf0.01 views of base queries running concurrently on Verify's
+    * thread pool. One derived session per root session, cached. */
+  private val sf01Sessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def sf01Session(spark: SparkSession): SparkSession =
+    sf01Sessions.computeIfAbsent(spark, s => s.newSession())
+
+  /** The sf0.1 tables live next to whatever dir the driver passed
+    * (TESTDATA.md: /root/testdata/sf{0.001,0.01,0.1}). Fail loudly if
+    * absent — Verify records the failure in its sidecar instead of
+    * letting the twin rows silently vanish. */
+  private def sf01Dir(dir: String): String = {
+    val sib = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+      .resolveSibling("sf0.1")
+    require(java.nio.file.Files.isDirectory(sib),
+      s"sf0.1 twin rows need $sib alongside $dir")
+    sib.toString
+  }
+
+  private lazy val sf01Twins: Map[String, (SparkSession, String) => DataFrame] =
+    sf01TwinNames.map { n =>
+      val base = baseQueries(n)
+      (s"sf01_$n", (spark: SparkSession, dir: String) =>
+        base(sf01Session(spark), sf01Dir(dir)))
+    }.toMap
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ sf01Twins
+
+  /** DuckDB-side twin: shadow every table the base oracle references
+    * with a CTE reading the absolute sf0.1 parquet — CTEs take
+    * precedence over same-named registered tables, so the base SQL runs
+    * untouched against the larger data. Table-name detection is a
+    * word-boundary match over the lowercase table names; SQL keywords
+    * are uppercase in every oracle, so `part` never matches PARTITION
+    * and `orders` never matches ORDER BY. An extra unused CTE would be
+    * harmless, a missed one would make the twin silently compare sf0.01
+    * against sf0.1 — hence match liberally. */
+  private[graft] def oracleAtSf01(sql: String): String = {
+    val used = tables.filter(t => s"\\b$t\\b".r.findFirstIn(sql).isDefined)
+    require(used.nonEmpty, s"sf0.1 oracle rewrite found no table refs in: $sql")
+    val ctes = used.map(t =>
+      s"$t AS (SELECT * FROM read_parquet('/root/testdata/sf0.1/$t.parquet'))")
+      .mkString(", ")
+    val trimmed = sql.trim
+    if (trimmed.take(4).equalsIgnoreCase("WITH"))
+      s"WITH $ctes, ${trimmed.drop(4).trim}"
+    else s"WITH $ctes $trimmed"
+  }
+
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++
+      sf01TwinNames.map(n => s"sf01_$n" -> oracleAtSf01(baseOracleSql(n))).toMap
 }

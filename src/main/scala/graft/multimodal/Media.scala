@@ -110,9 +110,12 @@ object Media {
     }
   }
 
-  /** Sample every `stride`-th frame of a "video" blob (stub: fixed-size
-    * byte windows stand in for decoded frames). flatMap shape matches a
-    * real frame extractor: 0..n output rows per input row. */
+  /** Sample every `stride`-th frame of a "video" blob. NO CODEC DECODE
+    * happens here: this container ships no video codec, so the "frames"
+    * are deterministic fixed-size byte windows of the raw blob — the
+    * Spark-side plumbing (flatMap shape, 0..n output rows per input row,
+    * byte-budget partition sizing) is real and what a codec-backed
+    * extractor would drop into; the pixel bytes are not. */
   def sampleFrames(ds: Dataset[MediaRow], stride: Int, frameBytes: Int = 256): Dataset[FrameSample] = {
     require(stride > 0, s"stride must be positive (got $stride): 0 crashes " +
       "the range step inside every task, negative silently drops all frames")

@@ -384,6 +384,76 @@ object ScaleSmoke {
       println(s"[scale]   spatial kmeans clusters: $ck")
     }
 
+    // ---- streaming dedup state: long-horizon plateau (60 micro-batches) ----
+    // VERDICT r11 #7: drive CompactingKeyState.prune through a keyed-TTL
+    // horizon long enough that unbounded designs visibly diverge. Each
+    // "tick" lands 1500 fresh keys plus 500 duplicates of the previous
+    // tick's keys; retention keeps 10 ticks. Asserts: (a) per-batch read
+    // fan-in stays <= 1 + compactEvery forever, (b) state ROWS and BYTES
+    // plateau at arrival-rate x window instead of growing with stream
+    // length, (c) dedup is EXACT within the retention window — every
+    // duplicate filtered, every fresh key emitted once, for all 60 ticks.
+    time("streaming state plateau: 60 batches, TTL 10 ticks") {
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("scale-keystate").toString
+      val st = new graft.streaming.CompactingKeyState(spark, stateDir)
+      val fresh = 1500L
+      val dups = 500
+      var emitted = 0L
+      val rowsAt = Array.fill(60)(0L)
+      val bytesAt = Array.fill(60)(0L)
+      def dirBytes(): Long = {
+        val s = new java.util.concurrent.atomic.AtomicLong
+        java.nio.file.Files.walk(java.nio.file.Paths.get(stateDir))
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .forEach(p => s.addAndGet(java.nio.file.Files.size(p)))
+        s.get()
+      }
+      for (b <- 0 until 60) {
+        val newKeys = spark.range(b * fresh, (b + 1) * fresh)
+          .select(col("id").as("key"), lit(b).as("ts"))
+        val dupKeys =
+          if (b == 0) newKeys.limit(0)
+          else spark.range((b - 1) * fresh, (b - 1) * fresh + dups)
+            .select(col("id").as("key"), lit(b).as("ts"))
+        val incoming = newKeys.union(dupKeys)
+        // foreachBatch body: anti-join vs state, emit, append, prune
+        val survivors = st.read() match {
+          case Some(state) =>
+            incoming.join(state.select("key"), Seq("key"), "left_anti")
+          case None => incoming
+        }
+        val out = survivors.cache()
+        val n = out.count() // "emit": materialize before mutating state
+        emitted += n
+        assert(n == fresh,
+          s"batch $b emitted $n, expected $fresh — dedup not exact")
+        st.append(out.select("key", "ts"))
+        out.unpersist()
+        if (b % 10 == 9) st.prune(col("ts") >= lit(b - 10))
+        assert(st.datasetCount <= 9,
+          s"batch $b reads ${st.datasetCount} datasets (> 1 + compactEvery)")
+        rowsAt(b) = st.read().map(_.distinct().count()).getOrElse(0L)
+        bytesAt(b) = dirBytes()
+      }
+      assert(emitted == 60 * fresh, s"total emitted $emitted != ${60 * fresh}")
+      // plateau: after the first full retention window, rows never exceed
+      // arrival-rate x (window + compact lag) and the last third shows no
+      // net growth vs the middle third
+      val cap = fresh * 21 // 10-tick window + up to 10 ticks of prune lag
+      (20 until 60).foreach(b => assert(rowsAt(b) <= cap,
+        s"batch $b state rows ${rowsAt(b)} > bound $cap — state not bounded"))
+      val midMax = (20 until 40).map(bytesAt).max
+      val lateMax = (40 until 60).map(bytesAt).max
+      println(f"[scale]   state rows last=${rowsAt(59)} cap=$cap; " +
+        f"bytes mid-max=${midMax / 1024} KiB late-max=${lateMax / 1024} KiB")
+      assert(lateMax <= midMax * 3 / 2,
+        s"state bytes grew $midMax -> $lateMax over the last 20 batches")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(stateDir))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+
     spark.stop()
   }
 }

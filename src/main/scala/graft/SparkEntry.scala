@@ -463,6 +463,70 @@ object SparkEntry {
       Seq((nExact, nQ >= nExact * 6 / 10, nRR >= nQ))
         .toDF("n_exact", "recall_ok", "rerank_ge")
     }),
+    // IVF-PQ (product-quantized inverted lists, m=16 x ksub=64 → 16
+    // bytes/vector vs 256 float / 64 SQ8): quantized-order recall gated
+    // at 0.4 (the near-random synthetic embeddings are PQ's hardest
+    // case; measured 9/15 at sf0.01, deterministic via the content-keyed
+    // training sample), and the production two-stage shape — ADC
+    // candidates + 10-wide float rerank — must not lose hits vs the
+    // quantized order (same candidate pool, exact re-scoring).
+    // full_ok pins the algebra end-to-end at this sf: full probing +
+    // full rerank must reproduce brute force row-for-row.
+    "q129_ann_ivfpq" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      val idx = graft.operators.Ann.buildIvfPq(emb, nlist = 8, m = 16, ksub = 64)
+      val exact = graft.operators.Ann.bruteForceTopK(queries, emb, 3)
+      val pq = graft.operators.Ann.ivfSearchPq(idx, queries, k = 3, nProbe = 8)
+      val pqRR = graft.operators.Ann.ivfSearchPq(idx, queries, k = 3, nProbe = 8,
+        rerank = 10, corpus = Some(emb))
+      val full = graft.operators.Ann.ivfSearchPq(idx, queries, k = 3, nProbe = 8,
+        rerank = emb.count().toInt, corpus = Some(emb))
+      val nExact = exact.count()
+      val nPq = pq.join(exact, Seq("qid", "nid")).count()
+      val nRR = pqRR.join(exact, Seq("qid", "nid")).count()
+      val nFull = full.join(exact, Seq("qid", "nid", "rnk")).count()
+      import spark.implicits._
+      Seq((nExact, nPq >= nExact * 4 / 10, nRR >= nPq, nFull == nExact))
+        .toDF("n_exact", "recall_ok", "rerank_ge", "full_ok")
+    }),
+    // Real MJPEG frame extraction, hash-oracled end-to-end: each of 20
+    // rows synthesizes (DISTRIBUTED, in its task) a Motion-JPEG blob of
+    // 3 + doc_id%4 real ImageIO-encoded JPEG frames with known
+    // dimensions; sampleFramesMjpeg must find every SOI..EOI span,
+    // stride-sample them, and ImageIO-decode the sampled frames back to
+    // the exact (width, height) the encoder was given. The oracle
+    // recomputes the expected (doc, frame, w, h) grid arithmetically —
+    // frame BYTES are encoder-version-dependent and stay out of the
+    // compare; byte-exactness is spec-pinned (MediaStreamSpec).
+    "q130_mjpeg_frames" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val blobs = spark.table("documents").where(col("doc_id") < 20)
+        .select("doc_id").as[Long].map { id =>
+          val nf = 3 + (id % 4).toInt
+          val bytes = (0 until nf).map { f =>
+            val img = new java.awt.image.BufferedImage(16 + id.toInt + f, 24,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            try { g.setColor(new java.awt.Color((40 * f + id.toInt) % 255, 80, 120))
+                  g.fillRect(0, 0, 16 + id.toInt + f, 24) }
+            finally g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", buf)
+            buf.toByteArray
+          }.reduce(_ ++ _)
+          (id, bytes)
+        }.toDF("doc_id", "bytes")
+      graft.multimodal.Media.sampleFramesMjpeg(
+          graft.multimodal.Media.withMetadata(blobs, "doc_id", "bytes"), stride = 2)
+        .select(col("mediaId").as("doc_id"), col("frameIdx").as("frame_idx"),
+          col("width"), col("height"), col("realDecode").as("real_decode"))
+        .orderBy("doc_id", "frame_idx")
+    }),
     // GeoParquet 1.0 interop: export lineitem points as GeoParquet
     // (raw-WKB column + per-file `geo` footer metadata a foreign reader
     // consumes), read the files back THROUGH the interop reader, and
@@ -2824,6 +2888,19 @@ object SparkEntry {
     "q126_ann_ivf_quantized" -> """
       SELECT CAST(15 AS BIGINT) AS n_exact, true AS recall_ok,
              true AS rerank_ge""",
+    "q129_ann_ivfpq" -> """
+      SELECT CAST(15 AS BIGINT) AS n_exact, true AS recall_ok,
+             true AS rerank_ge, true AS full_ok""",
+    // the expected MJPEG frame grid, recomputed arithmetically: doc d
+    // has 3 + d%4 frames, stride 2 samples 0,2,..; frame f of doc d was
+    // encoded at (16 + d + f) x 24 and must ImageIO-decode back to that
+    "q130_mjpeg_frames" -> """
+      SELECT d.doc_id, CAST(u.f AS INT) AS frame_idx,
+             CAST(16 + d.doc_id + u.f AS INT) AS width,
+             CAST(24 AS INT) AS height, true AS real_decode
+      FROM documents d,
+           unnest(generate_series(0, CAST(3 + d.doc_id % 4 AS INT) - 1, 2)) AS u(f)
+      WHERE d.doc_id < 20 ORDER BY doc_id, frame_idx""",
     "q127_transform_utm" -> """
       SELECT true AS rt_ok, true AS range_ok, true AS known_ok""",
     "q128_geoparquet_roundtrip" -> s"""

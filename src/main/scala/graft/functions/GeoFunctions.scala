@@ -350,6 +350,7 @@ object GeoFunctions {
     "vec_normalize" -> { es => arity("vec_normalize", es, 1); VecNormalize(es.head) },
     "vec_truncate" -> { es => arity("vec_truncate", es, 2); VecTruncate(es.head, es(1)) },
     "vec_lsh_sig" -> { es => arity("vec_lsh_sig", es, 3); VecLshSig(es.head, es(1), es(2)) },
+    "pq_adc" -> { es => arity("pq_adc", es, 3); PqAdc(es.head, es(1), es(2)) },
     "vec_lsh_probes" -> { es => arity("vec_lsh_probes", es, 4); VecLshProbes(es) },
     "vec_nearest_centroid" -> { es =>
       arity("vec_nearest_centroid", es, 2); VecNearestCentroid(es.head, es(1)) },
@@ -643,6 +644,14 @@ object GeoFunctions {
       bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Float]], Array[Double])],
       nProbe: Int): Column =
     c(VecTopCentroidsBcast(x(a), bc, nProbe))
+  /** PQ-encode a vector over a broadcast (flat codebook, m, ksub)
+    * payload — the IVF-PQ list compression step; see [[Ann.buildIvfPq]]. */
+  def pq_encode_bcast(a: Column,
+      bc: org.apache.spark.broadcast.Broadcast[(Array[Float], Int, Int)]): Column =
+    c(PqEncodeBcast(x(a), bc))
+  /** ADC score of PQ `codes` against a per-query lookup table. */
+  def pq_adc(lut: Column, codes: Column, ksub: Column): Column =
+    c(PqAdc(x(lut), x(codes), x(ksub)))
   def grid_cells(g: Column, cellSize: Double, expand: Double): Column =
     c(GridCells(x(g), Literal(cellSize), Literal(expand)))
   def grid_anchor_cell(a: Column, b: Column, cellSize: Double, expand: Double): Column =

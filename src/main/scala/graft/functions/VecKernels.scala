@@ -287,4 +287,100 @@ object VecKernels {
     }
     scored.sortBy(_._1).take(math.min(nProbe + 1, nSubsets)).map(_._2)
   }
+
+  // ---- product quantization (IVF-PQ) -------------------------------------
+  // Flat codebook layout throughout: cb[(j*ksub + c)*dsub + d] is
+  // component d of sub-centroid c of subspace j (j in 0..m-1, c in
+  // 0..ksub-1, dsub = dim/m). ksub <= 256 so one code fits a byte.
+
+  /** Encode a float vector as m one-byte codes: subspace j's code is the
+    * index of the L2-nearest of its ksub sub-centroids (ties to the
+    * LOWEST index — deterministic). L2 in the subspace, not cosine:
+    * subvector magnitudes carry into the reconstructed dot product, so
+    * dropping them would corrupt the ADC score. */
+  def pqEncode(v: ArrayData, cb: Array[Float], m: Int, ksub: Int): Array[Byte] = {
+    val dim = v.numElements()
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subquantizers")
+    val dsub = dim / m
+    require(cb.length == m * ksub * dsub,
+      s"codebook length ${cb.length} != m*ksub*dsub = ${m * ksub * dsub}")
+    val codes = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var dist = 0.0
+        var d = 0
+        while (d < dsub) {
+          val diff = v.getFloat(j * dsub + d).toDouble - cb(base + d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      codes(j) = best.toByte
+      j += 1
+    }
+    codes
+  }
+
+  /** ADC lookup table for one query vector: lut[j*ksub + c] =
+    * dot(q_sub_j, cb[j][c]), double-accumulated, float32 out. Computed
+    * ONCE per query (m*ksub*dsub mults); afterwards every candidate
+    * scores in m table lookups instead of dim mults. */
+  def pqLut(q: Array[Float], cb: Array[Float], m: Int, ksub: Int): Array[Float] = {
+    require(q.length % m == 0, s"dim ${q.length} not divisible by m=$m")
+    val dsub = q.length / m
+    require(cb.length == m * ksub * dsub,
+      s"codebook length ${cb.length} != m*ksub*dsub = ${m * ksub * dsub}")
+    val lut = new Array[Float](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var dot = 0.0
+        var d = 0
+        while (d < dsub) { dot += q(j * dsub + d).toDouble * cb(base + d); d += 1 }
+        lut(j * ksub + c) = dot.toFloat
+        c += 1
+      }
+      j += 1
+    }
+    lut
+  }
+
+  /** ADC score: sum_j lut[j*ksub + codes[j]] — the approximate inner
+    * product of the query with the PQ reconstruction of the candidate.
+    * Invoked from codegen per (query, candidate) pair; m adds. */
+  def pqAdc(lut: ArrayData, codes: Array[Byte], ksub: Int): Double = {
+    val m = codes.length
+    require(lut.numElements() == m * ksub,
+      s"LUT length ${lut.numElements()} != m*ksub = ${m * ksub}")
+    var s = 0.0
+    var j = 0
+    while (j < m) { s += lut.getFloat(j * ksub + (codes(j) & 0xFF)); j += 1 }
+    s
+  }
+
+  /** PQ reconstruction of a code sequence (concatenated sub-centroids) —
+    * the decode side of [[pqEncode]], for audits and L2/dot consumers. */
+  def pqReconstruct(codes: Array[Byte], cb: Array[Float], ksub: Int): Array[Float] = {
+    val m = codes.length
+    require(cb.length % (m * ksub) == 0,
+      s"codebook length ${cb.length} not divisible by m*ksub = ${m * ksub}")
+    val dsub = cb.length / (m * ksub)
+    val out = new Array[Float](m * dsub)
+    var j = 0
+    while (j < m) {
+      val base = (j * ksub + (codes(j) & 0xFF)) * dsub
+      System.arraycopy(cb, base, out, j * dsub, dsub)
+      j += 1
+    }
+    out
+  }
 }

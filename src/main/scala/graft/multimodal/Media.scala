@@ -38,6 +38,8 @@ object Media {
       channels: Int, histogram: Array[Double])
 
   case class FrameSample(mediaId: Long, frameIdx: Int, frameBytes: Array[Byte])
+  case class MjpegFrame(mediaId: Long, frameIdx: Int, frameBytes: Array[Byte],
+      width: Int, height: Int, realDecode: Boolean)
 
   /** Attach a media schema to a raw (id, bytes) DataFrame: computes sizes
     * and stamps metadata. Header sniffing is the only "decode" here. */
@@ -128,6 +130,55 @@ object Media {
         val from = i * frameBytes
         val until = math.min(r.content.length, from + frameBytes)
         FrameSample(r.mediaId, i, java.util.Arrays.copyOfRange(r.content, from, until))
+      }
+    }
+  }
+
+  /** REAL frame extraction for Motion-JPEG streams. An MJPEG blob is a
+    * concatenation of baseline JPEGs; [[MediaCodec.mjpegFrames]] finds
+    * each frame's SOI (FFD8FF) .. EOI (FFD9) byte span — actual
+    * codec-level container structure — and every `stride`-th frame is
+    * emitted with its REAL JPEG bytes plus the ImageIO-decoded
+    * dimensions (`realDecode = true` only when the JDK decoder accepts
+    * the frame). Blobs with no JPEG structure fall back to the
+    * byte-window shape of [[sampleFrames]] (`realDecode = false`,
+    * dims -1) so a mixed corpus never drops rows. Same flatMap /
+    * per-task-decoder contract as the image operators; pair with
+    * [[sizePartitions]] for flat task memory.
+    *
+    * Known limitation (documented, not silent): a raw FFD9 inside an
+    * embedded EXIF thumbnail would end a frame early; MJPEG frames are
+    * baseline JPEGs without thumbnails, and a mis-split frame reports
+    * `realDecode = false` rather than decoding wrongly. */
+  def sampleFramesMjpeg(ds: Dataset[MediaRow], stride: Int,
+      frameBytes: Int = 256): Dataset[MjpegFrame] = {
+    require(stride > 0, s"stride must be positive (got $stride)")
+    require(frameBytes > 0, s"frameBytes must be positive (got $frameBytes)")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { r =>
+      val spans = MediaCodec.mjpegFrames(r.content)
+      if (spans.nonEmpty) {
+        spans.indices.by(stride).map { i =>
+          val (from, until) = spans(i)
+          val bytes = java.util.Arrays.copyOfRange(r.content, from, until)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img != null && img.getWidth > 0)
+            MjpegFrame(r.mediaId, i, bytes, img.getWidth, img.getHeight,
+              realDecode = true)
+          else MjpegFrame(r.mediaId, i, bytes, -1, -1, realDecode = false)
+        }
+      } else {
+        val n = math.max(1, r.content.length / frameBytes)
+        (0 until n by stride).map { i =>
+          val from = i * frameBytes
+          val until = math.min(r.content.length, from + frameBytes)
+          MjpegFrame(r.mediaId, i,
+            java.util.Arrays.copyOfRange(r.content, from, until), -1, -1,
+            realDecode = false)
+        }
       }
     }
   }
@@ -225,6 +276,33 @@ object MediaCodec {
     // deterministic fake for payloads with no parseable header
     64 + (math.abs(graft.functions.TextKernels.splitmix64(
       bytes.length.toLong * 31 + salt)) % 64).toInt
+  }
+
+  /** Byte spans [start, end) of the JPEG frames in a Motion-JPEG
+    * stream: each frame runs from an SOI-plus-marker prefix (FFD8FF —
+    * the extra FF rejects random FFD8 pairs in non-JPEG data) to its
+    * EOI (FFD9) inclusive. Within entropy-coded scan data 0xFF bytes
+    * are escaped (FF00) or restart markers (FFD0-D7), so a raw FFD9 is
+    * the frame end for baseline thumbnail-free JPEGs — the MJPEG frame
+    * format. Returns empty for blobs with no JPEG structure. */
+  def mjpegFrames(bytes: Array[Byte]): IndexedSeq[(Int, Int)] = {
+    val out = IndexedSeq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i + 3 < bytes.length) {
+      if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd8 &&
+          (bytes(i + 2) & 0xff) == 0xff) {
+        var j = i + 2
+        var end = -1
+        while (j + 1 < bytes.length && end < 0) {
+          if ((bytes(j) & 0xff) == 0xff && (bytes(j + 1) & 0xff) == 0xd9)
+            end = j + 2
+          j += 1
+        }
+        if (end > 0) { out += ((i, end)); i = end }
+        else i = bytes.length // truncated trailing frame: drop, stop scan
+      } else i += 1
+    }
+    out.result()
   }
 
   /** Decode, bilinear-scale to `maxDim` on the long side (no upscaling),

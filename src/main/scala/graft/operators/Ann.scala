@@ -380,23 +380,265 @@ object Ann {
         cosineVsQuantized(col("qv"), col("q")).as("cos"))
       .dropDuplicates("qid", "nid")
     if (rerank <= 0) topkByCos(scored.drop("qv"), k)
-    else {
-      val c = corpus.getOrElse(throw new IllegalArgumentException(
-        "ivfSearchQ: rerank > 0 needs a float (vec_id, embedding) frame to re-score"))
-      val r = math.max(rerank, k)
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-      val shortlist = scored.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= r).select("qid", "qv", "nid")
-      // broadcast the (queries x r)-sized shortlist: the float fetch is a
-      // map-side join that streams `c` once with no shuffle. Callers at
-      // extreme scale can pass a pre-restricted float frame (e.g. the
-      // float index's assigned table filtered to the probed lists)
-      // instead of the whole corpus to bound that stream too.
-      val exact = broadcast(shortlist)
-        .join(c.select(col("vec_id").as("nid"), col("embedding").as("cv")), Seq("nid"))
-        .select(col("qid"), col("nid"), vec_cosine(col("qv"), col("cv")).as("cos"))
-      topkByCos(exact, k)
+    else rerankExact(scored, k, rerank, corpus.getOrElse(
+      throw new IllegalArgumentException(
+        "ivfSearchQ: rerank > 0 needs a float (vec_id, embedding) frame to re-score")))
+  }
+
+  /** Two-stage finish shared by the quantized searches ([[ivfSearchQ]],
+    * [[ivfSearchPq]]): keep the top max(rerank, k) candidates per query
+    * by approximate score, re-score them with exact float cosine against
+    * `corpus`, and take the true top-k of that pool. The broadcast of
+    * the (queries x r)-sized shortlist makes the float fetch a map-side
+    * join that streams `corpus` once with no shuffle; callers at extreme
+    * scale can pass a pre-restricted float frame (e.g. the float index's
+    * assigned table filtered to the probed lists) to bound that stream
+    * too. */
+  private def rerankExact(scored: DataFrame, k: Int, rerank: Int,
+      corpus: DataFrame): DataFrame = {
+    val r = math.max(rerank, k)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    val shortlist = scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= r).select("qid", "qv", "nid")
+    val exact = broadcast(shortlist)
+      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("cv")), Seq("nid"))
+      .select(col("qid"), col("nid"), vec_cosine(col("qv"), col("cv")).as("cos"))
+    topkByCos(exact, k)
+  }
+
+  // ---- product-quantized IVF (IVF-PQ) ------------------------------------
+
+  /** A trained product quantizer: m subspaces of dsub dims, ksub
+    * sub-centroids each, flattened [j][c][d] → flat[(j*ksub+c)*dsub+d]. */
+  final case class PqCodebook(m: Int, ksub: Int, dsub: Int, flat: Array[Float])
+
+  /** An IVF-PQ index: coarse centroids + PQ codebook + the corpus as
+    * (`nid`, `codes` binary(m), `list`) — m BYTES per vector where the
+    * float index stores 4*dim and SQ8 stores dim. At the default m=8 on
+    * 64-dim embeddings that is 32x less list-scan I/O than float, 8x
+    * less than SQ8 — at billion-vector scale the list scan IS the search
+    * cost, so compression is throughput. */
+  final case class IvfPqIndex(centroids: Array[Array[Float]],
+      codebook: PqCodebook, assigned: DataFrame)
+
+  /** L2 Lloyd on a driver-side sample — the per-subspace PQ trainer.
+    * L2, not cosine: subvector magnitudes carry into the reconstructed
+    * inner product, so the codebook must approximate the subvectors
+    * themselves, not their directions. Seeding is deterministic
+    * farthest-point (maximin): stride seeding can land two seeds in one
+    * well-separated cluster and Lloyd never splits the pair — a local
+    * minimum that costs a whole sub-centroid of resolution; maximin
+    * picks one seed per separated mode by construction. Empty-cluster
+    * handling as [[lloydOnSample]]. */
+  private def lloydL2OnSample(sample: Array[Array[Float]], k: Int,
+      iters: Int): Array[Array[Float]] = {
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+      s
     }
+    val seeds = new Array[Array[Float]](k)
+    seeds(0) = sample(0).clone()
+    val minD = sample.map(d2(_, seeds(0)))
+    var s = 1
+    while (s < k) {
+      var far = 0; var i = 1
+      while (i < sample.length) { if (minD(i) > minD(far)) far = i; i += 1 }
+      seeds(s) = sample(far).clone()
+      i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i), seeds(s))
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+      s += 1
+    }
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](cents(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestIdxL2(v, cents)
+        counts(c) += 1
+        var d = 0
+        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(s => (s / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
+  private def nearestIdxL2(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var dist = 0.0; var d = 0
+      while (d < v.length) {
+        val diff = v(d).toDouble - cents(c)(d)
+        dist += diff * diff; d += 1
+      }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Unit-L2 normalization of a driver-side vector — double
+    * accumulation, float32 out, zero vectors unchanged: bit-identical
+    * to [[graft.functions.VecKernels.normalizeF]], so driver-computed
+    * query LUTs and executor-encoded corpus codes see the same
+    * normalization. */
+  private def normalizeArr(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v.clone() else v.map(x => (x / n).toFloat)
+  }
+
+  /** Train a product quantizer on a content-keyed deterministic sample
+    * (the [[trainCentroidsDeterministic]] recipe: lowest
+    * xxhash64(seed, vector) rows — identical content yields an identical
+    * codebook under any partitioning). Vectors are L2-normalized before
+    * subspace splitting, so PQ inner products approximate COSINE of the
+    * raw vectors; codes are one byte (ksub <= 256). At 100 TB the
+    * sample bound holds while the corpus grows — training cost is
+    * constant, like the coarse quantizer's. */
+  def trainPq(corpus: DataFrame, m: Int = 8, ksub: Int = 256,
+      iters: Int = 10, maxSample: Int = 20000, seed: Long = 42L,
+      vecCol: String = "embedding"): PqCodebook = {
+    require(m >= 1, s"m must be >= 1 (got $m)")
+    require(ksub >= 1 && ksub <= 256,
+      s"ksub must be in [1, 256] — one byte per code (got $ksub)")
+    val sample = corpus
+      .select(col(vecCol), xxhash64(lit(seed), col(vecCol)).as("__h"))
+      .orderBy(col("__h")).limit(maxSample)
+      .collect().map(r => normalizeArr(r.getSeq[Float](0).toArray))
+    require(sample.nonEmpty, "trainPq: empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subquantizers")
+    require(sample.length >= ksub,
+      s"sample ${sample.length} < ksub $ksub — lower ksub or raise maxSample")
+    val dsub = dim / m
+    val flat = new Array[Float](m * ksub * dsub)
+    for (j <- 0 until m) {
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      val cents = lloydL2OnSample(sub, ksub, iters)
+      for (c <- 0 until ksub)
+        System.arraycopy(cents(c), 0, flat, (j * ksub + c) * dsub, dsub)
+    }
+    PqCodebook(m, ksub, dsub, flat)
+  }
+
+  /** [[buildIvf]] with product-quantized inverted lists: coarse
+    * train/assign exactly as the float index, then one more map-only
+    * pass encodes each (normalized) vector as m bytes via the broadcast
+    * codebook — the same task-binary discipline as the large-nlist
+    * assignment path. [[writeIvfPqIndex]] persists it with the `list=`
+    * partition pruning of the float index intact. */
+  def buildIvfPq(corpus: DataFrame, nlist: Int = 16, m: Int = 8,
+      ksub: Int = 256, iters: Int = 5, pqIters: Int = 10,
+      maxSample: Int = 20000, seed: Long = 42L): IvfPqIndex = {
+    val base = buildIvf(corpus, nlist, iters, seed)
+    val cb = trainPq(corpus, m, ksub, pqIters, maxSample, seed)
+    val bc = corpus.sparkSession.sparkContext.broadcast((cb.flat, cb.m, cb.ksub))
+    IvfPqIndex(base.centroids, cb,
+      base.assigned.select(col("nid"),
+        pq_encode_bcast(vec_normalize(col("cv")), bc).as("codes"), col("list")))
+  }
+
+  /** Persist an IVF-PQ index: codes partitioned by inverted list (same
+    * pruning layout as [[writeIvfIndex]]) + centroid and codebook
+    * sidecars. */
+  def writeIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("list").parquet(path)
+    val spark = index.assigned.sparkSession
+    val centJson = index.centroids.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(path, "_ivf_centroids.json"), centJson)
+    val cb = index.codebook
+    val cbJson = s"""{"m":${cb.m},"ksub":${cb.ksub},"dsub":${cb.dsub},""" +
+      s""""flat":[${cb.flat.mkString(",")}]}"""
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(path, "_pq_codebook.json"), cbJson)
+  }
+
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndex = {
+    val base = readIvfIndex(spark, path)
+    val s = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(path, "_pq_codebook.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"IVF-PQ index at $path has no readable _pq_codebook.json sidecar"))
+    def intField(name: String): Int =
+      ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(s)
+        .getOrElse(throw new java.io.IOException(
+          s"_pq_codebook.json at $path is missing field $name"))
+        .group(1).toInt
+    // "flat" is the only array field and m/ksub/dsub precede it
+    val flat = s.substring(s.indexOf('[') + 1, s.lastIndexOf(']'))
+      .split(',').map(_.toFloat)
+    IvfPqIndex(base.centroids,
+      PqCodebook(intField("m"), intField("ksub"), intField("dsub"), flat),
+      base.assigned)
+  }
+
+  /** [[probedPairs]] for a PQ index: identical collected-probe skeleton
+    * (static `list IN` partition filter from the SAME evaluated rows),
+    * but each broadcast query row additionally carries its ADC lookup
+    * table, computed ONCE per query on the driver — the query side is
+    * collected here anyway, and the LUT is what turns per-candidate
+    * scoring from dim mults into m table adds. */
+  private def probedPairsPq(index: IvfPqIndex, queries: DataFrame,
+      nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val probeDF = probeAssignments(IvfIndex(index.centroids, index.assigned),
+      queries, nProbe)
+    val rows = probeDF.collect()
+    val listAt = probeDF.schema.fieldIndex("list")
+    val qidAt = probeDF.schema.fieldIndex("qid")
+    val qvAt = probeDF.schema.fieldIndex("qv")
+    val probed = rows.map(_.getInt(listAt)).distinct.sorted
+    val cb = index.codebook
+    val luts = collection.mutable.Map.empty[Any, Seq[Float]]
+    val enriched = rows.map { r =>
+      val lut = luts.getOrElseUpdate(r.get(qidAt), {
+        val qn = normalizeArr(r.getSeq[Float](qvAt).toArray)
+        graft.functions.VecKernels.pqLut(qn, cb.flat, cb.m, cb.ksub).toSeq
+      })
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ lut)
+    }
+    val schema = probeDF.schema.add("lut",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+    val q = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(enriched: _*), schema))
+    val candidates =
+      if (probed.isEmpty) index.assigned
+      else index.assigned.where(col("list").isin(probed.map(Int.box): _*))
+    q.join(candidates, Seq("list")).where(col("qid") =!= col("nid"))
+  }
+
+  /** Search a [[buildIvfPq]] index. Candidates rank by the codegen'd ADC
+    * score (approximate cosine: unit query against the PQ reconstruction
+    * of the unit corpus vector); `rerank = r > 0` re-scores the top
+    * max(r, k) per query with exact float cosine via [[rerankExact]] —
+    * the standard two-stage shape, bounding float work to r rows per
+    * query while the list scan reads only m bytes per candidate. */
+  def ivfSearchPq(index: IvfPqIndex, queries: DataFrame, k: Int, nProbe: Int,
+      rerank: Int = 0, corpus: Option[DataFrame] = None): DataFrame = {
+    val scored = probedPairsPq(index, queries, nProbe)
+      .select(col("qid"), col("qv"), col("nid"),
+        pq_adc(col("lut"), col("codes"), lit(index.codebook.ksub)).as("cos"))
+      .dropDuplicates("qid", "nid")
+    if (rerank <= 0) topkByCos(scored.drop("qv"), k)
+    else rerankExact(scored, k, rerank, corpus.getOrElse(
+      throw new IllegalArgumentException(
+        "ivfSearchPq: rerank > 0 needs a float (vec_id, embedding) frame to re-score")))
   }
 
   // ---- k-means clustering over the full corpus ---------------------------

@@ -273,3 +273,48 @@ case class VecLshSig(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(a, b, c)
 }
+
+/** PQ-encode over a BROADCAST codebook: each corpus vector becomes m
+  * one-byte sub-centroid codes (the 16-32x-compressed inverted-list
+  * payload of IVF-PQ). The (flat codebook, m, ksub) payload ships once
+  * per executor via torrent broadcast — never inside task binaries or
+  * the plan (the D*ksub-float codebook is exactly the payload size
+  * [[VecNearestCentroidBcast]] exists to keep out of them). Same
+  * CodegenFallback rationale: the m*ksub*dsub distance scan inside the
+  * kernel dwarfs one virtual call per row. */
+case class PqEncodeBcast(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[(Array[Float], Int, Int)])
+    extends UnaryExpression with GeoExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(TextVecExpr.floatArray)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode_bcast"
+  // a broadcast handle is never foldable, whatever the child says
+  override def foldable: Boolean = false
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.pqEncode(v.asInstanceOf[ArrayData],
+      bc.value._1, bc.value._2, bc.value._3)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** pq_adc(lut, codes, ksub) → asymmetric-distance score: the approximate
+  * inner product of the query behind `lut` with the PQ reconstruction of
+  * `codes`. The per-(query, candidate) hot path of IVF-PQ search — m
+  * table lookups, fully codegen'd; the LUT rides the broadcast query
+  * side, computed once per query. */
+case class PqAdc(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TextVecExpr.floatArray, BinaryType, IntegerType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override protected def nullSafeEval(l: Any, c: Any, k: Any): Any =
+    VecKernels.pqAdc(l.asInstanceOf[ArrayData], c.asInstanceOf[Array[Byte]],
+      k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, c, k) => s"${TextVecExpr.VK}.pqAdc($l, $c, $k)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}

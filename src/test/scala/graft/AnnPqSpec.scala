@@ -1,0 +1,157 @@
+package graft
+
+import graft.functions.VecKernels
+import graft.operators.Ann
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF-PQ: product-quantized inverted lists (m one-byte codes per
+  * vector) with driver-computed ADC lookup tables. Pins the kernel
+  * algebra (encode/LUT/ADC/reconstruct are mutually consistent), the
+  * search contract (full probing + full rerank reproduces brute force
+  * exactly), and the persisted round trip. */
+class AnnPqSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("ann-pq").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def arr(v: Array[Float]) = new GenericArrayData(v.map(x => x: Any))
+
+  test("encode picks the L2-nearest sub-centroid; ADC equals dot with reconstruction") {
+    // m=2 subspaces of dsub=2, ksub=3 known sub-centroids each
+    val m = 2; val ksub = 3; val dsub = 2
+    val flat = Array[Float](
+      /* j=0 */ 0f, 0f, 1f, 0f, 0f, 1f,
+      /* j=1 */ 1f, 1f, -1f, 0f, 0f, -1f)
+    val v = Array[Float](0.9f, 0.1f, 0.1f, -0.8f) // nearest: (1,0) then (0,-1)
+    val codes = VecKernels.pqEncode(arr(v), flat, m, ksub)
+    assert(codes.toSeq == Seq(1.toByte, 2.toByte))
+    val recon = VecKernels.pqReconstruct(codes, flat, ksub)
+    assert(recon.toSeq == Seq(1f, 0f, 0f, -1f))
+    val q = Array[Float](0.5f, -0.25f, 2f, 1f)
+    val lut = VecKernels.pqLut(q, flat, m, ksub)
+    assert(lut.length == m * ksub)
+    val adc = VecKernels.pqAdc(arr(lut), codes, ksub)
+    val exactDot = q.zip(recon).map { case (a, b) => a.toDouble * b }.sum
+    assert(math.abs(adc - exactDot) < 1e-6,
+      s"ADC $adc != dot-with-reconstruction $exactDot")
+  }
+
+  test("encode ties go to the lowest sub-centroid index") {
+    val flat = Array[Float](1f, 0f, -1f, 0f) // two equidistant centroids from origin
+    val codes = VecKernels.pqEncode(arr(Array(0f, 5f)), flat, m = 1, ksub = 2)
+    assert(codes.toSeq == Seq(0.toByte))
+  }
+
+  test("trainPq recovers a separable sub-structure; ADC tracks exact cosine") {
+    val s = spark
+    import s.implicits._
+    // 4-dim vectors whose two 2-dim halves each come from 4 well-separated
+    // patterns: PQ with ksub=4 can encode these (near-)losslessly
+    val pat = Array(Array(10f, 0f), Array(0f, 10f), Array(-10f, 0f), Array(0f, -10f))
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 400L).map { i =>
+      val a = pat(rnd.nextInt(4)); val b = pat(rnd.nextInt(4))
+      val jit = () => (rnd.nextDouble() * 0.01).toFloat
+      (i, Array(a(0) + jit(), a(1) + jit(), b(0) + jit(), b(1) + jit()))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Ann.trainPq(df, m = 2, ksub = 4, iters = 10, maxSample = 400)
+    assert(cb.m == 2 && cb.ksub == 4 && cb.dsub == 2)
+    // every vector reconstructs to within jitter of its normalized self
+    rows.take(50).foreach { case (_, v) =>
+      val vn = {
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        v.map(x => (x / n).toFloat)
+      }
+      val codes = VecKernels.pqEncode(arr(vn), cb.flat, cb.m, cb.ksub)
+      val recon = VecKernels.pqReconstruct(codes, cb.flat, cb.ksub)
+      val err = math.sqrt(vn.zip(recon).map { case (a, b) =>
+        (a - b).toDouble * (a - b) }.sum)
+      assert(err < 0.01, s"reconstruction error $err for ${v.toSeq}")
+    }
+  }
+
+  test("full probe + full rerank reproduces brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val idx = Ann.buildIvfPq(emb, nlist = 8, m = 8, ksub = 16)
+    val n = emb.count().toInt
+    val exact = Ann.bruteForceTopK(queries, emb, 3)
+    val full = Ann.ivfSearchPq(idx, queries, k = 3, nProbe = 8,
+      rerank = n, corpus = Some(emb))
+    assert(full.join(exact, Seq("qid", "nid", "rnk")).count() == exact.count(),
+      "full-probe + full-rerank IVF-PQ must equal brute force row-for-row")
+  }
+
+  test("quantized-order recall is sane and rerank only improves it") {
+    // the synthetic embeddings are near-random — the hardest case for
+    // PQ, whose codebook can only spend bits on structure the data has.
+    // Measured (deterministic: content-keyed training sample):
+    // m=16/ksub=64 gives 7/15 quantized-order hits at sf0.001, 12/15
+    // after a 10-candidate float rerank — the production two-stage
+    // shape. The floor pins ~0.4 recall with a margin of one hit.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val idx = Ann.buildIvfPq(emb, nlist = 8, m = 16, ksub = 64)
+    val exact = Ann.bruteForceTopK(queries, emb, 3)
+    val nExact = exact.count()
+    val pq = Ann.ivfSearchPq(idx, queries, k = 3, nProbe = 8)
+    val pqRR = Ann.ivfSearchPq(idx, queries, k = 3, nProbe = 8,
+      rerank = 10, corpus = Some(emb))
+    val hits = pq.join(exact, Seq("qid", "nid")).count()
+    val hitsRR = pqRR.join(exact, Seq("qid", "nid")).count()
+    assert(hits >= nExact * 4 / 10, s"PQ recall $hits/$nExact below 0.4 floor")
+    assert(hitsRR >= hits, s"rerank degraded recall: $hitsRR < $hits")
+  }
+
+  test("persisted IVF-PQ round trip: codebook and results survive disk") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val idx = Ann.buildIvfPq(emb, nlist = 8, m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString + "/idx"
+    Ann.writeIvfPqIndex(idx, dir)
+    val loaded = Ann.readIvfPqIndex(spark, dir)
+    assert(loaded.codebook.m == idx.codebook.m &&
+      loaded.codebook.ksub == idx.codebook.ksub &&
+      loaded.codebook.dsub == idx.codebook.dsub)
+    assert(loaded.codebook.flat.toSeq == idx.codebook.flat.toSeq)
+    val mem = Ann.ivfSearchPq(idx, queries, k = 3, nProbe = 2).collect().toSet
+    val disk = Ann.ivfSearchPq(loaded, queries, k = 3, nProbe = 2).collect().toSet
+    assert(mem == disk, "disk-loaded index returned different rows")
+
+    // behavioral partition-pruning check (the q125 trick): overwrite
+    // every parquet file in the UNPROBED list= directories with garbage;
+    // the search must still succeed — possible only if the static
+    // `list IN` filter prunes those directories at plan time
+    val probed = Ann.probedLists(
+      graft.operators.Ann.IvfIndex(loaded.centroids, loaded.assigned),
+      queries, nProbe = 2).toSet
+    var smashed = 0
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+      val listDir = "list=(\\d+)".r.findFirstMatchIn(p.toString).map(_.group(1).toInt)
+      if (p.toString.endsWith(".parquet") && listDir.exists(!probed.contains(_))) {
+        java.nio.file.Files.write(p, "not parquet".getBytes)
+        smashed += 1
+      }
+    }
+    assert(smashed > 0, "pruning check vacuous: every list was probed")
+    val afterSmash = Ann.ivfSearchPq(loaded, queries, k = 3, nProbe = 2)
+      .collect().toSet
+    assert(afterSmash == disk,
+      "search touched unprobed list directories (read garbage or failed)")
+  }
+}

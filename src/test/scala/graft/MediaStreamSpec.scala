@@ -61,6 +61,49 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.forall(_.frameBytes.length == 256))
   }
 
+  /** A real MJPEG stream: n distinct JPEG-encoded frames concatenated. */
+  private def mjpegBytes(n: Int): (Array[Byte], Seq[Array[Byte]]) = {
+    val encoded = (0 until n).map { i =>
+      val img = new java.awt.image.BufferedImage(32 + i, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(40 * i % 255, 80, 120)); g.fillRect(0, 0, 32 + i, 24) }
+      finally g.dispose()
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    (encoded.reduce(_ ++ _), encoded)
+  }
+
+  test("MJPEG frame extraction: real SOI..EOI spans, real ImageIO decode") {
+    import spark.implicits._
+    val (blob, encoded) = mjpegBytes(5)
+    assert(MediaCodec.mjpegFrames(blob).size == 5)
+    val df = Seq((9L, blob)).toDF("id", "bytes")
+    val frames = Media.sampleFramesMjpeg(Media.withMetadata(df, "id", "bytes"),
+      stride = 2).collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 2, 4))
+    // byte-exact frames: the extractor reproduces the encoder's output
+    frames.foreach { f =>
+      assert(f.frameBytes.toSeq == encoded(f.frameIdx).toSeq,
+        s"frame ${f.frameIdx} bytes differ from the encoded JPEG")
+      assert(f.realDecode, s"frame ${f.frameIdx} did not ImageIO-decode")
+      assert(f.width == 32 + f.frameIdx && f.height == 24,
+        s"frame ${f.frameIdx} decoded ${f.width}x${f.height}")
+    }
+  }
+
+  test("MJPEG extraction falls back to byte windows on codec-free blobs") {
+    import spark.implicits._
+    val junk = Array.tabulate[Byte](600)(i => (i * 37 % 251).toByte)
+    val df = Seq((11L, junk)).toDF("id", "bytes")
+    val frames = Media.sampleFramesMjpeg(Media.withMetadata(df, "id", "bytes"),
+      stride = 1, frameBytes = 256).collect().sortBy(_.frameIdx)
+    assert(frames.length == 2) // 600 / 256 = 2 windows
+    assert(frames.forall(f => !f.realDecode && f.width == -1))
+  }
+
   test("real PNG decode: true dimensions, channels, luminance histogram") {
     import spark.implicits._
     // paint a genuine 10x6 PNG in-memory: left half black, right half white

@@ -359,7 +359,48 @@ object ScaleSmoke {
           nProbe = 8, rerank = 50, corpus = Some(bigVecs)).count()
       }
       println(s"[scale]   ivf-sq8 search rows: $qSearchN")
-      Seq(fDir, qDir).foreach { d =>
+
+      // IVF-PQ at the same scale: m=16 one-byte codes per 64-dim vector
+      // (16x fewer list bytes than float, 4x fewer than SQ8), ADC
+      // scoring off a driver-computed per-query LUT, float rerank on
+      // the shortlist. Recall measured against the float index's exact
+      // full-probe result.
+      val pqIdx = time("buildIvfPq 1.25M x nlist=256 m=16 ksub=256") {
+        val idx = Ann.buildIvfPq(bigVecs, nlist = 256, m = 16, ksub = 256,
+          iters = 2, pqIters = 4)
+        idx.assigned.count()
+        idx
+      }
+      val pDir = java.nio.file.Files.createTempDirectory("graft_ivf_pq").toString
+      time("writeIvfPqIndex 1.25M") { Ann.writeIvfPqIndex(pqIdx, pDir) }
+      val pBytes = parquetBytes(pDir)
+      println(f"[scale]   ivf-pq list bytes: ${pBytes / 1e6}%.1f MB (float ${fBytes.toDouble / pBytes}%.2fx, int8 ${qBytes.toDouble / pBytes}%.2fx larger)")
+      assert(pBytes * 2 < qBytes,
+        s"PQ lists not smaller than SQ8: $pBytes vs $qBytes")
+      val pLoaded = Ann.readIvfPqIndex(spark, pDir)
+      val pqQueries = bigVecs.where(col("vec_id") < 20)
+      val pqTop = time("ivfSearchPq 20 queries nProbe=8 rerank=50 (persisted PQ lists)") {
+        val t = Ann.ivfSearchPq(pLoaded, pqQueries, k = 5, nProbe = 8,
+          rerank = 50, corpus = Some(bigVecs)).cache()
+        t.count()
+        t
+      }
+      val exactBig = Ann.ivfSearch(bigIvf, pqQueries, k = 5, nProbe = 256).cache()
+      val nExactBig = exactBig.count()
+      val pqRecall = pqTop.join(exactBig, Seq("qid", "nid")).count().toDouble /
+        nExactBig
+      // the honest scale claim: on these UNIFORM-RANDOM vectors (PQ's
+      // zero-structure worst case) recall is capped by the coarse
+      // probing itself — the float index at the same nProbe measures
+      // the ceiling, and the 16x-smaller PQ scan + 50-wide rerank must
+      // reach it: quantization costs bytes-scanned nothing after rerank
+      val floatRecall = Ann.ivfSearch(bigIvf, pqQueries, k = 5, nProbe = 8)
+        .join(exactBig, Seq("qid", "nid")).count().toDouble / nExactBig
+      println(f"[scale]   ivf-pq recall@5 $pqRecall%.2f vs float same-probe ceiling $floatRecall%.2f")
+      assert(pqRecall >= floatRecall * 0.9,
+        f"IVF-PQ rerank recall $pqRecall%.2f lost >10%% vs same-probe float $floatRecall%.2f")
+      pqTop.unpersist(); exactBig.unpersist()
+      Seq(fDir, qDir, pDir).foreach { d =>
         java.nio.file.Files.walk(java.nio.file.Paths.get(d))
           .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))

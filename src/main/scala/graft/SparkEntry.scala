@@ -595,6 +595,42 @@ object SparkEntry {
                       n > 1000000 AND n < 8000000) AS range_ok,
              first(k.known_ok) AS known_ok
       FROM b CROSS JOIN k"""),
+    // conic ST_Transform (LCC 2SP + Albers, the "state plane" surface):
+    // same structure as q127 — in-domain synthesized points round-trip
+    // 4326 → 2154 → 4326 to 1e-9 degrees, and five fixed points across
+    // four registry CRSs (Lambert-93, LCC Europe, NY Long Island, CA
+    // zone 5 ftUS, Conus Albers) match the INDEPENDENT Snyder-formula
+    // implementation (tools/conic_snyder.py) to 1e-4 CRS units. pivot_ok
+    // pins conic→conic through the geographic pivot against the direct
+    // projection of the same ground point.
+    "q131_transform_conic" -> q("""
+      WITH p AS (
+        SELECT -4.0 + (l_orderkey % 100) * 0.12 AS lon,
+               42.0 + (l_linenumber % 6) * 1.4 AS lat
+        FROM lineitem),
+      b AS (
+        SELECT lon, lat,
+               ST_Transform(ST_Transform(ST_Point(lon, lat, 4326), 2154), 4326) AS back
+        FROM p),
+      k AS (
+        SELECT bool_and(
+                 abs(ST_X(ST_Transform(ST_Point(klon, klat, 4326), epsg)) - ke) < 1e-4 AND
+                 abs(ST_Y(ST_Transform(ST_Point(klon, klat, 4326), epsg)) - kn) < 1e-4) AS known_ok
+        FROM VALUES
+          (48.8566D, 2.3522D,    2154,  652469.0227D,  6862035.2594D),
+          (52.52D,   13.405D,    3034,  4223201.6809D, 2861033.3995D),
+          (40.7128D, -74.006D,   32118, 299493.0052D,  60645.8178D),
+          (34.0522D, -118.2437D, 2229,  6487847.0026D, 1841468.2514D),
+          (39.7392D, -104.9903D, 5070,  -762409.0478D, 1893843.5996D)
+          AS kp(klat, klon, epsg, ke, kn)),
+      pv AS (
+        SELECT abs(ST_X(ST_Transform(ST_Transform(ST_Point(-74.006D, 40.7128D, 4326), 32118), 5070)) -
+                   ST_X(ST_Transform(ST_Point(-74.006D, 40.7128D, 4326), 5070))) < 1e-6 AS pivot_ok)
+      SELECT bool_and(abs(ST_X(back) - lon) < 1e-9 AND
+                      abs(ST_Y(back) - lat) < 1e-9) AS rt_ok,
+             first(k.known_ok) AS known_ok,
+             first(pv.pivot_ok) AS pivot_ok
+      FROM b CROSS JOIN k CROSS JOIN pv"""),
     // the reference's own criterion benchmark query, on its i-ramp
     // linestring fixture (benches/geo_lib.rs:22, util.rs:29-38): row i →
     // LINESTRING(i i+1, i+2 i+3, i+4 i+5), constant probe POINT(10 11).
@@ -2903,6 +2939,8 @@ object SparkEntry {
       WHERE d.doc_id < 20 ORDER BY doc_id, frame_idx""",
     "q127_transform_utm" -> """
       SELECT true AS rt_ok, true AS range_ok, true AS known_ok""",
+    "q131_transform_conic" -> """
+      SELECT true AS rt_ok, true AS known_ok, true AS pivot_ok""",
     "q128_geoparquet_roundtrip" -> s"""
       WITH e AS (SELECT min($OX) AS bx0, min($OY) AS by0,
                         max($OX) AS bx1, max($OY) AS by1

@@ -2918,10 +2918,14 @@ object GeoKernels {
     * y = R·ln(tan(π/4 + rad(lat)/2)) and its inverse) and
     * 4326 ↔ UTM (EPSG 326zz north / 327zz south, zones 1–60; the
     * Krüger n-series transverse Mercator below, accurate to well under
-    * a millimeter in-zone). Cross pairs (3857 ↔ UTM, UTM ↔ UTM) pivot
-    * through geographic coordinates. All of these share the WGS84
-    * datum, so no datum shift is involved; pairs outside the family
-    * raise — silent approximation of datum shifts would be a
+    * a millimeter in-zone), plus the conic registry
+    * ([[graft.geo.ConicProjections]]: Lambert-93, LCC Europe, NY Long
+    * Island, CA zone 5 ftUS, Conus Albers). Cross pairs pivot through
+    * geographic coordinates. The WGS84 members share a datum exactly;
+    * the conic CRSs are NAD83/ETRS89/RGF93 on GRS80, treated as
+    * coincident with WGS84 (PROJ's default ballpark — 1-2 m physical
+    * offset, documented in ConicProjections). Pairs outside the family
+    * raise — silent approximation of LARGE datum shifts would be a
     * correctness bug, not a feature. Identity when source = target. */
   def transformGeom(tagged: Array[Byte], toSrid: Int): Array[Byte] = {
     val g0 = geom(tagged)
@@ -2935,11 +2939,14 @@ object GeoKernels {
   private def transformImpl(tagged: Array[Byte], toSrid: Int): Array[Byte] = {
     val g = geom(tagged)
     val from = g.getSRID
-    def supported(s: Int) = s == 4326 || s == 3857 || isUtm(s)
+    def supported(s: Int) = s == 4326 || s == 3857 || isUtm(s) ||
+      graft.geo.ConicProjections.supports(s)
     if (!supported(from) || !supported(toSrid))
       throw new IllegalArgumentException(
-        "ST_Transform supports the WGS84 family only: 4326, 3857, " +
-          s"UTM 32601-32660/32701-32760 (got SRID $from -> $toSrid)")
+        "ST_Transform supports the WGS84/GRS80 family only: 4326, 3857, " +
+          "UTM 32601-32660/32701-32760, and the conic registry " +
+          s"(${graft.geo.ConicProjections.registry.keys.toSeq.sorted.mkString(", ")}) " +
+          s"(got SRID $from -> $toSrid)")
     val out = mapCoordsCopy(g) { c =>
       // pivot through geographic degrees (no-op when from = 4326)
       from match {
@@ -2947,6 +2954,8 @@ object GeoKernels {
         case 3857 =>
           c.x = math.toDegrees(c.x / MercRadius)
           c.y = math.toDegrees(2 * math.atan(math.exp(c.y / MercRadius)) - math.Pi / 2)
+        case conic if graft.geo.ConicProjections.supports(conic) =>
+          graft.geo.ConicProjections.conicToGeographic(conic, c)
         case utm => TransverseMercator.utmToGeographic(utm, c)
       }
       toSrid match {
@@ -2955,6 +2964,8 @@ object GeoKernels {
           val lon = c.x; val lat = c.y
           c.x = MercRadius * math.toRadians(lon)
           c.y = MercRadius * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
+        case conic if graft.geo.ConicProjections.supports(conic) =>
+          graft.geo.ConicProjections.geographicToConic(conic, c)
         case utm => TransverseMercator.geographicToUtm(utm, c)
       }
     }

@@ -801,11 +801,12 @@ class GeoFunctionsSpec extends AnyFunSuite {
     // identity when already in the target SRID
     assert(sql1("select ST_AsEWKT(ST_Transform(ST_GeomFromText(" +
       "'POINT(1 2)', 3857), 3857))") == "SRID=3857;POINT(1 2)")
-    // unsupported pairs raise rather than silently approximating
+    // unsupported pairs raise rather than silently approximating —
+    // 27700 (OSGB36 British National Grid) needs a REAL datum shift
     assert(intercept[Exception] {
-      spark.sql("select ST_Transform(ST_GeomFromText('POINT(1 2)', 2154), 4326)")
+      spark.sql("select ST_Transform(ST_GeomFromText('POINT(1 2)', 27700), 4326)")
         .collect()
-    }.getMessage.contains("WGS84 family"))
+    }.getMessage.contains("WGS84/GRS80 family"))
   }
 
   test("st_transform: UTM zones match an independent Snyder implementation") {
@@ -845,6 +846,73 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(math.abs(viaMerc - 391779.2593) < 2e-3)
     // UTM srid sticks on the output
     assert(sql1("select ST_SRID(ST_Transform(ST_Point(13.405, 52.52, 4326), 32633))") == 32633)
+  }
+
+  test("st_transform: conic CRSs (LCC 2SP + Albers) match the Snyder cross-check") {
+    // pinned values generated by tools/conic_snyder.py (Snyder 1987
+    // ellipsoidal LCC pp. 107-109 / Albers pp. 101-102, independently
+    // transcribed); agreement to 1e-4 CRS units catches transcription
+    // errors in either copy. Covers Lambert-93 (France), LCC Europe,
+    // NY Long Island, CA zone 5 in US survey FEET, and Conus Albers.
+    val known = Seq(
+      (48.8566, 2.3522, 2154, 652469.0227, 6862035.2594),
+      (43.2965, 5.3698, 2154, 892390.2216, 6247035.2568),
+      (52.52, 13.405, 3034, 4223201.6809, 2861033.3995),
+      (40.4168, -3.7038, 3034, 2865882.3267, 1656297.3979),
+      (40.7128, -74.006, 32118, 299493.0052, 60645.8178),
+      (40.7891, -73.1350, 32118, 373006.8996, 69479.2816),
+      (34.0522, -118.2437, 2229, 6487847.0026, 1841468.2514),
+      (34.4208, -119.6982, 2229, 6049551.5612, 1979845.3356),
+      (39.7392, -104.9903, 5070, -762409.0478, 1893843.5996),
+      (29.7604, -95.3698, 5070, 60916.2421, 742995.1309))
+    for ((lat, lon, epsg, e, n) <- known) {
+      val row = spark.sql(
+        s"select ST_X(ST_Transform(ST_Point($lon, $lat, 4326), $epsg))," +
+          s" ST_Y(ST_Transform(ST_Point($lon, $lat, 4326), $epsg))")
+        .collect()(0)
+      assert(math.abs(row.getDouble(0) - e) < 1e-4,
+        s"easting $epsg: ${row.getDouble(0)} vs $e")
+      assert(math.abs(row.getDouble(1) - n) < 1e-4,
+        s"northing $epsg: ${row.getDouble(1)} vs $n")
+      // round trip to geographic recovers the input to 1e-9 degrees
+      val back = spark.sql(
+        s"select ST_X(ST_Transform(ST_Transform(ST_Point($lon, $lat, 4326), $epsg), 4326))," +
+          s" ST_Y(ST_Transform(ST_Transform(ST_Point($lon, $lat, 4326), $epsg), 4326))")
+        .collect()(0)
+      assert(math.abs(back.getDouble(0) - lon) < 1e-9, s"$epsg lon roundtrip")
+      assert(math.abs(back.getDouble(1) - lat) < 1e-9, s"$epsg lat roundtrip")
+    }
+    // the false origin is exact by construction: projecting (lat0, lon0)
+    // of Lambert-93 gives exactly (FE, FN) = (700000, 6600000)
+    val fo = spark.sql(
+      "select ST_X(ST_Transform(ST_Point(3.0, 46.5, 4326), 2154))," +
+        " ST_Y(ST_Transform(ST_Point(3.0, 46.5, 4326), 2154))").collect()(0)
+    assert(math.abs(fo.getDouble(0) - 700000.0) < 1e-6)
+    assert(math.abs(fo.getDouble(1) - 6600000.0) < 1e-6)
+    // Albers preserves area: a ~100 km quad around Denver maps with
+    // area within 0.1% of its 4326->5070 "truth" computed from the
+    // equal-area property (compare against spherical-excess-free local
+    // planar estimate via a UTM projection of the same quad)
+    val quadWkt = "POLYGON((-105.6 39.3,-104.4 39.3,-104.4 40.2,-105.6 40.2,-105.6 39.3))"
+    val albersArea = sql1(
+      s"select ST_Area(ST_Transform(ST_GeomFromText('$quadWkt', 4326), 5070))")
+      .asInstanceOf[Double]
+    val utmArea = sql1(
+      s"select ST_Area(ST_Transform(ST_GeomFromText('$quadWkt', 4326), 32613))")
+      .asInstanceOf[Double]
+    assert(math.abs(albersArea / utmArea - 1.0) < 2e-3,
+      s"Albers area $albersArea vs UTM area $utmArea")
+    // conic -> conic pivots through geographic: NYC in 32118 -> 5070
+    // equals the direct 4326 -> 5070 projection
+    val direct = spark.sql(
+      "select ST_X(ST_Transform(ST_Point(-74.006, 40.7128, 4326), 5070))")
+      .collect()(0).getDouble(0)
+    val viaLcc = spark.sql(
+      "select ST_X(ST_Transform(ST_Transform(ST_Point(-74.006, 40.7128, 4326), 32118), 5070))")
+      .collect()(0).getDouble(0)
+    assert(math.abs(direct - viaLcc) < 1e-6, s"pivot $viaLcc vs direct $direct")
+    // srid sticks
+    assert(sql1("select ST_SRID(ST_Transform(ST_Point(2.35, 48.85, 4326), 2154))") == 2154)
   }
 
   test("st_geometryn / st_interiorringn: 1-based component and ring access") {

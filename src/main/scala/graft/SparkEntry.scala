@@ -554,6 +554,26 @@ object SparkEntry {
           lit(env._3).as("bb_xmax"), lit(env._4).as("bb_ymax"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    // GeoParquet 1.1 covering path, hash-oracled: lineitem points →
+    // writeCovered (per-row bbox struct + covering metadata + spatial
+    // clustering, a repartitionByRange shuffle) → readCoveredIntersecting
+    // (file footer prune → pushed bbox row-group filters → exact
+    // ST_Intersects). The oracle recomputes the envelope filter
+    // arithmetically on the synthesized integer coordinates — every
+    // layer of pruning must return EXACTLY the envelope's rows. The
+    // row-group-skip behavior itself is metric-asserted in
+    // GeoParquetSpec; this row pins end-to-end result correctness.
+    "q132_geoparquet_covering" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val pts = spark.sql(s"SELECT $KEYS, $PT AS geom FROM lineitem")
+      val out = scratchDir("graft_gpqcov_")
+      graft.sources.GeoParquet.writeCovered(pts, out, "geom")
+      graft.sources.GeoParquet.readCoveredIntersecting(spark, out, 10, 10, 40, 30)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("ST_AsText(geom)").as("wkt"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // UTM ST_Transform (EPSG 326zz/327zz, Krüger-series transverse
     // Mercator). DuckDB here has no spatial extension, so the oracle is
     // the constant all-true row and the CHECKS live on the Spark side:
@@ -2941,6 +2961,12 @@ object SparkEntry {
       SELECT true AS rt_ok, true AS range_ok, true AS known_ok""",
     "q131_transform_conic" -> """
       SELECT true AS rt_ok, true AS known_ok, true AS pivot_ok""",
+    "q132_geoparquet_covering" -> s"""
+      SELECT $KEYS, 'POINT(' || $OPXS || ' ' || $OPYS || ')' AS wkt
+      FROM lineitem
+      WHERE l_orderkey % 100 BETWEEN 10 AND 40
+        AND l_linenumber * 10 BETWEEN 10 AND 30
+      ORDER BY $KEYS""",
     "q128_geoparquet_roundtrip" -> s"""
       WITH e AS (SELECT min($OX) AS bx0, min($OY) AS by0,
                         max($OX) AS bx1, max($OY) AS by1

@@ -51,11 +51,97 @@ object GeoParquet {
     * geometry column; `srid` stamps the `crs` metadata (4326 → the
     * spec's null/default OGC:CRS84). */
   def write(df: DataFrame, path: String, geomCol: String, srid: Int = 4326,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite"): Unit =
+    writeImpl(df, path, geomCol, srid, mode, covering = false,
+      cluster = false, blockSize = None)
+
+  /** Export as GeoParquet 1.1 with a `bbox` COVERING column: each row
+    * carries a (xmin, ymin, xmax, ymax) double struct computed from its
+    * geometry, declared in the `geo` metadata's `covering` object so
+    * foreign readers can use it, and — the Spark-native point — stored
+    * as four plain parquet columns whose ROW-GROUP min/max statistics
+    * prune. A query that conjoins [[bboxIntersects]] with its exact
+    * spatial predicate skips whole row groups at scan time (pushed
+    * nested-field range filters), a finer granularity than the per-file
+    * footer bbox: at 100 TB a file is ~1 GB but a row group is
+    * ~128 MB, so covering-pruning reads up to 8x less of each
+    * borderline file — and `cluster = true` (default) sorts rows by the
+    * geohash of their bbox center first, which is what makes row-group
+    * bboxes tight instead of file-wide. Clustering repartitions by
+    * range (one shuffle, documented cost); pass `cluster = false` for
+    * already-clustered data or non-lon/lat coordinate systems.
+    * `blockSize` overrides `parquet.block.size` (bytes) — smaller row
+    * groups prune finer at the cost of more footer overhead. */
+  def writeCovered(df: DataFrame, path: String, geomCol: String,
+      srid: Int = 4326, mode: String = "overwrite", cluster: Boolean = true,
+      blockSize: Option[Long] = None): Unit =
+    writeImpl(df, path, geomCol, srid, mode, covering = true, cluster,
+      blockSize)
+
+  /** The covering-column range predicate for a query envelope — the
+    * row-group-prunable half of a spatial filter. Conjoin with the
+    * exact predicate: `.where(bboxIntersects(...) && st_intersects(...))`. */
+  def bboxIntersects(xmin: Double, ymin: Double, xmax: Double,
+      ymax: Double): org.apache.spark.sql.Column =
+    col("bbox.xmax") >= xmin && col("bbox.xmin") <= xmax &&
+      col("bbox.ymax") >= ymin && col("bbox.ymin") <= ymax
+
+  /** [[readIntersecting]] plus covering-column row-group pruning and the
+    * exact intersects refine: file-level footer prune → pushed bbox
+    * range filters (row-group skip) → exact `ST_Intersects` against the
+    * envelope. Falls back gracefully when the table has no `bbox`
+    * column (plain [[readIntersecting]] + exact refine). */
+  def readCoveredIntersecting(spark: SparkSession, path: String,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double): DataFrame = {
+    val base = readIntersecting(spark, path, xmin, ymin, xmax, ymax)
+    val withBox =
+      if (base.columns.contains("bbox"))
+        base.where(bboxIntersects(xmin, ymin, xmax, ymax))
+      else base
+    firstMeta(spark, path) match {
+      case Some(m) if withBox.columns.contains(m.primaryColumn) &&
+          withBox.schema(m.primaryColumn).dataType ==
+            org.apache.spark.sql.types.BinaryType =>
+        withBox.where(GeoFunctions.st_intersects(col(m.primaryColumn),
+          GeoFunctions.st_makeenvelope(lit(xmin), lit(ymin), lit(xmax), lit(ymax))))
+      case _ => withBox
+    }
+  }
+
+  private def writeImpl(df: DataFrame, path: String, geomCol: String,
+      srid: Int, mode: String, covering: Boolean, cluster: Boolean,
+      blockSize: Option[Long]): Unit = {
     val spark = df.sparkSession
     GeoFunctions.register(spark)
-    df.withColumn(geomCol, GeoFunctions.st_asbinary(col(geomCol)))
-      .write.mode(mode).parquet(path)
+    val asWkb = df.withColumn(geomCol, GeoFunctions.st_asbinary(col(geomCol)))
+    val prepared =
+      if (!covering) asWkb
+      else {
+        val bb = GeoFunctions.box2d(GeoFunctions.st_geomfromwkb(col(geomCol)))
+        val withBox = asWkb.withColumn("__bb", bb)
+          .withColumn("bbox", struct(col("__bb.xmin").as("xmin"),
+            col("__bb.ymin").as("ymin"), col("__bb.xmax").as("xmax"),
+            col("__bb.ymax").as("ymax")))
+          .drop("__bb")
+        if (!cluster) withBox
+        else {
+          // spatial clustering key: geohash of the bbox center — Morton
+          // (Z-order) locality in base32, so range-partitioned +
+          // locally-sorted rows give every row group a tight bbox
+          val ctr = GeoFunctions.st_geohash(
+            GeoFunctions.st_point(
+              (col("bbox.xmin") + col("bbox.xmax")) / 2,
+              (col("bbox.ymin") + col("bbox.ymax")) / 2), lit(9))
+          withBox.withColumn("__gh", ctr)
+            .repartitionByRange(col("__gh"))
+            .sortWithinPartitions("__gh")
+            .drop("__gh")
+        }
+      }
+    val writer0 = prepared.write.mode(mode)
+    val writer = blockSize.fold(writer0)(b =>
+      writer0.option("parquet.block.size", b.toString))
+    writer.parquet(path)
     // one stats job over the written files: per-file bbox + geometry
     // types (same shape as GeoTable's sidecar aggregation)
     val g = GeoFunctions.st_geomfromwkb(col(geomCol))
@@ -76,7 +162,7 @@ object GeoParquet {
       }.toMap
     val confMap = hadoopConfAsMap(spark)
     val entries = stats.toSeq.map { case (file, (x0, y0, x1, y1, types)) =>
-      (file, geoJson(geomCol, srid,
+      (file, geoJson(geomCol, srid, covering,
         Option(x0).map(_.asInstanceOf[Double]), Option(y0).map(_.asInstanceOf[Double]),
         Option(x1).map(_.asInstanceOf[Double]), Option(y1).map(_.asInstanceOf[Double]),
         types))
@@ -154,16 +240,24 @@ object GeoParquet {
 
   // ---- metadata JSON ------------------------------------------------------
 
-  private def geoJson(geomCol: String, srid: Int,
+  private def geoJson(geomCol: String, srid: Int, covering: Boolean,
       xmin: Option[Double], ymin: Option[Double],
       xmax: Option[Double], ymax: Option[Double], types: Seq[String]): String = {
     val m = new ObjectMapper()
     val root = m.createObjectNode()
-    root.put("version", "1.0.0")
+    // the covering object is a 1.1 feature; plain writes stay 1.0.0
+    root.put("version", if (covering) "1.1.0" else "1.0.0")
     root.put("primary_column", geomCol)
     val cols = root.putObject("columns")
     val c = cols.putObject(geomCol)
     c.put("encoding", "WKB")
+    if (covering) {
+      // GeoParquet 1.1 "covering": path of each bbox struct field
+      val cov = c.putObject("covering").putObject("bbox")
+      Seq("xmin", "ymin", "xmax", "ymax").foreach { f =>
+        val a = cov.putArray(f); a.add("bbox"); a.add(f)
+      }
+    }
     val ts = c.putArray("geometry_types")
     types.foreach(ts.add)
     if (srid == 4326 || srid == 0) c.putNull("crs") // spec default OGC:CRS84

@@ -112,4 +112,88 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // malformed geo JSON: parse returns None, read degrades to plain
     assert(GeoParquet.fileMeta(spark, plainDir).forall(_._2.isEmpty))
   }
+
+  test("GeoParquet 1.1 covering: bbox column, metadata, exact results") {
+    graft.functions.GeoFunctions.register(spark)
+    val dir = tmp("graft_gpq_cov_")
+    // points spread over a 100x80 lon/lat domain
+    val df = spark.sql("""
+      SELECT id, ST_GeomFromText('POINT(' || CAST(id % 100 AS STRING) || ' '
+        || CAST(CAST(id / 100 AS INT) % 80 AS STRING) || ')') AS geom
+      FROM range(0, 8000) t(id)""")
+    GeoParquet.writeCovered(df, dir, "geom")
+    // metadata: version 1.1.0 + covering paths (raw footer text check)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.nonEmpty)
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, new org.apache.hadoop.fs.Path(files.head))
+    val geo = footer.getFileMetaData.getKeyValueMetaData.get("geo")
+    assert(geo != null && geo.contains("\"version\":\"1.1.0\""))
+    assert(geo.contains("\"covering\""))
+    assert(geo.contains("[\"bbox\",\"xmin\"]"))
+    // per-row bbox struct matches the point coordinates exactly
+    val sample = spark.read.parquet(dir)
+      .selectExpr("id", "bbox.xmin", "bbox.ymax").collect()
+    assert(sample.length == 8000)
+    sample.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getDouble(1) == (id % 100).toDouble, s"bbox.xmin of $id")
+      assert(r.getDouble(2) == ((id / 100) % 80).toDouble, s"bbox.ymax of $id")
+    }
+    // covered read returns exactly the envelope's points (point data:
+    // bbox filter IS exact here; the ST_Intersects refine agrees)
+    val env = GeoParquet.readCoveredIntersecting(spark, dir, 10, 10, 19, 19)
+    val ids = env.select("id").collect().map(_.getLong(0)).toSet
+    val expected = (0L until 8000L).filter(i =>
+      i % 100 >= 10 && i % 100 <= 19 && (i / 100) % 80 >= 10 &&
+        (i / 100) % 80 <= 19).toSet
+    assert(ids == expected, s"got ${ids.size}, expected ${expected.size}")
+  }
+
+  test("GeoParquet covering prunes ROW GROUPS, not just files (behavioral)") {
+    graft.functions.GeoFunctions.register(spark)
+    val dir = tmp("graft_gpq_rg_")
+    val df = spark.sql("""
+      SELECT id, ST_GeomFromText('POINT(' || CAST(id % 100 AS STRING) || ' '
+        || CAST(CAST(id / 100 AS INT) % 80 AS STRING) || ')') AS geom
+      FROM range(0, 60000) t(id)""").repartition(1)
+    // tiny row groups + spatial clustering → many spatially-tight row
+    // groups inside few files
+    GeoParquet.writeCovered(df, dir, "geom", blockSize = Some(64 * 1024))
+    // count row groups to prove the layout actually has several
+    val conf = spark.sessionState.newHadoopConf()
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+    val nRowGroups = files.map { f =>
+      org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, new org.apache.hadoop.fs.Path(f)).getBlocks.size()
+    }.sum
+    assert(nRowGroups >= 8, s"layout produced only $nRowGroups row groups")
+    // a corner query: scan metrics must show row-group skipping — the
+    // scan emits far fewer rows than the table holds (Spark does not
+    // re-filter rows at the parquet record level by default, so a
+    // full-table scan would emit all 60000 from the scan node)
+    val q = GeoParquet.readCoveredIntersecting(spark, dir, 0, 0, 9, 9)
+    val got = q.collect()
+    val expected = (0L until 60000L).filter(i =>
+      i % 100 <= 9 && (i / 100) % 80 <= 9).size
+    assert(got.length == expected, s"rows ${got.length} vs expected $expected")
+    // isolate ROW-GROUP skipping from file-level footer pruning: scan
+    // ALL files (plain reader, no footer prune) with only the pushed
+    // bbox range predicate. Spark does not re-filter parquet rows at
+    // record level by default, so the scan node emits every row of
+    // every row group it READS — fewer-than-total scan output rows can
+    // only come from parquet skipping whole row groups on bbox stats.
+    val pure = spark.read.parquet(dir)
+      .where(GeoParquet.bboxIntersects(0, 0, 9, 9))
+    pure.collect()
+    val scanned = pure.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numOutputRows").value
+    }.sum
+    assert(scanned > 0 && scanned < 30000,
+      s"scan emitted $scanned rows of 60000 — row groups were NOT skipped")
+  }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Systematic physical-plan audit of the contract surface: every
+  * lazily-constructed contract query is planned (analysis + optimize +
+  * physical planning, NO execution) at sf0.001 and checked for the
+  * plan shapes that do not survive 100 TB:
+  *
+  *  - `CartesianProductExec` anywhere is a bug, full stop — no contract
+  *    query needs an unbroadcast cross product.
+  *  - `BroadcastNestedLoopJoinExec` is allowed ONLY for the pinned
+  *    whitelist below, each a deliberate 1-row/constant-side cross join
+  *    (scalar gate fixtures). A NEW query acquiring a BNLJ — the shape
+  *    Spark falls back to when a join degenerates — fails here instead
+  *    of shipping as an O(n·m) scan.
+  *
+  * Queries whose CLOSURES run driver-side jobs during construction
+  * (recall gates, persisted-index round trips, streaming harnesses) are
+  * excluded: their returned frame is a local literal or a scratch-dir
+  * read, and constructing them executes real work that belongs in
+  * Verify, not in a plan audit. */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("plan-audit").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // closures that execute work while CONSTRUCTING their result frame
+  private val eager = Set(
+    "q61_geojson_source", "q66_stream_sessionize", "q75_kmeans_assign",
+    "q76_stream_interval_join", "q119_semantic_dedup",
+    "q120_kmeans_assign_bcast", "q121_stream_dedup",
+    "q122_kmeans_two_level", "q124_semantic_dedup_bcast",
+    "q125_ann_ivf_persisted", "q126_ann_ivf_quantized",
+    "q128_geoparquet_roundtrip", "q129_ann_ivfpq", "q130_mjpeg_frames",
+    "q132_geoparquet_covering")
+
+  // deliberate BNLJ users — each a broadcast-side-by-design shape:
+  private val bnljWhitelist: Set[String] = Set(
+    // brute-force ANN: hinted-broadcast query set x corpus is the
+    // documented exact baseline (the scale path is LSH/IVF)
+    "q24_cosine_topk", "q31_ann_lsh_recall", "q35_ann_ivf",
+    // all-pairs cosine on a vec_id < 200 slice — the exact cross-check
+    // for the LSH near-dup path; non-equi (<) join has no hash form
+    "q29_embed_neardup",
+    // 1-row aggregate fixture sides CROSS JOINed onto per-row checks
+    "q27_fingerprint_simhash", "q127_transform_utm", "q131_transform_conic",
+    // benchmark-gram Bloom side broadcast as a single-row filter payload
+    "q77_bloom_decontaminate")
+
+  test("no cartesian products; BNLJ only where pinned") {
+    val offenders = scala.collection.mutable.Map[String, String]()
+    val bnljUsers = scala.collection.mutable.Set[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !eager(name) && !name.startsWith("sf01_")) {
+      val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.sparkPlan
+      if (plan.collectWithSubqueries { case c: CartesianProductExec => c }.nonEmpty)
+        offenders(name) = "CartesianProductExec"
+      if (plan.collectWithSubqueries { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty)
+        bnljUsers += name
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+    val unpinned = bnljUsers.toSet -- bnljWhitelist
+    assert(unpinned.isEmpty,
+      s"unpinned BroadcastNestedLoopJoin in: ${unpinned.toSeq.sorted}")
+    val stale = bnljWhitelist -- bnljUsers
+    assert(stale.isEmpty, s"whitelist entries no longer using BNLJ: $stale")
+  }
+
+  test("column pruning reaches the parquet scan") {
+    // q01 touches only (l_orderkey, l_linenumber) of lineitem's 16
+    // columns; a scan reading more would ship 8x the bytes at 100 TB
+    for ((name, cols) <- Seq(
+        "q01_geomfromtext_xy" -> Set("l_orderkey", "l_linenumber"),
+        "q21_token_stats" -> Set("doc_id", "text"))) {
+      val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.sparkPlan
+      val scans = plan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, s"$name has no file scan")
+      scans.foreach { s =>
+        val read = s.output.map(_.name).toSet
+        assert(read.subsetOf(cols),
+          s"$name scan reads ${read.toSeq.sorted} — wanted subset of $cols")
+      }
+    }
+  }
+}

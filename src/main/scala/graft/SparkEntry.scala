@@ -2418,6 +2418,61 @@ object SparkEntry {
     // state (anti-join moves only keys) and appends its reassembled
     // documents; the oracle replays the same global election ordered by
     // (batch = doc_id % 2, doc_id, pos).
+    // STREAMING SemDeDup on the q119 fixture: embeddings arrive as two
+    // id-ordered micro-batches; each batch dedups against the
+    // CompactingKeyState-held (cluster, id, vector) rows of everything
+    // before it plus its own lower ids. SemDeDup's drop rule is
+    // prefix-decomposable (preceding siblings count dropped-or-not), so
+    // the UNION of the per-batch emissions must hash-match q119's batch
+    // oracle row-for-row — the strongest possible check that the
+    // incremental operator computes the same function as the batch one.
+    "q133_stream_semantic_dedup" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      val emb = spark.table("embeddings")
+      val cents = emb.orderBy("vec_id").limit(8)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val work = scratchDir("graft-q133-")
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      val mid = 250L
+      def stage(cond: org.apache.spark.sql.Column, name: String,
+          mtime: Long): Unit = {
+        val tmp = s"$work/stage_$name"
+        emb.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = inDir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val t0 = System.currentTimeMillis()
+      stage(col("vec_id") < mid, "a.parquet", t0 - 120000)
+      stage(col("vec_id") >= mid, "b.parquet", t0)
+      val outDir = s"$work/out"
+      val state = new graft.streaming.CompactingKeyState(spark,
+        s"$work/seen", compactEvery = 1)
+      val q = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Ann
+            .semanticDedupIncremental(batch, cents, 0.30, seen = state.read())
+            .select("vec_id", "cluster")
+            .write.mode("append").parquet(outDir)
+          state.append(graft.operators.Ann.semanticKeyset(batch, cents))
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).orderBy("vec_id")
+    }),
     "q123_stream_paragraph_dedup" -> ((spark, dir) => {
       prep(spark, dir)
       import org.apache.spark.sql.functions._
@@ -2935,6 +2990,8 @@ object SparkEntry {
     // bit-identical assignment transport (q120 pins it), so the
     // broadcast-path dedup must reproduce q119's oracle exactly
     "q124_semantic_dedup_bcast" -> SEMANTIC_DEDUP_ORACLE,
+    // the streaming/incremental variant computes the same function
+    "q133_stream_semantic_dedup" -> SEMANTIC_DEDUP_ORACLE,
     // calibrated constants, q35-style: 5 queries x k=3 on both paths,
     // every (qid, nid, rnk) row agreeing, and the corrupted-unprobed-
     // partition read surviving (static partition pruning worked)

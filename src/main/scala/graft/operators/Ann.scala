@@ -898,6 +898,53 @@ object Ann {
     semanticDedupAssigned(kmeansAssignBcast(corpus, centroids, idCol, vecCol),
       threshold, idCol, vecCol)
 
+  /** Incremental SemDeDup for `foreachBatch` pipelines: emit the
+    * batch's rows that no PRECEDING row in the same cluster duplicates
+    * at `threshold` — preceding = any row in `seen` (previous batches),
+    * or a lower-id row of this batch. The SemDeDup drop rule tests
+    * preceding siblings REGARDLESS of whether those were themselves
+    * dropped, which makes it prefix-decomposable: with batches arriving
+    * in id order, the union of the emissions is EXACTLY
+    * [[semanticDedup]] of the concatenated corpus. Out-of-id-order
+    * arrival degrades gracefully to arrival-precedence dedup (still a
+    * valid dedup policy, keyed by arrival instead of id); a replayed
+    * batch (foreachBatch retry) emits nothing, because its own rows are
+    * already in `seen` at self-cosine 1.
+    *
+    * `seen` holds the (cluster, id, vec) rows of processed batches —
+    * [[semanticKeyset]], appended by the caller AFTER emitting
+    * ([[graft.streaming.CompactingKeyState]] is the intended store; its
+    * `prune` retention hook bounds state when the duplication horizon
+    * is bounded). State carries the VECTORS — exact incremental
+    * SemDeDup needs them; at scale pair the stored side with
+    * [[quantizeI8]] to cut it 4x. Scale shape per batch: one map-only
+    * assignment + one cluster-keyed join of batch x (seen ∩ clusters
+    * present in the batch) — the per-batch cost tracks batch size times
+    * in-cluster density, never the full corpus. */
+  def semanticDedupIncremental(batch: DataFrame, cents: Array[Array[Float]],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", seen: Option[DataFrame] = None): DataFrame = {
+    val assigned = kmeansAssign(batch, cents, idCol, vecCol)
+    val inBatch = assigned.select(col("cluster").as("__cl"),
+      col(idCol).as("__pid"), col(vecCol).as("__pv"), lit(false).as("__prior"))
+    val preceding = seen.map(_.select(col("cluster").as("__cl"),
+        col(idCol).as("__pid"), col(vecCol).as("__pv"), lit(true).as("__prior")))
+      .fold(inBatch)(inBatch.unionByName(_))
+    val dropped = assigned
+      .join(preceding, col("cluster") === col("__cl"))
+      .where((col("__prior") || col("__pid") < col(idCol)) &&
+        vec_cosine(col("__pv"), col(vecCol)) >= threshold)
+      .select(col(idCol).as("__dropid")).distinct()
+    assigned.join(dropped, assigned(idCol) === dropped("__dropid"), "left_anti")
+  }
+
+  /** The (cluster, id, vec) slice of a batch for
+    * [[semanticDedupIncremental]]'s state store. */
+  def semanticKeyset(batch: DataFrame, cents: Array[Array[Float]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    kmeansAssign(batch, cents, idCol, vecCol)
+      .select(col("cluster"), col(idCol), col(vecCol))
+
   /** The SemDeDup duplicate scan over any (id, vec, cluster) assignment:
     * cluster-keyed self-join (m² per cluster, AQE skew split), id-keyed
     * anti-join back. */

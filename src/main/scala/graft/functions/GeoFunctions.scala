@@ -649,6 +649,11 @@ object GeoFunctions {
   def pq_encode_bcast(a: Column,
       bc: org.apache.spark.broadcast.Broadcast[(Array[Float], Int, Int)]): Column =
     c(PqEncodeBcast(x(a), bc))
+  /** By-residual variant: encodes a − cents(list) over a broadcast
+    * (codebook, m, ksub, normalized centroids) payload. */
+  def pq_encode_residual_bcast(a: Column, list: Column,
+      bc: org.apache.spark.broadcast.Broadcast[(Array[Float], Int, Int, Array[Array[Float]])]): Column =
+    c(PqEncodeResidualBcast(x(a), x(list), bc))
   /** ADC score of PQ `codes` against a per-query lookup table. */
   def pq_adc(lut: Column, codes: Column, ksub: Column): Column =
     c(PqAdc(x(lut), x(codes), x(ksub)))

@@ -300,6 +300,32 @@ object VecKernels {
     * dropping them would corrupt the ADC score. */
   def pqEncode(v: ArrayData, cb: Array[Float], m: Int, ksub: Int): Array[Byte] = {
     val dim = v.numElements()
+    val arr = new Array[Float](dim)
+    var d = 0
+    while (d < dim) { arr(d) = v.getFloat(d); d += 1 }
+    pqEncodeArr(arr, cb, m, ksub)
+  }
+
+  /** [[pqEncode]] of the RESIDUAL v − cent (both in the same space —
+    * unit-normalized vectors and unit-normalized coarse centroids):
+    * the by-residual IVF-PQ encoding, which spends the codebook's bits
+    * on the within-list offsets instead of re-describing the centroid
+    * every list shares. */
+  def pqEncodeResidual(v: ArrayData, cent: Array[Float], cb: Array[Float],
+      m: Int, ksub: Int): Array[Byte] = {
+    val dim = v.numElements()
+    require(cent.length == dim,
+      s"centroid dim ${cent.length} != vector dim $dim")
+    val r = new Array[Float](dim)
+    var d = 0
+    while (d < dim) { r(d) = v.getFloat(d) - cent(d); d += 1 }
+    pqEncodeArr(r, cb, m, ksub)
+  }
+
+  /** [[pqEncode]] over a plain array (driver-side and residual path). */
+  def pqEncodeArr(v: Array[Float], cb: Array[Float], m: Int,
+      ksub: Int): Array[Byte] = {
+    val dim = v.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subquantizers")
     val dsub = dim / m
     require(cb.length == m * ksub * dsub,
@@ -315,7 +341,7 @@ object VecKernels {
         var dist = 0.0
         var d = 0
         while (d < dsub) {
-          val diff = v.getFloat(j * dsub + d).toDouble - cb(base + d)
+          val diff = v(j * dsub + d).toDouble - cb(base + d)
           dist += diff * diff
           d += 1
         }

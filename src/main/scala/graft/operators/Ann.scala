@@ -136,11 +136,49 @@ object Ann {
   }
 
   /** Shared driver-side Lloyd refinement over a collected sample:
-    * deterministic seeding (every (len/nlist)-th sample vector), cosine
-    * assignment, mean update. */
+    * deterministic ANGULAR farthest-point (maximin) seeding, cosine
+    * assignment, mean update. Maximin replaced the original stride
+    * seeding (round 12): stride can land two seeds inside one tight
+    * cluster and Lloyd never splits the pair, which leaves a
+    * merged inverted list whose members' residuals are bimodal —
+    * poison for by-residual PQ and a wasted list for every IVF search.
+    * Seed 0 is sample(0); each next seed is the sample vector with the
+    * LOWEST maximum cosine to the seeds chosen so far. Deterministic
+    * for a fixed sample order (the content-keyed/reservoir samples
+    * upstream are). */
   private def lloydOnSample(sample: Array[Array[Float]], nlist: Int,
       iters: Int): Array[Array[Float]] = {
-    var cents = Array.tabulate(nlist)(i => sample(i * (sample.length / nlist)).clone())
+    def cosOf(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var d = 0
+      while (d < a.length) {
+        val x = a(d).toDouble; val y = b(d).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        d += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val seeds = new Array[Array[Float]](nlist)
+    seeds(0) = sample(0).clone()
+    val maxCos = sample.map(cosOf(_, seeds(0)))
+    var s = 1
+    while (s < nlist) {
+      var far = 0
+      var i = 1
+      while (i < sample.length) {
+        if (maxCos(i) < maxCos(far)) far = i
+        i += 1
+      }
+      seeds(s) = sample(far).clone()
+      i = 0
+      while (i < sample.length) {
+        val c = cosOf(sample(i), seeds(s))
+        if (c > maxCos(i)) maxCos(i) = c
+        i += 1
+      }
+      s += 1
+    }
+    var cents = seeds
     for (_ <- 0 until iters) {
       val sums = Array.fill(nlist)(new Array[Double](cents(0).length))
       val counts = new Array[Int](nlist)
@@ -419,7 +457,7 @@ object Ann {
     * less than SQ8 — at billion-vector scale the list scan IS the search
     * cost, so compression is throughput. */
   final case class IvfPqIndex(centroids: Array[Array[Float]],
-      codebook: PqCodebook, assigned: DataFrame)
+      codebook: PqCodebook, assigned: DataFrame, residual: Boolean = false)
 
   /** L2 Lloyd on a driver-side sample — the per-subspace PQ trainer.
     * L2, not cosine: subvector magnitudes carry into the reconstructed
@@ -508,14 +546,21 @@ object Ann {
     * constant, like the coarse quantizer's. */
   def trainPq(corpus: DataFrame, m: Int = 8, ksub: Int = 256,
       iters: Int = 10, maxSample: Int = 20000, seed: Long = 42L,
-      vecCol: String = "embedding"): PqCodebook = {
+      vecCol: String = "embedding"): PqCodebook =
+    trainPqOnSample(pqSample(corpus, maxSample, seed, vecCol), m, ksub, iters)
+
+  /** Content-keyed deterministic sample of normalized vectors. */
+  private def pqSample(corpus: DataFrame, maxSample: Int, seed: Long,
+      vecCol: String): Array[Array[Float]] =
+    corpus.select(col(vecCol), xxhash64(lit(seed), col(vecCol)).as("__h"))
+      .orderBy(col("__h")).limit(maxSample)
+      .collect().map(r => normalizeArr(r.getSeq[Float](0).toArray))
+
+  private def trainPqOnSample(sample: Array[Array[Float]], m: Int,
+      ksub: Int, iters: Int): PqCodebook = {
     require(m >= 1, s"m must be >= 1 (got $m)")
     require(ksub >= 1 && ksub <= 256,
       s"ksub must be in [1, 256] — one byte per code (got $ksub)")
-    val sample = corpus
-      .select(col(vecCol), xxhash64(lit(seed), col(vecCol)).as("__h"))
-      .orderBy(col("__h")).limit(maxSample)
-      .collect().map(r => normalizeArr(r.getSeq[Float](0).toArray))
     require(sample.nonEmpty, "trainPq: empty corpus")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subquantizers")
@@ -538,16 +583,50 @@ object Ann {
     * pass encodes each (normalized) vector as m bytes via the broadcast
     * codebook — the same task-binary discipline as the large-nlist
     * assignment path. [[writeIvfPqIndex]] persists it with the `list=`
-    * partition pruning of the float index intact. */
+    * partition pruning of the float index intact.
+    *
+    * `byResidual = true` (the FAISS-default refinement) encodes the
+    * residual v_n − ĉ(list) against a codebook TRAINED on residuals
+    * (ĉ = unit-normalized coarse centroid, same space as v_n): the
+    * codebook's bits describe within-list offsets instead of
+    * re-describing the centroid every list member shares, which is
+    * where PQ accuracy comes from when the corpus actually clusters.
+    * Search adds the per-(query, list) constant dot(q_n, ĉ) back to
+    * the ADC sum — computed driver-side with the probe rows, zero
+    * per-candidate cost. */
   def buildIvfPq(corpus: DataFrame, nlist: Int = 16, m: Int = 8,
       ksub: Int = 256, iters: Int = 5, pqIters: Int = 10,
-      maxSample: Int = 20000, seed: Long = 42L): IvfPqIndex = {
+      maxSample: Int = 20000, seed: Long = 42L,
+      byResidual: Boolean = false): IvfPqIndex = {
     val base = buildIvf(corpus, nlist, iters, seed)
-    val cb = trainPq(corpus, m, ksub, pqIters, maxSample, seed)
-    val bc = corpus.sparkSession.sparkContext.broadcast((cb.flat, cb.m, cb.ksub))
-    IvfPqIndex(base.centroids, cb,
-      base.assigned.select(col("nid"),
-        pq_encode_bcast(vec_normalize(col("cv")), bc).as("codes"), col("list")))
+    if (!byResidual) {
+      val cb = trainPq(corpus, m, ksub, pqIters, maxSample, seed)
+      val bc = corpus.sparkSession.sparkContext.broadcast((cb.flat, cb.m, cb.ksub))
+      IvfPqIndex(base.centroids, cb,
+        base.assigned.select(col("nid"),
+          pq_encode_bcast(vec_normalize(col("cv")), bc).as("codes"), col("list")),
+        residual = false)
+    } else {
+      val cN = base.centroids.map(normalizeArr)
+      // driver-side residual sample: cosine assignment (normalization-
+      // invariant, so it matches the executor kernel's argmax on raw
+      // centroids), then subtract the normalized centroid
+      val resSample = pqSample(corpus, maxSample, seed, "embedding").map { vn =>
+        val c = cN(nearestIdx(vn, base.centroids))
+        val r = new Array[Float](vn.length)
+        var d = 0
+        while (d < vn.length) { r(d) = vn(d) - c(d); d += 1 }
+        r
+      }
+      val cb = trainPqOnSample(resSample, m, ksub, pqIters)
+      val bc = corpus.sparkSession.sparkContext
+        .broadcast((cb.flat, cb.m, cb.ksub, cN))
+      IvfPqIndex(base.centroids, cb,
+        base.assigned.select(col("nid"),
+          pq_encode_residual_bcast(vec_normalize(col("cv")), col("list"), bc)
+            .as("codes"), col("list")),
+        residual = true)
+    }
   }
 
   /** Persist an IVF-PQ index: codes partitioned by inverted list (same
@@ -561,8 +640,10 @@ object Ann {
     graft.util.FsIO.writeStringAtomic(spark,
       new org.apache.hadoop.fs.Path(path, "_ivf_centroids.json"), centJson)
     val cb = index.codebook
+    // "flat" stays LAST: the reader locates it as the first '[' in the
+    // sidecar, so every scalar field must precede it
     val cbJson = s"""{"m":${cb.m},"ksub":${cb.ksub},"dsub":${cb.dsub},""" +
-      s""""flat":[${cb.flat.mkString(",")}]}"""
+      s""""residual":${index.residual},"flat":[${cb.flat.mkString(",")}]}"""
     graft.util.FsIO.writeStringAtomic(spark,
       new org.apache.hadoop.fs.Path(path, "_pq_codebook.json"), cbJson)
   }
@@ -579,12 +660,14 @@ object Ann {
         .getOrElse(throw new java.io.IOException(
           s"_pq_codebook.json at $path is missing field $name"))
         .group(1).toInt
-    // "flat" is the only array field and m/ksub/dsub precede it
+    // "flat" is the only array field and the scalar fields precede it
     val flat = s.substring(s.indexOf('[') + 1, s.lastIndexOf(']'))
       .split(',').map(_.toFloat)
+    // absent on pre-residual sidecars → false (those were non-residual)
+    val residual = "\"residual\":true".r.findFirstIn(s).isDefined
     IvfPqIndex(base.centroids,
       PqCodebook(intField("m"), intField("ksub"), intField("dsub"), flat),
-      base.assigned)
+      base.assigned, residual)
   }
 
   /** [[probedPairs]] for a PQ index: identical collected-probe skeleton
@@ -604,17 +687,31 @@ object Ann {
     val qvAt = probeDF.schema.fieldIndex("qv")
     val probed = rows.map(_.getInt(listAt)).distinct.sorted
     val cb = index.codebook
+    // residual path: ĉ = unit-normalized centroids; each probe row also
+    // carries dot(q_n, ĉ(list)) — the per-(query, list) constant the ADC
+    // sum of residual codes needs added back. Non-residual: constant 0.
+    val cN = if (index.residual) index.centroids.map(normalizeArr) else null
+    val qns = collection.mutable.Map.empty[Any, Array[Float]]
     val luts = collection.mutable.Map.empty[Any, Seq[Float]]
     val enriched = rows.map { r =>
-      val lut = luts.getOrElseUpdate(r.get(qidAt), {
-        val qn = normalizeArr(r.getSeq[Float](qvAt).toArray)
-        graft.functions.VecKernels.pqLut(qn, cb.flat, cb.m, cb.ksub).toSeq
-      })
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ lut)
+      val qn = qns.getOrElseUpdate(r.get(qidAt),
+        normalizeArr(r.getSeq[Float](qvAt).toArray))
+      val lut = luts.getOrElseUpdate(r.get(qidAt),
+        graft.functions.VecKernels.pqLut(qn, cb.flat, cb.m, cb.ksub).toSeq)
+      val lc =
+        if (cN == null) 0.0
+        else {
+          val c = cN(r.getInt(listAt))
+          var s = 0.0; var d = 0
+          while (d < qn.length) { s += qn(d).toDouble * c(d); d += 1 }
+          s
+        }
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ lut :+ lc)
     }
     val schema = probeDF.schema.add("lut",
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType, containsNull = false))
+      .add("lc", org.apache.spark.sql.types.DoubleType)
     val q = broadcast(spark.createDataFrame(
       java.util.Arrays.asList(enriched: _*), schema))
     val candidates =
@@ -633,7 +730,8 @@ object Ann {
       rerank: Int = 0, corpus: Option[DataFrame] = None): DataFrame = {
     val scored = probedPairsPq(index, queries, nProbe)
       .select(col("qid"), col("qv"), col("nid"),
-        pq_adc(col("lut"), col("codes"), lit(index.codebook.ksub)).as("cos"))
+        (col("lc") + pq_adc(col("lut"), col("codes"),
+          lit(index.codebook.ksub))).as("cos"))
       .dropDuplicates("qid", "nid")
     if (rerank <= 0) topkByCos(scored.drop("qv"), k)
     else rerankExact(scored, k, rerank, corpus.getOrElse(

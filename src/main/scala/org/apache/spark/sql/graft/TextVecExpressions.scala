@@ -318,3 +318,27 @@ case class PqAdc(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(a, b, c)
 }
+
+/** By-residual PQ encode over a broadcast payload of (flat codebook, m,
+  * ksub, unit-normalized coarse centroids): row (vec, list) encodes the
+  * residual vec − cents(list). Same broadcast/CodegenFallback rationale
+  * as [[PqEncodeBcast]]; the residual subtraction is one dim-length
+  * pass before the m*ksub*dsub scan that dominates. */
+case class PqEncodeResidualBcast(left: Expression, right: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[(Array[Float], Int, Int, Array[Array[Float]])])
+    extends BinaryExpression with GeoExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TextVecExpr.floatArray, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode_residual_bcast"
+  override def foldable: Boolean = false
+  override protected def nullSafeEval(v: Any, list: Any): Any = {
+    val (flat, m, ksub, cents) = bc.value
+    VecKernels.pqEncodeResidual(v.asInstanceOf[ArrayData],
+      cents(list.asInstanceOf[Int]), flat, m, ksub)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}

@@ -118,6 +118,79 @@ class AnnPqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hitsRR >= hits, s"rerank degraded recall: $hitsRR < $hits")
   }
 
+  test("by-residual IVF-PQ: exact algebra, clustered-data accuracy, persistence") {
+    val s = spark
+    import s.implicits._
+    // clustered corpus: 4 well-separated direction clusters with small
+    // per-id offsets — exactly the structure residual encoding exploits
+    // (the codebook describes offsets, not the shared cluster direction)
+    val pat = Array(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f))
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 400L).map { i =>
+      val base = pat((i % 4).toInt)
+      (i, base.zipWithIndex.map { case (v, d) =>
+        v + (rnd.nextGaussian() * 0.2).toFloat })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 5)
+    val exact = Ann.bruteForceTopK(queries, df, 5)
+    val nExact = exact.count()
+    val res = Ann.buildIvfPq(df, nlist = 4, m = 2, ksub = 8, byResidual = true)
+    assert(res.residual)
+    // full probe + full rerank still reproduces brute force exactly
+    val full = Ann.ivfSearchPq(res, queries, k = 5, nProbe = 4,
+      rerank = 400, corpus = Some(df))
+    assert(full.join(exact, Seq("qid", "nid", "rnk")).count() == nExact)
+    // the claim residual encoding actually makes, measured directly:
+    // LOWER RECONSTRUCTION ERROR at the same (m, ksub) when the corpus
+    // clusters — the codebook's bits describe within-list offsets
+    // instead of re-describing each cluster's shared direction.
+    // (Top-k recall at this toy size is tie-noise-dominated; MSE is the
+    // deterministic quantity.)
+    val plain = Ann.buildIvfPq(df, nlist = 4, m = 2, ksub = 8)
+    def norm(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val cN = res.centroids.map(norm)
+    def nearestCos(v: Array[Float]): Int =
+      res.centroids.indices.maxBy { c =>
+        val cent = res.centroids(c)
+        v.zip(cent).map { case (a, b) => a.toDouble * b }.sum /
+          math.sqrt(cent.map(x => x.toDouble * x).sum)
+      }
+    def mse(residualMode: Boolean): Double = rows.map { case (_, v) =>
+      val vn = norm(v)
+      val xhat =
+        if (!residualMode) {
+          val codes = VecKernels.pqEncodeArr(vn, plain.codebook.flat,
+            plain.codebook.m, plain.codebook.ksub)
+          VecKernels.pqReconstruct(codes, plain.codebook.flat, plain.codebook.ksub)
+        } else {
+          val c = cN(nearestCos(vn))
+          val r = vn.zip(c).map { case (a, b) => a - b }
+          val codes = VecKernels.pqEncodeArr(r, res.codebook.flat,
+            res.codebook.m, res.codebook.ksub)
+          val rr = VecKernels.pqReconstruct(codes, res.codebook.flat,
+            res.codebook.ksub)
+          c.zip(rr).map { case (a, b) => a + b }
+        }
+      vn.zip(xhat).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+    }.sum / rows.length
+    val (mRes, mPlain) = (mse(true), mse(false))
+    assert(mRes < mPlain,
+      f"residual reconstruction MSE $mRes%.6f not below plain $mPlain%.6f")
+    // persisted round trip preserves the residual flag and the results
+    val dir = java.nio.file.Files.createTempDirectory("pqres").toString + "/idx"
+    Ann.writeIvfPqIndex(res, dir)
+    val loaded = Ann.readIvfPqIndex(spark, dir)
+    assert(loaded.residual)
+    val mem = Ann.ivfSearchPq(res, queries, k = 5, nProbe = 2).collect().toSet
+    val disk = Ann.ivfSearchPq(loaded, queries, k = 5, nProbe = 2).collect().toSet
+    assert(mem == disk)
+  }
+
   test("persisted IVF-PQ round trip: codebook and results survive disk") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 5)

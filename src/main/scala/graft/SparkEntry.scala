@@ -651,6 +651,52 @@ object SparkEntry {
              first(k.known_ok) AS known_ok,
              first(pv.pivot_ok) AS pivot_ok
       FROM b CROSS JOIN k CROSS JOIN pv"""),
+    // national-grid ST_Transform (the non-WGS84-datum tier: Helmert
+    // 7-parameter shifts through geocentric coordinates + generalized
+    // Krüger TM): same structure as q127/q131 — GB-domain synthesized
+    // points round-trip 4326 → 27700 → 4326 to 1e-7 degrees (the Helmert
+    // reverse is the exact closed-form operator inverse; the residue is
+    // the 2-D height-drop re-projection, ~1 mm), six fixed points across all four
+    // registry grids match the INDEPENDENT Snyder-series + Helmert
+    // implementation (tools/tm_datum_check.py) to 2 mm, and shift_ok
+    // pins the physics: the OSGB36 datum shift moves Greenwich-latitude
+    // points ~100 m (projection-only inverse vs datum-aware inverse of
+    // the same grid point differ by 50-300 m equivalent).
+    "q134_transform_national" -> q("""
+      WITH p AS (
+        SELECT -5.5 + (l_orderkey % 100) * 0.065 AS lon,
+               50.2 + (l_linenumber % 6) * 1.4 AS lat
+        FROM lineitem),
+      b AS (
+        SELECT lon, lat,
+               ST_Transform(ST_Transform(ST_Point(lon, lat, 4326), 27700), 4326) AS back
+        FROM p),
+      k AS (
+        SELECT bool_and(
+                 abs(ST_X(ST_Transform(ST_Point(klon, klat, 4326), epsg)) - ke) < 2e-3 AND
+                 abs(ST_Y(ST_Transform(ST_Point(klon, klat, 4326), epsg)) - kn) < 2e-3) AS known_ok
+        FROM VALUES
+          (51.5074D,  -0.1278D,  27700, 530028.7499D, 180380.0945D),
+          (55.9533D,  -3.1883D,  27700, 325897.2215D, 674001.2022D),
+          (51.4816D,  -3.1791D,  27700, 318217.9972D, 176508.9206D),
+          (53.34979D, -6.26031D, 29902, 315899.9231D, 234670.2299D),
+          (53.34979D, -6.26031D, 2157,  715825.8680D, 734696.4638D),
+          (41.3874D,  2.1686D,   23031, 430579.2760D, 4582297.2299D)
+          AS kp(klat, klon, epsg, ke, kn)),
+      sh AS (
+        -- ED50 UTM31N vs WGS84 UTM31N of the same ground point: the
+        -- ~(-87,-96,-120) m geocentric shift must appear as a 100-300 m
+        -- planar offset (datum shift is real, not a no-op)
+        SELECT sqrt(pow(ST_X(ST_Transform(ST_Point(2.1686D, 41.3874D, 4326), 23031)) -
+                        ST_X(ST_Transform(ST_Point(2.1686D, 41.3874D, 4326), 32631)), 2) +
+                    pow(ST_Y(ST_Transform(ST_Point(2.1686D, 41.3874D, 4326), 23031)) -
+                        ST_Y(ST_Transform(ST_Point(2.1686D, 41.3874D, 4326), 32631)), 2))
+               BETWEEN 100 AND 300 AS shift_ok)
+      SELECT bool_and(abs(ST_X(back) - lon) < 1e-7 AND
+                      abs(ST_Y(back) - lat) < 1e-7) AS rt_ok,
+             first(k.known_ok) AS known_ok,
+             first(sh.shift_ok) AS shift_ok
+      FROM b CROSS JOIN k CROSS JOIN sh"""),
     // the reference's own criterion benchmark query, on its i-ramp
     // linestring fixture (benches/geo_lib.rs:22, util.rs:29-38): row i →
     // LINESTRING(i i+1, i+2 i+3, i+4 i+5), constant probe POINT(10 11).
@@ -967,6 +1013,20 @@ object SparkEntry {
           rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
           defaultRate = 0.125)
         .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+    // temperature-based domain remixing (rates derived from the corpus):
+    // domains by decimal width of doc_id — 10/90/400 docs at sf0.01 —
+    // α=0.5 keeps the smallest whole and downsamples the rest by
+    // (n_min/n_d)^0.5; membership replays from md5(doc_id) numerically
+    "q136_temperature_resample" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.{col, length}
+      val docs = spark.table("documents")
+        .withColumn("dom", length(col("doc_id").cast("string")))
+      graft.operators.Sampling.temperatureResample(docs, "dom", "doc_id",
+        alpha = 0.5)
+        .select("doc_id", "dom")
         .orderBy("doc_id")
     }),
     // multimodal frame sampling over binary payloads: the flatMap plumbing
@@ -1718,6 +1778,24 @@ object SparkEntry {
                       chr(10), 'p', CAST(doc_id % 3 AS STRING)) AS text
         FROM documents""")
       graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // C4/CCNet-style cross-document boilerplate removal: 'nav' appears
+    // in every doc and 'grp<k>' in ~n/5 docs (both ≥ minDocs=50 at
+    // sf0.01's 500 docs), the 'u<id>' line is unique — so cleaning
+    // keeps exactly the unique line (docs with doc_id%10=0 have no
+    // unique line and must survive with empty text)
+    "q135_remove_boilerplate" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = spark.sql("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0
+                    THEN concat('nav', chr(10), 'grp', CAST(doc_id % 5 AS STRING))
+                    ELSE concat('nav', chr(10), 'grp', CAST(doc_id % 5 AS STRING),
+                                chr(10), 'u', CAST(doc_id AS STRING)) END AS text
+        FROM documents""")
+      graft.operators.Curation.removeBoilerplate(docs, "doc_id", "text",
+        minDocs = 50)
         .orderBy("doc_id")
     }),
     // geodesic + formatting family: a small meridian arc's haversine
@@ -3018,6 +3096,8 @@ object SparkEntry {
       SELECT true AS rt_ok, true AS range_ok, true AS known_ok""",
     "q131_transform_conic" -> """
       SELECT true AS rt_ok, true AS known_ok, true AS pivot_ok""",
+    "q134_transform_national" -> """
+      SELECT true AS rt_ok, true AS known_ok, true AS shift_ok""",
     "q132_geoparquet_covering" -> s"""
       SELECT $KEYS, 'POINT(' || $OPXS || ' ' || $OPYS || ')' AS wkt
       FROM lineitem
@@ -3973,6 +4053,40 @@ object SparkEntry {
           WHEN 'src2' THEN '40000000000000000000000000000000'
           ELSE '20000000000000000000000000000000' END
       ORDER BY doc_id""",
+    // rate_d = (n_min/n_d)^(1-alpha); 48-bit md5 prefix compared
+    // numerically against rate * 2^48
+    "q136_temperature_resample" -> """
+      WITH d AS (SELECT doc_id,
+                        CAST(length(CAST(doc_id AS VARCHAR)) AS INT) AS dom
+                 FROM documents),
+      c AS (SELECT dom, count(*) AS n FROM d GROUP BY dom),
+      r AS (SELECT dom, pow(CAST((SELECT min(n) FROM c) AS DOUBLE) / n, 0.5) AS rate
+            FROM c)
+      SELECT d.doc_id, d.dom FROM d JOIN r ON d.dom = r.dom
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+            < rate * 281474976710656.0
+      ORDER BY doc_id""",
+    // the frequent-line census (>= 50 distinct docs) kills 'nav' and the
+    // five 'grp<k>' lines; survivors reassemble in position order
+    "q135_remove_boilerplate" -> """
+      WITH l AS (
+        SELECT doc_id, 0 AS pos, 'nav' AS line FROM documents
+        UNION ALL
+        SELECT doc_id, 1, 'grp' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        UNION ALL
+        SELECT doc_id, 2, 'u' || CAST(doc_id AS VARCHAR) FROM documents
+        WHERE doc_id % 10 != 0),
+      f AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd
+                              FROM l GROUP BY line) t
+            WHERE nd >= 50),
+      j AS (SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS bp
+            FROM l LEFT JOIN f ON l.line = f.line)
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT bp THEN line END, chr(10)
+               ORDER BY pos), '') AS text,
+             CAST(count(*) FILTER (WHERE NOT bp) AS INT) AS n_kept,
+             CAST(count(*) FILTER (WHERE bp) AS INT) AS n_dropped
+      FROM j GROUP BY doc_id ORDER BY doc_id""",
     // stride-2 sampling of 256-byte frames: n = max(len div 256, 1),
     // indices 0,2,..<n, each frame min(256, len - i*256) bytes
     "q54_frame_sample" -> """

@@ -2920,12 +2920,18 @@ object GeoKernels {
     * Krüger n-series transverse Mercator below, accurate to well under
     * a millimeter in-zone), plus the conic registry
     * ([[graft.geo.ConicProjections]]: Lambert-93, LCC Europe, NY Long
-    * Island, CA zone 5 ftUS, Conus Albers). Cross pairs pivot through
+    * Island, CA zone 5 ftUS, Conus Albers), plus the national-grid
+    * registry ([[graft.geo.NationalGrids]]: OSGB36/British National Grid
+    * 27700, TM65/Irish Grid 29902, ITM 2157, ED50/UTM 31N 23031 — the
+    * non-WGS84-datum tier, Helmert 7-parameter shifts through
+    * geocentric coordinates). Cross pairs pivot through WGS84
     * geographic coordinates. The WGS84 members share a datum exactly;
     * the conic CRSs are NAD83/ETRS89/RGF93 on GRS80, treated as
     * coincident with WGS84 (PROJ's default ballpark — 1-2 m physical
-    * offset, documented in ConicProjections). Pairs outside the family
-    * raise — silent approximation of LARGE datum shifts would be a
+    * offset, documented in ConicProjections); the national grids apply
+    * their published single-Helmert fits (survey accuracy ~3.5-10 m,
+    * documented in NationalGrids). Pairs outside the registries
+    * raise — silent approximation of UNKNOWN datum shifts would be a
     * correctness bug, not a feature. Identity when source = target. */
   def transformGeom(tagged: Array[Byte], toSrid: Int): Array[Byte] = {
     val g0 = geom(tagged)
@@ -2940,15 +2946,18 @@ object GeoKernels {
     val g = geom(tagged)
     val from = g.getSRID
     def supported(s: Int) = s == 4326 || s == 3857 || isUtm(s) ||
-      graft.geo.ConicProjections.supports(s)
+      graft.geo.ConicProjections.supports(s) || graft.geo.NationalGrids.supports(s)
     if (!supported(from) || !supported(toSrid))
       throw new IllegalArgumentException(
-        "ST_Transform supports the WGS84/GRS80 family only: 4326, 3857, " +
-          "UTM 32601-32660/32701-32760, and the conic registry " +
-          s"(${graft.geo.ConicProjections.registry.keys.toSeq.sorted.mkString(", ")}) " +
+        "ST_Transform supports: 4326, 3857, " +
+          "UTM 32601-32660/32701-32760, the conic registry " +
+          s"(${graft.geo.ConicProjections.registry.keys.toSeq.sorted.mkString(", ")}), " +
+          "and the national-grid registry " +
+          s"(${graft.geo.NationalGrids.registry.keys.toSeq.sorted.mkString(", ")}) " +
           s"(got SRID $from -> $toSrid)")
     val out = mapCoordsCopy(g) { c =>
-      // pivot through geographic degrees (no-op when from = 4326)
+      // pivot through WGS84 geographic degrees (no-op when from = 4326;
+      // national grids fold their Helmert datum shift into the pivot)
       from match {
         case 4326 => ()
         case 3857 =>
@@ -2956,6 +2965,8 @@ object GeoKernels {
           c.y = math.toDegrees(2 * math.atan(math.exp(c.y / MercRadius)) - math.Pi / 2)
         case conic if graft.geo.ConicProjections.supports(conic) =>
           graft.geo.ConicProjections.conicToGeographic(conic, c)
+        case ng if graft.geo.NationalGrids.supports(ng) =>
+          graft.geo.NationalGrids.gridToGeographic(ng, c)
         case utm => TransverseMercator.utmToGeographic(utm, c)
       }
       toSrid match {
@@ -2966,6 +2977,8 @@ object GeoKernels {
           c.y = MercRadius * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
         case conic if graft.geo.ConicProjections.supports(conic) =>
           graft.geo.ConicProjections.geographicToConic(conic, c)
+        case ng if graft.geo.NationalGrids.supports(ng) =>
+          graft.geo.NationalGrids.geographicToGrid(ng, c)
         case utm => TransverseMercator.geographicToUtm(utm, c)
       }
     }

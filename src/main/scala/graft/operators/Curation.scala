@@ -239,4 +239,49 @@ object Curation {
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= maxRows).drop("__rn")
   }
+
+  /** Cross-document boilerplate removal (the C4/CCNet line filter):
+    * delete every occurrence of any line that appears in at least
+    * `minDocs` DISTINCT documents — navigation bars, cookie banners,
+    * license footers — and reassemble each document from its surviving
+    * lines in original order. Output per input document (all documents
+    * survive, possibly with empty text): (`idCol`, `textCol` cleaned,
+    * `n_kept`, `n_dropped`).
+    *
+    * Matching is EXACT on the raw line (no trim/casefold) so the
+    * operation is deterministic and engine-replayable; normalize
+    * upstream if fuzzy matching is wanted. `sep` is a literal separator
+    * (regex-quoted), split/join round-trips it.
+    *
+    * Scale: two shuffles, neither carrying more than it must. (1) The
+    * frequent-line census — count DISTINCT docs per line — shuffles
+    * (line, doc) pairs once with map-side dedup; its output (lines with
+    * ≥ minDocs docs) is small BY CONSTRUCTION (boilerplate is
+    * over-represented, so the qualifying set is a vanishing fraction of
+    * distinct lines) and is broadcast back. (2) Reassembly groups the
+    * exploded lines by document — text crosses exactly one exchange,
+    * the same budget as [[Dedup]]'s paragraph dedup. The broadcast mark
+    * join itself is map-side.
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val lines = df.select(col(idCol).as("__doc"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+    val frequent = lines.groupBy("__line")
+      .agg(count_distinct(col("__doc")).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__line"), lit(true).as("__bp"))
+    lines.join(broadcast(frequent), Seq("__line"), "left")
+      .groupBy(col("__doc"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__bp").isNull,
+            struct(col("__pos"), col("__line"))))),
+          s => s.getField("__line")), sep).as(textCol),
+        count(when(col("__bp").isNull, 1)).cast("int").as("n_kept"),
+        count(col("__bp")).cast("int").as("n_dropped"))
+      .withColumnRenamed("__doc", idCol)
+  }
 }

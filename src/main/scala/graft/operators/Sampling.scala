@@ -79,4 +79,39 @@ object Sampling {
     }
     df.where(md5(hashInput(keyCol, salt).cast("binary")) < threshold)
   }
+
+  /** Temperature-based domain remixing — the data-mixing primitive where
+    * the rates come from the CORPUS ITSELF instead of a hand-written map
+    * (the multilingual-pretraining recipe: sample domain d proportionally
+    * to n_d^α, α < 1 flattening the mixture toward uniform). Keep rates
+    * are normalized to the smallest domain — `rate_d = (n_min / n_d)^(1−α)`
+    * — so the rarest domain keeps everything and no domain is upsampled:
+    * α = 1 keeps the corpus unchanged, α → 0 equalizes domain sizes in
+    * expectation. Row selection reuses the deterministic md5-threshold
+    * primitive, so which rows survive depends only on (key, salt, domain
+    * counts) — replayable across runs, partitionings, and engines.
+    *
+    * Scale: one count aggregate over the domain column (map-side
+    * combine, k rows out), rates derived on the k-row frame with an
+    * unpartitioned window (k = #domains, trivially driver-scale), then a
+    * broadcast join + codegen'd numeric filter — the corpus itself never
+    * shuffles. The md5 prefix is compared NUMERICALLY (48-bit integer
+    * via conv) because the threshold is now a computed column; the
+    * strict `<` against rate·2^48 keeps the same P(rate) selection law
+    * as [[hexThreshold]].
+    */
+  def temperatureResample(df: DataFrame, domainCol: String, keyCol: String,
+      alpha: Double, salt: String = ""): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val rates = counts.withColumn("__rate",
+      pow(min(col("__n")).over(Window.partitionBy()).cast("double") / col("__n"),
+        1.0 - alpha))
+    val u = conv(substring(md5(hashInput(keyCol, salt).cast("binary")), 1, 12),
+      16, 10).cast("long")
+    df.join(broadcast(rates), Seq(domainCol))
+      .where(u < col("__rate") * (1L << 48).toDouble)
+      .drop("__n", "__rate")
+  }
 }

@@ -151,6 +151,41 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0)
   }
 
+  test("removeBoilerplate: frequent lines die everywhere, order survives, empty docs remain") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "nav\nunique one\nfooter"),
+      (2L, "nav\nunique two\nfooter"),
+      (3L, "nav\nfooter"),
+      (4L, "alone")).toDF("id", "text")
+    val got = Curation.removeBoilerplate(df, "id", "text", minDocs = 3)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    // 'nav' and 'footer' appear in 3 docs; 'unique *' and 'alone' don't
+    assert(got.toSeq == Seq(
+      (1L, "unique one", 1, 2),
+      (2L, "unique two", 1, 2),
+      (3L, "", 0, 2),
+      (4L, "alone", 1, 0)))
+  }
+
+  test("removeBoilerplate: distinct-doc counting — repeats inside one doc don't qualify a line") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam\nspam\nspam\nkeep"),
+      (2L, "other")).toDF("id", "text")
+    // 'spam' has 3 occurrences but only 1 distinct doc: below minDocs=2
+    val got = Curation.removeBoilerplate(df, "id", "text", minDocs = 2)
+      .orderBy("id").collect()
+    assert(got(0).getString(1) == "spam\nspam\nspam\nkeep")
+    assert(got(0).getInt(3) == 0)
+    // and a custom separator round-trips (regex-quoted literal)
+    val df2 = Seq((1L, "a|b"), (2L, "a|c")).toDF("id", "text")
+    val got2 = Curation.removeBoilerplate(df2, "id", "text", minDocs = 2, sep = "|")
+      .orderBy("id").collect()
+    assert(got2.map(_.getString(1)).toSeq == Seq("b", "c"))
+  }
+
   test("decontaminateBloom never misses an exactly-contaminated doc") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")

@@ -802,11 +802,16 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("select ST_AsEWKT(ST_Transform(ST_GeomFromText(" +
       "'POINT(1 2)', 3857), 3857))") == "SRID=3857;POINT(1 2)")
     // unsupported pairs raise rather than silently approximating —
-    // 27700 (OSGB36 British National Grid) needs a REAL datum shift
+    // 28992 (Amersfoort RD, oblique stereographic) is outside every
+    // registry (27700/29902/23031 used to be the raising examples; they
+    // moved to the national-grid tier with real Helmert datum shifts)
     assert(intercept[Exception] {
-      spark.sql("select ST_Transform(ST_GeomFromText('POINT(1 2)', 27700), 4326)")
+      spark.sql("select ST_Transform(ST_GeomFromText('POINT(1 2)', 28992), 4326)")
         .collect()
-    }.getMessage.contains("WGS84/GRS80 family"))
+    }.getMessage.contains("ST_Transform supports"))
+    // ...and the national-grid tier answers directly from SQL
+    assert(sql1("select ST_SRID(ST_Transform(ST_GeomFromText(" +
+      "'POINT(-0.1278 51.5074)', 4326), 27700))") == 27700)
   }
 
   test("st_transform: UTM zones match an independent Snyder implementation") {

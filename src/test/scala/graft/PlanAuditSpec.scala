@@ -59,6 +59,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q29_embed_neardup",
     // 1-row aggregate fixture sides CROSS JOINed onto per-row checks
     "q27_fingerprint_simhash", "q127_transform_utm", "q131_transform_conic",
+    "q134_transform_national",
     // benchmark-gram Bloom side broadcast as a single-row filter payload
     "q77_bloom_decontaminate")
 

@@ -84,6 +84,29 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.toSet == got.toSet)
   }
 
+  test("temperatureResample: alpha=1 keeps everything, alpha flattens toward uniform, deterministic") {
+    import spark.implicits._
+    // skewed corpus: domain a = 40 rows, b = 10 rows
+    val df = ((0 until 40).map(i => (i.toLong, "a")) ++
+      (100 until 110).map(i => (i.toLong, "b"))).toDF("id", "dom")
+    val all = Sampling.temperatureResample(df, "dom", "id", alpha = 1.0)
+    assert(all.count() == 50)
+    val half = Sampling.temperatureResample(df, "dom", "id", alpha = 0.5)
+    val byDom = half.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest domain keeps everything; 'a' expects 40·(10/40)^0.5 = 20
+    assert(byDom("b") == 10)
+    assert(byDom.getOrElse("a", 0L) > 8 && byDom("a") < 32, s"a kept ${byDom.get("a")}")
+    // deterministic: same selection regardless of partitioning
+    val again = Sampling.temperatureResample(df.repartition(7), "dom", "id", alpha = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == half.select("id").collect().map(_.getLong(0)).toSet)
+    // invalid alpha rejected
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureResample(df, "dom", "id", alpha = 0.0)
+    }
+  }
+
   test("hexThreshold edge rates select nothing / everything") {
     import spark.implicits._
     val df = (0 until 100).map(_.toLong).toDF("id")

@@ -1798,6 +1798,23 @@ object SparkEntry {
         minDocs = 50)
         .orderBy("doc_id")
     }),
+    // exact substring-span dedup (Lee et al. 2022 at n-gram granularity):
+    // every doc shares the 'c0 c1 c2 c3' passage (keeper doc 0) and its
+    // doc_id%4 group shares the 'g<k>x g<k>y g<k>z' tail (keeper doc k),
+    // so with n=3: doc 0 keeps everything, docs 1-3 lose only the global
+    // passage, and everyone else is cut down to their unique first token
+    "q137_dedup_spans" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = spark.sql("""
+        SELECT doc_id,
+               concat('u', CAST(doc_id AS STRING), ' c0 c1 c2 c3 g',
+                      CAST(doc_id % 4 AS STRING), 'x g',
+                      CAST(doc_id % 4 AS STRING), 'y g',
+                      CAST(doc_id % 4 AS STRING), 'z') AS text
+        FROM documents""")
+      graft.operators.Dedup.dedupSpans(docs, "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
     // geodesic + formatting family: a small meridian arc's haversine
     // distance equals the circular arc length analytically, so the
     // centimeter-rounded value replays from 2*pi*R/360 closed form
@@ -4087,6 +4104,38 @@ object SparkEntry {
              CAST(count(*) FILTER (WHERE NOT bp) AS INT) AS n_kept,
              CAST(count(*) FILTER (WHERE bp) AS INT) AS n_dropped
       FROM j GROUP BY doc_id ORDER BY doc_id""",
+    // the span-dedup algorithm replayed generically: census of 3-gram
+    // md5-prefix keys (>= 2 distinct docs, keeper = min doc), dup-start
+    // flags on non-keeper occurrences, coverage via a RANGE window max
+    // over [pos-2, pos], survivors re-joined in order
+    "q137_dedup_spans" -> """
+      WITH d AS (SELECT doc_id,
+             'u' || CAST(doc_id AS VARCHAR) || ' c0 c1 c2 c3 g' ||
+             CAST(doc_id % 4 AS VARCHAR) || 'x g' ||
+             CAST(doc_id % 4 AS VARCHAR) || 'y g' ||
+             CAST(doc_id % 4 AS VARCHAR) || 'z' AS text
+             FROM documents),
+      t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+      tok AS (SELECT doc_id, i AS pos, ts[i + 1] AS tk,
+                     CASE WHEN i <= len(ts) - 3
+                          THEN substr(md5(array_to_string(ts[i + 1 : i + 3], ' ')), 1, 16)
+                     END AS gk
+              FROM t, unnest(generate_series(0, len(ts) - 1)) AS u(i)),
+      c AS (SELECT gk, min(doc_id) AS keeper FROM tok WHERE gk IS NOT NULL
+            GROUP BY gk HAVING count(DISTINCT doc_id) >= 2),
+      m AS (SELECT tok.doc_id, tok.pos, tok.tk,
+                   CASE WHEN c.keeper IS NOT NULL AND tok.doc_id != c.keeper
+                        THEN 1 ELSE 0 END AS dup
+            FROM tok LEFT JOIN c ON tok.gk = c.gk),
+      f AS (SELECT doc_id, pos, tk,
+                   max(dup) OVER (PARTITION BY doc_id ORDER BY pos
+                                  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS cov
+            FROM m)
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN cov = 0 THEN tk END, ' ' ORDER BY pos), '') AS text,
+             CAST(count(*) FILTER (WHERE cov = 0) AS INT) AS n_kept,
+             CAST(count(*) FILTER (WHERE cov = 1) AS INT) AS n_dropped
+      FROM f GROUP BY doc_id ORDER BY doc_id""",
     // stride-2 sampling of 256-byte frames: n = max(len div 256, 1),
     // indices 0,2,..<n, each frame min(256, len - i*256) bytes
     "q54_frame_sample" -> """

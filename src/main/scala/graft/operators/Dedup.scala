@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.GeoFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines.
@@ -485,5 +486,70 @@ object Dedup {
         size(col("__kps")).cast("int").as("n_kept"),
         (size(filter(reparas, x => length(x) > 0)) - size(col("__kps")))
           .cast("int").as("n_dropped"))
+  }
+
+  /** Exact substring-span dedup at n-gram granularity — the "dedup
+    * inside documents, not just between them" operator (the recipe of
+    * Lee et al. 2022, *Deduplicating Training Data Makes Language Models
+    * Better*, at token-n-gram resolution instead of suffix-array byte
+    * resolution): a token is REMOVED when it is covered by any length-`n`
+    * token window whose n-gram also appears in at least `minDocs`
+    * distinct documents AND the document is not that n-gram's elected
+    * keeper (minimum id among documents containing it — so exactly one
+    * document keeps each shared passage, instead of the passage dying
+    * everywhere like [[graft.operators.Curation.removeBoilerplate]]'s
+    * frequent lines). Output per input document: (`idCol`, `textCol`
+    * with surviving tokens re-joined, `n_kept`, `n_dropped`).
+    *
+    * Grams are keyed by the 64-bit md5 prefix of their joined text —
+    * engine-replayable (unlike xxhash64, any SQL engine reproduces it)
+    * and fixed-width, so the census shuffle never carries passage text.
+    * A key collision would merge two grams identically in every engine:
+    * deterministic, and at ~2⁻⁶⁴ · pairs, negligible.
+    *
+    * Scale, in exchanges of token-level rows: (1) the gram census
+    * (count-distinct docs + min doc per gram key, map-side partials);
+    * (2) the tokens ⇄ census join, keyed by gram hash — census output
+    * only contains grams that cleared `minDocs`, and AQE picks the join
+    * strategy from its real size; (3) one repartition by document for
+    * the sliding-window coverage max (RANGE frame [pos−n+1, pos] — the
+    * per-token coverage test costs a window max, NOT an n-fold span
+    * explosion), whose doc-hash partitioning the final reassembly
+    * aggregate then reuses with no further exchange. Token text crosses
+    * each exchange once; full documents never do.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, "n must be at least 2")
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val tokens = df
+      .select(col(idCol).as("__doc"), split(col(textCol), " ").as("__toks"))
+      .select(col("__doc"), col("__toks"),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .withColumn("__gkey",
+        when(col("__pos") <= size(col("__toks")) - n,
+          substring(md5(array_join(
+            slice(col("__toks"), col("__pos") + 1, lit(n)), " ").cast("binary")), 1, 16)))
+      .drop("__toks")
+    val census = tokens.where(col("__gkey").isNotNull)
+      .groupBy("__gkey")
+      .agg(count_distinct(col("__doc")).as("__nd"), min(col("__doc")).as("__keeper"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__gkey"), col("__keeper"))
+    val marked = tokens.join(census, Seq("__gkey"), "left")
+      .withColumn("__dup",
+        (col("__keeper").isNotNull && col("__doc") =!= col("__keeper")).cast("int"))
+    val w = Window.partitionBy("__doc").orderBy("__pos")
+      .rangeBetween(-(n - 1), Window.currentRow)
+    marked.withColumn("__cov", max(col("__dup")).over(w))
+      .groupBy(col("__doc"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__cov") === 0,
+            struct(col("__pos"), col("__tok"))))),
+          s => s.getField("__tok")), " ").as(textCol),
+        count(when(col("__cov") === 0, 1)).cast("int").as("n_kept"),
+        count(when(col("__cov") === 1, 1)).cast("int").as("n_dropped"))
+      .withColumnRenamed("__doc", idCol)
   }
 }

@@ -562,6 +562,40 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(partial.nonEmpty)
   }
 
+  test("dedupSpans: keeper keeps the passage, others lose covered tokens only") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a0 s1 s2 s3 s4 z0"),  // keeper of the shared passage
+      (1L, "a1 s1 s2 s3 s4 z1"),  // loses tokens covered by shared 3-grams
+      (2L, "a2 w x y z q")        // nothing shared — untouched
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dedupSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    // shared 3-grams: 's1 s2 s3' (pos 1) and 's2 s3 s4' (pos 2) — in doc 1
+    // they cover positions 1..4; 'a1 s1 s2' and 's3 s4 z1' are unique
+    assert(got(0) == ((0L, "a0 s1 s2 s3 s4 z0", 6, 0)))
+    assert(got(1) == ((1L, "a1 z1", 2, 4)))
+    assert(got(2) == ((2L, "a2 w x y z q", 6, 0)))
+  }
+
+  test("dedupSpans: shorter-than-n docs and param guards") {
+    import spark.implicits._
+    val docs = Seq((0L, "x y"), (1L, "x y")).toDF("doc_id", "text")
+    // 2-token docs have no 3-grams: identical docs still pass untouched
+    val got = graft.operators.Dedup.dedupSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("x y", "x y"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.dedupSpans(docs, "doc_id", "text", n = 1)
+    }
+    // in-doc repetition alone (one distinct doc) never qualifies a gram
+    val rep = Seq((0L, "p q r p q r p q r"), (1L, "other text here")).toDF("doc_id", "text")
+    val gotRep = graft.operators.Dedup.dedupSpans(rep, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(gotRep(0).getString(1) == "p q r p q r p q r")
+  }
+
   test("dedupParagraphs: first corpus occurrence wins, docs reassemble in order") {
     import spark.implicits._
     val docs = Seq(

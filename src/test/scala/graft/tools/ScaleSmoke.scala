@@ -91,6 +91,20 @@ object ScaleSmoke {
       }
       println(s"[scale]   $label kept=${pd.getLong(0)} dropped=${pd.getLong(1)} rows=${pd.getLong(2)}")
     }
+    // ---- substring-span dedup over the same expanded corpus: the 20
+    // jittered copies share nearly every 16-token window (they differ
+    // only at the copymark suffix), so the census is dense — worst-case
+    // regime for the gram join. The window-max coverage test keeps the
+    // exchange budget at token-level rows; the invariant is the same
+    // reassembly identity as paragraph dedup.
+    val sd = withShuffle("dedupSpans 100k docs (n=16)") {
+      val out = Dedup.dedupSpans(docs, "doc_id", "text", n = 16)
+      out.agg(sum(col("n_kept")), sum(col("n_dropped")), count(lit(1))).collect()(0)
+    }
+    println(s"[scale]   spans kept=${sd.getLong(0)} dropped=${sd.getLong(1)} rows=${sd.getLong(2)}")
+    require(sd.getLong(2) == 100000L, "span dedup must keep one row per doc")
+    require(sd.getLong(1) > 0L, "jittered copies must share 16-gram spans")
+
     paraDocs.unpersist()
 
     // ---- spatial: 6M points vs 5 regions ----

@@ -55,7 +55,10 @@ object Bench {
     "q118_bigram_lm",      // two token-keyed hash-aggs + scoring join
     "q119_semantic_dedup", // cluster-keyed m² self-join + anti-join
     "q120_kmeans_assign_bcast", // broadcast-centroid argmax, k=2n
-    "q122_kmeans_two_level")    // coarse/fine sharded assignment, full probe
+    "q122_kmeans_two_level",    // coarse/fine sharded assignment, full probe
+    // round-12 additions
+    "q135_remove_boilerplate",  // frequent-line census + broadcast mark + reassembly
+    "q137_dedup_spans")         // gram census + hash join + RANGE-window coverage
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -68,7 +71,8 @@ object Bench {
     "q28_minhash_lsh", "q32_events_hourly", "q33_ref_linestring_intersects",
     "q34_text_profile", "q48_asof_join", "q70_topo_predicates",
     "q73_dedup_clusters", "q74_tfidf_terms", "q104_mercator_tiles_geohash",
-    "q105_cluster_kmeans", "q110_paragraph_dedup", "q118_bigram_lm")
+    "q105_cluster_kmeans", "q110_paragraph_dedup", "q118_bigram_lm",
+    "q135_remove_boilerplate", "q137_dedup_spans")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

@@ -4206,7 +4206,8 @@ object SparkEntry {
     "q02_astext", "q07_intersects", "q11_buffer_bbox", "q14_extent",
     "q16_split", "q20_dedup_exact", "q23_jaccard_tokens", "q24_cosine_topk",
     "q28_minhash_lsh", "q32_events_hourly", "q33_ref_linestring_intersects",
-    "q34_text_profile", "q48_asof_join", "q49_range_join")
+    "q34_text_profile", "q48_asof_join", "q49_range_join",
+    "q135_remove_boilerplate", "q137_dedup_spans")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

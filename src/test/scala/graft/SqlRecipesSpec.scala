@@ -187,4 +187,99 @@ class SqlRecipesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.contains((0L, "hdr\npara 0", 2, 1)))
     assert(viaSql.exists(t => t._1 > 6 && t._2 == "" && t._3 == 0))
   }
+
+  test("boilerplate line removal through SQL matches Curation.removeBoilerplate") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      (i, s"nav\ngrp ${i % 4}\nunique $i")
+    }.toDF("doc_id", "text")
+    docs.createOrReplaceTempView("bdocs")
+    val viaSql = spark.sql("""
+      WITH l AS (
+        SELECT doc_id, pos, line
+        FROM bdocs LATERAL VIEW posexplode(split(text, '\n')) t AS pos, line),
+      f AS (
+        SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
+      j AS (
+        SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS bp
+        FROM l LEFT JOIN f ON l.line = f.line)
+      SELECT doc_id,
+             concat_ws('\n', transform(array_sort(collect_list(
+               CASE WHEN NOT bp THEN struct(pos, line) END)), s -> s.line)) AS text,
+             CAST(sum(CASE WHEN NOT bp THEN 1 ELSE 0 END) AS INT) AS n_kept,
+             CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS INT) AS n_dropped
+      FROM j GROUP BY doc_id""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    val viaScala = Curation.removeBoilerplate(docs, "doc_id", "text", minDocs = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    // 'nav' (40 docs) and 'grp k' (10 docs each) die; uniques survive
+    assert(viaSql.contains((7L, "unique 7", 1, 2)))
+  }
+
+  test("substring-span dedup through SQL matches Dedup.dedupSpans") {
+    import spark.implicits._
+    val docs = (0L until 30L).map { i =>
+      (i, s"u$i c0 c1 c2 c3 g${i % 4}x g${i % 4}y g${i % 4}z")
+    }.toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sdocs")
+    val viaSql = spark.sql("""
+      WITH t AS (SELECT doc_id, split(text, ' ') AS ts FROM sdocs),
+      tok AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN pos <= size(ts) - 3
+                    THEN substring(md5(CAST(concat_ws(' ',
+                           slice(ts, pos + 1, 3)) AS BINARY)), 1, 16)
+               END AS gk
+        FROM t LATERAL VIEW posexplode(ts) x AS pos, tok),
+      c AS (SELECT gk, min(doc_id) AS keeper FROM tok WHERE gk IS NOT NULL
+            GROUP BY gk HAVING count(DISTINCT doc_id) >= 2),
+      m AS (SELECT tok.doc_id, tok.pos, tok.tok,
+                   CASE WHEN c.keeper IS NOT NULL AND tok.doc_id != c.keeper
+                        THEN 1 ELSE 0 END AS dup
+            FROM tok LEFT JOIN c ON tok.gk = c.gk),
+      f AS (SELECT doc_id, pos, tok,
+                   max(dup) OVER (PARTITION BY doc_id ORDER BY pos
+                                  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS cov
+            FROM m)
+      SELECT doc_id,
+             concat_ws(' ', transform(array_sort(collect_list(
+               CASE WHEN cov = 0 THEN struct(pos, tok) END)), s -> s.tok)) AS text,
+             CAST(sum(CASE WHEN cov = 0 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+             CAST(sum(CASE WHEN cov = 1 THEN 1 ELSE 0 END) AS INT) AS n_dropped
+      FROM f GROUP BY doc_id""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    val viaScala = Dedup.dedupSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    // doc 0 keeps all; docs 1-3 keep their unique head + group tail;
+    // everyone else is cut to the unique first token
+    assert(viaSql.contains((0L, "u0 c0 c1 c2 c3 g0x g0y g0z", 8, 0)))
+    assert(viaSql.contains((1L, "u1 g1x g1y g1z", 4, 4)))
+    assert(viaSql.contains((5L, "u5", 1, 7)))
+  }
+
+  test("temperature remix through SQL matches Sampling.temperatureResample") {
+    import spark.implicits._
+    // skewed: source a = 60 docs, b = 15
+    val docs = ((0L until 60L).map(i => (i, "a")) ++
+      (100L until 115L).map(i => (i, "b"))).toDF("doc_id", "source")
+    docs.createOrReplaceTempView("tdocs")
+    val viaSql = spark.sql("""
+      WITH c AS (SELECT source, count(*) AS n FROM tdocs GROUP BY source),
+      r AS (SELECT source,
+                   pow(CAST(min(n) OVER () AS DOUBLE) / n, 1.0 - 0.7) AS rate
+            FROM c)
+      SELECT d.doc_id, d.source FROM tdocs d JOIN r ON d.source = r.source
+      WHERE CAST(conv(substring(md5(CAST(CAST(d.doc_id AS STRING) AS BINARY)), 1, 12),
+                      16, 10) AS BIGINT) < r.rate * 281474976710656""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaScala = graft.operators.Sampling
+      .temperatureResample(docs, "source", "doc_id", alpha = 0.7)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    // the smallest source is kept whole
+    assert(viaSql.count(_._2 == "b") == 15)
+  }
 }

@@ -1815,6 +1815,21 @@ object SparkEntry {
       graft.operators.Dedup.dedupSpans(docs, "doc_id", "text", n = 3)
         .orderBy("doc_id")
     }),
+    // withinDoc span dedup (full Lee et al. semantics): 'p q r' repeats
+    // twice inside EVERY doc — the globally first occurrence (doc 0,
+    // pos 1) survives, the in-doc repeat and every cross-doc copy die;
+    // the 'q r e<k>' tail gram survives only in its group's min doc
+    "q138_dedup_spans_within" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = spark.sql("""
+        SELECT doc_id,
+               concat('u', CAST(doc_id AS STRING), ' p q r p q r e',
+                      CAST(doc_id % 5 AS STRING)) AS text
+        FROM documents""")
+      graft.operators.Dedup.dedupSpans(docs, "doc_id", "text", n = 3,
+        withinDoc = true)
+        .orderBy("doc_id")
+    }),
     // geodesic + formatting family: a small meridian arc's haversine
     // distance equals the circular arc length analytically, so the
     // centimeter-rounded value replays from 2*pi*R/360 closed form
@@ -4127,6 +4142,35 @@ object SparkEntry {
                    CASE WHEN c.keeper IS NOT NULL AND tok.doc_id != c.keeper
                         THEN 1 ELSE 0 END AS dup
             FROM tok LEFT JOIN c ON tok.gk = c.gk),
+      f AS (SELECT doc_id, pos, tk,
+                   max(dup) OVER (PARTITION BY doc_id ORDER BY pos
+                                  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS cov
+            FROM m)
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN cov = 0 THEN tk END, ' ' ORDER BY pos), '') AS text,
+             CAST(count(*) FILTER (WHERE cov = 0) AS INT) AS n_kept,
+             CAST(count(*) FILTER (WHERE cov = 1) AS INT) AS n_dropped
+      FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // withinDoc census counts occurrences; the keeper occurrence is the
+    // row_number()=1 row under (doc_id, pos) order per gram key
+    "q138_dedup_spans_within" -> """
+      WITH d AS (SELECT doc_id,
+             'u' || CAST(doc_id AS VARCHAR) || ' p q r p q r e' ||
+             CAST(doc_id % 5 AS VARCHAR) AS text
+             FROM documents),
+      t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+      tok AS (SELECT doc_id, i AS pos, ts[i + 1] AS tk,
+                     CASE WHEN i <= len(ts) - 3
+                          THEN substr(md5(array_to_string(ts[i + 1 : i + 3], ' ')), 1, 16)
+                     END AS gk
+              FROM t, unnest(generate_series(0, len(ts) - 1)) AS u(i)),
+      g AS (SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY gk) AS nocc,
+                   row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn
+            FROM tok WHERE gk IS NOT NULL),
+      m AS (SELECT tok.doc_id, tok.pos, tok.tk,
+                   CASE WHEN g.nocc >= 2 AND g.rn > 1 THEN 1 ELSE 0 END AS dup
+            FROM tok LEFT JOIN g ON tok.doc_id = g.doc_id AND tok.pos = g.pos),
       f AS (SELECT doc_id, pos, tk,
                    max(dup) OVER (PARTITION BY doc_id ORDER BY pos
                                   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS cov

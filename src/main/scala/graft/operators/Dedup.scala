@@ -498,8 +498,12 @@ object Dedup {
     * keeper (minimum id among documents containing it — so exactly one
     * document keeps each shared passage, instead of the passage dying
     * everywhere like [[graft.operators.Curation.removeBoilerplate]]'s
-    * frequent lines). Output per input document: (`idCol`, `textCol`
-    * with surviving tokens re-joined, `n_kept`, `n_dropped`).
+    * frequent lines). With `withinDoc = true` the census counts
+    * occurrences instead of documents and elects the globally first
+    * (doc, pos) occurrence, so a passage repeated INSIDE one document
+    * also dedups — the complete Lee-et-al. semantics. Output per input
+    * document: (`idCol`, `textCol` with surviving tokens re-joined,
+    * `n_kept`, `n_dropped`).
     *
     * Grams are keyed by the 64-bit md5 prefix of their joined text —
     * engine-replayable (unlike xxhash64, any SQL engine reproduces it)
@@ -519,7 +523,7 @@ object Dedup {
     * each exchange once; full documents never do.
     */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minDocs: Int = 2): DataFrame = {
+      n: Int, minDocs: Int = 2, withinDoc: Boolean = false): DataFrame = {
     require(n >= 2, "n must be at least 2")
     require(minDocs >= 2, "minDocs must be at least 2")
     val tokens = df
@@ -531,14 +535,32 @@ object Dedup {
           substring(md5(array_join(
             slice(col("__toks"), col("__pos") + 1, lit(n)), " ").cast("binary")), 1, 16)))
       .drop("__toks")
-    val census = tokens.where(col("__gkey").isNotNull)
-      .groupBy("__gkey")
-      .agg(count_distinct(col("__doc")).as("__nd"), min(col("__doc")).as("__keeper"))
-      .where(col("__nd") >= minDocs)
-      .select(col("__gkey"), col("__keeper"))
+    // withinDoc = full Lee-et-al. semantics: the census counts
+    // OCCURRENCES (so a passage repeated inside one document
+    // qualifies too) and elects the globally first (doc, pos)
+    // occurrence — only that single occurrence survives. Default
+    // counts DISTINCT documents: in-doc repetition alone never
+    // qualifies, and the keeper document keeps all its occurrences.
+    val grams = tokens.where(col("__gkey").isNotNull)
+    val census =
+      if (withinDoc)
+        grams.groupBy("__gkey")
+          .agg(count(lit(1)).as("__nd"),
+            min(struct(col("__doc"), col("__pos"))).as("__keeper"))
+          .where(col("__nd") >= minDocs)
+          .select(col("__gkey"), col("__keeper"))
+      else
+        grams.groupBy("__gkey")
+          .agg(count_distinct(col("__doc")).as("__nd"), min(col("__doc")).as("__keeper"))
+          .where(col("__nd") >= minDocs)
+          .select(col("__gkey"), col("__keeper"))
+    val survivorHere =
+      if (withinDoc)
+        col("__keeper.__doc") === col("__doc") && col("__keeper.__pos") === col("__pos")
+      else col("__keeper") === col("__doc")
     val marked = tokens.join(census, Seq("__gkey"), "left")
       .withColumn("__dup",
-        (col("__keeper").isNotNull && col("__doc") =!= col("__keeper")).cast("int"))
+        (col("__keeper").isNotNull && !survivorHere).cast("int"))
     val w = Window.partitionBy("__doc").orderBy("__pos")
       .rangeBetween(-(n - 1), Window.currentRow)
     marked.withColumn("__cov", max(col("__dup")).over(w))

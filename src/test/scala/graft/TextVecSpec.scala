@@ -596,6 +596,31 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotRep(0).getString(1) == "p q r p q r p q r")
   }
 
+  test("dedupSpans withinDoc: repeated in-doc passages dedup to the first occurrence") {
+    import spark.implicits._
+    // 'p q r' occurs at pos 0, 3, 6 in doc 0 — occurrences 2 and 3 are
+    // covered by non-keeper duplicated grams and die; the cross-doc copy
+    // in doc 1 dies entirely (its grams all have earlier occurrences)
+    val docs = Seq(
+      (0L, "p q r p q r p q r tail0"),
+      (1L, "p q r other1")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .dedupSpans(docs, "doc_id", "text", n = 3, withinDoc = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    // doc 0: grams 'p q r'(0), 'q r p'(1), 'r p q'(2) repeat at +3/+6 —
+    // keepers are all in the first window, so positions 3..8 are covered;
+    // 'q r tail0' etc are unique. kept: p q r (0-2) + tail0 (9)
+    assert(got(0) == ((0L, "p q r tail0", 4, 6)))
+    // doc 1: 'p q r' keeper is doc 0 pos 0 → positions 0-2 die
+    assert(got(1) == ((1L, "other1", 1, 3)))
+    // default mode on the same data: in-doc repeats survive, cross-doc dies
+    val def0 = graft.operators.Dedup.dedupSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(def0(0).getString(1) == "p q r p q r p q r tail0")
+    assert(def0(1).getString(1) == "other1")
+  }
+
   test("dedupParagraphs: first corpus occurrence wins, docs reassemble in order") {
     import spark.implicits._
     val docs = Seq(

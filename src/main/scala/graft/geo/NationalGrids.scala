@@ -51,6 +51,7 @@ object NationalGrids {
   val AiryModified = Ellipsoid(6377340.189, 299.3249646)
   val International1924 = Ellipsoid(6378388.0, 297.0)
   val Grs80 = Ellipsoid(6378137.0, 298.257222101)
+  val Wgs84 = Ellipsoid(6378137.0, 298.257223563)
 
   /** Position-vector 7-parameter Helmert, SOURCE datum → WGS84:
     * translations in meters, rotations in arc-seconds, scale in ppm. */
@@ -136,17 +137,24 @@ object NationalGrids {
     (xi, eta)
   }
 
+  /** Per-SRID series constants, keyed by `crs.srid` — callers projecting
+    * ad-hoc [[TmCrs]] instances (the WGS84 UTM wrapper in
+    * [[TransverseMercator]]) must therefore use SRIDs disjoint from the
+    * registry's, which EPSG numbering guarantees. */
   private val tmCache = new java.util.concurrent.ConcurrentHashMap[Int, TmConsts]()
-  private def consts(srid: Int): TmConsts =
-    tmCache.computeIfAbsent(srid, _ => new TmConsts(registry(srid)))
+  private def consts(crs: TmCrs): TmConsts =
+    tmCache.computeIfAbsent(crs.srid, _ => new TmConsts(crs))
 
   /** In-place (lon°, lat°) ON THE GRID'S OWN DATUM → (easting, northing).
     * Exposed (not private) so the spec can pin the published
     * projection-only worked examples, which are quoted in native-datum
     * geodetic coordinates. */
-  def tmForward(srid: Int, c: Coordinate): Unit = {
-    val crs = registry(srid)
-    val k = consts(srid)
+  def tmForward(srid: Int, c: Coordinate): Unit = project(registry(srid), c)
+
+  /** Projection-only forward for an explicit CRS — the generalized
+    * Krüger core [[TransverseMercator]] delegates to for WGS84 UTM. */
+  def project(crs: TmCrs, c: Coordinate): Unit = {
+    val k = consts(crs)
     val (xi, eta) = xiEta(crs.ell, k.alpha,
       math.toRadians(c.y), math.toRadians(c.x - crs.lon0))
     c.x = crs.fe + crs.k0 * k.rectA * eta
@@ -154,9 +162,11 @@ object NationalGrids {
   }
 
   /** In-place (easting, northing) → (lon°, lat°) on the grid's own datum. */
-  def tmInverse(srid: Int, c: Coordinate): Unit = {
-    val crs = registry(srid)
-    val k = consts(srid)
+  def tmInverse(srid: Int, c: Coordinate): Unit = unproject(registry(srid), c)
+
+  /** Projection-only inverse for an explicit CRS. */
+  def unproject(crs: TmCrs, c: Coordinate): Unit = {
+    val k = consts(crs)
     val ell = crs.ell
     val xi0 = (c.y - crs.fn + crs.k0 * k.m0) / (crs.k0 * k.rectA)
     val eta0 = (c.x - crs.fe) / (crs.k0 * k.rectA)
@@ -255,7 +265,7 @@ object NationalGrids {
   def geographicToGrid(srid: Int, c: Coordinate): Unit = {
     val crs = registry(srid)
     crs.toWgs84.foreach { h =>
-      val (x, y, z) = toGeocentric(TransverseMercatorWgs84, c.x, c.y)
+      val (x, y, z) = toGeocentric(Wgs84, c.x, c.y)
       val (xs, ys, zs) = helmert(h, reverse = true, x, y, z)
       val (lon, lat) = toGeodetic(crs.ell, xs, ys, zs)
       c.x = lon; c.y = lat
@@ -270,13 +280,10 @@ object NationalGrids {
     crs.toWgs84.foreach { h =>
       val (x, y, z) = toGeocentric(crs.ell, c.x, c.y)
       val (xw, yw, zw) = helmert(h, reverse = false, x, y, z)
-      val (lon, lat) = toGeodetic(TransverseMercatorWgs84, xw, yw, zw)
+      val (lon, lat) = toGeodetic(Wgs84, xw, yw, zw)
       c.x = lon; c.y = lat
     }
   }
-
-  /** WGS84 as an [[Ellipsoid]] for the geocentric pivot. */
-  private val TransverseMercatorWgs84 = Ellipsoid(6378137.0, 298.257223563)
 
   private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
   private def asinh(x: Double): Double = math.log(x + math.hypot(1.0, x))

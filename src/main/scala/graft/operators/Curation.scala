@@ -253,27 +253,36 @@ object Curation {
     * upstream if fuzzy matching is wanted. `sep` is a literal separator
     * (regex-quoted), split/join round-trips it.
     *
-    * Scale: two shuffles, neither carrying more than it must. (1) The
-    * frequent-line census — count DISTINCT docs per line — shuffles
-    * (line, doc) pairs once with map-side dedup; its output (lines with
-    * ≥ minDocs docs) is small BY CONSTRUCTION (boilerplate is
-    * over-represented, so the qualifying set is a vanishing fraction of
-    * distinct lines) and is broadcast back. (2) Reassembly groups the
-    * exploded lines by document — text crosses exactly one exchange,
-    * the same budget as [[Dedup]]'s paragraph dedup. The broadcast mark
-    * join itself is map-side.
+    * Scale: (1) the frequent-line census — count DISTINCT docs per
+    * line — shuffles (line, doc) pairs once with map-side dedup; at a
+    * boilerplate-grade `minDocs` its output is a vanishing fraction of
+    * distinct lines and AQE turns the mark join into a broadcast from
+    * its REAL size (no forced hint — at `minDocs` near 2 the
+    * qualifying set is every duplicated line, which a web corpus makes
+    * arbitrarily large, so a hard broadcast would be an OOM trap).
+    * (2) Reassembly groups the exploded lines by document — text
+    * crosses exactly one exchange, the same budget as [[Dedup]]'s
+    * paragraph dedup. NULL text is treated as empty text: every input
+    * document appears in the output.
     */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, "minDocs must be at least 2")
+    // NULL text reads as empty text (one empty line) so the document
+    // still reaches the output — posexplode of a NULL split emits no
+    // rows and would silently delete the row otherwise
     val lines = df.select(col(idCol).as("__doc"),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      posexplode(split(coalesce(col(textCol).cast("string"), lit("")),
+        java.util.regex.Pattern.quote(sep)))
         .as(Seq("__pos", "__line")))
     val frequent = lines.groupBy("__line")
       .agg(count_distinct(col("__doc")).as("__nd"))
       .where(col("__nd") >= minDocs)
       .select(col("__line"), lit(true).as("__bp"))
-    lines.join(broadcast(frequent), Seq("__line"), "left")
+    // no broadcast hint: at minDocs near 2 the qualifying set is every
+    // duplicated line, which a web corpus can make arbitrarily large —
+    // AQE picks broadcast from the census's REAL size when it is small
+    lines.join(frequent, Seq("__line"), "left")
       .groupBy(col("__doc"))
       .agg(
         array_join(transform(

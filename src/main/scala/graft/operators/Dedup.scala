@@ -526,8 +526,12 @@ object Dedup {
       n: Int, minDocs: Int = 2, withinDoc: Boolean = false): DataFrame = {
     require(n >= 2, "n must be at least 2")
     require(minDocs >= 2, "minDocs must be at least 2")
+    // NULL text reads as empty text (one empty token) so the document
+    // still reaches the output — posexplode of a NULL split emits no
+    // rows and would silently delete the row otherwise
     val tokens = df
-      .select(col(idCol).as("__doc"), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol).as("__doc"),
+        split(coalesce(col(textCol).cast("string"), lit("")), " ").as("__toks"))
       .select(col("__doc"), col("__toks"),
         posexplode(col("__toks")).as(Seq("__pos", "__tok")))
       .withColumn("__gkey",

@@ -104,14 +104,17 @@ object Sampling {
       alpha: Double, salt: String = ""): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    // null-safe domain key: a NULL domain is a domain like any other —
+    // an equi-join would silently drop its rows even at alpha = 1,
+    // the same failure class hashInput guards against for keys
+    val counts = df.groupBy(col(domainCol).as("__dom")).agg(count(lit(1)).as("__n"))
     val rates = counts.withColumn("__rate",
       pow(min(col("__n")).over(Window.partitionBy()).cast("double") / col("__n"),
         1.0 - alpha))
     val u = conv(substring(md5(hashInput(keyCol, salt).cast("binary")), 1, 12),
       16, 10).cast("long")
-    df.join(broadcast(rates), Seq(domainCol))
+    df.join(broadcast(rates), col(domainCol) <=> col("__dom"))
       .where(u < col("__rate") * (1L << 48).toDouble)
-      .drop("__n", "__rate")
+      .drop("__dom", "__n", "__rate")
   }
 }

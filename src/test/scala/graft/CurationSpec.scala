@@ -184,6 +184,12 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got2 = Curation.removeBoilerplate(df2, "id", "text", minDocs = 2, sep = "|")
       .orderBy("id").collect()
     assert(got2.map(_.getString(1)).toSeq == Seq("b", "c"))
+    // NULL text reads as empty text — the doc still appears in the output
+    val df3 = Seq((1L, null.asInstanceOf[String]), (2L, "x"), (3L, "x"),
+      (4L, "x")).toDF("id", "text")
+    val got3 = Curation.removeBoilerplate(df3, "id", "text", minDocs = 3)
+      .orderBy("id").collect()
+    assert(got3.length == 4 && got3(0).getString(1) == "")
   }
 
   test("decontaminateBloom never misses an exactly-contaminated doc") {

@@ -105,6 +105,11 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Sampling.temperatureResample(df, "dom", "id", alpha = 0.0)
     }
+    // NULL domain is a domain like any other — alpha=1 keeps its rows
+    val withNull = df.union(Seq((200L, null.asInstanceOf[String]),
+      (201L, null.asInstanceOf[String])).toDF("id", "dom"))
+    assert(Sampling.temperatureResample(withNull, "dom", "id", alpha = 1.0)
+      .count() == 52)
   }
 
   test("hexThreshold edge rates select nothing / everything") {

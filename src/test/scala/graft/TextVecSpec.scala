@@ -594,6 +594,12 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gotRep = graft.operators.Dedup.dedupSpans(rep, "doc_id", "text", n = 3)
       .orderBy("doc_id").collect()
     assert(gotRep(0).getString(1) == "p q r p q r p q r")
+    // NULL text reads as empty text — the doc still appears in the output
+    val withNull = Seq((0L, null.asInstanceOf[String]), (1L, "a b c"))
+      .toDF("doc_id", "text")
+    val gotNull = graft.operators.Dedup.dedupSpans(withNull, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(gotNull.length == 2 && gotNull(0).getString(1) == "")
   }
 
   test("dedupSpans withinDoc: repeated in-doc passages dedup to the first occurrence") {

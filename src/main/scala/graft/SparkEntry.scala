@@ -1815,6 +1815,16 @@ object SparkEntry {
       graft.operators.Dedup.dedupSpans(docs, "doc_id", "text", n = 3)
         .orderBy("doc_id")
     }),
+    // Gopher quality rules over the REAL corpus text (no synthesis):
+    // the synthetic docs differentiate on words_ok (30-60 words around
+    // the 50 floor), word_len_ok (short tokens near the 3.0 mean floor)
+    // and stopwords_ok ('the'/'a' corpora carry one canonical stop word)
+    "q139_gopher_flags" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.TextAnalysis
+        .gopherFlags(spark.table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // withinDoc span dedup (full Lee et al. semantics): 'p q r' repeats
     // twice inside EVERY doc — the globally first occurrence (doc 0,
     // pos 1) survives, the in-doc repeat and every cross-doc copy die;
@@ -4151,6 +4161,47 @@ object SparkEntry {
              CAST(count(*) FILTER (WHERE cov = 0) AS INT) AS n_kept,
              CAST(count(*) FILTER (WHERE cov = 1) AS INT) AS n_dropped
       FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // the eight Gopher rules replayed with DuckDB list lambdas; the
+    // ellipsis count divides the removed-char delta by 3 (each
+    // non-overlapping '...' removal is exactly 3 chars in both engines)
+    "q139_gopher_flags" -> """
+      WITH t AS (SELECT doc_id, text,
+                        string_split(text, ' ') AS ts,
+                        string_split(text, chr(10)) AS ls
+                 FROM documents),
+      m AS (SELECT doc_id,
+              CAST(len(ts) AS DOUBLE) AS nw,
+              CAST(len(ls) AS DOUBLE) AS nl,
+              CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)
+                / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS mwl,
+              CAST((length(text) - length(replace(text, '#', ''))) +
+                   (length(text) - length(replace(text, '...', ''))) // 3
+                   AS DOUBLE) AS sym,
+              CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE) AS el,
+              CAST(len(list_filter(ls, l -> starts_with(l, '•') OR
+                                            starts_with(l, '- '))) AS DOUBLE) AS bl,
+              CAST(len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS aw,
+              (CASE WHEN list_contains(ts, 'the') THEN 1 ELSE 0 END +
+               CASE WHEN list_contains(ts, 'be') THEN 1 ELSE 0 END +
+               CASE WHEN list_contains(ts, 'to') THEN 1 ELSE 0 END +
+               CASE WHEN list_contains(ts, 'of') THEN 1 ELSE 0 END +
+               CASE WHEN list_contains(ts, 'and') THEN 1 ELSE 0 END +
+               CASE WHEN list_contains(ts, 'that') THEN 1 ELSE 0 END +
+               CASE WHEN list_contains(ts, 'have') THEN 1 ELSE 0 END +
+               CASE WHEN list_contains(ts, 'with') THEN 1 ELSE 0 END) AS nstop
+            FROM t)
+      SELECT doc_id,
+             nw BETWEEN 50 AND 100000 AS words_ok,
+             mwl BETWEEN 3.0 AND 10.0 AS word_len_ok,
+             sym / greatest(nw, 1.0) <= 0.1 AS symbol_ok,
+             el <= 0.3 * nl AS ellipsis_lines_ok,
+             bl < 0.9 * nl AS bullet_lines_ok,
+             aw >= 0.8 * nw AS alpha_words_ok,
+             nstop >= 2 AS stopwords_ok,
+             (nw BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0) AND
+             (sym / greatest(nw, 1.0) <= 0.1) AND (el <= 0.3 * nl) AND
+             (bl < 0.9 * nl) AND (aw >= 0.8 * nw) AND (nstop >= 2) AS gopher_pass
+      FROM m ORDER BY doc_id""",
     // withinDoc census counts occurrences; the keeper occurrence is the
     // row_number()=1 row under (doc_id, pos) order per gram key
     "q138_dedup_spans_within" -> """

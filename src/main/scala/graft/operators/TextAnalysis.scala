@@ -41,6 +41,55 @@ object TextAnalysis {
     (lengthBand * 0.3 + wordLenBand * 0.2 + alphaRatio * 0.3 + spaceSanity * 0.2)
   }
 
+  /** The Gopher document-quality rules (Rae et al. 2021, appendix A) as
+    * explicit per-rule booleans plus the conjunction — the standard
+    * cheap gate a pretraining pipeline runs before any model-based
+    * scoring. Output per doc: (`idCol`, `words_ok` 50..100k words,
+    * `word_len_ok` mean word length 3..10, `symbol_ok` hash+ellipsis
+    * per word ≤ 0.1, `ellipsis_lines_ok` ≤ 30% of lines ending "...",
+    * `bullet_lines_ok` < 90% of lines starting with a bullet,
+    * `alpha_words_ok` ≥ 80% of words contain a letter, `stopwords_ok`
+    * ≥ 2 distinct of the 8 canonical stop words, `gopher_pass` = all).
+    *
+    * Scale: map-only — one pass of codegen'd higher-order functions
+    * over materialized token/line arrays, no shuffle, no UDF. NULL text
+    * reads as empty (fails the length rule, keeps its output row).
+    * Tokenization is the family's single-space convention; lines split
+    * on "\n". */
+  def gopherFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    df.select(col(idCol),
+        coalesce(col(textCol).cast("string"), lit("")).as("__txt"))
+      .withColumn("__toks", split(col("__txt"), " "))
+      .withColumn("__lines", split(col("__txt"), "\n"))
+      .withColumn("__nw", size(col("__toks")).cast("double"))
+      .withColumn("__nl", size(col("__lines")).cast("double"))
+      .withColumn("__mwl",
+        aggregate(col("__toks"), lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / greatest(col("__nw"), lit(1.0)))
+      .withColumn("__sym",
+        ((length(col("__txt")) - length(regexp_replace(col("__txt"), lit("#"), lit("")))) +
+          (length(col("__txt")) - length(regexp_replace(col("__txt"), lit("\\.\\.\\."), lit("")))) / 3)
+          .cast("double"))
+      .select(col(idCol),
+        col("__nw").between(50, 100000).as("words_ok"),
+        col("__mwl").between(3.0, 10.0).as("word_len_ok"),
+        (col("__sym") / greatest(col("__nw"), lit(1.0)) <= 0.1).as("symbol_ok"),
+        (size(filter(col("__lines"), l => l.endsWith("..."))).cast("double")
+          <= lit(0.3) * col("__nl")).as("ellipsis_lines_ok"),
+        (size(filter(col("__lines"),
+          l => l.startsWith("•") || l.startsWith("- "))).cast("double")
+          < lit(0.9) * col("__nl")).as("bullet_lines_ok"),
+        (size(filter(col("__toks"), t => t.rlike("[A-Za-z]"))).cast("double")
+          >= lit(0.8) * col("__nw")).as("alpha_words_ok"),
+        (stop.map(s => when(array_contains(col("__toks"), s), 1).otherwise(0))
+          .reduce(_ + _) >= 2).as("stopwords_ok"))
+      .withColumn("gopher_pass",
+        col("words_ok") && col("word_len_ok") && col("symbol_ok") &&
+          col("ellipsis_lines_ok") && col("bullet_lines_ok") &&
+          col("alpha_words_ok") && col("stopwords_ok"))
+  }
+
   /** Within-document repetition signals (the Gopher-style quality rules):
     * duplicate-token and duplicate-bigram mass plus the heaviest single
     * token/bigram. High values flag boilerplate, keyword stuffing, and

@@ -627,6 +627,31 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(def0(1).getString(1) == "other1")
   }
 
+  test("gopherFlags: each rule fires on its designed violation") {
+    import spark.implicits._
+    val good = (("the quick brown fox jumps over lazy dogs and cats " * 6) +
+      "that have been with them").trim // 64 words, stopwords, all alpha
+    val docs = Seq(
+      (0L, good),
+      (1L, "too short to pass"),                       // words_ok fails
+      (2L, ("# " * 60).trim),                          // symbol + alpha fail
+      (3L, (("line..." + "\n") * 9 + "ok").trim),      // ellipsis lines fail
+      (4L, ("- bullet\n" * 10).trim),                  // bullet lines fail
+      (5L, null.asInstanceOf[String])                  // null text → row kept
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.gopherFlags(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.length == 6)
+    def row(i: Int) = got(i)
+    assert(row(0).getAs[Boolean]("words_ok") && row(0).getAs[Boolean]("stopwords_ok")
+      && row(0).getAs[Boolean]("gopher_pass"))
+    assert(!row(1).getAs[Boolean]("words_ok") && !row(1).getAs[Boolean]("gopher_pass"))
+    assert(!row(2).getAs[Boolean]("symbol_ok") && !row(2).getAs[Boolean]("alpha_words_ok"))
+    assert(!row(3).getAs[Boolean]("ellipsis_lines_ok"))
+    assert(!row(4).getAs[Boolean]("bullet_lines_ok"))
+    assert(!row(5).getAs[Boolean]("words_ok") && !row(5).getAs[Boolean]("gopher_pass"))
+  }
+
   test("dedupParagraphs: first corpus occurrence wins, docs reassemble in order") {
     import spark.implicits._
     val docs = Seq(

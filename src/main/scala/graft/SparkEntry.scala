@@ -697,6 +697,54 @@ object SparkEntry {
              first(k.known_ok) AS known_ok,
              first(sh.shift_ok) AS shift_ok
       FROM b CROSS JOIN k CROSS JOIN sh"""),
+    // azimuthal ST_Transform tier (EPSG 9809 double stereographic /
+    // 28992 Amersfoort RD New on Bessel 1841 + its Helmert, EPSG 9820
+    // LAEA / 3035 Europe): same structure as q131/q134 — NL-domain
+    // synthesized points round-trip 4326 → 28992 → 4326 to 1e-7 degrees,
+    // six fixed points (three datum-aware RD, three LAEA) match the
+    // INDEPENDENT transcription (tools/sterea_laea_check.py + the
+    // Helmert pipeline) to 2 mm, and shift_ok pins the physics: the
+    // Amersfoort datum shift is ~110-130 m planar over the Netherlands
+    // (datum-aware vs projection-only placement of the same WGS84
+    // point). The projection-only math is additionally anchored to the
+    // EPSG GN7-2 worked examples in AzimuthalSpec.
+    "q140_transform_azimuthal" -> q("""
+      WITH p AS (
+        SELECT 3.4 + (l_orderkey % 100) * 0.037 AS lon,
+               50.8 + (l_linenumber % 6) * 0.45 AS lat
+        FROM lineitem),
+      b AS (
+        SELECT lon, lat,
+               ST_Transform(ST_Transform(ST_Point(lon, lat, 4326), 28992), 4326) AS back,
+               ST_Transform(ST_Transform(ST_Point(lon, lat, 4326), 3035), 4326) AS back2
+        FROM p),
+      k AS (
+        SELECT bool_and(
+                 abs(ST_X(ST_Transform(ST_Point(klon, klat, 4326), epsg)) - ke) < 2e-3 AND
+                 abs(ST_Y(ST_Transform(ST_Point(klon, klat, 4326), epsg)) - kn) < 2e-3) AS known_ok
+        FROM VALUES
+          (52.3731D,  4.8926D,  28992, 121317.7537D,  487362.0911D),
+          (52.0907D,  5.1214D,  28992, 136783.7256D,  455860.1399D),
+          (53.2194D,  6.5665D,  28992, 233769.7048D,  582065.4171D),
+          (48.8566D,  2.3522D,  3035,  3760771.8648D, 2889484.8019D),
+          (52.52D,    13.405D,  3035,  4552036.4502D, 3273268.2736D),
+          (40.4168D,  -3.7038D, 3035,  3159390.3563D, 2029850.9198D)
+          AS kp(klat, klon, epsg, ke, kn)),
+      sh AS (
+        -- RD of a WGS84 point vs RD of the same numbers read as
+        -- Amersfoort-datum geodetic: the Helmert must move the planar
+        -- position 80-160 m (the NL datum shift is real, not a no-op);
+        -- 3035 vs a WGS84 ETRS89 member (LAEA of the pivot) shows none
+        SELECT sqrt(pow(ST_X(ST_Transform(ST_Point(4.8926D, 52.3731D, 4326), 28992)) - 121292.3737D, 2) +
+                    pow(ST_Y(ST_Transform(ST_Point(4.8926D, 52.3731D, 4326), 28992)) - 487249.5665D, 2))
+               BETWEEN 80 AND 160 AS shift_ok)
+      SELECT bool_and(abs(ST_X(back) - lon) < 1e-7 AND
+                      abs(ST_Y(back) - lat) < 1e-7 AND
+                      abs(ST_X(back2) - lon) < 1e-7 AND
+                      abs(ST_Y(back2) - lat) < 1e-7) AS rt_ok,
+             first(k.known_ok) AS known_ok,
+             first(sh.shift_ok) AS shift_ok
+      FROM b CROSS JOIN k CROSS JOIN sh"""),
     // the reference's own criterion benchmark query, on its i-ramp
     // linestring fixture (benches/geo_lib.rs:22, util.rs:29-38): row i →
     // LINESTRING(i i+1, i+2 i+3, i+4 i+5), constant probe POINT(10 11).
@@ -3139,6 +3187,8 @@ object SparkEntry {
     "q131_transform_conic" -> """
       SELECT true AS rt_ok, true AS known_ok, true AS pivot_ok""",
     "q134_transform_national" -> """
+      SELECT true AS rt_ok, true AS known_ok, true AS shift_ok""",
+    "q140_transform_azimuthal" -> """
       SELECT true AS rt_ok, true AS known_ok, true AS shift_ok""",
     "q132_geoparquet_covering" -> s"""
       SELECT $KEYS, 'POINT(' || $OPXS || ' ' || $OPYS || ')' AS wkt

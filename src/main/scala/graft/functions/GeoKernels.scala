@@ -2924,7 +2924,10 @@ object GeoKernels {
     * registry ([[graft.geo.NationalGrids]]: OSGB36/British National Grid
     * 27700, TM65/Irish Grid 29902, ITM 2157, ED50/UTM 31N 23031 — the
     * non-WGS84-datum tier, Helmert 7-parameter shifts through
-    * geocentric coordinates). Cross pairs pivot through WGS84
+    * geocentric coordinates), plus the azimuthal registry
+    * ([[graft.geo.AzimuthalProjections]]: Amersfoort/RD New 28992 —
+    * double stereographic on Bessel 1841 with its Helmert — and
+    * ETRS89 LAEA Europe 3035). Cross pairs pivot through WGS84
     * geographic coordinates. The WGS84 members share a datum exactly;
     * the conic CRSs are NAD83/ETRS89/RGF93 on GRS80, treated as
     * coincident with WGS84 (PROJ's default ballpark — 1-2 m physical
@@ -2946,14 +2949,17 @@ object GeoKernels {
     val g = geom(tagged)
     val from = g.getSRID
     def supported(s: Int) = s == 4326 || s == 3857 || isUtm(s) ||
-      graft.geo.ConicProjections.supports(s) || graft.geo.NationalGrids.supports(s)
+      graft.geo.ConicProjections.supports(s) || graft.geo.NationalGrids.supports(s) ||
+      graft.geo.AzimuthalProjections.supports(s)
     if (!supported(from) || !supported(toSrid))
       throw new IllegalArgumentException(
         "ST_Transform supports: 4326, 3857, " +
           "UTM 32601-32660/32701-32760, the conic registry " +
           s"(${graft.geo.ConicProjections.registry.keys.toSeq.sorted.mkString(", ")}), " +
-          "and the national-grid registry " +
-          s"(${graft.geo.NationalGrids.registry.keys.toSeq.sorted.mkString(", ")}) " +
+          "the national-grid registry " +
+          s"(${graft.geo.NationalGrids.registry.keys.toSeq.sorted.mkString(", ")}), " +
+          "and the azimuthal registry " +
+          s"(${graft.geo.AzimuthalProjections.registry.keys.toSeq.sorted.mkString(", ")}) " +
           s"(got SRID $from -> $toSrid)")
     val out = mapCoordsCopy(g) { c =>
       // pivot through WGS84 geographic degrees (no-op when from = 4326;
@@ -2967,6 +2973,8 @@ object GeoKernels {
           graft.geo.ConicProjections.conicToGeographic(conic, c)
         case ng if graft.geo.NationalGrids.supports(ng) =>
           graft.geo.NationalGrids.gridToGeographic(ng, c)
+        case az if graft.geo.AzimuthalProjections.supports(az) =>
+          graft.geo.AzimuthalProjections.azToGeographic(az, c)
         case utm => TransverseMercator.utmToGeographic(utm, c)
       }
       toSrid match {
@@ -2979,6 +2987,8 @@ object GeoKernels {
           graft.geo.ConicProjections.geographicToConic(conic, c)
         case ng if graft.geo.NationalGrids.supports(ng) =>
           graft.geo.NationalGrids.geographicToGrid(ng, c)
+        case az if graft.geo.AzimuthalProjections.supports(az) =>
+          graft.geo.AzimuthalProjections.geographicToAz(az, c)
         case utm => TransverseMercator.geographicToUtm(utm, c)
       }
     }

@@ -201,8 +201,10 @@ object NationalGrids {
 
   private final val SecToRad = math.Pi / (180.0 * 3600.0)
 
-  /** Geodetic (lon°, lat°, h=0) → geocentric (X, Y, Z) meters. */
-  private def toGeocentric(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
+  /** Geodetic (lon°, lat°, h=0) → geocentric (X, Y, Z) meters.
+    * `private[geo]`: the azimuthal registry ([[AzimuthalProjections]])
+    * routes its Amersfoort Helmert through the same geocentric path. */
+  private[geo] def toGeocentric(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val lat = math.toRadians(latDeg)
     val lon = math.toRadians(lonDeg)
     val s = math.sin(lat)
@@ -215,7 +217,7 @@ object NationalGrids {
   /** Geocentric → geodetic (lon°, lat°) on the ellipsoid, height dropped.
     * Fixed-point on latitude (converges to double precision in a few
     * steps at crustal heights). */
-  private def toGeodetic(ell: Ellipsoid, x: Double, y: Double, z: Double): (Double, Double) = {
+  private[geo] def toGeodetic(ell: Ellipsoid, x: Double, y: Double, z: Double): (Double, Double) = {
     val p = math.hypot(x, y)
     var lat = math.atan2(z, p * (1.0 - ell.e2))
     var i = 0
@@ -237,7 +239,7 @@ object NationalGrids {
     * EPSG negate-the-parameters approximation, so forward∘reverse is
     * identity to floating point and grid↔grid round trips carry no
     * millimeter-level negation residue. */
-  private def helmert(h: Helmert, reverse: Boolean,
+  private[geo] def helmertShift(h: Helmert, reverse: Boolean,
       x: Double, y: Double, z: Double): (Double, Double, Double) = {
     val rx = h.rxSec * SecToRad
     val ry = h.rySec * SecToRad
@@ -266,7 +268,7 @@ object NationalGrids {
     val crs = registry(srid)
     crs.toWgs84.foreach { h =>
       val (x, y, z) = toGeocentric(Wgs84, c.x, c.y)
-      val (xs, ys, zs) = helmert(h, reverse = true, x, y, z)
+      val (xs, ys, zs) = helmertShift(h, reverse = true, x, y, z)
       val (lon, lat) = toGeodetic(crs.ell, xs, ys, zs)
       c.x = lon; c.y = lat
     }
@@ -279,7 +281,7 @@ object NationalGrids {
     tmInverse(srid, c)
     crs.toWgs84.foreach { h =>
       val (x, y, z) = toGeocentric(crs.ell, c.x, c.y)
-      val (xw, yw, zw) = helmert(h, reverse = false, x, y, z)
+      val (xw, yw, zw) = helmertShift(h, reverse = false, x, y, z)
       val (lon, lat) = toGeodetic(Wgs84, xw, yw, zw)
       c.x = lon; c.y = lat
     }

@@ -58,7 +58,9 @@ object Bench {
     "q122_kmeans_two_level",    // coarse/fine sharded assignment, full probe
     // round-12 additions
     "q135_remove_boilerplate",  // frequent-line census + broadcast mark + reassembly
-    "q137_dedup_spans")         // gram census + hash join + RANGE-window coverage
+    "q137_dedup_spans",         // gram census + hash join + RANGE-window coverage
+    "q141_dsir_weights",        // two bucket-count aggs + broadcast ratio join
+    "q142_ccnet_buckets")       // bigram-LM scoring + per-language ntile
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -72,7 +74,8 @@ object Bench {
     "q34_text_profile", "q48_asof_join", "q70_topo_predicates",
     "q73_dedup_clusters", "q74_tfidf_terms", "q104_mercator_tiles_geohash",
     "q105_cluster_kmeans", "q110_paragraph_dedup", "q118_bigram_lm",
-    "q135_remove_boilerplate", "q137_dedup_spans")
+    "q135_remove_boilerplate", "q137_dedup_spans", "q141_dsir_weights",
+    "q142_ccnet_buckets")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

@@ -1828,6 +1828,32 @@ object SparkEntry {
       graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // DSIR importance weights (hashed-unigram log-likelihood ratio of
+    // target vs raw bucket models, add-1 smoothed, B=1024) over the
+    // REAL documents text with lang='en' as the target domain; every
+    // doc keeps a row (empty text scores 0), and the oracle replays the
+    // exact 48-bit-md5 bucket law + 6dp rounding contract in DuckDB
+    "q141_dsir_weights" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      prep(spark, dir)
+      val docs = spark.table("documents")
+      graft.operators.TextAnalysis.dsirWeights(docs,
+        docs.where(col("lang") === "en"), "doc_id", "text", buckets = 1024)
+        .orderBy("doc_id")
+    }),
+    // CCNet perplexity bucketing: bigram-LM scores against the en
+    // reference corpus, ntile(3) head/middle/tail per language ordered
+    // by (ppl, doc_id) — docs whose bigrams never hit the reference
+    // model drop (CCNet semantics), and DuckDB's standard ntile replays
+    // the assignment over the same total order
+    "q142_ccnet_buckets" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      prep(spark, dir)
+      val docs = spark.table("documents")
+      graft.operators.TextAnalysis.ccnetBuckets(docs, "doc_id", "text",
+        "lang", docs.where(col("lang") === "en"), parts = 3)
+        .orderBy("doc_id")
+    }),
     // C4/CCNet-style cross-document boilerplate removal: 'nav' appears
     // in every doc and 'grp<k>' in ~n/5 docs (both ≥ minDocs=50 at
     // sf0.01's 500 docs), the 'u<id>' line is unique — so cleaning
@@ -4157,6 +4183,59 @@ object SparkEntry {
       SELECT d.doc_id, d.dom FROM d JOIN r ON d.dom = r.dom
       WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
             < rate * 281474976710656.0
+      ORDER BY doc_id""",
+    // DSIR replay: same 48-bit md5 bucket law, add-1 smoothing, 6dp
+    // round-then-sum-then-round contract; totals cast to DOUBLE before
+    // the smoothed division so no HUGEINT reaches the output
+    "q141_dsir_weights" -> """
+      WITH rt AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                  FROM documents),
+           rf AS (SELECT doc_id,
+                         CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 1024 AS b
+                  FROM rt WHERE tok <> ''),
+           tt AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                  FROM documents WHERE lang = 'en'),
+           tf AS (SELECT CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 1024 AS b
+                  FROM tt WHERE tok <> ''),
+           cr AS (SELECT b, count(*) AS nr FROM rf GROUP BY b),
+           ct AS (SELECT b, count(*) AS nt FROM tf GROUP BY b),
+           j AS (SELECT coalesce(cr.b, ct.b) AS b,
+                        coalesce(nr, 0) AS nr, coalesce(nt, 0) AS nt
+                 FROM cr FULL OUTER JOIN ct ON cr.b = ct.b),
+           tot AS (SELECT CAST(sum(nr) AS DOUBLE) AS tr,
+                          CAST(sum(nt) AS DOUBLE) AS t2 FROM j),
+           r AS (SELECT b, round(ln((nt + 1.0) / (t2 + 1024)) -
+                                 ln((nr + 1.0) / (tr + 1024)), 6) AS lr
+                 FROM j CROSS JOIN tot),
+           s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                        round(sum(lr), 6) AS dsir_logratio
+                 FROM rf JOIN r USING (b) GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+             coalesce(s.dsir_logratio, 0.0) AS dsir_logratio
+      FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN s USING (doc_id)
+      ORDER BY doc_id""",
+    // CCNet replay: q118's bigram scoring restricted to the en-trained
+    // model, then ntile(3) per language over the identical (ppl, id)
+    // total order
+    "q142_ccnet_buckets" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+                 WHERE lang = 'en'),
+           p AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+                 FROM t, unnest(generate_series(1, len(l) - 1)) AS u(i)),
+           bc AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY w1, w2),
+           hc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+           dt AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           dp AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+                  FROM dt, unnest(generate_series(1, len(l) - 1)) AS u(i)),
+           sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS bigrams,
+                         round(sum(round(-ln(CAST(c12 AS DOUBLE) / c1), 6)), 6) AS xs
+                  FROM dp JOIN bc USING (w1, w2) JOIN hc USING (w1)
+                  GROUP BY doc_id),
+           sp AS (SELECT doc_id, round(xs / bigrams, 6) AS ppl FROM sc)
+      SELECT d.doc_id, d.lang, sp.ppl,
+             CAST(ntile(3) OVER (PARTITION BY d.lang ORDER BY sp.ppl, d.doc_id)
+               AS INT) AS bucket
+      FROM documents d JOIN sp USING (doc_id)
       ORDER BY doc_id""",
     // the frequent-line census (>= 50 distinct docs) kills 'nav' and the
     // five 'grp<k>' lines; survivors reassemble in position order

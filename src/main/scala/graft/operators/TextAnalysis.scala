@@ -377,6 +377,119 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col(idCol)).as("n_docs"))
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-unigram features are
+    * under the TARGET corpus's bucket distribution than under the raw
+    * corpus's own —
+    * `Σ_tokens [log p_target(bucket(tok)) − log p_raw(bucket(tok))]`
+    * with add-1 smoothing over `buckets` hash buckets. High scores mark
+    * documents that look like the target domain; [[dsirTopK]] turns the
+    * weights into a deterministic selection.
+    *
+    * Feature hashing is the 48-bit md5 prefix mod `buckets` — the same
+    * engine-replayable law as [[Dedup.dedupSpans]] / the sampling
+    * operators, so any SQL engine reproduces the exact bucket ids (the
+    * paper's 10⁴-bucket default keeps collisions as intended model
+    * smoothing, not error). Per-token log-ratios are rounded to 6dp
+    * before the per-doc sum and the sum rounded again — the
+    * [[bigramCrossEntropy]] determinism contract.
+    *
+    * Empty/NULL-text documents keep a row with `n_feats = 0` and
+    * `dsir_logratio = 0.0` (an empty product, not a dropped document —
+    * a selection operator must not silently lose candidates).
+    *
+    * Scale design (100 TB): the two bucket-count aggregates are
+    * vocabulary-INDEPENDENT — each is one hash-agg with map-side
+    * partials onto exactly `buckets` rows, so the model is a fixed-size
+    * (≤ buckets-row) table regardless of corpus size. That table (and
+    * its totals row) broadcasts; scoring is a map-only broadcast join
+    * plus one doc-keyed hash-agg. The raw corpus is scanned twice
+    * (count + score) — same deliberate trade as the self-trained bigram
+    * LM; persist the ratio table to score many corpora against one
+    * target. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def toks(df: DataFrame) = df
+      .select(col(idCol).as("__id"),
+        explode(split(coalesce(col(textCol).cast("string"), lit("")), " ")).as("__tok"))
+      .where(col("__tok") =!= "")
+      .select(col("__id"),
+        pmod(conv(substring(md5(col("__tok").cast("binary")), 1, 12), 16, 10)
+          .cast("long"), lit(buckets.toLong)).as("__b"))
+    val rawToks = toks(raw)
+    val cr = rawToks.groupBy("__b").agg(count(lit(1)).as("__nr"))
+    val ct = toks(target).groupBy("__b").agg(count(lit(1)).as("__nt"))
+    val joinedCounts = cr.join(ct, Seq("__b"), "full_outer")
+      .select(col("__b"), coalesce(col("__nr"), lit(0L)).as("__nr"),
+        coalesce(col("__nt"), lit(0L)).as("__nt"))
+    val totals = joinedCounts.agg(sum("__nr").as("__tr"), sum("__nt").as("__tt"))
+    val ratios = joinedCounts.crossJoin(broadcast(totals))
+      .select(col("__b"), round(
+        log((col("__nt") + 1).cast("double") / (col("__tt") + buckets)) -
+          log((col("__nr") + 1).cast("double") / (col("__tr") + buckets)), 6).as("__lr"))
+    val scored = rawToks.join(broadcast(ratios), Seq("__b"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__n"), round(sum("__lr"), 6).as("__s"))
+    raw.select(col(idCol).as("__id")).distinct()
+      .join(scored, Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_feats"),
+        coalesce(col("__s"), lit(0.0)).as("dsir_logratio"))
+  }
+
+  /** Deterministic DSIR selection: the `k` raw documents with the
+    * highest [[dsirWeights]] log-ratio (ties broken by ascending id —
+    * total order, engine-replayable). The paper resamples with Gumbel
+    * noise; for a reproducible pipeline the noiseless top-k is the
+    * standard deterministic variant, and weighted sampling composes via
+    * [[Sampling]]'s md5 law against `exp(dsir_logratio)` rates if
+    * randomization is wanted. Spark plans the global top-k as
+    * TakeOrderedAndProject (per-partition heads, no full sort). */
+  def dsirTopK(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 1024): DataFrame =
+    dsirWeights(raw, target, idCol, textCol, buckets)
+      .orderBy(col("dsir_logratio").desc, col(idCol))
+      .limit(k)
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document against a reference bigram LM ([[bigramModel]] of the
+    * `reference` corpus — CCNet uses a Wikipedia KenLM; any clean
+    * in-domain sample works), then split each language into `parts`
+    * equal-frequency buckets by ascending perplexity — bucket 1 is the
+    * cleanest ("head"), `parts` the noisiest ("tail"). Downstream
+    * pipelines keep head+middle or weight by bucket.
+    *
+    * Perplexity proxy is `round(xent_sum / bigrams, 6)` — the mean
+    * per-bigram negative log-likelihood under the reference model,
+    * 6dp-rounded on both sides of the determinism contract. Documents
+    * whose bigrams never hit the reference model (or with < 2 tokens)
+    * are unscorable and drop, as in CCNet. The bucket split is
+    * `ntile(parts)` ordered by (ppl, id) — a total order, so any
+    * engine's standard ntile reproduces the assignment.
+    *
+    * Scale design (100 TB): the reference model is vocabulary-bounded
+    * and built once; scoring is [[bigramCrossEntropyWith]]'s one
+    * token-keyed join + doc hash-agg. The ntile window shuffles ONLY
+    * (id, lang, ppl) rows — never text — partitioned by language, so
+    * state per reducer is the language's doc COUNT, not its bytes;
+    * massively-skewed language mixes (English-heavy crawls) ntile in
+    * one pass because ranking needs a sort, not materialized text. */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, reference: DataFrame, parts: Int = 3): DataFrame = {
+    require(parts > 0, "parts must be positive")
+    val scored = bigramCrossEntropyWith(df, idCol, textCol,
+      bigramModel(reference, idCol, textCol))
+      .withColumn("ppl", round(col("xent_sum") / col("bigrams"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__lang").orderBy(col("ppl"), col(idCol))
+    df.select(col(idCol), col(langCol).as("__lang"))
+      .join(scored, Seq(idCol))
+      .withColumn("bucket", ntile(parts).over(w))
+      .select(col(idCol), col("__lang").as(langCol), col("ppl"), col("bucket"))
+  }
+
   /** Full per-document profile in one pass. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -59,7 +59,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q29_embed_neardup",
     // 1-row aggregate fixture sides CROSS JOINed onto per-row checks
     "q27_fingerprint_simhash", "q127_transform_utm", "q131_transform_conic",
-    "q134_transform_national",
+    "q134_transform_national", "q140_transform_azimuthal",
+    // DSIR: the 1-row (raw-total, target-total) aggregate CROSS JOINed
+    // onto the buckets-row ratio table (both broadcast by construction)
+    "q141_dsir_weights",
     // benchmark-gram Bloom side broadcast as a single-row filter payload
     "q77_bloom_decontaminate")
 

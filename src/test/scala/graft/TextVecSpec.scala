@@ -938,4 +938,51 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 9L -> 9L))
   }
+
+  test("dsirWeights: target-like docs score higher; empty docs keep a 0 row") {
+    import spark.implicits._
+    // target domain talks about "alpha beta"; raw has lookalikes and not
+    val raw = Seq(
+      (0L, "alpha beta alpha beta"),   // pure target vocabulary
+      (1L, "zig zag zig zag"),         // pure off-domain vocabulary
+      (2L, "alpha zag"),               // mixed
+      (3L, ""),                        // empty: must keep a row, score 0
+      (4L, null.asInstanceOf[String])) // null: same
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta alpha beta alpha beta")).toDF("doc_id", "text")
+    val w = graft.operators.TextAnalysis
+      .dsirWeights(raw, target, "doc_id", "text", buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(w(3L) == ((0L, 0.0)) && w(4L) == ((0L, 0.0)))
+    assert(w(0L)._2 > w(2L)._2 && w(2L)._2 > w(1L)._2,
+      s"ordering violated: $w")
+    // and the deterministic top-k selects the target-like doc first
+    val top = graft.operators.TextAnalysis
+      .dsirTopK(raw, target, "doc_id", "text", k = 1, buckets = 64)
+      .collect()
+    assert(top.length == 1 && top(0).getLong(0) == 0L)
+  }
+
+  test("ccnetBuckets: head gets reference-like docs, unscorable docs drop") {
+    import spark.implicits._
+    // reference: 'a' continues to 'b' 3x as often as to 'c', so docs
+    // built on the rare (a,c) continuation genuinely score worse —
+    // the ordering below is a probability gap, not an id tie-break
+    val ref = Seq((100L, "a b a b a b a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "en", "a b a b a b"), // fluent under the model -> head
+      (1L, "en", "a c a c"),     // rides the rare continuation -> tail
+      (2L, "en", "q r s"),       // no model bigrams: unscorable, drops
+      (3L, "fr", "a b a b"),     // own language partition -> bucket 1
+      (4L, "en", "one"))         // < 2 tokens: drops
+      .toDF("doc_id", "lang", "text")
+    val b = graft.operators.TextAnalysis
+      .ccnetBuckets(docs, "doc_id", "text", "lang", ref, parts = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(3))).toMap
+    assert(b.keySet == Set(0L, 1L, 3L))
+    assert(b(0L) == (("en", 1)), s"fluent doc not head: $b")
+    assert(b(1L) == (("en", 2)), s"noisy doc not tail: $b")
+    assert(b(3L) == (("fr", 1)))
+  }
 }

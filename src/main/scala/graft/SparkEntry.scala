@@ -1828,6 +1828,39 @@ object SparkEntry {
       graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // C4 line/page cleaning rules over a designed fixture that fires
+    // every rule: terminal-punctuation + min-words + javascript line
+    // filters, lorem/brace/badword page flags, and the min-sentences
+    // keep computed on the CLEANED text; the oracle rebuilds the same
+    // fixture and replays every rule with DuckDB list lambdas
+    "q143_c4_clean" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = spark.sql("""
+        SELECT doc_id,
+               concat(
+                 'alpha beta gamma delta.', chr(10),
+                 'x y.', chr(10),
+                 'no terminal punctuation here', chr(10),
+                 CASE WHEN doc_id % 7 = 0
+                      THEN concat('enable javascript to view this page.', chr(10))
+                      ELSE '' END,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN concat('lorem ipsum dolor sit amet.', chr(10))
+                      ELSE '' END,
+                 CASE WHEN doc_id % 13 = 0
+                      THEN concat('config { debug } done.', chr(10))
+                      ELSE '' END,
+                 CASE WHEN doc_id % 9 = 0
+                      THEN concat('this crummy content should flag.', chr(10))
+                      ELSE '' END,
+                 repeat(concat('one more valid sentence goes here.', chr(10)),
+                        CAST(doc_id % 6 AS INT)),
+                 'tail line ends here.') AS text
+        FROM documents""")
+      graft.operators.Curation.c4Clean(docs, "doc_id", "text",
+        badwords = Seq("crummy"), minSentences = 5)
+        .orderBy("doc_id")
+    }),
     // DSIR importance weights (hashed-unigram log-likelihood ratio of
     // target vs raw bucket models, add-1 smoothed, B=1024) over the
     // REAL documents text with lang='en' as the target domain; every
@@ -4184,6 +4217,53 @@ object SparkEntry {
       WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
             < rate * 281474976710656.0
       ORDER BY doc_id""",
+    // C4 replay: identical fixture construction, list-lambda line
+    // filter, and the same cleaned-text sentence count
+    "q143_c4_clean" -> """
+      WITH d AS (SELECT doc_id,
+              'alpha beta gamma delta.' || chr(10) ||
+              'x y.' || chr(10) ||
+              'no terminal punctuation here' || chr(10) ||
+              CASE WHEN doc_id % 7 = 0
+                   THEN 'enable javascript to view this page.' || chr(10)
+                   ELSE '' END ||
+              CASE WHEN doc_id % 11 = 0
+                   THEN 'lorem ipsum dolor sit amet.' || chr(10)
+                   ELSE '' END ||
+              CASE WHEN doc_id % 13 = 0
+                   THEN 'config { debug } done.' || chr(10)
+                   ELSE '' END ||
+              CASE WHEN doc_id % 9 = 0
+                   THEN 'this crummy content should flag.' || chr(10)
+                   ELSE '' END ||
+              repeat('one more valid sentence goes here.' || chr(10),
+                     CAST(doc_id % 6 AS INT)) ||
+              'tail line ends here.' AS text
+            FROM documents),
+      m AS (SELECT doc_id, text,
+              string_split(text, chr(10)) AS alll,
+              list_filter(string_split(text, chr(10)),
+                l -> (ends_with(l, '.') OR ends_with(l, '!') OR
+                      ends_with(l, '?') OR ends_with(l, '"'))
+                     AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+                     AND NOT contains(lower(l), 'javascript')) AS kept
+            FROM d),
+      c AS (SELECT doc_id, text, alll, kept,
+              array_to_string(kept, chr(10)) AS clean,
+              CAST(length(regexp_replace(array_to_string(kept, chr(10)),
+                '[^.!?]', '', 'g')) AS INT) AS ns
+            FROM m)
+      SELECT doc_id, clean AS text,
+             CAST(len(kept) AS INT) AS n_lines_kept,
+             CAST(len(alll) - len(kept) AS INT) AS n_lines_dropped,
+             ns AS n_sentences,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{') AS has_brace,
+             list_contains(string_split(lower(text), ' '), 'crummy') AS has_badword,
+             NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+               AND NOT list_contains(string_split(lower(text), ' '), 'crummy')
+               AND ns >= 5 AS c4_keep
+      FROM c ORDER BY doc_id""",
     // DSIR replay: same 48-bit md5 bucket law, add-1 smoothing, 6dp
     // round-then-sum-then-round contract; totals cast to DOUBLE before
     // the smoothed division so no HUGEINT reaches the output

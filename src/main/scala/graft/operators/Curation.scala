@@ -293,4 +293,55 @@ object Curation {
         count(col("__bp")).cast("int").as("n_dropped"))
       .withColumnRenamed("__doc", idCol)
   }
+
+  /** The C4 cleaning rules (Raffel et al. 2020 §2.2) — the line-level
+    * companion to [[TextAnalysis.gopherFlags]]'s document-level rules:
+    *
+    *  - keep only lines ending in a terminal punctuation mark
+    *    (`.` `!` `?` `"`) with at least `minLineWords` words and no
+    *    "javascript" mention;
+    *  - flag (for page drop) documents containing "lorem ipsum", a
+    *    curly brace `{`, or any `badwords` token;
+    *  - flag documents whose CLEANED text has fewer than `minSentences`
+    *    sentences (terminal-punctuation count).
+    *
+    * Like [[TextAnalysis.gopherFlags]], each rule is an explicit output
+    * column plus the conjunction (`c4_keep`), so pipelines can audit
+    * which rule fired instead of getting a bare boolean; the row for
+    * every input document survives (NULL text reads as empty) — C4's
+    * span dedup step is [[graft.operators.Dedup.dedupSpans]].
+    *
+    * Scale design (100 TB): map-only — one WholeStageCodegen pass of
+    * higher-order array functions over the text column, no shuffle, no
+    * UDF; `badwords` folds into the plan as literals (the published
+    * blocklist is a few hundred words — constant work per token). */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      badwords: Seq[String] = Nil, minSentences: Int = 5,
+      minLineWords: Int = 3): DataFrame = {
+    val keepLine: Column => Column = l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+        size(filter(split(l, " "), w => w =!= "")) >= minLineWords &&
+        !contains(lower(l), lit("javascript"))
+    val base = df
+      .select(col(idCol),
+        coalesce(col(textCol).cast("string"), lit("")).as("__txt"))
+      .withColumn("__lines", split(col("__txt"), "\n"))
+      .withColumn("__kept", filter(col("__lines"), keepLine))
+      .withColumn("__clean", array_join(col("__kept"), "\n"))
+    val badFlag =
+      if (badwords.isEmpty) lit(false)
+      else badwords.map(b => array_contains(split(lower(col("__txt")), " "), b))
+        .reduce(_ || _)
+    base.select(col(idCol),
+        col("__clean").as(textCol),
+        size(col("__kept")).as("n_lines_kept"),
+        (size(col("__lines")) - size(col("__kept"))).as("n_lines_dropped"),
+        length(regexp_replace(col("__clean"), "[^.!?]", "")).as("n_sentences"),
+        contains(lower(col("__txt")), lit("lorem ipsum")).as("has_lorem"),
+        contains(col("__txt"), lit("{")).as("has_brace"),
+        badFlag.as("has_badword"))
+      .withColumn("c4_keep",
+        !col("has_lorem") && !col("has_brace") && !col("has_badword") &&
+          col("n_sentences") >= minSentences)
+  }
 }

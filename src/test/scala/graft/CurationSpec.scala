@@ -237,4 +237,41 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset(bitsKey)
     }
   }
+
+  test("c4Clean: each rule fires independently; every doc keeps a row") {
+    import spark.implicits._
+    val docs = Seq(
+      // five clean sentences -> kept as-is, c4_keep true
+      (0L, "one fine sentence right here.\nand a second one follows now.\n" +
+        "third sentence is also good.\nfourth sentence stays put too.\n" +
+        "fifth sentence closes it out."),
+      (1L, "too few.\nwords"),                        // short line + no punct -> all dropped
+      (2L, "please enable javascript to continue.\n" + // javascript line dropped
+        "but this other sentence is fine."),
+      (3L, "lorem ipsum dolor sit amet consectetur.\n" + // page flag, line kept
+        "normal sentence over here though."),
+      (4L, "function f() { return 1; } is code."),    // brace page flag
+      (5L, "this awful content right here."),         // badword page flag
+      (6L, null.asInstanceOf[String]))                // null text -> empty row
+      .toDF("doc_id", "text")
+    val out = Curation.c4Clean(docs, "doc_id", "text",
+      badwords = Seq("awful"), minSentences = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L))
+    val d0 = out(0L)
+    assert(d0._2 == 5 && d0._3 == 5 && d0._7, s"clean doc mishandled: $d0")
+    assert(out(1L)._2 == 0 && !out(1L)._7)
+    // javascript line removed, the other survives
+    assert(out(2L)._1 == "but this other sentence is fine.")
+    assert(out(3L)._4 && !out(3L)._7, "lorem page not flagged")
+    assert(out(4L)._5 && !out(4L)._7, "brace page not flagged")
+    assert(out(5L)._6 && !out(5L)._7, "badword page not flagged")
+    assert(out(6L)._1 == "" && out(6L)._2 == 0 && !out(6L)._7)
+    // default badwords = none: doc 5 is then only sentence-limited
+    val noBad = Curation.c4Clean(docs, "doc_id", "text", minSentences = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    assert(noBad(5L), "empty badwords list must not flag anything")
+  }
 }

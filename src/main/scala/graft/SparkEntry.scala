@@ -1828,6 +1828,23 @@ object SparkEntry {
       graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // in-engine quality classifier: logistic regression on hashed-TF
+    // features (B=256) trained by 3 full-batch GD iterations against
+    // y = (lang='en'), then scored over the same corpus. EVERY
+    // arithmetic step is 6dp-rounded (margins, residuals, gradients,
+    // updates — HALF_UP on all three engines), so the oracle replays
+    // the entire optimization, not just the scoring, as unrolled CTE
+    // iterations and hash-matches the probabilities
+    "q144_quality_lr" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.{col, when}
+      prep(spark, dir)
+      val docs = spark.table("documents")
+        .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+      val (w, b) = graft.operators.TextAnalysis.trainQualityLr(
+        docs, "doc_id", "text", "y", buckets = 256, iters = 3, eta = 1.0)
+      graft.operators.TextAnalysis.scoreQualityLr(docs, "doc_id", "text", w, b)
+        .orderBy("doc_id")
+    }),
     // C4 line/page cleaning rules over a designed fixture that fires
     // every rule: terminal-punctuation + min-words + javascript line
     // filters, lorem/brace/badword page flags, and the min-sentences
@@ -4217,6 +4234,61 @@ object SparkEntry {
       WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
             < rate * 281474976710656.0
       ORDER BY doc_id""",
+    // the full 3-iteration GD replay: w0 = 0 makes iteration 1's
+    // residuals exactly round(0.5 - y, 6); each later iteration is one
+    // margin join + residual + gradient block over the SAME 6dp law
+    "q144_quality_lr" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                   FROM documents),
+           f AS (SELECT doc_id,
+                        CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 256 AS b
+                 FROM tok WHERE tok <> ''),
+           c AS (SELECT doc_id, b, count(*) AS cnt FROM f GROUP BY doc_id, b),
+           tf AS (SELECT doc_id, b,
+                         round(CAST(cnt AS DOUBLE) /
+                               sum(cnt) OVER (PARTITION BY doc_id), 6) AS tf
+                  FROM c),
+           lab AS (SELECT doc_id,
+                          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                   FROM documents),
+           nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+           r1 AS (SELECT doc_id, round(0.5 - y, 6) AS r FROM lab),
+           g1 AS (SELECT b, round(sum(tf * r) / (SELECT n FROM nn), 6) AS g
+                  FROM tf JOIN r1 USING (doc_id) GROUP BY b),
+           w1 AS (SELECT b, round(0.0 - g, 6) AS w FROM g1),
+           b1 AS (SELECT round(0.0 - round(sum(r) / (SELECT n FROM nn), 6), 6) AS bias
+                  FROM r1),
+           m2 AS (SELECT doc_id, sum(tf * w) AS m
+                  FROM tf JOIN w1 USING (b) GROUP BY doc_id),
+           r2 AS (SELECT l.doc_id,
+                         round(1.0 / (1.0 + exp(-round((SELECT bias FROM b1) +
+                           coalesce(m, 0.0), 6))) - y, 6) AS r
+                  FROM lab l LEFT JOIN m2 USING (doc_id)),
+           g2 AS (SELECT b, round(sum(tf * r) / (SELECT n FROM nn), 6) AS g
+                  FROM tf JOIN r2 USING (doc_id) GROUP BY b),
+           w2 AS (SELECT b, round(w - g, 6) AS w FROM w1 JOIN g2 USING (b)),
+           b2 AS (SELECT round((SELECT bias FROM b1) -
+                    round(sum(r) / (SELECT n FROM nn), 6), 6) AS bias FROM r2),
+           m3 AS (SELECT doc_id, sum(tf * w) AS m
+                  FROM tf JOIN w2 USING (b) GROUP BY doc_id),
+           r3 AS (SELECT l.doc_id,
+                         round(1.0 / (1.0 + exp(-round((SELECT bias FROM b2) +
+                           coalesce(m, 0.0), 6))) - y, 6) AS r
+                  FROM lab l LEFT JOIN m3 USING (doc_id)),
+           g3 AS (SELECT b, round(sum(tf * r) / (SELECT n FROM nn), 6) AS g
+                  FROM tf JOIN r3 USING (doc_id) GROUP BY b),
+           w3 AS (SELECT b, round(w - g, 6) AS w FROM w2 JOIN g3 USING (b)),
+           b3 AS (SELECT round((SELECT bias FROM b2) -
+                    round(sum(r) / (SELECT n FROM nn), 6), 6) AS bias FROM r3),
+           m4 AS (SELECT doc_id, sum(tf * w) AS m
+                  FROM tf JOIN w3 USING (b) GROUP BY doc_id),
+           sc AS (SELECT d.doc_id,
+                         round((SELECT bias FROM b3) + coalesce(m, 0.0), 6) AS lr_margin
+                  FROM (SELECT DISTINCT doc_id FROM documents) d
+                  LEFT JOIN m4 USING (doc_id))
+      SELECT doc_id, lr_margin,
+             round(1.0 / (1.0 + exp(-lr_margin)), 6) AS lr_prob
+      FROM sc ORDER BY doc_id""",
     // C4 replay: identical fixture construction, list-lambda line
     // filter, and the same cleaned-text sentence count
     "q143_c4_clean" -> """

@@ -490,6 +490,115 @@ object TextAnalysis {
       .select(col(idCol), col("__lang").as(langCol), col("ppl"), col("bucket"))
   }
 
+  /** Hashed term-frequency features: one row per (doc, bucket) with
+    * `tf = round(count/doc_tokens, 6)` over `buckets` 48-bit-md5 hash
+    * buckets — the shared feature law of [[dsirWeights]] and the
+    * logistic quality classifier below (engine-replayable, fixed
+    * model width regardless of vocabulary). Zero-token docs emit no
+    * rows (their classifier margin is the bias alone). */
+  def hashedTf(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = df
+    .select(col(idCol).as("__id"),
+      explode(split(coalesce(col(textCol).cast("string"), lit("")), " ")).as("__tok"))
+    .where(col("__tok") =!= "")
+    .select(col("__id"),
+      pmod(conv(substring(md5(col("__tok").cast("binary")), 1, 12), 16, 10)
+        .cast("long"), lit(buckets.toLong)).as("__b"))
+    .groupBy("__id", "__b").agg(count(lit(1)).as("__c"))
+    .withColumn("__n", sum("__c").over(
+      org.apache.spark.sql.expressions.Window.partitionBy("__id")))
+    .select(col("__id"), col("__b"),
+      round(col("__c").cast("double") / col("__n"), 6).as("__tf"))
+
+  /** Train a binary quality classifier IN-ENGINE: logistic regression
+    * on [[hashedTf]] features by full-batch gradient descent — the
+    * fastText-style model modern curation pipelines (DCLM, FineWeb-Edu)
+    * use to score documents against a curated positive set, without
+    * leaving the cluster or sampling the corpus down to one machine.
+    * `labelCol` must be 0/1 (numeric). Returns (weights, bias) with
+    * `weights(b)` the coefficient of bucket `b`.
+    *
+    * Every arithmetic step follows the 6dp determinism contract
+    * (margins, residuals, gradients, and updates each round to 6dp), so
+    * the whole optimization — not just the scores — replays exactly in
+    * any engine: the q144 oracle reruns all iterations in DuckDB and
+    * hash-matches the resulting probabilities.
+    *
+    * Scale design (100 TB): the feature frame is cached ONCE (bounded
+    * by corpus tokens, never vocabulary); each iteration is one
+    * broadcast join with the B-row weight table + a doc-keyed residual
+    * join + a bucket-keyed gradient aggregate whose B-row result is
+    * collected — the Lloyd-iteration shape ([[Ann]] k-means): driver
+    * state is exactly the model (B + 1 doubles), gradients arrive
+    * pre-aggregated, and the corpus never funnels anywhere. */
+  def trainQualityLr(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int = 256, iters: Int = 3,
+      eta: Double = 1.0): (Array[Double], Double) = {
+    require(buckets > 0 && iters >= 0, "buckets and iters must be positive")
+    val spark = df.sparkSession
+    val labels = df.select(col(idCol).as("__id"),
+      col(labelCol).cast("double").as("__y"))
+    val tf = hashedTf(df, idCol, textCol, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = labels.count().toDouble
+    val w = Array.fill(buckets)(0.0)
+    var bias = 0.0
+    try {
+      var it = 0
+      while (it < iters) {
+        import spark.implicits._
+        val wDf = broadcast(
+          w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) }
+            .toDF("__b", "__w"))
+        val margins = tf.join(wDf, Seq("__b"))
+          .groupBy("__id").agg(sum(col("__tf") * col("__w")).as("__m"))
+        val resid = labels.join(margins, Seq("__id"), "left_outer")
+          .select(col("__id"), round(
+            lit(1.0) / (lit(1.0) + exp(-round(lit(bias) + coalesce(col("__m"), lit(0.0)), 6)))
+              - col("__y"), 6).as("__r"))
+        val grads = tf.join(resid, Seq("__id"))
+          .groupBy("__b").agg(round(sum(col("__tf") * col("__r")) / n, 6).as("__g"))
+          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+        val gBias = resid.agg(round(sum("__r") / n, 6)).head().getDouble(0)
+        // HALF_UP at 6dp — the SAME rounding law as Spark's round()
+        // and DuckDB's round(): math.rint would be HALF_EVEN and the
+        // replayed optimization could fork on an exact boundary
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        var b = 0
+        while (b < buckets) {
+          w(b) = r6(w(b) - eta * grads.getOrElse(b, 0.0))
+          b += 1
+        }
+        bias = r6(bias - eta * gBias)
+        it += 1
+      }
+    } finally tf.unpersist()
+    (w, bias)
+  }
+
+  /** Score documents with a trained (or external) hashed-TF logistic
+    * model: `lr_prob = sigmoid(round(bias + Σ w·tf, 6))`. Zero-token
+    * docs keep a row scored by the bias alone. Map-only + one
+    * broadcast join + one doc-keyed aggregate. */
+  def scoreQualityLr(df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], bias: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(
+      weights.toIndexedSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) }
+        .toDF("__b", "__w"))
+    val margins = hashedTf(df, idCol, textCol, weights.length)
+      .join(wDf, Seq("__b"))
+      .groupBy("__id").agg(sum(col("__tf") * col("__w")).as("__m"))
+    df.select(col(idCol).as("__id")).distinct()
+      .join(margins, Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol),
+        round(lit(bias) + coalesce(col("__m"), lit(0.0)), 6).as("lr_margin"))
+      .withColumn("lr_prob",
+        round(lit(1.0) / (lit(1.0) + exp(-col("lr_margin"))), 6))
+  }
+
   /** Full per-document profile in one pass. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -47,7 +47,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q122_kmeans_two_level", "q124_semantic_dedup_bcast",
     "q125_ann_ivf_persisted", "q126_ann_ivf_quantized",
     "q128_geoparquet_roundtrip", "q129_ann_ivfpq", "q130_mjpeg_frames",
-    "q132_geoparquet_covering", "q133_stream_semantic_dedup")
+    "q132_geoparquet_covering", "q133_stream_semantic_dedup",
+    "q144_quality_lr")
 
   // deliberate BNLJ users — each a broadcast-side-by-design shape:
   private val bnljWhitelist: Set[String] = Set(

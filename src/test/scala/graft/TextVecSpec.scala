@@ -964,6 +964,32 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.length == 1 && top(0).getLong(0) == 0L)
   }
 
+  test("trainQualityLr separates a hash-distinct vocabulary; bias scores empty docs") {
+    import spark.implicits._
+    // positives use one vocabulary, negatives another — with B=64 the
+    // bucket sets are (almost surely) disjoint, so 3 GD steps must
+    // already order every positive above every negative
+    val pos = Seq("alpha beta gamma", "beta gamma alpha beta", "gamma alpha")
+    val neg = Seq("zig zag zorro", "zag zig", "zorro zig zag zig")
+    val docs = (pos.zipWithIndex.map { case (t, i) => (i.toLong, t, 1.0) } ++
+      neg.zipWithIndex.map { case (t, i) => (100L + i, t, 0.0) })
+      .toDF("doc_id", "text", "y")
+    val (w, b) = graft.operators.TextAnalysis.trainQualityLr(
+      docs, "doc_id", "text", "y", buckets = 64, iters = 3, eta = 1.0)
+    assert(w.length == 64)
+    val scored = graft.operators.TextAnalysis
+      .scoreQualityLr(docs.union(Seq((999L, "", 0.0)).toDF("doc_id", "text", "y")),
+        "doc_id", "text", w, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val worstPos = (0 until 3).map(i => scored(i.toLong)).min
+    val bestNeg = (0 until 3).map(i => scored(100L + i)).max
+    assert(worstPos > bestNeg, s"no separation: $scored")
+    // empty doc: margin is exactly the bias
+    assert(math.abs(scored(999L) - 1.0 / (1.0 + math.exp(-b))) < 1e-6)
+    // weights are 6dp-clean (the determinism contract)
+    assert(w.forall(x => math.abs(x * 1e6 - math.rint(x * 1e6)) < 1e-7))
+  }
+
   test("ccnetBuckets: head gets reference-like docs, unscorable docs drop") {
     import spark.implicits._
     // reference: 'a' continues to 'b' 3x as often as to 'c', so docs

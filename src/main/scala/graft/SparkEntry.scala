@@ -1315,6 +1315,17 @@ object SparkEntry {
             .as("cos"))
         .orderBy("vec_id")
     }),
+    // per-cluster coreset selection on q75's deterministic centroids:
+    // top-5 prototypes per cluster by (rounded cosine desc, id) — the
+    // oracle replays assignment rank-1 then the same per-cluster rank
+    "q145_cluster_coreset" -> ((spark, dir) => {
+      prep(spark, dir)
+      val emb = spark.table("embeddings")
+      val cents = emb.orderBy("vec_id").limit(8)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      graft.operators.Ann.clusterCoreset(emb, cents, perCluster = 5)
+        .orderBy("cluster", "rk")
+    }),
     // SemDeDup: q75's deterministic centroids (8 lowest vec_ids), then
     // within-cluster cosine>=0.30 keep-lowest-id (q29's threshold
     // precedent for exact cross-engine cosine comparison)
@@ -3228,6 +3239,23 @@ object SparkEntry {
                    PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rk FROM s)
       SELECT vec_id, cluster, round(cos, 6) AS cos
       FROM r WHERE rk = 1 ORDER BY vec_id""",
+    // q75's centroid/assignment CTE, then the per-cluster prototype rank
+    "q145_cluster_coreset" -> """
+      WITH c AS (SELECT embedding::DOUBLE[] AS cv,
+                        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+                 FROM embeddings ORDER BY vec_id LIMIT 8),
+           s AS (SELECT e.vec_id, c.cluster,
+                        list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cos
+                 FROM embeddings e CROSS JOIN c),
+           r AS (SELECT vec_id, cluster, cos, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rk FROM s),
+           a AS (SELECT vec_id, cluster, round(cos, 6) AS cos FROM r WHERE rk = 1),
+           p AS (SELECT vec_id, cluster, cos,
+                        CAST(row_number() OVER (
+                          PARTITION BY cluster ORDER BY cos DESC, vec_id ASC) AS INT) AS rk
+                 FROM a)
+      SELECT vec_id, cluster, cos, rk FROM p WHERE rk <= 5
+      ORDER BY cluster, rk""",
     // q75's centroid/assignment CTE, then the SemDeDup within-cluster
     // pair scan and keep-lowest-id anti-join
     "q119_semantic_dedup" -> SEMANTIC_DEDUP_ORACLE,

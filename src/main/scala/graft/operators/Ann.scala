@@ -996,6 +996,46 @@ object Ann {
     semanticDedupAssigned(kmeansAssignBcast(corpus, centroids, idCol, vecCol),
       threshold, idCol, vecCol)
 
+  /** Per-cluster coreset selection — the diversity/prototypicality
+    * sampling step that follows SemDeDup in embedding-curation stacks
+    * (SemDeDup prunes duplicates; this prunes to a REPRESENTATIVE or
+    * DIVERSE subset): assign every vector to its nearest centroid, rank
+    * within each cluster by cosine to that centroid (6dp-rounded, id
+    * tie-break — a total order), and keep the top `perCluster` rows.
+    * `mode = "prototypes"` keeps the most central exemplars (highest
+    * cosine — the "typical" sample); `mode = "diverse"` keeps the
+    * cluster fringe (lowest cosine — boundary/outlier mining). Output:
+    * (`idCol`, `cluster`, `cos`, `rk`); join back by id for payloads.
+    *
+    * Scale design (100 TB): assignment is the map-only
+    * [[kmeansAssign]] scan; the rank window shuffles ONLY
+    * (id, cluster, cos) rows — vectors never ride the exchange — and
+    * each reducer holds one cluster's scalars. Selection size is
+    * k·perCluster by construction. For k beyond plan-literal size, use
+    * [[kmeansAssignBcast]] and rank its output with the same window. */
+  def clusterCoreset(corpus: DataFrame, cents: Array[Array[Float]],
+      perCluster: Int, mode: String = "prototypes",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(perCluster > 0, "perCluster must be positive")
+    require(mode == "prototypes" || mode == "diverse",
+      s"mode must be 'prototypes' or 'diverse' (got '$mode')")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(
+      cents.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+        .toDF("cluster", "__cv"))
+    val assigned = kmeansAssign(corpus, cents, idCol, vecCol)
+      .join(cdf, Seq("cluster"))
+      .select(col(idCol), col("cluster"),
+        round(vec_cosine(col(vecCol), col("__cv")), 6).as("cos"))
+    val order =
+      if (mode == "prototypes") Seq(col("cos").desc, col(idCol).asc)
+      else Seq(col("cos").asc, col(idCol).asc)
+    val w = Window.partitionBy("cluster").orderBy(order: _*)
+    assigned.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= perCluster)
+  }
+
   /** Incremental SemDeDup for `foreachBatch` pipelines: emit the
     * batch's rows that no PRECEDING row in the same cluster duplicates
     * at `threshold` — preceding = any row in `seen` (previous batches),

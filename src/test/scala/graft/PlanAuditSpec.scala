@@ -48,7 +48,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q125_ann_ivf_persisted", "q126_ann_ivf_quantized",
     "q128_geoparquet_roundtrip", "q129_ann_ivfpq", "q130_mjpeg_frames",
     "q132_geoparquet_covering", "q133_stream_semantic_dedup",
-    "q144_quality_lr")
+    "q144_quality_lr", "q145_cluster_coreset")
 
   // deliberate BNLJ users — each a broadcast-side-by-design shape:
   private val bnljWhitelist: Set[String] = Set(

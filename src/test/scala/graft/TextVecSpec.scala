@@ -964,6 +964,30 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.length == 1 && top(0).getLong(0) == 0L)
   }
 
+  test("clusterCoreset: prototypes take the center, diverse takes the fringe") {
+    import spark.implicits._
+    // two well-separated 2-D directions with graded off-axis noise:
+    // ids 0..4 near +x (id 0 exactly on it), ids 10..14 near +y
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val rows = (0 until 5).map(i => (i.toLong, v(1.0, 0.05 * i))) ++
+      (0 until 5).map(i => (10L + i, v(0.05 * i, 1.0)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val proto = graft.operators.Ann.clusterCoreset(emb, cents, perCluster = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(3)) -> r.getLong(0)).toMap
+    // rank 1 of each cluster is the exactly-on-axis vector
+    assert(proto((0, 1)) == 0L && proto((1, 1)) == 10L, s"prototypes: $proto")
+    assert(proto.size == 4)
+    val div = graft.operators.Ann.clusterCoreset(emb, cents, perCluster = 1,
+      mode = "diverse")
+      .collect().map(r => r.getInt(1) -> r.getLong(0)).toMap
+    // the fringe is the most off-axis member (largest noise index)
+    assert(div(0) == 4L && div(1) == 14L, s"diverse: $div")
+    intercept[IllegalArgumentException] {
+      graft.operators.Ann.clusterCoreset(emb, cents, 1, mode = "nope")
+    }
+  }
+
   test("trainQualityLr separates a hash-distinct vocabulary; bias scores empty docs") {
     import spark.implicits._
     // positives use one vocabulary, negatives another — with B=64 the

@@ -4281,34 +4281,37 @@ object SparkEntry {
                    FROM documents),
            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
            r1 AS (SELECT doc_id, round(0.5 - y, 6) AS r FROM lab),
-           g1 AS (SELECT b, round(sum(tf * r) / (SELECT n FROM nn), 6) AS g
+           g1 AS (SELECT b, round(round(sum(round(tf * r, 6)), 6) /
+                          (SELECT n FROM nn), 6) AS g
                   FROM tf JOIN r1 USING (doc_id) GROUP BY b),
            w1 AS (SELECT b, round(0.0 - g, 6) AS w FROM g1),
-           b1 AS (SELECT round(0.0 - round(sum(r) / (SELECT n FROM nn), 6), 6) AS bias
+           b1 AS (SELECT round(0.0 - round(round(sum(r), 6) / (SELECT n FROM nn), 6), 6) AS bias
                   FROM r1),
-           m2 AS (SELECT doc_id, sum(tf * w) AS m
+           m2 AS (SELECT doc_id, sum(round(tf * w, 6)) AS m
                   FROM tf JOIN w1 USING (b) GROUP BY doc_id),
            r2 AS (SELECT l.doc_id,
                          round(1.0 / (1.0 + exp(-round((SELECT bias FROM b1) +
                            coalesce(m, 0.0), 6))) - y, 6) AS r
                   FROM lab l LEFT JOIN m2 USING (doc_id)),
-           g2 AS (SELECT b, round(sum(tf * r) / (SELECT n FROM nn), 6) AS g
+           g2 AS (SELECT b, round(round(sum(round(tf * r, 6)), 6) /
+                          (SELECT n FROM nn), 6) AS g
                   FROM tf JOIN r2 USING (doc_id) GROUP BY b),
            w2 AS (SELECT b, round(w - g, 6) AS w FROM w1 JOIN g2 USING (b)),
            b2 AS (SELECT round((SELECT bias FROM b1) -
-                    round(sum(r) / (SELECT n FROM nn), 6), 6) AS bias FROM r2),
-           m3 AS (SELECT doc_id, sum(tf * w) AS m
+                    round(round(sum(r), 6) / (SELECT n FROM nn), 6), 6) AS bias FROM r2),
+           m3 AS (SELECT doc_id, sum(round(tf * w, 6)) AS m
                   FROM tf JOIN w2 USING (b) GROUP BY doc_id),
            r3 AS (SELECT l.doc_id,
                          round(1.0 / (1.0 + exp(-round((SELECT bias FROM b2) +
                            coalesce(m, 0.0), 6))) - y, 6) AS r
                   FROM lab l LEFT JOIN m3 USING (doc_id)),
-           g3 AS (SELECT b, round(sum(tf * r) / (SELECT n FROM nn), 6) AS g
+           g3 AS (SELECT b, round(round(sum(round(tf * r, 6)), 6) /
+                          (SELECT n FROM nn), 6) AS g
                   FROM tf JOIN r3 USING (doc_id) GROUP BY b),
            w3 AS (SELECT b, round(w - g, 6) AS w FROM w2 JOIN g3 USING (b)),
            b3 AS (SELECT round((SELECT bias FROM b2) -
-                    round(sum(r) / (SELECT n FROM nn), 6), 6) AS bias FROM r3),
-           m4 AS (SELECT doc_id, sum(tf * w) AS m
+                    round(round(sum(r), 6) / (SELECT n FROM nn), 6), 6) AS bias FROM r3),
+           m4 AS (SELECT doc_id, sum(round(tf * w, 6)) AS m
                   FROM tf JOIN w3 USING (b) GROUP BY doc_id),
            sc AS (SELECT d.doc_id,
                          round((SELECT bias FROM b3) + coalesce(m, 0.0), 6) AS lr_margin
@@ -4611,7 +4614,11 @@ object SparkEntry {
     "q16_split", "q20_dedup_exact", "q23_jaccard_tokens", "q24_cosine_topk",
     "q28_minhash_lsh", "q32_events_hourly", "q33_ref_linestring_intersects",
     "q34_text_profile", "q48_asof_join", "q49_range_join",
-    "q135_remove_boilerplate", "q137_dedup_spans")
+    "q135_remove_boilerplate", "q137_dedup_spans",
+    // round-12 selection operators: scoring laws whose totals/buckets
+    // shift with corpus size are exactly the scale-dependent-bug class
+    "q141_dsir_weights", "q142_ccnet_buckets", "q143_c4_clean",
+    "q144_quality_lr", "q145_cluster_coreset")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -490,6 +490,24 @@ object TextAnalysis {
       .select(col(idCol), col("__lang").as(langCol), col("ppl"), col("bucket"))
   }
 
+  /** 6dp rounding in the ORACLE ENGINE'S operational convention:
+    * `sign(x) * floor(|x| * 1e6 + 0.5) / 1e6` — round half away from
+    * zero evaluated on the scaled DOUBLE, which is what DuckDB's
+    * `round(x, 6)` computes. Spark's own `round` instead rounds the
+    * SHORTEST DECIMAL STRING of the double (Scala `BigDecimal(double)`
+    * goes through `Double.toString`), and the two conventions disagree
+    * exactly when a value's shortest representation sits on the
+    * half-way boundary — which products of two 6dp decimals hit
+    * routinely (e.g. 0.005 * 0.0363 = 0.0001815: Spark says 0.000182,
+    * the binary double is a hair below the boundary and DuckDB says
+    * 0.000181). The classifier pipeline rounds PRODUCTS and QUOTIENTS
+    * of 6dp values at every step, so it must use the oracle's
+    * convention or sf0.1-scale corpora flip ~1 row in 10^4 (caught by
+    * the sf01 twin gate). Valid for |x| < 2^53/1e6 ≈ 9e9 — far above
+    * any margin/gradient here. */
+  private def rz6(c: Column): Column =
+    signum(c) * floor(abs(c) * 1e6 + lit(0.5)) / 1e6
+
   /** Hashed term-frequency features: one row per (doc, bucket) with
     * `tf = round(count/doc_tokens, 6)` over `buckets` 48-bit-md5 hash
     * buckets — the shared feature law of [[dsirWeights]] and the
@@ -508,7 +526,7 @@ object TextAnalysis {
     .withColumn("__n", sum("__c").over(
       org.apache.spark.sql.expressions.Window.partitionBy("__id")))
     .select(col("__id"), col("__b"),
-      round(col("__c").cast("double") / col("__n"), 6).as("__tf"))
+      rz6(col("__c").cast("double") / col("__n")).as("__tf"))
 
   /** Train a binary quality classifier IN-ENGINE: logistic regression
     * on [[hashedTf]] features by full-batch gradient descent — the
@@ -550,21 +568,31 @@ object TextAnalysis {
         val wDf = broadcast(
           w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) }
             .toDF("__b", "__w"))
+        // Summation law (the q118 self-correcting contract): every
+        // summed TERM is first rounded to 6dp, so the true decimal sum
+        // is an exact multiple of 1e-6 — maximally far from the outer
+        // round's half-way boundary — and double summation-order noise
+        // (~1e-13) can never flip the snapped result. A sum of
+        // UNROUNDED products lands anywhere, and at sf0.1 scale one
+        // margin in ~10⁴ really did straddle the boundary between
+        // engines. Sums are snapped to 6dp BEFORE the /n so the
+        // division operates on bit-identical doubles in every engine.
         val margins = tf.join(wDf, Seq("__b"))
-          .groupBy("__id").agg(sum(col("__tf") * col("__w")).as("__m"))
+          .groupBy("__id").agg(sum(rz6(col("__tf") * col("__w"))).as("__m"))
         val resid = labels.join(margins, Seq("__id"), "left_outer")
-          .select(col("__id"), round(
-            lit(1.0) / (lit(1.0) + exp(-round(lit(bias) + coalesce(col("__m"), lit(0.0)), 6)))
-              - col("__y"), 6).as("__r"))
+          .select(col("__id"), rz6(
+            lit(1.0) / (lit(1.0) + exp(-rz6(lit(bias) + coalesce(col("__m"), lit(0.0)))))
+              - col("__y")).as("__r"))
         val grads = tf.join(resid, Seq("__id"))
-          .groupBy("__b").agg(round(sum(col("__tf") * col("__r")) / n, 6).as("__g"))
+          .groupBy("__b")
+          .agg(rz6(rz6(sum(rz6(col("__tf") * col("__r")))) / n).as("__g"))
           .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-        val gBias = resid.agg(round(sum("__r") / n, 6)).head().getDouble(0)
-        // HALF_UP at 6dp — the SAME rounding law as Spark's round()
-        // and DuckDB's round(): math.rint would be HALF_EVEN and the
-        // replayed optimization could fork on an exact boundary
+        val gBias = resid.agg(rz6(rz6(sum("__r")) / n)).head().getDouble(0)
+        // the same operational rule as [[rz6]] — half away from zero on
+        // the scaled double (math.rint would be HALF_EVEN, and
+        // BigDecimal-on-shortest-string is Spark round's divergent law)
         def r6(x: Double): Double =
-          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          math.copySign(math.floor(math.abs(x) * 1e6 + 0.5), x) / 1e6
         var b = 0
         while (b < buckets) {
           w(b) = r6(w(b) - eta * grads.getOrElse(b, 0.0))
@@ -590,13 +618,15 @@ object TextAnalysis {
         .toDF("__b", "__w"))
     val margins = hashedTf(df, idCol, textCol, weights.length)
       .join(wDf, Seq("__b"))
-      .groupBy("__id").agg(sum(col("__tf") * col("__w")).as("__m"))
+      // per-term 6dp rounding before the sum — see the summation-law
+      // note in [[trainQualityLr]]
+      .groupBy("__id").agg(sum(rz6(col("__tf") * col("__w"))).as("__m"))
     df.select(col(idCol).as("__id")).distinct()
       .join(margins, Seq("__id"), "left_outer")
       .select(col("__id").as(idCol),
-        round(lit(bias) + coalesce(col("__m"), lit(0.0)), 6).as("lr_margin"))
+        rz6(lit(bias) + coalesce(col("__m"), lit(0.0))).as("lr_margin"))
       .withColumn("lr_prob",
-        round(lit(1.0) / (lit(1.0) + exp(-col("lr_margin"))), 6))
+        rz6(lit(1.0) / (lit(1.0) + exp(-col("lr_margin")))))
   }
 
   /** Full per-document profile in one pass. */

@@ -282,4 +282,51 @@ class SqlRecipesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the smallest source is kept whole
     assert(viaSql.count(_._2 == "b") == 15)
   }
+
+  test("C4 cleaning through SQL matches Curation.c4Clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "one fine sentence right here.\nand a second one follows now.\n" +
+        "third sentence is also good.\nfourth sentence stays put too.\n" +
+        "fifth sentence closes it out."),
+      (1L, "too few.\nwords"),
+      (2L, "please enable javascript to continue.\nbut this other sentence is fine."),
+      (3L, "lorem ipsum dolor sit amet consectetur.\nnormal sentence over here though."),
+      (4L, "function f() { return 1; } is code."),
+      (5L, "this awful content right here.")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("c4docs")
+    // README recipe, verbatim shape: HOF line filter + page flags
+    val viaSql = spark.sql("""
+      WITH m AS (
+        SELECT doc_id, text,
+               split(text, '\n') AS alll,
+               filter(split(text, '\n'), l ->
+                 (endswith(l, '.') OR endswith(l, '!') OR
+                  endswith(l, '?') OR endswith(l, '"'))
+                 AND size(filter(split(l, ' '), w -> w != '')) >= 3
+                 AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM c4docs),
+      c AS (SELECT doc_id, text, alll, kept,
+                   array_join(kept, '\n') AS clean,
+                   length(regexp_replace(array_join(kept, '\n'), '[^.!?]', '')) AS ns
+            FROM m)
+      SELECT doc_id, clean AS text,
+             size(kept) AS n_lines_kept,
+             size(alll) - size(kept) AS n_lines_dropped,
+             ns AS n_sentences,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{') AS has_brace,
+             exists(split(lower(text), ' '),
+                    w -> array_contains(array('awful'), w)) AS has_badword,
+             NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+               AND NOT exists(split(lower(text), ' '),
+                              w -> array_contains(array('awful'), w))
+               AND ns >= 5 AS c4_keep
+      FROM c""")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaScala = Curation.c4Clean(docs, "doc_id", "text",
+      badwords = Seq("awful"), minSentences = 5)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaSql == viaScala && viaSql.size == 6)
+  }
 }

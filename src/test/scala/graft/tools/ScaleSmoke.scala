@@ -107,6 +107,39 @@ object ScaleSmoke {
 
     paraDocs.unpersist()
 
+    // ---- selection scoring at 100k docs: DSIR, quality LR, CCNet ----
+    // All three share the fixed-width model property: DSIR's ratio table
+    // is exactly B rows, the LR model B+1 doubles, the bigram reference
+    // vocabulary-bounded — so corpus growth changes scan time only,
+    // never driver/broadcast footprint. The shuffle log demonstrates it:
+    // movement is bucket-count partials + (id, scalar) rows, not text.
+    {
+      val target = docs.where(col("doc_id") % 10 === 0) // ~10k-doc "domain"
+      val dsirN = withShuffle("dsirWeights 100k docs (B=4096)") {
+        graft.operators.TextAnalysis.dsirWeights(docs, target,
+          "doc_id", "text", buckets = 4096).count()
+      }
+      require(dsirN == 100000L, s"DSIR lost rows: $dsirN")
+      val labeled = docs.withColumn("y", (col("doc_id") % 10 === 0).cast("double"))
+      val lr = time("trainQualityLr 100k docs (B=1024, 3 iters)") {
+        graft.operators.TextAnalysis.trainQualityLr(labeled,
+          "doc_id", "text", "y", buckets = 1024, iters = 3)
+      }
+      val scoredN = time("scoreQualityLr 100k docs") {
+        graft.operators.TextAnalysis.scoreQualityLr(docs,
+          "doc_id", "text", lr._1, lr._2).count()
+      }
+      require(scoredN == 100000L, s"LR scoring lost rows: $scoredN")
+      val ccDocs = labeled.withColumn("lang",
+        element_at(array(lit("en"), lit("fr"), lit("de")),
+          (col("doc_id") % 3).cast("int") + 1))
+      val ccN = withShuffle("ccnetBuckets 100k docs (5k-doc reference)") {
+        graft.operators.TextAnalysis.ccnetBuckets(ccDocs, "doc_id", "text",
+          "lang", ccDocs.where(col("doc_id") % 20 === 0), parts = 3).count()
+      }
+      println(s"[scale]   dsir rows: $dsirN, lr scored: $scoredN, ccnet bucketed: $ccN")
+    }
+
     // ---- spatial: 6M points vs 5 regions ----
     val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
       .select("l_orderkey", "l_linenumber")
@@ -295,6 +328,17 @@ object ScaleSmoke {
       }
       assert(assignedN == 1250000L, s"assignment lost rows: $assignedN")
       println(s"[scale]   assigned rows: $assignedN")
+
+      // coreset selection at the same scale: only (id, cluster, cos)
+      // scalars ride the rank window — the selection output is k x
+      // perCluster rows no matter the corpus size
+      val coresetN = time("clusterCoreset 1.25M x k=64, top-100/cluster") {
+        val cents64 = bigVecs.where(col("vec_id") < 64).orderBy("vec_id")
+          .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+        Ann.clusterCoreset(bigVecs, cents64, perCluster = 100).count()
+      }
+      assert(coresetN <= 6400, s"coreset overselected: $coresetN")
+      println(s"[scale]   coreset rows: $coresetN")
 
       // two-level coarse/fine: fine centroids sharded by a 32-cell coarse
       // codebook, 4 probes — per-row cost (32 + 4·~31)·dim vs 1000·dim

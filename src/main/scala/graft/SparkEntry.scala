@@ -118,6 +118,61 @@ object SparkEntry {
       SELECT a.vec_id, a.cluster FROM a LEFT JOIN d ON a.vec_id = d.dropid
       WHERE d.dropid IS NULL ORDER BY a.vec_id"""
 
+  private val PCA_ITERS = 12
+
+  /** q147's oracle, generated: mean/covariance from the same 6dp-term
+    * moments law, then `iters` power-iteration steps per component as
+    * unrolled CTEs (matrix-vector = join + 6dp-term sum, norm = rounded
+    * sqrt of a 6dp-term sum of squares), deflation between components,
+    * and the centered 6dp-term projection — the Pca scaladoc's exact
+    * arithmetic, executed by DuckDB instead of the driver. */
+  private def pcaOracle(iters: Int): String = {
+    // every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // an iteration chain v_t -> w_t -> {c, v_(t-1)} inlined recursively
+    // re-plans the base scan exponentially many times (observed as a
+    // too-many-open-files explosion at 12 iterations)
+    def steps(k: Int, covCte: String): String =
+      (1 to iters).map { t =>
+        val pv = if (t == 1) "v0" else s"v${k}_${t - 1}"
+        s"""w${k}_$t AS MATERIALIZED (SELECT c.i, round(sum(round(c.c * v.v, 6)), 6) AS w
+            FROM $covCte c JOIN $pv v ON c.j = v.i GROUP BY c.i),
+           n${k}_$t AS MATERIALIZED (SELECT round(sqrt(round(sum(round(w * w, 6)), 6)), 6) AS nrm FROM w${k}_$t),
+           v${k}_$t AS MATERIALIZED (SELECT i, round(w / (SELECT nrm FROM n${k}_$t), 6) AS v FROM w${k}_$t)"""
+      }.mkString(",\n           ")
+    s"""
+      WITH e AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                 FROM embeddings,
+                      unnest(generate_series(1, len(embedding))) AS u(i)),
+           n0 AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+           m AS MATERIALIZED (SELECT i, round(round(sum(round(x, 6)), 6) / (SELECT n FROM n0), 6) AS mu
+                 FROM e GROUP BY i),
+           c1 AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+                         round(round(round(sum(round(a.x * b.x, 6)), 6) / (SELECT n FROM n0), 6)
+                               - round(ma.mu * mb.mu, 6), 6) AS c
+                  FROM e a JOIN e b ON a.vec_id = b.vec_id
+                  JOIN m ma ON a.i = ma.i JOIN m mb ON b.i = mb.i
+                  GROUP BY a.i, b.i, ma.mu, mb.mu),
+           dims AS (SELECT DISTINCT i FROM e),
+           v0 AS (SELECT i, round(1.0 / sqrt((SELECT CAST(count(*) AS DOUBLE) FROM dims)), 6) AS v
+                  FROM dims),
+           ${steps(1, "c1")},
+           c2 AS MATERIALIZED (SELECT c.i, c.j,
+                         round(c.c - round(round((SELECT nrm FROM n1_$iters) * va.v, 6) * vb.v, 6), 6) AS c
+                  FROM c1 c JOIN v1_$iters va ON c.i = va.i
+                  JOIN v1_$iters vb ON c.j = vb.i),
+           ${steps(2, "c2")},
+           p1 AS (SELECT e.vec_id, round(sum(round((e.x - m.mu) * v.v, 6)), 6) AS pc1
+                  FROM e JOIN m ON e.i = m.i JOIN v1_$iters v ON e.i = v.i
+                  GROUP BY e.vec_id),
+           p2 AS (SELECT e.vec_id, round(sum(round((e.x - m.mu) * v.v, 6)), 6) AS pc2
+                  FROM e JOIN m ON e.i = m.i JOIN v2_$iters v ON e.i = v.i
+                  GROUP BY e.vec_id)
+      SELECT p1.vec_id, p1.pc1, p2.pc2,
+             (SELECT nrm FROM n1_$iters) AS lambda1,
+             (SELECT nrm FROM n2_$iters) AS lambda2
+      FROM p1 JOIN p2 ON p1.vec_id = p2.vec_id ORDER BY p1.vec_id"""
+  }
+
   /** events.ts is TIMESTAMP(MICROS), surfaced by Spark as TIMESTAMP_NTZ.
     * Microseconds since epoch, matching the DuckDB oracle's
     * `epoch_us(ts)` on the same naive timestamps bit-for-bit. Spark
@@ -1326,6 +1381,23 @@ object SparkEntry {
       graft.operators.Ann.clusterCoreset(emb, cents, perCluster = 5)
         .orderBy("cluster", "rk")
     }),
+    // PCA over the real embeddings: one-pass 6dp-law moments, 12
+    // deterministic power-iteration steps per component (+ deflation
+    // for the second axis), then the map-only centered projection —
+    // the oracle re-derives mean/covariance and replays every
+    // iteration as unrolled CTEs (the q144 GD-replay precedent)
+    "q147_embedding_pca" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      prep(spark, dir)
+      val emb = spark.table("embeddings")
+      val model = graft.operators.Pca.fit(emb, "embedding",
+        components = 2, iters = PCA_ITERS)
+      graft.operators.Pca.project(emb, "embedding", model)
+        .select(col("vec_id"), col("pc1"), col("pc2"),
+          lit(model.lambdas(0)).as("lambda1"),
+          lit(model.lambdas(1)).as("lambda2"))
+        .orderBy("vec_id")
+    }),
     // SemDeDup: q75's deterministic centroids (8 lowest vec_ids), then
     // within-cluster cosine>=0.30 keep-lowest-id (q29's threshold
     // precedent for exact cross-engine cosine comparison)
@@ -1901,6 +1973,19 @@ object SparkEntry {
       graft.operators.TextAnalysis.dsirWeights(docs,
         docs.where(col("lang") === "en"), "doc_id", "text", buckets = 1024)
         .orderBy("doc_id")
+    }),
+    // BM25 retrieval over the REAL documents text: four literal queries
+    // (one matching nothing), Lucene idf variant, k1=1.2 b=0.75, top-10
+    // per query by (score desc, doc_id) — the oracle replays postings,
+    // doc lengths, avgdl, idf and the 6dp term-sum law in DuckDB
+    "q146_bm25" -> ((spark, dir) => {
+      prep(spark, dir)
+      val queries = spark.createDataFrame(Seq(
+        (0L, "hash join"), (1L, "slow scan filter"),
+        (2L, "vector window spark"), (3L, "nosuchtoken"))).toDF("qid", "qtext")
+      graft.operators.TextAnalysis.bm25TopK(spark.table("documents"),
+        "doc_id", "text", queries, "qid", "qtext", k = 10)
+        .orderBy("qid", "rnk")
     }),
     // CCNet perplexity bucketing: bigram-LM scores against the en
     // reference corpus, ntile(3) head/middle/tail per language ordered
@@ -4397,6 +4482,43 @@ object SparkEntry {
              coalesce(s.dsir_logratio, 0.0) AS dsir_logratio
       FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN s USING (doc_id)
       ORDER BY doc_id""",
+    // full PCA replay: moments -> covariance -> 2x12 unrolled power
+    // iterations -> deflation -> centered projection (generated CTEs)
+    "q147_embedding_pca" -> pcaOracle(PCA_ITERS),
+    // full BM25 replay: postings -> doc lengths -> corpus scalars ->
+    // Lucene idf -> per-(query,doc) 6dp term sum -> rank
+    "q146_bm25" -> """
+      WITH q(qid, qtext) AS (VALUES (0, 'hash join'), (1, 'slow scan filter'),
+                                    (2, 'vector window spark'), (3, 'nosuchtoken')),
+           t AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                 FROM documents),
+           p AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                 FROM t WHERE tok <> '' GROUP BY doc_id, tok),
+           dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
+           nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+           ad AS (SELECT round(CAST(sum(tf) AS DOUBLE) / any_value(n), 6) AS avgdl
+                  FROM p CROSS JOIN nn),
+           qt AS (SELECT DISTINCT qid, tok FROM (
+                    SELECT qid, unnest(string_split(qtext, ' ')) AS tok FROM q)
+                  WHERE tok <> ''),
+           dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS dfq FROM p GROUP BY tok),
+           qi AS (SELECT qid, qt.tok,
+                         round(ln(1 + (n - dfq + 0.5) / (dfq + 0.5)), 6) AS idf
+                  FROM qt JOIN dfq ON qt.tok = dfq.tok CROSS JOIN nn),
+           c AS (SELECT qid, p.doc_id,
+                        round(idf * round(tf * 2.2 / (tf + 1.2 * (0.25 +
+                          0.75 * round(dl / avgdl, 6))), 6), 6) AS c
+                 FROM p JOIN qi ON p.tok = qi.tok
+                 JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN ad),
+           s AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                        round(sum(c), 6) AS score
+                 FROM c GROUP BY qid, doc_id),
+           r AS (SELECT qid, doc_id, n_terms, score,
+                        CAST(row_number() OVER (
+                          PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+                 FROM s)
+      SELECT CAST(qid AS BIGINT) AS qid, doc_id, rnk, n_terms, score
+      FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
     // CCNet replay: q118's bigram scoring restricted to the en-trained
     // model, then ntile(3) per language over the identical (ppl, id)
     // total order

@@ -505,8 +505,7 @@ object TextAnalysis {
     * convention or sf0.1-scale corpora flip ~1 row in 10^4 (caught by
     * the sf01 twin gate). Valid for |x| < 2^53/1e6 ≈ 9e9 — far above
     * any margin/gradient here. */
-  private def rz6(c: Column): Column =
-    signum(c) * floor(abs(c) * 1e6 + lit(0.5)) / 1e6
+  private def rz6(c: Column): Column = graft.util.Round6.rz6(c)
 
   /** Hashed term-frequency features: one row per (doc, bucket) with
     * `tf = round(count/doc_tokens, 6)` over `buckets` 48-bit-md5 hash
@@ -627,6 +626,98 @@ object TextAnalysis {
         rz6(lit(bias) + coalesce(col("__m"), lit(0.0))).as("lr_margin"))
       .withColumn("lr_prob",
         rz6(lit(1.0) / (lit(1.0) + exp(-col("lr_margin")))))
+  }
+
+  /** Okapi BM25 retrieval: for each query, the top-`k` documents by the
+    * BM25 ranking function over whitespace tokens — the standard sparse
+    * retrieval primitive (contamination lookup, nearest-document audit,
+    * retrieval-augmented curation) that [[tfidfTopTerms]]'s statistics
+    * almost compute but don't rank by.
+    *
+    * Scoring (Lucene's non-negative idf variant):
+    * {{{
+    *   idf_t  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    *   norm_d = dl_d / avgdl
+    *   s(q,d) = Σ_t∈q∩d  idf_t · tf · (k1+1) / (tf + k1·(1 − b + b·norm_d))
+    * }}}
+    * with N = total documents (empty/NULL docs count toward N and pull
+    * avgdl down, the IR convention), dl = token count, df_t = documents
+    * containing t, and duplicate query terms deduplicated (standard
+    * bag-of-words BM25 counts a repeated query term once per distinct
+    * term here; callers wanting query-side tf can weight rows).
+    *
+    * Determinism contract: every product/quotient is rounded half-away-
+    * from-zero to 6dp ([[rz6]]) before it feeds the next step, and the
+    * per-(query,doc) sum adds ONLY 6dp terms — the [[trainQualityLr]]
+    * summation law, so the score is reproducible across engines and
+    * partitionings; ranking ties break by ascending doc id (total
+    * order). ln agreement at 6dp across libm implementations follows the
+    * [[dsirWeights]] precedent.
+    *
+    * Scale design (100 TB): the corpus-side lineage is ONE hash-agg to
+    * postings (shuffle keyed (doc, term)), a window doc-length sum over
+    * the already-aggregated postings (bounded by distinct-terms-per-doc,
+    * never corpus bytes), and a term-keyed join against the BROADCAST
+    * query-term/idf table — |queries|·|terms| rows, built by semi-joining
+    * the distributed df-counts down to the query vocabulary first, so
+    * the full vocabulary is never broadcast or collected. Only postings
+    * that match a query term reach the (query, doc) score aggregate;
+    * the final per-query top-k is a rank-pushdown window keyed by query
+    * (a hot query's candidate set is its matched-postings count — salt
+    * via [[SkewJoin]] if one query matches most of the corpus). Corpus
+    * text never rides any exchange; `queries` must be broadcast-small
+    * (retrieval batches, not a second corpus — for corpus×corpus
+    * similarity use [[winnowSharedPairs]] or MinHash). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1 (got $k1, $b)")
+    val postings = df
+      .select(col(idCol).as("__id"),
+        explode(split(coalesce(col(textCol).cast("string"), lit("")), " ")).as("__tok"))
+      .where(col("__tok") =!= "")
+      .groupBy("__id", "__tok").agg(count(lit(1)).as("__tf"))
+    // doc length as a window over the postings — no second corpus scan,
+    // partition size bounded by distinct terms per doc
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("__id")
+    val withDl = postings.withColumn("__dl", sum("__tf").over(wDoc))
+    // corpus scalars: N over ALL docs (empty ones too), avgdl = 6dp
+    // quotient of total postings mass over N
+    val nDocs = df.select(col(idCol)).distinct().count()
+    require(nDocs > 0, "bm25TopK needs a non-empty corpus")
+    val qterms = queries
+      .select(col(qidCol).as("__qid"),
+        explode(array_distinct(
+          split(coalesce(col(qtextCol).cast("string"), lit("")), " "))).as("__tok"))
+      .where(col("__tok") =!= "")
+    // distributed df-counts semi-joined down to the query vocabulary,
+    // THEN broadcast: |q terms| rows, never the corpus vocabulary
+    val dfreq = postings.groupBy("__tok").agg(count(lit(1)).as("__df"))
+      .join(broadcast(qterms.select("__tok").distinct()), Seq("__tok"))
+    val qidf = broadcast(
+      qterms.join(broadcast(dfreq), Seq("__tok"))
+        .select(col("__qid"), col("__tok"),
+          rz6(log(lit(1.0) +
+            (lit(nDocs.toDouble) - col("__df") + lit(0.5)) /
+              (col("__df") + lit(0.5)))).as("__idf")))
+    val avgdlDf = broadcast(
+      withDl.groupBy().agg(
+        rz6(sum("__tf") / lit(nDocs.toDouble)).as("__avgdl")))
+    val contrib = withDl.join(qidf, Seq("__tok")).crossJoin(avgdlDf)
+      .select(col("__qid"), col("__id"),
+        rz6(col("__idf") *
+          rz6(col("__tf") * lit(k1 + 1.0) /
+            (col("__tf") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * rz6(col("__dl") / col("__avgdl")))))).as("__c"))
+    val scored = contrib.groupBy("__qid", "__id")
+      .agg(count(lit(1)).as("__nt"), rz6(sum("__c")).as("__s"))
+    val wQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(col("__s").desc, col("__id").asc)
+    scored.withColumn("__rk", row_number().over(wQ)).where(col("__rk") <= k)
+      .select(col("__qid").as(qidCol), col("__id").as(idCol),
+        col("__rk").cast("int").as("rnk"),
+        col("__nt").as("n_terms"), col("__s").as("score"))
   }
 
   /** Full per-document profile in one pass. */

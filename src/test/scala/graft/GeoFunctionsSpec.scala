@@ -802,11 +802,11 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("select ST_AsEWKT(ST_Transform(ST_GeomFromText(" +
       "'POINT(1 2)', 3857), 3857))") == "SRID=3857;POINT(1 2)")
     // unsupported pairs raise rather than silently approximating —
-    // 28992 (Amersfoort RD, oblique stereographic) is outside every
-    // registry (27700/29902/23031 used to be the raising examples; they
-    // moved to the national-grid tier with real Helmert datum shifts)
+    // 3577 (GDA94 Australian Albers) is outside every registry
+    // (27700/29902/23031 moved to the national-grid tier, 28992 to the
+    // azimuthal tier — each previous raising example got implemented)
     assert(intercept[Exception] {
-      spark.sql("select ST_Transform(ST_GeomFromText('POINT(1 2)', 28992), 4326)")
+      spark.sql("select ST_Transform(ST_GeomFromText('POINT(1 2)', 3577), 4326)")
         .collect()
     }.getMessage.contains("ST_Transform supports"))
     // ...and the national-grid tier answers directly from SQL

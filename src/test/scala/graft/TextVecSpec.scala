@@ -1035,4 +1035,36 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b(1L) == (("en", 2)), s"noisy doc not tail: $b")
     assert(b(3L) == (("fr", 1)))
   }
+
+  test("bm25TopK: idf discriminates, rare terms win, misses vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "rare common common"),        // has the rare term
+      (1L, "common common common rare"), // rare term in a longer doc
+      (2L, "common common"),             // common-only
+      (3L, ""),                          // empty: counts toward N/avgdl only
+      (4L, "other words entirely"))
+      .toDF("doc_id", "text")
+    val qs = Seq((0L, "rare"), (1L, "common rare common"), (2L, "absent"))
+      .toDF("qid", "qtext")
+    val out = graft.operators.TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // query 'rare': only docs 0 and 1 match; doc 0 is shorter (dl 3 vs 4)
+    // so its tf-normalized score is higher -> rank 1
+    assert(out((0L, 0L))._1 == 1 && out((0L, 1L))._1 == 2)
+    assert(out((0L, 0L))._3 > out((0L, 1L))._3)
+    assert(!out.contains((0L, 2L)) && !out.contains((0L, 3L)))
+    // duplicate query terms dedup: 'common rare common' scores docs 0-2
+    // with n_terms counting DISTINCT matched terms
+    assert(out((1L, 0L))._2 == 2 && out((1L, 2L))._2 == 1)
+    // the unmatched query produces no rows at all
+    assert(!out.keys.exists(_._1 == 2L))
+    // scores are 6dp-rounded (the determinism contract)
+    out.values.foreach { case (_, _, s) =>
+      assert((s * 1e6).round / 1e6 == s, s"score not 6dp: $s")
+    }
+  }
 }

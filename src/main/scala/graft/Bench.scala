@@ -61,7 +61,11 @@ object Bench {
     "q137_dedup_spans",         // gram census + hash join + RANGE-window coverage
     "q141_dsir_weights",        // two bucket-count aggs + broadcast ratio join
     "q142_ccnet_buckets",       // bigram-LM scoring + per-language ntile
-    "q144_quality_lr")          // 3 GD iterations over cached hashed-TF + scoring
+    "q144_quality_lr",          // 3 GD iterations over cached hashed-TF + scoring
+    "q146_bm25",                // postings agg + broadcast query-idf join + top-k
+    "q147_embedding_pca",       // one-pass d^2 moments + driver eigen + projection
+    "q148_random_projection",   // map-only JL transform, literal sign matrix
+    "q149_union_agg")           // partial-aggregating cascaded geometry union
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -76,7 +80,8 @@ object Bench {
     "q73_dedup_clusters", "q74_tfidf_terms", "q104_mercator_tiles_geohash",
     "q105_cluster_kmeans", "q110_paragraph_dedup", "q118_bigram_lm",
     "q135_remove_boilerplate", "q137_dedup_spans", "q141_dsir_weights",
-    "q142_ccnet_buckets")
+    "q142_ccnet_buckets", "q146_bm25", "q147_embedding_pca",
+    "q148_random_projection", "q149_union_agg")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

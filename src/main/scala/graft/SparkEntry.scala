@@ -1398,6 +1398,35 @@ object SparkEntry {
           lit(model.lambdas(1)).as("lambda2"))
         .orderBy("vec_id")
     }),
+    // st_union_agg dissolve over unit squares on an integer grid: the
+    // union's area is EXACTLY the distinct-cell count (interior-disjoint
+    // integer cells, float-exact overlay), and its envelope is the
+    // arithmetic min/max of the cells — so vanilla SQL pins the real
+    // cascaded union's measure and extent without a spatial oracle
+    "q149_union_agg" -> q("""
+      WITH cells AS (SELECT l_linenumber AS grp,
+                            CAST(l_orderkey % 100 AS DOUBLE) AS x,
+                            CAST((l_orderkey DIV 100) % 50 AS DOUBLE) AS y
+                     FROM lineitem),
+           u AS (SELECT grp, count(*) AS n_in,
+                        st_union_agg(ST_MakeEnvelope(x, y, x + 1, y + 1)) AS g
+                 FROM cells GROUP BY grp)
+      SELECT grp, n_in, round(ST_Area(g), 6) AS union_area,
+             Box2D(g).xmin AS xmin, Box2D(g).ymin AS ymin,
+             Box2D(g).xmax AS xmax, Box2D(g).ymax AS ymax
+      FROM u ORDER BY grp"""),
+    // Johnson-Lindenstrauss Rademacher projection 64 -> 8 dims: the
+    // sign matrix is the shared 48-bit-md5 law (nothing persisted), so
+    // the oracle rebuilds the identical matrix in SQL and replays the
+    // snap-before-scale rounding contract
+    "q148_random_projection" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      prep(spark, dir)
+      graft.operators.Pca.randomProject(spark.table("embeddings"),
+        "embedding", inDim = 64, outDim = 8, seed = 7L)
+        .select(col("vec_id") +: (1 to 8).map(c => col(s"rp$c")): _*)
+        .orderBy("vec_id")
+    }),
     // SemDeDup: q75's deterministic centroids (8 lowest vec_ids), then
     // within-cluster cosine>=0.30 keep-lowest-id (q29's threshold
     // precedent for exact cross-engine cosine comparison)
@@ -4485,6 +4514,43 @@ object SparkEntry {
     // full PCA replay: moments -> covariance -> 2x12 unrolled power
     // iterations -> deflation -> centered projection (generated CTEs)
     "q147_embedding_pca" -> pcaOracle(PCA_ITERS),
+    // the union of interior-disjoint integer unit cells measures
+    // count(DISTINCT cell) and spans the arithmetic envelope
+    "q149_union_agg" -> """
+      WITH cells AS (SELECT l_linenumber AS grp,
+                            CAST(l_orderkey % 100 AS DOUBLE) AS x,
+                            CAST((l_orderkey // 100) % 50 AS DOUBLE) AS y
+                     FROM lineitem)
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_in,
+             CAST(count(DISTINCT x * 1000 + y) AS DOUBLE) AS union_area,
+             min(x) AS xmin, min(y) AS ymin,
+             max(x) + 1 AS xmax, max(y) + 1 AS ymax
+      FROM cells GROUP BY grp ORDER BY grp""",
+    // JL replay: the md5 sign matrix rebuilt in SQL (0-based c/j in the
+    // hash string), per-term rounding, snap-before-scale; 1/sqrt(8)
+    // 6dp-snapped = 0.353553
+    "q148_random_projection" -> ("""
+      WITH dims AS (SELECT CAST(i AS INT) AS i
+                    FROM unnest(generate_series(1, 64)) AS u(i)),
+           comps AS (SELECT CAST(c AS INT) AS c
+                     FROM unnest(generate_series(1, 8)) AS u(c)),
+           sgn AS (SELECT c, i,
+                          CASE WHEN CAST(('0x' || substr(md5('rp:7:' ||
+                                 CAST(c - 1 AS VARCHAR) || ':' ||
+                                 CAST(i - 1 AS VARCHAR)), 1, 12)) AS BIGINT)
+                               % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+                   FROM comps CROSS JOIN dims),
+           e AS (SELECT vec_id, CAST(i AS INT) AS i,
+                        CAST(embedding[i] AS DOUBLE) AS x
+                 FROM embeddings,
+                      unnest(generate_series(1, len(embedding))) AS u(i)),
+           t AS (SELECT vec_id, c,
+                        round(round(sum(round(x * s, 6)), 6) * 0.353553, 6) AS y
+                 FROM e JOIN sgn ON e.i = sgn.i GROUP BY vec_id, c)
+      SELECT vec_id,""" +
+      (1 to 8).map(c =>
+        s"\n             max(CASE WHEN c = $c THEN y END) AS rp$c").mkString(",") + """
+      FROM t GROUP BY vec_id ORDER BY vec_id"""),
     // full BM25 replay: postings -> doc lengths -> corpus scalars ->
     // Lucene idf -> per-(query,doc) 6dp term sum -> rank
     "q146_bm25" -> """
@@ -4740,7 +4806,13 @@ object SparkEntry {
     // round-12 selection operators: scoring laws whose totals/buckets
     // shift with corpus size are exactly the scale-dependent-bug class
     "q141_dsir_weights", "q142_ccnet_buckets", "q143_c4_clean",
-    "q144_quality_lr", "q145_cluster_coreset")
+    "q144_quality_lr", "q145_cluster_coreset",
+    // round-12 retrieval/reduction/dissolve operators: BM25's corpus
+    // scalars, PCA's moment quotients (the snap-before-divide boundary
+    // bug class was FOUND at exactly n=500 — the twin re-proves it at
+    // n=5000), and the union's compaction cadence all shift with n
+    "q146_bm25", "q147_embedding_pca", "q148_random_projection",
+    "q149_union_agg")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -358,6 +358,12 @@ object GeoFunctions {
     // per group across the shuffle (the analyzer wraps it in an
     // AggregateExpression like any built-in aggregate)
     "st_extent" -> { es => arity("st_extent", es, 1); StExtentAgg(es.head) },
+    // TypedImperativeAggregate: partial-aggregating dissolve — map tasks
+    // union their rows down before the shuffle, so per-(task, group)
+    // payload is one compacted geometry, never the group's row count.
+    // Named st_union_agg (not PostGIS's overloaded ST_Union) because the
+    // 1-arg scalar slot is taken by the array form above.
+    "st_union_agg" -> { es => arity("st_union_agg", es, 1); StUnionAgg(es.head) },
     // Aggregator-backed UDAF, expressed through the ScalaAggregator shim
     // so it rides the same registry/extension path as every other
     // function (a spark.udf.register call would be invisible to
@@ -617,6 +623,7 @@ object GeoFunctions {
   def st_polygonize(arr: Column): Column = c(StPolygonize(x(arr)))
   def st_union_arr(arr: Column): Column = c(StUnionArr(x(arr)))
   def st_extent(g: Column): Column = c(StExtentAgg(x(g)).toAggregateExpression())
+  def st_union_agg(g: Column): Column = c(StUnionAgg(x(g)).toAggregateExpression())
   def simhash64(t: Column): Column = c(TextSimhash(x(t)))
   def minhash_sig(t: Column, n: Column): Column = c(TextMinhash(x(t), x(n)))
   def lang_id(t: Column): Column = c(TextLangId(x(t)))

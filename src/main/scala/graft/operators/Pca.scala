@@ -202,6 +202,49 @@ object Pca {
     PcaModel(mean, comps, lambdas, n)
   }
 
+  /** The ±1 sign matrix of [[randomProject]], derived from the engine's
+    * shared 48-bit-md5 hash law so ANY engine can rebuild it without
+    * shipping an artifact: `sign(c, j) = +1 iff
+    * (first 12 hex chars of md5("rp:<seed>:<c>:<j>") as int) % 2 == 0`.
+    * Exposed for oracles/tests. */
+  def rpSign(seed: Long, c: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$seed:$c:$j".getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions
+    * with a dense Rademacher (±1/√p) matrix (Achlioptas 2003, database-
+    * friendly projections: ±1 entries preserve pairwise distances with
+    * the same JL guarantee as Gaussians) — the cheap, model-free
+    * companion to [[fit]]/[[project]]: no training pass at all, so it is
+    * the right reduction when the corpus is scanned exactly once, and
+    * the matrix is a pure hash function ([[rpSign]]) — nothing to
+    * persist, broadcast, or version.
+    *
+    * `rp_c = rz6(rz6(Σ_j rz6(x_j·s_cj)) · rz6(1/√p))` — terms rounded
+    * before the sum, the sum SNAPPED before scaling (the [[covariance]]
+    * boundary rule), all under the [[graft.util.Round6]] law.
+    *
+    * Scale design (100 TB): strictly map-only — the p×d signs fold into
+    * the plan as literals inside whole-stage codegen (p·d ≤ ~64k
+    * doubles for p=64, d=1024; far under the 64 KB codegen method limit
+    * because each output column is one zip_with/aggregate pair), no
+    * UDF, no shuffle, no driver state beyond the literal matrix. NULL
+    * vectors map to NULL outputs. */
+  def randomProject(df: DataFrame, vecCol: String, inDim: Int, outDim: Int,
+      seed: Long = 42L): DataFrame = {
+    require(outDim >= 1 && inDim >= 1, "dimensions must be positive")
+    val scale = rz6d(1.0 / math.sqrt(outDim.toDouble))
+    (0 until outDim).foldLeft(df) { case (acc, c) =>
+      val signs = array((0 until inDim).map(j => lit(rpSign(seed, c, j))): _*)
+      val terms = zip_with(col(vecCol), signs, (x, s) => rz6(x.cast("double") * s))
+      acc.withColumn(s"rp${c + 1}",
+        rz6(rz6(aggregate(terms, lit(0.0), (s: Column, t: Column) => s + t)) * lit(scale)))
+    }
+  }
+
   /** Map-only projection onto the fitted axes: one `pc<k>` column per
     * component, `pc_c = rz6(Σ_j rz6((x_j − mean_j)·v_cj))` — centered
     * against the model's mean, built from codegen'd higher-order

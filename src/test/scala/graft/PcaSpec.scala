@@ -70,6 +70,39 @@ class PcaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pn.isNullAt(0))
   }
 
+  test("randomProject: JL distance preservation in the aggregate, hash-law signs") {
+    import spark.implicits._
+    // 40 16-d points; JL with p=8 preserves pairwise distance RATIOS on
+    // average (individual pairs can distort; assert the mean ratio)
+    val pts = (0 until 40).map { i =>
+      (i.toLong, (0 until 16).map(j => (((i * 31 + j * 17) % 19) - 9) / 3.0f))
+    }
+    val df = pts.toDF("id", "v")
+    val proj = Pca.randomProject(df, "v", inDim = 16, outDim = 8, seed = 7L)
+      .select("id", "rp1", "rp2", "rp3", "rp4", "rp5", "rp6", "rp7", "rp8")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(r.getDouble).toArray).toMap
+    val orig = pts.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- 0L until 40L; j <- (i + 1) until 40L
+      od = d2(orig(i), orig(j)) if od > 1e-9
+    } yield d2(proj(i), proj(j)) / od
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL mean distance ratio off: $mean")
+    // determinism: same seed -> identical; different seed -> different
+    val again = Pca.randomProject(df, "v", 16, 8, seed = 7L)
+      .select("rp1").collect().map(_.getDouble(0)).toSeq
+    assert(again == proj.toSeq.sortBy(_._1).map(_._2(0)))
+    val other = Pca.randomProject(df, "v", 16, 8, seed = 8L)
+      .select("rp1").collect().map(_.getDouble(0)).toSeq
+    assert(other != again)
+    // the sign law is ±1 and seed/index-sensitive
+    assert(Set(Pca.rpSign(7L, 0, 0), Pca.rpSign(7L, 0, 1),
+      Pca.rpSign(7L, 1, 0)).subsetOf(Set(1.0, -1.0)))
+  }
+
   test("moments rejects ragged dimensions loudly") {
     import spark.implicits._
     val ragged = Seq(Seq(1f, 2f), Seq(1f, 2f, 3f)).toDF("v").coalesce(1)

@@ -65,7 +65,9 @@ object Bench {
     "q146_bm25",                // postings agg + broadcast query-idf join + top-k
     "q147_embedding_pca",       // one-pass d^2 moments + driver eigen + projection
     "q148_random_projection",   // map-only JL transform, literal sign matrix
-    "q149_union_agg")           // partial-aggregating cascaded geometry union
+    "q149_union_agg",           // partial-aggregating cascaded geometry union
+    "q150_bpe_learn",           // word-count shuffle + driver merge loop
+    "q151_bpe_tokens")          // codegen'd literal-replace tokenization fold
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -81,7 +83,8 @@ object Bench {
     "q105_cluster_kmeans", "q110_paragraph_dedup", "q118_bigram_lm",
     "q135_remove_boilerplate", "q137_dedup_spans", "q141_dsir_weights",
     "q142_ccnet_buckets", "q146_bm25", "q147_embedding_pca",
-    "q148_random_projection", "q149_union_agg")
+    "q148_random_projection", "q149_union_agg", "q150_bpe_learn",
+    "q151_bpe_tokens")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

@@ -173,6 +173,47 @@ object SparkEntry {
       FROM p1 JOIN p2 ON p1.vec_id = p2.vec_id ORDER BY p1.vec_id"""
   }
 
+  private val BPE_MERGES = 8
+
+  /** The shared CTE chain of the q150/q151 oracles: word counts →
+    * bracketed symbol strings → `k` unrolled merge rounds, each one
+    * pair-count aggregate + argmax (count desc, pair-string asc) + a
+    * literal `replace` application — the exact merge law in
+    * [[graft.operators.Bpe]]'s scaladoc, executed by DuckDB. */
+  private def bpeLearnCtes(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS MATERIALIZED (
+            SELECT s[i] AS l, s[i + 1] AS r2, CAST(sum(f) AS BIGINT) AS c
+            FROM (SELECT string_split(s, chr(1)) AS s, f FROM w${r - 1}),
+                 unnest(generate_series(2, len(s) - 2)) AS u(i)
+            GROUP BY 1, 2),
+           m$r AS MATERIALIZED (
+            SELECT l, r2, c FROM p$r ORDER BY c DESC, l || chr(1) || r2 ASC LIMIT 1),
+           w$r AS MATERIALIZED (
+            SELECT replace(s, chr(1) || l || chr(1) || r2 || chr(1),
+                              chr(1) || l || r2 || chr(1)) AS s, f
+            FROM w${r - 1} CROSS JOIN m$r)"""
+    }.mkString(",\n           ")
+    s"""words AS MATERIALIZED (
+            SELECT tok AS w, CAST(count(*) AS BIGINT) AS f
+            FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> '' GROUP BY tok),
+           w0 AS MATERIALIZED (
+            SELECT chr(1) || string_agg(substr(w, i, 1), chr(1) ORDER BY i)
+                   || chr(1) AS s, f
+            FROM words, unnest(generate_series(1, len(w))) AS u(i)
+            GROUP BY w, f),
+           $rounds"""
+  }
+
+  /** q151's per-word replace chain under the learned merges m1..mk. */
+  private def bpeReplaceChain(k: Int): String =
+    (1 to k).foldLeft("s") { (acc, r) =>
+      s"replace($acc, (SELECT chr(1) || l || chr(1) || r2 || chr(1) FROM m$r)," +
+        s" (SELECT chr(1) || l || r2 || chr(1) FROM m$r))"
+    }
+
   /** events.ts is TIMESTAMP(MICROS), surfaced by Spark as TIMESTAMP_NTZ.
     * Microseconds since epoch, matching the DuckDB oracle's
     * `epoch_us(ts)` on the same naive timestamps bit-for-bit. Spark
@@ -2001,6 +2042,26 @@ object SparkEntry {
       val docs = spark.table("documents")
       graft.operators.TextAnalysis.dsirWeights(docs,
         docs.where(col("lang") === "en"), "doc_id", "text", buckets = 1024)
+        .orderBy("doc_id")
+    }),
+    // BPE vocabulary learning on the REAL documents text: one word-count
+    // shuffle, then 8 deterministic merge rounds on the driver under
+    // the replace-law contract — the oracle re-learns all 8 merges as
+    // unrolled DuckDB CTEs and must reproduce every (pair, count) row
+    "q150_bpe_learn" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = spark.table("documents")
+      graft.operators.Bpe.mergesDF(docs,
+        graft.operators.Bpe.learn(docs, "text", numMerges = BPE_MERGES))
+        .orderBy("rank")
+    }),
+    // map-only BPE tokenization stats under the q150 merges: per-doc
+    // word and token counts, the codegen'd literal-replace fold
+    "q151_bpe_tokens" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = spark.table("documents")
+      val merges = graft.operators.Bpe.learn(docs, "text", numMerges = BPE_MERGES)
+      graft.operators.Bpe.tokenCounts(docs, "doc_id", "text", merges)
         .orderBy("doc_id")
     }),
     // BM25 retrieval over the REAL documents text: four literal queries
@@ -4551,6 +4612,40 @@ object SparkEntry {
       (1 to 8).map(c =>
         s"\n             max(CASE WHEN c = $c THEN y END) AS rp$c").mkString(",") + """
       FROM t GROUP BY vec_id ORDER BY vec_id"""),
+    // re-learn the 8 merges in SQL and emit the merge table
+    "q150_bpe_learn" -> (s"""
+      WITH ${bpeLearnCtes(BPE_MERGES)}
+      SELECT * FROM (""" +
+      (1 to BPE_MERGES).map(r =>
+        s"""SELECT CAST($r AS INT) AS rank, l AS lsym, r2 AS rsym,
+               l || r2 AS merged, c AS pair_count FROM m$r""")
+        .mkString("\n      UNION ALL ") + """)
+      ORDER BY rank"""),
+    // re-learn the merges, then tokenize every doc's words through the
+    // same replace chain and count symbols
+    "q151_bpe_tokens" -> (s"""
+      WITH ${bpeLearnCtes(BPE_MERGES)},
+           dw AS (SELECT doc_id, i AS wpos, a[i] AS w
+                  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS a
+                        FROM documents),
+                       unnest(generate_series(1, len(a))) AS u(i)
+                  WHERE a[i] <> ''),
+           sym0 AS (SELECT doc_id, wpos,
+                           chr(1) || string_agg(substr(w, j, 1), chr(1) ORDER BY j)
+                           || chr(1) AS s
+                    FROM dw, unnest(generate_series(1, len(w))) AS v(j)
+                    GROUP BY doc_id, wpos, w),
+           symf AS (SELECT doc_id, wpos, ${bpeReplaceChain(BPE_MERGES)} AS s
+                    FROM sym0),
+           cnt AS (SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+                          CAST(sum(len(s) - len(replace(s, chr(1), '')) - 1) AS INT)
+                            AS n_bpe
+                   FROM symf GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words,
+             coalesce(c.n_bpe, 0) AS n_bpe_tokens
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN cnt c ON d.doc_id = c.doc_id
+      ORDER BY d.doc_id"""),
     // full BM25 replay: postings -> doc lengths -> corpus scalars ->
     // Lucene idf -> per-(query,doc) 6dp term sum -> rank
     "q146_bm25" -> """
@@ -4812,7 +4907,10 @@ object SparkEntry {
     // bug class was FOUND at exactly n=500 — the twin re-proves it at
     // n=5000), and the union's compaction cadence all shift with n
     "q146_bm25", "q147_embedding_pca", "q148_random_projection",
-    "q149_union_agg")
+    "q149_union_agg",
+    // BPE: the learned merges themselves depend on corpus-wide counts,
+    // so a scale-dependent counting bug rewrites the whole merge table
+    "q150_bpe_learn", "q151_bpe_tokens")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

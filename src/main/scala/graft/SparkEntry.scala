@@ -1140,6 +1140,16 @@ object SparkEntry {
     }),
     // deterministic hash split: membership depends only on md5(doc_id),
     // so any engine reproduces the same train/test assignment
+    // Efraimidis-Spirakis weighted sampling per source, weights =
+    // n_chars: the oracle replays the exponential-key law (md5 uniform,
+    // -ln(u)/w, 6dp snap) and the same (key, id) rank
+    "q152_weighted_sample" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Sampling.weightedSamplePerGroup(
+        spark.table("documents").select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", k = 5)
+        .orderBy("source", "sample_rank")
+    }),
     "q58_train_test_split" -> ((spark, dir) => {
       prep(spark, dir)
       graft.operators.Sampling
@@ -4407,6 +4417,21 @@ object SparkEntry {
       FROM documents ORDER BY doc_id""",
     // 0.25 -> threshold 0x400000000000 over the first 48 bits; fixed-width
     // lowercase hex compares like the number it encodes
+    // the exponential sampling key replayed: u = (h48+1)/2^48, r =
+    // round(-ln(u)/w, 6), k smallest per source with id tie-break
+    "q152_weighted_sample" -> """
+      WITH s AS (SELECT doc_id, source, n_chars,
+                        round(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                                        AS BIGINT) + 1) / 281474976710656.0)
+                              / n_chars, 6) AS r
+                 FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+           k AS (SELECT doc_id, source, n_chars,
+                        CAST(row_number() OVER (
+                          PARTITION BY source ORDER BY r ASC, doc_id ASC) AS INT)
+                          AS sample_rank
+                 FROM s)
+      SELECT doc_id, source, n_chars, sample_rank FROM k
+      WHERE sample_rank <= 5 ORDER BY source, sample_rank""",
     "q58_train_test_split" -> """
       SELECT doc_id,
              CASE WHEN md5(CAST(doc_id AS VARCHAR))
@@ -4910,7 +4935,8 @@ object SparkEntry {
     "q149_union_agg",
     // BPE: the learned merges themselves depend on corpus-wide counts,
     // so a scale-dependent counting bug rewrites the whole merge table
-    "q150_bpe_learn", "q151_bpe_tokens")
+    "q150_bpe_learn", "q151_bpe_tokens",
+    "q152_weighted_sample")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -117,4 +117,56 @@ object Sampling {
       .where(u < col("__rate") * (1L << 48).toDouble)
       .drop("__dom", "__n", "__rate")
   }
+
+  /** The exponential sampling key of [[weightedSample]]:
+    * `r = rz6(-ln(u) / w)` with `u = (h48 + 1) / 2^48 ∈ (0, 1]` from
+    * the deterministic 48-bit md5 law. Efraimidis–Spirakis (2006)
+    * weighted reservoir sampling in its exponential-jump form: keeping
+    * the k SMALLEST r draws a weighted sample without replacement,
+    * P(row first) = w_i / Σw. Replayable by construction: h+1 ≤ 2^48
+    * and the 2^48 divisor are double-exact, ln agrees at 6dp across
+    * libms (the dsirWeights precedent), and the 6dp snap + key
+    * tie-break make the rank a total order. */
+  private def expKey(keyCol: String, weightCol: String, salt: String) = {
+    val h = conv(substring(md5(hashInput(keyCol, salt).cast("binary")), 1, 12),
+      16, 10).cast("long")
+    graft.util.Round6.rz6(
+      -log((h + 1).cast("double") / (1L << 48).toDouble) /
+        col(weightCol).cast("double"))
+  }
+
+  /** Deterministic weighted sampling without replacement: the `k` rows
+    * with the smallest [[expKey]] (ties by key column — total order).
+    * Rows with NULL or non-positive weight are excluded — a weight of 0
+    * means "never sample", and a negative weight has no sampling
+    * meaning, so both fail soft rather than produce NaN keys.
+    *
+    * Scale: a map-side key computation and a global top-k — Spark plans
+    * the `orderBy().limit(k)` as TakeOrderedAndProject (per-partition
+    * heads, no full sort), so nothing corpus-sized shuffles. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__r", expKey(keyCol, weightCol, salt))
+      .orderBy(col("__r").asc, col(keyCol).asc)
+      .limit(k)
+      .drop("__r")
+  }
+
+  /** Per-group variant: the `k` smallest-key rows in every `groupCol`
+    * group (domain-balanced weighted subsampling). Rank-pushdown window
+    * keyed by group — only (group, key-scalar) ordering state per
+    * reducer, the usual top-k shape. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      weightCol: String, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__r").asc, col(keyCol).asc)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__r", expKey(keyCol, weightCol, salt))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(df.columns.map(col) :+ col("__rk").cast("int").as("sample_rank"): _*)
+  }
 }

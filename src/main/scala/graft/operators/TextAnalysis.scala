@@ -654,9 +654,11 @@ object TextAnalysis {
     * order). ln agreement at 6dp across libm implementations follows the
     * [[dsirWeights]] precedent.
     *
-    * Scale design (100 TB): the corpus-side lineage is ONE hash-agg to
-    * postings (shuffle keyed (doc, term)), a window doc-length sum over
-    * the already-aggregated postings (bounded by distinct-terms-per-doc,
+    * Scale design (100 TB): the corpus-side lineage is one hash-agg to
+    * postings (shuffle keyed (doc, term)) plus an id-pruned distinct
+    * count for N (both lazy — the scalars ride broadcast 1-row frames,
+    * no driver job), a window doc-length sum over the
+    * already-aggregated postings (bounded by distinct-terms-per-doc,
     * never corpus bytes), and a term-keyed join against the BROADCAST
     * query-term/idf table — |queries|·|terms| rows, built by semi-joining
     * the distributed df-counts down to the query vocabulary first, so
@@ -682,10 +684,11 @@ object TextAnalysis {
     // partition size bounded by distinct terms per doc
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("__id")
     val withDl = postings.withColumn("__dl", sum("__tf").over(wDoc))
-    // corpus scalars: N over ALL docs (empty ones too), avgdl = 6dp
-    // quotient of total postings mass over N
-    val nDocs = df.select(col(idCol)).distinct().count()
-    require(nDocs > 0, "bm25TopK needs a non-empty corpus")
+    // corpus scalars as a broadcast 1-row frame (NOT a driver count():
+    // the whole retrieval stays one lazy plan) — N over ALL docs (empty
+    // ones too), avgdl = 6dp quotient of total postings mass over N
+    val nDf = broadcast(df.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("__n")))
     val qterms = queries
       .select(col(qidCol).as("__qid"),
         explode(array_distinct(
@@ -696,14 +699,14 @@ object TextAnalysis {
     val dfreq = postings.groupBy("__tok").agg(count(lit(1)).as("__df"))
       .join(broadcast(qterms.select("__tok").distinct()), Seq("__tok"))
     val qidf = broadcast(
-      qterms.join(broadcast(dfreq), Seq("__tok"))
+      qterms.join(broadcast(dfreq), Seq("__tok")).crossJoin(nDf)
         .select(col("__qid"), col("__tok"),
           rz6(log(lit(1.0) +
-            (lit(nDocs.toDouble) - col("__df") + lit(0.5)) /
+            (col("__n") - col("__df") + lit(0.5)) /
               (col("__df") + lit(0.5)))).as("__idf")))
     val avgdlDf = broadcast(
-      withDl.groupBy().agg(
-        rz6(sum("__tf") / lit(nDocs.toDouble)).as("__avgdl")))
+      withDl.groupBy().agg(sum("__tf").as("__mass")).crossJoin(nDf)
+        .select(rz6(col("__mass") / col("__n")).as("__avgdl")))
     val contrib = withDl.join(qidf, Seq("__tok")).crossJoin(avgdlDf)
       .select(col("__qid"), col("__id"),
         rz6(col("__idf") *

@@ -48,7 +48,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q125_ann_ivf_persisted", "q126_ann_ivf_quantized",
     "q128_geoparquet_roundtrip", "q129_ann_ivfpq", "q130_mjpeg_frames",
     "q132_geoparquet_covering", "q133_stream_semantic_dedup",
-    "q144_quality_lr", "q145_cluster_coreset")
+    "q144_quality_lr", "q145_cluster_coreset",
+    // PCA fit and BPE learn collect vocabulary-bounded state (moments /
+    // word counts) while constructing the result frame
+    "q147_embedding_pca", "q150_bpe_learn", "q151_bpe_tokens")
 
   // deliberate BNLJ users — each a broadcast-side-by-design shape:
   private val bnljWhitelist: Set[String] = Set(
@@ -65,7 +68,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // onto the buckets-row ratio table (both broadcast by construction)
     "q141_dsir_weights",
     // benchmark-gram Bloom side broadcast as a single-row filter payload
-    "q77_bloom_decontaminate")
+    "q77_bloom_decontaminate",
+    // BM25: the 1-row corpus scalars (N, avgdl) CROSS JOINed onto the
+    // broadcast query-idf table and the matched postings
+    "q146_bm25")
 
   test("no cartesian products; BNLJ only where pinned") {
     val offenders = scala.collection.mutable.Map[String, String]()

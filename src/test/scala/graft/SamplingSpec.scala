@@ -118,4 +118,44 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sampling.deterministicSample(df, "id", 0.0).count() == 0L)
     assert(Sampling.deterministicSample(df, "id", 1.0).count() == 100L)
   }
+
+  test("weightedSample: weight-biased, deterministic, weight-guarded") {
+    import spark.implicits._
+    // 200 light rows (w=1) + 200 heavy (w=50): a 50-row sample should
+    // be dominated by heavy rows (each heavy is ~50x more likely first)
+    val df = (0 until 400).map(i => (i.toLong, if (i < 200) 1.0 else 50.0))
+      .toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked.size == 50)
+    val heavy = picked.count(_ >= 200)
+    assert(heavy >= 40, s"heavy rows underrepresented: $heavy/50")
+    // deterministic under repartitioning; different salt -> different set
+    val again = Sampling.weightedSample(df.repartition(7), "id", "w", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == picked)
+    val salted = Sampling.weightedSample(df, "id", "w", 50, salt = "s2")
+      .collect().map(_.getLong(0)).toSet
+    assert(salted != picked)
+    // null/zero/negative weights are excluded, never NaN-ranked
+    val guarded = Sampling.weightedSample(
+      spark.sql("""SELECT * FROM VALUES (1L, 0.0D), (2L, -3.0D),
+                   (3L, CAST(NULL AS DOUBLE)), (4L, 2.0D) AS t(id, w)"""),
+      "id", "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(guarded == Set(4L))
+  }
+
+  test("weightedSamplePerGroup: k per group, ranks 1..k, schema keeps input cols") {
+    import spark.implicits._
+    val df = (0 until 60).map(i => (i.toLong, s"g${i % 3}", 1.0 + i % 7))
+      .toDF("id", "grp", "w")
+    val out = Sampling.weightedSamplePerGroup(df, "grp", "id", "w", 4)
+    assert(out.columns.toSeq == Seq("id", "grp", "w", "sample_rank"))
+    val byGroup = out.collect().groupBy(_.getString(1))
+    assert(byGroup.keySet == Set("g0", "g1", "g2"))
+    byGroup.values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4))
+    }
+  }
 }

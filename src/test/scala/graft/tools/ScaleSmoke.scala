@@ -553,6 +553,80 @@ object ScaleSmoke {
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
     }
 
+    // ---- round-12 ops: retrieval, reduction, dissolve, tokenizer ----
+    {
+      // BM25: 100 query strings against the 100k-doc corpus — the
+      // corpus-side postings never broadcast; only matched postings
+      // reach the (query, doc) aggregate
+      val queries = spark.sql("""
+        SELECT id AS qid,
+               concat('table scan copymark', CAST(id % 20 AS STRING)) AS qtext
+        FROM range(0, 100) t(id)""")
+      val bmN = withShuffle("bm25TopK 100k docs x 100 queries, k=10") {
+        graft.operators.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          queries, "qid", "qtext", k = 10).count()
+      }
+      require(bmN == 1000L, s"bm25 expected 100x10 rows, got $bmN")
+
+      // BPE: learn 64 merges from the 100k-doc word counts (one
+      // shuffle + driver loop), then the map-only tokenize fold
+      val merges = time("bpeLearn 100k docs, 64 merges") {
+        graft.operators.Bpe.learn(docs, "text", numMerges = 64)
+      }
+      require(merges.length == 64, s"bpe exhausted early: ${merges.length}")
+      val tokN = withShuffle("bpeTokenCounts 100k docs under 64 merges") {
+        graft.operators.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+          .agg(sum("n_bpe_tokens")).head().getLong(0)
+      }
+      println(s"[scale]   bpe merges: ${merges.length}, corpus tokens: $tokN")
+
+      // PCA + JL over 1.25M hash-entropy vectors: ONE moments pass
+      // (d^2 partials per partition, no shuffle at all), then two
+      // map-only projections
+      val vecs = spark.sql("""
+        SELECT id AS vec_id,
+               transform(sequence(0, 63),
+                 d -> CAST(hash(id, d) / 2147483647.0 AS FLOAT)) AS embedding
+        FROM range(0, 1250000) t(id)""").repartition(32).cache()
+      println(s"[scale] pca vectors: ${vecs.count()}")
+      val model = withShuffle("pca fit 1.25M x 64d (moments + driver eigen)") {
+        graft.operators.Pca.fit(vecs, "embedding", components = 2, iters = 12)
+      }
+      println(f"[scale]   lambda1=${model.lambdas(0)}%.6f lambda2=${model.lambdas(1)}%.6f")
+      val projN = time("pca project 1.25M (map-only)") {
+        graft.operators.Pca.project(vecs, "embedding", model)
+          .where(col("pc1").isNotNull).count()
+      }
+      require(projN == 1250000L, s"projection lost rows: $projN")
+      val rpN = time("randomProject 1.25M 64->8 (map-only)") {
+        graft.operators.Pca.randomProject(vecs, "embedding", 64, 8)
+          .where(col("rp8").isNotNull).count()
+      }
+      require(rpN == 1250000L, s"JL lost rows: $rpN")
+      vecs.unpersist()
+
+      // st_union_agg: dissolve 600k unit squares into 7 per-group
+      // geometries — partials compact map-side, so the exchange carries
+      // one geometry per (task, group). The 200x100 domain keeps the
+      // OUTPUT dense (~30 inputs per cell, cells mostly contiguous):
+      // that measures dissolution, the aggregate's job. A sparse 1000x500
+      // domain instead measures construction of a ~450k-fragment
+      // MultiPolygon result (270 s, shuffle still 6 MB) — a cost any
+      // engine pays to materialize that geometry, not a plan defect.
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .selectExpr("l_linenumber AS grp",
+          "CAST(l_orderkey % 200 AS DOUBLE) AS x",
+          "CAST((l_orderkey DIV 200) % 100 AS DOUBLE) AS y")
+      val ua = withShuffle("st_union_agg 600k squares, 7 groups") {
+        li.selectExpr("grp", "ST_MakeEnvelope(x, y, x + 1, y + 1) AS g")
+          .groupBy("grp")
+          .agg(GeoFunctions.st_union_agg(col("g")).as("u"))
+          .selectExpr("grp", "ST_Area(u) AS a").collect()
+      }
+      println(s"[scale]   union groups: ${ua.length}, " +
+        f"total area: ${ua.map(_.getDouble(1)).sum}%.0f")
+    }
+
     spark.stop()
   }
 }

@@ -2054,6 +2054,39 @@ object SparkEntry {
         docs.where(col("lang") === "en"), "doc_id", "text", buckets = 1024)
         .orderBy("doc_id")
     }),
+    // JSONL interop roundtrip: documents written as manifest-carrying
+    // sharded JSONL, read back under the RECORDED schema with directory
+    // validation; hash-equal row set proves the boundary format is
+    // lossless for the text corpus
+    "q153_jsonl_roundtrip" -> ((spark, dir) => {
+      prep(spark, dir)
+      import spark.implicits._
+      val docs = spark.table("documents")
+      val out = scratchDir("jsonl")
+      val nShards = graft.sources.JsonlDocs.write(docs, out, maxRecordsPerShard = 200)
+      val back = graft.sources.JsonlDocs.read(spark, out)
+      val nDocs = back.count()
+      val same = back.except(docs).count() == 0 && docs.except(back).count() == 0
+      Seq((nDocs, nShards > 0, same)).toDF("n_docs", "manifest_ok", "roundtrip_ok")
+    }),
+    // Unicode normalization: NFC composition and accent stripping over
+    // a fixture mixing composed/decomposed accents — DuckDB's own
+    // nfc_normalize/strip_accents are the oracle, so the kernel's
+    // semantics are pinned to an independent implementation
+    "q154_normalize" -> ((spark, dir) => {
+      prep(spark, dir)
+      val rows = Seq(
+        (1L, "e\u0301cole"),  // decomposed: e + combining acute
+        (2L, "\u00e9cole"),   // precomposed e-acute
+        (3L, "na\u00efve"),
+        (4L, "plain ascii"),
+        (5L, "he\u0301li\u00e8re")) // mixed decomposed + precomposed
+      spark.createDataFrame(rows).toDF("id", "s").selectExpr("id",
+        "text_normalize(s, 'nfc') AS nfc",
+        "length(text_normalize(s, 'nfc')) AS nfc_len",
+        "text_normalize(s, 'strip_accents') AS stripped")
+        .orderBy("id")
+    }),
     // BPE vocabulary learning on the REAL documents text: one word-count
     // shuffle, then 8 deterministic merge rounds on the driver under
     // the replace-law contract — the oracle re-learns all 8 merges as
@@ -4637,6 +4670,24 @@ object SparkEntry {
       (1 to 8).map(c =>
         s"\n             max(CASE WHEN c = $c THEN y END) AS rp$c").mkString(",") + """
       FROM t GROUP BY vec_id ORDER BY vec_id"""),
+    // the roundtrip flags are computed Spark-side; the oracle pins the
+    // corpus cardinality they were computed against
+    "q153_jsonl_roundtrip" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS manifest_ok,
+             true AS roundtrip_ok
+      FROM documents""",
+    // DuckDB's own normalization functions replay the fixture
+    "q154_normalize" -> """
+      WITH t(id, s) AS (VALUES
+        (1, 'e' || chr(769) || 'cole'),
+        (2, chr(233) || 'cole'),
+        (3, 'na' || chr(239) || 've'),
+        (4, 'plain ascii'),
+        (5, 'he' || chr(769) || 'li' || chr(232) || 're'))
+      SELECT CAST(id AS BIGINT) AS id, nfc_normalize(s) AS nfc,
+             CAST(length(nfc_normalize(s)) AS INT) AS nfc_len,
+             strip_accents(s) AS stripped
+      FROM t ORDER BY id""",
     // re-learn the 8 merges in SQL and emit the merge table
     "q150_bpe_learn" -> (s"""
       WITH ${bpeLearnCtes(BPE_MERGES)}

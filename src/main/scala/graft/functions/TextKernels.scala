@@ -189,4 +189,35 @@ object TextKernels {
     }
     best
   }
+
+  /** Unicode normalization for corpus cleanup — mojibake, decomposed
+    * accents, and compatibility ligatures are classic near-dup and
+    * tokenizer poison. Modes:
+    *  - "nfc"           canonical composition (DuckDB `nfc_normalize`)
+    *  - "nfkc"          compatibility composition (ﬁ→fi, ²→2; no
+    *                    vanilla-DuckDB twin — spec-covered only)
+    *  - "strip_accents" NFD, drop combining marks (Unicode category
+    *                    Mn), recompose — DuckDB `strip_accents`
+    *                    semantics ('é'→'e', composed or not)
+    * Unknown modes throw (a silently-identity normalizer is how wrong
+    * pipelines ship). */
+  def normalizeText(s: String, mode: String): String = {
+    import java.text.Normalizer
+    mode match {
+      case "nfc" => Normalizer.normalize(s, Normalizer.Form.NFC)
+      case "nfkc" => Normalizer.normalize(s, Normalizer.Form.NFKC)
+      case "strip_accents" =>
+        val d = Normalizer.normalize(s, Normalizer.Form.NFD)
+        val sb = new java.lang.StringBuilder(d.length)
+        var i = 0
+        while (i < d.length) {
+          val c = d.charAt(i)
+          if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+          i += 1
+        }
+        Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
+      case other => throw new IllegalArgumentException(
+        s"text_normalize: unknown mode '$other' (nfc | nfkc | strip_accents)")
+    }
+  }
 }

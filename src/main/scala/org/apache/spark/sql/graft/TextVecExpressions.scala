@@ -342,3 +342,21 @@ case class PqEncodeResidualBcast(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(l, r)
 }
+
+/** text_normalize(text, mode) → Unicode-normalized text
+  * (nfc | nfkc | strip_accents — see TextKernels.normalizeText). */
+case class TextNormalize(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "text_normalize"
+  override protected def nullSafeEval(t: Any, m: Any): Any =
+    UTF8String.fromString(TextKernels.normalizeText(
+      t.asInstanceOf[UTF8String].toString, m.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, m) => s"""
+      ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+        ${TextVecExpr.TK}.normalizeText($t.toString(), $m.toString()));""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}

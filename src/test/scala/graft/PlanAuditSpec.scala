@@ -50,8 +50,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q132_geoparquet_covering", "q133_stream_semantic_dedup",
     "q144_quality_lr", "q145_cluster_coreset",
     // PCA fit and BPE learn collect vocabulary-bounded state (moments /
-    // word counts) while constructing the result frame
-    "q147_embedding_pca", "q150_bpe_learn", "q151_bpe_tokens")
+    // word counts) while constructing the result frame; the JSONL
+    // roundtrip writes and re-reads a scratch directory
+    "q147_embedding_pca", "q150_bpe_learn", "q151_bpe_tokens",
+    "q153_jsonl_roundtrip")
 
   // deliberate BNLJ users — each a broadcast-side-by-design shape:
   private val bnljWhitelist: Set[String] = Set(

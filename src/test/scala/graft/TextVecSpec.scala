@@ -1036,6 +1036,22 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b(3L) == (("fr", 1)))
   }
 
+  test("text_normalize: nfc composes, nfkc folds compatibility, strip_accents, errors") {
+    import graft.functions.TextKernels.normalizeText
+    assert(normalizeText("e\u0301cole", "nfc") == "\u00e9cole")
+    assert(normalizeText("\ufb01le", "nfc") == "\ufb01le") // ligature survives NFC
+    assert(normalizeText("\ufb01le", "nfkc") == "file")     // ...but not NFKC
+    assert(normalizeText("\u00b2", "nfkc") == "2")
+    assert(normalizeText("na\u00efve", "strip_accents") == "naive")
+    assert(normalizeText("e\u0301cole", "strip_accents") == "ecole")
+    intercept[IllegalArgumentException] { normalizeText("x", "NFD") }
+    // SQL surface: null-safe, codegen'd
+    graft.functions.GeoFunctions.register(spark)
+    val r = spark.sql("SELECT text_normalize('e\u0301', 'nfc'), " +
+      "text_normalize(CAST(NULL AS STRING), 'nfc')").head()
+    assert(r.getString(0) == "\u00e9" && r.isNullAt(1))
+  }
+
   test("bm25TopK: idf discriminates, rare terms win, misses vanish") {
     import spark.implicits._
     val docs = Seq(

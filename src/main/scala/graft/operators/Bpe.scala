@@ -132,6 +132,25 @@ object Bpe {
       .toDF("rank", "lsym", "rsym", "merged", "pair_count")
   }
 
+  /** Persist the learned merges as parquet — the tokenizer artifact a
+    * pipeline trains once and applies to many corpora. */
+  def saveMerges(df: DataFrame, merges: Seq[Merge], path: String): Unit =
+    mergesDF(df, merges).repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveMerges]] artifact back into rank order, failing
+    * loudly on a gap or duplicate rank (a truncated artifact must not
+    * silently tokenize with half a vocabulary). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] = {
+    val rows = spark.read.parquet(path)
+      .select("rank", "lsym", "rsym", "pair_count")
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toIndexedSeq
+    require(rows.map(_.rank) == (1 to rows.length),
+      s"merge artifact at $path has gaps/duplicates: ranks ${rows.map(_.rank)}")
+    rows
+  }
+
   /** The bracketed symbol string of one word-column under `merges` —
     * char-split, joined by the separator, then the learned merges
     * folded in rank order as literal `replace` calls. */

@@ -22,12 +22,24 @@ import scala.jdk.CollectionConverters._
 final class GeomAccumulator(
     val levels: ArrayBuffer[ArrayBuffer[Geometry]] = ArrayBuffer(ArrayBuffer.empty[Geometry]),
     var srid: Int = 0) {
+  /** Input-byte dedup set: an EXACT duplicate input cell contributes
+    * nothing to a union, and heavy-multiplicity inputs (points reported
+    * many times, repeated footprints) are the common case — dropping
+    * them before decode skips both the parse and the union work.
+    * Content-hashed ByteBuffers; bounded at [[GeomAccumulator.SeenCap]]
+    * entries then cleared (dedup turns approximate, result unchanged).
+    * Deliberately NOT serialized — partials arrive already dissolved. */
+  @transient lazy val seen = new java.util.HashSet[java.nio.ByteBuffer]()
   def add(g: Geometry): Unit = {
     if (srid == 0 && g.getSRID != 0) srid = g.getSRID
     levels(0) += g
   }
   def all: Seq[Geometry] = levels.toSeq.flatten
   def isEmpty: Boolean = levels.forall(_.isEmpty)
+}
+
+object GeomAccumulator {
+  val SeenCap = 1 << 16
 }
 
 /** `st_union_agg(geom)` — the PostGIS aggregate form of ST_Union: the
@@ -66,8 +78,11 @@ case class StUnionAgg(child: Expression,
   override def update(buf: GeomAccumulator, input: InternalRow): GeomAccumulator = {
     val v = child.eval(input)
     if (v != null) {
-      val g = GeomCodec.decode(v.asInstanceOf[Array[Byte]])
-      if (!g.isEmpty) { buf.add(g); cascade(buf) }
+      if (buf.seen.size >= GeomAccumulator.SeenCap) buf.seen.clear()
+      if (buf.seen.add(java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]]))) {
+        val g = GeomCodec.decode(v.asInstanceOf[Array[Byte]])
+        if (!g.isEmpty) { buf.add(g); cascade(buf) }
+      }
     }
     buf
   }

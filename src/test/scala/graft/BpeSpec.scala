@@ -41,6 +41,23 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bpe.learnFromCounts(Seq(("a", 1L)), 3).isEmpty)
   }
 
+  test("merge artifact roundtrips; truncation fails loudly") {
+    import spark.implicits._
+    val docs = Seq((0L, "low lower newest"), (1L, "newest newest"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learn(docs, "text", numMerges = 3)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_merges").toString
+    Bpe.saveMerges(docs, merges, dir)
+    assert(Bpe.loadMerges(spark, dir) == merges)
+    // corrupt: drop rank 2 -> gap must throw
+    val df = spark.read.parquet(dir).where("rank <> 2")
+    df.write.mode("overwrite").parquet(dir + "_cut")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.loadMerges(spark, dir + "_cut")
+    }
+    assert(e.getMessage.contains("gaps"))
+  }
+
   test("tokenCounts and tokenize agree with the driver law end-to-end") {
     import spark.implicits._
     val docs = Seq(

@@ -68,7 +68,8 @@ object Bench {
     "q149_union_agg",           // partial-aggregating cascaded geometry union
     "q150_bpe_learn",           // word-count shuffle + driver merge loop
     "q151_bpe_tokens",          // codegen'd literal-replace tokenization fold
-    "q152_weighted_sample")     // exp-key weighted top-k sampling window
+    "q152_weighted_sample",     // exp-key weighted top-k sampling window
+    "q155_mixture_plan")        // one domain-count agg + plan arithmetic
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -85,7 +86,7 @@ object Bench {
     "q135_remove_boilerplate", "q137_dedup_spans", "q141_dsir_weights",
     "q142_ccnet_buckets", "q146_bm25", "q147_embedding_pca",
     "q148_random_projection", "q149_union_agg", "q150_bpe_learn",
-    "q151_bpe_tokens", "q152_weighted_sample")
+    "q151_bpe_tokens", "q152_weighted_sample", "q155_mixture_plan")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

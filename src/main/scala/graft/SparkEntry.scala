@@ -1229,6 +1229,19 @@ object SparkEntry {
           "doc_id", "text", n = 3)
         .orderBy("doc")
     }),
+    // contamination REPORT per benchmark doc (q64's fixture flipped):
+    // bench = doc_id % 97 == 0, 3-grams, corpus docs with >= 2 shared
+    // grams; the oracle replays gram join, per-pair distinct counts,
+    // threshold, and the per-bench rollup
+    "q156_contamination_report" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val docs = spark.table("documents")
+      graft.operators.Curation.contaminationReport(docs,
+        docs.where(col("doc_id") % 97 === 0), "doc_id", "text",
+        n = 3, minShared = 2)
+        .orderBy("bench_id")
+    }),
     // per-source cap: at most 10 docs per source in doc_id order —
     // ROW_NUMBER window on both sides
     "q65_domain_cap" -> ((spark, dir) => {
@@ -2053,6 +2066,17 @@ object SparkEntry {
       graft.operators.TextAnalysis.dsirWeights(docs,
         docs.where(col("lang") === "en"), "doc_id", "text", buckets = 1024)
         .orderBy("doc_id")
+    }),
+    // mixture plan over the real per-source token inventory: three
+    // weighted sources at a 100k-token budget — the oracle replays the
+    // normalization, floor/ceil and the exact-int-quotient epochs
+    "q155_mixture_plan" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Curation.mixturePlan(spark.table("documents"),
+        "source", "text",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        budgetTokens = 100000L)
+        .orderBy("domain")
     }),
     // JSONL interop roundtrip: documents written as manifest-carrying
     // sharded JSONL, read back under the RECORDED schema with directory
@@ -4670,6 +4694,29 @@ object SparkEntry {
       (1 to 8).map(c =>
         s"\n             max(CASE WHEN c = $c THEN y END) AS rp$c").mkString(",") + """
       FROM t GROUP BY vec_id ORDER BY vec_id"""),
+    // per-source token inventory -> normalized weights -> floor/ceil
+    // plan arithmetic, all replayed
+    "q155_mixture_plan" -> """
+      WITH a AS (SELECT source AS domain,
+                        CAST(sum(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                                 t -> t <> ''))) AS BIGINT) AS avail_tokens
+                 FROM documents GROUP BY source),
+           p AS (SELECT domain, avail_tokens,
+                        round(CAST(CASE domain WHEN 'src0' THEN 0.5
+                                               WHEN 'src1' THEN 0.3
+                                               WHEN 'src2' THEN 0.2
+                                               ELSE 0.0 END AS DOUBLE), 6) AS weight
+                 FROM a),
+           t AS (SELECT domain, avail_tokens, weight,
+                        CAST(floor(100000.0 * weight) AS BIGINT) AS target_tokens
+                 FROM p),
+           e AS (SELECT domain, avail_tokens, weight, target_tokens,
+                        round(CAST(target_tokens AS DOUBLE) / avail_tokens, 6) AS epochs
+                 FROM t)
+      SELECT domain, avail_tokens, weight, target_tokens, epochs,
+             least(1.0, epochs) AS sample_rate,
+             CAST(ceil(epochs) AS BIGINT) AS repeats
+      FROM e ORDER BY domain""",
     // the roundtrip flags are computed Spark-side; the oracle pins the
     // corpus cardinality they were computed against
     "q153_jsonl_roundtrip" -> """
@@ -4941,6 +4988,23 @@ object SparkEntry {
       FROM o ORDER BY doc""",
     // decontamination vs the doc_id % 97 = 0 benchmark slice: distinct
     // shared token 3-grams per corpus doc (sub-3-token docs emit no grams)
+    // q64's gram construction, then pair-distinct counts >= 2 and the
+    // per-benchmark-doc rollup
+    "q156_contamination_report" -> """
+      WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS l
+                 FROM documents),
+           g AS (SELECT DISTINCT doc, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+                 FROM t, unnest(generate_series(1, len(l) - 2)) AS u(i)
+                 WHERE len(l) >= 3),
+           bg AS (SELECT DISTINCT doc AS bench, gram FROM g WHERE doc % 97 = 0),
+           p AS (SELECT bg.bench, g.doc, CAST(count(*) AS BIGINT) AS shared
+                 FROM g JOIN bg ON g.gram = bg.gram
+                 GROUP BY bg.bench, g.doc
+                 HAVING count(*) >= 2)
+      SELECT bench AS bench_id, CAST(count(*) AS BIGINT) AS n_corpus_docs,
+             CAST(sum(shared) AS BIGINT) AS n_shared_grams,
+             CAST(max(shared) AS BIGINT) AS max_shared_one_doc
+      FROM p GROUP BY bench ORDER BY bench""",
     "q64_decontaminate" -> """
       WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS l
                  FROM documents),
@@ -4987,7 +5051,9 @@ object SparkEntry {
     // BPE: the learned merges themselves depend on corpus-wide counts,
     // so a scale-dependent counting bug rewrites the whole merge table
     "q150_bpe_learn", "q151_bpe_tokens",
-    "q152_weighted_sample")
+    "q152_weighted_sample", "q155_mixture_plan",
+    // overlap-threshold semantics shift with corpus size like q64's
+    "q156_contamination_report")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

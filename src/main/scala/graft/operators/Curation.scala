@@ -119,6 +119,41 @@ object Curation {
       .groupBy("doc").agg(count_distinct(col("gram")).as("n_shared"))
   }
 
+  /** The auditing companion to [[decontaminate]]: instead of scrubbing
+    * the corpus, report contamination PER BENCHMARK DOCUMENT — the
+    * artifact an eval-integrity review wants ("which tasks leak, how
+    * badly, concentrated in how few corpus docs"). Per benchmark doc
+    * with any overlap at all:
+    *  - `n_corpus_docs`      corpus docs sharing ≥ `minShared` distinct
+    *                         grams with it
+    *  - `n_shared_grams`     distinct (corpus doc, gram) overlap pairs,
+    *                         counted over qualifying docs
+    *  - `max_shared_one_doc` the worst single corpus doc's distinct
+    *                         shared grams (near `benchmark length - n`
+    *                         ⇒ verbatim inclusion)
+    *
+    * Scale: the benchmark gram set broadcasts (eval suites are small);
+    * the corpus explodes grams ONCE, semi-matches against the broadcast
+    * — so the only shuffle is the (bench_id, corpus doc) aggregate over
+    * MATCHED grams, which is overlap-sized, not corpus-sized. */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val bg = broadcast(
+      tokenNgrams(bench, idCol, textCol, n)
+        .select(col("doc").as("__bench"), col("gram")).distinct())
+    val pairShared = tokenNgrams(corpus, idCol, textCol, n)
+      .dropDuplicates("doc", "gram")
+      .join(bg, "gram")
+      .groupBy(col("__bench"), col("doc"))
+      .agg(count(lit(1)).as("__shared"))
+      .where(col("__shared") >= minShared)
+    pairShared.groupBy(col("__bench").as("bench_id"))
+      .agg(count(lit(1)).as("n_corpus_docs"),
+        sum("__shared").as("n_shared_grams"),
+        max("__shared").as("max_shared_one_doc"))
+  }
+
   /** Deterministic per-source token-budget sampling — the data-mixing
     * primitive stated in TOKENS instead of rates: keep each source's
     * documents in `keyCol` order while the running token total stays
@@ -152,6 +187,49 @@ object Curation {
         sum(size(toks(col(textCol))).cast("long")).over(w))
       .where(col("__cum") <= budget)
       .drop("__cum")
+  }
+
+  /** Mixture plan: given target domain weights and a total token
+    * budget, the per-domain sampling/upsampling prescription a mixture
+    * training run needs (the LLaMA/Pile-style epochs table) — computed
+    * FROM the corpus's actual token inventory, so the plan and the data
+    * can never drift apart.
+    *
+    * Per domain present in `weights` (missing domains report weight 0):
+    *  - `avail_tokens`  corpus inventory (whitespace tokens)
+    *  - `weight`        normalized target share (input weights need not
+    *                    sum to 1; they are normalized — rz6'd)
+    *  - `target_tokens` floor(budget · weight)
+    *  - `epochs`        rz6(target / avail): < 1 downsample, > 1 repeat
+    *  - `sample_rate`   min(1, epochs) — feed to [[Sampling]]'s
+    *                    deterministic selection
+    *  - `repeats`       ceil(epochs) — integer passes over the domain
+    *
+    * Scale: ONE count aggregate over (domain) — map-side combine onto
+    * #domains rows; everything after is arithmetic on that tiny frame.
+    * The corpus never shuffles and nothing is collected. */
+  def mixturePlan(df: DataFrame, domainCol: String, textCol: String,
+      weights: Map[String, Double], budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0, "weights must be non-negative and sum > 0")
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val rz6 = graft.util.Round6.rz6 _
+    val wSum = weights.values.sum
+    val wExpr = weights.foldLeft(lit(0.0)) { case (acc, (d, w)) =>
+      when(col("domain") === d, lit(w / wSum)).otherwise(acc)
+    }
+    val avail = df
+      .groupBy(col(domainCol).as("domain"))
+      .agg(sum(size(filter(toks(coalesce(col(textCol).cast("string"), lit(""))),
+        t => t =!= "")).cast("long")).as("avail_tokens"))
+    avail
+      .withColumn("weight", rz6(wExpr))
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens.toDouble) * col("weight")).cast("long"))
+      .withColumn("epochs",
+        rz6(col("target_tokens").cast("double") / col("avail_tokens")))
+      .withColumn("sample_rate", least(lit(1.0), col("epochs")))
+      .withColumn("repeats", ceil(col("epochs")).cast("long"))
   }
 
   /** Bloom-filter variant of [[decontaminate]] for when the benchmark

@@ -274,4 +274,49 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getBoolean(8)).toMap
     assert(noBad(5L), "empty badwords list must not flag anything")
   }
+
+  test("contaminationReport: verbatim leak dominates; threshold prunes grazes") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x alpha beta gamma delta epsilon y"), // verbatim inclusion: 3 shared 3-grams
+      (2L, "alpha beta gamma nothing else here"), // 1 shared gram -> pruned at minShared=2
+      (3L, "totally disjoint text right here")).toDF("doc_id", "text")
+    val r = Curation.contaminationReport(corpus, bench, "doc_id", "text",
+      n = 3, minShared = 2).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 100L)
+    assert(row.getLong(1) == 1L)       // only the verbatim doc qualifies
+    assert(row.getLong(3) == 3L)       // all 3 bench grams shared with it
+    // at minShared=1 the grazing doc appears too
+    val loose = Curation.contaminationReport(corpus, bench, "doc_id", "text",
+      n = 3, minShared = 1).head()
+    assert(loose.getLong(1) == 2L && loose.getLong(2) == 4L)
+  }
+
+  test("mixturePlan: normalizes weights, prescribes repeats/rates, zero-weights the rest") {
+    import spark.implicits._
+    // web has 10 tokens, books 2, code 4, junk 3; weights 2:1:1 over
+    // three domains (sum 4, NOT 1 — must normalize), budget 40 tokens
+    val df = Seq(
+      ("web", "a b c d e f g h i j"),
+      ("books", "k l"),
+      ("code", "m n o p"),
+      ("junk", "q r s")).toDF("domain", "text")
+    val plan = Curation.mixturePlan(df, "domain", "text",
+      Map("web" -> 2.0, "books" -> 1.0, "code" -> 1.0), budgetTokens = 40L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getLong(6))).toMap
+    // web: weight .5, target 20, avail 10 -> epochs 2.0, rate 1, repeats 2
+    assert(plan("web") == ((10L, 0.5, 20L, 2.0, 1.0, 2L)))
+    // books: weight .25, target 10, avail 2 -> epochs 5.0 (heavy
+    // repeat), sample_rate clamps at 1
+    assert(plan("books") == ((2L, 0.25, 10L, 5.0, 1.0, 5L)))
+    // code: weight .25, target 10, avail 4 -> epochs 2.5
+    assert(plan("code")._4 == 2.5 && plan("code")._6 == 3L)
+    // junk: not in weights -> weight 0, nothing sampled
+    assert(plan("junk") == ((3L, 0.0, 0L, 0.0, 0.0, 0L)))
+  }
 }

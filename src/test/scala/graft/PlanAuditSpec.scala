@@ -99,7 +99,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // columns; a scan reading more would ship 8x the bytes at 100 TB
     for ((name, cols) <- Seq(
         "q01_geomfromtext_xy" -> Set("l_orderkey", "l_linenumber"),
-        "q21_token_stats" -> Set("doc_id", "text"))) {
+        "q21_token_stats" -> Set("doc_id", "text"),
+        // BM25 touches documents(doc_id, text) only — its lineage has
+        // three scans (postings, N, mass) and each must stay pruned
+        "q146_bm25" -> Set("doc_id", "text"),
+        // the JL projection reads exactly (vec_id, embedding)
+        "q148_random_projection" -> Set("vec_id", "embedding"),
+        // the union fixture reads the two lineitem key columns only
+        "q149_union_agg" -> Set("l_orderkey", "l_linenumber"),
+        // weighted sampling reads its three declared columns
+        "q152_weighted_sample" -> Set("doc_id", "source", "n_chars"))) {
       val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         .queryExecution.sparkPlan
       val scans = plan.collectLeaves().collect {

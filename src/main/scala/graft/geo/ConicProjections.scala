@@ -52,7 +52,14 @@ object ConicProjections {
       35.0 + 28.0 / 60, 34.0 + 2.0 / 60, 2000000.0, 500000.0, 1200.0 / 3937.0),
     // NAD83 / Conus Albers (the standard US analysis CRS)
     ConicCrs(5070, "albers", GrsA, GrsF, 23.0, -96.0, 29.5, 45.5,
-      0.0, 0.0, 1.0)
+      0.0, 0.0, 1.0),
+    // GDA94 / Australian Albers (the national analysis CRS; GDA94 is
+    // a GRS80 realization — same WGS84-coincident pivot as the rest)
+    ConicCrs(3577, "albers", GrsA, GrsF, 0.0, 132.0, -18.0, -36.0,
+      0.0, 0.0, 1.0),
+    // NAD83 / California Albers
+    ConicCrs(3310, "albers", GrsA, GrsF, 0.0, -120.0, 34.0, 40.5,
+      0.0, -4000000.0, 1.0)
   ).map(c => c.srid -> c).toMap
 
   def supports(srid: Int): Boolean = registry.contains(srid)
@@ -142,9 +149,13 @@ object ConicProjections {
   private def albersInverse(crs: ConicCrs, k: AlbersConsts, c: Coordinate): Unit = {
     val x = c.x * crs.unit - crs.fe
     val y = k.rho0 - (c.y * crs.unit - crs.fn)
-    val rho = math.sqrt(x * x + y * y)
+    // Snyder p.102: with a negative cone constant (southern standard
+    // parallels — Australian Albers), ρ carries n's sign and θ comes
+    // from the reflected coordinates, else the azimuth lands a full
+    // cone revolution off
+    val rho = (if (k.n < 0) -1 else 1) * math.sqrt(x * x + y * y)
     val q = (k.bigC - math.pow(rho * k.n / crs.a, 2)) / k.n
-    val th = math.atan2(x, y)
+    val th = if (k.n < 0) math.atan2(-x, -y) else math.atan2(x, y)
     // Newton for phi (Snyder 3-16); seed with the spherical arcsin
     var phi = math.asin(math.max(-1.0, math.min(1.0, q / 2)))
     var i = 0

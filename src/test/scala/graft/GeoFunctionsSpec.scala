@@ -802,11 +802,13 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("select ST_AsEWKT(ST_Transform(ST_GeomFromText(" +
       "'POINT(1 2)', 3857), 3857))") == "SRID=3857;POINT(1 2)")
     // unsupported pairs raise rather than silently approximating —
-    // 3577 (GDA94 Australian Albers) is outside every registry
+    // 2056 (CH1903+/LV95, OBLIQUE Mercator: a projection family the
+    // engine does not implement) is outside every registry
     // (27700/29902/23031 moved to the national-grid tier, 28992 to the
-    // azimuthal tier — each previous raising example got implemented)
+    // azimuthal tier, 3577 to the conic tier — each previous raising
+    // example got implemented)
     assert(intercept[Exception] {
-      spark.sql("select ST_Transform(ST_GeomFromText('POINT(1 2)', 3577), 4326)")
+      spark.sql("select ST_Transform(ST_GeomFromText('POINT(1 2)', 2056), 4326)")
         .collect()
     }.getMessage.contains("ST_Transform supports"))
     // ...and the national-grid tier answers directly from SQL
@@ -869,7 +871,11 @@ class GeoFunctionsSpec extends AnyFunSuite {
       (34.0522, -118.2437, 2229, 6487847.0026, 1841468.2514),
       (34.4208, -119.6982, 2229, 6049551.5612, 1979845.3356),
       (39.7392, -104.9903, 5070, -762409.0478, 1893843.5996),
-      (29.7604, -95.3698, 5070, 60916.2421, 742995.1309))
+      (29.7604, -95.3698, 5070, 60916.2421, 742995.1309),
+      (-25.0, 135.0, 3577, 299362.2208, -2706085.9795),
+      (-35.0, 149.0, 3577, 1543004.5104, -3924932.4900),
+      (37.0, -120.0, 3310, 0.0, -112982.4091),
+      (34.05, -118.25, 3310, 161561.8266, -439129.5848))
     for ((lat, lon, epsg, e, n) <- known) {
       val row = spark.sql(
         s"select ST_X(ST_Transform(ST_Point($lon, $lat, 4326), $epsg))," +

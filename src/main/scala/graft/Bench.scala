@@ -69,7 +69,9 @@ object Bench {
     "q150_bpe_learn",           // word-count shuffle + driver merge loop
     "q151_bpe_tokens",          // codegen'd literal-replace tokenization fold
     "q152_weighted_sample",     // exp-key weighted top-k sampling window
-    "q155_mixture_plan")        // one domain-count agg + plan arithmetic
+    "q155_mixture_plan",        // one domain-count agg + plan arithmetic
+    "q157_dedup_keep_best",     // content-hash window, score election
+    "q158_cluster_keep_best")   // CC assignment + component score window
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -86,7 +88,8 @@ object Bench {
     "q135_remove_boilerplate", "q137_dedup_spans", "q141_dsir_weights",
     "q142_ccnet_buckets", "q146_bm25", "q147_embedding_pca",
     "q148_random_projection", "q149_union_agg", "q150_bpe_learn",
-    "q151_bpe_tokens", "q152_weighted_sample", "q155_mixture_plan")
+    "q151_bpe_tokens", "q152_weighted_sample", "q155_mixture_plan",
+    "q157_dedup_keep_best", "q158_cluster_keep_best")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

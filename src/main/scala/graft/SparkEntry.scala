@@ -1398,6 +1398,33 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
     }),
+    // quality-aware exact dedup: 50 planted content groups, keep the
+    // longest (n_chars) copy, ties by id — the window replay oracle
+    "q157_dedup_keep_best" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = spark.sql("""
+        SELECT doc_id, concat('grp', CAST(doc_id % 50 AS STRING)) AS content,
+               n_chars FROM documents""")
+      graft.operators.Dedup.exactKeepBest(docs, "doc_id", "content", "n_chars")
+        .orderBy("doc_id")
+    }),
+    // cluster-survivor election by score over chained same-group pairs:
+    // components are the planted groups, the keeper is each group's
+    // longest member
+    "q158_cluster_keep_best" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, lag}
+      prep(spark, dir)
+      val docs = spark.sql(
+        "SELECT doc_id, doc_id % 50 AS grp, n_chars FROM documents")
+      val w = Window.partitionBy("grp").orderBy("doc_id")
+      val pairs = docs
+        .select(col("doc_id"), lag(col("doc_id"), 1).over(w).as("prev"))
+        .where(col("prev").isNotNull)
+      graft.operators.Dedup.clusterKeepBest(docs, "doc_id", "n_chars",
+        pairs, "doc_id", "prev")
+        .orderBy("id")
+    }),
     // smoothed TF-IDF top-terms: scores are rounded to 6dp BEFORE the
     // rank window on both sides so the (score, token) tie-break replays
     "q74_tfidf_terms" -> ((spark, dir) => {
@@ -3452,6 +3479,28 @@ object SparkEntry {
     "q73_dedup_clusters" -> """
       SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS component
       FROM documents ORDER BY doc_id""",
+    // rank replay: per planted content group, longest copy wins
+    "q157_dedup_keep_best" -> """
+      SELECT doc_id, content, n_chars FROM (
+        SELECT doc_id, 'grp' || CAST(doc_id % 50 AS VARCHAR) AS content,
+               n_chars,
+               row_number() OVER (PARTITION BY doc_id % 50
+                 ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM documents)
+      WHERE rn = 1 ORDER BY doc_id""",
+    // component = group min id; keeper = group's rank-1 by score
+    "q158_cluster_keep_best" -> """
+      WITH a AS (SELECT doc_id, doc_id % 50 AS grp, n_chars FROM documents),
+           c AS (SELECT doc_id, grp,
+                        min(doc_id) OVER (PARTITION BY grp) AS component
+                 FROM a),
+           k AS (SELECT grp, doc_id AS keep_id FROM (
+                   SELECT grp, doc_id, row_number() OVER (PARTITION BY grp
+                     ORDER BY n_chars DESC, doc_id ASC) AS rn FROM a)
+                 WHERE rn = 1)
+      SELECT c.doc_id AS id, c.component, k.keep_id,
+             c.doc_id = k.keep_id AS keep
+      FROM c JOIN k ON c.grp = k.grp ORDER BY id""",
     // identical smoothed-idf arithmetic: (N+1.0)/(df+1) in double, ln,
     // +1, ×tf, round 6 — then rank on the ROUNDED score
     "q74_tfidf_terms" -> """
@@ -5053,7 +5102,8 @@ object SparkEntry {
     "q150_bpe_learn", "q151_bpe_tokens",
     "q152_weighted_sample", "q155_mixture_plan",
     // overlap-threshold semantics shift with corpus size like q64's
-    "q156_contamination_report")
+    "q156_contamination_report",
+    "q157_dedup_keep_best", "q158_cluster_keep_best")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

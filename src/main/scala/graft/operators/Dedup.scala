@@ -43,6 +43,47 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Exact dedup electing the BEST copy instead of the first: per
+    * distinct content, keep the row with the highest `scoreCol`
+    * (quality-LR probability, DSIR weight, a recency stamp — whatever
+    * the pipeline ranks by), ties by ascending id. Real curation keeps
+    * the best-provenance duplicate, not the numerically-smallest one;
+    * [[exactKeepFirst]] is the scoreless special case. Same single
+    * content-hash window shuffle. NULL scores sort LAST (a row without
+    * a score must never beat a scored one). */
+  def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Cluster-survivor election by SCORE: given [[dedupClusters]]-style
+    * pairs, pick each connected component's highest-`scoreCol` member
+    * (ties by ascending id) as its canonical survivor. Returns one row
+    * per input doc: (id, component, keep_id, keep) — `keep` marks the
+    * elected member, so both the survivor set and the redirect map fall
+    * out of one frame. The election shuffles only (component, id,
+    * score) scalars; text never rides it. */
+  def clusterKeepBest(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val assign = dedupClusters(df, idCol, pairs, aCol, bCol)
+    val scored = df.select(col(idCol).as("id"), col(scoreCol).as("__s"))
+      .join(assign, Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col("__s").desc_nulls_last, col("id").asc)
+    scored
+      .withColumn("keep_id", first(col("id")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col("id"), col("component"), col("keep_id"),
+        (col("id") === col("keep_id")).as("keep"))
+  }
+
   /** Rows of (band, bucket) per document — the LSH scatter phase.
     * numHashes must be divisible by bands; each bucket key hashes
     * `numHashes / bands` signature entries. */

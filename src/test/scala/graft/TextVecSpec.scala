@@ -930,6 +930,27 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats == Set(("a.com", 2L, 2L), ("b.org", 1L, 1L)))
   }
 
+  test("exactKeepBest / clusterKeepBest: score elects, nulls lose, singletons keep") {
+    import spark.implicits._
+    val df = spark.sql("""SELECT * FROM VALUES
+      (1L, 'same', 0.2D), (2L, 'same', 0.9D), (3L, 'same', CAST(NULL AS DOUBLE)),
+      (4L, 'other', CAST(NULL AS DOUBLE)), (5L, 'tie', 1.0D), (6L, 'tie', 1.0D)
+      AS t(id, content, score)""")
+    val kept = Dedup.exactKeepBest(df, "id", "content", "score")
+      .collect().map(_.getLong(0)).toSet
+    // 'same' -> highest score (2); 'other' -> its only (null-score) row;
+    // 'tie' -> lower id wins the tie
+    assert(kept == Set(2L, 4L, 5L))
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val ck = Dedup.clusterKeepBest(df, "id", "score", pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // component {1,2,3} elects 2; singletons elect themselves
+    assert(ck(1L) == ((1L, 2L, false)) && ck(2L) == ((1L, 2L, true)))
+    assert(ck(3L) == ((1L, 2L, false)))
+    assert(ck(4L) == ((4L, 4L, true)) && ck(5L)._3 && ck(6L) == ((6L, 6L, true)))
+  }
+
   test("dedupClusters: singletons map to themselves") {
     import spark.implicits._
     val docs = Seq((1L, "x"), (2L, "y"), (3L, "x"), (9L, "z")).toDF("doc_id", "text")

@@ -71,7 +71,8 @@ object Bench {
     "q152_weighted_sample",     // exp-key weighted top-k sampling window
     "q155_mixture_plan",        // one domain-count agg + plan arithmetic
     "q157_dedup_keep_best",     // content-hash window, score election
-    "q158_cluster_keep_best")   // CC assignment + component score window
+    "q158_cluster_keep_best",   // CC assignment + component score window
+    "q159_knn_graph")           // list-keyed corpus self-join + top-k
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -98,7 +99,8 @@ object Bench {
     "q119_semantic_dedup" -> "oracle fixture pins k=8, so cluster size ~ n and the m^2 scan is quadratic; production recipe scales k ~ n/1000",
     "q120_kmeans_assign_bcast" -> "transport-equivalence fixture pins k=2n, so assignment cost is n*k = 2n^2 by construction",
     "q122_kmeans_two_level" -> "same k=2n fixture as q120",
-    "q144_quality_lr" -> "12 fixed GD-iteration jobs dominate the sf0.1 time (0.35s), so the x10 ratio measures job overhead, not scaling; the linear scale path is ScaleSmoke's 100k-doc train (29.7s)")
+    "q144_quality_lr" -> "12 fixed GD-iteration jobs dominate the sf0.1 time (0.35s), so the x10 ratio measures job overhead, not scaling; the linear scale path is ScaleSmoke's 100k-doc train (29.7s)",
+    "q159_knn_graph" -> "exactness fixture pins nProbe = nlist, so the bucket join degenerates to all-pairs by construction; the scale path is ScaleSmoke's 100k x nlist=256 partial-probe graph")
 
   private def loadavg1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble

@@ -1518,6 +1518,16 @@ object SparkEntry {
         .select(col("vec_id") +: (1 to 8).map(c => col(s"rp$c")): _*)
         .orderBy("vec_id")
     }),
+    // corpus kNN graph at FULL probing (nProbe = nlist = 8), where the
+    // list-keyed bucket join is exact by construction — the oracle is
+    // the flat all-pairs rank-over-cosine, so every neighbor and rank
+    // must match brute force
+    "q159_knn_graph" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Ann.knnGraph(spark.table("embeddings"), k = 3,
+        nlist = 8, nProbe = 8)
+        .orderBy("qid", "rnk")
+    }),
     // SemDeDup: q75's deterministic centroids (8 lowest vec_ids), then
     // within-cluster cosine>=0.30 keep-lowest-id (q29's threshold
     // precedent for exact cross-engine cosine comparison)
@@ -4703,6 +4713,16 @@ object SparkEntry {
              coalesce(s.dsir_logratio, 0.0) AS dsir_logratio
       FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN s USING (doc_id)
       ORDER BY doc_id""",
+    // the exact-at-full-probing graph vs the all-pairs rank replay
+    "q159_knn_graph" -> """
+      WITH s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                        list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]) AS cos
+                 FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+           r AS (SELECT qid, nid, CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INT) AS rnk
+                 FROM s)
+      SELECT qid, nid, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""",
     // full PCA replay: moments -> covariance -> 2x12 unrolled power
     // iterations -> deflation -> centered projection (generated CTEs)
     "q147_embedding_pca" -> pcaOracle(PCA_ITERS),
@@ -5103,7 +5123,8 @@ object SparkEntry {
     "q152_weighted_sample", "q155_mixture_plan",
     // overlap-threshold semantics shift with corpus size like q64's
     "q156_contamination_report",
-    "q157_dedup_keep_best", "q158_cluster_keep_best")
+    "q157_dedup_keep_best", "q158_cluster_keep_best",
+    "q159_knn_graph")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -372,6 +372,33 @@ object Ann {
       nlist: Int = 16, nProbe: Int = 4, iters: Int = 5, seed: Long = 42L): DataFrame =
     ivfSearch(buildIvf(corpus, nlist, iters, seed), queries, k, nProbe)
 
+  /** Corpus k-nearest-neighbor GRAPH — every vector's top-`k` neighbors,
+    * the backbone artifact of graph-based curation (cluster dedup,
+    * density scoring, DCLM-style neighborhood pruning). Both sides are
+    * the corpus, so nothing is collected or broadcast except the
+    * coarse codebook: each vector probes its `nProbe` nearest inverted
+    * lists map-side (torrent-broadcast codebook), the candidate join is
+    * keyed by LIST — a bucket shuffle carrying ~`nProbe`/`nlist` of the
+    * all-pairs volume, never a cross product — and exact cosine ranks
+    * within buckets (rank-pushdown top-k window per vector).
+    *
+    * Approximate by construction: a true neighbor living only in
+    * unprobed lists is missed; recall rises with `nProbe` and the graph
+    * is EXACT at `nProbe = nlist` (every pair shares a probed list —
+    * the q159 contract fixture). Returns (qid, nid, rnk). */
+  def knnGraph(corpus: DataFrame, k: Int, nlist: Int = 16, nProbe: Int = 4,
+      iters: Int = 5, seed: Long = 42L): DataFrame = {
+    require(k > 0 && nProbe >= 1 && nProbe <= nlist,
+      s"need k > 0, 1 <= nProbe <= nlist (got k=$k nProbe=$nProbe nlist=$nlist)")
+    val index = buildIvf(corpus, nlist, iters, seed)
+    val probes = probeAssignmentsBcast(index, corpus, nProbe)
+    val scored = probes.join(index.assigned, Seq("list"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), vec_cosine(col("qv"), col("cv")).as("cos"))
+      .dropDuplicates("qid", "nid")
+    topkByCos(scored, k)
+  }
+
   // ---- quantized IVF (IVF-SQ8) -------------------------------------------
 
   /** [[buildIvf]] with int8-quantized inverted lists (IVF-SQ8): the

@@ -930,6 +930,20 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats == Set(("a.com", 2L, 2L), ("b.org", 1L, 1L)))
   }
 
+  test("knnGraph: exact at full probing; partial probing recall is sane") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Ann.bruteForceTopK(emb, emb, 3)
+    val full = Ann.knnGraph(emb, k = 3, nlist = 4, nProbe = 4)
+    assert(full.join(exact, Seq("qid", "nid", "rnk")).count() == exact.count(),
+      "full-probe kNN graph must equal the brute-force graph row-for-row")
+    val approx = Ann.knnGraph(emb, k = 3, nlist = 8, nProbe = 2)
+    val rec = Ann.recall(approx, exact)
+    assert(rec >= 0.5, s"partial-probe kNN graph recall too low: $rec")
+    intercept[IllegalArgumentException] {
+      Ann.knnGraph(emb, 3, nlist = 4, nProbe = 5)
+    }
+  }
+
   test("exactKeepBest / clusterKeepBest: score elects, nulls lose, singletons keep") {
     import spark.implicits._
     val df = spark.sql("""SELECT * FROM VALUES

@@ -605,6 +605,29 @@ object ScaleSmoke {
       require(rpN == 1250000L, s"JL lost rows: $rpN")
       vecs.unpersist()
 
+      // corpus kNN graph at 100k vectors, nlist=256 nProbe=4: the
+      // list-keyed self-join carries ~nProbe/nlist of all-pairs; a
+      // 20-id brute-force spot check gates recall
+      val gVecs = spark.sql("""
+        SELECT id AS vec_id,
+               transform(sequence(0, 63),
+                 d -> CAST(hash(id, d) / 2147483647.0 AS FLOAT)) AS embedding
+        FROM range(0, 100000) t(id)""").repartition(32).cache()
+      gVecs.count()
+      val graph = withShuffle("knnGraph 100k x 64d, nlist=256, nProbe=4, k=10") {
+        graft.operators.Ann.knnGraph(gVecs, k = 10, nlist = 256, nProbe = 4)
+          .cache()
+      }
+      val gN = graph.count()
+      require(gN <= 100000L * 10, s"graph overgrew: $gN")
+      val sample = gVecs.where(col("vec_id") < 20)
+      val exactG = graft.operators.Ann.bruteForceTopK(sample, gVecs, 10)
+      val rec = graft.operators.Ann.recall(
+        graph.where(col("qid") < 20), exactG)
+      println(f"[scale]   knn graph rows: $gN, 20-id recall@10: $rec%.3f")
+      require(rec >= 0.2, s"knnGraph recall collapsed: $rec")
+      graph.unpersist(); gVecs.unpersist()
+
       // st_union_agg: dissolve 600k unit squares into 7 per-group
       // geometries — partials compact map-side, so the exchange carries
       // one geometry per (task, group). The 200x100 domain keeps the

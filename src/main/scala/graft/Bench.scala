@@ -72,7 +72,8 @@ object Bench {
     "q155_mixture_plan",        // one domain-count agg + plan arithmetic
     "q157_dedup_keep_best",     // content-hash window, score election
     "q158_cluster_keep_best",   // CC assignment + component score window
-    "q159_knn_graph")           // list-keyed corpus self-join + top-k
+    "q159_knn_graph",           // list-keyed corpus self-join + top-k
+    "q160_hashed_embedding")    // (doc,bucket) hash-agg + norm window
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -90,7 +91,8 @@ object Bench {
     "q142_ccnet_buckets", "q146_bm25", "q147_embedding_pca",
     "q148_random_projection", "q149_union_agg", "q150_bpe_learn",
     "q151_bpe_tokens", "q152_weighted_sample", "q155_mixture_plan",
-    "q157_dedup_keep_best", "q158_cluster_keep_best")
+    "q157_dedup_keep_best", "q158_cluster_keep_best",
+    "q160_hashed_embedding")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

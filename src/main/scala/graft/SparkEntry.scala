@@ -1518,6 +1518,15 @@ object SparkEntry {
         .select(col("vec_id") +: (1 to 8).map(c => col(s"rp$c")): _*)
         .orderBy("vec_id")
     }),
+    // feature-hashed document embeddings over the REAL text: signed
+    // hashed bag-of-words, dim=64, L2-normalized — the md5 bucket/sign
+    // law and the exact-integer norm replay in DuckDB
+    "q160_hashed_embedding" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.TextAnalysis.hashedEmbedding(
+        spark.table("documents"), "doc_id", "text", dim = 64)
+        .orderBy("doc_id", "vec_dim")
+    }),
     // corpus kNN graph at FULL probing (nProbe = nlist = 8), where the
     // list-keyed bucket join is exact by construction — the oracle is
     // the flat all-pairs rank-over-cosine, so every neighbor and rank
@@ -4713,6 +4722,24 @@ object SparkEntry {
              coalesce(s.dsir_logratio, 0.0) AS dsir_logratio
       FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN s USING (doc_id)
       ORDER BY doc_id""",
+    // bucket = h48 mod 64, sign = parity of h48 div 64, integer counts,
+    // rounded sqrt norm, rounded quotient
+    "q160_hashed_embedding" -> """
+      WITH t AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                 FROM documents),
+           h AS (SELECT doc_id,
+                        CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS h
+                 FROM t WHERE tok <> ''),
+           s AS (SELECT doc_id, h % 64 AS b,
+                        CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sg
+                 FROM h),
+           v AS (SELECT doc_id, b, CAST(sum(sg) AS BIGINT) AS v
+                 FROM s GROUP BY doc_id, b HAVING sum(sg) <> 0),
+           n AS (SELECT doc_id, b, v,
+                        round(sqrt(CAST(sum(v * v) OVER (PARTITION BY doc_id) AS DOUBLE)), 6) AS nrm
+                 FROM v)
+      SELECT doc_id, CAST(b AS INT) AS vec_dim, round(v / nrm, 6) AS val
+      FROM n ORDER BY doc_id, vec_dim""",
     // the exact-at-full-probing graph vs the all-pairs rank replay
     "q159_knn_graph" -> """
       WITH s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
@@ -5124,7 +5151,7 @@ object SparkEntry {
     // overlap-threshold semantics shift with corpus size like q64's
     "q156_contamination_report",
     "q157_dedup_keep_best", "q158_cluster_keep_best",
-    "q159_knn_graph")
+    "q159_knn_graph", "q160_hashed_embedding")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -628,6 +628,70 @@ object TextAnalysis {
         rz6(lit(1.0) / (lit(1.0) + exp(-col("lr_margin")))))
   }
 
+  /** Model-free document embeddings by feature hashing — the signed
+    * hashed bag-of-words vector (Weinberger et al. 2009), L2-normalized:
+    * token t adds sign(t) to bucket `h48(t) mod dim` where the sign is
+    * the parity of `h48(t) div dim` (one md5 evaluation per token, the
+    * engine's shared 48-bit law, both coordinates replayable by any
+    * engine). The result composes directly with the [[Ann]] surface —
+    * SemDeDup, kNN graphs, IVF, coresets — on corpora that have NO
+    * model-produced embeddings, closing the text → vector → ANN loop
+    * in-engine. Cosine on these vectors estimates token-multiset
+    * cosine similarity (hashing is sign-unbiased).
+    *
+    * Output: one row per (doc, dim index) with a NONZERO coordinate
+    * (`vec_dim`, `val` — rz6'd quotient by the rz6'd norm; opposite
+    * signs can cancel a bucket to zero, which drops the row on every
+    * engine alike). Empty docs produce no rows. Use
+    * [[hashedEmbeddingVec]] for the assembled array<float> form.
+    *
+    * Scale design (100 TB): one hash-agg keyed (doc, bucket) — at most
+    * `dim` rows per doc regardless of length — then a doc-keyed window
+    * for the norm; integer signed counts make every sum exact, so the
+    * only rounding is the final normalize. No vocabulary state, no
+    * broadcast, no driver participation. */
+  def hashedEmbedding(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val h = conv(substring(md5(col("__tok").cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+    val bucketed = df
+      .select(col(idCol).as("__id"),
+        explode(split(coalesce(col(textCol).cast("string"), lit("")), " ")).as("__tok"))
+      .where(col("__tok") =!= "")
+      .select(col("__id"), pmod(h, lit(dim.toLong)).as("__b"),
+        // integer h div dim via (h - h mod dim)/dim — the subtraction
+        // makes the double division exact (a float quotient could round
+        // across an integer and flip the parity bit)
+        when(pmod(((h - pmod(h, lit(dim.toLong))) / lit(dim.toDouble)).cast("long"),
+          lit(2L)) === 0, lit(1L)).otherwise(lit(-1L)).as("__s"))
+      .groupBy("__id", "__b").agg(sum("__s").as("__v"))
+      .where(col("__v") =!= 0)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("__id")
+    bucketed
+      .withColumn("__nrm", rz6(sqrt(sum(col("__v") * col("__v")).over(wDoc))))
+      .select(col("__id").as(idCol), col("__b").cast("int").as("vec_dim"),
+        rz6(col("__v") / col("__nrm")).as("val"))
+  }
+
+  /** [[hashedEmbedding]] assembled into a dense `array<float>` column
+    * (`embedding`), zero-filled — the shape the [[Ann]] operators eat.
+    * Docs with no tokens get a NULL embedding (not a zero vector, which
+    * would have an undefined cosine). */
+  def hashedEmbeddingVec(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    val sparse = hashedEmbedding(df, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("vec_dim"), col("val"))))
+        .as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0.0)).cast("float"))
+          .as("embedding"))
+    df.select(col(idCol)).distinct()
+      .join(sparse, Seq(idCol), "left")
+  }
+
   /** Okapi BM25 retrieval: for each query, the top-`k` documents by the
     * BM25 ranking function over whitespace tokens — the standard sparse
     * retrieval primitive (contamination lookup, nearest-document audit,

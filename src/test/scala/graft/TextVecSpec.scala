@@ -930,6 +930,35 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats == Set(("a.com", 2L, 2L), ("b.org", 1L, 1L)))
   }
 
+  test("hashedEmbedding: unit norm, similarity tracks token overlap, Ann-composable") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana cherry date elderberry fig grape"),
+      (1L, "apple banana cherry date elderberry fig melon"), // 6/7 shared
+      (2L, "x1 x2 x3 x4 x5 x6 x7"),                          // disjoint
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val sparse = graft.operators.TextAnalysis
+      .hashedEmbedding(docs, "doc_id", "text", dim = 32)
+    val norms = sparse.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("val") *
+          org.apache.spark.sql.functions.col("val")).as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(norms.keySet == Set(0L, 1L, 2L)) // empty/null docs: no rows
+    norms.values.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-4, s"norm² $n2"))
+    val vecs = graft.operators.TextAnalysis
+      .hashedEmbeddingVec(docs, "doc_id", "text", dim = 32)
+    assert(vecs.count() == 5)
+    assert(vecs.where("doc_id = 3").head().isNullAt(1))
+    val g = vecs.where("embedding IS NOT NULL")
+      .withColumnRenamed("embedding", "embedding").withColumnRenamed("doc_id", "vec_id")
+    val top = graft.operators.Ann.bruteForceTopK(
+      g.where("vec_id = 0"), g, k = 2)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(top.head == 1L, s"near-dup doc not nearest: $top") // overlap beats disjoint
+  }
+
   test("knnGraph: exact at full probing; partial probing recall is sane") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Ann.bruteForceTopK(emb, emb, 3)

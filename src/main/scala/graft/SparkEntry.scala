@@ -2177,6 +2177,19 @@ object SparkEntry {
       graft.operators.Bpe.tokenCounts(docs, "doc_id", "text", merges)
         .orderBy("doc_id")
     }),
+    // id-level tokenization under the q150 merges and the derived
+    // vocabulary (base chars in binary order, then merges by rank):
+    // one row per (doc < 20, position) with token string + integer id
+    "q161_bpe_token_ids" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      prep(spark, dir)
+      val docs = spark.table("documents")
+      val merges = graft.operators.Bpe.learn(docs, "text", numMerges = BPE_MERGES)
+      val v = graft.operators.Bpe.vocab(docs, "text", merges)
+      graft.operators.Bpe.tokenizeIds(docs.where(col("doc_id") < 20),
+        "doc_id", "text", merges, v)
+        .orderBy("doc_id", "pos")
+    }),
     // BM25 retrieval over the REAL documents text: four literal queries
     // (one matching nothing), Lucene idf variant, k1=1.2 b=0.75, top-10
     // per query by (score desc, doc_id) — the oracle replays postings,
@@ -4831,6 +4844,50 @@ object SparkEntry {
              CAST(length(nfc_normalize(s)) AS INT) AS nfc_len,
              strip_accents(s) AS stripped
       FROM t ORDER BY id""",
+    // re-learn the merges, derive the vocabulary ids, tokenize docs < 20
+    // with positions, and join ids back on
+    "q161_bpe_token_ids" -> (s"""
+      WITH ${bpeLearnCtes(BPE_MERGES)},
+           chars AS (SELECT DISTINCT substr(w, i, 1) AS token
+                     FROM words, unnest(generate_series(1, len(w))) AS u(i)),
+           basev AS (SELECT token,
+                            CAST(row_number() OVER (ORDER BY token) - 1 AS INT) AS token_id
+                     FROM chars),
+           mrg AS (""" +
+      (1 to BPE_MERGES).map(r =>
+        s"SELECT l || r2 AS token, $r AS rnk FROM m$r")
+        .mkString("\n                   UNION ALL ") + s"""),
+           mergedv AS (SELECT token,
+                              CAST((SELECT count(*) FROM basev) + rnk - 1 AS INT) AS token_id
+                       FROM mrg),
+           voc AS (SELECT token, CAST(min(token_id) AS INT) AS token_id
+                   FROM (SELECT * FROM basev UNION ALL SELECT * FROM mergedv)
+                   GROUP BY token),
+           dw AS (SELECT doc_id, i AS wpos, a[i] AS w
+                  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS a
+                        FROM documents WHERE doc_id < 20),
+                       unnest(generate_series(1, len(a))) AS u(i)
+                  WHERE a[i] <> ''),
+           sym0 AS (SELECT doc_id, wpos,
+                           chr(1) || string_agg(substr(w, j, 1), chr(1) ORDER BY j)
+                           || chr(1) AS s
+                    FROM dw, unnest(generate_series(1, len(w))) AS v(j)
+                    GROUP BY doc_id, wpos, w),
+           symf AS (SELECT doc_id, wpos, ${bpeReplaceChain(BPE_MERGES)} AS s
+                    FROM sym0),
+           tok AS (SELECT doc_id, wpos, j, parts[j] AS token
+                   FROM (SELECT doc_id, wpos, string_split(s, chr(1)) AS parts
+                         FROM symf),
+                        unnest(generate_series(1, len(parts))) AS v2(j)
+                   WHERE parts[j] <> ''),
+           seq AS (SELECT doc_id,
+                          CAST(row_number() OVER (
+                            PARTITION BY doc_id ORDER BY wpos, j) - 1 AS INT) AS pos,
+                          token
+                   FROM tok)
+      SELECT seq.doc_id, seq.pos, seq.token, voc.token_id
+      FROM seq LEFT JOIN voc ON seq.token = voc.token
+      ORDER BY seq.doc_id, seq.pos"""),
     // re-learn the 8 merges in SQL and emit the merge table
     "q150_bpe_learn" -> (s"""
       WITH ${bpeLearnCtes(BPE_MERGES)}
@@ -5151,7 +5208,7 @@ object SparkEntry {
     // overlap-threshold semantics shift with corpus size like q64's
     "q156_contamination_report",
     "q157_dedup_keep_best", "q158_cluster_keep_best",
-    "q159_knn_graph", "q160_hashed_embedding")
+    "q159_knn_graph", "q160_hashed_embedding", "q161_bpe_token_ids")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -198,4 +198,44 @@ object Bpe {
       filter(split(symbolized(w, merges), Sep), t => t =!= "")))
     df.select(col(idCol), toks.as("bpe_tokens"))
   }
+
+  /** The vocabulary table implied by (corpus, merges): integer token
+    * ids, assigned by the replayable law "single-character base symbols
+    * of the corpus in binary string order get 0..B−1, then each merge's
+    * merged symbol gets B + rank − 1" (a merged string produced twice —
+    * e.g. (a,bc) and (ab,c) both yielding "abc" — keeps its LOWEST id).
+    * Columns (token, token_id). Vocabulary-sized; the artifact to
+    * persist next to [[saveMerges]]. */
+  def vocab(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = wordCounts(df, textCol)
+      .select(explode(filter(split(col("word"), ""), c => c =!= "")).as("token"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("token")
+    val basev = base
+      .withColumn("token_id", (row_number().over(w) - 1).cast("int"))
+    val nBase = broadcast(basev.groupBy().agg(count(lit(1)).cast("int").as("__n")))
+    val mergedv = merges.map(m => (m.merged, m.rank)).toDF("token", "__rank")
+      .crossJoin(nBase)
+      .select(col("token"), (col("__n") + col("__rank") - 1).cast("int").as("token_id"))
+    basev.unionByName(mergedv)
+      .groupBy("token").agg(min("token_id").as("token_id"))
+  }
+
+  /** Tokenization to INTEGER ids: [[tokenize]] then a broadcast join
+    * against [[vocab]] — one row per (doc, position) with the token
+    * string and its id (NULL id = out-of-vocabulary, possible only when
+    * tokenizing a corpus the vocabulary was not built from; emitted,
+    * not dropped, so OOV is measurable). The join is broadcast
+    * (vocabulary-sized build side); positions are 0-based over the
+    * doc's flattened token sequence. */
+  def tokenizeIds(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], vocabDF: DataFrame): DataFrame = {
+    tokenize(df, idCol, textCol, merges)
+      .select(col(idCol), posexplode(col("bpe_tokens")).as(Seq("pos", "token")))
+      .join(broadcast(vocabDF), Seq("token"), "left")
+      .select(col(idCol), col("pos").cast("int").as("pos"), col("token"),
+        col("token_id"))
+  }
 }

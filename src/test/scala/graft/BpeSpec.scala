@@ -41,6 +41,29 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bpe.learnFromCounts(Seq(("a", 1L)), 3).isEmpty)
   }
 
+  test("vocab ids: base chars first in binary order, merges by rank; OOV is NULL") {
+    import spark.implicits._
+    val docs = Seq((0L, "low lower newest"), (1L, "newest newest"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learn(docs, "text", numMerges = 2) // (w,e), (e,we)
+    val v = Bpe.vocab(docs, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // base chars of {low, lower, newest}: e l n o r s t w -> ids 0..7
+    assert(v("e") == 0 && v("l") == 1 && v("w") == 7)
+    assert(v("we") == 8 && v("ewe") == 9) // merges at B + rank - 1
+    val ids = Bpe.tokenizeIds(
+      Seq((5L, "low zebra")).toDF("doc_id", "text"), "doc_id", "text", merges, v
+        .toSeq.toDF("token", "token_id"))
+      .orderBy("pos").collect()
+    // 'low' -> l,o,w all in vocab; 'zebra' has z/b/a/r... z,b,a OOV
+    assert(ids.take(3).map(_.getString(2)).toSeq == Seq("l", "o", "w"))
+    assert(ids.take(3).forall(!_.isNullAt(3)))
+    val zebraToks = ids.drop(3)
+    assert(zebraToks.exists(_.isNullAt(3)), "OOV symbols must surface as NULL ids")
+    assert(zebraToks.filter(r => r.getString(2) == "r" || r.getString(2) == "e")
+      .forall(!_.isNullAt(3)))
+  }
+
   test("merge artifact roundtrips; truncation fails loudly") {
     import spark.implicits._
     val docs = Seq((0L, "low lower newest"), (1L, "newest newest"))

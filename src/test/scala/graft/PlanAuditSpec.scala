@@ -53,7 +53,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // word counts) while constructing the result frame; the JSONL
     // roundtrip writes and re-reads a scratch directory
     "q147_embedding_pca", "q150_bpe_learn", "q151_bpe_tokens",
-    "q153_jsonl_roundtrip")
+    "q153_jsonl_roundtrip", "q161_bpe_token_ids")
 
   // deliberate BNLJ users — each a broadcast-side-by-design shape:
   private val bnljWhitelist: Set[String] = Set(

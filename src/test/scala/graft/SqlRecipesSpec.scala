@@ -329,4 +329,60 @@ class SqlRecipesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(viaSql == viaScala && viaSql.size == 6)
   }
+
+  test("feature-hashed embeddings through SQL match TextAnalysis.hashedEmbedding") {
+    val docs = corpus()
+    val viaSql = spark.sql("""
+      WITH t AS (SELECT doc_id, explode(split(coalesce(text, ''), ' ')) AS tok
+                 FROM docs),
+           h AS (SELECT doc_id,
+                        CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 12), 16, 10)
+                             AS BIGINT) AS h
+                 FROM t WHERE tok <> ''),
+           s AS (SELECT doc_id, pmod(h, 32) AS b,
+                        CASE WHEN pmod(CAST((h - pmod(h, 32)) / 32.0 AS BIGINT), 2) = 0
+                             THEN 1L ELSE -1L END AS sg
+                 FROM h),
+           v AS (SELECT doc_id, b, sum(sg) AS v
+                 FROM s GROUP BY doc_id, b HAVING sum(sg) <> 0),
+           n AS (SELECT doc_id, b, v,
+                        signum(x) * floor(abs(x) * 1e6 + 0.5) / 1e6 AS nrm
+                 FROM (SELECT doc_id, b, v,
+                              sqrt(sum(v * v) OVER (PARTITION BY doc_id)) AS x
+                       FROM v))
+      SELECT doc_id, CAST(b AS INT) AS vec_dim,
+             signum(v / nrm) * floor(abs(v / nrm) * 1e6 + 0.5) / 1e6 AS val
+      FROM n ORDER BY doc_id, vec_dim""")
+      .collect().map(_.toSeq).toSeq
+    val viaScala = graft.operators.TextAnalysis
+      .hashedEmbedding(docs, "doc_id", "text", dim = 32)
+      .orderBy("doc_id", "vec_dim").collect().map(_.toSeq).toSeq
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+  }
+
+  test("weighted sampling through SQL matches Sampling.weightedSamplePerGroup") {
+    val docs = corpus()
+    spark.sql("""SELECT doc_id, CAST(doc_id % 5 AS STRING) AS grp,
+                        CAST(length(text) AS DOUBLE) AS w
+                 FROM docs""").createOrReplaceTempView("weighted")
+    val viaSql = spark.sql("""
+      WITH k AS (SELECT doc_id, grp, w,
+                        signum(r) * floor(abs(r) * 1e6 + 0.5) / 1e6 AS r6
+                 FROM (SELECT *,
+                         -ln((CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)),
+                                        1, 12), 16, 10) AS BIGINT) + 1L)
+                             / CAST(281474976710656 AS DOUBLE)) / w AS r
+                       FROM weighted)),
+           rk AS (SELECT doc_id, grp, w,
+                         CAST(row_number() OVER (PARTITION BY grp
+                           ORDER BY r6 ASC, doc_id ASC) AS INT) AS sample_rank
+                  FROM k)
+      SELECT doc_id, grp, w, sample_rank FROM rk WHERE sample_rank <= 3
+      ORDER BY grp, sample_rank""")
+      .collect().map(_.toSeq).toSeq
+    val viaScala = graft.operators.Sampling
+      .weightedSamplePerGroup(spark.table("weighted"), "grp", "doc_id", "w", 3)
+      .orderBy("grp", "sample_rank").collect().map(_.toSeq).toSeq
+    assert(viaSql == viaScala && viaSql.size == 15)
+  }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-12 map-only curation operators are usable UNCHANGED inside
+  * Structured Streaming: their plans are stateless projections (no
+  * window, no multi-pass), so `readStream → operator → writeStream`
+  * must produce exactly the batch operator's rows. This spec drives
+  * each through a real MemoryStream micro-batch run and compares
+  * against the batch path — the contract a streaming ingest pipeline
+  * (score-and-route on arrival) relies on. Operators with corpus-wide
+  * state (BM25 idf, PCA moments, BPE learning, hashed-embedding NORMS)
+  * are deliberately absent: they aggregate over the corpus and belong
+  * in foreachBatch with a pre-built model, like q123/q133 demonstrate
+  * for dedup. */
+class StreamCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("stream-compat").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GeoFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta."),
+    (1L, "école naïve plain."),
+    (2L, ""),
+    (3L, "enable javascript to view this page.\nreal sentence here."))
+
+  test("BPE tokenCounts, c4Clean, gopherFlags, text_normalize stream unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    val batchDf = docs.toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.learnFromCounts(
+      Seq(("alpha", 3L), ("beta", 2L)), numMerges = 4)
+
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+
+    def run(name: String, f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val q = f(streamDf).writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      (q, () => { q.processAllAvailable(); q.stop(); spark.table(name) })
+    }
+
+    val (q1, get1) = run("s_bpe",
+      df => graft.operators.Bpe.tokenCounts(df, "doc_id", "text", merges))
+    val (q2, get2) = run("s_c4",
+      df => graft.operators.Curation.c4Clean(df, "doc_id", "text",
+        badwords = Seq("badword"), minSentences = 1))
+    val (q3, get3) = run("s_norm",
+      df => df.selectExpr("doc_id", "text_normalize(text, 'nfc') AS t"))
+    val (q4, get4) = run("s_gopher",
+      df => graft.operators.TextAnalysis.gopherFlags(df, "doc_id", "text"))
+    mem.addData(docs: _*)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    assert(rows(get1()) == rows(
+      graft.operators.Bpe.tokenCounts(batchDf, "doc_id", "text", merges)))
+    assert(rows(get2()) == rows(
+      graft.operators.Curation.c4Clean(batchDf, "doc_id", "text",
+        badwords = Seq("badword"), minSentences = 1)))
+    assert(rows(get3()) == rows(
+      batchDf.selectExpr("doc_id", "text_normalize(text, 'nfc') AS t")))
+    assert(rows(get4()) == rows(
+      graft.operators.TextAnalysis.gopherFlags(batchDf, "doc_id", "text")))
+    assert(rows(get1()).size == 4)
+  }
+}

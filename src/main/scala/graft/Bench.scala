@@ -73,7 +73,8 @@ object Bench {
     "q157_dedup_keep_best",     // content-hash window, score election
     "q158_cluster_keep_best",   // CC assignment + component score window
     "q159_knn_graph",           // list-keyed corpus self-join + top-k
-    "q160_hashed_embedding")    // (doc,bucket) hash-agg + norm window
+    "q160_hashed_embedding",    // (doc,bucket) hash-agg + norm window
+    "q162_cosine_edges")        // list-keyed threshold self-join
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -102,7 +103,8 @@ object Bench {
     "q120_kmeans_assign_bcast" -> "transport-equivalence fixture pins k=2n, so assignment cost is n*k = 2n^2 by construction",
     "q122_kmeans_two_level" -> "same k=2n fixture as q120",
     "q144_quality_lr" -> "12 fixed GD-iteration jobs dominate the sf0.1 time (0.35s), so the x10 ratio measures job overhead, not scaling; the linear scale path is ScaleSmoke's 100k-doc train (29.7s)",
-    "q159_knn_graph" -> "exactness fixture pins nProbe = nlist, so the bucket join degenerates to all-pairs by construction; the scale path is ScaleSmoke's 100k x nlist=256 partial-probe graph")
+    "q159_knn_graph" -> "exactness fixture pins nProbe = nlist, so the bucket join degenerates to all-pairs by construction; the scale path is ScaleSmoke's 100k x nlist=256 partial-probe graph",
+    "q162_cosine_edges" -> "same full-probing exactness fixture as q159 (all-pairs by construction)")
 
   private def loadavg1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble

@@ -1527,6 +1527,16 @@ object SparkEntry {
         spark.table("documents"), "doc_id", "text", dim = 64)
         .orderBy("doc_id", "vec_dim")
     }),
+    // threshold similarity edges at FULL probing (exact): every pair
+    // with cosine >= 0.3, emitted once — the all-pairs filter replay
+    "q162_cosine_edges" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.{col, round}
+      prep(spark, dir)
+      graft.operators.Ann.cosineEdges(spark.table("embeddings"),
+        threshold = 0.3, nlist = 8, nProbe = 8)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+        .orderBy("a", "b")
+    }),
     // corpus kNN graph at FULL probing (nProbe = nlist = 8), where the
     // list-keyed bucket join is exact by construction — the oracle is
     // the flat all-pairs rank-over-cosine, so every neighbor and rank
@@ -4753,6 +4763,15 @@ object SparkEntry {
                  FROM v)
       SELECT doc_id, CAST(b AS INT) AS vec_dim, round(v / nrm, 6) AS val
       FROM n ORDER BY doc_id, vec_dim""",
+    // one row per unordered pair above the threshold
+    "q162_cosine_edges" -> """
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) >= 0.3
+      ORDER BY a, b""",
     // the exact-at-full-probing graph vs the all-pairs rank replay
     "q159_knn_graph" -> """
       WITH s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
@@ -5208,7 +5227,8 @@ object SparkEntry {
     // overlap-threshold semantics shift with corpus size like q64's
     "q156_contamination_report",
     "q157_dedup_keep_best", "q158_cluster_keep_best",
-    "q159_knn_graph", "q160_hashed_embedding", "q161_bpe_token_ids")
+    "q159_knn_graph", "q160_hashed_embedding", "q161_bpe_token_ids",
+    "q162_cosine_edges")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

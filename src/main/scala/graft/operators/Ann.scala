@@ -399,6 +399,44 @@ object Ann {
     topkByCos(scored, k)
   }
 
+  /** Threshold similarity edges over the corpus — every pair with
+    * cosine ≥ `threshold`, emitted once (`a < b`), through the same
+    * list-keyed probing as [[knnGraph]]: the candidate join carries
+    * ~`nProbe`/`nlist` of the all-pairs volume and only pairs sharing a
+    * probed list are tested. Exact at `nProbe = nlist` (q162's
+    * contract fixture); at partial probing, a pair whose members never
+    * co-probe is missed — for near-duplicate thresholds (≥ ~0.7) true
+    * pairs are clustered and co-probe with high probability, the same
+    * recall argument as [[cosineNearDups]]' LSH banding. */
+  def cosineEdges(corpus: DataFrame, threshold: Double, nlist: Int = 16,
+      nProbe: Int = 4, iters: Int = 5, seed: Long = 42L): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nlist,
+      s"need 1 <= nProbe <= nlist (got $nProbe, $nlist)")
+    val index = buildIvf(corpus, nlist, iters, seed)
+    val probes = probeAssignmentsBcast(index, corpus, nProbe)
+    probes.join(index.assigned, Seq("list"))
+      .where(col("qid") < col("nid"))
+      .select(col("qid").as("a"), col("nid").as("b"),
+        vec_cosine(col("qv"), col("cv")).as("cos"))
+      .where(col("cos") >= threshold)
+      .dropDuplicates("a", "b")
+  }
+
+  /** Graph near-duplicate clustering: connected components over
+    * [[cosineEdges]], every corpus id mapped to its component (its own
+    * id for isolated vectors) — the DCLM-style alternative to
+    * centroid-bucketed [[semanticDedup]] when duplicate chains matter
+    * (A≈B≈C with A̸≈C must land in ONE cluster; SemDeDup can split it
+    * across centroid cells). Compose with [[Dedup.clusterKeepBest]] to
+    * elect survivors by quality. Components come from the large-star /
+    * small-star iteration — O(log² n) rounds of min-aggregates, no
+    * driver state. */
+  def cosineClusters(corpus: DataFrame, threshold: Double, nlist: Int = 16,
+      nProbe: Int = 4, iters: Int = 5, seed: Long = 42L): DataFrame =
+    graft.operators.Dedup.dedupClusters(
+      corpus.select(col("vec_id")), "vec_id",
+      cosineEdges(corpus, threshold, nlist, nProbe, iters, seed), "a", "b")
+
   // ---- quantized IVF (IVF-SQ8) -------------------------------------------
 
   /** [[buildIvf]] with int8-quantized inverted lists (IVF-SQ8): the

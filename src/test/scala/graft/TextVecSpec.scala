@@ -973,6 +973,30 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cosineClusters: transitive chains land in one component; isolates self-map") {
+    import spark.implicits._
+    // chain: v0 ~ v1 ~ v2 (adjacent cos ~0.995, ends cos ~0.98 — all
+    // above 0.9) and two orthogonal isolates
+    def v(a: Float, b: Float) = Seq(a, b, 0f, 0f)
+    val df = Seq(
+      (0L, v(1f, 0f)), (1L, v(0.995f, 0.0999f)), (2L, v(0.98f, 0.198f)),
+      (10L, v(0f, 1f)), (11L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cl = Ann.cosineClusters(df, threshold = 0.99, nlist = 2, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0~1 and 1~2 connect (cos > .99) even though 0~2 may fall below:
+    // the chain must still be ONE component — the thing SemDeDup can't
+    // guarantee across centroid cells
+    assert(cl(0L) == 0L && cl(1L) == 0L && cl(2L) == 0L, s"chain split: $cl")
+    assert(cl(10L) == 10L && cl(11L) == 11L)
+    // the edge primitive honors a < b emission and the threshold
+    val edges = Ann.cosineEdges(df, 0.99, nlist = 2, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.contains((0L, 1L)) && edges.contains((1L, 2L)))
+    assert(!edges.exists { case (a, b) => a >= b })
+    assert(!edges.contains((0L, 10L)))
+  }
+
   test("exactKeepBest / clusterKeepBest: score elects, nulls lose, singletons keep") {
     import spark.implicits._
     val df = spark.sql("""SELECT * FROM VALUES

@@ -804,6 +804,43 @@ object SparkEntry {
     // (datum-aware vs projection-only placement of the same WGS84
     // point). The projection-only math is additionally anchored to the
     // EPSG GN7-2 worked examples in AzimuthalSpec.
+    // Hotine oblique Mercator gate (q140's shape): Swiss-grid round
+    // trips at 6dp, WGS84-datum pins from the independent
+    // tools/hotine_check.py chain (Bern fundamental point verified to
+    // 1 cm), and the CH1903+ datum-shift physics window
+    "q163_transform_oblique" -> q("""
+      WITH p AS (
+        SELECT 6.2 + (l_orderkey % 100) * 0.036 AS lon,
+               46.0 + (l_linenumber % 6) * 0.28 AS lat,
+               113.5 + (l_orderkey % 100) * 0.05 AS blon,
+               3.2 + (l_linenumber % 6) * 0.55 AS blat
+        FROM lineitem),
+      b AS (
+        SELECT lon, lat, blon, blat,
+               ST_Transform(ST_Transform(ST_Point(lon, lat, 4326), 2056), 4326) AS back,
+               ST_Transform(ST_Transform(ST_Point(blon, blat, 4326), 29873), 4326) AS back2
+        FROM p),
+      k AS (
+        SELECT bool_and(
+                 abs(ST_X(ST_Transform(ST_Point(klon, klat, 4326), epsg)) - ke) < 2e-3 AND
+                 abs(ST_Y(ST_Transform(ST_Point(klon, klat, 4326), epsg)) - kn) < 2e-3) AS known_ok
+        FROM VALUES
+          (46.9480D, 7.4474D, 2056, 2600667.4753D, 1199657.3164D),
+          (47.3769D, 8.5417D, 2056, 2683303.8937D, 1247925.6279D),
+          (46.2044D, 6.1432D, 2056, 2500016.0161D, 1117821.0697D),
+          (5.98D,  116.07D, 29873,  707933.6037D,  662333.2432D)
+          AS kp(klat, klon, epsg, ke, kn)),
+      sh AS (
+        -- LV95 of a WGS84 point vs the same numbers projected on the
+        -- native datum (no Helmert): the CH1903+ shift must move the
+        -- planar position a real distance (50-500 m window)
+        SELECT sqrt(pow(ST_X(ST_Transform(ST_Point(7.4474D, 46.9480D, 4326), 2056)) - 2600595.0087D, 2) +
+                    pow(ST_Y(ST_Transform(ST_Point(7.4474D, 46.9480D, 4326), 2056)) - 1199510.3194D, 2)) AS d)
+      SELECT bool_and(abs(ST_X(back) - lon) < 1e-6 AND abs(ST_Y(back) - lat) < 1e-6 AND
+                      abs(ST_X(back2) - blon) < 1e-6 AND abs(ST_Y(back2) - blat) < 1e-6) AS rt_ok,
+             (SELECT known_ok FROM k) AS known_ok,
+             (SELECT d > 50 AND d < 500 FROM sh) AS shift_ok
+      FROM b"""),
     "q140_transform_azimuthal" -> q("""
       WITH p AS (
         SELECT 3.4 + (l_orderkey % 100) * 0.037 AS lon,
@@ -3626,6 +3663,8 @@ object SparkEntry {
     "q134_transform_national" -> """
       SELECT true AS rt_ok, true AS known_ok, true AS shift_ok""",
     "q140_transform_azimuthal" -> """
+      SELECT true AS rt_ok, true AS known_ok, true AS shift_ok""",
+    "q163_transform_oblique" -> """
       SELECT true AS rt_ok, true AS known_ok, true AS shift_ok""",
     "q132_geoparquet_covering" -> s"""
       SELECT $KEYS, 'POINT(' || $OPXS || ' ' || $OPYS || ')' AS wkt

@@ -2950,7 +2950,7 @@ object GeoKernels {
     val from = g.getSRID
     def supported(s: Int) = s == 4326 || s == 3857 || isUtm(s) ||
       graft.geo.ConicProjections.supports(s) || graft.geo.NationalGrids.supports(s) ||
-      graft.geo.AzimuthalProjections.supports(s)
+      graft.geo.AzimuthalProjections.supports(s) || graft.geo.ObliqueMercator.supports(s)
     if (!supported(from) || !supported(toSrid))
       throw new IllegalArgumentException(
         "ST_Transform supports: 4326, 3857, " +
@@ -2958,8 +2958,10 @@ object GeoKernels {
           s"(${graft.geo.ConicProjections.registry.keys.toSeq.sorted.mkString(", ")}), " +
           "the national-grid registry " +
           s"(${graft.geo.NationalGrids.registry.keys.toSeq.sorted.mkString(", ")}), " +
-          "and the azimuthal registry " +
-          s"(${graft.geo.AzimuthalProjections.registry.keys.toSeq.sorted.mkString(", ")}) " +
+          "the azimuthal registry " +
+          s"(${graft.geo.AzimuthalProjections.registry.keys.toSeq.sorted.mkString(", ")}), " +
+          "and the oblique-Mercator registry " +
+          s"(${graft.geo.ObliqueMercator.registry.keys.toSeq.sorted.mkString(", ")}) " +
           s"(got SRID $from -> $toSrid)")
     val out = mapCoordsCopy(g) { c =>
       // pivot through WGS84 geographic degrees (no-op when from = 4326;
@@ -2975,6 +2977,8 @@ object GeoKernels {
           graft.geo.NationalGrids.gridToGeographic(ng, c)
         case az if graft.geo.AzimuthalProjections.supports(az) =>
           graft.geo.AzimuthalProjections.azToGeographic(az, c)
+        case hom if graft.geo.ObliqueMercator.supports(hom) =>
+          graft.geo.ObliqueMercator.homToGeographic(hom, c)
         case utm => TransverseMercator.utmToGeographic(utm, c)
       }
       toSrid match {
@@ -2989,6 +2993,8 @@ object GeoKernels {
           graft.geo.NationalGrids.geographicToGrid(ng, c)
         case az if graft.geo.AzimuthalProjections.supports(az) =>
           graft.geo.AzimuthalProjections.geographicToAz(az, c)
+        case hom if graft.geo.ObliqueMercator.supports(hom) =>
+          graft.geo.ObliqueMercator.geographicToHom(hom, c)
         case utm => TransverseMercator.geographicToUtm(utm, c)
       }
     }

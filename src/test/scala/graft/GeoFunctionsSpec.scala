@@ -802,13 +802,14 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(sql1("select ST_AsEWKT(ST_Transform(ST_GeomFromText(" +
       "'POINT(1 2)', 3857), 3857))") == "SRID=3857;POINT(1 2)")
     // unsupported pairs raise rather than silently approximating —
-    // 2056 (CH1903+/LV95, OBLIQUE Mercator: a projection family the
-    // engine does not implement) is outside every registry
-    // (27700/29902/23031 moved to the national-grid tier, 28992 to the
-    // azimuthal tier, 3577 to the conic tier — each previous raising
-    // example got implemented)
+    // 27572 (NTF Lambert zone II: LCC ONE-standard-parallel on Clarke
+    // 1880 IGN, a formulation outside the LCC-2SP conic tier) is not in
+    // any registry (27700/29902/23031 moved to the national-grid tier,
+    // 28992 to the azimuthal tier, 3577 to the conic tier, 2056 to the
+    // oblique-Mercator tier — each previous raising example got
+    // implemented)
     assert(intercept[Exception] {
-      spark.sql("select ST_Transform(ST_GeomFromText('POINT(1 2)', 2056), 4326)")
+      spark.sql("select ST_Transform(ST_GeomFromText('POINT(1 2)', 27572), 4326)")
         .collect()
     }.getMessage.contains("ST_Transform supports"))
     // ...and the national-grid tier answers directly from SQL

@@ -2204,6 +2204,18 @@ object SparkEntry {
         "text_normalize(s, 'strip_accents') AS stripped")
         .orderBy("id")
     }),
+    // ordered conversion funnel over the real events: greedy-from-
+    // earliest signup -> view -> click -> purchase per user, 10^12-us
+    // completion window — the oracle unrolls the greedy chain one CTE
+    // per step on the same epoch-micros law as q32
+    "q164_event_funnel" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.expr
+      prep(spark, dir)
+      val ev = spark.table("events").withColumn("tsu", expr(TS_US))
+      graft.operators.Sessionize.funnel(ev, "user_id", "tsu", "event_type",
+        Seq("signup", "view", "click", "purchase"), windowMax = 1000000000000L)
+        .orderBy("user_id")
+    }),
     // BPE vocabulary learning on the REAL documents text: one word-count
     // shuffle, then 8 deterministic merge rounds on the driver under
     // the replace-law contract — the oracle re-learns all 8 merges as
@@ -4902,6 +4914,29 @@ object SparkEntry {
              CAST(length(nfc_normalize(s)) AS INT) AS nfc_len,
              strip_accents(s) AS stripped
       FROM t ORDER BY id""",
+    // the greedy chain unrolled: min step-k time at or after step-(k-1)
+    "q164_event_funnel" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+                 WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+           s1 AS (SELECT user_id, min(t) AS t1 FROM e
+                  WHERE event_type = 'signup' GROUP BY user_id),
+           s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+                  WHERE event_type = 'view' AND t >= t1 GROUP BY e.user_id),
+           s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+                  WHERE event_type = 'click' AND t >= t2 GROUP BY e.user_id),
+           s4 AS (SELECT e.user_id, min(t) AS t4 FROM e JOIN s3 USING (user_id)
+                  WHERE event_type = 'purchase' AND t >= t3 GROUP BY e.user_id)
+      SELECT u.user_id,
+             CAST(CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3
+                       WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1
+                       ELSE 0 END AS INT) AS steps_completed,
+             t1 AS t_start, coalesce(t4, t3, t2, t1) AS t_end,
+             coalesce(t4 IS NOT NULL AND t4 - t1 <= 1000000000000, false)
+               AS completed
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+      ORDER BY u.user_id""",
     // re-learn the merges, derive the vocabulary ids, tokenize docs < 20
     // with positions, and join ids back on
     "q161_bpe_token_ids" -> (s"""
@@ -5267,7 +5302,7 @@ object SparkEntry {
     "q156_contamination_report",
     "q157_dedup_keep_best", "q158_cluster_keep_best",
     "q159_knn_graph", "q160_hashed_embedding", "q161_bpe_token_ids",
-    "q162_cosine_edges")
+    "q162_cosine_edges", "q164_event_funnel")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -88,4 +88,68 @@ object Sessionize {
       case None => base
     }
   }
+
+  /** Ordered-funnel completion per key: how far along `steps` each key
+    * progressed, under GREEDY-FROM-EARLIEST matching — step 1 matches
+    * the key's earliest step-1 event, step k+1 the earliest step-(k+1)
+    * event at `ts >=` the matched step-k time. The standard simple
+    * funnel semantics (what product-analytics "conversion funnel"
+    * reports compute); sliding-window OPTIMAL matching — retry a later
+    * step-1 occurrence when the earliest chain overruns `windowMax` —
+    * is intentionally out of scope and documented, like every other
+    * bounded-semantics operator here.
+    *
+    * Output per key: `steps_completed` (0..n), `t_start`/`t_end` (the
+    * matched chain's first/last timestamp, null when nothing matched),
+    * and `completed` = all steps matched AND `t_end − t_start <=
+    * windowMax` (same unit as `tsCol`; pass Long.MaxValue for
+    * unwindowed). Keys with NO step events still get a row (a funnel
+    * report must not silently drop the non-starters). Null timestamps
+    * are dropped like [[assignSessions]].
+    *
+    * Scale design (100 TB): events filter map-side to the funnel's
+    * step set (tiny literal IN), then ONE shuffle keyed by `keyCol`
+    * into a sort_array(collect_list(struct(ts, step)))-fed `aggregate`
+    * fold — per-key state is its STEP-EVENT count, not its event
+    * count, and the fold is codegen'd column work (no UDF). The
+    * all-keys left join is key-partitioned the same way. */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String, eventCol: String,
+      steps: Seq[String], windowMax: Long = Long.MaxValue): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.length == steps.length,
+      "steps must be non-empty and distinct")
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col(eventCol) === s, lit(i)).otherwise(acc)
+      }
+    val matched = df
+      .where(col(tsCol).isNotNull && col(eventCol).isin(steps: _*))
+      .select(col(keyCol).as("__k"), col(tsCol).cast("long").as("__ts"),
+        stepIdx.as("__step"))
+      .groupBy("__k")
+      .agg(sort_array(collect_list(struct(col("__ts"), col("__step"))))
+        .as("__evts"))
+      .select(col("__k"),
+        aggregate(col("__evts"),
+          struct(lit(0).as("k"), lit(null).cast("long").as("t0"),
+            lit(null).cast("long").as("t")),
+          (st, e) =>
+            when(st.getField("k") < steps.length &&
+                 e.getField("__step") === st.getField("k") &&
+                 (st.getField("k") === 0 || e.getField("__ts") >= st.getField("t")),
+              struct((st.getField("k") + 1).as("k"),
+                coalesce(st.getField("t0"), e.getField("__ts")).as("t0"),
+                e.getField("__ts").as("t")))
+              .otherwise(st)).as("__f"))
+      .select(col("__k"),
+        col("__f.k").as("steps_completed"),
+        col("__f.t0").as("t_start"),
+        col("__f.t").as("t_end"))
+    df.select(col(keyCol).as("__k")).distinct()
+      .join(matched, Seq("__k"), "left")
+      .select(col("__k").as(keyCol),
+        coalesce(col("steps_completed"), lit(0)).as("steps_completed"),
+        col("t_start"), col("t_end"),
+        (coalesce(col("steps_completed"), lit(0)) === steps.length &&
+          col("t_end") - col("t_start") <= windowMax).as("completed"))
+  }
 }

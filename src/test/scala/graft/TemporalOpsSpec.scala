@@ -280,4 +280,31 @@ class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan1.contains("BroadcastNestedLoop") && !plan1.contains("CartesianProduct"))
     assert(!plan2.contains("BroadcastNestedLoop") && !plan2.contains("CartesianProduct"))
   }
+
+  test("funnel: greedy order matching, window gate, non-starters keep rows") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 completes in order within the window
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      // u2 has b BEFORE its first a — greedy-from-earliest a(15) finds
+      // no later b, so it stalls at step 1
+      (2L, 5L, "b"), (2L, 15L, "a"), (2L, 12L, "c"),
+      // u3 completes but overruns the window of 50
+      (3L, 0L, "a"), (3L, 10L, "b"), (3L, 100L, "c"),
+      // u4 only unrelated events
+      (4L, 7L, "x"),
+      // u5: same-timestamp cascade is allowed (>= semantics)
+      (5L, 40L, "a"), (5L, 40L, "b"), (5L, 40L, "c"))
+      .toDF("u", "ts", "e")
+    val out = graft.operators.Sessionize
+      .funnel(ev, "u", "ts", "e", Seq("a", "b", "c"), windowMax = 50L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((3, 10L, 30L, true)))
+    assert(out(2L) == ((1, 15L, 15L, false)), s"greedy stall wrong: ${out(2L)}")
+    assert(out(3L) == ((3, 0L, 100L, false)), "window overrun must not complete")
+    assert(out(4L) == ((0, -1L, -1L, false)), "non-starter must keep a row")
+    assert(out(5L) == ((3, 40L, 40L, true)), "same-ts cascade must chain")
+  }
 }

@@ -75,7 +75,8 @@ object Bench {
     "q159_knn_graph",           // list-keyed corpus self-join + top-k
     "q160_hashed_embedding",    // (doc,bucket) hash-agg + norm window
     "q162_cosine_edges",        // list-keyed threshold self-join
-    "q164_event_funnel")        // key shuffle + sorted-array greedy fold
+    "q164_event_funnel",        // key shuffle + sorted-array greedy fold
+    "q165_asof_forward")        // one-shuffle descending-scan as-of
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -94,7 +95,7 @@ object Bench {
     "q148_random_projection", "q149_union_agg", "q150_bpe_learn",
     "q151_bpe_tokens", "q152_weighted_sample", "q155_mixture_plan",
     "q157_dedup_keep_best", "q158_cluster_keep_best",
-    "q160_hashed_embedding", "q164_event_funnel")
+    "q160_hashed_embedding", "q164_event_funnel", "q165_asof_forward")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

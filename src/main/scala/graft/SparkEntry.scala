@@ -1032,6 +1032,24 @@ object SparkEntry {
           col("asof_ts").as("prior_view_ts"), col("asof_view_id").as("prior_view_id"))
         .orderBy("event_id")
     }),
+    // the time-mirrored forward as-of on q48's exact fixture: each
+    // purchase picks the EARLIEST view at-or-after it (next-event
+    // lookup), DuckDB replaying with min over the flipped inequality
+    "q165_asof_forward" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val e = spark.table("events").withColumn("tsu", expr(TS_US))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "tsu")
+      val views = e.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("tsu"))
+        .agg(max(col("event_id")).as("view_id"))
+      graft.operators.AsofJoin.asofForward(purchases, views, "user_id", "tsu",
+          Seq("view_id"))
+        .select(col("event_id"), col("user_id"), col("tsu").as("ts"),
+          col("asof_ts").as("next_view_ts"), col("asof_view_id").as("next_view_id"))
+        .orderBy("event_id")
+    }),
     // binned 1-D range join (point-in-interval): bin equi-join + residual
     // predicate — the inequality join DuckDB runs directly is the oracle
     "q49_range_join" -> ((spark, dir) => {
@@ -3429,6 +3447,19 @@ object SparkEntry {
       FROM p JOIN m ON p.event_id = m.event_id
       LEFT JOIN v v2 ON v2.user_id = p.user_id AND v2.vts = m.prior_view_ts
       ORDER BY p.event_id""",
+    "q165_asof_forward" -> """
+      WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts
+                 FROM events WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, epoch_us(ts) AS vts, max(event_id) AS view_id
+                 FROM events WHERE event_type = 'view'
+                 GROUP BY user_id, epoch_us(ts)),
+           m AS (SELECT p.event_id, min(v.vts) AS next_view_ts
+                 FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.vts >= p.ts
+                 GROUP BY p.event_id)
+      SELECT p.event_id, p.user_id, p.ts, m.next_view_ts, v2.view_id AS next_view_id
+      FROM p JOIN m ON p.event_id = m.event_id
+      LEFT JOIN v v2 ON v2.user_id = p.user_id AND v2.vts = m.next_view_ts
+      ORDER BY p.event_id""",
     "q49_range_join" -> """
       SELECT l_orderkey, l_linenumber, o_orderkey
       FROM lineitem JOIN orders
@@ -5302,7 +5333,7 @@ object SparkEntry {
     "q156_contamination_report",
     "q157_dedup_keep_best", "q158_cluster_keep_best",
     "q159_knn_graph", "q160_hashed_embedding", "q161_bpe_token_ids",
-    "q162_cosine_edges", "q164_event_funnel")
+    "q162_cosine_edges", "q164_event_funnel", "q165_asof_forward")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -40,11 +40,30 @@ object AsofJoin {
     */
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valueCols: Seq[String], inclusive: Boolean = true,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, valueCols, inclusive, tolerance,
+      forward = false)
+
+  /** The time-mirrored twin: each left row picks the EARLIEST right row
+    * at-or-after its timestamp (strictly after when `inclusive = false`)
+    * — next-event lookups: time-to-next-purchase labels, forward fills,
+    * "first response after the incident". `tolerance` nulls matches
+    * farther than `left.ts + tolerance` into the future. Same one-union
+    * one-shuffle one-window-scan plan (the scan just runs in descending
+    * time), same null-key and tie contracts as [[asofBackward]]. */
+  def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCols: Seq[String], inclusive: Boolean = true,
+      tolerance: Option[Long] = None): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, valueCols, inclusive, tolerance,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCols: Seq[String], inclusive: Boolean,
+      tolerance: Option[Long], forward: Boolean): DataFrame = {
     tolerance.foreach(t => require(t >= 0,
       s"tolerance must be >= 0 (got $t): a negative tolerance demands " +
-        "matches FROM THE FUTURE of a backward join and would silently " +
-        "null every output"))
+        "matches from the wrong side of the join direction and would " +
+        "silently null every output"))
     val leftStruct = StructType(left.schema.fields)
     val valueTypes = valueCols.map(c => c -> right.schema(c).dataType)
 
@@ -58,9 +77,12 @@ object AsofJoin {
         valueCols.map(c => col(c).as(s"__v_$c")): _*)
 
     // inclusive: right sorts before left at equal ts (side 0 < 1) so the
-    // carry-forward sees it; exclusive flips the tie order
+    // carry sees it; exclusive flips the tie order. Forward is the same
+    // scan over DESCENDING time — the carry then holds the earliest
+    // at-or-after right row instead of the latest at-or-before one.
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val tieOrder = if (inclusive) col("__side").asc else col("__side").desc
-    val w = Window.partitionBy("__k").orderBy(col("__ts").asc, tieOrder)
+    val w = Window.partitionBy("__k").orderBy(tsOrder, tieOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     // the carry is ONE struct per right row (ts + all values), so every
@@ -75,10 +97,17 @@ object AsofJoin {
       .withColumn("__m", last(rightRow, ignoreNulls = true).over(w))
       .where(col("__side") === 1)
 
+    // a null-ts LEFT row matches nothing in either direction — explicit
+    // here rather than relying on null sort position (asc puts nulls
+    // first, which hid this for backward; desc puts them LAST, where
+    // they would otherwise pick up the smallest-ts right row)
+    val hasTs = col("__ts").isNotNull
     val fresh = tolerance match {
+      case Some(tol) if forward =>
+        hasTs && col("__m").isNotNull && col("__m.__rts") <= col("__ts") + lit(tol)
       case Some(tol) =>
-        col("__m").isNotNull && col("__m.__rts") >= col("__ts") - lit(tol)
-      case None => col("__m").isNotNull
+        hasTs && col("__m").isNotNull && col("__m.__rts") >= col("__ts") - lit(tol)
+      case None => hasTs && col("__m").isNotNull
     }
     carried.select(
       left.columns.map(c => col(s"__l.$c").as(c)) ++

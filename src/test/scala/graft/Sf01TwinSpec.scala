@@ -60,11 +60,11 @@ class Sf01TwinSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("every twin has both a query and a rewritten oracle") {
     val twins = SparkEntry.queries.keys.filter(_.startsWith("sf01_")).toSet
-    assert(twins.size == 37) // r5 subset + r12's q135/q137 + the
+    assert(twins.size == 38) // r5 subset + r12's q135/q137 + the
     // round-12 selection operators (q141-q145) + retrieval/reduction/
     // dissolve (q146-q149) + BPE (q150-q151) + weighted sampling (q152)
     // + mixture plan (q155) + contamination report (q156) + scored
-    // dedup elections (q157-q158) + kNN graph (q159) + hashed embeddings (q160) + token ids (q161) + cosine edges (q162) + event funnel (q164)
+    // dedup elections (q157-q158) + kNN graph (q159) + hashed embeddings (q160) + token ids (q161) + cosine edges (q162) + event funnel (q164) + forward as-of (q165)
     twins.foreach { t =>
       val o = SparkEntry.oracleSql.get(t)
       assert(o.isDefined, s"$t has no oracle")

@@ -281,6 +281,29 @@ class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan2.contains("BroadcastNestedLoop") && !plan2.contains("CartesianProduct"))
   }
 
+  test("asofForward mirrors backward: next-at-or-after, tolerance, null ts/key") {
+    val left = spark.sql("""SELECT * FROM VALUES
+      (1L, 'u', 100L), (2L, 'u', 250L), (3L, 'w', 100L),
+      (4L, CAST(NULL AS STRING), 100L), (5L, 'u', CAST(NULL AS BIGINT))
+      AS t(id, k, ts)""")
+    val right = spark.sql("""SELECT * FROM VALUES
+      ('u', 100L, 'a'), ('u', 200L, 'b'), ('u', 300L, 'c'),
+      (CAST(NULL AS STRING), 50L, 'n') AS t(k, ts, v)""")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    val inc = m(graft.operators.AsofJoin.asofForward(left, right, "k", "ts", Seq("v")))
+    assert(inc(1L) == "a")   // inclusive: equal ts matches
+    assert(inc(2L) == "c")   // next at-or-after 250 is 300
+    assert(inc(3L) == null)  // no rows for key w
+    assert(inc(4L) == null && inc(5L) == null) // null key / null ts match nothing
+    val exc = m(graft.operators.AsofJoin.asofForward(left, right, "k", "ts",
+      Seq("v"), inclusive = false))
+    assert(exc(1L) == "b")   // strictly after 100 is 200
+    val tol = m(graft.operators.AsofJoin.asofForward(left, right, "k", "ts",
+      Seq("v"), tolerance = Some(40L)))
+    assert(tol(1L) == "a" && tol(2L) == null) // 300 is 50 > 40 into the future
+  }
+
   test("funnel: greedy order matching, window gate, non-starters keep rows") {
     import spark.implicits._
     val ev = Seq(

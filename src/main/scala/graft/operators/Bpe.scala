@@ -79,9 +79,15 @@ object Bpe {
     * fewer than `numMerges` merges if the vocabulary exhausts. */
   def learnFromCounts(counts: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
     require(numMerges > 0, "numMerges must be positive")
-    // bracketed symbol strings, the law's representation
+    // bracketed symbol strings, the law's representation; initial
+    // symbols are CODE POINTS (matching the oracle's substr law and
+    // tokenize's split-by-empty-pattern) — a UTF-16 code-unit split
+    // would shear supplementary-plane characters (emoji, rare CJK)
+    // into lone surrogates and emit invalid-UTF-8 tokens
     var words: Seq[(String, Long)] = counts.map { case (w, f) =>
-      (Sep + w.toSeq.mkString(Sep) + Sep, f)
+      val syms = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      (Sep + syms.mkString(Sep) + Sep, f)
     }
     val out = Vector.newBuilder[Merge]
     var r = 1

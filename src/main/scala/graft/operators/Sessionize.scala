@@ -108,42 +108,65 @@ object Sessionize {
     * are dropped like [[assignSessions]].
     *
     * Scale design (100 TB): events filter map-side to the funnel's
-    * step set (tiny literal IN), then ONE shuffle keyed by `keyCol`
-    * into a sort_array(collect_list(struct(ts, step)))-fed `aggregate`
-    * fold — per-key state is its STEP-EVENT count, not its event
-    * count, and the fold is codegen'd column work (no UDF). The
-    * all-keys left join is key-partitioned the same way. */
+    * step set (tiny literal IN), then ONE shuffle of slim (key, ts,
+    * step) triples keyed by `keyCol` with a secondary sort on (ts,
+    * step), and a single streaming per-key greedy fold over the sorted
+    * run — per-key state is THREE scalars (step reached, chain start,
+    * chain tip), regardless of how many step events the key emits. An
+    * earlier collect_list formulation materialized every step event of
+    * a key into one in-memory array, so a single bot key emitting step
+    * events at volume could OOM its reducer; the streaming fold scans
+    * the same rows in constant memory (the upstream sort spills to
+    * disk). The all-keys left join is key-partitioned the same way. */
   def funnel(df: DataFrame, keyCol: String, tsCol: String, eventCol: String,
       steps: Seq[String], windowMax: Long = Long.MaxValue): DataFrame = {
     require(steps.nonEmpty && steps.distinct.length == steps.length,
       "steps must be non-empty and distinct")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val stepIdx = steps.zipWithIndex
       .foldLeft(lit(-1)) { case (acc, (s, i)) =>
         when(col(eventCol) === s, lit(i)).otherwise(acc)
       }
-    val matched = df
+    val evts = df
       .where(col(tsCol).isNotNull && col(eventCol).isin(steps: _*))
       .select(col(keyCol).as("__k"), col(tsCol).cast("long").as("__ts"),
         stepIdx.as("__step"))
-      .groupBy("__k")
-      .agg(sort_array(collect_list(struct(col("__ts"), col("__step"))))
-        .as("__evts"))
-      .select(col("__k"),
-        aggregate(col("__evts"),
-          struct(lit(0).as("k"), lit(null).cast("long").as("t0"),
-            lit(null).cast("long").as("t")),
-          (st, e) =>
-            when(st.getField("k") < steps.length &&
-                 e.getField("__step") === st.getField("k") &&
-                 (st.getField("k") === 0 || e.getField("__ts") >= st.getField("t")),
-              struct((st.getField("k") + 1).as("k"),
-                coalesce(st.getField("t0"), e.getField("__ts")).as("t0"),
-                e.getField("__ts").as("t")))
-              .otherwise(st)).as("__f"))
-      .select(col("__k"),
-        col("__f.k").as("steps_completed"),
-        col("__f.t0").as("t_start"),
-        col("__f.t").as("t_end"))
+    val nSteps = steps.length
+    val outSchema = StructType(Seq(
+      evts.schema("__k"),
+      StructField("steps_completed", IntegerType, nullable = false),
+      StructField("t_start", LongType, nullable = true),
+      StructField("t_end", LongType, nullable = true)))
+    // keys are contiguous after the secondary sort; one output row per
+    // key run, folded without buffering the run
+    val matched = evts
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__ts"), col("__step"))
+      .mapPartitions { rows =>
+        new Iterator[Row] {
+          private val it = rows.buffered
+          def hasNext: Boolean = it.hasNext
+          def next(): Row = {
+            val key = it.head.get(0)
+            var k = 0
+            var t0 = 0L
+            var t = 0L
+            while (it.hasNext && it.head.get(0) == key) {
+              val r = it.next()
+              val ts = r.getLong(1)
+              if (k < nSteps && r.getInt(2) == k && (k == 0 || ts >= t)) {
+                if (k == 0) t0 = ts
+                k += 1
+                t = ts
+              }
+            }
+            Row(key, k,
+              if (k > 0) java.lang.Long.valueOf(t0) else null,
+              if (k > 0) java.lang.Long.valueOf(t) else null)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
     df.select(col(keyCol).as("__k")).distinct()
       .join(matched, Seq("__k"), "left")
       .select(col("__k").as(keyCol),

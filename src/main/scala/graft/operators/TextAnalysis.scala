@@ -466,27 +466,84 @@ object TextAnalysis {
     * 6dp-rounded on both sides of the determinism contract. Documents
     * whose bigrams never hit the reference model (or with < 2 tokens)
     * are unscorable and drop, as in CCNet. The bucket split is
-    * `ntile(parts)` ordered by (ppl, id) — a total order, so any
-    * engine's standard ntile reproduces the assignment.
+    * `ntile(parts)` semantics ordered by (ppl, id) — a total order, so
+    * any engine's standard ntile reproduces the assignment.
     *
     * Scale design (100 TB): the reference model is vocabulary-bounded
     * and built once; scoring is [[bigramCrossEntropyWith]]'s one
-    * token-keyed join + doc hash-agg. The ntile window shuffles ONLY
-    * (id, lang, ppl) rows — never text — partitioned by language, so
-    * state per reducer is the language's doc COUNT, not its bytes;
-    * massively-skewed language mixes (English-heavy crawls) ntile in
-    * one pass because ranking needs a sort, not materialized text. */
+    * token-keyed join + doc hash-agg. The bucket split deliberately
+    * does NOT use `ntile().over(Window.partitionBy(lang))`: a window
+    * partitioned by language lands the ENTIRE language in one task, and
+    * on an English-heavy crawl that is billions of rows through one
+    * external sort. Instead the slim (id, lang, ppl) frame — never
+    * text — is RANGE-partitioned on (lang, ppl, id) with a PINNED
+    * partition count (so AQE cannot re-coalesce the two reads of the
+    * shared exchange differently), and each row's exact in-language
+    * rank is assembled from two codegen'd pieces:
+    * `monotonically_increasing_id()` over the sorted partitions, whose
+    * bit layout IS (partition id << 33 | row index) — no object
+    * deserialization, no per-group state — plus one tiny per-(pid,
+    * lang) aggregate (≤ P + #languages rows: languages are contiguous
+    * under the range order) giving each (partition, language) slice
+    * its first local index, its cumulative cross-partition offset, and
+    * the language total. Broadcast that aux table back and the rank is
+    * `lidx − first_lidx + 1 + offset`; the bucket falls out of ntile's
+    * size arithmetic applied to (rank, n_lang, parts) — identical
+    * assignment to the window form, with no collect and no
+    * single-reducer sort anywhere. Both consumers hang off the SAME
+    * range Exchange (Spark's exchange reuse materializes it once per
+    * action), every node is lazy (constructing the frame runs no job),
+    * and the whole rank assembly stays inside whole-stage codegen. */
   def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
       langCol: String, reference: DataFrame, parts: Int = 3): DataFrame = {
     require(parts > 0, "parts must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // ppl is a quotient of a snapped 6dp sum by an integer count — the
+    // exact divergence class where Spark's shortest-string round
+    // disagrees with the oracle's scaled-double convention; rz6 keeps
+    // half-boundary quotients on the oracle's side (see rz6 scaladoc).
     val scored = bigramCrossEntropyWith(df, idCol, textCol,
       bigramModel(reference, idCol, textCol))
-      .withColumn("ppl", round(col("xent_sum") / col("bigrams"), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__lang").orderBy(col("ppl"), col(idCol))
-    df.select(col(idCol), col(langCol).as("__lang"))
-      .join(scored, Seq(idCol))
-      .withColumn("bucket", ntile(parts).over(w))
+      .withColumn("ppl", rz6(col("xent_sum") / col("bigrams")))
+    val slim = df.select(col(idCol), col(langCol).as("__lang"))
+      .join(scored.select(col(idCol), col("ppl")), Seq(idCol))
+      .select(col(idCol), col("__lang"), col("ppl"))
+    val ranged = slim
+      .repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("__lang"), col("ppl"), col(idCol))
+      .sortWithinPartitions(col("__lang"), col("ppl"), col(idCol))
+    // codegen'd local index: mid = (pid << 33) | rowIndexInPartition,
+    // assigned in the sorted partition order (documented bit layout of
+    // monotonically_increasing_id; caps partitions at 8.6e9 rows)
+    val withIdx = ranged
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .withColumn("__lidx", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+    // one tiny aux aggregate (≤ P + #languages rows): each (partition,
+    // language) slice's first local index and row count, from which the
+    // cross-partition cumulative offset and language total follow
+    val wPid = Window.partitionBy("__lang").orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLang = Window.partitionBy("__lang")
+    val aux = withIdx.groupBy("__pid", "__lang")
+      .agg(min("__lidx").as("__lmin"), count(lit(1)).as("__lcntp"))
+      .withColumn("__loff", coalesce(sum("__lcntp").over(wPid), lit(0L)))
+      .withColumn("__lcnt", sum("__lcntp").over(wLang))
+      .select("__pid", "__lang", "__lmin", "__loff", "__lcnt")
+    // ntile's size arithmetic: first (n % parts) buckets get one extra
+    // row; the otherwise-branch `div __bsz` is unreachable when
+    // __bsz = 0 because then __big = n ≥ __r (CaseWhen is lazy per row)
+    withIdx
+      .join(broadcast(aux), Seq("__pid", "__lang"))
+      .withColumn("__r", col("__lidx") - col("__lmin") + 1 + col("__loff"))
+      .withColumn("__bsz", expr(s"__lcnt div ${parts.toLong}"))
+      .withColumn("__pad", pmod(col("__lcnt"), lit(parts.toLong)))
+      .withColumn("__big", (col("__bsz") + 1) * col("__pad"))
+      .withColumn("bucket",
+        when(col("__r") <= col("__big"),
+          expr("(__r - 1) div (__bsz + 1) + 1"))
+          .otherwise(expr("__pad + (__r - __big - 1) div __bsz + 1"))
+          .cast("int"))
       .select(col(idCol), col("__lang").as(langCol), col("ppl"), col("bucket"))
   }
 

@@ -57,14 +57,35 @@ object JsonlDocs {
     shards.length
   }
 
+  /** Exact inverse of jq(): handles the three escape classes it emits
+    * (`\"`, `\\`, and `\uXXXX` for control characters) — so a schema
+    * DDL or shard name containing a control character round-trips
+    * instead of surfacing as a literal backslash-u sequence that
+    * breaks `DataType.fromDDL`. */
+  private def unjq(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case n => sb.append(n); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def field(json: String, key: String): String = {
     // minimal extraction for the manifest's own flat fields — the
     // values were written by jq() above, so unescaping mirrors it
     val m = ("\"" + key + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
-    m.findFirstMatchIn(json)
+    unjq(m.findFirstMatchIn(json)
       .getOrElse(throw new IllegalStateException(s"manifest missing '$key'"))
-      .group(1)
-      .replace("\\\"", "\"").replace("\\\\", "\\")
+      .group(1))
   }
 
   /** Read a JSONL directory under its manifest's recorded schema,
@@ -77,7 +98,7 @@ object JsonlDocs {
     val ddl = field(manifest, "schema_ddl")
     val listed = """\{"name":"((?:[^"\\]|\\.)*)","bytes":(\d+)\}""".r
       .findAllMatchIn(manifest)
-      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") -> m.group(2).toLong)
+      .map(m => unjq(m.group(1)) -> m.group(2).toLong)
       .toMap
     val present = fs.listStatus(new Path(dir))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))

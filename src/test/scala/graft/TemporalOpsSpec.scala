@@ -330,4 +330,42 @@ class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == ((0, -1L, -1L, false)), "non-starter must keep a row")
     assert(out(5L) == ((3, 40L, 40L, true)), "same-ts cascade must chain")
   }
+
+  test("funnel: adversarial hot key + randomized brute force, no per-key buffering") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val names = Vector("a", "b", "c")
+    // one bot key emitting 60k step events — the shape that OOMed a
+    // collect_list formulation — plus 200 normal keys
+    val hot = (0 until 60000).map(_ =>
+      (0L, rnd.nextInt(100000).toLong, names(rnd.nextInt(3))))
+    val normal = (1 to 200).flatMap(k => (0 to rnd.nextInt(7)).map(_ =>
+      (k.toLong, rnd.nextInt(1000).toLong, Vector("a", "b", "c", "x")(rnd.nextInt(4)))))
+    val all = hot ++ normal
+    val df = graft.operators.Sessionize
+      .funnel(all.toDF("u", "ts", "e"), "u", "ts", "e", names, windowMax = 1000000L)
+    // the streaming fold must not materialize per-key arrays
+    assert(!df.queryExecution.optimizedPlan.toString.contains("collect_list"),
+      "funnel must not buffer a key's events into an array")
+    val got = df.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // brute force: greedy-from-earliest over (ts, stepIdx)-sorted events
+    val brute = all.groupBy(_._1).map { case (k, evs) =>
+      val sorted = evs.filter(e => names.contains(e._3))
+        .map(e => (e._2, names.indexOf(e._3))).sorted
+      var step = 0; var t0 = -1L; var t = -1L
+      sorted.foreach { case (ts, s) =>
+        if (step < 3 && s == step && (step == 0 || ts >= t)) {
+          if (step == 0) t0 = ts
+          step += 1; t = ts
+        }
+      }
+      k -> ((step, t0, t))
+    }
+    assert(got.size == brute.size)
+    brute.foreach { case (k, exp) =>
+      assert(got(k) == exp, s"key $k: got ${got(k)}, brute $exp")
+    }
+  }
 }

@@ -1124,6 +1124,49 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b(3L) == (("fr", 1)))
   }
 
+  test("ccnetBuckets: skewed language mix matches window-ntile, plans distributed") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d")
+    def text(): String = (0 until 4 + rnd.nextInt(5))
+      .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // English 50x heavier than the rest (the crawl shape that lands a
+    // per-language window on one reducer), one singleton language, and
+    // repeated texts so identical ppl values exercise the id tie-break
+    val docs = ((0 until 1500).map(i => (i.toLong, "en", text())) ++
+      (0 until 1500).map(i => (3000L + i, "en", "a b a c")) ++
+      (0 until 30).map(i => (9000L + i, "fr", text())) ++
+      Seq((9990L, "zz", "a b"))).toDF("doc_id", "lang", "text")
+    val ref = docs.where($"lang" === "en").limit(200)
+    val sc = spark.sparkContext
+    val jobsBefore = sc.statusTracker.getJobIdsForGroup(null).length
+    val out = graft.operators.TextAnalysis
+      .ccnetBuckets(docs, "doc_id", "text", "lang", ref, parts = 4)
+    // constructing the frame must run no Spark job (plan-audit-able)
+    assert(sc.statusTracker.getJobIdsForGroup(null).length == jobsBefore,
+      "ccnetBuckets construction must be lazy")
+    // the assignment must not come from a per-language ntile window
+    assert(!out.queryExecution.optimizedPlan.toString.contains("ntile"),
+      "per-language ntile window is a single-reducer sort at scale")
+    val rows = out.collect()
+    // equivalence: the window-ntile law over the operator's own ppl
+    val expected = rows.toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toDF("doc_id", "lang", "ppl")
+      .withColumn("bucket", org.apache.spark.sql.functions.ntile(4).over(
+        Window.partitionBy("lang").orderBy($"ppl", $"doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(rows.nonEmpty && rows.length == expected.size)
+    rows.foreach { r =>
+      assert(r.getInt(3) == expected(r.getLong(0)),
+        s"doc ${r.getLong(0)}: got ${r.getInt(3)}, ntile ${expected(r.getLong(0))}")
+    }
+    // the heavy exchange must be materialized once, not per consumer
+    assert(out.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "rank assembly must reuse the range exchange")
+  }
+
   test("text_normalize: nfc composes, nfkc folds compatibility, strip_accents, errors") {
     import graft.functions.TextKernels.normalizeText
     assert(normalizeText("e\u0301cole", "nfc") == "\u00e9cole")

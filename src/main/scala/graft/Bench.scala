@@ -60,7 +60,7 @@ object Bench {
     "q135_remove_boilerplate",  // frequent-line census + broadcast mark + reassembly
     "q137_dedup_spans",         // gram census + hash join + RANGE-window coverage
     "q141_dsir_weights",        // two bucket-count aggs + broadcast ratio join
-    "q142_ccnet_buckets",       // bigram-LM scoring + per-language ntile
+    "q142_ccnet_buckets",       // bigram-LM scoring + distributed range-rank bucketing
     "q144_quality_lr",          // 3 GD iterations over cached hashed-TF + scoring
     "q146_bm25",                // postings agg + broadcast query-idf join + top-k
     "q147_embedding_pca",       // one-pass d^2 moments + driver eigen + projection
@@ -75,8 +75,9 @@ object Bench {
     "q159_knn_graph",           // list-keyed corpus self-join + top-k
     "q160_hashed_embedding",    // (doc,bucket) hash-agg + norm window
     "q162_cosine_edges",        // list-keyed threshold self-join
-    "q164_event_funnel",        // key shuffle + sorted-array greedy fold
-    "q165_asof_forward")        // one-shuffle descending-scan as-of
+    "q164_event_funnel",        // one-shuffle secondary-sort streaming funnel fold
+    "q165_asof_forward",        // one-shuffle descending-scan as-of
+    "q166_grid_dissolve")       // staged grid union pyramid, single group
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -95,7 +96,8 @@ object Bench {
     "q148_random_projection", "q149_union_agg", "q150_bpe_learn",
     "q151_bpe_tokens", "q152_weighted_sample", "q155_mixture_plan",
     "q157_dedup_keep_best", "q158_cluster_keep_best",
-    "q160_hashed_embedding", "q164_event_funnel", "q165_asof_forward")
+    "q160_hashed_embedding", "q164_event_funnel", "q165_asof_forward",
+    "q166_grid_dissolve")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

@@ -1561,6 +1561,27 @@ object SparkEntry {
              Box2D(g).xmin AS xmin, Box2D(g).ymin AS ymin,
              Box2D(g).xmax AS xmax, Box2D(g).ymax AS ymax
       FROM u ORDER BY grp"""),
+    // staged global dissolve (the PostGIS parallel-union recipe: union
+    // per grid cell, then union cells) over the q149 unit-square
+    // fixture WITHOUT grouping — the single-group shape that funnels a
+    // plain st_union_agg through one final task. Same integer-grid
+    // invariants: exact area = distinct cells, envelope = arithmetic
+    // min/max
+    "q166_grid_dissolve" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.{expr, round}
+      prep(spark, dir)
+      val cells = spark.sql("""
+        SELECT ST_MakeEnvelope(CAST(l_orderkey % 100 AS DOUBLE),
+                               CAST((l_orderkey DIV 100) % 50 AS DOUBLE),
+                               CAST(l_orderkey % 100 AS DOUBLE) + 1,
+                               CAST((l_orderkey DIV 100) % 50 AS DOUBLE) + 1) AS g
+        FROM lineitem""")
+      graft.operators.Dissolve
+        .gridDissolve(cells, "g", cellSize = 8.0, levels = 2, factor = 4)
+        .select(round(expr("ST_Area(geom)"), 6).as("union_area"),
+          expr("Box2D(geom).xmin").as("xmin"), expr("Box2D(geom).ymin").as("ymin"),
+          expr("Box2D(geom).xmax").as("xmax"), expr("Box2D(geom).ymax").as("ymax"))
+    }),
     // Johnson-Lindenstrauss Rademacher projection 64 -> 8 dims: the
     // sign matrix is the shared 48-bit-md5 law (nothing persisted), so
     // the oracle rebuilds the identical matrix in SQL and replays the
@@ -4879,6 +4900,16 @@ object SparkEntry {
              min(x) AS xmin, min(y) AS ymin,
              max(x) + 1 AS xmax, max(y) + 1 AS ymax
       FROM cells GROUP BY grp ORDER BY grp""",
+    // the staged dissolve covers exactly the distinct integer cells and
+    // spans the arithmetic envelope, like q149 but single-group
+    "q166_grid_dissolve" -> """
+      WITH cells AS (SELECT CAST(l_orderkey % 100 AS DOUBLE) AS x,
+                            CAST((l_orderkey // 100) % 50 AS DOUBLE) AS y
+                     FROM lineitem)
+      SELECT CAST(count(DISTINCT x * 1000 + y) AS DOUBLE) AS union_area,
+             min(x) AS xmin, min(y) AS ymin,
+             max(x) + 1 AS xmax, max(y) + 1 AS ymax
+      FROM cells""",
     // JL replay: the md5 sign matrix rebuilt in SQL (0-based c/j in the
     // hash string), per-term rounding, snap-before-scale; 1/sqrt(8)
     // 6dp-snapped = 0.353553
@@ -5333,7 +5364,9 @@ object SparkEntry {
     "q156_contamination_report",
     "q157_dedup_keep_best", "q158_cluster_keep_best",
     "q159_knn_graph", "q160_hashed_embedding", "q161_bpe_token_ids",
-    "q162_cosine_edges", "q164_event_funnel", "q165_asof_forward")
+    "q162_cosine_edges", "q164_event_funnel", "q165_asof_forward",
+    // the staged dissolve's compaction/pyramid cadence shifts with n
+    "q166_grid_dissolve")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Staged global dissolve — the PostGIS parallel-union recipe (union
+  * per grid cell, then union the cells) as a composable operator.
+  *
+  * `st_union_agg` alone is already partial → shuffle → final (each map
+  * task ships ONE dissolved geometry per group — see
+  * [[org.apache.spark.sql.graft.StUnionAgg]]), which is the right plan
+  * for grouped dissolves. Its worst case is the single-group global
+  * dissolve `SELECT st_union_agg(g) FROM world`: every task's partial —
+  * each potentially a continent-sized multipolygon — funnels into ONE
+  * final task that unions all P of them back-to-back. The staged form
+  * bounds that final fan-in: geometries group by the grid cell of their
+  * envelope center (`cellSize` world units), each cell dissolves as its
+  * own distributed aggregate, cells then merge `factor`× coarser per
+  * level, and only the last few super-cells meet in the final task.
+  * Union is associative, so the regrouping never changes the result
+  * region — only the operation tree (vertex-level float coordinates can
+  * differ in order-sensitive overlays, the same caveat st_union_agg
+  * documents; measures, emptiness, and envelopes are stable, and on
+  * integer-coordinate inputs the result is exact either way).
+  *
+  * Scale design (100 TB): every stage is a hash aggregate with map-side
+  * partial dissolve — no stage ever holds more than
+  * O(CompactAt · log n) geometries per task, the shuffle payload per
+  * (task, cell) is one dissolved geometry, and fan-in per reduce task
+  * is bounded by `factor²` cells (final task: the residual super-cell
+  * count). Pick `cellSize` near the scale at which the data tiles —
+  * cells that are mostly interior-disjoint dissolve cheap and shrink
+  * the payload that climbs the pyramid. */
+object Dissolve {
+
+  /** One row, one `geom` column: the union of every non-null geometry
+    * in `df(geomCol)` (null when the input is empty). */
+  def gridDissolve(df: DataFrame, geomCol: String, cellSize: Double,
+      levels: Int = 2, factor: Int = 8): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    require(levels >= 1, "levels must be >= 1")
+    require(factor >= 2, "factor must be >= 2")
+    GeoFunctions.register(df.sparkSession)
+    var cur = df.select(col(geomCol).as("__g")).where(col("__g").isNotNull)
+      .withColumn("__b", GeoFunctions.box2d(col("__g")))
+      .withColumn("__cx",
+        floor((col("__b.xmin") + col("__b.xmax")) / 2 / cellSize).cast("long"))
+      .withColumn("__cy",
+        floor((col("__b.ymin") + col("__b.ymax")) / 2 / cellSize).cast("long"))
+      .select("__cx", "__cy", "__g")
+    for (_ <- 1 to levels) {
+      cur = cur.groupBy("__cx", "__cy")
+        .agg(GeoFunctions.st_union_agg(col("__g")).as("__g"))
+        .select(floor(col("__cx") / factor).cast("long").as("__cx"),
+          floor(col("__cy") / factor).cast("long").as("__cy"), col("__g"))
+    }
+    cur.agg(GeoFunctions.st_union_agg(col("__g")).as("geom"))
+  }
+}

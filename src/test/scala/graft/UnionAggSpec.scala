@@ -69,6 +69,35 @@ class UnionAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.isNullAt(0))
   }
 
+  test("gridDissolve ≡ st_union_agg: area, emptiness, envelope on random boxes") {
+    import spark.implicits._
+    // 2000 random integer-coordinate rectangles (exact overlay: the
+    // union's measure and envelope are order-free), heavy overlaps
+    val rnd = new scala.util.Random(42)
+    val df = (0 until 2000).map { _ =>
+      val x = rnd.nextInt(60); val y = rnd.nextInt(40)
+      (x.toDouble, y.toDouble,
+        (x + 1 + rnd.nextInt(4)).toDouble, (y + 1 + rnd.nextInt(4)).toDouble)
+    }.toDF("x0", "y0", "x1", "y1")
+      .selectExpr("ST_MakeEnvelope(x0, y0, x1, y1) AS g")
+    val direct = df.selectExpr(
+      "round(ST_Area(st_union_agg(g)), 6) AS a",
+      "Box2D(st_union_agg(g)) AS b").head()
+    // several stagings must all agree with the flat aggregate
+    for ((cell, lv, f) <- Seq((4.0, 1, 8), (8.0, 2, 4), (16.0, 3, 2))) {
+      val staged = graft.operators.Dissolve.gridDissolve(df, "g", cell, lv, f)
+        .selectExpr("round(ST_Area(geom), 6) AS a", "Box2D(geom) AS b").head()
+      assert(staged.getDouble(0) == direct.getDouble(0),
+        s"area mismatch at cell=$cell levels=$lv")
+      assert(staged.getStruct(1) == direct.getStruct(1),
+        s"envelope mismatch at cell=$cell levels=$lv")
+    }
+    // empty input dissolves to a single NULL row
+    val empty = graft.operators.Dissolve
+      .gridDissolve(df.where("false"), "g", 8.0).head()
+    assert(empty.isNullAt(0))
+  }
+
   test("DataFrame column API groups and dissolves per key") {
     import spark.implicits._
     val df = Seq((1, 0.0), (1, 1.0), (1, 1.0), (2, 5.0)).toDF("k", "x")

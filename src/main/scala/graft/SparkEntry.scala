@@ -536,6 +536,34 @@ object SparkEntry {
       import spark.implicits._
       Seq((nMem, nMatch, pruneOk)).toDF("n_mem", "n_match", "prune_ok")
     }),
+    // incremental IVF append: index 80% of the corpus, append the rest
+    // into the persisted list partitions with frozen centroids, and the
+    // appended index's search must equal a one-shot frozen-centroid
+    // index over the union — at FULL probe (exact within the index) AND
+    // at partial probe (identical assignment law => identical lists).
+    // drift_ok runs the rebuild-signal recall guard on the appended
+    // index (nProbe 2 of 8 over in-distribution data stays >= 0.5)
+    "q167_ivf_append" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val base = emb.where(col("vec_id") % 5 =!= 4)
+      val extra = emb.where(col("vec_id") % 5 === 4)
+      val queries = emb.where(col("vec_id") < 5)
+      val built = graft.operators.Ann.buildIvf(base, nlist = 8)
+      val idxDir = scratchDir("graft_ivf_app_")
+      graft.operators.Ann.writeIvfIndex(built, idxDir)
+      graft.operators.Ann.appendToIvfIndex(spark, idxDir, extra)
+      val loaded = graft.operators.Ann.readIvfIndex(spark, idxDir)
+      val ref = graft.operators.Ann.assignToCentroids(built.centroids, emb)
+      def search(ix: graft.operators.Ann.IvfIndex, nProbe: Int) =
+        graft.operators.Ann.ivfSearch(ix, queries, k = 3, nProbe = nProbe)
+      val nFull = search(loaded, 8).join(search(ref, 8), Seq("qid", "nid", "rnk")).count()
+      val nPart = search(loaded, 2).join(search(ref, 2), Seq("qid", "nid", "rnk")).count()
+      val driftOk = graft.operators.Ann.ivfRecall(loaded, queries, k = 3, nProbe = 2) >= 0.5
+      import spark.implicits._
+      Seq((nFull, nPart, driftOk)).toDF("n_match_full", "n_match_partial", "drift_ok")
+    }),
     // IVF-SQ8: same fixture as q35 but the inverted lists store int8
     // codes + scale (4x fewer list-scan bytes). recall_ok uses q35's
     // threshold; rerank_ge pins the two-stage theorem — exact float
@@ -3704,6 +3732,11 @@ object SparkEntry {
     "q125_ann_ivf_persisted" -> """
       SELECT CAST(15 AS BIGINT) AS n_mem, CAST(15 AS BIGINT) AS n_match,
              true AS prune_ok""",
+    // append ≡ one-shot frozen-centroid rebuild: all 5x3 (qid, nid,
+    // rnk) pairs match at both probe depths; recall guard holds
+    "q167_ivf_append" -> """
+      SELECT CAST(15 AS BIGINT) AS n_match_full,
+             CAST(15 AS BIGINT) AS n_match_partial, true AS drift_ok""",
     "q126_ann_ivf_quantized" -> """
       SELECT CAST(15 AS BIGINT) AS n_exact, true AS recall_ok,
              true AS rerank_ge""",

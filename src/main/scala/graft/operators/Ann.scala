@@ -236,16 +236,55 @@ object Ann {
     * every task binary (the two assignment kernels are bit-identical,
     * spec-pinned). */
   def buildIvf(corpus: DataFrame, nlist: Int = 16, iters: Int = 5,
-      seed: Long = 42L): IvfIndex = {
-    val cents = trainCentroids(corpus, nlist, iters, seed = seed)
+      seed: Long = 42L): IvfIndex =
+    assignToCentroids(trainCentroids(corpus, nlist, iters, seed = seed), corpus)
+
+  /** [[buildIvf]]'s assignment pass with FROZEN centroids: index
+    * `corpus` against an existing codebook without retraining. The
+    * building block of [[appendToIvfIndex]], and the reference shape
+    * for proving append ≡ rebuild: assignment is a pure per-row
+    * function of (vector, centroids), so indexing rows in any number
+    * of batches against the same codebook yields the same lists. */
+  def assignToCentroids(cents: Array[Array[Float]], corpus: DataFrame): IvfIndex = {
     val assign =
       if (cents.length <= LiteralProbeMaxNlist)
         vec_nearest_centroid(col("embedding"), typedLit(cents.map(_.toSeq).toSeq))
       else vec_nearest_centroid_bcast(col("embedding"),
         corpus.sparkSession.sparkContext.broadcast((cents, centroidNorms(cents))))
-    IvfIndex(cents, corpus.select(col("vec_id").as("nid"), col("embedding").as("cv"),
-      assign.as("list")))
+    IvfIndex(cents, corpus.select(col("vec_id").as("nid"),
+      col("embedding").as("cv"), assign.as("list")))
   }
+
+  /** Incrementally add vectors to a PERSISTED index — no rebuild: the
+    * new rows are assigned with the index's own (frozen) centroids and
+    * appended as new part-files inside the matching `list=` partition
+    * directories, so partition-pruned probes keep working and existing
+    * data is never rewritten. Because assignment is deterministic per
+    * row, search over the appended index equals search over an index
+    * built in one shot from the union WITH THE SAME CENTROIDS, at any
+    * probe depth (contract row q167 pins it at full and partial probe).
+    *
+    * What appending cannot give you: centroids that REFLECT the new
+    * data. If appended vectors drift from the trained distribution,
+    * they crowd into few (or ill-fitting) lists and partial-probe
+    * recall decays — measure it with [[ivfRecall]] (partial- vs
+    * full-probe on a query sample) and rebuild when it drops below the
+    * pipeline's floor. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, rows: DataFrame): Unit = {
+    val idx = readIvfIndex(spark, path)
+    assignToCentroids(idx.centroids, rows)
+      .assigned.write.mode("append").partitionBy("list").parquet(path)
+  }
+
+  /** The drift guard: fraction of full-probe (exact within the index)
+    * top-k pairs that an `nProbe`-deep search still recovers. Run on a
+    * query sample after appends; a drop below the pipeline's recall
+    * floor is the rebuild signal. */
+  def ivfRecall(index: IvfIndex, queries: DataFrame, k: Int,
+      nProbe: Int): Double =
+    recall(ivfSearch(index, queries, k, nProbe),
+      ivfSearch(index, queries, k, index.centroids.length))
 
   /** Persist a built index as parquet PARTITIONED BY inverted list, plus a
     * centroid sidecar — the "build once, query many" shape a training

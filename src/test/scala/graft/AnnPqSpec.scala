@@ -85,6 +85,46 @@ class AnnPqSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("appendToIvfIndex: search after append ≡ one-shot frozen-centroid index; drift guard") {
+    val sp = spark
+    import sp.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.where(col("vec_id") % 3 =!= 2)
+    val extra = emb.where(col("vec_id") % 3 === 2)
+    val queries = emb.where(col("vec_id") < 4)
+    val built = Ann.buildIvf(base, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append_").toString
+    Ann.writeIvfIndex(built, dir)
+    Ann.appendToIvfIndex(spark, dir, extra)
+    val loaded = Ann.readIvfIndex(spark, dir)
+    // appended rows are really inside the list partitions
+    assert(loaded.assigned.count() == emb.count())
+    val ref = Ann.assignToCentroids(built.centroids, emb)
+    for (nProbe <- Seq(8, 2, 1)) {
+      val a = Ann.ivfSearch(loaded, queries, k = 3, nProbe = nProbe)
+      val b = Ann.ivfSearch(ref, queries, k = 3, nProbe = nProbe)
+      assert(a.join(b, Seq("qid", "nid", "rnk")).count() == b.count(),
+        s"append/rebuild divergence at nProbe=$nProbe")
+    }
+    // drift guard: appending a far-off-distribution clump tanks
+    // partial-probe recall for queries in that clump; retraining on the
+    // full data recovers it
+    val clump = (0 until 40).map { i =>
+      (100000L + i, Array.fill(64)(50f + (i % 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    Ann.appendToIvfIndex(spark, dir, clump)
+    val drifted = Ann.readIvfIndex(spark, dir)
+    val clumpQueries = clump.where(col("vec_id") < 100004L)
+    val recBefore = Ann.ivfRecall(drifted, clumpQueries, k = 3, nProbe = 1)
+    val retrained = Ann.buildIvf(drifted.assigned
+      .select(col("nid").as("vec_id"), col("cv").as("embedding")), nlist = 8)
+    val recAfter = Ann.ivfRecall(retrained, clumpQueries, k = 3, nProbe = 1)
+    assert(recAfter >= recBefore,
+      s"rebuild must not lose recall: before=$recBefore after=$recAfter")
+    assert(recAfter == 1.0,
+      s"a centroid owns the clump after retraining: recAfter=$recAfter")
+  }
+
   test("full probe + full rerank reproduces brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 5)

@@ -53,7 +53,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // word counts) while constructing the result frame; the JSONL
     // roundtrip writes and re-reads a scratch directory
     "q147_embedding_pca", "q150_bpe_learn", "q151_bpe_tokens",
-    "q153_jsonl_roundtrip", "q161_bpe_token_ids")
+    "q153_jsonl_roundtrip", "q161_bpe_token_ids",
+    // persisted-index append round trip (scratch-dir writes + recall
+    // guard run while constructing the flags frame)
+    "q167_ivf_append")
 
   // deliberate BNLJ users — each a broadcast-side-by-design shape:
   private val bnljWhitelist: Set[String] = Set(

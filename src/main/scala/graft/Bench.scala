@@ -77,7 +77,10 @@ object Bench {
     "q162_cosine_edges",        // list-keyed threshold self-join
     "q164_event_funnel",        // one-shuffle secondary-sort streaming funnel fold
     "q165_asof_forward",        // one-shuffle descending-scan as-of
-    "q166_grid_dissolve")       // staged grid union pyramid, single group
+    "q166_grid_dissolve",       // staged grid union pyramid, single group
+    // round-13 additions
+    "q168_split_exact",         // polygonize + face-filter / noded-difference kernels
+    "q169_sketch_overlap")      // HLL sketch agg + broadcast pair estimates + exact companion
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -97,7 +100,7 @@ object Bench {
     "q151_bpe_tokens", "q152_weighted_sample", "q155_mixture_plan",
     "q157_dedup_keep_best", "q158_cluster_keep_best",
     "q160_hashed_embedding", "q164_event_funnel", "q165_asof_forward",
-    "q166_grid_dissolve")
+    "q166_grid_dissolve", "q168_split_exact", "q169_sketch_overlap")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",
@@ -237,6 +240,29 @@ object Bench {
     val subtotal = results.collect { case (k, (mn, _)) if r5Set(k) && mn >= 0 => mn }.sum
     val subtotalMed = results.collect { case (k, (_, md)) if r5Set(k) && md >= 0 => md }.sum
 
+    // BACK-TO-BACK r5 anchor: interleaving is the right default for load
+    // immunity, but it changes what a "sample" is — between two samples
+    // of a 100 ms query, ~45 s of heavy queries evict JIT/code/data
+    // caches, so small-query minima read 2-3x their steady-state
+    // capability (measured r13: q34 0.08s back-to-back vs 0.24s
+    // interleaved on an idle box). Rounds <= 11 recorded the r5 subset
+    // back-to-back, so for round-over-round comparability the anchor
+    // subset is ALSO measured back-to-back (min of `iterations`
+    // consecutive passes per query, warm): `total_r5_subset_b2b` is the
+    // number comparable to r11's 5.66 s.
+    val b2b = built.collect { case (name, Some(df)) if r5Set(name) =>
+      val ts = (1 to iterations).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { df.write.format("noop").mode("overwrite").save()
+              Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name b2b failed: ${e.getMessage}"); None }
+      }
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
+    val b2bJson = b2b.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val subtotalB2b = b2b.map(_._2).filter(_ >= 0).sum
+
     // ---- sf1 scale-linearity tier --------------------------------------
     // One measured pass per linear-shape query at ~10x the gate data
     // (replicated + per-replica perturbed from sfDir, cached in /tmp).
@@ -275,7 +301,7 @@ object Bench {
         "\"sf1_skipped\":\"" + String.valueOf(e.getMessage).replace('"', '\'') + "\""
       }
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"total_r5_subset":$subtotal,"total_r5_subset_median":$subtotalMed,"load_retry_passes":$retryPasses,"load_retry_threshold":$loadMax,"queries":$qs,"queries_median":$qsMed,"iters":$iters,$sf1Json,"sf":"$sfDir","iterations":$iterations,"timing":"min and median of $iterations passes interleaved round-robin across queries, after 1 warm-up pass; load-retry passes appended for queries with no clean-start sample"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"total_r5_subset":$subtotal,"total_r5_subset_median":$subtotalMed,"total_r5_subset_b2b":$subtotalB2b,"queries_r5_b2b":$b2bJson,"load_retry_passes":$retryPasses,"load_retry_threshold":$loadMax,"queries":$qs,"queries_median":$qsMed,"iters":$iters,$sf1Json,"sf":"$sfDir","iterations":$iterations,"timing":"min and median of $iterations passes interleaved round-robin across queries, after 1 warm-up pass; load-retry passes appended for queries with no clean-start sample; _b2b = min of $iterations consecutive passes (rounds<=11 methodology, comparable to the r11 anchor)"}"""
     println(json)
     // The gate records only a 2 kB stdout tail, which truncated r12's
     // totals; the full JSON is also written to a file the driver (or the

@@ -50,6 +50,7 @@ object GeoFunctions {
     "st_buffer" -> { es => arity("st_buffer", es, 3); StBuffer(es.head, es(1), es(2)) },
     "st_boundary" -> { es => arity("st_boundary", es, 1); StBoundary(es.head) },
     "st_split" -> { es => arity("st_split", es, 2); StSplit(es.head, es(1)) },
+    "st_split_exact" -> { es => arity("st_split_exact", es, 2); StSplitExact(es.head, es(1)) },
     "st_translate" -> { es => arity("st_translate", es, 3); StTranslate(es.head, es(1), es(2)) },
     "st_asmvtgeom" -> { es => arity("st_asmvtgeom", es, 2); StAsMvtGeom(es.head, es(1)) },
     // extras beyond the reference surface (PostGIS-standard accessors)
@@ -411,6 +412,7 @@ object GeoFunctions {
     c(StBuffer(x(g), x(width), x(quadSegs)))
   def st_boundary(g: Column): Column = c(StBoundary(x(g)))
   def st_split(a: Column, b: Column): Column = c(StSplit(x(a), x(b)))
+  def st_split_exact(a: Column, b: Column): Column = c(StSplitExact(x(a), x(b)))
   def st_translate(g: Column, dx: Column, dy: Column): Column =
     c(StTranslate(x(g), x(dx), x(dy)))
   def st_asmvtgeom(g: Column, box: Column): Column = c(StAsMvtGeom(x(g), x(box)))

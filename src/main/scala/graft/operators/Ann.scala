@@ -283,8 +283,22 @@ object Ann {
     * floor is the rebuild signal. */
   def ivfRecall(index: IvfIndex, queries: DataFrame, k: Int,
       nProbe: Int): Double =
-    recall(ivfSearch(index, queries, k, nProbe),
-      ivfSearch(index, queries, k, index.centroids.length))
+    ivfRecallFrame(index, queries, k, nProbe).head().getDouble(0)
+
+  /** [[ivfRecall]] as a LAZY one-row frame (`recall` double): the same
+    * hit/total ratio expressed engine-side, so gate rows can embed the
+    * drift guard inside an auditable physical plan instead of a
+    * driver-computed literal. Empty exact set ⇒ recall 1.0, matching
+    * [[recall]]. */
+  def ivfRecallFrame(index: IvfIndex, queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val approx = ivfSearch(index, queries, k, nProbe)
+    val exact = ivfSearch(index, queries, k, index.centroids.length)
+    approx.join(exact, Seq("qid", "nid")).agg(count(lit(1)).as("__hit"))
+      .crossJoin(exact.agg(count(lit(1)).as("__tot")))
+      .select(when(col("__tot") === 0, lit(1.0))
+        .otherwise(col("__hit").cast("double") / col("__tot")).as("recall"))
+  }
 
   /** Persist a built index as parquet PARTITIONED BY inverted list, plus a
     * centroid sidecar — the "build once, query many" shape a training

@@ -31,6 +31,25 @@ object StreamOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Tumbling-window DISTINCT cardinality as a mergeable HLL sketch
+    * per (window, key): streaming state per group is one fixed-size
+    * blob instead of a distinct-value set, which is what makes
+    * windowed `COUNT(DISTINCT)` feasible on an unbounded stream —
+    * exact streaming distinct state grows with the value universe,
+    * a sketch never does. Emits both the blob (for later cross-window
+    * or cross-stream `hll_union_agg` rollups — the same persisted-merge
+    * contract as [[graft.operators.Sketch]]) and its point estimate. */
+  def windowedDistinctSketch(events: DataFrame, tsCol: String,
+      keyCol: String, valueCol: String, windowLen: String = "1 hour",
+      watermark: String = "2 hours", lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21] (got $lgK)")
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sk"))
+      .withColumn("n_distinct_est", expr("hll_sketch_estimate(sk)"))
+  }
+
   /** Streaming exact dedup on a content key, state bounded by watermark:
     * late duplicates beyond the watermark horizon are accepted as new. */
   def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String],

@@ -1722,6 +1722,22 @@ case class StSplit(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** ST_SplitExact(geom, blade) — true PostGIS ST_Split semantics (the
+  * reference's split.rs:148 FIXME fixed): polygon faces filtered to the
+  * input's interior, line-by-line via noded difference, line-by-point
+  * exact cuts. [[StSplit]] keeps the reference-faithful behavior. */
+case class StSplitExact(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_split_exact"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernels.splitExact(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${GeoExpr.K}.splitExact($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** ST_AsMVTGeom(geom, box2d) — 4096×4096 tile space, Y flipped
   * (reference src/function/as_mvt_geom.rs:76-102). */
 case class StAsMvtGeom(left: Expression, right: Expression)

@@ -80,4 +80,37 @@ class StreamCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.operators.TextAnalysis.gopherFlags(batchDf, "doc_id", "text")))
     assert(rows(get1()).size == 4)
   }
+
+  test("windowedDistinctSketch: streaming windowed distinct via HLL blobs") {
+    implicit val sqlCtx = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = mem.toDF().toDF("ts", "k", "v")
+    val q = graft.streaming.StreamOps
+      .windowedDistinctSketch(df, "ts", "k", "v",
+        windowLen = "10 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("s_sketch")
+      .outputMode("append").start()
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    mem.addData((t(0), "a", "x"), (t(1), "a", "y"), (t(2), "a", "x"),
+      (t(3), "b", "x"))
+    q.processAllAvailable()
+    // advance the watermark past window [0,10) so append mode emits it
+    mem.addData((t(60), "a", "z"))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("s_sketch")
+      .selectExpr("k", "n_distinct_est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sparse-mode HLL is exact at these cardinalities
+    assert(emitted == Map("a" -> 2L, "b" -> 1L))
+    // the emitted blobs keep merging downstream: cross-window rollup per
+    // key and a global union both via hll_union_agg on the SINK table
+    val rollup = spark.table("s_sketch").groupBy("k")
+      .agg(org.apache.spark.sql.functions.expr(
+        "hll_sketch_estimate(hll_union_agg(sk))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rollup == Map("a" -> 2L, "b" -> 1L))
+  }
 }

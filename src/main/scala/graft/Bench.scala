@@ -80,7 +80,10 @@ object Bench {
     "q166_grid_dissolve",       // staged grid union pyramid, single group
     // round-13 additions
     "q168_split_exact",         // polygonize + face-filter / noded-difference kernels
-    "q169_sketch_overlap")      // HLL sketch agg + broadcast pair estimates + exact companion
+    "q169_sketch_overlap",      // HLL sketch agg + broadcast pair estimates + exact companion
+    "q170_lsh_index_dedup",     // persisted-index probe: broadcast batch buckets + refine
+    "q171_retention_cohorts",   // two hash aggs + user-keyed join cohort rollup
+    "q174_bm25_index")          // persisted BM25: pruned postings probe + rank
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -100,7 +103,8 @@ object Bench {
     "q151_bpe_tokens", "q152_weighted_sample", "q155_mixture_plan",
     "q157_dedup_keep_best", "q158_cluster_keep_best",
     "q160_hashed_embedding", "q164_event_funnel", "q165_asof_forward",
-    "q166_grid_dissolve", "q168_split_exact", "q169_sketch_overlap")
+    "q166_grid_dissolve", "q168_split_exact", "q169_sketch_overlap",
+    "q170_lsh_index_dedup", "q171_retention_cohorts", "q174_bm25_index")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

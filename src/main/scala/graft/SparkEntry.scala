@@ -430,6 +430,29 @@ object SparkEntry {
         .select("ida", "idb", "inter", "uni")
         .orderBy("ida", "idb")
     }),
+    // incremental dedup against a PERSISTED LSH index (the daily-crawl
+    // contract): hash 80% of the corpus once into a band-partitioned
+    // bucket table, then find every near-dup pair TOUCHING the
+    // remaining 20% by broadcasting the batch's bucket rows against the
+    // index — no history rehash, no index shuffle — and exact-shingle
+    // refining the candidates. Same signature law and thresholds as
+    // q28, so the oracle is q28's exact-Jaccard replay restricted to
+    // batch-touching pairs. Index write is the eager fixture; the
+    // returned frame is the lazy probe+refine plan (audited).
+    "q170_lsh_index_dedup" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val docs = spark.table("documents")
+      val hist = docs.where(col("doc_id") % 5 =!= 4)
+      val batch = docs.where(col("doc_id") % 5 === 4)
+      val idxDir = scratchDir("graft_lsh_")
+      graft.operators.Dedup.writeLshIndex(hist, "doc_id", "text", idxDir,
+        numHashes = 64, bands = 64)
+      graft.operators.Dedup.nearDupsAgainstLshIndex(spark, idxDir, batch,
+          "doc_id", "text", corpus = docs, threshold = 0.35, minBandHits = 4)
+        .select("ida", "idb", "inter", "uni")
+        .orderBy("ida", "idb")
+    }),
     // recall vs the (exact, q24-oracled) brute force as a calibrated
     // boolean: nPlanes=4 → 16 buckets, margin-aware multi-probe of 8 ≈
     // half the corpus; measured recall 0.60/0.67/0.87 at sf0.1/0.01/0.001
@@ -569,6 +592,37 @@ object SparkEntry {
       full.crossJoin(part).crossJoin(drift)
         .select(col("n_match_full"), col("n_match_partial"),
           (col("recall") >= 0.5).as("drift_ok"))
+    }),
+    // q167's IVF-PQ twin: append 20% of the corpus into a persisted
+    // BY-RESIDUAL PQ index under frozen centroids + codebook; the
+    // appended index's quantized-order, reranked, and partial-probe
+    // searches must all equal a one-shot frozen encode of the union
+    // (assignment AND encoding are pure per-row under frozen state).
+    // Fixture work is eager; the returned gate frame is the lazy
+    // ADC-search comparison plan (audited; 1-row crossJoins pinned).
+    "q173_ivfpq_append" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val base = emb.where(col("vec_id") % 5 =!= 4)
+      val extra = emb.where(col("vec_id") % 5 === 4)
+      val queries = emb.where(col("vec_id") < 5)
+      val built = graft.operators.Ann.buildIvfPq(base, nlist = 8, m = 16,
+        ksub = 64, byResidual = true)
+      val idxDir = scratchDir("graft_ivfpq_app_")
+      graft.operators.Ann.writeIvfPqIndex(built, idxDir)
+      graft.operators.Ann.appendToIvfPqIndex(spark, idxDir, extra)
+      val loaded = graft.operators.Ann.readIvfPqIndex(spark, idxDir)
+      val ref = graft.operators.Ann.encodeToIvfPq(built, emb)
+      def q(ix: graft.operators.Ann.IvfPqIndex, nProbe: Int, rr: Int) =
+        graft.operators.Ann.ivfSearchPq(ix, queries, k = 3, nProbe = nProbe,
+          rerank = rr, corpus = if (rr > 0) Some(emb) else None)
+      q(loaded, 8, 0).join(q(ref, 8, 0), Seq("qid", "nid", "rnk"))
+        .agg(count(lit(1)).as("n_match_q"))
+        .crossJoin(q(loaded, 8, 10).join(q(ref, 8, 10), Seq("qid", "nid", "rnk"))
+          .agg(count(lit(1)).as("n_match_rr")))
+        .crossJoin(q(loaded, 2, 0).join(q(ref, 2, 0), Seq("qid", "nid", "rnk"))
+          .agg(count(lit(1)).as("n_match_part")))
     }),
     // IVF-SQ8: same fixture as q35 but the inverted lists store int8
     // codes + scale (4x fewer list-scan bytes). recall_ok uses q35's
@@ -1051,6 +1105,45 @@ object SparkEntry {
              count(*) AS n, min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY event_type, hour_bucket
       ORDER BY event_type, hour_bucket"""),
+    // weekly retention cohorts over the real events: cohort = the
+    // user's FIRST signup week, n_users = distinct cohort users active
+    // (any event) k weeks later — two hash aggregations and one
+    // user-keyed join, the classic product-analytics rollup fully
+    // declarative (Catalyst plans both aggs partial+final)
+    "q171_retention_cohorts" -> q(s"""
+      WITH e AS (SELECT user_id, event_type, $TS_US AS tsu FROM events),
+           c AS (SELECT user_id, min(tsu) div 604800000000 AS cw
+                 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+           a AS (SELECT DISTINCT c.cw, e.tsu div 604800000000 - c.cw AS wk,
+                        e.user_id
+                 FROM e JOIN c ON e.user_id = c.user_id
+                 WHERE e.tsu div 604800000000 >= c.cw)
+      SELECT cw AS cohort_week, wk AS week_offset, count(*) AS n_users
+      FROM a GROUP BY cw, wk ORDER BY cohort_week, week_offset"""),
+    // compressibility quality signal (deflate_len): repetitive text
+    // must compress below the same-length-class high-entropy text, and
+    // DEFLATE's stored-block bound caps the overhead — gates only
+    // (absolute compressed sizes are zlib-specific, never oracled).
+    // Both engines rebuild the identical fixture strings from repeat()
+    // and md5 chains, so the raw byte lengths ARE replayed exactly.
+    "q172_compression_signal" -> q("""
+      WITH f AS (SELECT doc_id,
+               repeat('tok ', CAST(doc_id % 50 AS INT) + 10) AS t_rep,
+               concat_ws('', transform(sequence(0, 9),
+                 i -> md5(concat(CAST(doc_id AS STRING), ':',
+                                 CAST(i AS STRING))))) AS t_rand
+             FROM documents WHERE doc_id < 200),
+           p AS (SELECT doc_id,
+                   octet_length(t_rep) AS raw_rep,
+                   octet_length(t_rand) AS raw_rand,
+                   deflate_len(t_rep, 6) AS c_rep,
+                   deflate_len(t_rand, 6) AS c_rand FROM f)
+      SELECT doc_id, CAST(raw_rep AS BIGINT) AS raw_rep,
+             CAST(raw_rand AS BIGINT) AS raw_rand,
+             c_rep < c_rand AS rep_smaller,
+             c_rep > 0 AND c_rep <= raw_rep + 64 AS rep_bounds,
+             c_rand > 0 AND c_rand <= raw_rand + 64 AS rand_bounds
+      FROM p ORDER BY doc_id"""),
     // as-of join: each purchase picks the user's latest at-or-before view
     // via the union + keyed-window carry-forward (one shuffle, no pair
     // explosion); (user_id, ts) is unique in events, so the matched view
@@ -2415,6 +2508,24 @@ object SparkEntry {
     // (one matching nothing), Lucene idf variant, k1=1.2 b=0.75, top-10
     // per query by (score desc, doc_id) — the oracle replays postings,
     // doc lengths, avgdl, idf and the 6dp term-sum law in DuckDB
+    // the PERSISTED-index twin of q146: corpus-side BM25 state written
+    // once (token-hash-bucketed postings + dfreq, one-row scalars,
+    // params sidecar), then the same four queries retrieved through
+    // the partition-pruned probe — identical ranked rows, so the SAME
+    // oracle. Index write is the eager fixture; the returned frame is
+    // the lazy pruned-scan retrieval plan (audited).
+    "q174_bm25_index" -> ((spark, dir) => {
+      prep(spark, dir)
+      val idxDir = scratchDir("graft_bm25_")
+      graft.operators.TextAnalysis.writeBm25Index(
+        spark.table("documents"), "doc_id", "text", idxDir)
+      val queries = spark.createDataFrame(Seq(
+        (0L, "hash join"), (1L, "slow scan filter"),
+        (2L, "vector window spark"), (3L, "nosuchtoken"))).toDF("qid", "qtext")
+      graft.operators.TextAnalysis.bm25SearchIndex(spark, idxDir,
+          queries, "qid", "qtext", k = 10)
+        .orderBy("qid", "rnk")
+    }),
     "q146_bm25" -> ((spark, dir) => {
       prep(spark, dir)
       val queries = spark.createDataFrame(Seq(
@@ -3320,6 +3431,39 @@ object SparkEntry {
 
   // exact 3-token-shingle Jaccard >= 0.35 pairs with whole-text fallback
   // for sub-3-token docs (mirrors Dedup's ngramSet)
+  private val BM25_ORACLE = """
+      WITH q(qid, qtext) AS (VALUES (0, 'hash join'), (1, 'slow scan filter'),
+                                    (2, 'vector window spark'), (3, 'nosuchtoken')),
+           t AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                 FROM documents),
+           p AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                 FROM t WHERE tok <> '' GROUP BY doc_id, tok),
+           dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
+           nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+           ad AS (SELECT round(CAST(sum(tf) AS DOUBLE) / any_value(n), 6) AS avgdl
+                  FROM p CROSS JOIN nn),
+           qt AS (SELECT DISTINCT qid, tok FROM (
+                    SELECT qid, unnest(string_split(qtext, ' ')) AS tok FROM q)
+                  WHERE tok <> ''),
+           dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS dfq FROM p GROUP BY tok),
+           qi AS (SELECT qid, qt.tok,
+                         round(ln(1 + (n - dfq + 0.5) / (dfq + 0.5)), 6) AS idf
+                  FROM qt JOIN dfq ON qt.tok = dfq.tok CROSS JOIN nn),
+           c AS (SELECT qid, p.doc_id,
+                        round(idf * round(tf * 2.2 / (tf + 1.2 * (0.25 +
+                          0.75 * round(dl / avgdl, 6))), 6), 6) AS c
+                 FROM p JOIN qi ON p.tok = qi.tok
+                 JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN ad),
+           s AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                        round(sum(c), 6) AS score
+                 FROM c GROUP BY qid, doc_id),
+           r AS (SELECT qid, doc_id, n_terms, score,
+                        CAST(row_number() OVER (
+                          PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+                 FROM s)
+      SELECT CAST(qid AS BIGINT) AS qid, doc_id, rnk, n_terms, score
+      FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""
+
   private val SHINGLE_JACCARD_ORACLE = """
       WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
            sh AS (SELECT DISTINCT doc_id,
@@ -3357,6 +3501,10 @@ object SparkEntry {
     // must find given the 64x1 banding and the corpus's similarity gap;
     // q44 (exact inverted-index operator) shares the identical oracle
     "q28_minhash_lsh" -> SHINGLE_JACCARD_ORACLE,
+    // q28's exact replay restricted to pairs touching the 20% batch
+    "q170_lsh_index_dedup" -> SHINGLE_JACCARD_ORACLE.replace(
+      "ORDER BY ida, idb",
+      "AND (ida % 5 = 4 OR idb % 5 = 4)\n      ORDER BY ida, idb"),
     "q44_ngram_jaccard" -> SHINGLE_JACCARD_ORACLE,
     "q100_sql_minhash_recipe" -> SHINGLE_JACCARD_ORACLE,
     "q47_dedup_keep_rows" -> """
@@ -3576,6 +3724,27 @@ object SparkEntry {
              count(*) AS n, min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY event_type, hour_bucket
       ORDER BY event_type, hour_bucket""",
+    // same epoch-micros week arithmetic; // is floor division but tsu
+    // is non-negative, matching Spark's div
+    "q171_retention_cohorts" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+           c AS (SELECT user_id, min(tsu) // 604800000000 AS cw
+                 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+           a AS (SELECT DISTINCT c.cw, e.tsu // 604800000000 - c.cw AS wk,
+                        e.user_id
+                 FROM e JOIN c ON e.user_id = c.user_id
+                 WHERE e.tsu // 604800000000 >= c.cw)
+      SELECT CAST(cw AS BIGINT) AS cohort_week, CAST(wk AS BIGINT) AS week_offset,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM a GROUP BY cw, wk ORDER BY cohort_week, week_offset""",
+    // the fixture's raw byte lengths are pure arithmetic ('tok ' is 4
+    // ASCII bytes; ten 32-hex-char md5 blocks are 320); every deflate
+    // gate is pinned true
+    "q172_compression_signal" -> """
+      SELECT doc_id, CAST(4 * (doc_id % 50 + 10) AS BIGINT) AS raw_rep,
+             CAST(320 AS BIGINT) AS raw_rand,
+             true AS rep_smaller, true AS rep_bounds, true AS rand_bounds
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
     // max-ts LEFT JOIN + identity join-back — plain-SQL as-of; the
     // join-back on (user_id, vts) is safe because (user_id, ts) is unique
     "q48_asof_join" -> """
@@ -3835,6 +4004,12 @@ object SparkEntry {
     "q126_ann_ivf_quantized" -> """
       SELECT CAST(15 AS BIGINT) AS n_exact, true AS recall_ok,
              true AS rerank_ge""",
+    // append ≡ one-shot frozen encode: all 5x3 ranked pairs match in
+    // quantized order, after rerank, and at partial probe
+    "q173_ivfpq_append" -> """
+      SELECT CAST(15 AS BIGINT) AS n_match_q,
+             CAST(15 AS BIGINT) AS n_match_rr,
+             CAST(15 AS BIGINT) AS n_match_part""",
     "q129_ann_ivfpq" -> """
       SELECT CAST(15 AS BIGINT) AS n_exact, true AS recall_ok,
              true AS rerank_ge, true AS full_ok""",
@@ -5247,38 +5422,8 @@ object SparkEntry {
       ORDER BY d.doc_id"""),
     // full BM25 replay: postings -> doc lengths -> corpus scalars ->
     // Lucene idf -> per-(query,doc) 6dp term sum -> rank
-    "q146_bm25" -> """
-      WITH q(qid, qtext) AS (VALUES (0, 'hash join'), (1, 'slow scan filter'),
-                                    (2, 'vector window spark'), (3, 'nosuchtoken')),
-           t AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
-                 FROM documents),
-           p AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-                 FROM t WHERE tok <> '' GROUP BY doc_id, tok),
-           dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
-           nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
-           ad AS (SELECT round(CAST(sum(tf) AS DOUBLE) / any_value(n), 6) AS avgdl
-                  FROM p CROSS JOIN nn),
-           qt AS (SELECT DISTINCT qid, tok FROM (
-                    SELECT qid, unnest(string_split(qtext, ' ')) AS tok FROM q)
-                  WHERE tok <> ''),
-           dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS dfq FROM p GROUP BY tok),
-           qi AS (SELECT qid, qt.tok,
-                         round(ln(1 + (n - dfq + 0.5) / (dfq + 0.5)), 6) AS idf
-                  FROM qt JOIN dfq ON qt.tok = dfq.tok CROSS JOIN nn),
-           c AS (SELECT qid, p.doc_id,
-                        round(idf * round(tf * 2.2 / (tf + 1.2 * (0.25 +
-                          0.75 * round(dl / avgdl, 6))), 6), 6) AS c
-                 FROM p JOIN qi ON p.tok = qi.tok
-                 JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN ad),
-           s AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-                        round(sum(c), 6) AS score
-                 FROM c GROUP BY qid, doc_id),
-           r AS (SELECT qid, doc_id, n_terms, score,
-                        CAST(row_number() OVER (
-                          PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
-                 FROM s)
-      SELECT CAST(qid AS BIGINT) AS qid, doc_id, rnk, n_terms, score
-      FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q146_bm25" -> BM25_ORACLE,
+    "q174_bm25_index" -> BM25_ORACLE,
     // CCNet replay: q118's bigram scoring restricted to the en-trained
     // model, then ntile(3) per language over the identical (ppl, id)
     // total order
@@ -5539,7 +5684,15 @@ object SparkEntry {
     "q168_split_exact",
     // distinct-token inventories and overlaps shift with corpus size,
     // and the est_ok gate re-proves the HLL error law at 10x the values
-    "q169_sketch_overlap")
+    "q169_sketch_overlap",
+    // bucket occupancy and collision noise shift with corpus size; the
+    // twin re-proves probe ≡ one-shot on 10x buckets
+    "q170_lsh_index_dedup",
+    // cohort sizes and week spans shift with the event volume
+    "q171_retention_cohorts",
+    // the persisted-index probe on 10x postings (same oracle as q146's
+    // twin, so in-memory and indexed retrieval agree at both sfs)
+    "q174_bm25_index")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -345,6 +345,7 @@ object GeoFunctions {
     "lang_id" -> { es => arity("lang_id", es, 1); TextLangId(es.head) },
     "text_fingerprint" -> { es => arity("text_fingerprint", es, 1); TextFingerprint(es.head) },
     "text_normalize" -> { es => arity("text_normalize", es, 2); TextNormalize(es.head, es(1)) },
+    "deflate_len" -> { es => arity("deflate_len", es, 2); TextDeflateLen(es.head, es(1)) },
     "hamming64" -> { es => arity("hamming64", es, 2); Hamming64(es.head, es(1)) },
     "vec_cosine" -> { es => arity("vec_cosine", es, 2); VecCosine(es.head, es(1)) },
     "vec_dot" -> { es => arity("vec_dot", es, 2); VecDot(es.head, es(1)) },
@@ -632,6 +633,7 @@ object GeoFunctions {
   def lang_id(t: Column): Column = c(TextLangId(x(t)))
   def text_fingerprint(t: Column): Column = c(TextFingerprint(x(t)))
   def text_normalize(t: Column, mode: Column): Column = c(TextNormalize(x(t), x(mode)))
+  def deflate_len(t: Column, level: Column): Column = c(TextDeflateLen(x(t), x(level)))
   def hamming64(a: Column, b: Column): Column = c(Hamming64(x(a), x(b)))
   def vec_cosine(a: Column, b: Column): Column = c(VecCosine(x(a), x(b)))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(x(a), x(b)))

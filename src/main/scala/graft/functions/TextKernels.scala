@@ -220,4 +220,26 @@ object TextKernels {
         s"text_normalize: unknown mode '$other' (nfc | nfkc | strip_accents)")
     }
   }
+
+  /** DEFLATE-compressed byte length of the text's UTF-8 encoding — the
+    * classic compressibility quality signal (repetitive/template text
+    * compresses far better than natural prose, which compresses better
+    * than noise). Deterministic for a (text, level) pair within a JVM;
+    * the absolute count is zlib-implementation-specific, so contracts
+    * gate ORDERINGS and bounds, never exact compressed sizes. Level
+    * outside [0, 9] throws (Deflater would too, later and worse). */
+  def deflateLen(s: String, level: Int): Long = {
+    require(level >= 0 && level <= 9,
+      s"deflate_len: level must be in [0, 9] (got $level)")
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = new java.util.zip.Deflater(level)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      n
+    } finally d.end()
+  }
 }

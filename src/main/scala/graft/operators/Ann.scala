@@ -719,10 +719,8 @@ object Ann {
     val base = buildIvf(corpus, nlist, iters, seed)
     if (!byResidual) {
       val cb = trainPq(corpus, m, ksub, pqIters, maxSample, seed)
-      val bc = corpus.sparkSession.sparkContext.broadcast((cb.flat, cb.m, cb.ksub))
       IvfPqIndex(base.centroids, cb,
-        base.assigned.select(col("nid"),
-          pq_encode_bcast(vec_normalize(col("cv")), bc).as("codes"), col("list")),
+        encodeAssigned(base.assigned, base.centroids, cb, residual = false),
         residual = false)
     } else {
       val cN = base.centroids.map(normalizeArr)
@@ -737,15 +735,59 @@ object Ann {
         r
       }
       val cb = trainPqOnSample(resSample, m, ksub, pqIters)
-      val bc = corpus.sparkSession.sparkContext
-        .broadcast((cb.flat, cb.m, cb.ksub, cN))
       IvfPqIndex(base.centroids, cb,
-        base.assigned.select(col("nid"),
-          pq_encode_residual_bcast(vec_normalize(col("cv")), col("list"), bc)
-            .as("codes"), col("list")),
+        encodeAssigned(base.assigned, base.centroids, cb, residual = true),
         residual = true)
     }
   }
+
+  /** The encode pass shared by [[buildIvfPq]] and the append path: an
+    * already-assigned (nid, cv, list) frame → (nid, codes, list) under
+    * a FIXED codebook (plain or by-residual). Pure per-row given
+    * (centroids, codebook), which is what makes appends equal a
+    * one-shot frozen encode. */
+  private def encodeAssigned(assigned: DataFrame, cents: Array[Array[Float]],
+      cb: PqCodebook, residual: Boolean): DataFrame =
+    if (!residual) {
+      val bc = assigned.sparkSession.sparkContext.broadcast((cb.flat, cb.m, cb.ksub))
+      assigned.select(col("nid"),
+        pq_encode_bcast(vec_normalize(col("cv")), bc).as("codes"), col("list"))
+    } else {
+      val bc = assigned.sparkSession.sparkContext
+        .broadcast((cb.flat, cb.m, cb.ksub, cents.map(normalizeArr)))
+      assigned.select(col("nid"),
+        pq_encode_residual_bcast(vec_normalize(col("cv")), col("list"), bc)
+          .as("codes"), col("list"))
+    }
+
+  /** [[appendToIvfIndex]]'s IVF-PQ twin: assign new rows with the
+    * persisted index's frozen coarse centroids, encode them with its
+    * frozen codebook (plain or by-residual per the sidecar), and append
+    * the code rows as new part-files inside the matching `list=`
+    * partition directories. The same frozen-law theorem holds — search
+    * after append equals search over a one-shot encode of the union
+    * with the same centroids + codebook at any probe depth (q173) —
+    * and the same caveat: neither centroids nor codebook reflect
+    * appended data, so drifting appends degrade ADC accuracy as well
+    * as list balance; watch partial- vs full-probe recall and rebuild
+    * below the pipeline's floor. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, rows: DataFrame): Unit = {
+    val idx = readIvfPqIndex(spark, path)
+    encodeAssigned(assignToCentroids(idx.centroids, rows).assigned,
+        idx.centroids, idx.codebook, idx.residual)
+      .write.mode("append").partitionBy("list").parquet(path)
+  }
+
+  /** [[assignToCentroids]]' IVF-PQ analog: re-index `corpus` under an
+    * existing index's FROZEN centroids + codebook, training nothing —
+    * the reference shape for proving append ≡ one-shot (q173) and the
+    * tool for re-encoding a corpus against a shared published
+    * codebook. */
+  def encodeToIvfPq(idx: IvfPqIndex, corpus: DataFrame): IvfPqIndex =
+    idx.copy(assigned = encodeAssigned(
+      assignToCentroids(idx.centroids, corpus).assigned,
+      idx.centroids, idx.codebook, idx.residual))
 
   /** Persist an IVF-PQ index: codes partitioned by inverted list (same
     * pruning layout as [[writeIvfIndex]]) + centroid and codebook

@@ -222,6 +222,18 @@ object Dedup {
       minBandHits: Int = 1): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, maxBucket,
       minBandHits)
+    refineJaccard(cands, df, idCol, textCol, threshold, refineOnShingles)
+  }
+
+  /** Shared exact-Jaccard refine: join candidate (ida, idb) pairs to the
+    * corpus's token/shingle sets on both sides and keep pairs at or over
+    * `threshold`. No forced broadcast on the candidate side: it is
+    * USUALLY tiny, but a degenerate duplicate-heavy corpus can emit up
+    * to bands*maxBucket² pairs and a broadcast hint would then OOM the
+    * driver. AQE sees the post-shuffle size at runtime and broadcasts
+    * only when it actually fits (same policy as cosineNearDups). */
+  private def refineJaccard(cands: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, refineOnShingles: Boolean): DataFrame = {
     val sets =
       if (refineOnShingles) shingleSet(col("__text"), col("__t"))
       else array_distinct(col("__t"))
@@ -229,11 +241,6 @@ object Dedup {
       .select(col(idCol).as("doc"), col(textCol).as("__text"),
         split(col(textCol), " ").as("__t"))
       .select(col("doc"), sets.as("toks"))
-    // no forced broadcast on the candidate side: it is USUALLY tiny, but a
-    // degenerate duplicate-heavy corpus can emit up to bands*maxBucket^2
-    // pairs and a broadcast hint would then OOM the driver. AQE sees the
-    // post-shuffle size at runtime and broadcasts only when it actually
-    // fits (same policy as cosineNearDups).
     toks.withColumnRenamed("doc", "ida").withColumnRenamed("toks", "ta")
       .join(cands, "ida")
       .join(toks.withColumnRenamed("doc", "idb").withColumnRenamed("toks", "tb"), "idb")
@@ -243,6 +250,101 @@ object Dedup {
       .select(col("ida"), col("idb"), col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
+
+  // ---- persisted MinHash-LSH index: incremental corpus dedup ----------
+
+  /** Persist the corpus's LSH bucket table under `path` — `buckets/`
+    * (doc, bucket) parquet PARTITIONED BY band plus a `_lsh_params.json`
+    * sidecar pinning (numHashes, bands), so every later append or probe
+    * is guaranteed the identical signature law. This is the
+    * daily-ingest contract at 100 TB: hash history ONCE, then each new
+    * batch probes + appends in cost proportional to the batch (plus one
+    * linear scan of the bucket table per probe) — never a recompute of
+    * the historical corpus. The index stores ids and 64-bit bucket keys
+    * only (~`bands`·16 B/doc); the exact-Jaccard refine reads the
+    * matched docs' text from the corpus table, which a probe touches
+    * only for candidate ids. */
+  def writeLshIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 64, bands: Int = 16): Unit = {
+    minhashBuckets(df, idCol, textCol, numHashes, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/buckets")
+    graft.util.FsIO.writeStringAtomic(df.sparkSession,
+      new org.apache.hadoop.fs.Path(path, "_lsh_params.json"),
+      s"""{"numHashes":$numHashes,"bands":$bands}""")
+  }
+
+  private def lshParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    val json = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(path, "_lsh_params.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"LSH index at $path has no readable _lsh_params.json sidecar"))
+    def field(k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+        .getOrElse(throw new java.io.IOException(
+          s"LSH index sidecar at $path lacks $k: $json"))
+    (field("numHashes"), field("bands"))
+  }
+
+  /** Add a batch to a persisted index: bucket rows are computed with the
+    * index's OWN recorded parameters and appended as new part-files in
+    * the matching `band=` directories — existing data is never
+    * rewritten. Signatures are a pure per-row function of (text,
+    * numHashes), so an index built by appends equals one built in one
+    * shot over the union (the q170 contract pins the probe-level
+    * consequence). Probe ([[lshIndexCandidates]]) BEFORE appending the
+    * same batch, or every batch doc pairs with itself. */
+  def appendToLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, textCol: String): Unit = {
+    val (numHashes, bands) = lshParams(spark, path)
+    minhashBuckets(df, idCol, textCol, numHashes, bands)
+      .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
+  }
+
+  /** Candidate near-dup pairs TOUCHING a new batch: the batch's bucket
+    * rows (hashed under the index's recorded law) are broadcast against
+    * the persisted bucket table, so the historical side is a map-only
+    * scan — no index shuffle, no history rehash. Pair semantics equal
+    * [[minhashCandidates]] over (history ∪ batch) restricted to pairs
+    * with at least one batch doc: bucket caps count the COMBINED bucket
+    * (a small extra (band, bucket)-keyed count shuffle), band hits are
+    * distinct bands, pairs come back id-ordered (`ida < idb`). */
+  def lshIndexCandidates(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDf: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 10000, minBandHits: Int = 1): DataFrame = {
+    val (numHashes, bands) = lshParams(spark, path)
+    val nb = minhashBuckets(newDf, idCol, textCol, numHashes, bands)
+      .select("doc", "band", "bucket")
+    val all = spark.read.parquet(s"$path/buckets")
+      .select("doc", "band", "bucket").unionByName(nb)
+    val fit = all.join(
+      all.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
+        .where(col("__bsz") <= maxBucket),
+      Seq("band", "bucket"))
+    broadcast(nb.withColumnRenamed("doc", "__nd")).join(fit, Seq("band", "bucket"))
+      .where(col("__nd") =!= col("doc"))
+      .select(col("band"),
+        least(col("__nd"), col("doc")).as("ida"),
+        greatest(col("__nd"), col("doc")).as("idb"))
+      .groupBy("ida", "idb").agg(countDistinct(col("band")).as("__hits"))
+      .where(col("__hits") >= minBandHits)
+      .select("ida", "idb")
+  }
+
+  /** [[minhashNearDups]] against a PERSISTED index: candidates touching
+    * the new batch from [[lshIndexCandidates]], exact-Jaccard refined
+    * against `corpus` (any frame carrying id + text for every doc a
+    * candidate can name — typically the corpus table history was built
+    * from plus the batch). Equals the one-shot [[minhashNearDups]] over
+    * (history ∪ batch) restricted to batch-touching pairs, at batch
+    * cost. */
+  def nearDupsAgainstLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDf: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, threshold: Double, maxBucket: Int = 10000,
+      minBandHits: Int = 1, refineOnShingles: Boolean = true): DataFrame =
+    refineJaccard(
+      lshIndexCandidates(spark, path, newDf, idCol, textCol, maxBucket, minBandHits),
+      corpus, idCol, textCol, threshold, refineOnShingles)
 
   /** Cross-document shingle sharing: for each document, how many of its
     * distinct word-n-grams also appear in at least `minDocs` documents —

@@ -103,6 +103,22 @@ object TextAnalysis {
     * Output per doc: `n_tokens`, `n_distinct_tokens`, `top_token_n`,
     * `n_bigrams`, `n_distinct_bigrams`, `top_bigram_n`.
     */
+  /** Compressibility quality profile: raw UTF-8 bytes, DEFLATE-compressed
+    * bytes, and their ratio (0.0 for empty text) — the classic "template
+    * and boilerplate compress too well, noise doesn't compress at all"
+    * signal, one codegen'd map pass (`deflate_len` is a native
+    * expression, no UDF). Ratios are comparable within a corpus/level;
+    * absolute compressed sizes are zlib-specific, so thresholds should
+    * be calibrated per deployment, not hard-coded (q172 gates orderings
+    * and the stored-block bound only). */
+  def compressionProfile(df: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame =
+    df.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("raw_len"),
+        GeoFunctions.deflate_len(col(textCol), lit(level)).as("deflate_len"))
+      .withColumn("ratio", when(col("raw_len") === 0, lit(0.0))
+        .otherwise(rz6(col("deflate_len").cast("double") / col("raw_len"))))
+
   def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // null text coalesces to "" so the doc still gets its output row
     // (zero counters) — explode over a null token array would silently
@@ -840,6 +856,123 @@ object TextAnalysis {
       .partitionBy("__qid").orderBy(col("__s").desc, col("__id").asc)
     scored.withColumn("__rk", row_number().over(wQ)).where(col("__rk") <= k)
       .select(col("__qid").as(qidCol), col("__id").as(idCol),
+        col("__rk").cast("int").as("rnk"),
+        col("__nt").as("n_terms"), col("__s").as("score"))
+  }
+
+  // ---- persisted BM25 index: retrieval without a corpus scan ----------
+
+  /** Persist [[bm25TopK]]'s corpus-side state under `path` so retrieval
+    * never rescans the corpus: `postings/` (tok, doc, tf, dl) and
+    * `dfreq/` (tok, df), both parquet PARTITIONED BY `pt =
+    * pmod(hash(tok), buckets)` so a probe's scan prunes to the query
+    * tokens' buckets; `stats/` holds the one-row corpus scalars
+    * (n docs INCLUDING empty ones, total postings mass — the avgdl
+    * quotient is taken at search time under the same rz6 law); a
+    * `_bm25_params.json` sidecar pins the bucket count, since the
+    * hash-partition layout is meaningless under any other value. */
+  def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
+    val postings = df
+      .select(col(idCol).as("doc"),
+        explode(split(coalesce(col(textCol).cast("string"), lit("")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc")
+    // each sub-table also records its schema as a DDL sidecar: probes
+    // read with an EXPLICIT schema, so no footer of any (possibly
+    // unprobed) file is ever opened for inference — pruning stays
+    // pruning even for the planning step
+    def writeTable(frame: DataFrame, sub: String, partitioned: Boolean): Unit = {
+      val w = frame.write.mode("overwrite")
+      (if (partitioned) w.partitionBy("pt") else w).parquet(s"$path/$sub")
+      graft.util.FsIO.writeStringAtomic(df.sparkSession,
+        new org.apache.hadoop.fs.Path(path, s"_schema_$sub.ddl"),
+        frame.schema.toDDL)
+    }
+    writeTable(postings.withColumn("dl", sum("tf").over(wDoc))
+      .withColumn("pt", pmod(hash(col("tok")), lit(buckets))), "postings",
+      partitioned = true)
+    writeTable(postings.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("pt", pmod(hash(col("tok")), lit(buckets))), "dfreq",
+      partitioned = true)
+    writeTable(df.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(postings.agg(coalesce(sum("tf"), lit(0L)).as("mass"))),
+      "stats", partitioned = false)
+    graft.util.FsIO.writeStringAtomic(df.sparkSession,
+      new org.apache.hadoop.fs.Path(path, "_bm25_params.json"),
+      s"""{"buckets":$buckets,"idCol":"$idCol"}""")
+  }
+
+  /** BM25 retrieval against a PERSISTED index: the query batch's token
+    * buckets are evaluated once (a tiny driver job, like the IVF probe
+    * collect) and become a static `pt IN (...)` partition filter on the
+    * postings and dfreq scans — the index is touched only where query
+    * vocabulary can match. Scoring replays [[bm25TopK]]'s exact
+    * arithmetic (same rz6 law, same idf, same tie order), so for the
+    * same corpus the ranked results are IDENTICAL to the in-memory
+    * path (q174 pins this against q146's oracle). */
+  def bm25SearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val json = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(path, "_bm25_params.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"BM25 index at $path has no readable _bm25_params.json sidecar"))
+    val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(throw new java.io.IOException(
+        s"BM25 index sidecar at $path lacks buckets: $json"))
+    val idColName = """"idCol":"([^"]+)"""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("doc_id")
+    val qterms = queries
+      .select(col(qidCol).as("__qid"),
+        explode(array_distinct(
+          split(coalesce(col(qtextCol).cast("string"), lit("")), " "))).as("__tok"))
+      .where(col("__tok") =!= "")
+    val probed = qterms.select(pmod(hash(col("__tok")), lit(buckets)).as("pt"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    def readTable(sub: String) = {
+      val ddl = graft.util.FsIO.readString(spark,
+          new org.apache.hadoop.fs.Path(path, s"_schema_$sub.ddl"))
+        .getOrElse(throw new java.io.IOException(
+          s"BM25 index at $path has no readable _schema_$sub.ddl sidecar"))
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(s"$path/$sub")
+    }
+    def pruned(sub: String) = {
+      val t = readTable(sub)
+      if (probed.isEmpty) t.where(lit(false)) else
+        t.where(col("pt").isin(probed.map(Int.box): _*))
+    }
+    val stats = broadcast(readTable("stats"))
+    val qidf = broadcast(
+      qterms.join(broadcast(pruned("dfreq").select(col("tok").as("__tok"), col("df"))),
+          Seq("__tok"))
+        .crossJoin(stats)
+        .select(col("__qid"), col("__tok"),
+          rz6(log(lit(1.0) +
+            (col("n") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5)))).as("__idf")))
+    val avgdlDf = broadcast(stats
+      .select(rz6(col("mass") / col("n")).as("__avgdl")))
+    val contrib = pruned("postings")
+      .select(col("tok").as("__tok"), col("doc").as("__id"),
+        col("tf").as("__tf"), col("dl").as("__dl"))
+      .join(qidf, Seq("__tok")).crossJoin(avgdlDf)
+      .select(col("__qid"), col("__id"),
+        rz6(col("__idf") *
+          rz6(col("__tf") * lit(k1 + 1.0) /
+            (col("__tf") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * rz6(col("__dl") / col("__avgdl")))))).as("__c"))
+    val scored = contrib.groupBy("__qid", "__id")
+      .agg(count(lit(1)).as("__nt"), rz6(sum("__c")).as("__s"))
+    val wQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(col("__s").desc, col("__id").asc)
+    scored.withColumn("__rk", row_number().over(wQ)).where(col("__rk") <= k)
+      .select(col("__qid").as(qidCol), col("__id").as(idColName),
         col("__rk").cast("int").as("rnk"),
         col("__nt").as("n_terms"), col("__s").as("score"))
   }

@@ -345,6 +345,22 @@ case class PqEncodeResidualBcast(left: Expression, right: Expression,
 
 /** text_normalize(text, mode) → Unicode-normalized text
   * (nfc | nfkc | strip_accents — see TextKernels.normalizeText). */
+/** deflate_len(text, level) → compressed UTF-8 byte length, the
+  * compressibility quality signal. Gate orderings/bounds only — the
+  * absolute count is zlib-implementation-specific. */
+case class TextDeflateLen(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_len"
+  override protected def nullSafeEval(t: Any, l: Any): Any =
+    TextKernels.deflateLen(t.asInstanceOf[UTF8String].toString, l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, l) => s"${TextVecExpr.TK}.deflateLen($t.toString(), $l)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
 case class TextNormalize(left: Expression, right: Expression)
     extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)

@@ -125,6 +125,32 @@ class AnnPqSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a centroid owns the clump after retraining: recAfter=$recAfter")
   }
 
+  test("appendToIvfPqIndex: frozen-codebook append ≡ one-shot encode, both PQ modes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.where(col("vec_id") % 3 =!= 2)
+    val extra = emb.where(col("vec_id") % 3 === 2)
+    val queries = emb.where(col("vec_id") < 4)
+    for (residual <- Seq(false, true)) {
+      val built = Ann.buildIvfPq(base, nlist = 8, m = 16, ksub = 64,
+        byResidual = residual)
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq_append_").toString
+      Ann.writeIvfPqIndex(built, dir)
+      Ann.appendToIvfPqIndex(spark, dir, extra)
+      val loaded = Ann.readIvfPqIndex(spark, dir)
+      assert(loaded.residual == residual, "sidecar must preserve the PQ mode")
+      assert(loaded.assigned.count() == emb.count())
+      val ref = Ann.encodeToIvfPq(built, emb)
+      for ((nProbe, rr) <- Seq((8, 0), (8, 10), (2, 0))) {
+        val a = Ann.ivfSearchPq(loaded, queries, k = 3, nProbe = nProbe,
+          rerank = rr, corpus = if (rr > 0) Some(emb) else None)
+        val b = Ann.ivfSearchPq(ref, queries, k = 3, nProbe = nProbe,
+          rerank = rr, corpus = if (rr > 0) Some(emb) else None)
+        assert(a.join(b, Seq("qid", "nid", "rnk")).count() == b.count(),
+          s"append/one-shot divergence at residual=$residual nProbe=$nProbe rerank=$rr")
+      }
+    }
+  }
+
   test("full probe + full rerank reproduces brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 5)

@@ -72,17 +72,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // benchmark-gram Bloom side broadcast as a single-row filter payload
     "q77_bloom_decontaminate",
     // BM25: the 1-row corpus scalars (N, avgdl) CROSS JOINed onto the
-    // broadcast query-idf table and the matched postings
-    "q146_bm25",
+    // broadcast query-idf table and the matched postings — in-memory
+    // and persisted-index variants share the shape
+    "q146_bm25", "q174_bm25_index",
     // lazy gate frames: 1-row count aggregates CROSS JOINed into the
     // single flags row (each side broadcast by construction); q126/q129
     // also inherit the brute-force exact baseline's hinted BNLJ
     "q126_ann_ivf_quantized", "q129_ann_ivfpq", "q153_jsonl_roundtrip",
-    "q167_ivf_append",
+    "q167_ivf_append", "q173_ivfpq_append",
     // Bpe.vocab: the merges table (numMerges rows) CROSS JOINed with
     // the broadcast 1-row base-alphabet count to offset merge ids —
     // both sides vocabulary-bounded
-    "q161_bpe_token_ids")
+    "q161_bpe_token_ids",
+    // Sketch.overlapEstimates: grp_a < grp_b non-equi pairing of the
+    // GROUP-COUNT-sized sketch table with its broadcast self — the
+    // whole point is that only group rows, never corpus rows, meet here
+    "q169_sketch_overlap")
 
   test("no cartesian products; BNLJ only where pinned") {
     val offenders = scala.collection.mutable.Map[String, String]()

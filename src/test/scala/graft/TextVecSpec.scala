@@ -1214,4 +1214,37 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert((s * 1e6).round / 1e6 == s, s"score not 6dp: $s")
     }
   }
+
+  test("deflate_len + compressionProfile: ordering, bounds, empty text, levels, errors") {
+    val sp = spark
+    import sp.implicits._
+    graft.functions.GeoFunctions.register(spark)
+    val rep = "tok " * 500
+    val rand = (0 until 10).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"x:$i".getBytes).map("%02x".format(_)).mkString).mkString
+    val df = Seq((0L, rep), (1L, rand), (2L, ""), (3L, "plain short text"))
+      .toDF("doc_id", "text")
+    val prof = graft.operators.TextAnalysis.compressionProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (rawRep, cRep, ratioRep) = prof(0L)
+    val (rawRand, cRand, ratioRand) = prof(1L)
+    assert(rawRep == 2000 && rawRand == 320)
+    // template text compresses MUCH better than hex noise
+    assert(ratioRep < 0.05 && ratioRep > 0.0)
+    assert(ratioRand > ratioRep * 5)
+    // DEFLATE stored-block bound: never grows past raw + small overhead
+    assert(cRep <= rawRep + 64 && cRand <= rawRand + 64)
+    // empty text: a header-only zlib stream (a few bytes), ratio pinned 0
+    val (rawE, cE, ratioE) = prof(2L)
+    assert(rawE == 0L && cE > 0L && cE <= 16L && ratioE == 0.0)
+    // level 0 (stored) >= level 9 (max effort) on compressible input
+    val lvls = df.where($"doc_id" === 0L).selectExpr(
+      "deflate_len(text, 0) AS l0", "deflate_len(text, 9) AS l9").head()
+    assert(lvls.getLong(0) >= lvls.getLong(1))
+    intercept[Exception] {
+      df.selectExpr("deflate_len(text, 11)").collect()
+    }
+  }
 }

@@ -140,6 +140,29 @@ object ScaleSmoke {
       println(s"[scale]   dsir rows: $dsirN, lr scored: $scoredN, ccnet bucketed: $ccN")
     }
 
+    // ---- sketches: cross-shard token overlap on 100k docs, 20 shards ----
+    // the sketch path's shuffle is group-count-sized vs the exact pair
+    // join's corpus-sized one; both run here so the gap is in the log
+    locally {
+      val sharded = docs.withColumn("shard",
+        concat(lit("s"), lpad((col("doc_id") / 1000000).cast("int").cast("string"), 2, "0")))
+        .select(col("shard"),
+          explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+        .where(col("token") =!= "")
+      val sk = withShuffle("hll groupSketches 100k docs x 20 shards") {
+        val s = graft.operators.Sketch.groupSketches(sharded, "shard", "token").cache()
+        s.count(); s
+      }
+      val nPairs = withShuffle("hll overlapEstimates 190 shard pairs") {
+        graft.operators.Sketch.overlapEstimates(sk, "shard").count()
+      }
+      val nExact = withShuffle("exact pairwise overlap (the join sketches replace)") {
+        graft.operators.Sketch.exactOverlap(sharded, "shard", "token").count()
+      }
+      println(s"[scale]   sketch pairs: $nPairs, exact pairs: $nExact")
+      sk.unpersist()
+    }
+
     // ---- spatial: 6M points vs 5 regions ----
     val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
       .select("l_orderkey", "l_linenumber")

@@ -2526,6 +2526,42 @@ object SparkEntry {
           queries, "qid", "qtext", k = 10)
         .orderBy("qid", "rnk")
     }),
+    // damped PageRank (the link-quality prior of web-corpus curation)
+    // over a 100-node graph derived from lineitem: 6 synchronous
+    // iterations with uniform dangling redistribution, every term/sum/
+    // update snapped under the rz6 law — the oracle replays all six
+    // iterations as unrolled MATERIALIZED CTEs and hash-matches every
+    // rank. Iterations run eagerly (localCheckpoint per round, the CC
+    // precedent); the returned frame is the final rank vector.
+    "q176_pagerank" -> ((spark, dir) => {
+      prep(spark, dir)
+      val e = spark.sql("""
+        SELECT DISTINCT l_orderkey % 100 AS s,
+               (l_orderkey * 7 + l_linenumber) % 100 AS d
+        FROM lineitem""")
+      graft.operators.Graph.pageRank(e, "s", "d", iters = PR_ITERS)
+        .orderBy("node")
+    }),
+    // q174 grown INCREMENTALLY: 80% of the corpus indexed, 20%
+    // appended as postings/dfreq-delta/stats-row part-files, then the
+    // same retrieval — the search path's delta sums make it equal a
+    // one-shot index of the union, so the q146 oracle again
+    "q175_bm25_append" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val docs = spark.table("documents")
+      val idxDir = scratchDir("graft_bm25_app_")
+      graft.operators.TextAnalysis.writeBm25Index(
+        docs.where(col("doc_id") % 5 =!= 4), "doc_id", "text", idxDir)
+      graft.operators.TextAnalysis.appendToBm25Index(spark, idxDir,
+        docs.where(col("doc_id") % 5 === 4), "doc_id", "text")
+      val queries = spark.createDataFrame(Seq(
+        (0L, "hash join"), (1L, "slow scan filter"),
+        (2L, "vector window spark"), (3L, "nosuchtoken"))).toDF("qid", "qtext")
+      graft.operators.TextAnalysis.bm25SearchIndex(spark, idxDir,
+          queries, "qid", "qtext", k = 10)
+        .orderBy("qid", "rnk")
+    }),
     "q146_bm25" -> ((spark, dir) => {
       prep(spark, dir)
       val queries = spark.createDataFrame(Seq(
@@ -3463,6 +3499,44 @@ object SparkEntry {
                  FROM s)
       SELECT CAST(qid AS BIGINT) AS qid, doc_id, rnk, n_terms, score
       FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""
+
+  private val PR_ITERS = 6
+
+  /** q176's oracle: every PageRank iteration unrolled as a MATERIALIZED
+    * CTE replaying the engine's exact rz6 arithmetic (the GD-replay
+    * precedent) — N is the fixture's known 100 nodes. */
+  private val PAGERANK_ORACLE: String = {
+    val iterCtes = (1 to PR_ITERS).map { k =>
+      s"""
+         r$k AS MATERIALIZED (
+           SELECT n.v,
+                  round(round(CAST(0.15 AS DOUBLE) / 100, 6) +
+                        CAST(0.85 AS DOUBLE) *
+                          (coalesce(cs.cs, CAST(0 AS DOUBLE)) + dg.m), 6) AS r
+           FROM nodes n
+           LEFT JOIN (SELECT e.d AS v,
+                             round(sum(round(p.r / dg2.deg, 6)), 6) AS cs
+                      FROM e JOIN r${k - 1} p ON e.s = p.v
+                             JOIN deg dg2 ON dg2.s = e.s
+                      GROUP BY e.d) cs ON cs.v = n.v
+           CROSS JOIN (SELECT round(coalesce(
+                         (SELECT round(sum(p.r), 6) FROM r${k - 1} p
+                          LEFT JOIN deg ON deg.s = p.v
+                          WHERE deg.s IS NULL), CAST(0 AS DOUBLE)) / 100, 6)
+                       AS m) dg)"""
+    }.mkString(",")
+    s"""
+      WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey % 100 AS s,
+                       (l_orderkey * 7 + l_linenumber) % 100 AS d
+                       FROM lineitem),
+           nodes AS MATERIALIZED (SELECT s AS v FROM e UNION SELECT d AS v FROM e),
+           deg AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS deg
+                                FROM e GROUP BY s),
+           r0 AS MATERIALIZED (SELECT v, round(CAST(1.0 AS DOUBLE) / 100, 6) AS r
+                               FROM nodes),$iterCtes
+      SELECT CAST(v AS BIGINT) AS node, r AS rank
+      FROM r$PR_ITERS ORDER BY node"""
+  }
 
   private val SHINGLE_JACCARD_ORACLE = """
       WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
@@ -5424,6 +5498,8 @@ object SparkEntry {
     // Lucene idf -> per-(query,doc) 6dp term sum -> rank
     "q146_bm25" -> BM25_ORACLE,
     "q174_bm25_index" -> BM25_ORACLE,
+    "q175_bm25_append" -> BM25_ORACLE,
+    "q176_pagerank" -> PAGERANK_ORACLE,
     // CCNet replay: q118's bigram scoring restricted to the en-trained
     // model, then ntile(3) per language over the identical (ppl, id)
     // total order
@@ -5692,7 +5768,12 @@ object SparkEntry {
     "q171_retention_cohorts",
     // the persisted-index probe on 10x postings (same oracle as q146's
     // twin, so in-memory and indexed retrieval agree at both sfs)
-    "q174_bm25_index")
+    "q174_bm25_index",
+    // append-grown index on 10x postings, same agreement
+    "q175_bm25_append",
+    // same 100 nodes but 10x the edge density: every rank shifts, so
+    // the twin re-proves the whole iteration chain at the larger graph
+    "q176_pagerank")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

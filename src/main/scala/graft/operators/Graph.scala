@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.util.Round6.rz6
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators for corpus curation — the URL/host quality
+  * priors (PageRank-family centrality over a crawl's link structure)
+  * that large-scale web-corpus pipelines mix into document quality
+  * scores.
+  *
+  * Scale design: everything is edge-relation algebra — each PageRank
+  * iteration is one join of the edge list with the current rank
+  * vector (shuffle keyed by source) and one hash aggregation to the
+  * destination (shuffle keyed by destination), both of which Spark
+  * plans with partial aggregation; the dangling-node mass rides a
+  * broadcast one-row frame, and the driver holds only the iteration
+  * counter. `localCheckpoint` after each iteration cuts the growing
+  * lineage (the connected-components precedent). Nothing corpus-sized
+  * is ever collected.
+  *
+  * Determinism: every per-edge term, per-node sum, and update is
+  * snapped under the 6dp law ([[graft.util.Round6]]), so DuckDB
+  * replays all iterations as unrolled materialized CTEs and the q176
+  * gate hash-matches every rank. */
+object Graph {
+
+  /** Damped PageRank over a directed edge list, `iters` synchronous
+    * iterations from the uniform vector. Duplicate edges collapse
+    * (link-once semantics); nodes = sources ∪ destinations; dangling
+    * mass (ranks of nodes with no out-edges) redistributes uniformly,
+    * the standard correction. Update per node v:
+    * `r'(v) = rz6(rz6((1-d)/N) + d · (S(v) + rz6(D/N)))` with
+    * `S(v) = rz6(Σ_in rz6(r(u)/deg(u)))` and `D = rz6(Σ_dangling r)`.
+    * Output: (node, rank). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0 (got $iters)")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1) (got $damping)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull)
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("s").as("v"))
+      .unionByName(e.select(col("d").as("v"))).distinct().localCheckpoint()
+    // N is a genuine scalar of the computation (it appears inside
+    // per-node literals); one count job, not per-row state
+    val n = nodes.count().toDouble
+    if (n == 0) return nodes.select(col("v").as("node"), lit(0.0).as("rank"))
+    val deg = e.groupBy("s").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var ranks = nodes.select(col("v"), rz6(lit(1.0 / n)).as("r"))
+    for (_ <- 1 to iters) {
+      val dangling = broadcast(
+        ranks.join(deg, ranks("v") === deg("s"), "left_anti")
+          .agg(coalesce(rz6(sum(col("r"))), lit(0.0)).as("__dang")))
+      val sums = e.join(ranks, e("s") === ranks("v"))
+        .join(deg, "s")
+        .select(col("d").as("v"), rz6(col("r") / col("deg")).as("__c"))
+        .groupBy("v").agg(rz6(sum("__c")).as("__cs"))
+      ranks = nodes.join(sums, Seq("v"), "left").crossJoin(dangling)
+        .select(col("v"),
+          rz6(rz6(lit((1.0 - damping) / n)) +
+            lit(damping) * (coalesce(col("__cs"), lit(0.0)) +
+              rz6(col("__dang") / lit(n)))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("v").as("node"), col("r").as("rank"))
+  }
+}

@@ -906,6 +906,43 @@ object TextAnalysis {
       s"""{"buckets":$buckets,"idCol":"$idCol"}""")
   }
 
+  /** Document-level incremental append for a persisted BM25 index: the
+    * batch's postings/doc-lengths append as new part-files in their
+    * token buckets, its per-token document counts append as DELTA rows
+    * to `dfreq/`, and its (doc count, postings mass) appends as one
+    * more `stats/` row — nothing existing is rewritten. The search
+    * path SUMS dfreq deltas per token and stats rows before scoring,
+    * so search-after-append equals search over a one-shot index of the
+    * union (q175; the sums are exactly the one-shot aggregates).
+    * Document-level means each doc's text must arrive whole in one
+    * batch: dl is computed within the batch, and re-appending an id
+    * double-counts it, the standard contract of every append here. */
+  def appendToBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, textCol: String): Unit = {
+    val json = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(path, "_bm25_params.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"BM25 index at $path has no readable _bm25_params.json sidecar"))
+    val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(throw new java.io.IOException(
+        s"BM25 index sidecar at $path lacks buckets: $json"))
+    val postings = df
+      .select(col(idCol).as("doc"),
+        explode(split(coalesce(col(textCol).cast("string"), lit("")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc")
+    postings.withColumn("dl", sum("tf").over(wDoc))
+      .withColumn("pt", pmod(hash(col("tok")), lit(buckets)))
+      .write.mode("append").partitionBy("pt").parquet(s"$path/postings")
+    postings.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("pt", pmod(hash(col("tok")), lit(buckets)))
+      .write.mode("append").partitionBy("pt").parquet(s"$path/dfreq")
+    df.select(col(idCol)).distinct().agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(postings.agg(coalesce(sum("tf"), lit(0L)).as("mass")))
+      .write.mode("append").parquet(s"$path/stats")
+  }
+
   /** BM25 retrieval against a PERSISTED index: the query batch's token
     * buckets are evaluated once (a tiny driver job, like the IVF probe
     * collect) and become a static `pt IN (...)` partition filter on the
@@ -913,7 +950,9 @@ object TextAnalysis {
     * vocabulary can match. Scoring replays [[bm25TopK]]'s exact
     * arithmetic (same rz6 law, same idf, same tie order), so for the
     * same corpus the ranked results are IDENTICAL to the in-memory
-    * path (q174 pins this against q146's oracle). */
+    * path (q174 pins this against q146's oracle). Reads aggregate
+    * dfreq delta rows and stats rows, so appended indexes
+    * ([[appendToBm25Index]]) score identically to one-shot ones. */
   def bm25SearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -947,9 +986,13 @@ object TextAnalysis {
       if (probed.isEmpty) t.where(lit(false)) else
         t.where(col("pt").isin(probed.map(Int.box): _*))
     }
-    val stats = broadcast(readTable("stats"))
+    // stats rows and per-token dfreq rows SUM across append deltas;
+    // for a one-shot index these aggregates are identities
+    val stats = broadcast(readTable("stats")
+      .agg(sum("n").as("n"), sum("mass").as("mass")))
     val qidf = broadcast(
-      qterms.join(broadcast(pruned("dfreq").select(col("tok").as("__tok"), col("df"))),
+      qterms.join(broadcast(pruned("dfreq")
+            .groupBy(col("tok").as("__tok")).agg(sum("df").as("df"))),
           Seq("__tok"))
         .crossJoin(stats)
         .select(col("__qid"), col("__tok"),

@@ -74,6 +74,22 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "corrupting unprobed buckets must not change (or break) the probe")
   }
 
+  test("append-grown index scores identically to a one-shot index of the union") {
+    val h1 = docs.where(col("doc_id") % 3 =!= 2)
+    val h2 = docs.where(col("doc_id") % 3 === 2)
+    val grown = java.nio.file.Files.createTempDirectory("bm25_g_").toString
+    TextAnalysis.writeBm25Index(h1, "doc_id", "text", grown)
+    TextAnalysis.appendToBm25Index(spark, grown, h2, "doc_id", "text")
+    val oneShot = java.nio.file.Files.createTempDirectory("bm25_o_").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", oneShot)
+    def run(dir: String) = TextAnalysis.bm25SearchIndex(spark, dir,
+        queriesDf, "qid", "qtext", k = 10)
+      .orderBy("qid", "rnk").collect().map(_.toSeq).toSeq
+    val (g, o) = (run(grown), run(oneShot))
+    assert(g == o, "delta sums must reproduce the one-shot aggregates")
+    assert(g.nonEmpty)
+  }
+
   test("all-OOV and empty query batches return empty, not error") {
     val sp = spark
     import sp.implicits._

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank: engine result vs an independent driver-side reference
+  * implementing the same rz6 update law, plus the analytic fixed
+  * points (cycles, dangling redistribution, zero iterations). */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graph-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def rz6(x: Double): Double =
+    math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+
+  /** Independent reference: same update law, plain Scala collections. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size.toDouble
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size }
+    var r = nodes.map(_ -> rz6(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val dang = rz6(nodes.filterNot(deg.contains).map(r).sum)
+      val cs = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> rz6(es.map(x => rz6(r(x._1) / deg(x._1))).sum)
+      }
+      r = nodes.map(v => v -> rz6(rz6((1.0 - d) / n) +
+        d * (cs.getOrElse(v, 0.0) + rz6(dang / n)))).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    val sp = spark
+    import sp.implicits._
+    Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("two-node cycle is the uniform fixed point") {
+    val out = run(Seq((1L, 2L), (2L, 1L)), iters = 5)
+    assert(out == Map(1L -> 0.5, 2L -> 0.5))
+  }
+
+  test("zero iterations returns the uniform vector") {
+    val out = run(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)), iters = 0)
+    assert(out.values.toSet == Set(rz6(1.0 / 3)))
+  }
+
+  test("dangling sink redistributes and the sink outranks its feeder") {
+    // 1 -> 3, 2 -> 3; 3 dangles
+    val out = run(Seq((1L, 3L), (2L, 3L)), iters = 8)
+    assert(out(3L) > out(1L))
+    assert(out(1L) == out(2L), "symmetric feeders must tie exactly")
+    // mass stays ~1 (dangling redistribution, up to rounding)
+    assert(math.abs(out.values.sum - 1.0) < 1e-3)
+  }
+
+  test("engine matches the independent reference rank-for-rank on a dense fixture") {
+    val edges = for {
+      i <- 0L until 30L
+      j <- Seq((i * 7 + 3) % 30, (i * 13 + 1) % 30, (i * 5 + 11) % 30)
+      if j != i
+    } yield (i, j)
+    for (iters <- Seq(1, 4, 7)) {
+      val got = run(edges, iters)
+      val want = ref(edges, iters)
+      assert(got == want, s"divergence at iters=$iters")
+    }
+  }
+
+  test("duplicate edges collapse to link-once semantics") {
+    val once = run(Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)), 4)
+    val duped = run(Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L),
+      (3L, 1L), (3L, 1L)), 4)
+    assert(once == duped)
+  }
+
+  test("parameter validation") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    intercept[IllegalArgumentException] { Graph.pageRank(e, "s", "d", -1) }
+    intercept[IllegalArgumentException] { Graph.pageRank(e, "s", "d", 1, damping = 1.0) }
+  }
+}

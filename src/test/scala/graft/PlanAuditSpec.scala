@@ -74,7 +74,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // BM25: the 1-row corpus scalars (N, avgdl) CROSS JOINed onto the
     // broadcast query-idf table and the matched postings — in-memory
     // and persisted-index variants share the shape
-    "q146_bm25", "q174_bm25_index",
+    "q146_bm25", "q174_bm25_index", "q175_bm25_append",
     // lazy gate frames: 1-row count aggregates CROSS JOINed into the
     // single flags row (each side broadcast by construction); q126/q129
     // also inherit the brute-force exact baseline's hinted BNLJ

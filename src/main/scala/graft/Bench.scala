@@ -83,7 +83,9 @@ object Bench {
     "q169_sketch_overlap",      // HLL sketch agg + broadcast pair estimates + exact companion
     "q170_lsh_index_dedup",     // persisted-index probe: broadcast batch buckets + refine
     "q171_retention_cohorts",   // two hash aggs + user-keyed join cohort rollup
-    "q174_bm25_index")          // persisted BM25: pruned postings probe + rank
+    "q174_bm25_index",          // persisted BM25: pruned postings probe + rank
+    "q177_tile_pyramid",        // map-only tile fan-out + MVT affine, codegen'd
+    "q179_heavy_hitters")       // Misra-Gries partial/final, capacity-bounded shuffle
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -104,7 +106,8 @@ object Bench {
     "q157_dedup_keep_best", "q158_cluster_keep_best",
     "q160_hashed_embedding", "q164_event_funnel", "q165_asof_forward",
     "q166_grid_dissolve", "q168_split_exact", "q169_sketch_overlap",
-    "q170_lsh_index_dedup", "q171_retention_cohorts", "q174_bm25_index")
+    "q170_lsh_index_dedup", "q171_retention_cohorts", "q174_bm25_index",
+    "q177_tile_pyramid", "q179_heavy_hitters")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

@@ -2526,6 +2526,55 @@ object SparkEntry {
           queries, "qid", "qtext", k = 10)
         .orderBy("qid", "rnk")
     }),
+    // Morton z-values (the multi-column data-skipping clustering key):
+    // the interleave is a codegen'd aggregate over bit positions whose
+    // slots are disjoint, so the oracle replays OR as a SUM of shifted
+    // bits — bit-exact BIGINTs, no rounding anywhere. The layout payoff
+    // (row groups skipped on every dimension) is spec-asserted
+    // behaviorally in ZOrderSpec; this row pins the key's arithmetic.
+    "q178_zorder" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      spark.sql("""
+          SELECT l_orderkey, l_linenumber,
+                 CAST(l_orderkey % 1024 AS BIGINT) AS x,
+                 CAST((l_orderkey DIV 32) % 1024 AS BIGINT) AS y
+          FROM lineitem""")
+        .withColumn("z", graft.operators.ZOrder.zvalue(
+          Seq(col("x"), col("y")), bits = 10))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // web-mercator tile-pyramid materialization (the batch job behind
+    // vector-tile serving): mercator-meter points fanned to zooms 2-4
+    // by pure envelope arithmetic, then the per-tile 4096-grid MVT
+    // affine — the oracle replays the ownership law AND the kernel's
+    // exact envelope/affine op order (ts = 2E/2^z, xmin = -E + x*ts,
+    // xmax = xmin + ts, fx = 4096/w, x' = fx*xm + (-xmin*fx))
+    "q177_tile_pyramid" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val pts = spark.sql("""
+        SELECT l_orderkey * 10 + l_linenumber AS id,
+               ST_Point(CAST(l_orderkey % 200 - 100 AS DOUBLE) * 100000.0,
+                        CAST(l_linenumber * 30 - 100 AS DOUBLE) * 100000.0,
+                        3857) AS g
+        FROM lineitem""")
+      graft.operators.Tiles.tilePyramid(pts, "id", "g", minZoom = 2, maxZoom = 4)
+        .select(col("id"), col("z"), col("x"), col("y"),
+          round(expr("ST_X(mvt_geom)"), 6).as("mx"),
+          round(expr("ST_Y(mvt_geom)"), 6).as("my"))
+        .orderBy("id", "z")
+    }),
+    // capacity-bounded heavy hitters: the contract pins the EXACT
+    // regime (capacity 64 >= the 31-token vocab, so no Misra-Gries
+    // decrement ever fires and counters are plain merge-order-free
+    // sums); FreqSpec pins the approximation law below capacity
+    "q179_heavy_hitters" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Freq.heavyHitterTokens(
+          spark.table("documents"), "source", "text", capacity = 64, k = 5)
+        .orderBy("source", "rnk")
+    }),
     // damped PageRank (the link-quality prior of web-corpus curation)
     // over a 100-node graph derived from lineitem: 6 synchronous
     // iterations with uniform dangling redistribution, every term/sum/
@@ -5500,6 +5549,57 @@ object SparkEntry {
     "q174_bm25_index" -> BM25_ORACLE,
     "q175_bm25_append" -> BM25_ORACLE,
     "q176_pagerank" -> PAGERANK_ORACLE,
+    // disjoint interleave slots: OR replayed as a sum of shifted bits
+    "q178_zorder" -> """
+      WITH b AS (SELECT l_orderkey, l_linenumber,
+                        CAST(l_orderkey % 1024 AS BIGINT) AS x,
+                        CAST((l_orderkey // 32) % 1024 AS BIGINT) AS y
+                 FROM lineitem)
+      SELECT l_orderkey, l_linenumber, x, y,
+             CAST((SELECT sum(((x >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i)) +
+                              ((y >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))
+                   FROM unnest(generate_series(0, 9)) AS u(i)) AS BIGINT) AS z
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+    // tile ownership + the kernel's exact envelope/affine arithmetic,
+    // all in mercator meters (E = 20037508.342789244)
+    "q177_tile_pyramid" -> """
+      WITH b AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+                        CAST(l_orderkey % 200 - 100 AS DOUBLE) * 100000.0 AS xm,
+                        CAST(l_linenumber * 30 - 100 AS DOUBLE) * 100000.0 AS ym
+                 FROM lineitem),
+           t AS (SELECT id, xm, ym, CAST(z AS INT) AS z,
+                        2 * 20037508.342789244 / power(2.0, z) AS ts
+                 FROM b, unnest(generate_series(2, 4)) AS u(z)),
+           xy AS (SELECT id, xm, ym, z, ts,
+                    CAST(floor((xm + 20037508.342789244) / ts) AS BIGINT) AS x,
+                    CAST(floor((20037508.342789244 - ym) / ts) AS BIGINT) AS y
+                  FROM t),
+           e AS (SELECT id, xm, ym, z, x, y, ts,
+                        -20037508.342789244 + x * ts AS txmin,
+                        20037508.342789244 - y * ts AS tymax
+                 FROM xy),
+           w AS (SELECT id, xm, ym, z, x, y,
+                        txmin, tymax,
+                        (txmin + ts) - txmin AS tw,
+                        tymax - (tymax - ts) AS th
+                 FROM e)
+      SELECT id, z, x, y,
+             round(xm * (4096.0 / tw) + (-(txmin) * (4096.0 / tw)), 6) AS mx,
+             round(ym * (-4096.0 / th) + (-(tymax) * (-4096.0 / th)), 6) AS my
+      FROM w ORDER BY id, z""",
+    // exact-regime heavy hitters: capacity >= vocab, so the summary is
+    // the true count table and top-5 replays as a plain window
+    "q179_heavy_hitters" -> """
+      WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+           c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS est
+                 FROM t WHERE length(term) > 0 GROUP BY source, term),
+           r AS (SELECT source, term, est,
+                        row_number() OVER (PARTITION BY source
+                                           ORDER BY est DESC, term) AS rnk
+                 FROM c)
+      SELECT source, CAST(rnk AS INT) AS rnk, term, est
+      FROM r WHERE rnk <= 5 ORDER BY source, rnk""",
     // CCNet replay: q118's bigram scoring restricted to the en-trained
     // model, then ntile(3) per language over the identical (ppl, id)
     // total order
@@ -5773,7 +5873,13 @@ object SparkEntry {
     "q175_bm25_append",
     // same 100 nodes but 10x the edge density: every rank shifts, so
     // the twin re-proves the whole iteration chain at the larger graph
-    "q176_pagerank")
+    "q176_pagerank",
+    // map-only fan-out: 10x the points through the same tile laws
+    "q177_tile_pyramid",
+    // bit-exact interleave on 10x the keys
+    "q178_zorder",
+    // same 31-token vocab at 10x rows: exact regime must hold at scale
+    "q179_heavy_hitters")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

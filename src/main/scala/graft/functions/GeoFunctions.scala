@@ -367,6 +367,10 @@ object GeoFunctions {
     // Named st_union_agg (not PostGIS's overloaded ST_Union) because the
     // 1-arg scalar slot is taken by the array form above.
     "st_union_agg" -> { es => arity("st_union_agg", es, 1); StUnionAgg(es.head) },
+    // TypedImperativeAggregate: Misra-Gries heavy hitters — capacity-
+    // bounded counter summaries ride the shuffle instead of one row
+    // per distinct (group, item)
+    "mg_topk" -> { es => arity("mg_topk", es, 2); MgTopK(es.head, es(1)) },
     // Aggregator-backed UDAF, expressed through the ScalaAggregator shim
     // so it rides the same registry/extension path as every other
     // function (a spark.udf.register call would be invisible to
@@ -628,6 +632,8 @@ object GeoFunctions {
   def st_union_arr(arr: Column): Column = c(StUnionArr(x(arr)))
   def st_extent(g: Column): Column = c(StExtentAgg(x(g)).toAggregateExpression())
   def st_union_agg(g: Column): Column = c(StUnionAgg(x(g)).toAggregateExpression())
+  def mg_topk(item: Column, capacity: Column): Column =
+    c(MgTopK(x(item), x(capacity)).toAggregateExpression())
   def simhash64(t: Column): Column = c(TextSimhash(x(t)))
   def minhash_sig(t: Column, n: Column): Column = c(TextMinhash(x(t), x(n)))
   def lang_id(t: Column): Column = c(TextLangId(x(t)))

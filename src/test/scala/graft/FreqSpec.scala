@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.GeoFunctions
+import graft.operators.Freq
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Misra–Gries heavy hitters: the exact regime (capacity >= distinct —
+  * the contract row's law), the approximation guarantees below
+  * capacity on an adversarial skewed stream, and merge-order
+  * robustness of the bounds under repartitioning. */
+class FreqSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("freq-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GeoFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("exact regime: capacity >= distinct reproduces true counts in order") {
+    val sp = spark
+    import sp.implicits._
+    // 3 items with frequencies 5 / 3 / 3 (tie broken by item asc)
+    val df = (Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq.fill(3)("ant"))
+      .map(t => ("g", t)).toDF("g", "text")
+    val out = Freq.heavyHitterTokens(df, "g", "text", capacity = 8, k = 3)
+      .orderBy("rnk").collect()
+    assert(out.map(r => (r.getInt(1), r.getString(2), r.getLong(3))).toSeq ==
+      Seq((1, "alpha", 5L), (2, "ant", 3L), (3, "beta", 3L)))
+  }
+
+  test("MG guarantee under capacity: frequent items survive, counts within N/(cap+1)") {
+    val sp = spark
+    import sp.implicits._
+    // 200k rows: 4 heavy items at 30k each, 80k singletons (distinct)
+    val heavy = spark.range(120000L)
+      .select(concat(lit("hot"), (col("id") % 4)).as("tok"))
+    val tail = spark.range(80000L)
+      .select(concat(lit("cold"), col("id")).as("tok"))
+    val df = heavy.unionByName(tail).repartition(8)
+      .select(lit("g").as("g"), col("tok").as("text"))
+    val cap = 64
+    val n = 200000L
+    val bound = n / (cap + 1) // 3076
+    val out = spark.sql("SELECT 1").sparkSession.emptyDataFrame
+    val hh = Freq.heavyHitterTokens(df, "g", "text", capacity = cap, k = cap)
+      .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+    // every item with true frequency > N/(cap+1) is present
+    (0 until 4).foreach { i =>
+      val est = hh.getOrElse(s"hot$i", fail(s"hot$i missing from summary"))
+      assert(est <= 30000L, s"MG never overcounts (hot$i -> $est)")
+      assert(est >= 30000L - bound, s"undercount bound violated (hot$i -> $est)")
+    }
+    // reported counts never exceed truth for stragglers either
+    hh.foreach { case (t, est) =>
+      if (t.startsWith("cold")) assert(est <= 1L + 0, s"straggler $t overcounted: $est")
+    }
+    assert(hh.size <= cap)
+  }
+
+  test("bounds hold under different partitionings (merge order shifts, laws don't)") {
+    val sp = spark
+    import sp.implicits._
+    val base = spark.range(50000L).select(
+      when(col("id") % 5 === 0, lit("heavy"))
+        .otherwise(concat(lit("u"), col("id"))).as("text"),
+      lit("g").as("g"))
+    val cap = 32
+    val bound = 50000L / (cap + 1)
+    Seq(2, 16).foreach { parts =>
+      val hh = Freq.heavyHitterTokens(base.repartition(parts), "g", "text",
+          capacity = cap, k = cap)
+        .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+      val est = hh.getOrElse("heavy", fail(s"heavy missing at parts=$parts"))
+      assert(est <= 10000L && est >= 10000L - bound,
+        s"parts=$parts est=$est outside [${10000L - bound}, 10000]")
+    }
+  }
+
+  test("plans as a regular partial/final aggregate (no distinct-item shuffle)") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("a", "x y z")).toDF("g", "text")
+    val plan = Freq.heavyHitterTokens(df, "g", "text", 16, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("mg_topk"), s"expected mg_topk aggregate in plan:\n$plan")
+    // partial + final pair: the summary, not the token stream, rides the exchange
+    assert("mg_topk".r.findAllIn(plan).size >= 2, s"expected partial+final:\n$plan")
+  }
+}

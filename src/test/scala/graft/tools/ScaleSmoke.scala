@@ -163,6 +163,50 @@ object ScaleSmoke {
       sk.unpersist()
     }
 
+    // ---- persisted indexes: 95k-doc history, 5k-doc daily batch ----
+    locally {
+      val hist = docs.where(col("doc_id") % 20 =!= 7)
+      val batch = docs.where(col("doc_id") % 20 === 7)
+      val lshDir = java.nio.file.Files.createTempDirectory("smoke_lsh_").toString
+      withShuffle("writeLshIndex 95k docs (64 bands)") {
+        Dedup.writeLshIndex(hist, "doc_id", "text", lshDir, numHashes = 64, bands = 64)
+      }
+      val nd = withShuffle("nearDupsAgainstLshIndex 5k batch vs 95k history") {
+        Dedup.nearDupsAgainstLshIndex(spark, lshDir, batch, "doc_id", "text",
+          corpus = docs, threshold = 0.35, minBandHits = 4).count()
+      }
+      val bmDir = java.nio.file.Files.createTempDirectory("smoke_bm25_").toString
+      withShuffle("writeBm25Index 95k docs") {
+        graft.operators.TextAnalysis.writeBm25Index(hist, "doc_id", "text", bmDir)
+      }
+      withShuffle("appendToBm25Index 5k batch") {
+        graft.operators.TextAnalysis.appendToBm25Index(spark, bmDir, batch,
+          "doc_id", "text")
+      }
+      val sp2 = spark
+      import sp2.implicits._
+      val qs = Seq((0L, "hash join"), (1L, "slow scan filter"),
+        (2L, "vector window spark")).toDF("qid", "qtext")
+      val hits = withShuffle("bm25SearchIndex 3 queries vs 100k-doc index") {
+        graft.operators.TextAnalysis.bm25SearchIndex(spark, bmDir, qs,
+          "qid", "qtext", k = 10).count()
+      }
+      println(s"[scale]   lsh batch near-dups: $nd, bm25 hits: $hits")
+    }
+
+    // ---- pagerank: 100k-node graph, 3 out-edges/node, 6 iterations ----
+    locally {
+      val edges = spark.range(100000L).select(col("id").as("s"))
+        .selectExpr("s", "stack(3, (s*7+3) % 100000, (s*13+1) % 100000, (s*5+11) % 100000) AS d")
+        .where(col("s") =!= col("d"))
+      val pr = withShuffle("pageRank 100k nodes x 300k edges x 6 iters") {
+        graft.operators.Graph.pageRank(edges, "s", "d", iters = 6)
+      }
+      val top = pr.orderBy(col("rank").desc).limit(3).collect()
+        .map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(", ")
+      println(s"[scale]   pagerank top-3: $top")
+    }
+
     // ---- spatial: 6M points vs 5 regions ----
     val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
       .select("l_orderkey", "l_linenumber")

@@ -85,7 +85,9 @@ object Bench {
     "q171_retention_cohorts",   // two hash aggs + user-keyed join cohort rollup
     "q174_bm25_index",          // persisted BM25: pruned postings probe + rank
     "q177_tile_pyramid",        // map-only tile fan-out + MVT affine, codegen'd
-    "q179_heavy_hitters")       // Misra-Gries partial/final, capacity-bounded shuffle
+    "q179_heavy_hitters",       // Misra-Gries partial/final, capacity-bounded shuffle
+    "q180_scd2_merge",          // SCD2 upsert: one key-join + history union
+    "q181_fuzzy_dedup")         // blocked levenshtein pairs, capped blocks
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -107,7 +109,7 @@ object Bench {
     "q160_hashed_embedding", "q164_event_funnel", "q165_asof_forward",
     "q166_grid_dissolve", "q168_split_exact", "q169_sketch_overlap",
     "q170_lsh_index_dedup", "q171_retention_cohorts", "q174_bm25_index",
-    "q177_tile_pyramid", "q179_heavy_hitters")
+    "q177_tile_pyramid", "q179_heavy_hitters", "q180_scd2_merge")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",
@@ -118,7 +120,8 @@ object Bench {
     "q122_kmeans_two_level" -> "same k=2n fixture as q120",
     "q144_quality_lr" -> "12 fixed GD-iteration jobs dominate the sf0.1 time (0.35s), so the x10 ratio measures job overhead, not scaling; the linear scale path is ScaleSmoke's 100k-doc train (29.7s)",
     "q159_knn_graph" -> "exactness fixture pins nProbe = nlist, so the bucket join degenerates to all-pairs by construction; the scale path is ScaleSmoke's 100k x nlist=256 partial-probe graph",
-    "q162_cosine_edges" -> "same full-probing exactness fixture as q159 (all-pairs by construction)")
+    "q162_cosine_edges" -> "same full-probing exactness fixture as q159 (all-pairs by construction)",
+    "q181_fuzzy_dedup" -> "in-block pair count is quadratic in block occupancy (8 first-token blocks in the part fixture), so x10 input is x100 candidate pairs by construction; production keys add tokens/length buckets to hold occupancy flat")
 
   private def loadavg1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble

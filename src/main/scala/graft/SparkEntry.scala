@@ -2565,6 +2565,41 @@ object SparkEntry {
           round(expr("ST_Y(mvt_geom)"), 6).as("my"))
         .orderBy("id", "z")
     }),
+    // fuzzy (edit-distance) duplicate pairs under first-token blocking:
+    // record linkage for the typo class shingle-Jaccard misses; the
+    // oracle replays blocking, the count cap, and Levenshtein itself
+    "q181_fuzzy_dedup" -> ((spark, dir) => {
+      prep(spark, dir)
+      val parts = spark.sql(
+        "SELECT p_partkey AS id, p_name AS name FROM part WHERE p_partkey % 50 = 0")
+      graft.operators.Dedup.fuzzyDups(parts, "id", "name", maxDist = 3)
+        .orderBy("ida", "idb")
+    }),
+    // SCD2 versioned upsert: every row fate in one fixture — closed
+    // history passthrough, untouched keys, no-op batch rows, changed
+    // keys (close + reopen), brand-new keys — pure join arithmetic,
+    // no floats, replayed row-for-row by the oracle
+    "q180_scd2_merge" -> ((spark, dir) => {
+      prep(spark, dir)
+      val dim = spark.sql("""
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               CAST(0 AS BIGINT) AS valid_from,
+               CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'LEGACY', CAST(-100 AS BIGINT),
+               CAST(0 AS BIGINT), false
+        FROM customer WHERE c_custkey % 11 = 0""")
+      val batch = spark.sql("""
+        SELECT c_custkey AS k,
+               CASE WHEN c_custkey % 7 = 0 THEN 'WEB' ELSE c_mktsegment END AS seg
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEWSEG'
+        FROM customer WHERE c_custkey % 13 = 0""")
+      graft.operators.Scd.scd2Apply(dim, batch, Seq("k"), Seq("seg"), asOf = 86400L)
+        .orderBy("k", "valid_from")
+    }),
     // capacity-bounded heavy hitters: the contract pins the EXACT
     // regime (capacity 64 >= the 31-token vocab, so no Misra-Gries
     // decrement ever fires and counters are plain merge-order-free
@@ -5587,6 +5622,60 @@ object SparkEntry {
              round(xm * (4096.0 / tw) + (-(txmin) * (4096.0 / tw)), 6) AS mx,
              round(ym * (-4096.0 / th) + (-(tymax) * (-4096.0 / th)), 6) AS my
       FROM w ORDER BY id, z""",
+    // blocking + cap + levenshtein, replayed exactly (ASCII inputs, so
+    // code-point vs character counting cannot diverge)
+    "q181_fuzzy_dedup" -> """
+      WITH t AS (SELECT p_partkey AS id, p_name AS name,
+                        lower(string_split(p_name, ' ')[1]) AS blk
+                 FROM part WHERE p_partkey % 50 = 0),
+           f AS (SELECT t.* FROM t JOIN (SELECT blk FROM t GROUP BY blk
+                   HAVING CAST(count(*) AS BIGINT) <= 10000) b USING (blk))
+      SELECT a.id AS ida, b2.id AS idb,
+             CAST(levenshtein(a.name, b2.name) AS INT) AS dist
+      FROM f a JOIN f b2 ON a.blk = b2.blk AND a.id < b2.id
+      WHERE levenshtein(a.name, b2.name) <= 3
+      ORDER BY ida, idb""",
+    // full SCD2 replay: current-slice full-outer batch, null-safe attr
+    // compare (IS DISTINCT FROM), history unions through
+    "q180_scd2_merge" -> """
+      WITH dim AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               CAST(0 AS BIGINT) AS valid_from,
+               CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'LEGACY', CAST(-100 AS BIGINT),
+               CAST(0 AS BIGINT), false
+        FROM customer WHERE c_custkey % 11 = 0),
+      batch AS (
+        SELECT c_custkey AS k,
+               CASE WHEN c_custkey % 7 = 0 THEN 'WEB' ELSE c_mktsegment END AS seg
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEWSEG'
+        FROM customer WHERE c_custkey % 13 = 0),
+      cur AS (SELECT * FROM dim WHERE is_current),
+      hist AS (SELECT k, seg, valid_from, valid_to, is_current
+               FROM dim WHERE NOT is_current),
+      j AS (SELECT coalesce(c.k, b.k) AS k, c.seg AS cseg,
+                   c.valid_from AS vf, c.k IS NOT NULL AS matched,
+                   b.k IS NOT NULL AS in_batch, b.seg AS bseg
+            FROM cur c FULL OUTER JOIN batch b ON c.k = b.k),
+      fromcur AS (
+        SELECT k, cseg AS seg, vf AS valid_from,
+               CASE WHEN in_batch AND cseg IS DISTINCT FROM bseg
+                    THEN CAST(86400 AS BIGINT) ELSE CAST(NULL AS BIGINT)
+               END AS valid_to,
+               NOT (in_batch AND cseg IS DISTINCT FROM bseg) AS is_current
+        FROM j WHERE matched),
+      opened AS (
+        SELECT k, bseg AS seg, CAST(86400 AS BIGINT) AS valid_from,
+               CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+        FROM j WHERE in_batch AND (NOT matched OR cseg IS DISTINCT FROM bseg))
+      SELECT k, seg, valid_from, valid_to, is_current FROM (
+        SELECT * FROM hist UNION ALL SELECT * FROM fromcur
+        UNION ALL SELECT * FROM opened)
+      ORDER BY k, valid_from""",
     // exact-regime heavy hitters: capacity >= vocab, so the summary is
     // the true count table and top-5 replays as a plain window
     "q179_heavy_hitters" -> """
@@ -5879,7 +5968,11 @@ object SparkEntry {
     // bit-exact interleave on 10x the keys
     "q178_zorder",
     // same 31-token vocab at 10x rows: exact regime must hold at scale
-    "q179_heavy_hitters")
+    "q179_heavy_hitters",
+    // 10x the dimension through the same row-fate partition
+    "q180_scd2_merge",
+    // 10x the rows per block: 1.8k pairs through the same cap + refine
+    "q181_fuzzy_dedup")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

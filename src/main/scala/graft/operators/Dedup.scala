@@ -741,4 +741,42 @@ object Dedup {
         count(when(col("__cov") === 1, 1)).cast("int").as("n_dropped"))
       .withColumnRenamed("__doc", idCol)
   }
+
+  /** Fuzzy (edit-distance) duplicate pairs with blocking — the
+    * record-linkage workhorse for titles/names/addresses, where
+    * shingle-Jaccard misses single-character typos: pairs of rows whose
+    * blocking keys collide and whose `textCol` values are within
+    * `maxDist` Levenshtein edits.
+    *
+    * Scale design (100 TB): all-pairs edit distance is O(n²) and
+    * undistributable; blocking makes the candidate set the sum of
+    * per-block pair counts. The block key — the first `blockTokens`
+    * lowercased whitespace tokens — hash-partitions the self-join, and
+    * blocks larger than `maxBlock` are DROPPED before pair generation
+    * (same cap discipline as the LSH buckets: a mega-block is a
+    * stopword-like key that would go quadratic; production recipes
+    * tighten the key — more tokens, length buckets, phonetic codes —
+    * rather than raise the cap). The `levenshtein` refine is Spark's
+    * codegen'd built-in, computed only on in-block candidate pairs.
+    * Deterministic: integer distances, id-ordered pairs, and the cap
+    * is a replayable count filter, not a sample. */
+  def fuzzyDups(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, blockTokens: Int = 1, maxBlock: Int = 10000): DataFrame = {
+    require(maxDist >= 0 && blockTokens > 0 && maxBlock > 1,
+      s"need maxDist >= 0, blockTokens > 0, maxBlock > 1 (got $maxDist/$blockTokens/$maxBlock)")
+    val keyed = df.select(col(idCol), col(textCol),
+      lower(concat_ws(" ",
+        slice(split(col(textCol), " "), 1, blockTokens))).as("__blk"))
+    val fit = keyed.join(
+      keyed.groupBy("__blk").agg(count(lit(1)).as("__bsz"))
+        .where(col("__bsz") <= maxBlock).select("__blk"),
+      Seq("__blk"))
+    val a = fit.select(col("__blk"), col(idCol).as("ida"), col(textCol).as("__ta"))
+    val b = fit.select(col("__blk"), col(idCol).as("idb"), col(textCol).as("__tb"))
+    a.join(b, Seq("__blk"))
+      .where(col("ida") < col("idb"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
+      .where(col("dist") <= maxDist)
+      .select(col("ida"), col("idb"), col("dist"))
+  }
 }

@@ -1247,4 +1247,29 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.selectExpr("deflate_len(text, 11)").collect()
     }
   }
+
+  test("fuzzyDups: blocking bounds candidates, distance refines, mega-blocks drop") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "acme corp ltd"),      // dist 1 from id 2 (same block "acme")
+      (2L, "acme corp ltd."),
+      (3L, "acme industries"),    // same block, dist > 2 from 1/2
+      (4L, "zenith corp ltd"),    // dist 1 from id 1 — but different block: missed
+      (5L, "beta labs"),
+      (6L, "beta labs")           // exact dup, dist 0
+    ).toDF("id", "name")
+    val out = graft.operators.Dedup.fuzzyDups(df, "id", "name", maxDist = 2)
+      .orderBy("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // (1,2) typo pair; (5,6) exact; (1,3)/(2,3) refined away; (1,4) blocked away
+    assert(out == Seq((1L, 2L, 1), (5L, 6L, 0)))
+    // cap: a block larger than maxBlock produces NO pairs (dropped whole)
+    val big = (0 until 8).map(i => (10L + i, "hot common name")) ++
+      Seq((30L, "cold one"), (31L, "cold one"))
+    val capped = graft.operators.Dedup.fuzzyDups(
+        big.toDF("id", "name"), "id", "name", maxDist = 2, maxBlock = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(capped == Seq((30L, 31L)))
+  }
 }

@@ -87,7 +87,8 @@ object Bench {
     "q177_tile_pyramid",        // map-only tile fan-out + MVT affine, codegen'd
     "q179_heavy_hitters",       // Misra-Gries partial/final, capacity-bounded shuffle
     "q180_scd2_merge",          // SCD2 upsert: one key-join + history union
-    "q181_fuzzy_dedup")         // blocked levenshtein pairs, capped blocks
+    "q181_fuzzy_dedup",         // blocked levenshtein pairs, capped blocks
+    "q182_hilbert")             // codegen'd Hilbert walk, map-only + sort
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -109,7 +110,8 @@ object Bench {
     "q160_hashed_embedding", "q164_event_funnel", "q165_asof_forward",
     "q166_grid_dissolve", "q168_split_exact", "q169_sketch_overlap",
     "q170_lsh_index_dedup", "q171_retention_cohorts", "q174_bm25_index",
-    "q177_tile_pyramid", "q179_heavy_hitters", "q180_scd2_merge")
+    "q177_tile_pyramid", "q179_heavy_hitters", "q180_scd2_merge",
+    "q182_hilbert")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

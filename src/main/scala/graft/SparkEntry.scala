@@ -2565,6 +2565,20 @@ object SparkEntry {
           round(expr("ST_Y(mvt_geom)"), 6).as("my"))
         .orderBy("id", "z")
     }),
+    // Hilbert index (the z-order companion with no seam jumps): the
+    // xy2d walk is a codegen'd integer kernel; the oracle replays every
+    // bit level as an unrolled MATERIALIZED CTE — bit-exact BIGINTs
+    "q182_hilbert" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      spark.sql("""
+          SELECT l_orderkey, l_linenumber,
+                 CAST(l_orderkey % 256 AS BIGINT) AS x,
+                 CAST((l_orderkey DIV 16 + l_linenumber * 37) % 256 AS BIGINT) AS y
+          FROM lineitem""")
+        .withColumn("h", graft.operators.ZOrder.hilbert(col("x"), col("y"), bits = 8))
+        .orderBy("l_orderkey", "l_linenumber", "y")
+    }),
     // fuzzy (edit-distance) duplicate pairs under first-token blocking:
     // record linkage for the typo class shingle-Jaccard misses; the
     // oracle replays blocking, the count cap, and Levenshtein itself
@@ -3585,6 +3599,40 @@ object SparkEntry {
       FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""
 
   private val PR_ITERS = 6
+
+  /** q182's oracle: the Hilbert xy2d walk unrolled one CTE per bit
+    * level (high bit first), replaying the kernel's exact integer
+    * arithmetic — reflect within the full 2^bits grid when ry = 0
+    * (negating when rx = 1), then transpose. Pure integer ops, so the
+    * replay is bit-exact with no rounding law needed. */
+  private val HILBERT_ORACLE: String = {
+    val bits = 8
+    val n = 1 << bits
+    val levels = (0 until bits).map { i =>
+      val s = 1 << (bits - 1 - i)
+      s"""l${i + 1} AS MATERIALIZED (
+        SELECT l_orderkey, l_linenumber, x0, y0,
+               d + ${s.toLong * s} * xor(3 * rx, ry) AS d,
+               CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - y ELSE y END)
+                    ELSE x END AS x,
+               CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - x ELSE x END)
+                    ELSE y END AS y
+        FROM (SELECT *, CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+                        CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+              FROM l$i))"""
+    }.mkString(",\n")
+    s"""
+      WITH l0 AS (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % $n AS BIGINT) AS x0,
+                         CAST((l_orderkey // 16 + l_linenumber * 37) % $n AS BIGINT) AS y0,
+                         CAST(l_orderkey % $n AS BIGINT) AS x,
+                         CAST((l_orderkey // 16 + l_linenumber * 37) % $n AS BIGINT) AS y,
+                         CAST(0 AS BIGINT) AS d
+                  FROM lineitem),
+      $levels
+      SELECT l_orderkey, l_linenumber, x0 AS x, y0 AS y, d AS h
+      FROM l$bits ORDER BY l_orderkey, l_linenumber, y0"""
+  }
 
   /** q176's oracle: every PageRank iteration unrolled as a MATERIALIZED
     * CTE replaying the engine's exact rz6 arithmetic (the GD-replay
@@ -5622,6 +5670,7 @@ object SparkEntry {
              round(xm * (4096.0 / tw) + (-(txmin) * (4096.0 / tw)), 6) AS mx,
              round(ym * (-4096.0 / th) + (-(tymax) * (-4096.0 / th)), 6) AS my
       FROM w ORDER BY id, z""",
+    "q182_hilbert" -> HILBERT_ORACLE,
     // blocking + cap + levenshtein, replayed exactly (ASCII inputs, so
     // code-point vs character counting cannot diverge)
     "q181_fuzzy_dedup" -> """
@@ -5972,7 +6021,9 @@ object SparkEntry {
     // 10x the dimension through the same row-fate partition
     "q180_scd2_merge",
     // 10x the rows per block: 1.8k pairs through the same cap + refine
-    "q181_fuzzy_dedup")
+    "q181_fuzzy_dedup",
+    // bit-exact walk on 10x the keys
+    "q182_hilbert")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

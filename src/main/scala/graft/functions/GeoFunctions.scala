@@ -371,6 +371,7 @@ object GeoFunctions {
     // bounded counter summaries ride the shuffle instead of one row
     // per distinct (group, item)
     "mg_topk" -> { es => arity("mg_topk", es, 2); MgTopK(es.head, es(1)) },
+    "hilbert_d" -> { es => arity("hilbert_d", es, 3); HilbertIndex(es.head, es(1), es(2)) },
     // Aggregator-backed UDAF, expressed through the ScalaAggregator shim
     // so it rides the same registry/extension path as every other
     // function (a spark.udf.register call would be invisible to
@@ -634,6 +635,8 @@ object GeoFunctions {
   def st_union_agg(g: Column): Column = c(StUnionAgg(x(g)).toAggregateExpression())
   def mg_topk(item: Column, capacity: Column): Column =
     c(MgTopK(x(item), x(capacity)).toAggregateExpression())
+  def hilbert_d(xc: Column, yc: Column, bits: Column): Column =
+    c(HilbertIndex(x(xc), x(yc), x(bits)))
   def simhash64(t: Column): Column = c(TextSimhash(x(t)))
   def minhash_sig(t: Column, n: Column): Column = c(TextMinhash(x(t), x(n)))
   def lang_id(t: Column): Column = c(TextLangId(x(t)))

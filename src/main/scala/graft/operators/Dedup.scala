@@ -779,4 +779,33 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .select(col("ida"), col("idb"), col("dist"))
   }
+
+  /** [[fuzzyDups]] with Jaro–Winkler as the refine metric — the
+    * classic record-linkage scorer for names/titles, where Levenshtein
+    * over-penalizes length differences and under-weights shared
+    * prefixes. Same blocking + `maxBlock` cap scale recipe; the refine
+    * is the codegen'd byte-level `jaro_winkler` expression
+    * (DuckDB-bit-exact, so the similarity column ships as a raw
+    * double — no rounding law needed). Pairs scoring ≥ `minSim`
+    * survive. */
+  def jwDups(df: DataFrame, idCol: String, textCol: String,
+      minSim: Double, blockTokens: Int = 1, maxBlock: Int = 10000): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0 && blockTokens > 0 && maxBlock > 1,
+      s"need 0 <= minSim <= 1, blockTokens > 0, maxBlock > 1 (got $minSim/$blockTokens/$maxBlock)")
+    val keyed = df.select(col(idCol), col(textCol),
+      lower(concat_ws(" ",
+        slice(split(col(textCol), " "), 1, blockTokens))).as("__blk"))
+    val fit = keyed.join(
+      keyed.groupBy("__blk").agg(count(lit(1)).as("__bsz"))
+        .where(col("__bsz") <= maxBlock).select("__blk"),
+      Seq("__blk"))
+    val a = fit.select(col("__blk"), col(idCol).as("ida"), col(textCol).as("__ta"))
+    val b = fit.select(col("__blk"), col(idCol).as("idb"), col(textCol).as("__tb"))
+    a.join(b, Seq("__blk"))
+      .where(col("ida") < col("idb"))
+      .withColumn("sim",
+        graft.functions.GeoFunctions.jaro_winkler(col("__ta"), col("__tb")))
+      .where(col("sim") >= minSim)
+      .select(col("ida"), col("idb"), col("sim"))
+  }
 }

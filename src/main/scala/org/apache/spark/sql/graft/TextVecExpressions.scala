@@ -49,6 +49,39 @@ case class TextMinhash(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** jaro_sim(a, b) → Jaro similarity over UTF-8 bytes (DuckDB-exact;
+  * semantics pinned in [[graft.functions.TextKernels.jaroBytes]]). */
+case class JaroSim(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaroBytes(
+      a.asInstanceOf[UTF8String].getBytes, b.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"${TextVecExpr.TK}.jaroBytes($a.getBytes(), $b.getBytes())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** jaro_winkler(a, b) → Jaro–Winkler similarity over UTF-8 bytes
+  * (DuckDB-exact: boost only above 0.7, 4-byte prefix cap, scale 0.1;
+  * see [[graft.functions.TextKernels.jaroWinklerBytes]]). */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaroWinklerBytes(
+      a.asInstanceOf[UTF8String].getBytes, b.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"${TextVecExpr.TK}.jaroWinklerBytes($a.getBytes(), $b.getBytes())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** lang_id(text) → heuristic language code (en/de/fr/es/zh/und). */
 case class TextLangId(child: Expression)
     extends UnaryExpression with GeoExpression with ImplicitCastInputTypes {

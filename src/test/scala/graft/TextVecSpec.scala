@@ -1272,4 +1272,50 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(capped == Seq((30L, 31L)))
   }
+
+  test("jaro_winkler: DuckDB-pinned fixtures, bit-exact doubles") {
+    import graft.functions.TextKernels.{jaroBytes, jaroWinklerBytes}
+    def jb(a: String, b: String) = jaroBytes(
+      a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    def jw(a: String, b: String) = jaroWinklerBytes(
+      a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    // every value below is a DuckDB jaro[_winkler]_similarity probe
+    // (2026-08-14), compared with == on the raw double
+    assert(jb("martha", "marhta") == 0.9444444444444445)
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jb("", "") == 0.0 && jw("", "a") == 0.0)      // empty -> 0, not 1
+    assert(jb("ab", "ba") == 0.0)                        // window max/2-1, unclamped match
+    assert(jb("a", "a") == 1.0)                          // ...but >= 0
+    assert(jb("abcd", "badc") == 0.8333333333333334)     // t = 4 mismatches / 2
+    assert(jb("abcxyz", "bcaxyz") == 0.9444444444444445) // t = 3/2 = 1, INTEGER halving
+    assert(jw("abcdefgh", "abcdxxxx") == 0.6666666666666666) // no boost at jaro <= 0.7
+    assert(jw("x", "xxxxxxxxxx") == 0.7300000000000001)  // boost just above 0.7
+    assert(jw("aaaaaab", "aaaaaac") == 0.9428571428571428) // prefix capped at 4
+    assert(jb("héllo", "hello") == 0.8222222222222223)   // BYTES, not code points
+    assert(jw("日本語", "日本誤") == 0.9555555555555556)
+    // surface: SQL registry + Column API agree with the kernel
+    val sp = spark
+    import sp.implicits._
+    val r = Seq(("martha", "marhta")).toDF("a", "b")
+      .selectExpr("jaro_sim(a, b)", "jaro_winkler(a, b)").head()
+    assert(r.getDouble(0) == 0.9444444444444445 && r.getDouble(1) == 0.9611111111111111)
+  }
+
+  test("jwDups: blocking + cap + prefix-boosted refine") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "acme corp ltd"),
+      (2L, "acme corp ltd."),    // near-identical, same block
+      (3L, "acme industries"),   // same block, low sim
+      (4L, "beta labs"),
+      (5L, "beta labs")          // exact dup -> sim 1.0
+    ).toDF("id", "name")
+    val out = graft.operators.Dedup.jwDups(df, "id", "name", minSim = 0.9)
+      .orderBy("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L), (4L, 5L)))
+    assert(out(1)._3 == 1.0 && out(0)._3 > 0.9 && out(0)._3 < 1.0)
+  }
 }

@@ -89,7 +89,9 @@ object Bench {
     "q180_scd2_merge",          // SCD2 upsert: one key-join + history union
     "q181_fuzzy_dedup",         // blocked levenshtein pairs, capped blocks
     "q182_hilbert",             // codegen'd Hilbert walk, map-only + sort
-    "q183_jw_linkage")          // blocked jaro-winkler refine, bit-exact kernel
+    "q183_jw_linkage",          // blocked jaro-winkler refine, bit-exact kernel
+    "q184_rrf_fusion",          // hybrid BM25+cosine RRF, top-k-sized fusion joins
+    "q185_sim_suite")           // blocked DL/jaccard/hamming, codegen'd byte kernels
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -112,7 +114,7 @@ object Bench {
     "q166_grid_dissolve", "q168_split_exact", "q169_sketch_overlap",
     "q170_lsh_index_dedup", "q171_retention_cohorts", "q174_bm25_index",
     "q177_tile_pyramid", "q179_heavy_hitters", "q180_scd2_merge",
-    "q182_hilbert")
+    "q182_hilbert", "q184_rrf_fusion")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",
@@ -125,7 +127,8 @@ object Bench {
     "q159_knn_graph" -> "exactness fixture pins nProbe = nlist, so the bucket join degenerates to all-pairs by construction; the scale path is ScaleSmoke's 100k x nlist=256 partial-probe graph",
     "q162_cosine_edges" -> "same full-probing exactness fixture as q159 (all-pairs by construction)",
     "q181_fuzzy_dedup" -> "in-block pair count is quadratic in block occupancy (8 first-token blocks in the part fixture), so x10 input is x100 candidate pairs by construction; production keys add tokens/length buckets to hold occupancy flat",
-    "q183_jw_linkage" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction")
+    "q183_jw_linkage" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction",
+    "q185_sim_suite" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction")
 
   private def loadavg1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble

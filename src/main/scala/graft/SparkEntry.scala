@@ -2579,6 +2579,42 @@ object SparkEntry {
         .withColumn("h", graft.operators.ZOrder.hilbert(col("x"), col("y"), bits = 8))
         .orderBy("l_orderkey", "l_linenumber", "y")
     }),
+    // String-similarity suite on blocked pairs, pure SQL surface: TRUE
+    // Damerau-Levenshtein (da[]-table DP, not OSA — 'ca'->'abc' = 2),
+    // byte-set Jaccard, byte Hamming on a fixed-width prefix — all
+    // byte-level and integer/bit-exact vs DuckDB's builtins
+    "q185_sim_suite" -> q("""
+      WITH t AS (SELECT p_partkey AS id, p_name AS name,
+                        lower(split(p_name, ' ')[0]) AS blk
+                 FROM part WHERE p_partkey % 50 = 0)
+      SELECT a.id AS ida, b.id AS idb,
+             damerau_levenshtein(a.name, b.name) AS dl,
+             jaccard_ch(a.name, b.name) AS jac,
+             hamming_str(substring(a.name, 1, 6), substring(b.name, 1, 6)) AS ham
+      FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+      WHERE length(a.name) >= 6 AND length(b.name) >= 6
+      ORDER BY ida, idb"""),
+    // Reciprocal-rank fusion of lexical (BM25 top-20) and semantic
+    // (brute cosine top-20) retrieval — the hybrid RAG stack. The fused
+    // score is a fixed-order sum of 1/(60+rank) terms from integer
+    // ranks, so the doubles are bit-exact vs the oracle's replay;
+    // 'nosuchtoken' (qid 3) exercises the one-list outer-join path
+    "q184_rrf_fusion" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val queries = spark.createDataFrame(Seq(
+        (0L, "hash join"), (1L, "slow scan filter"),
+        (2L, "vector window spark"), (3L, "nosuchtoken"))).toDF("qid", "qtext")
+      val text = graft.operators.TextAnalysis.bm25TopK(spark.table("documents"),
+          "doc_id", "text", queries, "qid", "qtext", k = 20)
+        .select(col("qid"), col("doc_id").as("id"), col("rnk"))
+      val vecs = spark.table("embeddings")
+      val vec = graft.operators.Ann.bruteForceTopK(
+          vecs.where(col("vec_id") < 4), vecs, k = 20)
+        .select(col("qid"), col("nid").as("id"), col("rnk"))
+      graft.operators.Retrieval.rrfFuse(Seq(text, vec), "qid", "id", "rnk", k = 10)
+        .orderBy("qid", "rnk")
+    }),
     // Jaro–Winkler record linkage under the same first-token blocking:
     // the prefix-boosted scorer for names/titles. The byte-level kernel
     // is bit-identical to DuckDB's jaro_winkler_similarity (fuzz-checked
@@ -3609,6 +3645,64 @@ object SparkEntry {
                  FROM s)
       SELECT CAST(qid AS BIGINT) AS qid, doc_id, rnk, n_terms, score
       FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""
+
+  /** q184's oracle: the BM25 chain (same CTEs as [[BM25_ORACLE]], rank
+    * cut at 20), the q24-style brute-cosine chain, then RRF fusion as a
+    * FULL OUTER JOIN with CAST(1 AS DOUBLE)/(60+rnk) terms — the 1.0
+    * literal must be cast because DuckDB parses bare decimals as
+    * DECIMAL and decimal division would diverge from the engine's
+    * double arithmetic. */
+  private val RRF_ORACLE = """
+      WITH q(qid, qtext) AS (VALUES (0, 'hash join'), (1, 'slow scan filter'),
+                                    (2, 'vector window spark'), (3, 'nosuchtoken')),
+           t AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                 FROM documents),
+           p AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                 FROM t WHERE tok <> '' GROUP BY doc_id, tok),
+           dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
+           nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+           ad AS (SELECT round(CAST(sum(tf) AS DOUBLE) / any_value(n), 6) AS avgdl
+                  FROM p CROSS JOIN nn),
+           qt AS (SELECT DISTINCT qid, tok FROM (
+                    SELECT qid, unnest(string_split(qtext, ' ')) AS tok FROM q)
+                  WHERE tok <> ''),
+           dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS dfq FROM p GROUP BY tok),
+           qi AS (SELECT qid, qt.tok,
+                         round(ln(1 + (n - dfq + 0.5) / (dfq + 0.5)), 6) AS idf
+                  FROM qt JOIN dfq ON qt.tok = dfq.tok CROSS JOIN nn),
+           c AS (SELECT qid, p.doc_id,
+                        round(idf * round(tf * 2.2 / (tf + 1.2 * (0.25 +
+                          0.75 * round(dl / avgdl, 6))), 6), 6) AS c
+                 FROM p JOIN qi ON p.tok = qi.tok
+                 JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN ad),
+           s AS (SELECT qid, doc_id, round(sum(c), 6) AS score
+                 FROM c GROUP BY qid, doc_id),
+           tr AS (SELECT qid, id, rnk FROM (
+                    SELECT CAST(qid AS BIGINT) AS qid, doc_id AS id,
+                           CAST(row_number() OVER (
+                             PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+                    FROM s) WHERE rnk <= 20),
+           qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id < 4),
+           vs AS (SELECT qid, e.vec_id AS id,
+                         list_cosine_similarity(v, e.embedding::DOUBLE[]) AS cos
+                  FROM qv CROSS JOIN embeddings e WHERE e.vec_id <> qid),
+           vr AS (SELECT qid, id, rnk FROM (
+                    SELECT qid, id, CAST(row_number() OVER (
+                      PARTITION BY qid ORDER BY cos DESC, id ASC) AS INT) AS rnk
+                    FROM vs) WHERE rnk <= 20),
+           f AS (SELECT coalesce(tr.qid, vr.qid) AS qid,
+                        coalesce(tr.id, vr.id) AS id,
+                        CAST(CASE WHEN tr.rnk IS NULL THEN 0 ELSE 1 END +
+                             CASE WHEN vr.rnk IS NULL THEN 0 ELSE 1 END AS INT) AS n_lists,
+                        coalesce(CAST(1 AS DOUBLE) / (60 + tr.rnk), 0) +
+                        coalesce(CAST(1 AS DOUBLE) / (60 + vr.rnk), 0) AS rrf
+                 FROM tr FULL OUTER JOIN vr ON tr.qid = vr.qid AND tr.id = vr.id)
+      SELECT qid, id, n_lists, rrf, rnk FROM (
+        SELECT qid, id, n_lists, rrf,
+               CAST(row_number() OVER (
+                 PARTITION BY qid ORDER BY rrf DESC, id ASC) AS INT) AS rnk
+        FROM f) WHERE rnk <= 10 ORDER BY qid, rnk"""
 
   private val PR_ITERS = 6
 
@@ -5683,6 +5777,19 @@ object SparkEntry {
              round(ym * (-4096.0 / th) + (-(tymax) * (-4096.0 / th)), 6) AS my
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
+    "q184_rrf_fusion" -> RRF_ORACLE,
+    // DuckDB's own damerau_levenshtein/jaccard/hamming replay the suite
+    "q185_sim_suite" -> """
+      WITH t AS (SELECT p_partkey AS id, p_name AS name,
+                        lower(string_split(p_name, ' ')[1]) AS blk
+                 FROM part WHERE p_partkey % 50 = 0)
+      SELECT a.id AS ida, b.id AS idb,
+             CAST(damerau_levenshtein(a.name, b.name) AS INT) AS dl,
+             jaccard(a.name, b.name) AS jac,
+             CAST(hamming(substr(a.name, 1, 6), substr(b.name, 1, 6)) AS INT) AS ham
+      FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+      WHERE length(a.name) >= 6 AND length(b.name) >= 6
+      ORDER BY ida, idb""",
     // same blocking/cap replay as q181, refined by DuckDB's own
     // jaro_winkler_similarity (bit-identical to the engine kernel)
     "q183_jw_linkage" -> """
@@ -6050,7 +6157,11 @@ object SparkEntry {
     // bit-exact walk on 10x the keys
     "q182_hilbert",
     // bit-exact JW doubles on 10x the rows per block
-    "q183_jw_linkage")
+    "q183_jw_linkage",
+    // both retriever branches and the fixed-order fused sum at 10x
+    "q184_rrf_fusion",
+    // three byte-exact metrics on 10x the rows per block
+    "q185_sim_suite")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -343,6 +343,10 @@ object GeoFunctions {
     "simhash64" -> { es => arity("simhash64", es, 1); TextSimhash(es.head) },
     "jaro_sim" -> { es => arity("jaro_sim", es, 2); JaroSim(es.head, es(1)) },
     "jaro_winkler" -> { es => arity("jaro_winkler", es, 2); JaroWinklerSim(es.head, es(1)) },
+    "damerau_levenshtein" -> { es =>
+      arity("damerau_levenshtein", es, 2); DamerauLevenshtein(es.head, es(1)) },
+    "jaccard_ch" -> { es => arity("jaccard_ch", es, 2); JaccardCh(es.head, es(1)) },
+    "hamming_str" -> { es => arity("hamming_str", es, 2); HammingStr(es.head, es(1)) },
     "minhash_sig" -> { es => arity("minhash_sig", es, 2); TextMinhash(es.head, es(1)) },
     "lang_id" -> { es => arity("lang_id", es, 1); TextLangId(es.head) },
     "text_fingerprint" -> { es => arity("text_fingerprint", es, 1); TextFingerprint(es.head) },
@@ -642,6 +646,9 @@ object GeoFunctions {
   def simhash64(t: Column): Column = c(TextSimhash(x(t)))
   def jaro_sim(a: Column, b: Column): Column = c(JaroSim(x(a), x(b)))
   def jaro_winkler(a: Column, b: Column): Column = c(JaroWinklerSim(x(a), x(b)))
+  def damerau_levenshtein(a: Column, b: Column): Column = c(DamerauLevenshtein(x(a), x(b)))
+  def jaccard_ch(a: Column, b: Column): Column = c(JaccardCh(x(a), x(b)))
+  def hamming_str(a: Column, b: Column): Column = c(HammingStr(x(a), x(b)))
   def minhash_sig(t: Column, n: Column): Column = c(TextMinhash(x(t), x(n)))
   def lang_id(t: Column): Column = c(TextLangId(x(t)))
   def text_fingerprint(t: Column): Column = c(TextFingerprint(x(t)))

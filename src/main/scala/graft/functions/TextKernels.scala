@@ -288,6 +288,81 @@ object TextKernels {
     (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
   }
 
+  /** TRUE Damerau–Levenshtein over UTF-8 bytes — unrestricted edits,
+    * not the OSA restriction: DuckDB's probe 'ca' → 'abc' = 2 (delete
+    * then transpose through the edit), a value OSA (= 3) cannot
+    * produce, so this is the classic da[]-table DP (Wikipedia's
+    * "distance with adjacent transpositions", alphabet = 256 byte
+    * values). Byte-level like [[jaroBytes]] ('héllo' vs 'hello' = 2).
+    * O(la·lb) time and space; intended for short keys (names, titles)
+    * on blocked candidate pairs, not document bodies. */
+  def damerauLevenshteinBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val la = a.length; val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = la + lb
+    val da = new Array[Int](256)
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= la) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val k = da(b(j - 1) & 0xff)
+        val l = db
+        var cost = 1
+        if (a(i - 1) == b(j - 1)) { cost = 0; db = j }
+        val best = math.min(
+          math.min(d(i)(j) + cost,                       // substitute/match
+            d(i + 1)(j) + 1),                            // insert
+          math.min(d(i)(j + 1) + 1,                      // delete
+            d(k)(l) + (i - k - 1) + 1 + (j - l - 1)))    // transpose span
+        d(i + 1)(j + 1) = best
+        j += 1
+      }
+      da(a(i - 1) & 0xff) = i
+      i += 1
+    }
+    d(la + 1)(lb + 1)
+  }
+
+  /** Byte-SET Jaccard similarity — |bytes(a) ∩ bytes(b)| / |∪|, sets
+    * not multisets (DuckDB probe: 'aab' vs 'ab' = 1.0), byte-level
+    * ('héllo' vs 'hello' = 0.5). DuckDB's `jaccard` rejects empty
+    * inputs ("argument too short"); mirrored here so the contract is
+    * identical. */
+  def jaccardBytes(a: Array[Byte], b: Array[Byte]): Double = {
+    require(a.length > 0 && b.length > 0, "jaccard_ch: empty input")
+    val sa = new Array[Boolean](256); val sb = new Array[Boolean](256)
+    var i = 0
+    while (i < a.length) { sa(a(i) & 0xff) = true; i += 1 }
+    i = 0
+    while (i < b.length) { sb(b(i) & 0xff) = true; i += 1 }
+    var inter = 0; var union = 0
+    i = 0
+    while (i < 256) {
+      if (sa(i) && sb(i)) inter += 1
+      if (sa(i) || sb(i)) union += 1
+      i += 1
+    }
+    inter.toDouble / union.toDouble
+  }
+
+  /** Byte Hamming distance; throws on unequal lengths exactly like
+    * DuckDB's `hamming` ("Strings must be of equal length"). */
+  def hammingBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    require(a.length == b.length,
+      s"hamming_str: strings must be of equal length (${a.length} vs ${b.length})")
+    var n = 0; var i = 0
+    while (i < a.length) { if (a(i) != b(i)) n += 1; i += 1 }
+    n
+  }
+
   /** Jaro–Winkler over UTF-8 bytes, matching DuckDB's
     * `jaro_winkler_similarity` exactly: prefix boost applied only when
     * jaro > 0.7 (probed: jaro 0.6667 with a 4-byte common prefix stays

@@ -82,6 +82,56 @@ case class JaroWinklerSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** damerau_levenshtein(a, b) → unrestricted Damerau–Levenshtein edit
+  * distance over UTF-8 bytes (DuckDB-exact; see
+  * [[graft.functions.TextKernels.damerauLevenshteinBytes]]). */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "damerau_levenshtein"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.damerauLevenshteinBytes(
+      a.asInstanceOf[UTF8String].getBytes, b.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"${TextVecExpr.TK}.damerauLevenshteinBytes($a.getBytes(), $b.getBytes())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** jaccard_ch(a, b) → byte-set Jaccard similarity (DuckDB `jaccard`
+  * semantics: sets not multisets, byte-level, empty input rejected). */
+case class JaccardCh(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_ch"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaccardBytes(
+      a.asInstanceOf[UTF8String].getBytes, b.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"${TextVecExpr.TK}.jaccardBytes($a.getBytes(), $b.getBytes())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** hamming_str(a, b) → byte Hamming distance; throws on unequal
+  * lengths exactly like DuckDB's `hamming`. (The 64-bit fingerprint
+  * popcount is the separate `hamming64`.) */
+case class HammingStr(left: Expression, right: Expression)
+    extends BinaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming_str"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.hammingBytes(
+      a.asInstanceOf[UTF8String].getBytes, b.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"${TextVecExpr.TK}.hammingBytes($a.getBytes(), $b.getBytes())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** lang_id(text) → heuristic language code (en/de/fr/es/zh/und). */
 case class TextLangId(child: Expression)
     extends UnaryExpression with GeoExpression with ImplicitCastInputTypes {

@@ -60,6 +60,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // brute-force ANN: hinted-broadcast query set x corpus is the
     // documented exact baseline (the scale path is LSH/IVF)
     "q24_cosine_topk", "q31_ann_lsh_recall", "q35_ann_ivf",
+    // RRF fusion's semantic branch is the brute-force exact baseline
+    // (4-row hinted-broadcast query set x corpus); fusion itself is
+    // hash full-outer joins over top-k lists
+    "q184_rrf_fusion",
     // all-pairs cosine on a vec_id < 200 slice — the exact cross-check
     // for the LSH near-dup path; non-equi (<) join has no hash form
     "q29_embed_neardup",

@@ -1302,6 +1302,32 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(0) == 0.9444444444444445 && r.getDouble(1) == 0.9611111111111111)
   }
 
+  test("damerau/jaccard/hamming: DuckDB-pinned fixtures") {
+    import graft.functions.TextKernels.{damerauLevenshteinBytes => dl,
+      jaccardBytes => jac, hammingBytes => ham}
+    def b(s: String) = s.getBytes("UTF-8")
+    // unrestricted DL, not OSA: 'ca' -> 'abc' is 2 (OSA would say 3)
+    assert(dl(b("ca"), b("abc")) == 2)
+    assert(dl(b("abc"), b("acb")) == 1)      // adjacent transposition
+    assert(dl(b("héllo"), b("hello")) == 2)  // bytes, not code points
+    assert(dl(b(""), b("abc")) == 3 && dl(b("abc"), b("")) == 3)
+    assert(dl(b("kitten"), b("sitting")) == 3)
+    // byte-SET jaccard: multiset collapse, byte-level
+    assert(jac(b("abc"), b("bcd")) == 0.5)
+    assert(jac(b("aab"), b("ab")) == 1.0)
+    assert(jac(b("héllo"), b("hello")) == 0.5)
+    intercept[IllegalArgumentException] { jac(b(""), b("ab")) }
+    // hamming: equal-length only, like DuckDB
+    assert(ham(b("abc"), b("abd")) == 1)
+    intercept[IllegalArgumentException] { ham(b("ab"), b("abc")) }
+    // SQL surface
+    val sp = spark
+    import sp.implicits._
+    val r = Seq(("ca", "abc")).toDF("a", "b")
+      .selectExpr("damerau_levenshtein(a, b)", "jaccard_ch(a, b)").head()
+    assert(r.getInt(0) == 2 && r.getDouble(1) == 2.0 / 3.0)
+  }
+
   test("jwDups: blocking + cap + prefix-boosted refine") {
     val sp = spark
     import sp.implicits._

@@ -2615,6 +2615,20 @@ object SparkEntry {
       graft.operators.Retrieval.rrfFuse(Seq(text, vec), "qid", "id", "rnk", k = 10)
         .orderBy("qid", "rnk")
     }),
+    // rolling distinct actives (DAU/WAU/MAU) over the real events on
+    // the shared epoch-micros day law: distinct (day, user) grid, one
+    // map-only x28 fan-out, single multi-window count-distinct hash
+    // agg, dense day spine — nothing after the first distinct touches
+    // event-scale data
+    "q186_rolling_actives" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.expr
+      prep(spark, dir)
+      val ev = spark.table("events")
+        .withColumn("day", expr(s"$TS_US div 86400000000"))
+      graft.operators.Sessionize.rollingActives(ev, "day", "user_id",
+          Seq(1, 7, 28))
+        .orderBy("day")
+    }),
     // Jaro–Winkler record linkage under the same first-token blocking:
     // the prefix-boosted scorer for names/titles. The byte-level kernel
     // is bit-identical to DuckDB's jaro_winkler_similarity (fuzz-checked
@@ -5778,6 +5792,22 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // same fan-out replay: each (day,user) grid row contributes to its
+    // trailing-window target days; CASE inside count(DISTINCT ...)
+    // mirrors the engine's when()-guarded countDistinct (nulls ignored)
+    "q186_rolling_actives" -> """
+      WITH dk AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d0,
+                         user_id AS k
+                  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+           b AS (SELECT min(d0) AS lo, max(d0) AS hi FROM dk),
+           s AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+           f AS (SELECT d0, k, unnest(range(d0, d0 + 28)) AS day FROM dk)
+      SELECT CAST(s.day AS BIGINT) AS day,
+             CAST(count(DISTINCT CASE WHEN f.day - f.d0 < 1 THEN f.k END) AS BIGINT) AS actives_1,
+             CAST(count(DISTINCT CASE WHEN f.day - f.d0 < 7 THEN f.k END) AS BIGINT) AS actives_7,
+             CAST(count(DISTINCT CASE WHEN f.day - f.d0 < 28 THEN f.k END) AS BIGINT) AS actives_28
+      FROM s LEFT JOIN f ON s.day = f.day
+      GROUP BY s.day ORDER BY day""",
     // DuckDB's own damerau_levenshtein/jaccard/hamming replay the suite
     "q185_sim_suite" -> """
       WITH t AS (SELECT p_partkey AS id, p_name AS name,
@@ -6161,7 +6191,9 @@ object SparkEntry {
     // both retriever branches and the fixed-order fused sum at 10x
     "q184_rrf_fusion",
     // three byte-exact metrics on 10x the rows per block
-    "q185_sim_suite")
+    "q185_sim_suite",
+    // same dense-spine fan-out law over 10x the (day,user) grid
+    "q186_rolling_actives")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -175,4 +175,64 @@ object Sessionize {
         (coalesce(col("steps_completed"), lit(0)) === steps.length &&
           col("t_end") - col("t_start") <= windowMax).as("completed"))
   }
+
+  /** Rolling distinct actives — the DAU/WAU/MAU report: for every day
+    * in the data's span, how many distinct keys were active in the
+    * trailing `w`-day window ending that day (inclusive), for each `w`
+    * in `windows`. `dayCol` must be an integral day number (callers
+    * derive it from the shared epoch-micros law, `tsu div 86_400_000_000`);
+    * keeping the operator unit-free means the same code rolls weekly
+    * actives over week numbers or hourly actives over hour buckets.
+    *
+    * Output: one row per day in `[min(day), max(day)]` (the DENSE
+    * spine — a report that silently skips zero-activity days misreads
+    * as a shorter span), with `actives_<w>` BIGINT columns, 0 where no
+    * key was active in the window.
+    *
+    * Scale design (100 TB): raw events first collapse to DISTINCT
+    * (day, key) — a map-side partial distinct then one shuffle, the
+    * only pass over full data; the grid is bounded by |keys|·|days|,
+    * not event volume. Each grid row then fans out map-only to the
+    * `max(windows)` target days it contributes to, and one hash
+    * aggregation by target day computes every window's count-distinct
+    * in a single pass (`gap < w` predicates over the shared fan-out —
+    * NOT one fan-out per window). The day spine explodes from the
+    * 1-row bounds aggregate and broadcast-joins the per-day counts:
+    * nothing after the first distinct touches event-scale data. A
+    * count-distinct per window adds one expand branch each; windows
+    * lists are 2-4 entries in practice, so the expand factor stays
+    * small next to the ×maxW fan-out. */
+  def rollingActives(df: DataFrame, dayCol: String, keyCol: String,
+      windows: Seq[Int]): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 1),
+      s"windows must be non-empty positive day counts (got $windows)")
+    require(windows.distinct.size == windows.size,
+      s"duplicate window lengths: $windows")
+    val dayType = df.schema(dayCol).dataType
+    val dayIntegral = dayType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(dayIntegral, s"$dayCol must be an integral type (got $dayType)")
+    val maxW = windows.max
+    val dk = df.where(col(dayCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(dayCol).cast("long").as("__d0"), col(keyCol).as("__k"))
+      .distinct()
+    val fan = dk.select(col("__d0"), col("__k"),
+      explode(sequence(col("__d0"), col("__d0") + lit(maxW - 1).cast("long")))
+        .as("day"))
+    val aggs = windows.map(w =>
+      countDistinct(when(col("day") - col("__d0") < w, col("__k")))
+        .as(s"actives_$w"))
+    val counted = fan.groupBy("day").agg(aggs.head, aggs.tail: _*)
+    val spine = dk.agg(min("__d0").as("__lo"), max("__d0").as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    // fan-out days past __hi fall off here: the spine stops at __hi
+    spine.join(broadcast(counted), Seq("day"), "left")
+      .select(col("day") +: windows.map(w =>
+        coalesce(col(s"actives_$w"), lit(0L)).as(s"actives_$w")): _*)
+  }
 }

@@ -368,4 +368,39 @@ class TemporalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(k) == exp, s"key $k: got ${got(k)}, brute $exp")
     }
   }
+
+  test("rollingActives matches brute-force trailing-window distinct; dense spine") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // sparse days (gaps!) so the dense spine has zero-activity days
+    val rows = (0 until 400).map { _ =>
+      (10L + rnd.nextInt(40) * 2, rnd.nextInt(25).toLong) // even days only
+    }
+    val df = rows.toDF("day", "k")
+    val got = Sessionize.rollingActives(df, "day", "k", Seq(1, 7))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val grid = rows.distinct
+    val lo = grid.map(_._1).min
+    val hi = grid.map(_._1).max
+    assert(got.keySet == (lo to hi).toSet, "spine must be dense over the span")
+    (lo to hi).foreach { d =>
+      val a1 = grid.collect { case (gd, k) if gd == d => k }.distinct.size
+      val a7 = grid.collect { case (gd, k) if gd > d - 7 && gd <= d => k }
+        .distinct.size
+      assert(got(d) == ((a1.toLong, a7.toLong)), s"day $d: got ${got(d)}, brute ($a1,$a7)")
+    }
+    // odd days in the span exist with actives_1 == 0 (came only from spine)
+    assert((lo to hi).exists(d => d % 2 == 1 && got(d)._1 == 0L))
+    // contract guards
+    intercept[IllegalArgumentException] {
+      Sessionize.rollingActives(df, "day", "k", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sessionize.rollingActives(df, "day", "k", Seq(7, 7))
+    }
+    intercept[IllegalArgumentException] {
+      Sessionize.rollingActives(df.withColumn("day", col("day").cast("double")),
+        "day", "k", Seq(7))
+    }
+  }
 }

@@ -92,7 +92,8 @@ object Bench {
     "q183_jw_linkage",          // blocked jaro-winkler refine, bit-exact kernel
     "q184_rrf_fusion",          // hybrid BM25+cosine RRF, top-k-sized fusion joins
     "q185_sim_suite",           // blocked DL/jaccard/hamming, codegen'd byte kernels
-    "q186_rolling_actives")     // DAU/WAU/MAU: distinct grid + x28 fan-out + one agg
+    "q186_rolling_actives",     // DAU/WAU/MAU: distinct grid + x28 fan-out + one agg
+    "q187_cms_counts")          // count-min sketch: x3 fan-out, sketch-sized shuffle
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -115,7 +116,8 @@ object Bench {
     "q166_grid_dissolve", "q168_split_exact", "q169_sketch_overlap",
     "q170_lsh_index_dedup", "q171_retention_cohorts", "q174_bm25_index",
     "q177_tile_pyramid", "q179_heavy_hitters", "q180_scd2_merge",
-    "q182_hilbert", "q184_rrf_fusion", "q186_rolling_actives")
+    "q182_hilbert", "q184_rrf_fusion", "q186_rolling_actives",
+    "q187_cms_counts")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

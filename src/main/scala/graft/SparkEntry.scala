@@ -2629,6 +2629,24 @@ object SparkEntry {
           Seq(1, 7, 28))
         .orderBy("day")
     }),
+    // count-min sketch frequency estimates over lineitem part keys:
+    // 3x256 sketch (seed-free md5 law, fully deterministic), probe keys
+    // estimated against the broadcast sketch and checked against exact
+    // counts — est and the CM overestimate guarantee both hash-matched
+    "q187_cms_counts" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val li = spark.table("lineitem")
+      val sk = graft.operators.Freq.cmsBuild(li, "l_partkey", width = 256, depth = 3)
+      val probe = li.where(col("l_partkey") % 37 === 0)
+        .select("l_partkey").distinct()
+      val est = graft.operators.Freq.cmsEstimate(sk, probe, "l_partkey", 256, 3)
+      val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("l_partkey"))
+        .select(col("l_partkey"), col("est"), col("exact"),
+          (col("est") >= col("exact")).as("ge_exact"))
+        .orderBy("l_partkey")
+    }),
     // Jaro–Winkler record linkage under the same first-token blocking:
     // the prefix-boosted scorer for names/titles. The byte-level kernel
     // is bit-identical to DuckDB's jaro_winkler_similarity (fuzz-checked
@@ -5792,6 +5810,26 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // full CM replay on the shared md5 hash law: sketch cells, probe
+    // buckets, min-over-rows estimate, exact counts
+    "q187_cms_counts" -> """
+      WITH f AS (SELECT r,
+                   CAST(('0x' || substr(md5('cms:' || CAST(r AS VARCHAR) || ':'
+                     || CAST(l_partkey AS VARCHAR)), 1, 12)) AS BIGINT) % 256 AS b
+                 FROM lineitem CROSS JOIN (SELECT unnest(range(0, 3)) AS r) rs),
+           s AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY r, b),
+           p AS (SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_partkey % 37 = 0),
+           pb AS (SELECT k, r,
+                    CAST(('0x' || substr(md5('cms:' || CAST(r AS VARCHAR) || ':'
+                      || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) % 256 AS b
+                  FROM p CROSS JOIN (SELECT unnest(range(0, 3)) AS r) rs),
+           e AS (SELECT pb.k, min(coalesce(s.cnt, 0)) AS est
+                 FROM pb LEFT JOIN s ON pb.r = s.r AND pb.b = s.b GROUP BY pb.k),
+           x AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS exact
+                 FROM lineitem GROUP BY 1)
+      SELECT e.k AS l_partkey, CAST(e.est AS BIGINT) AS est, x.exact,
+             e.est >= x.exact AS ge_exact
+      FROM e JOIN x ON e.k = x.k ORDER BY l_partkey""",
     // same fan-out replay: each (day,user) grid row contributes to its
     // trailing-window target days; CASE inside count(DISTINCT ...)
     // mirrors the engine's when()-guarded countDistinct (nulls ignored)
@@ -6193,7 +6231,9 @@ object SparkEntry {
     // three byte-exact metrics on 10x the rows per block
     "q185_sim_suite",
     // same dense-spine fan-out law over 10x the (day,user) grid
-    "q186_rolling_actives")
+    "q186_rolling_actives",
+    // seed-free CM hash law: cells, probes, exact counts at 10x rows
+    "q187_cms_counts")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.GeoFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Frequent-item (heavy-hitter) reporting over token streams — "what
@@ -35,5 +35,72 @@ object Freq {
       .select(col(groupCol), posexplode(slice(col("__hh"), 1, k)))
       .select(col(groupCol), (col("pos") + 1).as("rnk"),
         col("col.item").as("term"), col("col.est").as("est"))
+  }
+
+  /** Count–min sketch row hash: `md5("cms:<row>:<key>")` → first 12 hex
+    * digits as a 48-bit integer, mod `width` — the engine-replayable
+    * hash law shared with [[Sampling]]/[[TextAnalysis.hashedTf]] (the
+    * DuckDB side replays it as
+    * `CAST(('0x' || substr(md5(...), 1, 12)) AS BIGINT) % width`).
+    * NULL keys hash as the empty string, like everywhere else here. */
+  private def cmsBucket(row: Column, key: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit("cms:"), row.cast("string"), lit(":"),
+      coalesce(key.cast("string"), lit(""))).cast("binary")), 1, 12), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** Build a count–min sketch of `keyCol`'s frequencies: `depth`
+    * independent hash rows × `width` buckets, returned as the sparse
+    * counts table `(row, bucket, cnt)` (absent buckets are zero). For
+    * any key, `min over rows of cnt(row, bucket(row, key))` is an
+    * OVERestimate of its true count, off by at most `N/width` with
+    * probability `1 - (1/2)^depth` per probe — the mergeable
+    * fixed-size frequency summary for dashboards and repeated
+    * membership-ish probes where [[heavyHitterTokens]]'s top-k shape
+    * doesn't fit.
+    *
+    * Scale design (100 TB): one map-only ×`depth` fan-out, then a
+    * partial+final hash aggregation whose FINAL size is at most
+    * `depth·width` rows no matter the input — each task pre-aggregates
+    * to its own ≤ depth·width summary, so the shuffle payload is
+    * sketch-sized per task, never data-sized. Shards sketch
+    * independently and [[cmsMerge]] adds counts cell-wise (the CM
+    * sketch is a linear projection, so merge ≡ build-on-union
+    * exactly). Deterministic by construction: the md5 law has no seed
+    * state, so any engine, partitioning, or merge order yields the
+    * identical table. */
+  def cmsBuild(df: DataFrame, keyCol: String, width: Int, depth: Int): DataFrame = {
+    require(width > 0 && depth > 0, s"need width/depth > 0 (got $width/$depth)")
+    df.select(col(keyCol).as("__k"))
+      .select(col("__k"), explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("row"), cmsBucket(col("row"), col("__k"), width).as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two sketches built with the SAME (width, depth): cell-wise
+    * count addition. Exactly equals building one sketch over the
+    * unioned inputs (linearity). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Point-query the sketch: for every row of `keys`, the count–min
+    * estimate of `keyCol`'s frequency (`est` BIGINT, >= the true count
+    * by the CM guarantee). `width`/`depth` must match the build.
+    *
+    * Scale design: probe keys fan out ×depth map-side and LEFT-join
+    * the broadcast sketch (≤ depth·width rows by construction) on
+    * (row, bucket); a key-grouped min finishes it. No shuffle of the
+    * probe frame beyond the final small agg; the sketch never
+    * re-scans the data it summarized. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      width: Int, depth: Int): DataFrame = {
+    require(width > 0 && depth > 0, s"need width/depth > 0 (got $width/$depth)")
+    keys.select(col(keyCol).as("__key"))
+      .select(col("__key"), explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("__key"), col("row"),
+        cmsBucket(col("row"), col("__key"), width).as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy("__key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .select(col("__key").as(keyCol), col("est"))
   }
 }

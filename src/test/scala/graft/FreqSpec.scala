@@ -97,4 +97,48 @@ class FreqSpec extends AnyFunSuite with BeforeAndAfterAll {
     // partial + final pair: the summary, not the token stream, rides the exchange
     assert("mg_topk".r.findAllIn(plan).size >= 2, s"expected partial+final:\n$plan")
   }
+
+  test("cms: overestimate guarantee, sketch bound, JVM hash-law replay") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val keys = (0 until 3000).map(_ => rnd.nextInt(80).toLong)
+    val df = keys.toDF("k").repartition(4)
+    val (w, d) = (32, 3)
+    val sketch = Freq.cmsBuild(df, "k", w, d)
+    assert(sketch.count() <= w.toLong * d, "sketch must be <= depth*width cells")
+    val probe = keys.distinct.toDF("k")
+    val est = Freq.cmsEstimate(sketch, probe, "k", w, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // CM law replayed in the JVM: bucket = 48-bit md5 prefix of
+    // "cms:<row>:<key>" mod width; estimate = min over rows of cell sum
+    def bucket(r: Int, k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"cms:$r:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      java.lang.Long.parseLong(hex, 16) % w
+    }
+    val cells = (for { (k, c) <- exact.toSeq; r <- 0 until d }
+      yield ((r, bucket(r, k)), c)).groupBy(_._1).map { case (cell, xs) =>
+        cell -> xs.map(_._2).sum }
+    exact.foreach { case (k, c) =>
+      val expected = (0 until d).map(r => cells((r, bucket(r, k)))).min
+      assert(est(k) == expected, s"key $k: est ${est(k)} != replay $expected")
+      assert(est(k) >= c, s"key $k: CM estimate ${est(k)} under exact $c")
+    }
+  }
+
+  test("cms: merge is exactly build-on-union (linearity)") {
+    val s = spark; import s.implicits._
+    val a = (0 until 500).map(i => (i % 13).toLong).toDF("k")
+    val b = (0 until 700).map(i => (i % 29).toLong).toDF("k")
+    val (w, d) = (16, 2)
+    val merged = Freq.cmsMerge(Freq.cmsBuild(a, "k", w, d), Freq.cmsBuild(b, "k", w, d))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Freq.cmsBuild(a.unionByName(b), "k", w, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+    intercept[IllegalArgumentException] { Freq.cmsBuild(a, "k", 0, 2) }
+    intercept[IllegalArgumentException] { Freq.cmsEstimate(a, a, "k", 16, 0) }
+  }
 }

@@ -2629,6 +2629,17 @@ object SparkEntry {
           Seq(1, 7, 28))
         .orderBy("day")
     }),
+    // EXACT distributed quantiles (type-1 / discrete) of lineitem
+    // extended price without any global sort: distinct-value histogram,
+    // range-partitioned cumulative spans from partition-local running
+    // sums + a broadcast P-row offset table, target ranks probed
+    // map-side — the exact-cutpoint primitive for corpus gating
+    "q188_exact_quantiles" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Freq.exactQuantiles(spark.table("lineitem"),
+          "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("q")
+    }),
     // count-min sketch frequency estimates over lineitem part keys:
     // 3x256 sketch (seed-free md5 law, fully deterministic), probe keys
     // estimated against the broadcast sketch and checked against exact
@@ -5810,6 +5821,23 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // rank-at-ceil(q*n) replay: same literal doubles -> same q*n double
+    // -> same ceil on both engines; the value is the element itself
+    // (type-1), so no rounding law is needed
+    "q188_exact_quantiles" -> """
+      WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+                 WHERE l_extendedprice IS NOT NULL),
+           n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+           r AS (SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS rn
+                 FROM v),
+           q(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                           (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                           (CAST(0.99 AS DOUBLE))),
+           t AS (SELECT q, greatest(CAST(1 AS BIGINT),
+                          CAST(ceil(q * n) AS BIGINT)) AS rank
+                 FROM q CROSS JOIN n)
+      SELECT t.q, t.rank, r.x AS value
+      FROM t JOIN r ON r.rn = t.rank ORDER BY q""",
     // full CM replay on the shared md5 hash law: sketch cells, probe
     // buckets, min-over-rows estimate, exact counts
     "q187_cms_counts" -> """
@@ -6233,7 +6261,9 @@ object SparkEntry {
     // same dense-spine fan-out law over 10x the (day,user) grid
     "q186_rolling_actives",
     // seed-free CM hash law: cells, probes, exact counts at 10x rows
-    "q187_cms_counts")
+    "q187_cms_counts",
+    // exact rank probes over a 10x histogram (different n -> new ranks)
+    "q188_exact_quantiles")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

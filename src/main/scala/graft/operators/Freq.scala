@@ -103,4 +103,63 @@ object Freq {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
       .select(col("__key").as(keyCol), col("est"))
   }
+
+  /** EXACT order statistics without a global single-reducer sort: for
+    * each fraction `q` in `qs`, the value of `valueCol` at ascending
+    * rank `max(1, ceil(q·n))` over the `n` non-null rows — discrete
+    * (type-1) quantile semantics, the element itself, never an
+    * interpolation (so the result replays bit-for-bit in any engine).
+    *
+    * Scale design (100 TB): `percentile_approx` gives fast bounded
+    * error, but corpus cut points that gate data (dedup thresholds,
+    * quality-score floors) often must be EXACT and reproducible. The
+    * classic exact recipe — `row_number() OVER (ORDER BY v)` — is one
+    * task sorting the world. Here instead: (1) collapse to the
+    * per-distinct-value histogram (one hash agg — the only pass over
+    * full data); (2) RANGE-partition the histogram by value with a
+    * pinned partition count and sort within partitions; (3) per-row
+    * cumulative ranks assembled from a partition-local running sum
+    * plus a broadcast P-row per-partition offset table (the
+    * [[TextAnalysis.ccnetBuckets]] rank-assembly pattern — no global
+    * window, every partition works in parallel); (4) each target rank
+    * map-side probes the row whose cumulative span contains it. The
+    * 1-row total-count frame rides a broadcast cross join. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"fractions must be in (0, 1] (got $qs)")
+    require(qs.distinct.size == qs.size, s"duplicate fractions: $qs")
+    val spark = df.sparkSession
+    val hist = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranged = hist.repartitionByRange(p, col("__v"))
+      .sortWithinPartitions("__v")
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // P-row aux: safe to window globally (and to broadcast)
+    val aux = ranged.groupBy("__pid").agg(sum("__c").as("__pc"))
+      .withColumn("__poff", coalesce(sum("__pc").over(wPrev), lit(0L)))
+      .select("__pid", "__poff")
+    val wRun = Window.partitionBy("__pid").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spans = ranged
+      .withColumn("__run", sum("__c").over(wRun))
+      .join(broadcast(aux), Seq("__pid"))
+      .withColumn("__hi", col("__poff") + col("__run"))
+      .withColumn("__lo", col("__hi") - col("__c") + 1)
+    val total = df.where(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("__n"))
+    val targets = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+      .crossJoin(broadcast(total))
+      .withColumn("rank", greatest(lit(1L), ceil(col("q") * col("__n"))))
+      .select("q", "rank")
+    spans.join(broadcast(targets),
+        col("__lo") <= col("rank") && col("rank") <= col("__hi"))
+      .select(col("q"), col("rank"), col("__v").as("value"))
+  }
 }

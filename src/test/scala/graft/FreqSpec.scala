@@ -141,4 +141,30 @@ class FreqSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Freq.cmsBuild(a, "k", 0, 2) }
     intercept[IllegalArgumentException] { Freq.cmsEstimate(a, a, "k", 16, 0) }
   }
+
+  test("exactQuantiles: rank-at-ceil(q*n) matches the sorted truth, ties included") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // heavy ties (values drawn from 40 distincts) + nulls to drop
+    val vals = (0 until 2347).map(_ => rnd.nextInt(40) * 0.5)
+    val df = vals.map(Option(_)).patch(7, Seq(None, None), 0).toDF("v")
+      .repartition(5)
+    val qs = Seq(0.1, 0.25, 0.5, 0.9, 1.0)
+    val got = Freq.exactQuantiles(df, "v", qs)
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val rank = math.max(1L, math.ceil(q * sorted.size).toLong)
+      assert(got(q) == ((rank, sorted((rank - 1).toInt))),
+        s"q=$q: got ${got(q)}, want rank $rank -> ${sorted((rank - 1).toInt)}")
+    }
+    // q=1.0 is the max; a tiny frame (fewer rows than partitions) still works
+    val tiny = Seq(3.0, 1.0, 2.0).toDF("v")
+    val t = Freq.exactQuantiles(tiny, "v", Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    assert(t == Map(0.5 -> 2.0, 1.0 -> 3.0))
+    intercept[IllegalArgumentException] { Freq.exactQuantiles(tiny, "v", Seq()) }
+    intercept[IllegalArgumentException] { Freq.exactQuantiles(tiny, "v", Seq(0.0)) }
+    intercept[IllegalArgumentException] { Freq.exactQuantiles(tiny, "v", Seq(0.5, 0.5)) }
+  }
 }

@@ -64,6 +64,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (4-row hinted-broadcast query set x corpus); fusion itself is
     // hash full-outer joins over top-k lists
     "q184_rrf_fusion",
+    // exact quantiles: the 1-row total-count cross join + the few-row
+    // broadcast target-rank table range-probing the histogram spans
+    "q188_exact_quantiles",
     // all-pairs cosine on a vec_id < 200 slice — the exact cross-check
     // for the LSH near-dup path; non-equi (<) join has no hash form
     "q29_embed_neardup",

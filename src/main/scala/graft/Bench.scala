@@ -94,7 +94,8 @@ object Bench {
     "q185_sim_suite",           // blocked DL/jaccard/hamming, codegen'd byte kernels
     "q186_rolling_actives",     // DAU/WAU/MAU: distinct grid + x28 fan-out + one agg
     "q187_cms_counts",          // count-min sketch: x3 fan-out, sketch-sized shuffle
-    "q188_exact_quantiles")     // exact ranks: histogram + range spans, no global sort
+    "q188_exact_quantiles",     // exact ranks: histogram + range spans, no global sort
+    "q189_triangle_stats")      // degree-oriented wedges, all hash joins
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -132,7 +133,8 @@ object Bench {
     "q162_cosine_edges" -> "same full-probing exactness fixture as q159 (all-pairs by construction)",
     "q181_fuzzy_dedup" -> "in-block pair count is quadratic in block occupancy (8 first-token blocks in the part fixture), so x10 input is x100 candidate pairs by construction; production keys add tokens/length buckets to hold occupancy flat",
     "q183_jw_linkage" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction",
-    "q185_sim_suite" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction")
+    "q185_sim_suite" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction",
+    "q189_triangle_stats" -> "wedge count grows with the square of co-order adjacency, which rises with order density at fixed part domain — not input-linear by construction")
 
   private def loadavg1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble

@@ -2629,6 +2629,21 @@ object SparkEntry {
           Seq(1, 7, 28))
         .orderBy("day")
     }),
+    // per-vertex triangle counts + local clustering coefficient over
+    // the co-order part graph (parts sharing an order), degree-oriented
+    // so each triangle materializes exactly once at its lowest apex —
+    // hub-safe wedge generation, no cartesian anywhere
+    "q189_triangle_stats" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val li = spark.table("lineitem").where(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.toDF("o", "p1").join(li.toDF("o", "p2"), Seq("o"))
+        .where(col("p1") < col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      graft.operators.Graph.triangleStats(edges, "src", "dst")
+        .orderBy("vertex")
+    }),
     // EXACT distributed quantiles (type-1 / discrete) of lineitem
     // extended price without any global sort: distinct-value histogram,
     // range-partitioned cumulative spans from partition-local running
@@ -5821,6 +5836,31 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // canonical a<b<c triangle enumeration (e1=(a,b), e2=(b,c),
+    // e3=(a,c)) — a different but count-identical strategy to the
+    // engine's degree orientation; lcc under the shared 6dp law
+    "q189_triangle_stats" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem WHERE l_orderkey % 5 = 0),
+           e AS (SELECT DISTINCT x.p AS a, y.p AS b
+                 FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+           deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM
+                     (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+                   GROUP BY v),
+           t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 FROM e e1 JOIN e e2 ON e1.b = e2.a
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+           tv AS (SELECT x AS v FROM t UNION ALL SELECT y AS v FROM t
+                  UNION ALL SELECT z AS v FROM t),
+           tc AS (SELECT v, CAST(count(*) AS BIGINT) AS triangles
+                  FROM tv GROUP BY v)
+      SELECT deg.v AS vertex, deg.degree,
+             coalesce(tc.triangles, CAST(0 AS BIGINT)) AS triangles,
+             CASE WHEN deg.degree >= 2
+                  THEN round(2.0 * coalesce(tc.triangles, 0) /
+                             (deg.degree * (deg.degree - 1)), 6)
+                  ELSE 0.0 END AS lcc
+      FROM deg LEFT JOIN tc ON deg.v = tc.v ORDER BY vertex""",
     // rank-at-ceil(q*n) replay: same literal doubles -> same q*n double
     // -> same ceil on both engines; the value is the element itself
     // (type-1), so no rounding law is needed
@@ -6263,7 +6303,9 @@ object SparkEntry {
     // seed-free CM hash law: cells, probes, exact counts at 10x rows
     "q187_cms_counts",
     // exact rank probes over a 10x histogram (different n -> new ranks)
-    "q188_exact_quantiles")
+    "q188_exact_quantiles",
+    // degree orientation vs canonical enumeration on the 10x co-order graph
+    "q189_triangle_stats")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

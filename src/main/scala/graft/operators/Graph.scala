@@ -66,4 +66,70 @@ object Graph {
     }
     ranks.select(col("v").as("node"), col("r").as("rank"))
   }
+
+  /** Per-vertex triangle counts and local clustering coefficient over
+    * an UNDIRECTED simple graph (self-loops dropped, duplicate and
+    * reversed edges collapsed). Output one row per vertex:
+    * `(vertex, degree, triangles, lcc)` with
+    * `lcc = rz6(2·triangles / (degree·(degree−1)))` (0.0 below degree
+    * 2) — the link-farm / spam-cluster structure signal that
+    * complements [[pageRank]]'s centrality prior.
+    *
+    * Scale design (100 TB of edges): the naive wedge join explodes on
+    * hubs (a degree-10^6 vertex yields 10^12 wedges). Standard fix —
+    * DEGREE ORIENTATION (Cohen's MapReduce triangle recipe; also the
+    * GraphX/Spark `TriangleCount` strategy): direct every edge from
+    * its lower-(degree, id) endpoint to the higher one, making every
+    * out-degree O(√m) on any graph; wedges are generated only at each
+    * triangle's unique lowest apex, so each triangle materializes
+    * exactly once. The plan is pure edge-relation algebra — distinct,
+    * one degree hash-agg, two degree-attach hash joins, the
+    * apex-keyed wedge self-join, and the (v,w)-keyed closure hash
+    * join — partial-aggregated and AQE-skew-splittable, with no
+    * cartesian anywhere. Per-vertex counts explode each triangle to
+    * its three corners and hash-aggregate.
+    *
+    * Determinism: counts are integers; `lcc` is the one derived
+    * double, snapped under the 6dp law so DuckDB's
+    * `round(2.0·t/(d·(d−1)), 6)` replays it bit-for-bit. */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient a->b when (deg(a), a) < (deg(b), b): u = the edge's apex
+    val ord = und
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("w"))
+    // each unordered out-neighbor pair once (id order), closed against
+    // the canonical edge set (a < b, so (v, w) with v < w keys directly)
+    val e1 = ord.select(col("u"), col("w").as("v"))
+    val e2 = ord.select(col("u"), col("w"))
+    val tri = e1.join(e2, Seq("u")).where(col("v") < col("w"))
+      .join(und, col("v") === col("a") && col("w") === col("b"))
+      .select("u", "v", "w")
+    val perVertex = tri.select(col("u").as("x"))
+      .unionAll(tri.select(col("v").as("x")))
+      .unionAll(tri.select(col("w").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("triangles"))
+    deg.join(perVertex, col("v") === col("x"), "left")
+      .select(col("v").as("vertex"), col("deg").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          rz6(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("deg") * (col("deg") - 1))))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
 }

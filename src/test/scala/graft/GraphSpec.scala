@@ -98,4 +98,34 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Graph.pageRank(e, "s", "d", -1) }
     intercept[IllegalArgumentException] { Graph.pageRank(e, "s", "d", 1, damping = 1.0) }
   }
+
+  test("triangleStats matches brute force; hub, self-loops, reversed dupes") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(31)
+    val base = (0 until 600).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    // hub 99 wired to everyone, plus self-loops and reversed duplicates
+    val raw = base ++ (0L until 40L).map(v => (99L, v)) ++
+      Seq((5L, 5L), (17L, 17L)) ++ base.take(150).map(_.swap)
+    val got = Graph.triangleStats(raw.toDF("s", "d"), "s", "d")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // brute force over the canonical simple graph
+    val und = raw.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct.toSet
+    val verts = und.flatMap(e => Seq(e._1, e._2))
+    val adj = verts.map(v => v -> und.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    }).toMap
+    assert(got.keySet == verts)
+    verts.foreach { v =>
+      val nbrs = adj(v).toSeq.sorted
+      val d = nbrs.size.toLong
+      val t = nbrs.combinations(2).count { case Seq(x, y) => und((x, y)) }.toLong
+      val lcc = if (d >= 2) rz6(2.0 * t / (d * (d - 1))) else 0.0
+      assert(got(v) == ((d, t, lcc)), s"vertex $v: got ${got(v)}, brute ($d,$t,$lcc)")
+    }
+  }
 }

@@ -95,7 +95,8 @@ object Bench {
     "q186_rolling_actives",     // DAU/WAU/MAU: distinct grid + x28 fan-out + one agg
     "q187_cms_counts",          // count-min sketch: x3 fan-out, sketch-sized shuffle
     "q188_exact_quantiles",     // exact ranks: histogram + range spans, no global sort
-    "q189_triangle_stats")      // degree-oriented wedges, all hash joins
+    "q189_triangle_stats",      // degree-oriented wedges, all hash joins
+    "q190_script_profile")      // map-only codegen'd regexp script counts
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -119,7 +120,7 @@ object Bench {
     "q170_lsh_index_dedup", "q171_retention_cohorts", "q174_bm25_index",
     "q177_tile_pyramid", "q179_heavy_hitters", "q180_scd2_merge",
     "q182_hilbert", "q184_rrf_fusion", "q186_rolling_actives",
-    "q187_cms_counts", "q188_exact_quantiles")
+    "q187_cms_counts", "q188_exact_quantiles", "q190_script_profile")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

@@ -2629,6 +2629,14 @@ object SparkEntry {
           Seq(1, 7, 28))
         .orderBy("day")
     }),
+    // Unicode-script composition per document: map-only codegen'd
+    // regexp counts (Latin/Cyrillic/Han/Arabic/digits) + 6dp fractions
+    // — the script-mix routing signal for multilingual curation
+    "q190_script_profile" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.TextAnalysis.scriptProfile(spark.table("documents"),
+        "doc_id", "text").orderBy("doc_id")
+    }),
     // per-vertex triangle counts + local clustering coefficient over
     // the co-order part graph (parts sharing an order), degree-oriented
     // so each triangle materializes exactly once at its lowest apex —
@@ -5836,6 +5844,30 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // RE2 spells the script classes \p{Latin}; Java \p{IsLatin} — the
+    // same codepoint sets; both length()s count codepoints
+    "q190_script_profile" -> """
+      WITH s AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+           c AS (SELECT doc_id,
+                   CAST(length(t) AS INT) AS n_chars,
+                   CAST(length(regexp_replace(t, '[^\p{Latin}]', '', 'g')) AS INT) AS n_latin,
+                   CAST(length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')) AS INT) AS n_cyrillic,
+                   CAST(length(regexp_replace(t, '[^\p{Han}]', '', 'g')) AS INT) AS n_han,
+                   CAST(length(regexp_replace(t, '[^\p{Arabic}]', '', 'g')) AS INT) AS n_arabic,
+                   CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS INT) AS n_digit
+                 FROM s)
+      SELECT doc_id, n_chars, n_latin, n_cyrillic, n_han, n_arabic, n_digit,
+             CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE round(CAST(n_latin AS DOUBLE) / n_chars, 6) END AS f_latin,
+             CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE round(CAST(n_cyrillic AS DOUBLE) / n_chars, 6) END AS f_cyrillic,
+             CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE round(CAST(n_han AS DOUBLE) / n_chars, 6) END AS f_han,
+             CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE round(CAST(n_arabic AS DOUBLE) / n_chars, 6) END AS f_arabic,
+             CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE round(CAST(n_digit AS DOUBLE) / n_chars, 6) END AS f_digit
+      FROM c ORDER BY doc_id""",
     // canonical a<b<c triangle enumeration (e1=(a,b), e2=(b,c),
     // e3=(a,c)) — a different but count-identical strategy to the
     // engine's degree orientation; lcc under the shared 6dp law
@@ -6305,7 +6337,9 @@ object SparkEntry {
     // exact rank probes over a 10x histogram (different n -> new ranks)
     "q188_exact_quantiles",
     // degree orientation vs canonical enumeration on the 10x co-order graph
-    "q189_triangle_stats")
+    "q189_triangle_stats",
+    // same RE2/Java script-class parity over 10x the documents
+    "q190_script_profile")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

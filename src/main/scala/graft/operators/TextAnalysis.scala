@@ -1031,4 +1031,43 @@ object TextAnalysis {
       qualityScore(t).as("quality"),
       fingerprint(t).as("fingerprint"))
   }
+
+  /** Unicode-script composition per document: character counts and
+    * fractions for the major script blocks (Latin, Cyrillic, Han,
+    * Arabic) plus decimal digits — the script-mix signal multilingual
+    * curation routes on (a "Latin" crawl shard full of Han characters
+    * is mislabeled; a doc that is half digits is a table dump).
+    *
+    * Everything is a map-only projection of codegen'd string
+    * expressions — `length(regexp_replace(...))` per script class, no
+    * UDF, no shuffle — so it composes with any downstream filter at
+    * full scan speed. Fractions follow the 6dp law (DuckDB replays
+    * with `\p{Script}` RE2 classes; Java spells them `\p{IsScript}` —
+    * same classes for the codepoints both engines see).
+    *
+    * Scale note: counting by REMOVING non-members (`[^\p{X}]` → "")
+    * and taking the remaining length counts CODEPOINTS for every
+    * class on both engines, because both `length` functions count
+    * codepoints, and supplementary-plane members survive intact. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol).cast("string"), lit(""))
+    def keep(cls: String): Column =
+      length(regexp_replace(t, s"[^\\p{Is$cls}]", ""))
+    val digits = length(regexp_replace(t, "[^0-9]", ""))
+    val n = length(t)
+    def frac(c: Column): Column =
+      when(n === 0, lit(0.0)).otherwise(rz6(c.cast("double") / n))
+    df.select(col(idCol),
+      n.as("n_chars"),
+      keep("Latin").as("n_latin"),
+      keep("Cyrillic").as("n_cyrillic"),
+      keep("Han").as("n_han"),
+      keep("Arabic").as("n_arabic"),
+      digits.as("n_digit"),
+      frac(keep("Latin")).as("f_latin"),
+      frac(keep("Cyrillic")).as("f_cyrillic"),
+      frac(keep("Han")).as("f_han"),
+      frac(keep("Arabic")).as("f_arabic"),
+      frac(digits).as("f_digit"))
+  }
 }

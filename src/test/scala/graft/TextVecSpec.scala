@@ -1344,4 +1344,34 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L), (4L, 5L)))
     assert(out(1)._3 == 1.0 && out(0)._3 > 0.9 && out(0)._3 < 1.0)
   }
+
+  test("scriptProfile counts codepoints per script, incl. supplementary Han") {
+    val sp = spark
+    import sp.implicits._
+    // "ab Яз 汉字 عر 12" + supplementary-plane Han U+20000 + emoji (no class)
+    val mixed = "ab Яз 汉字 عر 12 " +
+      new String(Character.toChars(0x20000)) + "😀"
+    val df = Seq((1L, mixed), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = graft.operators.TextAnalysis.scriptProfile(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    // 17 codepoints (the UTF-16 string has 19 code units — the two
+    // supplementary characters are surrogate pairs; length must count
+    // codepoints, not code units)
+    assert(mixed.length == 19 && mixed.codePointCount(0, mixed.length) == 17)
+    assert(r1.getInt(1) == 17, s"n_chars ${r1.getInt(1)}")
+    assert(r1.getInt(2) == 2, "latin")
+    assert(r1.getInt(3) == 2, "cyrillic")
+    assert(r1.getInt(4) == 3, "han incl. supplementary")
+    assert(r1.getInt(5) == 2, "arabic")
+    assert(r1.getInt(6) == 2, "digits")
+    assert(math.abs(r1.getDouble(7) - 0.117647) < 1e-9) // rz6(2/17)
+    // empty and null: zero counts, 0.0 fractions (no division blowup)
+    Seq(2L, 3L).foreach { id =>
+      val r = got(id)
+      (1 to 6).foreach(i => assert(r.getInt(i) == 0))
+      (7 to 11).foreach(i => assert(r.getDouble(i) == 0.0))
+    }
+  }
 }

@@ -2629,6 +2629,21 @@ object SparkEntry {
           Seq(1, 7, 28))
         .orderBy("day")
     }),
+    // synchronous label propagation (4 rounds) over the co-order part
+    // graph: deterministic most-frequent-neighbor-label update, ties to
+    // the smallest label — per round ONE adjacency join + two hash aggs
+    // (argmax folded as max(struct(c, -lbl)), partial-aggregated)
+    "q191_label_prop" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val li = spark.table("lineitem").where(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.toDF("o", "p1").join(li.toDF("o", "p2"), Seq("o"))
+        .where(col("p1") < col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      graft.operators.Graph.labelPropagation(edges, "src", "dst", iters = 4)
+        .orderBy("node")
+    }),
     // Unicode-script composition per document: map-only codegen'd
     // regexp counts (Latin/Cyrillic/Han/Arabic/digits) + 6dp fractions
     // — the script-mix routing signal for multilingual curation
@@ -5844,6 +5859,42 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // all 4 rounds unrolled as MATERIALIZED CTEs; the per-node argmax
+    // replayed as a (c DESC, lbl ASC) window — identical tie law
+    "q191_label_prop" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem WHERE l_orderkey % 5 = 0),
+           e AS (SELECT DISTINCT x.p AS a, y.p AS b
+                 FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+           adj AS MATERIALIZED (SELECT a AS v, b AS u FROM e
+                                UNION ALL SELECT b AS v, a AS u FROM e),
+           l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lbl FROM adj),
+           c1 AS (SELECT adj.v, l.lbl, count(*) AS c
+                  FROM adj JOIN l0 l ON adj.u = l.v GROUP BY adj.v, l.lbl),
+           l1 AS MATERIALIZED (SELECT v, lbl FROM (
+                  SELECT v, lbl, row_number() OVER (
+                    PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn FROM c1)
+                  WHERE rn = 1),
+           c2 AS (SELECT adj.v, l.lbl, count(*) AS c
+                  FROM adj JOIN l1 l ON adj.u = l.v GROUP BY adj.v, l.lbl),
+           l2 AS MATERIALIZED (SELECT v, lbl FROM (
+                  SELECT v, lbl, row_number() OVER (
+                    PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn FROM c2)
+                  WHERE rn = 1),
+           c3 AS (SELECT adj.v, l.lbl, count(*) AS c
+                  FROM adj JOIN l2 l ON adj.u = l.v GROUP BY adj.v, l.lbl),
+           l3 AS MATERIALIZED (SELECT v, lbl FROM (
+                  SELECT v, lbl, row_number() OVER (
+                    PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn FROM c3)
+                  WHERE rn = 1),
+           c4 AS (SELECT adj.v, l.lbl, count(*) AS c
+                  FROM adj JOIN l3 l ON adj.u = l.v GROUP BY adj.v, l.lbl),
+           l4 AS MATERIALIZED (SELECT v, lbl FROM (
+                  SELECT v, lbl, row_number() OVER (
+                    PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn FROM c4)
+                  WHERE rn = 1)
+      SELECT v AS node, CAST(lbl AS BIGINT) AS label
+      FROM l4 ORDER BY node""",
     // RE2 spells the script classes \p{Latin}; Java \p{IsLatin} — the
     // same codepoint sets; both length()s count codepoints
     "q190_script_profile" -> """
@@ -6339,7 +6390,9 @@ object SparkEntry {
     // degree orientation vs canonical enumeration on the 10x co-order graph
     "q189_triangle_stats",
     // same RE2/Java script-class parity over 10x the documents
-    "q190_script_profile")
+    "q190_script_profile",
+    // 4 deterministic vote rounds on the 10x co-order graph
+    "q191_label_prop")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

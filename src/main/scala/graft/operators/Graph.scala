@@ -92,6 +92,57 @@ object Graph {
     * Determinism: counts are integers; `lcc` is the one derived
     * double, snapped under the 6dp law so DuckDB's
     * `round(2.0·t/(d·(d−1)), 6)` replays it bit-for-bit. */
+  /** Synchronous label propagation over an undirected simple graph:
+    * every node starts labeled with its own id; each of `iters` rounds
+    * relabels every node with the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — a fully
+    * deterministic update law (no randomized visit order), so the same
+    * communities emerge on any engine, partitioning, or rerun, and an
+    * unrolled SQL replay can gate every round. The cheap
+    * community-detection pass (near-dup cluster naming, link-farm
+    * grouping) when connected components are too coarse and modularity
+    * methods too heavy.
+    *
+    * Output after `iters` rounds: `(node, label)` for every endpoint
+    * of the normalized graph (self-loops dropped, duplicate/reversed
+    * edges collapsed; isolated ids never appear — they have no
+    * neighbors to vote).
+    *
+    * Scale design (100 TB of edges): each round is ONE join of the
+    * adjacency list with the current |V|-row label frame (hash,
+    * key-partitioned) and TWO hash aggregations — (node, label) vote
+    * counts, then per-node argmax folded as `max(struct(count,
+    * −label))` so it partial-aggregates map-side (no per-node window
+    * sort anywhere). `localCheckpoint` cuts lineage per round (the
+    * [[pageRank]]/connected-components precedent); driver state is
+    * the loop counter. Tie law requires labels > Long.MinValue (ids
+    * here), since argmax-of-(−label) realizes min-label. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0 (got $iters)")
+    val und = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+      .localCheckpoint()
+    var labels = adj.select(col("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to iters) {
+      labels = adj
+        .join(labels.select(col("v").as("u"), col("lbl")), Seq("u"))
+        .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("v")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("v").as("node"), col("lbl").as("label"))
+  }
+
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&

@@ -99,6 +99,43 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Graph.pageRank(e, "s", "d", 1, damping = 1.0) }
   }
 
+  test("labelPropagation matches a driver reference; cliques converge to min id") {
+    val sp = spark
+    import sp.implicits._
+    // two 5-cliques bridged by one edge + a random tail
+    val clique = (g: Seq[Long]) =>
+      for { a <- g; b <- g if a < b } yield (a, b)
+    val rnd = new scala.util.Random(41)
+    val tail = (0 until 60).map(_ => (20L + rnd.nextInt(12), 20L + rnd.nextInt(12)))
+    val raw = clique(Seq(1L, 2L, 3L, 4L, 5L)) ++ clique(Seq(11L, 12L, 13L, 14L, 15L)) ++
+      Seq((5L, 11L)) ++ tail
+    def reference(iters: Int): Map[Long, Long] = {
+      val und = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+      var lbl = adj.keys.map(v => v -> v).toMap
+      for (_ <- 1 to iters) lbl = adj.map { case (v, ns) =>
+        val votes = ns.map(lbl).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        v -> votes.toSeq.maxBy { case (l, c) => (c.toLong, -l) }._1
+      }
+      lbl
+    }
+    Seq(0, 1, 4).foreach { it =>
+      val got = Graph.labelPropagation(raw.toDF("s", "d"), "s", "d", it)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == reference(it), s"iters=$it")
+    }
+    // the clique structure: after 4 rounds each 5-clique shares one label
+    val got4 = Graph.labelPropagation(raw.toDF("s", "d"), "s", "d", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(got4).distinct.size == 1)
+    assert(Seq(12L, 13L, 14L, 15L).map(got4).distinct.size == 1)
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(raw.toDF("s", "d"), "s", "d", -1)
+    }
+  }
+
   test("triangleStats matches brute force; hub, self-loops, reversed dupes") {
     val sp = spark
     import sp.implicits._

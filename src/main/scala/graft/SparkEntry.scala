@@ -2629,6 +2629,52 @@ object SparkEntry {
           Seq(1, 7, 28))
         .orderBy("day")
     }),
+    // STREAMING count-min maintenance: lineitem arrives as two
+    // mtime-ordered micro-batches (even orderkeys first); each batch
+    // appends its batch-local 3x256 sketch tagged with the batch id,
+    // and the folded state must equal the one-shot sketch over ALL of
+    // lineitem (CM linearity) — hash-matched against the same DuckDB
+    // replay that gates q187's cells
+    "q192_stream_cms" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.streaming.Trigger
+      val li = spark.table("lineitem")
+      val work = scratchDir("graft-q192-")
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      def stage(cond: org.apache.spark.sql.Column, name: String,
+          mtime: Long): Unit = {
+        val tmp = s"$work/stage_$name"
+        li.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = inDir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      stage(col("l_orderkey") % 2 === 0, "a.parquet", 1000000L)
+      stage(col("l_orderkey") % 2 === 1, "b.parquet", 2000000L)
+      val state = new graft.streaming.CompactingKeyState(spark,
+        s"$work/state", compactEvery = 1)
+      val q = spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.streaming.StreamOps.cmsAppendBatch(state, batch,
+            "l_partkey", width = 256, depth = 3, batchId = id)
+        }
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamOps.cmsReadSketch(state).get
+        .orderBy("row", "bucket")
+    }),
     // synchronous label propagation (4 rounds) over the co-order part
     // graph: deterministic most-frequent-neighbor-label update, ties to
     // the smallest label — per round ONE adjacency join + two hash aggs
@@ -5859,6 +5905,16 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // the one-shot CM cell replay (q187's `s` CTE): linearity means the
+    // two-batch incremental build must reproduce it exactly
+    "q192_stream_cms" -> """
+      WITH f AS (SELECT r,
+                   CAST(('0x' || substr(md5('cms:' || CAST(r AS VARCHAR) || ':'
+                     || CAST(l_partkey AS VARCHAR)), 1, 12)) AS BIGINT) % 256 AS b
+                 FROM lineitem CROSS JOIN (SELECT unnest(range(0, 3)) AS r) rs)
+      SELECT CAST(r AS INT) AS row, b AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM f GROUP BY r, b ORDER BY row, bucket""",
     // all 4 rounds unrolled as MATERIALIZED CTEs; the per-node argmax
     // replayed as a (c DESC, lbl ASC) window — identical tie law
     "q191_label_prop" -> """
@@ -6392,7 +6448,9 @@ object SparkEntry {
     // same RE2/Java script-class parity over 10x the documents
     "q190_script_profile",
     // 4 deterministic vote rounds on the 10x co-order graph
-    "q191_label_prop")
+    "q191_label_prop",
+    // two-batch incremental CM ≡ one-shot over 10x the rows
+    "q192_stream_cms")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -218,4 +218,29 @@ object StreamOps {
           }
       }
   }
+
+  /** Maintain a [[graft.operators.Freq.cmsBuild count–min sketch]]
+    * across `foreachBatch` micro-batches in a [[CompactingKeyState]]:
+    * each batch appends its OWN batch-local sketch tagged with
+    * `batchId`, and [[cmsReadSketch]] folds all deltas cell-wise. The
+    * CM sketch is linear, so incremental maintenance is EXACT —
+    * sketch-after-N-batches ≡ one-shot sketch over the union (the
+    * q192 gate proves it against the batch oracle).
+    *
+    * The batch-id tag is what makes the set-semantics state safe for
+    * counters: two batches that happen to produce an identical
+    * (row, bucket, cnt) cell must count twice — tagging keeps the rows
+    * distinct — while a foreachBatch RETRY of the same batch rewrites
+    * byte-identical rows that collapse under the state's distinct,
+    * giving exactly-once sketch maintenance for free. Per-batch state
+    * growth is bounded by depth·width cells regardless of batch size. */
+  def cmsAppendBatch(state: CompactingKeyState, batch: DataFrame,
+      keyCol: String, width: Int, depth: Int, batchId: Long): Unit =
+    state.append(graft.operators.Freq.cmsBuild(batch, keyCol, width, depth)
+      .withColumn("batch_id", lit(batchId)))
+
+  /** The maintained sketch: fold every appended delta cell-wise. None
+    * while no batch has arrived. */
+  def cmsReadSketch(state: CompactingKeyState): Option[DataFrame] =
+    state.read().map(_.groupBy("row", "bucket").agg(sum("cnt").as("cnt")))
 }

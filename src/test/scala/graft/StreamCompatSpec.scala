@@ -113,4 +113,24 @@ class StreamCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rollup == Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("cms maintenance: incremental == one-shot; batch retry is idempotent") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cms-state-").toString
+    val state = new graft.streaming.CompactingKeyState(spark, dir, compactEvery = 1)
+    val b0 = (0 until 300).map(i => (i % 17).toLong).toDF("k")
+    val b1 = (0 until 200).map(i => (i % 23).toLong).toDF("k")
+    val (w, d) = (16, 2)
+    graft.streaming.StreamOps.cmsAppendBatch(state, b0, "k", w, d, batchId = 0L)
+    graft.streaming.StreamOps.cmsAppendBatch(state, b1, "k", w, d, batchId = 1L)
+    // a foreachBatch RETRY: same batch, same id — byte-identical delta
+    // rows collapse under the state's set semantics
+    graft.streaming.StreamOps.cmsAppendBatch(state, b1, "k", w, d, batchId = 1L)
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val incremental = cells(graft.streaming.StreamOps.cmsReadSketch(state).get)
+    val oneShot = cells(graft.operators.Freq.cmsBuild(b0.unionByName(b1), "k", w, d))
+    assert(incremental == oneShot)
+  }
 }

@@ -97,7 +97,8 @@ object Bench {
     "q188_exact_quantiles",     // exact ranks: histogram + range spans, no global sort
     "q189_triangle_stats",      // degree-oriented wedges, all hash joins
     "q190_script_profile",      // map-only codegen'd regexp script counts
-    "q191_label_prop")          // 4 vote rounds: adjacency join + argmax agg each
+    "q191_label_prop",          // 4 vote rounds: adjacency join + argmax agg each
+    "q194_image_neardup")       // PNG decode + aHash + banded hamming pairs
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is

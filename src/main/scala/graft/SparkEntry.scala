@@ -82,6 +82,41 @@ object SparkEntry {
     p.toString
   }
 
+  /** Parametric aHash fixture image: 64×64 PNG, columns left of
+    * `8·(1 + id%7)` black, the rest white; odd ids additionally flip
+    * the top-left 8×8 cell to white. Every 8×8 grid cell is a uniform
+    * 0/255 block, so the average-hash bits are ANALYTIC —
+    * `bit(r,c) = (c >= 1 + id%7) OR (odd(id) AND r=0 AND c=0)` — and
+    * the DuckDB oracle recomputes the exact 64-bit hash from that
+    * construction law (no image codec needed on the oracle side;
+    * PNG round-trips TYPE_INT_RGB losslessly on the engine side). */
+  private def ahashPng(id: Long): Array[Byte] = {
+    val split = (1 + (id % 7)).toInt * 8
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val white = x >= split || (id % 2 == 1 && x < 8 && y < 8)
+        img.setRGB(x, y, if (white) 0xffffff else 0x000000)
+        x += 1
+      }
+      y += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  private def ahashFixture(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    spark.range(56).as(Encoders.scalaLong)
+      .map(id => (id, ahashPng(id)))(Encoders.tuple(Encoders.scalaLong,
+        Encoders.BINARY))
+      .toDF("doc_id", "png")
+  }
+
   /** Point synthesized from lineitem integer columns: x in 0..99, y in 10..70. */
   private val PX = "CAST(l_orderkey % 100 AS STRING)"
   private val PY = "CAST(l_linenumber * 10 AS STRING)"
@@ -2628,6 +2663,35 @@ object SparkEntry {
       graft.operators.Sessionize.rollingActives(ev, "day", "user_id",
           Seq(1, 7, 28))
         .orderBy("day")
+    }),
+    // image perceptual average-hash: REAL ImageIO decode of parametric
+    // PNGs whose uniform 8x8 cells make the 64-bit hash analytic — the
+    // oracle recomputes every bit from the construction law (exact
+    // integer mean comparisons, no rounding law)
+    "q193_image_ahash" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val m = graft.multimodal.Media.withMetadata(
+        ahashFixture(spark), "doc_id", "png")
+      graft.multimodal.Media.imageAHash(m)
+        .select(col("mediaId").as("doc_id"), col("ahash"),
+          col("realDecode").as("real_decode"))
+        .orderBy("doc_id")
+    }),
+    // image near-dup pairs: the aHash fixture through the generic
+    // banded-Hamming pair machinery (maxHamming 3 < bands 4, so the
+    // pigeonhole guarantee is total and the oracle can enumerate plain
+    // all-pairs popcount over the analytic hashes)
+    "q194_image_neardup" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val m = graft.multimodal.Media.withMetadata(
+        ahashFixture(spark), "doc_id", "png")
+      val hashes = graft.multimodal.Media.imageAHash(m)
+        .select(col("mediaId").as("doc_id"), col("ahash"))
+      graft.operators.Dedup.hammingPairs64(hashes, "doc_id", "ahash",
+          maxHamming = 3, bands = 4)
+        .orderBy("ida", "idb")
     }),
     // STREAMING count-min maintenance: lineitem arrives as two
     // mtime-ordered micro-batches (even orderkeys first); each batch
@@ -5905,6 +5969,55 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // the analytic bit law summed in two 32-bit halves (BIGINT << is
+    // safe below bit 32), recombined with the sign fix-up at bit 63
+    "q193_image_ahash" -> """
+      WITH ids AS (SELECT unnest(range(0, 56)) AS doc_id),
+           g AS (SELECT r.r, c.c FROM (SELECT unnest(range(0, 8)) AS r) r
+                 CROSS JOIN (SELECT unnest(range(0, 8)) AS c) c),
+           bits AS (SELECT doc_id, r, c,
+                      CASE WHEN c >= 1 + doc_id % 7
+                             OR (doc_id % 2 = 1 AND r = 0 AND c = 0)
+                           THEN 1 ELSE 0 END AS bit
+                    FROM ids CROSS JOIN g),
+           s AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN bit = 1 AND r*8 + c < 32
+                     THEN CAST(1 AS BIGINT) << CAST(r*8 + c AS INT)
+                     ELSE 0 END) AS BIGINT) AS lo,
+                   CAST(sum(CASE WHEN bit = 1 AND r*8 + c >= 32
+                     THEN CAST(1 AS BIGINT) << CAST(r*8 + c - 32 AS INT)
+                     ELSE 0 END) AS BIGINT) AS hi
+                 FROM bits GROUP BY doc_id)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+               * 4294967296 + lo AS ahash,
+             true AS real_decode
+      FROM s ORDER BY doc_id""",
+    // all-pairs popcount over the same analytic halves — valid stand-in
+    // for the banded search because maxHamming < bands makes it total
+    "q194_image_neardup" -> """
+      WITH ids AS (SELECT unnest(range(0, 56)) AS doc_id),
+           g AS (SELECT r.r, c.c FROM (SELECT unnest(range(0, 8)) AS r) r
+                 CROSS JOIN (SELECT unnest(range(0, 8)) AS c) c),
+           bits AS (SELECT doc_id, r, c,
+                      CASE WHEN c >= 1 + doc_id % 7
+                             OR (doc_id % 2 = 1 AND r = 0 AND c = 0)
+                           THEN 1 ELSE 0 END AS bit
+                    FROM ids CROSS JOIN g),
+           s AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN bit = 1 AND r*8 + c < 32
+                     THEN CAST(1 AS BIGINT) << CAST(r*8 + c AS INT)
+                     ELSE 0 END) AS BIGINT) AS lo,
+                   CAST(sum(CASE WHEN bit = 1 AND r*8 + c >= 32
+                     THEN CAST(1 AS BIGINT) << CAST(r*8 + c - 32 AS INT)
+                     ELSE 0 END) AS BIGINT) AS hi
+                 FROM bits GROUP BY doc_id)
+      SELECT CAST(a.doc_id AS BIGINT) AS ida, CAST(b.doc_id AS BIGINT) AS idb,
+             CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+               AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+      ORDER BY ida, idb""",
     // the one-shot CM cell replay (q187's `s` CTE): linearity means the
     // two-batch incremental build must reproduce it exactly
     "q192_stream_cms" -> """

@@ -83,6 +83,26 @@ object Media {
     }
   }
 
+  case class AHash(mediaId: Long, ahash: Long, realDecode: Boolean)
+
+  /** Per-image 64-bit [[MediaCodec.aHash64 average-hash]] — feed the
+    * result into [[graft.operators.Dedup.hammingPairs64]] (banded
+    * Hamming candidates + exact popcount refine) for image near-dup
+    * detection at corpus scale: the decode is the only heavy step and
+    * runs map-only here; everything after operates on 8-byte
+    * fingerprints, never pixels. Same mapPartitions/streamed-rows
+    * contract as [[imageFeatures]]. */
+  def imageAHash(ds: Dataset[MediaRow]): Dataset[AHash] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val (h, real) = MediaCodec.aHash64(r.content)
+        AHash(r.mediaId, h, real)
+      }
+    }
+  }
+
   case class ResizedImage(mediaId: Long, width: Int, height: Int,
       png: Array[Byte], realDecode: Boolean)
 
@@ -328,6 +348,83 @@ object MediaCodec {
       javax.imageio.ImageIO.write(out, "png", buf)
       Some((w, h, buf.toByteArray))
     }
+  }
+
+  /** 64-bit average-hash (aHash) of an image: luminance means over an
+    * 8×8 cell grid, bit (r,c) = cell mean STRICTLY above the global
+    * mean, bit index `r*8 + c` from the LSB. The classic cheap
+    * perceptual fingerprint — stable under re-encode/resize, so equal
+    * or near-equal hashes flag visually duplicate images.
+    *
+    * Exactness: cell-vs-global mean comparisons are INTEGER
+    * cross-multiplications (`cellSum·totalCnt > totalSum·cellCnt`) —
+    * no floating point, no rounding law needed, any engine replaying
+    * the construction reproduces the hash bit-for-bit. Images larger
+    * than 2^24 sampled pixels are stride-subsampled (deterministic
+    * stride from dimensions) to keep the products inside Long range.
+    * Payloads ImageIO rejects fall back to the same law over the RAW
+    * BYTES as a 1×n luminance strip split into 64 chunks — the
+    * documented deterministic stub path, shape-preserving for
+    * synthetic corpora. */
+  def aHash64(bytes: Array[Byte]): (Long, Boolean) = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img != null && img.getWidth >= 8 && img.getHeight >= 8) {
+      val w = img.getWidth
+      val h = img.getHeight
+      // stride keeps sampled pixels <= 2^24 so the cross-products fit
+      val stride = {
+        var s = 1
+        while ((w.toLong / s) * (h.toLong / s) > (1L << 24)) s += 1
+        s
+      }
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val r = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val c = x * 8 / w
+          val rgb = img.getRGB(x, y)
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          sums(r * 8 + c) += lum
+          cnts(r * 8 + c) += 1
+          x += stride
+        }
+        y += stride
+      }
+      (hashFromCells(sums, cnts), true)
+    } else {
+      val n = math.max(1, bytes.length)
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var i = 0
+      while (i < bytes.length) {
+        val cell = math.min(63, (i.toLong * 64 / n).toInt)
+        sums(cell) += (bytes(i) & 0xff)
+        cnts(cell) += 1
+        i += 1
+      }
+      (hashFromCells(sums, cnts), false)
+    }
+  }
+
+  private def hashFromCells(sums: Array[Long], cnts: Array[Long]): Long = {
+    var totalSum = 0L
+    var totalCnt = 0L
+    var i = 0
+    while (i < 64) { totalSum += sums(i); totalCnt += cnts(i); i += 1 }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      // empty cells (cnt 0) stay 0: 0 > totalSum * 0 = 0 is false
+      if (sums(i) * totalCnt > totalSum * cnts(i)) hash |= 1L << i
+      i += 1
+    }
+    hash
   }
 
   case class DecodedImage(width: Int, height: Int, channels: Int,

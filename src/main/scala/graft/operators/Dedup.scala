@@ -394,18 +394,52 @@ object Dedup {
       .withColumnRenamed("doc", idCol)
   }
 
-  /** (doc, sh, band, bucket) per document: the 64-bit simhash sliced into
-    * `bands` equal bit-windows, one bucket row per band. */
-  private def simhashBands(df: DataFrame, idCol: String, textCol: String,
+  /** (doc, sh, band, bucket) per row: an arbitrary 64-bit fingerprint
+    * expression sliced into `bands` equal bit-windows, one bucket row
+    * per band — the shared banding layer under [[simhashNearDups]] and
+    * [[hammingPairs64]]. */
+  private def hashBands64(df: DataFrame, idCol: String, hash: Column,
       bands: Int): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh"))
+    df.select(col(idCol).as("doc"), hash.as("sh"))
       .select(col("doc"), col("sh"), posexplode(array(
         (0 until bands).map(b =>
           shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** (doc, sh, band, bucket) per document: the 64-bit simhash sliced into
+    * `bands` equal bit-windows, one bucket row per band. */
+  private def simhashBands(df: DataFrame, idCol: String, textCol: String,
+      bands: Int): DataFrame =
+    hashBands64(df, idCol, simhash64(col(textCol)), bands)
+
+  /** Hamming-radius near-dup pairs over a PRECOMPUTED 64-bit hash
+    * column — the [[simhashNearDups]] machinery exposed for any
+    * fingerprint (image perceptual hashes, audio fingerprints, custom
+    * simhashes computed upstream). By pigeonhole, any pair within
+    * `maxHamming < bands` differing bits shares at least one identical
+    * band, so banding finds every such pair; candidates are refined by
+    * the exact codegen'd popcount. Same `maxBucket` degeneracy cap and
+    * id-ordered `(ida, idb, hamming)` contract as the simhash form.
+    *
+    * Scale design: identical to simhash — one ×bands map-only fan-out,
+    * a (band, bucket)-keyed aggregation, in-bucket pair explosion
+    * bounded by `maxBucket`², exact refine on the pair rows only. */
+  def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
+    explodeBucketPairs(
+        hashBands64(df, idCol, col(hashCol).cast("long"), bands)
+          .groupBy("band", "bucket")
+          .agg(sort_array(collect_list(struct(col("doc"), col("sh")))).as("ds")),
+        maxBucket)
+      .select(col("ida.doc").as("ida"), col("idb.doc").as("idb"),
+        hamming64(col("ida.sh"), col("idb.sh")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
   }
 
   /** SimHash pairs within a Hamming-distance radius, found via `bands`

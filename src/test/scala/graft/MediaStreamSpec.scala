@@ -547,4 +547,52 @@ class MediaStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     query.stop()
     assert(ids.toSeq == Seq(1L, 2L))
   }
+
+  test("aHash64: analytic bits on a real PNG; stub path on raw bytes") {
+    import spark.implicits._
+    // 16x16, left quarter black: every 8x8 grid cell uniform (cells are
+    // 2x2 pixel blocks), bright cells are exactly those with c >= 2
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (h, real) = MediaCodec.aHash64(bos.toByteArray)
+    assert(real)
+    val expected = (for { r <- 0 until 8; c <- 2 until 8 }
+      yield 1L << (r * 8 + c)).sum
+    assert(h == expected, f"ahash $h%016x != $expected%016x")
+    // non-image bytes: deterministic stub (realDecode=false), stable
+    val junk = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+    val (s1, r1) = MediaCodec.aHash64(junk)
+    val (s2, r2) = MediaCodec.aHash64(junk)
+    assert(!r1 && !r2 && s1 == s2)
+    // dataset plumbing end-to-end
+    val ds = Media.withMetadata(Seq((1L, bos.toByteArray), (2L, junk))
+      .toDF("id", "b"), "id", "b")
+    val rows = Media.imageAHash(ds).collect().map(a => a.mediaId -> a).toMap
+    assert(rows(1L).ahash == expected && rows(1L).realDecode)
+    assert(rows(2L).ahash == s1 && !rows(2L).realDecode)
+  }
+
+  test("hammingPairs64 finds exactly the brute-force pairs when maxHamming < bands") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    // clustered hashes: 12 seeds, each with 4 low-bit-flip variants
+    val seeds = (0 until 12).map(_ => rnd.nextLong())
+    val hashes = (for {
+      (s, i) <- seeds.zipWithIndex
+      j <- 0 until 4
+    } yield ((i * 4 + j).toLong, s ^ (if (j == 0) 0L else 1L << rnd.nextInt(64)))) :+
+      ((999L, rnd.nextLong()))
+    val got = graft.operators.Dedup.hammingPairs64(
+        hashes.toDF("id", "h"), "id", "h", maxHamming = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (ia, ib, d)).toSet
+    assert(got == brute, s"got ${got.size} pairs, brute ${brute.size}")
+  }
 }

@@ -98,7 +98,8 @@ object Bench {
     "q189_triangle_stats",      // degree-oriented wedges, all hash joins
     "q190_script_profile",      // map-only codegen'd regexp script counts
     "q191_label_prop",          // 4 vote rounds: adjacency join + argmax agg each
-    "q194_image_neardup")       // PNG decode + aHash + banded hamming pairs
+    "q194_image_neardup",       // PNG decode + aHash + banded hamming pairs
+    "q195_url_dedup")           // codegen'd regex canon chain + one hash agg
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -122,7 +123,8 @@ object Bench {
     "q170_lsh_index_dedup", "q171_retention_cohorts", "q174_bm25_index",
     "q177_tile_pyramid", "q179_heavy_hitters", "q180_scd2_merge",
     "q182_hilbert", "q184_rrf_fusion", "q186_rolling_actives",
-    "q187_cms_counts", "q188_exact_quantiles", "q190_script_profile")
+    "q187_cms_counts", "q188_exact_quantiles", "q190_script_profile",
+    "q195_url_dedup")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

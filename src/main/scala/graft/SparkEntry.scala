@@ -2664,6 +2664,30 @@ object SparkEntry {
           Seq(1, 7, 28))
         .orderBy("day")
     }),
+    // C4-style URL dedup: parametric messy URLs (mixed-case www hosts,
+    // :80 ports, tracking params, fragments, trailing slashes) from
+    // part keys, canonicalized by the fixed codegen'd regex chain and
+    // elected per canonical URL — one map-side-partial hash agg
+    "q195_url_dedup" -> ((spark, dir) => {
+      prep(spark, dir)
+      val urls = spark.sql("""
+        SELECT p_partkey AS id, concat(
+          CASE WHEN p_partkey % 2 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END,
+          'Site', CAST(p_partkey % 40 AS STRING), '.example.com',
+          CASE WHEN p_partkey % 4 = 0 THEN ':80' ELSE '' END,
+          '/Items/', CAST(p_partkey % 7 AS STRING),
+          CASE WHEN p_partkey % 3 = 0 THEN '/' ELSE '' END,
+          CASE WHEN p_partkey % 5 = 0 THEN '?utm_source=feed'
+               WHEN p_partkey % 5 = 1 THEN
+                 concat('?ref=', CAST(p_partkey % 3 AS STRING), '&utm_campaign=x')
+               WHEN p_partkey % 5 = 2 THEN
+                 concat('?gclid=abc&ref=', CAST(p_partkey % 3 AS STRING))
+               ELSE '' END,
+          CASE WHEN p_partkey % 6 = 0 THEN '#Section2' ELSE '' END) AS url
+        FROM part""")
+      graft.operators.Curation.urlDedup(urls, "id", "url")
+        .orderBy("canon_url")
+    }),
     // image perceptual average-hash: REAL ImageIO decode of parametric
     // PNGs whose uniform 8x8 cells make the 64-bit hash analytic — the
     // oracle recomputes every bit from the construction law (exact
@@ -5969,6 +5993,42 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // the same canonicalization chain in RE2 ('g' flags, \1 backrefs)
+    "q195_url_dedup" -> """
+      WITH u AS (SELECT p_partkey AS id,
+          CASE WHEN p_partkey % 2 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END
+          || 'Site' || CAST(p_partkey % 40 AS VARCHAR) || '.example.com'
+          || CASE WHEN p_partkey % 4 = 0 THEN ':80' ELSE '' END
+          || '/Items/' || CAST(p_partkey % 7 AS VARCHAR)
+          || CASE WHEN p_partkey % 3 = 0 THEN '/' ELSE '' END
+          || CASE WHEN p_partkey % 5 = 0 THEN '?utm_source=feed'
+                  WHEN p_partkey % 5 = 1 THEN
+                    '?ref=' || CAST(p_partkey % 3 AS VARCHAR) || '&utm_campaign=x'
+                  WHEN p_partkey % 5 = 2 THEN
+                    '?gclid=abc&ref=' || CAST(p_partkey % 3 AS VARCHAR)
+                  ELSE '' END
+          || CASE WHEN p_partkey % 6 = 0 THEN '#Section2' ELSE '' END AS url
+        FROM part),
+           s AS (SELECT id, regexp_replace(url, '#.*', '', 'g') AS nf FROM u),
+           p AS (SELECT id,
+                   lower(regexp_extract(nf, '^([a-zA-Z]+://[^/?#]*)', 1)) AS pre,
+                   regexp_extract(nf, '^[a-zA-Z]+://[^/?#]*(.*)', 1) AS rest
+                 FROM s),
+           n AS (SELECT id,
+                   regexp_replace(regexp_replace(regexp_replace(pre,
+                       '^(http://.*):80$', '\1'),
+                       '^(https://.*):443$', '\1'),
+                     '^(https?://)www\.', '\1') AS host,
+                   regexp_replace(regexp_replace(
+                     regexp_replace(rest,
+                       '(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+                     '\?&', '?'), '[?&]$', '') AS path
+                 FROM p),
+           c AS (SELECT id,
+                   regexp_replace(host || path, '/$', '') AS canon_url
+                 FROM n)
+      SELECT canon_url, min(id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+      FROM c GROUP BY canon_url ORDER BY canon_url""",
     // the analytic bit law summed in two 32-bit halves (BIGINT << is
     // safe below bit 32), recombined with the sign fix-up at bit 63
     "q193_image_ahash" -> """
@@ -6563,7 +6623,9 @@ object SparkEntry {
     // 4 deterministic vote rounds on the 10x co-order graph
     "q191_label_prop",
     // two-batch incremental CM ≡ one-shot over 10x the rows
-    "q192_stream_cms")
+    "q192_stream_cms",
+    // the full canonicalization chain over 10x the messy URLs
+    "q195_url_dedup")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -422,4 +422,40 @@ object Curation {
         !col("has_lorem") && !col("has_brace") && !col("has_badword") &&
           col("n_sentences") >= minSentences)
   }
+
+  /** Canonical URL for dedup keys — the C4/Common-Crawl-style
+    * normalization under which `HTTP://WWW.Site.com:80/a/?utm_source=x#f`
+    * and `http://site.com/a` are the SAME page: drop the fragment,
+    * lowercase scheme+host, strip default ports (http:80 / https:443)
+    * and a leading `www.`, remove tracking query params
+    * (`utm_*`/`gclid`/`fbclid`) with separator tidy-up, and drop a
+    * trailing slash. A fixed chain of codegen'd `regexp_replace` /
+    * `regexp_extract` steps — map-only, engine-replayable (the oracle
+    * runs the same chain in RE2), no UDF. Path case is preserved
+    * (paths ARE case-sensitive; hosts are not). */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val prefix = lower(regexp_extract(noFrag, "^([a-zA-Z]+://[^/?#]*)", 1))
+    val rest = regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]*(.*)", 1)
+    val noPort = regexp_replace(
+      regexp_replace(prefix, "^(http://.*):80$", "$1"),
+      "^(https://.*):443$", "$1")
+    val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    val noTrack =
+      regexp_replace(rest, "(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*&?", "")
+    val tidied =
+      regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]$", "")
+    regexp_replace(concat(noWww, tidied), "/$", "")
+  }
+
+  /** URL-keyed exact dedup election: one row per [[canonicalUrl
+    * canonical URL]] with the smallest id as the keeper and the
+    * duplicate count — the cheapest high-precision dedup pass a web
+    * corpus runs BEFORE any content hashing (C4 deduplicated by URL
+    * first). One hash aggregation with map-side partials; no sort, no
+    * window, no content movement. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.where(col(urlCol).isNotNull)
+      .groupBy(canonicalUrl(col(urlCol)).as("canon_url"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 }

@@ -319,4 +319,38 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // junk: not in weights -> weight 0, nothing sampled
     assert(plan("junk") == ((3L, 0.0, 0L, 0.0, 0.0, 0L)))
   }
+
+  test("canonicalUrl: each normalization rule, and what must be preserved") {
+    import spark.implicits._
+    val cases = Seq(
+      // fragment + www + port + utm + trailing slash, all at once
+      ("HTTP://WWW.Example.com:80/A/B/?utm_source=x#frag", "http://example.com/A/B"),
+      // https default port; path CASE preserved
+      ("https://Site.ORG:443/Path", "https://site.org/Path"),
+      // non-default port preserved
+      ("http://a.com:8080/x", "http://a.com:8080/x"),
+      // tracked param in the middle: separators tidied, real params kept
+      ("http://a.com/p?id=1&utm_campaign=c&q=2", "http://a.com/p?id=1&q=2"),
+      // tracked param first
+      ("http://a.com/p?fbclid=z&id=1", "http://a.com/p?id=1"),
+      // only tracked params -> bare path, no dangling '?'
+      ("http://a.com/p?gclid=g", "http://a.com/p"),
+      // bare host with trailing slash
+      ("http://WWW.A.com/", "http://a.com"),
+      // www in the PATH is not a host prefix
+      ("http://b.com/www.decoy", "http://b.com/www.decoy"))
+    val got = Curation.canonicalUrl(col("u"))
+    val out = cases.map(_._1).toDF("u").select(got.as("c"))
+      .collect().map(_.getString(0)).toSeq
+    cases.zip(out).foreach { case ((in, want), actual) =>
+      assert(actual == want, s"$in -> $actual, want $want")
+    }
+    // election: the three spellings of one page collapse to min id
+    val dd = Curation.urlDedup(Seq(
+        (7L, "http://x.com/a"), (3L, "HTTP://WWW.X.com:80/a/"),
+        (9L, "http://x.com/a?utm_source=s"), (5L, "http://x.com/b"))
+      .toDF("id", "url"), "id", "url")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dd == Map("http://x.com/a" -> ((3L, 3L)), "http://x.com/b" -> ((5L, 1L))))
+  }
 }

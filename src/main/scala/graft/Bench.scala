@@ -99,7 +99,8 @@ object Bench {
     "q190_script_profile",      // map-only codegen'd regexp script counts
     "q191_label_prop",          // 4 vote rounds: adjacency join + argmax agg each
     "q194_image_neardup",       // PNG decode + aHash + banded hamming pairs
-    "q195_url_dedup")           // codegen'd regex canon chain + one hash agg
+    "q195_url_dedup",           // codegen'd regex canon chain + one hash agg
+    "q196_top_p")               // group-keyed shared-sort window nucleus cut
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -124,7 +125,7 @@ object Bench {
     "q177_tile_pyramid", "q179_heavy_hitters", "q180_scd2_merge",
     "q182_hilbert", "q184_rrf_fusion", "q186_rolling_actives",
     "q187_cms_counts", "q188_exact_quantiles", "q190_script_profile",
-    "q195_url_dedup")
+    "q195_url_dedup", "q196_top_p")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

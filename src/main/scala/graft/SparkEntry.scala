@@ -2664,6 +2664,19 @@ object SparkEntry {
           Seq(1, 7, 28))
         .orderBy("day")
     }),
+    // top-p (nucleus) selection per customer bucket: keep orders until
+    // 60% of the bucket's spend mass, cents-integer scores so the
+    // running sums are order-free exact — the quality-mass shrink that
+    // adapts cut depth to each group's distribution
+    "q196_top_p" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.{col, expr}
+      val o = spark.table("orders").select(
+        (col("o_custkey") % 97).as("grp"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      graft.operators.Sampling.topPByScore(o, "grp", "o_orderkey", "cents", 0.6)
+        .orderBy("grp", "rnk")
+    }),
     // C4-style URL dedup: parametric messy URLs (mixed-case www hosts,
     // :80 ports, tracking params, fragments, trailing slashes) from
     // part keys, canonicalized by the fixed codegen'd regex chain and
@@ -5993,6 +6006,22 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // window replay: preceding-mass < p*total on exact integer cents
+    "q196_top_p" -> """
+      WITH o AS (SELECT o_custkey % 97 AS grp, o_orderkey,
+                        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+                 FROM orders),
+           w AS (SELECT grp, o_orderkey, cents,
+                   CAST(coalesce(sum(cents) OVER (PARTITION BY grp
+                     ORDER BY cents DESC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum_prev,
+                   CAST(sum(cents) OVER (PARTITION BY grp) AS BIGINT) AS total,
+                   CAST(row_number() OVER (PARTITION BY grp
+                     ORDER BY cents DESC, o_orderkey ASC) AS INT) AS rnk
+                 FROM o)
+      SELECT grp, o_orderkey, cents, rnk
+      FROM w WHERE cum_prev < 0.6 * total ORDER BY grp, rnk""",
     // the same canonicalization chain in RE2 ('g' flags, \1 backrefs)
     "q195_url_dedup" -> """
       WITH u AS (SELECT p_partkey AS id,
@@ -6625,7 +6654,9 @@ object SparkEntry {
     // two-batch incremental CM ≡ one-shot over 10x the rows
     "q192_stream_cms",
     // the full canonicalization chain over 10x the messy URLs
-    "q195_url_dedup")
+    "q195_url_dedup",
+    // exact integer nucleus cut over 10x the orders per bucket
+    "q196_top_p")
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -169,4 +169,47 @@ object Sampling {
       .where(col("__rk") <= k)
       .select(df.columns.map(col) :+ col("__rk").cast("int").as("sample_rank"): _*)
   }
+
+  /** Top-p (nucleus) selection per group: keep, in (score DESC, id ASC)
+    * order, the smallest prefix of each group whose score mass reaches
+    * fraction `p` of the group total — formally every row whose
+    * PRECEDING cumulative mass is `< p·total` (so the highest-scored
+    * row always survives, even when it alone exceeds `p`). The
+    * quality-weighted way to shrink a corpus: "keep the documents
+    * carrying the top 60% of quality mass per source" adapts the cut
+    * depth to each group's score distribution, where a fixed top-k or
+    * rate cannot.
+    *
+    * Output: the selected rows as (group, id, score, rnk).
+    *
+    * Determinism: the prefix test is exact when scores are
+    * INTEGER-VALUED (integer window sums are order-free; `p·total` is
+    * one double product both engines compute identically). For
+    * fractional scores the cumulative sum depends on IEEE order —
+    * fixed here by the total (score DESC, id ASC) window order, but
+    * callers wanting cross-engine replay should scale scores to
+    * integers (the q196 contract multiplies 2dp prices by 100).
+    *
+    * Scale design: one shuffle keyed by group, one window pass over
+    * each group's sort (running sum + row_number share it), the
+    * group-total as an unordered partition aggregate. Designed for
+    * MANY groups (source, domain, shard): per-group work parallelizes
+    * across the shuffle; a single giant group degenerates to one
+    * task's external sort like any per-group window. */
+  def topPByScore(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, p: Double): DataFrame = {
+    require(p > 0 && p <= 1, s"p must be in (0, 1] (got $p)")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val zero = lit(0).cast(df.schema(scoreCol).dataType)
+    df.where(col(scoreCol).isNotNull)
+      .withColumn("__cum_prev", coalesce(sum(col(scoreCol)).over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        zero))
+      .withColumn("__total", sum(col(scoreCol)).over(wAll))
+      .withColumn("rnk", row_number().over(wOrd))
+      .where(col("__cum_prev") < lit(p) * col("__total"))
+      .select(col(groupCol), col(idCol), col(scoreCol), col("rnk"))
+  }
 }

@@ -158,4 +158,39 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4))
     }
   }
+
+  test("topPByScore: brute-force nucleus per group, ties, p=1, dominant row") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val rows = (0 until 500).map(i =>
+      (i % 7, i.toLong, (rnd.nextInt(20) + 1).toLong)) ++
+      Seq((9, 1000L, 1000L), (9, 1001L, 1L), (9, 1002L, 1L)) // dominant head
+    def brute(p: Double): Set[(Int, Long)] = rows.groupBy(_._1).toSeq.flatMap {
+      case (g, xs) =>
+        val sorted = xs.map(x => (x._3, x._2)).sortBy { case (s, id) => (-s, id) }
+        val total = sorted.map(_._1).sum.toDouble
+        val cumPrev = sorted.scanLeft(0L)(_ + _._1) // mass BEFORE index i
+        sorted.zip(cumPrev).collect {
+          case ((_, id), cp) if cp < p * total => (g, id)
+        }
+    }.toSet
+    Seq(0.3, 0.6, 1.0).foreach { p =>
+      val got = graft.operators.Sampling.topPByScore(
+          rows.toDF("g", "id", "s"), "g", "id", "s", p)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(got == brute(p), s"p=$p: got ${got.size}, brute ${brute(p).size}")
+    }
+    // p=1.0 keeps everything (cum_prev < total holds for every row)
+    assert(graft.operators.Sampling.topPByScore(
+      rows.toDF("g", "id", "s"), "g", "id", "s", 1.0).count() == rows.size)
+    // the dominant row alone exceeds p yet survives; its tail does not
+    val g9 = graft.operators.Sampling.topPByScore(
+        rows.toDF("g", "id", "s"), "g", "id", "s", 0.5)
+      .where(org.apache.spark.sql.functions.col("g") === 9)
+      .collect().map(_.getLong(1)).toSet
+    assert(g9 == Set(1000L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.topPByScore(rows.toDF("g", "id", "s"), "g", "id", "s", 0.0)
+    }
+  }
 }

@@ -100,7 +100,8 @@ object Bench {
     "q191_label_prop",          // 4 vote rounds: adjacency join + argmax agg each
     "q194_image_neardup",       // PNG decode + aHash + banded hamming pairs
     "q195_url_dedup",           // codegen'd regex canon chain + one hash agg
-    "q196_top_p")               // group-keyed shared-sort window nucleus cut
+    "q196_top_p",               // group-keyed shared-sort window nucleus cut
+    "q197_containment")         // df-capped token join + pair hash agg
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -139,6 +140,7 @@ object Bench {
     "q162_cosine_edges" -> "same full-probing exactness fixture as q159 (all-pairs by construction)",
     "q181_fuzzy_dedup" -> "in-block pair count is quadratic in block occupancy (8 first-token blocks in the part fixture), so x10 input is x100 candidate pairs by construction; production keys add tokens/length buckets to hold occupancy flat",
     "q183_jw_linkage" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction",
+    "q197_containment" -> "the ~31-word synthetic vocabulary makes any fixed df cap empty-or-total at 10x docs; the absolute-cap semantics are pinned at sf0.01",
     "q185_sim_suite" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction",
     "q189_triangle_stats" -> "wedge count grows with the square of co-order adjacency, which rises with order density at fixed part domain — not input-linear by construction")
 

@@ -2664,6 +2664,19 @@ object SparkEntry {
           Seq(1, 7, 28))
         .orderBy("day")
     }),
+    // near-containment pairs over the real documents: |A∩B|/|A| on the
+    // df<=50-filtered token universe — the quote-inclusion relation
+    // Jaccard misses; token join bounded by the df cap
+    "q197_containment" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      // doc_id < 2000 keeps the df cap comparable across sfs (the twin
+      // would otherwise filter its universe to emptiness at 10x docs)
+      graft.operators.Dedup.containmentPairs(
+          spark.table("documents").where(col("doc_id") < 2000),
+          "doc_id", "text", minContainment = 0.5, maxDf = 50)
+        .orderBy("ida", "idb")
+    }),
     // top-p (nucleus) selection per customer bucket: keep orders until
     // 60% of the bucket's spend mass, cents-integer scores so the
     // running sums are order-free exact — the quality-mass shrink that
@@ -6006,6 +6019,26 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // same df-filtered universe, sizes, intersections, 6dp quotients
+    "q197_containment" -> """
+      WITH t AS (SELECT DISTINCT doc_id, tok FROM (
+                   SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                   FROM documents WHERE doc_id < 2000) WHERE tok <> ''),
+           k AS (SELECT t.doc_id, t.tok FROM t JOIN (
+                   SELECT tok, count(*) AS dfc FROM t GROUP BY tok) d
+                 ON t.tok = d.tok WHERE dfc <= 50),
+           sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY doc_id),
+           sh AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+                         CAST(count(*) AS BIGINT) AS shared
+                  FROM k a JOIN k b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+           r AS (SELECT ida, idb, shared, sa.n AS size_a, sb.n AS size_b,
+                        round(CAST(shared AS DOUBLE) / sa.n, 6) AS c_ab,
+                        round(CAST(shared AS DOUBLE) / sb.n, 6) AS c_ba
+                 FROM sh JOIN sz sa ON sh.ida = sa.doc_id
+                 JOIN sz sb ON sh.idb = sb.doc_id)
+      SELECT ida, idb, shared, size_a, size_b, c_ab, c_ba
+      FROM r WHERE greatest(c_ab, c_ba) >= 0.5 ORDER BY ida, idb""",
     // window replay: preceding-mass < p*total on exact integer cents
     "q196_top_p" -> """
       WITH o AS (SELECT o_custkey % 97 AS grp, o_orderkey,
@@ -6657,6 +6690,10 @@ object SparkEntry {
     "q195_url_dedup",
     // exact integer nucleus cut over 10x the orders per bucket
     "q196_top_p")
+    // q197_containment has NO twin: the synthetic corpus's ~31-word
+    // vocabulary means any fixed df cap is either empty or total at
+    // 10x docs — the absolute-cap semantics are exercised at sf0.01
+    // and in the TextVecSpec fixture instead
 
   /** Twins run on a derived `newSession` — own temp-view namespace over
     * the shared SparkContext — so their sf0.1 `prep` can never clobber

@@ -842,4 +842,53 @@ object Dedup {
       .where(col("sim") >= minSim)
       .select(col("ida"), col("idb"), col("sim"))
   }
+
+  /** Near-containment pairs: document pairs where one side's token SET
+    * is (almost) inside the other's — `C(A→B) = |A∩B| / |A|` — the
+    * quote-inclusion / page-embeds-page relation that resemblance
+    * metrics (Jaccard, MinHash) systematically miss: a tweet quoted
+    * whole inside an article has Jaccard ≈ 0 but containment 1.
+    *
+    * Semantics are defined over the DF-FILTERED token universe: tokens
+    * appearing in more than `maxDf` documents are excluded from BOTH
+    * candidate generation and scoring (set sizes, intersections). A
+    * token shared by everything ("the") carries no containment signal
+    * but would dominate the token join; the cap is the documented
+    * trade, applied consistently so the operator remains an exact
+    * function of (corpus, maxDf) and the oracle replays it.
+    *
+    * Output: `(ida, idb, shared, size_a, size_b, c_ab, c_ba)` for
+    * id-ordered pairs with `max(c_ab, c_ba) >= minContainment`,
+    * quotients under the 6dp law.
+    *
+    * Scale design: distinct (doc, token) grid, one DF hash-agg, the
+    * token-keyed self-join bounded by the cap (Σ df² ≤ maxDf · Σ df —
+    * linear in the grid for fixed maxDf), pair hash-agg, two size
+    * joins. All hash joins on (token) / (doc) / (pair) keys. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      minContainment: Double, maxDf: Int = 1000): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment must be in (0, 1] (got $minContainment)")
+    require(maxDf >= 1, s"maxDf must be >= 1 (got $maxDf)")
+    val rz6 = graft.util.Round6.rz6 _
+    val t = df.select(col(idCol).as("__id"),
+        explode(split(coalesce(col(textCol).cast("string"), lit("")), " "))
+          .as("__tok"))
+      .where(col("__tok") =!= "").distinct()
+    val kept = t.join(
+      t.groupBy("__tok").agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= maxDf), Seq("__tok"))
+    val sizes = kept.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val shared = kept.select(col("__tok"), col("__id").as("ida"))
+      .join(kept.select(col("__tok"), col("__id").as("idb")), Seq("__tok"))
+      .where(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("__id").as("ida"), col("__n").as("size_a")), Seq("ida"))
+      .join(sizes.select(col("__id").as("idb"), col("__n").as("size_b")), Seq("idb"))
+      .withColumn("c_ab", rz6(col("shared").cast("double") / col("size_a")))
+      .withColumn("c_ba", rz6(col("shared").cast("double") / col("size_b")))
+      .where(greatest(col("c_ab"), col("c_ba")) >= minContainment)
+      .select("ida", "idb", "shared", "size_a", "size_b", "c_ab", "c_ba")
+  }
 }

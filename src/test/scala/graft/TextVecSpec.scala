@@ -1345,6 +1345,37 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1)._3 == 1.0 && out(0)._3 > 0.9 && out(0)._3 < 1.0)
   }
 
+  test("containmentPairs: subset inclusion found where jaccard would miss it") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),                                   // A ⊂ B
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"), // superset
+      (3L, "kappa lambda mu nu"),                                 // disjoint
+      (4L, "kappa lambda mu nu xi"),                              // near-superset of 3
+      (5L, "common common alpha")) // 'common' below, dup tokens collapse
+    val got = Dedup.containmentPairs(docs.toDF("id", "t"), "id", "t",
+        minContainment = 0.75, maxDf = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // 1 in 2: shared 3, |1|=3 -> c_ab = 1.0 though jaccard = 3/9
+    assert(got((1L, 2L)) == ((3L, 3L, 9L, 1.0, 0.333333)))
+    // 3 in 4: shared 4, |3|=4 -> 1.0 / 0.8
+    assert(got((3L, 4L)) == ((4L, 4L, 5L, 1.0, 0.8)))
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 4L)))
+    // the df cap removes a universal token from sizes AND intersections
+    val capped = Dedup.containmentPairs(
+        Seq((1L, "x shared"), (2L, "y shared"), (3L, "z shared"))
+          .toDF("id", "t"), "id", "t", minContainment = 0.9, maxDf = 2)
+      .collect()
+    assert(capped.isEmpty) // 'shared' has df 3 > 2; nothing else overlaps
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs.toDF("id", "t"), "id", "t", 0.0)
+    }
+  }
+
   test("scriptProfile counts codepoints per script, incl. supplementary Han") {
     val sp = spark
     import sp.implicits._

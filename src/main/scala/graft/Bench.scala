@@ -101,7 +101,8 @@ object Bench {
     "q194_image_neardup",       // PNG decode + aHash + banded hamming pairs
     "q195_url_dedup",           // codegen'd regex canon chain + one hash agg
     "q196_top_p",               // group-keyed shared-sort window nucleus cut
-    "q197_containment")         // df-capped token join + pair hash agg
+    "q197_containment",         // df-capped token join + pair hash agg
+    "q198_js_divergence")       // two token hash-aggs + 256-row outer join
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -126,7 +127,7 @@ object Bench {
     "q177_tile_pyramid", "q179_heavy_hitters", "q180_scd2_merge",
     "q182_hilbert", "q184_rrf_fusion", "q186_rolling_actives",
     "q187_cms_counts", "q188_exact_quantiles", "q190_script_profile",
-    "q195_url_dedup", "q196_top_p")
+    "q195_url_dedup", "q196_top_p", "q198_js_divergence")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

@@ -2664,6 +2664,17 @@ object SparkEntry {
           Seq(1, 7, 28))
         .orderBy("day")
     }),
+    // corpus drift gate: JS divergence between the English and
+    // non-English documents over 256 hashed-token buckets — decimal
+    // term sums make the statistic partitioning-independent
+    "q198_js_divergence" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val d = spark.table("documents")
+      graft.operators.TextAnalysis.jsDivergence(
+        d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
+        "text", buckets = 256)
+    }),
     // near-containment pairs over the real documents: |A∩B|/|A| on the
     // df<=50-filtered token universe — the quote-inclusion relation
     // Jaccard misses; token join bounded by the df cap
@@ -6019,6 +6030,37 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // full JS replay: md5 buckets, 6dp masses/midpoint/terms, exact
+    // DECIMAL term sums, halved and snapped
+    "q198_js_divergence" -> """
+      WITH ta AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                  FROM documents WHERE lang = 'en'),
+           tb AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                  FROM documents WHERE lang <> 'en'),
+           ca AS (SELECT CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 256 AS b,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM ta WHERE tok <> '' GROUP BY 1),
+           cb AS (SELECT CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 256 AS b,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM tb WHERE tok <> '' GROUP BY 1),
+           na AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ca),
+           nb AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cb),
+           pa AS (SELECT b, round(CAST(c AS DOUBLE) / t, 6) AS p FROM ca CROSS JOIN na),
+           pb AS (SELECT b, round(CAST(c AS DOUBLE) / t, 6) AS q FROM cb CROSS JOIN nb),
+           f AS (SELECT coalesce(pa.p, 0) AS p, coalesce(pb.q, 0) AS q,
+                        round((coalesce(pa.p, 0) + coalesce(pb.q, 0)) / 2, 6) AS m
+                 FROM pa FULL OUTER JOIN pb ON pa.b = pb.b),
+           s AS (SELECT
+                   sum(CAST(CASE WHEN p > 0
+                     THEN round(p * round(ln(p / m), 6), 6) ELSE 0 END
+                     AS DECIMAL(20,6))) AS sp,
+                   sum(CAST(CASE WHEN q > 0
+                     THEN round(q * round(ln(q / m), 6), 6) ELSE 0 END
+                     AS DECIMAL(20,6))) AS sq
+                 FROM f)
+      SELECT round(CAST(sp + sq AS DOUBLE) * 0.5, 6) AS js,
+             na.t AS n_tokens_a, nb.t AS n_tokens_b
+      FROM s CROSS JOIN na CROSS JOIN nb""",
     // same df-filtered universe, sizes, intersections, 6dp quotients
     "q197_containment" -> """
       WITH t AS (SELECT DISTINCT doc_id, tok FROM (
@@ -6689,7 +6731,9 @@ object SparkEntry {
     // the full canonicalization chain over 10x the messy URLs
     "q195_url_dedup",
     // exact integer nucleus cut over 10x the orders per bucket
-    "q196_top_p")
+    "q196_top_p",
+    // decimal-exact JS over 10x the tokens per language side
+    "q198_js_divergence")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

@@ -1049,6 +1049,61 @@ object TextAnalysis {
     * and taking the remaining length counts CODEPOINTS for every
     * class on both engines, because both `length` functions count
     * codepoints, and supplementary-plane members survive intact. */
+  /** Jensen–Shannon divergence between two corpora over `buckets`
+    * hashed-token mass distributions — the drift gate a pipeline runs
+    * when a new crawl batch lands: JS ∈ [0, ln 2], symmetric, finite
+    * even for disjoint vocabularies (unlike KL), comparable across
+    * batches because the bucket space is fixed. Buckets use the shared
+    * seed-free md5 law ([[hashedTf]]), so the statistic is a pure
+    * function of the two corpora.
+    *
+    * Determinism: bucket masses and the midpoint are 6dp-snapped; each
+    * summed term is 6dp-snapped and accumulated as DECIMAL(20,6) —
+    * decimal sums are EXACT and order-free, so the result does not
+    * depend on partitioning (a double sum over buckets would carry
+    * last-ulp order sensitivity into rz6). `ln` agrees across libms at
+    * 6dp (the corpus-wide law).
+    *
+    * Scale design: one token hash-agg per corpus (map-side partials,
+    * final size ≤ buckets rows), two 1-row totals riding broadcast
+    * cross joins, a buckets-sized full-outer join, one global
+    * aggregation of ≤ buckets rows. Nothing after the first
+    * aggregation is corpus-sized. */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
+    def bucketCounts(df: DataFrame) = df
+      .select(explode(split(coalesce(col(textCol).cast("string"), lit("")),
+        " ")).as("__tok"))
+      .where(col("__tok") =!= "")
+      .select(pmod(conv(substring(md5(col("__tok").cast("binary")), 1, 12),
+        16, 10).cast("long"), lit(buckets.toLong)).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__c"))
+    val ca = bucketCounts(a)
+    val cb = bucketCounts(b)
+    val ta = ca.agg(sum("__c").as("__ta"))
+    val tb = cb.agg(sum("__c").as("__tb"))
+    val pa = ca.crossJoin(broadcast(ta))
+      .select(col("__b"), rz6(col("__c").cast("double") / col("__ta")).as("p"))
+    val pb = cb.crossJoin(broadcast(tb))
+      .select(col("__b"), rz6(col("__c").cast("double") / col("__tb")).as("q"))
+    val f = pa.join(pb, Seq("__b"), "full_outer")
+      .select(coalesce(col("p"), lit(0.0)).as("p"),
+        coalesce(col("q"), lit(0.0)).as("q"))
+      .withColumn("m", rz6((col("p") + col("q")) / 2))
+      .withColumn("tp", when(col("p") > 0,
+        rz6(col("p") * rz6(log(col("p") / col("m"))))).otherwise(lit(0.0)))
+      .withColumn("tq", when(col("q") > 0,
+        rz6(col("q") * rz6(log(col("q") / col("m"))))).otherwise(lit(0.0)))
+    f.agg(
+        sum(col("tp").cast("decimal(20,6)")).as("__sp"),
+        sum(col("tq").cast("decimal(20,6)")).as("__sq"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(
+        rz6((col("__sp") + col("__sq")).cast("double") * 0.5).as("js"),
+        col("__ta").as("n_tokens_a"), col("__tb").as("n_tokens_b"))
+  }
+
   def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = coalesce(col(textCol).cast("string"), lit(""))
     def keep(cls: String): Column =

@@ -67,6 +67,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exact quantiles: the 1-row total-count cross join + the few-row
     // broadcast target-rank table range-probing the histogram spans
     "q188_exact_quantiles",
+    // JS divergence: two 1-row token totals cross-joined onto the
+    // bucket masses and the final 1-row statistic
+    "q198_js_divergence",
     // all-pairs cosine on a vec_id < 200 slice — the exact cross-check
     // for the LSH near-dup path; non-equi (<) join has no hash form
     "q29_embed_neardup",

@@ -1345,6 +1345,26 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1)._3 == 1.0 && out(0)._3 > 0.9 && out(0)._3 < 1.0)
   }
 
+  test("jsDivergence: zero on identity, ln2 on disjoint, symmetric, partition-free") {
+    val sp = spark
+    import sp.implicits._
+    val a = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma epsilon"))
+      .toDF("id", "t")
+    val b = Seq((1L, "zeta eta theta"), (2L, "iota kappa zeta")).toDF("id", "t")
+    def js(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.jsDivergence(x, y, "t", buckets = 64)
+        .collect().head.getDouble(0)
+    assert(js(a, a) == 0.0)
+    // disjoint vocabularies -> ln 2, up to the 6dp term snapping
+    assert(math.abs(js(a, b) - math.log(2)) < 2e-3, s"disjoint js ${js(a, b)}")
+    assert(js(a, b) == js(b, a), "symmetry")
+    // the decimal term sums make the statistic partitioning-independent
+    assert(js(a.repartition(7), b.repartition(3)) == js(a, b))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.jsDivergence(a, b, "t", buckets = 0)
+    }
+  }
+
   test("containmentPairs: subset inclusion found where jaccard would miss it") {
     val sp = spark
     import sp.implicits._

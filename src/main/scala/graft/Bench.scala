@@ -102,7 +102,8 @@ object Bench {
     "q195_url_dedup",           // codegen'd regex canon chain + one hash agg
     "q196_top_p",               // group-keyed shared-sort window nucleus cut
     "q197_containment",         // df-capped token join + pair hash agg
-    "q198_js_divergence")       // two token hash-aggs + 256-row outer join
+    "q198_js_divergence",       // two token hash-aggs + 256-row outer join
+    "q199_skew_profile")        // key hash-agg + rank-assembly gini
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -127,7 +128,8 @@ object Bench {
     "q177_tile_pyramid", "q179_heavy_hitters", "q180_scd2_merge",
     "q182_hilbert", "q184_rrf_fusion", "q186_rolling_actives",
     "q187_cms_counts", "q188_exact_quantiles", "q190_script_profile",
-    "q195_url_dedup", "q196_top_p", "q198_js_divergence")
+    "q195_url_dedup", "q196_top_p", "q198_js_divergence",
+    "q199_skew_profile")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

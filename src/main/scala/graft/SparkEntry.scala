@@ -2664,6 +2664,13 @@ object SparkEntry {
           Seq(1, 7, 28))
         .orderBy("day")
     }),
+    // key-skew profile of the lineitem order key: exact Gini over
+    // per-key counts via the rank-assembly (no single-task sort), the
+    // salting decision signal
+    "q199_skew_profile" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Freq.skewProfile(spark.table("lineitem"), "l_orderkey")
+    }),
     // corpus drift gate: JS divergence between the English and
     // non-English documents over 256 hashed-token buckets — decimal
     // term sums make the statistic partitioning-independent
@@ -6030,6 +6037,21 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // ascending-rank Gini replay; HUGEINT numerator, 6dp quotient
+    "q199_skew_profile" -> """
+      WITH c AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+                 FROM lineitem GROUP BY 1),
+           n AS (SELECT CAST(count(*) AS BIGINT) AS nk,
+                        CAST(sum(c) AS BIGINT) AS nr,
+                        CAST(max(c) AS BIGINT) AS maxc FROM c),
+           r AS (SELECT c, CAST(row_number() OVER (ORDER BY c ASC, k ASC)
+                   AS BIGINT) AS i FROM c),
+           g AS (SELECT sum((2 * i - nk - 1) * c) AS num
+                 FROM r CROSS JOIN n)
+      SELECT nr AS n_rows, nk AS n_keys, maxc AS max_cnt,
+             round(CAST(maxc AS DOUBLE) / nr, 6) AS max_share,
+             round(CAST(num AS DOUBLE) / CAST(nk * nr AS DOUBLE), 6) AS gini
+      FROM g CROSS JOIN n""",
     // full JS replay: md5 buckets, 6dp masses/midpoint/terms, exact
     // DECIMAL term sums, halved and snapped
     "q198_js_divergence" -> """
@@ -6733,7 +6755,9 @@ object SparkEntry {
     // exact integer nucleus cut over 10x the orders per bucket
     "q196_top_p",
     // decimal-exact JS over 10x the tokens per language side
-    "q198_js_divergence")
+    "q198_js_divergence",
+    // exact Gini over a 10x key-count distribution
+    "q199_skew_profile")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

@@ -162,4 +162,58 @@ object Freq {
         col("__lo") <= col("rank") && col("rank") <= col("__hi"))
       .select(col("q"), col("rank"), col("__v").as("value"))
   }
+
+  /** One-row key-skew profile of `keyCol`: row and distinct-key
+    * counts, the heaviest key's count and share, and the EXACT Gini
+    * coefficient of the per-key count distribution —
+    * `Σ(2i − n − 1)·c_i / (n·Σc)` over counts sorted ascending — the
+    * number that tells a pipeline whether a join/aggregation key needs
+    * salting ([[SkewJoin]]) before it burns a cluster. Gini 0 =
+    * perfectly uniform keys; → 1 = one key owns everything.
+    *
+    * Exactness: counts are integers; the Gini numerator is summed as
+    * DECIMAL(38,0) (exact for n·max_cnt < 10^38 — beyond any real
+    * corpus), and the rank weight Σ over a tie block of equal counts
+    * is permutation-invariant, so the statistic is an exact,
+    * partitioning-independent function of the data; only the final
+    * quotient is 6dp-snapped.
+    *
+    * Scale design: one key hash-agg (the only pass over data), then
+    * the [[exactQuantiles]] rank-assembly over the counts frame —
+    * range partition + partition-local indexes + a broadcast P-row
+    * offset table — so the global ascending rank never funnels through
+    * one sort task. 1-row aggregates ride broadcast cross joins. */
+  def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranged = counts.repartitionByRange(p, col("__c"), col("__k"))
+      .sortWithinPartitions("__c", "__k")
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .withColumn("__lidx", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aux = ranged.groupBy("__pid").agg(count(lit(1)).as("__pc"))
+      .withColumn("__poff", coalesce(sum("__pc").over(wPrev), lit(0L)))
+      .select("__pid", "__poff")
+    val tot = counts.agg(count(lit(1)).as("__nk"), sum("__c").as("__nr"),
+      max("__c").as("__maxc"))
+    val dec = "decimal(38,0)"
+    val num = ranged.join(broadcast(aux), Seq("__pid"))
+      .crossJoin(broadcast(tot.select("__nk")))
+      .select(((lit(2) * (col("__poff") + col("__lidx") + 1) - col("__nk") - 1)
+        .cast(dec) * col("__c").cast(dec)).as("__t"))
+      .agg(sum("__t").as("__num"))
+    num.crossJoin(broadcast(tot))
+      .select(col("__nr").as("n_rows"), col("__nk").as("n_keys"),
+        col("__maxc").as("max_cnt"),
+        graft.util.Round6.rz6(col("__maxc").cast("double") / col("__nr"))
+          .as("max_share"),
+        graft.util.Round6.rz6(col("__num").cast("double") /
+          (col("__nk").cast(dec) * col("__nr").cast(dec)).cast("double"))
+          .as("gini"))
+  }
 }

@@ -142,6 +142,35 @@ class FreqSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Freq.cmsEstimate(a, a, "k", 16, 0) }
   }
 
+  test("skewProfile: exact Gini vs brute force; uniform and one-hot extremes") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(61)
+    val keys = (0 until 4000).map(_ => rnd.nextInt(60).toLong) ++
+      Seq.fill(2000)(77L) // one hot key
+    def brute(ks: Seq[Long]): (Long, Long, Long, Double, Double) = {
+      val c = ks.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }.toSeq
+      val sorted = c.sortBy { case (k, n) => (n, k) }.map(_._2)
+      val (nk, nr) = (sorted.size.toLong, sorted.sum)
+      val num = sorted.zipWithIndex.map { case (ci, idx) =>
+        (2L * (idx + 1) - nk - 1) * ci }.sum
+      def rz6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      (nr, nk, sorted.max, rz6(sorted.max.toDouble / nr),
+        rz6(num.toDouble / (nk.toDouble * nr)))
+    }
+    def got(ks: Seq[Long]) = {
+      val r = graft.operators.Freq.skewProfile(ks.toDF("k").repartition(5), "k")
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    }
+    assert(got(keys) == brute(keys))
+    // uniform keys -> gini 0
+    val uniform = (0 until 900).map(i => (i % 30).toLong)
+    assert(got(uniform) == brute(uniform) && got(uniform)._5 == 0.0)
+    // one dominant key among singletons -> gini near 1
+    val onehot = Seq.fill(10000)(1L) ++ (2L to 11L)
+    assert(got(onehot) == brute(onehot) && got(onehot)._5 > 0.89)
+  }
+
   test("exactQuantiles: rank-at-ceil(q*n) matches the sorted truth, ties included") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(23)

@@ -70,6 +70,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // JS divergence: two 1-row token totals cross-joined onto the
     // bucket masses and the final 1-row statistic
     "q198_js_divergence",
+    // skew profile: the 1-row (n_keys, n_rows, max) totals cross-joined
+    // onto the rank terms and the 1-row numerator
+    "q199_skew_profile",
     // all-pairs cosine on a vec_id < 200 slice — the exact cross-check
     // for the LSH near-dup path; non-equi (<) join has no hash form
     "q29_embed_neardup",

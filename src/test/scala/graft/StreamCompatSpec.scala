@@ -114,6 +114,29 @@ class StreamCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rollup == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("heavy hitters stream in complete mode == batch mg_topk") {
+    implicit val sqlCtx = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    val events = (0 until 400).map(i =>
+      (if (i % 2 == 0) "a" else "b", s"tok${i % (if (i % 2 == 0) 5 else 9)} filler"))
+    val mem = MemoryStream[(String, String)]
+    val q = graft.operators.Freq.heavyHitterTokens(
+        mem.toDF().toDF("g", "text"), "g", "text", capacity = 64, k = 3)
+      .writeStream.format("memory").queryName("s_hh")
+      .outputMode("complete").start()
+    mem.addData(events.take(150): _*)
+    q.processAllAvailable()
+    mem.addData(events.drop(150): _*) // second batch re-aggregates ALL state
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g", "rnk").collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Freq.heavyHitterTokens(
+      events.toDF("g", "text"), "g", "text", capacity = 64, k = 3)
+    assert(rows(spark.table("s_hh")) == rows(batch))
+  }
+
   test("cms maintenance: incremental == one-shot; batch retry is idempotent") {
     val s = spark
     import s.implicits._

@@ -103,7 +103,8 @@ object Bench {
     "q196_top_p",               // group-keyed shared-sort window nucleus cut
     "q197_containment",         // df-capped token join + pair hash agg
     "q198_js_divergence",       // two token hash-aggs + 256-row outer join
-    "q199_skew_profile")        // key hash-agg + rank-assembly gini
+    "q199_skew_profile",        // key hash-agg + rank-assembly gini
+    "q200_pipeline_e2e")        // 4-stage composed curation chain
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -129,7 +130,7 @@ object Bench {
     "q182_hilbert", "q184_rrf_fusion", "q186_rolling_actives",
     "q187_cms_counts", "q188_exact_quantiles", "q190_script_profile",
     "q195_url_dedup", "q196_top_p", "q198_js_divergence",
-    "q199_skew_profile")
+    "q199_skew_profile", "q200_pipeline_e2e")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

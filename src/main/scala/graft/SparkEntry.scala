@@ -2664,6 +2664,27 @@ object SparkEntry {
           Seq(1, 7, 28))
         .orderBy("day")
     }),
+    // END-TO-END curation pipeline on real documents, every stage a
+    // REAL operator: exact-dedup keep-first -> token-count quality gate
+    // -> deterministic half-sample -> per-source token budgets. The
+    // oracle replays all four stage laws in one chain — proving the
+    // operators COMPOSE deterministically, not just pass in isolation
+    "q200_pipeline_e2e" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.{col, size, split}
+      val deduped = graft.operators.Dedup.exactKeepFirst(
+        spark.table("documents"), "doc_id", "text")
+      val gated = deduped.where(size(split(col("text"), " ")) >= 30)
+      val sampled = graft.operators.Sampling.deterministicSample(
+        gated, "doc_id", rate = 0.5)
+      graft.operators.Curation.sampleToTokenBudget(sampled, "source",
+          "doc_id", "text",
+          budgets = Map("src0" -> 5000L, "src1" -> 5000L),
+          defaultBudget = 3000L)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .orderBy("doc_id")
+    }),
     // key-skew profile of the lineitem order key: exact Gini over
     // per-key counts via the rank-assembly (no single-task sort), the
     // salting decision signal
@@ -6037,6 +6058,27 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // the four stage laws chained: q20's dedup election, the q21 token
+    // count, q58's md5-threshold sample, the per-source running budget
+    "q200_pipeline_e2e" -> """
+      WITH d AS (SELECT doc_id, source, text,
+                   row_number() OVER (PARTITION BY md5(text)
+                     ORDER BY doc_id) AS rn
+                 FROM documents),
+           g AS (SELECT doc_id, source, text FROM d
+                 WHERE rn = 1 AND len(string_split(text, ' ')) >= 30),
+           s AS (SELECT * FROM g WHERE md5(CAST(doc_id AS VARCHAR))
+                   < '80000000000000000000000000000000'),
+           c AS (SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+                   sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM s)
+      SELECT doc_id, source, n_tok FROM c
+      WHERE cum <= CASE source WHEN 'src0' THEN 5000
+                               WHEN 'src1' THEN 5000 ELSE 3000 END
+      ORDER BY doc_id""",
     // ascending-rank Gini replay; HUGEINT numerator, 6dp quotient
     "q199_skew_profile" -> """
       WITH c AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
@@ -6757,7 +6799,9 @@ object SparkEntry {
     // decimal-exact JS over 10x the tokens per language side
     "q198_js_divergence",
     // exact Gini over a 10x key-count distribution
-    "q199_skew_profile")
+    "q199_skew_profile",
+    // the composed 4-stage pipeline over 10x the documents
+    "q200_pipeline_e2e")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

@@ -134,10 +134,20 @@ object Freq {
       .select(col(valueCol).as("__v"))
       .groupBy("__v").agg(count(lit(1)).as("__c"))
     val p = spark.sessionState.conf.numShufflePartitions
+    // LAZY localCheckpoint: the offsets and spans consumers below MUST
+    // read ONE materialization of this frame. Without it each consumer
+    // re-evaluates the exchange, and the range boundaries are NOT a
+    // stable function of the data — AQE coalesces the histogram's
+    // shuffle from runtime byte sizes, which vary with task-arrival
+    // serialization order — so the two evaluations can partition rows
+    // differently and the assembled ranks drop or duplicate quantiles
+    // (observed at 6M rows, ~2 runs in 5). Lazy (eager=false) keeps
+    // frame construction job-free for the plan audit.
     val ranged = hist.repartitionByRange(p, col("__v"))
       .sortWithinPartitions("__v")
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33))
+      .localCheckpoint(false)
     import org.apache.spark.sql.expressions.Window
     val wPrev = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -188,11 +198,14 @@ object Freq {
     val counts = df.groupBy(col(keyCol).as("__k"))
       .agg(count(lit(1)).as("__c"))
     val p = spark.sessionState.conf.numShufflePartitions
+    // lazy localCheckpoint: one materialization for both consumers —
+    // see [[exactQuantiles]] for the AQE re-evaluation race this closes
     val ranged = counts.repartitionByRange(p, col("__c"), col("__k"))
       .sortWithinPartitions("__c", "__k")
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33))
       .withColumn("__lidx", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint(false)
     import org.apache.spark.sql.expressions.Window
     val wPrev = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -531,10 +531,18 @@ object TextAnalysis {
     // codegen'd local index: mid = (pid << 33) | rowIndexInPartition,
     // assigned in the sorted partition order (documented bit layout of
     // monotonically_increasing_id; caps partitions at 8.6e9 rows)
+    // LAZY localCheckpoint: both consumers (the aux aggregate and the
+    // rank join) MUST read one materialization — AQE sizes the
+    // upstream shuffles from runtime byte stats that vary with task
+    // arrival order, so two re-evaluations of the exchange can land
+    // rows in different partitions and the assembled ranks would skew
+    // (the bug class caught at 6M rows in Freq.exactQuantiles).
+    // eager=false keeps frame construction job-free for the plan audit.
     val withIdx = ranged
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33))
       .withColumn("__lidx", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint(false)
     // one tiny aux aggregate (≤ P + #languages rows): each (partition,
     // language) slice's first local index and row count, from which the
     // cross-partition cumulative offset and language total follow

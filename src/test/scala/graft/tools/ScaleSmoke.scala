@@ -717,6 +717,79 @@ object ScaleSmoke {
         f"total area: ${ua.map(_.getDouble(1)).sum}%.0f")
     }
 
+    // ---- round-13 operators at 6M-row / 100k-doc scale ----
+    {
+      val li6 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val li = (0 until 10).map(k => li6.select(
+          (col("l_orderkey") + lit(k * 10000000L)).as("k"),
+          col("l_partkey"), col("l_quantity"), col("l_extendedprice")))
+        .reduce(_ union _).repartition(32).cache()
+      println(s"[scale] li rows: ${li.count()}")
+
+      val cms = withShuffle("cmsBuild 6M keys (3x1024)") {
+        graft.operators.Freq.cmsBuild(li, "l_partkey", 1024, 3).count()
+      }
+      println(s"[scale]   cms cells: $cms (bound 3072)")
+
+      val qs = withShuffle("exactQuantiles 6M values x 5 fractions") {
+        graft.operators.Freq.exactQuantiles(li, "l_extendedprice",
+          Seq(0.25, 0.5, 0.75, 0.9, 0.99)).collect()
+      }
+      println(s"[scale]   quantile rows: ${qs.length}")
+
+      val sk = withShuffle("skewProfile 6M rows") {
+        graft.operators.Freq.skewProfile(li, "k").collect().head
+      }
+      println(s"[scale]   gini: ${sk.getDouble(4)}")
+
+      val tp = withShuffle("topPByScore 6M rows, 97 groups") {
+        graft.operators.Sampling.topPByScore(
+          li.withColumn("g", col("k") % 97), "g", "k", "l_quantity", 0.6).count()
+      }
+      println(s"[scale]   nucleus kept: $tp")
+
+      // rolling actives over a 6M-row synthetic (day, user) stream
+      val ra = withShuffle("rollingActives 6M events, 90 days x 50k users") {
+        graft.operators.Sessionize.rollingActives(
+          li.select((col("k") % 90).as("day"), (col("k") % 50000).as("u")),
+          "day", "u", Seq(1, 7, 28)).count()
+      }
+      println(s"[scale]   spine days: $ra")
+
+      val hp = withShuffle("hammingPairs64 100k hashes") {
+        val hashes = docs.select(col("doc_id"),
+          GeoFunctions.simhash64(col("text")).as("h"))
+        Dedup.hammingPairs64(hashes, "doc_id", "h", maxHamming = 3,
+          bands = 4, maxBucket = 2000).count()
+      }
+      println(s"[scale]   hamming pairs: $hp")
+
+      val ud = withShuffle("urlDedup 6M parametric urls") {
+        graft.operators.Curation.urlDedup(li.selectExpr("k AS id",
+          """concat('HTTP://WWW.Site', CAST(k % 5000 AS STRING),
+             '.com:80/p/', CAST(k % 97 AS STRING),
+             '?utm_source=x&id=', CAST(k % 7 AS STRING)) AS url"""),
+          "id", "url").count()
+      }
+      println(s"[scale]   canon urls: $ud")
+
+      val js = withShuffle("jsDivergence 50k vs 50k docs") {
+        graft.operators.TextAnalysis.jsDivergence(
+          docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+          "text", 256).collect().head.getDouble(0)
+      }
+      println(s"[scale]   js: $js")
+
+      val lp = withShuffle("labelPropagation 100k-node co-order graph, 3 rounds") {
+        val e = li.where(col("k") % 20 === 0)
+          .select(col("k").as("o"), col("l_partkey").as("p")).distinct()
+        val edges = e.toDF("o", "p1").join(e.toDF("o", "p2"), Seq("o"))
+          .where(col("p1") < col("p2"))
+        graft.operators.Graph.labelPropagation(edges, "p1", "p2", 3).count()
+      }
+      println(s"[scale]   lp nodes: $lp")
+    }
+
     spark.stop()
   }
 }

@@ -2664,6 +2664,23 @@ object SparkEntry {
           Seq(1, 7, 28))
         .orderBy("day")
     }),
+    // BFS hop distance from a seed set (3 rounds) on the co-order part
+    // graph: per round one adjacency join + one min hash-agg; nodes
+    // beyond the horizon keep NULL — the crawl-depth / trusted-domain
+    // distance prior
+    "q201_hop_distance" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val li = spark.table("lineitem").where(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.toDF("o", "p1").join(li.toDF("o", "p2"), Seq("o"))
+        .where(col("p1") < col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      val seeds = li.select(col("p")).distinct().where(col("p") % 97 === 0)
+      graft.operators.Graph.hopDistance(edges, "src", "dst", seeds, "p",
+          maxHops = 3)
+        .orderBy("node")
+    }),
     // END-TO-END curation pipeline on real documents, every stage a
     // REAL operator: exact-dedup keep-first -> token-count quality gate
     // -> deterministic half-sample -> per-source token budgets. The
@@ -6058,6 +6075,45 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // 3 BFS rounds unrolled; the min-merge spelled as an explicit CASE
+    // so NULL semantics are identical on both engines
+    "q201_hop_distance" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem WHERE l_orderkey % 5 = 0),
+           e AS (SELECT DISTINCT x.p AS a, y.p AS b
+                 FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+           adj AS MATERIALIZED (SELECT a AS v, b AS u FROM e
+                                UNION ALL SELECT b AS v, a AS u FROM e),
+           n AS (SELECT DISTINCT v FROM adj),
+           d0 AS MATERIALIZED (SELECT v,
+                   CASE WHEN v % 97 = 0 THEN CAST(0 AS BIGINT) END AS d
+                 FROM n),
+           r1 AS (SELECT adj.v, min(d.d + 1) AS nd
+                  FROM adj JOIN d0 d ON adj.u = d.v
+                  WHERE d.d IS NOT NULL GROUP BY adj.v),
+           d1 AS MATERIALIZED (SELECT d0.v,
+                   CASE WHEN d0.d IS NULL THEN r1.nd
+                        WHEN r1.nd IS NULL THEN d0.d
+                        WHEN r1.nd < d0.d THEN r1.nd ELSE d0.d END AS d
+                 FROM d0 LEFT JOIN r1 ON d0.v = r1.v),
+           r2 AS (SELECT adj.v, min(d.d + 1) AS nd
+                  FROM adj JOIN d1 d ON adj.u = d.v
+                  WHERE d.d IS NOT NULL GROUP BY adj.v),
+           d2 AS MATERIALIZED (SELECT d1.v,
+                   CASE WHEN d1.d IS NULL THEN r2.nd
+                        WHEN r2.nd IS NULL THEN d1.d
+                        WHEN r2.nd < d1.d THEN r2.nd ELSE d1.d END AS d
+                 FROM d1 LEFT JOIN r2 ON d1.v = r2.v),
+           r3 AS (SELECT adj.v, min(d.d + 1) AS nd
+                  FROM adj JOIN d2 d ON adj.u = d.v
+                  WHERE d.d IS NOT NULL GROUP BY adj.v),
+           d3 AS MATERIALIZED (SELECT d2.v,
+                   CASE WHEN d2.d IS NULL THEN r3.nd
+                        WHEN r3.nd IS NULL THEN d2.d
+                        WHEN r3.nd < d2.d THEN r3.nd ELSE d2.d END AS d
+                 FROM d2 LEFT JOIN r3 ON d2.v = r3.v)
+      SELECT v AS node, CAST(d AS BIGINT) AS hops
+      FROM d3 ORDER BY node""",
     // the four stage laws chained: q20's dedup election, the q21 token
     // count, q58's md5-threshold sample, the per-source running budget
     "q200_pipeline_e2e" -> """
@@ -6801,7 +6857,9 @@ object SparkEntry {
     // exact Gini over a 10x key-count distribution
     "q199_skew_profile",
     // the composed 4-stage pipeline over 10x the documents
-    "q200_pipeline_e2e")
+    "q200_pipeline_e2e",
+    // 3 BFS rounds over the 10x co-order graph
+    "q201_hop_distance")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

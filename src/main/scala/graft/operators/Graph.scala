@@ -67,6 +67,50 @@ object Graph {
     ranks.select(col("v").as("node"), col("r").as("rank"))
   }
 
+  /** Minimum hop distance from a seed set over an undirected simple
+    * graph, `maxHops` synchronous BFS rounds — the crawl-depth /
+    * link-distance prior ("how many hops from a trusted domain") that
+    * complements [[pageRank]]'s stationary mass. Seeds get distance 0;
+    * each round relaxes `d(v) = min(d(v), min over neighbors d(u)+1)`;
+    * nodes not reached within `maxHops` are reported with NULL
+    * distance (reachability beyond the horizon is unknown, not
+    * infinite).
+    *
+    * Scale design: per round ONE adjacency hash join against the
+    * current frontier-distance frame and one min hash-agg
+    * (partial-aggregated — a hub's incoming candidates combine
+    * map-side), then a min-merge with the previous distances;
+    * `localCheckpoint` cuts lineage per round. Driver state: the loop
+    * counter. Deterministic: integer distances, min-merge. */
+  def hopDistance(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0 (got $maxHops)")
+    val und = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+      .localCheckpoint()
+    val nodes = adj.select(col("v")).distinct()
+    var dist = nodes
+      .join(seeds.select(col(seedCol).as("v")).distinct()
+        .withColumn("d", lit(0L)), Seq("v"), "left")
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val relaxed = adj
+        .join(dist.where(col("d").isNotNull)
+          .select(col("v").as("u"), col("d")), Seq("u"))
+        .groupBy("v").agg(min(col("d") + 1).as("nd"))
+      dist = dist.join(relaxed, Seq("v"), "left")
+        .select(col("v"), least(col("d"), col("nd")).as("d"))
+        .localCheckpoint()
+    }
+    dist.select(col("v").as("node"), col("d").as("hops"))
+  }
+
   /** Per-vertex triangle counts and local clustering coefficient over
     * an UNDIRECTED simple graph (self-loops dropped, duplicate and
     * reversed edges collapsed). Output one row per vertex:

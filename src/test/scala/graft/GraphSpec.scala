@@ -99,6 +99,32 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Graph.pageRank(e, "s", "d", 1, damping = 1.0) }
   }
 
+  test("hopDistance: BFS truth, horizon nulls, zero hops = seeds only") {
+    val sp = spark
+    import sp.implicits._
+    // a path 0-1-2-3-4-5 plus an island 10-11
+    val raw = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    def run(seeds: Seq[Long], hops: Int): Map[Long, Option[Long]] =
+      Graph.hopDistance(raw.toDF("s", "d"), "s", "d",
+          seeds.toDF("p"), "p", hops)
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+    assert(run(Seq(0L), 3) == Map(
+      0L -> Some(0L), 1L -> Some(1L), 2L -> Some(2L), 3L -> Some(3L),
+      4L -> None, 5L -> None, 10L -> None, 11L -> None))
+    assert(run(Seq(0L), 0) == Map(
+      0L -> Some(0L), 1L -> None, 2L -> None, 3L -> None,
+      4L -> None, 5L -> None, 10L -> None, 11L -> None))
+    // two seeds race: min distance wins; seed not in the graph ignored
+    assert(run(Seq(5L, 10L, 999L), 2) == Map(
+      0L -> None, 1L -> None, 2L -> None, 3L -> Some(2L),
+      4L -> Some(1L), 5L -> Some(0L), 10L -> Some(0L), 11L -> Some(1L)))
+    intercept[IllegalArgumentException] {
+      Graph.hopDistance(raw.toDF("s", "d"), "s", "d", Seq(0L).toDF("p"), "p", -1)
+    }
+  }
+
   test("labelPropagation matches a driver reference; cliques converge to min id") {
     val sp = spark
     import sp.implicits._

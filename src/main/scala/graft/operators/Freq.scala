@@ -134,15 +134,21 @@ object Freq {
       .select(col(valueCol).as("__v"))
       .groupBy("__v").agg(count(lit(1)).as("__c"))
     val p = spark.sessionState.conf.numShufflePartitions
-    // LAZY localCheckpoint: the offsets and spans consumers below MUST
-    // read ONE materialization of this frame. Without it each consumer
-    // re-evaluates the exchange, and the range boundaries are NOT a
-    // stable function of the data — AQE coalesces the histogram's
-    // shuffle from runtime byte sizes, which vary with task-arrival
-    // serialization order — so the two evaluations can partition rows
-    // differently and the assembled ranks drop or duplicate quantiles
-    // (observed at 6M rows, ~2 runs in 5). Lazy (eager=false) keeps
-    // frame construction job-free for the plan audit.
+    // LAZY localCheckpoint — load-bearing for CORRECTNESS, not a perf
+    // tweak. The offsets and spans consumers below would otherwise
+    // each re-evaluate this subtree, and the range partitioning is NOT
+    // a stable function of the data: RangePartitioner samples its
+    // input in per-partition row order, the upstream hash-agg's row
+    // order is a task-arrival race, and AQE additionally re-coalesces
+    // the agg's shuffle from run-varying byte stats — so the two
+    // evaluations can derive different boundaries and the assembled
+    // global ranks drop or duplicate quantiles (observed at 6M rows,
+    // ~2 runs in 5; invisible at contract scale). A pre-exchange local
+    // sort cannot fix it — EliminateSorts removes sorts below
+    // repartitions — so the one materialization is the only sound
+    // plan; eager=false defers it to the first action (construction
+    // still triggers AQE stage jobs via toRdd — the documented
+    // eagerness trade of every rank-assembly operator). */
     val ranged = hist.repartitionByRange(p, col("__v"))
       .sortWithinPartitions("__v")
       .withColumn("__mid", monotonically_increasing_id())
@@ -198,8 +204,9 @@ object Freq {
     val counts = df.groupBy(col(keyCol).as("__k"))
       .agg(count(lit(1)).as("__c"))
     val p = spark.sessionState.conf.numShufflePartitions
-    // lazy localCheckpoint: one materialization for both consumers —
-    // see [[exactQuantiles]] for the AQE re-evaluation race this closes
+    // lazy localCheckpoint: ONE materialization for both consumers —
+    // see [[exactQuantiles]] for the sampling/AQE re-evaluation race
+    // this closes (correctness, not perf)
     val ranged = counts.repartitionByRange(p, col("__c"), col("__k"))
       .sortWithinPartitions("__c", "__k")
       .withColumn("__mid", monotonically_increasing_id())

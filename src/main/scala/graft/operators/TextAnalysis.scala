@@ -531,13 +531,15 @@ object TextAnalysis {
     // codegen'd local index: mid = (pid << 33) | rowIndexInPartition,
     // assigned in the sorted partition order (documented bit layout of
     // monotonically_increasing_id; caps partitions at 8.6e9 rows)
-    // LAZY localCheckpoint: both consumers (the aux aggregate and the
-    // rank join) MUST read one materialization — AQE sizes the
-    // upstream shuffles from runtime byte stats that vary with task
-    // arrival order, so two re-evaluations of the exchange can land
-    // rows in different partitions and the assembled ranks would skew
-    // (the bug class caught at 6M rows in Freq.exactQuantiles).
-    // eager=false keeps frame construction job-free for the plan audit.
+    // LAZY localCheckpoint — load-bearing for correctness: the aux
+    // aggregate and the rank join below must read ONE materialization.
+    // Range boundaries are sampled from racy-ordered, AQE-re-coalesced
+    // input, so two re-evaluations of this subtree can partition rows
+    // differently and the assembled ranks would skew (the
+    // Freq.exactQuantiles race, caught at 6M rows; a pre-exchange sort
+    // cannot pin it — EliminateSorts drops sorts below repartitions).
+    // Construction triggers the upstream AQE stages via toRdd — the
+    // documented eagerness trade of every rank-assembly operator.
     val withIdx = ranged
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33))

@@ -1139,13 +1139,14 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 30).map(i => (9000L + i, "fr", text())) ++
       Seq((9990L, "zz", "a b"))).toDF("doc_id", "lang", "text")
     val ref = docs.where($"lang" === "en").limit(200)
-    val sc = spark.sparkContext
-    val jobsBefore = sc.statusTracker.getJobIdsForGroup(null).length
     val out = graft.operators.TextAnalysis
       .ccnetBuckets(docs, "doc_id", "text", "lang", ref, parts = 4)
-    // constructing the frame must run no Spark job (plan-audit-able)
-    assert(sc.statusTracker.getJobIdsForGroup(null).length == jobsBefore,
-      "ccnetBuckets construction must be lazy")
+    // NOTE: construction is no longer job-free — the lazy
+    // localCheckpoint that pins ONE materialization of the
+    // rank-assembly frame (the re-evaluation race caught at 6M rows in
+    // Freq.exactQuantiles) triggers the upstream AQE stages via toRdd.
+    // The correctness trade is deliberate: two consumers of a
+    // sampled range exchange must never see different partitionings.
     // the assignment must not come from a per-language ntile window
     assert(!out.queryExecution.optimizedPlan.toString.contains("ntile"),
       "per-language ntile window is a single-reducer sort at scale")
@@ -1162,9 +1163,13 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getInt(3) == expected(r.getLong(0)),
         s"doc ${r.getLong(0)}: got ${r.getInt(3)}, ntile ${expected(r.getLong(0))}")
     }
-    // the heavy exchange must be materialized once, not per consumer
-    assert(out.queryExecution.executedPlan.toString.contains("ReusedExchange"),
-      "rank assembly must reuse the range exchange")
+    // the rank-assembly frame must be materialized ONCE and shared by
+    // both consumers — the lazy localCheckpoint surfaces as an RDD
+    // scan in the plan (exchange REUSE is not a guarantee: the range
+    // boundaries are sampled, so re-evaluations can disagree)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"rank assembly must read one checkpointed materialization:\n$plan")
   }
 
   test("text_normalize: nfc composes, nfkc folds compatibility, strip_accents, errors") {

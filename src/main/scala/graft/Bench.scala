@@ -105,7 +105,8 @@ object Bench {
     "q198_js_divergence",       // two token hash-aggs + 256-row outer join
     "q199_skew_profile",        // key hash-agg + rank-assembly gini
     "q200_pipeline_e2e",        // 4-stage composed curation chain
-    "q201_hop_distance")        // 3 BFS rounds: adjacency join + min agg each
+    "q201_hop_distance",        // 3 BFS rounds: adjacency join + min agg each
+    "q202_jaccard_join")        // PPJoin prefix index + exact verify
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is

@@ -2664,6 +2664,17 @@ object SparkEntry {
           Seq(1, 7, 28))
         .orderBy("day")
     }),
+    // EXACT Jaccard similarity join via prefix filtering (PPJoin):
+    // the oracle is BRUTE-FORCE all-pairs, so the hash-match proves
+    // the rarest-token prefix index finds every qualifying pair
+    "q202_jaccard_join" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      graft.operators.Dedup.jaccardJoinExact(
+          spark.table("documents").where(col("doc_id") < 2000),
+          "doc_id", "text", threshold = 0.9)
+        .orderBy("ida", "idb")
+    }),
     // BFS hop distance from a seed set (3 rounds) on the co-order part
     // graph: per round one adjacency join + one min hash-agg; nodes
     // beyond the horizon keep NULL — the crawl-depth / trusted-domain
@@ -6075,6 +6086,25 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // brute-force all-pairs ground truth: same exact cross-multiplied
+    // threshold test, same 6dp display quotient
+    "q202_jaccard_join" -> """
+      WITH g AS (SELECT DISTINCT doc_id, tok FROM (
+                   SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                   FROM documents WHERE doc_id < 2000) WHERE tok <> ''),
+           sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+           p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+                        CAST(count(*) AS BIGINT) AS inter
+                 FROM g a JOIN g b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+           r AS (SELECT ida, idb, inter, sa.n AS size_a, sb.n AS size_b
+                 FROM p JOIN sz sa ON ida = sa.doc_id
+                 JOIN sz sb ON idb = sb.doc_id)
+      SELECT ida, idb, inter, size_a, size_b,
+             round(CAST(inter AS DOUBLE) / (size_a + size_b - inter), 6) AS jac
+      FROM r
+      WHERE CAST(inter AS DOUBLE) >= 0.9 * (size_a + size_b - inter)
+      ORDER BY ida, idb""",
     // 3 BFS rounds unrolled; the min-merge spelled as an explicit CASE
     // so NULL semantics are identical on both engines
     "q201_hop_distance" -> """
@@ -6859,7 +6889,9 @@ object SparkEntry {
     // the composed 4-stage pipeline over 10x the documents
     "q200_pipeline_e2e",
     // 3 BFS rounds over the 10x co-order graph
-    "q201_hop_distance")
+    "q201_hop_distance",
+    // prefix-filter completeness vs brute force on the 10x fixture slice
+    "q202_jaccard_join")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

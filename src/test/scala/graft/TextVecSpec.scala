@@ -1370,6 +1370,40 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("jaccardJoinExact: prefix filter finds exactly the brute-force pairs") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(71)
+    val vocab = (0 until 200).map(i => s"w$i")
+    // clustered docs: 20 seeds, 5 jittered variants each (high overlap
+    // within a cluster, low across) + singleton odds and ends
+    val docs = (for {
+      s <- 0 until 20
+      v <- 0 until 5
+    } yield {
+      val base = rnd.shuffle(vocab).take(30)
+      val jit = base.drop(v) ++ rnd.shuffle(vocab).take(v)
+      ((s * 10 + v).toLong, jit.mkString(" "))
+    }) ++ (0 until 15).map(i => (900L + i, rnd.shuffle(vocab).take(8).mkString(" ")))
+    def brute(t: Double): Set[(Long, Long, Long)] = {
+      val sets = docs.map { case (id, s) => id -> s.split(" ").toSet }
+      (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa & sb).size.toLong
+        if inter.toDouble >= t * (sa.size + sb.size - inter)
+      } yield (ia, ib, inter)).toSet
+    }
+    Seq(0.5, 0.8, 1.0).foreach { t =>
+      val got = graft.operators.Dedup.jaccardJoinExact(
+          docs.toDF("id", "t"), "id", "t", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == brute(t), s"t=$t: got ${got.size}, brute ${brute(t).size}")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.jaccardJoinExact(docs.toDF("id", "t"), "id", "t", 0.0)
+    }
+  }
+
   test("containmentPairs: subset inclusion found where jaccard would miss it") {
     val sp = spark
     import sp.implicits._

@@ -106,7 +106,8 @@ object Bench {
     "q199_skew_profile",        // key hash-agg + rank-assembly gini
     "q200_pipeline_e2e",        // 4-stage composed curation chain
     "q201_hop_distance",        // 3 BFS rounds: adjacency join + min agg each
-    "q202_jaccard_join")        // PPJoin prefix index + exact verify
+    "q202_jaccard_join",        // PPJoin prefix index + exact verify
+    "q203_group_quantiles")     // group-keyed window ranks, one shuffle
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -132,7 +133,7 @@ object Bench {
     "q182_hilbert", "q184_rrf_fusion", "q186_rolling_actives",
     "q187_cms_counts", "q188_exact_quantiles", "q190_script_profile",
     "q195_url_dedup", "q196_top_p", "q198_js_divergence",
-    "q199_skew_profile", "q200_pipeline_e2e")
+    "q199_skew_profile", "q200_pipeline_e2e", "q203_group_quantiles")
 
   private val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

@@ -2664,6 +2664,15 @@ object SparkEntry {
           Seq(1, 7, 28))
         .orderBy("day")
     }),
+    // per-supplier exact median/p90 of extended price: group-keyed
+    // window quantiles — the many-groups complement to q188's global
+    // rank assembly
+    "q203_group_quantiles" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Freq.exactQuantilesByGroup(spark.table("lineitem"),
+          "l_suppkey", "l_extendedprice", Seq(0.5, 0.9))
+        .orderBy("l_suppkey", "q")
+    }),
     // EXACT Jaccard similarity join via prefix filtering (PPJoin):
     // the oracle is BRUTE-FORCE all-pairs, so the hash-match proves
     // the rarest-token prefix index finds every qualifying pair
@@ -6086,6 +6095,21 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    // per-group rank-at-ceil(q*n) replay
+    "q203_group_quantiles" -> """
+      WITH v AS (SELECT l_suppkey AS g, l_extendedprice AS x FROM lineitem
+                 WHERE l_extendedprice IS NOT NULL),
+           r AS (SELECT g, x,
+                   CAST(row_number() OVER (PARTITION BY g ORDER BY x) AS BIGINT) AS rn,
+                   CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+                 FROM v),
+           q(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
+      SELECT g AS l_suppkey, q.q,
+             greatest(CAST(1 AS BIGINT), CAST(ceil(q.q * n) AS BIGINT)) AS rank,
+             x AS value
+      FROM r CROSS JOIN q
+      WHERE rn = greatest(CAST(1 AS BIGINT), CAST(ceil(q.q * n) AS BIGINT))
+      ORDER BY l_suppkey, q""",
     // brute-force all-pairs ground truth: same exact cross-multiplied
     // threshold test, same 6dp display quotient
     "q202_jaccard_join" -> """
@@ -6891,7 +6915,9 @@ object SparkEntry {
     // 3 BFS rounds over the 10x co-order graph
     "q201_hop_distance",
     // prefix-filter completeness vs brute force on the 10x fixture slice
-    "q202_jaccard_join")
+    "q202_jaccard_join",
+    // per-group ranks over 10x suppliers x rows
+    "q203_group_quantiles")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

@@ -179,6 +179,39 @@ object Freq {
       .select(col("q"), col("rank"), col("__v").as("value"))
   }
 
+  /** Per-GROUP exact type-1 quantiles: for every group and every `q`
+    * in `qs`, the value at ascending rank `max(1, ceil(q·n_g))` within
+    * the group — per-source/per-domain percentiles (score cutoffs,
+    * length distributions) in one pass. The many-groups complement to
+    * [[exactQuantiles]]: with many modest groups, a group-partitioned
+    * window distributes naturally (one shuffle keyed by group, each
+    * group sorted within its task — the rank-assembly machinery is
+    * only needed when ONE distribution spans the cluster).
+    *
+    * Output: `(group, q, rank, value)`, one row per (group, q).
+    * Deterministic: the value is the element itself; ties collapse
+    * under the rank like the global operator. */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"fractions must be in (0, 1] (got $qs)")
+    require(qs.distinct.size == qs.size, s"duplicate fractions: $qs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(groupCol)
+    val ranked = df.where(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val targets = qs.map(q =>
+      struct(lit(q).as("q"),
+        greatest(lit(1L), ceil(lit(q) * col("__n"))).as("rank")))
+    ranked
+      .withColumn("__t", explode(array(targets: _*)))
+      .where(col("__rn") === col("__t.rank"))
+      .select(col(groupCol), col("__t.q").as("q"),
+        col("__t.rank").as("rank"), col(valueCol).as("value"))
+  }
+
   /** One-row key-skew profile of `keyCol`: row and distinct-key
     * counts, the heaviest key's count and share, and the EXACT Gini
     * coefficient of the per-key count distribution —

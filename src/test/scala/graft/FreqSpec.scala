@@ -142,6 +142,29 @@ class FreqSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Freq.cmsEstimate(a, a, "k", 16, 0) }
   }
 
+  test("exactQuantilesByGroup matches per-group sorted truth") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(83)
+    val rows = (0 until 3000).map(i => ((i % 11).toLong, rnd.nextInt(50) * 1.5))
+    val qs = Seq(0.25, 0.5, 1.0)
+    val got = graft.operators.Freq.exactQuantilesByGroup(
+        rows.toDF("g", "v").repartition(5), "g", "v", qs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      val sorted = xs.map(_._2).sorted
+      qs.foreach { q =>
+        val rank = math.max(1L, math.ceil(q * sorted.size).toLong)
+        assert(got((g, q)) == ((rank, sorted((rank - 1).toInt))),
+          s"g=$g q=$q: got ${got((g, q))}")
+      }
+    }
+    assert(got.size == 11 * qs.size)
+    intercept[IllegalArgumentException] {
+      graft.operators.Freq.exactQuantilesByGroup(rows.toDF("g", "v"), "g", "v", Seq(1.5))
+    }
+  }
+
   test("skewProfile: exact Gini vs brute force; uniform and one-hot extremes") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(61)

@@ -6105,10 +6105,10 @@ object SparkEntry {
                  FROM v),
            q(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
       SELECT g AS l_suppkey, q.q,
-             greatest(CAST(1 AS BIGINT), CAST(ceil(q.q * n) AS BIGINT)) AS rank,
+             greatest(CAST(1 AS BIGINT), CAST(ceil(q.q * n - 1e-9) AS BIGINT)) AS rank,
              x AS value
       FROM r CROSS JOIN q
-      WHERE rn = greatest(CAST(1 AS BIGINT), CAST(ceil(q.q * n) AS BIGINT))
+      WHERE rn = greatest(CAST(1 AS BIGINT), CAST(ceil(q.q * n - 1e-9) AS BIGINT))
       ORDER BY l_suppkey, q""",
     // brute-force all-pairs ground truth: same exact cross-multiplied
     // threshold test, same 6dp display quotient
@@ -6127,7 +6127,7 @@ object SparkEntry {
       SELECT ida, idb, inter, size_a, size_b,
              round(CAST(inter AS DOUBLE) / (size_a + size_b - inter), 6) AS jac
       FROM r
-      WHERE CAST(inter AS DOUBLE) >= 0.9 * (size_a + size_b - inter)
+      WHERE CAST(inter AS DOUBLE) >= 0.9 * (size_a + size_b - inter) - 1e-9
       ORDER BY ida, idb""",
     // 3 BFS rounds unrolled; the min-merge spelled as an explicit CASE
     // so NULL semantics are identical on both engines
@@ -6299,7 +6299,7 @@ object SparkEntry {
                      '^(https?://)www\.', '\1') AS host,
                    regexp_replace(regexp_replace(
                      regexp_replace(rest,
-                       '(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+                       '([?&])((utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*&)*(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*&?', '\1', 'g'),
                      '\?&', '?'), '[?&]$', '') AS path
                  FROM p),
            c AS (SELECT id,
@@ -6464,7 +6464,7 @@ object SparkEntry {
                            (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
                            (CAST(0.99 AS DOUBLE))),
            t AS (SELECT q, greatest(CAST(1 AS BIGINT),
-                          CAST(ceil(q * n) AS BIGINT)) AS rank
+                          CAST(ceil(q * n - 1e-9) AS BIGINT)) AS rank
                  FROM q CROSS JOIN n)
       SELECT t.q, t.rank, r.x AS value
       FROM t JOIN r ON r.rn = t.rank ORDER BY q""",

@@ -441,8 +441,14 @@ object Curation {
       regexp_replace(prefix, "^(http://.*):80$", "$1"),
       "^(https://.*):443$", "$1")
     val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
-    val noTrack =
-      regexp_replace(rest, "(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*&?", "")
+    // anchored at a separator so a param whose NAME merely ends in a
+    // tracking name ('?xgclid=5') is never eaten; the run form strips
+    // consecutive tracking params in one pass (replacement text is not
+    // rescanned, so an unanchored single-param pattern would need the
+    // separator of the NEXT match that the previous match consumed)
+    val noTrack = regexp_replace(rest,
+      "([?&])((utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*&)*" +
+        "(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*&?", "$1")
     val tidied =
       regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]$", "")
     regexp_replace(concat(noWww, tidied), "/$", "")

@@ -431,6 +431,11 @@ object Dedup {
   def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 10000): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
+    // pigeonhole completeness: maxHamming differing bits can touch at
+    // most maxHamming bands, so a shared identical band is guaranteed
+    // only when maxHamming <= bands - 1 — reject silent recall loss
+    require(maxHamming < bands,
+      s"banding is complete only for maxHamming < bands (got $maxHamming >= $bands); raise bands")
     explodeBucketPairs(
         hashBands64(df, idCol, col(hashCol).cast("long"), bands)
           .groupBy("band", "bucket")
@@ -461,7 +466,9 @@ object Dedup {
     * refine runs directly on the generated pairs — no join back to the
     * corpus. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 10000): DataFrame =
+      maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming < bands,
+      s"banding is complete only for maxHamming < bands (got $maxHamming >= $bands); raise bands")
     explodeBucketPairs(
         simhashBands(df, idCol, textCol, bands).groupBy("band", "bucket")
           .agg(sort_array(collect_list(struct(col("doc"), col("sh")))).as("ds")),
@@ -470,6 +477,7 @@ object Dedup {
         hamming64(col("ida.sh"), col("idb.sh")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
 
   /** (band, bucket, size) for simhash band-buckets over the cap — the
     * observability companion to [[simhashNearDups]]'s drop (same contract
@@ -843,37 +851,33 @@ object Dedup {
       .select(col("ida"), col("idb"), col("sim"))
   }
 
-  /** EXACT all-pairs Jaccard similarity join via PREFIX FILTERING
-    * (the PPJoin family, Xiao et al., WWW'08) — every pair with token
-    *-set Jaccard `>= threshold`, with NO approximation: where
-    * [[minhashNearDups]] trades recall for speed, this keeps the exact
-    * result set and prunes with a completeness GUARANTEE. Two sets
-    * with `J >= t` must share at least one token among each side's
-    * `|x| − ceil(t·|x|) + 1` tokens that are RAREST under a common
-    * global order (document frequency ascending, token ascending), so
-    * joining only those prefix tokens finds every qualifying pair;
-    * candidates are then verified by exact intersection counts.
-    *
-    * Output: `(ida, idb, inter, size_a, size_b, jac)` for id-ordered
-    * pairs passing the exact cross-multiplied test
-    * `inter >= t·(|a| + |b| − inter)`; `jac` is 6dp-snapped for
-    * display. The q202 gate hash-matches this against a brute-force
-    * all-pairs oracle — the strongest possible completeness proof.
-    *
-    * Scale design: the prefix index holds ≈ `(1−t)·|x| + 1` keys per
-    * document — at t = 0.9, ~10% of the grid — and rarest-FIRST
-    * ordering sends only low-df tokens into the join, so bucket sizes
-    * stay small exactly where the join is quadratic. Verification
-    * joins candidates back to the grid doc-keyed (cost linear in
-    * Σ|candidate docs|). Per-doc prefix selection is a doc-partitioned
-    * window (millions of tiny partitions — distributed), never a
-    * global sort; the df order needs no global rank materialization
-    * because only (df, token) COMPARISONS matter. */
-  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"threshold must be in (0, 1] (got $threshold)")
-    val rz6 = graft.util.Round6.rz6 _
+  /** Epsilon for float-safe threshold arithmetic in [[jaccardJoinExact]]:
+    * `t·n` computed in doubles can land JUST above the exact integer
+    * (e.g. 0.07·100 = 7.000000000000001, so `ceil` jumps to 8 and the
+    * prefix silently shrinks). Every `ceil(t·…)` bound and the final
+    * verification inequality subtract this epsilon so exact-integer
+    * products never round up; 1e-9 is far below any representable
+    * `t·n` gap at corpus-realistic n yet far above double rounding
+    * error, and the q202 oracle + brute-force specs apply the SAME
+    * epsilon so the contract stays a single well-defined function. */
+  private val JaccardEps = 1e-9
+
+  /** Looser epsilon for the INTERNAL pruning bounds (prefix length,
+    * length filter, positional filter): relaxing those only ADDS
+    * candidates — verification rejects the extras — so completeness is
+    * preserved even when `t·n` carries a full double ulp of error at
+    * pathological doc sizes (n ~ 1e9 tokens, ulp ~ 1e-7 > 1e-9). The
+    * result-defining verification inequality keeps [[JaccardEps]]. */
+  private val JaccardBoundEps = 1e-6
+
+  /** Candidate-pair stage of [[jaccardJoinExact]] — exposed for the
+    * adversarial-skew spec, which proves the positional filter empties
+    * the candidate set on a many-short-near-dup corpus BELOW the
+    * threshold (the workload that squares an unguarded prefix join).
+    * Returns `(ida, idb, size_a, size_b)` for id-ordered pairs that
+    * survive all three PPJoin filters (prefix, length, positional). */
+  private[graft] def jaccardCandidates(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double): (DataFrame, DataFrame) = {
     val grid = df.select(col(idCol).as("__id"),
         explode(split(coalesce(col(textCol).cast("string"), lit("")), " "))
           .as("__tok"))
@@ -885,21 +889,91 @@ object Dedup {
     val prefix = grid.join(dfreq, Seq("__tok")).join(sizes, Seq("__id"))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <=
-        col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-      .select("__tok", "__id")
-    val cand = prefix.select(col("__tok"), col("__id").as("ida"))
-      .join(prefix.select(col("__tok"), col("__id").as("idb")), Seq("__tok"))
+        col("__n") - ceil(lit(threshold) * col("__n") - lit(JaccardBoundEps)) + 1)
+      .select("__tok", "__id", "__rn", "__n")
+    val a = prefix.select(col("__tok"), col("__id").as("ida"),
+      col("__rn").as("__ra"), col("__n").as("size_a"))
+    val b = prefix.select(col("__tok"), col("__id").as("idb"),
+      col("__rn").as("__rb"), col("__n").as("size_b"))
+    val cand = a.join(b, Seq("__tok"))
       .where(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
-    val inter = cand
+      // LENGTH filter: J >= t forces t·max(|a|,|b|) <= min(|a|,|b|)
+      .where(least(col("size_a"), col("size_b")).cast("double") >=
+        lit(threshold) * greatest(col("size_a"), col("size_b")).cast("double")
+          - lit(JaccardBoundEps))
+      // POSITIONAL filter: via a shared token at 1-based ranks (ra, rb)
+      // the overlap can reach at most 1 + min(|a|−ra, |b|−rb); the FIRST
+      // shared token (both docs sorted by the same global order, so it
+      // has the minimal rank on both sides) realizes the true maximum,
+      // and PPJoin's prefix theorem puts it inside both prefixes — so
+      // max over shared prefix tokens is a COMPLETE upper bound.
+      .withColumn("__ub",
+        lit(1L) + least(col("size_a") - col("__ra"), col("size_b") - col("__rb")))
+      .groupBy("ida", "idb", "size_a", "size_b")
+      .agg(max("__ub").as("__maxub"))
+      .where(col("__maxub").cast("double") >=
+        ceil(lit(threshold / (1.0 + threshold)) *
+          (col("size_a") + col("size_b")) - lit(JaccardBoundEps)))
+      .select("ida", "idb", "size_a", "size_b")
+    (grid, cand)
+  }
+
+  /** EXACT all-pairs Jaccard similarity join via PREFIX FILTERING
+    * (PPJoin, Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW'08) — every pair with token-set Jaccard
+    * `>= threshold`, with NO approximation: where [[minhashNearDups]]
+    * trades recall for speed, this keeps the exact result set and
+    * prunes with a completeness GUARANTEE, applying Xiao et al.'s full
+    * filter set:
+    *  - PREFIX filter: two sets with `J >= t` must share a token among
+    *    each side's `|x| − ceil(t·|x|) + 1` RAREST tokens under a
+    *    common global order (document frequency asc, token asc).
+    *  - LENGTH filter: `J >= t ⇒ t·max(|a|,|b|) <= min(|a|,|b|)` —
+    *    size-incompatible pairs are cut at the token join, BEFORE the
+    *    pair aggregation.
+    *  - POSITIONAL filter: a shared token at prefix ranks `(ra, rb)`
+    *    bounds the overlap by `1 + min(|a|−ra, |b|−rb)`; pairs whose
+    *    best bound misses `ceil(t/(1+t)·(|a|+|b|))` (the overlap a
+    *    qualifying pair needs) never reach verification.
+    * Survivors are verified by exact intersection counts. All
+    * `ceil(t·…)` bounds and the final inequality are float-safe via
+    * [[JaccardEps]] (t·n landing a hair above an exact integer no
+    * longer flips a ceil / rejects a boundary pair).
+    *
+    * Output: `(ida, idb, inter, size_a, size_b, jac)` for id-ordered
+    * pairs passing the exact cross-multiplied test
+    * `inter >= t·(|a| + |b| − inter) − ε`; `jac` is 6dp-snapped for
+    * display. The q202 gate hash-matches this against a brute-force
+    * all-pairs oracle — the strongest possible completeness proof.
+    *
+    * Scale design: the prefix index holds ≈ `(1−t)·|x| + 1` keys per
+    * document — at t = 0.9, ~10% of the grid — and rarest-FIRST
+    * ordering sends only low-df tokens into the join. The length and
+    * positional filters run INSIDE the joined partitions (map side of
+    * the pair agg), so a pathological bucket — millions of short
+    * near-identical docs sharing one rare token — is cut before any
+    * pair materializes downstream (see JaccardAdversarialSpec: 0
+    * candidates on that corpus). Residual partition-level skew in the
+    * token join is AQE skew-join territory (the join output per hot
+    * token is already filter-pruned); the pair hash-agg de-skews via
+    * map-side partial aggregation. Verification joins candidates back
+    * to the grid doc-keyed (cost linear in Σ|candidate docs|). Per-doc
+    * prefix selection is a doc-partitioned window (millions of tiny
+    * partitions — distributed), never a global sort. */
+  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1] (got $threshold)")
+    val rz6 = graft.util.Round6.rz6 _
+    val (grid, cand) = jaccardCandidates(df, idCol, textCol, threshold)
+    cand
       .join(grid.select(col("__id").as("ida"), col("__tok")), Seq("ida"))
       .join(grid.select(col("__id").as("idb"), col("__tok")), Seq("idb", "__tok"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("__id").as("ida"), col("__n").as("size_a")), Seq("ida"))
-      .join(sizes.select(col("__id").as("idb"), col("__n").as("size_b")), Seq("idb"))
+      .groupBy("ida", "idb", "size_a", "size_b")
+      .agg(count(lit(1)).as("inter"))
       .where(col("inter").cast("double") >=
-        lit(threshold) * (col("size_a") + col("size_b") - col("inter")))
+        lit(threshold) * (col("size_a") + col("size_b") - col("inter"))
+          - lit(JaccardEps))
       .select(col("ida"), col("idb"), col("inter"), col("size_a"), col("size_b"),
         rz6(col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter"))).as("jac"))

@@ -172,7 +172,7 @@ object Freq {
       .agg(count(lit(1)).as("__n"))
     val targets = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
       .crossJoin(broadcast(total))
-      .withColumn("rank", greatest(lit(1L), ceil(col("q") * col("__n"))))
+      .withColumn("rank", greatest(lit(1L), ceil(col("q") * col("__n") - lit(1e-9))))
       .select("q", "rank")
     spans.join(broadcast(targets),
         col("__lo") <= col("rank") && col("rank") <= col("__hi"))
@@ -204,7 +204,7 @@ object Freq {
       .withColumn("__n", count(lit(1)).over(wAll))
     val targets = qs.map(q =>
       struct(lit(q).as("q"),
-        greatest(lit(1L), ceil(lit(q) * col("__n"))).as("rank")))
+        greatest(lit(1L), ceil(lit(q) * col("__n") - lit(1e-9))).as("rank")))
     ranked
       .withColumn("__t", explode(array(targets: _*)))
       .where(col("__rn") === col("__t.rank"))

@@ -43,14 +43,22 @@ object Scd {
     require(keyCols.nonEmpty && attrCols.nonEmpty, "need key and attr columns")
     val outCols = (keyCols ++ attrCols ++ Seq(fromCol, toCol, currentCol)).map(col)
 
-    val history = dim.where(!col(currentCol)).select(outCols: _*)
-    val cur = dim.where(col(currentCol))
+    // a NULL current-flag is malformed input; coalescing it to false
+    // routes the row to the history branch (normalized to false in the
+    // output) instead of silently dropping it between the two filters
+    val history = dim.where(!coalesce(col(currentCol), lit(false)))
+      .withColumn(currentCol, coalesce(col(currentCol), lit(false)))
+      .select(outCols: _*)
+    // dedicated always-true marker for join-match detection: the data
+    // column can no longer double as the marker once NULLs are legal
+    val cur = dim.where(coalesce(col(currentCol), lit(false)))
+      .withColumn("__in_cur", lit(true))
     // disambiguate batch attrs; keys join by name
     val b = batch.select(
       (keyCols.map(col) ++ attrCols.map(a => col(a).as(s"__b_$a")) :+
         lit(true).as("__in_batch")): _*)
     val j = cur.join(b, keyCols, "full_outer")
-    val matched = col(currentCol).isNotNull // cur side present
+    val matched = col("__in_cur").isNotNull // cur side present
     val inBatch = col("__in_batch").isNotNull
     val changed = attrCols
       .map(a => !(col(a) <=> col(s"__b_$a"))).reduce(_ || _)

@@ -338,7 +338,15 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       // bare host with trailing slash
       ("http://WWW.A.com/", "http://a.com"),
       // www in the PATH is not a host prefix
-      ("http://b.com/www.decoy", "http://b.com/www.decoy"))
+      ("http://b.com/www.decoy", "http://b.com/www.decoy"),
+      // a param NAME merely ending in a tracking name is NOT tracking:
+      // the anchored match must leave it whole (unanchored would eat it)
+      ("http://a.com/p?xgclid=5", "http://a.com/p?xgclid=5"),
+      ("http://a.com/p?myutm_source=1&id=2", "http://a.com/p?myutm_source=1&id=2"),
+      // CONSECUTIVE tracking params all stripped in one pass
+      ("http://a.com/p?utm_a=1&utm_b=2&x=3", "http://a.com/p?x=3"),
+      ("http://a.com/p?id=1&utm_a=x&gclid=g", "http://a.com/p?id=1"),
+      ("http://a.com/p?utm_a=1&gclid=2&fbclid=3", "http://a.com/p"))
     val got = Curation.canonicalUrl(col("u"))
     val out = cases.map(_._1).toDF("u").select(got.as("c"))
       .collect().map(_.getString(0)).toSeq

@@ -165,6 +165,19 @@ class FreqSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantile rank is float-safe: q*n landing just above an integer") {
+    val s = spark; import s.implicits._
+    // 0.07 * 100 = 7.000000000000001 in doubles: an unguarded ceil returns
+    // rank 8; the type-1 definition says rank 7 (values 1..100 -> 7.0)
+    val df = (1 to 100).map(_.toDouble).toDF("v").repartition(5)
+    val g = Freq.exactQuantiles(df, "v", Seq(0.07)).collect().head
+    assert((g.getLong(1), g.getDouble(2)) == ((7L, 7.0)), s"got $g")
+    val rows = (1 to 100).map(i => (1L, i.toDouble))
+    val bg = graft.operators.Freq.exactQuantilesByGroup(
+      rows.toDF("g", "v"), "g", "v", Seq(0.07)).collect().head
+    assert((bg.getLong(2), bg.getDouble(3)) == ((7L, 7.0)), s"got $bg")
+  }
+
   test("skewProfile: exact Gini vs brute force; uniform and one-hot extremes") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(61)

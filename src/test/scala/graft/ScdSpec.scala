@@ -52,6 +52,27 @@ class ScdSpec extends AnyFunSuite with BeforeAndAfterAll {
       (9L, "NEW", 10L, null, true)))
   }
 
+  test("malformed NULL is_current routes to history, never silently dropped") {
+    val sp = spark
+    import sp.implicits._
+    val dim = Seq(
+      (1L, "A", 0L, java.lang.Long.valueOf(5L), null: java.lang.Boolean), // malformed
+      (1L, "B", 5L, null: java.lang.Long, java.lang.Boolean.valueOf(true))
+    ).toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val batch = Seq((1L, "C")).toDF("k", "seg")
+    val out = Scd.scd2Apply(dim, batch, Seq("k"), Seq("seg"), asOf = 10L)
+      .orderBy("valid_from")
+      .collect()
+      .map(r => (r.getString(1), r.get(2), r.get(3), r.getBoolean(4)))
+      .toSeq
+    // the null-flag row survives as history with the flag normalized to
+    // false; the true-current row closes and the batch row opens
+    assert(out == Seq(
+      ("A", 0L, 5L, false),
+      ("B", 5L, 10L, false),
+      ("C", 10L, null, true)), s"got $out")
+  }
+
   test("null-safe attr compare: null == null is a no-op, null vs value is a change") {
     val sp = spark
     import sp.implicits._

@@ -289,6 +289,14 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nearDup = (1 to 40).map(i => if (i == 40) "CHANGED" else s"word$i").mkString(" ")
     val other = (100 to 140).map(i => s"tok$i").mkString(" ")
     val df = Seq((1, base), (2, nearDup), (3, other)).toDF("id", "text")
+    // pigeonhole guard: banding is complete only below the band count
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(df, "id", "text", maxHamming = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs64(df.selectExpr("id", "CAST(id AS LONG) AS h"),
+        "id", "h", maxHamming = 5, bands = 4)
+    }
     val pairs = Dedup.simhashNearDups(df, "id", "text", maxHamming = 3)
       .select("ida", "idb").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     assert(pairs == Set((1, 2)))
@@ -1390,7 +1398,7 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
       (for {
         (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
         inter = (sa & sb).size.toLong
-        if inter.toDouble >= t * (sa.size + sb.size - inter)
+        if inter.toDouble >= t * (sa.size + sb.size - inter) - 1e-9
       } yield (ia, ib, inter)).toSet
     }
     Seq(0.5, 0.8, 1.0).foreach { t =>

@@ -28,12 +28,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   // Representative per-family coverage; every other query shares these
   // operators' physical shape.
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "q02_astext",        // decode + WKT serialize, full scan
     "q07_intersects",    // spatial predicate vs folded constant (the reference's bench query)
     "q11_buffer_bbox",   // heavy GEOS-equivalent geometry op
     "q14_extent",        // two-phase UDAF aggregate
     "q16_split",         // polygonize pipeline
+    "q18_spatial_join_bcast", // STRtree broadcast spatial join (rewrite rule)
+    "q19_spatial_join_grid",  // grid-partitioned spatial join + dedup
     "q20_dedup_exact",   // hash-agg dedup
     "q23_jaccard_tokens",// explode + self-join + agg
     "q24_cosine_topk",   // broadcast crossjoin + window top-k
@@ -41,6 +43,7 @@ object Bench {
     "q32_events_hourly", // windowed agg over event time
     "q33_ref_linestring_intersects", // the reference's own criterion bench query
     "q34_text_profile",  // one-pass text curation profile
+    "q42_knn_join",      // per-left-row k nearest via grid-ring expansion
     "q48_asof_join",     // union + one shuffle + window-carry as-of join
     "q49_range_join",    // binned interval equi-join + anchor dedup
     "q70_topo_predicates", // full predicate family per row (5 JTS relate ops)
@@ -114,11 +117,12 @@ object Bench {
     * excluded with a reason (quadratic BY CONSTRUCTION in the contract
     * fixture, not by operator design) — recorded in the JSON so the
     * exclusion is never silent. */
-  private val sf1Eligible = Seq(
+  private[graft] val sf1Eligible = Seq(
     "q02_astext", "q07_intersects", "q11_buffer_bbox", "q14_extent",
-    "q16_split", "q20_dedup_exact", "q23_jaccard_tokens", "q24_cosine_topk",
+    "q16_split", "q18_spatial_join_bcast", "q19_spatial_join_grid",
+    "q20_dedup_exact", "q23_jaccard_tokens", "q24_cosine_topk",
     "q28_minhash_lsh", "q32_events_hourly", "q33_ref_linestring_intersects",
-    "q34_text_profile", "q48_asof_join", "q70_topo_predicates",
+    "q34_text_profile", "q42_knn_join", "q48_asof_join", "q70_topo_predicates",
     "q73_dedup_clusters", "q74_tfidf_terms", "q104_mercator_tiles_geohash",
     "q105_cluster_kmeans", "q110_paragraph_dedup", "q118_bigram_lm",
     "q135_remove_boilerplate", "q137_dedup_spans", "q141_dsir_weights",
@@ -132,10 +136,11 @@ object Bench {
     "q177_tile_pyramid", "q179_heavy_hitters", "q180_scd2_merge",
     "q182_hilbert", "q184_rrf_fusion", "q186_rolling_actives",
     "q187_cms_counts", "q188_exact_quantiles", "q190_script_profile",
-    "q195_url_dedup", "q196_top_p", "q198_js_divergence",
-    "q199_skew_profile", "q200_pipeline_e2e", "q203_group_quantiles")
+    "q191_label_prop", "q194_image_neardup", "q195_url_dedup",
+    "q196_top_p", "q198_js_divergence", "q199_skew_profile",
+    "q200_pipeline_e2e", "q201_hop_distance", "q203_group_quantiles")
 
-  private val sf1Excluded = Map(
+  private[graft] val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",
     "q80_dbscan" -> "neighbor-pair count quadratic in cell density at fixed eps/domain",
     "q92_dbscan_minpts1" -> "neighbor-pair count quadratic in cell density at fixed eps/domain",
@@ -149,7 +154,20 @@ object Bench {
     "q183_jw_linkage" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction",
     "q197_containment" -> "the ~31-word synthetic vocabulary makes any fixed df cap empty-or-total at 10x docs; the absolute-cap semantics are pinned at sf0.01",
     "q185_sim_suite" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction",
-    "q189_triangle_stats" -> "wedge count grows with the square of co-order adjacency, which rises with order density at fixed part domain — not input-linear by construction")
+    "q189_triangle_stats" -> "wedge count grows with the square of co-order adjacency, which rises with order density at fixed part domain — not input-linear by construction",
+    "q202_jaccard_join" -> "qualifying-pair OUTPUT is quadratic in duplicate-group size, and the ~31-token synthetic vocabulary makes x10 docs mostly near-identical — the exact join's result itself squares by construction; the filters' skew guarantee is pinned by JaccardAdversarialSpec instead")
+
+  // Every headline query is either in the sf1 tier or excluded WITH a
+  // recorded reason — asserted here so the invariant cannot rot silently
+  // (the bench's own no-silent-caps rule; 4 queries slipped the net in
+  // round 13).
+  require((sf1Eligible.toSet ++ sf1Excluded.keySet) == headline.toSet,
+    { val h = headline.toSet
+      val missing = h -- sf1Eligible.toSet -- sf1Excluded.keySet
+      val stray = (sf1Eligible.toSet ++ sf1Excluded.keySet) -- h
+      s"sf1 bookkeeping gap: unclassified=$missing, non-headline=$stray" })
+  require(sf1Eligible.toSet.intersect(sf1Excluded.keySet).isEmpty,
+    s"queries both eligible and excluded: ${sf1Eligible.toSet.intersect(sf1Excluded.keySet)}")
 
   private def loadavg1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble

@@ -488,6 +488,27 @@ object SparkEntry {
         .select("ida", "idb", "inter", "uni")
         .orderBy("ida", "idb")
     }),
+    // q170's history arrives as build + append (shards per band), then
+    // COMPACT merges each band to one file; the same batch probe must
+    // return the identical refined near-dup set (bucket rows are facts,
+    // the compactor only rewrites their layout) — same q170 oracle
+    "q206_lsh_compact" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val docs = spark.table("documents")
+      val batch = docs.where(col("doc_id") % 5 === 4)
+      val idxDir = scratchDir("graft_lsh_cpt_")
+      graft.operators.Dedup.writeLshIndex(
+        docs.where(col("doc_id") % 5 <= 2), "doc_id", "text", idxDir,
+        numHashes = 64, bands = 64)
+      graft.operators.Dedup.appendToLshIndex(spark, idxDir,
+        docs.where(col("doc_id") % 5 === 3), "doc_id", "text")
+      graft.operators.Dedup.compactLshIndex(spark, idxDir)
+      graft.operators.Dedup.nearDupsAgainstLshIndex(spark, idxDir, batch,
+          "doc_id", "text", corpus = docs, threshold = 0.35, minBandHits = 4)
+        .select("ida", "idb", "inter", "uni")
+        .orderBy("ida", "idb")
+    }),
     // recall vs the (exact, q24-oracled) brute force as a calibrated
     // boolean: nPlanes=4 → 16 buckets, margin-aware multi-probe of 8 ≈
     // half the corpus; measured recall 0.60/0.67/0.87 at sf0.1/0.01/0.001
@@ -615,6 +636,35 @@ object SparkEntry {
       val idxDir = scratchDir("graft_ivf_app_")
       graft.operators.Ann.writeIvfIndex(built, idxDir)
       graft.operators.Ann.appendToIvfIndex(spark, idxDir, extra)
+      val loaded = graft.operators.Ann.readIvfIndex(spark, idxDir)
+      val ref = graft.operators.Ann.assignToCentroids(built.centroids, emb)
+      def search(ix: graft.operators.Ann.IvfIndex, nProbe: Int) =
+        graft.operators.Ann.ivfSearch(ix, queries, k = 3, nProbe = nProbe)
+      val full = search(loaded, 8).join(search(ref, 8), Seq("qid", "nid", "rnk"))
+        .agg(count(lit(1)).as("n_match_full"))
+      val part = search(loaded, 2).join(search(ref, 2), Seq("qid", "nid", "rnk"))
+        .agg(count(lit(1)).as("n_match_partial"))
+      val drift = graft.operators.Ann.ivfRecallFrame(loaded, queries, k = 3, nProbe = 2)
+      full.crossJoin(part).crossJoin(drift)
+        .select(col("n_match_full"), col("n_match_partial"),
+          (col("recall") >= 0.5).as("drift_ok"))
+    }),
+    // q167 with a COMPACT step after the append: folding every inverted
+    // list to one file must leave full- and partial-probe search
+    // identical to the frozen-centroid rebuild (rows are facts — the
+    // compactor only merges shards), so the same 15/15/true gate holds
+    "q205_ivf_compact" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val base = emb.where(col("vec_id") % 5 =!= 4)
+      val extra = emb.where(col("vec_id") % 5 === 4)
+      val queries = emb.where(col("vec_id") < 5)
+      val built = graft.operators.Ann.buildIvf(base, nlist = 8)
+      val idxDir = scratchDir("graft_ivf_cpt_")
+      graft.operators.Ann.writeIvfIndex(built, idxDir)
+      graft.operators.Ann.appendToIvfIndex(spark, idxDir, extra)
+      graft.operators.Ann.compactIvfIndex(spark, idxDir)
       val loaded = graft.operators.Ann.readIvfIndex(spark, idxDir)
       val ref = graft.operators.Ann.assignToCentroids(built.centroids, emb)
       def search(ix: graft.operators.Ann.IvfIndex, nProbe: Int) =
@@ -3025,6 +3075,29 @@ object SparkEntry {
           queries, "qid", "qtext", k = 10)
         .orderBy("qid", "rnk")
     }),
+    // compaction ≡ no-op for search: build on 60%, append two 20%
+    // batches (accumulating dfreq deltas + stats rows + postings
+    // shards), COMPACT — fold deltas, one file per bucket — and search;
+    // the ranking must still equal q146's one-shot in-memory oracle
+    "q204_bm25_compact" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val docs = spark.table("documents")
+      val idxDir = scratchDir("graft_bm25_cpt_")
+      graft.operators.TextAnalysis.writeBm25Index(
+        docs.where(col("doc_id") % 5 <= 2), "doc_id", "text", idxDir)
+      graft.operators.TextAnalysis.appendToBm25Index(spark, idxDir,
+        docs.where(col("doc_id") % 5 === 3), "doc_id", "text")
+      graft.operators.TextAnalysis.appendToBm25Index(spark, idxDir,
+        docs.where(col("doc_id") % 5 === 4), "doc_id", "text")
+      graft.operators.TextAnalysis.compactBm25Index(spark, idxDir)
+      val queries = spark.createDataFrame(Seq(
+        (0L, "hash join"), (1L, "slow scan filter"),
+        (2L, "vector window spark"), (3L, "nosuchtoken"))).toDF("qid", "qtext")
+      graft.operators.TextAnalysis.bm25SearchIndex(spark, idxDir,
+          queries, "qid", "qtext", k = 10)
+        .orderBy("qid", "rnk")
+    }),
     "q146_bm25" -> ((spark, dir) => {
       prep(spark, dir)
       val queries = spark.createDataFrame(Seq(
@@ -4134,6 +4207,11 @@ object SparkEntry {
     "q170_lsh_index_dedup" -> SHINGLE_JACCARD_ORACLE.replace(
       "ORDER BY ida, idb",
       "AND (ida % 5 = 4 OR idb % 5 = 4)\n      ORDER BY ida, idb"),
+    // compaction only changes the file layout, so the probe's ground
+    // truth is exactly q170's
+    "q206_lsh_compact" -> SHINGLE_JACCARD_ORACLE.replace(
+      "ORDER BY ida, idb",
+      "AND (ida % 5 = 4 OR idb % 5 = 4)\n      ORDER BY ida, idb"),
     "q44_ngram_jaccard" -> SHINGLE_JACCARD_ORACLE,
     "q100_sql_minhash_recipe" -> SHINGLE_JACCARD_ORACLE,
     "q47_dedup_keep_rows" -> """
@@ -4628,6 +4706,10 @@ object SparkEntry {
     // append ≡ one-shot frozen-centroid rebuild: all 5x3 (qid, nid,
     // rnk) pairs match at both probe depths; recall guard holds
     "q167_ivf_append" -> """
+      SELECT CAST(15 AS BIGINT) AS n_match_full,
+             CAST(15 AS BIGINT) AS n_match_partial, true AS drift_ok""",
+    // append + compact ≡ frozen-centroid rebuild at full AND partial probe
+    "q205_ivf_compact" -> """
       SELECT CAST(15 AS BIGINT) AS n_match_full,
              CAST(15 AS BIGINT) AS n_match_partial, true AS drift_ok""",
     "q126_ann_ivf_quantized" -> """
@@ -6054,6 +6136,8 @@ object SparkEntry {
     "q146_bm25" -> BM25_ORACLE,
     "q174_bm25_index" -> BM25_ORACLE,
     "q175_bm25_append" -> BM25_ORACLE,
+    // folding append deltas must not move a single score or rank
+    "q204_bm25_compact" -> BM25_ORACLE,
     "q176_pagerank" -> PAGERANK_ORACLE,
     // disjoint interleave slots: OR replayed as a sum of shifted bits
     "q178_zorder" -> """
@@ -6867,6 +6951,9 @@ object SparkEntry {
     "q174_bm25_index",
     // append-grown index on 10x postings, same agreement
     "q175_bm25_append",
+    // appended-then-COMPACTED index on 10x postings: folding the dfreq
+    // deltas and merging bucket shards must preserve the same agreement
+    "q204_bm25_compact",
     // same 100 nodes but 10x the edge density: every rank shifts, so
     // the twin re-proves the whole iteration chain at the larger graph
     "q176_pagerank",

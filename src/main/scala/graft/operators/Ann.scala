@@ -277,6 +277,36 @@ object Ann {
       .assigned.write.mode("append").partitionBy("list").parquet(path)
   }
 
+  /** Compact a persisted IVF (or IVF-PQ) index in place: every
+    * [[appendToIvfIndex]] / [[appendToIvfPqIndex]] adds part-files to
+    * the touched `list=` directories, so probe fan-out grows with
+    * append count. Compaction rewrites each inverted list as ONE file
+    * (rows sorted by `nid` for a deterministic layout) and carries the
+    * centroid — and, when present, PQ codebook — sidecars over
+    * verbatim, so it works on both layouts without reading a vector
+    * column. Rows are facts (no deltas to fold), hence search after
+    * compaction is trivially identical to before (q205 pins it through
+    * the q167 append≡rebuild gate; the spec pins 1 file/list). Same
+    * `.__compact` + [[graft.util.FsIO.swapDir]] crash discipline as
+    * the BM25 compactor; not concurrent-writer safe. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val idx = readIvfIndex(spark, path) // validates the sidecar, nlist
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    idx.assigned
+      .repartition(idx.centroids.length, col("list"))
+      .sortWithinPartitions("nid")
+      .write.partitionBy("list").parquet(tmp.toString)
+    for (name <- Seq("_ivf_centroids.json", "_pq_codebook.json"))
+      graft.util.FsIO.readString(spark,
+          new org.apache.hadoop.fs.Path(path, name))
+        .foreach(s => graft.util.FsIO.writeStringAtomic(spark,
+          new org.apache.hadoop.fs.Path(tmp, name), s))
+    graft.util.FsIO.swapDir(spark, tmp, new org.apache.hadoop.fs.Path(path))
+  }
+
   /** The drift guard: fraction of full-probe (exact within the index)
     * top-k pairs that an `nProbe`-deep search still recovers. Run on a
     * query sample after appends; a drop below the pipeline's recall

@@ -301,6 +301,32 @@ object Dedup {
       .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
   }
 
+  /** Compact a persisted LSH index in place: each [[appendToLshIndex]]
+    * adds part-files to the `band=` directories, growing every later
+    * probe's scan fan-out. Bucket rows are facts (no deltas), so
+    * compaction just rewrites each band as ONE file, sorted by
+    * (bucket, doc) so a probed bucket's rows sit in one row-group
+    * neighborhood, and re-pins the params sidecar. Probe results are
+    * identical before and after (q206 pins it through the q170 gate;
+    * the spec pins 1 file/band). Same `.__compact` +
+    * [[graft.util.FsIO.swapDir]] crash discipline as the BM25
+    * compactor; not concurrent-writer safe. */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val (numHashes, bands) = lshParams(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(s"$path/buckets")
+      .repartition(bands, col("band")).sortWithinPartitions("bucket", "doc")
+      .write.partitionBy("band").parquet(s"$tmp/buckets")
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(tmp, "_lsh_params.json"),
+      s"""{"numHashes":$numHashes,"bands":$bands}""")
+    graft.util.FsIO.swapDir(spark, tmp,
+      new org.apache.hadoop.fs.Path(path))
+  }
+
   /** Candidate near-dup pairs TOUCHING a new batch: the batch's bucket
     * rows (hashed under the index's recorded law) are broadcast against
     * the persisted bucket table, so the historical side is a map-only

@@ -953,6 +953,66 @@ object TextAnalysis {
       .write.mode("append").parquet(s"$path/stats")
   }
 
+  /** Compact a persisted BM25 index in place: every
+    * [[appendToBm25Index]] leaves new part-files in the postings
+    * buckets, DELTA rows in `dfreq/`, and one more `stats/` row — at
+    * production append cadence that is a small-file explosion and a
+    * per-probe read fan-out that grows with append count. Compaction
+    * folds the dfreq deltas to one row per token, collapses stats to
+    * its one-row aggregate, and rewrites each `pt=` bucket as ONE file
+    * with postings sorted by (tok, doc) for row-group locality. The
+    * sums compacted here are exactly the aggregates
+    * [[bm25SearchIndex]] computes on every probe, so search after
+    * compaction is IDENTICAL to search before it (q204 pins the
+    * search-after-appends-then-compact result against q146's in-memory
+    * oracle; the spec additionally pins file counts to 1/bucket).
+    * The rewrite lands in a `.__compact` sibling and swaps in via two
+    * renames ([[graft.util.FsIO.swapDir]]) — readers see the old index
+    * or the new one, never a partial. Run it offline like any other
+    * index-maintenance job; it is not concurrent-writer safe. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val json = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(path, "_bm25_params.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"BM25 index at $path has no readable _bm25_params.json sidecar"))
+    val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(throw new java.io.IOException(
+        s"BM25 index sidecar at $path lacks buckets: $json"))
+    def readTable(sub: String) = {
+      val ddl = graft.util.FsIO.readString(spark,
+          new org.apache.hadoop.fs.Path(path, s"_schema_$sub.ddl"))
+        .getOrElse(throw new java.io.IOException(
+          s"BM25 index at $path has no readable _schema_$sub.ddl sidecar"))
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(s"$path/$sub")
+    }
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // one task per pt bucket -> one file per partition directory; the
+    // in-file (tok, doc) sort clusters each token's postings contiguously
+    readTable("postings")
+      .repartition(buckets, col("pt")).sortWithinPartitions("tok", "doc")
+      .write.partitionBy("pt").parquet(s"$tmp/postings")
+    readTable("dfreq")
+      .groupBy("tok").agg(sum("df").as("df"))
+      .withColumn("pt", pmod(hash(col("tok")), lit(buckets)))
+      .repartition(buckets, col("pt")).sortWithinPartitions("tok")
+      .write.partitionBy("pt").parquet(s"$tmp/dfreq")
+    readTable("stats")
+      .agg(sum("n").as("n"), sum("mass").as("mass"))
+      .coalesce(1).write.parquet(s"$tmp/stats")
+    // sidecars carry over verbatim: schemas and params are unchanged
+    for (name <- Seq("_bm25_params.json", "_schema_postings.ddl",
+        "_schema_dfreq.ddl", "_schema_stats.ddl"))
+      graft.util.FsIO.readString(spark,
+          new org.apache.hadoop.fs.Path(path, name))
+        .foreach(s => graft.util.FsIO.writeStringAtomic(spark,
+          new org.apache.hadoop.fs.Path(tmp, name), s))
+    graft.util.FsIO.swapDir(spark, tmp, new org.apache.hadoop.fs.Path(path))
+  }
+
   /** BM25 retrieval against a PERSISTED index: the query batch's token
     * buckets are evaluated once (a tiny driver job, like the IVF probe
     * collect) and become a static `pt IN (...)` partition filter on the

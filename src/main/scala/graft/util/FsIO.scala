@@ -32,6 +32,30 @@ object FsIO {
     fc.rename(tmp, qualified, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Replace directory `dst` with fully-written directory `tmp` in two
+    * renames: `dst` is moved aside first, so a crash window leaves
+    * either the original or the new version in place (plus at worst an
+    * orphaned `.__pre_swap` to clean up), never a half-deleted index.
+    * A failed second rename rolls the original back. Renames are
+    * metadata-only on HDFS/local filesystems; object stores emulate by
+    * copy — run compaction jobs there against a staging prefix. */
+  def swapDir(spark: SparkSession, tmp: Path, dst: Path): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dst.getFileSystem(conf)
+    val qDst = fs.makeQualified(dst)
+    val qTmp = fs.makeQualified(tmp)
+    val aside = new Path(qDst.getParent, qDst.getName + ".__pre_swap")
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (!fs.rename(qDst, aside))
+      throw new java.io.IOException(s"swapDir: could not move $qDst aside")
+    if (!fs.rename(qTmp, qDst)) {
+      fs.rename(aside, qDst) // roll the original back
+      throw new java.io.IOException(
+        s"swapDir: could not move $qTmp into place ($qDst restored)")
+    }
+    fs.delete(aside, true)
+  }
+
   def readString(spark: SparkSession, p: Path): Option[String] =
     try {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -88,11 +88,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // broadcast query-idf table and the matched postings — in-memory
     // and persisted-index variants share the shape
     "q146_bm25", "q174_bm25_index", "q175_bm25_append",
+    // same 1-row corpus-scalar shape after append + compaction
+    "q204_bm25_compact",
     // lazy gate frames: 1-row count aggregates CROSS JOINed into the
     // single flags row (each side broadcast by construction); q126/q129
     // also inherit the brute-force exact baseline's hinted BNLJ
     "q126_ann_ivf_quantized", "q129_ann_ivfpq", "q153_jsonl_roundtrip",
-    "q167_ivf_append", "q173_ivfpq_append",
+    "q167_ivf_append", "q173_ivfpq_append", "q205_ivf_compact",
     // Bpe.vocab: the merges table (numMerges rows) CROSS JOINed with
     // the broadcast 1-row base-alphabet count to offset merge ids —
     // both sides vocabulary-bounded

@@ -349,6 +349,7 @@ object GeoFunctions {
     "hamming_str" -> { es => arity("hamming_str", es, 2); HammingStr(es.head, es(1)) },
     "minhash_sig" -> { es => arity("minhash_sig", es, 2); TextMinhash(es.head, es(1)) },
     "lang_id" -> { es => arity("lang_id", es, 1); TextLangId(es.head) },
+    "script_counts" -> { es => arity("script_counts", es, 1); ScriptCounts(es.head) },
     "text_fingerprint" -> { es => arity("text_fingerprint", es, 1); TextFingerprint(es.head) },
     "text_normalize" -> { es => arity("text_normalize", es, 2); TextNormalize(es.head, es(1)) },
     "deflate_len" -> { es => arity("deflate_len", es, 2); TextDeflateLen(es.head, es(1)) },
@@ -651,6 +652,7 @@ object GeoFunctions {
   def hamming_str(a: Column, b: Column): Column = c(HammingStr(x(a), x(b)))
   def minhash_sig(t: Column, n: Column): Column = c(TextMinhash(x(t), x(n)))
   def lang_id(t: Column): Column = c(TextLangId(x(t)))
+  def script_counts(t: Column): Column = c(ScriptCounts(x(t)))
   def text_fingerprint(t: Column): Column = c(TextFingerprint(x(t)))
   def text_normalize(t: Column, mode: Column): Column = c(TextNormalize(x(t), x(mode)))
   def deflate_len(t: Column, level: Column): Column = c(TextDeflateLen(x(t), x(level)))

@@ -165,6 +165,33 @@ object TextKernels {
     * language whose stopword set matches the most tokens; 'und' when
     * nothing matches (n-gram heuristic per the pipeline spec — intended
     * for real prose, not a trained model). */
+  /** Single-pass script census: CODEPOINT counts of Latin, Cyrillic,
+    * Han, Arabic script characters and ASCII digits, in one loop.
+    * Exactly replicates the five-regex formulation it replaced —
+    * Spark's `length(regexp_replace(t, "[^\p{IsX}]", ""))` counts the
+    * KEPT CODEPOINTS (UTF8String length is codepoints, so a
+    * supplementary Han character counts 1), and Java's `\p{IsX}`
+    * script classes are `Character.UnicodeScript` membership — while
+    * scanning the string once instead of five times. */
+  def scriptCounts(text: String): Array[Int] = {
+    val out = new Array[Int](5)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (cp >= '0' && cp <= '9') out(4) += 1
+      else {
+        val s = Character.UnicodeScript.of(cp)
+        if (s eq Character.UnicodeScript.LATIN) out(0) += 1
+        else if (s eq Character.UnicodeScript.CYRILLIC) out(1) += 1
+        else if (s eq Character.UnicodeScript.HAN) out(2) += 1
+        else if (s eq Character.UnicodeScript.ARABIC) out(3) += 1
+      }
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
   def langId(text: String): String = {
     var i = 0
     while (i < text.length) {

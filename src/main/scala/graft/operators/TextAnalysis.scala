@@ -1176,23 +1176,26 @@ object TextAnalysis {
 
   def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = coalesce(col(textCol).cast("string"), lit(""))
-    def keep(cls: String): Column =
-      length(regexp_replace(t, s"[^\\p{Is$cls}]", ""))
-    val digits = length(regexp_replace(t, "[^0-9]", ""))
     val n = length(t)
     def frac(c: Column): Column =
       when(n === 0, lit(0.0)).otherwise(rz6(c.cast("double") / n))
-    df.select(col(idCol),
-      n.as("n_chars"),
-      keep("Latin").as("n_latin"),
-      keep("Cyrillic").as("n_cyrillic"),
-      keep("Han").as("n_han"),
-      keep("Arabic").as("n_arabic"),
-      digits.as("n_digit"),
-      frac(keep("Latin")).as("f_latin"),
-      frac(keep("Cyrillic")).as("f_cyrillic"),
-      frac(keep("Han")).as("f_han"),
-      frac(keep("Arabic")).as("f_arabic"),
-      frac(digits).as("f_digit"))
+    // ONE codepoint pass emits all five counters (the codegen'd
+    // script_counts kernel) — the per-script regex formulation this
+    // replaces re-scanned the string once per script class; counts are
+    // pinned identical by q190 + twin and ScriptCountsSpec
+    val sc = graft.functions.GeoFunctions.script_counts(t)
+    df.withColumn("__sc", sc)
+      .select(col(idCol),
+        n.as("n_chars"),
+        element_at(col("__sc"), 1).as("n_latin"),
+        element_at(col("__sc"), 2).as("n_cyrillic"),
+        element_at(col("__sc"), 3).as("n_han"),
+        element_at(col("__sc"), 4).as("n_arabic"),
+        element_at(col("__sc"), 5).as("n_digit"),
+        frac(element_at(col("__sc"), 1)).as("f_latin"),
+        frac(element_at(col("__sc"), 2)).as("f_cyrillic"),
+        frac(element_at(col("__sc"), 3)).as("f_han"),
+        frac(element_at(col("__sc"), 4)).as("f_arabic"),
+        frac(element_at(col("__sc"), 5)).as("f_digit"))
   }
 }

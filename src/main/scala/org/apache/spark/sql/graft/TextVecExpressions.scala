@@ -146,6 +146,26 @@ case class TextLangId(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** script_counts(text) → array<int> of codepoint counts for
+  * [Latin, Cyrillic, Han, Arabic, ASCII digit] in ONE pass — the fused
+  * form of five `length(regexp_replace(..))` script probes (identical
+  * counts AND int type, ~5x less string scanning; semantics pinned in
+  * [[graft.functions.TextKernels.scriptCounts]]). */
+case class ScriptCounts(child: Expression)
+    extends UnaryExpression with GeoExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "script_counts"
+  override protected def nullSafeEval(t: Any): Any =
+    new GenericArrayData(
+      TextKernels.scriptCounts(t.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"""
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ${TextVecExpr.TK}.scriptCounts($t.toString()));""")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** text_fingerprint(text) → 64-bit whitespace-normalized rolling hash. */
 case class TextFingerprint(child: Expression)
     extends UnaryExpression with GeoExpression with ImplicitCastInputTypes {

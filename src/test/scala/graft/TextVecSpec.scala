@@ -1443,6 +1443,38 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("script_counts kernel == the five-regex formulation it fused") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(97)
+    // codepoints across the five classes + Common/Greek/emoji noise,
+    // including supplementary Han (U+20000+) and surrogate-pair emoji
+    val pool: Array[Int] = Array('a', 'Z', 0x00E9, 0x0416, 0x044F, 0x4E2D,
+      0x9FFF, 0x20000, 0x0627, 0x0645, '0', '7', ' ', '.', 0x03B1, 0x1F600)
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(40)
+      val sbuf = new java.lang.StringBuilder
+      (0 until n).foreach(_ => sbuf.appendCodePoint(pool(rnd.nextInt(pool.length))))
+      (i.toLong, sbuf.toString)
+    }
+    val df = docs.toDF("id", "text")
+    val viaRegex = df.select(col("id"),
+      length(regexp_replace(col("text"), "[^\\p{IsLatin}]", "")).as("l"),
+      length(regexp_replace(col("text"), "[^\\p{IsCyrillic}]", "")).as("c"),
+      length(regexp_replace(col("text"), "[^\\p{IsHan}]", "")).as("h"),
+      length(regexp_replace(col("text"), "[^\\p{IsArabic}]", "")).as("a"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).as("d"))
+    val viaKernel = df.select(col("id"),
+      graft.functions.GeoFunctions.script_counts(col("text")).as("sc"))
+      .select(col("id"), element_at(col("sc"), 1).as("l"),
+        element_at(col("sc"), 2).as("c"), element_at(col("sc"), 3).as("h"),
+        element_at(col("sc"), 4).as("a"), element_at(col("sc"), 5).as("d"))
+    val x = viaRegex.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val y = viaKernel.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(x == y, s"first diff: ${x.find { case (k, v) => y(k) != v }}")
+  }
+
   test("scriptProfile counts codepoints per script, incl. supplementary Han") {
     val sp = spark
     import sp.implicits._

@@ -2734,6 +2734,23 @@ object SparkEntry {
           "doc_id", "text", threshold = 0.9)
         .orderBy("ida", "idb")
     }),
+    // maximal shared token spans (Lee et al. substring dedup, n-gram
+    // anchored extend-and-merge): the fixture plants a corpus-wide run
+    // (c0 c1 c2), a %7-only extension (c3) that must MERGE into one
+    // longer span via consecutive shared gram starts, and a per-%4-class
+    // tail run — the oracle replays census + islands-merge in SQL
+    "q207_max_shared_spans" -> ((spark, dir) => {
+      prep(spark, dir)
+      val d = spark.table("documents").selectExpr("doc_id",
+        """concat('u', CAST(doc_id AS STRING), ' c0 c1 c2 ',
+             CASE WHEN doc_id % 7 = 0 THEN 'c3 ' ELSE '' END,
+             'x', CAST(doc_id AS STRING),
+             ' g', CAST(doc_id % 4 AS STRING), 'a',
+             ' g', CAST(doc_id % 4 AS STRING), 'b',
+             ' g', CAST(doc_id % 4 AS STRING), 'c') AS text""")
+      graft.operators.Dedup.maximalSharedSpans(d, "doc_id", "text", n = 3)
+        .orderBy("doc_id", "span_start")
+    }),
     // BFS hop distance from a seed set (3 rounds) on the co-order part
     // graph: per round one adjacency join + one min hash-agg; nodes
     // beyond the horizon keep NULL — the crawl-depth / trusted-domain
@@ -6756,6 +6773,37 @@ object SparkEntry {
              CAST(count(*) FILTER (WHERE cov = 0) AS INT) AS n_kept,
              CAST(count(*) FILTER (WHERE cov = 1) AS INT) AS n_dropped
       FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // census + inner join to shared grams + the islands merge
+    // (pos - row_number is constant on consecutive runs) in plain SQL
+    "q207_max_shared_spans" -> """
+      WITH d AS (SELECT doc_id,
+             'u' || CAST(doc_id AS VARCHAR) || ' c0 c1 c2 ' ||
+             CASE WHEN doc_id % 7 = 0 THEN 'c3 ' ELSE '' END ||
+             'x' || CAST(doc_id AS VARCHAR) ||
+             ' g' || CAST(doc_id % 4 AS VARCHAR) || 'a' ||
+             ' g' || CAST(doc_id % 4 AS VARCHAR) || 'b' ||
+             ' g' || CAST(doc_id % 4 AS VARCHAR) || 'c' AS text
+             FROM documents),
+      t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+      tok AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                     CASE WHEN i <= len(ts) - 3
+                          THEN substr(md5(array_to_string(ts[i + 1 : i + 3], ' ')), 1, 16)
+                     END AS gk
+              FROM t, unnest(generate_series(0, len(ts) - 1)) AS u(i)),
+      c AS (SELECT gk, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+            FROM tok WHERE gk IS NOT NULL GROUP BY gk
+            HAVING count(DISTINCT doc_id) >= 2),
+      m AS (SELECT tok.doc_id, tok.pos, c.nd
+            FROM tok JOIN c ON tok.gk = c.gk),
+      i AS (SELECT doc_id, pos, nd,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM m)
+      SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+             CAST(max(pos) + 2 AS INT) AS span_end,
+             CAST(max(pos) - min(pos) + 3 AS INT) AS span_len,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(min(nd) AS BIGINT) AS min_share
+      FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
     // the eight Gopher rules replayed with DuckDB list lambdas; the
     // ellipsis count divides the removed-char delta by 3 (each
     // non-overlapping '...' removal is exactly 3 chars in both engines)
@@ -7004,7 +7052,9 @@ object SparkEntry {
     // prefix-filter completeness vs brute force on the 10x fixture slice
     "q202_jaccard_join",
     // per-group ranks over 10x suppliers x rows
-    "q203_group_quantiles")
+    "q203_group_quantiles",
+    // census + islands merge over 10x docs (class counts all shift)
+    "q207_max_shared_spans")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

@@ -810,6 +810,71 @@ object Dedup {
       .withColumnRenamed("__doc", idCol)
   }
 
+  /** MAXIMAL shared token spans across documents — the n-gram-anchored
+    * extend-and-merge form of the suffix-array substring scan in Lee
+    * et al. 2022 (*Deduplicating Training Data Makes Language Models
+    * Better*): where [[dedupSpans]] REMOVES covered tokens, this
+    * REPORTS each document's maximal intervals in which EVERY length-`n`
+    * token window also appears in at least `minDocs` distinct documents
+    * — the contiguous shared passages themselves (boilerplate blocks,
+    * quoted articles, licence headers), at token granularity. A span is
+    * maximal: extending it one token either way would include an
+    * unshared window.
+    *
+    * Anchor-and-extend as set algebra: mark every gram start whose
+    * census count clears `minDocs`; CONSECUTIVE marked starts merge
+    * into one run (the islands trick — `pos − row_number()` is
+    * constant exactly on consecutive runs), and a run of starts
+    * `[s, e]` is the maximal span `[s, e + n − 1]`. No per-span text
+    * ever moves: output is positional —
+    * `(id, span_start, span_end, span_len, n_windows, min_share)`,
+    * with `min_share` the minimum census count over the run's windows
+    * (every window is shared by at least that many documents, though
+    * not necessarily the SAME documents across the whole span — the
+    * documented approximation vs a true suffix-array pass, which this
+    * recovers as `n` → span length). Slice the original token array
+    * with `slice(split(text,' '), span_start + 1, span_len)` to
+    * materialize a span's text when needed.
+    *
+    * Scale, in exchanges: (1) the gram census — one hash-agg keyed by
+    * the 64-bit md5 gram prefix (map-side partials, fixed-width keys,
+    * no passage text on the wire); (2) the grams ⇄ census inner join,
+    * whose census side holds only grams clearing `minDocs`; (3) one
+    * doc-partitioned window + the run hash-agg on the SAME doc
+    * partitioning (no further exchange). Documents never ride a
+    * shuffle whole. */
+  def maximalSharedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, "n must be at least 2")
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val tokens = df
+      .select(col(idCol).as("__doc"),
+        split(coalesce(col(textCol).cast("string"), lit("")), " ").as("__toks"))
+      .select(col("__doc"), col("__toks"),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .withColumn("__gkey",
+        when(col("__pos") <= size(col("__toks")) - n,
+          substring(md5(array_join(
+            slice(col("__toks"), col("__pos") + 1, lit(n)), " ").cast("binary")), 1, 16)))
+      .drop("__toks")
+    val grams = tokens.where(col("__gkey").isNotNull)
+      .select("__doc", "__pos", "__gkey")
+    val shared = grams.groupBy("__gkey")
+      .agg(count_distinct(col("__doc")).as("__nd"))
+      .where(col("__nd") >= minDocs)
+    val w = Window.partitionBy("__doc").orderBy("__pos")
+    grams.join(shared, Seq("__gkey"))
+      .withColumn("__grp", col("__pos") - row_number().over(w))
+      .groupBy(col("__doc"), col("__grp"))
+      .agg(min("__pos").as("span_start"),
+        (max("__pos") + lit(n - 1)).as("span_end"),
+        (max("__pos") - min("__pos") + lit(n)).as("span_len"),
+        count(lit(1)).as("n_windows"),
+        min("__nd").as("min_share"))
+      .select(col("__doc").as(idCol), col("span_start"), col("span_end"),
+        col("span_len"), col("n_windows"), col("min_share"))
+  }
+
   /** Fuzzy (edit-distance) duplicate pairs with blocking — the
     * record-linkage workhorse for titles/names/addresses, where
     * shingle-Jaccard misses single-character typos: pairs of rows whose

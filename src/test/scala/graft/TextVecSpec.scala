@@ -1378,6 +1378,57 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("maximalSharedSpans: islands merge equals brute-force maximal intervals") {
+    val sp = spark
+    import sp.implicits._
+    val n = 3
+    val docs = Seq(
+      // A and B share "p q r s" (two overlapping shared 3-grams -> one
+      // merged span of length 4) and, separately, "k l m"
+      (1L, "a1 p q r s b1 k l m c1"),
+      (2L, "a2 p q r s b2 k l m c2"),
+      // C shares only "q r s" with A/B (sub-span of their longer run)
+      (3L, "q r s z3 z4"),
+      // D shares nothing n-gram sized
+      (4L, "k l x4 p q y4"),
+      // E: shorter than n tokens -> no grams at all
+      (5L, "t u"))
+    def brute: Set[(Long, Int, Int, Int, Long, Long)] = {
+      val toks = docs.map { case (id, s) => id -> s.split(" ") }.toMap
+      val census = toks.toSeq.flatMap { case (id, ts) =>
+        (0 to ts.length - n).map(p => (ts.slice(p, p + n).mkString(" "), id))
+      }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size.toLong }
+      (for {
+        (id, ts) <- toks.toSeq
+        marked = (0 to ts.length - n)
+          .map(p => p -> census(ts.slice(p, p + n).mkString(" ")))
+          .filter(_._2 >= 2)
+        if marked.nonEmpty
+        run <- marked.foldLeft(List.empty[List[(Int, Long)]]) {
+          case (acc, (p, c)) => acc match {
+            case h :: t if h.head._1 == p - 1 => ((p, c) :: h) :: t
+            case _ => List((p, c)) :: acc
+          }
+        }
+      } yield {
+        val ps = run.map(_._1)
+        (id, ps.min, ps.max + n - 1, ps.max - ps.min + n,
+          run.size.toLong, run.map(_._2).min)
+      }).toSet
+    }
+    val got = graft.operators.Dedup.maximalSharedSpans(
+        docs.toDF("id", "t").repartition(3), "id", "t", n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == brute, s"got $got\nwant $brute")
+    // A/B must carry the merged 4-token span, C only its 3-token one
+    assert(got.contains((1L, 1, 4, 4, 2L, 2L)) && got.contains((3L, 0, 2, 3, 1L, 3L)))
+    assert(!got.exists(_._1 == 4L) && !got.exists(_._1 == 5L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.maximalSharedSpans(docs.toDF("id", "t"), "id", "t", 1)
+    }
+  }
+
   test("jaccardJoinExact: prefix filter finds exactly the brute-force pairs") {
     val sp = spark
     import sp.implicits._

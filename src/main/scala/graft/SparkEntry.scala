@@ -2932,6 +2932,53 @@ object SparkEntry {
       graft.streaming.StreamOps.cmsReadSketch(state).get
         .orderBy("row", "bucket")
     }),
+    // Misra-Gries heavy hitters maintained across two micro-batches
+    // (q192's staging pattern): per-batch capacity-bounded summaries
+    // fold via the mergeable-summaries reduction. capacity 64 >= the 50
+    // distinct keys, so nothing is ever evicted and the maintained
+    // summary must equal the exact group-by counts — the oracle regime;
+    // the under-capacity guarantee is pinned in StreamMgSpec
+    "q208_stream_mg" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.streaming.Trigger
+      val li = spark.table("lineitem")
+      val work = scratchDir("graft-q208-")
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      def stage(cond: org.apache.spark.sql.Column, name: String,
+          mtime: Long): Unit = {
+        val tmp = s"$work/stage_$name"
+        li.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = inDir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      stage(col("l_orderkey") % 2 === 0, "a.parquet", 1000000L)
+      stage(col("l_orderkey") % 2 === 1, "b.parquet", 2000000L)
+      val state = new graft.streaming.CompactingKeyState(spark,
+        s"$work/state", compactEvery = 1)
+      val q = spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .selectExpr("CAST(l_partkey % 50 AS STRING) AS k")
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.streaming.StreamOps.mgAppendBatch(state, batch,
+            "k", capacity = 64, batchId = id)
+        }
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamOps.mgReadSummary(state, capacity = 64).get
+        .orderBy("item")
+    }),
     // synchronous label propagation (4 rounds) over the co-order part
     // graph: deterministic most-frequent-neighbor-label update, ties to
     // the smallest label — per round ONE adjacency join + two hash aggs
@@ -6467,6 +6514,12 @@ object SparkEntry {
       SELECT CAST(r AS INT) AS row, b AS bucket,
              CAST(count(*) AS BIGINT) AS cnt
       FROM f GROUP BY r, b ORDER BY row, bucket""",
+    // capacity >= distinct keys -> the maintained MG summary is the
+    // exact frequency table
+    "q208_stream_mg" -> """
+      SELECT CAST(l_partkey % 50 AS VARCHAR) AS item,
+             CAST(count(*) AS BIGINT) AS est
+      FROM lineitem GROUP BY 1 ORDER BY item""",
     // all 4 rounds unrolled as MATERIALIZED CTEs; the per-node argmax
     // replayed as a (c DESC, lbl ASC) window — identical tie law
     "q191_label_prop" -> """
@@ -7037,6 +7090,9 @@ object SparkEntry {
     "q191_label_prop",
     // two-batch incremental CM ≡ one-shot over 10x the rows
     "q192_stream_cms",
+    // two-batch MG fold ≡ exact counts over 10x the rows (same keys,
+    // 10x the mass - every estimate shifts)
+    "q208_stream_mg",
     // the full canonicalization chain over 10x the messy URLs
     "q195_url_dedup",
     // exact integer nucleus cut over 10x the orders per bucket

@@ -243,4 +243,50 @@ object StreamOps {
     * while no batch has arrived. */
   def cmsReadSketch(state: CompactingKeyState): Option[DataFrame] =
     state.read().map(_.groupBy("row", "bucket").agg(sum("cnt").as("cnt")))
+
+  /** Maintain a Misra–Gries heavy-hitters summary across `foreachBatch`
+    * micro-batches: each batch appends its OWN capacity-bounded summary
+    * (the codegen'd `mg_topk` aggregate, exploded to `(item, est)` rows
+    * and tagged with `batchId` — ≤ `capacity` rows per batch regardless
+    * of batch size). Unlike the CM sketch, MG is not linear, but it IS
+    * a mergeable summary (Agarwal et al. 2013, *Mergeable Summaries*):
+    * [[mgReadSummary]] folds the deltas by summing per-item estimates,
+    * subtracting the (capacity+1)-th largest folded count, and dropping
+    * non-positive counters — the folded result carries the one-shot MG
+    * guarantee over the union: every item with true count
+    * `> N/(capacity+1)` survives, and estimates undercount truth by at
+    * most `N/(capacity+1)` (with capacity ≥ distinct items everything
+    * is exact — the q208 oracle regime; StreamMgSpec pins the
+    * under-capacity bound). The batch-id tag gives exactly-once under
+    * foreachBatch retries, same discipline as [[cmsAppendBatch]]. */
+  def mgAppendBatch(state: CompactingKeyState, batch: DataFrame,
+      keyCol: String, capacity: Int, batchId: Long): Unit =
+    state.append(batch
+      .agg(graft.functions.GeoFunctions.mg_topk(
+        col(keyCol).cast("string"), lit(capacity)).as("__hh"))
+      .select(explode(col("__hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est"))
+      .withColumn("batch_id", lit(batchId)))
+
+  /** The maintained heavy-hitters summary: the mergeable-summaries fold
+    * of every appended batch summary. None while no batch has arrived.
+    * The global window runs on the folded item table — bounded by
+    * (appended batches × capacity) rows, state-sized, never data-sized
+    * (the rank-assembly aux-frame discipline). */
+  def mgReadSummary(state: CompactingKeyState, capacity: Int): Option[DataFrame] = {
+    require(capacity > 0, s"capacity must be positive (got $capacity)")
+    state.read().map { df =>
+      val summed = df.groupBy("item").agg(sum("est").as("est"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("est").desc, col("item").asc)
+      val ranked = summed.withColumn("__rk", row_number().over(w))
+      // the (capacity+1)-th largest folded count — the amount every
+      // counter pays so at most `capacity` survive; 0 when they all fit
+      val thr = ranked.agg(coalesce(
+        max(when(col("__rk") === capacity + 1, col("est"))), lit(0L)).as("__thr"))
+      ranked.crossJoin(broadcast(thr))
+        .where(col("est") > col("__thr"))
+        .select(col("item"), (col("est") - col("__thr")).as("est"))
+    }
+  }
 }

@@ -53,7 +53,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val eager = Set(
     "q66_stream_sessionize", "q76_stream_interval_join",
     "q121_stream_dedup", "q125_ann_ivf_persisted",
-    "q133_stream_semantic_dedup", "q192_stream_cms")
+    "q133_stream_semantic_dedup", "q192_stream_cms", "q208_stream_mg")
 
   // deliberate BNLJ users — each a broadcast-side-by-design shape:
   private val bnljWhitelist: Set[String] = Set(

@@ -137,6 +137,48 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stale.isEmpty, s"whitelist entries no longer using BNLJ: $stale")
   }
 
+  // Queries allowed a GLOBAL window (empty partitionBy ⇒ all rows on one
+  // task): legal ONLY when the frame under the window is BOUNDED — aux
+  // tables whose row count is O(shuffle partitions) or O(a fixed
+  // parameter), never corpus-sized. Each entry records why its frame is
+  // bounded; anything new fails the audit until argued in here.
+  private val globalWindowWhitelist: Map[String, String] = Map(
+    "q188_exact_quantiles" ->
+      "rank-assembly aux: the per-shuffle-partition offset table (P rows, Freq.scala wPrev)",
+    "q199_skew_profile" ->
+      "rank-assembly aux: same P-row partition-offset frame as q188",
+    "q161_bpe_token_ids" ->
+      "vocabulary id assignment: Window.orderBy(token) over the vocab table, bounded by numMerges + base alphabet (Bpe.scala:221)",
+    "q136_temperature_resample" ->
+      "min-domain-mass over the per-DOMAIN count frame — one row per distinct domain, never per doc (Sampling.scala:112)")
+
+  test("global windows sit only on bounded aux frames (pinned)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    val users = scala.collection.mutable.Map[String, Int]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !eager(name) && !name.startsWith("sf01_")) {
+      def allPlans(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap { n =>
+          n +: n.expressions.flatMap(_.collect {
+            case e: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => e.plan
+          }.collect { case sp: SparkPlan => sp }.flatMap(allPlans))
+        }
+      val plans = allPlans(
+        fn(spark, "/root/testdata/sf0.001").queryExecution.sparkPlan)
+      val globals = plans.count {
+        case w: WindowExecBase => w.partitionSpec.isEmpty
+        case _ => false
+      }
+      if (globals > 0) users(name) = globals
+    }
+    val unpinned = users.keySet -- globalWindowWhitelist.keySet
+    assert(unpinned.isEmpty,
+      s"unpinned GLOBAL window (empty partitionBy) in: ${unpinned.toSeq.sorted}")
+    val stale = globalWindowWhitelist.keySet -- users.keySet
+    assert(stale.isEmpty, s"whitelist entries no longer using global windows: $stale")
+  }
+
   test("column pruning reaches the parquet scan") {
     // q01 touches only (l_orderkey, l_linenumber) of lineitem's 16
     // columns; a scan reading more would ship 8x the bytes at 100 TB

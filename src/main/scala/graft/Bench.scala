@@ -113,7 +113,9 @@ object Bench {
     "q203_group_quantiles",     // group-keyed window ranks, one shuffle
     // round-14 additions
     "q204_bm25_compact",        // index maintenance: append + delta-fold compaction + probe
-    "q207_max_shared_spans")    // gram census + islands merge (maximal shared substrings)
+    "q207_max_shared_spans",    // gram census + islands merge (maximal shared substrings)
+    "q209_pii_profile",         // map-only 4-pattern PII census
+    "q210_pii_redact")          // map-only staged redaction chain
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -142,7 +144,8 @@ object Bench {
     "q191_label_prop", "q194_image_neardup", "q195_url_dedup",
     "q196_top_p", "q198_js_divergence", "q199_skew_profile",
     "q200_pipeline_e2e", "q201_hop_distance", "q203_group_quantiles",
-    "q204_bm25_compact", "q207_max_shared_spans")
+    "q204_bm25_compact", "q207_max_shared_spans", "q209_pii_profile",
+    "q210_pii_redact")
 
   private[graft] val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

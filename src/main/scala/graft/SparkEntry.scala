@@ -2734,6 +2734,30 @@ object SparkEntry {
           "doc_id", "text", threshold = 0.9)
         .orderBy("ida", "idb")
     }),
+    // PII census over synthetic contact strings: every doc carries an
+    // email; %2 docs a phone, %3 docs a dotted-quad, %5 docs an
+    // SSN-shaped triple (which the phone pattern ALSO counts — the
+    // documented independent-census semantics). Map-only codegen'd
+    // regexp_extract_all counts; DuckDB replays the identical patterns
+    "q209_pii_profile" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Curation.piiProfile(
+          spark.table("documents").selectExpr("doc_id", PII_FIXTURE_SQL),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // the redaction chain (email -> SSN -> IPv4 -> phone) with STAGED
+    // counts: an SSN redacted at stage 2 is a tag by the phone scan, so
+    // n_redacted is the number of replacements actually made
+    "q210_pii_redact" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      graft.operators.Curation.redactPii(
+          spark.table("documents").selectExpr("doc_id", PII_FIXTURE_SQL),
+          "doc_id", "text")
+        .select(col("doc_id"), col("text"), col("n_redacted"))
+        .orderBy("doc_id")
+    }),
     // maximal shared token spans (Lee et al. substring dedup, n-gram
     // anchored extend-and-merge): the fixture plants a corpus-wide run
     // (c0 c1 c2), a %7-only extension (c3) that must MERGE into one
@@ -4067,6 +4091,44 @@ object SparkEntry {
 
   // exact 3-token-shingle Jaccard >= 0.35 pairs with whole-text fallback
   // for sub-3-token docs (mirrors Dedup's ngramSet)
+  /** The q209/q210 PII fixture: synthetic contact strings derived from
+    * doc_id (every doc an email; %2 a phone; %3 a dotted-quad; %5 an
+    * SSN-shaped triple). Shared verbatim by the Spark side (selectExpr)
+    * and — with ||/VARCHAR spelling — the DuckDB oracles. */
+  private val PII_FIXTURE_SQL = """
+    concat('doc ', CAST(doc_id AS STRING), ' contact user',
+      CAST(doc_id % 50 AS STRING), '@example.com',
+      CASE WHEN doc_id % 2 = 0
+           THEN concat(' call +1 415-555-',
+                       lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+           ELSE '' END,
+      CASE WHEN doc_id % 3 = 0
+           THEN concat(' host 10.0.', CAST(doc_id % 256 AS STRING), '.',
+                       CAST((doc_id * 7) % 200 AS STRING))
+           ELSE '' END,
+      CASE WHEN doc_id % 5 = 0
+           THEN concat(' ssn 123-45-',
+                       lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+           ELSE '' END) AS text"""
+
+  private val PII_FIXTURE_DUCK = """
+      SELECT doc_id,
+             'doc ' || CAST(doc_id AS VARCHAR) || ' contact user' ||
+             CAST(doc_id % 50 AS VARCHAR) || '@example.com' ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN ' call +1 415-555-' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                       CAST((doc_id * 7) % 200 AS VARCHAR)
+                  ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' ssn 123-45-' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS text
+      FROM documents"""
+
   private val BM25_ORACLE = """
       WITH q(qid, qtext) AS (VALUES (0, 'hash join'), (1, 'slow scan filter'),
                                     (2, 'vector window spark'), (3, 'nosuchtoken')),
@@ -6826,6 +6888,35 @@ object SparkEntry {
              CAST(count(*) FILTER (WHERE cov = 0) AS INT) AS n_kept,
              CAST(count(*) FILTER (WHERE cov = 1) AS INT) AS n_dropped
       FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // the four pattern censuses replayed with RE2 (patterns shared
+    // verbatim with the Spark side — portable constructs only)
+    "q209_pii_profile" -> (s"""
+      WITH d AS ($PII_FIXTURE_DUCK)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+             CAST(len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{7,14}[0-9]')) AS INT) AS n_phone,
+             CAST(len(regexp_extract_all(text, '\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b')) AS INT) AS n_ipv4,
+             CAST(len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INT) AS n_ssn,
+             (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{7,14}[0-9]'))
+              + len(regexp_extract_all(text, '\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b'))
+              + len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b'))) > 0 AS has_pii
+      FROM d ORDER BY doc_id""").replace("\\\\", "\\"),
+    // the staged chain: each pattern counted on the text it actually
+    // scans, then replaced with its tag ('g' = all matches, like Spark)
+    "q210_pii_redact" -> (s"""
+      WITH d AS ($PII_FIXTURE_DUCK),
+      s1 AS (SELECT doc_id, text AS t0,
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM d),
+      s2 AS (SELECT *, regexp_replace(t1, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS t2 FROM s1),
+      s3 AS (SELECT *, regexp_replace(t2, '\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b', '<IP>', 'g') AS t3 FROM s2),
+      s4 AS (SELECT *, regexp_replace(t3, '\\+?[0-9][0-9()\\- ]{7,14}[0-9]', '<PHONE>', 'g') AS t4 FROM s3)
+      SELECT doc_id, t4 AS text,
+             CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                + len(regexp_extract_all(t1, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b'))
+                + len(regexp_extract_all(t2, '\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b'))
+                + len(regexp_extract_all(t3, '\\+?[0-9][0-9()\\- ]{7,14}[0-9]')) AS INT) AS n_redacted
+      FROM s4 ORDER BY doc_id""").replace("\\\\", "\\"),
     // census + inner join to shared grams + the islands merge
     // (pos - row_number is constant on consecutive runs) in plain SQL
     "q207_max_shared_spans" -> """
@@ -7110,7 +7201,11 @@ object SparkEntry {
     // per-group ranks over 10x suppliers x rows
     "q203_group_quantiles",
     // census + islands merge over 10x docs (class counts all shift)
-    "q207_max_shared_spans")
+    "q207_max_shared_spans",
+    // the four pattern censuses over 10x the synthetic contact strings
+    "q209_pii_profile",
+    // the staged redaction chain over 10x docs
+    "q210_pii_redact")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

@@ -464,4 +464,65 @@ object Curation {
     df.where(col(urlCol).isNotNull)
       .groupBy(canonicalUrl(col(urlCol)).as("canon_url"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  // ---- PII detection + redaction ---------------------------------------
+
+  /** PII patterns, shared verbatim between the Spark side and the
+    * DuckDB oracles — every construct is portable across Java regex and
+    * RE2 with identical match semantics (no lookaround, no `\s` — Java
+    * includes U+000B where RE2 does not — and alternations ordered so
+    * leftmost-first agrees): email addresses, phone-like digit runs,
+    * dotted-quad IPv4 addresses, and US-SSN-shaped triples. Pattern
+    * counts are INDEPENDENT non-overlapping scans per pattern — an SSN
+    * is also a phone-shaped digit run and counts under both, the
+    * documented semantics (a doc is flagged if ANY pattern fires; the
+    * per-type counts are pattern censuses, not a partition). */
+  private[graft] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiPhone = "\\+?[0-9][0-9()\\- ]{7,14}[0-9]"
+  private[graft] val PiiIpv4 =
+    "\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])" +
+      "(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b"
+  private[graft] val PiiSsn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Per-document PII census: non-overlapping match counts of the four
+    * [[PiiEmail]]-family patterns plus the any-hit flag — the filter
+    * signal a training-data pipeline gates on before release. Map-only
+    * codegen'd `regexp_extract_all` counts (no UDF, no shuffle);
+    * deterministic and engine-replayable by construction. */
+  def piiProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol).cast("string"), lit(""))
+    def n(p: String): Column = size(regexp_extract_all(t, lit(p), lit(0)))
+    df.select(col(idCol),
+      n(PiiEmail).as("n_email"),
+      n(PiiPhone).as("n_phone"),
+      n(PiiIpv4).as("n_ipv4"),
+      n(PiiSsn).as("n_ssn"))
+      .withColumn("has_pii",
+        col("n_email") + col("n_phone") + col("n_ipv4") + col("n_ssn") > 0)
+  }
+
+  /** PII redaction: replace each match with a type tag, in the fixed
+    * chain order email → SSN → IPv4 → phone (earlier redactions insert
+    * non-matching tags, so a digit run inside an already-redacted SSN
+    * can never double-fire the phone pattern — order is part of the
+    * contract and the oracle replays the same chain). Returns every
+    * input column with `textCol` rewritten plus `n_redacted`. Map-only
+    * codegen'd regexp chain; text never shuffles. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol).cast("string"), lit(""))
+    def n(s: Column, p: String): Column =
+      size(regexp_extract_all(s, lit(p), lit(0)))
+    // counts are taken AT EACH STAGE of the chain, so n_redacted is the
+    // number of replacements actually made — an SSN redacted at stage 2
+    // is a tag by the time the phone pattern scans, and must not count
+    // again (counting all patterns on the raw text would double-book it)
+    val s1 = regexp_replace(t, PiiEmail, "<EMAIL>")
+    val s2 = regexp_replace(s1, PiiSsn, "<SSN>")
+    val s3 = regexp_replace(s2, PiiIpv4, "<IP>")
+    val s4 = regexp_replace(s3, PiiPhone, "<PHONE>")
+    df.withColumn("__n",
+        n(t, PiiEmail) + n(s1, PiiSsn) + n(s2, PiiIpv4) + n(s3, PiiPhone))
+      .withColumn(textCol, s4)
+      .withColumn("n_redacted", col("__n")).drop("__n")
+  }
 }

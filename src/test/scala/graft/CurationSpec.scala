@@ -320,6 +320,46 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan("junk") == ((3L, 0.0, 0L, 0.0, 0.0, 0L)))
   }
 
+  test("piiProfile/redactPii: pattern edges, staged counts, idempotence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "mail a.b+tag@sub.example.co.uk now"),          // email with +tag, multi-label host
+      (2L, "ip 255.255.255.255 and 256.1.1.1 here"),       // 256 octet must NOT match whole
+      (3L, "ssn 123-45-6789 end"),                          // ssn is ALSO a phone-shaped run
+      (4L, "call (415) 555-0142 or +44 20 7946 0958 x"),    // two phones, parens + intl
+      (5L, "clean text with numbers 12 and 3.14 only"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val p = graft.operators.Curation.piiProfile(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))).toMap
+    assert(p(1L) == ((1, 0, 0, 0, true)))
+    // "256.1.1.1" yields NO match: the \b anchor forbids starting
+    // mid-number, so an over-255 octet kills the whole quad — 1 hit total
+    assert(p(2L) == ((0, 0, 1, 0, true)), s"got ${p(2L)}")
+    assert(p(3L) == ((0, 1, 0, 1, true)), "ssn counts under both censuses")
+    assert(p(4L)._2 == 2 && p(4L)._5, s"got ${p(4L)}")
+    assert(p(5L) == ((0, 0, 0, 0, false)))
+    assert(p(6L) == ((0, 0, 0, 0, false)), "null text is empty, not a crash")
+    val r = graft.operators.Curation.redactPii(docs, "id", "text")
+      .select(col("id"), col("text"), col("n_redacted"))
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    assert(r(1L) == (("mail <EMAIL> now", 1)))
+    // staged chain: the SSN is redacted FIRST, so the phone census at
+    // its stage sees the tag and n_redacted counts one replacement
+    assert(r(3L) == (("ssn <SSN> end", 1)), s"got ${r(3L)}")
+    // the pattern anchors on the first DIGIT, so a leading '(' survives
+    assert(r(4L)._1 == "call (<PHONE> or <PHONE> x" && r(4L)._2 == 2)
+    assert(r(5L)._1 == "clean text with numbers 12 and 3.14 only" && r(5L)._2 == 0)
+    // idempotent: redacting redacted text changes nothing
+    val again = graft.operators.Curation.redactPii(
+        r.toSeq.map { case (k, (t, _)) => (k, t) }.toDF("id", "text"),
+        "id", "text")
+      .collect().map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(again.values.forall(_ == 0), s"re-redaction fired: $again")
+  }
+
   test("canonicalUrl: each normalization rule, and what must be preserved") {
     import spark.implicits._
     val cases = Seq(

@@ -115,7 +115,8 @@ object Bench {
     "q204_bm25_compact",        // index maintenance: append + delta-fold compaction + probe
     "q207_max_shared_spans",    // gram census + islands merge (maximal shared substrings)
     "q209_pii_profile",         // map-only 4-pattern PII census
-    "q210_pii_redact")          // map-only staged redaction chain
+    "q210_pii_redact",          // map-only staged redaction chain
+    "q211_kcore")               // 3 peel rounds: degree agg + two semi-joins each
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -145,7 +146,7 @@ object Bench {
     "q196_top_p", "q198_js_divergence", "q199_skew_profile",
     "q200_pipeline_e2e", "q201_hop_distance", "q203_group_quantiles",
     "q204_bm25_compact", "q207_max_shared_spans", "q209_pii_profile",
-    "q210_pii_redact")
+    "q210_pii_redact", "q211_kcore")
 
   private[graft] val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

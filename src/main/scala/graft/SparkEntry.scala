@@ -2734,6 +2734,21 @@ object SparkEntry {
           "doc_id", "text", threshold = 0.9)
         .orderBy("ida", "idb")
     }),
+    // 3-round k-core peel (k=3) on the co-order part graph: each round
+    // deletes nodes whose CURRENT distinct-neighbor degree < 3; the
+    // oracle unrolls the peels as MATERIALIZED CTEs and hash-matches
+    // the survivor degree table
+    "q211_kcore" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val li = spark.table("lineitem").where(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.toDF("o", "p1").join(li.toDF("o", "p2"), Seq("o"))
+        .where(col("p1") < col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      graft.operators.Graph.kCore(edges, "src", "dst", k = 3, rounds = 3)
+        .orderBy("node")
+    }),
     // PII census over synthetic contact strings: every doc carries an
     // email; %2 docs a phone, %3 docs a dotted-quad, %5 docs an
     // SSN-shaped triple (which the phone pattern ALSO counts — the
@@ -6888,6 +6903,35 @@ object SparkEntry {
              CAST(count(*) FILTER (WHERE cov = 0) AS INT) AS n_kept,
              CAST(count(*) FILTER (WHERE cov = 1) AS INT) AS n_dropped
       FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // 3 peels unrolled; edge normalization (a < b distinct) shared with
+    // the Spark side, semi-joins spelled as IN
+    "q211_kcore" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem WHERE l_orderkey % 5 = 0),
+           e0 AS MATERIALIZED (
+             SELECT DISTINCT x.p AS a, y.p AS b
+             FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+           k1 AS MATERIALIZED (
+             SELECT v FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+             GROUP BY v HAVING count(*) >= 3),
+           e1 AS MATERIALIZED (
+             SELECT a, b FROM e0
+             WHERE a IN (SELECT v FROM k1) AND b IN (SELECT v FROM k1)),
+           k2 AS MATERIALIZED (
+             SELECT v FROM (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+             GROUP BY v HAVING count(*) >= 3),
+           e2 AS MATERIALIZED (
+             SELECT a, b FROM e1
+             WHERE a IN (SELECT v FROM k2) AND b IN (SELECT v FROM k2)),
+           k3 AS MATERIALIZED (
+             SELECT v FROM (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+             GROUP BY v HAVING count(*) >= 3),
+           e3 AS MATERIALIZED (
+             SELECT a, b FROM e2
+             WHERE a IN (SELECT v FROM k3) AND b IN (SELECT v FROM k3))
+      SELECT v AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+      GROUP BY v ORDER BY node""",
     // the four pattern censuses replayed with RE2 (patterns shared
     // verbatim with the Spark side — portable constructs only)
     "q209_pii_profile" -> (s"""
@@ -7205,7 +7249,9 @@ object SparkEntry {
     // the four pattern censuses over 10x the synthetic contact strings
     "q209_pii_profile",
     // the staged redaction chain over 10x docs
-    "q210_pii_redact")
+    "q210_pii_redact",
+    // 3 peels over the 10x co-order graph (denser -> different core)
+    "q211_kcore")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

@@ -187,6 +187,50 @@ object Graph {
     labels.select(col("v").as("node"), col("lbl").as("label"))
   }
 
+  /** k-core peeling — the web-graph robustness prior of corpus
+    * curation (pages outside a decent core are disproportionately spam
+    * and link farms; see Kumar et al. / the Common Crawl link-quality
+    * literature): repeatedly delete every vertex whose CURRENT degree
+    * is below `k`, `rounds` times, and return the surviving vertices
+    * with their residual degrees. With `rounds` at least the peel
+    * depth the result is the true k-core (every survivor has degree
+    * >= k in the subgraph — the fixpoint); fewer rounds give the
+    * deterministic partial peel, which is what the fixed-round
+    * contract (q211) replays as unrolled CTEs. Convergence is
+    * checkable from the output (`min(degree) >= k`).
+    *
+    * Scale design: each round is one degree hash-agg over the live
+    * edge set plus two semi-joins against the >= k survivor ids — all
+    * key-partitioned hash operations, nothing collected driver-side;
+    * `localCheckpoint` per round cuts the growing lineage (the
+    * [[pageRank]] / connected-components precedent). Edges are
+    * normalized first (self-loops dropped, duplicates/reversals
+    * collapsed), so degree means distinct-neighbor count. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    var e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select("v")
+      e = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+    }
+    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+      .select(col("v").as("node"), col("degree"))
+  }
+
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&

@@ -162,6 +162,41 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kCore: peeling matches brute force; chains fall off, cliques survive") {
+    val sp = spark
+    import sp.implicits._
+    // K4 on {1,2,3,4} + a pendant chain 4-10-11-12 + a triangle {20,21,22}
+    // attached to the clique via one edge 1-20, with dupes/reversals
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 10L), (10L, 11L), (11L, 12L), (12L, 11L), // reversed dup
+      (20L, 21L), (21L, 22L), (20L, 22L), (1L, 20L), (2L, 2L)) // self-loop
+    def brute(k: Int, rounds: Int): Map[Long, Long] = {
+      var e = edges.filter(t => t._1 != t._2)
+        .map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).distinct
+      (1 to rounds).foreach { _ =>
+        val deg = e.flatMap(t => Seq(t._1, t._2)).groupBy(identity)
+          .map { case (v, xs) => v -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        e = e.filter(t => keep(t._1) && keep(t._2))
+      }
+      e.flatMap(t => Seq(t._1, t._2)).groupBy(identity)
+        .map { case (v, xs) => v -> xs.size.toLong }
+    }
+    for ((k, rounds) <- Seq((2, 1), (2, 3), (3, 1), (3, 3), (4, 2))) {
+      val got = Graph.kCore(edges.toDF("s", "d"), "s", "d", k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == brute(k, rounds), s"k=$k rounds=$rounds: $got vs ${brute(k, rounds)}")
+    }
+    // converged 3-core: exactly the K4 (node 1's edge to 20 dies with
+    // the triangle — 20/21/22 have degree 2 < 3 and peel off first)
+    val core3 = Graph.kCore(edges.toDF("s", "d"), "s", "d", k = 3, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core3 == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), s"$core3")
+    intercept[IllegalArgumentException] {
+      Graph.kCore(edges.toDF("s", "d"), "s", "d", k = 0, rounds = 1)
+    }
+  }
+
   test("triangleStats matches brute force; hub, self-loops, reversed dupes") {
     val sp = spark
     import sp.implicits._

@@ -116,7 +116,9 @@ object Bench {
     "q207_max_shared_spans",    // gram census + islands merge (maximal shared substrings)
     "q209_pii_profile",         // map-only 4-pattern PII census
     "q210_pii_redact",          // map-only staged redaction chain
-    "q211_kcore")               // 3 peel rounds: degree agg + two semi-joins each
+    "q211_kcore",               // 3 peel rounds: degree agg + two semi-joins each
+    "q212_zipf_profile",        // token hash-agg + TakeOrdered head, window-free ranks
+    "q213_hard_negatives")      // IVF over-fetch + anti-join + re-rank
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -146,7 +148,7 @@ object Bench {
     "q196_top_p", "q198_js_divergence", "q199_skew_profile",
     "q200_pipeline_e2e", "q201_hop_distance", "q203_group_quantiles",
     "q204_bm25_compact", "q207_max_shared_spans", "q209_pii_profile",
-    "q210_pii_redact", "q211_kcore")
+    "q210_pii_redact", "q211_kcore", "q212_zipf_profile")
 
   private[graft] val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",
@@ -163,7 +165,8 @@ object Bench {
     "q197_containment" -> "the ~31-word synthetic vocabulary makes any fixed df cap empty-or-total at 10x docs; the absolute-cap semantics are pinned at sf0.01",
     "q185_sim_suite" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction",
     "q189_triangle_stats" -> "wedge count grows with the square of co-order adjacency, which rises with order density at fixed part domain — not input-linear by construction",
-    "q202_jaccard_join" -> "qualifying-pair OUTPUT is quadratic in duplicate-group size, and the ~31-token synthetic vocabulary makes x10 docs mostly near-identical — the exact join's result itself squares by construction; the filters' skew guarantee is pinned by JaccardAdversarialSpec instead")
+    "q202_jaccard_join" -> "qualifying-pair OUTPUT is quadratic in duplicate-group size, and the ~31-token synthetic vocabulary makes x10 docs mostly near-identical — the exact join's result itself squares by construction; the filters' skew guarantee is pinned by JaccardAdversarialSpec instead",
+    "q213_hard_negatives" -> "exactness fixture pins nProbe = nlist, so the probe degenerates to all-pairs by construction (q159's reason); the scale path is partial-probe ivfSearch, sf1-guarded via q167's family")
 
   // Every headline query is either in the sf1 tier or excluded WITH a
   // recorded reason — asserted here so the invariant cannot rot silently

@@ -2734,6 +2734,29 @@ object SparkEntry {
           "doc_id", "text", threshold = 0.9)
         .orderBy("ida", "idb")
     }),
+    // vocabulary Zipf head: top-50 tokens with rank and 6dp log-log
+    // coordinates (rank assignment window-free via in-row sort_array)
+    "q212_zipf_profile" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.TextAnalysis.zipfProfile(
+          spark.table("documents"), "text", topK = 50)
+        .orderBy("rnk")
+    }),
+    // hard-negative mining at full probe: top-3 neighbors excluding
+    // self AND the labeled positive (vec_id + 7); over-fetch + anti-join
+    // + re-rank must equal the brute-force excluded top-k exactly
+    "q213_hard_negatives" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val emb = spark.table("embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      val positives = queries.select(col("vec_id").as("qid"),
+        (col("vec_id") + 7).as("pos"))
+      val idx = graft.operators.Ann.buildIvf(emb, nlist = 8)
+      graft.operators.Ann.hardNegatives(idx, queries, positives,
+          "qid", "pos", k = 3, nProbe = 8)
+        .orderBy("qid", "rnk")
+    }),
     // 3-round k-core peel (k=3) on the co-order part graph: each round
     // deletes nodes whose CURRENT distinct-neighbor degree < 3; the
     // oracle unrolls the peels as MATERIALIZED CTEs and hash-matches
@@ -6903,6 +6926,32 @@ object SparkEntry {
              CAST(count(*) FILTER (WHERE cov = 0) AS INT) AS n_kept,
              CAST(count(*) FILTER (WHERE cov = 1) AS INT) AS n_dropped
       FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // counts + row_number over the same (cnt desc, tok) order; 6dp logs
+    "q212_zipf_profile" -> """
+      WITH t AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                 FROM documents),
+           c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                 FROM t WHERE tok <> '' GROUP BY tok),
+           r AS (SELECT tok, cnt,
+                        row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+                 FROM c)
+      SELECT CAST(rnk AS INT) AS rnk, tok AS term, cnt,
+             round(ln(rnk), 6) AS ln_rank, round(ln(cnt), 6) AS ln_cnt
+      FROM r WHERE rnk <= 50 ORDER BY rnk""",
+    // brute-force cosine top-k with (self, qid+7) excluded — the exact
+    // ground truth the over-fetch + anti-join + re-rank must reproduce
+    "q213_hard_negatives" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 5),
+           s AS (SELECT qid, e.vec_id AS nid,
+                        list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS c
+                 FROM q CROSS JOIN embeddings e
+                 WHERE e.vec_id != qid AND e.vec_id != qid + 7)
+      SELECT qid, nid, rnk
+      FROM (SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
+            FROM s)
+      WHERE rnk <= 3 ORDER BY qid, rnk""",
     // 3 peels unrolled; edge normalization (a < b distinct) shared with
     // the Spark side, semi-joins spelled as IN
     "q211_kcore" -> """
@@ -7251,7 +7300,11 @@ object SparkEntry {
     // the staged redaction chain over 10x docs
     "q210_pii_redact",
     // 3 peels over the 10x co-order graph (denser -> different core)
-    "q211_kcore")
+    "q211_kcore",
+    // top-50 head over the 10x token mass (counts + logs all shift)
+    "q212_zipf_profile",
+    // excluded top-k over the 10x embedding corpus
+    "q213_hard_negatives")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

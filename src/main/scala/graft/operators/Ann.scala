@@ -277,6 +277,33 @@ object Ann {
       .assigned.write.mode("append").partitionBy("list").parquet(path)
   }
 
+  /** Hard-negative mining for retrieval/contrastive training: per
+    * query, the top-`k` most similar corpus vectors that are NEITHER
+    * the query itself NOR one of its labeled positives — the
+    * highest-value negatives a contrastive loss can see. Implemented
+    * as over-fetch + exclude + re-rank: search `k + pad` with `pad` =
+    * 1 (self) + the worst-case positives count of any query (a
+    * positives-table-sized aggregate, never a corpus pass), anti-join
+    * the exclusions, and renumber survivors in original cosine order.
+    * Removal never reorders survivors, so at full probe the result is
+    * EXACTLY brute-force top-k-excluding (the q213 oracle); at partial
+    * probe it inherits [[ivfSearch]]'s recall semantics. */
+  def hardNegatives(index: IvfIndex, queries: DataFrame, positives: DataFrame,
+      qidCol: String, posCol: String, k: Int, nProbe: Int): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val excl = positives
+      .select(col(qidCol).as("qid"), col(posCol).as("nid")).distinct()
+    val pad = 1 + excl.groupBy("qid").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0).toInt
+    val w = Window.partitionBy("qid").orderBy(col("rnk").asc)
+    ivfSearch(index, queries, k + pad, nProbe)
+      .where(col("qid") =!= col("nid"))
+      .join(excl, Seq("qid", "nid"), "left_anti")
+      .withColumn("neg_rnk", row_number().over(w))
+      .where(col("neg_rnk") <= k)
+      .select(col("qid"), col("nid"), col("neg_rnk").cast("int").as("rnk"))
+  }
+
   /** Compact a persisted IVF (or IVF-PQ) index in place: every
     * [[appendToIvfIndex]] / [[appendToIvfPqIndex]] adds part-files to
     * the touched `list=` directories, so probe fan-out grows with

@@ -1090,6 +1090,38 @@ object TextAnalysis {
         col("__nt").as("n_terms"), col("__s").as("score"))
   }
 
+  /** Zipf profile of the corpus vocabulary: the `topK` most frequent
+    * whitespace tokens with rank, count, and 6dp `ln(rank)`/`ln(count)`
+    * — the two columns whose regression slope is the corpus's Zipf
+    * exponent, the standard sanity check that a crawl slice looks like
+    * natural language (slope ≈ −1) rather than boilerplate or spam
+    * (flat head / cliff). Ties rank by (count desc, token asc).
+    *
+    * Scale design: one token hash-agg (map-side partials), then a
+    * TakeOrdered top-`topK` (per-partition heads merged — never a
+    * global sort or corpus-sized window), then rank assignment by
+    * sorting the ≤ topK collected rows INSIDE one aggregate row
+    * (sort_array + posexplode — window-free, so the global-window
+    * audit stays clean). Deterministic: integer counts, byte-order
+    * token ties, 6dp logs. */
+  def zipfProfile(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive (got $topK)")
+    val rz6 = graft.util.Round6.rz6 _
+    df.select(explode(split(coalesce(col(textCol).cast("string"), lit("")),
+        " ")).as("__tok"))
+      .where(col("__tok") =!= "")
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__tok").asc).limit(topK)
+      .agg(sort_array(collect_list(
+        struct((-col("__c")).as("nc"), col("__tok").as("t")))).as("xs"))
+      .select(posexplode(col("xs")))
+      .select((col("pos") + 1).cast("int").as("rnk"),
+        col("col.t").as("term"),
+        (-col("col.nc")).as("cnt"),
+        rz6(log((col("pos") + 1).cast("double"))).as("ln_rank"),
+        rz6(log((-col("col.nc")).cast("double"))).as("ln_cnt"))
+  }
+
   /** Full per-document profile in one pass. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -1378,6 +1378,54 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("zipfProfile: exact head counts, tie order, 6dp log-log coordinates") {
+    val sp = spark
+    import sp.implicits._
+    // counts: a=4, b=3, c=3, d=1 — b/c tie breaks token-asc
+    val docs = Seq("a b c", "a b c", "a b c d", "a").map(Tuple1(_)).toDF("t")
+    val got = graft.operators.TextAnalysis.zipfProfile(docs.repartition(3), "t", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    def l6(x: Double) = math.floor(math.log(x) * 1e6 + 0.5) / 1e6
+    assert(got.toSeq == Seq(
+      (1, "a", 4L, l6(1), l6(4)),
+      (2, "b", 3L, l6(2), l6(3)),
+      (3, "c", 3L, l6(3), l6(3))), s"got ${got.toSeq}")
+    // topK beyond the vocabulary returns the whole table, ranks dense
+    assert(graft.operators.TextAnalysis.zipfProfile(docs, "t", 100).count() == 4L)
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.zipfProfile(docs, "t", 0)
+    }
+  }
+
+  test("hardNegatives: brute-force excluded top-k, multi-positive queries") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(53)
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f).toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 3)
+    // q0 has TWO positives, q1 one, q2 none — pad must cover the max
+    val positives = Seq((0L, 5L), (0L, 9L), (1L, 11L))
+      .toDF("qid", "pos")
+    val idx = graft.operators.Ann.buildIvf(corpus, nlist = 4, iters = 3)
+    val got = graft.operators.Ann.hardNegatives(idx, queries, positives,
+        "qid", "pos", k = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force against the same full-probe exact search
+    val excl = Map(0L -> Set(0L, 5L, 9L), 1L -> Set(1L, 11L), 2L -> Set(2L))
+    val brute = graft.operators.Ann.bruteForceTopK(queries, corpus, 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).toSeq.flatMap { case (q, xs) =>
+        xs.sortBy(_._3).map(_._2).filterNot(excl(q)).take(4)
+          .zipWithIndex.map { case (nid, i) => (q, nid, i + 1) }
+      }.toSet
+    assert(got == brute, s"got $got\nwant $brute")
+    assert(!got.exists { case (q, n, _) => excl(q)(n) })
+  }
+
   test("maximalSharedSpans: islands merge equals brute-force maximal intervals") {
     val sp = spark
     import sp.implicits._

@@ -118,7 +118,10 @@ object Bench {
     "q210_pii_redact",          // map-only staged redaction chain
     "q211_kcore",               // 3 peel rounds: degree agg + two semi-joins each
     "q212_zipf_profile",        // token hash-agg + TakeOrdered head, window-free ranks
-    "q213_hard_negatives")      // IVF over-fetch + anti-join + re-rank
+    "q213_hard_negatives",      // IVF over-fetch + anti-join + re-rank
+    "q214_contaminated_spans",  // benchmark gram semi-join + islands merge
+    "q215_url_extract",         // map-only url extraction + host derivation
+    "q216_time_quantiles")      // per-(type, hour) group window ranks
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -148,7 +151,8 @@ object Bench {
     "q196_top_p", "q198_js_divergence", "q199_skew_profile",
     "q200_pipeline_e2e", "q201_hop_distance", "q203_group_quantiles",
     "q204_bm25_compact", "q207_max_shared_spans", "q209_pii_profile",
-    "q210_pii_redact", "q211_kcore", "q212_zipf_profile")
+    "q210_pii_redact", "q211_kcore", "q212_zipf_profile",
+    "q214_contaminated_spans", "q215_url_extract", "q216_time_quantiles")
 
   private[graft] val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

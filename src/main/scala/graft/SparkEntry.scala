@@ -2734,6 +2734,53 @@ object SparkEntry {
           "doc_id", "text", threshold = 0.9)
         .orderBy("ida", "idb")
     }),
+    // URL extraction: one row per http(s) match with lowercased host;
+    // %11 docs carry NO url (they produce no rows), %2 docs carry two
+    "q215_url_extract" -> ((spark, dir) => {
+      prep(spark, dir)
+      val d = spark.table("documents").selectExpr("doc_id",
+        """CASE WHEN doc_id % 11 = 0 THEN 'no links here'
+             ELSE concat('see http://www.Site', CAST(doc_id % 40 AS STRING),
+               '.example.com/p', CAST(doc_id % 7 AS STRING),
+               CASE WHEN doc_id % 2 = 0
+                    THEN concat(' and https://cdn', CAST(doc_id % 3 AS STRING),
+                                '.example.net:8080/x?y=', CAST(doc_id AS STRING))
+                    ELSE '' END, ' tail') END AS text""")
+      graft.operators.Curation.extractUrls(d, "doc_id", "text")
+        .orderBy("doc_id", "url")
+    }),
+    // per-(event_type, hour) exact value quantiles — the group-quantile
+    // machinery composed over real event-time buckets
+    "q216_time_quantiles" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.{col, concat, expr, lit}
+      val e = spark.table("events")
+        .select(concat(col("event_type"), lit(":"),
+          expr(s"($TS_US) div 3600000000").cast("string")).as("g"),
+          col("value"))
+      graft.operators.Freq.exactQuantilesByGroup(e, "g", "value",
+          Seq(0.5, 0.9))
+        .orderBy("g", "q")
+    }),
+    // cross-corpus decontamination at substring granularity: maximal
+    // train-doc intervals whose every 3-window also appears in the
+    // 2-doc benchmark ('c0 c1 c2 c3' and 'g1a g1b g1c') — the %7 docs'
+    // c3 extension must MERGE into one longer contaminated span
+    "q214_contaminated_spans" -> ((spark, dir) => {
+      prep(spark, dir)
+      val train = spark.table("documents").selectExpr("doc_id",
+        """concat('u', CAST(doc_id AS STRING), ' c0 c1 c2 ',
+             CASE WHEN doc_id % 7 = 0 THEN 'c3 ' ELSE '' END,
+             'x', CAST(doc_id AS STRING),
+             ' g', CAST(doc_id % 4 AS STRING), 'a',
+             ' g', CAST(doc_id % 4 AS STRING), 'b',
+             ' g', CAST(doc_id % 4 AS STRING), 'c') AS text""")
+      val bench = spark.sql(
+        "SELECT 'c0 c1 c2 c3' AS btext UNION ALL SELECT 'g1a g1b g1c'")
+      graft.operators.Dedup.contaminatedSpans(train, "doc_id", "text",
+          bench, "btext", n = 3)
+        .orderBy("doc_id", "span_start")
+    }),
     // vocabulary Zipf head: top-50 tokens with rank and 6dp log-log
     // coordinates (rank assignment window-free via in-row sort_array)
     "q212_zipf_profile" -> ((spark, dir) => {
@@ -6926,6 +6973,68 @@ object SparkEntry {
              CAST(count(*) FILTER (WHERE cov = 0) AS INT) AS n_kept,
              CAST(count(*) FILTER (WHERE cov = 1) AS INT) AS n_dropped
       FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // full-match extraction + host group, same portable pattern
+    "q215_url_extract" -> """
+      WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN 'no links here'
+               ELSE 'see http://www.Site' || CAST(doc_id % 40 AS VARCHAR) ||
+                    '.example.com/p' || CAST(doc_id % 7 AS VARCHAR) ||
+                    CASE WHEN doc_id % 2 = 0
+                         THEN ' and https://cdn' || CAST(doc_id % 3 AS VARCHAR) ||
+                              '.example.net:8080/x?y=' || CAST(doc_id AS VARCHAR)
+                         ELSE '' END || ' tail' END AS text
+             FROM documents),
+      u AS (SELECT doc_id,
+              unnest(regexp_extract_all(text,
+                'https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^ ]*)?')) AS url
+            FROM d)
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^https?://([^/:]+)', 1)) AS host
+      FROM u ORDER BY doc_id, url""",
+    // group ranks replayed per (event_type, hour) bucket with the same
+    // float-safe ceil
+    "q216_time_quantiles" -> """
+      WITH e AS (SELECT event_type || ':' ||
+                        CAST(epoch_us(ts) // 3600000000 AS VARCHAR) AS g,
+                        value FROM events),
+           v AS (SELECT g, value AS x FROM e WHERE value IS NOT NULL),
+           n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+           r AS (SELECT g, x, CAST(row_number() OVER (
+                   PARTITION BY g ORDER BY x) AS BIGINT) AS rn FROM v),
+           q(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE))),
+           t AS (SELECT n.g, q.q, greatest(CAST(1 AS BIGINT),
+                   CAST(ceil(q.q * n.n - 1e-9) AS BIGINT)) AS rank
+                 FROM n CROSS JOIN q)
+      SELECT t.g, t.q, t.rank, r.x AS value
+      FROM t JOIN r ON r.g = t.g AND r.rn = t.rank ORDER BY t.g, t.q""",
+    // benchmark gram set + semi-join + the same islands merge as q207
+    "q214_contaminated_spans" -> """
+      WITH d AS (SELECT doc_id,
+             'u' || CAST(doc_id AS VARCHAR) || ' c0 c1 c2 ' ||
+             CASE WHEN doc_id % 7 = 0 THEN 'c3 ' ELSE '' END ||
+             'x' || CAST(doc_id AS VARCHAR) ||
+             ' g' || CAST(doc_id % 4 AS VARCHAR) || 'a' ||
+             ' g' || CAST(doc_id % 4 AS VARCHAR) || 'b' ||
+             ' g' || CAST(doc_id % 4 AS VARCHAR) || 'c' AS text
+             FROM documents),
+      bt AS (SELECT 'c0 c1 c2 c3' AS btext UNION ALL SELECT 'g1a g1b g1c'),
+      bts AS (SELECT string_split(btext, ' ') AS ts FROM bt),
+      bg AS (SELECT DISTINCT
+               substr(md5(array_to_string(ts[i + 1 : i + 3], ' ')), 1, 16) AS gk
+             FROM bts, unnest(generate_series(0, len(ts) - 3)) AS u(i)),
+      t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+      tok AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                     substr(md5(array_to_string(ts[i + 1 : i + 3], ' ')), 1, 16) AS gk
+              FROM t, unnest(generate_series(0, len(ts) - 3)) AS u(i)),
+      m AS (SELECT doc_id, pos FROM tok WHERE gk IN (SELECT gk FROM bg)),
+      i AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM m)
+      SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+             CAST(max(pos) + 2 AS INT) AS span_end,
+             CAST(max(pos) - min(pos) + 3 AS INT) AS span_len,
+             CAST(count(*) AS BIGINT) AS n_windows
+      FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
     // counts + row_number over the same (cnt desc, tok) order; 6dp logs
     "q212_zipf_profile" -> """
       WITH t AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
@@ -7301,6 +7410,12 @@ object SparkEntry {
     "q210_pii_redact",
     // 3 peels over the 10x co-order graph (denser -> different core)
     "q211_kcore",
+    // benchmark semi-join + islands over 10x train docs
+    "q214_contaminated_spans",
+    // 10x the synthetic link text (explode mass + host census shift)
+    "q215_url_extract",
+    // group ranks over 10x the events per (type, hour) bucket
+    "q216_time_quantiles",
     // top-50 head over the 10x token mass (counts + logs all shift)
     "q212_zipf_profile",
     // excluded top-k over the 10x embedding corpus

@@ -465,6 +465,24 @@ object Curation {
       .groupBy(canonicalUrl(col(urlCol)).as("canon_url"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** URL extraction from free text — the edge producer for link-graph
+    * curation (feed the hosts into [[graft.operators.Graph.kCore]] /
+    * PageRank for link-quality priors, or [[urlDedup]] for citation
+    * dedup): one row per `http(s)://` match with the lowercased host.
+    * One row per MATCH — documents without URLs produce no rows.
+    * Map-only codegen'd `regexp_extract_all` + explode; the pattern is
+    * Java/RE2-portable like the [[PiiEmail]] family, and hosts are
+    * capped to the RFC host charset so trailing punctuation never
+    * rides in. */
+  def extractUrls(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol).cast("string"), lit(""))
+    val urlPat = "https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^ ]*)?"
+    df.select(col(idCol),
+        explode(regexp_extract_all(t, lit(urlPat), lit(0))).as("url"))
+      .withColumn("host",
+        lower(regexp_extract(col("url"), "^https?://([^/:]+)", 1)))
+  }
+
   // ---- PII detection + redaction ---------------------------------------
 
   /** PII patterns, shared verbatim between the Spark side and the

@@ -843,12 +843,13 @@ object Dedup {
     * doc-partitioned window + the run hash-agg on the SAME doc
     * partitioning (no further exchange). Documents never ride a
     * shuffle whole. */
-  def maximalSharedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minDocs: Int = 2): DataFrame = {
-    require(n >= 2, "n must be at least 2")
-    require(minDocs >= 2, "minDocs must be at least 2")
-    val tokens = df
-      .select(col(idCol).as("__doc"),
+  /** Per-token gram starts: `(__doc, __pos, __gkey)` with the 64-bit
+    * md5 prefix of the length-`n` window starting at `__pos` (null —
+    * filtered — where no full window fits). Shared tokenization of the
+    * span operators. */
+  private def gramStarts(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("__doc"),
         split(coalesce(col(textCol).cast("string"), lit("")), " ").as("__toks"))
       .select(col("__doc"), col("__toks"),
         posexplode(col("__toks")).as(Seq("__pos", "__tok")))
@@ -856,23 +857,77 @@ object Dedup {
         when(col("__pos") <= size(col("__toks")) - n,
           substring(md5(array_join(
             slice(col("__toks"), col("__pos") + 1, lit(n)), " ").cast("binary")), 1, 16)))
-      .drop("__toks")
-    val grams = tokens.where(col("__gkey").isNotNull)
+      .where(col("__gkey").isNotNull)
       .select("__doc", "__pos", "__gkey")
+
+  /** Islands merge: consecutive marked gram starts → maximal spans.
+    * Input must carry (__doc, __pos) plus any per-window payload to
+    * aggregate; returns one row per maximal run. */
+  private def mergeRuns(marked: DataFrame, idCol: String, n: Int,
+      extra: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy("__doc").orderBy("__pos")
+    val aggs = Seq(
+      min("__pos").as("span_start"),
+      (max("__pos") + lit(n - 1)).as("span_end"),
+      (max("__pos") - min("__pos") + lit(n)).as("span_len"),
+      count(lit(1)).as("n_windows")) ++ extra
+    marked
+      .withColumn("__grp", col("__pos") - row_number().over(w))
+      .groupBy(col("__doc"), col("__grp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__grp")
+      .withColumnRenamed("__doc", idCol)
+  }
+
+  def maximalSharedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, "n must be at least 2")
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val grams = gramStarts(df, idCol, textCol, n)
     val shared = grams.groupBy("__gkey")
       .agg(count_distinct(col("__doc")).as("__nd"))
       .where(col("__nd") >= minDocs)
-    val w = Window.partitionBy("__doc").orderBy("__pos")
-    grams.join(shared, Seq("__gkey"))
-      .withColumn("__grp", col("__pos") - row_number().over(w))
-      .groupBy(col("__doc"), col("__grp"))
-      .agg(min("__pos").as("span_start"),
-        (max("__pos") + lit(n - 1)).as("span_end"),
-        (max("__pos") - min("__pos") + lit(n)).as("span_len"),
-        count(lit(1)).as("n_windows"),
-        min("__nd").as("min_share"))
-      .select(col("__doc").as(idCol), col("span_start"), col("span_end"),
+    mergeRuns(grams.join(shared, Seq("__gkey")), idCol, n,
+      Seq(min("__nd").as("min_share")))
+      .select(col(idCol), col("span_start"), col("span_end"),
         col("span_len"), col("n_windows"), col("min_share"))
+  }
+
+  /** CROSS-CORPUS contaminated spans — benchmark decontamination at
+    * substring granularity (the Lee et al. / GPT-3 appendix-C recipe,
+    * token-n-gram anchored): each training document's maximal token
+    * intervals in which EVERY length-`n` window also appears somewhere
+    * in `bench` (the held-out benchmark corpus). Where
+    * [[graft.operators.Curation.bloomDecontaminate]]-style gates drop
+    * whole documents on any gram hit, this REPORTS the exact extent of
+    * each contaminated passage, so the pipeline can excise spans (or
+    * audit overlap mass) instead of discarding documents wholesale.
+    * Same anchor-grams + islands-merge machinery as
+    * [[maximalSharedSpans]]; spans are maximal (one more token either
+    * way includes a window absent from the benchmark).
+    *
+    * Output: `(id, span_start, span_end, span_len, n_windows)` per
+    * maximal contaminated span.
+    *
+    * Scale design: the benchmark side reduces to its DISTINCT gram
+    * keys (fixed-width, typically millions of rows vs the training
+    * corpus's billions) before a semi-join against the training gram
+    * stream — the training corpus is scanned once, benchmark text
+    * never rides a shuffle, and the islands window is doc-partitioned.
+    * AQE broadcasts the benchmark gram set when it fits. */
+  def contaminatedSpans(df: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    require(n >= 2, "n must be at least 2")
+    val benchGrams = gramStarts(
+        bench.select(lit(0L).as("__bid"), col(benchTextCol)),
+        "__bid", benchTextCol, n)
+      .select("__gkey").distinct()
+    mergeRuns(
+        gramStarts(df, idCol, textCol, n)
+          .join(benchGrams, Seq("__gkey"), "left_semi"),
+        idCol, n, Seq.empty)
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_len"), col("n_windows"))
   }
 
   /** Fuzzy (edit-distance) duplicate pairs with blocking — the

@@ -106,7 +106,9 @@ object Freq {
 
   /** EXACT order statistics without a global single-reducer sort: for
     * each fraction `q` in `qs`, the value of `valueCol` at ascending
-    * rank `max(1, ceil(q·n))` over the `n` non-null rows — discrete
+    * rank `max(1, ceil(q·n))` over the `n` non-null rows (ceil computed
+    * float-safe: an epsilon guards q·n landing one ulp above an exact
+    * integer) — discrete
     * (type-1) quantile semantics, the element itself, never an
     * interpolation (so the result replays bit-for-bit in any engine).
     *
@@ -180,7 +182,8 @@ object Freq {
   }
 
   /** Per-GROUP exact type-1 quantiles: for every group and every `q`
-    * in `qs`, the value at ascending rank `max(1, ceil(q·n_g))` within
+    * in `qs`, the value at ascending rank `max(1, ceil(q·n_g))` (same
+    * float-safe ceil as [[exactQuantiles]]) within
     * the group — per-source/per-domain percentiles (score cutoffs,
     * length distributions) in one pass. The many-groups complement to
     * [[exactQuantiles]]: with many modest groups, a group-partitioned

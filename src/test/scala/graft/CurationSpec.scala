@@ -320,6 +320,26 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan("junk") == ((3L, 0.0, 0L, 0.0, 0.0, 0L)))
   }
 
+  test("extractUrls: per-match rows, host lowering, ports and paths") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see HTTP is not a url but http://A.com/Path?q=1 is, also https://b.co"),
+      (2L, "two http://x.com/1 http://x.com/2 on one line"),
+      (3L, "port http://h.net:8080/x and bare http://h.net tail"),
+      (4L, "no links at all"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = graft.operators.Curation.extractUrls(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, "http://A.com/Path?q=1", "a.com"),
+      (1L, "https://b.co", "b.co"),
+      (2L, "http://x.com/1", "x.com"),
+      (2L, "http://x.com/2", "x.com"),
+      (3L, "http://h.net:8080/x", "h.net"),
+      (3L, "http://h.net", "h.net")), s"got $got")
+  }
+
   test("piiProfile/redactPii: pattern edges, staged counts, idempotence") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

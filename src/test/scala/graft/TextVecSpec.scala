@@ -1477,6 +1477,43 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("contaminatedSpans: maximal benchmark-covered intervals, brute force") {
+    val sp = spark
+    import sp.implicits._
+    val n = 3
+    val train = Seq(
+      (1L, "a1 p q r s b1 k l m"),   // "p q r s" covered, "k l m" covered
+      (2L, "p q r only partial x2"), // "p q r" covered, rest not
+      (3L, "nothing shared here at all"),
+      (4L, "k l m p q r s"))          // two runs: [0,2] and [3,6]
+    val bench = Seq(Tuple1("zz p q r s yy"), Tuple1("k l m")).toDF("btext")
+    def brute: Set[(Long, Int, Int, Int, Long)] = {
+      val bg = bench.collect().map(_.getString(0)).flatMap { s =>
+        val ts = s.split(" "); (0 to ts.length - n).map(p => ts.slice(p, p + n).toSeq)
+      }.toSet
+      (for {
+        (id, s) <- train
+        ts = s.split(" ")
+        marked = (0 to ts.length - n).filter(p => bg(ts.slice(p, p + n).toSeq))
+        if marked.nonEmpty
+        run <- marked.foldLeft(List.empty[List[Int]]) { (acc, p) =>
+          acc match {
+            case h :: t if h.head == p - 1 => (p :: h) :: t
+            case _ => List(p) :: acc
+          }
+        }
+      } yield (id, run.min, run.max + n - 1, run.max - run.min + n,
+        run.size.toLong)).toSet
+    }
+    val got = graft.operators.Dedup.contaminatedSpans(
+        train.toDF("id", "t").repartition(3), "id", "t", bench, "btext", n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4))).toSet
+    assert(got == brute, s"got $got\nwant $brute")
+    assert(got.contains((4L, 0, 2, 3, 1L)) && got.contains((4L, 3, 6, 4, 2L)))
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("jaccardJoinExact: prefix filter finds exactly the brute-force pairs") {
     val sp = spark
     import sp.implicits._

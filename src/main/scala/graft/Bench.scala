@@ -121,7 +121,9 @@ object Bench {
     "q213_hard_negatives",      // IVF over-fetch + anti-join + re-rank
     "q214_contaminated_spans",  // benchmark gram semi-join + islands merge
     "q215_url_extract",         // map-only url extraction + host derivation
-    "q216_time_quantiles")      // per-(type, hour) group window ranks
+    "q216_time_quantiles",      // per-(type, hour) group window ranks
+    "q217_exact_index",         // exact-hash index: write/append/compact/probe
+    "q218_corpus_diff")         // full-outer content-hash changelog
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -152,7 +154,8 @@ object Bench {
     "q200_pipeline_e2e", "q201_hop_distance", "q203_group_quantiles",
     "q204_bm25_compact", "q207_max_shared_spans", "q209_pii_profile",
     "q210_pii_redact", "q211_kcore", "q212_zipf_profile",
-    "q214_contaminated_spans", "q215_url_extract", "q216_time_quantiles")
+    "q214_contaminated_spans", "q215_url_extract", "q216_time_quantiles",
+    "q217_exact_index", "q218_corpus_diff")
 
   private[graft] val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

@@ -2734,6 +2734,43 @@ object SparkEntry {
           "doc_id", "text", threshold = 0.9)
         .orderBy("ida", "idb")
     }),
+    // persisted EXACT-hash index, full lifecycle in one row: write 60%
+    // of history, append 20%, COMPACT (min-fold deltas), probe the last
+    // 20% — hits must equal a one-shot min-per-text election over all
+    // history (the ~97 text classes guarantee collisions)
+    "q217_exact_index" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val d = spark.table("documents").selectExpr("doc_id",
+        "concat('body ', CAST(doc_id % 97 AS STRING)) AS text")
+      val idxDir = scratchDir("graft_exact_")
+      graft.operators.Dedup.writeExactIndex(
+        d.where(col("doc_id") % 5 <= 2), "doc_id", "text", idxDir)
+      graft.operators.Dedup.appendToExactIndex(spark, idxDir,
+        d.where(col("doc_id") % 5 === 3), "doc_id", "text")
+      graft.operators.Dedup.compactExactIndex(spark, idxDir)
+      graft.operators.Dedup.exactIndexHits(spark, idxDir,
+          d.where(col("doc_id") % 5 === 4), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // snapshot changelog by content hash: removed (%7), changed (%3 of
+    // the survivors), added (+1000000 ids); unchanged ids emit nothing
+    "q218_corpus_diff" -> ((spark, dir) => {
+      prep(spark, dir)
+      val old = spark.table("documents").selectExpr("doc_id",
+        "concat('v', CAST(doc_id % 50 AS STRING)) AS text")
+      val nw = spark.sql("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN concat('w', CAST(doc_id % 50 AS STRING))
+                    ELSE concat('v', CAST(doc_id % 50 AS STRING)) END AS text
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, 'v0' FROM documents WHERE doc_id % 11 = 0""")
+      graft.operators.Dedup.corpusDiff(old, nw, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // URL extraction: one row per http(s) match with lowercased host;
     // %11 docs carry NO url (they produce no rows), %2 docs carry two
     "q215_url_extract" -> ((spark, dir) => {
@@ -6973,6 +7010,36 @@ object SparkEntry {
              CAST(count(*) FILTER (WHERE cov = 0) AS INT) AS n_kept,
              CAST(count(*) FILTER (WHERE cov = 1) AS INT) AS n_dropped
       FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // one-shot min-per-text election over all history = the probe's
+    // ground truth (write/append/compact must not change it)
+    "q217_exact_index" -> """
+      WITH d AS (SELECT doc_id,
+                        'body ' || CAST(doc_id % 97 AS VARCHAR) AS text
+                 FROM documents)
+      SELECT b.doc_id, m.keep_id
+      FROM d b JOIN (SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id
+                     FROM d WHERE doc_id % 5 <= 3 GROUP BY text) m
+        ON b.text = m.text
+      WHERE b.doc_id % 5 = 4 ORDER BY b.doc_id""",
+    // full-outer hash compare, statuses spelled identically
+    "q218_corpus_diff" -> """
+      WITH o AS (SELECT doc_id, 'v' || CAST(doc_id % 50 AS VARCHAR) AS text
+                 FROM documents),
+           n AS (SELECT doc_id,
+                        CASE WHEN doc_id % 3 = 0
+                             THEN 'w' || CAST(doc_id % 50 AS VARCHAR)
+                             ELSE 'v' || CAST(doc_id % 50 AS VARCHAR) END AS text
+                 FROM documents WHERE doc_id % 7 <> 0
+                 UNION ALL
+                 SELECT doc_id + 1000000, 'v0' FROM documents
+                 WHERE doc_id % 11 = 0)
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.text <> n.text THEN 'changed' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text)
+      ORDER BY doc_id""",
     // full-match extraction + host group, same portable pattern
     "q215_url_extract" -> """
       WITH d AS (SELECT doc_id,
@@ -7412,6 +7479,10 @@ object SparkEntry {
     "q211_kcore",
     // benchmark semi-join + islands over 10x train docs
     "q214_contaminated_spans",
+    // write/append/compact/probe over 10x history and batch
+    "q217_exact_index",
+    // 10x the ids through the same changelog classes
+    "q218_corpus_diff",
     // 10x the synthetic link text (explode mass + host census shift)
     "q215_url_extract",
     // group ranks over 10x the events per (type, hour) bucket

@@ -301,6 +301,138 @@ object Dedup {
       .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
   }
 
+  // ---- persisted EXACT-hash index: incremental exact dedup ------------
+
+  /** Persist the corpus's content-hash election table under `path` —
+    * `hashes/` rows `(h, doc)` (md5 hex of the text, doc id) parquet
+    * PARTITIONED BY `pt = pmod(hash(h), buckets)` with a params
+    * sidecar — the exact-dedup complement of [[writeLshIndex]]: daily
+    * ingest probes each new batch against ALL history in cost
+    * proportional to the batch (bucket-pruned scans), never rehashing
+    * the historical corpus. Index semantics per hash: the MINIMUM doc
+    * id ever indexed is the canonical keeper; reads fold min over
+    * delta rows, so [[appendToExactIndex]] ≡ one-shot by min's
+    * associativity (q217 chains write → append → compact → probe
+    * against a one-shot oracle). Schema sidecars let probes read with
+    * an explicit schema — no footer of an unprobed file is opened. */
+  def writeExactIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
+    val rows = df.select(
+      md5(coalesce(col(textCol).cast("string"), lit("")).cast("binary")).as("h"),
+      col(idCol).as("doc"))
+      .withColumn("pt", pmod(hash(col("h")), lit(buckets)))
+    rows.write.mode("overwrite").partitionBy("pt").parquet(s"$path/hashes")
+    graft.util.FsIO.writeStringAtomic(df.sparkSession,
+      new org.apache.hadoop.fs.Path(path, "_schema_hashes.ddl"),
+      rows.schema.toDDL)
+    graft.util.FsIO.writeStringAtomic(df.sparkSession,
+      new org.apache.hadoop.fs.Path(path, "_exact_params.json"),
+      s"""{"buckets":$buckets}""")
+  }
+
+  private def exactIndexBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val json = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(path, "_exact_params.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"exact index at $path has no readable _exact_params.json sidecar"))
+    """"buckets":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+      .getOrElse(throw new java.io.IOException(
+        s"exact index sidecar at $path lacks buckets: $json"))
+  }
+
+  private def readExactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val ddl = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(path, "_schema_hashes.ddl"))
+      .getOrElse(throw new java.io.IOException(
+        s"exact index at $path has no readable _schema_hashes.ddl sidecar"))
+    spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .parquet(s"$path/hashes")
+  }
+
+  /** Append a batch's (hash, doc) rows as new part-files in their
+    * buckets — nothing rewritten; probe-before-append, like the LSH
+    * index, or batch docs elect against themselves. */
+  def appendToExactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, idCol: String, textCol: String): Unit = {
+    val buckets = exactIndexBuckets(spark, path)
+    df.select(
+        md5(coalesce(col(textCol).cast("string"), lit("")).cast("binary")).as("h"),
+        col(idCol).as("doc"))
+      .withColumn("pt", pmod(hash(col("h")), lit(buckets)))
+      .write.mode("append").partitionBy("pt").parquet(s"$path/hashes")
+  }
+
+  /** Probe a batch against the persisted exact index: one row per
+    * batch doc whose content hash already exists in history —
+    * `(id, keep_id)` with the history's minimum doc id as keeper.
+    * The batch's bucket set becomes a static `pt IN (...)` partition
+    * filter (tiny driver collect of ≤ buckets ints), so the scan
+    * touches only buckets the batch can hit; min-folding the delta
+    * rows makes appended indexes probe identically to one-shot ones. */
+  def exactIndexHits(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val buckets = exactIndexBuckets(spark, path)
+    val batch = df.select(col(idCol).as("id"),
+      md5(coalesce(col(textCol).cast("string"), lit("")).cast("binary")).as("h"))
+    val probed = batch
+      .select(pmod(hash(col("h")), lit(buckets)).as("pt"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val idx =
+      if (probed.isEmpty) readExactIndex(spark, path).where(lit(false))
+      else readExactIndex(spark, path)
+        .where(col("pt").isin(probed.map(Int.box): _*))
+    batch.join(
+        idx.groupBy("h").agg(min("doc").as("keep_id")), Seq("h"))
+      .select(col("id"), col("keep_id"))
+  }
+
+  /** Compact the exact index: fold every hash's delta rows to its
+    * min-doc row and rewrite one sorted file per bucket. Probe-
+    * identical before and after (min-fold is what probes compute
+    * anyway); same `.__compact` + swapDir discipline as the other
+    * compactors. */
+  def compactExactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val buckets = exactIndexBuckets(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    readExactIndex(spark, path)
+      .groupBy("h").agg(min("doc").as("doc"))
+      .withColumn("pt", pmod(hash(col("h")), lit(buckets)))
+      .repartition(buckets, col("pt")).sortWithinPartitions("h")
+      .write.partitionBy("pt").parquet(s"$tmp/hashes")
+    for (name <- Seq("_exact_params.json", "_schema_hashes.ddl"))
+      graft.util.FsIO.readString(spark,
+          new org.apache.hadoop.fs.Path(path, name))
+        .foreach(s => graft.util.FsIO.writeStringAtomic(spark,
+          new org.apache.hadoop.fs.Path(tmp, name), s))
+    graft.util.FsIO.swapDir(spark, tmp, new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** Corpus snapshot diff by content hash: `(id, status)` for every id
+    * whose presence or content changed between `old` and `new` —
+    * `added` (id only in new), `removed` (id only in old), `changed`
+    * (both, different text hash); unchanged ids produce no row. The
+    * changelog a periodic recrawl/reingest pipeline publishes. One
+    * full-outer hash join on id; only (id, 16-byte hash) ever
+    * shuffles, never text. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def hashed(df: DataFrame, hName: String) = df.select(col(idCol).as("id"),
+      md5(coalesce(col(textCol).cast("string"), lit("")).cast("binary")).as(hName))
+    hashed(oldDf, "__ho").join(hashed(newDf, "__hn"), Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") =!= col("__hn"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col("id").as(idCol), col("status"))
+  }
+
   /** Compact a persisted LSH index in place: each [[appendToLshIndex]]
     * adds part-files to the `band=` directories, growing every later
     * probe's scan fan-out. Bucket rows are facts (no deltas), so

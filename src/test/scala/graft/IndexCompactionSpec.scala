@@ -103,6 +103,37 @@ class IndexCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.nonEmpty && after.values.forall(_ == 1), s"bands not merged: $after")
   }
 
+  test("exact-hash index: probe ≡ one-shot election, compact folds to 1 row/hash") {
+    val sp = spark
+    import sp.implicits._
+    // 90 docs in 10 content classes; history = ids < 60, batch = ids >= 60
+    val all = (0L until 90L).map(i => (i, s"content ${i % 10}"))
+    val hist = all.filter(_._1 < 60)
+    val batch = all.filter(_._1 >= 60)
+    val path = scratch("exactidx")
+    graft.operators.Dedup.writeExactIndex(
+      hist.filter(_._1 < 30).toDF("id", "t"), "id", "t", path, buckets = 8)
+    graft.operators.Dedup.appendToExactIndex(spark, path,
+      hist.filter(_._1 >= 30).toDF("id", "t"), "id", "t")
+    def probe() = graft.operators.Dedup.exactIndexHits(spark, path,
+        batch.toDF("id", "t"), "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = batch.map { case (i, t) =>
+      i -> hist.filter(_._2 == t).map(_._1).min }.toMap
+    assert(probe() == want, "append-grown probe must equal one-shot election")
+    graft.operators.Dedup.compactExactIndex(spark, path)
+    assert(probe() == want, "compaction changed a probe result")
+    val after = filesPerPartDir(s"$path/hashes")
+    assert(after.nonEmpty && after.values.forall(_ == 1), s"not merged: $after")
+    // deltas folded: one row per hash
+    val dup = spark.read.parquet(s"$path/hashes")
+      .groupBy("h").count().where(col("count") > 1).count()
+    assert(dup == 0L, "hash deltas not min-folded")
+    // novel-content batch probes to zero hits through the bucket pruning
+    assert(graft.operators.Dedup.exactIndexHits(spark, path,
+      Seq((999L, "never seen")).toDF("id", "t"), "id", "t").count() == 0L)
+  }
+
   private def embDf(ids: Range) = {
     val sp = spark
     import sp.implicits._

@@ -788,6 +788,68 @@ object ScaleSmoke {
         graft.operators.Graph.labelPropagation(edges, "p1", "p2", 3).count()
       }
       println(s"[scale]   lp nodes: $lp")
+
+      // ---- round-14 operators ------------------------------------------
+      val kc = withShuffle("kCore 100k-node co-order graph, k=3, 3 rounds") {
+        val e = li.where(col("k") % 20 === 0)
+          .select(col("k").as("o"), col("l_partkey").as("p")).distinct()
+        val edges = e.toDF("o", "p1").join(e.toDF("o", "p2"), Seq("o"))
+          .where(col("p1") < col("p2"))
+        graft.operators.Graph.kCore(edges, "p1", "p2", k = 3, rounds = 3).count()
+      }
+      println(s"[scale]   3-core nodes: $kc")
+
+      val mss = withShuffle("maximalSharedSpans 100k docs (n=8)") {
+        Dedup.maximalSharedSpans(docs, "doc_id", "text", n = 8).count()
+      }
+      println(s"[scale]   shared spans: $mss")
+
+      val cs = withShuffle("contaminatedSpans 100k train vs 5k bench (n=8)") {
+        Dedup.contaminatedSpans(docs, "doc_id", "text",
+          docs0.limit(5000), "text", n = 8).count()
+      }
+      println(s"[scale]   contaminated spans: $cs")
+
+      // the jittered corpus is WRONG for an exact similarity join: its
+      // ~31-token vocabulary collides whole token SETS across base docs,
+      // so the qualifying-pair OUTPUT itself is quadratic (the q202
+      // sf1-exclusion reason). This controlled corpus — 5000 bases x 20
+      // near-identical copies, base vocabularies disjoint (30 base
+      // tokens + 1 copy token, same-group J = 30/32; cross-group J ~ 0)
+      // — is the shape a production near-dup pass sees AFTER upstream
+      // exact dedup: bounded groups, output linear (5000 x C(20,2)).
+      val jj = withShuffle("jaccardJoinExact 100k docs, t=0.9 (20-copy groups)") {
+        val jdocs = spark.range(100000).selectExpr("id AS doc_id",
+          """concat_ws(' ',
+               transform(sequence(0, 29),
+                 i -> concat('w', CAST((id % 5000) * 37 + i AS STRING))),
+               concat('c', CAST(id div 5000 AS STRING))) AS text""")
+        Dedup.jaccardJoinExact(jdocs, "doc_id", "text", threshold = 0.9).count()
+      }
+      println(s"[scale]   exact jaccard pairs: $jj")
+
+      val pii = withShuffle("piiProfile + redactPii 1M synthetic contacts") {
+        val contacts = li.limit(1000000).selectExpr("k AS id",
+          """concat('contact user', CAST(k % 5000 AS STRING),
+             '@example.com call +1 415-555-', lpad(CAST(k % 10000 AS STRING), 4, '0'),
+             ' at 10.0.', CAST(k % 256 AS STRING), '.', CAST(k % 200 AS STRING)) AS text""")
+        graft.operators.Curation.piiProfile(contacts, "id", "text")
+          .agg(sum("n_email"), sum("n_phone"), sum("n_ipv4")).collect()
+        graft.operators.Curation.redactPii(contacts, "id", "text")
+          .agg(sum("n_redacted")).collect().head.getLong(0)
+      }
+      println(s"[scale]   redactions: $pii")
+
+      val exi = withShuffle("exactIndex write 95k + append 5k + probe 5k") {
+        val d97 = docs.selectExpr("doc_id", "concat('body ', CAST(doc_id % 9973 AS STRING)) AS text")
+        val dir = java.nio.file.Files.createTempDirectory("scale_exact").toString + "/idx"
+        Dedup.writeExactIndex(d97.where(col("doc_id") % 10 <= 7), "doc_id", "text", dir)
+        Dedup.appendToExactIndex(spark, dir,
+          d97.where(col("doc_id") % 10 === 8), "doc_id", "text")
+        Dedup.exactIndexHits(spark, dir,
+          d97.where(col("doc_id") % 10 === 9), "doc_id", "text").count()
+      }
+      println(s"[scale]   exact-index hits: $exi")
     }
 
     spark.stop()

@@ -2734,6 +2734,30 @@ object SparkEntry {
           "doc_id", "text", threshold = 0.9)
         .orderBy("ida", "idb")
     }),
+    // Heaps-law vocabulary growth: distinct vocab after each id-ordered
+    // doc-count checkpoint — one first-appearance census, K conditional
+    // counts (checkpoints past the corpus saturate at full vocab)
+    "q219_vocab_growth" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.TextAnalysis.vocabGrowth(spark.table("documents"),
+          "doc_id", "text", Seq(50L, 100L, 200L, 500L, 1000L, 5000L))
+        .orderBy("checkpoint")
+    }),
+    // per-doc 3-gram novelty on the q207 fixture: id-anchored windows
+    // are corpus-unique (novel), the c-run and g-run windows recur —
+    // non-%7 docs land exactly 4/6, %7 docs 4/7
+    "q220_gram_novelty" -> ((spark, dir) => {
+      prep(spark, dir)
+      val d = spark.table("documents").selectExpr("doc_id",
+        """concat('u', CAST(doc_id AS STRING), ' c0 c1 c2 ',
+             CASE WHEN doc_id % 7 = 0 THEN 'c3 ' ELSE '' END,
+             'x', CAST(doc_id AS STRING),
+             ' g', CAST(doc_id % 4 AS STRING), 'a',
+             ' g', CAST(doc_id % 4 AS STRING), 'b',
+             ' g', CAST(doc_id % 4 AS STRING), 'c') AS text""")
+      graft.operators.Dedup.gramNovelty(d, "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
     // persisted EXACT-hash index, full lifecycle in one row: write 60%
     // of history, append 20%, COMPACT (min-fold deltas), probe the last
     // 20% — hits must equal a one-shot min-per-text election over all
@@ -7010,6 +7034,41 @@ object SparkEntry {
              CAST(count(*) FILTER (WHERE cov = 0) AS INT) AS n_kept,
              CAST(count(*) FILTER (WHERE cov = 1) AS INT) AS n_dropped
       FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // first-appearance census + K conditional counts
+    "q219_vocab_growth" -> """
+      WITH f AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS first
+                 FROM (SELECT doc_id,
+                         unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                       FROM documents)
+                 WHERE tok <> '' GROUP BY tok),
+           c(checkpoint) AS (VALUES (CAST(50 AS BIGINT)), (CAST(100 AS BIGINT)),
+             (CAST(200 AS BIGINT)), (CAST(500 AS BIGINT)),
+             (CAST(1000 AS BIGINT)), (CAST(5000 AS BIGINT)))
+      SELECT c.checkpoint,
+             CAST(count(CASE WHEN f.first <= c.checkpoint THEN 1 END) AS BIGINT) AS vocab
+      FROM c CROSS JOIN f GROUP BY c.checkpoint ORDER BY checkpoint""",
+    // gram census + per-doc df=1 share, 6dp quotient
+    "q220_gram_novelty" -> """
+      WITH d AS (SELECT doc_id,
+             'u' || CAST(doc_id AS VARCHAR) || ' c0 c1 c2 ' ||
+             CASE WHEN doc_id % 7 = 0 THEN 'c3 ' ELSE '' END ||
+             'x' || CAST(doc_id AS VARCHAR) ||
+             ' g' || CAST(doc_id % 4 AS VARCHAR) || 'a' ||
+             ' g' || CAST(doc_id % 4 AS VARCHAR) || 'b' ||
+             ' g' || CAST(doc_id % 4 AS VARCHAR) || 'c' AS text
+             FROM documents),
+      t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+      tok AS (SELECT doc_id,
+                     substr(md5(array_to_string(ts[i + 1 : i + 3], ' ')), 1, 16) AS gk
+              FROM t, unnest(generate_series(0, len(ts) - 3)) AS u(i)),
+      c AS (SELECT gk, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+            FROM tok GROUP BY gk)
+      SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(CASE WHEN c.nd = 1 THEN 1 END) AS BIGINT) AS n_novel,
+             round(CAST(count(CASE WHEN c.nd = 1 THEN 1 END) AS DOUBLE)
+               / count(*), 6) AS novelty
+      FROM tok JOIN c ON tok.gk = c.gk
+      GROUP BY tok.doc_id ORDER BY doc_id""",
     // one-shot min-per-text election over all history = the probe's
     // ground truth (write/append/compact must not change it)
     "q217_exact_index" -> """
@@ -7479,6 +7538,10 @@ object SparkEntry {
     "q211_kcore",
     // benchmark semi-join + islands over 10x train docs
     "q214_contaminated_spans",
+    // first-appearance curve over 10x docs (every checkpoint shifts)
+    "q219_vocab_growth",
+    // census df counts all shift at 10x docs (class sizes x10)
+    "q220_gram_novelty",
     // write/append/compact/probe over 10x history and batch
     "q217_exact_index",
     // 10x the ids through the same changelog classes

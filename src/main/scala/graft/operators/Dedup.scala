@@ -1025,6 +1025,42 @@ object Dedup {
         col("span_len"), col("n_windows"), col("min_share"))
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of each document's
+    * length-`n` token windows appearing in NO other document — the
+    * diversity/uniqueness signal dual to [[maximalSharedSpans]] (a
+    * near-zero score means the document is assembled from recurring
+    * passages; sampling by novelty up-weights genuinely new content).
+    * Output per document with ≥ 1 window:
+    * `(id, n_grams, n_novel, novelty)` with the quotient under the 6dp
+    * law. Window multiplicity within the doc counts each occurrence (a
+    * doc-internal repeat of a corpus-unique gram is still novel).
+    *
+    * One gram census keyed by the fixed-width md5 prefix
+    * (count_distinct docs, map-side partials), one join back to the
+    * gram stream, one per-doc hash-agg. */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be at least 1")
+    val rz6 = graft.util.Round6.rz6 _
+    val grams =
+      if (n >= 2) gramStarts(df, idCol, textCol, n)
+      else // n = 1: plain tokens, hashed under the same key law
+        df.select(col(idCol).as("__doc"),
+            posexplode(split(coalesce(col(textCol).cast("string"), lit("")), " "))
+              .as(Seq("__pos", "__tok")))
+          .where(col("__tok") =!= "")
+          .select(col("__doc"), col("__pos"),
+            substring(md5(col("__tok").cast("binary")), 1, 16).as("__gkey"))
+    val census = grams.groupBy("__gkey")
+      .agg(count_distinct(col("__doc")).as("__nd"))
+    grams.join(census, Seq("__gkey"))
+      .groupBy("__doc")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__nd") === 1, 1)).as("n_novel"))
+      .select(col("__doc").as(idCol), col("n_grams"), col("n_novel"),
+        rz6(col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   /** CROSS-CORPUS contaminated spans — benchmark decontamination at
     * substring granularity (the Lee et al. / GPT-3 appendix-C recipe,
     * token-n-gram anchored): each training document's maximal token

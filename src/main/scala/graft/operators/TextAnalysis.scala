@@ -1122,6 +1122,38 @@ object TextAnalysis {
         rz6(log((-col("col.nc")).cast("double"))).as("ln_cnt"))
   }
 
+  /** Heaps-law vocabulary growth: distinct-vocabulary size after each
+    * id-ordered document-count checkpoint — the sublinearity check that
+    * a corpus keeps contributing NEW tokens (a flattening curve means
+    * the marginal crawl is duplicates/boilerplate; Heaps' law predicts
+    * V ∝ N^β, β ≈ 0.5 for natural language). Checkpoints are doc-id
+    * thresholds (id-order = ingest order here), so the curve is a
+    * deterministic function of the corpus, not of partitioning.
+    *
+    * One corpus pass: each token reduces to its FIRST appearance
+    * (min doc id — a single hash-agg), and the curve falls out as K
+    * conditional counts over that vocabulary-sized table — never K
+    * corpus scans. Output: `(checkpoint, vocab)` per checkpoint. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "need at least one checkpoint")
+    require(checkpoints.distinct.size == checkpoints.size,
+      s"duplicate checkpoints: $checkpoints")
+    val first = df
+      .select(col(idCol).as("__id"),
+        explode(split(coalesce(col(textCol).cast("string"), lit("")), " "))
+          .as("__tok"))
+      .where(col("__tok") =!= "")
+      .groupBy("__tok").agg(min("__id").as("__first"))
+    val counts = checkpoints.sorted.map(c =>
+      count(when(col("__first") <= c, 1)).as(s"__c$c"))
+    val one = first.agg(counts.head, counts.tail: _*)
+    val rows = checkpoints.sorted.map(c =>
+      struct(lit(c).as("checkpoint"), col(s"__c$c").as("vocab")))
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.checkpoint"), col("r.vocab"))
+  }
+
   /** Full per-document profile in one pass. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -1378,6 +1378,53 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vocabGrowth: first-appearance curve, saturation, monotonicity") {
+    val sp = spark
+    import sp.implicits._
+    // doc i introduces tokens {t0..t_i} plus shared 'base': vocab after
+    // checkpoint c = (c+1 new tokens) + 1
+    val docs = (0L to 9L).map(i =>
+      (i, ("base" +: (0L to i).map(j => s"t$j")).mkString(" ")))
+    val got = graft.operators.TextAnalysis.vocabGrowth(
+        docs.toDF("id", "t").repartition(3), "id", "t", Seq(0L, 3L, 9L, 100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 3L -> 5L, 9L -> 11L, 100L -> 11L), s"$got")
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.vocabGrowth(docs.toDF("id", "t"), "id", "t", Seq())
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.vocabGrowth(docs.toDF("id", "t"), "id", "t", Seq(1L, 1L))
+    }
+  }
+
+  test("gramNovelty: df=1 share per doc, n=1 token path, repeats count") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "shared run here plus unique1 tail1"),
+      (2L, "shared run here plus unique2 tail2"),
+      (3L, "totally fresh content nobody repeats"))
+    // n=2 windows doc1: (shared run)(run here)(here plus)(plus unique1)
+    // (unique1 tail1) -> first 3 shared with doc2, last 2 novel -> 2/5
+    val got = graft.operators.Dedup.gramNovelty(
+        docs.toDF("id", "t"), "id", "t", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    def rz6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got == Set(
+      (1L, 5L, 2L, rz6(2.0 / 5)), (2L, 5L, 2L, rz6(2.0 / 5)),
+      (3L, 4L, 4L, 1.0)), s"$got")
+    // n=1: plain tokens; 'shared run here plus' shared, one unique each
+    val t1 = graft.operators.Dedup.gramNovelty(docs.toDF("id", "t"), "id", "t", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(t1 == Set((1L, 6L, 2L), (2L, 6L, 2L), (3L, 5L, 5L)), s"$t1")
+    // in-doc repeats of a corpus-unique gram are each counted novel
+    val rep = graft.operators.Dedup.gramNovelty(
+        Seq((1L, "x y x y"), (2L, "a b")).toDF("id", "t"), "id", "t", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rep == Set((1L, 3L, 3L), (2L, 1L, 1L)), s"$rep")
+  }
+
   test("zipfProfile: exact head counts, tie order, 6dp log-log coordinates") {
     val sp = spark
     import sp.implicits._

@@ -341,52 +341,114 @@ object Bench {
     val subtotalB2b = b2b.map(_._2).filter(_ >= 0).sum
 
     // ---- sf1 scale-linearity tier --------------------------------------
-    // One measured pass per linear-shape query at ~10x the gate data
+    // Interleaved passes per linear-shape query at ~10x the gate data
     // (replicated + per-replica perturbed from sfDir, cached in /tmp).
-    // Plans and codegen are already JIT-warm from the sf0.1 passes (same
-    // query structure), so a single pass is meaningful. Driver-side
-    // bottlenecks (collects, literal codebooks, bin fan-outs) grow 10x
-    // while map-only plans don't — this block is the early warning.
-    val sf1Json: String =
+    // Plans and codegen are JIT-warm from the sf0.1 passes (same query
+    // structure). Driver-side bottlenecks (collects, literal codebooks,
+    // bin fan-outs) grow 10x while map-only plans don't — this block is
+    // the early warning.
+    //
+    // SAME load discipline as the sf0.1 tier: the round-14 gate ran this
+    // tier as a SINGLE unguarded pass and recorded ~8 phantom 15-70x
+    // regressions from an ambient-load window (q118 50.4 s recorded vs
+    // 4.8 s re-measured quiet). Now: min of >= 2 interleaved passes,
+    // per-iteration (sec, epoch, loadavg) trace, and load-retry passes
+    // for queries whose every sample started above the threshold.
+    val (sf1Json: String, sf1TotalOpt: Option[Double]) =
       if (sys.env.get("SPARK_GRAFT_SF1").contains("skip") ||
           !sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").contains("sf0.1"))
-        "\"sf1_skipped\":\"set SPARK_GRAFT_SF_DIR to a sf0.1 dir (and unset SPARK_GRAFT_SF1) to enable\""
+        ("\"sf1_skipped\":\"set SPARK_GRAFT_SF_DIR to a sf0.1 dir (and unset SPARK_GRAFT_SF1) to enable\"",
+          None)
       else try {
         val tGen0 = System.nanoTime()
         val dst = Sf1Data.ensure(spark, sfDir)
         val genSec = (System.nanoTime() - tGen0) / 1e9
+        val sf1Iters = math.max(2,
+          sys.env.getOrElse("SPARK_GRAFT_SF1_ITERS", "2").toInt)
         val sf1Sel = sf1Eligible.filter(selected.contains)
-        val sf1Times = sf1Sel.map { name =>
-          val t = try {
-            val df = stripSort(SparkEntry.queries(name)(spark, dst))
-            val t0 = System.nanoTime()
-            df.write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
-            -1.0
+        val sf1Built = sf1Sel.map { name =>
+          try name -> Some(stripSort(SparkEntry.queries(name)(spark, dst)))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] sf1 $name failed to build: ${e.getMessage}")
+            name -> None
           }
-          name -> t
+        }
+        val sf1Samples = collection.mutable.Map[String, Vector[(Double, Long, Double)]]()
+          .withDefaultValue(Vector.empty)
+        def sf1Measure(name: String, df: DataFrame): Unit = {
+          val ld = loadavg1()
+          val ts = System.currentTimeMillis() / 1000
+          val t0 = System.nanoTime()
+          try {
+            df.write.format("noop").mode("overwrite").save()
+            sf1Samples(name) = sf1Samples(name) :+ (((System.nanoTime() - t0) / 1e9, ts, ld))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] sf1 $name iteration failed: ${e.getMessage}")
+          }
+        }
+        for (_ <- 1 to sf1Iters; (name, dfOpt) <- sf1Built; df <- dfOpt)
+          sf1Measure(name, df)
+        // load-retry, same rule as the sf0.1 tier: a query with no
+        // clean-START sample gets extra interleaved passes until it has
+        // one (bounded by sf1Iters extra passes)
+        def sf1Dirty = sf1Built.collect {
+          case (name, Some(df)) if sf1Samples(name).nonEmpty &&
+            !sf1Samples(name).exists(_._3 <= loadMax) => (name, df)
+        }
+        var sf1Retry = 0
+        while (sf1Retry < sf1Iters && sf1Dirty.nonEmpty) {
+          sf1Retry += 1
+          System.err.println(
+            s"[bench] sf1 load-retry pass $sf1Retry: ${sf1Dirty.map(_._1).mkString(",")}")
+          for ((name, df) <- sf1Dirty) sf1Measure(name, df)
+        }
+        val sf1Times = sf1Sel.map { name =>
+          val ts = sf1Samples(name).map(_._1)
+          name -> (if (ts.isEmpty) -1.0 else ts.min)
         }
         val sq = sf1Times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        val sIters = sf1Sel.map { k =>
+          val arr = sf1Samples(k).map { case (s, t, l) => s"[$s,$t,$l]" }.mkString("[", ",", "]")
+          "\"" + k + "\":" + arr
+        }.mkString("{", ",", "}")
         val sTotal = sf1Times.map(_._2).filter(_ >= 0).sum
         val excl = sf1Excluded.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-        s""""sf1":{"dir":"$dst","gen_sec":$genSec,"total":$sTotal,"queries":$sq,"excluded":$excl,"timing":"single pass, JIT-warm from sf0.1 phase"}"""
+        (s""""sf1":{"dir":"$dst","gen_sec":$genSec,"total":$sTotal,"queries":$sq,"iters":$sIters,"load_retry_passes":$sf1Retry,"excluded":$excl,"timing":"min of $sf1Iters interleaved passes (JIT-warm from sf0.1 phase), load-retry appended for queries with no clean-start sample"}""",
+          Some(sTotal))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 tier failed: ${e.getMessage}")
-        "\"sf1_skipped\":\"" + String.valueOf(e.getMessage).replace('"', '\'') + "\""
+        ("\"sf1_skipped\":\"" + String.valueOf(e.getMessage).replace('"', '\'') + "\"",
+          None)
       }
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"total_r5_subset":$subtotal,"total_r5_subset_median":$subtotalMed,"total_r5_subset_b2b":$subtotalB2b,"queries_r5_b2b":$b2bJson,"load_retry_passes":$retryPasses,"load_retry_threshold":$loadMax,"queries":$qs,"queries_median":$qsMed,"iters":$iters,$sf1Json,"sf":"$sfDir","iterations":$iterations,"timing":"min and median of $iterations passes interleaved round-robin across queries, after 1 warm-up pass; load-retry passes appended for queries with no clean-start sample; _b2b = min of $iterations consecutive passes (rounds<=11 methodology, comparable to the r11 anchor)"}"""
     println(json)
-    // The gate records only a 2 kB stdout tail, which truncated r12's
-    // totals; the full JSON is also written to a file the driver (or the
-    // judge) can pick up whole.
+    // The gate records only a 2 kB stdout TAIL, and the full JSON leads
+    // with its totals — so a tail capture of the line above holds the
+    // exclusion strings, not the numbers (every BENCH_r*.json through
+    // r14 parsed null for this reason). Print a compact totals line
+    // LAST so the tail always contains the round's headline figures.
+    val sf1TotalStr = sf1TotalOpt.map(_.toString).getOrElse("null")
+    println(s"""{"graft_bench_totals":{"total":$total,"total_median":$totalMed,"total_r5_subset_b2b":$subtotalB2b,"sf1_total":$sf1TotalStr,"queries_n":${selected.size},"load_retry_passes":$retryPasses,"full_json":"target/bench.json"}}""")
+    // The full JSON is also written to files the driver (or the judge)
+    // can pick up whole: `target/bench.json` (latest run, historically
+    // overwritten by any later run — including judge re-measures) PLUS a
+    // timestamped copy under `target/bench_runs/` so a gate record can
+    // never be destroyed by a subsequent run. SPARK_GRAFT_ROUND, when
+    // the caller knows it, additionally pins `target/bench_r{N}.json`.
     try {
       val p = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+      val stamped = java.nio.file.Paths.get(
+        s"target/bench_runs/bench_${System.currentTimeMillis() / 1000}.json")
+      java.nio.file.Files.createDirectories(stamped.getParent)
+      java.nio.file.Files.write(stamped, json.getBytes("UTF-8"))
+      sys.env.get("SPARK_GRAFT_ROUND").foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"target/bench_r$r.json"), json.getBytes("UTF-8"))
+      }
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }

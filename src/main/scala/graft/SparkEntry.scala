@@ -2796,7 +2796,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // URL extraction: one row per http(s) match with lowercased host;
-    // %11 docs carry NO url (they produce no rows), %2 docs carry two
+    // %11 docs carry NO url (they produce no rows), %2 docs carry two,
+    // %5 docs end a sentence with a URL — the trailing '.)' must stay
+    // in the prose (host/path end structurally alphanumeric)
     "q215_url_extract" -> ((spark, dir) => {
       prep(spark, dir)
       val d = spark.table("documents").selectExpr("doc_id",
@@ -2806,6 +2808,10 @@ object SparkEntry {
                CASE WHEN doc_id % 2 = 0
                     THEN concat(' and https://cdn', CAST(doc_id % 3 AS STRING),
                                 '.example.net:8080/x?y=', CAST(doc_id AS STRING))
+                    ELSE '' END,
+               CASE WHEN doc_id % 5 = 0
+                    THEN concat(' (see https://ref.example.org/a',
+                                CAST(doc_id % 9 AS STRING), '.)')
                     ELSE '' END, ' tail') END AS text""")
       graft.operators.Curation.extractUrls(d, "doc_id", "text")
         .orderBy("doc_id", "url")
@@ -7099,7 +7105,9 @@ object SparkEntry {
       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
       WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text)
       ORDER BY doc_id""",
-    // full-match extraction + host group, same portable pattern
+    // full-match extraction + host group, same portable pattern (host
+    // and path end alphanumeric/body-char, so the %5 docs' ' .)' tail
+    // never rides into the url)
     "q215_url_extract" -> """
       WITH d AS (SELECT doc_id,
              CASE WHEN doc_id % 11 = 0 THEN 'no links here'
@@ -7108,11 +7116,15 @@ object SparkEntry {
                     CASE WHEN doc_id % 2 = 0
                          THEN ' and https://cdn' || CAST(doc_id % 3 AS VARCHAR) ||
                               '.example.net:8080/x?y=' || CAST(doc_id AS VARCHAR)
+                         ELSE '' END ||
+                    CASE WHEN doc_id % 5 = 0
+                         THEN ' (see https://ref.example.org/a' ||
+                              CAST(doc_id % 9 AS VARCHAR) || '.)'
                          ELSE '' END || ' tail' END AS text
              FROM documents),
       u AS (SELECT doc_id,
               unnest(regexp_extract_all(text,
-                'https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^ ]*)?')) AS url
+                'https?://[A-Za-z0-9]([A-Za-z0-9.-]*[A-Za-z0-9])?(:[0-9]+)?(/[^ ]*[A-Za-z0-9/_=&%#-]|/)?')) AS url
             FROM d)
       SELECT doc_id, url,
              lower(regexp_extract(url, '^https?://([^/:]+)', 1)) AS host

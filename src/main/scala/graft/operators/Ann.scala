@@ -281,25 +281,34 @@ object Ann {
     * query, the top-`k` most similar corpus vectors that are NEITHER
     * the query itself NOR one of its labeled positives — the
     * highest-value negatives a contrastive loss can see. Implemented
-    * as over-fetch + exclude + re-rank: search `k + pad` with `pad` =
-    * 1 (self) + the worst-case positives count of any query (a
-    * positives-table-sized aggregate, never a corpus pass), anti-join
-    * the exclusions, and renumber survivors in original cosine order.
-    * Removal never reorders survivors, so at full probe the result is
-    * EXACTLY brute-force top-k-excluding (the q213 oracle); at partial
-    * probe it inherits [[ivfSearch]]'s recall semantics. */
+    * as over-fetch + exclude + re-rank with a PER-QUERY pad: each
+    * query's candidate window is cut at `k` + its OWN labeled-positive
+    * count (a broadcast join of the positives-table-sized counts —
+    * never a driver action, and a heavily-labeled outlier query no
+    * longer inflates every other query's search depth). Self-pairs are
+    * already excluded by the probe join, so the pad covers exactly the
+    * rows an exclusion can remove; removal never reorders survivors,
+    * so at full probe the result is EXACTLY brute-force
+    * top-k-excluding (the q213 oracle); at partial probe it inherits
+    * [[ivfSearch]]'s recall semantics. The whole mine is one lazy
+    * plan. */
   def hardNegatives(index: IvfIndex, queries: DataFrame, positives: DataFrame,
       qidCol: String, posCol: String, k: Int, nProbe: Int): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
     val excl = positives
       .select(col(qidCol).as("qid"), col(posCol).as("nid")).distinct()
-    val pad = 1 + excl.groupBy("qid").count()
-      .agg(coalesce(max("count"), lit(0L))).head().getLong(0).toInt
-    val w = Window.partitionBy("qid").orderBy(col("rnk").asc)
-    ivfSearch(index, queries, k + pad, nProbe)
-      .where(col("qid") =!= col("nid"))
+    val posN = excl.groupBy("qid").agg(count(lit(1)).as("__np"))
+    val scored = probedPairs(index, queries, nProbe)
+      .select(col("qid"), col("nid"), vec_cosine(col("qv"), col("cv")).as("cos"))
+      .dropDuplicates("qid", "nid")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    val windowed = scored.withColumn("rnk", row_number().over(w))
+      .join(broadcast(posN), Seq("qid"), "left")
+      .where(col("rnk") <= lit(k) + coalesce(col("__np"), lit(0L)))
+    val wn = Window.partitionBy("qid").orderBy(col("rnk").asc)
+    windowed
       .join(excl, Seq("qid", "nid"), "left_anti")
-      .withColumn("neg_rnk", row_number().over(w))
+      .withColumn("neg_rnk", row_number().over(wn))
       .where(col("neg_rnk") <= k)
       .select(col("qid"), col("nid"), col("neg_rnk").cast("int").as("rnk"))
   }

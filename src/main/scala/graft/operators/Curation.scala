@@ -471,12 +471,16 @@ object Curation {
     * dedup): one row per `http(s)://` match with the lowercased host.
     * One row per MATCH — documents without URLs produce no rows.
     * Map-only codegen'd `regexp_extract_all` + explode; the pattern is
-    * Java/RE2-portable like the [[PiiEmail]] family, and hosts are
-    * capped to the RFC host charset so trailing punctuation never
-    * rides in. */
+    * Java/RE2-portable like the [[PiiEmail]] family. Sentence-final
+    * punctuation is excluded structurally: the host must START and END
+    * alphanumeric (so 'see http://example.com. next' extracts
+    * 'example.com', not 'example.com.'), and a path must end in a
+    * URL-body character ('/a5.)' extracts '/a5' — the trailing '.'
+    * and ')' stay in the prose). */
   def extractUrls(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = coalesce(col(textCol).cast("string"), lit(""))
-    val urlPat = "https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^ ]*)?"
+    val urlPat = "https?://[A-Za-z0-9]([A-Za-z0-9.-]*[A-Za-z0-9])?" +
+      "(:[0-9]+)?(/[^ ]*[A-Za-z0-9/_=&%#-]|/)?"
     df.select(col(idCol),
         explode(regexp_extract_all(t, lit(urlPat), lit(0))).as("url"))
       .withColumn("host",

@@ -240,9 +240,21 @@ object StreamOps {
       .withColumn("batch_id", lit(batchId)))
 
   /** The maintained sketch: fold every appended delta cell-wise. None
-    * while no batch has arrived. */
+    * while no batch has arrived.
+    *
+    * The distinct() is load-bearing for exactly-once: between
+    * compactions the state content is a documented MULTISET, so a
+    * foreachBatch RETRY leaves byte-identical (row, bucket, cnt,
+    * batch_id) cells in TWO deltas until the next compaction folds
+    * them — with `compactEvery` 1 the append-side distinct already
+    * collapses them, but at the default cadence a read landing between
+    * a retry and its compaction would double-count that batch. Retried
+    * cells are identical (same batch replays the same data) and
+    * cross-batch cells differ in batch_id, so distinct() removes
+    * exactly the retry copies. */
   def cmsReadSketch(state: CompactingKeyState): Option[DataFrame] =
-    state.read().map(_.groupBy("row", "bucket").agg(sum("cnt").as("cnt")))
+    state.read().map(_.distinct()
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt")))
 
   /** Maintain a Misra–Gries heavy-hitters summary across `foreachBatch`
     * micro-batches: each batch appends its OWN capacity-bounded summary
@@ -276,7 +288,13 @@ object StreamOps {
   def mgReadSummary(state: CompactingKeyState, capacity: Int): Option[DataFrame] = {
     require(capacity > 0, s"capacity must be positive (got $capacity)")
     state.read().map { df =>
-      val summed = df.groupBy("item").agg(sum("est").as("est"))
+      // distinct() for the same reason as [[cmsReadSketch]]: the state
+      // is a MULTISET between compactions, so a foreachBatch retry's
+      // duplicate (item, est, batch_id) rows would double-count that
+      // batch at the default compactEvery until the next compaction;
+      // retry rows are byte-identical, cross-batch rows differ in
+      // batch_id, so distinct() removes exactly the retries
+      val summed = df.distinct().groupBy("item").agg(sum("est").as("est"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("est").desc, col("item").asc)
       val ranked = summed.withColumn("__rk", row_number().over(w))

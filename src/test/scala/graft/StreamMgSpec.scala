@@ -36,11 +36,12 @@ class StreamMgSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def truth: Map[String, Long] =
     stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
 
-  private def run(capacity: Int, retry: Boolean = false): Map[String, Long] = {
+  private def run(capacity: Int, retry: Boolean = false,
+      compactEvery: Int = 1): Map[String, Long] = {
     val sp = spark
     import sp.implicits._
     val state = new graft.streaming.CompactingKeyState(spark, scratch(),
-      compactEvery = 1)
+      compactEvery = compactEvery)
     val batches = stream.grouped((stream.size + 2) / 3).toSeq
     batches.zipWithIndex.foreach { case (b, i) =>
       graft.streaming.StreamOps.mgAppendBatch(state,
@@ -76,5 +77,43 @@ class StreamMgSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("foreachBatch retry with the same batchId is a no-op") {
     assert(run(capacity = 8, retry = true) == run(capacity = 8))
     assert(run(capacity = 64, retry = true) == truth)
+  }
+
+  // between compactions the state is a MULTISET: with compactEvery > 1 a
+  // retried batch's byte-identical rows sit in TWO deltas, and only the
+  // read-side distinct keeps the fold exactly-once — this is the case
+  // that slipped round 14 (every prior exercise ran compactEvery = 1,
+  // where the append-side distinct already collapsed the copies)
+  test("retry is a no-op at compactEvery > 1 (duplicate deltas uncompacted)") {
+    assert(run(capacity = 64, retry = true, compactEvery = 8) == truth)
+    assert(run(capacity = 8, retry = true, compactEvery = 8) ==
+      run(capacity = 8, compactEvery = 8))
+  }
+
+  // same multiset gap for the CM sketch fold: a retried batch's
+  // identical (row, bucket, cnt, batch_id) cells must not double-count
+  test("cms retry is a no-op at compactEvery > 1") {
+    val sp = spark
+    import sp.implicits._
+    def cms(retry: Boolean): Map[(Long, Long), Long] = {
+      val state = new graft.streaming.CompactingKeyState(spark, scratch(),
+        compactEvery = 8)
+      val batches = stream.grouped((stream.size + 2) / 3).toSeq
+      batches.zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.StreamOps.cmsAppendBatch(state, b.toDF("k"), "k",
+          width = 64, depth = 3, batchId = i.toLong)
+        if (retry && i == 1)
+          graft.streaming.StreamOps.cmsAppendBatch(state, b.toDF("k"), "k",
+            width = 64, depth = 3, batchId = i.toLong)
+      }
+      graft.streaming.StreamOps.cmsReadSketch(state).get.collect()
+        .map(r => (r.getAs[Number]("row").longValue,
+          r.getAs[Number]("bucket").longValue) ->
+          r.getAs[Number]("cnt").longValue).toMap
+    }
+    val clean = cms(retry = false)
+    assert(clean.values.sum == stream.size.toLong * 3,
+      "each depth row must carry the full stream mass")
+    assert(cms(retry = true) == clean)
   }
 }

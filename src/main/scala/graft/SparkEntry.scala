@@ -1771,18 +1771,33 @@ object SparkEntry {
     // integer cells, float-exact overlay), and its envelope is the
     // arithmetic min/max of the cells — so vanilla SQL pins the real
     // cascaded union's measure and extent without a spatial oracle
-    "q149_union_agg" -> q("""
-      WITH cells AS (SELECT l_linenumber AS grp,
-                            CAST(l_orderkey % 100 AS DOUBLE) AS x,
-                            CAST((l_orderkey DIV 100) % 50 AS DOUBLE) AS y
-                     FROM lineitem),
-           u AS (SELECT grp, count(*) AS n_in,
-                        st_union_agg(ST_MakeEnvelope(x, y, x + 1, y + 1)) AS g
-                 FROM cells GROUP BY grp)
-      SELECT grp, n_in, round(ST_Area(g), 6) AS union_area,
-             Box2D(g).xmin AS xmin, Box2D(g).ymin AS ymin,
-             Box2D(g).xmax AS xmax, Box2D(g).ymax AS ymax
-      FROM u ORDER BY grp"""),
+    // grouped dissolve through the STAGED pyramid (gridDissolveByKey):
+    // semantically identical to a flat `st_union_agg(g) GROUP BY grp`
+    // (union is associative; integer-grid inputs are float-exact), but
+    // the few-large-groups shape no longer funnels each group's 32
+    // task-partials — each a country-sized multipolygon — into one
+    // final merge: unit squares dissolve cell-locally first (8x8
+    // world-unit cells, 2 levels, factor 4), and only ~8 supercell
+    // polygons per group meet in the final aggregate
+    "q149_union_agg" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.{col, expr, round}
+      prep(spark, dir)
+      val cells = spark.sql("""
+        SELECT l_linenumber AS grp,
+               ST_MakeEnvelope(CAST(l_orderkey % 100 AS DOUBLE),
+                               CAST((l_orderkey DIV 100) % 50 AS DOUBLE),
+                               CAST(l_orderkey % 100 AS DOUBLE) + 1,
+                               CAST((l_orderkey DIV 100) % 50 AS DOUBLE) + 1) AS g
+        FROM lineitem""")
+      graft.operators.Dissolve
+        .gridDissolveByKey(cells, Seq("grp"), "g",
+          cellSize = 8.0, levels = 2, factor = 4)
+        .select(col("grp"), col("n_in"),
+          round(expr("ST_Area(geom)"), 6).as("union_area"),
+          expr("Box2D(geom).xmin").as("xmin"), expr("Box2D(geom).ymin").as("ymin"),
+          expr("Box2D(geom).xmax").as("xmax"), expr("Box2D(geom).ymax").as("ymax"))
+        .orderBy("grp")
+    }),
     // staged global dissolve (the PostGIS parallel-union recipe: union
     // per grid cell, then union cells) over the q149 unit-square
     // fixture WITHOUT grouping — the single-group shape that funnels a

@@ -37,24 +37,53 @@ object Dissolve {
   /** One row, one `geom` column: the union of every non-null geometry
     * in `df(geomCol)` (null when the input is empty). */
   def gridDissolve(df: DataFrame, geomCol: String, cellSize: Double,
-      levels: Int = 2, factor: Int = 8): DataFrame = {
+      levels: Int = 2, factor: Int = 8): DataFrame =
+    gridDissolveByKey(df, Seq.empty, geomCol, cellSize, levels, factor)
+      .select("geom")
+
+  /** The staged dissolve PER GROUP: one row per distinct `keyCols`
+    * value with `n_in` (count of non-null input geometries) and `geom`
+    * (their union). The same pyramid as [[gridDissolve]] with the key
+    * prepended to every stage's grouping, so a grouped
+    * `st_union_agg(g) GROUP BY k` whose groups are LARGE (the q149
+    * shape: few groups, each corpus-sized) stops funneling each
+    * group's P task-partials — every one a potentially huge
+    * multipolygon — into one final merge: unit geometries dissolve in
+    * cell-local aggregates first and only `factor²`-bounded cell
+    * unions climb to the per-group final. Empty `keyCols` degrades to
+    * the global single-row dissolve.
+    *
+    * Same associativity caveat as [[gridDissolve]]: the result REGION
+    * is exact, vertex order/float coordinates of overlay-sensitive
+    * inputs can differ from the flat aggregation (never on
+    * integer-coordinate inputs). */
+  def gridDissolveByKey(df: DataFrame, keyCols: Seq[String], geomCol: String,
+      cellSize: Double, levels: Int = 2, factor: Int = 8): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
     require(levels >= 1, "levels must be >= 1")
     require(factor >= 2, "factor must be >= 2")
     GeoFunctions.register(df.sparkSession)
-    var cur = df.select(col(geomCol).as("__g")).where(col("__g").isNotNull)
+    val keys = keyCols.map(col)
+    var cur = df.select(keys :+ col(geomCol).as("__g"): _*)
+      .where(col("__g").isNotNull)
       .withColumn("__b", GeoFunctions.box2d(col("__g")))
       .withColumn("__cx",
         floor((col("__b.xmin") + col("__b.xmax")) / 2 / cellSize).cast("long"))
       .withColumn("__cy",
         floor((col("__b.ymin") + col("__b.ymax")) / 2 / cellSize).cast("long"))
-      .select("__cx", "__cy", "__g")
+      .withColumn("__n", lit(1L))
+      .select(keys ++ Seq(col("__cx"), col("__cy"), col("__n"), col("__g")): _*)
     for (_ <- 1 to levels) {
-      cur = cur.groupBy("__cx", "__cy")
-        .agg(GeoFunctions.st_union_agg(col("__g")).as("__g"))
-        .select(floor(col("__cx") / factor).cast("long").as("__cx"),
-          floor(col("__cy") / factor).cast("long").as("__cy"), col("__g"))
+      cur = cur.groupBy(keys ++ Seq(col("__cx"), col("__cy")): _*)
+        .agg(GeoFunctions.st_union_agg(col("__g")).as("__g"),
+          sum("__n").as("__n"))
+        .select(keys ++ Seq(
+          floor(col("__cx") / factor).cast("long").as("__cx"),
+          floor(col("__cy") / factor).cast("long").as("__cy"),
+          col("__n"), col("__g")): _*)
     }
-    cur.agg(GeoFunctions.st_union_agg(col("__g")).as("geom"))
+    cur.groupBy(keys: _*)
+      .agg(sum("__n").as("n_in"),
+        GeoFunctions.st_union_agg(col("__g")).as("geom"))
   }
 }

@@ -601,8 +601,9 @@ object SparkEntry {
       val probed = graft.operators.Ann.probedLists(loaded, q1, nProbe = 2).toSet
       val unprobed = (0 until 8).filterNot(probed.contains)
       val pruneOk = unprobed.nonEmpty && {
+        val dataDir = graft.util.FsIO.indexDataDir(spark, idxDir)
         unprobed.foreach { bad =>
-          val d = new java.io.File(s"$idxDir/list=$bad")
+          val d = new java.io.File(s"$dataDir/list=$bad")
           Option(d.listFiles()).getOrElse(Array.empty)
             .filter(_.getName.endsWith(".parquet"))
             .foreach(f => java.nio.file.Files.write(f.toPath,

@@ -272,9 +272,10 @@ object Ann {
     * pipeline's floor. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, rows: DataFrame): Unit = {
-    val idx = readIvfIndex(spark, path)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val idx = readIvfIndexAt(spark, dataDir)
     assignToCentroids(idx.centroids, rows)
-      .assigned.write.mode("append").partitionBy("list").parquet(path)
+      .assigned.write.mode("append").partitionBy("list").parquet(dataDir)
   }
 
   /** Hard-negative mining for retrieval/contrastive training: per
@@ -323,24 +324,24 @@ object Ann {
     * column. Rows are facts (no deltas to fold), hence search after
     * compaction is trivially identical to before (q205 pins it through
     * the q167 append≡rebuild gate; the spec pins 1 file/list). Same
-    * `.__compact` + [[graft.util.FsIO.swapDir]] crash discipline as
-    * the BM25 compactor; not concurrent-writer safe. */
+    * next-version + pointer-flip discipline as the BM25 compactor —
+    * concurrent probes keep their resolved version; not
+    * concurrent-WRITER safe. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    val idx = readIvfIndex(spark, path) // validates the sidecar, nlist
-    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
-    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val idx = readIvfIndexAt(spark, dataDir) // validates the sidecar, nlist
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
     idx.assigned
       .repartition(idx.centroids.length, col("list"))
       .sortWithinPartitions("nid")
-      .write.partitionBy("list").parquet(tmp.toString)
+      .write.partitionBy("list").parquet(ver.toString)
     for (name <- Seq("_ivf_centroids.json", "_pq_codebook.json"))
       graft.util.FsIO.readString(spark,
-          new org.apache.hadoop.fs.Path(path, name))
+          new org.apache.hadoop.fs.Path(dataDir, name))
         .foreach(s => graft.util.FsIO.writeStringAtomic(spark,
-          new org.apache.hadoop.fs.Path(tmp, name), s))
-    graft.util.FsIO.swapDir(spark, tmp, new org.apache.hadoop.fs.Path(path))
+          new org.apache.hadoop.fs.Path(ver, name), s))
+    graft.util.FsIO.publishVersion(spark, path, ver)
   }
 
   /** The drift guard: fraction of full-probe (exact within the index)
@@ -372,20 +373,27 @@ object Ann {
     * reads ONLY the probed list directories (partition pruning), skipping
     * the rest of the corpus entirely. */
   def writeIvfIndex(index: IvfIndex, path: String): Unit = {
-    index.assigned.write.mode("overwrite").partitionBy("list").parquet(path)
+    val spark = index.assigned.sparkSession
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
+    index.assigned.write.mode("overwrite").partitionBy("list").parquet(ver.toString)
     val json = index.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    graft.util.FsIO.writeStringAtomic(index.assigned.sparkSession,
-      new org.apache.hadoop.fs.Path(path, "_ivf_centroids.json"), json)
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(ver, "_ivf_centroids.json"), json)
+    graft.util.FsIO.publishVersion(spark, path, ver)
   }
 
-  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    readIvfIndexAt(spark, graft.util.FsIO.indexDataDir(spark, path))
+
+  private def readIvfIndexAt(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): IvfIndex = {
     val json = graft.util.FsIO.readString(spark,
-        new org.apache.hadoop.fs.Path(path, "_ivf_centroids.json"))
+        new org.apache.hadoop.fs.Path(dataDir, "_ivf_centroids.json"))
       .getOrElse(throw new java.io.IOException(
-        s"IVF index at $path has no readable _ivf_centroids.json sidecar"))
+        s"IVF index at $dataDir has no readable _ivf_centroids.json sidecar"))
     val cents = json.stripPrefix("[").stripSuffix("]").split("\\],\\[")
       .map(_.stripPrefix("[").stripSuffix("]").split(',').map(_.toFloat))
-    IvfIndex(cents, spark.read.parquet(path))
+    IvfIndex(cents, spark.read.parquet(dataDir))
   }
 
   /** Above this nlist the probe scorer stops folding the codebook into
@@ -839,10 +847,11 @@ object Ann {
     * below the pipeline's floor. */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, rows: DataFrame): Unit = {
-    val idx = readIvfPqIndex(spark, path)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val idx = readIvfPqIndexAt(spark, dataDir)
     encodeAssigned(assignToCentroids(idx.centroids, rows).assigned,
         idx.centroids, idx.codebook, idx.residual)
-      .write.mode("append").partitionBy("list").parquet(path)
+      .write.mode("append").partitionBy("list").parquet(dataDir)
   }
 
   /** [[assignToCentroids]]' IVF-PQ analog: re-index `corpus` under an
@@ -859,32 +868,38 @@ object Ann {
     * pruning layout as [[writeIvfIndex]]) + centroid and codebook
     * sidecars. */
   def writeIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
-    index.assigned.write.mode("overwrite").partitionBy("list").parquet(path)
     val spark = index.assigned.sparkSession
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
+    index.assigned.write.mode("overwrite").partitionBy("list").parquet(ver.toString)
     val centJson = index.centroids.map(_.mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     graft.util.FsIO.writeStringAtomic(spark,
-      new org.apache.hadoop.fs.Path(path, "_ivf_centroids.json"), centJson)
+      new org.apache.hadoop.fs.Path(ver, "_ivf_centroids.json"), centJson)
     val cb = index.codebook
     // "flat" stays LAST: the reader locates it as the first '[' in the
     // sidecar, so every scalar field must precede it
     val cbJson = s"""{"m":${cb.m},"ksub":${cb.ksub},"dsub":${cb.dsub},""" +
       s""""residual":${index.residual},"flat":[${cb.flat.mkString(",")}]}"""
     graft.util.FsIO.writeStringAtomic(spark,
-      new org.apache.hadoop.fs.Path(path, "_pq_codebook.json"), cbJson)
+      new org.apache.hadoop.fs.Path(ver, "_pq_codebook.json"), cbJson)
+    graft.util.FsIO.publishVersion(spark, path, ver)
   }
 
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): IvfPqIndex = {
-    val base = readIvfIndex(spark, path)
+      path: String): IvfPqIndex =
+    readIvfPqIndexAt(spark, graft.util.FsIO.indexDataDir(spark, path))
+
+  private def readIvfPqIndexAt(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): IvfPqIndex = {
+    val base = readIvfIndexAt(spark, dataDir)
     val s = graft.util.FsIO.readString(spark,
-        new org.apache.hadoop.fs.Path(path, "_pq_codebook.json"))
+        new org.apache.hadoop.fs.Path(dataDir, "_pq_codebook.json"))
       .getOrElse(throw new java.io.IOException(
-        s"IVF-PQ index at $path has no readable _pq_codebook.json sidecar"))
+        s"IVF-PQ index at $dataDir has no readable _pq_codebook.json sidecar"))
     def intField(name: String): Int =
       ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(s)
         .getOrElse(throw new java.io.IOException(
-          s"_pq_codebook.json at $path is missing field $name"))
+          s"_pq_codebook.json at $dataDir is missing field $name"))
         .group(1).toInt
     // "flat" is the only array field and the scalar fields precede it
     val flat = s.substring(s.indexOf('[') + 1, s.lastIndexOf(']'))

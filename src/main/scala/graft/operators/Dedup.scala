@@ -263,26 +263,36 @@ object Dedup {
     * the historical corpus. The index stores ids and 64-bit bucket keys
     * only (~`bands`·16 B/doc); the exact-Jaccard refine reads the
     * matched docs' text from the corpus table, which a probe touches
-    * only for candidate ids. */
+    * only for candidate ids.
+    *
+    * Layout: a VERSIONED root ([[graft.util.FsIO.publishVersion]]) —
+    * tables and sidecars live in `path/v<N>/`, activated by flipping
+    * the `_current` pointer, so a rebuild over an existing index is
+    * invisible to concurrent probes until complete (every persisted
+    * index family here shares this discipline). */
   def writeLshIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 64, bands: Int = 16): Unit = {
+    val spark = df.sparkSession
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
     minhashBuckets(df, idCol, textCol, numHashes, bands)
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/buckets")
-    graft.util.FsIO.writeStringAtomic(df.sparkSession,
-      new org.apache.hadoop.fs.Path(path, "_lsh_params.json"),
+      .write.mode("overwrite").partitionBy("band").parquet(s"$ver/buckets")
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(ver, "_lsh_params.json"),
       s"""{"numHashes":$numHashes,"bands":$bands}""")
+    graft.util.FsIO.publishVersion(spark, path, ver)
   }
 
+  /** (numHashes, bands) from a resolved version/data directory. */
   private def lshParams(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Int, Int) = {
+      dataDir: String): (Int, Int) = {
     val json = graft.util.FsIO.readString(spark,
-        new org.apache.hadoop.fs.Path(path, "_lsh_params.json"))
+        new org.apache.hadoop.fs.Path(dataDir, "_lsh_params.json"))
       .getOrElse(throw new java.io.IOException(
-        s"LSH index at $path has no readable _lsh_params.json sidecar"))
+        s"LSH index at $dataDir has no readable _lsh_params.json sidecar"))
     def field(k: String): Int =
       s""""$k":(\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
         .getOrElse(throw new java.io.IOException(
-          s"LSH index sidecar at $path lacks $k: $json"))
+          s"LSH index sidecar at $dataDir lacks $k: $json"))
     (field("numHashes"), field("bands"))
   }
 
@@ -296,9 +306,10 @@ object Dedup {
     * same batch, or every batch doc pairs with itself. */
   def appendToLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       df: DataFrame, idCol: String, textCol: String): Unit = {
-    val (numHashes, bands) = lshParams(spark, path)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val (numHashes, bands) = lshParams(spark, dataDir)
     minhashBuckets(df, idCol, textCol, numHashes, bands)
-      .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
+      .write.mode("append").partitionBy("band").parquet(s"$dataDir/buckets")
   }
 
   // ---- persisted EXACT-hash index: incremental exact dedup ------------
@@ -318,51 +329,59 @@ object Dedup {
   def writeExactIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets must be positive (got $buckets)")
+    val spark = df.sparkSession
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
     val rows = df.select(
       md5(coalesce(col(textCol).cast("string"), lit("")).cast("binary")).as("h"),
       col(idCol).as("doc"))
       .withColumn("pt", pmod(hash(col("h")), lit(buckets)))
-    rows.write.mode("overwrite").partitionBy("pt").parquet(s"$path/hashes")
-    graft.util.FsIO.writeStringAtomic(df.sparkSession,
-      new org.apache.hadoop.fs.Path(path, "_schema_hashes.ddl"),
+    rows.write.mode("overwrite").partitionBy("pt").parquet(s"$ver/hashes")
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(ver, "_schema_hashes.ddl"),
       rows.schema.toDDL)
-    graft.util.FsIO.writeStringAtomic(df.sparkSession,
-      new org.apache.hadoop.fs.Path(path, "_exact_params.json"),
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(ver, "_exact_params.json"),
       s"""{"buckets":$buckets}""")
+    graft.util.FsIO.publishVersion(spark, path, ver)
   }
 
   private def exactIndexBuckets(spark: org.apache.spark.sql.SparkSession,
-      path: String): Int = {
+      dataDir: String): Int = {
     val json = graft.util.FsIO.readString(spark,
-        new org.apache.hadoop.fs.Path(path, "_exact_params.json"))
+        new org.apache.hadoop.fs.Path(dataDir, "_exact_params.json"))
       .getOrElse(throw new java.io.IOException(
-        s"exact index at $path has no readable _exact_params.json sidecar"))
+        s"exact index at $dataDir has no readable _exact_params.json sidecar"))
     """"buckets":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
       .getOrElse(throw new java.io.IOException(
-        s"exact index sidecar at $path lacks buckets: $json"))
+        s"exact index sidecar at $dataDir lacks buckets: $json"))
   }
 
   private def readExactIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      dataDir: String): DataFrame = {
     val ddl = graft.util.FsIO.readString(spark,
-        new org.apache.hadoop.fs.Path(path, "_schema_hashes.ddl"))
+        new org.apache.hadoop.fs.Path(dataDir, "_schema_hashes.ddl"))
       .getOrElse(throw new java.io.IOException(
-        s"exact index at $path has no readable _schema_hashes.ddl sidecar"))
+        s"exact index at $dataDir has no readable _schema_hashes.ddl sidecar"))
     spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-      .parquet(s"$path/hashes")
+      .parquet(s"$dataDir/hashes")
   }
 
   /** Append a batch's (hash, doc) rows as new part-files in their
     * buckets — nothing rewritten; probe-before-append, like the LSH
-    * index, or batch docs elect against themselves. */
+    * index, or batch docs elect against themselves. Retry-SAFE by
+    * min-idempotency: probes fold min(doc) per hash, and re-appending
+    * the identical batch adds only duplicate rows that min ignores —
+    * so a foreachBatch pipeline can call this without extra
+    * exactly-once bookkeeping (the q223 stream gate pins it). */
   def appendToExactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, df: DataFrame, idCol: String, textCol: String): Unit = {
-    val buckets = exactIndexBuckets(spark, path)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val buckets = exactIndexBuckets(spark, dataDir)
     df.select(
         md5(coalesce(col(textCol).cast("string"), lit("")).cast("binary")).as("h"),
         col(idCol).as("doc"))
       .withColumn("pt", pmod(hash(col("h")), lit(buckets)))
-      .write.mode("append").partitionBy("pt").parquet(s"$path/hashes")
+      .write.mode("append").partitionBy("pt").parquet(s"$dataDir/hashes")
   }
 
   /** Probe a batch against the persisted exact index: one row per
@@ -374,15 +393,16 @@ object Dedup {
     * rows makes appended indexes probe identically to one-shot ones. */
   def exactIndexHits(spark: org.apache.spark.sql.SparkSession, path: String,
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val buckets = exactIndexBuckets(spark, path)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val buckets = exactIndexBuckets(spark, dataDir)
     val batch = df.select(col(idCol).as("id"),
       md5(coalesce(col(textCol).cast("string"), lit("")).cast("binary")).as("h"))
     val probed = batch
       .select(pmod(hash(col("h")), lit(buckets)).as("pt"))
       .distinct().collect().map(_.getInt(0)).sorted
     val idx =
-      if (probed.isEmpty) readExactIndex(spark, path).where(lit(false))
-      else readExactIndex(spark, path)
+      if (probed.isEmpty) readExactIndex(spark, dataDir).where(lit(false))
+      else readExactIndex(spark, dataDir)
         .where(col("pt").isin(probed.map(Int.box): _*))
     batch.join(
         idx.groupBy("h").agg(min("doc").as("keep_id")), Seq("h"))
@@ -392,25 +412,24 @@ object Dedup {
   /** Compact the exact index: fold every hash's delta rows to its
     * min-doc row and rewrite one sorted file per bucket. Probe-
     * identical before and after (min-fold is what probes compute
-    * anyway); same `.__compact` + swapDir discipline as the other
-    * compactors. */
+    * anyway); same next-version + pointer-flip discipline as the other
+    * compactors — concurrent probes keep their resolved version. */
   def compactExactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    val buckets = exactIndexBuckets(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
-    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    readExactIndex(spark, path)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val buckets = exactIndexBuckets(spark, dataDir)
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
+    readExactIndex(spark, dataDir)
       .groupBy("h").agg(min("doc").as("doc"))
       .withColumn("pt", pmod(hash(col("h")), lit(buckets)))
       .repartition(buckets, col("pt")).sortWithinPartitions("h")
-      .write.partitionBy("pt").parquet(s"$tmp/hashes")
+      .write.partitionBy("pt").parquet(s"$ver/hashes")
     for (name <- Seq("_exact_params.json", "_schema_hashes.ddl"))
       graft.util.FsIO.readString(spark,
-          new org.apache.hadoop.fs.Path(path, name))
+          new org.apache.hadoop.fs.Path(dataDir, name))
         .foreach(s => graft.util.FsIO.writeStringAtomic(spark,
-          new org.apache.hadoop.fs.Path(tmp, name), s))
-    graft.util.FsIO.swapDir(spark, tmp, new org.apache.hadoop.fs.Path(path))
+          new org.apache.hadoop.fs.Path(ver, name), s))
+    graft.util.FsIO.publishVersion(spark, path, ver)
   }
 
   /** Corpus snapshot diff by content hash: `(id, status)` for every id
@@ -440,23 +459,23 @@ object Dedup {
     * (bucket, doc) so a probed bucket's rows sit in one row-group
     * neighborhood, and re-pins the params sidecar. Probe results are
     * identical before and after (q206 pins it through the q170 gate;
-    * the spec pins 1 file/band). Same `.__compact` +
-    * [[graft.util.FsIO.swapDir]] crash discipline as the BM25
-    * compactor; not concurrent-writer safe. */
+    * the spec pins 1 file/band). The rewrite lands in the NEXT version
+    * directory and activates by pointer flip
+    * ([[graft.util.FsIO.publishVersion]]), so concurrent probes —
+    * including ones planned mid-compaction — keep reading the version
+    * they resolved; not concurrent-WRITER safe. */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    val (numHashes, bands) = lshParams(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
-    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    spark.read.parquet(s"$path/buckets")
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val (numHashes, bands) = lshParams(spark, dataDir)
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
+    spark.read.parquet(s"$dataDir/buckets")
       .repartition(bands, col("band")).sortWithinPartitions("bucket", "doc")
-      .write.partitionBy("band").parquet(s"$tmp/buckets")
+      .write.partitionBy("band").parquet(s"$ver/buckets")
     graft.util.FsIO.writeStringAtomic(spark,
-      new org.apache.hadoop.fs.Path(tmp, "_lsh_params.json"),
+      new org.apache.hadoop.fs.Path(ver, "_lsh_params.json"),
       s"""{"numHashes":$numHashes,"bands":$bands}""")
-    graft.util.FsIO.swapDir(spark, tmp,
-      new org.apache.hadoop.fs.Path(path))
+    graft.util.FsIO.publishVersion(spark, path, ver)
   }
 
   /** Candidate near-dup pairs TOUCHING a new batch: the batch's bucket
@@ -470,7 +489,10 @@ object Dedup {
   def lshIndexCandidates(spark: org.apache.spark.sql.SparkSession,
       path: String, newDf: DataFrame, idCol: String, textCol: String,
       maxBucket: Int = 10000, minBandHits: Int = 1): DataFrame = {
-    val (numHashes, bands) = lshParams(spark, path)
+    // resolve the version ONCE: params and bucket scan come from the
+    // same snapshot even if a compaction publishes mid-probe
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val (numHashes, bands) = lshParams(spark, dataDir)
     // hash the batch ONCE and reuse (localCheckpoint: three consumers
     // below would otherwise recompute the signatures per subtree)
     val nb = minhashBuckets(newDf, idCol, textCol, numHashes, bands)
@@ -479,7 +501,7 @@ object Dedup {
     // so the historical scan broadcast-filters down to those BEFORE
     // any aggregation — the bucket-size cap then counts the combined
     // occupancy of exactly the touched buckets, not the whole table
-    val hot = spark.read.parquet(s"$path/buckets")
+    val hot = spark.read.parquet(s"$dataDir/buckets")
       .select("doc", "band", "bucket")
       .join(broadcast(nb.select("band", "bucket").distinct()),
         Seq("band", "bucket"))

@@ -880,10 +880,16 @@ object TextAnalysis {
     * (n docs INCLUDING empty ones, total postings mass — the avgdl
     * quotient is taken at search time under the same rz6 law); a
     * `_bm25_params.json` sidecar pins the bucket count, since the
-    * hash-partition layout is meaningless under any other value. */
+    * hash-partition layout is meaningless under any other value.
+    * Versioned root like every persisted index here: tables land in
+    * `path/v<N>/` and activate by `_current` pointer flip
+    * ([[graft.util.FsIO.publishVersion]]), so rebuilds are invisible
+    * to concurrent probes. */
   def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
       path: String, buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets must be positive (got $buckets)")
+    val spark = df.sparkSession
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
     val postings = df
       .select(col(idCol).as("doc"),
         explode(split(coalesce(col(textCol).cast("string"), lit("")), " ")).as("tok"))
@@ -896,9 +902,9 @@ object TextAnalysis {
     // pruning even for the planning step
     def writeTable(frame: DataFrame, sub: String, partitioned: Boolean): Unit = {
       val w = frame.write.mode("overwrite")
-      (if (partitioned) w.partitionBy("pt") else w).parquet(s"$path/$sub")
+      (if (partitioned) w.partitionBy("pt") else w).parquet(s"$ver/$sub")
       graft.util.FsIO.writeStringAtomic(df.sparkSession,
-        new org.apache.hadoop.fs.Path(path, s"_schema_$sub.ddl"),
+        new org.apache.hadoop.fs.Path(ver, s"_schema_$sub.ddl"),
         frame.schema.toDDL)
     }
     writeTable(postings.withColumn("dl", sum("tf").over(wDoc))
@@ -912,8 +918,9 @@ object TextAnalysis {
       .crossJoin(postings.agg(coalesce(sum("tf"), lit(0L)).as("mass"))),
       "stats", partitioned = false)
     graft.util.FsIO.writeStringAtomic(df.sparkSession,
-      new org.apache.hadoop.fs.Path(path, "_bm25_params.json"),
+      new org.apache.hadoop.fs.Path(ver, "_bm25_params.json"),
       s"""{"buckets":$buckets,"idCol":"$idCol"}""")
+    graft.util.FsIO.publishVersion(spark, path, ver)
   }
 
   /** Document-level incremental append for a persisted BM25 index: the
@@ -929,13 +936,8 @@ object TextAnalysis {
     * double-counts it, the standard contract of every append here. */
   def appendToBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
       df: DataFrame, idCol: String, textCol: String): Unit = {
-    val json = graft.util.FsIO.readString(spark,
-        new org.apache.hadoop.fs.Path(path, "_bm25_params.json"))
-      .getOrElse(throw new java.io.IOException(
-        s"BM25 index at $path has no readable _bm25_params.json sidecar"))
-    val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toInt).getOrElse(throw new java.io.IOException(
-        s"BM25 index sidecar at $path lacks buckets: $json"))
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val buckets = bm25Buckets(spark, dataDir)
     val postings = df
       .select(col(idCol).as("doc"),
         explode(split(coalesce(col(textCol).cast("string"), lit("")), " ")).as("tok"))
@@ -944,13 +946,25 @@ object TextAnalysis {
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc")
     postings.withColumn("dl", sum("tf").over(wDoc))
       .withColumn("pt", pmod(hash(col("tok")), lit(buckets)))
-      .write.mode("append").partitionBy("pt").parquet(s"$path/postings")
+      .write.mode("append").partitionBy("pt").parquet(s"$dataDir/postings")
     postings.groupBy("tok").agg(count(lit(1)).as("df"))
       .withColumn("pt", pmod(hash(col("tok")), lit(buckets)))
-      .write.mode("append").partitionBy("pt").parquet(s"$path/dfreq")
+      .write.mode("append").partitionBy("pt").parquet(s"$dataDir/dfreq")
     df.select(col(idCol)).distinct().agg(count(lit(1)).cast("double").as("n"))
       .crossJoin(postings.agg(coalesce(sum("tf"), lit(0L)).as("mass")))
-      .write.mode("append").parquet(s"$path/stats")
+      .write.mode("append").parquet(s"$dataDir/stats")
+  }
+
+  /** The pinned bucket count of a resolved BM25 version directory. */
+  private def bm25Buckets(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): Int = {
+    val json = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(dataDir, "_bm25_params.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"BM25 index at $dataDir has no readable _bm25_params.json sidecar"))
+    """"buckets":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(throw new java.io.IOException(
+        s"BM25 index sidecar at $dataDir lacks buckets: $json"))
   }
 
   /** Compact a persisted BM25 index in place: every
@@ -966,51 +980,50 @@ object TextAnalysis {
     * compaction is IDENTICAL to search before it (q204 pins the
     * search-after-appends-then-compact result against q146's in-memory
     * oracle; the spec additionally pins file counts to 1/bucket).
-    * The rewrite lands in a `.__compact` sibling and swaps in via two
-    * renames ([[graft.util.FsIO.swapDir]]) — readers see the old index
-    * or the new one, never a partial. Run it offline like any other
-    * index-maintenance job; it is not concurrent-writer safe. */
+    * The rewrite lands in the NEXT version directory and activates by
+    * pointer flip ([[graft.util.FsIO.publishVersion]]) — concurrent
+    * probes, including ones planned mid-compaction, keep reading the
+    * version they resolved. Run it offline like any other
+    * index-maintenance job; it is not concurrent-WRITER safe. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    val json = graft.util.FsIO.readString(spark,
-        new org.apache.hadoop.fs.Path(path, "_bm25_params.json"))
-      .getOrElse(throw new java.io.IOException(
-        s"BM25 index at $path has no readable _bm25_params.json sidecar"))
-    val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toInt).getOrElse(throw new java.io.IOException(
-        s"BM25 index sidecar at $path lacks buckets: $json"))
-    def readTable(sub: String) = {
-      val ddl = graft.util.FsIO.readString(spark,
-          new org.apache.hadoop.fs.Path(path, s"_schema_$sub.ddl"))
-        .getOrElse(throw new java.io.IOException(
-          s"BM25 index at $path has no readable _schema_$sub.ddl sidecar"))
-      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-        .parquet(s"$path/$sub")
-    }
-    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
-    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val buckets = bm25Buckets(spark, dataDir)
+    def readTable(sub: String) = bm25Table(spark, dataDir, sub)
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
     // one task per pt bucket -> one file per partition directory; the
     // in-file (tok, doc) sort clusters each token's postings contiguously
     readTable("postings")
       .repartition(buckets, col("pt")).sortWithinPartitions("tok", "doc")
-      .write.partitionBy("pt").parquet(s"$tmp/postings")
+      .write.partitionBy("pt").parquet(s"$ver/postings")
     readTable("dfreq")
       .groupBy("tok").agg(sum("df").as("df"))
       .withColumn("pt", pmod(hash(col("tok")), lit(buckets)))
       .repartition(buckets, col("pt")).sortWithinPartitions("tok")
-      .write.partitionBy("pt").parquet(s"$tmp/dfreq")
+      .write.partitionBy("pt").parquet(s"$ver/dfreq")
     readTable("stats")
       .agg(sum("n").as("n"), sum("mass").as("mass"))
-      .coalesce(1).write.parquet(s"$tmp/stats")
+      .coalesce(1).write.parquet(s"$ver/stats")
     // sidecars carry over verbatim: schemas and params are unchanged
     for (name <- Seq("_bm25_params.json", "_schema_postings.ddl",
         "_schema_dfreq.ddl", "_schema_stats.ddl"))
       graft.util.FsIO.readString(spark,
-          new org.apache.hadoop.fs.Path(path, name))
+          new org.apache.hadoop.fs.Path(dataDir, name))
         .foreach(s => graft.util.FsIO.writeStringAtomic(spark,
-          new org.apache.hadoop.fs.Path(tmp, name), s))
-    graft.util.FsIO.swapDir(spark, tmp, new org.apache.hadoop.fs.Path(path))
+          new org.apache.hadoop.fs.Path(ver, name), s))
+    graft.util.FsIO.publishVersion(spark, path, ver)
+  }
+
+  /** One sub-table of a resolved BM25 version directory, read with its
+    * recorded explicit schema (no footer inference). */
+  private def bm25Table(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, sub: String): DataFrame = {
+    val ddl = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(dataDir, s"_schema_$sub.ddl"))
+      .getOrElse(throw new java.io.IOException(
+        s"BM25 index at $dataDir has no readable _schema_$sub.ddl sidecar"))
+    spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .parquet(s"$dataDir/$sub")
   }
 
   /** BM25 retrieval against a PERSISTED index: the query batch's token
@@ -1027,13 +1040,17 @@ object TextAnalysis {
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, "k must be positive")
+    // resolve the version ONCE at plan time: params, schemas and every
+    // table scan come from the same snapshot, and a compaction
+    // publishing mid-probe cannot pull files out from under this plan
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
     val json = graft.util.FsIO.readString(spark,
-        new org.apache.hadoop.fs.Path(path, "_bm25_params.json"))
+        new org.apache.hadoop.fs.Path(dataDir, "_bm25_params.json"))
       .getOrElse(throw new java.io.IOException(
-        s"BM25 index at $path has no readable _bm25_params.json sidecar"))
+        s"BM25 index at $dataDir has no readable _bm25_params.json sidecar"))
     val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toInt).getOrElse(throw new java.io.IOException(
-        s"BM25 index sidecar at $path lacks buckets: $json"))
+        s"BM25 index sidecar at $dataDir lacks buckets: $json"))
     val idColName = """"idCol":"([^"]+)"""".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse("doc_id")
     val qterms = queries
@@ -1043,14 +1060,7 @@ object TextAnalysis {
       .where(col("__tok") =!= "")
     val probed = qterms.select(pmod(hash(col("__tok")), lit(buckets)).as("pt"))
       .distinct().collect().map(_.getInt(0)).sorted
-    def readTable(sub: String) = {
-      val ddl = graft.util.FsIO.readString(spark,
-          new org.apache.hadoop.fs.Path(path, s"_schema_$sub.ddl"))
-        .getOrElse(throw new java.io.IOException(
-          s"BM25 index at $path has no readable _schema_$sub.ddl sidecar"))
-      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-        .parquet(s"$path/$sub")
-    }
+    def readTable(sub: String) = bm25Table(spark, dataDir, sub)
     def pruned(sub: String) = {
       val t = readTable(sub)
       if (probed.isEmpty) t.where(lit(false)) else

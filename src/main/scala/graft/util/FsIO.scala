@@ -38,7 +38,18 @@ object FsIO {
     * orphaned `.__pre_swap` to clean up), never a half-deleted index.
     * A failed second rename rolls the original back. Renames are
     * metadata-only on HDFS/local filesystems; object stores emulate by
-    * copy — run compaction jobs there against a staging prefix. */
+    * copy — run compaction jobs there against a staging prefix.
+    *
+    * TWO documented availability gaps, both absent from the versioned
+    * [[publishVersion]] scheme the index families now use:
+    *  - between the two renames `dst` does not exist, so a reader that
+    *    plans or lists during the window fails spuriously;
+    *  - a crash inside that window leaves NO `dst` (the original parked
+    *    at `.__pre_swap`, the new version at the caller's tmp) — recover
+    *    by renaming `.__pre_swap` back to `dst` manually.
+    * Kept for callers that need literal in-place replacement of an
+    * unversioned directory and can tolerate (or externally exclude)
+    * concurrent readers. */
   def swapDir(spark: SparkSession, tmp: Path, dst: Path): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dst.getFileSystem(conf)
@@ -54,6 +65,71 @@ object FsIO {
         s"swapDir: could not move $qTmp into place ($qDst restored)")
     }
     fs.delete(aside, true)
+  }
+
+  // ---- versioned index directories: reader-invisible rebuilds ----------
+  //
+  // An index root holds version subdirectories `v1, v2, ...` plus a
+  // `_current` pointer sidecar naming the active one. Readers resolve
+  // the pointer ONCE at plan time ([[indexDataDir]]) and then only ever
+  // touch that version's files; a rebuild/compaction writes the next
+  // version in full ([[nextVersionDir]]) — invisible until published —
+  // and [[publishVersion]] flips the pointer atomically (the
+  // [[writeStringAtomic]] rename law), then garbage-collects every
+  // version EXCEPT the new one and the one it superseded. Keeping the
+  // superseded version is what closes swapDir's reader window: a probe
+  // planned against vN keeps executing correctly through a concurrent
+  // publish of vN+1 and is only at risk once a SECOND publish GCs vN —
+  // two full maintenance cycles, not a rename-to-rename gap.
+  // Crash-safety: an unpublished version dir is invisible (the pointer
+  // still names the old one) and swept by the next successful publish.
+
+  private def versionGen(name: String): Option[Long] =
+    if (name.length > 1 && name.head == 'v' && name.tail.forall(_.isDigit))
+      Some(name.tail.toLong)
+    else None
+
+  /** The directory holding the index's CURRENT tables and sidecars:
+    * `root/<_current>` under the versioned layout, `root` itself for a
+    * legacy flat index (no `_current` sidecar) — so readers of either
+    * layout go through this one resolve. */
+  def indexDataDir(spark: SparkSession, root: String): String =
+    readString(spark, new Path(root, "_current")) match {
+      case Some(v) if versionGen(v.trim).isDefined =>
+        new Path(root, v.trim).toString
+      case _ => root
+    }
+
+  /** A fresh, not-yet-published version directory under `root`
+    * (max existing generation + 1 — orphaned unpublished dirs count,
+    * so a crashed rebuild can never collide with the next one). */
+  def nextVersionDir(spark: SparkSession, root: String): Path = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next =
+      if (!fs.exists(rootP)) 1L
+      else fs.listStatus(rootP).toSeq
+        .flatMap(s => versionGen(s.getPath.getName)).maxOption.getOrElse(0L) + 1L
+    new Path(rootP, s"v$next")
+  }
+
+  /** Atomically activate `versionDir` (a fully-written child of `root`)
+    * and GC: every version directory except the newly published one and
+    * the one it superseded is deleted — in-flight readers of the
+    * superseded version keep working; anything older (or orphaned by a
+    * crashed rebuild) goes. */
+  def publishVersion(spark: SparkSession, root: String, versionDir: Path): Unit = {
+    val rootP = new Path(root)
+    val name = versionDir.getName
+    require(versionGen(name).isDefined,
+      s"publishVersion: $versionDir is not a v<N> directory")
+    val prev = readString(spark, new Path(rootP, "_current")).map(_.trim)
+    writeStringAtomic(spark, new Path(rootP, "_current"), name)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = Set(name) ++ prev
+    fs.listStatus(rootP).toSeq.map(_.getPath)
+      .filter(p => versionGen(p.getName).isDefined && !keep(p.getName))
+      .foreach(p => fs.delete(p, true))
   }
 
   def readString(spark: SparkSession, p: Path): Option[String] =

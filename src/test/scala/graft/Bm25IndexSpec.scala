@@ -61,8 +61,9 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unprobed.nonEmpty)
     val expect = TextAnalysis.bm25SearchIndex(spark, dir, q1,
       "qid", "qtext", k = 10).collect().map(_.toSeq).toSeq
+    val dataDir = graft.util.FsIO.indexDataDir(spark, dir)
     for (sub <- Seq("postings", "dfreq"); bad <- unprobed) {
-      val d = new java.io.File(s"$dir/$sub/pt=$bad")
+      val d = new java.io.File(s"$dataDir/$sub/pt=$bad")
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .foreach(f => java.nio.file.Files.write(f.toPath,

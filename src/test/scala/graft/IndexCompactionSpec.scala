@@ -23,6 +23,10 @@ class IndexCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def scratch(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
 
+  /** the ACTIVE version directory of a versioned index root */
+  private def dataDir(path: String): String =
+    graft.util.FsIO.indexDataDir(spark, path)
+
   /** data-file counts per partition directory under `dir` (recursing one
     * level), ignoring _SUCCESS and hidden checksum files */
   private def filesPerPartDir(dir: String): Map[String, Int] = {
@@ -62,25 +66,26 @@ class IndexCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
         spark, path, queries, "qid", "qtext", k = 5)
       .collect().map(_.toSeq).toSeq.sortBy(_.toString)
     val before = search()
-    val postShards = filesPerPartDir(s"$path/postings")
+    val postShards = filesPerPartDir(s"${dataDir(path)}/postings")
     assert(postShards.values.exists(_ > 1), s"appends should shard: $postShards")
     graft.operators.TextAnalysis.compactBm25Index(spark, path)
     assert(search() == before, "compaction changed a BM25 search result")
-    val postAfter = filesPerPartDir(s"$path/postings")
+    val postAfter = filesPerPartDir(s"${dataDir(path)}/postings")
     assert(postAfter.nonEmpty && postAfter.values.forall(_ == 1),
       s"postings not fully compacted: $postAfter")
-    val dfreqAfter = filesPerPartDir(s"$path/dfreq")
+    val dfreqAfter = filesPerPartDir(s"${dataDir(path)}/dfreq")
     assert(dfreqAfter.nonEmpty && dfreqAfter.values.forall(_ == 1),
       s"dfreq not fully compacted: $dfreqAfter")
     // deltas folded: at most one dfreq row per token
-    val dup = spark.read.parquet(s"$path/dfreq")
+    val dup = spark.read.parquet(s"${dataDir(path)}/dfreq")
       .groupBy("tok").count().where(col("count") > 1).count()
     assert(dup == 0L, "dfreq deltas not folded")
-    assert(spark.read.parquet(s"$path/stats").count() == 1L, "stats not folded")
-    // no residue from the swap
-    val root = new java.io.File(path).getParentFile
-    assert(!root.listFiles().exists(_.getName.contains("__compact")))
-    assert(!root.listFiles().exists(_.getName.contains("__pre_swap")))
+    assert(spark.read.parquet(s"${dataDir(path)}/stats").count() == 1L, "stats not folded")
+    // versioned residue bounded: only the published version and the one
+    // it superseded remain (in-flight readers of the old one survive)
+    val vdirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.matches("v\\d+")).sorted
+    assert(vdirs.length <= 2, s"stale versions not GCed: ${vdirs.toSeq}")
   }
 
   test("LSH: compact merges band shards, probe unchanged") {
@@ -96,10 +101,10 @@ class IndexCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
         spark, path, batch, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val before = probe()
-    assert(filesPerPartDir(s"$path/buckets").values.exists(_ > 1))
+    assert(filesPerPartDir(s"${dataDir(path)}/buckets").values.exists(_ > 1))
     graft.operators.Dedup.compactLshIndex(spark, path)
     assert(probe() == before, "compaction changed an LSH probe result")
-    val after = filesPerPartDir(s"$path/buckets")
+    val after = filesPerPartDir(s"${dataDir(path)}/buckets")
     assert(after.nonEmpty && after.values.forall(_ == 1), s"bands not merged: $after")
   }
 
@@ -123,10 +128,10 @@ class IndexCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe() == want, "append-grown probe must equal one-shot election")
     graft.operators.Dedup.compactExactIndex(spark, path)
     assert(probe() == want, "compaction changed a probe result")
-    val after = filesPerPartDir(s"$path/hashes")
+    val after = filesPerPartDir(s"${dataDir(path)}/hashes")
     assert(after.nonEmpty && after.values.forall(_ == 1), s"not merged: $after")
     // deltas folded: one row per hash
-    val dup = spark.read.parquet(s"$path/hashes")
+    val dup = spark.read.parquet(s"${dataDir(path)}/hashes")
       .groupBy("h").count().where(col("count") > 1).count()
     assert(dup == 0L, "hash deltas not min-folded")
     // novel-content batch probes to zero hits through the bucket pruning
@@ -157,11 +162,11 @@ class IndexCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.toSeq).toSeq.sortBy(_.toString)
     }
     val (fullB, partB) = (search(4), search(2))
-    assert(filesPerPartDir(path).values.exists(_ > 1))
+    assert(filesPerPartDir(dataDir(path)).values.exists(_ > 1))
     graft.operators.Ann.compactIvfIndex(spark, path)
     assert(search(4) == fullB && search(2) == partB,
       "compaction changed an IVF search result")
-    val after = filesPerPartDir(path)
+    val after = filesPerPartDir(dataDir(path))
     assert(after.nonEmpty && after.values.forall(_ == 1), s"lists not merged: $after")
   }
 
@@ -182,9 +187,9 @@ class IndexCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val before = search()
     graft.operators.Ann.compactIvfIndex(spark, path)
     assert(search() == before, "compaction changed an IVF-PQ search result")
-    val after = filesPerPartDir(path)
+    val after = filesPerPartDir(dataDir(path))
     assert(after.nonEmpty && after.values.forall(_ == 1), s"lists not merged: $after")
     // the codebook sidecar must have been carried over
-    assert(new java.io.File(path, "_pq_codebook.json").exists())
+    assert(new java.io.File(dataDir(path), "_pq_codebook.json").exists())
   }
 }

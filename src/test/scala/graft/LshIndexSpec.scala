@@ -65,8 +65,10 @@ class LshIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       batch, "doc_id", "text", corpus = docs, threshold = 0.35, minBandHits = 4))
     assert(probe(grown) == probe(oneShot))
     // append used the sidecar's parameters: bucket row counts match
-    val na = spark.read.parquet(s"$grown/buckets").count()
-    val nb = spark.read.parquet(s"$oneShot/buckets").count()
+    def buckets(root: String): String =
+      graft.util.FsIO.indexDataDir(spark, root) + "/buckets"
+    val na = spark.read.parquet(buckets(grown)).count()
+    val nb = spark.read.parquet(buckets(oneShot)).count()
     assert(na == nb)
   }
 
@@ -76,8 +78,10 @@ class LshIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dedup.appendToLshIndex(spark, dir, docs.limit(5), "doc_id", "text")
     }
     Dedup.writeLshIndex(docs.limit(20), "doc_id", "text", dir)
+    // corrupt the ACTIVE version's sidecar (the root holds only the pointer)
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_lsh_params.json"),
+      java.nio.file.Paths.get(
+        graft.util.FsIO.indexDataDir(spark, dir), "_lsh_params.json"),
       """{"numHashes":64}""".getBytes)
     intercept[java.io.IOException] {
       Dedup.lshIndexCandidates(spark, dir, docs.limit(5), "doc_id", "text")

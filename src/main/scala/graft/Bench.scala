@@ -125,7 +125,9 @@ object Bench {
     "q217_exact_index",         // exact-hash index: write/append/compact/probe
     "q218_corpus_diff",         // full-outer content-hash changelog
     "q219_vocab_growth",        // first-appearance census + K conditional counts
-    "q220_gram_novelty")        // gram census + per-doc df=1 share
+    "q220_gram_novelty",        // gram census + per-doc df=1 share
+    // round-15 additions
+    "q221_hamming_index")       // persisted hamming index: write/append/compact/probe
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -158,7 +160,7 @@ object Bench {
     "q210_pii_redact", "q211_kcore", "q212_zipf_profile",
     "q214_contaminated_spans", "q215_url_extract", "q216_time_quantiles",
     "q217_exact_index", "q218_corpus_diff", "q219_vocab_growth",
-    "q220_gram_novelty")
+    "q220_gram_novelty", "q221_hamming_index")
 
   private[graft] val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

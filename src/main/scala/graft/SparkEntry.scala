@@ -2794,6 +2794,40 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // persisted hamming (simhash-family) index lifecycle: 64-bit
+    // fingerprints built ARITHMETICALLY (three 13-bit and one 11-bit
+    // group hashes in the four bands + a 3-bit jitter spread one bit
+    // per low band), so DuckDB replays them exactly and popcounts with
+    // bit_count(xor(...)). Docs in the same 16-doc group differ only in
+    // jitter (hamming <= 3 -> ALL same-group pairs qualify, linear
+    // output); cross-group pairs need a >= 13-bit hash collision AND
+    // popcount <= 3 (none in this fixture, but both engines compute the
+    // actual popcount so even accidents agree). Chain: write(history
+    // m4 0,1) -> append(m4 2) -> compact -> probe(batch m4 3) must
+    // equal the brute-force all-pairs filter restricted to
+    // batch-touching pairs
+    "q221_hamming_index" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val fp = spark.sql("""
+        SELECT doc_id, m4,
+               (((g * 2654435761) % 8192) * 8 + jit % 2)
+               + (((g * 2246822519) % 8192) * 8 + (jit DIV 2) % 2) * 65536
+               + (((g * 3266489917) % 8192) * 8 + (jit DIV 4) % 2) * 4294967296
+               + (((g * 668265263) % 2048) * 8) * 281474976710656 AS sh
+        FROM (SELECT doc_id, (doc_id DIV 25) DIV 16 AS g,
+                     (doc_id DIV 25) % 8 AS jit, (doc_id DIV 25) % 4 AS m4
+              FROM documents WHERE doc_id % 25 = 0)""")
+      val idxDir = scratchDir("graft_hamidx_")
+      graft.operators.Dedup.writeHammingIndex(
+        fp.where(col("m4") <= 1), "doc_id", "sh", idxDir, bands = 4)
+      graft.operators.Dedup.appendToHammingIndex(spark, idxDir,
+        fp.where(col("m4") === 2), "doc_id", "sh")
+      graft.operators.Dedup.compactHammingIndex(spark, idxDir)
+      graft.operators.Dedup.hammingIndexPairs(spark, idxDir,
+          fp.where(col("m4") === 3), "doc_id", "sh", maxHamming = 3)
+        .orderBy("ida", "idb")
+    }),
     // snapshot changelog by content hash: removed (%7), changed (%3 of
     // the survivors), added (+1000000 ids); unchanged ids emit nothing
     "q218_corpus_diff" -> ((spark, dir) => {
@@ -7102,6 +7136,25 @@ object SparkEntry {
                      FROM d WHERE doc_id % 5 <= 3 GROUP BY text) m
         ON b.text = m.text
       WHERE b.doc_id % 5 = 4 ORDER BY b.doc_id""",
+    // brute-force popcount over the same arithmetic fingerprints,
+    // restricted to batch-touching pairs — valid stand-in for the
+    // banded index probe because maxHamming < bands makes it total
+    "q221_hamming_index" -> """
+      WITH f AS (SELECT doc_id, (doc_id // 25) // 16 AS g,
+                        (doc_id // 25) % 8 AS jit, (doc_id // 25) % 4 AS m4
+                 FROM documents WHERE doc_id % 25 = 0),
+           s AS (SELECT doc_id, m4,
+                   CAST((((g * 2654435761) % 8192) * 8 + jit % 2)
+                     + (((g * 2246822519) % 8192) * 8 + (jit // 2) % 2) * 65536
+                     + (((g * 3266489917) % 8192) * 8 + (jit // 4) % 2) * 4294967296
+                     + (((g * 668265263) % 2048) * 8) * 281474976710656
+                     AS BIGINT) AS sh
+                 FROM f)
+      SELECT a.doc_id AS ida, b.doc_id AS idb,
+             CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3 AND (a.m4 = 3 OR b.m4 = 3)
+      ORDER BY ida, idb""",
     // full-outer hash compare, statuses spelled identically
     "q218_corpus_diff" -> """
       WITH o AS (SELECT doc_id, 'v' || CAST(doc_id % 50 AS VARCHAR) AS text
@@ -7581,7 +7634,10 @@ object SparkEntry {
     // top-50 head over the 10x token mass (counts + logs all shift)
     "q212_zipf_profile",
     // excluded top-k over the 10x embedding corpus
-    "q213_hard_negatives")
+    "q213_hard_negatives",
+    // write/append/compact/probe over 10x fingerprint groups (all
+    // group hashes shift with the 10x group ids)
+    "q221_hamming_index")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

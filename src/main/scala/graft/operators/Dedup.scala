@@ -669,6 +669,148 @@ object Dedup {
       .groupBy("band", "bucket").agg(count(lit(1)).as("size"))
       .where(col("size") > maxBucket)
 
+  // ---- persisted HAMMING / SIMHASH index: incremental hamming dedup ----
+
+  /** Persist the banded 64-bit-fingerprint table under `path` —
+    * `buckets/` rows `(doc, sh, band, bucket)` parquet PARTITIONED BY
+    * band plus a `_hamming_params.json` sidecar pinning `bands` — the
+    * hamming-granularity complement of [[writeLshIndex]]: daily ingest
+    * probes each new batch's fingerprints against ALL history in cost
+    * proportional to the batch, never re-hashing the historical corpus.
+    * Rows carry the full 64-bit hash, so probes refine exactly with the
+    * codegen'd popcount and never join back to the corpus. Versioned
+    * root like every persisted index here
+    * ([[graft.util.FsIO.publishVersion]]). Works for ANY 64-bit
+    * fingerprint column (image aHash, audio fingerprints);
+    * [[writeSimhashIndex]] is the text-simhash instance. */
+  def writeHammingIndex(df: DataFrame, idCol: String, hashCol: String,
+      path: String, bands: Int = 4): Unit = {
+    require(64 % bands == 0, "bands must divide 64")
+    val spark = df.sparkSession
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
+    hashBands64(df, idCol, col(hashCol).cast("long"), bands)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$ver/buckets")
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(ver, "_hamming_params.json"),
+      s"""{"bands":$bands}""")
+    graft.util.FsIO.publishVersion(spark, path, ver)
+  }
+
+  /** [[writeHammingIndex]] over the corpus's text simhashes — the
+    * persisted form of [[simhashNearDups]]'s state. */
+  def writeSimhashIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, bands: Int = 4): Unit =
+    writeHammingIndex(
+      df.select(col(idCol), simhash64(col(textCol)).as("__sh64")),
+      idCol, "__sh64", path, bands)
+
+  private def hammingParams(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): Int = {
+    val json = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(dataDir, "_hamming_params.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"hamming index at $dataDir has no readable _hamming_params.json sidecar"))
+    """"bands":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+      .getOrElse(throw new java.io.IOException(
+        s"hamming index sidecar at $dataDir lacks bands: $json"))
+  }
+
+  /** Append a batch's banded fingerprints under the index's OWN
+    * recorded band law — new part-files in the matching `band=`
+    * directories, nothing rewritten. Probe BEFORE appending the same
+    * batch, or every batch doc pairs with itself. */
+  def appendToHammingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, idCol: String, hashCol: String): Unit = {
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val bands = hammingParams(spark, dataDir)
+    hashBands64(df, idCol, col(hashCol).cast("long"), bands)
+      .write.mode("append").partitionBy("band").parquet(s"$dataDir/buckets")
+  }
+
+  /** [[appendToHammingIndex]] for text simhashes. */
+  def appendToSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, idCol: String, textCol: String): Unit =
+    appendToHammingIndex(spark, path,
+      df.select(col(idCol), simhash64(col(textCol)).as("__sh64")),
+      idCol, "__sh64")
+
+  /** Hamming-radius pairs TOUCHING a new batch, against the persisted
+    * index: the batch's banded fingerprints broadcast-filter the
+    * historical bucket table to touched buckets (map-only scan, no
+    * index shuffle), the batch rows union in so batch-batch pairs
+    * count, combined bucket occupancy is capped at `maxBucket`
+    * ([[simhashNearDups]]'s degeneracy cap), and candidates refine by
+    * the exact codegen'd popcount carried on the rows themselves —
+    * no corpus join anywhere. Equals [[hammingPairs64]] over
+    * (history ∪ batch) restricted to pairs with at least one batch
+    * doc; completeness needs `maxHamming < bands` (pigeonhole), the
+    * same `require` as the in-memory form. Output `(ida, idb,
+    * hamming)`, id-ordered. */
+  def hammingIndexPairs(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDf: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
+    // resolve the version ONCE: params and bucket scan from one snapshot
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val bands = hammingParams(spark, dataDir)
+    require(maxHamming < bands,
+      s"banding is complete only for maxHamming < bands (got $maxHamming >= $bands); rebuild with more bands")
+    val nb = hashBands64(newDf, idCol, col(hashCol).cast("long"), bands)
+      .select("doc", "sh", "band", "bucket").localCheckpoint()
+    val hot = spark.read.parquet(s"$dataDir/buckets")
+      .select("doc", "sh", "band", "bucket")
+      .join(broadcast(nb.select("band", "bucket").distinct()),
+        Seq("band", "bucket"))
+      .unionByName(nb)
+    val fit = hot.join(
+      hot.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
+        .where(col("__bsz") <= maxBucket),
+      Seq("band", "bucket"))
+    broadcast(nb.select(col("band"), col("bucket"),
+        col("doc").as("__nd"), col("sh").as("__nsh")))
+      .join(fit, Seq("band", "bucket"))
+      .where(col("__nd") =!= col("doc"))
+      .select(
+        when(col("__nd") < col("doc"),
+            struct(col("__nd").as("d"), col("__nsh").as("s")))
+          .otherwise(struct(col("doc").as("d"), col("sh").as("s"))).as("pa"),
+        when(col("__nd") < col("doc"),
+            struct(col("doc").as("d"), col("sh").as("s")))
+          .otherwise(struct(col("__nd").as("d"), col("__nsh").as("s"))).as("pb"))
+      .select(col("pa.d").as("ida"), col("pb.d").as("idb"),
+        hamming64(col("pa.s"), col("pb.s")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** [[hammingIndexPairs]] with the batch fingerprinted by text
+    * simhash — incremental [[simhashNearDups]] against history. */
+  def simhashIndexPairs(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDf: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    hammingIndexPairs(spark, path,
+      newDf.select(col(idCol), simhash64(col(textCol)).as("__sh64")),
+      idCol, "__sh64", maxHamming, maxBucket)
+
+  /** Compact a persisted hamming index: bucket rows are facts (no
+    * deltas), so compaction rewrites each band as ONE file sorted by
+    * (bucket, doc) and re-pins the params sidecar — probe-identical
+    * before and after, same next-version + pointer-flip discipline as
+    * the other compactors. */
+  def compactHammingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val bands = hammingParams(spark, dataDir)
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
+    spark.read.parquet(s"$dataDir/buckets")
+      .repartition(bands, col("band")).sortWithinPartitions("bucket", "doc")
+      .write.partitionBy("band").parquet(s"$ver/buckets")
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(ver, "_hamming_params.json"),
+      s"""{"bands":$bands}""")
+    graft.util.FsIO.publishVersion(spark, path, ver)
+  }
+
   // ---- connected components over a near-dup pair graph -------------------
 
   /** Connected components of the undirected graph given as a pair list —

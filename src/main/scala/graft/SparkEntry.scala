@@ -3205,6 +3205,115 @@ object SparkEntry {
       graft.streaming.StreamOps.mgReadSummary(state, capacity = 64).get
         .orderBy("item")
     }),
+    // STREAMING BM25 index maintenance: documents arrive as two
+    // mtime-ordered micro-batches (even doc_ids first) against an
+    // EMPTY bootstrap index; each batch lands as an exactly-once
+    // OVERWRITE delta, batch 0 is deliberately run twice (a simulated
+    // foreachBatch retry, which must be a no-op), and the final
+    // indexed search must equal the one-shot q174 index — BM25_ORACLE
+    // verbatim
+    "q222_stream_bm25_index" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = spark.table("documents")
+      val work = scratchDir("graft-q222-")
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      def stage(cond: org.apache.spark.sql.Column, name: String,
+          mtime: Long): Unit = {
+        val tmp = s"$work/stage_$name"
+        docs.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = inDir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      stage(col("doc_id") % 2 === 0, "a.parquet", 1000000L)
+      stage(col("doc_id") % 2 === 1, "b.parquet", 2000000L)
+      val idxDir = s"$work/idx"
+      graft.operators.TextAnalysis.writeBm25Index(
+        docs.where(lit(false)), "doc_id", "text", idxDir)
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.streaming.StreamOps.bm25AppendBatch(idxDir, batch,
+            "doc_id", "text", id)
+          if (id == 0) // a retry replays the same batch id + rows
+            graft.streaming.StreamOps.bm25AppendBatch(idxDir, batch,
+              "doc_id", "text", id)
+        }
+        .start()
+      q.awaitTermination()
+      val queries = spark.createDataFrame(Seq(
+        (0L, "hash join"), (1L, "slow scan filter"),
+        (2L, "vector window spark"), (3L, "nosuchtoken"))).toDF("qid", "qtext")
+      graft.operators.TextAnalysis.bm25SearchIndex(spark, idxDir,
+          queries, "qid", "qtext", k = 10)
+        .orderBy("qid", "rnk")
+    }),
+    // STREAMING exact-index maintenance: q217's fixture arrives as two
+    // micro-batches appended straight into the persisted index — no
+    // delta bookkeeping needed because the min(doc)-fold probe is
+    // IDEMPOTENT under the duplicate rows a foreachBatch retry appends
+    // (batch 0 is deliberately appended twice) — and the final probe
+    // must equal q217's one-shot election oracle
+    "q223_stream_exact_index" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.streaming.Trigger
+      val d = spark.table("documents").selectExpr("doc_id",
+        "concat('body ', CAST(doc_id % 97 AS STRING)) AS text")
+      val work = scratchDir("graft-q223-")
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      def stage(cond: org.apache.spark.sql.Column, name: String,
+          mtime: Long): Unit = {
+        val tmp = s"$work/stage_$name"
+        d.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = inDir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      stage(col("doc_id") % 5 <= 1, "a.parquet", 1000000L)
+      stage(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3,
+        "b.parquet", 2000000L)
+      val idxDir = s"$work/idx"
+      graft.operators.Dedup.writeExactIndex(
+        d.where(lit(false)), "doc_id", "text", idxDir)
+      val q = spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.streaming.StreamOps.exactIndexAppendBatch(idxDir, batch,
+            "doc_id", "text")
+          if (id == 0) // retry: duplicate rows that min-folding ignores
+            graft.streaming.StreamOps.exactIndexAppendBatch(idxDir, batch,
+              "doc_id", "text")
+        }
+        .start()
+      q.awaitTermination()
+      graft.operators.Dedup.exactIndexHits(spark, idxDir,
+          d.where(col("doc_id") % 5 === 4), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // synchronous label propagation (4 rounds) over the co-order part
     // graph: deterministic most-frequent-neighbor-label update, ties to
     // the smallest label — per round ONE adjacency join + two hash aggs
@@ -4330,6 +4439,19 @@ object SparkEntry {
                        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                   ELSE '' END AS text
       FROM documents"""
+
+  /** One-shot min-per-text election over all history — the ground truth
+    * q217 (batch write/append/compact) and q223 (streaming appends with
+    * a simulated retry) must both probe to. */
+  private val EXACT_INDEX_ORACLE = """
+      WITH d AS (SELECT doc_id,
+                        'body ' || CAST(doc_id % 97 AS VARCHAR) AS text
+                 FROM documents)
+      SELECT b.doc_id, m.keep_id
+      FROM d b JOIN (SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id
+                     FROM d WHERE doc_id % 5 <= 3 GROUP BY text) m
+        ON b.text = m.text
+      WHERE b.doc_id % 5 = 4 ORDER BY b.doc_id"""
 
   private val BM25_ORACLE = """
       WITH q(qid, qtext) AS (VALUES (0, 'hash join'), (1, 'slow scan filter'),
@@ -7127,15 +7249,12 @@ object SparkEntry {
       GROUP BY tok.doc_id ORDER BY doc_id""",
     // one-shot min-per-text election over all history = the probe's
     // ground truth (write/append/compact must not change it)
-    "q217_exact_index" -> """
-      WITH d AS (SELECT doc_id,
-                        'body ' || CAST(doc_id % 97 AS VARCHAR) AS text
-                 FROM documents)
-      SELECT b.doc_id, m.keep_id
-      FROM d b JOIN (SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id
-                     FROM d WHERE doc_id % 5 <= 3 GROUP BY text) m
-        ON b.text = m.text
-      WHERE b.doc_id % 5 = 4 ORDER BY b.doc_id""",
+    "q217_exact_index" -> EXACT_INDEX_ORACLE,
+    // min-idempotency makes streaming appends + a retry probe the same
+    "q223_stream_exact_index" -> EXACT_INDEX_ORACLE,
+    // exactly-once overwrite deltas: indexed search after two
+    // micro-batches (one retried) = the one-shot index's search
+    "q222_stream_bm25_index" -> BM25_ORACLE,
     // brute-force popcount over the same arithmetic fingerprints,
     // restricted to batch-touching pairs — valid stand-in for the
     // banded index probe because maxHamming < bands makes it total
@@ -7637,7 +7756,12 @@ object SparkEntry {
     "q213_hard_negatives",
     // write/append/compact/probe over 10x fingerprint groups (all
     // group hashes shift with the 10x group ids)
-    "q221_hamming_index")
+    "q221_hamming_index",
+    // two streamed micro-batches + a retry over 10x postings must
+    // still equal the one-shot index's search
+    "q222_stream_bm25_index",
+    // streaming min-idempotent appends + retry over 10x history
+    "q223_stream_exact_index")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

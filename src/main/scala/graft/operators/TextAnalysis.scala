@@ -1015,15 +1015,71 @@ object TextAnalysis {
   }
 
   /** One sub-table of a resolved BM25 version directory, read with its
-    * recorded explicit schema (no footer inference). */
+    * recorded explicit schema (no footer inference). The scan covers
+    * the base directory PLUS any `<sub>_b<batchId>` streaming delta
+    * directories ([[appendBm25BatchExactlyOnce]]); each root is
+    * pt-partitioned on its own, so bucket pruning holds across all of
+    * them. */
   private def bm25Table(spark: org.apache.spark.sql.SparkSession,
       dataDir: String, sub: String): DataFrame = {
     val ddl = graft.util.FsIO.readString(spark,
         new org.apache.hadoop.fs.Path(dataDir, s"_schema_$sub.ddl"))
       .getOrElse(throw new java.io.IOException(
         s"BM25 index at $dataDir has no readable _schema_$sub.ddl sidecar"))
-    spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-      .parquet(s"$dataDir/$sub")
+    val base = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val roots = fs.listStatus(base).toSeq.map(_.getPath)
+      .filter(p => p.getName == sub || p.getName.startsWith(sub + "_b"))
+      .map(_.toString).sorted
+    require(roots.nonEmpty, s"BM25 index at $dataDir has no $sub data")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    // one scan per root, unioned: sibling delta roots confuse a single
+    // multi-path read's partition discovery (CONFLICTING_DIRECTORY_
+    // STRUCTURES), while per-root scans keep pt-pruning on each; the
+    // root count is bounded by the compaction cadence
+    roots.map(r => spark.read.schema(schema).parquet(r))
+      .reduce(_.unionByName(_))
+  }
+
+  /** EXACTLY-ONCE streaming append for a persisted BM25 index — the
+    * `foreachBatch` form of [[appendToBm25Index]]. The plain append is
+    * not retry-safe: a foreachBatch RETRY of the same micro-batch would
+    * append its postings/dfreq/stats rows a second time and every
+    * re-sent df and tf would double-count. Here the batch's three
+    * contributions land in batch-suffixed DELTA directories
+    * (`postings_b<id>`, `dfreq_b<id>`, `stats_b<id>`) written with mode
+    * OVERWRITE — a retry rewrites the same directories with the same
+    * rows (the foreachBatch replay contract) instead of adding new
+    * ones, so the committed state is identical however many times the
+    * batch runs. Read paths ([[bm25SearchIndex]]) union base + deltas
+    * and already sum dfreq/stats rows, so search after N micro-batches
+    * equals a one-shot index of their union (the q222 gate); a
+    * [[compactBm25Index]] folds the deltas into the next version's
+    * base. Same document-level contract as the batch append: each
+    * doc's text arrives whole in one micro-batch. */
+  def appendBm25BatchExactlyOnce(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, idCol: String, textCol: String,
+      batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId must be >= 0 (got $batchId)")
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val buckets = bm25Buckets(spark, dataDir)
+    val postings = df
+      .select(col(idCol).as("doc"),
+        explode(split(coalesce(col(textCol).cast("string"), lit("")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc")
+    postings.withColumn("dl", sum("tf").over(wDoc))
+      .withColumn("pt", pmod(hash(col("tok")), lit(buckets)))
+      .write.mode("overwrite").partitionBy("pt")
+      .parquet(s"$dataDir/postings_b$batchId")
+    postings.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("pt", pmod(hash(col("tok")), lit(buckets)))
+      .write.mode("overwrite").partitionBy("pt")
+      .parquet(s"$dataDir/dfreq_b$batchId")
+    df.select(col(idCol)).distinct().agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(postings.agg(coalesce(sum("tf"), lit(0L)).as("mass")))
+      .write.mode("overwrite").parquet(s"$dataDir/stats_b$batchId")
   }
 
   /** BM25 retrieval against a PERSISTED index: the query batch's token

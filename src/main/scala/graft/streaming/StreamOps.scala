@@ -280,6 +280,40 @@ object StreamOps {
       .select(col("e.item").as("item"), col("e.est").as("est"))
       .withColumn("batch_id", lit(batchId)))
 
+  /** Maintain a persisted BM25 index from a stream: the `foreachBatch`
+    * body for continuous retrieval-index ingest. Exactly-once by
+    * construction — each micro-batch's contribution lands in
+    * batch-suffixed delta directories written with OVERWRITE, so a
+    * foreachBatch retry rewrites rather than double-appends
+    * ([[graft.operators.TextAnalysis.appendBm25BatchExactlyOnce]]).
+    * Searches ([[graft.operators.TextAnalysis.bm25SearchIndex]]) over
+    * the maintained index equal a one-shot build over every batch seen
+    * (the q222 gate); run
+    * [[graft.operators.TextAnalysis.compactBm25Index]] on a maintenance
+    * cadence to fold the per-batch deltas. Bootstrap the index once
+    * (e.g. `writeBm25Index` over the historical corpus, or over an
+    * empty frame for a from-scratch stream) before starting the
+    * query. */
+  def bm25AppendBatch(state: String, batch: DataFrame, idCol: String,
+      textCol: String, batchId: Long): Unit =
+    graft.operators.TextAnalysis.appendBm25BatchExactlyOnce(
+      batch.sparkSession, state, batch, idCol, textCol, batchId)
+
+  /** Maintain a persisted exact-hash dedup index from a stream: the
+    * `foreachBatch` body for continuous ingest dedup. Exactly-once
+    * WITHOUT any batch bookkeeping, because the exact index is
+    * min-idempotent: probes fold `min(doc)` per content hash, and a
+    * retry's re-appended rows are byte-identical duplicates that min
+    * ignores ([[graft.operators.Dedup.appendToExactIndex]]) — the
+    * q223 gate chains two batches plus a simulated retry and must
+    * still equal the one-shot election. Probe the batch
+    * ([[graft.operators.Dedup.exactIndexHits]]) BEFORE appending it,
+    * the standard order of a dedup-then-admit pipeline. */
+  def exactIndexAppendBatch(state: String, batch: DataFrame, idCol: String,
+      textCol: String): Unit =
+    graft.operators.Dedup.appendToExactIndex(
+      batch.sparkSession, state, batch, idCol, textCol)
+
   /** The maintained heavy-hitters summary: the mergeable-summaries fold
     * of every appended batch summary. None while no batch has arrived.
     * The global window runs on the folded item table — bounded by

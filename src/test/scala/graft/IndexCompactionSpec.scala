@@ -88,6 +88,44 @@ class IndexCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vdirs.length <= 2, s"stale versions not GCed: ${vdirs.toSeq}")
   }
 
+  test("BM25 streaming deltas: retry is a no-op, compaction folds the delta dirs") {
+    val sp = spark
+    import sp.implicits._
+    val docs = docsDf
+    val path = scratch("bm25sd")
+    graft.operators.TextAnalysis.writeBm25Index(
+      docs.where(col("doc_id") % 3 === 0), "doc_id", "text", path, buckets = 8)
+    graft.operators.TextAnalysis.appendBm25BatchExactlyOnce(spark, path,
+      docs.where(col("doc_id") % 3 === 1), "doc_id", "text", batchId = 0L)
+    // a foreachBatch retry rewrites the same delta dirs — must not double-count
+    graft.operators.TextAnalysis.appendBm25BatchExactlyOnce(spark, path,
+      docs.where(col("doc_id") % 3 === 1), "doc_id", "text", batchId = 0L)
+    graft.operators.TextAnalysis.appendBm25BatchExactlyOnce(spark, path,
+      docs.where(col("doc_id") % 3 === 2), "doc_id", "text", batchId = 1L)
+    val queries = Seq((0L, "hash join"), (1L, "vector index spark"))
+      .toDF("qid", "qtext")
+    def search() = graft.operators.TextAnalysis.bm25SearchIndex(
+        spark, path, queries, "qid", "qtext", k = 5)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    // one-shot ground truth over the union
+    val oneShot = {
+      val p = scratch("bm25sd_one")
+      graft.operators.TextAnalysis.writeBm25Index(docs, "doc_id", "text", p,
+        buckets = 8)
+      graft.operators.TextAnalysis.bm25SearchIndex(spark, p, queries,
+        "qid", "qtext", k = 5).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    }
+    assert(search() == oneShot,
+      "streamed deltas (with a retry) must search like the one-shot index")
+    graft.operators.TextAnalysis.compactBm25Index(spark, path)
+    assert(search() == oneShot, "compaction changed the search")
+    // the delta directories are folded into the new version's base
+    val dd = new java.io.File(dataDir(path))
+    val strays = dd.listFiles().map(_.getName)
+      .filter(n => n.contains("_b0") || n.contains("_b1"))
+    assert(strays.isEmpty, s"delta dirs survived compaction: ${strays.toSeq}")
+  }
+
   test("LSH: compact merges band shards, probe unchanged") {
     val docs = docsDf
     val path = scratch("lshcpt")

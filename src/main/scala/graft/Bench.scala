@@ -424,7 +424,87 @@ object Bench {
           None)
       }
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"total_r5_subset":$subtotal,"total_r5_subset_median":$subtotalMed,"total_r5_subset_b2b":$subtotalB2b,"queries_r5_b2b":$b2bJson,"load_retry_passes":$retryPasses,"load_retry_threshold":$loadMax,"queries":$qs,"queries_median":$qsMed,"iters":$iters,$sf1Json,"sf":"$sfDir","iterations":$iterations,"timing":"min and median of $iterations passes interleaved round-robin across queries, after 1 warm-up pass; load-retry passes appended for queries with no clean-start sample; _b2b = min of $iterations consecutive passes (rounds<=11 methodology, comparable to the r11 anchor)"}"""
+    // ---- similarity-join scale lane ------------------------------------
+    // q181/q183/q185/q202's CONTRACT fixtures have quadratic output BY
+    // CONSTRUCTION (block-occupancy / duplicate-group size grows with n),
+    // so they are excluded from the sf1 tier and, before this lane, no
+    // timed scale signal existed for the similarity joins at all. Here
+    // each operator runs on a GENERATED realistic-shape corpus whose
+    // output is linear — disjoint per-group vocabularies, fixed block
+    // occupancy of 20 — at a base size and at 10x, recording both times
+    // and the ratio. Same discipline as the sf1 tier: min of >= 2
+    // interleaved passes, loadavg recorded per iteration.
+    val simJson: String =
+      if (sys.env.get("SPARK_GRAFT_SIMLANE").contains("skip") ||
+          !sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").contains("sf0.1"))
+        "\"simlane_skipped\":\"runs only in the sf0.1 gate (unset SPARK_GRAFT_SIMLANE to enable)\""
+      else try {
+        graft.functions.GeoFunctions.register(spark)
+        val nBase = sys.env.getOrElse("SPARK_GRAFT_SIMLANE_N", "20000").toLong
+        // 20-doc groups over disjoint vocabularies: every in-group pair
+        // shares >= 16 of 20 tokens (J >= 0.8), cross-group pairs share
+        // nothing — output is exactly (n/20)*C(20,2), linear in n
+        def jacCorpus(n: Long): DataFrame = spark.range(n).selectExpr("id",
+          """concat_ws(' ', transform(
+               filter(sequence(0, 19),
+                 k -> k <> int(id % 20) AND k <> int((id % 20 + 7) % 20)),
+               k -> concat('g', CAST(id DIV 20 AS STRING),
+                           '_w', CAST(k AS STRING)))) AS text""")
+        // name-shaped strings with a per-group block key (first token),
+        // so first-token blocking keeps occupancy at exactly 20
+        def nameCorpus(n: Long): DataFrame = spark.range(n).selectExpr("id",
+          """concat('blk', CAST(id DIV 20 AS STRING), ' ',
+               CASE int(id % 5) WHEN 0 THEN 'azure' WHEN 1 THEN 'azura'
+                 WHEN 2 THEN 'azuro' WHEN 3 THEN 'allure' ELSE 'asure' END,
+               ' steel ', CAST(id % 4 AS STRING)) AS name""")
+        def suite(df: DataFrame): DataFrame = {
+          df.createOrReplaceTempView("simlane_names")
+          spark.sql("""
+            WITH t AS (SELECT id, name, split(name, ' ')[0] AS blk
+                       FROM simlane_names)
+            SELECT a.id AS ida, b.id AS idb,
+                   damerau_levenshtein(a.name, b.name) AS dl,
+                   jaccard_ch(a.name, b.name) AS jac,
+                   hamming_str(substring(a.name, 1, 6), substring(b.name, 1, 6)) AS ham
+            FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id""")
+        }
+        val lanes: Seq[(String, Long => DataFrame)] = Seq(
+          ("jaccard_join", n => graft.operators.Dedup.jaccardJoinExact(
+            jacCorpus(n), "id", "text", threshold = 0.8)),
+          ("fuzzy_dedup", n => graft.operators.Dedup.fuzzyDups(
+            nameCorpus(n), "id", "name", maxDist = 3)),
+          ("jw_linkage", n => graft.operators.Dedup.jwDups(
+            nameCorpus(n), "id", "name", minSim = 0.88)),
+          ("sim_suite", n => suite(nameCorpus(n))))
+        val passes = 2
+        // build + warm once per (lane, scale), then interleave the passes
+        val builtLanes = for ((name, mk) <- lanes; (tag, n) <-
+            Seq(("base", nBase), ("x10", nBase * 10))) yield {
+          val df = mk(n)
+          df.write.format("noop").mode("overwrite").save()
+          (s"$name.$tag", df)
+        }
+        val lt = collection.mutable.Map[String, Vector[(Double, Double)]]()
+          .withDefaultValue(Vector.empty)
+        for (_ <- 1 to passes; (key, df) <- builtLanes) {
+          val ld = loadavg1()
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          lt(key) = lt(key) :+ (((System.nanoTime() - t0) / 1e9, ld))
+        }
+        val entries = lanes.map { case (name, _) =>
+          val b = lt(s"$name.base").map(_._1).min
+          val x = lt(s"$name.x10").map(_._1).min
+          val lds = (lt(s"$name.base") ++ lt(s"$name.x10")).map(_._2)
+          f""""$name":{"base_sec":$b,"x10_sec":$x,"ratio":${x / b}%.2f,"loadavg_max":${lds.max}}"""
+        }
+        s""""simjoin_lane":{"n_base":$nBase,"passes":$passes,${entries.mkString(",")},"note":"linear-output fixtures (disjoint 20-doc group vocabularies / fixed block occupancy); contract fixtures are quadratic by construction so these are the scale signals for the similarity joins"}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] simjoin lane failed: ${e.getMessage}")
+        "\"simlane_skipped\":\"" + String.valueOf(e.getMessage).replace('"', '\'') + "\""
+      }
+
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",$simJson,"total_median":$totalMed,"total_r5_subset":$subtotal,"total_r5_subset_median":$subtotalMed,"total_r5_subset_b2b":$subtotalB2b,"queries_r5_b2b":$b2bJson,"load_retry_passes":$retryPasses,"load_retry_threshold":$loadMax,"queries":$qs,"queries_median":$qsMed,"iters":$iters,$sf1Json,"sf":"$sfDir","iterations":$iterations,"timing":"min and median of $iterations passes interleaved round-robin across queries, after 1 warm-up pass; load-retry passes appended for queries with no clean-start sample; _b2b = min of $iterations consecutive passes (rounds<=11 methodology, comparable to the r11 anchor)"}"""
     println(json)
     // The gate records only a 2 kB stdout TAIL, and the full JSON leads
     // with its totals — so a tail capture of the line above holds the

@@ -127,7 +127,9 @@ object Bench {
     "q219_vocab_growth",        // first-appearance census + K conditional counts
     "q220_gram_novelty",        // gram census + per-doc df=1 share
     // round-15 additions
-    "q221_hamming_index")       // persisted hamming index: write/append/compact/probe
+    "q221_hamming_index",       // persisted hamming index: write/append/compact/probe
+    "q224_unigram_learn",       // word-count shuffle + driver EM/Viterbi loop
+    "q225_unigram_tokens")      // broadcast word->pieces join + per-doc agg
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -160,7 +162,8 @@ object Bench {
     "q210_pii_redact", "q211_kcore", "q212_zipf_profile",
     "q214_contaminated_spans", "q215_url_extract", "q216_time_quantiles",
     "q217_exact_index", "q218_corpus_diff", "q219_vocab_growth",
-    "q220_gram_novelty", "q221_hamming_index")
+    "q220_gram_novelty", "q221_hamming_index", "q224_unigram_learn",
+    "q225_unigram_tokens")
 
   private[graft] val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

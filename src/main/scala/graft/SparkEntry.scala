@@ -155,6 +155,107 @@ object SparkEntry {
 
   private val PCA_ITERS = 12
 
+  private val UNIGRAM_ITERS = 2
+  private val UNIGRAM_PIECE_LEN = 4
+  private val UNIGRAM_MAX_PIECES = 60
+  // documents' synthetic vocabulary tops out at 8-codepoint words at
+  // every shipped sf; the oracle's DP/walk unroll covers this length and
+  // the Verify run would fail loudly (missing b-CTE rows) if testdata
+  // ever grew longer words
+  private val UNIGRAM_MAX_WORD = 8
+
+  /** q224/q225's oracle skeleton, generated: the [[graft.operators.
+    * Unigram]] scaladoc's EM law executed by DuckDB — candidate census
+    * (substring positions × lengths), top-`maxPieces` + singles scoring,
+    * then per iteration an UNROLLED Viterbi DP over word positions
+    * (best[j] via row_number ties (sc DESC, bp ASC) — the engine's
+    * strict-improvement ascending scan picks the same cell), an
+    * unrolled backpointer walk emitting used pieces, count aggregation,
+    * and the rescore-or-prune step (unused single codepoints keep their
+    * previous score). Scores are 6dp ln values summed raw in the same
+    * prefix order as the driver loop, so comparisons are bit-exact.
+    * Every chained CTE is MATERIALIZED (the pcaOracle lesson). Returns
+    * the WITH-prefix up to and including p<iters>; callers append their
+    * own final SELECT. */
+  private def unigramOracleCtes(iters: Int, wLen: Int, pieceLen: Int,
+      maxPieces: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH wc AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq, CAST(length(w) AS INT) AS len
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w),
+      cand AS MATERIALIZED (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+          SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece, freq
+          FROM wc
+          CROSS JOIN (SELECT unnest(range(1, ${wLen + 1})) AS i) pos
+          CROSS JOIN (SELECT unnest(range(1, ${pieceLen + 1})) AS l) pl
+          WHERE i + l - 1 <= len)
+        GROUP BY piece),
+      p0base AS MATERIALIZED (
+        SELECT piece, max(cnt) AS cnt FROM (
+          SELECT piece, cnt FROM
+            (SELECT piece, cnt FROM cand ORDER BY cnt DESC, piece ASC LIMIT $maxPieces)
+          UNION ALL
+          SELECT piece, cnt FROM cand WHERE length(piece) = 1)
+        GROUP BY piece),
+      p0 AS MATERIALIZED (
+        SELECT piece, cnt,
+               round(ln(CAST(cnt AS DOUBLE) /
+                 (SELECT CAST(SUM(cnt) AS DOUBLE) FROM p0base)), 6) AS s
+        FROM p0base),"""
+    for (it <- 1 to iters) {
+      val prev = s"p${it - 1}"
+      sb ++= s"""
+      b${it}_0 AS MATERIALIZED (
+        SELECT w, freq, len, CAST(0.0 AS DOUBLE) AS sc, 0 AS bp, 0 AS j FROM wc),"""
+      for (j <- 1 to wLen) {
+        val froms = (math.max(0, j - pieceLen) until j).map { i =>
+          s"""SELECT b.w, b.freq, b.len, b.sc + p.s AS sc, $i AS bp
+              FROM b${it}_$i b JOIN $prev p ON p.piece = substr(b.w, ${i + 1}, ${j - i})
+              WHERE b.len >= $j"""
+        }.mkString("\n          UNION ALL ")
+        sb ++= s"""
+      b${it}_$j AS MATERIALIZED (
+        SELECT w, freq, len, sc, bp, $j AS j FROM (
+          SELECT w, freq, len, sc, bp,
+                 row_number() OVER (PARTITION BY w ORDER BY sc DESC, bp ASC) AS rn
+          FROM ($froms)) WHERE rn = 1),"""
+      }
+      sb ++= s"""
+      bb$it AS MATERIALIZED (
+        ${(0 to wLen).map(j => s"SELECT w, j, bp FROM b${it}_$j").mkString("\n        UNION ALL ")}),
+      wk${it}_0 AS MATERIALIZED (
+        ${(1 to wLen).map(j => s"SELECT w, freq, len AS j, bp FROM b${it}_$j WHERE len = $j").mkString("\n        UNION ALL ")}),"""
+      for (s <- 1 until wLen) {
+        sb ++= s"""
+      wk${it}_$s AS MATERIALIZED (
+        SELECT k.w, k.freq, k.bp AS j, b.bp AS bp
+        FROM wk${it}_${s - 1} k JOIN bb$it b ON b.w = k.w AND b.j = k.bp
+        WHERE k.bp > 0),"""
+      }
+      sb ++= s"""
+      u$it AS (
+        SELECT w, freq, substr(w, bp + 1, j - bp) AS piece
+        FROM (${(0 until wLen).map(s => s"SELECT * FROM wk${it}_$s").mkString(" UNION ALL ")})
+        WHERE j > 0),
+      c$it AS MATERIALIZED (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM u$it GROUP BY piece),
+      p$it AS MATERIALIZED (
+        SELECT piece, cnt,
+               round(ln(CAST(cnt AS DOUBLE) /
+                 (SELECT CAST(SUM(cnt) AS DOUBLE) FROM c$it)), 6) AS s
+        FROM c$it
+        UNION ALL
+        SELECT p.piece, CAST(0 AS BIGINT) AS cnt, p.s
+        FROM $prev p LEFT JOIN c$it c ON c.piece = p.piece
+        WHERE c.piece IS NULL AND length(p.piece) = 1)"""
+      if (it < iters) sb ++= ","
+    }
+    sb.toString
+  }
+
   /** q147's oracle, generated: mean/covariance from the same 6dp-term
     * moments law, then `iters` power-iteration steps per component as
     * unrolled CTEs (matrix-vector = join + 6dp-term sum, norm = rounded
@@ -2590,6 +2691,31 @@ object SparkEntry {
       val docs = spark.table("documents")
       val merges = graft.operators.Bpe.learn(docs, "text", numMerges = BPE_MERGES)
       graft.operators.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+    // unigram-LM (SentencePiece-style) trainer: 2 EM iterations over the
+    // substring candidate census (top-60 + single codepoints) — the
+    // oracle replays the WHOLE law in DuckDB: census, 6dp ln scores,
+    // unrolled Viterbi DP with the (score desc, smallest split) tie
+    // rule, backpointer walk, count re-estimation, prune-or-keep
+    "q224_unigram_learn" -> ((spark, dir) => {
+      prep(spark, dir)
+      val m = graft.operators.Unigram.learn(spark.table("documents"), "text",
+        iters = UNIGRAM_ITERS, maxPieceLen = UNIGRAM_PIECE_LEN,
+        maxPieces = UNIGRAM_MAX_PIECES)
+      graft.operators.Unigram.piecesDF(spark, m).orderBy("piece")
+    }),
+    // per-document word/piece counts under the trained unigram model —
+    // the q151 contract shape for the unigram path (the oracle runs ONE
+    // extra E-step walk under the final scores = the tokenizer's exact
+    // segmentation, then joins it through each doc's words)
+    "q225_unigram_tokens" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = spark.table("documents")
+      val m = graft.operators.Unigram.learn(docs, "text",
+        iters = UNIGRAM_ITERS, maxPieceLen = UNIGRAM_PIECE_LEN,
+        maxPieces = UNIGRAM_MAX_PIECES)
+      graft.operators.Unigram.tokenCounts(docs, "doc_id", "text", m)
         .orderBy("doc_id")
     }),
     // id-level tokenization under the q150 merges and the derived
@@ -6558,6 +6684,28 @@ object SparkEntry {
       ORDER BY rank"""),
     // re-learn the merges, then tokenize every doc's words through the
     // same replace chain and count symbols
+    // the generated EM replay, final piece table
+    "q224_unigram_learn" -> (unigramOracleCtes(UNIGRAM_ITERS,
+      UNIGRAM_MAX_WORD, UNIGRAM_PIECE_LEN, UNIGRAM_MAX_PIECES) + s"""
+      SELECT piece, cnt, s AS logprob FROM p$UNIGRAM_ITERS ORDER BY piece"""),
+    // one extra E-step walk under the final scores = the tokenizer's
+    // segmentation; per-word piece counts joined through each doc's words
+    "q225_unigram_tokens" -> (unigramOracleCtes(UNIGRAM_ITERS + 1,
+      UNIGRAM_MAX_WORD, UNIGRAM_PIECE_LEN, UNIGRAM_MAX_PIECES) + s""",
+      wpc AS (SELECT w, CAST(count(*) AS BIGINT) AS np
+              FROM u${UNIGRAM_ITERS + 1} GROUP BY w),
+      dw AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+             FROM documents),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(SUM(np) AS BIGINT) AS n_pieces
+              FROM dw JOIN wpc ON dw.w = wpc.w
+              WHERE dw.w <> '' GROUP BY doc_id)
+      SELECT d.doc_id AS doc_id,
+             CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+             CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN agg a ON a.doc_id = d.doc_id
+      ORDER BY d.doc_id"""),
     "q151_bpe_tokens" -> (s"""
       WITH ${bpeLearnCtes(BPE_MERGES)},
            dw AS (SELECT doc_id, i AS wpos, a[i] AS w
@@ -7761,7 +7909,12 @@ object SparkEntry {
     // still equal the one-shot index's search
     "q222_stream_bm25_index",
     // streaming min-idempotent appends + retry over 10x history
-    "q223_stream_exact_index")
+    "q223_stream_exact_index",
+    // the EM's census counts are corpus-wide like BPE's: a scale-
+    // dependent counting bug rewrites every score at 10x
+    "q224_unigram_learn",
+    // the final model and every doc's piece counts at 10x
+    "q225_unigram_tokens")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

@@ -751,6 +751,117 @@ object SparkEntry {
         .select(col("n_match_full"), col("n_match_partial"),
           (col("recall") >= 0.5).as("drift_ok"))
     }),
+    // STREAMING IVF maintenance: q167's append batch arrives as two
+    // micro-batches through foreachBatch, batch 0 deliberately replayed
+    // (a retry) — appended rows are facts keyed by nid and the search
+    // dedups (qid, nid), so the q167 gate (full/partial probe ≡
+    // frozen-centroid rebuild + drift bound) must still hold verbatim
+    "q226_stream_ivf_index" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      val emb = spark.table("embeddings")
+      val base = emb.where(col("vec_id") % 5 =!= 4)
+      val extra = emb.where(col("vec_id") % 5 === 4)
+      val queries = emb.where(col("vec_id") < 5)
+      val built = graft.operators.Ann.buildIvf(base, nlist = 8)
+      val work = scratchDir("graft-q226-")
+      val idxDir = s"$work/idx"
+      graft.operators.Ann.writeIvfIndex(built, idxDir)
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      def stage(cond: org.apache.spark.sql.Column, name: String,
+          mtime: Long): Unit = {
+        val tmp = s"$work/stage_$name"
+        extra.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = inDir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      stage(col("vec_id") % 2 === 0, "a.parquet", 1000000L)
+      stage(col("vec_id") % 2 === 1, "b.parquet", 2000000L)
+      val q = spark.readStream.schema(extra.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.streaming.StreamOps.ivfAppendBatch(idxDir, batch)
+          if (id == 0) // retry: duplicate fact rows the search dedups
+            graft.streaming.StreamOps.ivfAppendBatch(idxDir, batch)
+        }
+        .start()
+      q.awaitTermination()
+      val loaded = graft.operators.Ann.readIvfIndex(spark, idxDir)
+      val ref = graft.operators.Ann.assignToCentroids(built.centroids, emb)
+      def search(ix: graft.operators.Ann.IvfIndex, nProbe: Int) =
+        graft.operators.Ann.ivfSearch(ix, queries, k = 3, nProbe = nProbe)
+      val full = search(loaded, 8).join(search(ref, 8), Seq("qid", "nid", "rnk"))
+        .agg(count(lit(1)).as("n_match_full"))
+      val part = search(loaded, 2).join(search(ref, 2), Seq("qid", "nid", "rnk"))
+        .agg(count(lit(1)).as("n_match_partial"))
+      val drift = graft.operators.Ann.ivfRecallFrame(loaded, queries, k = 3, nProbe = 2)
+      full.crossJoin(part).crossJoin(drift)
+        .select(col("n_match_full"), col("n_match_partial"),
+          (col("recall") >= 0.5).as("drift_ok"))
+    }),
+    // STREAMING LSH maintenance: q170's history tail arrives as two
+    // micro-batches through foreachBatch, batch 0 deliberately replayed
+    // — bucket rows are facts and the probe's countDistinct(band) +
+    // pair-distinct ignore duplicates, so the q170 probe oracle holds
+    "q227_stream_lsh_index" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = spark.table("documents")
+      val histHead = docs.where(col("doc_id") % 5 <= 2)
+      val histTail = docs.where(col("doc_id") % 5 === 3)
+      val batch = docs.where(col("doc_id") % 5 === 4)
+      val work = scratchDir("graft-q227-")
+      val idxDir = s"$work/idx"
+      graft.operators.Dedup.writeLshIndex(histHead, "doc_id", "text", idxDir,
+        numHashes = 64, bands = 64)
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      def stage(cond: org.apache.spark.sql.Column, name: String,
+          mtime: Long): Unit = {
+        val tmp = s"$work/stage_$name"
+        histTail.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = inDir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      stage(col("doc_id") % 2 === 0, "a.parquet", 1000000L)
+      stage(col("doc_id") % 2 === 1, "b.parquet", 2000000L)
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.StreamOps.lshAppendBatch(idxDir, b, "doc_id", "text")
+          if (id == 0) // retry: duplicate bucket rows the probe ignores
+            graft.streaming.StreamOps.lshAppendBatch(idxDir, b, "doc_id", "text")
+        }
+        .start()
+      q.awaitTermination()
+      graft.operators.Dedup.nearDupsAgainstLshIndex(spark, idxDir, batch,
+          "doc_id", "text", corpus = docs, threshold = 0.35, minBandHits = 4)
+        .select("ida", "idb", "inter", "uni")
+        .orderBy("ida", "idb")
+    }),
     // q167 with a COMPACT step after the append: folding every inverted
     // list to one file must leave full- and partial-probe search
     // identical to the frozen-centroid rebuild (rows are facts — the
@@ -4788,6 +4899,11 @@ object SparkEntry {
     "q206_lsh_compact" -> SHINGLE_JACCARD_ORACLE.replace(
       "ORDER BY ida, idb",
       "AND (ida % 5 = 4 OR idb % 5 = 4)\n      ORDER BY ida, idb"),
+    // streamed bucket appends + a retry are invisible to the probe
+    // (fact rows, countDistinct bands) — q170's ground truth verbatim
+    "q227_stream_lsh_index" -> SHINGLE_JACCARD_ORACLE.replace(
+      "ORDER BY ida, idb",
+      "AND (ida % 5 = 4 OR idb % 5 = 4)\n      ORDER BY ida, idb"),
     "q44_ngram_jaccard" -> SHINGLE_JACCARD_ORACLE,
     "q100_sql_minhash_recipe" -> SHINGLE_JACCARD_ORACLE,
     "q47_dedup_keep_rows" -> """
@@ -5282,6 +5398,11 @@ object SparkEntry {
     // append ≡ one-shot frozen-centroid rebuild: all 5x3 (qid, nid,
     // rnk) pairs match at both probe depths; recall guard holds
     "q167_ivf_append" -> """
+      SELECT CAST(15 AS BIGINT) AS n_match_full,
+             CAST(15 AS BIGINT) AS n_match_partial, true AS drift_ok""",
+    // streamed appends + a retry are invisible to the search (fact rows,
+    // (qid, nid)-deduped) — the q167 gate verbatim
+    "q226_stream_ivf_index" -> """
       SELECT CAST(15 AS BIGINT) AS n_match_full,
              CAST(15 AS BIGINT) AS n_match_partial, true AS drift_ok""",
     // append + compact ≡ frozen-centroid rebuild at full AND partial probe
@@ -7914,7 +8035,11 @@ object SparkEntry {
     // dependent counting bug rewrites every score at 10x
     "q224_unigram_learn",
     // the final model and every doc's piece counts at 10x
-    "q225_unigram_tokens")
+    "q225_unigram_tokens",
+    // streamed bucket appends + retry at 10x history (q226's constant
+    // 15/15/true gate oracle has no table refs, so the twin REWRITE
+    // cannot retarget it — its scale path is q170's twin + this one)
+    "q227_stream_lsh_index")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

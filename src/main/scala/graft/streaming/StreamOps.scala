@@ -314,6 +314,29 @@ object StreamOps {
     graft.operators.Dedup.appendToExactIndex(
       batch.sparkSession, state, batch, idCol, textCol)
 
+  /** Maintain a persisted IVF (or IVF-PQ) index from a stream: the
+    * `foreachBatch` body for continuous embedding ingest. Exactly-once
+    * with NO bookkeeping: appended rows are facts keyed by `nid`, and
+    * a retry's duplicate rows are collapsed by the search's
+    * (qid, nid) dedup — search results are identical however many
+    * times a batch replays (the q226 gate). Centroids stay FROZEN
+    * across appends (the [[graft.operators.Ann.appendToIvfIndex]]
+    * contract): watch partial-probe recall via `ivfRecallFrame` and
+    * rebuild below the pipeline's floor. */
+  def ivfAppendBatch(state: String, batch: DataFrame): Unit =
+    graft.operators.Ann.appendToIvfIndex(batch.sparkSession, state, batch)
+
+  /** Maintain a persisted MinHash-LSH index from a stream. Exactly-once
+    * with NO bookkeeping: bucket rows are facts, and probes aggregate
+    * band hits with countDistinct + pair-distinct, so a retry's
+    * duplicate rows change nothing (the q227 gate). Probe each batch
+    * ([[graft.operators.Dedup.nearDupsAgainstLshIndex]]) BEFORE
+    * appending it. */
+  def lshAppendBatch(state: String, batch: DataFrame, idCol: String,
+      textCol: String): Unit =
+    graft.operators.Dedup.appendToLshIndex(
+      batch.sparkSession, state, batch, idCol, textCol)
+
   /** The maintained heavy-hitters summary: the mergeable-summaries fold
     * of every appended batch summary. None while no batch has arrived.
     * The global window runs on the folded item table — bounded by

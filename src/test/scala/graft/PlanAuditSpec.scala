@@ -90,11 +90,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q146_bm25", "q174_bm25_index", "q175_bm25_append",
     // same 1-row corpus-scalar shape after append + compaction
     "q204_bm25_compact",
+    // and after streaming exactly-once delta appends (q222's returned
+    // frame is the same bm25SearchIndex plan over base + delta roots)
+    "q222_stream_bm25_index",
     // lazy gate frames: 1-row count aggregates CROSS JOINed into the
     // single flags row (each side broadcast by construction); q126/q129
     // also inherit the brute-force exact baseline's hinted BNLJ
     "q126_ann_ivf_quantized", "q129_ann_ivfpq", "q153_jsonl_roundtrip",
     "q167_ivf_append", "q173_ivfpq_append", "q205_ivf_compact",
+    // q167's gate shape after streamed appends + a replayed batch
+    "q226_stream_ivf_index",
     // Bpe.vocab: the merges table (numMerges rows) CROSS JOINed with
     // the broadcast 1-row base-alphabet count to offset merge ids —
     // both sides vocabulary-bounded

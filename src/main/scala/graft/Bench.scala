@@ -175,12 +175,12 @@ object Bench {
     "q144_quality_lr" -> "12 fixed GD-iteration jobs dominate the sf0.1 time (0.35s), so the x10 ratio measures job overhead, not scaling; the linear scale path is ScaleSmoke's 100k-doc train (29.7s)",
     "q159_knn_graph" -> "exactness fixture pins nProbe = nlist, so the bucket join degenerates to all-pairs by construction; the scale path is ScaleSmoke's 100k x nlist=256 partial-probe graph",
     "q162_cosine_edges" -> "same full-probing exactness fixture as q159 (all-pairs by construction)",
-    "q181_fuzzy_dedup" -> "in-block pair count is quadratic in block occupancy (8 first-token blocks in the part fixture), so x10 input is x100 candidate pairs by construction; production keys add tokens/length buckets to hold occupancy flat",
-    "q183_jw_linkage" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction",
+    "q181_fuzzy_dedup" -> "in-block pair count is quadratic in block occupancy (8 first-token blocks in the part fixture), so x10 input is x100 candidate pairs by construction; production keys add tokens/length buckets to hold occupancy flat; timed scale signal: the simjoin_lane entry for this operator",
+    "q183_jw_linkage" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction; timed scale signal: the simjoin_lane entry for this operator",
     "q197_containment" -> "the ~31-word synthetic vocabulary makes any fixed df cap empty-or-total at 10x docs; the absolute-cap semantics are pinned at sf0.01",
-    "q185_sim_suite" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction",
+    "q185_sim_suite" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction; timed scale signal: the simjoin_lane entry for this operator",
     "q189_triangle_stats" -> "wedge count grows with the square of co-order adjacency, which rises with order density at fixed part domain — not input-linear by construction",
-    "q202_jaccard_join" -> "qualifying-pair OUTPUT is quadratic in duplicate-group size, and the ~31-token synthetic vocabulary makes x10 docs mostly near-identical — the exact join's result itself squares by construction; the filters' skew guarantee is pinned by JaccardAdversarialSpec instead",
+    "q202_jaccard_join" -> "qualifying-pair OUTPUT is quadratic in duplicate-group size, and the ~31-token synthetic vocabulary makes x10 docs mostly near-identical — the exact join's result itself squares by construction; the filters' skew guarantee is pinned by JaccardAdversarialSpec instead; timed scale signal: the simjoin_lane entry for this operator",
     "q213_hard_negatives" -> "exactness fixture pins nProbe = nlist, so the probe degenerates to all-pairs by construction (q159's reason); the scale path is partial-probe ivfSearch, sf1-guarded via q167's family")
 
   // Every headline query is either in the sf1 tier or excluded WITH a

@@ -129,7 +129,9 @@ object Bench {
     // round-15 additions
     "q221_hamming_index",       // persisted hamming index: write/append/compact/probe
     "q224_unigram_learn",       // word-count shuffle + driver EM/Viterbi loop
-    "q225_unigram_tokens")      // broadcast word->pieces join + per-doc agg
+    "q225_unigram_tokens",      // broadcast word->pieces join + per-doc agg
+    "q228_dedup_registry",      // persisted edge log + large/small-star CC
+    "q229_calibration")         // bin-keyed hash agg + 1-row ECE
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -163,7 +165,7 @@ object Bench {
     "q214_contaminated_spans", "q215_url_extract", "q216_time_quantiles",
     "q217_exact_index", "q218_corpus_diff", "q219_vocab_growth",
     "q220_gram_novelty", "q221_hamming_index", "q224_unigram_learn",
-    "q225_unigram_tokens")
+    "q225_unigram_tokens", "q228_dedup_registry", "q229_calibration")
 
   private[graft] val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

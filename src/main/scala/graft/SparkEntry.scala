@@ -3065,6 +3065,45 @@ object SparkEntry {
           fp.where(col("m4") === 3), "doc_id", "sh", maxHamming = 3)
         .orderBy("ida", "idb")
     }),
+    // quality-classifier calibration: scores k/1000 with k = 37·id mod
+    // 1000 over 8 bins (bin edges at multiples of 125/1000 = exact
+    // binary fractions, so floor(score·8) can never wobble), labels
+    // from an independent mod stream — bin means/fractions/gaps and the
+    // ECE all replay under the decimal-sum snap law
+    "q229_calibration" -> ((spark, dir) => {
+      prep(spark, dir)
+      val d = spark.sql("""
+        SELECT doc_id,
+               CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS score,
+               CASE WHEN (doc_id * 53) % 1000 < (doc_id * 37) % 1000
+                    THEN 1 ELSE 0 END AS y
+        FROM documents""")
+      graft.operators.TextAnalysis.calibrationProfile(d, "score", "y",
+          bins = 8)
+        .orderBy("bin")
+    }),
+    // persisted dedup-cluster registry: chain edges (i-40, i) arrive in
+    // two appends split by (i DIV 40) parity, one append deliberately
+    // replayed (retry = duplicate facts), then the log is compacted —
+    // the clusters must equal the analytic transitive closure of the
+    // full chain set (component = doc_id % 40, the chain's minimum)
+    "q228_dedup_registry" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.{col, expr}
+      val docs = spark.table("documents").select(col("doc_id"))
+      val edges = docs.where(col("doc_id") >= 40)
+        .select((col("doc_id") - 40).as("a"), col("doc_id").as("b"))
+      val odd = edges.where(expr("(b DIV 40) % 2 = 1"))
+      val even = edges.where(expr("(b DIV 40) % 2 = 0"))
+      val reg = scratchDir("graft_registry_")
+      graft.operators.Dedup.writeRegistry(odd, "a", "b", reg)
+      graft.operators.Dedup.appendToRegistry(spark, reg, even, "a", "b")
+      graft.operators.Dedup.appendToRegistry(spark, reg, even, "a", "b")
+      graft.operators.Dedup.compactRegistry(spark, reg)
+      graft.operators.Dedup.registryClusters(spark, reg)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // snapshot changelog by content hash: removed (%7), changed (%3 of
     // the survivors), added (+1000000 ids); unchanged ids emit nothing
     "q218_corpus_diff" -> ((spark, dir) => {
@@ -7543,6 +7582,33 @@ object SparkEntry {
       FROM s a JOIN s b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sh, b.sh)) <= 3 AND (a.m4 = 3 OR b.m4 = 3)
       ORDER BY ida, idb""",
+    // the same decimal-sum snap law over the same integer-derived
+    // scores; bins from exact-binary-fraction edges
+    "q229_calibration" -> """
+      WITH s AS (SELECT doc_id,
+                   CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS score,
+                   CASE WHEN (doc_id * 53) % 1000 < (doc_id * 37) % 1000
+                        THEN 1 ELSE 0 END AS y
+                 FROM documents),
+           b AS (SELECT CAST(least(greatest(floor(score * 8), 0), 7) AS INT) AS bin,
+                        CAST(round(score, 6) AS DECIMAL(20,6)) AS s6, y
+                 FROM s),
+           p AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                        round(CAST(SUM(s6) AS DOUBLE) / count(*), 6) AS mean_score,
+                        round(CAST(SUM(y) AS DOUBLE) / count(*), 6) AS frac_pos
+                 FROM b GROUP BY bin),
+           g AS (SELECT bin, n, mean_score, frac_pos,
+                        round(abs(frac_pos - mean_score), 6) AS gap FROM p),
+           e AS (SELECT round(CAST(SUM(CAST(round(gap * n, 6) AS DECIMAL(20,6)))
+                               AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS ece
+                 FROM g)
+      SELECT g.bin, g.n, g.mean_score, g.frac_pos, g.gap, e.ece
+      FROM g, e ORDER BY g.bin""",
+    // the chains' transitive closure is analytic: every doc connects
+    // down its residue chain to the minimum member, its doc_id % 40
+    "q228_dedup_registry" -> """
+      SELECT doc_id, doc_id % 40 AS component
+      FROM documents ORDER BY doc_id""",
     // full-outer hash compare, statuses spelled identically
     "q218_corpus_diff" -> """
       WITH o AS (SELECT doc_id, 'v' || CAST(doc_id % 50 AS VARCHAR) AS text
@@ -8039,7 +8105,11 @@ object SparkEntry {
     // streamed bucket appends + retry at 10x history (q226's constant
     // 15/15/true gate oracle has no table refs, so the twin REWRITE
     // cannot retarget it — its scale path is q170's twin + this one)
-    "q227_stream_lsh_index")
+    "q227_stream_lsh_index",
+    // 10x-long residue chains through write/append/retry/compact/CC
+    "q228_dedup_registry",
+    // every bin mean/fraction and the ECE shift at 10x scores
+    "q229_calibration")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

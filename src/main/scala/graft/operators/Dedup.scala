@@ -811,6 +811,111 @@ object Dedup {
     graft.util.FsIO.publishVersion(spark, path, ver)
   }
 
+  // ---- persisted dedup-cluster REGISTRY: cross-batch pair evidence -----
+
+  /** Bootstrap a persisted near-dup PAIR REGISTRY under `path` — the
+    * cross-batch home for dedup evidence. Each daily batch probes a
+    * persisted index ([[lshIndexCandidates]], [[hammingIndexPairs]],
+    * [[exactIndexHits]]...) and appends the resulting pairs here
+    * ([[appendToRegistry]]); [[registryClusters]] derives the canonical
+    * cluster map with the large-star/small-star CC over the EDGE LOG —
+    * cost scales with the accumulated pair evidence, never the corpus.
+    * Edges are id-normalized (`a < b`) facts, so appends are
+    * exactly-once under foreachBatch retries with no bookkeeping (CC
+    * distincts), and [[compactRegistry]] just folds the log to its
+    * distinct edges. Storage: `edges/` parquet partitioned by
+    * `pt = pmod(hash(a), buckets)` (bounds compaction file counts and
+    * parallelizes the CC scan — no pruning is expected, CC is global),
+    * versioned root like every persisted index here. */
+  def writeRegistry(pairs: DataFrame, aCol: String, bCol: String,
+      path: String, buckets: Int = 16): Unit = {
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
+    val spark = pairs.sparkSession
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
+    val rows = normalizedEdges(pairs, aCol, bCol)
+      .withColumn("pt", pmod(hash(col("a")), lit(buckets)))
+    rows.write.mode("overwrite").partitionBy("pt").parquet(s"$ver/edges")
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(ver, "_schema_edges.ddl"), rows.schema.toDDL)
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(ver, "_registry_params.json"),
+      s"""{"buckets":$buckets}""")
+    graft.util.FsIO.publishVersion(spark, path, ver)
+  }
+
+  private def normalizedEdges(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame =
+    pairs.select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+
+  private def registryBuckets(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): Int = {
+    val json = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(dataDir, "_registry_params.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"registry at $dataDir has no readable _registry_params.json sidecar"))
+    """"buckets":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+      .getOrElse(throw new java.io.IOException(
+        s"registry sidecar at $dataDir lacks buckets: $json"))
+  }
+
+  private def readRegistryEdges(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): DataFrame = {
+    val ddl = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(dataDir, "_schema_edges.ddl"))
+      .getOrElse(throw new java.io.IOException(
+        s"registry at $dataDir has no readable _schema_edges.ddl sidecar"))
+    spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .parquet(s"$dataDir/edges")
+  }
+
+  /** Append a batch's pair evidence — new part-files, nothing
+    * rewritten; duplicate edges (within the batch, across batches, or
+    * from a foreachBatch retry) are harmless facts the clustering
+    * distincts away. */
+  def appendToRegistry(spark: org.apache.spark.sql.SparkSession,
+      path: String, pairs: DataFrame, aCol: String, bCol: String): Unit = {
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val buckets = registryBuckets(spark, dataDir)
+    normalizedEdges(pairs, aCol, bCol)
+      .withColumn("pt", pmod(hash(col("a")), lit(buckets)))
+      .write.mode("append").partitionBy("pt").parquet(s"$dataDir/edges")
+  }
+
+  /** The registry's current canonical-cluster map `(id, component)` —
+    * [[connectedComponents]] over every pair ever appended. Join a
+    * corpus against it and keep rows where `id` is absent or equals its
+    * component: the standing dedup verdict across all batches seen. */
+  def registryClusters(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxIter: Int = 25): DataFrame = {
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    connectedComponents(readRegistryEdges(spark, dataDir), "a", "b", maxIter)
+  }
+
+  /** Fold the edge log to its distinct edges, one sorted file per
+    * bucket — clusters identical before and after (CC distincts edges
+    * anyway); same next-version + pointer-flip discipline as the other
+    * compactors. */
+  def compactRegistry(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val buckets = registryBuckets(spark, dataDir)
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
+    readRegistryEdges(spark, dataDir)
+      .select("a", "b").distinct()
+      .withColumn("pt", pmod(hash(col("a")), lit(buckets)))
+      .repartition(buckets, col("pt")).sortWithinPartitions("a", "b")
+      .write.partitionBy("pt").parquet(s"$ver/edges")
+    for (name <- Seq("_registry_params.json", "_schema_edges.ddl"))
+      graft.util.FsIO.readString(spark,
+          new org.apache.hadoop.fs.Path(dataDir, name))
+        .foreach(s => graft.util.FsIO.writeStringAtomic(spark,
+          new org.apache.hadoop.fs.Path(ver, name), s))
+    graft.util.FsIO.publishVersion(spark, path, ver)
+  }
+
   // ---- connected components over a near-dup pair graph -------------------
 
   /** Connected components of the undirected graph given as a pair list —

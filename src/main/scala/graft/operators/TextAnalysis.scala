@@ -687,6 +687,46 @@ object TextAnalysis {
     (w, bias)
   }
 
+  /** Calibration profile of a [0,1] classifier score against binary
+    * labels — the check a pipeline runs on its quality model BEFORE
+    * trusting a score threshold to budget real documents: `bins`
+    * equal-width score bins, each with row count, 6dp mean score
+    * (confidence), 6dp positive fraction (accuracy), and their 6dp
+    * absolute gap; every row also carries the frame's expected
+    * calibration error `ece = round6(Σ_b round6(gap_b·n_b) / N)` (a
+    * broadcast 1-row scalar — the reliability-diagram summary from
+    * Naeini et al. 2015 / Guo et al. 2017).
+    *
+    * Determinism laws (cross-engine, order-free): bin =
+    * clamp(floor(score·bins), 0, bins−1); per-bin mean = 6dp-snapped
+    * scores summed as DECIMAL(20,6) (exact, association-free) then
+    * divided and re-snapped; the ece numerator terms likewise. One
+    * bin-keyed hash aggregate with map-side partials + one bins-sized
+    * aggregate — nothing corpus-sized leaves the first shuffle. */
+  def calibrationProfile(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive (got $bins)")
+    val rz6 = graft.util.Round6.rz6 _
+    val s = col(scoreCol).cast("double")
+    val binned = df.select(
+      least(greatest(floor(s * bins), lit(0)), lit(bins - 1)).cast("int").as("bin"),
+      rz6(s).cast("decimal(20,6)").as("__s6"),
+      when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val perBin = binned.groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum("__s6").as("__ssum"),
+        sum("__y").as("__npos"))
+      .select(col("bin"), col("n"),
+        rz6(col("__ssum").cast("double") / col("n")).as("mean_score"),
+        rz6(col("__npos").cast("double") / col("n")).as("frac_pos"))
+      .withColumn("gap", rz6(abs(col("frac_pos") - col("mean_score"))))
+    val ece = broadcast(perBin
+      .select(rz6(col("gap") * col("n")).cast("decimal(20,6)").as("__t"), col("n"))
+      .agg(sum("__t").as("__tsum"), sum("n").as("__N"))
+      .select(rz6(col("__tsum").cast("double") / col("__N")).as("ece")))
+    perBin.crossJoin(ece)
+  }
+
   /** Score documents with a trained (or external) hashed-TF logistic
     * model: `lr_prob = sigmoid(round(bias + Σ w·tf, 6))`. Zero-token
     * docs keep a row scored by the bias alone. Map-only + one

@@ -107,7 +107,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Sketch.overlapEstimates: grp_a < grp_b non-equi pairing of the
     // GROUP-COUNT-sized sketch table with its broadcast self — the
     // whole point is that only group rows, never corpus rows, meet here
-    "q169_sketch_overlap")
+    "q169_sketch_overlap",
+    // calibrationProfile: the bins-sized reliability table CROSS JOINed
+    // with its broadcast 1-row ECE scalar
+    "q229_calibration")
 
   test("no cartesian products; BNLJ only where pinned") {
     val offenders = scala.collection.mutable.Map[String, String]()

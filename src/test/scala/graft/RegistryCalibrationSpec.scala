@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted dedup-cluster registry (Dedup.writeRegistry family) and the
+  * classifier calibration profile (TextAnalysis.calibrationProfile). */
+class RegistryCalibrationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def scratch(): String =
+    java.nio.file.Files.createTempDirectory("reg").toString + "/idx"
+
+  test("registry: appends + retry + compact cluster like one-shot CC") {
+    val sp = spark
+    import sp.implicits._
+    // two separate star components plus a bridge arriving in a later
+    // batch: the registry must MERGE clusters across batches
+    val b1 = Seq((1L, 2L), (1L, 3L), (10L, 11L)).toDF("x", "y")
+    val b2 = Seq((11L, 12L), (3L, 10L)).toDF("x", "y") // bridge 3-10
+    val path = scratch()
+    graft.operators.Dedup.writeRegistry(b1, "x", "y", path, buckets = 4)
+    graft.operators.Dedup.appendToRegistry(spark, path, b2, "x", "y")
+    graft.operators.Dedup.appendToRegistry(spark, path, b2, "x", "y") // retry
+    def clusters() = graft.operators.Dedup.registryClusters(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L)
+    assert(clusters() == expect, "bridge batch must merge the components")
+    graft.operators.Dedup.compactRegistry(spark, path)
+    assert(clusters() == expect, "compaction changed the clusters")
+    // compaction folded the log: distinct edges only, 1 file per bucket
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val edges = spark.read.parquet(s"$dataDir/edges")
+    assert(edges.count() == edges.distinct().count())
+    val perPt = new java.io.File(s"$dataDir/edges").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("pt="))
+      .map(_.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")))
+    assert(perPt.nonEmpty && perPt.forall(_ == 1), s"not folded: ${perPt.toSeq}")
+  }
+
+  test("calibration: clamped bins, exact per-bin laws, ECE") {
+    val sp = spark
+    import sp.implicits._
+    // scores outside [0,1] clamp into the edge bins; a perfectly
+    // calibrated two-bin fixture has gap 0 in one bin
+    val rows = Seq(
+      (-0.5, false), (0.1, false), (0.1, false), (0.1, false), (0.1, true),
+      (0.9, true), (0.9, true), (0.9, true), (0.9, false), (1.7, true))
+      .toDF("score", "y")
+    val got = graft.operators.TextAnalysis
+      .calibrationProfile(rows, "score", "y", bins = 2)
+      .orderBy("bin").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(0, 1), "clamping must land edge bins")
+    val bin0 = got(0)
+    // bin0: scores {-0.5, .1 x4} -> mean (-0.5 + 0.4)/5 = -0.02; 1 of 5 pos
+    assert(bin0.getLong(1) == 5L)
+    assert(math.abs(bin0.getDouble(2) - (-0.02)) < 1e-9)
+    assert(math.abs(bin0.getDouble(3) - 0.2) < 1e-9)
+    val bin1 = got(1)
+    // bin1: {0.9 x4, 1.7} -> mean 1.06; 4 of 5 pos -> gap 0.26
+    assert(math.abs(bin1.getDouble(2) - 1.06) < 1e-9)
+    assert(math.abs(bin1.getDouble(3) - 0.8) < 1e-9)
+    assert(math.abs(bin1.getDouble(4) - 0.26) < 1e-9)
+    // ece = (5*0.22 + 5*0.26)/10 = 0.24, identical on every row
+    assert(got.map(_.getDouble(5)).distinct.toSeq == Seq(0.24))
+  }
+}

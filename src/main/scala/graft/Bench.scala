@@ -491,11 +491,24 @@ object Bench {
         }
         val lt = collection.mutable.Map[String, Vector[(Double, Double)]]()
           .withDefaultValue(Vector.empty)
-        for (_ <- 1 to passes; (key, df) <- builtLanes) {
+        def lanePass(key: String, df: DataFrame): Unit = {
           val ld = loadavg1()
           val t0 = System.nanoTime()
           df.write.format("noop").mode("overwrite").save()
           lt(key) = lt(key) :+ (((System.nanoTime() - t0) / 1e9, ld))
+        }
+        for (_ <- 1 to passes; (key, df) <- builtLanes) lanePass(key, df)
+        // same load-retry rule as the main tiers: entries with no
+        // clean-START sample get extra interleaved passes (this lane
+        // runs last, on a box self-heated by the sf1 tier)
+        def laneDirty = builtLanes.filter { case (key, _) =>
+          lt(key).nonEmpty && !lt(key).exists(_._2 <= loadMax) }
+        var laneRetry = 0
+        while (laneRetry < passes && laneDirty.nonEmpty) {
+          laneRetry += 1
+          System.err.println(
+            s"[bench] simlane load-retry pass $laneRetry: ${laneDirty.map(_._1).mkString(",")}")
+          for ((key, df) <- laneDirty) lanePass(key, df)
         }
         val entries = lanes.map { case (name, _) =>
           val b = lt(s"$name.base").map(_._1).min
@@ -503,7 +516,7 @@ object Bench {
           val lds = (lt(s"$name.base") ++ lt(s"$name.x10")).map(_._2)
           f""""$name":{"base_sec":$b,"x10_sec":$x,"ratio":${x / b}%.2f,"loadavg_max":${lds.max}}"""
         }
-        s""""simjoin_lane":{"n_base":$nBase,"passes":$passes,${entries.mkString(",")},"note":"linear-output fixtures (disjoint 20-doc group vocabularies / fixed block occupancy); contract fixtures are quadratic by construction so these are the scale signals for the similarity joins"}"""
+        s""""simjoin_lane":{"n_base":$nBase,"passes":$passes,"load_retry_passes":$laneRetry,${entries.mkString(",")},"note":"linear-output fixtures (disjoint 20-doc group vocabularies / fixed block occupancy); contract fixtures are quadratic by construction so these are the scale signals for the similarity joins"}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] simjoin lane failed: ${e.getMessage}")
         "\"simlane_skipped\":\"" + String.valueOf(e.getMessage).replace('"', '\'') + "\""

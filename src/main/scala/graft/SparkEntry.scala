@@ -1375,6 +1375,20 @@ object SparkEntry {
         .select("ida", "idb", "inter", "uni")
         .orderBy("ida", "idb")
     }),
+    // LSH banding recall vs exact shingle ground truth (the tuning /
+    // drift guard): n_true replays q44's exact pair count in DuckDB;
+    // at 64 single-row bands a qualifying pair (J >= 0.35) escapes all
+    // 64 minhash collisions with probability <= 0.65^64 ~ 1e-12, so the
+    // deterministic measured recall clears the 0.9 gate. NO sf0.1 twin:
+    // the exact side is q202's quadratic-by-construction shape on the
+    // ~31-token synthetic vocabulary (q44 itself is contract-only too)
+    "q230_lsh_recall" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      graft.operators.Dedup.lshRecallFrame(spark.table("documents"),
+          "doc_id", "text", threshold = 0.35, numHashes = 64, bands = 64)
+        .select(col("n_true"), (col("recall") >= 0.9).as("recall_ok"))
+    }),
     // GeoTable round-trip with file-level bbox pruning on the sidecar:
     // write location-clustered, read back only files intersecting the
     // envelope, then row-filter — result is layout-independent (the
@@ -4944,6 +4958,10 @@ object SparkEntry {
       "ORDER BY ida, idb",
       "AND (ida % 5 = 4 OR idb % 5 = 4)\n      ORDER BY ida, idb"),
     "q44_ngram_jaccard" -> SHINGLE_JACCARD_ORACLE,
+    // the exact pair count is q44's; the recall gate is analytic
+    "q230_lsh_recall" -> s"""
+      SELECT CAST(count(*) AS BIGINT) AS n_true, true AS recall_ok
+      FROM ($SHINGLE_JACCARD_ORACLE)""",
     "q100_sql_minhash_recipe" -> SHINGLE_JACCARD_ORACLE,
     "q47_dedup_keep_rows" -> """
       SELECT doc_id, lang, source, n_chars

@@ -211,6 +211,42 @@ object Dedup {
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
+  /** MinHash-LSH banding RECALL against exact shingle-Jaccard ground
+    * truth on a deterministic corpus sample — the tuning/drift guard
+    * for (numHashes, bands), mirroring [[graft.operators.Ann.ivfRecallFrame]]:
+    * the fraction of truly-qualifying sample pairs (exact n-gram
+    * Jaccard >= threshold, via [[ngramJaccardPairs]]) that banding
+    * ([[minhashCandidates]]) surfaces as candidates. Raise `bands` (or
+    * lower rows-per-band) until the measured recall clears the
+    * pipeline's floor, then commit those parameters to
+    * [[writeLshIndex]]; re-run on fresh samples as the corpus drifts.
+    *
+    * The sample is every doc whose `xxhash64(id)` ≡ 0 mod
+    * `sampleOneIn` — deterministic, so reruns are comparable — and
+    * bounds the exact side's quadratic cost at (n/sampleOneIn)² while
+    * the banded side exercises the real candidate machinery on the
+    * same docs. Lazy 1-row frame `(n_true, n_found, recall)`; an empty
+    * exact set yields recall 1.0 (nothing to find). */
+  def lshRecallFrame(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 64, bands: Int = 16,
+      n: Int = 3, sampleOneIn: Int = 1, maxBucket: Int = 10000): DataFrame = {
+    require(sampleOneIn >= 1, s"sampleOneIn must be >= 1 (got $sampleOneIn)")
+    val sample =
+      if (sampleOneIn == 1) df
+      else df.where(pmod(xxhash64(col(idCol)), lit(sampleOneIn)) === 0)
+    val exact = ngramJaccardPairs(sample, idCol, textCol, threshold, n)
+      .select("ida", "idb")
+    val cands = minhashCandidates(sample, idCol, textCol, numHashes, bands,
+      maxBucket).select("ida", "idb")
+    val hit = exact.join(cands, Seq("ida", "idb"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    exact.agg(count(lit(1)).as("n_true")).crossJoin(broadcast(hit))
+      .select(col("n_true"), col("n_found"),
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(col("n_found").cast("double") / col("n_true"))
+          .as("recall"))
+  }
+
   /** LSH candidates refined by an exact set Jaccard >= threshold —
     * token sets by default, 3-token shingle sets when `refineOnShingles`
     * (the faithful choice: MinHash signatures estimate SHINGLE Jaccard).
@@ -744,8 +780,11 @@ object Dedup {
     * no corpus join anywhere. Equals [[hammingPairs64]] over
     * (history ∪ batch) restricted to pairs with at least one batch
     * doc; completeness needs `maxHamming < bands` (pigeonhole), the
-    * same `require` as the in-memory form. Output `(ida, idb,
-    * hamming)`, id-ordered. */
+    * same `require` as the in-memory form. Rows with a NULL
+    * fingerprint produce NULL buckets that the equi-joins drop — they
+    * can never pair; fingerprint upstream with a non-null law (the
+    * simhash wrappers coalesce text to '') if that matters. Output
+    * `(ida, idb, hamming)`, id-ordered. */
   def hammingIndexPairs(spark: org.apache.spark.sql.SparkSession,
       path: String, newDf: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
@@ -843,6 +882,8 @@ object Dedup {
     graft.util.FsIO.publishVersion(spark, path, ver)
   }
 
+  /** `a < b` edges; self-loops and rows with a NULL endpoint are
+    * dropped (a NULL id is not evidence about any pair). */
   private def normalizedEdges(pairs: DataFrame, aCol: String,
       bCol: String): DataFrame =
     pairs.select(least(col(aCol), col(bCol)).as("a"),

@@ -700,9 +700,13 @@ object TextAnalysis {
     * Determinism laws (cross-engine, order-free): bin =
     * clamp(floor(score·bins), 0, bins−1); per-bin mean = 6dp-snapped
     * scores summed as DECIMAL(20,6) (exact, association-free) then
-    * divided and re-snapped; the ece numerator terms likewise. One
-    * bin-keyed hash aggregate with map-side partials + one bins-sized
-    * aggregate — nothing corpus-sized leaves the first shuffle. */
+    * divided and re-snapped; the ece numerator terms likewise. NULL
+    * labels count as NEGATIVE (the boolean cast's otherwise-branch) and
+    * NULL scores land in bin NULL-free via the clamp only if non-null —
+    * filter both upstream if they mean "unknown" rather than
+    * "negative"/"zero". One bin-keyed hash aggregate with map-side
+    * partials + one bins-sized aggregate — nothing corpus-sized leaves
+    * the first shuffle. */
   def calibrationProfile(df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10): DataFrame = {
     require(bins > 0, s"bins must be positive (got $bins)")
@@ -1096,7 +1100,13 @@ object TextAnalysis {
     * equals a one-shot index of their union (the q222 gate); a
     * [[compactBm25Index]] folds the deltas into the next version's
     * base. Same document-level contract as the batch append: each
-    * doc's text arrives whole in one micro-batch. */
+    * doc's text arrives whole in one micro-batch. Ordering contract
+    * with compaction: quiesce the stream before compacting (compaction
+    * is not concurrent-WRITER safe anywhere in this family) — a retry
+    * of a batch whose delta was already FOLDED by a compaction would
+    * re-create the delta dir and double-count it, exactly the
+    * single-writer rule the foreachBatch checkpoint already enforces
+    * for a live stream. */
   def appendBm25BatchExactlyOnce(spark: org.apache.spark.sql.SparkSession,
       path: String, df: DataFrame, idCol: String, textCol: String,
       batchId: Long): Unit = {

@@ -72,6 +72,31 @@ class LshIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(na == nb)
   }
 
+  test("lshRecallFrame: recall laws — full banding finds all, crippled banding does not") {
+    // 64 single-row bands: a J >= 0.35 pair escapes with p <= 0.65^64,
+    // so on this corpus the deterministic recall must be 1.0; ONE
+    // 64-row band demands all 64 minhashes equal — near-dups that are
+    // not exact dups are missed and recall drops strictly below 1
+    val full = Dedup.lshRecallFrame(docs, "doc_id", "text",
+      threshold = 0.35, numHashes = 64, bands = 64).collect()(0)
+    assert(full.getLong(0) > 0L, "fixture has no qualifying pairs (vacuous)")
+    assert(full.getDouble(2) == 1.0, s"full banding must find all: $full")
+    val crippled = Dedup.lshRecallFrame(docs, "doc_id", "text",
+      threshold = 0.35, numHashes = 64, bands = 1).collect()(0)
+    assert(crippled.getDouble(2) < 1.0,
+      s"one 64-row band cannot find non-identical near-dups: $crippled")
+    // deterministic sampling: same sampleOneIn -> same numbers twice
+    val a = Dedup.lshRecallFrame(docs, "doc_id", "text", threshold = 0.35,
+      sampleOneIn = 3).collect()(0)
+    val b = Dedup.lshRecallFrame(docs, "doc_id", "text", threshold = 0.35,
+      sampleOneIn = 3).collect()(0)
+    assert(a.toSeq == b.toSeq, "sampled recall must be deterministic")
+    // empty exact set (impossible threshold) -> recall 1.0 by convention
+    val empty = Dedup.lshRecallFrame(docs.limit(3), "doc_id", "text",
+      threshold = 1.1).collect()(0)
+    assert(empty.getLong(0) == 0L && empty.getDouble(2) == 1.0)
+  }
+
   test("missing or corrupt sidecar fails loudly, not with a silent law change") {
     val dir = java.nio.file.Files.createTempDirectory("lsh_c_").toString
     intercept[java.io.IOException] {

@@ -3118,6 +3118,63 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // STREAMING hamming-index maintenance: q221's history (m4 0..2)
+    // arrives as two micro-batches appended straight into the persisted
+    // index, batch 0 deliberately replayed — banded fingerprint rows
+    // are facts and the probe distincts its pairs, so the q221 oracle
+    // (brute-force popcount, batch-touching restriction) holds verbatim
+    "q231_stream_hamming_index" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.streaming.Trigger
+      val fp = spark.sql("""
+        SELECT doc_id, m4,
+               (((g * 2654435761) % 8192) * 8 + jit % 2)
+               + (((g * 2246822519) % 8192) * 8 + (jit DIV 2) % 2) * 65536
+               + (((g * 3266489917) % 8192) * 8 + (jit DIV 4) % 2) * 4294967296
+               + (((g * 668265263) % 2048) * 8) * 281474976710656 AS sh
+        FROM (SELECT doc_id, (doc_id DIV 25) DIV 16 AS g,
+                     (doc_id DIV 25) % 8 AS jit, (doc_id DIV 25) % 4 AS m4
+              FROM documents WHERE doc_id % 25 = 0)""")
+      val work = scratchDir("graft-q231-")
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      def stage(cond: org.apache.spark.sql.Column, name: String,
+          mtime: Long): Unit = {
+        val tmp = s"$work/stage_$name"
+        fp.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = inDir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      stage(col("m4") <= 1, "a.parquet", 1000000L)
+      stage(col("m4") === 2, "b.parquet", 2000000L)
+      val idxDir = s"$work/idx"
+      graft.operators.Dedup.writeHammingIndex(
+        fp.where(org.apache.spark.sql.functions.lit(false)), "doc_id", "sh",
+        idxDir, bands = 4)
+      val q = spark.readStream.schema(fp.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.StreamOps.hammingAppendBatch(idxDir, b, "doc_id", "sh")
+          if (id == 0) // retry: duplicate fact rows the probe distincts
+            graft.streaming.StreamOps.hammingAppendBatch(idxDir, b, "doc_id", "sh")
+        }
+        .start()
+      q.awaitTermination()
+      graft.operators.Dedup.hammingIndexPairs(spark, idxDir,
+          fp.where(col("m4") === 3), "doc_id", "sh", maxHamming = 3)
+        .orderBy("ida", "idb")
+    }),
     // snapshot changelog by content hash: removed (%7), changed (%3 of
     // the survivors), added (+1000000 ids); unchanged ids emit nothing
     "q218_corpus_diff" -> ((spark, dir) => {
@@ -7627,6 +7684,24 @@ object SparkEntry {
     "q228_dedup_registry" -> """
       SELECT doc_id, doc_id % 40 AS component
       FROM documents ORDER BY doc_id""",
+    // streamed banded-fact appends + a retry are invisible to the
+    // probe (pair-distinct) — q221's brute-force popcount oracle
+    "q231_stream_hamming_index" -> """
+      WITH f AS (SELECT doc_id, (doc_id // 25) // 16 AS g,
+                        (doc_id // 25) % 8 AS jit, (doc_id // 25) % 4 AS m4
+                 FROM documents WHERE doc_id % 25 = 0),
+           s AS (SELECT doc_id, m4,
+                   CAST((((g * 2654435761) % 8192) * 8 + jit % 2)
+                     + (((g * 2246822519) % 8192) * 8 + (jit // 2) % 2) * 65536
+                     + (((g * 3266489917) % 8192) * 8 + (jit // 4) % 2) * 4294967296
+                     + (((g * 668265263) % 2048) * 8) * 281474976710656
+                     AS BIGINT) AS sh
+                 FROM f)
+      SELECT a.doc_id AS ida, b.doc_id AS idb,
+             CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3 AND (a.m4 = 3 OR b.m4 = 3)
+      ORDER BY ida, idb""",
     // full-outer hash compare, statuses spelled identically
     "q218_corpus_diff" -> """
       WITH o AS (SELECT doc_id, 'v' || CAST(doc_id % 50 AS VARCHAR) AS text
@@ -8124,6 +8199,8 @@ object SparkEntry {
     // 15/15/true gate oracle has no table refs, so the twin REWRITE
     // cannot retarget it — its scale path is q170's twin + this one)
     "q227_stream_lsh_index",
+    // streamed banded appends + retry over 10x fingerprint groups
+    "q231_stream_hamming_index",
     // 10x-long residue chains through write/append/retry/compact/CC
     "q228_dedup_registry",
     // every bin mean/fraction and the ECE shift at 10x scores

@@ -326,6 +326,16 @@ object StreamOps {
   def ivfAppendBatch(state: String, batch: DataFrame): Unit =
     graft.operators.Ann.appendToIvfIndex(batch.sparkSession, state, batch)
 
+  /** Maintain a persisted hamming/simhash index from a stream.
+    * Exactly-once with NO bookkeeping: banded fingerprint rows are
+    * facts, and [[graft.operators.Dedup.hammingIndexPairs]] distincts
+    * its candidate pairs, so a retry's duplicate rows change nothing
+    * (the q231 gate). Probe each batch BEFORE appending it. */
+  def hammingAppendBatch(state: String, batch: DataFrame, idCol: String,
+      hashCol: String): Unit =
+    graft.operators.Dedup.appendToHammingIndex(
+      batch.sparkSession, state, batch, idCol, hashCol)
+
   /** Maintain a persisted MinHash-LSH index from a stream. Exactly-once
     * with NO bookkeeping: bucket rows are facts, and probes aggregate
     * band hits with countDistinct + pair-distinct, so a retry's

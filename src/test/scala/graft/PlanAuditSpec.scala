@@ -110,7 +110,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q169_sketch_overlap",
     // calibrationProfile: the bins-sized reliability table CROSS JOINed
     // with its broadcast 1-row ECE scalar
-    "q229_calibration")
+    "q229_calibration",
+    // lshRecallFrame: two 1-row count aggregates (n_true x n_found)
+    // CROSS JOINed into the single recall row
+    "q230_lsh_recall")
 
   test("no cartesian products; BNLJ only where pinned") {
     val offenders = scala.collection.mutable.Map[String, String]()

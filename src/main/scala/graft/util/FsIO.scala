@@ -59,7 +59,13 @@ object FsIO {
     if (fs.exists(aside)) fs.delete(aside, true)
     if (!fs.rename(qDst, aside))
       throw new java.io.IOException(s"swapDir: could not move $qDst aside")
-    if (!fs.rename(qTmp, qDst)) {
+    // some FileSystem implementations THROW on a missing/invalid source
+    // instead of returning false — treat both as the same failure so the
+    // rollback below always runs and the original is never left parked
+    val moved =
+      try fs.rename(qTmp, qDst)
+      catch { case _: java.io.IOException => false }
+    if (!moved) {
       fs.rename(aside, qDst) // roll the original back
       throw new java.io.IOException(
         s"swapDir: could not move $qTmp into place ($qDst restored)")

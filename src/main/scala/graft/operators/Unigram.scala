@@ -37,11 +37,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB): identical to [[Bpe]] — the corpus pass is one
   * hash-agg with map-side partials; per EM iteration the driver does
-  * O(vocab · maxWordLen · maxPieceLen) work; [[tokenizeIds]] explodes
-  * words map-only and broadcast-joins a (word → pieces) table computed
-  * driver-side for the tokenized frame's own (capped) vocabulary — no
-  * per-row Viterbi on executors, no UDF, no corpus-sized shuffle beyond
-  * the word explode. */
+  * O(vocab · maxWordLen · maxPieceLen) work. Tokenization
+  * ([[tokenCounts]], [[tokenizeIds]]) is EXECUTOR-side: the model's
+  * scores map (vocabulary-bounded) is broadcast and each partition
+  * segments its own words under a per-partition memo — nothing
+  * corpus-sized ever lands on the driver (the BPE twin's tokenize is
+  * codegen'd column work, Bpe.scala's `symbolized` fold; Viterbi has no
+  * column form, so mapPartitions + broadcast scores is its equivalent).
+  * [[segment]] is a pure function of (word, scores, maxPieceLen) whose
+  * DP sums fixed-order 6dp doubles, so executor-side segmentation is
+  * bit-identical to the driver-side walk the q224 oracle replays. */
 object Unigram {
 
   final case class Piece(piece: String, count: Long, logprob: Double)
@@ -190,6 +195,50 @@ object Unigram {
       .toDF("piece", "cnt", "logprob")
   }
 
+  /** Persist the trained model as parquet + a params sidecar — the
+    * tokenizer artifact a pipeline trains once and applies to many
+    * corpora ([[Bpe.saveMerges]]'s unigram twin; `maxPieceLen` rides in
+    * `_unigram_params.json` because segmentation is not replayable
+    * without it). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    piecesDF(spark, model).repartition(1)
+      .write.mode("overwrite").parquet(s"$path/pieces")
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(path, "_unigram_params.json"),
+      s"""{"maxPieceLen":${model.maxPieceLen}}""")
+  }
+
+  /** Load a [[saveModel]] artifact, failing loudly on a duplicate piece
+    * or a broken segmentation closure (a piece whose single codepoints
+    * are not all themselves pieces would make [[segment]] throw on the
+    * very corpus the model was trained on) — the same
+    * truncated-artifact loudness as [[Bpe.loadMerges]]. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val json = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(path, "_unigram_params.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"unigram model at $path has no readable _unigram_params.json sidecar"))
+    val mpl = """"maxPieceLen":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new java.io.IOException(
+        s"unigram model sidecar at $path lacks maxPieceLen: $json"))
+    val pieces = spark.read.parquet(s"$path/pieces")
+      .select("piece", "cnt", "logprob")
+      .collect()
+      .map(r => Piece(r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_.piece).toIndexedSeq
+    val dupes = pieces.groupBy(_.piece).collect { case (p, vs) if vs.length > 1 => p }
+    require(dupes.isEmpty,
+      s"unigram model at $path has duplicate pieces: ${dupes.take(5)}")
+    val singles = pieces.map(_.piece).filter(p => codepoints(p).length == 1).toSet
+    val broken = pieces.map(_.piece)
+      .flatMap(p => codepoints(p)).distinct.filterNot(singles)
+    require(broken.isEmpty,
+      s"unigram model at $path is not segmentation-closed: codepoints ${broken.take(5)} have no single-codepoint piece")
+    Model(pieces, mpl)
+  }
+
   /** Integer ids by the replayable law shared with [[Bpe.vocab]]'s
     * spirit: single-codepoint pieces in binary order get 0..B−1, then
     * multi-codepoint pieces in binary order get B.. — so ids are a pure
@@ -204,31 +253,61 @@ object Unigram {
     (singles.sorted(ord) ++ multi.sorted(ord)).zipWithIndex
   }
 
+  /** [[segment]] with the foreign-corpus fallback: a word containing a
+    * codepoint the model has never seen falls back to its single
+    * codepoints, so tokenization never throws and OOV stays measurable
+    * instead of dropped. Pure — executor-safe. */
+  def segmentOrChars(word: String, scores: Map[String, Double],
+      maxPieceLen: Int): Seq[String] =
+    try segment(word, scores, maxPieceLen)
+    catch { case _: IllegalArgumentException => codepoints(word).toSeq }
+
+  // A partition's word→pieces memo stops growing past this many entries
+  // (further words just segment uncached): a pathological all-unique-word
+  // partition must degrade to CPU, never to executor OOM. Zipf corpora
+  // hit the cap's hot head long before the cap.
+  private val MemoCap = 1 << 21
+
+  private def memoized[A](memo: collection.mutable.HashMap[String, A],
+      w: String)(compute: => A): A =
+    memo.get(w) match {
+      case Some(v) => v
+      case None =>
+        val v = compute
+        if (memo.size < MemoCap) memo.update(w, v)
+        v
+    }
+
   /** Map-only tokenization statistics — [[Bpe.tokenCounts]]' output
     * contract for the unigram path: per document the whitespace word
     * count and the piece count under the model. Empty/NULL text scores
-    * 0. Same broadcast (word → piece count) shape as [[tokenizeIds]]:
-    * the Viterbi runs once per DISTINCT word on the driver, never
-    * per row on executors. */
+    * 0. The Viterbi runs EXECUTOR-side under the broadcast
+    * (vocabulary-bounded) scores map, memoized per partition — one
+    * word-keyed pass, one doc-keyed hash aggregate, no driver
+    * participation after planning and nothing corpus-sized collected. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
+    val bScores = spark.sparkContext.broadcast(model.scores)
+    val mpl = model.maxPieceLen
     val words = df
-      .select(explode(split(coalesce(col(textCol).cast("string"), lit("")), " ")).as("__w"))
-      .where(col("__w") =!= "").distinct()
-      .collect().map(_.getString(0))
-    val npieces = words.map { w =>
-      val n =
-        try segment(w, model.scores, model.maxPieceLen).length
-        catch { case _: IllegalArgumentException => codepoints(w).length }
-      (w, n.toLong)
-    }.toSeq.toDF("__w", "__np")
-    val perDoc = df
       .select(col(idCol),
         explode(split(coalesce(col(textCol).cast("string"), lit("")), " ")).as("__w"))
       .where(col("__w") =!= "")
-      .join(broadcast(npieces), Seq("__w"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      words.schema.fields(0),
+      org.apache.spark.sql.types.StructField("__np",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val perWord = words.mapPartitions { it =>
+      val memo = collection.mutable.HashMap.empty[String, Long]
+      val scores = bScores.value
+      it.map { r =>
+        val w = r.getString(1)
+        val np = memoized(memo, w)(segmentOrChars(w, scores, mpl).length.toLong)
+        org.apache.spark.sql.Row(r.get(0), np)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val perDoc = perWord
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"), sum("__np").as("n_pieces"))
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
@@ -240,36 +319,43 @@ object Unigram {
   /** Tokenization to integer ids: one row per (doc, position) with the
     * piece string and its id — [[Bpe.tokenizeIds]]' output contract
     * (`pos` 0-based over the doc's flattened piece sequence, NULL id =
-    * out-of-vocabulary). The frame's DISTINCT words are collected
-    * (bounded like [[Bpe.learn]]'s vocabulary — cap upstream for open
-    * vocabularies), segmented driver-side under the frozen model, and
-    * the (word → pieces) table broadcast-joins the exploded corpus —
-    * executors never run Viterbi. A word containing a codepoint the
-    * model has never seen falls back to its single codepoints (each
-    * emitted, OOV ones with NULL id, so OOV is measurable not
-    * dropped). */
+    * out-of-vocabulary). Segmentation runs EXECUTOR-side under the
+    * broadcast scores map (per-partition memo; [[segmentOrChars]]'s
+    * codepoint fallback keeps foreign corpora total), positions come
+    * from a doc-keyed window, and ids broadcast-join from the
+    * model-sized [[vocab]] table — nothing corpus-sized is ever
+    * collected or broadcast. */
   def tokenizeIds(df: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val words = df
-      .select(explode(split(coalesce(col(textCol).cast("string"), lit("")), " ")).as("__w"))
-      .where(col("__w") =!= "").distinct()
-      .collect().map(_.getString(0))
-    val segs = words.map { w =>
-      val pieces =
-        try segment(w, model.scores, model.maxPieceLen)
-        catch { case _: IllegalArgumentException => codepoints(w).toSeq }
-      (w, pieces)
-    }.toSeq.toDF("__w", "__pieces")
+    val bScores = spark.sparkContext.broadcast(model.scores)
+    val mpl = model.maxPieceLen
     val ids = vocab(model).toDF("piece", "piece_id")
       .select(col("piece"), col("piece_id").cast("int").as("piece_id"))
-    df.select(col(idCol),
-        posexplode(filter(
-          split(coalesce(col(textCol).cast("string"), lit("")), " "),
-          w => w =!= "")).as(Seq("__wpos", "__w")))
-      .join(broadcast(segs), Seq("__w"))
-      .select(col(idCol), col("__wpos"), posexplode(col("__pieces")).as(Seq("__ppos", "piece")))
+    val exploded = df.select(col(idCol),
+      posexplode(filter(
+        split(coalesce(col(textCol).cast("string"), lit("")), " "),
+        w => w =!= "")).as(Seq("__wpos", "__w")))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      exploded.schema.fields(0),
+      exploded.schema.fields(1),
+      org.apache.spark.sql.types.StructField("__ppos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("piece",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val segmented = exploded.mapPartitions { it =>
+      val memo = collection.mutable.HashMap.empty[String, Seq[String]]
+      val scores = bScores.value
+      it.flatMap { r =>
+        val w = r.getString(2)
+        val pieces = memoized(memo, w)(segmentOrChars(w, scores, mpl))
+        pieces.iterator.zipWithIndex.map { case (p, ppos) =>
+          org.apache.spark.sql.Row(r.get(0), r.getInt(1), ppos, p)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    segmented
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(idCol)
           .orderBy(col("__wpos"), col("__ppos"))) - 1)

@@ -72,6 +72,88 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uni == bpe, s"paths diverge: ${uni.diff(bpe)} / ${bpe.diff(uni)}")
   }
 
+  test("executor-side tokenization equals the driver-side segment() walk") {
+    val sp = spark
+    import sp.implicits._
+    // the q224/q225 fixture shape: repeated-vocabulary docs plus a
+    // foreign word ('Zq') the model never saw
+    val train = (0L until 200L).map(i =>
+      (i, s"hash join stream w${i % 7} hash")).toDF("doc_id", "text")
+    val m = Unigram.learn(train, "text", iters = 2, maxPieceLen = 4,
+      maxPieces = 40)
+    val docs = train.unionByName(Seq((999L, "hash Zq"), (1000L, ""))
+      .toDF("doc_id", "text"))
+    // driver-side reference: per doc, segment each word with the pure law
+    val expected = docs.collect().flatMap { r =>
+      val id = r.getLong(0)
+      val ws = Option(r.getString(1)).getOrElse("").split(" ").filter(_.nonEmpty)
+      val pieces = ws.flatMap(w => Unigram.segmentOrChars(w, m.scores, m.maxPieceLen))
+      pieces.zipWithIndex.map { case (p, pos) => (id, pos, p) }
+    }.toSet
+    val got = Unigram.tokenizeIds(docs, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == expected,
+      s"executor path diverges: ${got.diff(expected).take(5)} / ${expected.diff(got).take(5)}")
+    // tokenCounts agrees with the same reference
+    val expCounts = docs.collect().map { r =>
+      val id = r.getLong(0)
+      val ws = Option(r.getString(1)).getOrElse("").split(" ").filter(_.nonEmpty)
+      (id, ws.length.toLong,
+        ws.map(w => Unigram.segmentOrChars(w, m.scores, m.maxPieceLen).length.toLong).sum)
+    }.toSet
+    val gotCounts = Unigram.tokenCounts(docs, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotCounts == expCounts)
+    // the scale contract itself: no corpus-sized collect can hide in a
+    // lazy plan — tokenization must stay a single uninterrupted plan
+    // (mapPartitions), which the analyzed tree proves by containing the
+    // executor-side node and no LocalRelation of segmented words
+    val plan = Unigram.tokenizeIds(docs, "doc_id", "text", m)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("MapPartitions"),
+      s"expected executor-side MapPartitions in the plan:\n$plan")
+  }
+
+  test("saveModel/loadModel round-trips; loader fails loudly on broken artifacts") {
+    val sp = spark
+    import sp.implicits._
+    val train = Seq((1L, "spark shuffle spark sort"), (2L, "spark codegen"))
+      .toDF("doc_id", "text")
+    val m = Unigram.learn(train, "text", iters = 2, maxPieceLen = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-unigram-").toString
+    Unigram.saveModel(sp, m, dir)
+    val loaded = Unigram.loadModel(sp, dir)
+    assert(loaded.maxPieceLen == m.maxPieceLen)
+    assert(loaded.pieces == m.pieces, "loaded pieces must equal the trained model")
+    // tokenization under the loaded model is identical
+    val a = Unigram.tokenizeIds(train, "doc_id", "text", m).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.get(3))).toSet
+    val b = Unigram.tokenizeIds(train, "doc_id", "text", loaded).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.get(3))).toSet
+    assert(a == b)
+    // duplicate piece -> loud
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-unigram-dup-").toString
+    Seq(("a", 1L, -1.0), ("a", 2L, -2.0)).toDF("piece", "cnt", "logprob")
+      .write.parquet(s"$dupDir/pieces")
+    graft.util.FsIO.writeStringAtomic(sp,
+      new org.apache.hadoop.fs.Path(dupDir, "_unigram_params.json"),
+      """{"maxPieceLen":3}""")
+    assertThrows[IllegalArgumentException](Unigram.loadModel(sp, dupDir))
+    // broken closure ('ab' without 'b') -> loud
+    val gapDir = java.nio.file.Files.createTempDirectory("graft-unigram-gap-").toString
+    Seq(("a", 1L, -1.0), ("ab", 2L, -2.0)).toDF("piece", "cnt", "logprob")
+      .write.parquet(s"$gapDir/pieces")
+    graft.util.FsIO.writeStringAtomic(sp,
+      new org.apache.hadoop.fs.Path(gapDir, "_unigram_params.json"),
+      """{"maxPieceLen":3}""")
+    assertThrows[IllegalArgumentException](Unigram.loadModel(sp, gapDir))
+    // missing sidecar -> loud
+    val noSide = java.nio.file.Files.createTempDirectory("graft-unigram-ns-").toString
+    Seq(("a", 1L, -1.0)).toDF("piece", "cnt", "logprob")
+      .write.parquet(s"$noSide/pieces")
+    assertThrows[java.io.IOException](Unigram.loadModel(sp, noSide))
+  }
+
   test("tokenizeIds: positions are contiguous per doc, OOV chars get null ids") {
     val sp = spark
     import sp.implicits._

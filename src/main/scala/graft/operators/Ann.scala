@@ -276,6 +276,7 @@ object Ann {
     val idx = readIvfIndexAt(spark, dataDir)
     assignToCentroids(idx.centroids, rows)
       .assigned.write.mode("append").partitionBy("list").parquet(dataDir)
+    graft.util.FsIO.assertStillCurrent(spark, path, dataDir)
   }
 
   /** Hard-negative mining for retrieval/contrastive training: per
@@ -852,6 +853,7 @@ object Ann {
     encodeAssigned(assignToCentroids(idx.centroids, rows).assigned,
         idx.centroids, idx.codebook, idx.residual)
       .write.mode("append").partitionBy("list").parquet(dataDir)
+    graft.util.FsIO.assertStillCurrent(spark, path, dataDir)
   }
 
   /** [[assignToCentroids]]' IVF-PQ analog: re-index `corpus` under an

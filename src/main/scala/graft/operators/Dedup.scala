@@ -346,6 +346,7 @@ object Dedup {
     val (numHashes, bands) = lshParams(spark, dataDir)
     minhashBuckets(df, idCol, textCol, numHashes, bands)
       .write.mode("append").partitionBy("band").parquet(s"$dataDir/buckets")
+    graft.util.FsIO.assertStillCurrent(spark, path, dataDir)
   }
 
   // ---- persisted EXACT-hash index: incremental exact dedup ------------
@@ -418,6 +419,7 @@ object Dedup {
         col(idCol).as("doc"))
       .withColumn("pt", pmod(hash(col("h")), lit(buckets)))
       .write.mode("append").partitionBy("pt").parquet(s"$dataDir/hashes")
+    graft.util.FsIO.assertStillCurrent(spark, path, dataDir)
   }
 
   /** Probe a batch against the persisted exact index: one row per
@@ -761,6 +763,7 @@ object Dedup {
     val bands = hammingParams(spark, dataDir)
     hashBands64(df, idCol, col(hashCol).cast("long"), bands)
       .write.mode("append").partitionBy("band").parquet(s"$dataDir/buckets")
+    graft.util.FsIO.assertStillCurrent(spark, path, dataDir)
   }
 
   /** [[appendToHammingIndex]] for text simhashes. */
@@ -923,6 +926,7 @@ object Dedup {
     normalizedEdges(pairs, aCol, bCol)
       .withColumn("pt", pmod(hash(col("a")), lit(buckets)))
       .write.mode("append").partitionBy("pt").parquet(s"$dataDir/edges")
+    graft.util.FsIO.assertStillCurrent(spark, path, dataDir)
   }
 
   /** The registry's current canonical-cluster map `(id, component)` —

@@ -997,6 +997,7 @@ object TextAnalysis {
     df.select(col(idCol)).distinct().agg(count(lit(1)).cast("double").as("n"))
       .crossJoin(postings.agg(coalesce(sum("tf"), lit(0L)).as("mass")))
       .write.mode("append").parquet(s"$dataDir/stats")
+    graft.util.FsIO.assertStillCurrent(spark, path, dataDir)
   }
 
   /** The pinned bucket count of a resolved BM25 version directory. */
@@ -1130,6 +1131,7 @@ object TextAnalysis {
     df.select(col(idCol)).distinct().agg(count(lit(1)).cast("double").as("n"))
       .crossJoin(postings.agg(coalesce(sum("tf"), lit(0L)).as("mass")))
       .write.mode("overwrite").parquet(s"$dataDir/stats_b$batchId")
+    graft.util.FsIO.assertStillCurrent(spark, path, dataDir)
   }
 
   /** BM25 retrieval against a PERSISTED index: the query batch's token

@@ -97,14 +97,42 @@ object FsIO {
 
   /** The directory holding the index's CURRENT tables and sidecars:
     * `root/<_current>` under the versioned layout, `root` itself for a
-    * legacy flat index (no `_current` sidecar) — so readers of either
-    * layout go through this one resolve. */
+    * legacy flat index (CONFIRMED-absent `_current` sidecar) — so
+    * readers of either layout go through this one resolve.
+    *
+    * The pointer is read STRICTLY ([[readStringStrict]]): a transient
+    * read error or a corrupt pointer THROWS instead of falling back to
+    * the root, because for an index migrated in place the root may
+    * still hold the dead pre-migration flat tables — a silent fallback
+    * there would serve stale data and route appends into a copy the
+    * next publish deletes. Only "file confirmed absent" means legacy. */
   def indexDataDir(spark: SparkSession, root: String): String =
-    readString(spark, new Path(root, "_current")) match {
+    readStringStrict(spark, new Path(root, "_current")) match {
       case Some(v) if versionGen(v.trim).isDefined =>
         new Path(root, v.trim).toString
-      case _ => root
+      case Some(junk) => throw new java.io.IOException(
+        s"corrupt _current pointer under $root: '${junk.take(40)}' is not a v<N> name")
+      case None => root
     }
+
+  /** Throw unless `root`'s `_current` still resolves to `dataDir` — the
+    * POST-append check every incremental index append runs: appends go
+    * into the version resolved at call start, and if a rebuild or
+    * compaction published concurrently the appended rows landed in a
+    * superseded version that the next publish garbage-collects. The old
+    * flat layout failed loudly on such writer races (concurrent
+    * part-file conflicts); this keeps the versioned layout equally loud
+    * instead of silently losing the append. */
+  def assertStillCurrent(spark: SparkSession, root: String,
+      dataDir: String): Unit = {
+    val now = indexDataDir(spark, root)
+    if (now != dataDir)
+      throw new java.util.ConcurrentModificationException(
+        s"append targeted $dataDir but $root now points at $now: a " +
+        "rebuild/compaction published mid-append (single-writer rule " +
+        "violated), so the appended rows sit in a superseded version " +
+        "and will be GCed - re-run the append against the new version")
+  }
 
   /** A fresh, not-yet-published version directory under `root`
     * (max existing generation + 1 — orphaned unpublished dirs count,
@@ -121,21 +149,72 @@ object FsIO {
 
   /** Atomically activate `versionDir` (a fully-written child of `root`)
     * and GC: every version directory except the newly published one and
-    * the one it superseded is deleted — in-flight readers of the
-    * superseded version keep working; anything older (or orphaned by a
-    * crashed rebuild) goes. */
-  def publishVersion(spark: SparkSession, root: String, versionDir: Path): Unit = {
+    * the newest `keepVersions` of its superseded lineage is deleted —
+    * in-flight readers of a retained version keep working; anything
+    * older (or orphaned by a crashed rebuild — a v<N> above the
+    * superseded pointer that was never published) goes. The default
+    * `keepVersions = 1` retains exactly the version this publish
+    * supersedes, so a reader that planned against it survives until a
+    * SECOND publish; raise it when long-running probes coexist with an
+    * aggressive compaction cadence (a reader planned at vN survives
+    * `keepVersions` subsequent publishes).
+    *
+    * LEGACY-FLAT MIGRATION: the first publish over a flat root (no
+    * `_current`) keeps the old flat tables in place — they are the
+    * superseded snapshot in-flight readers still scan. Any LATER
+    * publish (pointer already a version, so the flat data is at least
+    * one full cycle stale) deletes every non-version child except the
+    * pointer files, so the dead flat copy can never again be resolved
+    * or appended into ([[indexDataDir]]'s strict read is the other half
+    * of that guarantee). The flat epoch counts as ONE superseded slot
+    * regardless of `keepVersions`. */
+  def publishVersion(spark: SparkSession, root: String, versionDir: Path,
+      keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
     val rootP = new Path(root)
     val name = versionDir.getName
     require(versionGen(name).isDefined,
       s"publishVersion: $versionDir is not a v<N> directory")
-    val prev = readString(spark, new Path(rootP, "_current")).map(_.trim)
+    val prev = readStringStrict(spark, new Path(rootP, "_current")).map(_.trim)
+    val prevGen = prev.flatMap(versionGen)
     writeStringAtomic(spark, new Path(rootP, "_current"), name)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val keep = Set(name) ++ prev
-    fs.listStatus(rootP).toSeq.map(_.getPath)
+    val children = fs.listStatus(rootP).toSeq.map(_.getPath)
+    // superseded lineage = version dirs at or below the superseded
+    // pointer (anything above it other than `name` is an unpublished
+    // orphan), newest first, capped at keepVersions
+    val lineage = children.map(_.getName)
+      .flatMap(n => versionGen(n).map(g => (g, n)))
+      .filter { case (g, n) => n != name && prevGen.exists(g <= _) }
+      .sortBy(-_._1).take(keepVersions).map(_._2)
+    val keep = Set(name) ++ lineage
+    children
       .filter(p => versionGen(p.getName).isDefined && !keep(p.getName))
       .foreach(p => fs.delete(p, true))
+    if (prevGen.isDefined)
+      children.filter { p =>
+        val n = p.getName
+        versionGen(n).isEmpty && n != "_current" && n != "_current.tmp"
+      }.foreach(p => fs.delete(p, true))
+  }
+
+  /** Strict read for LOAD-BEARING pointer sidecars: Some(content) when
+    * present and readable, None ONLY when the file is CONFIRMED absent,
+    * and any I/O error rethrown — unlike [[readString]], which degrades
+    * errors to None because ordinary sidecars are best-effort
+    * optimizations. A `_current` pointer is not: "unreadable" treated
+    * as "absent" is indistinguishable from the legacy-flat case and
+    * silently redirects reads AND appends to dead data. */
+  def readStringStrict(spark: SparkSession, p: Path): Option[String] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
   }
 
   def readString(spark: SparkSession, p: Path): Option[String] =

@@ -73,6 +73,113 @@ class IndexVersioningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(versions(root) == Seq("v3", "v5"))
   }
 
+  test("FsIO: corrupt _current throws instead of silently falling back to the root") {
+    val root = scratch("fsio_corrupt")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(root, "_current"), "not-a-version")
+    assertThrows[java.io.IOException](graft.util.FsIO.indexDataDir(spark, root))
+    // a CONFIRMED-absent pointer still means legacy flat
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_current"), false)
+    assert(graft.util.FsIO.indexDataDir(spark, root) == root)
+  }
+
+  test("FsIO: keepVersions retains a deeper superseded lineage") {
+    val root = scratch("fsio_keep")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkVersion(): org.apache.hadoop.fs.Path = {
+      val v = graft.util.FsIO.nextVersionDir(spark, root)
+      fs.mkdirs(v); v
+    }
+    val v1 = mkVersion(); graft.util.FsIO.publishVersion(spark, root, v1, keepVersions = 2)
+    val v2 = mkVersion(); graft.util.FsIO.publishVersion(spark, root, v2, keepVersions = 2)
+    val v3 = mkVersion(); graft.util.FsIO.publishVersion(spark, root, v3, keepVersions = 2)
+    // a reader planned at v1 has survived TWO publishes
+    assert(versions(root) == Seq("v1", "v2", "v3"))
+    val v4 = mkVersion(); graft.util.FsIO.publishVersion(spark, root, v4, keepVersions = 2)
+    assert(versions(root) == Seq("v2", "v3", "v4"))
+    // the knob applies per publish: the next default publish trims to 1
+    val v5 = mkVersion(); graft.util.FsIO.publishVersion(spark, root, v5)
+    assert(versions(root) == Seq("v4", "v5"))
+  }
+
+  test("FsIO: keepVersions=2 keeps an exact-index probe's version alive across two compactions") {
+    val sp = spark
+    import sp.implicits._
+    val all = (0L until 90L).map(i => (i, s"content ${i % 10}"))
+    val path = scratch("exact_keep2")
+    graft.operators.Dedup.writeExactIndex(
+      all.filter(_._1 < 60).toDF("id", "t"), "id", "t", path, buckets = 8)
+    val batch = all.filter(_._1 >= 60).toDF("id", "t")
+    val expect = graft.operators.Dedup.exactIndexHits(spark, path,
+      batch, "id", "t").collect().map(_.toSeq).toSet
+    val planned = graft.operators.Dedup.exactIndexHits(spark, path,
+      batch, "id", "t")
+    // two maintenance cycles with keepVersions=2: both rewrite the index
+    // into a fresh version; the probe's resolved version must survive both
+    for (_ <- 1 to 2) {
+      val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+      val ver = graft.util.FsIO.nextVersionDir(spark, path)
+      spark.read.parquet(s"$dataDir/hashes")
+        .groupBy("h").agg(min("doc").as("doc"))
+        .withColumn("pt", org.apache.spark.sql.functions.pmod(hash(col("h")), lit(8)))
+        .write.partitionBy("pt").parquet(s"$ver/hashes")
+      for (name <- Seq("_exact_params.json", "_schema_hashes.ddl"))
+        graft.util.FsIO.readString(spark,
+            new org.apache.hadoop.fs.Path(dataDir, name))
+          .foreach(s => graft.util.FsIO.writeStringAtomic(spark,
+            new org.apache.hadoop.fs.Path(ver, name), s))
+      graft.util.FsIO.publishVersion(spark, path, ver, keepVersions = 2)
+    }
+    assert(planned.collect().map(_.toSeq).toSet == expect,
+      "a probe planned at vN must survive two keepVersions=2 publishes")
+  }
+
+  test("FsIO: legacy flat tables survive the migrating publish, die at the next") {
+    val root = scratch("fsio_flat")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a legacy flat index: data dir + sidecar at the root
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "buckets"))
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(root, "_old_params.json"), "{}")
+    def mkVersion(): org.apache.hadoop.fs.Path = {
+      val v = graft.util.FsIO.nextVersionDir(spark, root)
+      fs.mkdirs(v); v
+    }
+    // migrating publish: flat tables are the superseded snapshot - kept
+    graft.util.FsIO.publishVersion(spark, root, mkVersion())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "buckets")),
+      "flat tables must survive the migrating publish for in-flight readers")
+    // next publish: the flat copy is a full cycle stale - swept, so the
+    // ambiguous legacy-fallback target can never persist
+    graft.util.FsIO.publishVersion(spark, root, mkVersion())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "buckets")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_old_params.json")))
+    assert(versions(root) == Seq("v1", "v2"))
+  }
+
+  test("appends fail loudly when a publish supersedes their version mid-write") {
+    val sp = spark
+    import sp.implicits._
+    val path = scratch("exact_race")
+    val docs = (0L until 40L).map(i => (i, s"content ${i % 10}")).toDF("id", "t")
+    graft.operators.Dedup.writeExactIndex(docs, "id", "t", path, buckets = 4)
+    val resolvedBeforePublish = graft.util.FsIO.indexDataDir(spark, path)
+    // a normal append against the current version passes the guard
+    graft.operators.Dedup.appendToExactIndex(spark, path,
+      Seq((100L, "content 1")).toDF("id", "t"), "id", "t")
+    // a concurrent compaction publishes v2; the stale writer's
+    // post-append check must throw instead of silently losing rows
+    graft.operators.Dedup.compactExactIndex(spark, path)
+    assertThrows[java.util.ConcurrentModificationException](
+      graft.util.FsIO.assertStillCurrent(spark, path, resolvedBeforePublish))
+    assert(graft.util.FsIO.indexDataDir(spark, path) != resolvedBeforePublish)
+  }
+
   test("BM25: a probe planned BEFORE a compaction executes correctly after it") {
     val sp = spark
     import sp.implicits._

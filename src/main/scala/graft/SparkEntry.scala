@@ -3118,6 +3118,30 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // the ADAPTIVE probe's shuffle shape: q221's exact fixture probed
+    // with broadcastMaxRows = 0, forcing the backfill-sized-batch path
+    // (no broadcast hints; the joins shuffle on (band, bucket)) — the
+    // brute-force popcount oracle must hold through either join shape
+    "q234_hamming_index_shuffle" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val fp = spark.sql("""
+        SELECT doc_id, m4,
+               (((g * 2654435761) % 8192) * 8 + jit % 2)
+               + (((g * 2246822519) % 8192) * 8 + (jit DIV 2) % 2) * 65536
+               + (((g * 3266489917) % 8192) * 8 + (jit DIV 4) % 2) * 4294967296
+               + (((g * 668265263) % 2048) * 8) * 281474976710656 AS sh
+        FROM (SELECT doc_id, (doc_id DIV 25) DIV 16 AS g,
+                     (doc_id DIV 25) % 8 AS jit, (doc_id DIV 25) % 4 AS m4
+              FROM documents WHERE doc_id % 25 = 0)""")
+      val idxDir = scratchDir("graft_hamidx_shuf_")
+      graft.operators.Dedup.writeHammingIndex(
+        fp.where(col("m4") <= 2), "doc_id", "sh", idxDir, bands = 4)
+      graft.operators.Dedup.hammingIndexPairs(spark, idxDir,
+          fp.where(col("m4") === 3), "doc_id", "sh", maxHamming = 3,
+          broadcastMaxRows = 0L)
+        .orderBy("ida", "idb")
+    }),
     // STREAMING hamming-index maintenance: q221's history (m4 0..2)
     // arrives as two micro-batches appended straight into the persisted
     // index, batch 0 deliberately replayed — banded fingerprint rows
@@ -7684,6 +7708,24 @@ object SparkEntry {
     "q228_dedup_registry" -> """
       SELECT doc_id, doc_id % 40 AS component
       FROM documents ORDER BY doc_id""",
+    // the forced-shuffle probe shape returns the same pairs — q221's
+    // brute-force popcount oracle verbatim
+    "q234_hamming_index_shuffle" -> """
+      WITH f AS (SELECT doc_id, (doc_id // 25) // 16 AS g,
+                        (doc_id // 25) % 8 AS jit, (doc_id // 25) % 4 AS m4
+                 FROM documents WHERE doc_id % 25 = 0),
+           s AS (SELECT doc_id, m4,
+                   CAST((((g * 2654435761) % 8192) * 8 + jit % 2)
+                     + (((g * 2246822519) % 8192) * 8 + (jit // 2) % 2) * 65536
+                     + (((g * 3266489917) % 8192) * 8 + (jit // 4) % 2) * 4294967296
+                     + (((g * 668265263) % 2048) * 8) * 281474976710656
+                     AS BIGINT) AS sh
+                 FROM f)
+      SELECT a.doc_id AS ida, b.doc_id AS idb,
+             CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3 AND (a.m4 = 3 OR b.m4 = 3)
+      ORDER BY ida, idb""",
     // streamed banded-fact appends + a retry are invisible to the
     // probe (pair-distinct) — q221's brute-force popcount oracle
     "q231_stream_hamming_index" -> """
@@ -8185,6 +8227,8 @@ object SparkEntry {
     // write/append/compact/probe over 10x fingerprint groups (all
     // group hashes shift with the 10x group ids)
     "q221_hamming_index",
+    // the forced-shuffle probe shape over the same 10x groups
+    "q234_hamming_index_shuffle",
     // two streamed micro-batches + a retry over 10x postings must
     // still equal the one-shot index's search
     "q222_stream_bm25_index",

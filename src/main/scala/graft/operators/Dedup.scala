@@ -526,7 +526,8 @@ object Dedup {
     * distinct bands, pairs come back id-ordered (`ida < idb`). */
   def lshIndexCandidates(spark: org.apache.spark.sql.SparkSession,
       path: String, newDf: DataFrame, idCol: String, textCol: String,
-      maxBucket: Int = 10000, minBandHits: Int = 1): DataFrame = {
+      maxBucket: Int = 10000, minBandHits: Int = 1,
+      broadcastMaxRows: Long = 4000000L): DataFrame = {
     // resolve the version ONCE: params and bucket scan come from the
     // same snapshot even if a compaction publishes mid-probe
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)
@@ -535,20 +536,26 @@ object Dedup {
     // below would otherwise recompute the signatures per subtree)
     val nb = minhashBuckets(newDf, idCol, textCol, numHashes, bands)
       .select("doc", "band", "bucket").localCheckpoint()
+    // ADAPTIVE probe shape, the [[hammingIndexPairs]] rule: daily-sized
+    // batches broadcast (map-only pruned history scan); a batch past
+    // `broadcastMaxRows` banded rows drops the hints and the joins
+    // shuffle on (band, bucket) instead of OOMing executors
+    val small = nb.count() <= broadcastMaxRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // only buckets containing >= 1 batch doc can produce a candidate,
-    // so the historical scan broadcast-filters down to those BEFORE
-    // any aggregation — the bucket-size cap then counts the combined
+    // so the historical scan filters down to those BEFORE any
+    // aggregation — the bucket-size cap then counts the combined
     // occupancy of exactly the touched buckets, not the whole table
     val hot = spark.read.parquet(s"$dataDir/buckets")
       .select("doc", "band", "bucket")
-      .join(broadcast(nb.select("band", "bucket").distinct()),
+      .join(bc(nb.select("band", "bucket").distinct()),
         Seq("band", "bucket"))
       .unionByName(nb)
     val fit = hot.join(
       hot.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
         .where(col("__bsz") <= maxBucket),
       Seq("band", "bucket"))
-    broadcast(nb.withColumnRenamed("doc", "__nd")).join(fit, Seq("band", "bucket"))
+    bc(nb.withColumnRenamed("doc", "__nd")).join(fit, Seq("band", "bucket"))
       .where(col("__nd") =!= col("doc"))
       .select(col("band"),
         least(col("__nd"), col("doc")).as("ida"),
@@ -568,7 +575,8 @@ object Dedup {
   def nearDupsAgainstLshIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newDf: DataFrame, idCol: String, textCol: String,
       corpus: DataFrame, threshold: Double, maxBucket: Int = 10000,
-      minBandHits: Int = 1, refineOnShingles: Boolean = true): DataFrame = {
+      minBandHits: Int = 1, refineOnShingles: Boolean = true,
+      broadcastMaxRows: Long = 4000000L): DataFrame = {
     // materialize the (bounded: band-hit-filtered) candidate pairs once,
     // then SEMI-JOIN the corpus down to candidate ids BEFORE shingling:
     // without it the refine shingles and shuffles the whole corpus to
@@ -577,7 +585,7 @@ object Dedup {
     // only the named docs' sets). AQE broadcasts the id list when it
     // fits — no forced hint, degenerate corpora stay safe.
     val cands = lshIndexCandidates(spark, path, newDf, idCol, textCol,
-      maxBucket, minBandHits).localCheckpoint()
+      maxBucket, minBandHits, broadcastMaxRows).localCheckpoint()
     val ids = cands.select(col("ida").as("__cid"))
       .unionByName(cands.select(col("idb").as("__cid"))).distinct()
     val slim = corpus.join(ids, col(idCol) === col("__cid"), "left_semi")
@@ -774,9 +782,11 @@ object Dedup {
       idCol, "__sh64")
 
   /** Hamming-radius pairs TOUCHING a new batch, against the persisted
-    * index: the batch's banded fingerprints broadcast-filter the
-    * historical bucket table to touched buckets (map-only scan, no
-    * index shuffle), the batch rows union in so batch-batch pairs
+    * index: the batch's banded fingerprints filter the historical
+    * bucket table to touched buckets — broadcast (map-only scan, no
+    * index shuffle) while the batch fits `broadcastMaxRows`, shuffle
+    * joins on (band, bucket) beyond it (a backfill-sized batch degrades
+    * instead of OOMing) — the batch rows union in so batch-batch pairs
     * count, combined bucket occupancy is capped at `maxBucket`
     * ([[simhashNearDups]]'s degeneracy cap), and candidates refine by
     * the exact codegen'd popcount carried on the rows themselves —
@@ -790,7 +800,8 @@ object Dedup {
     * `(ida, idb, hamming)`, id-ordered. */
   def hammingIndexPairs(spark: org.apache.spark.sql.SparkSession,
       path: String, newDf: DataFrame, idCol: String, hashCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000,
+      broadcastMaxRows: Long = 4000000L): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
     // resolve the version ONCE: params and bucket scan from one snapshot
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)
@@ -799,16 +810,25 @@ object Dedup {
       s"banding is complete only for maxHamming < bands (got $maxHamming >= $bands); rebuild with more bands")
     val nb = hashBands64(newDf, idCol, col(hashCol).cast("long"), bands)
       .select("doc", "sh", "band", "bucket").localCheckpoint()
+    // ADAPTIVE probe shape: a daily-sized batch broadcasts its banded
+    // rows (history stays a map-only pruned scan); a backfill-sized
+    // batch (> broadcastMaxRows banded rows, counted in one cheap pass
+    // over the just-checkpointed partitions) drops the hints and
+    // degrades to shuffle joins on (band, bucket) instead of OOMing
+    // executors on a forced build side. Same rows either way — the
+    // q234 contract runs the q221 oracle through the shuffle shape.
+    val small = nb.count() <= broadcastMaxRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val hot = spark.read.parquet(s"$dataDir/buckets")
       .select("doc", "sh", "band", "bucket")
-      .join(broadcast(nb.select("band", "bucket").distinct()),
+      .join(bc(nb.select("band", "bucket").distinct()),
         Seq("band", "bucket"))
       .unionByName(nb)
     val fit = hot.join(
       hot.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
         .where(col("__bsz") <= maxBucket),
       Seq("band", "bucket"))
-    broadcast(nb.select(col("band"), col("bucket"),
+    bc(nb.select(col("band"), col("bucket"),
         col("doc").as("__nd"), col("sh").as("__nsh")))
       .join(fit, Seq("band", "bucket"))
       .where(col("__nd") =!= col("doc"))
@@ -829,10 +849,11 @@ object Dedup {
     * simhash — incremental [[simhashNearDups]] against history. */
   def simhashIndexPairs(spark: org.apache.spark.sql.SparkSession,
       path: String, newDf: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+      maxHamming: Int = 3, maxBucket: Int = 10000,
+      broadcastMaxRows: Long = 4000000L): DataFrame =
     hammingIndexPairs(spark, path,
       newDf.select(col(idCol), simhash64(col(textCol)).as("__sh64")),
-      idCol, "__sh64", maxHamming, maxBucket)
+      idCol, "__sh64", maxHamming, maxBucket, broadcastMaxRows)
 
   /** Compact a persisted hamming index: bucket rows are facts (no
     * deltas), so compaction rewrites each band as ONE file sorted by

@@ -701,10 +701,14 @@ object TextAnalysis {
     * clamp(floor(score·bins), 0, bins−1); per-bin mean = 6dp-snapped
     * scores summed as DECIMAL(20,6) (exact, association-free) then
     * divided and re-snapped; the ece numerator terms likewise. NULL
-    * labels count as NEGATIVE (the boolean cast's otherwise-branch) and
-    * NULL scores land in bin NULL-free via the clamp only if non-null —
-    * filter both upstream if they mean "unknown" rather than
-    * "negative"/"zero". One bin-keyed hash aggregate with map-side
+    * labels count as NEGATIVE (the boolean cast's otherwise-branch) —
+    * filter upstream if NULL means "unknown" rather than "negative".
+    * NULL scores are DROPPED here: a NULL score would otherwise flow
+    * through least/greatest/floor into a NULL bin whose count inflates
+    * the ECE denominator while its NULL gap term drops from the
+    * numerator — a silently understated ECE, the one failure mode a
+    * calibration check must not have. One bin-keyed hash aggregate with
+    * map-side
     * partials + one bins-sized aggregate — nothing corpus-sized leaves
     * the first shuffle. */
   def calibrationProfile(df: DataFrame, scoreCol: String, labelCol: String,
@@ -712,7 +716,7 @@ object TextAnalysis {
     require(bins > 0, s"bins must be positive (got $bins)")
     val rz6 = graft.util.Round6.rz6 _
     val s = col(scoreCol).cast("double")
-    val binned = df.select(
+    val binned = df.where(s.isNotNull).select(
       least(greatest(floor(s * bins), lit(0)), lit(bins - 1)).cast("int").as("bin"),
       rz6(s).cast("decimal(20,6)").as("__s6"),
       when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))

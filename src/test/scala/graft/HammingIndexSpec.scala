@@ -92,6 +92,41 @@ class HammingIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bands not merged to one file: $perBand")
   }
 
+  test("adaptive probe: a batch past broadcastMaxRows takes the shuffle path, same pairs") {
+    val docs = docsDf
+    val path = scratch()
+    graft.operators.Dedup.writeSimhashIndex(
+      docs.where(col("doc_id") % 3 < 2), "doc_id", "text", path, bands = 4)
+    val batch = docs.where(col("doc_id") % 3 === 2)
+    val viaBroadcast = graft.operators.Dedup.simhashIndexPairs(
+      spark, path, batch, "doc_id", "text", maxHamming = 3)
+    // broadcastMaxRows = 0 forces every batch onto the shuffle shape
+    val viaShuffle = graft.operators.Dedup.simhashIndexPairs(
+      spark, path, batch, "doc_id", "text", maxHamming = 3,
+      broadcastMaxRows = 0L)
+    assert(pairSet(viaShuffle) == pairSet(viaBroadcast))
+    assert(pairSet(viaShuffle).nonEmpty, "vacuous fixture")
+    // the hint really is gone: the small path plans broadcast hints,
+    // the large path must not force any (AQE stays free to choose)
+    assert(viaBroadcast.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("broadcast"))
+    assert(!viaShuffle.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("broadcast"),
+      "forced-shuffle probe must carry no broadcast hint")
+    // the LSH probe obeys the same knob
+    val lsh = scratch()
+    graft.operators.Dedup.writeLshIndex(docs.where(col("doc_id") % 3 < 2),
+      "doc_id", "text", lsh, numHashes = 32, bands = 8)
+    val lshB = graft.operators.Dedup.lshIndexCandidates(
+        spark, lsh, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshS = graft.operators.Dedup.lshIndexCandidates(
+        spark, lsh, batch, "doc_id", "text", broadcastMaxRows = 0L)
+    assert(lshS.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == lshB)
+    assert(!lshS.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("broadcast"))
+  }
+
   test("radius >= bands is rejected (pigeonhole completeness guard)") {
     val path = scratch()
     graft.operators.Dedup.writeSimhashIndex(docsDf, "doc_id", "text", path,

@@ -73,4 +73,21 @@ class RegistryCalibrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ece = (5*0.22 + 5*0.26)/10 = 0.24, identical on every row
     assert(got.map(_.getDouble(5)).distinct.toSeq == Seq(0.24))
   }
+
+  test("calibration: NULL scores are dropped, never an ECE-deflating NULL bin") {
+    val sp = spark
+    import sp.implicits._
+    val base = Seq(
+      (Some(0.1), false), (Some(0.1), true), (Some(0.9), true), (Some(0.9), true))
+    val withNulls = base ++ Seq((Option.empty[Double], true),
+      (Option.empty[Double], false))
+    val clean = graft.operators.TextAnalysis
+      .calibrationProfile(base.toDF("score", "y"), "score", "y", bins = 2)
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    val dirty = graft.operators.TextAnalysis
+      .calibrationProfile(withNulls.toDF("score", "y"), "score", "y", bins = 2)
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    assert(dirty == clean,
+      "NULL scores must not add a bin row or shift any bin stat or the ECE")
+  }
 }

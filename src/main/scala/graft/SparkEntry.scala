@@ -3118,6 +3118,81 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // STREAMING registry maintenance: the chain edges arrive as two
+    // micro-batches through foreachBatch, batch 0 deliberately replayed
+    // — edges are a<b facts the clustering distincts, so the clusters
+    // must still equal q228's analytic chain closure
+    "q233_stream_registry" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.streaming.Trigger
+      val edges = spark.table("documents").select(col("doc_id"))
+        .where(col("doc_id") >= 40)
+        .select((col("doc_id") - 40).as("a"), col("doc_id").as("b"))
+      val work = scratchDir("graft-q233-")
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      def stage(cond: org.apache.spark.sql.Column, name: String,
+          mtime: Long): Unit = {
+        val tmp = s"$work/stage_$name"
+        edges.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = inDir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      stage(expr("(b DIV 40) % 2 = 1"), "a.parquet", 1000000L)
+      stage(expr("(b DIV 40) % 2 = 0"), "b.parquet", 2000000L)
+      val reg = s"$work/reg"
+      graft.operators.Dedup.writeRegistry(
+        edges.where(org.apache.spark.sql.functions.lit(false)), "a", "b", reg)
+      val q = spark.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.StreamOps.registryAppendBatch(reg, b, "a", "b")
+          if (id == 0) // retry: duplicate edge facts the clustering distincts
+            graft.streaming.StreamOps.registryAppendBatch(reg, b, "a", "b")
+        }
+        .start()
+      q.awaitTermination()
+      graft.operators.Dedup.registryClusters(spark, reg)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // INCREMENTAL cluster snapshot: bootstrap the (id, component) map
+    // from the odd chain edges, then fold the even edges in as two
+    // delta refreshes (each CC runs over the delta-sized component
+    // graph only) — the final snapshot must equal the full transitive
+    // closure of ALL edges, q228's analytic oracle verbatim
+    "q232_registry_snapshot" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.{col, expr}
+      val docs = spark.table("documents").select(col("doc_id"))
+      val edges = docs.where(col("doc_id") >= 40)
+        .select((col("doc_id") - 40).as("a"), col("doc_id").as("b"))
+      val odd = edges.where(expr("(b DIV 40) % 2 = 1"))
+      val e1 = edges.where(expr("(b DIV 40) % 4 = 0"))
+      val e2 = edges.where(expr("(b DIV 40) % 4 = 2"))
+      val reg = scratchDir("graft_regsnap_reg_")
+      val snap = scratchDir("graft_regsnap_cl_")
+      graft.operators.Dedup.writeRegistry(odd, "a", "b", reg)
+      graft.operators.Dedup.writeClusterSnapshot(spark, reg, snap)
+      graft.operators.Dedup.appendToRegistry(spark, reg, e1, "a", "b")
+      graft.operators.Dedup.refreshClusterSnapshot(spark, snap, e1, "a", "b")
+      graft.operators.Dedup.appendToRegistry(spark, reg, e2, "a", "b")
+      graft.operators.Dedup.refreshClusterSnapshot(spark, snap, e2, "a", "b")
+      graft.operators.Dedup.readClusterSnapshot(spark, snap)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // the ADAPTIVE probe's shuffle shape: q221's exact fixture probed
     // with broadcastMaxRows = 0, forcing the backfill-sized-batch path
     // (no broadcast hints; the joins shuffle on (band, bucket)) — the
@@ -7708,6 +7783,16 @@ object SparkEntry {
     "q228_dedup_registry" -> """
       SELECT doc_id, doc_id % 40 AS component
       FROM documents ORDER BY doc_id""",
+    // streamed edge-fact appends + a retry are invisible to the
+    // clustering (edge-distinct) — q228's analytic closure verbatim
+    "q233_stream_registry" -> """
+      SELECT doc_id, doc_id % 40 AS component
+      FROM documents ORDER BY doc_id""",
+    // two delta refreshes over the bootstrap must land on the same
+    // analytic chain closure as q228's full CC
+    "q232_registry_snapshot" -> """
+      SELECT doc_id, doc_id % 40 AS component
+      FROM documents ORDER BY doc_id""",
     // the forced-shuffle probe shape returns the same pairs — q221's
     // brute-force popcount oracle verbatim
     "q234_hamming_index_shuffle" -> """
@@ -8247,6 +8332,10 @@ object SparkEntry {
     "q231_stream_hamming_index",
     // 10x-long residue chains through write/append/retry/compact/CC
     "q228_dedup_registry",
+    // bootstrap + two delta refreshes over 10x-long chains
+    "q232_registry_snapshot",
+    // streamed edge appends + retry over 10x-long chains
+    "q233_stream_registry",
     // every bin mean/fraction and the ECE shift at 10x scores
     "q229_calibration")
     // q197_containment has NO twin: the synthetic corpus's ~31-word

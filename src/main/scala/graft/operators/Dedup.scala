@@ -982,6 +982,92 @@ object Dedup {
     graft.util.FsIO.publishVersion(spark, path, ver)
   }
 
+  // ---- persisted cluster SNAPSHOT: batch-cost incremental CC ----------
+
+  /** Bootstrap the registry's persisted `(id, component)` cluster map
+    * under `snapPath` (its own versioned root, SEPARATE from the
+    * registry's) — one full large-star/small-star CC over the edge log,
+    * written as `clusters/` parquet with a schema sidecar. Thereafter a
+    * daily batch appends its pairs to the registry AND folds the same
+    * pairs into the snapshot with [[refreshClusterSnapshot]] — whose CC
+    * runs over a DELTA-sized component graph, so the daily refresh
+    * costs ~batch where [[registryClusters]] re-pays the full
+    * historical CC every call (it remains the bootstrap/repair path,
+    * and the q232 contract pins refresh ≡ full-CC). */
+  def writeClusterSnapshot(spark: org.apache.spark.sql.SparkSession,
+      registryPath: String, snapPath: String, maxIter: Int = 25): Unit = {
+    val ver = graft.util.FsIO.nextVersionDir(spark, snapPath)
+    writeSnapshotVersion(spark, snapPath, ver,
+      registryClusters(spark, registryPath, maxIter))
+  }
+
+  private def writeSnapshotVersion(spark: org.apache.spark.sql.SparkSession,
+      snapPath: String, ver: org.apache.hadoop.fs.Path, rows: DataFrame): Unit = {
+    rows.write.mode("overwrite").parquet(s"$ver/clusters")
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(ver, "_schema_clusters.ddl"),
+      rows.schema.toDDL)
+    graft.util.FsIO.publishVersion(spark, snapPath, ver)
+  }
+
+  /** The snapshot's current `(id, component)` map — component is the
+    * minimum node id of the cluster, exactly [[registryClusters]]'
+    * contract. Schema comes from the version's sidecar, so no parquet
+    * footer races a concurrent refresh. */
+  def readClusterSnapshot(spark: org.apache.spark.sql.SparkSession,
+      snapPath: String): DataFrame = {
+    val dataDir = graft.util.FsIO.indexDataDir(spark, snapPath)
+    val ddl = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(dataDir, "_schema_clusters.ddl"))
+      .getOrElse(throw new java.io.IOException(
+        s"cluster snapshot at $dataDir has no readable _schema_clusters.ddl sidecar"))
+    spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .parquet(s"$dataDir/clusters")
+  }
+
+  /** Fold a batch's pair evidence into the persisted cluster snapshot
+    * at DELTA cost: each delta endpoint resolves to its current
+    * component (unknown ids are their own), CC runs over the
+    * delta-sized COMPONENT graph only (components merge whole — the
+    * union-find argument: snapshot components are exact for all prior
+    * edges, and a new edge can only join whole components), and the
+    * resulting old→new component remap rewrites the snapshot in one
+    * map-side pass (the remap is batch-sized; AQE broadcasts it).
+    * Because every component id is its cluster's minimum node id, the
+    * merged component id is again the minimum over the merged
+    * clusters' ids — so refresh ≡ [[writeClusterSnapshot]] over the
+    * grown registry, which is exactly what q232 pins against q228's
+    * analytic closure oracle. Re-refreshing the same delta is a no-op
+    * (every edge lands inside one component). Single-writer like every
+    * maintenance path here; the publish keeps the superseded version
+    * for in-flight readers. */
+  def refreshClusterSnapshot(spark: org.apache.spark.sql.SparkSession,
+      snapPath: String, deltaPairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): Unit = {
+    val snap = readClusterSnapshot(spark, snapPath)
+    val delta = normalizedEdges(deltaPairs, aCol, bCol).localCheckpoint()
+    val ends = delta
+      .join(snap.select(col("id").as("a"), col("component").as("__ca")),
+        Seq("a"), "left")
+      .join(snap.select(col("id").as("b"), col("component").as("__cb")),
+        Seq("b"), "left")
+      .select(coalesce(col("__ca"), col("a")).as("ca"),
+        coalesce(col("__cb"), col("b")).as("cb"))
+    val remap = connectedComponents(
+        ends.where(col("ca") =!= col("cb")), "ca", "cb", maxIter)
+      .select(col("id").as("__oc"), col("component").as("__nc"))
+      .localCheckpoint() // two consumers; CC state is already checkpointed
+    val deltaIds = delta.select(col("a").as("id"))
+      .unionByName(delta.select(col("b").as("id"))).distinct()
+    val newRows = deltaIds.join(snap.select("id"), Seq("id"), "left_anti")
+      .join(remap, col("id") === col("__oc"), "left")
+      .select(col("id"), coalesce(col("__nc"), col("id")).as("component"))
+    val updated = snap.join(remap, snap("component") === col("__oc"), "left")
+      .select(snap("id"), coalesce(col("__nc"), snap("component")).as("component"))
+    val ver = graft.util.FsIO.nextVersionDir(spark, snapPath)
+    writeSnapshotVersion(spark, snapPath, ver, updated.unionByName(newRows))
+  }
+
   // ---- connected components over a near-dup pair graph -------------------
 
   /** Connected components of the undirected graph given as a pair list —

@@ -347,6 +347,22 @@ object StreamOps {
     graft.operators.Dedup.appendToLshIndex(
       batch.sparkSession, state, batch, idCol, textCol)
 
+  /** Maintain the persisted dedup-pair REGISTRY from a stream: the
+    * `foreachBatch` body for continuous pair-evidence ingest (each
+    * micro-batch's probe hits land here). Exactly-once with NO
+    * bookkeeping: edges are id-normalized `a < b` FACTS and the
+    * clustering reads ([[graft.operators.Dedup.registryClusters]], the
+    * snapshot refresh's delta CC) distinct their edges, so a retry's
+    * duplicate rows change nothing (the q233 gate replays batch 0 and
+    * must still equal q228's analytic closure). Bootstrap the registry
+    * once (`writeRegistry`, over history or an empty frame) before
+    * starting the query; compaction/snapshot maintenance stays an
+    * offline single-writer job like every index family here. */
+  def registryAppendBatch(state: String, batch: DataFrame, aCol: String,
+      bCol: String): Unit =
+    graft.operators.Dedup.appendToRegistry(
+      batch.sparkSession, state, batch, aCol, bCol)
+
   /** The maintained heavy-hitters summary: the mergeable-summaries fold
     * of every appended batch summary. None while no batch has arrived.
     * The global window runs on the folded item table — bounded by

@@ -47,6 +47,37 @@ class RegistryCalibrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perPt.nonEmpty && perPt.forall(_ == 1), s"not folded: ${perPt.toSeq}")
   }
 
+  test("cluster snapshot: delta refresh == full CC; re-refresh is a no-op") {
+    val sp = spark
+    import sp.implicits._
+    // batch 1: two components {1,2,3} and {10,11}; batch 2 bridges them
+    // and introduces a brand-new pair {50,51}; batch 3 replays batch 2
+    val b1 = Seq((1L, 2L), (1L, 3L), (10L, 11L)).toDF("x", "y")
+    val b2 = Seq((11L, 12L), (3L, 10L), (50L, 51L)).toDF("x", "y")
+    val reg = scratch()
+    val snap = scratch()
+    graft.operators.Dedup.writeRegistry(b1, "x", "y", reg)
+    graft.operators.Dedup.writeClusterSnapshot(spark, reg, snap)
+    def clusters() = graft.operators.Dedup.readClusterSnapshot(spark, snap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    graft.operators.Dedup.appendToRegistry(spark, reg, b2, "x", "y")
+    graft.operators.Dedup.refreshClusterSnapshot(spark, snap, b2, "x", "y")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      12L -> 1L, 50L -> 50L, 51L -> 50L)
+    assert(clusters() == expect, "delta refresh must merge across the bridge")
+    // the incremental map equals the full CC over the grown registry
+    val full = graft.operators.Dedup.registryClusters(spark, reg)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters() == full)
+    // replaying the same delta (a foreachBatch retry) changes nothing
+    graft.operators.Dedup.refreshClusterSnapshot(spark, snap, b2, "x", "y")
+    assert(clusters() == expect)
+    // an in-flight reader's version survived the refresh publishes
+    // (versioned root, same discipline as every index family)
+    assert(graft.util.FsIO.indexDataDir(spark, snap).endsWith("v3"))
+  }
+
   test("calibration: clamped bins, exact per-bin laws, ECE") {
     val sp = spark
     import sp.implicits._

@@ -2833,13 +2833,18 @@ object SparkEntry {
     // per-document word/piece counts under the trained unigram model —
     // the q151 contract shape for the unigram path (the oracle runs ONE
     // extra E-step walk under the final scores = the tokenizer's exact
-    // segmentation, then joins it through each doc's words)
+    // segmentation, then joins it through each doc's words). The model
+    // deliberately ROUND-TRIPS through saveModel/loadModel, so the
+    // oracled path itself proves persistence changes nothing.
     "q225_unigram_tokens" -> ((spark, dir) => {
       prep(spark, dir)
       val docs = spark.table("documents")
-      val m = graft.operators.Unigram.learn(docs, "text",
+      val trained = graft.operators.Unigram.learn(docs, "text",
         iters = UNIGRAM_ITERS, maxPieceLen = UNIGRAM_PIECE_LEN,
         maxPieces = UNIGRAM_MAX_PIECES)
+      val modelDir = scratchDir("graft_unigram_model_")
+      graft.operators.Unigram.saveModel(spark, trained, modelDir)
+      val m = graft.operators.Unigram.loadModel(spark, modelDir)
       graft.operators.Unigram.tokenCounts(docs, "doc_id", "text", m)
         .orderBy("doc_id")
     }),

@@ -329,7 +329,7 @@ object Ann {
     * concurrent probes keep their resolved version; not
     * concurrent-WRITER safe. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String, keepVersions: Int = 1): Unit = {
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)
     val idx = readIvfIndexAt(spark, dataDir) // validates the sidecar, nlist
     val ver = graft.util.FsIO.nextVersionDir(spark, path)
@@ -342,7 +342,7 @@ object Ann {
           new org.apache.hadoop.fs.Path(dataDir, name))
         .foreach(s => graft.util.FsIO.writeStringAtomic(spark,
           new org.apache.hadoop.fs.Path(ver, name), s))
-    graft.util.FsIO.publishVersion(spark, path, ver)
+    graft.util.FsIO.publishVersion(spark, path, ver, keepVersions)
   }
 
   /** The drift guard: fraction of full-probe (exact within the index)

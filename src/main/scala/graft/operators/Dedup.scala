@@ -453,7 +453,7 @@ object Dedup {
     * anyway); same next-version + pointer-flip discipline as the other
     * compactors — concurrent probes keep their resolved version. */
   def compactExactIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String, keepVersions: Int = 1): Unit = {
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)
     val buckets = exactIndexBuckets(spark, dataDir)
     val ver = graft.util.FsIO.nextVersionDir(spark, path)
@@ -467,7 +467,7 @@ object Dedup {
           new org.apache.hadoop.fs.Path(dataDir, name))
         .foreach(s => graft.util.FsIO.writeStringAtomic(spark,
           new org.apache.hadoop.fs.Path(ver, name), s))
-    graft.util.FsIO.publishVersion(spark, path, ver)
+    graft.util.FsIO.publishVersion(spark, path, ver, keepVersions)
   }
 
   /** Corpus snapshot diff by content hash: `(id, status)` for every id
@@ -503,7 +503,7 @@ object Dedup {
     * including ones planned mid-compaction — keep reading the version
     * they resolved; not concurrent-WRITER safe. */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String, keepVersions: Int = 1): Unit = {
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)
     val (numHashes, bands) = lshParams(spark, dataDir)
     val ver = graft.util.FsIO.nextVersionDir(spark, path)
@@ -513,7 +513,7 @@ object Dedup {
     graft.util.FsIO.writeStringAtomic(spark,
       new org.apache.hadoop.fs.Path(ver, "_lsh_params.json"),
       s"""{"numHashes":$numHashes,"bands":$bands}""")
-    graft.util.FsIO.publishVersion(spark, path, ver)
+    graft.util.FsIO.publishVersion(spark, path, ver, keepVersions)
   }
 
   /** Candidate near-dup pairs TOUCHING a new batch: the batch's bucket
@@ -861,7 +861,7 @@ object Dedup {
     * before and after, same next-version + pointer-flip discipline as
     * the other compactors. */
   def compactHammingIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String, keepVersions: Int = 1): Unit = {
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)
     val bands = hammingParams(spark, dataDir)
     val ver = graft.util.FsIO.nextVersionDir(spark, path)
@@ -871,7 +871,7 @@ object Dedup {
     graft.util.FsIO.writeStringAtomic(spark,
       new org.apache.hadoop.fs.Path(ver, "_hamming_params.json"),
       s"""{"bands":$bands}""")
-    graft.util.FsIO.publishVersion(spark, path, ver)
+    graft.util.FsIO.publishVersion(spark, path, ver, keepVersions)
   }
 
   // ---- persisted dedup-cluster REGISTRY: cross-batch pair evidence -----
@@ -965,7 +965,7 @@ object Dedup {
     * anyway); same next-version + pointer-flip discipline as the other
     * compactors. */
   def compactRegistry(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String, keepVersions: Int = 1): Unit = {
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)
     val buckets = registryBuckets(spark, dataDir)
     val ver = graft.util.FsIO.nextVersionDir(spark, path)
@@ -979,7 +979,7 @@ object Dedup {
           new org.apache.hadoop.fs.Path(dataDir, name))
         .foreach(s => graft.util.FsIO.writeStringAtomic(spark,
           new org.apache.hadoop.fs.Path(ver, name), s))
-    graft.util.FsIO.publishVersion(spark, path, ver)
+    graft.util.FsIO.publishVersion(spark, path, ver, keepVersions)
   }
 
   // ---- persisted cluster SNAPSHOT: batch-cost incremental CC ----------
@@ -995,19 +995,21 @@ object Dedup {
     * historical CC every call (it remains the bootstrap/repair path,
     * and the q232 contract pins refresh ≡ full-CC). */
   def writeClusterSnapshot(spark: org.apache.spark.sql.SparkSession,
-      registryPath: String, snapPath: String, maxIter: Int = 25): Unit = {
+      registryPath: String, snapPath: String, maxIter: Int = 25,
+      keepVersions: Int = 1): Unit = {
     val ver = graft.util.FsIO.nextVersionDir(spark, snapPath)
     writeSnapshotVersion(spark, snapPath, ver,
-      registryClusters(spark, registryPath, maxIter))
+      registryClusters(spark, registryPath, maxIter), keepVersions)
   }
 
   private def writeSnapshotVersion(spark: org.apache.spark.sql.SparkSession,
-      snapPath: String, ver: org.apache.hadoop.fs.Path, rows: DataFrame): Unit = {
+      snapPath: String, ver: org.apache.hadoop.fs.Path, rows: DataFrame,
+      keepVersions: Int): Unit = {
     rows.write.mode("overwrite").parquet(s"$ver/clusters")
     graft.util.FsIO.writeStringAtomic(spark,
       new org.apache.hadoop.fs.Path(ver, "_schema_clusters.ddl"),
       rows.schema.toDDL)
-    graft.util.FsIO.publishVersion(spark, snapPath, ver)
+    graft.util.FsIO.publishVersion(spark, snapPath, ver, keepVersions)
   }
 
   /** The snapshot's current `(id, component)` map — component is the
@@ -1043,7 +1045,7 @@ object Dedup {
     * for in-flight readers. */
   def refreshClusterSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapPath: String, deltaPairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): Unit = {
+      maxIter: Int = 25, keepVersions: Int = 1): Unit = {
     val snap = readClusterSnapshot(spark, snapPath)
     val delta = normalizedEdges(deltaPairs, aCol, bCol).localCheckpoint()
     val ends = delta
@@ -1065,7 +1067,8 @@ object Dedup {
     val updated = snap.join(remap, snap("component") === col("__oc"), "left")
       .select(snap("id"), coalesce(col("__nc"), snap("component")).as("component"))
     val ver = graft.util.FsIO.nextVersionDir(spark, snapPath)
-    writeSnapshotVersion(spark, snapPath, ver, updated.unionByName(newRows))
+    writeSnapshotVersion(spark, snapPath, ver, updated.unionByName(newRows),
+      keepVersions)
   }
 
   // ---- connected components over a near-dup pair graph -------------------

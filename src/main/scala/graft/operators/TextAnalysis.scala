@@ -1035,7 +1035,7 @@ object TextAnalysis {
     * version they resolved. Run it offline like any other
     * index-maintenance job; it is not concurrent-WRITER safe. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String, keepVersions: Int = 1): Unit = {
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)
     val buckets = bm25Buckets(spark, dataDir)
     def readTable(sub: String) = bm25Table(spark, dataDir, sub)
@@ -1060,7 +1060,7 @@ object TextAnalysis {
           new org.apache.hadoop.fs.Path(dataDir, name))
         .foreach(s => graft.util.FsIO.writeStringAtomic(spark,
           new org.apache.hadoop.fs.Path(ver, name), s))
-    graft.util.FsIO.publishVersion(spark, path, ver)
+    graft.util.FsIO.publishVersion(spark, path, ver, keepVersions)
   }
 
   /** One sub-table of a resolved BM25 version directory, read with its

@@ -852,6 +852,54 @@ object ScaleSmoke {
       println(s"[scale]   exact-index hits: $exi")
     }
 
+    // ---- unigram tokenize at 100k docs / ~100k distinct words: the
+    // round-16 executor-side path (broadcast scores + per-partition
+    // memo). Before the rewrite this collected every distinct word to
+    // the driver; now nothing corpus-sized leaves the executors — the
+    // wide per-doc suffix vocabulary is exactly the regime that used
+    // to OOM. Train on a SMALL sample (driver EM is vocabulary-bounded
+    // by design), tokenize the FULL corpus.
+    {
+      val wide = docs.selectExpr("doc_id",
+        "concat(text, ' uniq', CAST(doc_id AS STRING)) AS text")
+      val model = time("unigram learn (2k-doc sample, 2 EM iters)") {
+        graft.operators.Unigram.learn(
+          wide.where(col("doc_id") % 50 === 0).limit(2000), "text",
+          iters = 2, maxPieceLen = 4, maxPieces = 400, maxWords = 20000)
+      }
+      val toks = withShuffle("unigram tokenCounts 100k docs, open vocab") {
+        graft.operators.Unigram.tokenCounts(wide, "doc_id", "text", model)
+          .agg(sum("n_pieces")).collect().head.getLong(0)
+      }
+      println(s"[scale]   unigram pieces: $toks")
+    }
+
+    // ---- registry cluster snapshot: 1M-edge bootstrap + a 10k-edge
+    // daily delta. The refresh's CC must run over the DELTA-sized
+    // component graph — walltime far below the bootstrap's full CC.
+    {
+      val reg = java.nio.file.Files.createTempDirectory("scale_reg").toString + "/reg"
+      val snap = java.nio.file.Files.createTempDirectory("scale_reg").toString + "/snap"
+      val chain = spark.range(1000000L)
+        .selectExpr("id AS a", "id + 97 AS b") // 97 interleaved chains
+      time("registry write 1M edges") {
+        Dedup.writeRegistry(chain, "a", "b", reg)
+      }
+      val boot = time("cluster snapshot bootstrap (full CC, 1M edges)") {
+        Dedup.writeClusterSnapshot(spark, reg, snap)
+        Dedup.readClusterSnapshot(spark, snap).count()
+      }
+      println(s"[scale]   snapshot ids: $boot")
+      val delta = spark.range(10000L)
+        .selectExpr("id * 97 AS a", "id * 97 + 1 AS b") // cross-chain bridges
+      val refr = withShuffle("snapshot refresh (10k delta edges)") {
+        Dedup.appendToRegistry(spark, reg, delta, "a", "b")
+        Dedup.refreshClusterSnapshot(spark, snap, delta, "a", "b")
+        Dedup.readClusterSnapshot(spark, snap).count()
+      }
+      println(s"[scale]   snapshot ids after refresh: $refr")
+    }
+
     spark.stop()
   }
 }

@@ -487,9 +487,15 @@ object Bench {
             nameCorpus(n), "id", "name", minSim = 0.88)),
           ("sim_suite", n => suite(nameCorpus(n))))
         val passes = 2
-        // build + warm once per (lane, scale), then interleave the passes
+        // build + warm once per (lane, scale), then interleave the passes.
+        // THREE scales: the r16 probe showed the base point carries a
+        // ~2 s fixed plan/JIT floor that makes a raw x10/base ratio read
+        // 6x for a perfectly linear operator (63k->200k docs measured
+        // 3.17x input -> 3.1x time, zero spill) — the x3 point separates
+        // floor from slope, and per-scale throughput makes linearity
+        // legible (flat x3->x10 krows/s = linear).
         val builtLanes = for ((name, mk) <- lanes; (tag, n) <-
-            Seq(("base", nBase), ("x10", nBase * 10))) yield {
+            Seq(("base", nBase), ("x3", nBase * 3), ("x10", nBase * 10))) yield {
           val df = mk(n)
           df.write.format("noop").mode("overwrite").save()
           (s"$name.$tag", df)
@@ -525,17 +531,19 @@ object Bench {
         }
         val ratios = lanes.map { case (name, _) =>
           val (b, bLd) = lt(s"$name.base").minBy(_._1)
+          val (m, _) = lt(s"$name.x3").minBy(_._1)
           val (x, xLd) = lt(s"$name.x10").minBy(_._1)
-          (name, b, x, bLd, xLd)
+          (name, b, m, x, bLd, xLd)
         }
-        val entries = ratios.map { case (name, b, x, bLd, xLd) =>
-          val lds = (lt(s"$name.base") ++ lt(s"$name.x10")).map(_._2)
-          f""""$name":{"base_sec":$b,"x10_sec":$x,"ratio":${x / b}%.2f,"loadavg_at_min_base":$bLd,"loadavg_at_min_x10":$xLd,"loadavg_max":${lds.max}}"""
+        val entries = ratios.map { case (name, b, m, x, bLd, xLd) =>
+          val lds = (lt(s"$name.base") ++ lt(s"$name.x3") ++ lt(s"$name.x10")).map(_._2)
+          val thr = f""""krows_per_sec":[${nBase / 1000.0 / b}%.1f,${nBase * 3 / 1000.0 / m}%.1f,${nBase * 10 / 1000.0 / x}%.1f]"""
+          f""""$name":{"base_sec":$b,"x3_sec":$m,"x10_sec":$x,"ratio":${x / b}%.2f,"ratio_x10_vs_x3":${x / m}%.2f,$thr,"loadavg_at_min_base":$bLd,"loadavg_at_min_x10":$xLd,"loadavg_max":${lds.max}}"""
         }
         val ratiosJson = ratios
-          .map { case (name, b, x, _, _) => f""""$name":${x / b}%.2f""" }
+          .map { case (name, b, _, x, _, _) => f""""$name":${x / b}%.2f""" }
           .mkString("{", ",", "}")
-        (s""""simjoin_lane":{"n_base":$nBase,"passes":$passes,"load_retry_passes":$laneRetry,${entries.mkString(",")},"note":"linear-output fixtures (disjoint 20-doc group vocabularies / fixed block occupancy); contract fixtures are quadratic by construction so these are the scale signals for the similarity joins; min over interleaved + b2b samples, per-entry loadavg_at_min recorded"}""",
+        (s""""simjoin_lane":{"n_base":$nBase,"passes":$passes,"load_retry_passes":$laneRetry,${entries.mkString(",")},"note":"linear-output fixtures (disjoint 20-doc group vocabularies / fixed block occupancy); contract fixtures are quadratic by construction so these are the scale signals for the similarity joins; min over interleaved + b2b samples, per-entry loadavg_at_min recorded; the raw x10/base ratio carries a ~2s fixed plan floor at base (a linear operator reads ~6x there) - judge linearity by flat krows_per_sec from x3 to x10 and ratio_x10_vs_x3 <= ~3.3"}""",
           Some(ratiosJson))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] simjoin lane failed: ${e.getMessage}")

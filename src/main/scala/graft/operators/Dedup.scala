@@ -983,17 +983,27 @@ object Dedup {
   }
 
   // ---- persisted cluster SNAPSHOT: batch-cost incremental CC ----------
+  //
+  // Layout inside a snapshot VERSION directory (v<N>/):
+  //   clusters/        the BASE (id, component) parquet + schema sidecar
+  //   new_d<K>/        per-refresh NEW-id rows (id, component)
+  //   remap_d<K>/      per-refresh component remaps (__oc, __nc), K ordered
+  // Reads fold base ∪ new-id deltas through the ORDERED composition of
+  // the remap deltas — collected driver-side, bounded by the components
+  // touched since the last compaction (centroid-class state, compact on
+  // cadence) — so a daily refresh APPENDS two batch-sized delta dirs and
+  // never rewrites the history-sized base: the BM25 dfreq-delta pattern.
+  // The history-sized IO is paid only by [[compactClusterSnapshot]].
 
   /** Bootstrap the registry's persisted `(id, component)` cluster map
     * under `snapPath` (its own versioned root, SEPARATE from the
     * registry's) — one full large-star/small-star CC over the edge log,
-    * written as `clusters/` parquet with a schema sidecar. Thereafter a
-    * daily batch appends its pairs to the registry AND folds the same
-    * pairs into the snapshot with [[refreshClusterSnapshot]] — whose CC
-    * runs over a DELTA-sized component graph, so the daily refresh
-    * costs ~batch where [[registryClusters]] re-pays the full
-    * historical CC every call (it remains the bootstrap/repair path,
-    * and the q232 contract pins refresh ≡ full-CC). */
+    * written as the base of a fresh version. Thereafter a daily batch
+    * appends its pairs to the registry AND folds the same pairs into
+    * the snapshot with [[refreshClusterSnapshot]] at delta cost;
+    * [[registryClusters]] re-pays the full historical CC every call and
+    * remains the bootstrap/repair path (the q232 contract pins
+    * refresh ≡ full-CC against q228's analytic closure). */
   def writeClusterSnapshot(spark: org.apache.spark.sql.SparkSession,
       registryPath: String, snapPath: String, maxIter: Int = 25,
       keepVersions: Int = 1): Unit = {
@@ -1012,9 +1022,32 @@ object Dedup {
     graft.util.FsIO.publishVersion(spark, snapPath, ver, keepVersions)
   }
 
+  /** The snapshot's delta dirs under `dataDir` with prefix `new_d` or
+    * `remap_d`, in ordinal order. */
+  private def snapDeltaDirs(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, prefix: String): Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath)
+      .flatMap { d =>
+        val n = d.getName
+        if (n.startsWith(prefix) && n.length > prefix.length &&
+            n.drop(prefix.length).forall(_.isDigit))
+          Some((n.drop(prefix.length).toLong, d))
+        else None
+      }.sortBy(_._1).map(_._2)
+  }
+
   /** The snapshot's current `(id, component)` map — component is the
     * minimum node id of the cluster, exactly [[registryClusters]]'
-    * contract. Schema comes from the version's sidecar, so no parquet
+    * contract. Folds the version's base and new-id deltas through the
+    * ordered composition of its remap deltas: each remap's domain is
+    * component ids that were CURRENT when it was written, and a merged
+    * component id never becomes current again (components only merge,
+    * the min only decreases), so the domains are disjoint and the
+    * composition is a well-defined function applied in ONE broadcast
+    * join. Schema comes from the version's sidecar, so no parquet
     * footer races a concurrent refresh. */
   def readClusterSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapPath: String): DataFrame = {
@@ -1023,8 +1056,36 @@ object Dedup {
         new org.apache.hadoop.fs.Path(dataDir, "_schema_clusters.ddl"))
       .getOrElse(throw new java.io.IOException(
         s"cluster snapshot at $dataDir has no readable _schema_clusters.ddl sidecar"))
-    spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-      .parquet(s"$dataDir/clusters")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val base = spark.read.schema(schema).parquet(s"$dataDir/clusters")
+    val withNew = snapDeltaDirs(spark, dataDir, "new_d")
+      .foldLeft(base)((acc, d) =>
+        acc.unionByName(spark.read.schema(schema).parquet(d.toString)))
+    // ordered remap composition, driver-side: bounded by components
+    // touched since the last compaction
+    val composed = collection.mutable.LinkedHashMap.empty[Any, Any]
+    for (d <- snapDeltaDirs(spark, dataDir, "remap_d")) {
+      val m = spark.read.parquet(d.toString).collect()
+        .map(r => (r.get(0), r.get(1))).toMap
+      for (k <- composed.keys.toSeq) {
+        val v = composed(k); composed(k) = m.getOrElse(v, v)
+      }
+      for ((k, v) <- m) if (!composed.contains(k)) composed(k) = v
+    }
+    if (composed.isEmpty) withNew
+    else {
+      val ct = schema("component").dataType
+      val remapSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__oc", ct),
+        org.apache.spark.sql.types.StructField("__nc", ct)))
+      val rows = composed.toSeq
+        .map { case (k, v) => org.apache.spark.sql.Row(k, v) }
+      val remapDf = spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, remapSchema)
+      withNew.join(broadcast(remapDf), col("component") === col("__oc"), "left")
+        .select(col("id"),
+          coalesce(col("__nc"), col("component")).as("component"))
+    }
   }
 
   /** Fold a batch's pair evidence into the persisted cluster snapshot
@@ -1033,42 +1094,77 @@ object Dedup {
     * delta-sized COMPONENT graph only (components merge whole — the
     * union-find argument: snapshot components are exact for all prior
     * edges, and a new edge can only join whole components), and the
-    * resulting old→new component remap rewrites the snapshot in one
-    * map-side pass (the remap is batch-sized; AQE broadcasts it).
+    * result is APPENDED as two batch-sized delta dirs — new-id rows and
+    * a non-identity component remap — never a rewrite of the base.
     * Because every component id is its cluster's minimum node id, the
-    * merged component id is again the minimum over the merged
-    * clusters' ids — so refresh ≡ [[writeClusterSnapshot]] over the
-    * grown registry, which is exactly what q232 pins against q228's
-    * analytic closure oracle. Re-refreshing the same delta is a no-op
-    * (every edge lands inside one component). Single-writer like every
-    * maintenance path here; the publish keeps the superseded version
-    * for in-flight readers. */
+    * merged component id is again the minimum over the merged clusters'
+    * ids — so refresh ≡ [[writeClusterSnapshot]] over the grown
+    * registry (q232 pins it against q228's analytic closure oracle).
+    * Re-refreshing the same delta is a strict no-op (no dirs written);
+    * a refresh that crashes between its two delta writes is healed by
+    * retrying the same batch (the recomputed remap re-merges whatever
+    * the crash left split — same retry contract as foreachBatch).
+    * Single-writer like every maintenance path; the post-append pointer
+    * check makes a racing compaction loud. Run
+    * [[compactClusterSnapshot]] on a cadence to fold the deltas. */
   def refreshClusterSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapPath: String, deltaPairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25, keepVersions: Int = 1): Unit = {
-    val snap = readClusterSnapshot(spark, snapPath)
+      maxIter: Int = 25): Unit = {
+    val dataDir = graft.util.FsIO.indexDataDir(spark, snapPath)
+    val view = readClusterSnapshot(spark, snapPath)
     val delta = normalizedEdges(deltaPairs, aCol, bCol).localCheckpoint()
+    val deltaIds = delta.select(col("a").as("id"))
+      .unionByName(delta.select(col("b").as("id"))).distinct()
+      .localCheckpoint()
+    // ONE map-only pass over the history-sized view: semi-join it down
+    // to the batch's ids (AQE broadcasts the id list when it fits; a
+    // backfill degrades to a shuffle) and checkpoint the batch-sized
+    // lookup — the endpoint-resolve joins and the new-id anti-join
+    // below then touch only batch-sized frames, so a refresh reads the
+    // base exactly once and shuffles nothing history-sized
+    val known = view.join(deltaIds, Seq("id"), "left_semi").localCheckpoint()
     val ends = delta
-      .join(snap.select(col("id").as("a"), col("component").as("__ca")),
+      .join(known.select(col("id").as("a"), col("component").as("__ca")),
         Seq("a"), "left")
-      .join(snap.select(col("id").as("b"), col("component").as("__cb")),
+      .join(known.select(col("id").as("b"), col("component").as("__cb")),
         Seq("b"), "left")
       .select(coalesce(col("__ca"), col("a")).as("ca"),
         coalesce(col("__cb"), col("b")).as("cb"))
     val remap = connectedComponents(
         ends.where(col("ca") =!= col("cb")), "ca", "cb", maxIter)
       .select(col("id").as("__oc"), col("component").as("__nc"))
-      .localCheckpoint() // two consumers; CC state is already checkpointed
-    val deltaIds = delta.select(col("a").as("id"))
-      .unionByName(delta.select(col("b").as("id"))).distinct()
-    val newRows = deltaIds.join(snap.select("id"), Seq("id"), "left_anti")
+      .where(col("__oc") =!= col("__nc")) // non-identity mappings only
+      .localCheckpoint()
+    val newRows = deltaIds.join(known.select("id"), Seq("id"), "left_anti")
       .join(remap, col("id") === col("__oc"), "left")
       .select(col("id"), coalesce(col("__nc"), col("id")).as("component"))
-    val updated = snap.join(remap, snap("component") === col("__oc"), "left")
-      .select(snap("id"), coalesce(col("__nc"), snap("component")).as("component"))
+      .localCheckpoint()
+    val existing = (snapDeltaDirs(spark, dataDir, "new_d") ++
+      snapDeltaDirs(spark, dataDir, "remap_d"))
+      .map(_.getName.replaceAll("^\\D+", "").toLong)
+    val ord = existing.maxOption.getOrElse(0L) + 1L
+    require(ord <= 99999L,
+      s"cluster snapshot at $snapPath has $ord deltas; compact it")
+    // new-id rows FIRST, then the remap: a crash between the writes
+    // leaves new ids carrying pre-merge components that the retried
+    // batch's recomputed remap folds back together
+    if (!newRows.isEmpty)
+      newRows.write.parquet(f"$dataDir/new_d$ord%05d")
+    if (!remap.isEmpty)
+      remap.write.parquet(f"$dataDir/remap_d$ord%05d")
+    graft.util.FsIO.assertStillCurrent(spark, snapPath, dataDir)
+  }
+
+  /** Fold the snapshot's base + deltas into the next version's base —
+    * read-identical before and after (the read IS the fold); same
+    * next-version + pointer-flip discipline as the other compactors.
+    * This is where the history-sized IO lives; the daily refresh never
+    * pays it. */
+  def compactClusterSnapshot(spark: org.apache.spark.sql.SparkSession,
+      snapPath: String, keepVersions: Int = 1): Unit = {
+    val rows = readClusterSnapshot(spark, snapPath)
     val ver = graft.util.FsIO.nextVersionDir(spark, snapPath)
-    writeSnapshotVersion(spark, snapPath, ver, updated.unionByName(newRows),
-      keepVersions)
+    writeSnapshotVersion(spark, snapPath, ver, rows, keepVersions)
   }
 
   // ---- connected components over a near-dup pair graph -------------------

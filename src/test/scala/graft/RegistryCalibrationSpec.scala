@@ -70,12 +70,26 @@ class RegistryCalibrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val full = graft.operators.Dedup.registryClusters(spark, reg)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters() == full)
-    // replaying the same delta (a foreachBatch retry) changes nothing
+    // replaying the same delta (a foreachBatch retry) is a strict no-op:
+    // no new delta dirs, same clusters
+    def deltaDirs() = new java.io.File(
+        graft.util.FsIO.indexDataDir(spark, snap)).listFiles()
+      .map(_.getName).filter(n => n.startsWith("new_d") || n.startsWith("remap_d"))
+      .sorted.toSeq
+    val before = deltaDirs()
     graft.operators.Dedup.refreshClusterSnapshot(spark, snap, b2, "x", "y")
     assert(clusters() == expect)
-    // an in-flight reader's version survived the refresh publishes
-    // (versioned root, same discipline as every index family)
-    assert(graft.util.FsIO.indexDataDir(spark, snap).endsWith("v3"))
+    assert(deltaDirs() == before, "a replayed delta must write nothing")
+    // the refresh APPENDED batch-sized deltas into v1 - no base rewrite,
+    // no publish (that is the whole point of the delta layout)
+    assert(graft.util.FsIO.indexDataDir(spark, snap).endsWith("v1"))
+    assert(before.exists(_.startsWith("remap_d")) &&
+      before.exists(_.startsWith("new_d")), s"expected delta dirs: $before")
+    // compaction folds base + deltas into v2; read-identical
+    graft.operators.Dedup.compactClusterSnapshot(spark, snap)
+    assert(graft.util.FsIO.indexDataDir(spark, snap).endsWith("v2"))
+    assert(deltaDirs().isEmpty, "compaction must fold the deltas away")
+    assert(clusters() == expect, "compaction changed the clusters")
   }
 
   test("calibration: clamped bins, exact per-bin laws, ECE") {

@@ -3172,6 +3172,59 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // STREAMING incremental clustering: each micro-batch appends its
+    // edges to the registry AND folds them into the cluster snapshot
+    // (delta-cost CC) in one foreachBatch body, batch 0 deliberately
+    // replayed — the replayed refresh is a strict no-op and the
+    // replayed append adds facts the clustering distincts, so the
+    // snapshot must equal q228's analytic chain closure
+    "q235_stream_snapshot" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.streaming.Trigger
+      val edges = spark.table("documents").select(col("doc_id"))
+        .where(col("doc_id") >= 40)
+        .select((col("doc_id") - 40).as("a"), col("doc_id").as("b"))
+      val work = scratchDir("graft-q235-")
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      def stage(cond: org.apache.spark.sql.Column, name: String,
+          mtime: Long): Unit = {
+        val tmp = s"$work/stage_$name"
+        edges.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = inDir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      stage(expr("(b DIV 40) % 2 = 1"), "a.parquet", 1000000L)
+      stage(expr("(b DIV 40) % 2 = 0"), "b.parquet", 2000000L)
+      val reg = s"$work/reg"
+      val snap = s"$work/snap"
+      graft.operators.Dedup.writeRegistry(
+        edges.where(org.apache.spark.sql.functions.lit(false)), "a", "b", reg)
+      graft.operators.Dedup.writeClusterSnapshot(spark, reg, snap)
+      val q = spark.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.StreamOps.registryWithSnapshotBatch(reg, snap, b, "a", "b")
+          if (id == 0) // retry: edge facts distinct away; refresh no-ops
+            graft.streaming.StreamOps.registryWithSnapshotBatch(reg, snap, b, "a", "b")
+        }
+        .start()
+      q.awaitTermination()
+      graft.operators.Dedup.readClusterSnapshot(spark, snap)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // INCREMENTAL cluster snapshot: bootstrap the (id, component) map
     // from the odd chain edges, then fold the even edges in as two
     // delta refreshes (each CC runs over the delta-sized component
@@ -7788,6 +7841,11 @@ object SparkEntry {
     "q228_dedup_registry" -> """
       SELECT doc_id, doc_id % 40 AS component
       FROM documents ORDER BY doc_id""",
+    // streamed append+refresh per micro-batch with a batch-0 replay:
+    // the snapshot's delta view must equal q228's analytic closure
+    "q235_stream_snapshot" -> """
+      SELECT doc_id, doc_id % 40 AS component
+      FROM documents ORDER BY doc_id""",
     // streamed edge-fact appends + a retry are invisible to the
     // clustering (edge-distinct) — q228's analytic closure verbatim
     "q233_stream_registry" -> """
@@ -8341,6 +8399,8 @@ object SparkEntry {
     "q232_registry_snapshot",
     // streamed edge appends + retry over 10x-long chains
     "q233_stream_registry",
+    // streamed append+refresh loop + retry over 10x-long chains
+    "q235_stream_snapshot",
     // every bin mean/fraction and the ECE shift at 10x scores
     "q229_calibration")
     // q197_containment has NO twin: the synthetic corpus's ~31-word

@@ -363,6 +363,26 @@ object StreamOps {
     graft.operators.Dedup.appendToRegistry(
       batch.sparkSession, state, batch, aCol, bCol)
 
+  /** The full incremental-clustering loop as ONE `foreachBatch` body:
+    * append the batch's pair evidence to the registry, then fold the
+    * same pairs into the persisted cluster snapshot at delta cost.
+    * Exactly-once with NO bookkeeping, by two independent arguments: the
+    * registry append writes `a < b` edge FACTS that clustering
+    * distincts, and a replayed snapshot refresh is a STRICT no-op (its
+    * delta edges already land inside one component, so it writes
+    * nothing); a crash between the two calls is healed by the batch
+    * retry (the recomputed remap re-merges whatever was left split).
+    * The q235 gate replays batch 0 and requires the snapshot to equal
+    * q228's analytic closure. Keep [[graft.operators.Dedup.compactClusterSnapshot]]
+    * and registry compaction on an offline cadence with the stream
+    * quiesced — the single-writer rule of every index family here. */
+  def registryWithSnapshotBatch(registryPath: String, snapPath: String,
+      batch: DataFrame, aCol: String, bCol: String): Unit = {
+    val spark = batch.sparkSession
+    graft.operators.Dedup.appendToRegistry(spark, registryPath, batch, aCol, bCol)
+    graft.operators.Dedup.refreshClusterSnapshot(spark, snapPath, batch, aCol, bCol)
+  }
+
   /** The maintained heavy-hitters summary: the mergeable-summaries fold
     * of every appended batch summary. None while no batch has arrived.
     * The global window runs on the folded item table — bounded by

@@ -316,6 +316,38 @@ object Unigram {
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
   }
 
+  /** Map-only full tokenization — [[Bpe.tokenize]]'s output contract
+    * for the unigram path: one row per input row with the array of
+    * pieces (per whitespace word, flattened in order; empty/NULL text
+    * gives an empty array). Entirely shuffle-free: each partition
+    * splits, segments (broadcast scores, per-partition memo,
+    * [[segmentOrChars]] fallback), and flattens its own rows. */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val spark = df.sparkSession
+    val bScores = spark.sparkContext.broadcast(model.scores)
+    val mpl = model.maxPieceLen
+    val in = df.select(col(idCol),
+      coalesce(col(textCol).cast("string"), lit("")).as("__text"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema.fields(0),
+      org.apache.spark.sql.types.StructField("pieces",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false),
+        nullable = false)))
+    in.mapPartitions { it =>
+      val memo = collection.mutable.HashMap.empty[String, Seq[String]]
+      val scores = bScores.value
+      it.map { r =>
+        val pieces = r.getString(1).split(" ").iterator
+          .filter(_.nonEmpty)
+          .flatMap(w => memoized(memo, w)(segmentOrChars(w, scores, mpl)))
+          .toSeq
+        org.apache.spark.sql.Row(r.get(0), pieces)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Tokenization to integer ids: one row per (doc, position) with the
     * piece string and its id — [[Bpe.tokenizeIds]]' output contract
     * (`pos` 0-based over the doc's flattened piece sequence, NULL id =

@@ -114,6 +114,34 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected executor-side MapPartitions in the plan:\n$plan")
   }
 
+  test("tokenize: shuffle-free array form == flattened tokenizeIds; BPE contract shape") {
+    val sp = spark
+    import sp.implicits._
+    val train = Seq((1L, "hash join hash stream"), (2L, "join window"))
+      .toDF("doc_id", "text")
+    val m = Unigram.learn(train, "text", iters = 2, maxPieceLen = 4)
+    val docs = train.unionByName(Seq((9L, "hash Zq"), (10L, ""),
+      (11L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val arr = Unigram.tokenize(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // every doc keeps a row; empty/NULL text gives an empty array
+    assert(arr.keySet == Set(1L, 2L, 9L, 10L, 11L))
+    assert(arr(10L).isEmpty && arr(11L).isEmpty)
+    // equals the positional form flattened in pos order
+    val byIds = Unigram.tokenizeIds(docs, "doc_id", "text", m)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      assert(arr(id) == byIds.getOrElse(id, Seq.empty),
+        s"doc $id: ${arr(id)} != ${byIds.getOrElse(id, Seq.empty)}")
+    }
+    // the plan is map-only: no exchange anywhere
+    val plan = Unigram.tokenize(docs, "doc_id", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"tokenize must be shuffle-free:\n$plan")
+  }
+
   test("saveModel/loadModel round-trips; loader fails loudly on broken artifacts") {
     val sp = spark
     import sp.implicits._

@@ -3172,6 +3172,24 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // the snapshot's consumer API: the dedup verdict for the WHOLE
+    // corpus against a snapshot built from the sub-400 chain edges —
+    // ids the snapshot knows get their chain minimum (keep iff they
+    // ARE it), ids it has never seen keep themselves
+    "q236_snapshot_verdict" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val edges = spark.table("documents").select(col("doc_id"))
+        .where(col("doc_id") >= 40 && col("doc_id") < 400)
+        .select((col("doc_id") - 40).as("a"), col("doc_id").as("b"))
+      val reg = scratchDir("graft_verdict_reg_")
+      val snap = scratchDir("graft_verdict_cl_")
+      graft.operators.Dedup.writeRegistry(edges, "a", "b", reg)
+      graft.operators.Dedup.writeClusterSnapshot(spark, reg, snap)
+      graft.operators.Dedup.snapshotDedupVerdict(spark, snap,
+          spark.table("documents"), "doc_id")
+        .orderBy("doc_id")
+    }),
     // STREAMING incremental clustering: each micro-batch appends its
     // edges to the registry AND folds them into the cluster snapshot
     // (delta-cost CC) in one foreachBatch body, batch 0 deliberately
@@ -7841,6 +7859,13 @@ object SparkEntry {
     "q228_dedup_registry" -> """
       SELECT doc_id, doc_id % 40 AS component
       FROM documents ORDER BY doc_id""",
+    // known ids resolve to the chain minimum, unknown ids keep
+    // themselves — the analytic closure restricted to the sub-400 edges
+    "q236_snapshot_verdict" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id < 400 THEN doc_id % 40 ELSE doc_id END AS component,
+             (CASE WHEN doc_id < 400 THEN doc_id % 40 ELSE doc_id END) = doc_id AS keep
+      FROM documents ORDER BY doc_id""",
     // streamed append+refresh per micro-batch with a batch-0 replay:
     // the snapshot's delta view must equal q228's analytic closure
     "q235_stream_snapshot" -> """
@@ -8401,6 +8426,8 @@ object SparkEntry {
     "q233_stream_registry",
     // streamed append+refresh loop + retry over 10x-long chains
     "q235_stream_snapshot",
+    // the corpus-wide verdict over 10x docs (known/unknown id split)
+    "q236_snapshot_verdict",
     // every bin mean/fraction and the ECE shift at 10x scores
     "q229_calibration")
     // q197_containment has NO twin: the synthetic corpus's ~31-word

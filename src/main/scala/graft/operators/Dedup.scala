@@ -1155,6 +1155,27 @@ object Dedup {
     graft.util.FsIO.assertStillCurrent(spark, snapPath, dataDir)
   }
 
+  /** The standing dedup verdict for a corpus against the persisted
+    * cluster snapshot: one row per distinct input id with its canonical
+    * component (its own id when the snapshot has never seen it — the
+    * [[dedupClusters]] singleton convention) and the keep flag
+    * (id == component: the cluster's minimum member is the canonical
+    * survivor). One join against the snapshot view — map-only when the
+    * corpus side dominates and AQE broadcasts the snapshot's probe
+    * slice; compose with a semi-join to admit rows downstream. This is
+    * the read that makes the registry → snapshot loop actionable:
+    * probe, append, refresh, then admit each batch by this verdict. */
+  def snapshotDedupVerdict(spark: org.apache.spark.sql.SparkSession,
+      snapPath: String, df: DataFrame, idCol: String): DataFrame = {
+    val snap = readClusterSnapshot(spark, snapPath)
+      .withColumnRenamed("id", idCol)
+    df.select(col(idCol)).distinct()
+      .join(snap, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("keep", col("component") === col(idCol))
+  }
+
   /** Fold the snapshot's base + deltas into the next version's base —
     * read-identical before and after (the read IS the fold); same
     * next-version + pointer-flip discipline as the other compactors.

@@ -450,6 +450,22 @@ object Bench {
           None)
       else try {
         graft.functions.GeoFunctions.register(spark)
+        // COOLDOWN before sampling: this lane runs last, and the 1-min
+        // loadavg is a LAGGING average — right after the sf1 tier it
+        // reads 20+ for a minute even though nothing is running, so the
+        // recorded per-sample loadavg would look contaminated (and the
+        // load-retry would spin) on a perfectly idle box. Wait, bounded,
+        // for the decaying average to drop under the retry threshold so
+        // the artifact's loadavg numbers mean what they say.
+        def coolDown(maxWaitSec: Int): Unit = {
+          val t0 = System.nanoTime()
+          while (loadavg1() > loadMax &&
+              (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+            System.err.println(f"[bench] simlane cooldown: loadavg ${loadavg1()}%.1f > $loadMax")
+            Thread.sleep(10000)
+          }
+        }
+        coolDown(180)
         val nBase = sys.env.getOrElse("SPARK_GRAFT_SIMLANE_N", "20000").toLong
         // 20-doc groups over disjoint vocabularies: every in-group pair
         // shares >= 16 of 20 tokens (J >= 0.8), cross-group pairs share
@@ -525,6 +541,7 @@ object Bench {
         var laneRetry = 0
         while (laneRetry < passes * 3 && laneDirty.nonEmpty) {
           laneRetry += 1
+          coolDown(60) // let the self-heated average decay before re-sampling
           System.err.println(
             s"[bench] simlane load-retry pass $laneRetry: ${laneDirty.map(_._1).mkString(",")}")
           for ((key, df) <- laneDirty) lanePass(key, df)
@@ -538,7 +555,11 @@ object Bench {
         val entries = ratios.map { case (name, b, m, x, bLd, xLd) =>
           val lds = (lt(s"$name.base") ++ lt(s"$name.x3") ++ lt(s"$name.x10")).map(_._2)
           val thr = f""""krows_per_sec":[${nBase / 1000.0 / b}%.1f,${nBase * 3 / 1000.0 / m}%.1f,${nBase * 10 / 1000.0 / x}%.1f]"""
-          f""""$name":{"base_sec":$b,"x3_sec":$m,"x10_sec":$x,"ratio":${x / b}%.2f,"ratio_x10_vs_x3":${x / m}%.2f,$thr,"loadavg_at_min_base":$bLd,"loadavg_at_min_x10":$xLd,"loadavg_max":${lds.max}}"""
+          // loadavg_min_start: the cleanest window ANY sample of this
+          // entry started in — later samples inherit the lane's own
+          // decaying load in their start reading, so this is the field
+          // that proves the entry saw a quiet box at least once
+          f""""$name":{"base_sec":$b,"x3_sec":$m,"x10_sec":$x,"ratio":${x / b}%.2f,"ratio_x10_vs_x3":${x / m}%.2f,$thr,"loadavg_at_min_base":$bLd,"loadavg_at_min_x10":$xLd,"loadavg_min_start":${lds.min},"loadavg_max":${lds.max}}"""
         }
         val ratiosJson = ratios
           .map { case (name, b, _, x, _, _) => f""""$name":${x / b}%.2f""" }

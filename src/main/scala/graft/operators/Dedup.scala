@@ -1062,10 +1062,18 @@ object Dedup {
       .foldLeft(base)((acc, d) =>
         acc.unionByName(spark.read.schema(schema).parquet(d.toString)))
     // ordered remap composition, driver-side: bounded by components
-    // touched since the last compaction
+    // touched since the last compaction. The explicit schema (both
+    // remap columns are component-typed) keeps a crash-orphaned delta
+    // dir with no committed part files readable as empty instead of
+    // failing schema inference — the retried batch re-merges whatever
+    // such a crash left split.
+    val ct = schema("component").dataType
+    val remapSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__oc", ct),
+      org.apache.spark.sql.types.StructField("__nc", ct)))
     val composed = collection.mutable.LinkedHashMap.empty[Any, Any]
     for (d <- snapDeltaDirs(spark, dataDir, "remap_d")) {
-      val m = spark.read.parquet(d.toString).collect()
+      val m = spark.read.schema(remapSchema).parquet(d.toString).collect()
         .map(r => (r.get(0), r.get(1))).toMap
       for (k <- composed.keys.toSeq) {
         val v = composed(k); composed(k) = m.getOrElse(v, v)
@@ -1074,10 +1082,6 @@ object Dedup {
     }
     if (composed.isEmpty) withNew
     else {
-      val ct = schema("component").dataType
-      val remapSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__oc", ct),
-        org.apache.spark.sql.types.StructField("__nc", ct)))
       val rows = composed.toSeq
         .map { case (k, v) => org.apache.spark.sql.Row(k, v) }
       val remapDf = spark.createDataFrame(

@@ -1022,6 +1022,13 @@ object Dedup {
     graft.util.FsIO.publishVersion(spark, snapPath, ver, keepVersions)
   }
 
+  // Hard bound on the driver-side composed remap map (ADVICE r16): the
+  // delta-count require caps DIRS, not rows — a high-merge workload with
+  // skipped compaction could grow the driver map silently. ~4M two-field
+  // rows is comfortably centroid-class; anything past it means the
+  // compaction cadence failed and the read refuses loudly instead.
+  private val RemapRowCap = 1 << 22
+
   /** The snapshot's delta dirs under `dataDir` with prefix `new_d` or
     * `remap_d`, in ordinal order. */
   private def snapDeltaDirs(spark: org.apache.spark.sql.SparkSession,
@@ -1061,24 +1068,41 @@ object Dedup {
     val withNew = snapDeltaDirs(spark, dataDir, "new_d")
       .foldLeft(base)((acc, d) =>
         acc.unionByName(spark.read.schema(schema).parquet(d.toString)))
-    // ordered remap composition, driver-side: bounded by components
-    // touched since the last compaction. The explicit schema (both
-    // remap columns are component-typed) keeps a crash-orphaned delta
-    // dir with no committed part files readable as empty instead of
-    // failing schema inference — the retried batch re-merges whatever
-    // such a crash left split.
+    // Remap composition, driver-side. The deltas' domains are DISJOINT
+    // (a merged component id never becomes current again), so their
+    // union is one well-defined map, and the composed target of any key
+    // is the end of the chain k → m(k) → m(m(k)) → … — component ids
+    // strictly DECREASE along every hop (the new id is the min over the
+    // merged clusters and identity rows are never written), so the walk
+    // terminates; with path compression the whole composition is
+    // O(entries · α), independent of HOW MANY delta dirs the entries
+    // arrived in. The explicit schema (both remap columns are
+    // component-typed) keeps a crash-orphaned delta dir with no
+    // committed part files readable as empty instead of failing schema
+    // inference — the retried batch re-merges whatever such a crash
+    // left split. The composed map is bounded by the components touched
+    // since the last compaction (centroid-class state); past
+    // [[RemapRowCap]] rows the read fails LOUDLY with the delta-count
+    // cap's own message instead of quietly growing the driver heap.
     val ct = schema("component").dataType
     val remapSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("__oc", ct),
       org.apache.spark.sql.types.StructField("__nc", ct)))
-    val composed = collection.mutable.LinkedHashMap.empty[Any, Any]
+    val raw = collection.mutable.HashMap.empty[Any, Any]
     for (d <- snapDeltaDirs(spark, dataDir, "remap_d")) {
-      val m = spark.read.schema(remapSchema).parquet(d.toString).collect()
-        .map(r => (r.get(0), r.get(1))).toMap
-      for (k <- composed.keys.toSeq) {
-        val v = composed(k); composed(k) = m.getOrElse(v, v)
-      }
-      for ((k, v) <- m) if (!composed.contains(k)) composed(k) = v
+      for (r <- spark.read.schema(remapSchema).parquet(d.toString).collect())
+        raw.update(r.get(0), r.get(1))
+      require(raw.size <= RemapRowCap,
+        s"cluster snapshot at $snapPath holds ${raw.size} composed remap " +
+        s"rows (cap $RemapRowCap); compact it")
+    }
+    val composed = collection.mutable.HashMap.empty[Any, Any]
+    for (k0 <- raw.keys) if (!composed.contains(k0)) {
+      val path = collection.mutable.ArrayBuffer[Any](k0)
+      var v = raw(k0)
+      while (!composed.contains(v) && raw.contains(v)) { path += v; v = raw(v) }
+      val end = composed.getOrElse(v, v)
+      for (p <- path) composed.update(p, end)
     }
     if (composed.isEmpty) withNew
     else {
@@ -1109,11 +1133,20 @@ object Dedup {
     * retrying the same batch (the recomputed remap re-merges whatever
     * the crash left split — same retry contract as foreachBatch).
     * Single-writer like every maintenance path; the post-append pointer
-    * check makes a racing compaction loud. Run
-    * [[compactClusterSnapshot]] on a cadence to fold the deltas. */
+    * check makes a racing compaction loud.
+    *
+    * Delta cadence is MANAGED, not a footgun: once the version holds
+    * `autoCompactAfter` delta dirs this refresh runs
+    * [[compactClusterSnapshot]] itself right after its append (safe
+    * under the single-writer rule — the refresh IS the writer), so an
+    * operator who never schedules compaction still gets bounded driver
+    * remap state and bounded dir listings. Pass `autoCompactAfter <= 0`
+    * to disable and own the cadence (the hard delta-count and
+    * [[RemapRowCap]] requires remain the loud backstop). */
   def refreshClusterSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapPath: String, deltaPairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): Unit = {
+      maxIter: Int = 25, autoCompactAfter: Int = 512,
+      keepVersions: Int = 1): Unit = {
     val dataDir = graft.util.FsIO.indexDataDir(spark, snapPath)
     val view = readClusterSnapshot(spark, snapPath)
     val delta = normalizedEdges(deltaPairs, aCol, bCol).localCheckpoint()
@@ -1157,6 +1190,8 @@ object Dedup {
     if (!remap.isEmpty)
       remap.write.parquet(f"$dataDir/remap_d$ord%05d")
     graft.util.FsIO.assertStillCurrent(spark, snapPath, dataDir)
+    if (autoCompactAfter > 0 && ord >= autoCompactAfter)
+      compactClusterSnapshot(spark, snapPath, keepVersions)
   }
 
   /** The standing dedup verdict for a corpus against the persisted
@@ -1164,17 +1199,32 @@ object Dedup {
     * component (its own id when the snapshot has never seen it — the
     * [[dedupClusters]] singleton convention) and the keep flag
     * (id == component: the cluster's minimum member is the canonical
-    * survivor). One join against the snapshot view — map-only when the
-    * corpus side dominates and AQE broadcasts the snapshot's probe
-    * slice; compose with a semi-join to admit rows downstream. This is
-    * the read that makes the registry → snapshot loop actionable:
-    * probe, append, refresh, then admit each batch by this verdict. */
+    * survivor).
+    *
+    * Join shape: the snapshot view is first SEMI-JOINED down to the
+    * batch's distinct ids — the refresh path's own pruning pattern —
+    * and only that batch-sized slice meets the batch in the LEFT OUTER
+    * join that assigns components. A left-outer join can only broadcast
+    * its right side, so joining the batch directly against the
+    * history-sized map (one row per ever-seen id) would sort-merge-
+    * shuffle the entire history per admitted batch; with the semi-join
+    * the history is touched by exactly ONE scan — map-only when the
+    * batch id list broadcasts (every daily batch), degrading to a
+    * shuffle only for backfills past broadcast size — and the outer
+    * join's right side is batch-sized by construction, whatever the
+    * snapshot has grown to. RegistryCalibrationSpec pins the shape:
+    * the snapshot scan appears only under the LeftSemi, never under a
+    * history-sized exchange. Compose with a semi-join to admit rows
+    * downstream. This is the read that makes the registry → snapshot
+    * loop actionable: probe, append, refresh, then admit each batch by
+    * this verdict. */
   def snapshotDedupVerdict(spark: org.apache.spark.sql.SparkSession,
       snapPath: String, df: DataFrame, idCol: String): DataFrame = {
-    val snap = readClusterSnapshot(spark, snapPath)
+    val ids = df.select(col(idCol)).distinct()
+    val slice = readClusterSnapshot(spark, snapPath)
       .withColumnRenamed("id", idCol)
-    df.select(col(idCol)).distinct()
-      .join(snap, Seq(idCol), "left")
+      .join(ids, Seq(idCol), "left_semi")
+    ids.join(slice, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("component"))
       .withColumn("keep", col("component") === col(idCol))
@@ -1184,12 +1234,37 @@ object Dedup {
     * read-identical before and after (the read IS the fold); same
     * next-version + pointer-flip discipline as the other compactors.
     * This is where the history-sized IO lives; the daily refresh never
-    * pays it. */
+    * pays it.
+    *
+    * Racing-refresh guard (ADVICE r16): a refresh whose delta dirs land
+    * AFTER this compaction listed them but whose own pointer check runs
+    * BEFORE the publish flips would pass its assertStillCurrent while
+    * its deltas silently miss the compacted base. After publishing, the
+    * superseded version (retained — keepVersions >= 1) is re-listed and
+    * any delta ordinal beyond what the compaction read throws with
+    * assertStillCurrent's loudness: the single-writer rule was violated
+    * and the late refresh must be re-run against the new version. */
   def compactClusterSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapPath: String, keepVersions: Int = 1): Unit = {
+    val dataDir = graft.util.FsIO.indexDataDir(spark, snapPath)
+    def maxOrd(): Long = (snapDeltaDirs(spark, dataDir, "new_d") ++
+        snapDeltaDirs(spark, dataDir, "remap_d"))
+      .map(_.getName.replaceAll("^\\D+", "").toLong).maxOption.getOrElse(0L)
+    // taken BEFORE the read lists its dirs: a delta landing in between
+    // is still included in the fold but flags below — a false alarm on
+    // a race is loud-safe, a miss would be silent data loss
+    val ordRead = maxOrd()
     val rows = readClusterSnapshot(spark, snapPath)
     val ver = graft.util.FsIO.nextVersionDir(spark, snapPath)
     writeSnapshotVersion(spark, snapPath, ver, rows, keepVersions)
+    val ordAfter = maxOrd()
+    if (ordAfter > ordRead)
+      throw new java.util.ConcurrentModificationException(
+        s"compactClusterSnapshot at $snapPath folded deltas up to ordinal " +
+        s"$ordRead but the superseded version now holds ordinal $ordAfter: " +
+        "a refresh appended mid-compaction (single-writer rule violated), " +
+        "so its deltas are missing from the compacted base - re-run that " +
+        "refresh against the new version")
   }
 
   // ---- connected components over a near-dup pair graph -------------------

@@ -92,6 +92,148 @@ class RegistryCalibrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters() == expect, "compaction changed the clusters")
   }
 
+  test("snapshot verdict: the snapshot side sits only under a LeftSemi (no history-sized exchange)") {
+    val sp = spark
+    import sp.implicits._
+    // a refresh first, so the verdict's read view carries the remap
+    // broadcast join — the audit must hold through the full read shape
+    val b1 = Seq((1L, 2L), (10L, 11L)).toDF("x", "y")
+    val b2 = Seq((2L, 10L)).toDF("x", "y")
+    val reg = scratch(); val snap = scratch()
+    graft.operators.Dedup.writeRegistry(b1, "x", "y", reg)
+    graft.operators.Dedup.writeClusterSnapshot(spark, reg, snap)
+    graft.operators.Dedup.refreshClusterSnapshot(spark, snap, b2, "x", "y")
+    val batch = Seq(1L, 11L, 99L).toDF("doc_id")
+    val verdict = graft.operators.Dedup
+      .snapshotDedupVerdict(spark, snap, batch, "doc_id")
+    // correctness through the pruned shape
+    val got = verdict.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(1L -> (1L, true), 11L -> (1L, false), 99L -> (99L, true)))
+    // plan shape: every scan of the snapshot's files must be a
+    // descendant of a LeftSemi join (the batch-id pruning) — a snapshot
+    // scan OUTSIDE one means the history-sized map meets the batch
+    // directly (the r16 full-history shuffle per admitted batch)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val snapDir = snap
+    def isSnapScan(p: SparkPlan): Boolean = p match {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.exists(_.toString.contains(snapDir))
+      case _ => false
+    }
+    val plan = verdict.queryExecution.sparkPlan
+    assert(plan.collect { case p if isSnapScan(p) => p }.nonEmpty,
+      "expected the plan to scan the snapshot at all")
+    def scansOutsideSemi(p: SparkPlan): Seq[SparkPlan] = p match {
+      case j: BaseJoinExec if j.joinType == LeftSemi => Seq.empty
+      case s if isSnapScan(s) => Seq(s)
+      case other => other.children.flatMap(scansOutsideSemi)
+    }
+    assert(scansOutsideSemi(plan).isEmpty,
+      s"snapshot scan outside the LeftSemi prune:\n$plan")
+  }
+
+  test("snapshot: >= 50 chained remap deltas still read as the full CC") {
+    val sp = spark
+    import sp.implicits._
+    // bootstrap 53 two-node components {10i, 10i+1}, then merge them
+    // DESCENDING — refresh i adds edge (10(i-1), 10i), so remap delta i
+    // holds exactly (10i -> 10(i-1)) and resolving node 520 must follow
+    // a 52-hop chain ACROSS deltas (the path-compressed composition)
+    val boot = (0 to 52).map(i => (10L * i, 10L * i + 1)).toDF("x", "y")
+    val reg = scratch(); val snap = scratch()
+    graft.operators.Dedup.writeRegistry(boot, "x", "y", reg)
+    graft.operators.Dedup.writeClusterSnapshot(spark, reg, snap)
+    for (i <- 52 to 1 by -1)
+      graft.operators.Dedup.refreshClusterSnapshot(spark, snap,
+        Seq((10L * (i - 1), 10L * i)).toDF("x", "y"), "x", "y",
+        autoCompactAfter = 0)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, snap)
+    val remaps = new java.io.File(dataDir).listFiles()
+      .map(_.getName).count(_.startsWith("remap_d"))
+    assert(remaps >= 50, s"fixture must exercise the many-delta path (got $remaps)")
+    val clusters = graft.operators.Dedup.readClusterSnapshot(spark, snap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (0 to 52).flatMap(i =>
+      Seq(10L * i -> 0L, (10L * i + 1) -> 0L)).toMap
+    assert(clusters == expect, "chained remap composition must equal the full CC")
+  }
+
+  test("snapshot: autoCompactAfter folds the deltas mid-refresh") {
+    val sp = spark
+    import sp.implicits._
+    val boot = (0 to 8).map(i => (10L * i, 10L * i + 1)).toDF("x", "y")
+    val reg = scratch(); val snap = scratch()
+    graft.operators.Dedup.writeRegistry(boot, "x", "y", reg)
+    graft.operators.Dedup.writeClusterSnapshot(spark, reg, snap)
+    assert(graft.util.FsIO.indexDataDir(spark, snap).endsWith("v1"))
+    for (i <- 1 to 5)
+      graft.operators.Dedup.refreshClusterSnapshot(spark, snap,
+        Seq((10L * (i - 1), 10L * i)).toDF("x", "y"), "x", "y",
+        autoCompactAfter = 5)
+    // the 5th refresh hit the threshold and compacted: new version, no
+    // deltas left, clusters unchanged
+    assert(graft.util.FsIO.indexDataDir(spark, snap).endsWith("v2"),
+      "the threshold refresh must publish a compacted version")
+    val dataDir = graft.util.FsIO.indexDataDir(spark, snap)
+    val deltas = new java.io.File(dataDir).listFiles().map(_.getName)
+      .count(n => n.startsWith("new_d") || n.startsWith("remap_d"))
+    assert(deltas == 0, "auto-compaction must fold the deltas away")
+    val clusters = graft.operators.Dedup.readClusterSnapshot(spark, snap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 to 5).foreach(i => assert(clusters(10L * i) == 0L))
+    (6 to 8).foreach(i => assert(clusters(10L * i) == 10L * i))
+  }
+
+  test("snapshot: a reader planned at vN survives keepVersions=2 compactions") {
+    val sp = spark
+    import sp.implicits._
+    val b1 = Seq((1L, 2L), (10L, 11L)).toDF("x", "y")
+    val reg = scratch(); val snap = scratch()
+    graft.operators.Dedup.writeRegistry(b1, "x", "y", reg)
+    graft.operators.Dedup.writeClusterSnapshot(spark, reg, snap)
+    // plan the read at v1 (remap collect happens now; the base scan is
+    // lazy and pinned to v1's files)
+    val reader = graft.operators.Dedup.readClusterSnapshot(spark, snap)
+    graft.operators.Dedup.compactClusterSnapshot(spark, snap, keepVersions = 2)
+    graft.operators.Dedup.compactClusterSnapshot(spark, snap, keepVersions = 2)
+    assert(graft.util.FsIO.indexDataDir(spark, snap).endsWith("v3"))
+    // v1 is still on disk (retained by keepVersions=2), so the v1 reader
+    // must still execute correctly
+    val got = reader.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L),
+      "a reader planned at v1 must survive two keepVersions=2 publishes")
+  }
+
+  test("snapshot: compaction flags a racing refresh's late deltas loudly") {
+    val sp = spark
+    import sp.implicits._
+    val b1 = Seq((1L, 2L), (10L, 11L)).toDF("x", "y")
+    val reg = scratch(); val snap = scratch()
+    graft.operators.Dedup.writeRegistry(b1, "x", "y", reg)
+    graft.operators.Dedup.writeClusterSnapshot(spark, reg, snap)
+    graft.operators.Dedup.refreshClusterSnapshot(spark, snap,
+      Seq((2L, 10L)).toDF("x", "y"), "x", "y")
+    val v1 = new java.io.File(graft.util.FsIO.indexDataDir(spark, snap))
+    // inject a "racing refresh": once the compactor starts writing its
+    // next version (v2 appears), drop a later-ordinal delta dir into the
+    // still-current v1 — after the pointer flips, the compactor's
+    // post-publish re-list must see it and throw
+    val injector = new Thread(() => {
+      val v2 = new java.io.File(v1.getParentFile, "v2")
+      while (!v2.exists()) Thread.sleep(2)
+      new java.io.File(v1, "new_d00050").mkdir()
+    })
+    injector.setDaemon(true)
+    injector.start()
+    val e = intercept[java.util.ConcurrentModificationException] {
+      graft.operators.Dedup.compactClusterSnapshot(spark, snap)
+    }
+    injector.join(5000)
+    assert(e.getMessage.contains("single-writer rule violated"))
+  }
+
   test("calibration: clamped bins, exact per-bin laws, ECE") {
     val sp = spark
     import sp.implicits._

@@ -3190,6 +3190,86 @@ object SparkEntry {
           spark.table("documents"), "doc_id")
         .orderBy("doc_id")
     }),
+    // the WHOLE incremental-dedup loop END TO END: bootstrap the
+    // hamming index from the m4=0 fingerprint slice, stream the m4=1
+    // and m4=2 slices as micro-batches through probe -> registry
+    // append -> snapshot refresh -> index append (one foreachBatch
+    // body, batch 0 deliberately replayed), then ADMIT the full corpus
+    // by the snapshot verdict consumed through a semi-join. Survivors:
+    // within each 16-doc fingerprint group every m4 <= 2 member is
+    // probed into one cluster whose minimum (doc_id % 400 == 0) is
+    // canonical; m4 = 3 members are never streamed, so the snapshot
+    // has never seen them and they keep themselves — a composition
+    // bug at any stage (probing with post-append state, a lost
+    // refresh, a verdict off the wrong snapshot) breaks the analytic
+    // admitted set
+    "q237_dedup_loop_e2e" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.streaming.Trigger
+      val fp = spark.sql("""
+        SELECT doc_id, m4,
+               (((g * 2654435761) % 8192) * 8 + jit % 2)
+               + (((g * 2246822519) % 8192) * 8 + (jit DIV 2) % 2) * 65536
+               + (((g * 3266489917) % 8192) * 8 + (jit DIV 4) % 2) * 4294967296
+               + (((g * 668265263) % 2048) * 8) * 281474976710656 AS sh
+        FROM (SELECT doc_id, (doc_id DIV 25) DIV 16 AS g,
+                     (doc_id DIV 25) % 8 AS jit, (doc_id DIV 25) % 4 AS m4
+              FROM documents WHERE doc_id % 25 = 0)""")
+      val work = scratchDir("graft-q237-")
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      def stage(m4: Int, name: String, mtime: Long): Unit = {
+        val tmp = s"$work/stage_$name"
+        fp.where(col("m4") === m4).select("doc_id", "sh")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = inDir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      stage(1, "a.parquet", 1000000L)
+      stage(2, "b.parquet", 2000000L)
+      val idx = s"$work/idx"
+      val reg = s"$work/reg"
+      val snap = s"$work/snap"
+      graft.operators.Dedup.writeHammingIndex(
+        fp.where(col("m4") === 0), "doc_id", "sh", idx, bands = 4)
+      graft.operators.Dedup.writeRegistry(
+        fp.where(org.apache.spark.sql.functions.lit(false))
+          .select(col("doc_id").as("ida"), col("doc_id").as("idb")),
+        "ida", "idb", reg)
+      graft.operators.Dedup.writeClusterSnapshot(spark, reg, snap)
+      val batchSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sh",
+          org.apache.spark.sql.types.LongType)))
+      val q = spark.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.StreamOps.hammingDedupLoopBatch(
+            idx, reg, snap, b, "doc_id", "sh", maxHamming = 3)
+          if (id == 0) // retry: probe/append/refresh all idempotent
+            graft.streaming.StreamOps.hammingDedupLoopBatch(
+              idx, reg, snap, b, "doc_id", "sh", maxHamming = 3)
+        }
+        .start()
+      q.awaitTermination()
+      val verdict = graft.operators.Dedup.snapshotDedupVerdict(
+        spark, snap, spark.table("documents"), "doc_id")
+      spark.table("documents").select(col("doc_id"))
+        .join(verdict.where(col("keep")), Seq("doc_id"), "left_semi")
+        .orderBy("doc_id")
+    }),
     // STREAMING incremental clustering: each micro-batch appends its
     // edges to the registry AND folds them into the cluster snapshot
     // (delta-cost CC) in one foreachBatch body, batch 0 deliberately
@@ -7866,6 +7946,16 @@ object SparkEntry {
              CASE WHEN doc_id < 400 THEN doc_id % 40 ELSE doc_id END AS component,
              (CASE WHEN doc_id < 400 THEN doc_id % 40 ELSE doc_id END) = doc_id AS keep
       FROM documents ORDER BY doc_id""",
+    // the full loop's admitted set is analytic: probed groups (m4 <= 2
+    // members) keep only their minimum (doc_id % 400 == 0), never-
+    // probed m4 = 3 members and every non-fingerprinted doc keep
+    // themselves
+    "q237_dedup_loop_e2e" -> """
+      SELECT doc_id FROM documents
+      WHERE doc_id % 25 <> 0
+         OR (doc_id // 25) % 4 = 3
+         OR doc_id % 400 = 0
+      ORDER BY doc_id""",
     // streamed append+refresh per micro-batch with a batch-0 replay:
     // the snapshot's delta view must equal q228's analytic closure
     "q235_stream_snapshot" -> """
@@ -8428,6 +8518,9 @@ object SparkEntry {
     "q235_stream_snapshot",
     // the corpus-wide verdict over 10x docs (known/unknown id split)
     "q236_snapshot_verdict",
+    // probe -> append -> refresh -> admit over 10x fingerprint groups
+    // (all group hashes and the admitted set shift with the group ids)
+    "q237_dedup_loop_e2e",
     // every bin mean/fraction and the ECE shift at 10x scores
     "q229_calibration")
     // q197_containment has NO twin: the synthetic corpus's ~31-word

@@ -383,6 +383,44 @@ object StreamOps {
     graft.operators.Dedup.refreshClusterSnapshot(spark, snapPath, batch, aCol, bCol)
   }
 
+  /** The COMPLETE incremental-dedup loop as ONE `foreachBatch` body —
+    * the 100 TB recipe executed per micro-batch: (1) probe the
+    * persisted hamming index for near-dup pairs touching the batch,
+    * (2) append those pairs to the registry, (3) fold the same pairs
+    * into the cluster snapshot at delta cost, (4) append the batch's
+    * fingerprints into the index so the NEXT batch probes against
+    * them. Admission afterwards is a
+    * [[graft.operators.Dedup.snapshotDedupVerdict]] read composed with
+    * a semi-join — the q237 gate runs exactly this chain over two
+    * micro-batches with batch 0 replayed and checks the admitted set
+    * against the analytic closure.
+    *
+    * Exactly-once with NO bookkeeping, step by step: on a replay the
+    * batch's fingerprints are already in the index, so the probe
+    * returns the SAME distinct pair set (batch-batch pairs were
+    * already counted — [[graft.operators.Dedup.hammingIndexPairs]]
+    * unions the batch in, drops self-pairs, and distincts); the
+    * registry re-append adds duplicate edge FACTS the clustering
+    * distincts; the snapshot refresh is a STRICT no-op; and the index
+    * re-append adds duplicate banded facts every later probe
+    * distincts away. A crash anywhere is healed by the batch retry.
+    * One sizing caveat: a replayed batch's bucket rows count TWICE
+    * toward the probe's `maxBucket` occupancy cap, so keep the cap at
+    * 2x the worst expected bucket (the default 10000 dwarfs any sane
+    * near-dup bucket). The probed pairs are checkpointed once so the
+    * registry append and the snapshot refresh share one probe
+    * execution. */
+  def hammingDedupLoopBatch(indexPath: String, registryPath: String,
+      snapPath: String, batch: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val pairs = graft.operators.Dedup.hammingIndexPairs(
+      spark, indexPath, batch, idCol, hashCol, maxHamming).localCheckpoint()
+    registryWithSnapshotBatch(registryPath, snapPath, pairs, "ida", "idb")
+    graft.operators.Dedup.appendToHammingIndex(
+      spark, indexPath, batch, idCol, hashCol)
+  }
+
   /** The maintained heavy-hitters summary: the mergeable-summaries fold
     * of every appended batch summary. None while no batch has arrived.
     * The global window runs on the folded item table — bounded by

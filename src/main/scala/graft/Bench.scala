@@ -293,6 +293,19 @@ object Bench {
     // recovery.
     val loadMax = sys.env.get("SPARK_GRAFT_BENCH_LOADMAX").map(_.toDouble)
       .getOrElse(cpus.toDouble / 2.0)
+    // Bounded wait for the LAGGING 1-min loadavg to decay under the
+    // retry threshold — the late lanes run on a box self-heated by the
+    // earlier tiers, where loadavg reads 20+ for a minute on a perfectly
+    // idle machine; sampling through that would record contaminated-
+    // looking numbers (and spin the load-retry) for nothing.
+    def coolDown(maxWaitSec: Int): Unit = {
+      val t0 = System.nanoTime()
+      while (loadavg1() > loadMax &&
+          (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+        System.err.println(f"[bench] cooldown: loadavg ${loadavg1()}%.1f > $loadMax")
+        Thread.sleep(10000)
+      }
+    }
     def dirty = built.collect {
       case (name, Some(df)) if samples(name).nonEmpty && !samples(name).exists(_._3 <= loadMax) => (name, df)
     }
@@ -450,21 +463,8 @@ object Bench {
           None)
       else try {
         graft.functions.GeoFunctions.register(spark)
-        // COOLDOWN before sampling: this lane runs last, and the 1-min
-        // loadavg is a LAGGING average — right after the sf1 tier it
-        // reads 20+ for a minute even though nothing is running, so the
-        // recorded per-sample loadavg would look contaminated (and the
-        // load-retry would spin) on a perfectly idle box. Wait, bounded,
-        // for the decaying average to drop under the retry threshold so
-        // the artifact's loadavg numbers mean what they say.
-        def coolDown(maxWaitSec: Int): Unit = {
-          val t0 = System.nanoTime()
-          while (loadavg1() > loadMax &&
-              (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
-            System.err.println(f"[bench] simlane cooldown: loadavg ${loadavg1()}%.1f > $loadMax")
-            Thread.sleep(10000)
-          }
-        }
+        // cooldown before sampling: this lane runs after the sf1 tier
+        // and must not inherit its decaying loadavg (see coolDown)
         coolDown(180)
         val nBase = sys.env.getOrElse("SPARK_GRAFT_SIMLANE_N", "20000").toLong
         // 20-doc groups over disjoint vocabularies: every in-group pair
@@ -546,6 +546,31 @@ object Bench {
             s"[bench] simlane load-retry pass $laneRetry: ${laneDirty.map(_._1).mkString(",")}")
           for ((key, df) <- laneDirty) lanePass(key, df)
         }
+        // MIN-VALIDATION (r16 verdict): the load-retry above only
+        // guarantees each entry has SOME clean-start sample — the
+        // MINIMUM can still come from a loaded window (the r16 driver
+        // gate took jaccard's min at loadavg 24.7 and the lane read
+        // 3.99x where the same code on a quiet box reads 2.72x). After
+        // the lane completes, any entry whose min-defining base or x10
+        // sample STARTED above the threshold is re-sampled behind a
+        // cooldown; if the budget runs out with the min still loaded,
+        // the entry ships with "unconfirmed": true so the artifact
+        // carries its own caveat instead of needing a human quiet-box
+        // cross-check.
+        def dirtyMinLanes = lanes.map(_._1).filter { name =>
+          Seq("base", "x10").exists(t => lt(s"$name.$t").minBy(_._1)._2 > loadMax)
+        }
+        var minRetry = 0
+        while (minRetry < passes * 2 && dirtyMinLanes.nonEmpty) {
+          minRetry += 1
+          coolDown(120)
+          System.err.println(
+            s"[bench] simlane min-validation pass $minRetry: ${dirtyMinLanes.mkString(",")}")
+          val names = dirtyMinLanes.toSet
+          for ((key, df) <- builtLanes if names.exists(n => key.startsWith(n + ".")))
+            lanePass(key, df)
+        }
+        val unconfirmed = dirtyMinLanes.toSet
         val ratios = lanes.map { case (name, _) =>
           val (b, bLd) = lt(s"$name.base").minBy(_._1)
           val (m, _) = lt(s"$name.x3").minBy(_._1)
@@ -559,16 +584,84 @@ object Bench {
           // entry started in — later samples inherit the lane's own
           // decaying load in their start reading, so this is the field
           // that proves the entry saw a quiet box at least once
-          f""""$name":{"base_sec":$b,"x3_sec":$m,"x10_sec":$x,"ratio":${x / b}%.2f,"ratio_x10_vs_x3":${x / m}%.2f,$thr,"loadavg_at_min_base":$bLd,"loadavg_at_min_x10":$xLd,"loadavg_min_start":${lds.min},"loadavg_max":${lds.max}}"""
+          f""""$name":{"base_sec":$b,"x3_sec":$m,"x10_sec":$x,"ratio":${x / b}%.2f,"ratio_x10_vs_x3":${x / m}%.2f,$thr,"loadavg_at_min_base":$bLd,"loadavg_at_min_x10":$xLd,"loadavg_min_start":${lds.min},"loadavg_max":${lds.max},"unconfirmed":${unconfirmed(name)}}"""
         }
         val ratiosJson = ratios
           .map { case (name, b, _, x, _, _) => f""""$name":${x / b}%.2f""" }
           .mkString("{", ",", "}")
-        (s""""simjoin_lane":{"n_base":$nBase,"passes":$passes,"load_retry_passes":$laneRetry,${entries.mkString(",")},"note":"linear-output fixtures (disjoint 20-doc group vocabularies / fixed block occupancy); contract fixtures are quadratic by construction so these are the scale signals for the similarity joins; min over interleaved + b2b samples, per-entry loadavg_at_min recorded; the raw x10/base ratio carries a ~2s fixed plan floor at base (a linear operator reads ~6x there) - judge linearity by flat krows_per_sec from x3 to x10 and ratio_x10_vs_x3 <= ~3.3"}""",
+        (s""""simjoin_lane":{"n_base":$nBase,"passes":$passes,"load_retry_passes":$laneRetry,"min_validation_passes":$minRetry,"unconfirmed_entries":${unconfirmed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},${entries.mkString(",")},"note":"linear-output fixtures (disjoint 20-doc group vocabularies / fixed block occupancy); contract fixtures are quadratic by construction so these are the scale signals for the similarity joins; min over interleaved + b2b samples, per-entry loadavg_at_min recorded; entries whose min-defining samples started above the load threshold after min-validation re-sampling are flagged unconfirmed:true; the raw x10/base ratio carries a ~2s fixed plan floor at base (a linear operator reads ~6x there) - judge linearity by flat krows_per_sec from x3 to x10 and ratio_x10_vs_x3 <= ~3.3"}""",
           Some(ratiosJson))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] simjoin lane failed: ${e.getMessage}")
         ("\"simlane_skipped\":\"" + String.valueOf(e.getMessage).replace('"', '\'') + "\"",
+          None)
+      }
+
+    // ---- snapshot-verdict scale lane -------------------------------------
+    // Times snapshotDedupVerdict — the read every admitted batch pays in
+    // the incremental-dedup loop — against a GROWN snapshot (history >>
+    // batch) at base/x3/x10 history sizes with a FIXED-size batch. The
+    // r17 join-shape fix prunes the history through a semi-join before
+    // the component-assigning outer join, so the cost must be ONE
+    // map-only history scan: history_krows_per_sec should be flat-to-
+    // rising from x3 to x10 (fixed plan floor amortizes), never falling
+    // the way a history-sized sort-merge shuffle would make it. Each
+    // snapshot carries one remap delta so the measured read includes the
+    // live composition join, not just a compacted base.
+    val (verdictJson: String, verdictRatioOpt: Option[Double]) =
+      if (sys.env.get("SPARK_GRAFT_VLANE").contains("skip") ||
+          !sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").contains("sf0.1"))
+        ("\"verdict_lane_skipped\":\"runs only in the sf0.1 gate (unset SPARK_GRAFT_VLANE to enable)\"",
+          None)
+      else try {
+        coolDown(120)
+        val nBaseV = sys.env.getOrElse("SPARK_GRAFT_VLANE_N", "250000").toLong
+        val batchN = 25000L
+        def mkVerdict(n: Long): DataFrame = {
+          val root = java.nio.file.Files.createTempDirectory("graft_vlane_").toString
+          val reg = s"$root/reg"; val snap = s"$root/snap"
+          // n ids in two-member components (CC converges in one round:
+          // setup cost, not measured), then one small refresh so the
+          // read view carries a remap delta like a between-compactions
+          // production snapshot
+          val pairs = spark.range(n / 2).selectExpr("id*2 AS a", "id*2+1 AS b")
+          graft.operators.Dedup.writeRegistry(pairs, "a", "b", reg)
+          graft.operators.Dedup.writeClusterSnapshot(spark, reg, snap)
+          val delta = spark.range(500).selectExpr("id*4 AS a", "id*4+2 AS b")
+          graft.operators.Dedup.refreshClusterSnapshot(spark, snap, delta, "a", "b")
+          // fixed-size batch, half known ids / half never-seen
+          val batch = spark.range(batchN)
+            .selectExpr(s"(id * 79) % ${2 * n} AS doc_id")
+          graft.operators.Dedup.snapshotDedupVerdict(spark, snap, batch, "doc_id")
+        }
+        val builtV = Seq(("base", nBaseV), ("x3", nBaseV * 3), ("x10", nBaseV * 10))
+          .map { case (tag, n) =>
+            val df = mkVerdict(n)
+            df.write.format("noop").mode("overwrite").save() // warm
+            (tag, n, df)
+          }
+        val vt = collection.mutable.Map[String, Vector[(Double, Double)]]()
+          .withDefaultValue(Vector.empty)
+        val vPasses = 2
+        def vPass(tag: String, df: DataFrame): Unit = {
+          val ld = loadavg1()
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          vt(tag) = vt(tag) :+ (((System.nanoTime() - t0) / 1e9, ld))
+        }
+        for (_ <- 1 to vPasses; (tag, _, df) <- builtV) vPass(tag, df)
+        for ((tag, _, df) <- builtV; _ <- 1 to vPasses) vPass(tag, df) // b2b
+        val mins = builtV.map { case (tag, n, _) =>
+          val (s, ld) = vt(tag).minBy(_._1); (tag, n, s, ld) }
+        val Seq(b, m, x) = mins.map(_._3)
+        val thr = mins.map { case (_, n, s, _) => f"${n / 1000.0 / s}%.1f" }
+          .mkString("[", ",", "]")
+        val lds = mins.map(_._4).mkString("[", ",", "]")
+        (f""""verdict_lane":{"n_base":$nBaseV,"batch_ids":$batchN,"base_sec":$b,"x3_sec":$m,"x10_sec":$x,"ratio":${x / b}%.2f,"ratio_x10_vs_x3":${x / m}%.2f,"history_krows_per_sec":$thr,"loadavg_at_min":$lds,"note":"snapshotDedupVerdict over a grown snapshot with a fixed ${batchN} -id batch; the semi-join prune makes the cost one map-only history scan - judge by history_krows_per_sec flat-to-rising x3 to x10"}""",
+          Some(x / b))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] verdict lane failed: ${e.getMessage}")
+        ("\"verdict_lane_skipped\":\"" + String.valueOf(e.getMessage).replace('"', '\'') + "\"",
           None)
       }
 
@@ -578,7 +671,7 @@ object Bench {
     // the shared box / JIT environment, not the operator. Pinned here so
     // the number travels with every artifact.
     val q33Note = "\"q33_b2b_note\":\"0.196->0.236s creep over r13-r15 is environmental: 50-pass solo quiet-box floor measured 0.22-0.24s this round with unchanged code/plan\""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",$simJson,"total_median":$totalMed,"total_r5_subset":$subtotal,"total_r5_subset_median":$subtotalMed,"total_r5_subset_b2b":$subtotalB2b,"queries_r5_b2b":$b2bJson,$q33Note,"load_retry_passes":$retryPasses,"load_retry_threshold":$loadMax,"queries":$qs,"queries_median":$qsMed,"iters":$iters,$sf1Json,"sf":"$sfDir","iterations":$iterations,"timing":"min and median of $iterations passes interleaved round-robin across queries, after 1 warm-up pass; load-retry passes appended for queries with no clean-start sample; _b2b = min of $iterations consecutive passes (rounds<=11 methodology, comparable to the r11 anchor)"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",$simJson,$verdictJson,"total_median":$totalMed,"total_r5_subset":$subtotal,"total_r5_subset_median":$subtotalMed,"total_r5_subset_b2b":$subtotalB2b,"queries_r5_b2b":$b2bJson,$q33Note,"load_retry_passes":$retryPasses,"load_retry_threshold":$loadMax,"queries":$qs,"queries_median":$qsMed,"iters":$iters,$sf1Json,"sf":"$sfDir","iterations":$iterations,"timing":"min and median of $iterations passes interleaved round-robin across queries, after 1 warm-up pass; load-retry passes appended for queries with no clean-start sample; _b2b = min of $iterations consecutive passes (rounds<=11 methodology, comparable to the r11 anchor)"}"""
     println(json)
     // The gate records only a 2 kB stdout TAIL, and the full JSON leads
     // with its totals — so a tail capture of the line above holds the
@@ -587,7 +680,8 @@ object Bench {
     // LAST so the tail always contains the round's headline figures.
     val sf1TotalStr = sf1TotalOpt.map(_.toString).getOrElse("null")
     val simRatiosStr = simRatiosOpt.getOrElse("null")
-    println(s"""{"graft_bench_totals":{"total":$total,"total_median":$totalMed,"total_r5_subset_b2b":$subtotalB2b,"sf1_total":$sf1TotalStr,"simjoin_ratios":$simRatiosStr,"queries_n":${selected.size},"load_retry_passes":$retryPasses,"full_json":"target/bench.json"}}""")
+    val verdictRatioStr = verdictRatioOpt.map(r => f"$r%.2f").getOrElse("null")
+    println(s"""{"graft_bench_totals":{"total":$total,"total_median":$totalMed,"total_r5_subset_b2b":$subtotalB2b,"sf1_total":$sf1TotalStr,"simjoin_ratios":$simRatiosStr,"verdict_lane_ratio":$verdictRatioStr,"queries_n":${selected.size},"load_retry_passes":$retryPasses,"full_json":"target/bench.json"}}""")
     // The full JSON is also written to files the driver (or the judge)
     // can pick up whole: `target/bench.json` (latest run, historically
     // overwritten by any later run — including judge re-measures) PLUS a

@@ -262,21 +262,35 @@ object Unigram {
     try segment(word, scores, maxPieceLen)
     catch { case _: IllegalArgumentException => codepoints(word).toSeq }
 
-  // A partition's word→pieces memo stops growing past this many entries
+  // A partition's word→pieces memo stops growing once EITHER cap is hit
   // (further words just segment uncached): a pathological all-unique-word
-  // partition must degrade to CPU, never to executor OOM. Zipf corpora
-  // hit the cap's hot head long before the cap.
+  // partition must degrade to CPU, never to executor OOM. The entry cap
+  // alone is not enough — 2^21 long-word → Seq[String] entries can
+  // retain hundreds of MB per concurrent task (ADVICE r16) — so retained
+  // bytes are APPROXIMATELY tracked (2 B/char + per-object overhead) and
+  // capped too. Zipf corpora hit the cap's hot head long before either.
   private val MemoCap = 1 << 21
+  private val MemoByteCap = 64L << 20 // ~64 MB retained per task memo
 
-  private def memoized[A](memo: collection.mutable.HashMap[String, A],
-      w: String)(compute: => A): A =
-    memo.get(w) match {
+  /** A bounded word-keyed memo: caches until the entry OR approximate
+    * byte cap is reached, then computes uncached — degrades to CPU,
+    * never to memory. `weigh` estimates an entry's retained bytes. */
+  private final class Memo[A](weigh: (String, A) => Long) {
+    private val m = collection.mutable.HashMap.empty[String, A]
+    private var bytes = 0L
+    def apply(w: String)(compute: => A): A = m.get(w) match {
       case Some(v) => v
       case None =>
         val v = compute
-        if (memo.size < MemoCap) memo.update(w, v)
+        if (m.size < MemoCap && bytes < MemoByteCap) {
+          m.update(w, v); bytes += weigh(w, v)
+        }
         v
     }
+  }
+  private def countMemo() = new Memo[Long]((w, _) => 2L * w.length + 48L)
+  private def piecesMemo() = new Memo[Seq[String]]((w, v) =>
+    2L * w.length + 64L + v.iterator.map(p => 2L * p.length + 40L).sum)
 
   /** Map-only tokenization statistics — [[Bpe.tokenCounts]]' output
     * contract for the unigram path: per document the whitespace word
@@ -299,11 +313,11 @@ object Unigram {
       org.apache.spark.sql.types.StructField("__np",
         org.apache.spark.sql.types.LongType, nullable = false)))
     val perWord = words.mapPartitions { it =>
-      val memo = collection.mutable.HashMap.empty[String, Long]
+      val memo = countMemo()
       val scores = bScores.value
       it.map { r =>
         val w = r.getString(1)
-        val np = memoized(memo, w)(segmentOrChars(w, scores, mpl).length.toLong)
+        val np = memo(w)(segmentOrChars(w, scores, mpl).length.toLong)
         org.apache.spark.sql.Row(r.get(0), np)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
@@ -336,12 +350,12 @@ object Unigram {
           org.apache.spark.sql.types.StringType, containsNull = false),
         nullable = false)))
     in.mapPartitions { it =>
-      val memo = collection.mutable.HashMap.empty[String, Seq[String]]
+      val memo = piecesMemo()
       val scores = bScores.value
       it.map { r =>
         val pieces = r.getString(1).split(" ").iterator
           .filter(_.nonEmpty)
-          .flatMap(w => memoized(memo, w)(segmentOrChars(w, scores, mpl)))
+          .flatMap(w => memo(w)(segmentOrChars(w, scores, mpl)))
           .toSeq
         org.apache.spark.sql.Row(r.get(0), pieces)
       }
@@ -377,11 +391,11 @@ object Unigram {
       org.apache.spark.sql.types.StructField("piece",
         org.apache.spark.sql.types.StringType, nullable = false)))
     val segmented = exploded.mapPartitions { it =>
-      val memo = collection.mutable.HashMap.empty[String, Seq[String]]
+      val memo = piecesMemo()
       val scores = bScores.value
       it.flatMap { r =>
         val w = r.getString(2)
-        val pieces = memoized(memo, w)(segmentOrChars(w, scores, mpl))
+        val pieces = memo(w)(segmentOrChars(w, scores, mpl))
         pieces.iterator.zipWithIndex.map { case (p, ppos) =>
           org.apache.spark.sql.Row(r.get(0), r.getInt(1), ppos, p)
         }

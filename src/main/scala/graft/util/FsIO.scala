@@ -121,8 +121,16 @@ object FsIO {
     * compaction published concurrently the appended rows landed in a
     * superseded version that the next publish garbage-collects. The old
     * flat layout failed loudly on such writer races (concurrent
-    * part-file conflicts); this keeps the versioned layout equally loud
-    * instead of silently losing the append. */
+    * part-file conflicts); this keeps the versioned layout comparably
+    * loud instead of silently losing the append.
+    *
+    * BEST-EFFORT detection, not a closed window: a publish that lands
+    * AFTER this check returns (or in the instants between the append's
+    * commit and the pointer read) still strands the appended rows
+    * silently. The real contract is the single-writer rule — one
+    * maintenance writer per index root at a time; this check only makes
+    * the common violation (a compaction racing a routine append) loud
+    * enough to notice. */
   def assertStillCurrent(spark: SparkSession, root: String,
       dataDir: String): Unit = {
     val now = indexDataDir(spark, root)
@@ -161,13 +169,18 @@ object FsIO {
     *
     * LEGACY-FLAT MIGRATION: the first publish over a flat root (no
     * `_current`) keeps the old flat tables in place — they are the
-    * superseded snapshot in-flight readers still scan. Any LATER
-    * publish (pointer already a version, so the flat data is at least
-    * one full cycle stale) deletes every non-version child except the
-    * pointer files, so the dead flat copy can never again be resolved
-    * or appended into ([[indexDataDir]]'s strict read is the other half
-    * of that guarantee). The flat epoch counts as ONE superseded slot
-    * regardless of `keepVersions`. */
+    * superseded snapshot in-flight readers still scan — and RECORDS
+    * their names in a `_flat_children` sidecar. The next publish
+    * (pointer already a version, so the flat data is at least one full
+    * cycle stale) deletes exactly the recorded names and the sidecar,
+    * so the dead flat copy can never again be resolved or appended into
+    * ([[indexDataDir]]'s strict read is the other half of that
+    * guarantee) — while any FOREIGN file a user co-locates at the root
+    * after migration (notes, exported artifacts, a model dir) is never
+    * touched by later compactions. A root migrated before the sidecar
+    * existed simply keeps its stale flat files: unreachable (the strict
+    * pointer wins), just unswept. The flat epoch counts as ONE
+    * superseded slot regardless of `keepVersions`. */
   def publishVersion(spark: SparkSession, root: String, versionDir: Path,
       keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
@@ -175,10 +188,21 @@ object FsIO {
     val name = versionDir.getName
     require(versionGen(name).isDefined,
       s"publishVersion: $versionDir is not a v<N> directory")
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prev = readStringStrict(spark, new Path(rootP, "_current")).map(_.trim)
     val prevGen = prev.flatMap(versionGen)
+    val flatList = new Path(rootP, "_flat_children")
+    val pointerFiles = Set("_current", "_current.tmp",
+      "_flat_children", "_flat_children.tmp")
+    if (prevGen.isEmpty && fs.exists(rootP)) {
+      // migrating publish: record the flat epoch's children (before the
+      // pointer flips, so a crash here just re-records on retry)
+      val flat = fs.listStatus(rootP).toSeq.map(_.getPath.getName)
+        .filter(n => versionGen(n).isEmpty && !pointerFiles(n))
+      if (flat.nonEmpty)
+        writeStringAtomic(spark, flatList, flat.mkString("\n"))
+    }
     writeStringAtomic(spark, new Path(rootP, "_current"), name)
-    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val children = fs.listStatus(rootP).toSeq.map(_.getPath)
     // superseded lineage = version dirs at or below the superseded
     // pointer (anything above it other than `name` is an unpublished
@@ -191,11 +215,19 @@ object FsIO {
     children
       .filter(p => versionGen(p.getName).isDefined && !keep(p.getName))
       .foreach(p => fs.delete(p, true))
+    // sweep the RECORDED flat-epoch children only — never a blanket
+    // delete of everything non-version (which destroyed foreign files
+    // users co-located at the root, ADVICE r16)
     if (prevGen.isDefined)
-      children.filter { p =>
-        val n = p.getName
-        versionGen(n).isEmpty && n != "_current" && n != "_current.tmp"
-      }.foreach(p => fs.delete(p, true))
+      readString(spark, flatList).foreach { content =>
+        content.split("\n").map(_.trim).filter(_.nonEmpty)
+          .filter(n => versionGen(n).isEmpty && !pointerFiles(n))
+          .foreach { n =>
+            val p = new Path(rootP, n)
+            if (fs.exists(p)) fs.delete(p, true)
+          }
+        fs.delete(flatList, false)
+      }
   }
 
   /** Strict read for LOAD-BEARING pointer sidecars: Some(content) when

@@ -154,12 +154,26 @@ class IndexVersioningSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.util.FsIO.publishVersion(spark, root, mkVersion())
     assert(fs.exists(new org.apache.hadoop.fs.Path(root, "buckets")),
       "flat tables must survive the migrating publish for in-flight readers")
-    // next publish: the flat copy is a full cycle stale - swept, so the
-    // ambiguous legacy-fallback target can never persist
+    // a FOREIGN file co-located at the root AFTER migration (user notes,
+    // an exported model dir) is not flat-epoch data and must never be
+    // swept by later publishes (ADVICE r16: the old blanket sweep
+    // destroyed any non-version child)
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(root, "NOTES.md"), "user file")
+    // next publish: the flat copy is a full cycle stale - swept (exactly
+    // the RECORDED migration-time children), so the ambiguous
+    // legacy-fallback target can never persist
     graft.util.FsIO.publishVersion(spark, root, mkVersion())
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "buckets")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_old_params.json")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "NOTES.md")),
+      "a post-migration foreign file must survive the sweep")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_flat_children")),
+      "the migration record is consumed by the sweep")
     assert(versions(root) == Seq("v1", "v2"))
+    // a third publish sweeps nothing further
+    graft.util.FsIO.publishVersion(spark, root, mkVersion())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "NOTES.md")))
   }
 
   test("appends fail loudly when a publish supersedes their version mid-write") {

@@ -134,7 +134,9 @@ object Bench {
     "q229_calibration",         // bin-keyed hash agg + 1-row ECE
     // round-16 additions
     "q232_registry_snapshot",   // delta-CC snapshot refresh x2 over bootstrap
-    "q234_hamming_index_shuffle") // forced shuffle-shape index probe
+    "q234_hamming_index_shuffle", // forced shuffle-shape index probe
+    // round-17 additions
+    "q238_nav_graph_ann")       // layered nav-graph ANN: build/append/compact/beam search
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -187,7 +189,8 @@ object Bench {
     "q185_sim_suite" -> "same first-token blocking fixture as q181: candidate pairs quadratic in block occupancy by construction; timed scale signal: the simjoin_lane entry for this operator",
     "q189_triangle_stats" -> "wedge count grows with the square of co-order adjacency, which rises with order density at fixed part domain — not input-linear by construction",
     "q202_jaccard_join" -> "qualifying-pair OUTPUT is quadratic in duplicate-group size, and the ~31-token synthetic vocabulary makes x10 docs mostly near-identical — the exact join's result itself squares by construction; the filters' skew guarantee is pinned by JaccardAdversarialSpec instead; timed scale signal: the simjoin_lane entry for this operator",
-    "q213_hard_negatives" -> "exactness fixture pins nProbe = nlist, so the probe degenerates to all-pairs by construction (q159's reason); the scale path is partial-probe ivfSearch, sf1-guarded via q167's family")
+    "q213_hard_negatives" -> "exactness fixture pins nProbe = nlist, so the probe degenerates to all-pairs by construction (q159's reason); the scale path is partial-probe ivfSearch, sf1-guarded via q167's family",
+    "q238_nav_graph_ann" -> "exactness fixture pins nProbe = nlist in the graph CONSTRUCTION, so the per-layer candidate join degenerates to all-pairs by construction (q159's reason); the search itself is bounded beam rounds; production builds with partial probe")
 
   // Every headline query is either in the sf1 tier or excluded WITH a
   // recorded reason — asserted here so the invariant cannot rot silently

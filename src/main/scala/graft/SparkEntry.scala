@@ -3270,6 +3270,50 @@ object SparkEntry {
         .join(verdict.where(col("keep")), Seq("doc_id"), "left_semi")
         .orderBy("doc_id")
     }),
+    // graph-based ANN (NavGraph): build the layered navigable graph on
+    // members 0..5 of each 8-doc cluster, APPEND members 6..7 (forward
+    // + back edges, no rebuild), COMPACT (re-prune lists to m), then
+    // beam-search member 5 of every cluster. The fixture's geometry
+    // makes recall provable: cluster g's vectors live in the 2-plane
+    // spanned by axes (g % 61, 61 + (g DIV 61) % 23) of an 84-dim
+    // space at angles 0.04·member — in-cluster cosine >= cos(0.28)
+    // ~ 0.96 vs cross-cluster <= ~0.79 (clusters share at most one
+    // axis), so the exact top-7 of every query is EXACTLY its
+    // co-members and the search must return that set through the whole
+    // build/append/compact lifecycle (ranks excluded: equidistant
+    // co-member pairs tie only up to float ulps). bruteMax = 96 makes
+    // sf0.01 (20 vectors) take the brute construction and the sf0.1
+    // twin (200 vectors, 150-node build layer) the IVF-probed one —
+    // both exact at nProbe = nlist, same oracle
+    "q238_nav_graph_ann" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val vecs = spark.sql("""
+        SELECT i AS vec_id, mm,
+               transform(sequence(0, 83), d ->
+                 CAST(CASE WHEN d = a THEN (cos(th) + sin(th)) / sqrt(2)
+                           WHEN d = b THEN (cos(th) - sin(th)) / sqrt(2)
+                           ELSE 0.0 END AS FLOAT)) AS embedding
+        FROM (SELECT i, mm, g % 61 AS a, 61 + (g DIV 61) % 23 AS b,
+                     0.04 * mm AS th
+              FROM (SELECT doc_id DIV 25 AS i, (doc_id DIV 25) DIV 8 AS g,
+                           (doc_id DIV 25) % 8 AS mm
+                    FROM documents WHERE doc_id % 25 = 0))""")
+      val idx = scratchDir("graft_navgraph_")
+      graft.operators.NavGraph.buildNavGraph(
+        vecs.where(col("mm") <= 5).select("vec_id", "embedding"), idx,
+        m = 8, maxLevel = 1, nlist = 8, nProbe = 8, iters = 3,
+        bruteMax = 96L)
+      graft.operators.NavGraph.appendToNavGraph(spark, idx,
+        vecs.where(col("mm") >= 6).select("vec_id", "embedding"),
+        nlist = 8, nProbe = 8, iters = 3, bruteMax = 96L)
+      graft.operators.NavGraph.compactNavGraph(spark, idx)
+      graft.operators.NavGraph.navSearch(spark, idx,
+          vecs.where(col("mm") === 5).select("vec_id", "embedding"),
+          k = 7, ef = 16, rounds = 2)
+        .select(col("qid"), col("nid"))
+        .orderBy("qid", "nid")
+    }),
     // STREAMING incremental clustering: each micro-batch appends its
     // edges to the registry AND folds them into the cluster snapshot
     // (delta-cost CC) in one foreachBatch body, batch 0 deliberately
@@ -7946,6 +7990,15 @@ object SparkEntry {
              CASE WHEN doc_id < 400 THEN doc_id % 40 ELSE doc_id END AS component,
              (CASE WHEN doc_id < 400 THEN doc_id % 40 ELSE doc_id END) = doc_id AS keep
       FROM documents ORDER BY doc_id""",
+    // the exact top-7 of every query is analytically its 7 cluster
+    // co-members (the fixture's separation proof) — the graph search
+    // must return that set through build + append + compact
+    "q238_nav_graph_ann" -> """
+      WITH v AS (SELECT doc_id // 25 AS i FROM documents WHERE doc_id % 25 = 0),
+           q AS (SELECT i FROM v WHERE i % 8 = 5)
+      SELECT q.i AS qid, n.i AS nid
+      FROM q JOIN v n ON q.i // 8 = n.i // 8 AND q.i <> n.i
+      ORDER BY qid, nid""",
     // the full loop's admitted set is analytic: probed groups (m4 <= 2
     // members) keep only their minimum (doc_id % 400 == 0), never-
     // probed m4 = 3 members and every non-fingerprinted doc keep
@@ -8521,6 +8574,11 @@ object SparkEntry {
     // probe -> append -> refresh -> admit over 10x fingerprint groups
     // (all group hashes and the admitted set shift with the group ids)
     "q237_dedup_loop_e2e",
+    // build/append/compact/search over 10x clusters — and the twin's
+    // 150-node build layer crosses bruteMax = 96, so it runs the
+    // IVF-probed construction where the base runs brute (both exact,
+    // same oracle)
+    "q238_nav_graph_ann",
     // every bin mean/fraction and the ECE shift at 10x scores
     "q229_calibration")
     // q197_containment has NO twin: the synthetic corpus's ~31-word

@@ -1,0 +1,305 @@
+package graft.operators
+
+import graft.functions.GeoFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-based ANN: a layered navigable neighbor graph (HNSW-style —
+  * Malkov & Yashunin, TPAMI 2018) persisted under the versioned-root
+  * lifecycle every other index family here uses, searched by a
+  * DISTRIBUTED iterative beam search.
+  *
+  * Re-thought for Spark rather than transliterated: HNSW's in-RAM
+  * insert-one-point-at-a-time construction is inherently sequential, so
+  * construction here is the DISTRIBUTED equivalent of its end state —
+  * per layer, every member's top-`m` neighbors by cosine, computed with
+  * the IVF-probed candidate join ([[Ann.knnGraph]]'s shape: a
+  * list-keyed shuffle carrying ~nProbe/nlist of the all-pairs volume,
+  * exact at nProbe = nlist) or brute force when the layer is small.
+  * Layer membership is deterministic — a node's level is the base-4
+  * valuation of its id, capped at `maxLevel` (P[level >= L] = 4^-L for
+  * dense sequence ids and for hash-valued ids alike), so levels
+  * replay identically on rebuild and append with no stored RNG state.
+  *
+  * Search is HNSW's descent expressed as bounded iterative joins, the
+  * BFS/label-propagation discipline: score the top layer's entry
+  * points (one map-only scan of the n/4^maxLevel entry rows against
+  * the broadcast query batch), keep the best `ef` per query, then per
+  * layer — once per upper layer, `rounds` times at layer 0 — expand
+  * the frontier through that layer's edge partition (partition-pruned
+  * scan, frontier side broadcast) and re-rank to the best `ef`. The
+  * corpus-sized node table is touched only through a semi-join pruned
+  * by the candidate ids (the snapshot verdict's pattern): per round,
+  * one map-only pruned scan, never a history-sized shuffle. Frontiers
+  * are localCheckpointed per round (the connected-components lineage
+  * discipline).
+  *
+  * Maintenance mirrors the other families: [[appendToNavGraph]] links
+  * a batch in WITHOUT a rebuild (forward edges new→neighbor plus
+  * back-edges neighbor→new keep appended nodes reachable; lists exceed
+  * `m` until compaction re-prunes), [[compactNavGraph]] rewrites the
+  * pruned graph into the next version, publishes behind the atomic
+  * pointer, and retries are read-side safe because node and edge rows
+  * are FACTS every reader distincts. The q238 contract runs
+  * build → append → compact → search against an analytically-known
+  * neighbor set; [[navRecallFrame]] is the production tuning read
+  * (measured recall vs exact brute force on a query sample, the
+  * ivfRecallFrame / lshRecallFrame pattern).
+  *
+  * Reference frame: the reference engine ships no ANN at all
+  * (/root/reference/src has only the geo surface); this family extends
+  * the training-data-pipeline side of the library. */
+object NavGraph {
+
+  /** Deterministic layer law: the base-4 valuation of the id, capped —
+    * level >= L for one id in 4^L when ids are dense sequence numbers
+    * (and in expectation for hash-valued ids). No RNG state to persist;
+    * rebuilds and appends level identically. */
+  private def levelOf(id: org.apache.spark.sql.Column, maxLevel: Int) =
+    // fold ASCENDING so the highest level's test is the outermost branch
+    // (folding the other way would let the level-1 check shadow deeper
+    // valuations down to 1)
+    (1 to maxLevel).foldLeft(lit(0)) { (acc, l) =>
+      when(pmod(id, lit(math.pow(4, l).toLong)) === 0, lit(l)).otherwise(acc)
+    }
+
+  private def topPerSrc(scored: DataFrame, m: Int): DataFrame = {
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= m)
+      .select("src", "dst", "cos")
+  }
+
+  /** Top-`m` neighbors by cosine for every row of `left` among `right`
+    * (both (nid, nv)): brute force (broadcast left) below `bruteMax`
+    * right-side rows, IVF-probed candidates beyond — exact when
+    * nProbe = nlist, the documented approximation otherwise. */
+  private def knnAmong(left: DataFrame, right: DataFrame, rightCount: Long,
+      m: Int, nlist: Int, nProbe: Int, iters: Int, seed: Long,
+      bruteMax: Long): DataFrame = {
+    val scored =
+      if (rightCount <= bruteMax)
+        broadcast(left.select(col("nid").as("src"), col("nv").as("sv")))
+          .join(right.select(col("nid").as("dst"), col("nv").as("dv")),
+            col("src") =!= col("dst"))
+          .select(col("src"), col("dst"), vec_cosine(col("sv"), col("dv")).as("cos"))
+      else {
+        val index = Ann.buildIvf(
+          right.select(col("nid").as("vec_id"), col("nv").as("embedding")),
+          nlist, iters, seed)
+        Ann.probeAssignmentsBcast(index,
+            left.select(col("nid").as("vec_id"), col("nv").as("embedding")), nProbe)
+          .join(index.assigned, Seq("list"))
+          .where(col("qid") =!= col("nid"))
+          .select(col("qid").as("src"), col("nid").as("dst"),
+            vec_cosine(col("qv"), col("cv")).as("cos"))
+          .dropDuplicates("src", "dst")
+      }
+    topPerSrc(scored, m)
+  }
+
+  private def writeSidecars(spark: org.apache.spark.sql.SparkSession,
+      ver: org.apache.hadoop.fs.Path, nodesDdl: String, edgesDdl: String,
+      m: Int, maxLevel: Int): Unit = {
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(ver, "_schema_nodes.ddl"), nodesDdl)
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(ver, "_schema_edges.ddl"), edgesDdl)
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(ver, "_nav_params.json"),
+      s"""{"m":$m,"maxLevel":$maxLevel}""")
+  }
+
+  private def navParams(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): (Int, Int) = {
+    val json = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(dataDir, "_nav_params.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"nav graph at $dataDir has no readable _nav_params.json sidecar"))
+    def intOf(k: String): Int =
+      (s""""$k":(\\d+)""").r.findFirstMatchIn(json).map(_.group(1).toInt)
+        .getOrElse(throw new java.io.IOException(
+          s"nav graph sidecar at $dataDir lacks $k: $json"))
+    (intOf("m"), intOf("maxLevel"))
+  }
+
+  private def readTable(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, name: String): DataFrame = {
+    val ddl = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(dataDir, s"_schema_$name.ddl"))
+      .getOrElse(throw new java.io.IOException(
+        s"nav graph at $dataDir has no readable _schema_$name.ddl sidecar"))
+    spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .parquet(s"$dataDir/$name")
+  }
+
+  /** Build and publish the layered graph for `corpus` (vec_id,
+    * embedding) under `path`'s versioned root. Per layer L the members
+    * are the nodes with level >= L and the edges are each member's
+    * top-`m` cosine neighbors among the layer — layer sizes shrink 4x
+    * per level, so the level-0 pass dominates and the build costs one
+    * IVF knn-graph. Choose `maxLevel` ~ log4(n / desired entry count):
+    * the search's entry scan is the n/4^maxLevel top-layer rows. */
+  def buildNavGraph(corpus: DataFrame, path: String, m: Int = 16,
+      maxLevel: Int = 3, nlist: Int = 16, nProbe: Int = 4, iters: Int = 5,
+      seed: Long = 42L, bruteMax: Long = 4096L, keepVersions: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    require(m >= 1 && maxLevel >= 0 && bruteMax >= 1,
+      s"need m >= 1, maxLevel >= 0, bruteMax >= 1 (got $m, $maxLevel, $bruteMax)")
+    val nodes = corpus
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .withColumn("level", levelOf(col("nid"), maxLevel))
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
+    nodes.write.parquet(s"$ver/nodes")
+    // edge passes re-read the just-written nodes: no corpus-sized
+    // checkpoint, one scan per layer
+    val nodesR = spark.read.schema(nodes.schema).parquet(s"$ver/nodes")
+    val edges = (0 to maxLevel).map { l =>
+      val sub = nodesR.where(col("level") >= l).select("nid", "nv")
+      val cnt = sub.count()
+      if (cnt < 2L) None
+      else Some(knnAmong(sub, sub, cnt, m, nlist, nProbe, iters, seed, bruteMax)
+        .withColumn("level", lit(l)))
+    }.flatten.reduceLeft(_ unionByName _)
+    edges.write.partitionBy("level").parquet(s"$ver/edges")
+    writeSidecars(spark, ver, nodes.schema.toDDL,
+      "`src` BIGINT,`dst` BIGINT,`cos` DOUBLE,`level` INT", m, maxLevel)
+    graft.util.FsIO.publishVersion(spark, path, ver, keepVersions)
+  }
+
+  /** Link a batch into the persisted graph WITHOUT a rebuild: levels
+    * from the same deterministic law, per touched layer the new nodes'
+    * top-`m` neighbors among (existing ∪ batch), appended as forward
+    * edges PLUS back-edges (neighbor → new) so the batch is reachable
+    * from the existing graph — neighbor lists exceed `m` until
+    * [[compactNavGraph]] re-prunes them, exactly HNSW's
+    * insert-then-shrink, amortized to the compaction cadence. Retry-
+    * safe the facts way: a replayed append duplicates node and edge
+    * rows that every read distincts. Post-append pointer check makes a
+    * racing compaction loud. */
+  def appendToNavGraph(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, nlist: Int = 16, nProbe: Int = 4,
+      iters: Int = 5, seed: Long = 42L, bruteMax: Long = 4096L): Unit = {
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val (m, maxLevel) = navParams(spark, dataDir)
+    val nodes = readTable(spark, dataDir, "nodes")
+    val newNodes = batch
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .withColumn("level", levelOf(col("nid"), maxLevel))
+      .localCheckpoint() // batch-sized
+    val perLevel = (0 to maxLevel).flatMap { l =>
+      val newSub = newNodes.where(col("level") >= l).select("nid", "nv")
+      if (newSub.isEmpty) None
+      else {
+        val oldSub = nodes.where(col("level") >= l).select("nid", "nv")
+        val union = oldSub.unionByName(newSub)
+        val fwd = knnAmong(newSub, union, union.count(), m, nlist, nProbe,
+          iters, seed, bruteMax)
+        val rev = fwd.select(col("dst").as("src"), col("src").as("dst"), col("cos"))
+        Some(fwd.unionByName(rev).dropDuplicates("src", "dst")
+          .withColumn("level", lit(l)))
+      }
+    }
+    if (perLevel.nonEmpty)
+      perLevel.reduceLeft(_ unionByName _)
+        .write.mode("append").partitionBy("level").parquet(s"$dataDir/edges")
+    newNodes.write.mode("append").parquet(s"$dataDir/nodes")
+    graft.util.FsIO.assertStillCurrent(spark, path, dataDir)
+  }
+
+  /** Fold appends away: distinct the fact rows, re-prune every node's
+    * list to its top-`m` (cos desc, dst asc — HNSW's shrink), rewrite
+    * into the next version, flip the pointer. Search-visible results
+    * are unchanged wherever the pruned lists still cover the searched
+    * neighborhoods (the q238 contract pins the fixture's case). */
+  def compactNavGraph(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepVersions: Int = 1): Unit = {
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val (m, maxLevel) = navParams(spark, dataDir)
+    val nodes = readTable(spark, dataDir, "nodes").dropDuplicates("nid")
+    val edges = readTable(spark, dataDir, "edges")
+      .dropDuplicates("level", "src", "dst")
+    val w = Window.partitionBy("level", "src")
+      .orderBy(col("cos").desc, col("dst").asc)
+    val pruned = edges.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= m).select("src", "dst", "cos", "level")
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
+    nodes.write.parquet(s"$ver/nodes")
+    pruned.write.partitionBy("level").parquet(s"$ver/edges")
+    writeSidecars(spark, ver, nodes.schema.toDDL,
+      "`src` BIGINT,`dst` BIGINT,`cos` DOUBLE,`level` INT", m, maxLevel)
+    graft.util.FsIO.publishVersion(spark, path, ver, keepVersions)
+  }
+
+  /** Beam search the persisted graph: top-`k` (qid, nid, rnk) per query
+    * by exact cosine over the visited set. `ef` is the per-query beam
+    * width (recall knob, >= k), `rounds` the layer-0 expansion count —
+    * each round reaches one more hop, so `rounds` >= the expected hop
+    * distance from an entry's neighborhood to the true neighbors
+    * (2 covers near-duplicate workloads where true neighbors are
+    * mutually linked; raise it for sparse manifolds, it only adds
+    * bounded map-only rounds). Every round touches the edge table
+    * through its layer partition and the node table through a
+    * candidate-id semi-join: map-only scans, frontier-sized shuffles,
+    * nothing history-sized ever shuffles. */
+  def navSearch(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, ef: Int = 32, rounds: Int = 2): DataFrame = {
+    require(k >= 1 && ef >= k && rounds >= 1,
+      s"need 1 <= k <= ef and rounds >= 1 (got k=$k ef=$ef rounds=$rounds)")
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val (_, maxLevel) = navParams(spark, dataDir)
+    val nodes = readTable(spark, dataDir, "nodes")
+    val edges = readTable(spark, dataDir, "edges")
+    val q = broadcast(queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    def topEf(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+      df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= ef)
+        .select("qid", "qv", "nid", "cos")
+    }
+    // entry layer: one map-only scan of the n/4^maxLevel top-level rows
+    // against the broadcast query batch
+    var frontier = topEf(
+      q.join(nodes.where(col("level") === maxLevel), lit(true))
+        .select(col("qid"), col("qv"), col("nid"),
+          vec_cosine(col("qv"), col("nv")).as("cos")))
+      .localCheckpoint()
+    for (l <- maxLevel to 0 by -1; _ <- 1 to (if (l == 0) rounds else 1)) {
+      val cand = frontier.select(col("qid"), col("qv"), col("nid").as("src"))
+        .join(edges.where(col("level") === l).select("src", "dst"), Seq("src"))
+        .select(col("qid"), col("qv"), col("dst").as("nid"))
+        .dropDuplicates("qid", "nid")
+      val ids = cand.select("nid").distinct()
+      val slice = nodes.select(col("nid"), col("nv"))
+        .join(ids, Seq("nid"), "left_semi") // pruned map-only node scan
+      val scored = cand.join(slice, Seq("nid"))
+        .select(col("qid"), col("qv"), col("nid"),
+          vec_cosine(col("qv"), col("nv")).as("cos"))
+      frontier = topEf(frontier.unionByName(scored).dropDuplicates("qid", "nid"))
+        .localCheckpoint()
+    }
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    frontier.where(col("qid") =!= col("nid"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("qid", "nid", "rnk")
+  }
+
+  /** Measured recall vs exact brute force on a query sample — the
+    * ivfRecallFrame / lshRecallFrame pattern for tuning (m, ef,
+    * rounds): one row (n_true, n_found, recall). Run it on a sample
+    * whenever the corpus drifts; rebuild or raise ef when it sags. */
+  def navRecallFrame(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, ef: Int = 32, rounds: Int = 2): DataFrame = {
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val corpus = readTable(spark, dataDir, "nodes").dropDuplicates("nid")
+      .select(col("nid").as("vec_id"), col("nv").as("embedding"))
+    val truth = Ann.bruteForceTopK(queries, corpus, k)
+    val found = navSearch(spark, path, queries, k, ef, rounds)
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nFound = found.join(truth.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    nTrue.crossJoin(nFound)
+      .select(col("n_true"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_true"), 6).as("recall"))
+  }
+}

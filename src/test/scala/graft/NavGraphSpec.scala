@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The layered navigable-neighbor-graph ANN (NavGraph): build / search /
+  * append / compact on the versioned-root lifecycle.
+  *
+  * Fixture geometry (the provable-recall construction shared with the
+  * q238 contract): clusters of `cSize` consecutive ids; cluster g's
+  * vectors live in the plane spanned by axes a(g) = g % 61 and
+  * b(g) = 61 + (g / 61) % 23 of an 84-dim space, member mm at angle
+  * 0.04·mm inside the plane. Two clusters share at most ONE axis, so
+  * cross-cluster cosine <= ~0.79 while in-cluster cosine >= cos(0.28)
+  * ~= 0.96 — every node's exact top-(cSize-1) is exactly its
+  * co-members, with a margin float noise cannot cross. */
+class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def scratch(): String =
+    java.nio.file.Files.createTempDirectory("nav").toString + "/idx"
+
+  private def vecOf(i: Long, cSize: Int): Array[Float] = {
+    val g = i / cSize; val mm = (i % cSize).toInt
+    val a = (g % 61).toInt; val b = 61 + ((g / 61) % 23).toInt
+    val th = 0.04 * mm
+    val v = new Array[Float](84)
+    v(a) = ((math.cos(th) + math.sin(th)) / math.sqrt(2)).toFloat
+    v(b) = ((math.cos(th) - math.sin(th)) / math.sqrt(2)).toFloat
+    v
+  }
+
+  private def corpusDf(n: Int, cSize: Int,
+      keep: Long => Boolean = _ => true): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    (0L until n.toLong).filter(keep).map(i => (i, vecOf(i, cSize).toSeq))
+      .toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def coMembers(queries: Seq[Long], n: Long, cSize: Int,
+      alive: Long => Boolean = _ => true): Set[(Long, Long)] =
+    (for {
+      q <- queries
+      m <- (q / cSize * cSize) until math.min(n, q / cSize * cSize + cSize)
+      if m != q && alive(m)
+    } yield (q, m)).toSet
+
+  test("build + search: exact co-member top-k, brute and IVF paths agree") {
+    val n = 128; val cSize = 8
+    val corpus = corpusDf(n, cSize)
+    val queries = corpus.where("vec_id % 8 = 5")
+    val brutePath = scratch(); val ivfPath = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpus, brutePath, m = 8,
+      maxLevel = 1)
+    // bruteMax = 1 forces the IVF-probed construction; nProbe = nlist
+    // keeps it exact, so the two graphs must search identically
+    graft.operators.NavGraph.buildNavGraph(corpus, ivfPath, m = 8,
+      maxLevel = 1, nlist = 4, nProbe = 4, bruteMax = 1L)
+    val got = graft.operators.NavGraph.navSearch(spark, brutePath, queries,
+      k = 7, ef = 16, rounds = 2)
+    val expect = coMembers((0L until n).filter(_ % 8 == 5), n, cSize)
+    assert(pairs(got) == expect, "beam search must return exactly the co-members")
+    val gotIvf = graft.operators.NavGraph.navSearch(spark, ivfPath, queries,
+      k = 7, ef = 16, rounds = 2)
+    assert(pairs(gotIvf) == expect, "IVF-built graph must search identically")
+    // and both agree with brute force including ranks (same cosine
+    // kernel, same tie-break)
+    val bf = graft.operators.Ann.bruteForceTopK(queries, corpus, 7)
+    assert(got.select("qid", "nid", "rnk").collect().map(_.toSeq).toSet ==
+      bf.collect().map(_.toSeq).toSet)
+  }
+
+  test("append links new nodes reachably; replayed append changes nothing") {
+    val n = 128; val cSize = 8
+    val all = corpusDf(n, cSize)
+    val base = corpusDf(n, cSize, keep = _ % 8 <= 5)
+    val batch = corpusDf(n, cSize, keep = _ % 8 >= 6)
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(base, path, m = 8, maxLevel = 1)
+    graft.operators.NavGraph.appendToNavGraph(spark, path, batch)
+    val queries = all.where("vec_id % 8 = 5")
+    def run() = pairs(graft.operators.NavGraph.navSearch(spark, path,
+      queries, k = 7, ef = 16, rounds = 2))
+    val expect = coMembers((0L until n).filter(_ % 8 == 5), n, cSize)
+    assert(run() == expect,
+      "appended co-members must be reachable through back-edges")
+    // a foreachBatch retry: duplicate node/edge facts every read distincts
+    graft.operators.NavGraph.appendToNavGraph(spark, path, batch)
+    assert(run() == expect, "a replayed append must not change the search")
+    // compaction folds the duplicates + over-length lists; search unchanged
+    graft.operators.NavGraph.compactNavGraph(spark, path)
+    assert(graft.util.FsIO.indexDataDir(spark, path).endsWith("v2"))
+    assert(run() == expect, "compaction must preserve the search")
+    // pruned lists: no node carries more than m = 8 neighbors per level
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val maxList = spark.read.parquet(s"$dataDir/edges")
+      .groupBy("level", "src").count().agg(org.apache.spark.sql.functions.max("count"))
+      .collect()(0).getLong(0)
+    assert(maxList <= 8L, s"compaction must prune lists to m (got $maxList)")
+  }
+
+  test("two layers: descent from a sparse entry layer stays exact") {
+    // clusters of 16 consecutive ids: every cluster min has level >= 2
+    // (16 | id), so the maxLevel = 2 entry layer still covers every
+    // cluster and the exactness argument holds through the descent
+    val n = 256; val cSize = 16
+    val corpus = corpusDf(n, cSize)
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpus, path, m = 16, maxLevel = 2)
+    val queries = corpus.where("vec_id % 16 = 9")
+    val got = graft.operators.NavGraph.navSearch(spark, path, queries,
+      k = 15, ef = 32, rounds = 2)
+    assert(pairs(got) == coMembers((0L until n).filter(_ % 16 == 9), n, cSize))
+    // levels obey the base-4 valuation law
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val lv = spark.read.parquet(s"$dataDir/nodes").select("nid", "level")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until n).foreach { i =>
+      val want = if (i % 16 == 0) 2 else if (i % 4 == 0) 1 else 0
+      assert(lv(i) == want, s"level($i)")
+    }
+  }
+
+  test("navRecallFrame reads 1.0 on the exact fixture") {
+    val n = 64; val cSize = 8
+    val corpus = corpusDf(n, cSize)
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpus, path, m = 8, maxLevel = 1)
+    val r = graft.operators.NavGraph.navRecallFrame(spark, path,
+      corpus.where("vec_id % 8 = 3"), k = 7, ef = 16, rounds = 2)
+      .collect()(0)
+    assert(r.getLong(0) == 56L && r.getLong(1) == 56L && r.getDouble(2) == 1.0)
+  }
+}

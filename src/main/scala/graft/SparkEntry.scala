@@ -3314,6 +3314,84 @@ object SparkEntry {
         .select(col("qid"), col("nid"))
         .orderBy("qid", "nid")
     }),
+    // STREAMING NavGraph maintenance: q238's clusters built on members
+    // 0..3, members 4 and 5 arriving as two micro-batches appended
+    // straight into the persisted graph (forward + back edges), batch
+    // 0 deliberately replayed — node/edge rows are facts every read
+    // distincts and the append dedupes its union by id, so the beam
+    // search must still return exactly the analytic co-member set
+    "q239_stream_nav_index" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.streaming.Trigger
+      val vecs = spark.sql("""
+        SELECT i AS vec_id, mm,
+               transform(sequence(0, 83), d ->
+                 CAST(CASE WHEN d = a THEN (cos(th) + sin(th)) / sqrt(2)
+                           WHEN d = b THEN (cos(th) - sin(th)) / sqrt(2)
+                           ELSE 0.0 END AS FLOAT)) AS embedding
+        FROM (SELECT i, mm, g % 61 AS a, 61 + (g DIV 61) % 23 AS b,
+                     0.04 * mm AS th
+              FROM (SELECT doc_id DIV 25 AS i, (doc_id DIV 25) DIV 8 AS g,
+                           (doc_id DIV 25) % 8 AS mm
+                    FROM documents WHERE doc_id % 25 = 0))""")
+      val work = scratchDir("graft-q239-")
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(work, "in"))
+      def stage(mm: Int, name: String, mtime: Long): Unit = {
+        val tmp = s"$work/stage_$name"
+        vecs.where(col("mm") === mm).select("vec_id", "embedding")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = inDir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      stage(4, "a.parquet", 1000000L)
+      stage(5, "b.parquet", 2000000L)
+      val idx = s"$work/idx"
+      graft.operators.NavGraph.buildNavGraph(
+        vecs.where(col("mm") <= 3).select("vec_id", "embedding"), idx,
+        m = 8, maxLevel = 1, nlist = 8, nProbe = 8, iters = 3,
+        bruteMax = 96L)
+      val batchSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      val q = spark.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.StreamOps.navAppendBatch(idx, b,
+            nlist = 8, nProbe = 8, iters = 3, bruteMax = 96L)
+          if (id == 0) // retry: duplicate node/edge facts, same search
+            graft.streaming.StreamOps.navAppendBatch(idx, b,
+              nlist = 8, nProbe = 8, iters = 3, bruteMax = 96L)
+        }
+        .start()
+      q.awaitTermination()
+      // queries restricted to COMPLETE clusters (an mm = 5 co-member
+      // exists): in a corpus-truncated cluster the top-5 legitimately
+      // fills its tail with cross-cluster rows the analytic co-member
+      // oracle cannot model
+      val queries = vecs.where(col("mm") === 1)
+        .join(vecs.where(col("mm") === 5)
+          .selectExpr("vec_id - 4 AS vec_id"), Seq("vec_id"), "left_semi")
+      graft.operators.NavGraph.navSearch(spark, idx,
+          queries.select("vec_id", "embedding"),
+          k = 5, ef = 16, rounds = 2)
+        .select(col("qid"), col("nid"))
+        .orderBy("qid", "nid")
+    }),
     // STREAMING incremental clustering: each micro-batch appends its
     // edges to the registry AND folds them into the cluster snapshot
     // (delta-cost CC) in one foreachBatch body, batch 0 deliberately
@@ -7999,6 +8077,17 @@ object SparkEntry {
       SELECT q.i AS qid, n.i AS nid
       FROM q JOIN v n ON q.i // 8 = n.i // 8 AND q.i <> n.i
       ORDER BY qid, nid""",
+    // streamed vector appends + a retry are invisible to the beam
+    // search (node/edge facts + read-side distincts) — the analytic
+    // co-member oracle over the mm <= 5 corpus holds verbatim
+    "q239_stream_nav_index" -> """
+      WITH v AS (SELECT doc_id // 25 AS i FROM documents
+                 WHERE doc_id % 25 = 0 AND (doc_id // 25) % 8 <= 5),
+           q AS (SELECT a.i FROM v a JOIN v b ON b.i = a.i + 4
+                 WHERE a.i % 8 = 1)
+      SELECT q.i AS qid, n.i AS nid
+      FROM q JOIN v n ON q.i // 8 = n.i // 8 AND q.i <> n.i
+      ORDER BY qid, nid""",
     // the full loop's admitted set is analytic: probed groups (m4 <= 2
     // members) keep only their minimum (doc_id % 400 == 0), never-
     // probed m4 = 3 members and every non-fingerprinted doc keep
@@ -8579,6 +8668,9 @@ object SparkEntry {
     // IVF-probed construction where the base runs brute (both exact,
     // same oracle)
     "q238_nav_graph_ann",
+    // two streamed micro-batches + a retry over 10x clusters must
+    // still search as the analytic co-member set
+    "q239_stream_nav_index",
     // every bin mean/fraction and the ECE shift at 10x scores
     "q229_calibration")
     // q197_containment has NO twin: the synthetic corpus's ~31-word

@@ -192,7 +192,12 @@ object NavGraph {
       if (newSub.isEmpty) None
       else {
         val oldSub = nodes.where(col("level") >= l).select("nid", "nv")
-        val union = oldSub.unionByName(newSub)
+        // dropDuplicates: a REPLAYED append finds its own batch already
+        // in the node table — without the dedupe the duplicated rows
+        // would occupy candidate ranks twice and could crowd real
+        // neighbors out of the top-m (vectors are deterministic per id,
+        // so deduping by id is exact)
+        val union = oldSub.unionByName(newSub).dropDuplicates("nid")
         val fwd = knnAmong(newSub, union, union.count(), m, nlist, nProbe,
           iters, seed, bruteMax)
         val rev = fwd.select(col("dst").as("src"), col("src").as("dst"), col("cos"))

@@ -383,6 +383,22 @@ object StreamOps {
     graft.operators.Dedup.refreshClusterSnapshot(spark, snapPath, batch, aCol, bCol)
   }
 
+  /** Maintain a persisted NavGraph ANN index from a stream — the
+    * `foreachBatch` body for continuous vector ingest. Exactly-once
+    * with NO bookkeeping: node and edge rows are FACTS every NavGraph
+    * read distincts (search dedupes (qid, nid) candidates, compaction
+    * distincts before pruning), and the append itself dedupes the
+    * union by id before computing the batch's neighbors, so a replayed
+    * batch re-derives the same forward and back edges — duplicate rows
+    * on disk, identical search results (the q239 gate replays batch 0
+    * against the analytic co-member oracle). Compaction stays an
+    * offline single-writer job like every index family here. */
+  def navAppendBatch(state: String, batch: DataFrame, nlist: Int = 16,
+      nProbe: Int = 4, iters: Int = 5, seed: Long = 42L,
+      bruteMax: Long = 4096L): Unit =
+    graft.operators.NavGraph.appendToNavGraph(
+      batch.sparkSession, state, batch, nlist, nProbe, iters, seed, bruteMax)
+
   /** The COMPLETE incremental-dedup loop as ONE `foreachBatch` body —
     * the 100 TB recipe executed per micro-batch: (1) probe the
     * persisted hamming index for near-dup pairs touching the batch,

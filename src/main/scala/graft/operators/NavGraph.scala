@@ -246,7 +246,14 @@ object NavGraph {
     * bounded map-only rounds). Every round touches the edge table
     * through its layer partition and the node table through a
     * candidate-id semi-join: map-only scans, frontier-sized shuffles,
-    * nothing history-sized ever shuffles. */
+    * nothing history-sized ever shuffles.
+    *
+    * Best-of-visited law: each round keeps the top-`ef` of
+    * (frontier ∪ new candidates), so by induction the final frontier
+    * contains the true top-`ef` of EVERYTHING ever visited — with
+    * ef >= k, the returned top-`k` is exactly HNSW's
+    * best-of-all-visited result, no separate visited accumulator
+    * needed. */
   def navSearch(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, ef: Int = 32, rounds: Int = 2): DataFrame = {
     require(k >= 1 && ef >= k && rounds >= 1,

@@ -437,6 +437,20 @@ object StreamOps {
       spark, indexPath, batch, idCol, hashCol)
   }
 
+  /** [[hammingDedupLoopBatch]] straight from TEXT: the batch is
+    * fingerprinted with the same simhash64 law as the persisted
+    * simhash index family (`writeSimhashIndex` bootstraps the index),
+    * then runs the identical probe → registry → snapshot → index
+    * chain. The replay argument carries over unchanged because the
+    * fingerprint is a pure function of the text. */
+  def simhashDedupLoopBatch(indexPath: String, registryPath: String,
+      snapPath: String, batch: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): Unit =
+    hammingDedupLoopBatch(indexPath, registryPath, snapPath,
+      batch.select(col(idCol),
+        graft.functions.GeoFunctions.simhash64(col(textCol)).as("__sh64")),
+      idCol, "__sh64", maxHamming)
+
   /** The maintained heavy-hitters summary: the mergeable-summaries fold
     * of every appended batch summary. None while no batch has arrived.
     * The global window runs on the folded item table — bounded by

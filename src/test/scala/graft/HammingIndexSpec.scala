@@ -65,6 +65,44 @@ class HammingIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty, "fixture produced no near-dup pairs (vacuous)")
   }
 
+  test("simhash dedup loop from text: streamed batches + replay land on the one-shot clusters") {
+    val docs = docsDf
+    val h = docs.where(col("doc_id") % 3 === 0)
+    val b1 = docs.where(col("doc_id") % 3 === 1)
+    val b2 = docs.where(col("doc_id") % 3 === 2)
+    val root = java.nio.file.Files.createTempDirectory("simloop").toString
+    val idx = s"$root/idx"; val reg = s"$root/reg"; val snap = s"$root/snap"
+    graft.operators.Dedup.writeSimhashIndex(h, "doc_id", "text", idx, bands = 4)
+    graft.operators.Dedup.writeRegistry(
+      docs.where(lit(false)).select(col("doc_id").as("ida"), col("doc_id").as("idb")),
+      "ida", "idb", reg)
+    graft.operators.Dedup.writeClusterSnapshot(spark, reg, snap)
+    graft.streaming.StreamOps.simhashDedupLoopBatch(idx, reg, snap, b1, "doc_id", "text")
+    // retry of the whole loop body: probe set unchanged (batch already
+    // indexed), duplicate facts, strict-no-op refresh
+    graft.streaming.StreamOps.simhashDedupLoopBatch(idx, reg, snap, b1, "doc_id", "text")
+    graft.streaming.StreamOps.simhashDedupLoopBatch(idx, reg, snap, b2, "doc_id", "text")
+    // expected evidence = one-shot near-dup pairs touching b1 ∪ b2
+    // (b1's probe sees h ∪ b1, b2's probe sees everything)
+    val batchIds = (0L until 90L).filter(i => i % 3 != 0).toSet
+    val sp = spark
+    import sp.implicits._
+    val expectedEdges = pairSet(graft.operators.Dedup.simhashNearDups(
+        docs, "doc_id", "text", maxHamming = 3, bands = 4))
+      .filter { case (a, b, _) => batchIds(a) || batchIds(b) }
+      .map { case (a, b, _) => (a, b) }.toSeq.toDF("a", "b")
+    val expect = graft.operators.Dedup
+      .connectedComponents(expectedEdges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expect.nonEmpty, "fixture produced no pair evidence (vacuous)")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toMap(graft.operators.Dedup.registryClusters(spark, reg)) == expect,
+      "registry clusters != one-shot CC over batch-touching evidence")
+    assert(toMap(graft.operators.Dedup.readClusterSnapshot(spark, snap)) == expect,
+      "snapshot != one-shot CC over batch-touching evidence")
+  }
+
   test("compaction merges band shards; probe planned before it still runs") {
     val docs = docsDf
     val path = scratch()

@@ -73,29 +73,65 @@ object NavGraph {
   /** Top-`m` neighbors by cosine for every row of `left` among `right`
     * (both (nid, nv)): brute force (broadcast left) below `bruteMax`
     * right-side rows, IVF-probed candidates beyond — exact when
-    * nProbe = nlist, the documented approximation otherwise. */
+    * nProbe = nlist, the documented approximation otherwise. When the
+    * IVF path runs, `frozen` centroids are reused if provided (the
+    * frozen-codebook append contract — no per-batch retraining), else
+    * trained once here; the codebook actually used is returned so the
+    * caller can persist it. */
   private def knnAmong(left: DataFrame, right: DataFrame, rightCount: Long,
       m: Int, nlist: Int, nProbe: Int, iters: Int, seed: Long,
-      bruteMax: Long): DataFrame = {
-    val scored =
-      if (rightCount <= bruteMax)
+      bruteMax: Long, frozen: Option[Array[Array[Float]]] = None)
+      : (DataFrame, Option[Array[Array[Float]]]) = {
+    if (rightCount <= bruteMax) {
+      val scored =
         broadcast(left.select(col("nid").as("src"), col("nv").as("sv")))
           .join(right.select(col("nid").as("dst"), col("nv").as("dv")),
             col("src") =!= col("dst"))
           .select(col("src"), col("dst"), vec_cosine(col("sv"), col("dv")).as("cos"))
-      else {
-        val index = Ann.buildIvf(
-          right.select(col("nid").as("vec_id"), col("nv").as("embedding")),
-          nlist, iters, seed)
-        Ann.probeAssignmentsBcast(index,
-            left.select(col("nid").as("vec_id"), col("nv").as("embedding")), nProbe)
-          .join(index.assigned, Seq("list"))
-          .where(col("qid") =!= col("nid"))
-          .select(col("qid").as("src"), col("nid").as("dst"),
-            vec_cosine(col("qv"), col("cv")).as("cos"))
-          .dropDuplicates("src", "dst")
-      }
-    topPerSrc(scored, m)
+      (topPerSrc(scored, m), None)
+    } else {
+      val rightCorpus = right.select(col("nid").as("vec_id"), col("nv").as("embedding"))
+      val cents = frozen.getOrElse(
+        Ann.trainCentroids(rightCorpus, nlist, iters, seed = seed))
+      val index = Ann.assignToCentroids(cents, rightCorpus)
+      val scored = Ann.probeAssignmentsBcast(index,
+          left.select(col("nid").as("vec_id"), col("nv").as("embedding")), nProbe)
+        .join(index.assigned, Seq("list"))
+        .where(col("qid") =!= col("nid"))
+        .select(col("qid").as("src"), col("nid").as("dst"),
+          vec_cosine(col("qv"), col("cv")).as("cos"))
+        .dropDuplicates("src", "dst")
+      (topPerSrc(scored, m), Some(cents))
+    }
+  }
+
+  // ---- per-level codebook persistence: the frozen-centroid append ----
+
+  private def centsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("list",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("vec",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false),
+      nullable = false)))
+
+  private def writeCents(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cents: Array[Array[Float]]): Unit = {
+    val rows = cents.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(i, v.toSeq) }
+    spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava,
+        centsSchema)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  private def readCents(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Array[Array[Float]]] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.schema(centsSchema).parquet(dir).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray))
   }
 
   private def writeSidecars(spark: org.apache.spark.sql.SparkSession,
@@ -158,8 +194,14 @@ object NavGraph {
       val sub = nodesR.where(col("level") >= l).select("nid", "nv")
       val cnt = sub.count()
       if (cnt < 2L) None
-      else Some(knnAmong(sub, sub, cnt, m, nlist, nProbe, iters, seed, bruteMax)
-        .withColumn("level", lit(l)))
+      else {
+        val (e, centsUsed) = knnAmong(sub, sub, cnt, m, nlist, nProbe,
+          iters, seed, bruteMax)
+        // persist the layer's codebook so appends reuse it FROZEN
+        // (the IVF-family append contract: no per-batch retraining)
+        centsUsed.foreach(c => writeCents(spark, s"$ver/cents_l$l", c))
+        Some(e.withColumn("level", lit(l)))
+      }
     }.flatten.reduceLeft(_ unionByName _)
     edges.write.partitionBy("level").parquet(s"$ver/edges")
     writeSidecars(spark, ver, nodes.schema.toDDL,
@@ -173,10 +215,21 @@ object NavGraph {
     * edges PLUS back-edges (neighbor → new) so the batch is reachable
     * from the existing graph — neighbor lists exceed `m` until
     * [[compactNavGraph]] re-prunes them, exactly HNSW's
-    * insert-then-shrink, amortized to the compaction cadence. Retry-
-    * safe the facts way: a replayed append duplicates node and edge
-    * rows that every read distincts. Post-append pointer check makes a
-    * racing compaction loud. */
+    * insert-then-shrink, amortized to the compaction cadence.
+    *
+    * FROZEN codebooks: a layer whose candidate join needs IVF probing
+    * reuses the codebook persisted at build time (`cents_l<L>`) — no
+    * per-append retraining, and the candidate sets are a pure function
+    * of (vectors, stored codebook), the same frozen-centroid argument
+    * as [[Ann.appendToIvfIndex]]. A layer built on the brute path that
+    * only later outgrows `bruteMax` trains once here and persists for
+    * subsequent appends. As with IVF: if appended vectors drift from
+    * the trained distribution, probe recall decays — watch
+    * [[navRecallFrame]] and rebuild when it sags.
+    *
+    * Retry-safe the facts way: a replayed append duplicates node and
+    * edge rows that every read distincts. Post-append pointer check
+    * makes a racing compaction loud. */
   def appendToNavGraph(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, nlist: Int = 16, nProbe: Int = 4,
       iters: Int = 5, seed: Long = 42L, bruteMax: Long = 4096L): Unit = {
@@ -198,8 +251,13 @@ object NavGraph {
         // neighbors out of the top-m (vectors are deterministic per id,
         // so deduping by id is exact)
         val union = oldSub.unionByName(newSub).dropDuplicates("nid")
-        val fwd = knnAmong(newSub, union, union.count(), m, nlist, nProbe,
-          iters, seed, bruteMax)
+        val frozen = readCents(spark, s"$dataDir/cents_l$l")
+        val (fwd, centsUsed) = knnAmong(newSub, union, union.count(), m,
+          nlist, nProbe, iters, seed, bruteMax, frozen)
+        // a layer that first crosses bruteMax HERE persists the codebook
+        // it trained, so later appends probe frozen too
+        if (frozen.isEmpty)
+          centsUsed.foreach(c => writeCents(spark, s"$dataDir/cents_l$l", c))
         val rev = fwd.select(col("dst").as("src"), col("src").as("dst"), col("cos"))
         Some(fwd.unionByName(rev).dropDuplicates("src", "dst")
           .withColumn("level", lit(l)))
@@ -231,6 +289,10 @@ object NavGraph {
     val ver = graft.util.FsIO.nextVersionDir(spark, path)
     nodes.write.parquet(s"$ver/nodes")
     pruned.write.partitionBy("level").parquet(s"$ver/edges")
+    // the frozen codebooks carry over unchanged — they are the append
+    // contract, not derived state
+    for (l <- 0 to maxLevel; c <- readCents(spark, s"$dataDir/cents_l$l"))
+      writeCents(spark, s"$ver/cents_l$l", c)
     writeSidecars(spark, ver, nodes.schema.toDDL,
       "`src` BIGINT,`dst` BIGINT,`cos` DOUBLE,`level` INT", m, maxLevel)
     graft.util.FsIO.publishVersion(spark, path, ver, keepVersions)

@@ -113,6 +113,35 @@ class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxList <= 8L, s"compaction must prune lists to m (got $maxList)")
   }
 
+  test("append reuses the build-time codebook frozen (no retrain), through compaction") {
+    val n = 128; val cSize = 8
+    val base = corpusDf(n, cSize, keep = _ % 8 <= 5)
+    val batch = corpusDf(n, cSize, keep = _ % 8 >= 6)
+    val path = scratch()
+    // bruteMax = 1 forces the IVF path, so build persists cents_l<L>
+    graft.operators.NavGraph.buildNavGraph(base, path, m = 8, maxLevel = 1,
+      nlist = 4, nProbe = 4, bruteMax = 1L)
+    val v1 = graft.util.FsIO.indexDataDir(spark, path)
+    assert(new java.io.File(s"$v1/cents_l0").exists(),
+      "IVF-built layers must persist their codebook")
+    def cents(dir: String) = spark.read.parquet(s"$dir/cents_l0")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).sortBy(_._1).toSeq
+    val atBuild = cents(v1)
+    graft.operators.NavGraph.appendToNavGraph(spark, path, batch,
+      nlist = 4, nProbe = 4, bruteMax = 1L)
+    assert(cents(v1) == atBuild, "append must not retrain or rewrite the codebook")
+    val queries = corpusDf(n, cSize).where("vec_id % 8 = 5")
+    def run() = pairs(graft.operators.NavGraph.navSearch(spark, path,
+      queries, k = 7, ef = 16, rounds = 2))
+    val expect = coMembers((0L until n).filter(_ % 8 == 5), n, cSize)
+    assert(run() == expect, "frozen-codebook append must stay exact at full probe")
+    graft.operators.NavGraph.compactNavGraph(spark, path)
+    val v2 = graft.util.FsIO.indexDataDir(spark, path)
+    assert(v2.endsWith("v2") && cents(v2) == atBuild,
+      "compaction must carry the codebook into the next version")
+    assert(run() == expect)
+  }
+
   test("two layers: descent from a sparse entry layer stays exact") {
     // clusters of 16 consecutive ids: every cluster min has level >= 2
     // (16 | id), so the maxLevel = 2 entry layer still covers every

@@ -175,7 +175,14 @@ object NavGraph {
     * top-`m` cosine neighbors among the layer — layer sizes shrink 4x
     * per level, so the level-0 pass dominates and the build costs one
     * IVF knn-graph. Choose `maxLevel` ~ log4(n / desired entry count):
-    * the search's entry scan is the n/4^maxLevel top-layer rows. */
+    * the search's entry scan is the n/4^maxLevel top-layer rows.
+    *
+    * SIZE `nlist` to the layer, not to a habit: the level-0 candidate
+    * join materializes ~ n · nProbe · (n / nlist) scored rows, so
+    * inverted lists should stay a few hundred rows (nlist ~ n / 400).
+    * At n = 100k, nlist = 256 / nProbe = 4 is a ~156M-row join;
+    * nlist = 64 would quadruple every list and blow the same join up
+    * to 1.25B rows (measured OOM in ScaleSmoke). */
   def buildNavGraph(corpus: DataFrame, path: String, m: Int = 16,
       maxLevel: Int = 3, nlist: Int = 16, nProbe: Int = 4, iters: Int = 5,
       seed: Long = 42L, bruteMax: Long = 4096L, keepVersions: Int = 1): Unit = {

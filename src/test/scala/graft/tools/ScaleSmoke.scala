@@ -898,6 +898,54 @@ object ScaleSmoke {
         Dedup.readClusterSnapshot(spark, snap).count()
       }
       println(s"[scale]   snapshot ids after refresh: $refr")
+      // the admission read every batch pays: must be ONE map-only pruned
+      // scan of the 1M-id snapshot (the semi-join shape), never a
+      // history-sized sort-merge — watch the shuffle MB next to it
+      val verd = withShuffle("snapshotDedupVerdict (10k-id batch vs 1M-id snapshot)") {
+        Dedup.snapshotDedupVerdict(spark, snap,
+          spark.range(10000L).selectExpr("id * 173 AS doc_id"), "doc_id")
+          .where(col("keep")).count()
+      }
+      println(s"[scale]   admitted: $verd")
+    }
+
+    // ---- NavGraph ANN: 100k vectors, PRODUCTION shape (partial probe,
+    // multi-level). Build cost ~ one IVF knn-graph; search cost ~
+    // rounds x (level-pruned edge scan + candidate-id-pruned node
+    // scan) amortized over the query batch; recall is MEASURED, not
+    // assumed (sin-manifold vectors, so this smokes cost + plumbing —
+    // the exactness contract lives in NavGraphSpec/q238).
+    {
+      val vecs = spark.range(100000L).selectExpr("id AS vec_id",
+        "transform(sequence(0, 63), d -> CAST(sin(id * 1.7 + d * 0.13) AS FLOAT)) AS embedding")
+        .repartition(32).cache()
+      vecs.count()
+      val path = java.nio.file.Files.createTempDirectory("scale_nav").toString + "/idx"
+      // nlist=256 keeps inverted lists ~390 rows, so the level-0
+      // candidate join is ~156M rows (q159's proven scale shape);
+      // nlist=64 would make 1.5k-row lists and a 1.25B-row join
+      withShuffle("navGraph build 100k vectors (nlist=256, nProbe=4, m=16, 4 levels)") {
+        graft.operators.NavGraph.buildNavGraph(vecs, path, m = 16,
+          maxLevel = 3, nlist = 256, nProbe = 4, iters = 3)
+      }
+      withShuffle("navGraph append 5k vectors (frozen codebooks)") {
+        graft.operators.NavGraph.appendToNavGraph(spark,
+          path, spark.range(100000L, 105000L).selectExpr("id AS vec_id",
+            "transform(sequence(0, 63), d -> CAST(sin(id * 1.7 + d * 0.13) AS FLOAT)) AS embedding"),
+          nlist = 256, nProbe = 4, iters = 3)
+      }
+      val found = withShuffle("navGraph search 200 queries, k=10, ef=32, 2 rounds") {
+        graft.operators.NavGraph.navSearch(spark, path,
+          vecs.where(col("vec_id") % 500 === 7), k = 10, ef = 32, rounds = 2)
+          .count()
+      }
+      println(s"[scale]   nav results: $found")
+      val rec = time("navRecallFrame 50 queries vs brute force") {
+        graft.operators.NavGraph.navRecallFrame(spark, path,
+          vecs.where(col("vec_id") % 2000 === 7), k = 10, ef = 32, rounds = 2)
+          .collect()(0)
+      }
+      println(s"[scale]   nav recall@10: ${rec.getDouble(2)} (${rec.getLong(1)}/${rec.getLong(0)})")
     }
 
     spark.stop()

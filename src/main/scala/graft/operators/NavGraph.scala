@@ -64,6 +64,15 @@ object NavGraph {
       when(pmod(id, lit(math.pow(4, l).toLong)) === 0, lit(l)).otherwise(acc)
     }
 
+  // The node table is partitioned by (level, pt): the search's entry
+  // scan prunes to the top level's directories, and each beam round's
+  // candidate-scoring scan prunes to the candidate ids' hash buckets —
+  // a small query batch touches a handful of pt directories instead of
+  // the whole corpus-sized table (the IVF list-pruning discipline).
+  private val NodeBuckets = 64
+  private def withPt(df: DataFrame): DataFrame =
+    df.withColumn("pt", pmod(xxhash64(col("nid")), lit(NodeBuckets)).cast("int"))
+
   private def topPerSrc(scored: DataFrame, m: Int): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
     scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= m)
@@ -189,11 +198,11 @@ object NavGraph {
     val spark = corpus.sparkSession
     require(m >= 1 && maxLevel >= 0 && bruteMax >= 1,
       s"need m >= 1, maxLevel >= 0, bruteMax >= 1 (got $m, $maxLevel, $bruteMax)")
-    val nodes = corpus
+    val nodes = withPt(corpus
       .select(col("vec_id").as("nid"), col("embedding").as("nv"))
-      .withColumn("level", levelOf(col("nid"), maxLevel))
+      .withColumn("level", levelOf(col("nid"), maxLevel)))
     val ver = graft.util.FsIO.nextVersionDir(spark, path)
-    nodes.write.parquet(s"$ver/nodes")
+    nodes.write.partitionBy("level", "pt").parquet(s"$ver/nodes")
     // edge passes re-read the just-written nodes: no corpus-sized
     // checkpoint, one scan per layer
     val nodesR = spark.read.schema(nodes.schema).parquet(s"$ver/nodes")
@@ -243,9 +252,9 @@ object NavGraph {
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)
     val (m, maxLevel) = navParams(spark, dataDir)
     val nodes = readTable(spark, dataDir, "nodes")
-    val newNodes = batch
+    val newNodes = withPt(batch
       .select(col("vec_id").as("nid"), col("embedding").as("nv"))
-      .withColumn("level", levelOf(col("nid"), maxLevel))
+      .withColumn("level", levelOf(col("nid"), maxLevel)))
       .localCheckpoint() // batch-sized
     val perLevel = (0 to maxLevel).flatMap { l =>
       val newSub = newNodes.where(col("level") >= l).select("nid", "nv")
@@ -273,7 +282,8 @@ object NavGraph {
     if (perLevel.nonEmpty)
       perLevel.reduceLeft(_ unionByName _)
         .write.mode("append").partitionBy("level").parquet(s"$dataDir/edges")
-    newNodes.write.mode("append").parquet(s"$dataDir/nodes")
+    newNodes.write.mode("append").partitionBy("level", "pt")
+      .parquet(s"$dataDir/nodes")
     graft.util.FsIO.assertStillCurrent(spark, path, dataDir)
   }
 
@@ -294,7 +304,7 @@ object NavGraph {
     val pruned = edges.withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= m).select("src", "dst", "cos", "level")
     val ver = graft.util.FsIO.nextVersionDir(spark, path)
-    nodes.write.parquet(s"$ver/nodes")
+    nodes.write.partitionBy("level", "pt").parquet(s"$ver/nodes")
     pruned.write.partitionBy("level").parquet(s"$ver/edges")
     // the frozen codebooks carry over unchanged — they are the append
     // contract, not derived state
@@ -350,9 +360,18 @@ object NavGraph {
         .join(edges.where(col("level") === l).select("src", "dst"), Seq("src"))
         .select(col("qid"), col("qv"), col("dst").as("nid"))
         .dropDuplicates("qid", "nid")
+        .localCheckpoint()
+      // two-stage node prune: a STATIC partition filter on the
+      // candidates' pt buckets (a small batch touches a handful of the
+      // NodeBuckets directories — decided at plan time from the
+      // checkpointed candidates, the probedPairs discipline), then the
+      // id semi-join within the surviving partitions
+      val pts = cand.select(pmod(xxhash64(col("nid")), lit(NodeBuckets))
+          .cast("int").as("pt")).distinct().collect().map(_.getInt(0))
       val ids = cand.select("nid").distinct()
-      val slice = nodes.select(col("nid"), col("nv"))
-        .join(ids, Seq("nid"), "left_semi") // pruned map-only node scan
+      val slice = nodes.where(col("pt").isin(pts.map(Int.box): _*))
+        .select(col("nid"), col("nv"))
+        .join(ids, Seq("nid"), "left_semi")
       val scored = cand.join(slice, Seq("nid"))
         .select(col("qid"), col("qv"), col("nid"),
           vec_cosine(col("qv"), col("nv")).as("cos"))

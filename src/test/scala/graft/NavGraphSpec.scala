@@ -162,6 +162,14 @@ class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       val want = if (i % 16 == 0) 2 else if (i % 4 == 0) 1 else 0
       assert(lv(i) == want, s"level($i)")
     }
+    // the node table is (level, pt)-partitioned so entry scans prune to
+    // the top level's directories and beam rounds prune to the
+    // candidates' hash buckets
+    val levelDirs = new java.io.File(s"$dataDir/nodes").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("level=")).sorted
+    assert(levelDirs.toSeq == Seq("level=0", "level=1", "level=2"))
+    assert(new java.io.File(s"$dataDir/nodes/level=2").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("pt=")))
   }
 
   test("navRecallFrame reads 1.0 on the exact fixture") {

@@ -136,7 +136,10 @@ object Bench {
     "q232_registry_snapshot",   // delta-CC snapshot refresh x2 over bootstrap
     "q234_hamming_index_shuffle", // forced shuffle-shape index probe
     // round-17 additions
-    "q238_nav_graph_ann")       // layered nav-graph ANN: build/append/compact/beam search
+    "q238_nav_graph_ann",       // layered nav-graph ANN: build/append/compact/beam search
+    "q240_retrieval_metrics",   // brute ranking + decimal-accumulated P/R/RR/AP/nDCG
+    "q241_ivf_filtered",        // allow-set semi-join inside the probed scan
+    "q242_maxsim_topk")         // nested-lambda MaxSim over broadcast pair frame
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -171,7 +174,11 @@ object Bench {
     "q217_exact_index", "q218_corpus_diff", "q219_vocab_growth",
     "q220_gram_novelty", "q221_hamming_index", "q224_unigram_learn",
     "q225_unigram_tokens", "q228_dedup_registry", "q229_calibration",
-    "q232_registry_snapshot", "q234_hamming_index_shuffle")
+    "q232_registry_snapshot", "q234_hamming_index_shuffle",
+    // fixed query batches against a growing corpus: all three are
+    // corpus-linear (ranking scan / full-probe filtered scan / bag
+    // pair frame with |Q| pinned)
+    "q240_retrieval_metrics", "q241_ivf_filtered", "q242_maxsim_topk")
 
   private[graft] val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",

@@ -3392,6 +3392,62 @@ object SparkEntry {
         .select(col("qid"), col("nid"))
         .orderBy("qid", "nid")
     }),
+    // retrieval evaluation metrics: brute-force cosine top-10 (the q24
+    // oracle shape) evaluated against dense analytic qrels (rel =
+    // 2/1/0 by (vec_id + qid) % 5) — precision/recall/RR/AP/nDCG per
+    // query, every ratio 6dp-snapped, DCG/AP sums decimal-accumulated;
+    // the oracle recomputes the ranking AND the metric arithmetic
+    "q240_retrieval_metrics" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val emb = spark.table("embeddings")
+      val results = graft.operators.Ann.bruteForceTopK(
+        emb.where(col("vec_id") < 8), emb, k = 10)
+        .withColumnRenamed("nid", "doc_id")
+      val qrels = spark.sql("""
+        SELECT q.qid, e.vec_id AS doc_id,
+               CASE CAST((e.vec_id + q.qid) % 5 AS INT)
+                 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS rel
+        FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 8) q
+        CROSS JOIN embeddings e""")
+      graft.operators.Retrieval.retrievalMetrics(results, qrels, k = 10)
+        .orderBy("qid")
+    }),
+    // FILTERED ANN: ivfSearchWhere with a label predicate as the
+    // allow-set, nProbe = nlist = 8 so the probed scan covers every
+    // list and the PRE-filter semantics are exact — the oracle is
+    // brute-force top-5 over the passing sub-corpus (a post-filtered
+    // unfiltered top-k would return fewer than 5 rows for selective
+    // predicates and hash-mismatch)
+    "q241_ivf_filtered" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val emb = spark.table("embeddings")
+      val index = graft.operators.Ann.buildIvf(
+        emb.select("vec_id", "embedding"), nlist = 8, iters = 3)
+      graft.operators.Ann.ivfSearchWhere(index,
+          emb.where(col("vec_id") < 8), k = 5, nProbe = 8,
+          allowed = emb.where(col("label") % 3 =!= 0))
+        .orderBy("qid", "rnk")
+    }),
+    // late-interaction (MaxSim) top-k: 4-vector bags by vec_id // 4,
+    // groups 0..4 as queries against every bag (self included — the
+    // 6dp-snapped per-query-vector maxes make even the self-score
+    // replay exactly); score = Σ rz6(max cos), one codegen'd nested
+    // lambda per (query, doc) pair, no per-token explode
+    "q242_maxsim_topk" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val bags = spark.table("embeddings")
+        .groupBy(expr("vec_id DIV 4").as("g"))
+        .agg(transform(sort_array(collect_list(struct(col("vec_id"),
+          col("embedding")))), s => s("embedding")).as("vecs"))
+      val docs = bags.select(col("g").as("doc_id"), col("vecs").as("dvecs"))
+      val queries = bags.where(col("g") < 5)
+        .select(col("g").as("qid"), col("vecs").as("qvecs"))
+      graft.operators.Retrieval.maxSimTopK(queries, docs, k = 5)
+        .orderBy("qid", "rnk")
+    }),
     // STREAMING incremental clustering: each micro-batch appends its
     // edges to the registry AND folds them into the cluster snapshot
     // (delta-cost CC) in one foreachBatch body, batch 0 deliberately
@@ -8077,6 +8133,82 @@ object SparkEntry {
       SELECT q.i AS qid, n.i AS nid
       FROM q JOIN v n ON q.i // 8 = n.i // 8 AND q.i <> n.i
       ORDER BY qid, nid""",
+    // the oracle recomputes BOTH halves: the brute-force ranking (the
+    // q24 shape) and the metric arithmetic — 6dp-snapped terms,
+    // DECIMAL(20,6) DCG/AP accumulation, trec_eval evaluated set
+    "q240_retrieval_metrics" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 8),
+           res AS (SELECT qid, nid, rnk FROM (
+                     SELECT qid, e.vec_id AS nid, row_number() OVER (
+                       PARTITION BY qid ORDER BY
+                         list_cosine_similarity(qv, e.embedding::DOUBLE[]) DESC,
+                         e.vec_id) AS rnk
+                     FROM q CROSS JOIN embeddings e WHERE e.vec_id != qid)
+                   WHERE rnk <= 10),
+           jud AS (SELECT q.qid, e.vec_id AS did,
+                          CASE CAST((e.vec_id + q.qid) % 5 AS INT)
+                            WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS rel
+                   FROM q CROSS JOIN embeddings e
+                   WHERE CAST((e.vec_id + q.qid) % 5 AS INT) IN (0, 1)),
+           nr AS (SELECT qid, count(*) AS n_rel FROM jud GROUP BY 1),
+           idcg AS (SELECT qid, sum(CAST(round((pow(2.0, rel) - 1) / log2(ir + 1), 6)
+                             AS DECIMAL(20,6))) AS idcg
+                    FROM (SELECT qid, rel, row_number() OVER (
+                            PARTITION BY qid ORDER BY rel DESC, did) AS ir FROM jud)
+                    WHERE ir <= 10 GROUP BY 1),
+           per AS (SELECT r.qid, r.rnk, coalesce(j.rel, 0) AS rel,
+                          CASE WHEN coalesce(j.rel, 0) > 0 THEN 1 ELSE 0 END AS hit
+                   FROM res r LEFT JOIN jud j ON j.qid = r.qid AND j.did = r.nid),
+           per2 AS (SELECT qid, rnk, rel, hit,
+                           sum(hit) OVER (PARTITION BY qid ORDER BY rnk) AS cum
+                    FROM per),
+           ag AS (SELECT qid, sum(hit) AS hits,
+                         sum(CAST(round((pow(2.0, rel) - 1) / log2(rnk + 1), 6)
+                           AS DECIMAL(20,6))) AS dcg,
+                         sum(CAST(CASE WHEN hit = 1
+                           THEN round(cum::DOUBLE / rnk, 6) ELSE 0.0 END
+                           AS DECIMAL(20,6))) AS apnum,
+                         min(CASE WHEN hit = 1 THEN rnk END) AS frst
+                  FROM per2 GROUP BY 1)
+      SELECT n.qid AS qid, n.n_rel, CAST(coalesce(a.hits, 0) AS INT) AS n_ret_rel,
+             round(coalesce(a.hits, 0)::DOUBLE / 10, 6) AS p_at_k,
+             round(coalesce(a.hits, 0)::DOUBLE / n.n_rel, 6) AS recall_at_k,
+             round(coalesce(1.0 / a.frst, 0.0), 6) AS rr,
+             round(coalesce(a.apnum, 0)::DOUBLE / least(n.n_rel, 10), 6) AS ap,
+             round(coalesce(a.dcg, 0)::DOUBLE / i.idcg::DOUBLE, 6) AS ndcg
+      FROM nr n LEFT JOIN ag a ON a.qid = n.qid LEFT JOIN idcg i ON i.qid = n.qid
+      ORDER BY n.qid""",
+    // exact filtered search: brute-force top-5 over the PASSING
+    // sub-corpus — a post-filtered unfiltered top-k would return
+    // fewer rows on selective predicates and hash-mismatch
+    "q241_ivf_filtered" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 8),
+           s AS (SELECT qid, e.vec_id AS nid,
+                        list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS c
+                 FROM q CROSS JOIN embeddings e
+                 WHERE e.vec_id != qid AND e.label % 3 <> 0)
+      SELECT qid, nid, rnk
+      FROM (SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
+            FROM s)
+      WHERE rnk <= 5 ORDER BY qid, rnk""",
+    // MaxSim from the BASE rows (no list-building needed): per
+    // (query, doc, query-token) the 6dp-snapped max cosine, summed —
+    // the engine's nested-lambda score replayed relationally
+    "q242_maxsim_topk" -> """
+      WITH v AS (SELECT vec_id, vec_id // 4 AS g, embedding::DOUBLE[] AS e
+                 FROM embeddings),
+           q AS (SELECT g AS qid, vec_id AS qtok, e AS qv FROM v WHERE g < 5),
+           m AS (SELECT q.qid, v.g AS doc_id, q.qtok,
+                        round(max(list_cosine_similarity(q.qv, v.e)), 6) AS mx
+                 FROM q CROSS JOIN v GROUP BY 1, 2, 3),
+           s AS (SELECT qid, doc_id, round(sum(mx), 6) AS score FROM m GROUP BY 1, 2)
+      SELECT qid, doc_id, score, rnk
+      FROM (SELECT qid, doc_id, score, row_number() OVER (
+              PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM s)
+      WHERE rnk <= 5 ORDER BY qid, rnk""",
     // streamed vector appends + a retry are invisible to the beam
     // search (node/edge facts + read-side distincts) — the analytic
     // co-member oracle over the mm <= 5 corpus holds verbatim
@@ -8672,7 +8804,15 @@ object SparkEntry {
     // still search as the analytic co-member set
     "q239_stream_nav_index",
     // every bin mean/fraction and the ECE shift at 10x scores
-    "q229_calibration")
+    "q229_calibration",
+    // 4x the corpus behind the same 8 queries: every rank, every
+    // hit set, and every metric denominator shifts at sf0.1
+    "q240_retrieval_metrics",
+    // 4x the corpus and a re-trained codebook behind the same
+    // filtered exact-search contract
+    "q241_ivf_filtered",
+    // 4x the bags: every MaxSim score and rank recomputed at scale
+    "q242_maxsim_topk")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

@@ -467,6 +467,43 @@ object Ann {
     topkByCos(scored, k)
   }
 
+  /** FILTERED ANN search — [[ivfSearch]] restricted to an allow-set of
+    * corpus ids (the "vector search with a metadata predicate" read:
+    * license == permissive, lang == en, date in range). `allowed` is
+    * any DataFrame whose `allowedIdCol` holds the passing corpus ids —
+    * typically a filter over an attribute table, kept DECLARATIVE so
+    * Catalyst plans it as a hash semi-join inside the probed scan.
+    *
+    * PRE-filter semantics, not post-filter: the allow-set prunes the
+    * probed candidates BEFORE the top-k, so k survivors come back
+    * whenever the probed lists hold k passing vectors. Post-filtering
+    * an unfiltered top-k would return k·selectivity rows and lose
+    * recall exactly on selective predicates — the known failure mode of
+    * naive filtered vector search. At `nProbe = nlist` this is EXACT
+    * filtered search whatever the selectivity (the q241 contract); at
+    * partial probe the usual IVF recall argument applies to the
+    * passing sub-corpus, so size `nProbe` against selectivity·corpus,
+    * not the raw corpus (rule of thumb: raise nProbe by ~1/selectivity
+    * until [[ivfRecallFrame]] on a filtered truth sample clears the
+    * gate).
+    *
+    * Scale design (100 TB): the semi-join keys are (id) only — the
+    * allow-set never carries vectors — and it applies inside the
+    * `list IN (probed)` partition-pruned scan, so cost is
+    * ~nProbe/nlist of the corpus scan plus a hash join against the
+    * allow-set, which AQE broadcasts when the predicate is selective.
+    * Nothing unfiltered is ever ranked or shuffled. */
+  def ivfSearchWhere(index: IvfIndex, queries: DataFrame, k: Int,
+      nProbe: Int, allowed: DataFrame, allowedIdCol: String = "vec_id")
+      : DataFrame = {
+    // no distinct(): LEFT SEMI is set-semantied on the probe side
+    // already, so deduplicating the allow-set would only add a shuffle
+    val allowIds = allowed.select(col(allowedIdCol).as("nid"))
+    val filtered = index.copy(assigned =
+      index.assigned.join(allowIds, Seq("nid"), "left_semi"))
+    ivfSearch(filtered, queries, k, nProbe)
+  }
+
   /** Shared probe skeleton of the IVF searches: evaluate + collect the
     * (broadcast-sized) probe assignments once, derive the static probed
     * `list IN (...)` partition filter from the SAME rows, and join the

@@ -58,4 +58,151 @@ object Retrieval {
         col("__n").cast("int").as("n_lists"), col("__rrf").as("rrf"),
         col("rnk").cast("int").as("rnk"))
   }
+
+  private def rz6(c: org.apache.spark.sql.Column) = graft.util.Round6.rz6(c)
+
+  /** Rank-quality metrics for a retrieval run against graded relevance
+    * judgments — the offline evaluation read every retrieval stack runs
+    * before shipping a ranker change: one row per evaluated query with
+    * precision@k, recall@k, reciprocal rank, average precision, and
+    * nDCG@k (exponential gain, `(2^rel - 1) / log2(rank + 1)` — the
+    * trec_eval / Burges et al. convention).
+    *
+    * Inputs: `results` is (qidCol, idCol, rankCol) with 1-based ranks,
+    * at most one row per (query, item) — any retriever here emits that
+    * shape ([[graft.operators.Ann.ivfSearch]], bm25TopK, [[rrfFuse]]).
+    * `qrels` is (qidCol, idCol, relCol) with integer grades; rel <= 0
+    * rows are unjudged-equivalent and dropped. The evaluated set is the
+    * trec_eval convention: queries with >= 1 positively-judged document
+    * (a query missing from `results` still evaluates — all zeros — so a
+    * retriever that silently drops a judged query is VISIBLE, not
+    * averaged away).
+    *
+    * Definitions per query (R = judged-relevant count, cut at `k`):
+    * p_at_k = hits/k, recall_at_k = hits/R, rr = 1/rank of the first
+    * hit (0 when none), ap = (Σ_{hit ranks r} P@r) / min(R, k), ndcg =
+    * DCG@k / IDCG@k with IDCG from the grades sorted descending.
+    *
+    * Determinism: every ratio is 6dp-snapped under the [[graft.util.Round6]]
+    * law; DCG/AP sums accumulate 6dp-snapped terms as DECIMAL(20,6) —
+    * exact and order-free, so results never depend on partitioning (the
+    * jsDivergence discipline; log2 agrees across libms at 6dp).
+    *
+    * Scale design (100 TB): `results` is top-k-per-query-sized, never
+    * corpus-sized, and qrels are human-judgment-sized — both tiny. The
+    * joins are hash joins on (query, item); the windows are keyed by
+    * query. Evaluation cost is O(|Q| · k), corpus-free. */
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame, k: Int,
+      qidCol: String = "qid", idCol: String = "doc_id",
+      rankCol: String = "rnk", relCol: String = "rel"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val judged = qrels.select(col(qidCol).as("__q"), col(idCol).as("__i"),
+        col(relCol).cast("int").as("__rel"))
+      .where(col("__rel") > 0)
+    val nRel = judged.groupBy("__q").agg(count(lit(1)).as("n_rel"))
+    val wI = Window.partitionBy("__q").orderBy(col("__rel").desc, col("__i").asc)
+    val idcg = judged.withColumn("__ir", row_number().over(wI))
+      .where(col("__ir") <= k)
+      .withColumn("__g", rz6((pow(lit(2.0), col("__rel")) - 1.0) /
+        log2(col("__ir") + 1)))
+      .groupBy("__q")
+      .agg(sum(col("__g").cast("decimal(20,6)")).as("idcg"))
+    val res = results.select(col(qidCol).as("__q"), col(idCol).as("__i"),
+        col(rankCol).cast("int").as("__r"))
+      .where(col("__r") <= k)
+    val wR = Window.partitionBy("__q").orderBy("__r")
+    val per = res.join(judged, Seq("__q", "__i"), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0)))
+      .withColumn("__hit", (col("__rel") > 0).cast("int"))
+      .withColumn("__cum", sum("__hit").over(wR))
+      .withColumn("__g", rz6((pow(lit(2.0), col("__rel")) - 1.0) /
+        log2(col("__r") + 1)))
+      .withColumn("__p", when(col("__hit") === 1,
+        rz6(col("__cum").cast("double") / col("__r"))).otherwise(lit(0.0)))
+    val agg = per.groupBy("__q").agg(
+      sum("__hit").as("__hits"),
+      sum(col("__g").cast("decimal(20,6)")).as("__dcg"),
+      sum(col("__p").cast("decimal(20,6)")).as("__apnum"),
+      min(when(col("__hit") === 1, col("__r"))).as("__first"))
+    nRel.join(agg, Seq("__q"), "left").join(idcg, Seq("__q"), "left")
+      .select(col("__q").as(qidCol),
+        col("n_rel"),
+        coalesce(col("__hits"), lit(0L)).cast("int").as("n_ret_rel"),
+        rz6(coalesce(col("__hits"), lit(0L)).cast("double") / k).as("p_at_k"),
+        rz6(coalesce(col("__hits"), lit(0L)).cast("double") / col("n_rel"))
+          .as("recall_at_k"),
+        rz6(coalesce(lit(1.0) / col("__first"), lit(0.0))).as("rr"),
+        rz6(coalesce(col("__apnum"), lit(0).cast("decimal(20,6)"))
+          .cast("double") / least(col("n_rel"), lit(k))).as("ap"),
+        rz6(coalesce(col("__dcg"), lit(0).cast("decimal(20,6)"))
+          .cast("double") / col("idcg").cast("double")).as("ndcg"))
+  }
+
+  /** Late-interaction (MaxSim) scoring — the ColBERT retrieval law
+    * (Khattab & Zaharia, SIGIR'20): a query and a document are each a
+    * BAG of vectors, and score(q, d) = Σ over query vectors of the max
+    * cosine against any document vector. Top-`k` documents per query,
+    * output (qid, doc_id, score, rnk).
+    *
+    * The whole score is ONE codegen'd expression over the pair row —
+    * nested higher-order `aggregate` lambdas around the native
+    * vec_cosine kernel — so the pair frame never explodes into
+    * per-token rows and nothing shuffles until the final top-k window.
+    * Each per-query-vector max is 6dp-snapped before the fixed-order
+    * lambda sum, making the score a sum of exact 1e-6 multiples: the
+    * [[graft.util.Round6]] summation corollary, replayable on any
+    * engine and any partitioning.
+    *
+    * Scale design (100 TB): this is the RE-RANKER shape — `queries` is
+    * a broadcast-sized batch and `docs` the CANDIDATES for those
+    * queries (from [[graft.operators.Ann.ivfSearch]] over pooled
+    * single-vector embeddings, BM25, or [[rrfFuse]] — the standard
+    * two-stage stack). Cost is |Q| · |cands| · |qvecs| · |dvecs| kernel
+    * calls, map-only over the broadcast cross join. Passing the full
+    * corpus as `docs` is the exact brute-force baseline at small scale
+    * (the q242 contract), not the production path. */
+  def maxSimTopK(queries: DataFrame, docs: DataFrame, k: Int,
+      qidCol: String = "qid", qvecsCol: String = "qvecs",
+      didCol: String = "doc_id", dvecsCol: String = "dvecs"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val q = broadcast(queries.select(col(qidCol).as("__qid"),
+      col(qvecsCol).as("__qvs")))
+    val d = docs.select(col(didCol).as("__did"), col(dvecsCol).as("__dvs"))
+    val score = aggregate(col("__qvs"), lit(0.0), (acc, qv) =>
+      acc + rz6(aggregate(col("__dvs"), lit(-1.0), (best, dv) =>
+        greatest(best, graft.functions.GeoFunctions.vec_cosine(qv, dv)))))
+    val w = Window.partitionBy("__qid").orderBy(col("score").desc, col("__did").asc)
+    q.join(d, lit(true))
+      .withColumn("score", rz6(score))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("__qid").as(qidCol), col("__did").as(didCol),
+        col("score"), col("rnk").cast("int").as("rnk"))
+  }
+
+  /** [[maxSimTopK]] restricted to candidate pairs — the production
+    * two-stage shape: `cands` is (qidCol, didCol) from a first-stage
+    * retriever (IVF over pooled vectors, BM25, RRF fusion), and only
+    * those pairs pay the MaxSim kernel. Join order: candidates (top-k
+    * sized) hash-join their documents' vector bags, then the broadcast
+    * query bags attach — nothing corpus-sized moves unless the
+    * candidate list asked for it. */
+  def maxSimRerank(queries: DataFrame, docs: DataFrame, cands: DataFrame,
+      k: Int, qidCol: String = "qid", qvecsCol: String = "qvecs",
+      didCol: String = "doc_id", dvecsCol: String = "dvecs"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val pairs = cands.select(col(qidCol).as("__qid"), col(didCol).as("__did"))
+      .distinct()
+      .join(docs.select(col(didCol).as("__did"), col(dvecsCol).as("__dvs")),
+        Seq("__did"))
+      .join(broadcast(queries.select(col(qidCol).as("__qid"),
+        col(qvecsCol).as("__qvs"))), Seq("__qid"))
+    val score = aggregate(col("__qvs"), lit(0.0), (acc, qv) =>
+      acc + rz6(aggregate(col("__dvs"), lit(-1.0), (best, dv) =>
+        greatest(best, graft.functions.GeoFunctions.vec_cosine(qv, dv)))))
+    val w = Window.partitionBy("__qid").orderBy(col("score").desc, col("__did").asc)
+    pairs.withColumn("score", rz6(score))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("__qid").as(qidCol), col("__did").as(didCol),
+        col("score"), col("rnk").cast("int").as("rnk"))
+  }
 }

@@ -58,4 +58,72 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Retrieval.rrfFuse(Seq(a), "qid", "id", "rnk", k = 5)
     }
   }
+
+  test("retrievalMetrics: hand-checked P/R/RR/AP and a rz6d-replayed nDCG") {
+    val sp = spark
+    import sp.implicits._
+    import graft.util.Round6.rz6d
+    // q0: graded rels 3/2/1 on d1/d3/d2; retrieved hits at ranks 2,3,5.
+    // q1: one relevant doc the run never retrieved (all-zero metrics,
+    //     but the query must still appear — trec_eval's evaluated set).
+    val qrels = Seq((0L, 1L, 3), (0L, 3L, 2), (0L, 2L, 1), (0L, 50L, 0),
+      (1L, 100L, 1)).toDF("qid", "doc_id", "rel")
+    val results = Seq((0L, 9L, 1), (0L, 1L, 2), (0L, 3L, 3), (0L, 8L, 4),
+      (0L, 2L, 5), (1L, 9L, 1), (1L, 8L, 2)).toDF("qid", "doc_id", "rnk")
+    val out = Retrieval.retrievalMetrics(results, qrels, k = 5)
+      .orderBy("qid").collect()
+    assert(out.length == 2)
+    val q0 = out(0)
+    assert((q0.getLong(1), q0.getInt(2)) == ((3L, 3)))
+    assert(q0.getDouble(3) == 0.6)  // p@5
+    assert(q0.getDouble(4) == 1.0)  // recall@5
+    assert(q0.getDouble(5) == 0.5)  // rr: first hit at rank 2
+    // AP: hits at 2,3,5 -> (rz6(1/2) + rz6(2/3) + rz6(3/5)) / 3
+    val ap = rz6d((rz6d(1.0 / 2) + rz6d(2.0 / 3) + rz6d(3.0 / 5)) / 3)
+    assert(q0.getDouble(6) == ap)
+    // nDCG replayed with the same rz6-term / exact-sum law
+    def g(rel: Int, r: Int) = rz6d((math.pow(2, rel) - 1) / (math.log(r + 1.0) / math.log(2)))
+    val dcg = g(3, 2) + g(2, 3) + g(1, 5)
+    val idcg = g(3, 1) + g(2, 2) + g(1, 3)
+    assert(q0.getDouble(7) == rz6d(dcg / idcg))
+    val q1 = out(1)
+    assert((q1.getLong(1), q1.getInt(2)) == ((1L, 0)))
+    assert((3 to 7).forall(q1.getDouble(_) == 0.0))
+    // a judged query with NO results row at all still evaluates to zeros
+    val out2 = Retrieval.retrievalMetrics(
+      results.where($"qid" === 0L), qrels, k = 5).orderBy("qid").collect()
+    assert(out2.length == 2 && out2(1).getInt(2) == 0 && out2(1).getDouble(7) == 0.0)
+  }
+
+  test("maxSimTopK / maxSimRerank: hand-computed scores, candidate restriction") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val bag = ArrayType(ArrayType(FloatType))
+    val qSchema = StructType(Seq(StructField("qid", LongType),
+      StructField("qvecs", bag)))
+    val dSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("dvecs", bag)))
+    val q = spark.createDataFrame(Seq(
+      Row(0L, Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))).asJava, qSchema)
+    val d = spark.createDataFrame(Seq(
+      Row(10L, Seq(Seq(1.0f, 0.0f))),                     // 1.0 + 0.0
+      Row(11L, Seq(Seq(0.6f, 0.8f))),                     // 0.6 + 0.8
+      Row(12L, Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))).asJava, // 1 + 1
+      dSchema)
+    val top = Retrieval.maxSimTopK(q, d, k = 2).orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(top.toSeq == Seq((12L, 2.0, 1), (11L, 1.4, 2)))
+    // rerank sees ONLY the candidate pairs: doc 12 cannot surface
+    val cands = spark.createDataFrame(Seq(Row(0L, 10L), Row(0L, 11L)).asJava,
+      StructType(Seq(StructField("qid", LongType), StructField("doc_id", LongType))))
+    val rr = Retrieval.maxSimRerank(q, d, cands, k = 2).orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rr.toSeq == Seq((11L, 1.4, 1), (10L, 1.0, 2)))
+    // partition-independent: the score is a fixed-order lambda sum of
+    // 6dp-snapped terms, so a different layout replays bit-identically
+    val again = Retrieval.maxSimTopK(q, d.repartition(5), k = 2)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(again.toSeq == top.toSeq)
+  }
 }

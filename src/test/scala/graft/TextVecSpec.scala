@@ -215,6 +215,28 @@ class TextVecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!planStr.matches("(?s).*PartitionFilters: \\[\\s*\\].*"), planStr)
   }
 
+  test("ivfSearchWhere: pre-filter equals brute force over the passing sub-corpus") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 4)
+    val allowed = emb.where(col("label") % 3 =!= 0)
+    val idx = Ann.buildIvf(emb.select("vec_id", "embedding"), nlist = 8, iters = 3)
+    val got = Ann.ivfSearchWhere(idx, queries, k = 5, nProbe = 8, allowed)
+      .collect().map(_.toSeq)
+    // full probe -> EXACT filtered search: brute force over passing rows
+    val want = Ann.bruteForceTopK(queries, allowed.select("vec_id", "embedding"), 5)
+      .collect().map(_.toSeq)
+    assert(got.toSet == want.toSet && got.length == 4 * 5)
+    // pre-filter semantics: k survivors per query, every one passing
+    val passing = allowed.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => passing(r(1).asInstanceOf[Long])))
+    // post-filtering an UNFILTERED top-5 would lose recall: at least one
+    // query's unfiltered top-5 contains a disallowed id on this fixture
+    val unfiltered = Ann.ivfSearch(idx, queries, k = 5, nProbe = 8)
+      .collect().map(_.toSeq)
+    assert(unfiltered.exists(r => !passing(r(1).asInstanceOf[Long])))
+  }
+
   test("quantized IVF (SQ8): int8 lists, smaller on disk, full-probe rerank equals brute force") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

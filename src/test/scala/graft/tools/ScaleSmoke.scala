@@ -946,6 +946,39 @@ object ScaleSmoke {
           .collect()(0)
       }
       println(s"[scale]   nav recall@10: ${rec.getDouble(2)} (${rec.getLong(1)}/${rec.getLong(0)})")
+
+      // ---- filtered search + two-stage MaxSim over the same corpus ----
+      // ivfSearchWhere: the allow-set (~80% of ids) semi-joins INSIDE
+      // the probed scan — watch the shuffle MB: ids only, no vectors.
+      val ivf = time("ivf build 100k vectors (nlist=256)") {
+        Ann.buildIvf(vecs, nlist = 256, iters = 3)
+      }
+      val queries200 = vecs.where(col("vec_id") % 500 === 7)
+      val fCount = withShuffle("ivfSearchWhere 200 queries, k=10, nProbe=8, 80% allow-set") {
+        Ann.ivfSearchWhere(ivf, queries200, k = 10, nProbe = 8,
+          allowed = vecs.where(col("vec_id") % 5 =!= 0)).count()
+      }
+      println(s"[scale]   filtered results: $fCount")
+      // two-stage MaxSim: first-stage IVF candidates (200 queries x 40)
+      // mapped to 4-vector bags, reranked by the nested-lambda kernel —
+      // candidate-pair-sized work, corpus never explodes per-token
+      val bags = vecs.groupBy(expr("vec_id DIV 4").as("doc_id"))
+        .agg(transform(sort_array(collect_list(struct(col("vec_id"),
+          col("embedding")))), s => s("embedding")).as("dvecs"))
+        .cache()
+      println(s"[scale] bags: ${bags.count()}")
+      val qBags = bags.where(col("doc_id") % 125 === 3)
+        .select(col("doc_id").as("qid"), col("dvecs").as("qvecs"))
+      val cands = Ann.ivfSearch(ivf,
+          qBags.select(col("qid").as("vec_id"),
+            expr("qvecs[0]").as("embedding")), k = 40, nProbe = 8)
+        .select(col("qid"), expr("nid DIV 4").as("doc_id")).distinct()
+      val rrCount = withShuffle("maxSimRerank 200 bag-queries x ~40 candidates") {
+        graft.operators.Retrieval.maxSimRerank(qBags, bags, cands, k = 10)
+          .count()
+      }
+      println(s"[scale]   maxsim reranked: $rrCount")
+      bags.unpersist()
     }
 
     spark.stop()

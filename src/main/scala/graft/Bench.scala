@@ -560,16 +560,28 @@ object Bench {
         // guarantees each entry has SOME clean-start sample — the
         // MINIMUM can still come from a loaded window (the r16 driver
         // gate took jaccard's min at loadavg 24.7 and the lane read
-        // 3.99x where the same code on a quiet box reads 2.72x). After
-        // the lane completes, any entry whose min-defining base or x10
-        // sample STARTED above the threshold is re-sampled behind a
-        // cooldown; if the budget runs out with the min still loaded,
-        // the entry ships with "unconfirmed": true so the artifact
-        // carries its own caveat instead of needing a human quiet-box
-        // cross-check.
-        def dirtyMinLanes = lanes.map(_._1).filter { name =>
-          Seq("base", "x10").exists(t => lt(s"$name.$t").minBy(_._1)._2 > loadMax)
-        }
+        // 3.99x where the same code on a quiet box reads 2.72x).
+        // A min is CONFIRMED when its defining sample started clean OR
+        // a clean-start sample lands within 20% of it: load can only
+        // make a sample SLOWER, so the reported min is always an upper
+        // bound on the quiet floor, and a nearby clean sample proves
+        // the bound tight. The corroboration clause matters because
+        // the lane SELF-heats — its own 32-thread x10 passes push the
+        // 1-min loadavg past the threshold even on an otherwise idle
+        // box, so the fastest (cache-hot b2b) samples near-always
+        // "start loaded" by their own doing; the first interleaved
+        // pass after the cooldown is the clean witness. Entries still
+        // uncorroborated after the re-sample budget ship with
+        // "unconfirmed": true so the artifact carries its own caveat
+        // instead of needing a human quiet-box cross-check.
+        def minCorroborated(name: String): Boolean =
+          Seq("base", "x3", "x10").forall { t =>
+            val samples = lt(s"$name.$t")
+            val (mn, mnLd) = samples.minBy(_._1)
+            mnLd <= loadMax ||
+              samples.exists { case (s, ld) => ld <= loadMax && s <= mn * 1.2 }
+          }
+        def dirtyMinLanes = lanes.map(_._1).filterNot(minCorroborated)
         var minRetry = 0
         while (minRetry < passes * 2 && dirtyMinLanes.nonEmpty) {
           minRetry += 1
@@ -599,7 +611,7 @@ object Bench {
         val ratiosJson = ratios
           .map { case (name, b, _, x, _, _) => f""""$name":${x / b}%.2f""" }
           .mkString("{", ",", "}")
-        (s""""simjoin_lane":{"n_base":$nBase,"passes":$passes,"load_retry_passes":$laneRetry,"min_validation_passes":$minRetry,"unconfirmed_entries":${unconfirmed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},${entries.mkString(",")},"note":"linear-output fixtures (disjoint 20-doc group vocabularies / fixed block occupancy); contract fixtures are quadratic by construction so these are the scale signals for the similarity joins; min over interleaved + b2b samples, per-entry loadavg_at_min recorded; entries whose min-defining samples started above the load threshold after min-validation re-sampling are flagged unconfirmed:true; the raw x10/base ratio carries a ~2s fixed plan floor at base (a linear operator reads ~6x there) - judge linearity by flat krows_per_sec from x3 to x10 and ratio_x10_vs_x3 <= ~3.3"}""",
+        (s""""simjoin_lane":{"n_base":$nBase,"passes":$passes,"load_retry_passes":$laneRetry,"min_validation_passes":$minRetry,"unconfirmed_entries":${unconfirmed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},${entries.mkString(",")},"note":"linear-output fixtures (disjoint 20-doc group vocabularies / fixed block occupancy); contract fixtures are quadratic by construction so these are the scale signals for the similarity joins; min over interleaved + b2b samples, per-entry loadavg_at_min recorded; an entry is confirmed when each scale's min either started below the load threshold or is corroborated by a clean-start sample within 20% (the lane self-heats, so cache-hot b2b minima inherit its own loadavg); entries still uncorroborated after re-sampling are flagged unconfirmed:true; the raw x10/base ratio carries a ~2s fixed plan floor at base (a linear operator reads ~6x there) - judge linearity by flat krows_per_sec from x3 to x10 and ratio_x10_vs_x3 <= ~3.3"}""",
           Some(ratiosJson))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] simjoin lane failed: ${e.getMessage}")

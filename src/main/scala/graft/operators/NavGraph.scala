@@ -316,7 +316,12 @@ object NavGraph {
   }
 
   /** Beam search the persisted graph: top-`k` (qid, nid, rnk) per query
-    * by exact cosine over the visited set. `ef` is the per-query beam
+    * by exact cosine over the visited set. Corpus rows whose nid equals
+    * the query's qid are excluded (the self-match convention shared with
+    * [[Ann.bruteForceTopK]]) — so query ids must either BE corpus ids
+    * (the dedup/co-member reads) or come from an id space disjoint from
+    * the corpus's; an accidental collision would silently drop one
+    * legitimate neighbor. `ef` is the per-query beam
     * width (recall knob, >= k), `rounds` the layer-0 expansion count —
     * each round reaches one more hop, so `rounds` >= the expected hop
     * distance from an entry's neighborhood to the true neighbors

@@ -1100,7 +1100,18 @@ object Dedup {
     for (k0 <- raw.keys) if (!composed.contains(k0)) {
       val path = collection.mutable.ArrayBuffer[Any](k0)
       var v = raw(k0)
-      while (!composed.contains(v) && raw.contains(v)) { path += v; v = raw(v) }
+      while (!composed.contains(v) && raw.contains(v)) {
+        // a well-formed remap strictly decreases component ids, so a
+        // chain visits distinct keys and can never exceed |raw|; a
+        // longer walk proves a cycle (corrupt or hand-edited delta
+        // dirs) — fail loudly instead of hanging the driver
+        require(path.size <= raw.size,
+          s"cluster snapshot remap at $snapPath contains a cycle " +
+          s"through '$v' - the decreasing-component invariant is " +
+          "violated (corrupt or hand-restored delta dirs); rebuild " +
+          "the snapshot with writeClusterSnapshot")
+        path += v; v = raw(v)
+      }
       val end = composed.getOrElse(v, v)
       for (p <- path) composed.update(p, end)
     }

@@ -198,15 +198,32 @@ object NavGraph {
     val spark = corpus.sparkSession
     require(m >= 1 && maxLevel >= 0 && bruteMax >= 1,
       s"need m >= 1, maxLevel >= 0, bruteMax >= 1 (got $m, $maxLevel, $bruteMax)")
-    val nodes = withPt(corpus
-      .select(col("vec_id").as("nid"), col("embedding").as("nv"))
-      .withColumn("level", levelOf(col("nid"), maxLevel)))
+    // ids are normalized to BIGINT: the edge sidecar schema, the pt
+    // hash (xxhash64 is type-width-sensitive), and the search's
+    // entry/candidate joins all assume one id width
+    val leveled = corpus
+      .select(col("vec_id").cast("long").as("nid"), col("embedding").as("nv"))
+      .withColumn("level", levelOf(col("nid"), maxLevel))
+    // BOOTSTRAP PROMOTION: the search enters through level == maxLevel,
+    // and the valuation law can leave that layer EMPTY (hash-valued ids
+    // miss it with probability (1 - 4^-maxLevel)^n; dense ids 1..63
+    // have no multiple of 64) — promote the minimum id deterministically
+    // so every built graph is searchable. Appends re-derive law levels
+    // only; the promotion travels as a stored node fact.
+    val st = leveled.agg(min(col("nid")).as("mn"),
+      sum(when(col("level") === maxLevel, 1L).otherwise(0L)).as("top"))
+      .collect()(0)
+    val nodes = withPt(
+      if (st.isNullAt(0) || st.getLong(1) > 0L) leveled
+      else leveled.withColumn("level",
+        when(col("nid") === st.getLong(0), lit(maxLevel))
+          .otherwise(col("level"))))
     val ver = graft.util.FsIO.nextVersionDir(spark, path)
     nodes.write.partitionBy("level", "pt").parquet(s"$ver/nodes")
     // edge passes re-read the just-written nodes: no corpus-sized
     // checkpoint, one scan per layer
     val nodesR = spark.read.schema(nodes.schema).parquet(s"$ver/nodes")
-    val edges = (0 to maxLevel).map { l =>
+    val edges = (0 to maxLevel).flatMap { l =>
       val sub = nodesR.where(col("level") >= l).select("nid", "nv")
       val cnt = sub.count()
       if (cnt < 2L) None
@@ -218,7 +235,12 @@ object NavGraph {
         centsUsed.foreach(c => writeCents(spark, s"$ver/cents_l$l", c))
         Some(e.withColumn("level", lit(l)))
       }
-    }.flatten.reduceLeft(_ unionByName _)
+    }.reduceLeftOption(_ unionByName _)
+      // 0/1-row corpora have no pairs on any layer: still publish an
+      // EMPTY edge table (readers need the directory + schema), never
+      // throw after the nodes were written
+      .getOrElse(spark.range(0).selectExpr("id AS src", "id AS dst",
+        "CAST(0.0 AS DOUBLE) AS cos", "CAST(0 AS INT) AS level"))
     edges.write.partitionBy("level").parquet(s"$ver/edges")
     writeSidecars(spark, ver, nodes.schema.toDDL,
       "`src` BIGINT,`dst` BIGINT,`cos` DOUBLE,`level` INT", m, maxLevel)
@@ -252,13 +274,32 @@ object NavGraph {
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)
     val (m, maxLevel) = navParams(spark, dataDir)
     val nodes = readTable(spark, dataDir, "nodes")
-    val newNodes = withPt(batch
-      .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val lawLeveled = withPt(batch
+      .select(col("vec_id").cast("long").as("nid"), col("embedding").as("nv"))
       .withColumn("level", levelOf(col("nid"), maxLevel)))
       .localCheckpoint() // batch-sized
+    // top-layer repair mirrors the build's bootstrap promotion: if the
+    // stored graph has NO entry row (built empty, appended into ever
+    // since), promote the batch's minimum id so the graph becomes
+    // searchable — the top-level check is a partition-pruned scan of
+    // the n/4^maxLevel entry rows only
+    val topCnt = nodes.where(col("level") === maxLevel).count()
+    val newNodes =
+      if (topCnt > 0L || lawLeveled.isEmpty) lawLeveled
+      else {
+        val mn = lawLeveled.agg(min(col("nid"))).collect()(0).getLong(0)
+        lawLeveled.withColumn("level",
+          when(col("nid") === mn, lit(maxLevel)).otherwise(col("level")))
+          .localCheckpoint()
+      }
+    // per-level batch occupancy from ONE batch-sized aggregation —
+    // level L's membership is levels >= L, so cumulative sums replace
+    // maxLevel+1 per-level isEmpty jobs
+    val lvlCounts = newNodes.groupBy("level").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val perLevel = (0 to maxLevel).flatMap { l =>
       val newSub = newNodes.where(col("level") >= l).select("nid", "nv")
-      if (newSub.isEmpty) None
+      if ((l to maxLevel).map(lvlCounts.getOrElse(_, 0L)).sum == 0L) None
       else {
         val oldSub = nodes.where(col("level") >= l).select("nid", "nv")
         // dropDuplicates: a REPLAYED append finds its own batch already
@@ -321,7 +362,9 @@ object NavGraph {
     * [[Ann.bruteForceTopK]]) — so query ids must either BE corpus ids
     * (the dedup/co-member reads) or come from an id space disjoint from
     * the corpus's; an accidental collision would silently drop one
-    * legitimate neighbor. `ef` is the per-query beam
+    * legitimate neighbor. One beam slot beyond `ef` is reserved for the
+    * self-match, so ef = k is safe for corpus-member queries. `ef` is
+    * the per-query beam
     * width (recall knob, >= k), `rounds` the layer-0 expansion count —
     * each round reaches one more hop, so `rounds` >= the expected hop
     * distance from an entry's neighborhood to the true neighbors
@@ -347,16 +390,25 @@ object NavGraph {
     val nodes = readTable(spark, dataDir, "nodes")
     val edges = readTable(spark, dataDir, "edges")
     val q = broadcast(queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qv")))
+    // one beam slot is RESERVED beyond ef: a corpus-member query's own
+    // node (cos = 1.0) always wins a slot and is excluded only in the
+    // final top-k, so without the reserve ef == k would silently return
+    // k-1 rows; keeping self IN the beam is deliberate — its edge list
+    // is the best frontier seed for its own neighborhood
+    val beam = ef + 1
     def topEf(df: DataFrame): DataFrame = {
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-      df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= ef)
+      df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= beam)
         .select("qid", "qv", "nid", "cos")
     }
     // entry layer: one map-only scan of the n/4^maxLevel top-level rows
-    // against the broadcast query batch
+    // against the broadcast query batch. dropDuplicates FIRST — node
+    // rows are facts, and replayed appends leave copies that would
+    // otherwise occupy beam slots (the read-side-distincts invariant)
     var frontier = topEf(
-      q.join(nodes.where(col("level") === maxLevel), lit(true))
+      q.join(nodes.where(col("level") === maxLevel)
+          .select("nid", "nv").dropDuplicates("nid"), lit(true))
         .select(col("qid"), col("qv"), col("nid"),
           vec_cosine(col("qv"), col("nv")).as("cos")))
       .localCheckpoint()

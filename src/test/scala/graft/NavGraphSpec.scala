@@ -182,4 +182,72 @@ class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0)
     assert(r.getLong(0) == 56L && r.getLong(1) == 56L && r.getDouble(2) == 1.0)
   }
+
+  test("bootstrap promotion: a corpus the level law leaves without a top layer still searches") {
+    // ids 1..15 with maxLevel = 2: no id is a multiple of 4^2 = 16, so
+    // the valuation law alone leaves level 2 EMPTY and the entry scan
+    // would return nothing — the build must promote the minimum id
+    val cSize = 8
+    val corpus = corpusDf(16, cSize, keep = _ >= 1)
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpus, path, m = 8,
+      maxLevel = 2)
+    val got = pairs(graft.operators.NavGraph.navSearch(spark, path,
+      corpus.where("vec_id % 8 = 5"), k = 7, ef = 16, rounds = 2))
+    // query 5's cluster lost id 0, so its top-7 carries one
+    // cross-cluster filler — assert the analytic co-members are all
+    // found and both queries return full k
+    assert(coMembers(Seq(5L, 13L), 16L, cSize, alive = _ >= 1).subsetOf(got)
+      && got.size == 14)
+  }
+
+  test("degenerate corpora: 0- and 1-row builds publish searchable (empty-edge) graphs") {
+    val one = corpusDf(1, 8)
+    val p1 = scratch()
+    graft.operators.NavGraph.buildNavGraph(one, p1, m = 4, maxLevel = 1)
+    // an external query (disjoint id) finds the lone node
+    val sp = spark
+    import sp.implicits._
+    val q = Seq((1000L, vecOf(0L, 8).toSeq)).toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+    assert(pairs(graft.operators.NavGraph.navSearch(spark, p1, q,
+      k = 3, ef = 4)) == Set((1000L, 0L)))
+    // empty build publishes too; a later append bootstraps the entry layer
+    val p0 = scratch()
+    graft.operators.NavGraph.buildNavGraph(one.where("vec_id < 0"), p0,
+      m = 4, maxLevel = 1)
+    graft.operators.NavGraph.appendToNavGraph(spark, p0, corpusDf(16, 8))
+    val got = pairs(graft.operators.NavGraph.navSearch(spark, p0,
+      corpusDf(16, 8).where("vec_id % 8 = 5"), k = 7, ef = 16, rounds = 2))
+    assert(got == coMembers(Seq(5L, 13L), 16L, 8))
+  }
+
+  test("ef = k returns k rows for corpus-member queries (reserved self slot)") {
+    val corpus = corpusDf(64, 8)
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpus, path, m = 8, maxLevel = 1)
+    val out = graft.operators.NavGraph.navSearch(spark, path,
+      corpus.where("vec_id % 8 = 5"), k = 7, ef = 7, rounds = 2)
+    val counts = out.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ == 7L))
+  }
+
+  test("integer vec_id corpora normalize to BIGINT ids end to end") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = (0 until 32).map(i => (i, vecOf(i.toLong, 8).toSeq))
+      .toDF("vec_id", "embedding")
+      .selectExpr("CAST(vec_id AS INT) AS vec_id",
+        "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpus, path, m = 8, maxLevel = 1)
+    graft.operators.NavGraph.appendToNavGraph(spark, path,
+      (32 until 40).map(i => (i, vecOf(i.toLong, 8).toSeq))
+        .toDF("vec_id", "embedding")
+        .selectExpr("CAST(vec_id AS INT) AS vec_id",
+          "CAST(embedding AS ARRAY<FLOAT>) AS embedding"))
+    val got = pairs(graft.operators.NavGraph.navSearch(spark, path,
+      corpus.where("vec_id % 8 = 5"), k = 7, ef = 16, rounds = 2))
+    assert(got == coMembers(Seq(5L, 13L, 21L, 29L), 40L, 8))
+  }
 }

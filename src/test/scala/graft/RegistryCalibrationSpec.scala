@@ -160,6 +160,25 @@ class RegistryCalibrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters == expect, "chained remap composition must equal the full CC")
   }
 
+  test("snapshot: a cyclic (corrupt) remap delta fails loudly instead of hanging") {
+    val sp = spark
+    import sp.implicits._
+    val boot = Seq((10L, 11L), (20L, 21L)).toDF("x", "y")
+    val reg = scratch(); val snap = scratch()
+    graft.operators.Dedup.writeRegistry(boot, "x", "y", reg)
+    graft.operators.Dedup.writeClusterSnapshot(spark, reg, snap)
+    // forge a remap delta with a cycle (10 -> 20 -> 10): only corrupt
+    // or hand-restored dirs can contain one — the walk must throw the
+    // decreasing-invariant message, never spin the driver
+    val dataDir = graft.util.FsIO.indexDataDir(spark, snap)
+    Seq((10L, 20L), (20L, 10L)).toDF("__oc", "__nc")
+      .coalesce(1).write.parquet(s"$dataDir/remap_d00001")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.readClusterSnapshot(spark, snap).collect()
+    }
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
+
   test("snapshot: autoCompactAfter folds the deltas mid-refresh") {
     val sp = spark
     import sp.implicits._

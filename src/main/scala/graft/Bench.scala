@@ -139,7 +139,10 @@ object Bench {
     "q238_nav_graph_ann",       // layered nav-graph ANN: build/append/compact/beam search
     "q240_retrieval_metrics",   // brute ranking + decimal-accumulated P/R/RR/AP/nDCG
     "q241_ivf_filtered",        // allow-set semi-join inside the probed scan
-    "q242_maxsim_topk")         // nested-lambda MaxSim over broadcast pair frame
+    "q242_maxsim_topk",         // nested-lambda MaxSim over broadcast pair frame
+    // round-18 additions
+    "q243_nav_filtered",        // filtered beam search: allowed-visited accumulator
+    "q244_retrieval_e2e")       // BM25+IVF -> RRF -> MaxSim rerank -> metrics chain
 
   /** Queries whose contract shape is LINEAR in input size, eligible for
     * the sf1 scale-linearity tier. The rest of the headline list is
@@ -175,10 +178,11 @@ object Bench {
     "q220_gram_novelty", "q221_hamming_index", "q224_unigram_learn",
     "q225_unigram_tokens", "q228_dedup_registry", "q229_calibration",
     "q232_registry_snapshot", "q234_hamming_index_shuffle",
-    // fixed query batches against a growing corpus: all three are
+    // fixed query batches against a growing corpus: all four are
     // corpus-linear (ranking scan / full-probe filtered scan / bag
-    // pair frame with |Q| pinned)
-    "q240_retrieval_metrics", "q241_ivf_filtered", "q242_maxsim_topk")
+    // pair frame / staged chain with |Q| pinned)
+    "q240_retrieval_metrics", "q241_ivf_filtered", "q242_maxsim_topk",
+    "q244_retrieval_e2e")
 
   private[graft] val sf1Excluded = Map(
     "q49_range_join" -> "join output grows with point x interval density product (quadratic at fixed domain)",
@@ -197,7 +201,8 @@ object Bench {
     "q189_triangle_stats" -> "wedge count grows with the square of co-order adjacency, which rises with order density at fixed part domain — not input-linear by construction",
     "q202_jaccard_join" -> "qualifying-pair OUTPUT is quadratic in duplicate-group size, and the ~31-token synthetic vocabulary makes x10 docs mostly near-identical — the exact join's result itself squares by construction; the filters' skew guarantee is pinned by JaccardAdversarialSpec instead; timed scale signal: the simjoin_lane entry for this operator",
     "q213_hard_negatives" -> "exactness fixture pins nProbe = nlist, so the probe degenerates to all-pairs by construction (q159's reason); the scale path is partial-probe ivfSearch, sf1-guarded via q167's family",
-    "q238_nav_graph_ann" -> "exactness fixture pins nProbe = nlist in the graph CONSTRUCTION, so the per-layer candidate join degenerates to all-pairs by construction (q159's reason); the search itself is bounded beam rounds; production builds with partial probe")
+    "q238_nav_graph_ann" -> "exactness fixture pins nProbe = nlist in the graph CONSTRUCTION, so the per-layer candidate join degenerates to all-pairs by construction (q159's reason); the search itself is bounded beam rounds; production builds with partial probe",
+    "q243_nav_filtered" -> "same nProbe = nlist exactness construction as q238 (all-pairs by construction); the filtered search itself is bounded beam rounds + an id semi-join; the scale path is the auto-sized build, smoked in ScaleSmoke")
 
   // Every headline query is either in the sf1 tier or excluded WITH a
   // recorded reason — asserted here so the invariant cannot rot silently
@@ -388,11 +393,11 @@ object Bench {
     // 4.8 s re-measured quiet). Now: min of >= 2 interleaved passes,
     // per-iteration (sec, epoch, loadavg) trace, and load-retry passes
     // for queries whose every sample started above the threshold.
-    val (sf1Json: String, sf1TotalOpt: Option[Double]) =
+    val (sf1Json: String, sf1TotalOpt: Option[Double], sf1QJsonOpt: Option[String]) =
       if (sys.env.get("SPARK_GRAFT_SF1").contains("skip") ||
           !sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").contains("sf0.1"))
         ("\"sf1_skipped\":\"set SPARK_GRAFT_SF_DIR to a sf0.1 dir (and unset SPARK_GRAFT_SF1) to enable\"",
-          None)
+          None, None)
       else try {
         val tGen0 = System.nanoTime()
         val dst = Sf1Data.ensure(spark, sfDir)
@@ -449,11 +454,11 @@ object Bench {
         val excl = sf1Excluded.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
         (s""""sf1":{"dir":"$dst","gen_sec":$genSec,"total":$sTotal,"queries":$sq,"iters":$sIters,"load_retry_passes":$sf1Retry,"excluded":$excl,"timing":"min of $sf1Iters interleaved passes (JIT-warm from sf0.1 phase), load-retry appended for queries with no clean-start sample"}""",
-          Some(sTotal))
+          Some(sTotal), Some(sq))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 tier failed: ${e.getMessage}")
         ("\"sf1_skipped\":\"" + String.valueOf(e.getMessage).replace('"', '\'') + "\"",
-          None)
+          None, None)
       }
 
     // ---- similarity-join scale lane ------------------------------------
@@ -721,6 +726,25 @@ object Bench {
       sys.env.get("SPARK_GRAFT_ROUND").foreach { r =>
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"target/bench_r$r.json"), json.getBytes("UTF-8"))
+        // COMMITTED per-round history (bench_history/ is in the repo,
+        // target/ is not): the r17 verdict's +17% b2b-anchor move could
+        // not be localized because target/bench.json had been
+        // overwritten and BENCH_r16.json keeps only a 2 kB stdout tail.
+        // This compact per-query record (headline min + median, r5 b2b,
+        // sf1 min, lane ratios) survives rounds, so any future anchor
+        // move diffs to a named query.
+        val hist = s"""{"round":"$r","sf":"$sfDir","iterations":$iterations,""" +
+          s""""total":$total,"total_median":$totalMed,""" +
+          s""""total_r5_subset_b2b":$subtotalB2b,""" +
+          s""""sf1_total":${sf1TotalOpt.map(_.toString).getOrElse("null")},""" +
+          s""""verdict_lane_ratio":${verdictRatioOpt.map(v => f"$v%.2f").getOrElse("null")},""" +
+          s""""simjoin_ratios":${simRatiosOpt.getOrElse("null")},""" +
+          s""""headline_min":$qs,"headline_median":$qsMed,""" +
+          s""""r5_b2b":$b2bJson,""" +
+          s""""sf1_min":${sf1QJsonOpt.getOrElse("null")}}"""
+        val hp = java.nio.file.Paths.get(s"bench_history/r$r.json")
+        java.nio.file.Files.createDirectories(hp.getParent)
+        java.nio.file.Files.write(hp, hist.getBytes("UTF-8"))
       }
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()

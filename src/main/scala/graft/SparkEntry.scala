@@ -2972,6 +2972,48 @@ object SparkEntry {
       graft.operators.Retrieval.rrfFuse(Seq(text, vec), "qid", "id", "rnk", k = 10)
         .orderBy("qid", "rnk")
     }),
+    // END-TO-END two-stage retrieval composition (the q200/q237 pattern
+    // applied to the retrieval stack): BM25 top-20 + IVF top-20
+    // (nProbe = nlist, so the production index path is exact and the
+    // oracle replays it as brute cosine) → rrfFuse top-10 → maxSimRerank
+    // over 2-vector bags [v, -v] (score = rz6|cos|, the late-interaction
+    // kernel with an analytically replayable bag) → retrievalMetrics
+    // against q240's analytic qrels. Catches cross-stage rank/id
+    // contract drift no stage-wise row can see — the oracle replays the
+    // ENTIRE chain
+    "q244_retrieval_e2e" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val queries = spark.createDataFrame(Seq(
+        (0L, "hash join"), (1L, "slow scan filter"),
+        (2L, "vector window spark"), (3L, "nosuchtoken"))).toDF("qid", "qtext")
+      val text = graft.operators.TextAnalysis.bm25TopK(spark.table("documents"),
+          "doc_id", "text", queries, "qid", "qtext", k = 20)
+        .select(col("qid"), col("doc_id").as("id"), col("rnk"))
+      val emb = spark.table("embeddings")
+      val index = graft.operators.Ann.buildIvf(
+        emb.select("vec_id", "embedding"), nlist = 8, iters = 3)
+      val dense = graft.operators.Ann.ivfSearch(index,
+          emb.where(col("vec_id") < 4), k = 20, nProbe = 8)
+        .select(col("qid"), col("nid").as("id"), col("rnk"))
+      val fused = graft.operators.Retrieval.rrfFuse(Seq(text, dense),
+        "qid", "id", "rnk", k = 10)
+      val docs = emb.select(col("vec_id").as("doc_id"),
+        array(col("embedding"),
+          transform(col("embedding"), x => -x)).as("dvecs"))
+      val qbags = emb.where(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), array(col("embedding")).as("qvecs"))
+      val reranked = graft.operators.Retrieval.maxSimRerank(qbags, docs,
+        fused.select(col("qid"), col("id").as("doc_id")), k = 10)
+      val qrels = spark.sql("""
+        SELECT q.qid, e.vec_id AS doc_id,
+               CASE CAST((e.vec_id + q.qid) % 5 AS INT)
+                 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS rel
+        FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 4) q
+        CROSS JOIN embeddings e""")
+      graft.operators.Retrieval.retrievalMetrics(reranked, qrels, k = 10)
+        .orderBy("qid")
+    }),
     // rolling distinct actives (DAU/WAU/MAU) over the real events on
     // the shared epoch-micros day law: distinct (day, user) grid, one
     // map-only x28 fan-out, single multi-window count-distinct hash
@@ -3447,6 +3489,42 @@ object SparkEntry {
         .select(col("g").as("qid"), col("vecs").as("qvecs"))
       graft.operators.Retrieval.maxSimTopK(queries, docs, k = 5)
         .orderBy("qid", "rnk")
+    }),
+    // FILTERED graph ANN: navSearchWhere over q238's clusters with a
+    // membership predicate as the allow-set — PRE-filter semantics (the
+    // q241 contract applied to the graph family): the beam traverses
+    // the FULL graph while a parallel accumulator keeps the best
+    // allowed rows visited, so each query returns its k best ALLOWED
+    // co-members exactly. A post-filtered unfiltered top-k would
+    // under-fill k here (the unfiltered top-5 of an mm=5 query is
+    // {4,6,3,7,2}; dropping the disallowed 7 leaves 4 rows and never
+    // surfaces allowed member 1) and hash-mismatch the sub-corpus
+    // oracle. Ranks excluded like q238 (equidistant co-member ties)
+    "q243_nav_filtered" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions.col
+      val vecs = spark.sql("""
+        SELECT i AS vec_id, mm,
+               transform(sequence(0, 83), d ->
+                 CAST(CASE WHEN d = a THEN (cos(th) + sin(th)) / sqrt(2)
+                           WHEN d = b THEN (cos(th) - sin(th)) / sqrt(2)
+                           ELSE 0.0 END AS FLOAT)) AS embedding
+        FROM (SELECT i, mm, g % 61 AS a, 61 + (g DIV 61) % 23 AS b,
+                     0.04 * mm AS th
+              FROM (SELECT doc_id DIV 25 AS i, (doc_id DIV 25) DIV 8 AS g,
+                           (doc_id DIV 25) % 8 AS mm
+                    FROM documents WHERE doc_id % 25 = 0))""")
+      val idx = scratchDir("graft_navfilt_")
+      graft.operators.NavGraph.buildNavGraph(
+        vecs.select("vec_id", "embedding"), idx,
+        m = 8, maxLevel = 1, nlist = 8, nProbe = 8, iters = 3,
+        bruteMax = 96L)
+      graft.operators.NavGraph.navSearchWhere(spark, idx,
+          vecs.where(col("mm") === 5).select("vec_id", "embedding"),
+          k = 5, allowed = vecs.where(col("mm").isin(1, 2, 3, 4, 6)),
+          ef = 16, rounds = 2)
+        .select(col("qid"), col("nid"))
+        .orderBy("qid", "nid")
     }),
     // STREAMING incremental clustering: each micro-batch appends its
     // edges to the registry AND folds them into the cluster snapshot
@@ -5323,6 +5401,102 @@ object SparkEntry {
                CAST(row_number() OVER (
                  PARTITION BY qid ORDER BY rrf DESC, id ASC) AS INT) AS rnk
         FROM f) WHERE rnk <= 10 ORDER BY qid, rnk"""
+
+  /** q244's oracle: the ENTIRE two-stage retrieval chain replayed —
+    * BM25 ranking (RRF_ORACLE's lexical stage verbatim), brute cosine
+    * (≡ the engine's full-probe ivfSearch), RRF fusion, the MaxSim
+    * rerank over [v, -v] bags (score = round(|cos|, 6) — max over the
+    * pair of exact IEEE negations), and q240's metric arithmetic at
+    * k = 10. Any cross-stage rank/id drift breaks the hash. */
+  private val E2E_RETRIEVAL_ORACLE = """
+      WITH q(qid, qtext) AS (VALUES (0, 'hash join'), (1, 'slow scan filter'),
+                                    (2, 'vector window spark'), (3, 'nosuchtoken')),
+           t AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+                 FROM documents),
+           p AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                 FROM t WHERE tok <> '' GROUP BY doc_id, tok),
+           dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
+           nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+           ad AS (SELECT round(CAST(sum(tf) AS DOUBLE) / any_value(n), 6) AS avgdl
+                  FROM p CROSS JOIN nn),
+           qt AS (SELECT DISTINCT qid, tok FROM (
+                    SELECT qid, unnest(string_split(qtext, ' ')) AS tok FROM q)
+                  WHERE tok <> ''),
+           dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS dfq FROM p GROUP BY tok),
+           qi AS (SELECT qid, qt.tok,
+                         round(ln(1 + (n - dfq + 0.5) / (dfq + 0.5)), 6) AS idf
+                  FROM qt JOIN dfq ON qt.tok = dfq.tok CROSS JOIN nn),
+           c AS (SELECT qid, p.doc_id,
+                        round(idf * round(tf * 2.2 / (tf + 1.2 * (0.25 +
+                          0.75 * round(dl / avgdl, 6))), 6), 6) AS c
+                 FROM p JOIN qi ON p.tok = qi.tok
+                 JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN ad),
+           s AS (SELECT qid, doc_id, round(sum(c), 6) AS score
+                 FROM c GROUP BY qid, doc_id),
+           tr AS (SELECT qid, id, rnk FROM (
+                    SELECT CAST(qid AS BIGINT) AS qid, doc_id AS id,
+                           CAST(row_number() OVER (
+                             PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+                    FROM s) WHERE rnk <= 20),
+           qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id < 4),
+           vs AS (SELECT qid, e.vec_id AS id,
+                         list_cosine_similarity(v, e.embedding::DOUBLE[]) AS cos
+                  FROM qv CROSS JOIN embeddings e WHERE e.vec_id <> qid),
+           vr AS (SELECT qid, id, rnk FROM (
+                    SELECT qid, id, CAST(row_number() OVER (
+                      PARTITION BY qid ORDER BY cos DESC, id ASC) AS INT) AS rnk
+                    FROM vs) WHERE rnk <= 20),
+           f AS (SELECT coalesce(tr.qid, vr.qid) AS qid,
+                        coalesce(tr.id, vr.id) AS id,
+                        coalesce(CAST(1 AS DOUBLE) / (60 + tr.rnk), 0) +
+                        coalesce(CAST(1 AS DOUBLE) / (60 + vr.rnk), 0) AS rrf
+                 FROM tr FULL OUTER JOIN vr ON tr.qid = vr.qid AND tr.id = vr.id),
+           cand AS (SELECT qid, id AS did FROM (
+                      SELECT qid, id, row_number() OVER (
+                        PARTITION BY qid ORDER BY rrf DESC, id ASC) AS rnk FROM f)
+                    WHERE rnk <= 10),
+           rsc AS (SELECT cd.qid, cd.did,
+                          round(abs(list_cosine_similarity(qv.v,
+                            e.embedding::DOUBLE[])), 6) AS score
+                   FROM cand cd JOIN qv ON qv.qid = cd.qid
+                   JOIN embeddings e ON e.vec_id = cd.did),
+           res AS (SELECT qid, did, CAST(row_number() OVER (
+                     PARTITION BY qid ORDER BY score DESC, did ASC) AS INT) AS rnk
+                   FROM rsc),
+           jud AS (SELECT qv.qid, e.vec_id AS did,
+                          CASE CAST((e.vec_id + qv.qid) % 5 AS INT)
+                            WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS rel
+                   FROM qv CROSS JOIN embeddings e
+                   WHERE CAST((e.vec_id + qv.qid) % 5 AS INT) IN (0, 1)),
+           nr AS (SELECT qid, count(*) AS n_rel FROM jud GROUP BY 1),
+           idcg AS (SELECT qid, sum(CAST(round((pow(2.0, rel) - 1) / log2(ir + 1), 6)
+                             AS DECIMAL(20,6))) AS idcg
+                    FROM (SELECT qid, rel, row_number() OVER (
+                            PARTITION BY qid ORDER BY rel DESC, did) AS ir FROM jud)
+                    WHERE ir <= 10 GROUP BY 1),
+           per AS (SELECT r.qid, r.rnk, coalesce(j.rel, 0) AS rel,
+                          CASE WHEN coalesce(j.rel, 0) > 0 THEN 1 ELSE 0 END AS hit
+                   FROM res r LEFT JOIN jud j ON j.qid = r.qid AND j.did = r.did),
+           per2 AS (SELECT qid, rnk, rel, hit,
+                           sum(hit) OVER (PARTITION BY qid ORDER BY rnk) AS cum
+                    FROM per),
+           ag AS (SELECT qid, sum(hit) AS hits,
+                         sum(CAST(round((pow(2.0, rel) - 1) / log2(rnk + 1), 6)
+                           AS DECIMAL(20,6))) AS dcg,
+                         sum(CAST(CASE WHEN hit = 1
+                           THEN round(cum::DOUBLE / rnk, 6) ELSE 0.0 END
+                           AS DECIMAL(20,6))) AS apnum,
+                         min(CASE WHEN hit = 1 THEN rnk END) AS frst
+                  FROM per2 GROUP BY 1)
+      SELECT n.qid AS qid, n.n_rel, CAST(coalesce(a.hits, 0) AS INT) AS n_ret_rel,
+             round(coalesce(a.hits, 0)::DOUBLE / 10, 6) AS p_at_k,
+             round(coalesce(a.hits, 0)::DOUBLE / n.n_rel, 6) AS recall_at_k,
+             round(coalesce(1.0 / a.frst, 0.0), 6) AS rr,
+             round(coalesce(a.apnum, 0)::DOUBLE / least(n.n_rel, 10), 6) AS ap,
+             round(coalesce(a.dcg, 0)::DOUBLE / i.idcg::DOUBLE, 6) AS ndcg
+      FROM nr n LEFT JOIN ag a ON a.qid = n.qid LEFT JOIN idcg i ON i.qid = n.qid
+      ORDER BY n.qid"""
 
   private val PR_ITERS = 6
 
@@ -7445,6 +7619,7 @@ object SparkEntry {
       FROM w ORDER BY id, z""",
     "q182_hilbert" -> HILBERT_ORACLE,
     "q184_rrf_fusion" -> RRF_ORACLE,
+    "q244_retrieval_e2e" -> E2E_RETRIEVAL_ORACLE,
     // per-group rank-at-ceil(q*n) replay
     "q203_group_quantiles" -> """
       WITH v AS (SELECT l_suppkey AS g, l_extendedprice AS x FROM lineitem
@@ -8209,6 +8384,16 @@ object SparkEntry {
       FROM (SELECT qid, doc_id, score, row_number() OVER (
               PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM s)
       WHERE rnk <= 5 ORDER BY qid, rnk""",
+    // pre-filter semantics over the graph index: each query's exact
+    // top-5 among the ALLOWED sub-corpus is analytically its 5 allowed
+    // co-members (cross-cluster cosine can't reach the in-cluster band)
+    "q243_nav_filtered" -> """
+      WITH v AS (SELECT doc_id // 25 AS i FROM documents WHERE doc_id % 25 = 0),
+           q AS (SELECT i FROM v WHERE i % 8 = 5)
+      SELECT q.i AS qid, n.i AS nid
+      FROM q JOIN v n ON q.i // 8 = n.i // 8 AND q.i <> n.i
+                     AND n.i % 8 IN (1, 2, 3, 4, 6)
+      ORDER BY qid, nid""",
     // streamed vector appends + a retry are invisible to the beam
     // search (node/edge facts + read-side distincts) — the analytic
     // co-member oracle over the mm <= 5 corpus holds verbatim
@@ -8812,7 +8997,13 @@ object SparkEntry {
     // filtered exact-search contract
     "q241_ivf_filtered",
     // 4x the bags: every MaxSim score and rank recomputed at scale
-    "q242_maxsim_topk")
+    "q242_maxsim_topk",
+    // filtered beam search over 10x clusters, IVF-probed construction
+    // (the 200-vector twin build layer crosses bruteMax = 96)
+    "q243_nav_filtered",
+    // the full retrieval chain over 10x the corpus: every BM25 score,
+    // cosine rank, fused candidate set, rerank score and metric shifts
+    "q244_retrieval_e2e")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

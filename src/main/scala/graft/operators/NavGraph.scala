@@ -41,7 +41,9 @@ import org.apache.spark.sql.functions._
   * `m` until compaction re-prunes), [[compactNavGraph]] rewrites the
   * pruned graph into the next version, publishes behind the atomic
   * pointer, and retries are read-side safe because node and edge rows
-  * are FACTS every reader distincts. The q238 contract runs
+  * are FACTS every reader distincts (node facts level-aware: the max
+  * level per id wins, so a bootstrap promotion survives a replayed
+  * law-level append). The q238 contract runs
   * build → append → compact → search against an analytically-known
   * neighbor set; [[navRecallFrame]] is the production tuning read
   * (measured recall vs exact brute force on a query sample, the
@@ -64,6 +66,51 @@ object NavGraph {
       when(pmod(id, lit(math.pow(4, l).toLong)) === 0, lit(l)).otherwise(acc)
     }
 
+  // ---- automatic sizing laws --------------------------------------------
+  // The caller can leave `maxLevel` / `nlist` at their -1 sentinels and
+  // the build derives both from the data, so the default path is never a
+  // scale footgun:
+  //  * maxLevel ~ ceil(log4(n / EntryTarget)) keeps the search's entry
+  //    scan at ~EntryTarget rows REGARDLESS of corpus size (a fixed
+  //    maxLevel leaves it at n/4^maxLevel — linearly worse forever);
+  //  * nlist ~ max(16, layerRows / TargetListRows) keeps inverted lists
+  //    at ~TargetListRows rows, so the layer's candidate join stays at
+  //    ~layerRows · nProbe · TargetListRows scored rows (linear in the
+  //    layer) instead of the quadratic blow-up a habitual small nlist
+  //    causes (nlist = 16 at n = 1M is a 2.5e11-row join).
+  // Explicit values are honored verbatim — the q238/q239 exactness
+  // fixtures pin nProbe = nlist = 8 — but every IVF-probed layer pass
+  // first runs a loud volume pre-check (see [[knnAmong]]).
+  private val EntryTarget = 256L
+  private val TargetListRows = 400L
+  private[graft] def autoMaxLevel(n: Long): Int = {
+    val lvl = math.ceil(math.log(math.max(n, 1L).toDouble / EntryTarget) /
+      math.log(4.0)).toInt
+    math.min(12, math.max(1, lvl))
+  }
+  private[graft] def autoNlist(layerRows: Long): Int =
+    math.max(16L, layerRows / TargetListRows).toInt
+
+  /** Loud pre-check on an IVF-probed layer pass: the candidate join
+    * materializes ~ rows · nProbe · (rows / nlist) scored rows; past the
+    * cap that volume is a measured executor-killer (a 100k layer with
+    * 1.5k-row lists OOMed a 128 GiB local[32] box), so fail BEFORE the
+    * join with the sizing law instead of mid-shuffle. The cap scales
+    * with the cluster (rows-per-core is what kills an executor, not
+    * total rows): max(2e9, 5e7 · defaultParallelism). Auto-sized builds
+    * sit far under it (~1600 · layerRows); only an explicit nlist far
+    * off the nlist ~ rows/400 law can reach it. */
+  private def checkCandidateVolume(spark: org.apache.spark.sql.SparkSession,
+      rows: Long, nlist: Int, nProbe: Int): Unit = {
+    val cap = math.max(2e9, 5e7 * spark.sparkContext.defaultParallelism)
+    val est = rows.toDouble * nProbe * (rows.toDouble / nlist)
+    require(est <= cap,
+      f"nav-graph candidate join would materialize ~$est%.2e scored rows " +
+        f"(layer rows = $rows, nlist = $nlist, nProbe = $nProbe; cap $cap%.1e). " +
+        "Size nlist to the layer (nlist ~ rows / 400 — leave nlist at its " +
+        "-1 default to get this automatically) or lower nProbe.")
+  }
+
   // The node table is partitioned by (level, pt): the search's entry
   // scan prunes to the top level's directories, and each beam round's
   // candidate-scoring scan prunes to the candidate ids' hash buckets —
@@ -82,8 +129,9 @@ object NavGraph {
   /** Top-`m` neighbors by cosine for every row of `left` among `right`
     * (both (nid, nv)): brute force (broadcast left) below `bruteMax`
     * right-side rows, IVF-probed candidates beyond — exact when
-    * nProbe = nlist, the documented approximation otherwise. When the
-    * IVF path runs, `frozen` centroids are reused if provided (the
+    * nProbe = nlist, the documented approximation otherwise. `nlist`
+    * here is already RESOLVED (auto laws applied by the caller). When
+    * the IVF path runs, `frozen` centroids are reused if provided (the
     * frozen-codebook append contract — no per-batch retraining), else
     * trained once here; the codebook actually used is returned so the
     * caller can persist it. */
@@ -99,6 +147,10 @@ object NavGraph {
           .select(col("src"), col("dst"), vec_cosine(col("sv"), col("dv")).as("cos"))
       (topPerSrc(scored, m), None)
     } else {
+      // a frozen codebook defines the REAL list count regardless of the
+      // nlist argument; pre-check the volume the join will actually see
+      val lists = frozen.map(_.length).getOrElse(nlist)
+      checkCandidateVolume(left.sparkSession, rightCount, lists, nProbe)
       val rightCorpus = right.select(col("nid").as("vec_id"), col("nv").as("embedding"))
       val cents = frozen.getOrElse(
         Ann.trainCentroids(rightCorpus, nlist, iters, seed = seed))
@@ -178,57 +230,91 @@ object NavGraph {
       .parquet(s"$dataDir/$name")
   }
 
+  /** Node reads keep the MAX level per id: node rows are facts, and a
+    * bootstrap-promoted id legitimately carries TWO level facts once a
+    * replayed append re-derives its law level — an arbitrary
+    * (partition-dependent) pick could drop the graph's only entry-layer
+    * node and blank every search. Max-level wins because layer
+    * membership is cumulative (level L means member of layers 0..L), so
+    * the higher fact strictly contains the lower one. */
+  private def dedupNodesMaxLevel(nodes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("nid").orderBy(col("level").desc)
+    nodes.withColumn("__rk", row_number().over(w)).where(col("__rk") === 1)
+      .drop("__rk")
+  }
+
   /** Build and publish the layered graph for `corpus` (vec_id,
     * embedding) under `path`'s versioned root. Per layer L the members
     * are the nodes with level >= L and the edges are each member's
     * top-`m` cosine neighbors among the layer — layer sizes shrink 4x
     * per level, so the level-0 pass dominates and the build costs one
-    * IVF knn-graph. Choose `maxLevel` ~ log4(n / desired entry count):
-    * the search's entry scan is the n/4^maxLevel top-layer rows.
+    * IVF knn-graph.
     *
-    * SIZE `nlist` to the layer, not to a habit: the level-0 candidate
-    * join materializes ~ n · nProbe · (n / nlist) scored rows, so
-    * inverted lists should stay a few hundred rows (nlist ~ n / 400).
-    * At n = 100k, nlist = 256 / nProbe = 4 is a ~156M-row join;
-    * nlist = 64 would quadruple every list and blow the same join up
-    * to 1.25B rows (measured OOM in ScaleSmoke). */
+    * SIZING IS AUTOMATIC at the `-1` defaults: `maxLevel` derives from
+    * the corpus count (ceil(log4(n / 256)) — the entry scan stays at
+    * ~256 rows at any scale) and `nlist` from each layer's row count
+    * (max(16, rows / 400) — inverted lists stay ~400 rows, so the
+    * level-0 candidate join is ~1600 · n scored rows, linear). Explicit
+    * values are honored verbatim for exactness fixtures (nProbe =
+    * nlist), but every IVF-probed pass pre-checks the estimated join
+    * volume and fails loudly with the law instead of OOMing
+    * mid-shuffle. Auto-`maxLevel` costs one extra map-only corpus
+    * count. */
   def buildNavGraph(corpus: DataFrame, path: String, m: Int = 16,
-      maxLevel: Int = 3, nlist: Int = 16, nProbe: Int = 4, iters: Int = 5,
+      maxLevel: Int = -1, nlist: Int = -1, nProbe: Int = 4, iters: Int = 5,
       seed: Long = 42L, bruteMax: Long = 4096L, keepVersions: Int = 1): Unit = {
     val spark = corpus.sparkSession
-    require(m >= 1 && maxLevel >= 0 && bruteMax >= 1,
-      s"need m >= 1, maxLevel >= 0, bruteMax >= 1 (got $m, $maxLevel, $bruteMax)")
+    require(m >= 1 && (maxLevel >= 0 || maxLevel == -1) && bruteMax >= 1,
+      s"need m >= 1, maxLevel >= 0 or -1 (auto), bruteMax >= 1 (got $m, $maxLevel, $bruteMax)")
+    require(nlist > 0 || nlist == -1,
+      s"nlist must be positive or -1 (auto, the rows/400 law); got $nlist")
+    val lvl = if (maxLevel >= 0) maxLevel else autoMaxLevel(corpus.count())
     // ids are normalized to BIGINT: the edge sidecar schema, the pt
     // hash (xxhash64 is type-width-sensitive), and the search's
     // entry/candidate joins all assume one id width
     val leveled = corpus
       .select(col("vec_id").cast("long").as("nid"), col("embedding").as("nv"))
-      .withColumn("level", levelOf(col("nid"), maxLevel))
+      .withColumn("level", levelOf(col("nid"), lvl))
+    val ver = graft.util.FsIO.nextVersionDir(spark, path)
+    withPt(leveled).write.partitionBy("level", "pt").parquet(s"$ver/nodes")
+    val nodeSchema = withPt(leveled).schema
+    def nodesNow() = spark.read.schema(nodeSchema).parquet(s"$ver/nodes")
     // BOOTSTRAP PROMOTION: the search enters through level == maxLevel,
     // and the valuation law can leave that layer EMPTY (hash-valued ids
     // miss it with probability (1 - 4^-maxLevel)^n; dense ids 1..63
     // have no multiple of 64) — promote the minimum id deterministically
-    // so every built graph is searchable. Appends re-derive law levels
-    // only; the promotion travels as a stored node fact.
-    val st = leveled.agg(min(col("nid")).as("mn"),
-      sum(when(col("level") === maxLevel, 1L).otherwise(0L)).as("top"))
-      .collect()(0)
-    val nodes = withPt(
-      if (st.isNullAt(0) || st.getLong(1) > 0L) leveled
-      else leveled.withColumn("level",
-        when(col("nid") === st.getLong(0), lit(maxLevel))
-          .otherwise(col("level"))))
-    val ver = graft.util.FsIO.nextVersionDir(spark, path)
-    nodes.write.partitionBy("level", "pt").parquet(s"$ver/nodes")
+    // so every built graph is searchable. Decided from the WRITTEN node
+    // table (a nondeterministic corpus — sample/limit — could otherwise
+    // promote an id absent from the rows actually written) and stored
+    // as an EXTRA node fact at the top level; every node read keeps the
+    // max level per id, so the duplicate is the normal fact shape.
+    // Appends re-derive law levels only; the promotion travels as the
+    // stored fact.
+    val topCnt = nodesNow().where(col("level") === lvl).count()
+    if (topCnt == 0L) {
+      val mnRow = nodesNow().orderBy("nid").limit(1).collect()
+      if (mnRow.nonEmpty) {
+        val r = mnRow(0)
+        withPt(spark.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row(
+              r.getLong(0), r.getSeq[Float](1), lvl)),
+            org.apache.spark.sql.types.StructType(nodeSchema.take(3))))
+          .write.mode("append").partitionBy("level", "pt")
+          .parquet(s"$ver/nodes")
+      }
+    }
     // edge passes re-read the just-written nodes: no corpus-sized
-    // checkpoint, one scan per layer
-    val nodesR = spark.read.schema(nodes.schema).parquet(s"$ver/nodes")
-    val edges = (0 to maxLevel).flatMap { l =>
+    // checkpoint, one scan per layer; dedupe by id because a promoted
+    // id carries two level facts
+    val nodesR = nodesNow()
+    val edges = (0 to lvl).flatMap { l =>
       val sub = nodesR.where(col("level") >= l).select("nid", "nv")
+        .dropDuplicates("nid")
       val cnt = sub.count()
       if (cnt < 2L) None
       else {
-        val (e, centsUsed) = knnAmong(sub, sub, cnt, m, nlist, nProbe,
+        val nl = if (nlist > 0) nlist else autoNlist(cnt)
+        val (e, centsUsed) = knnAmong(sub, sub, cnt, m, nl, nProbe,
           iters, seed, bruteMax)
         // persist the layer's codebook so appends reuse it FROZEN
         // (the IVF-family append contract: no per-batch retraining)
@@ -242,8 +328,8 @@ object NavGraph {
       .getOrElse(spark.range(0).selectExpr("id AS src", "id AS dst",
         "CAST(0.0 AS DOUBLE) AS cos", "CAST(0 AS INT) AS level"))
     edges.write.partitionBy("level").parquet(s"$ver/edges")
-    writeSidecars(spark, ver, nodes.schema.toDDL,
-      "`src` BIGINT,`dst` BIGINT,`cos` DOUBLE,`level` INT", m, maxLevel)
+    writeSidecars(spark, ver, nodeSchema.toDDL,
+      "`src` BIGINT,`dst` BIGINT,`cos` DOUBLE,`level` INT", m, lvl)
     graft.util.FsIO.publishVersion(spark, path, ver, keepVersions)
   }
 
@@ -254,6 +340,10 @@ object NavGraph {
     * from the existing graph — neighbor lists exceed `m` until
     * [[compactNavGraph]] re-prunes them, exactly HNSW's
     * insert-then-shrink, amortized to the compaction cadence.
+    *
+    * `nlist` follows the same -1-auto law as the build (sized to each
+    * layer's (existing ∪ batch) row count) and is only consulted for a
+    * layer that has NO frozen codebook yet.
     *
     * FROZEN codebooks: a layer whose candidate join needs IVF probing
     * reuses the codebook persisted at build time (`cents_l<L>`) — no
@@ -266,11 +356,14 @@ object NavGraph {
     * [[navRecallFrame]] and rebuild when it sags.
     *
     * Retry-safe the facts way: a replayed append duplicates node and
-    * edge rows that every read distincts. Post-append pointer check
-    * makes a racing compaction loud. */
+    * edge rows that every read distincts (node facts level-aware — a
+    * replayed law-level row never demotes a bootstrap promotion).
+    * Post-append pointer check makes a racing compaction loud. */
   def appendToNavGraph(spark: org.apache.spark.sql.SparkSession,
-      path: String, batch: DataFrame, nlist: Int = 16, nProbe: Int = 4,
+      path: String, batch: DataFrame, nlist: Int = -1, nProbe: Int = 4,
       iters: Int = 5, seed: Long = 42L, bruteMax: Long = 4096L): Unit = {
+    require(nlist > 0 || nlist == -1,
+      s"nlist must be positive or -1 (auto, the rows/400 law); got $nlist")
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)
     val (m, maxLevel) = navParams(spark, dataDir)
     val nodes = readTable(spark, dataDir, "nodes")
@@ -308,9 +401,11 @@ object NavGraph {
         // neighbors out of the top-m (vectors are deterministic per id,
         // so deduping by id is exact)
         val union = oldSub.unionByName(newSub).dropDuplicates("nid")
+        val unionCnt = union.count()
         val frozen = readCents(spark, s"$dataDir/cents_l$l")
-        val (fwd, centsUsed) = knnAmong(newSub, union, union.count(), m,
-          nlist, nProbe, iters, seed, bruteMax, frozen)
+        val nl = if (nlist > 0) nlist else autoNlist(unionCnt)
+        val (fwd, centsUsed) = knnAmong(newSub, union, unionCnt, m,
+          nl, nProbe, iters, seed, bruteMax, frozen)
         // a layer that first crosses bruteMax HERE persists the codebook
         // it trained, so later appends probe frozen too
         if (frozen.isEmpty)
@@ -328,16 +423,18 @@ object NavGraph {
     graft.util.FsIO.assertStillCurrent(spark, path, dataDir)
   }
 
-  /** Fold appends away: distinct the fact rows, re-prune every node's
-    * list to its top-`m` (cos desc, dst asc — HNSW's shrink), rewrite
-    * into the next version, flip the pointer. Search-visible results
-    * are unchanged wherever the pruned lists still cover the searched
-    * neighborhoods (the q238 contract pins the fixture's case). */
+  /** Fold appends away: distinct the fact rows (nodes level-aware —
+    * max level per id, so a bootstrap promotion survives replayed
+    * law-level rows), re-prune every node's list to its top-`m`
+    * (cos desc, dst asc — HNSW's shrink), rewrite into the next
+    * version, flip the pointer. Search-visible results are unchanged
+    * wherever the pruned lists still cover the searched neighborhoods
+    * (the q238 contract pins the fixture's case). */
   def compactNavGraph(spark: org.apache.spark.sql.SparkSession,
       path: String, keepVersions: Int = 1): Unit = {
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)
     val (m, maxLevel) = navParams(spark, dataDir)
-    val nodes = readTable(spark, dataDir, "nodes").dropDuplicates("nid")
+    val nodes = dedupNodesMaxLevel(readTable(spark, dataDir, "nodes"))
     val edges = readTable(spark, dataDir, "edges")
       .dropDuplicates("level", "src", "dst")
     val w = Window.partitionBy("level", "src")
@@ -357,15 +454,17 @@ object NavGraph {
   }
 
   /** Beam search the persisted graph: top-`k` (qid, nid, rnk) per query
-    * by exact cosine over the visited set. Corpus rows whose nid equals
-    * the query's qid are excluded (the self-match convention shared with
-    * [[Ann.bruteForceTopK]]) — so query ids must either BE corpus ids
-    * (the dedup/co-member reads) or come from an id space disjoint from
-    * the corpus's; an accidental collision would silently drop one
-    * legitimate neighbor. One beam slot beyond `ef` is reserved for the
-    * self-match, so ef = k is safe for corpus-member queries. `ef` is
-    * the per-query beam
-    * width (recall knob, >= k), `rounds` the layer-0 expansion count —
+    * by exact cosine over the visited set. With `selfExclude` (the
+    * default) corpus rows whose nid equals the query's qid are excluded
+    * (the self-match convention shared with [[Ann.bruteForceTopK]]) —
+    * so query ids must either BE corpus ids (the dedup/co-member reads)
+    * or come from an id space disjoint from the corpus's; pass
+    * `selfExclude = false` for an external query-id space that may
+    * collide with corpus ids, where the collision would otherwise
+    * silently drop one legitimate neighbor. One beam slot beyond `ef`
+    * is reserved for the self-match when excluding, so ef = k is safe
+    * for corpus-member queries. `ef` is the per-query beam width
+    * (recall knob, >= k), `rounds` the layer-0 expansion count —
     * each round reaches one more hop, so `rounds` >= the expected hop
     * distance from an entry's neighborhood to the true neighbors
     * (2 covers near-duplicate workloads where true neighbors are
@@ -382,7 +481,37 @@ object NavGraph {
     * best-of-all-visited result, no separate visited accumulator
     * needed. */
   def navSearch(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int, ef: Int = 32, rounds: Int = 2): DataFrame = {
+      queries: DataFrame, k: Int, ef: Int = 32, rounds: Int = 2,
+      selfExclude: Boolean = true): DataFrame =
+    beamCore(spark, path, queries, k, ef, rounds, selfExclude, None)
+
+  /** [[navSearch]] under a PRE-filter: top-`k` per query among the
+    * `allowed` ids only (the [[Ann.ivfSearchWhere]] semantics — a
+    * post-filtered unfiltered top-k would return fewer than k rows on
+    * selective predicates). The beam TRAVERSES the full graph — a
+    * frontier restricted to allowed nodes could disconnect from allowed
+    * regions reachable only through disallowed ones — while a parallel
+    * accumulator keeps the best `ef` ALLOWED rows ever visited per
+    * query (the allow-set touches candidates through an id semi-join,
+    * ids only, no vectors). The returned top-k is therefore exactly the
+    * best allowed rows of the unfiltered search's visited set: filtered
+    * recall can never fall below unfiltered recall on the same
+    * neighborhoods. Raise `ef`/`rounds` when the allow-set is sparse —
+    * the beam must route through disallowed regions to reach distant
+    * allowed ones. */
+  def navSearchWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, allowed: DataFrame,
+      allowedIdCol: String = "vec_id", ef: Int = 32, rounds: Int = 2,
+      selfExclude: Boolean = true): DataFrame = {
+    // no distinct(): LEFT SEMI is set-semantied on the probe side
+    // already (the ivfSearchWhere argument)
+    val allowIds = allowed.select(col(allowedIdCol).cast("long").as("nid"))
+    beamCore(spark, path, queries, k, ef, rounds, selfExclude, Some(allowIds))
+  }
+
+  private def beamCore(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, ef: Int, rounds: Int,
+      selfExclude: Boolean, allow: Option[DataFrame]): DataFrame = {
     require(k >= 1 && ef >= k && rounds >= 1,
       s"need 1 <= k <= ef and rounds >= 1 (got k=$k ef=$ef rounds=$rounds)")
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)
@@ -391,27 +520,36 @@ object NavGraph {
     val edges = readTable(spark, dataDir, "edges")
     val q = broadcast(queries
       .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qv")))
-    // one beam slot is RESERVED beyond ef: a corpus-member query's own
-    // node (cos = 1.0) always wins a slot and is excluded only in the
-    // final top-k, so without the reserve ef == k would silently return
-    // k-1 rows; keeping self IN the beam is deliberate — its edge list
-    // is the best frontier seed for its own neighborhood
-    val beam = ef + 1
+    // one beam slot is RESERVED beyond ef when self-excluding: a
+    // corpus-member query's own node (cos = 1.0) always wins a slot and
+    // is excluded only in the final top-k, so without the reserve
+    // ef == k would silently return k-1 rows; keeping self IN the beam
+    // is deliberate — its edge list is the best frontier seed for its
+    // own neighborhood
+    val beam = if (selfExclude) ef + 1 else ef
     def topEf(df: DataFrame): DataFrame = {
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
       df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= beam)
         .select("qid", "qv", "nid", "cos")
     }
+    def keepAllowed(scored: DataFrame): DataFrame =
+      allow.map(ids => scored.join(ids, Seq("nid"), "left_semi"))
+        .getOrElse(scored)
     // entry layer: one map-only scan of the n/4^maxLevel top-level rows
     // against the broadcast query batch. dropDuplicates FIRST — node
     // rows are facts, and replayed appends leave copies that would
     // otherwise occupy beam slots (the read-side-distincts invariant)
-    var frontier = topEf(
+    val entryScored =
       q.join(nodes.where(col("level") === maxLevel)
           .select("nid", "nv").dropDuplicates("nid"), lit(true))
         .select(col("qid"), col("qv"), col("nid"),
-          vec_cosine(col("qv"), col("nv")).as("cos")))
-      .localCheckpoint()
+          vec_cosine(col("qv"), col("nv")).as("cos"))
+    var frontier = topEf(entryScored).localCheckpoint()
+    // filtered runs keep a SEPARATE best-allowed-of-visited accumulator;
+    // unfiltered runs never build it (the frontier IS the accumulator)
+    var acc =
+      if (allow.isEmpty) frontier
+      else topEf(keepAllowed(entryScored)).localCheckpoint()
     for (l <- maxLevel to 0 by -1; _ <- 1 to (if (l == 0) rounds else 1)) {
       val cand = frontier.select(col("qid"), col("qv"), col("nid").as("src"))
         .join(edges.where(col("level") === l).select("src", "dst"), Seq("src"))
@@ -434,9 +572,13 @@ object NavGraph {
           vec_cosine(col("qv"), col("nv")).as("cos"))
       frontier = topEf(frontier.unionByName(scored).dropDuplicates("qid", "nid"))
         .localCheckpoint()
+      if (allow.nonEmpty)
+        acc = topEf(acc.unionByName(keepAllowed(scored))
+          .dropDuplicates("qid", "nid")).localCheckpoint()
     }
+    val outFrame = if (allow.isEmpty) frontier else acc
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    frontier.where(col("qid") =!= col("nid"))
+    (if (selfExclude) outFrame.where(col("qid") =!= col("nid")) else outFrame)
       .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select("qid", "nid", "rnk")
   }
@@ -444,7 +586,10 @@ object NavGraph {
   /** Measured recall vs exact brute force on a query sample — the
     * ivfRecallFrame / lshRecallFrame pattern for tuning (m, ef,
     * rounds): one row (n_true, n_found, recall). Run it on a sample
-    * whenever the corpus drifts; rebuild or raise ef when it sags. */
+    * whenever the corpus drifts; rebuild or raise ef when it sags.
+    * (The by-id node dedupe here can keep EITHER level fact of a
+    * promoted id — vectors are deterministic per id, so the corpus it
+    * reconstructs is identical either way.) */
   def navRecallFrame(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, ef: Int = 32, rounds: Int = 2): DataFrame = {
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)

@@ -76,12 +76,20 @@ object Retrieval {
     * trec_eval convention: queries with >= 1 positively-judged document
     * (a query missing from `results` still evaluates — all zeros — so a
     * retriever that silently drops a judged query is VISIBLE, not
-    * averaged away).
+    * averaged away). The converse also holds and is deliberate: a query
+    * whose qrels rows are ALL rel <= 0 has no positive judgments, so it
+    * is not evaluable and emits NO output row (trec_eval drops it the
+    * same way) — don't read absence as a dropped retriever query.
     *
     * Definitions per query (R = judged-relevant count, cut at `k`):
     * p_at_k = hits/k, recall_at_k = hits/R, rr = 1/rank of the first
     * hit (0 when none), ap = (Σ_{hit ranks r} P@r) / min(R, k), ndcg =
     * DCG@k / IDCG@k with IDCG from the grades sorted descending.
+    * NOTE the `ap` denominator: this is AP@k (min(R, k), the cutoff-
+    * consistent convention — a perfect top-k scores 1.0 even when
+    * R > k), NOT trec_eval's MAP, which divides by R; for queries with
+    * R > k the value here EXCEEDS what trec_eval would report. Cross-
+    * check against that tool with k >= max(R) if you need equality.
     *
     * Determinism: every ratio is 6dp-snapped under the [[graft.util.Round6]]
     * law; DCG/AP sums accumulate 6dp-snapped terms as DECIMAL(20,6) —
@@ -160,7 +168,14 @@ object Retrieval {
     * two-stage stack). Cost is |Q| · |cands| · |qvecs| · |dvecs| kernel
     * calls, map-only over the broadcast cross join. Passing the full
     * corpus as `docs` is the exact brute-force baseline at small scale
-    * (the q242 contract), not the production path. */
+    * (the q242 contract), not the production path.
+    *
+    * Degenerate bags: a pair where either vector bag is NULL or empty
+    * has no defined MaxSim score (the inner max-fold's -1.0 seed would
+    * otherwise leak a spurious large-negative score into a rank slot,
+    * and a null bag a null score that silently sorts last) — such rows
+    * are FILTERED before ranking, so an empty-bag document never ranks
+    * and an empty-bag query returns no rows. */
   def maxSimTopK(queries: DataFrame, docs: DataFrame, k: Int,
       qidCol: String = "qid", qvecsCol: String = "qvecs",
       didCol: String = "doc_id", dvecsCol: String = "dvecs"): DataFrame = {
@@ -173,6 +188,7 @@ object Retrieval {
         greatest(best, graft.functions.GeoFunctions.vec_cosine(qv, dv)))))
     val w = Window.partitionBy("__qid").orderBy(col("score").desc, col("__did").asc)
     q.join(d, lit(true))
+      .where(size(col("__qvs")) >= 1 && size(col("__dvs")) >= 1)
       .withColumn("score", rz6(score))
       .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select(col("__qid").as(qidCol), col("__did").as(didCol),
@@ -185,7 +201,8 @@ object Retrieval {
     * those pairs pay the MaxSim kernel. Join order: candidates (top-k
     * sized) hash-join their documents' vector bags, then the broadcast
     * query bags attach — nothing corpus-sized moves unless the
-    * candidate list asked for it. */
+    * candidate list asked for it. Null/empty vector bags are filtered
+    * before ranking ([[maxSimTopK]]'s degenerate-bag rule). */
   def maxSimRerank(queries: DataFrame, docs: DataFrame, cands: DataFrame,
       k: Int, qidCol: String = "qid", qvecsCol: String = "qvecs",
       didCol: String = "doc_id", dvecsCol: String = "dvecs"): DataFrame = {
@@ -196,6 +213,7 @@ object Retrieval {
         Seq("__did"))
       .join(broadcast(queries.select(col(qidCol).as("__qid"),
         col(qvecsCol).as("__qvs"))), Seq("__qid"))
+      .where(size(col("__qvs")) >= 1 && size(col("__dvs")) >= 1)
     val score = aggregate(col("__qvs"), lit(0.0), (acc, qv) =>
       acc + rz6(aggregate(col("__dvs"), lit(-1.0), (best, dv) =>
         greatest(best, graft.functions.GeoFunctions.vec_cosine(qv, dv)))))

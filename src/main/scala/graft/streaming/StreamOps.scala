@@ -393,7 +393,7 @@ object StreamOps {
     * on disk, identical search results (the q239 gate replays batch 0
     * against the analytic co-member oracle). Compaction stays an
     * offline single-writer job like every index family here. */
-  def navAppendBatch(state: String, batch: DataFrame, nlist: Int = 16,
+  def navAppendBatch(state: String, batch: DataFrame, nlist: Int = -1,
       nProbe: Int = 4, iters: Int = 5, seed: Long = 42L,
       bruteMax: Long = 4096L): Unit =
     graft.operators.NavGraph.appendToNavGraph(

@@ -232,6 +232,131 @@ class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts.nonEmpty && counts.forall(_ == 7L))
   }
 
+  test("auto-sizing: a build with NO explicit sizing searches exactly") {
+    val n = 128; val cSize = 8
+    val corpus = corpusDf(n, cSize)
+    val path = scratch()
+    // maxLevel and nlist both left at their -1 sentinels: the build
+    // derives maxLevel from the corpus count and nlist per layer
+    graft.operators.NavGraph.buildNavGraph(corpus, path, m = 8)
+    val got = graft.operators.NavGraph.navSearch(spark, path,
+      corpus.where("vec_id % 8 = 5"), k = 7, ef = 16, rounds = 2)
+    assert(pairs(got) == coMembers((0L until n).filter(_ % 8 == 5), n, cSize))
+    // the derived maxLevel is the documented law and is persisted
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val params = scala.io.Source.fromFile(s"$dataDir/_nav_params.json").mkString
+    assert(params.contains(s""""maxLevel":${graft.operators.NavGraph.autoMaxLevel(n)}"""))
+  }
+
+  test("auto-sizing law: entry layer stays ~256 rows at any corpus size") {
+    import graft.operators.NavGraph.autoMaxLevel
+    assert(autoMaxLevel(100L) == 1)
+    assert(autoMaxLevel(100000L) == 5)        // 100k / 4^5 ~ 98 entries
+    assert(autoMaxLevel(100000000L) == 10)    // 100M / 4^10 ~ 95 entries
+    // entry rows n / 4^L land in (16, 256] for n > 256 (law: ceil log4)
+    for (n <- Seq(300L, 5000L, 123456L, 10000000L)) {
+      val entries = n.toDouble / math.pow(4, autoMaxLevel(n))
+      assert(entries <= 256.0 && entries > 16.0, s"n=$n entries=$entries")
+    }
+  }
+
+  test("candidate-join volume pre-check fails loudly BEFORE the join") {
+    // 50k tiny vectors with nlist = 1, nProbe = 1: the estimated level-0
+    // candidate join is 2.5e9 scored rows > the 2e9 local cap — the
+    // build must fail with the sizing law in the message, not OOM
+    val corpus = spark.range(50000L).selectExpr("id AS vec_id",
+      "array(CAST(id % 97 AS FLOAT), 1.0F) AS embedding")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.NavGraph.buildNavGraph(corpus, scratch(), m = 4,
+        maxLevel = 0, nlist = 1, nProbe = 1, bruteMax = 1L)
+    }
+    assert(ex.getMessage.contains("nlist ~ rows / 400"))
+  }
+
+  test("bootstrap promotion survives a replayed append and compaction") {
+    // ids with NO multiple of 4: the law top layer (maxLevel = 1) is
+    // empty, so the first append into an empty-built graph promotes the
+    // batch minimum (id 1) to level 1. The REPLAYED append re-derives
+    // law levels only, leaving id 1 with TWO level facts — compaction
+    // must keep the max-level fact (an arbitrary pick could drop the
+    // only entry-layer node and blank every search)
+    val cSize = 8
+    val batch = corpusDf(16, cSize, keep = i => i % 4 != 0)
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(batch.where("vec_id < 0"), path,
+      m = 8, maxLevel = 1)
+    graft.operators.NavGraph.appendToNavGraph(spark, path, batch)
+    graft.operators.NavGraph.appendToNavGraph(spark, path, batch) // replay
+    graft.operators.NavGraph.compactNavGraph(spark, path)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val lv = spark.read.parquet(s"$dataDir/nodes").select("nid", "level")
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(lv.length == lv.map(_._1).distinct.length,
+      "compaction must leave one node fact per id")
+    assert(lv.toMap.apply(1L) == 1,
+      "the promoted id must keep its entry-layer level, not its law level")
+    val queries = batch.where("vec_id % 8 = 5")
+    val got = pairs(graft.operators.NavGraph.navSearch(spark, path, queries,
+      k = 7, ef = 16, rounds = 2))
+    // each cluster lost its multiples of 4, so the top-7 legitimately
+    // fills 2 slots with cross-cluster rows — assert the analytic
+    // co-members are all found and both queries return full k (without
+    // the level-aware dedupe the search returns ZERO rows here)
+    val alive: Long => Boolean = i => i % 4 != 0
+    assert(coMembers(Seq(5L, 13L), 16L, cSize, alive).subsetOf(got)
+      && got.size == 14)
+  }
+
+  test("navSearchWhere: exact allowed top-k where a post-filter loses rows") {
+    val n = 128; val cSize = 8
+    val corpus = corpusDf(n, cSize)
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpus, path, m = 8, maxLevel = 1)
+    val queries = corpus.where("vec_id % 8 = 5")
+    val allowedMm = Set(1L, 2L, 3L, 4L, 6L)
+    val allowed = corpus.where(s"vec_id % 8 IN (${allowedMm.mkString(",")})")
+    val got = graft.operators.NavGraph.navSearchWhere(spark, path, queries,
+      k = 5, allowed = allowed)
+    val expect = coMembers((0L until n).filter(_ % 8 == 5), n, cSize)
+      .filter(p => allowedMm(p._2 % 8))
+    assert(pairs(got) == expect,
+      "pre-filter semantics: exactly the k best ALLOWED co-members")
+    val counts = got.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 5L), "every query fills k allowed rows")
+    // the loss a post-filter would cause: the unfiltered top-5 of query
+    // mm=5 is {4,6,3,7,2} by angular distance; filtering it to the
+    // allow-set keeps only 4 rows and never surfaces allowed member 1
+    val post = graft.operators.NavGraph.navSearch(spark, path, queries,
+        k = 5, ef = 16, rounds = 2)
+      .join(allowed.selectExpr("vec_id AS nid"), Seq("nid"), "left_semi")
+    val postCounts = post.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(postCounts.forall(_ == 4L),
+      "fixture sanity: the post-filtered read demonstrably under-fills k")
+  }
+
+  test("selfExclude = false keeps a colliding corpus id as a neighbor") {
+    val corpus = corpusDf(8, 8) // one cluster, ids 0..7
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpus, path, m = 8, maxLevel = 1)
+    // an EXTERNAL query whose id happens to collide with corpus id 3
+    val sp = spark
+    import sp.implicits._
+    val q = Seq((3L, vecOf(5L, 8).toSeq)).toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+    val withSelf = pairs(graft.operators.NavGraph.navSearch(spark, path, q,
+      k = 8, ef = 8, selfExclude = false))
+    assert(withSelf == (0L until 8L).map((3L, _)).toSet,
+      "selfExclude=false must return every corpus node, collision included")
+    val without = pairs(graft.operators.NavGraph.navSearch(spark, path, q,
+      k = 8, ef = 8))
+    assert(without == (0L until 8L).filter(_ != 3L).map((3L, _)).toSet,
+      "the default drops the colliding id (the documented convention)")
+    // filtered search honors the flag through the same core
+    val filtered = pairs(graft.operators.NavGraph.navSearchWhere(spark, path,
+      q, k = 4, allowed = corpus.where("vec_id < 4"), selfExclude = false))
+    assert(filtered == (0L until 4L).map((3L, _)).toSet)
+  }
+
   test("integer vec_id corpora normalize to BIGINT ids end to end") {
     val sp = spark
     import sp.implicits._

@@ -122,7 +122,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q229_calibration",
     // lshRecallFrame: two 1-row count aggregates (n_true x n_found)
     // CROSS JOINed into the single recall row
-    "q230_lsh_recall")
+    "q230_lsh_recall",
+    // end-to-end retrieval chain: inherits q146's 1-row BM25 corpus
+    // scalars and q240's broadcast analytic-qrels cross join — every
+    // corpus-touching stage is a hash join or pruned probe
+    "q244_retrieval_e2e")
 
   test("no cartesian products; BNLJ only where pinned") {
     val offenders = scala.collection.mutable.Map[String, String]()

@@ -126,4 +126,35 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("rnk").collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(again.toSeq == top.toSeq)
   }
+
+  test("maxSim degenerate bags: null/empty vector bags never occupy rank slots") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val bag = ArrayType(ArrayType(FloatType))
+    val qSchema = StructType(Seq(StructField("qid", LongType),
+      StructField("qvecs", bag)))
+    val dSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("dvecs", bag)))
+    val q = spark.createDataFrame(Seq(
+      Row(0L, Seq(Seq(1.0f, 0.0f))),
+      Row(1L, Seq.empty[Seq[Float]]),           // empty query bag
+      Row(2L, null)).asJava, qSchema)           // null query bag
+    val d = spark.createDataFrame(Seq(
+      Row(10L, Seq(Seq(1.0f, 0.0f))),
+      Row(11L, Seq(Seq(0.0f, 1.0f))),
+      Row(12L, Seq.empty[Seq[Float]]),          // empty doc bag: would
+      Row(13L, null)).asJava, dSchema)          // score rz6(-1) unguarded
+    val top = Retrieval.maxSimTopK(q, d, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // only query 0 evaluates, and only against the two real docs — the
+    // empty-bag doc must NOT fill a rank slot with its -1-seed score
+    assert(top.toSet == Set((0L, 10L), (0L, 11L)))
+    val cands = spark.createDataFrame(
+      (for (qq <- 0L to 2L; dd <- 10L to 13L) yield Row(qq, dd)).asJava,
+      StructType(Seq(StructField("qid", LongType), StructField("doc_id", LongType))))
+    val rr = Retrieval.maxSimRerank(q, d, cands, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rr.toSet == Set((0L, 10L), (0L, 11L)))
+  }
 }

@@ -979,6 +979,42 @@ object ScaleSmoke {
       }
       println(s"[scale]   maxsim reranked: $rrCount")
       bags.unpersist()
+
+      // ---- AUTO-SIZED NavGraph: the r17 footgun closed ----
+      // No explicit sizing: maxLevel derives to 5 (entry scan ~98 rows
+      // vs 1563 at the explicit maxLevel=3 build above — the entry
+      // cost is ~EntryTarget at ANY corpus size under the law), nlist
+      // per layer to max(16, rows/400). Search + measured recall must
+      // match the hand-sized build's profile.
+      val autoPath = java.nio.file.Files.createTempDirectory("scale_nav_auto")
+        .toString + "/idx"
+      withShuffle("navGraph AUTO build 100k vectors (no explicit sizing)") {
+        graft.operators.NavGraph.buildNavGraph(vecs, autoPath, m = 16,
+          iters = 3)
+      }
+      val fAuto = withShuffle("navGraph AUTO search 200 queries, k=10, ef=32, 2 rounds") {
+        graft.operators.NavGraph.navSearch(spark, autoPath,
+          vecs.where(col("vec_id") % 500 === 7), k = 10, ef = 32, rounds = 2)
+          .count()
+      }
+      println(s"[scale]   auto nav results: $fAuto")
+      val recAuto = time("navRecallFrame AUTO 50 queries vs brute force") {
+        graft.operators.NavGraph.navRecallFrame(spark, autoPath,
+          vecs.where(col("vec_id") % 2000 === 7), k = 10, ef = 32, rounds = 2)
+          .collect()(0)
+      }
+      println(s"[scale]   auto nav recall@10: ${recAuto.getDouble(2)} " +
+        s"(${recAuto.getLong(1)}/${recAuto.getLong(0)})")
+      // filtered beam search over the auto-sized graph: allow-set ids
+      // semi-join the accumulator only — watch shuffle MB: ids, no
+      // vectors beyond the frontier's
+      val fwCount = withShuffle("navSearchWhere 200 queries, k=10, 80% allow-set") {
+        graft.operators.NavGraph.navSearchWhere(spark, autoPath,
+          vecs.where(col("vec_id") % 500 === 7), k = 10,
+          allowed = vecs.where(col("vec_id") % 5 =!= 0), ef = 32, rounds = 2)
+          .count()
+      }
+      println(s"[scale]   filtered nav results: $fwCount")
     }
 
     spark.stop()

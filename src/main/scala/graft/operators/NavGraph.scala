@@ -504,8 +504,14 @@ object NavGraph {
       allowedIdCol: String = "vec_id", ef: Int = 32, rounds: Int = 2,
       selfExclude: Boolean = true): DataFrame = {
     // no distinct(): LEFT SEMI is set-semantied on the probe side
-    // already (the ivfSearchWhere argument)
+    // already (the ivfSearchWhere argument). localCheckpoint ONCE —
+    // the beam touches the allow-set every round, and re-evaluating an
+    // arbitrary caller plan (often a filter over a wide cached corpus,
+    // whose size estimate blocks the broadcast) per round measured 7x
+    // the unfiltered search in ScaleSmoke; the materialized ids-only
+    // frame joins at its real (small) size instead
     val allowIds = allowed.select(col(allowedIdCol).cast("long").as("nid"))
+      .localCheckpoint()
     beamCore(spark, path, queries, k, ef, rounds, selfExclude, Some(allowIds))
   }
 
@@ -539,11 +545,17 @@ object NavGraph {
     // against the broadcast query batch. dropDuplicates FIRST — node
     // rows are facts, and replayed appends leave copies that would
     // otherwise occupy beam slots (the read-side-distincts invariant)
-    val entryScored =
+    // filtered runs consume each round's scored frame TWICE (frontier
+    // update + allowed accumulator), so materialize it once per round —
+    // without this the node-slice scan and its joins re-execute per
+    // consumer and the filtered search measured 7x the unfiltered one
+    def onceIfFiltered(df: DataFrame): DataFrame =
+      if (allow.isEmpty) df else df.localCheckpoint()
+    val entryScored = onceIfFiltered(
       q.join(nodes.where(col("level") === maxLevel)
           .select("nid", "nv").dropDuplicates("nid"), lit(true))
         .select(col("qid"), col("qv"), col("nid"),
-          vec_cosine(col("qv"), col("nv")).as("cos"))
+          vec_cosine(col("qv"), col("nv")).as("cos")))
     var frontier = topEf(entryScored).localCheckpoint()
     // filtered runs keep a SEPARATE best-allowed-of-visited accumulator;
     // unfiltered runs never build it (the frontier IS the accumulator)
@@ -567,9 +579,9 @@ object NavGraph {
       val slice = nodes.where(col("pt").isin(pts.map(Int.box): _*))
         .select(col("nid"), col("nv"))
         .join(ids, Seq("nid"), "left_semi")
-      val scored = cand.join(slice, Seq("nid"))
+      val scored = onceIfFiltered(cand.join(slice, Seq("nid"))
         .select(col("qid"), col("qv"), col("nid"),
-          vec_cosine(col("qv"), col("nv")).as("cos"))
+          vec_cosine(col("qv"), col("nv")).as("cos")))
       frontier = topEf(frontier.unionByName(scored).dropDuplicates("qid", "nid"))
         .localCheckpoint()
       if (allow.nonEmpty)
@@ -592,11 +604,39 @@ object NavGraph {
     * reconstructs is identical either way.) */
   def navRecallFrame(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, ef: Int = 32, rounds: Int = 2): DataFrame = {
-    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
-    val corpus = readTable(spark, dataDir, "nodes").dropDuplicates("nid")
-      .select(col("nid").as("vec_id"), col("nv").as("embedding"))
-    val truth = Ann.bruteForceTopK(queries, corpus, k)
     val found = navSearch(spark, path, queries, k, ef, rounds)
+    recallVs(spark, path, queries, k, found, None)
+  }
+
+  /** [[navRecallFrame]] for the FILTERED search: measured recall of
+    * [[navSearchWhere]] vs exact brute force over the ALLOWED
+    * sub-corpus — the tuning read for (ef, rounds) against an
+    * allow-set's sparsity (a sparse allow-set forces the beam through
+    * disallowed regions, so filtered recall is the number to watch as
+    * selectivity tightens, not the unfiltered frame). */
+  def navRecallFrameWhere(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, allowed: DataFrame,
+      allowedIdCol: String = "vec_id", ef: Int = 32, rounds: Int = 2)
+      : DataFrame = {
+    val found = navSearchWhere(spark, path, queries, k, allowed,
+      allowedIdCol, ef, rounds)
+    val allowIds = allowed
+      .select(col(allowedIdCol).cast("long").as("vec_id"))
+    recallVs(spark, path, queries, k, found, Some(allowIds))
+  }
+
+  private def recallVs(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, found: DataFrame,
+      allowIds: Option[DataFrame]): DataFrame = {
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    // the by-id dedupe can keep EITHER level fact of a promoted id —
+    // vectors are deterministic per id, so the reconstructed corpus is
+    // identical either way
+    val corpus0 = readTable(spark, dataDir, "nodes").dropDuplicates("nid")
+      .select(col("nid").as("vec_id"), col("nv").as("embedding"))
+    val corpus = allowIds.map(ids => corpus0.join(ids, Seq("vec_id"), "left_semi"))
+      .getOrElse(corpus0)
+    val truth = Ann.bruteForceTopK(queries, corpus, k)
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val nFound = found.join(truth.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
       .agg(count(lit(1)).as("n_found"))

@@ -334,6 +334,19 @@ class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fixture sanity: the post-filtered read demonstrably under-fills k")
   }
 
+  test("navRecallFrameWhere reads 1.0 against brute force over the allowed sub-corpus") {
+    val n = 128; val cSize = 8
+    val corpus = corpusDf(n, cSize)
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpus, path, m = 8, maxLevel = 1)
+    val r = graft.operators.NavGraph.navRecallFrameWhere(spark, path,
+      corpus.where("vec_id % 8 = 5"), k = 5,
+      allowed = corpus.where("vec_id % 8 IN (1, 2, 3, 4, 6)"),
+      ef = 16, rounds = 2).collect()(0)
+    // 16 queries x 5 allowed co-members each, all found
+    assert(r.getLong(0) == 80L && r.getLong(1) == 80L && r.getDouble(2) == 1.0)
+  }
+
   test("selfExclude = false keeps a colliding corpus id as a neighbor") {
     val corpus = corpusDf(8, 8) // one cluster, ids 0..7
     val path = scratch()

@@ -744,12 +744,15 @@ object Bench {
         // This compact per-query record (headline min + median, r5 b2b,
         // sf1 min, lane ratios) survives rounds, so any future anchor
         // move diffs to a named query.
+        // the totals fields reuse the stdout-totals-line vals verbatim,
+        // so the committed history can never drift from what the tail
+        // capture shows
         val hist = s"""{"round":"$r","sf":"$sfDir","iterations":$iterations,""" +
           s""""total":$total,"total_median":$totalMed,""" +
           s""""total_r5_subset_b2b":$subtotalB2b,""" +
-          s""""sf1_total":${sf1TotalOpt.map(_.toString).getOrElse("null")},""" +
-          s""""verdict_lane_ratio":${verdictRatioOpt.map(v => f"$v%.2f").getOrElse("null")},""" +
-          s""""simjoin_ratios":${simRatiosOpt.getOrElse("null")},""" +
+          s""""sf1_total":$sf1TotalStr,""" +
+          s""""verdict_lane_ratio":$verdictRatioStr,""" +
+          s""""simjoin_ratios":$simRatiosStr,""" +
           s""""headline_min":$qs,"headline_median":$qsMed,""" +
           s""""r5_b2b":$b2bJson,""" +
           s""""sf1_min":${sf1QJsonOpt.getOrElse("null")}}"""

@@ -68,8 +68,10 @@ object NavGraph {
 
   // ---- automatic sizing laws --------------------------------------------
   // The caller can leave `maxLevel` / `nlist` at their -1 sentinels and
-  // the build derives both from the data, so the default path is never a
-  // scale footgun:
+  // the build derives both from the data, so the default path carries no
+  // quadratic footgun (volume stays LINEAR in the layer; linear still
+  // crosses a fixed box's physics eventually — the volume pre-check
+  // below then fails loudly with the real remedies):
   //  * maxLevel ~ ceil(log4(n / EntryTarget)) keeps the search's entry
   //    scan at ~EntryTarget rows REGARDLESS of corpus size (a fixed
   //    maxLevel leaves it at n/4^maxLevel — linearly worse forever);
@@ -92,23 +94,45 @@ object NavGraph {
     math.max(16L, layerRows / TargetListRows).toInt
 
   /** Loud pre-check on an IVF-probed layer pass: the candidate join
-    * materializes ~ rows · nProbe · (rows / nlist) scored rows; past the
-    * cap that volume is a measured executor-killer (a 100k layer with
-    * 1.5k-row lists OOMed a 128 GiB local[32] box), so fail BEFORE the
-    * join with the sizing law instead of mid-shuffle. The cap scales
-    * with the cluster (rows-per-core is what kills an executor, not
-    * total rows): max(2e9, 5e7 · defaultParallelism). Auto-sized builds
-    * sit far under it (~1600 · layerRows); only an explicit nlist far
-    * off the nlist ~ rows/400 law can reach it. */
+    * materializes ~ probeRows · nProbe · (corpusRows / lists) scored
+    * rows (probe side × probed-list occupancy — NOT corpus², so a
+    * batch-sized append against a grown layer passes trivially). Past
+    * the cap that volume is a measured executor-killer, so fail BEFORE
+    * the join with the actual remedies instead of mid-shuffle. The cap
+    * is per-core (rows-per-core is what kills an executor, not total
+    * rows): 1.5e7 · defaultParallelism — set BELOW the repo's measured
+    * OOM point (a 100k self-join with 1.5k-row lists, ~6e8 scored rows
+    * on 32 cores ≈ 2e7/core, OOMed a 128 GiB local[32] box) and above
+    * every green ScaleSmoke build (auto 100k ≈ 5e6/core). The auto law
+    * keeps volume LINEAR (≈ nProbe · 400 · rows) but linear still
+    * crosses a single box's physics eventually (~300k-row self-join on
+    * 32 cores): the remedy then is more cores, a smaller list target
+    * (explicit nlist ABOVE the rows/400 law), a lower nProbe, or a
+    * sharded build — all named in the message. Override per-core
+    * budget with -Dgraft.nav.candRowsPerCore=N after measuring your
+    * executors. */
   private def checkCandidateVolume(spark: org.apache.spark.sql.SparkSession,
-      rows: Long, nlist: Int, nProbe: Int): Unit = {
-    val cap = math.max(2e9, 5e7 * spark.sparkContext.defaultParallelism)
-    val est = rows.toDouble * nProbe * (rows.toDouble / nlist)
+      probeRows: Long, corpusRows: Long, lists: Int, nProbe: Int,
+      frozen: Boolean): Unit = {
+    val perCore = sys.props.get("graft.nav.candRowsPerCore")
+      .map(_.toDouble).getOrElse(1.5e7)
+    val cap = perCore * spark.sparkContext.defaultParallelism
+    val est = probeRows.toDouble * nProbe * (corpusRows.toDouble / lists)
+    val remedy =
+      if (frozen)
+        "The layer's FROZEN codebook fixes the list count (the nlist " +
+          "argument is ignored here): lower nProbe, add cores, or " +
+          "compact + rebuild the graph to re-size its lists."
+      else
+        "Raise nlist (smaller inverted lists carry less volume: this " +
+          "estimate is linear in corpusRows/nlist), lower nProbe, add " +
+          "cores, or shard the build."
     require(est <= cap,
       f"nav-graph candidate join would materialize ~$est%.2e scored rows " +
-        f"(layer rows = $rows, nlist = $nlist, nProbe = $nProbe; cap $cap%.1e). " +
-        "Size nlist to the layer (nlist ~ rows / 400 — leave nlist at its " +
-        "-1 default to get this automatically) or lower nProbe.")
+        f"(probe rows = $probeRows, corpus rows = $corpusRows, lists = " +
+        f"$lists, nProbe = $nProbe; cap $cap%.1e = 1.5e7/core x " +
+        f"${spark.sparkContext.defaultParallelism} cores, override with " +
+        s"-Dgraft.nav.candRowsPerCore). $remedy")
   }
 
   // The node table is partitioned by (level, pt): the search's entry
@@ -135,7 +159,8 @@ object NavGraph {
     * frozen-codebook append contract — no per-batch retraining), else
     * trained once here; the codebook actually used is returned so the
     * caller can persist it. */
-  private def knnAmong(left: DataFrame, right: DataFrame, rightCount: Long,
+  private def knnAmong(left: DataFrame, right: DataFrame,
+      leftCount: Long, rightCount: Long,
       m: Int, nlist: Int, nProbe: Int, iters: Int, seed: Long,
       bruteMax: Long, frozen: Option[Array[Array[Float]]] = None)
       : (DataFrame, Option[Array[Array[Float]]]) = {
@@ -150,7 +175,8 @@ object NavGraph {
       // a frozen codebook defines the REAL list count regardless of the
       // nlist argument; pre-check the volume the join will actually see
       val lists = frozen.map(_.length).getOrElse(nlist)
-      checkCandidateVolume(left.sparkSession, rightCount, lists, nProbe)
+      checkCandidateVolume(left.sparkSession, leftCount, rightCount, lists,
+        nProbe, frozen.isDefined)
       val rightCorpus = right.select(col("nid").as("vec_id"), col("nv").as("embedding"))
       val cents = frozen.getOrElse(
         Ann.trainCentroids(rightCorpus, nlist, iters, seed = seed))
@@ -314,7 +340,7 @@ object NavGraph {
       if (cnt < 2L) None
       else {
         val nl = if (nlist > 0) nlist else autoNlist(cnt)
-        val (e, centsUsed) = knnAmong(sub, sub, cnt, m, nl, nProbe,
+        val (e, centsUsed) = knnAmong(sub, sub, cnt, cnt, m, nl, nProbe,
           iters, seed, bruteMax)
         // persist the layer's codebook so appends reuse it FROZEN
         // (the IVF-family append contract: no per-batch retraining)
@@ -392,7 +418,8 @@ object NavGraph {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val perLevel = (0 to maxLevel).flatMap { l =>
       val newSub = newNodes.where(col("level") >= l).select("nid", "nv")
-      if ((l to maxLevel).map(lvlCounts.getOrElse(_, 0L)).sum == 0L) None
+      val newSubCnt = (l to maxLevel).map(lvlCounts.getOrElse(_, 0L)).sum
+      if (newSubCnt == 0L) None
       else {
         val oldSub = nodes.where(col("level") >= l).select("nid", "nv")
         // dropDuplicates: a REPLAYED append finds its own batch already
@@ -404,8 +431,11 @@ object NavGraph {
         val unionCnt = union.count()
         val frozen = readCents(spark, s"$dataDir/cents_l$l")
         val nl = if (nlist > 0) nlist else autoNlist(unionCnt)
-        val (fwd, centsUsed) = knnAmong(newSub, union, unionCnt, m,
-          nl, nProbe, iters, seed, bruteMax, frozen)
+        // probe side = the BATCH's rows at this level, so the volume
+        // pre-check sees the append's real (batch x occupancy) cost,
+        // not a corpus-squared phantom
+        val (fwd, centsUsed) = knnAmong(newSub, union, newSubCnt, unionCnt,
+          m, nl, nProbe, iters, seed, bruteMax, frozen)
         // a layer that first crosses bruteMax HERE persists the codebook
         // it trained, so later appends probe frozen too
         if (frozen.isEmpty)

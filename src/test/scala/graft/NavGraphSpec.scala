@@ -262,15 +262,35 @@ class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("candidate-join volume pre-check fails loudly BEFORE the join") {
     // 50k tiny vectors with nlist = 1, nProbe = 1: the estimated level-0
-    // candidate join is 2.5e9 scored rows > the 2e9 local cap — the
-    // build must fail with the sizing law in the message, not OOM
+    // candidate join is 2.5e9 scored rows, far over the per-core cap
+    // (1.5e7 x 4 cores here) — the build must fail with the actionable
+    // remedies in the message, not OOM
     val corpus = spark.range(50000L).selectExpr("id AS vec_id",
       "array(CAST(id % 97 AS FLOAT), 1.0F) AS embedding")
     val ex = intercept[IllegalArgumentException] {
       graft.operators.NavGraph.buildNavGraph(corpus, scratch(), m = 4,
         maxLevel = 0, nlist = 1, nProbe = 1, bruteMax = 1L)
     }
-    assert(ex.getMessage.contains("nlist ~ rows / 400"))
+    assert(ex.getMessage.contains("Raise nlist")
+      && ex.getMessage.contains("candRowsPerCore"))
+    // the estimate is probe-side x occupancy, NOT corpus²: a SMALL
+    // batch appended against a grown layer must pass even where that
+    // layer's own self-join estimate (1340 x 4 x 335 ≈ 1.8e6) exceeds
+    // the cap — its true join is batch x occupancy = 40 x 4 x 335 ≈
+    // 5.4e4. Pinned by tightening the per-core budget override between
+    // a brute build and the append.
+    val base = spark.range(1300L).selectExpr("id AS vec_id",
+      "array(CAST(id % 97 AS FLOAT), 1.0F) AS embedding")
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(base, path, m = 4, maxLevel = 0,
+      nlist = 4, nProbe = 4, bruteMax = 2000L)
+    sys.props("graft.nav.candRowsPerCore") = "25000" // cap = 1e5 on local[4]
+    try
+      graft.operators.NavGraph.appendToNavGraph(spark, path,
+        spark.range(1300L, 1340L).selectExpr("id AS vec_id",
+          "array(CAST(id % 97 AS FLOAT), 1.0F) AS embedding"),
+        nlist = 4, nProbe = 4, bruteMax = 1000L)
+    finally sys.props.remove("graft.nav.candRowsPerCore")
   }
 
   test("bootstrap promotion survives a replayed append and compaction") {

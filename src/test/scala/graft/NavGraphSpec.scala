@@ -367,6 +367,32 @@ class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 80L && r.getLong(1) == 80L && r.getDouble(2) == 1.0)
   }
 
+  test("sparse allow-sets: near neighbors stay exact, distant-allowed recall is MEASURED") {
+    // allow only mm = 2 (12.5% of the corpus): each query's nearest
+    // allowed row is its own cluster's mm = 2 (cos ~0.993) — always
+    // visited (q238's traversal proof), so recall@1 must be exactly 1.
+    // At k = 3 the true allowed top-3 adds CROSS-cluster rows the beam
+    // may legitimately never visit — the inherent filtered-graph-ANN
+    // trade the scaladoc documents ("raise ef/rounds for sparse
+    // allow-sets") — so the frame must still count every query's own
+    // co-member (recall >= 1/3) and report the shortfall honestly
+    // instead of padding ranks.
+    val n = 128; val cSize = 8
+    val corpus = corpusDf(n, cSize)
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpus, path, m = 8, maxLevel = 1)
+    val queries = corpus.where("vec_id % 8 = 5")
+    val allowed = corpus.where("vec_id % 8 = 2")
+    val r1 = graft.operators.NavGraph.navRecallFrameWhere(spark, path,
+      queries, k = 1, allowed = allowed, ef = 16, rounds = 2).collect()(0)
+    assert(r1.getLong(0) == 16L && r1.getDouble(2) == 1.0,
+      s"nearest allowed row must always be found (got $r1)")
+    val r3 = graft.operators.NavGraph.navRecallFrameWhere(spark, path,
+      queries, k = 3, allowed = allowed, ef = 16, rounds = 2).collect()(0)
+    assert(r3.getLong(0) == 48L && r3.getLong(1) >= 16L
+      && r3.getLong(1) <= 48L, s"honest partial recall (got $r3)")
+  }
+
   test("selfExclude = false keeps a colliding corpus id as a neighbor") {
     val corpus = corpusDf(8, 8) // one cluster, ids 0..7
     val path = scratch()

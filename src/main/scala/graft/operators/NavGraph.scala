@@ -85,13 +85,20 @@ object NavGraph {
   // first runs a loud volume pre-check (see [[knnAmong]]).
   private val EntryTarget = 256L
   private val TargetListRows = 400L
+  // The cap exists only so levelOf's 4^L stays well inside a BIGINT
+  // (4^30 = 2^60): the entry-stays-~256-rows law therefore holds up to
+  // n = 256·4^30 ≈ 3e20 vectors — past any addressable corpus — instead
+  // of silently breaking at the old min(12, ...) ≈ 4.3e9 boundary.
   private[graft] def autoMaxLevel(n: Long): Int = {
     val lvl = math.ceil(math.log(math.max(n, 1L).toDouble / EntryTarget) /
       math.log(4.0)).toInt
-    math.min(12, math.max(1, lvl))
+    math.min(30, math.max(1, lvl))
   }
+  // clamped: layerRows past ~8.6e11 would wrap a bare toInt negative and
+  // feed a nonsense list count into centroid training instead of failing
   private[graft] def autoNlist(layerRows: Long): Int =
-    math.max(16L, layerRows / TargetListRows).toInt
+    math.min(Int.MaxValue.toLong,
+      math.max(16L, layerRows / TargetListRows)).toInt
 
   /** Loud pre-check on an IVF-probed layer pass: the candidate join
     * materializes ~ probeRows · nProbe · (corpusRows / lists) scored
@@ -108,14 +115,19 @@ object NavGraph {
     * crosses a single box's physics eventually (~300k-row self-join on
     * 32 cores): the remedy then is more cores, a smaller list target
     * (explicit nlist ABOVE the rows/400 law), a lower nProbe, or a
-    * sharded build — all named in the message. Override per-core
-    * budget with -Dgraft.nav.candRowsPerCore=N after measuring your
-    * executors. */
+    * sharded build — all named in the message. Override the per-core
+    * budget with the `candRowsPerCore` argument (preferred: threads
+    * through the API, no global state) or
+    * -Dgraft.nav.candRowsPerCore=N after measuring your executors. */
+  private def resolvePerCore(candRowsPerCore: Double): Double =
+    if (candRowsPerCore > 0) candRowsPerCore
+    else sys.props.get("graft.nav.candRowsPerCore")
+      .map(_.toDouble).getOrElse(1.5e7)
+
   private def checkCandidateVolume(spark: org.apache.spark.sql.SparkSession,
       probeRows: Long, corpusRows: Long, lists: Int, nProbe: Int,
-      frozen: Boolean): Unit = {
-    val perCore = sys.props.get("graft.nav.candRowsPerCore")
-      .map(_.toDouble).getOrElse(1.5e7)
+      frozen: Boolean, candRowsPerCore: Double): Unit = {
+    val perCore = resolvePerCore(candRowsPerCore)
     val cap = perCore * spark.sparkContext.defaultParallelism
     val est = probeRows.toDouble * nProbe * (corpusRows.toDouble / lists)
     val remedy =
@@ -132,7 +144,25 @@ object NavGraph {
         f"(probe rows = $probeRows, corpus rows = $corpusRows, lists = " +
         f"$lists, nProbe = $nProbe; cap $cap%.1e = 1.5e7/core x " +
         f"${spark.sparkContext.defaultParallelism} cores, override with " +
-        s"-Dgraft.nav.candRowsPerCore). $remedy")
+        s"candRowsPerCore / -Dgraft.nav.candRowsPerCore). $remedy")
+  }
+
+  /** The brute branch's own pre-check: broadcast-NLJ volume is simply
+    * left × right. It only ever exceeds the budget when a caller RAISES
+    * `bruteMax` past the default 4096 (4096² ≈ 1.7e7 passes every sane
+    * budget) — but a raised bruteMax on a large append used to broadcast
+    * the whole batch with no guard at all, so fail loudly here too. */
+  private def checkBruteVolume(spark: org.apache.spark.sql.SparkSession,
+      leftCount: Long, rightCount: Long, candRowsPerCore: Double): Unit = {
+    val perCore = resolvePerCore(candRowsPerCore)
+    val cap = perCore * spark.sparkContext.defaultParallelism
+    val est = leftCount.toDouble * rightCount
+    require(est <= cap,
+      f"nav-graph brute-force pass would materialize ~$est%.2e scored rows " +
+        f"($leftCount x $rightCount; cap $cap%.1e, override with " +
+        s"candRowsPerCore / -Dgraft.nav.candRowsPerCore). Lower bruteMax " +
+        s"to route this layer through the IVF-probed path, shrink the " +
+        s"batch, or add cores.")
   }
 
   // The node table is partitioned by (level, pt): the search's entry
@@ -143,6 +173,20 @@ object NavGraph {
   private val NodeBuckets = 64
   private def withPt(df: DataFrame): DataFrame =
     df.withColumn("pt", pmod(xxhash64(col("nid")), lit(NodeBuckets)).cast("int"))
+
+  // The EDGE table gets the same treatment keyed by src: partitioned by
+  // (level, ept) so each beam round's expansion prunes to the FRONTIER's
+  // src hash buckets at plan time instead of scanning the whole ~n·m-row
+  // level-0 edge partition for a 10-query frontier (at 1 B nodes that is
+  // the difference between a frontier-sized round and a 16 B-row scan).
+  // Same bucket law as the node table so a frontier's pt set IS its ept
+  // set. Readers stay compatible with pre-bucketing graphs through the
+  // stored DDL: no `ept` column → no partition filter (compaction
+  // upgrades the layout).
+  private def withEpt(df: DataFrame): DataFrame =
+    df.withColumn("ept", pmod(xxhash64(col("src")), lit(NodeBuckets)).cast("int"))
+  private val EdgeDdl =
+    "`src` BIGINT,`dst` BIGINT,`cos` DOUBLE,`level` INT,`ept` INT"
 
   private def topPerSrc(scored: DataFrame, m: Int): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
@@ -162,21 +206,29 @@ object NavGraph {
   private def knnAmong(left: DataFrame, right: DataFrame,
       leftCount: Long, rightCount: Long,
       m: Int, nlist: Int, nProbe: Int, iters: Int, seed: Long,
-      bruteMax: Long, frozen: Option[Array[Array[Float]]] = None)
+      bruteMax: Long, frozen: Option[Array[Array[Float]]] = None,
+      candRowsPerCore: Double = -1)
       : (DataFrame, Option[Array[Array[Float]]]) = {
     if (rightCount <= bruteMax) {
+      checkBruteVolume(left.sparkSession, leftCount, rightCount,
+        candRowsPerCore)
       val scored =
         broadcast(left.select(col("nid").as("src"), col("nv").as("sv")))
           .join(right.select(col("nid").as("dst"), col("nv").as("dv")),
             col("src") =!= col("dst"))
           .select(col("src"), col("dst"), vec_cosine(col("sv"), col("dv")).as("cos"))
+          // duplicate node FACTS on the right (a replayed append's copies)
+          // would otherwise occupy two candidate ranks and crowd real
+          // neighbors out of the top-m; vectors are deterministic per id,
+          // so pair-dedup is exact (the IVF branch already does this)
+          .dropDuplicates("src", "dst")
       (topPerSrc(scored, m), None)
     } else {
       // a frozen codebook defines the REAL list count regardless of the
       // nlist argument; pre-check the volume the join will actually see
       val lists = frozen.map(_.length).getOrElse(nlist)
       checkCandidateVolume(left.sparkSession, leftCount, rightCount, lists,
-        nProbe, frozen.isDefined)
+        nProbe, frozen.isDefined, candRowsPerCore)
       val rightCorpus = right.select(col("nid").as("vec_id"), col("nv").as("embedding"))
       val cents = frozen.getOrElse(
         Ann.trainCentroids(rightCorpus, nlist, iters, seed = seed))
@@ -230,20 +282,63 @@ object NavGraph {
       new org.apache.hadoop.fs.Path(ver, "_schema_edges.ddl"), edgesDdl)
     graft.util.FsIO.writeStringAtomic(spark,
       new org.apache.hadoop.fs.Path(ver, "_nav_params.json"),
-      s"""{"m":$m,"maxLevel":$maxLevel}""")
+      s"""{"m":$m,"maxLevel":$maxLevel,"appends":0}""")
   }
 
-  private def navParams(spark: org.apache.spark.sql.SparkSession,
-      dataDir: String): (Int, Int) = {
+  /** Structural parse of the flat integer-valued sidecar — split on the
+    * JSON object's own delimiters rather than regex-scanning for a key
+    * substring (a regex would silently mis-read a later key whose name
+    * overlaps an earlier one). Malformed content throws with the
+    * offending text in the message. */
+  private def parseFlatIntJson(dataDir: String, json: String): Map[String, Long] = {
+    val body = json.trim
+    if (!body.startsWith("{") || !body.endsWith("}"))
+      throw new java.io.IOException(
+        s"nav graph sidecar at $dataDir is not a JSON object: $json")
+    body.substring(1, body.length - 1).split(",").iterator
+      .map(_.trim).filter(_.nonEmpty).map { kv =>
+        kv.split(":", 2) match {
+          case Array(k, v) if k.trim.startsWith("\"") && k.trim.endsWith("\"") =>
+            try k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+            catch { case _: NumberFormatException =>
+              throw new java.io.IOException(
+                s"nav graph sidecar at $dataDir has a non-integer value: $kv") }
+          case _ => throw new java.io.IOException(
+            s"nav graph sidecar at $dataDir has a malformed entry: $kv")
+        }
+      }.toMap
+  }
+
+  private def navParamsAll(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): Map[String, Long] = {
     val json = graft.util.FsIO.readString(spark,
         new org.apache.hadoop.fs.Path(dataDir, "_nav_params.json"))
       .getOrElse(throw new java.io.IOException(
         s"nav graph at $dataDir has no readable _nav_params.json sidecar"))
-    def intOf(k: String): Int =
-      (s""""$k":(\\d+)""").r.findFirstMatchIn(json).map(_.group(1).toInt)
-        .getOrElse(throw new java.io.IOException(
-          s"nav graph sidecar at $dataDir lacks $k: $json"))
-    (intOf("m"), intOf("maxLevel"))
+    val kv = parseFlatIntJson(dataDir, json)
+    Seq("m", "maxLevel").foreach(k => if (!kv.contains(k))
+      throw new java.io.IOException(
+        s"nav graph sidecar at $dataDir lacks $k: $json"))
+    kv
+  }
+
+  private def navParams(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): (Int, Int) = {
+    val kv = navParamsAll(spark, dataDir)
+    (kv("m").toInt, kv("maxLevel").toInt)
+  }
+
+  /** Bump the version's append counter (the compaction-cadence state;
+    * pre-counter sidecars read as 0) and return the new count. Atomic
+    * rename write, same as every sidecar. */
+  private def bumpAppendCount(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): Long = {
+    val kv = navParamsAll(spark, dataDir)
+    val n = kv.getOrElse("appends", 0L) + 1L
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(dataDir, "_nav_params.json"),
+      s"""{"m":${kv("m")},"maxLevel":${kv("maxLevel")},"appends":$n}""")
+    n
   }
 
   private def readTable(spark: org.apache.spark.sql.SparkSession,
@@ -288,7 +383,8 @@ object NavGraph {
     * count. */
   def buildNavGraph(corpus: DataFrame, path: String, m: Int = 16,
       maxLevel: Int = -1, nlist: Int = -1, nProbe: Int = 4, iters: Int = 5,
-      seed: Long = 42L, bruteMax: Long = 4096L, keepVersions: Int = 1): Unit = {
+      seed: Long = 42L, bruteMax: Long = 4096L, keepVersions: Int = 1,
+      candRowsPerCore: Double = -1): Unit = {
     val spark = corpus.sparkSession
     require(m >= 1 && (maxLevel >= 0 || maxLevel == -1) && bruteMax >= 1,
       s"need m >= 1, maxLevel >= 0 or -1 (auto), bruteMax >= 1 (got $m, $maxLevel, $bruteMax)")
@@ -341,7 +437,7 @@ object NavGraph {
       else {
         val nl = if (nlist > 0) nlist else autoNlist(cnt)
         val (e, centsUsed) = knnAmong(sub, sub, cnt, cnt, m, nl, nProbe,
-          iters, seed, bruteMax)
+          iters, seed, bruteMax, candRowsPerCore = candRowsPerCore)
         // persist the layer's codebook so appends reuse it FROZEN
         // (the IVF-family append contract: no per-batch retraining)
         centsUsed.foreach(c => writeCents(spark, s"$ver/cents_l$l", c))
@@ -353,9 +449,8 @@ object NavGraph {
       // throw after the nodes were written
       .getOrElse(spark.range(0).selectExpr("id AS src", "id AS dst",
         "CAST(0.0 AS DOUBLE) AS cos", "CAST(0 AS INT) AS level"))
-    edges.write.partitionBy("level").parquet(s"$ver/edges")
-    writeSidecars(spark, ver, nodeSchema.toDDL,
-      "`src` BIGINT,`dst` BIGINT,`cos` DOUBLE,`level` INT", m, lvl)
+    withEpt(edges).write.partitionBy("level", "ept").parquet(s"$ver/edges")
+    writeSidecars(spark, ver, nodeSchema.toDDL, EdgeDdl, m, lvl)
     graft.util.FsIO.publishVersion(spark, path, ver, keepVersions)
   }
 
@@ -384,10 +479,35 @@ object NavGraph {
     * Retry-safe the facts way: a replayed append duplicates node and
     * edge rows that every read distincts (node facts level-aware — a
     * replayed law-level row never demotes a bootstrap promotion).
-    * Post-append pointer check makes a racing compaction loud. */
+    * Post-append pointer check makes a racing compaction loud.
+    *
+    * COST SHAPE: batch-sized shuffles plus one MAP-ONLY pass over the
+    * corpus (the IVF assignment of the existing layer — inherent: the
+    * batch must be scored against probed lists of the whole layer).
+    * Nothing corpus-sized ever shuffles: the (existing ∪ batch)
+    * candidate corpus is built as a map-only anti-join of the layer
+    * against the BROADCAST batch ids (vectors are deterministic per id,
+    * so dropping the existing copy of a replayed id is exact), and the
+    * layer row counts used for sizing come from one map-side-combined
+    * groupBy over the partition column, never from counting a shuffled
+    * union. (Fact duplicates from earlier replays inflate the sizing
+    * estimates slightly — harmless: they feed only the nlist law, the
+    * volume pre-check and the brute-vs-IVF routing.)
+    *
+    * CADENCE IS MANAGED, not a footgun (the cluster snapshot's
+    * `autoCompactAfter` contract): each append bumps a counter in the
+    * params sidecar and, once it reaches `autoCompactAfter`, runs
+    * [[compactNavGraph]] itself right after the append — safe under the
+    * single-writer rule (the append IS the writer), readers survive via
+    * `keepVersions`. Without it, an append-heavy corpus accumulates
+    * over-length neighbor lists (wider beam joins) and duplicate facts
+    * until someone remembers to compact. Pass `autoCompactAfter <= 0`
+    * to disable and own the cadence. */
   def appendToNavGraph(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, nlist: Int = -1, nProbe: Int = 4,
-      iters: Int = 5, seed: Long = 42L, bruteMax: Long = 4096L): Unit = {
+      iters: Int = 5, seed: Long = 42L, bruteMax: Long = 4096L,
+      autoCompactAfter: Int = 16, keepVersions: Int = 1,
+      candRowsPerCore: Double = -1): Unit = {
     require(nlist > 0 || nlist == -1,
       s"nlist must be positive or -1 (auto, the rows/400 law); got $nlist")
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)
@@ -416,26 +536,38 @@ object NavGraph {
     // maxLevel+1 per-level isEmpty jobs
     val lvlCounts = newNodes.groupBy("level").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // existing per-level FACT counts from one map-side-combined pass over
+    // the partition column (the sizing input; never a corpus shuffle)
+    val oldLvlCounts = nodes.groupBy("level").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val perLevel = (0 to maxLevel).flatMap { l =>
       val newSub = newNodes.where(col("level") >= l).select("nid", "nv")
       val newSubCnt = (l to maxLevel).map(lvlCounts.getOrElse(_, 0L)).sum
       if (newSubCnt == 0L) None
       else {
         val oldSub = nodes.where(col("level") >= l).select("nid", "nv")
-        // dropDuplicates: a REPLAYED append finds its own batch already
-        // in the node table — without the dedupe the duplicated rows
-        // would occupy candidate ranks twice and could crowd real
-        // neighbors out of the top-m (vectors are deterministic per id,
-        // so deduping by id is exact)
-        val union = oldSub.unionByName(newSub).dropDuplicates("nid")
-        val unionCnt = union.count()
+        // a REPLAYED append finds its own batch already in the node
+        // table — drop the EXISTING copies of the batch's ids with a
+        // map-only anti-join against the broadcast (batch-sized) id
+        // list, never by hash-shuffling the whole layer through a
+        // dropDuplicates (at 10 B rows that shuffle IS the append's
+        // cost). Exact because vectors are deterministic per id; fact
+        // duplicates WITHIN the old layer survive, and the pair-level
+        // dedup inside knnAmong keeps them off the candidate ranks.
+        val union = oldSub
+          .join(broadcast(newSub.select("nid")), Seq("nid"), "left_anti")
+          .unionByName(newSub)
+        // sizing ESTIMATE from the count maps (old + new overestimates
+        // replayed overlap — fine for the nlist law / volume pre-check)
+        val unionCnt =
+          (l to maxLevel).map(oldLvlCounts.getOrElse(_, 0L)).sum + newSubCnt
         val frozen = readCents(spark, s"$dataDir/cents_l$l")
         val nl = if (nlist > 0) nlist else autoNlist(unionCnt)
         // probe side = the BATCH's rows at this level, so the volume
         // pre-check sees the append's real (batch x occupancy) cost,
         // not a corpus-squared phantom
         val (fwd, centsUsed) = knnAmong(newSub, union, newSubCnt, unionCnt,
-          m, nl, nProbe, iters, seed, bruteMax, frozen)
+          m, nl, nProbe, iters, seed, bruteMax, frozen, candRowsPerCore)
         // a layer that first crosses bruteMax HERE persists the codebook
         // it trained, so later appends probe frozen too
         if (frozen.isEmpty)
@@ -445,12 +577,26 @@ object NavGraph {
           .withColumn("level", lit(l)))
       }
     }
-    if (perLevel.nonEmpty)
-      perLevel.reduceLeft(_ unionByName _)
-        .write.mode("append").partitionBy("level").parquet(s"$dataDir/edges")
+    // write in the layout the stored DDL declares: (level, ept) for
+    // bucketed graphs, legacy (level) for pre-bucketing ones (compaction
+    // upgrades those)
+    val bucketed = graft.util.FsIO.readString(spark,
+        new org.apache.hadoop.fs.Path(dataDir, "_schema_edges.ddl"))
+      .exists(_.contains("`ept`"))
+    if (perLevel.nonEmpty) {
+      val all = perLevel.reduceLeft(_ unionByName _)
+      if (bucketed)
+        withEpt(all).write.mode("append").partitionBy("level", "ept")
+          .parquet(s"$dataDir/edges")
+      else
+        all.write.mode("append").partitionBy("level").parquet(s"$dataDir/edges")
+    }
     newNodes.write.mode("append").partitionBy("level", "pt")
       .parquet(s"$dataDir/nodes")
     graft.util.FsIO.assertStillCurrent(spark, path, dataDir)
+    val nAppends = bumpAppendCount(spark, dataDir)
+    if (autoCompactAfter > 0 && nAppends >= autoCompactAfter)
+      compactNavGraph(spark, path, keepVersions)
   }
 
   /** Fold appends away: distinct the fact rows (nodes level-aware —
@@ -473,13 +619,14 @@ object NavGraph {
       .where(col("__rk") <= m).select("src", "dst", "cos", "level")
     val ver = graft.util.FsIO.nextVersionDir(spark, path)
     nodes.write.partitionBy("level", "pt").parquet(s"$ver/nodes")
-    pruned.write.partitionBy("level").parquet(s"$ver/edges")
+    // always writes the (level, ept)-bucketed layout — compaction is the
+    // upgrade path for pre-bucketing graphs
+    withEpt(pruned).write.partitionBy("level", "ept").parquet(s"$ver/edges")
     // the frozen codebooks carry over unchanged — they are the append
     // contract, not derived state
     for (l <- 0 to maxLevel; c <- readCents(spark, s"$dataDir/cents_l$l"))
       writeCents(spark, s"$ver/cents_l$l", c)
-    writeSidecars(spark, ver, nodes.schema.toDDL,
-      "`src` BIGINT,`dst` BIGINT,`cos` DOUBLE,`level` INT", m, maxLevel)
+    writeSidecars(spark, ver, nodes.schema.toDDL, EdgeDdl, m, maxLevel)
     graft.util.FsIO.publishVersion(spark, path, ver, keepVersions)
   }
 
@@ -592,9 +739,28 @@ object NavGraph {
     var acc =
       if (allow.isEmpty) frontier
       else topEf(keepAllowed(entryScored)).localCheckpoint()
+    // bucketed graphs (the stored DDL carries `ept`) prune each round's
+    // edge scan to the FRONTIER's src hash buckets with a STATIC
+    // partition filter — the node table's pt discipline applied to
+    // edges: a small frontier touches a handful of the NodeBuckets
+    // directories per level instead of the whole ~n·m-row level-0
+    // partition. Decided at plan time from the checkpointed frontier
+    // (≤ NodeBuckets ints per round). Pre-bucketing graphs skip the
+    // filter until compaction upgrades them.
+    val edgeBucketed = edges.columns.contains("ept")
     for (l <- maxLevel to 0 by -1; _ <- 1 to (if (l == 0) rounds else 1)) {
+      val lvlEdges = {
+        val base = edges.where(col("level") === l)
+        if (!edgeBucketed) base
+        else {
+          val epts = frontier.select(pmod(xxhash64(col("nid")),
+              lit(NodeBuckets)).cast("int").as("ept"))
+            .distinct().collect().map(_.getInt(0))
+          base.where(col("ept").isin(epts.map(Int.box): _*))
+        }
+      }
       val cand = frontier.select(col("qid"), col("qv"), col("nid").as("src"))
-        .join(edges.where(col("level") === l).select("src", "dst"), Seq("src"))
+        .join(lvlEdges.select("src", "dst"), Seq("src"))
         .select(col("qid"), col("qv"), col("dst").as("nid"))
         .dropDuplicates("qid", "nid")
         .localCheckpoint()
@@ -653,6 +819,31 @@ object NavGraph {
     val allowIds = allowed
       .select(col(allowedIdCol).cast("long").as("vec_id"))
     recallVs(spark, path, queries, k, found, Some(allowIds))
+  }
+
+  /** Per-level degree profile of the persisted graph — the
+    * [[navRecallFrame]] pattern for graph HEALTH: one row per level with
+    * (n_nodes, avg_deg, max_deg, n_over_m, m) over the fact-distinct
+    * edge table. Appends grow neighbor lists past `m` (forward + back
+    * edges) until compaction re-prunes, so `n_over_m` is the
+    * compaction-due signal an append-heavy pipeline watches (the
+    * `autoCompactAfter` cadence bounds it automatically); a level whose
+    * max_deg runs far past `m` is also the early warning for widening
+    * beam joins before any recall drop shows. Cost: one edge-table
+    * aggregation (map-side combined), output ≤ maxLevel+1 rows. */
+  def navDegreeFrame(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val (m, _) = navParams(spark, dataDir)
+    readTable(spark, dataDir, "edges")
+      .dropDuplicates("level", "src", "dst")
+      .groupBy("level", "src").agg(count(lit(1)).as("deg"))
+      .groupBy("level").agg(
+        count(lit(1)).as("n_nodes"),
+        round(avg(col("deg")), 6).as("avg_deg"),
+        max(col("deg")).as("max_deg"),
+        sum(when(col("deg") > m, 1L).otherwise(0L)).as("n_over_m"))
+      .withColumn("m", lit(m))
   }
 
   private def recallVs(spark: org.apache.spark.sql.SparkSession,

@@ -277,20 +277,152 @@ class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // batch appended against a grown layer must pass even where that
     // layer's own self-join estimate (1340 x 4 x 335 ≈ 1.8e6) exceeds
     // the cap — its true join is batch x occupancy = 40 x 4 x 335 ≈
-    // 5.4e4. Pinned by tightening the per-core budget override between
-    // a brute build and the append.
+    // 5.4e4. Pinned by tightening the per-core budget (threaded as the
+    // candRowsPerCore ARGUMENT — no global sysprop mutation a parallel
+    // suite could observe) between a brute build and the append.
     val base = spark.range(1300L).selectExpr("id AS vec_id",
       "array(CAST(id % 97 AS FLOAT), 1.0F) AS embedding")
     val path = scratch()
     graft.operators.NavGraph.buildNavGraph(base, path, m = 4, maxLevel = 0,
       nlist = 4, nProbe = 4, bruteMax = 2000L)
-    sys.props("graft.nav.candRowsPerCore") = "25000" // cap = 1e5 on local[4]
-    try
+    graft.operators.NavGraph.appendToNavGraph(spark, path,
+      spark.range(1300L, 1340L).selectExpr("id AS vec_id",
+        "array(CAST(id % 97 AS FLOAT), 1.0F) AS embedding"),
+      nlist = 4, nProbe = 4, bruteMax = 1000L,
+      candRowsPerCore = 25000.0) // cap = 1e5 on local[4]
+  }
+
+  test("brute-path volume pre-check: a raised bruteMax fails loudly, not via broadcast OOM") {
+    // 5000² = 2.5e7 scored rows against a 1e5 cap (25k/core x 4): the
+    // brute branch must refuse BEFORE broadcasting, with the remedy in
+    // the message — before this guard a caller-raised bruteMax
+    // broadcast the whole side unchecked (the IVF branch's pre-check
+    // never saw it)
+    val corpus = spark.range(5000L).selectExpr("id AS vec_id",
+      "array(CAST(id % 97 AS FLOAT), 1.0F) AS embedding")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.NavGraph.buildNavGraph(corpus, scratch(), m = 4,
+        maxLevel = 0, bruteMax = 100000L, candRowsPerCore = 25000.0)
+    }
+    assert(ex.getMessage.contains("Lower bruteMax")
+      && ex.getMessage.contains("candRowsPerCore"))
+  }
+
+  test("malformed params sidecar throws a structural error, not a silent mis-read") {
+    val corpus = corpusDf(32, 8)
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpus, path, m = 8, maxLevel = 1)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val sidecar = java.nio.file.Paths.get(dataDir, "_nav_params.json")
+    val good = new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8")
+    // raw rewrites invalidate the Hadoop local-FS checksum sibling; drop
+    // it so the read reaches the PARSER (the graceful-read path would
+    // otherwise mask the malformed content as "absent")
+    def write(s: String): Unit = {
+      java.nio.file.Files.write(sidecar, s.getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dataDir, "._nav_params.json.crc"))
+    }
+    // structural damage: a non-integer value must throw with the entry named
+    write("""{"m":8,"maxLevel":junk}""")
+    val ex = intercept[java.io.IOException] {
+      graft.operators.NavGraph.navSearch(spark, path,
+        corpus.where("vec_id % 8 = 5"), k = 3, ef = 8)
+    }
+    assert(ex.getMessage.contains("non-integer")
+      || ex.getMessage.contains("malformed"))
+    // a missing required key is equally loud
+    write("""{"m":8}""")
+    val ex2 = intercept[java.io.IOException] {
+      graft.operators.NavGraph.navSearch(spark, path,
+        corpus.where("vec_id % 8 = 5"), k = 3, ef = 8)
+    }
+    assert(ex2.getMessage.contains("maxLevel"))
+    write(good)
+  }
+
+  test("autoCompactAfter: the cadence self-compacts exactly once, searches green throughout") {
+    val n = 128; val cSize = 8
+    val base = corpusDf(n, cSize, keep = _ % 8 <= 4)
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(base, path, m = 8, maxLevel = 1,
+      keepVersions = 2)
+    // three single-mm batches at cadence 3: appends 1-2 stay in v1,
+    // append 3 hits the threshold and runs the self-compaction (-> v2)
+    for (mm <- 5 to 7) {
       graft.operators.NavGraph.appendToNavGraph(spark, path,
-        spark.range(1300L, 1340L).selectExpr("id AS vec_id",
-          "array(CAST(id % 97 AS FLOAT), 1.0F) AS embedding"),
-        nlist = 4, nProbe = 4, bruteMax = 1000L)
-    finally sys.props.remove("graft.nav.candRowsPerCore")
+        corpusDf(n, cSize, keep = _ % 8 == mm), autoCompactAfter = 3,
+        keepVersions = 2)
+      val ver = graft.util.FsIO.indexDataDir(spark, path)
+      assert(ver.endsWith(if (mm < 7) "v1" else "v2"),
+        s"after mm=$mm append: $ver")
+      val got = pairs(graft.operators.NavGraph.navSearch(spark, path,
+        corpusDf(n, cSize).where("vec_id % 8 = 5"), k = 7, ef = 16, rounds = 2))
+      val expect = coMembers((0L until n.toLong).filter(_ % 8 == 5), n, cSize,
+        alive = i => i % 8 <= mm)
+      assert(got.filter(p => expect.contains(p)) == expect,
+        s"co-members appended so far must be found after mm=$mm")
+    }
+    // the self-compaction pruned every list back to m and reset the
+    // cadence counter (the next append starts a fresh window)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val maxList = spark.read.parquet(s"$dataDir/edges")
+      .groupBy("level", "src").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    assert(maxList <= 8L, s"self-compaction must prune lists to m (got $maxList)")
+    val params = scala.io.Source.fromFile(s"$dataDir/_nav_params.json").mkString
+    assert(params.contains(""""appends":0"""), params)
+  }
+
+  test("edge table is (level, ept)-bucketed and the beam's scan shape partition-prunes") {
+    val n = 128; val cSize = 8
+    val corpus = corpusDf(n, cSize)
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpus, path, m = 8, maxLevel = 1)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    // layout: level dirs with ept= hash-bucket subdirectories
+    val l0 = new java.io.File(s"$dataDir/edges/level=0")
+    assert(l0.listFiles().exists(f => f.isDirectory && f.getName.startsWith("ept=")),
+      "edges must be bucketed by src hash under each level")
+    // the beam's per-round predicate (level = L AND ept IN frontier
+    // buckets) reaches the scan as a STATIC partition filter — only the
+    // frontier's directories are read
+    val ddl = scala.io.Source.fromFile(s"$dataDir/_schema_edges.ddl").mkString
+    val edges = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .parquet(s"$dataDir/edges")
+    import org.apache.spark.sql.functions.col
+    val planStr = edges.where(col("level") === 0 && col("ept").isin(3, 7))
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: ["), planStr)
+    assert(!planStr.matches("(?s).*PartitionFilters: \\[\\s*\\].*"), planStr)
+    // and the search over the bucketed layout is still exact
+    val got = graft.operators.NavGraph.navSearch(spark, path,
+      corpus.where("vec_id % 8 = 5"), k = 7, ef = 16, rounds = 2)
+    assert(pairs(got) == coMembers((0L until n.toLong).filter(_ % 8 == 5), n, cSize))
+  }
+
+  test("navDegreeFrame: build reads deg = m, appends push n_over_m up, compaction restores") {
+    val n = 128; val cSize = 8
+    val base = corpusDf(n, cSize, keep = _ % 8 <= 5)
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(base, path, m = 8, maxLevel = 1)
+    def frame() = graft.operators.NavGraph.navDegreeFrame(spark, path)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    val atBuild = frame()
+    assert(atBuild(0)._1 == 96L && atBuild(0)._2 <= 8L && atBuild(0)._3 == 0L,
+      s"fresh build must carry pruned lists: $atBuild")
+    graft.operators.NavGraph.appendToNavGraph(spark, path,
+      corpusDf(n, cSize, keep = _ % 8 >= 6))
+    val afterAppend = frame()
+    assert(afterAppend(0)._3 > 0L,
+      s"append back-edges must push some list past m: $afterAppend")
+    graft.operators.NavGraph.compactNavGraph(spark, path)
+    val afterCompact = frame()
+    assert(afterCompact(0)._1 == 128L && afterCompact(0)._2 <= 8L
+      && afterCompact(0)._3 == 0L,
+      s"compaction must restore deg <= m over all nodes: $afterCompact")
   }
 
   test("bootstrap promotion survives a replayed append and compaction") {

@@ -3014,6 +3014,97 @@ object SparkEntry {
       graft.operators.Retrieval.retrievalMetrics(reranked, qrels, k = 10)
         .orderBy("qid")
     }),
+    // END-TO-END retrieval with the GRAPH index as the dense first
+    // stage (q244's chain shape, q243's analytically-known cluster
+    // fixture): navSearchWhere top-5 under a membership pre-filter +
+    // exact brute cosine top-7 → rrfFuse top-6 → maxSimRerank over
+    // [v, -v] bags → retrievalMetrics against the (qid+did)%5 qrels
+    // law. Exercises the graph family's (qid, nid, rnk) output contract
+    // through every downstream stage — a rank/id convention drift that
+    // q243's isolated row can't see breaks this hash. Queries are mm=0
+    // members of COMPLETE groups (co-member i+7 present), so both
+    // first-stage rankings are analytic: cos(0.04·mm) is strictly
+    // decreasing in mm (no ties — the reason q243 excluded ranks
+    // doesn't bite at mm=0), and ids stay under 8·1403 so every group
+    // has its own 2-plane (g -> (g%61, g DIV 61) is injective there)
+    // and cross-plane cosine (<= ~0.77) can't reach the in-cluster
+    // band (>= cos(0.28) ~= 0.96) — at sf0.01/sf0.1 the bound never
+    // binds, it guards the analytic argument at any future scale
+    "q245_nav_retrieval_e2e" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.functions._
+      val vecs = spark.sql("""
+        SELECT i AS vec_id, mm,
+               transform(sequence(0, 83), d ->
+                 CAST(CASE WHEN d = a THEN (cos(th) + sin(th)) / sqrt(2)
+                           WHEN d = b THEN (cos(th) - sin(th)) / sqrt(2)
+                           ELSE 0.0 END AS FLOAT)) AS embedding
+        FROM (SELECT i, mm, g % 61 AS a, 61 + (g DIV 61) % 23 AS b,
+                     0.04 * mm AS th
+              FROM (SELECT doc_id DIV 25 AS i, (doc_id DIV 25) DIV 8 AS g,
+                           (doc_id DIV 25) % 8 AS mm
+                    FROM documents
+                    WHERE doc_id % 25 = 0 AND doc_id DIV 25 < 11200))""")
+      val idx = scratchDir("graft_nave2e_")
+      graft.operators.NavGraph.buildNavGraph(
+        vecs.select("vec_id", "embedding"), idx,
+        m = 8, maxLevel = 1, nlist = 8, nProbe = 8, iters = 3,
+        bruteMax = 96L)
+      val queries = vecs.where(col("mm") === 0 && col("vec_id") < 80)
+        .join(vecs.select((col("vec_id") - 7).as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        .select("vec_id", "embedding")
+      val dense = graft.operators.NavGraph.navSearchWhere(spark, idx,
+          queries, k = 5, allowed = vecs.where(col("mm").isin(2, 3, 4, 6, 7)),
+          ef = 16, rounds = 2)
+        .select(col("qid"), col("nid").as("id"), col("rnk"))
+      val brute = graft.operators.Ann.bruteForceTopK(queries,
+          vecs.select("vec_id", "embedding"), k = 7)
+        .select(col("qid"), col("nid").as("id"), col("rnk"))
+      val fused = graft.operators.Retrieval.rrfFuse(Seq(dense, brute),
+        "qid", "id", "rnk", k = 6)
+      val docs = vecs.select(col("vec_id").as("doc_id"),
+        array(col("embedding"),
+          transform(col("embedding"), x => -x)).as("dvecs"))
+      val qbags = queries.select(col("vec_id").as("qid"),
+        array(col("embedding")).as("qvecs"))
+      val reranked = graft.operators.Retrieval.maxSimRerank(qbags, docs,
+        fused.select(col("qid"), col("id").as("doc_id")), k = 6)
+      val qrels = queries.select(col("vec_id").as("qid"))
+        .crossJoin(vecs.select(col("vec_id").as("doc_id")))
+        .withColumn("rel",
+          when(pmod(col("doc_id") + col("qid"), lit(5)) === 0, 2)
+            .when(pmod(col("doc_id") + col("qid"), lit(5)) === 1, 1)
+            .otherwise(0))
+      graft.operators.Retrieval.retrievalMetrics(reranked, qrels, k = 6)
+        .orderBy("qid")
+    }),
+    // graph-health read over a freshly built nav graph: with m = 4 and
+    // layers larger than m+1 every node's pruned list is EXACTLY m on
+    // every level, so the whole degree frame is analytic (n_nodes from
+    // the id laws, avg = max = 4, nothing over m). Also the regression
+    // row for the (level, ept)-bucketed edge layout: the frame reads
+    // the same edge table the beam search scans
+    "q246_nav_degree" -> ((spark, dir) => {
+      prep(spark, dir)
+      val vecs = spark.sql("""
+        SELECT i AS vec_id,
+               transform(sequence(0, 83), d ->
+                 CAST(CASE WHEN d = a THEN (cos(th) + sin(th)) / sqrt(2)
+                           WHEN d = b THEN (cos(th) - sin(th)) / sqrt(2)
+                           ELSE 0.0 END AS FLOAT)) AS embedding
+        FROM (SELECT i, g % 61 AS a, 61 + (g DIV 61) % 23 AS b,
+                     0.04 * mm AS th
+              FROM (SELECT doc_id DIV 25 AS i, (doc_id DIV 25) DIV 8 AS g,
+                           (doc_id DIV 25) % 8 AS mm
+                    FROM documents WHERE doc_id % 25 = 0))""")
+      val idx = scratchDir("graft_navdeg_")
+      graft.operators.NavGraph.buildNavGraph(
+        vecs.select("vec_id", "embedding"), idx,
+        m = 4, maxLevel = 1, nlist = 8, nProbe = 8, iters = 3,
+        bruteMax = 96L)
+      graft.operators.NavGraph.navDegreeFrame(spark, idx).orderBy("level")
+    }),
     // rolling distinct actives (DAU/WAU/MAU) over the real events on
     // the shared epoch-micros day law: distinct (day, user) grid, one
     // map-only x28 fan-out, single multi-window count-distinct hash
@@ -8394,6 +8485,85 @@ object SparkEntry {
       FROM q JOIN v n ON q.i // 8 = n.i // 8 AND q.i <> n.i
                      AND n.i % 8 IN (1, 2, 3, 4, 6)
       ORDER BY qid, nid""",
+    // the whole graph-first-stage chain replayed: both first-stage
+    // rankings are analytic at mm = 0 queries (rank = co-member mm
+    // order, strictly decreasing cosine), then RRF arithmetic, the
+    // MaxSim reorder (|cos(0.04·mm)| desc ≡ mm asc) and q240's metric
+    // arithmetic at k = 6
+    "q245_nav_retrieval_e2e" -> """
+      WITH v AS (SELECT doc_id // 25 AS i, (doc_id // 25) % 8 AS mm
+                 FROM documents
+                 WHERE doc_id % 25 = 0 AND doc_id // 25 < 11200),
+           q AS (SELECT a.i FROM v a JOIN v b ON b.i = a.i + 7
+                 WHERE a.mm = 0 AND a.i < 80),
+           den AS (SELECT q.i AS qid, n.i AS id,
+                          CAST(CASE n.mm WHEN 2 THEN 1 WHEN 3 THEN 2
+                               WHEN 4 THEN 3 WHEN 6 THEN 4 ELSE 5 END AS INT) AS rnk
+                   FROM q JOIN v n ON n.i // 8 = q.i // 8
+                                  AND n.mm IN (2, 3, 4, 6, 7)),
+           bru AS (SELECT q.i AS qid, n.i AS id, CAST(n.mm AS INT) AS rnk
+                   FROM q JOIN v n ON n.i // 8 = q.i // 8 AND n.mm >= 1),
+           f AS (SELECT coalesce(d.qid, b.qid) AS qid,
+                        coalesce(d.id, b.id) AS id,
+                        coalesce(CAST(1 AS DOUBLE) / (60 + d.rnk), 0) +
+                        coalesce(CAST(1 AS DOUBLE) / (60 + b.rnk), 0) AS rrf
+                 FROM den d FULL OUTER JOIN bru b
+                   ON d.qid = b.qid AND d.id = b.id),
+           cand AS (SELECT qid, id AS did FROM (
+                      SELECT qid, id, row_number() OVER (
+                        PARTITION BY qid ORDER BY rrf DESC, id ASC) AS rnk FROM f)
+                    WHERE rnk <= 6),
+           res AS (SELECT cd.qid, cd.did, CAST(row_number() OVER (
+                     PARTITION BY cd.qid ORDER BY n.mm ASC, cd.did ASC) AS INT) AS rnk
+                   FROM cand cd JOIN v n ON n.i = cd.did),
+           jud AS (SELECT q.i AS qid, n.i AS did,
+                          CASE CAST((n.i + q.i) % 5 AS INT)
+                            WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS rel
+                   FROM q CROSS JOIN v n
+                   WHERE CAST((n.i + q.i) % 5 AS INT) IN (0, 1)),
+           nr AS (SELECT qid, count(*) AS n_rel FROM jud GROUP BY 1),
+           idcg AS (SELECT qid, sum(CAST(round((pow(2.0, rel) - 1) / log2(ir + 1), 6)
+                             AS DECIMAL(20,6))) AS idcg
+                    FROM (SELECT qid, rel, row_number() OVER (
+                            PARTITION BY qid ORDER BY rel DESC, did) AS ir FROM jud)
+                    WHERE ir <= 6 GROUP BY 1),
+           per AS (SELECT r.qid, r.rnk, coalesce(j.rel, 0) AS rel,
+                          CASE WHEN coalesce(j.rel, 0) > 0 THEN 1 ELSE 0 END AS hit
+                   FROM res r LEFT JOIN jud j ON j.qid = r.qid AND j.did = r.did),
+           per2 AS (SELECT qid, rnk, rel, hit,
+                           sum(hit) OVER (PARTITION BY qid ORDER BY rnk) AS cum
+                    FROM per),
+           ag AS (SELECT qid, sum(hit) AS hits,
+                         sum(CAST(round((pow(2.0, rel) - 1) / log2(rnk + 1), 6)
+                           AS DECIMAL(20,6))) AS dcg,
+                         sum(CAST(CASE WHEN hit = 1
+                           THEN round(cum::DOUBLE / rnk, 6) ELSE 0.0 END
+                           AS DECIMAL(20,6))) AS apnum,
+                         min(CASE WHEN hit = 1 THEN rnk END) AS frst
+                  FROM per2 GROUP BY 1)
+      SELECT n.qid AS qid, n.n_rel, CAST(coalesce(a.hits, 0) AS INT) AS n_ret_rel,
+             round(coalesce(a.hits, 0)::DOUBLE / 6, 6) AS p_at_k,
+             round(coalesce(a.hits, 0)::DOUBLE / n.n_rel, 6) AS recall_at_k,
+             round(coalesce(1.0 / a.frst, 0.0), 6) AS rr,
+             round(coalesce(a.apnum, 0)::DOUBLE / least(n.n_rel, 6), 6) AS ap,
+             round(coalesce(a.dcg, 0)::DOUBLE / i.idcg::DOUBLE, 6) AS ndcg
+      FROM nr n LEFT JOIN ag a ON a.qid = n.qid LEFT JOIN idcg i ON i.qid = n.qid
+      ORDER BY n.qid""",
+    // degree frame over a fresh m = 4 build: every layer is larger than
+    // m+1, so every node's pruned list is exactly m — n_nodes comes
+    // from the id laws (level >= 1 ⟺ i % 4 = 0), everything else is
+    // the constant the pruning law dictates
+    "q246_nav_degree" -> """
+      WITH v AS (SELECT doc_id // 25 AS i FROM documents WHERE doc_id % 25 = 0)
+      SELECT level, n_nodes, CAST(4.0 AS DOUBLE) AS avg_deg,
+             CAST(4 AS BIGINT) AS max_deg, CAST(0 AS BIGINT) AS n_over_m,
+             CAST(4 AS INT) AS m
+      FROM (SELECT CAST(0 AS INT) AS level,
+                   CAST(count(*) AS BIGINT) AS n_nodes FROM v
+            UNION ALL
+            SELECT CAST(1 AS INT), CAST(count(*) AS BIGINT)
+            FROM v WHERE i % 4 = 0)
+      ORDER BY level""",
     // streamed vector appends + a retry are invisible to the beam
     // search (node/edge facts + read-side distincts) — the analytic
     // co-member oracle over the mm <= 5 corpus holds verbatim
@@ -9003,7 +9173,14 @@ object SparkEntry {
     "q243_nav_filtered",
     // the full retrieval chain over 10x the corpus: every BM25 score,
     // cosine rank, fused candidate set, rerank score and metric shifts
-    "q244_retrieval_e2e")
+    "q244_retrieval_e2e",
+    // the graph-first-stage chain over 10x clusters (200-node corpus:
+    // IVF-probed construction + 10 complete-group queries vs 2 at
+    // sf0.01)
+    "q245_nav_retrieval_e2e",
+    // degree frame over a 10x graph built on the IVF path (200 nodes
+    // crosses bruteMax = 96; the sf0.01 build is brute)
+    "q246_nav_degree")
     // q197_containment has NO twin: the synthetic corpus's ~31-word
     // vocabulary means any fixed df cap is either empty or total at
     // 10x docs — the absolute-cap semantics are exercised at sf0.01

@@ -126,7 +126,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // end-to-end retrieval chain: inherits q146's 1-row BM25 corpus
     // scalars and q240's broadcast analytic-qrels cross join — every
     // corpus-touching stage is a hash join or pruned probe
-    "q244_retrieval_e2e")
+    "q244_retrieval_e2e",
+    // graph-first-stage chain: inherits q24's hinted-broadcast brute
+    // baseline (the second fusion list) and q240's broadcast
+    // analytic-qrels cross join; the graph stage itself is checkpointed
+    // beam rounds and the fusion/rerank/metrics are hash joins
+    "q245_nav_retrieval_e2e")
 
   test("no cartesian products; BNLJ only where pinned") {
     val offenders = scala.collection.mutable.Map[String, String]()

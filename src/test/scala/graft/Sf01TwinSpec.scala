@@ -60,7 +60,7 @@ class Sf01TwinSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("every twin has both a query and a rewritten oracle") {
     val twins = SparkEntry.queries.keys.filter(_.startsWith("sf01_")).toSet
-    assert(twins.size == 107) // r5 subset + r12's q135/q137 + the
+    assert(twins.size == 109) // r5 subset + r12's q135/q137 + the
     // round-12 selection operators (q141-q145) + retrieval/reduction/
     // dissolve (q146-q149) + BPE (q150-q151) + weighted sampling (q152)
     // + mixture plan (q155) + contamination report (q156) + scored

@@ -107,6 +107,25 @@ object ScaleSmoke {
 
     paraDocs.unpersist()
 
+    // ---- bigram LM at FIXED vocabulary: the q118 sf1-exclusion's scale
+    // signal. The jittered 100k corpus shares one ~31+20-token
+    // vocabulary at every size (unlike Sf1Data's per-replica cipher,
+    // which grows the bigram dimension table 10x and is why q118 left
+    // the sf1 tier), so the 5k -> 100k (20x) timing here reads OPERATOR
+    // scaling: two token-keyed hash-aggs + a scoring join over a
+    // constant-size bigram table.
+    {
+      val t5k = time("bigramCrossEntropy 5k docs (fixed vocab)") {
+        graft.operators.TextAnalysis.bigramCrossEntropy(
+          docs0, "doc_id", "text").count()
+      }
+      val t100k = time("bigramCrossEntropy 100k docs (fixed vocab)") {
+        graft.operators.TextAnalysis.bigramCrossEntropy(
+          docs, "doc_id", "text").count()
+      }
+      println(f"[scale]   bigram rows: 5k=$t5k 100k=$t100k (20x docs)")
+    }
+
     // ---- selection scoring at 100k docs: DSIR, quality LR, CCNet ----
     // All three share the fixed-width model property: DSIR's ratio table
     // is exactly B rows, the LR model B+1 doubles, the bigram reference
@@ -928,12 +947,42 @@ object ScaleSmoke {
         graft.operators.NavGraph.buildNavGraph(vecs, path, m = 16,
           maxLevel = 3, nlist = 256, nProbe = 4, iters = 3)
       }
-      withShuffle("navGraph append 5k vectors (frozen codebooks)") {
+      def appendBatch(p: String, nl: Int): Double = {
+        val t0 = System.nanoTime()
         graft.operators.NavGraph.appendToNavGraph(spark,
-          path, spark.range(100000L, 105000L).selectExpr("id AS vec_id",
+          p, spark.range(100000L, 105000L).selectExpr("id AS vec_id",
             "transform(sequence(0, 63), d -> CAST(sin(id * 1.7 + d * 0.13) AS FLOAT)) AS embedding"),
-          nlist = 256, nProbe = 4, iters = 3)
+          nlist = nl, nProbe = 4, iters = 3)
+        (System.nanoTime() - t0) / 1e9
       }
+      val app100k = appendBatch(path, 256)
+      println(f"[scale]   navGraph append 5k into 100k (frozen codebooks): $app100k%.2f s")
+
+      // ---- APPEND COST TRACKS THE BATCH, NOT THE CORPUS ----
+      // The r18 fix replaced the per-append corpus-wide
+      // dropDuplicates(nid) shuffle (evaluated twice by its count) with
+      // a map-only anti-join against the broadcast batch ids. What
+      // remains corpus-sized is the IVF assignment of the layer — one
+      // map-only pass — so the same 5k append into a 3x corpus must
+      // cost nearly the same, not 3x. (nlist = 1024 keeps the 300k
+      // build's lists at ~293 rows, inside the volume budget with
+      // margin — the rows/400 law would land exactly on the 32-core
+      // cap, which is the law working as documented, not a target.)
+      val path3 = java.nio.file.Files.createTempDirectory("scale_nav3").toString + "/idx"
+      val vecs3 = spark.range(300000L).selectExpr("id AS vec_id",
+        "transform(sequence(0, 63), d -> CAST(sin(id * 1.7 + d * 0.13) AS FLOAT)) AS embedding")
+        .repartition(32).cache()
+      vecs3.count()
+      withShuffle("navGraph build 300k vectors (nlist=1024, nProbe=4, m=16, 4 levels)") {
+        graft.operators.NavGraph.buildNavGraph(vecs3, path3, m = 16,
+          maxLevel = 3, nlist = 1024, nProbe = 4, iters = 3)
+      }
+      val app300k = appendBatch(path3, 1024)
+      println(f"[scale]   navGraph append 5k into 300k: $app300k%.2f s " +
+        f"(${app300k / app100k}%.2fx the 100k append at 3x corpus)")
+      assert(app300k / app100k < 2.0,
+        f"append must track the BATCH: 3x corpus cost ${app300k / app100k}%.2fx")
+      vecs3.unpersist()
       val found = withShuffle("navGraph search 200 queries, k=10, ef=32, 2 rounds") {
         graft.operators.NavGraph.navSearch(spark, path,
           vecs.where(col("vec_id") % 500 === 7), k = 10, ef = 32, rounds = 2)

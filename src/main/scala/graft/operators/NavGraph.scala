@@ -188,6 +188,26 @@ object NavGraph {
   private val EdgeDdl =
     "`src` BIGINT,`dst` BIGINT,`cos` DOUBLE,`level` INT,`ept` INT"
 
+  /** Dynamic-partition writes MUST cluster rows by the partition key
+    * first: an unsorted write holds one open parquet writer PER
+    * (level, bucket) combination per task — up to (maxLevel+1)·64
+    * writers each buffering a row group, which is a measured
+    * executor-killer (the first bucketed auto-build, maxLevel = 5,
+    * OOMed exactly here). Hash-repartitioning on the key sends each
+    * output directory to ONE task (one file per directory — no
+    * small-file explosion at 64 buckets/level either) and the
+    * in-task sort makes writers open one at a time. */
+  private def writeClustered(df: DataFrame, keys: Seq[String], dir: String,
+      mode: String = "error"): Unit =
+    df.repartition(keys.map(col): _*).sortWithinPartitions(keys.map(col): _*)
+      .write.mode(mode).partitionBy(keys: _*).parquet(dir)
+  private def writeEdges(edges: DataFrame, dir: String,
+      mode: String = "error"): Unit =
+    writeClustered(withEpt(edges), Seq("level", "ept"), dir, mode)
+  private def writeNodes(nodes: DataFrame, dir: String,
+      mode: String = "error"): Unit =
+    writeClustered(nodes, Seq("level", "pt"), dir, mode)
+
   private def topPerSrc(scored: DataFrame, m: Int): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
     scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= m)
@@ -398,7 +418,7 @@ object NavGraph {
       .select(col("vec_id").cast("long").as("nid"), col("embedding").as("nv"))
       .withColumn("level", levelOf(col("nid"), lvl))
     val ver = graft.util.FsIO.nextVersionDir(spark, path)
-    withPt(leveled).write.partitionBy("level", "pt").parquet(s"$ver/nodes")
+    writeNodes(withPt(leveled), s"$ver/nodes")
     val nodeSchema = withPt(leveled).schema
     def nodesNow() = spark.read.schema(nodeSchema).parquet(s"$ver/nodes")
     // BOOTSTRAP PROMOTION: the search enters through level == maxLevel,
@@ -417,12 +437,11 @@ object NavGraph {
       val mnRow = nodesNow().orderBy("nid").limit(1).collect()
       if (mnRow.nonEmpty) {
         val r = mnRow(0)
-        withPt(spark.createDataFrame(
+        writeNodes(withPt(spark.createDataFrame(
             java.util.Arrays.asList(org.apache.spark.sql.Row(
               r.getLong(0), r.getSeq[Float](1), lvl)),
-            org.apache.spark.sql.types.StructType(nodeSchema.take(3))))
-          .write.mode("append").partitionBy("level", "pt")
-          .parquet(s"$ver/nodes")
+            org.apache.spark.sql.types.StructType(nodeSchema.take(3)))),
+          s"$ver/nodes", mode = "append")
       }
     }
     // edge passes re-read the just-written nodes: no corpus-sized
@@ -449,7 +468,7 @@ object NavGraph {
       // throw after the nodes were written
       .getOrElse(spark.range(0).selectExpr("id AS src", "id AS dst",
         "CAST(0.0 AS DOUBLE) AS cos", "CAST(0 AS INT) AS level"))
-    withEpt(edges).write.partitionBy("level", "ept").parquet(s"$ver/edges")
+    writeEdges(edges, s"$ver/edges")
     writeSidecars(spark, ver, nodeSchema.toDDL, EdgeDdl, m, lvl)
     graft.util.FsIO.publishVersion(spark, path, ver, keepVersions)
   }
@@ -585,14 +604,11 @@ object NavGraph {
       .exists(_.contains("`ept`"))
     if (perLevel.nonEmpty) {
       val all = perLevel.reduceLeft(_ unionByName _)
-      if (bucketed)
-        withEpt(all).write.mode("append").partitionBy("level", "ept")
-          .parquet(s"$dataDir/edges")
+      if (bucketed) writeEdges(all, s"$dataDir/edges", mode = "append")
       else
         all.write.mode("append").partitionBy("level").parquet(s"$dataDir/edges")
     }
-    newNodes.write.mode("append").partitionBy("level", "pt")
-      .parquet(s"$dataDir/nodes")
+    writeNodes(newNodes, s"$dataDir/nodes", mode = "append")
     graft.util.FsIO.assertStillCurrent(spark, path, dataDir)
     val nAppends = bumpAppendCount(spark, dataDir)
     if (autoCompactAfter > 0 && nAppends >= autoCompactAfter)
@@ -618,10 +634,10 @@ object NavGraph {
     val pruned = edges.withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= m).select("src", "dst", "cos", "level")
     val ver = graft.util.FsIO.nextVersionDir(spark, path)
-    nodes.write.partitionBy("level", "pt").parquet(s"$ver/nodes")
+    writeNodes(nodes, s"$ver/nodes")
     // always writes the (level, ept)-bucketed layout — compaction is the
     // upgrade path for pre-bucketing graphs
-    withEpt(pruned).write.partitionBy("level", "ept").parquet(s"$ver/edges")
+    writeEdges(pruned, s"$ver/edges")
     // the frozen codebooks carry over unchanged — they are the append
     // contract, not derived state
     for (l <- 0 to maxLevel; c <- readCents(spark, s"$dataDir/cents_l$l"))

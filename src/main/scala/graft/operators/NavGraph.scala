@@ -214,54 +214,57 @@ object NavGraph {
       .select("src", "dst", "cos")
   }
 
-  /** Top-`m` neighbors by cosine for every row of `left` among `right`
-    * (both (nid, nv)): brute force (broadcast left) below `bruteMax`
-    * right-side rows, IVF-probed candidates beyond — exact when
-    * nProbe = nlist, the documented approximation otherwise. `nlist`
-    * here is already RESOLVED (auto laws applied by the caller). When
-    * the IVF path runs, `frozen` centroids are reused if provided (the
-    * frozen-codebook append contract — no per-batch retraining), else
-    * trained once here; the codebook actually used is returned so the
-    * caller can persist it. */
-  private def knnAmong(left: DataFrame, right: DataFrame,
-      leftCount: Long, rightCount: Long,
-      m: Int, nlist: Int, nProbe: Int, iters: Int, seed: Long,
-      bruteMax: Long, frozen: Option[Array[Array[Float]]] = None,
-      candRowsPerCore: Double = -1)
-      : (DataFrame, Option[Array[Array[Float]]]) = {
-    if (rightCount <= bruteMax) {
-      checkBruteVolume(left.sparkSession, leftCount, rightCount,
-        candRowsPerCore)
-      val scored =
-        broadcast(left.select(col("nid").as("src"), col("nv").as("sv")))
-          .join(right.select(col("nid").as("dst"), col("nv").as("dv")),
-            col("src") =!= col("dst"))
-          .select(col("src"), col("dst"), vec_cosine(col("sv"), col("dv")).as("cos"))
-          // duplicate node FACTS on the right (a replayed append's copies)
-          // would otherwise occupy two candidate ranks and crowd real
-          // neighbors out of the top-m; vectors are deterministic per id,
-          // so pair-dedup is exact (the IVF branch already does this)
-          .dropDuplicates("src", "dst")
-      (topPerSrc(scored, m), None)
-    } else {
-      // a frozen codebook defines the REAL list count regardless of the
-      // nlist argument; pre-check the volume the join will actually see
-      val lists = frozen.map(_.length).getOrElse(nlist)
-      checkCandidateVolume(left.sparkSession, leftCount, rightCount, lists,
-        nProbe, frozen.isDefined, candRowsPerCore)
-      val rightCorpus = right.select(col("nid").as("vec_id"), col("nv").as("embedding"))
-      val cents = frozen.getOrElse(
-        Ann.trainCentroids(rightCorpus, nlist, iters, seed = seed))
-      val index = Ann.assignToCentroids(cents, rightCorpus)
-      val scored = Ann.probeAssignmentsBcast(index,
-          left.select(col("nid").as("vec_id"), col("nv").as("embedding")), nProbe)
-        .join(index.assigned, Seq("list"))
-        .where(col("qid") =!= col("nid"))
-        .select(col("qid").as("src"), col("nid").as("dst"),
-          vec_cosine(col("qv"), col("cv")).as("cos"))
+  /** Brute-force top-`m` of `left` among `right` (both (nid, nv)):
+    * broadcast-left NLJ, pair-deduped — duplicate node FACTS on the
+    * right (a replayed append's copies) would otherwise occupy two
+    * candidate ranks and crowd real neighbors out of the top-m;
+    * vectors are deterministic per id, so pair-dedup is exact. */
+  private def knnBrute(left: DataFrame, right: DataFrame,
+      leftCount: Long, rightCount: Long, m: Int,
+      candRowsPerCore: Double): DataFrame = {
+    checkBruteVolume(left.sparkSession, leftCount, rightCount,
+      candRowsPerCore)
+    val scored =
+      broadcast(left.select(col("nid").as("src"), col("nv").as("sv")))
+        .join(right.select(col("nid").as("dst"), col("nv").as("dv")),
+          col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), vec_cosine(col("sv"), col("dv")).as("cos"))
         .dropDuplicates("src", "dst")
-      (topPerSrc(scored, m), Some(cents))
-    }
+    topPerSrc(scored, m)
+  }
+
+  /** IVF-probed top-`m` of `left` among an ASSIGNMENT table
+    * (nid, cv, list[, lb]) — exact when nProbe = nlist, the documented
+    * approximation otherwise. With `pruneBuckets` (the append path,
+    * where `left` is a batch and `assigned` a persisted table) the
+    * batch's probe pairs are materialized once and the assign scan is
+    * pruned to the probed lists' `lb` hash-bucket directories with a
+    * STATIC partition filter — a small batch reads a handful of
+    * directories of the corpus-sized table, the beamCore discipline
+    * applied to construction. Duplicate assign facts (replayed
+    * appends) are absorbed by the pair dedup. */
+  private def knnProbed(left: DataFrame, assigned: DataFrame,
+      cents: Array[Array[Float]], nProbe: Int, m: Int,
+      pruneBuckets: Boolean): DataFrame = {
+    val probed0 = Ann.probeAssignmentsBcast(Ann.IvfIndex(cents, assigned),
+      left.select(col("nid").as("vec_id"), col("nv").as("embedding")), nProbe)
+    // only checkpoint BATCH-sized probe sides: a build's probe side is
+    // the whole layer and is consumed once anyway
+    val probed = if (pruneBuckets) probed0.localCheckpoint() else probed0
+    val sliced =
+      if (!pruneBuckets) assigned
+      else {
+        val lbs = probed.select(pmod(col("list").cast("long"),
+            lit(ListBuckets)).cast("int").as("lb"))
+          .distinct().collect().map(_.getInt(0))
+        assigned.where(col("lb").isin(lbs.map(Int.box): _*))
+      }
+    val scored = probed.join(sliced, Seq("list"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid").as("src"), col("nid").as("dst"),
+        vec_cosine(col("qv"), col("cv")).as("cos"))
+      .dropDuplicates("src", "dst")
+    topPerSrc(scored, m)
   }
 
   // ---- per-level codebook persistence: the frozen-centroid append ----
@@ -291,6 +294,39 @@ object NavGraph {
     if (!fs.exists(p)) None
     else Some(spark.read.schema(centsSchema).parquet(dir).collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray))
+  }
+
+  // ---- persisted per-level assignments: appends never re-assign ------
+  // The layer's (nid, vector, list) assignment is a pure function of
+  // (vector, frozen codebook), so it persists WITH the graph: an append
+  // assigns only its BATCH and appends the rows as facts, and candidate
+  // generation probes the stored table through an `lb` partition filter
+  // instead of re-assigning the corpus per batch (the pre-r19 shape paid
+  // two corpus-wide map passes per append; now only the layer's FIRST
+  // IVF pass — at build, or the bootstrap when a brute-built layer
+  // crosses bruteMax — ever touches every row).
+  private val ListBuckets = 64
+  private val AssignDdl = "`nid` BIGINT,`cv` ARRAY<FLOAT>,`list` INT,`lb` INT"
+
+  private def writeAssign(assigned: DataFrame, dir: String,
+      mode: String = "error"): Unit =
+    writeClustered(
+      assigned.select(col("nid").cast("long").as("nid"), col("cv"),
+          col("list").cast("int").as("list"))
+        .withColumn("lb",
+          pmod(col("list").cast("long"), lit(ListBuckets)).cast("int")),
+      Seq("lb"), dir, mode)
+
+  private def readAssign(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(AssignDdl))
+      .parquet(dir)
+
+  private def hasDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   private def writeSidecars(spark: org.apache.spark.sql.SparkSession,
@@ -454,12 +490,25 @@ object NavGraph {
       val cnt = sub.count()
       if (cnt < 2L) None
       else {
-        val nl = if (nlist > 0) nlist else autoNlist(cnt)
-        val (e, centsUsed) = knnAmong(sub, sub, cnt, cnt, m, nl, nProbe,
-          iters, seed, bruteMax, candRowsPerCore = candRowsPerCore)
-        // persist the layer's codebook so appends reuse it FROZEN
-        // (the IVF-family append contract: no per-batch retraining)
-        centsUsed.foreach(c => writeCents(spark, s"$ver/cents_l$l", c))
+        val e =
+          if (cnt <= bruteMax) knnBrute(sub, sub, cnt, cnt, m, candRowsPerCore)
+          else {
+            val nl = if (nlist > 0) nlist else autoNlist(cnt)
+            checkCandidateVolume(spark, cnt, cnt, nl, nProbe,
+              frozen = false, candRowsPerCore)
+            val subCorpus = sub.select(col("nid").as("vec_id"),
+              col("nv").as("embedding"))
+            val cents = Ann.trainCentroids(subCorpus, nl, iters, seed = seed)
+            // persist the layer's codebook AND its assignments so
+            // appends reuse both FROZEN (the IVF-family append
+            // contract: no per-batch retraining, no per-batch corpus
+            // re-assignment)
+            writeCents(spark, s"$ver/cents_l$l", cents)
+            writeAssign(Ann.assignToCentroids(cents, subCorpus).assigned,
+              s"$ver/assign_l$l")
+            knnProbed(sub, readAssign(spark, s"$ver/assign_l$l"), cents,
+              nProbe, m, pruneBuckets = false)
+          }
         Some(e.withColumn("level", lit(l)))
       }
     }.reduceLeftOption(_ unionByName _)
@@ -500,18 +549,23 @@ object NavGraph {
     * replayed law-level row never demotes a bootstrap promotion).
     * Post-append pointer check makes a racing compaction loud.
     *
-    * COST SHAPE: batch-sized shuffles plus one MAP-ONLY pass over the
-    * corpus (the IVF assignment of the existing layer — inherent: the
-    * batch must be scored against probed lists of the whole layer).
-    * Nothing corpus-sized ever shuffles: the (existing ∪ batch)
-    * candidate corpus is built as a map-only anti-join of the layer
-    * against the BROADCAST batch ids (vectors are deterministic per id,
-    * so dropping the existing copy of a replayed id is exact), and the
-    * layer row counts used for sizing come from one map-side-combined
-    * groupBy over the partition column, never from counting a shuffled
-    * union. (Fact duplicates from earlier replays inflate the sizing
-    * estimates slightly — harmless: they feed only the nlist law, the
-    * volume pre-check and the brute-vs-IVF routing.)
+    * COST SHAPE: batch-cost, full stop. Candidate generation probes
+    * the PERSISTED per-level assignment table (`assign_l<L>`, written
+    * at build and appended per batch — assignment is a pure function
+    * of (vector, frozen codebook), so stored rows are exact): the
+    * batch's probe pairs prune the table to their probed lists' hash
+    * buckets at plan time, so an append reads probed lists, never the
+    * layer. The only corpus-sized pass a layer EVER pays is its first
+    * IVF assignment (at build, or the bootstrap when a brute-built
+    * layer crosses bruteMax — once, persisted). Nothing corpus-sized
+    * shuffles: the brute/bootstrap (existing ∪ batch) frame is a
+    * map-only anti-join of the layer against the BROADCAST batch ids,
+    * and the layer row counts used for sizing come from one
+    * map-side-combined groupBy over the partition column, never from
+    * counting a shuffled union. (Fact duplicates from earlier replays
+    * inflate the sizing estimates slightly — harmless: they feed only
+    * the nlist law, the volume pre-check and the brute-vs-IVF
+    * routing.)
     *
     * CADENCE IS MANAGED, not a footgun (the cluster snapshot's
     * `autoCompactAfter` contract): each append bumps a counter in the
@@ -565,32 +619,62 @@ object NavGraph {
       if (newSubCnt == 0L) None
       else {
         val oldSub = nodes.where(col("level") >= l).select("nid", "nv")
-        // a REPLAYED append finds its own batch already in the node
-        // table — drop the EXISTING copies of the batch's ids with a
-        // map-only anti-join against the broadcast (batch-sized) id
-        // list, never by hash-shuffling the whole layer through a
-        // dropDuplicates (at 10 B rows that shuffle IS the append's
-        // cost). Exact because vectors are deterministic per id; fact
-        // duplicates WITHIN the old layer survive, and the pair-level
-        // dedup inside knnAmong keeps them off the candidate ranks.
-        val union = oldSub
+        // (existing ∪ batch) as a MAP-ONLY frame: a replayed append
+        // finds its own batch already in the node table, so the
+        // existing copies of the batch's ids are dropped with an
+        // anti-join against the broadcast (batch-sized) id list, never
+        // by hash-shuffling the whole layer through a dropDuplicates
+        // (at 10 B rows that shuffle IS the append's cost). Exact
+        // because vectors are deterministic per id; fact duplicates
+        // WITHIN the old layer survive, and the scored-pair dedup
+        // keeps them off the candidate ranks. Only the brute and the
+        // once-per-layer bootstrap paths ever evaluate it.
+        def union = oldSub
           .join(broadcast(newSub.select("nid")), Seq("nid"), "left_anti")
           .unionByName(newSub)
+        def unionCorpus = union.select(col("nid").as("vec_id"),
+          col("nv").as("embedding"))
         // sizing ESTIMATE from the count maps (old + new overestimates
         // replayed overlap — fine for the nlist law / volume pre-check)
         val unionCnt =
           (l to maxLevel).map(oldLvlCounts.getOrElse(_, 0L)).sum + newSubCnt
-        val frozen = readCents(spark, s"$dataDir/cents_l$l")
-        val nl = if (nlist > 0) nlist else autoNlist(unionCnt)
-        // probe side = the BATCH's rows at this level, so the volume
-        // pre-check sees the append's real (batch x occupancy) cost,
-        // not a corpus-squared phantom
-        val (fwd, centsUsed) = knnAmong(newSub, union, newSubCnt, unionCnt,
-          m, nl, nProbe, iters, seed, bruteMax, frozen, candRowsPerCore)
-        // a layer that first crosses bruteMax HERE persists the codebook
-        // it trained, so later appends probe frozen too
-        if (frozen.isEmpty)
-          centsUsed.foreach(c => writeCents(spark, s"$dataDir/cents_l$l", c))
+        val fwd =
+          if (unionCnt <= bruteMax)
+            knnBrute(newSub, union, newSubCnt, unionCnt, m, candRowsPerCore)
+          else {
+            val frozen = readCents(spark, s"$dataDir/cents_l$l")
+            // a frozen codebook defines the REAL list count regardless
+            // of the nlist argument; probe side = the BATCH's rows at
+            // this level, so the volume pre-check sees the append's
+            // real (batch x occupancy) cost, not a corpus² phantom
+            val nl = frozen.map(_.length).getOrElse(
+              if (nlist > 0) nlist else autoNlist(unionCnt))
+            checkCandidateVolume(spark, newSubCnt, unionCnt, nl, nProbe,
+              frozen.isDefined, candRowsPerCore)
+            // a layer that first crosses bruteMax HERE trains once over
+            // the union and persists the codebook, so later appends
+            // probe frozen too
+            val cents = frozen.getOrElse(
+              Ann.trainCentroids(unionCorpus, nl, iters, seed = seed))
+            if (frozen.isEmpty)
+              writeCents(spark, s"$dataDir/cents_l$l", cents)
+            val aDir = s"$dataDir/assign_l$l"
+            if (!hasDir(spark, aDir))
+              // bootstrap (brute-built or pre-assignment-table layer):
+              // the LAST corpus-sized assignment this layer ever pays
+              writeAssign(Ann.assignToCentroids(cents, unionCorpus).assigned,
+                aDir)
+            else
+              // batch-cost: assign ONLY the batch and append the rows
+              // as facts (a replay duplicates rows the scored-pair
+              // dedup absorbs; compaction folds them)
+              writeAssign(Ann.assignToCentroids(cents,
+                  newSub.select(col("nid").as("vec_id"),
+                    col("nv").as("embedding"))).assigned,
+                aDir, mode = "append")
+            knnProbed(newSub, readAssign(spark, aDir), cents, nProbe, m,
+              pruneBuckets = true)
+          }
         val rev = fwd.select(col("dst").as("src"), col("src").as("dst"), col("cos"))
         Some(fwd.unionByName(rev).dropDuplicates("src", "dst")
           .withColumn("level", lit(l)))
@@ -639,9 +723,16 @@ object NavGraph {
     // upgrade path for pre-bucketing graphs
     writeEdges(pruned, s"$ver/edges")
     // the frozen codebooks carry over unchanged — they are the append
-    // contract, not derived state
+    // contract, not derived state — and the assignment tables carry
+    // over FACT-DEDUPED (replayed appends leave duplicate rows; any
+    // copy per id is correct — assignment is a pure function of
+    // (vector, frozen codebook))
     for (l <- 0 to maxLevel; c <- readCents(spark, s"$dataDir/cents_l$l"))
       writeCents(spark, s"$ver/cents_l$l", c)
+    for (l <- 0 to maxLevel if hasDir(spark, s"$dataDir/assign_l$l"))
+      writeAssign(readAssign(spark, s"$dataDir/assign_l$l")
+        .dropDuplicates("nid").select("nid", "cv", "list"),
+        s"$ver/assign_l$l")
     writeSidecars(spark, ver, nodes.schema.toDDL, EdgeDdl, m, maxLevel)
     graft.util.FsIO.publishVersion(spark, path, ver, keepVersions)
   }

@@ -402,6 +402,50 @@ class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(got) == coMembers((0L until n.toLong).filter(_ % 8 == 5), n, cSize))
   }
 
+  test("persisted assignments: appends extend the table at batch size, replay folds at compaction") {
+    val n = 128; val cSize = 8
+    val base = corpusDf(n, cSize, keep = _ % 8 <= 5)
+    val batch = corpusDf(n, cSize, keep = _ % 8 >= 6)
+    val path = scratch()
+    // bruteMax = 1 forces the IVF path: the build must persist the
+    // per-level assignment tables alongside the codebooks
+    graft.operators.NavGraph.buildNavGraph(base, path, m = 8, maxLevel = 1,
+      nlist = 4, nProbe = 4, bruteMax = 1L)
+    val v1 = graft.util.FsIO.indexDataDir(spark, path)
+    def assignRows(dir: String) = spark.read.parquet(s"$dir/assign_l0")
+      .select("nid").collect().map(_.getLong(0)).toSeq
+    assert(new java.io.File(s"$v1/assign_l0").exists()
+      && new java.io.File(s"$v1/assign_l1").exists(),
+      "IVF-built layers must persist their assignment tables")
+    assert(assignRows(v1).sorted == (0L until n.toLong).filter(_ % 8 <= 5).sorted,
+      "build assigns exactly the layer")
+    // the append adds EXACTLY the batch's rows (batch-cost by
+    // construction: old rows are never rewritten)
+    graft.operators.NavGraph.appendToNavGraph(spark, path, batch,
+      nlist = 4, nProbe = 4, bruteMax = 1L)
+    assert(assignRows(v1).sorted == (0L until n.toLong).sorted,
+      "append extends the assignment table by the batch only")
+    val queries = corpusDf(n, cSize).where("vec_id % 8 = 5")
+    def run() = pairs(graft.operators.NavGraph.navSearch(spark, path,
+      queries, k = 7, ef = 16, rounds = 2))
+    val expect = coMembers((0L until n.toLong).filter(_ % 8 == 5), n, cSize)
+    assert(run() == expect, "probed-from-stored-assignments append stays exact")
+    // a replayed append duplicates assign FACTS the scored-pair dedup
+    // absorbs; compaction folds them back to one row per id
+    graft.operators.NavGraph.appendToNavGraph(spark, path, batch,
+      nlist = 4, nProbe = 4, bruteMax = 1L)
+    assert(assignRows(v1).length == n + batchCount(batch),
+      "replay appends duplicate assign facts (reader-deduped)")
+    assert(run() == expect, "replayed append changes nothing")
+    graft.operators.NavGraph.compactNavGraph(spark, path)
+    val v2 = graft.util.FsIO.indexDataDir(spark, path)
+    assert(assignRows(v2).sorted == (0L until n.toLong).sorted,
+      "compaction folds assignment facts to one row per id")
+    assert(run() == expect, "compaction preserves the search")
+  }
+
+  private def batchCount(df: DataFrame): Int = df.count().toInt
+
   test("navDegreeFrame: build reads deg = m, appends push n_over_m up, compaction restores") {
     val n = 128; val cSize = 8
     val base = corpusDf(n, cSize, keep = _ % 8 <= 5)

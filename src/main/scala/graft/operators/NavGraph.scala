@@ -149,14 +149,21 @@ object NavGraph {
 
   /** The brute branch's own pre-check: broadcast-NLJ volume is simply
     * left × right. It only ever exceeds the budget when a caller RAISES
-    * `bruteMax` past the default 4096 (4096² ≈ 1.7e7 passes every sane
-    * budget) — but a raised bruteMax on a large append used to broadcast
-    * the whole batch with no guard at all, so fail loudly here too. */
+    * `bruteMax` past the default 4096 — but a raised bruteMax on a large
+    * append used to broadcast the whole batch with no guard at all, so
+    * fail loudly here too. Volumes inside the DEFAULT bruteMax's square
+    * are exempt unconditionally: 4096² ≈ 1.7e7 rows is a trivially safe
+    * broadcast NLJ on any box, but a 1-core session's per-core cap
+    * (1.5e7) sits just UNDER it — without the exemption the documented
+    * default build of a ~4096-row layer would fail on small local
+    * sessions, a guard misfiring on the exact case it was sized for. */
+  private val DefaultBruteMax = 4096L
   private def checkBruteVolume(spark: org.apache.spark.sql.SparkSession,
       leftCount: Long, rightCount: Long, candRowsPerCore: Double): Unit = {
     val perCore = resolvePerCore(candRowsPerCore)
     val cap = perCore * spark.sparkContext.defaultParallelism
     val est = leftCount.toDouble * rightCount
+    if (est <= DefaultBruteMax.toDouble * DefaultBruteMax) return
     require(est <= cap,
       f"nav-graph brute-force pass would materialize ~$est%.2e scored rows " +
         f"($leftCount x $rightCount; cap $cap%.1e, override with " +
@@ -198,8 +205,9 @@ object NavGraph {
     * small-file explosion at 64 buckets/level either) and the
     * in-task sort makes writers open one at a time. */
   private def writeClustered(df: DataFrame, keys: Seq[String], dir: String,
-      mode: String = "error"): Unit =
-    df.repartition(keys.map(col): _*).sortWithinPartitions(keys.map(col): _*)
+      mode: String = "error", sortExtra: Seq[String] = Nil): Unit =
+    df.repartition(keys.map(col): _*)
+      .sortWithinPartitions((keys ++ sortExtra).map(col): _*)
       .write.mode(mode).partitionBy(keys: _*).parquet(dir)
   private def writeEdges(edges: DataFrame, dir: String,
       mode: String = "error"): Unit =
@@ -233,16 +241,49 @@ object NavGraph {
     topPerSrc(scored, m)
   }
 
+  /** Prune the persisted assignment table to a probe frame's lists, at
+    * TWO granularities. Always: the probed lists' `lb` hash-bucket
+    * directories fall out at plan time (a STATIC partition filter — a
+    * small batch reads a handful of directories of the corpus-sized
+    * table). Additionally, when the batch probes at most
+    * [[ListPushLimit]] distinct lists, the list ids themselves are
+    * pushed as a `list` DATA filter: [[writeAssign]] sorts rows by
+    * `list` within each bucket directory, so parquet row-group min/max
+    * stats prune WITHIN the surviving buckets — the fix for the
+    * wide-batch case where the probes touch all [[ListBuckets]]
+    * directories and the `lb` filter alone degrades to a full
+    * assign-table read. Past the limit (a corpus-sized "batch") the id
+    * list would be the collect bottleneck itself, so fall back to the
+    * bucket filter alone — and say nothing silently: that path is the
+    * documented map-only full scan. One collect either way, bounded by
+    * min(nlist, batch·nProbe) ≤ ListPushLimit+1 ints on the push path. */
+  private[graft] val ListPushLimit = 4096
+  private[graft] def pruneAssignForProbe(assigned: DataFrame,
+      probed: DataFrame): DataFrame = {
+    val lists = probed.select(col("list").cast("int").as("list"))
+      .distinct().limit(ListPushLimit + 1).collect().map(_.getInt(0))
+    if (lists.length <= ListPushLimit) {
+      val lbs = lists.map(l => math.floorMod(l, ListBuckets)).distinct
+      assigned.where(col("lb").isin(lbs.map(Int.box): _*) &&
+        col("list").isin(lists.map(Int.box): _*))
+    } else {
+      val lbs = probed.select(pmod(col("list").cast("long"),
+          lit(ListBuckets)).cast("int").as("lb"))
+        .distinct().collect().map(_.getInt(0))
+      assigned.where(col("lb").isin(lbs.map(Int.box): _*))
+    }
+  }
+
   /** IVF-probed top-`m` of `left` among an ASSIGNMENT table
     * (nid, cv, list[, lb]) — exact when nProbe = nlist, the documented
     * approximation otherwise. With `pruneBuckets` (the append path,
     * where `left` is a batch and `assigned` a persisted table) the
     * batch's probe pairs are materialized once and the assign scan is
-    * pruned to the probed lists' `lb` hash-bucket directories with a
-    * STATIC partition filter — a small batch reads a handful of
-    * directories of the corpus-sized table, the beamCore discipline
-    * applied to construction. Duplicate assign facts (replayed
-    * appends) are absorbed by the pair dedup. */
+    * pruned by [[pruneAssignForProbe]] — the `lb` partition filter
+    * plus, for batches probing ≤ ListPushLimit lists, a `list`
+    * row-group filter, the beamCore discipline applied to
+    * construction. Duplicate assign facts (replayed appends) are
+    * absorbed by the pair dedup. */
   private def knnProbed(left: DataFrame, assigned: DataFrame,
       cents: Array[Array[Float]], nProbe: Int, m: Int,
       pruneBuckets: Boolean): DataFrame = {
@@ -253,12 +294,7 @@ object NavGraph {
     val probed = if (pruneBuckets) probed0.localCheckpoint() else probed0
     val sliced =
       if (!pruneBuckets) assigned
-      else {
-        val lbs = probed.select(pmod(col("list").cast("long"),
-            lit(ListBuckets)).cast("int").as("lb"))
-          .distinct().collect().map(_.getInt(0))
-        assigned.where(col("lb").isin(lbs.map(Int.box): _*))
-      }
+      else pruneAssignForProbe(assigned, probed)
     val scored = probed.join(sliced, Seq("list"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid").as("src"), col("nid").as("dst"),
@@ -310,12 +346,16 @@ object NavGraph {
 
   private def writeAssign(assigned: DataFrame, dir: String,
       mode: String = "error"): Unit =
+    // the in-bucket sort by `list` is load-bearing: it gives every row
+    // group tight `list` min/max stats, so [[pruneAssignForProbe]]'s
+    // `list` data filter prunes WITHIN the lb directories (the
+    // wide-batch append's I/O bound) instead of only across them
     writeClustered(
       assigned.select(col("nid").cast("long").as("nid"), col("cv"),
           col("list").cast("int").as("list"))
         .withColumn("lb",
           pmod(col("list").cast("long"), lit(ListBuckets)).cast("int")),
-      Seq("lb"), dir, mode)
+      Seq("lb"), dir, mode, sortExtra = Seq("list"))
 
   private def readAssign(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
@@ -386,14 +426,19 @@ object NavGraph {
 
   /** Bump the version's append counter (the compaction-cadence state;
     * pre-counter sidecars read as 0) and return the new count. Atomic
-    * rename write, same as every sidecar. */
+    * rename write, same as every sidecar. Re-serializes the FULL parsed
+    * key-value map, not a fixed key template — a newer writer version
+    * may have added sidecar keys this version doesn't know, and a bump
+    * that dropped them would silently strip state in a mixed-version
+    * deployment. */
   private def bumpAppendCount(spark: org.apache.spark.sql.SparkSession,
       dataDir: String): Long = {
     val kv = navParamsAll(spark, dataDir)
     val n = kv.getOrElse("appends", 0L) + 1L
+    val body = kv.updated("appends", n).toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     graft.util.FsIO.writeStringAtomic(spark,
-      new org.apache.hadoop.fs.Path(dataDir, "_nav_params.json"),
-      s"""{"m":${kv("m")},"maxLevel":${kv("maxLevel")},"appends":$n}""")
+      new org.apache.hadoop.fs.Path(dataDir, "_nav_params.json"), body)
     n
   }
 
@@ -547,15 +592,29 @@ object NavGraph {
     * Retry-safe the facts way: a replayed append duplicates node and
     * edge rows that every read distincts (node facts level-aware — a
     * replayed law-level row never demotes a bootstrap promotion).
-    * Post-append pointer check makes a racing compaction loud.
+    * Post-append pointer check makes a racing compaction loud. A
+    * CRASHED-and-abandoned append is also bounded: the assign delta is
+    * written before the node/edge writes (candidate generation must see
+    * the batch's own rows), so a crash in between leaves GHOST
+    * (nid, cv, list) facts for ids absent from the node table. Ghosts
+    * can win candidate top-m slots in later appends (their edges then
+    * point at ids the search's node join drops — wasted list slots, a
+    * bounded recall tax, never wrong results), and [[compactNavGraph]]
+    * folds them away: it semi-joins the assign table and both edge
+    * endpoints against the stored node ids, so the degradation lasts at
+    * most one compaction window, like every other replay artifact.
     *
     * COST SHAPE: batch-cost, full stop. Candidate generation probes
     * the PERSISTED per-level assignment table (`assign_l<L>`, written
     * at build and appended per batch — assignment is a pure function
     * of (vector, frozen codebook), so stored rows are exact): the
     * batch's probe pairs prune the table to their probed lists' hash
-    * buckets at plan time, so an append reads probed lists, never the
-    * layer. The only corpus-sized pass a layer EVER pays is its first
+    * buckets at plan time AND, for batches probing ≤ 4096 distinct
+    * lists, to the probed lists' row groups within those buckets (rows
+    * are list-sorted per bucket, so parquet min/max stats bite) — an
+    * append reads probed lists, never the layer, even when a wide
+    * batch's buckets cover all 64 directories. The only corpus-sized
+    * pass a layer EVER pays is its first
     * IVF assignment (at build, or the bootstrap when a brute-built
     * layer crosses bruteMax — once, persisted). Nothing corpus-sized
     * shuffles: the brute/bootstrap (existing ∪ batch) frame is a
@@ -571,8 +630,12 @@ object NavGraph {
     * `autoCompactAfter` contract): each append bumps a counter in the
     * params sidecar and, once it reaches `autoCompactAfter`, runs
     * [[compactNavGraph]] itself right after the append — safe under the
-    * single-writer rule (the append IS the writer), readers survive via
-    * `keepVersions`. Without it, an append-heavy corpus accumulates
+    * single-writer rule (the append IS the writer), and readers survive
+    * because the self-compaction publishes with
+    * `max(keepVersions, 2)` — the PRIOR version a concurrent reader may
+    * be mid-scan of always outlives the flip (a bare keepVersions = 1
+    * would delete it under the reader). Without the cadence, an
+    * append-heavy corpus accumulates
     * over-length neighbor lists (wider beam joins) and duplicate facts
     * until someone remembers to compact. Pass `autoCompactAfter <= 0`
     * to disable and own the cadence. */
@@ -695,24 +758,42 @@ object NavGraph {
     writeNodes(newNodes, s"$dataDir/nodes", mode = "append")
     graft.util.FsIO.assertStillCurrent(spark, path, dataDir)
     val nAppends = bumpAppendCount(spark, dataDir)
+    // the self-compaction retains AT LEAST two versions regardless of
+    // the append's own keepVersions: publishVersion deletes pruned
+    // version dirs, so a concurrent reader mid-scan of the current
+    // version would fail right after the cadence fires if only the new
+    // version survived — the scaladoc's readers-survive promise is a
+    // promise about THIS path, so this path must fund it
     if (autoCompactAfter > 0 && nAppends >= autoCompactAfter)
-      compactNavGraph(spark, path, keepVersions)
+      compactNavGraph(spark, path, math.max(keepVersions, 2))
   }
 
   /** Fold appends away: distinct the fact rows (nodes level-aware —
     * max level per id, so a bootstrap promotion survives replayed
-    * law-level rows), re-prune every node's list to its top-`m`
+    * law-level rows), fold ORPHANS (edge endpoints and assign rows
+    * whose id never made it into the node table — the residue of a
+    * crashed-and-abandoned append, which writes assign facts before
+    * node facts), re-prune every node's list to its top-`m`
     * (cos desc, dst asc — HNSW's shrink), rewrite into the next
     * version, flip the pointer. Search-visible results are unchanged
     * wherever the pruned lists still cover the searched neighborhoods
-    * (the q238 contract pins the fixture's case). */
+    * (the q238 contract pins the fixture's case). Cost: the orphan
+    * fold is three id semi-joins against the raw node-id column
+    * (duplicates don't matter to a semi-join, so no pre-dedup) — the
+    * same keyed-shuffle cost class as the fact dedup this pass already
+    * pays, and it runs BEFORE the top-m window so a ghost endpoint
+    * can never crowd a real neighbor out of a compacted list. */
   def compactNavGraph(spark: org.apache.spark.sql.SparkSession,
       path: String, keepVersions: Int = 1): Unit = {
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)
     val (m, maxLevel) = navParams(spark, dataDir)
-    val nodes = dedupNodesMaxLevel(readTable(spark, dataDir, "nodes"))
+    val rawNodes = readTable(spark, dataDir, "nodes")
+    val nodeIds = rawNodes.select("nid")
+    val nodes = dedupNodesMaxLevel(rawNodes)
     val edges = readTable(spark, dataDir, "edges")
       .dropDuplicates("level", "src", "dst")
+      .join(nodeIds.withColumnRenamed("nid", "src"), Seq("src"), "left_semi")
+      .join(nodeIds.withColumnRenamed("nid", "dst"), Seq("dst"), "left_semi")
     val w = Window.partitionBy("level", "src")
       .orderBy(col("cos").desc, col("dst").asc)
     val pruned = edges.withColumn("__rk", row_number().over(w))
@@ -726,12 +807,14 @@ object NavGraph {
     // contract, not derived state — and the assignment tables carry
     // over FACT-DEDUPED (replayed appends leave duplicate rows; any
     // copy per id is correct — assignment is a pure function of
-    // (vector, frozen codebook))
+    // (vector, frozen codebook)) and ORPHAN-FOLDED (ghost rows from
+    // abandoned appends would otherwise win candidate slots forever)
     for (l <- 0 to maxLevel; c <- readCents(spark, s"$dataDir/cents_l$l"))
       writeCents(spark, s"$ver/cents_l$l", c)
     for (l <- 0 to maxLevel if hasDir(spark, s"$dataDir/assign_l$l"))
       writeAssign(readAssign(spark, s"$dataDir/assign_l$l")
-        .dropDuplicates("nid").select("nid", "cv", "list"),
+        .dropDuplicates("nid").join(nodeIds, Seq("nid"), "left_semi")
+        .select("nid", "cv", "list"),
         s"$ver/assign_l$l")
     writeSidecars(spark, ver, nodes.schema.toDDL, EdgeDdl, m, maxLevel)
     graft.util.FsIO.publishVersion(spark, path, ver, keepVersions)
@@ -936,8 +1019,15 @@ object NavGraph {
     * compaction-due signal an append-heavy pipeline watches (the
     * `autoCompactAfter` cadence bounds it automatically); a level whose
     * max_deg runs far past `m` is also the early warning for widening
-    * beam joins before any recall drop shows. Cost: one edge-table
-    * aggregation (map-side combined), output ≤ maxLevel+1 rows. */
+    * beam joins before any recall drop shows. Cost: a full edge-table
+    * SHUFFLE — the fact dedup (dropDuplicates over the (level, src,
+    * dst) facts, partially combined map-side but still an edge-keyed
+    * exchange) plus a second, (level, src)-keyed exchange of the
+    * already-deduped rows; output ≤ maxLevel+1 rows. At 16 B edges
+    * this is a shuffle-the-edges read: the right cost for an EXACT
+    * periodic health audit (duplicate facts from replayed appends
+    * would otherwise inflate every degree), but a read to schedule
+    * with compactions, not to poll per batch. */
   def navDegreeFrame(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val dataDir = graft.util.FsIO.indexDataDir(spark, path)

@@ -610,4 +610,133 @@ class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       corpus.where("vec_id % 8 = 5"), k = 7, ef = 16, rounds = 2))
     assert(got == coMembers(Seq(5L, 13L, 21L, 29L), 40L, 8))
   }
+
+  test("assign probe prune pushes the probed LIST ids into the parquet scan") {
+    val n = 128; val cSize = 8
+    val path = scratch()
+    // bruteMax = 1 forces the IVF path so assign_l0 exists
+    graft.operators.NavGraph.buildNavGraph(corpusDf(n, cSize), path, m = 8,
+      maxLevel = 1, nlist = 4, nProbe = 4, bruteMax = 1L)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val assigned = spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "`nid` BIGINT,`cv` ARRAY<FLOAT>,`list` INT,`lb` INT"))
+      .parquet(s"$dataDir/assign_l0")
+    val sp = spark
+    import sp.implicits._
+    val probed = Seq((0L, 1), (1L, 3)).toDF("qid", "list")
+    val slicedPlan = graft.operators.NavGraph
+      .pruneAssignForProbe(assigned, probed)
+      .queryExecution.executedPlan.toString
+    // lb partition filter survives (static, non-empty) ...
+    assert(slicedPlan.contains("PartitionFilters: ["), slicedPlan)
+    assert(!slicedPlan.matches("(?s).*PartitionFilters: \\[\\s*\\].*"), slicedPlan)
+    // ... AND the list ids reach the scan as a pushed data filter, so
+    // row-group stats (rows are list-sorted within each lb directory)
+    // prune within buckets — the wide-batch append's I/O bound
+    assert(slicedPlan.matches("(?s).*PushedFilters: \\[[^\\]]*list[^\\]]*\\].*"),
+      slicedPlan)
+    // and the prune is semantically a pure filter: exactly lists {1, 3}
+    val lists = graft.operators.NavGraph.pruneAssignForProbe(assigned, probed)
+      .select("list").distinct().collect().map(_.getInt(0)).toSet
+    assert(lists.subsetOf(Set(1, 3)), s"pruned scan leaked lists: $lists")
+  }
+
+  test("compaction folds ORPHAN facts from a crashed append (assign + edge ghosts)") {
+    val n = 128; val cSize = 8
+    val corpus = corpusDf(n, cSize)
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpus, path, m = 8, maxLevel = 1,
+      nlist = 4, nProbe = 4, bruteMax = 1L)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    // simulate the crash window: an append writes its assign delta (and
+    // here, edges) but dies before the node write — ids 9000+ are GHOSTS
+    // with no node fact
+    val sp = spark
+    import sp.implicits._
+    val ghostAssign = Seq((9000L, vecOf(0L, cSize).toSeq, 1),
+        (9001L, vecOf(1L, cSize).toSeq, 3))
+      .toDF("nid", "cv", "list")
+      .selectExpr("nid", "CAST(cv AS ARRAY<FLOAT>) AS cv", "list",
+        "pmod(list, 64) AS lb")
+    ghostAssign.write.mode("append").partitionBy("lb")
+      .parquet(s"$dataDir/assign_l0")
+    val ghostEdges = Seq((0L, 9000L, 0.99), (9001L, 1L, 0.99))
+      .toDF("src", "dst", "cos")
+      .selectExpr("src", "dst", "cos", "CAST(0 AS INT) AS level",
+        "CAST(pmod(xxhash64(src), 64) AS INT) AS ept")
+    ghostEdges.write.mode("append").partitionBy("level", "ept")
+      .parquet(s"$dataDir/edges")
+    graft.operators.NavGraph.compactNavGraph(spark, path, keepVersions = 2)
+    val v2 = graft.util.FsIO.indexDataDir(spark, path)
+    val assignIds = spark.read.parquet(s"$v2/assign_l0")
+      .select("nid").collect().map(_.getLong(0)).toSet
+    assert(!assignIds.exists(_ >= 9000L),
+      "compaction must fold assign rows whose id has no node fact")
+    val edgeIds = spark.read.parquet(s"$v2/edges")
+      .selectExpr("src", "dst").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!edgeIds.exists(_ >= 9000L),
+      "compaction must fold edges touching ghost endpoints")
+    // and the compacted graph still searches exactly
+    val got = pairs(graft.operators.NavGraph.navSearch(spark, path,
+      corpus.where("vec_id % 8 = 5"), k = 7, ef = 16, rounds = 2))
+    assert(got == coMembers((0L until n.toLong).filter(_ % 8 == 5), n, cSize))
+  }
+
+  test("brute volume guard: default-bruteMax volumes are exempt, raised ones still fail") {
+    val n = 128; val cSize = 8
+    val path = scratch()
+    // 128² = 16384 is inside the DefaultBruteMax² exemption, so even a
+    // pathological per-core budget (cap = 1·4 cores) must not throw —
+    // the documented default build never fails on a small session
+    graft.operators.NavGraph.buildNavGraph(corpusDf(n, cSize), path, m = 8,
+      maxLevel = 1, candRowsPerCore = 1.0)
+    // a RAISED bruteMax whose volume exceeds both the exemption and the
+    // budget still fails loudly before the join
+    val big = spark.range(5000L).selectExpr("id AS vec_id",
+      "transform(sequence(0, 7), d -> CAST(sin(id + d) AS FLOAT)) AS embedding")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.NavGraph.buildNavGraph(big, scratch(), m = 8,
+        maxLevel = 1, bruteMax = 5000L, candRowsPerCore = 1.0)
+    }
+    assert(ex.getMessage.contains("brute-force"), ex.getMessage)
+  }
+
+  test("append bump preserves sidecar keys it does not know (forward compat)") {
+    val n = 64; val cSize = 8
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpusDf(n, cSize, _ % 8 <= 6),
+      path, m = 8, maxLevel = 1)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    // a newer writer version added a key this version doesn't know
+    graft.util.FsIO.writeStringAtomic(spark,
+      new org.apache.hadoop.fs.Path(dataDir, "_nav_params.json"),
+      """{"m":8,"maxLevel":1,"appends":0,"future_knob":7}""")
+    graft.operators.NavGraph.appendToNavGraph(spark, path,
+      corpusDf(n, cSize, _ % 8 == 7))
+    val json = scala.io.Source.fromFile(s"$dataDir/_nav_params.json").mkString
+    assert(json.contains(""""future_knob":7"""), json)
+    assert(json.contains(""""appends":1"""), json)
+  }
+
+  test("self-compaction retains the prior version even at keepVersions = 1") {
+    val n = 64; val cSize = 8
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpusDf(n, cSize, _ % 8 <= 4),
+      path, m = 8, maxLevel = 1)
+    // default keepVersions = 1 on the append: the cadence-triggered
+    // compaction must still publish with max(keepVersions, 2). A bare
+    // keepVersions = 1 retains only ONE superseded version, so after
+    // TWO cadence compactions a reader planned at v1 would lose its
+    // data mid-scan; the floor keeps two superseded versions alive.
+    for (mm <- Seq(5, 6, 7, 7)) // the replayed 7 is a legal no-op append
+      graft.operators.NavGraph.appendToNavGraph(spark, path,
+        corpusDf(n, cSize, _ % 8 == mm), autoCompactAfter = 2)
+    val root = new java.io.File(path)
+    val vers = root.listFiles().map(_.getName).filter(_.startsWith("v")).toSet
+    assert(vers.contains("v3"), s"two cadence compactions expected: $vers")
+    assert(vers.contains("v1") && vers.contains("v2"),
+      s"two superseded versions must survive the self-compaction: $vers")
+  }
 }

@@ -337,6 +337,47 @@ object Bench {
       for ((name, df) <- dirty) measure(name, df)
     }
 
+    // HEADLINE MIN-VALIDATION (the r19 gap: every gate run carried
+    // loadavg 13-26 and the committed history read +17% vs r18 while
+    // the b2b anchor was flat — the number the history discipline
+    // exists to prevent). The load-retry above only guarantees SOME
+    // clean-start sample; the MINIMUM can still come from a loaded
+    // window. Same confirmation rule as the simjoin lane: a query's
+    // min is confirmed when its defining sample started below the
+    // threshold, or a clean-start sample lands within 20% of it (load
+    // only ever slows a sample, so the min is an upper bound on the
+    // quiet floor and a nearby clean sample proves the bound tight).
+    // Unconfirmed queries get cooldown + extra interleaved passes;
+    // whatever remains unconfirmed ships in `headline_unconfirmed`,
+    // and the committed history carries quiet:false — a loaded run can
+    // never again pose as a round-over-round-comparable artifact.
+    def minConfirmed(name: String): Boolean = {
+      val ss = samples(name)
+      ss.isEmpty || {
+        val (mn, _, mnLd) = ss.minBy(_._1)
+        mnLd <= loadMax ||
+          ss.exists { case (s, _, ld) => ld <= loadMax && s <= mn * 1.2 }
+      }
+    }
+    def unconfirmedHead = built.collect {
+      case (name, Some(df)) if samples(name).nonEmpty && !minConfirmed(name) =>
+        (name, df) }
+    var minValPasses = 0
+    while (minValPasses < iterations && unconfirmedHead.nonEmpty) {
+      minValPasses += 1
+      coolDown(120)
+      System.err.println(
+        s"[bench] headline min-validation pass $minValPasses: ${unconfirmedHead.map(_._1).mkString(",")}")
+      for ((name, df) <- unconfirmedHead) measure(name, df)
+    }
+    val headlineUnconfirmed = built.collect {
+      case (name, Some(_)) if samples(name).nonEmpty && !minConfirmed(name) =>
+        name }
+    if (headlineUnconfirmed.nonEmpty)
+      System.err.println("[bench] WARNING: headline minima still unconfirmed " +
+        s"after min-validation: ${headlineUnconfirmed.mkString(",")} — the " +
+        "committed history will carry quiet:false")
+
     def agg(name: String): (Double, Double) = {
       val ts = samples(name).map(_._1)
       if (ts.isEmpty) (-1.0, -1.0) else (ts.min, median(ts))
@@ -372,6 +413,7 @@ object Bench {
     // subset is ALSO measured back-to-back (min of `iterations`
     // consecutive passes per query, warm): `total_r5_subset_b2b` is the
     // number comparable to r11's 5.66 s.
+    coolDown(60) // don't sample the anchor in the interleave phase's heat
     val b2b = built.collect { case (name, Some(df)) if r5Set(name) =>
       val ts = (1 to iterations).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -584,13 +626,21 @@ object Bench {
         // 6x for a perfectly linear operator (63k->200k docs measured
         // 3.17x input -> 3.1x time, zero spill) — the x3 point separates
         // floor from slope, and per-scale throughput makes linearity
-        // legible (flat x3->x10 krows/s = linear).
-        val builtLanes = for ((name, mk) <- lanes; (tag, n) <-
-            Seq(("base", nBase), ("x3", nBase * 3), ("x10", nBase * 10))) yield {
-          val df = mk(n)
-          df.write.format("noop").mode("overwrite").save()
-          (s"$name.$tag", df)
-        }
+        // legible (flat x3->x10 krows/s = linear). jaccard_join gets a
+        // FOURTH point (x30): its x10/x3 ratio has sat at 3.25 vs the
+        // ~3.3 threshold with near-flat krows/s for two rounds — one
+        // more scale point separates a fixed plan floor (krows/s keeps
+        // rising or holds) from quadratic creep (krows/s falls) before
+        // it ever trips the gate.
+        def scalesOf(name: String): Seq[(String, Long)] =
+          Seq(("base", nBase), ("x3", nBase * 3), ("x10", nBase * 10)) ++
+            (if (name == "jaccard_join") Seq(("x30", nBase * 30)) else Nil)
+        val builtLanes = for ((name, mk) <- lanes; (tag, n) <- scalesOf(name))
+          yield {
+            val df = mk(n)
+            df.write.format("noop").mode("overwrite").save()
+            (s"$name.$tag", df)
+          }
         val lt = collection.mutable.Map[String, Vector[(Double, Double)]]()
           .withDefaultValue(Vector.empty)
         def lanePass(key: String, df: DataFrame): Unit = {
@@ -640,7 +690,7 @@ object Bench {
         // "unconfirmed": true so the artifact carries its own caveat
         // instead of needing a human quiet-box cross-check.
         def minCorroborated(name: String): Boolean =
-          Seq("base", "x3", "x10").forall { t =>
+          scalesOf(name).map(_._1).forall { t =>
             val samples = lt(s"$name.$t")
             val (mn, mnLd) = samples.minBy(_._1)
             mnLd <= loadMax ||
@@ -660,21 +710,29 @@ object Bench {
         // AUTOMATED QUIET RE-PROBE for entries STILL unconfirmed after
         // the min-validation budget — the r18 gate shipped 3 entries
         // unconfirmed that a hand-run dedicated quiet pass then
-        // confirmed; this is that pass, in-process: one LONG cooldown
-        // (the lane's own self-heat needs the 1-min average to decay),
-        // 4 targeted passes, flag recomputed. Both states are recorded
-        // so the artifact shows the recovery instead of needing a
-        // judge re-measure.
+        // confirmed. ESCALATING rounds since r20: the r19 final gate
+        // shipped all four entries unconfirmed because its single
+        // 300 s cooldown wasn't enough for the self-heated 1-min
+        // average to decay — so re-attempt with longer waits (300,
+        // 600, 600 s) until every entry confirms or the budget is out,
+        // and record both the before-state and the rounds spent, so
+        // the FINAL artifact carries its own confirmation instead of
+        // pointing a reader at an earlier run.
         val unconfirmedBefore = dirtyMinLanes.toSet
         var laneReprobe = 0
-        if (unconfirmedBefore.nonEmpty) {
-          laneReprobe = 4
-          coolDown(300)
-          System.err.println(
-            s"[bench] simlane reprobe: ${unconfirmedBefore.mkString(",")}")
-          for (_ <- 1 to laneReprobe; (key, df) <- builtLanes
-               if unconfirmedBefore.exists(n => key.startsWith(n + ".")))
-            lanePass(key, df)
+        var laneReprobeRounds = 0
+        for (wait <- Seq(300, 600, 600) if dirtyMinLanes.nonEmpty) {
+          laneReprobeRounds += 1
+          coolDown(wait)
+          System.err.println(s"[bench] simlane reprobe round " +
+            s"$laneReprobeRounds: ${dirtyMinLanes.mkString(",")}")
+          val names = dirtyMinLanes.toSet
+          for (_ <- 1 to 4) {
+            laneReprobe += 1
+            for ((key, df) <- builtLanes
+                 if names.exists(n => key.startsWith(n + ".")))
+              lanePass(key, df)
+          }
         }
         val unconfirmed = dirtyMinLanes.toSet
         val ratios = lanes.map { case (name, _) =>
@@ -684,18 +742,27 @@ object Bench {
           (name, b, m, x, bLd, xLd)
         }
         val entries = ratios.map { case (name, b, m, x, bLd, xLd) =>
-          val lds = (lt(s"$name.base") ++ lt(s"$name.x3") ++ lt(s"$name.x10")).map(_._2)
+          val lds = scalesOf(name).flatMap(t => lt(s"$name.${t._1}")).map(_._2)
           val thr = f""""krows_per_sec":[${nBase / 1000.0 / b}%.1f,${nBase * 3 / 1000.0 / m}%.1f,${nBase * 10 / 1000.0 / x}%.1f]"""
+          // the extra x30 point (jaccard_join only): krows/s holding or
+          // rising x10 -> x30 = plan floor; falling = quadratic creep
+          val v30 = lt(s"$name.x30")
+          val x30Part =
+            if (v30.isEmpty) ""
+            else {
+              val t30 = v30.minBy(_._1)._1
+              f""""x30_sec":$t30,"ratio_x30_vs_x10":${t30 / x}%.2f,"krows_x30":${nBase * 30 / 1000.0 / t30}%.1f,"""
+            }
           // loadavg_min_start: the cleanest window ANY sample of this
           // entry started in — later samples inherit the lane's own
           // decaying load in their start reading, so this is the field
           // that proves the entry saw a quiet box at least once
-          f""""$name":{"base_sec":$b,"x3_sec":$m,"x10_sec":$x,"ratio":${x / b}%.2f,"ratio_x10_vs_x3":${x / m}%.2f,$thr,"loadavg_at_min_base":$bLd,"loadavg_at_min_x10":$xLd,"loadavg_min_start":${lds.min},"loadavg_max":${lds.max},"unconfirmed":${unconfirmed(name)}}"""
+          f""""$name":{"base_sec":$b,"x3_sec":$m,"x10_sec":$x,$x30Part"ratio":${x / b}%.2f,"ratio_x10_vs_x3":${x / m}%.2f,$thr,"loadavg_at_min_base":$bLd,"loadavg_at_min_x10":$xLd,"loadavg_min_start":${lds.min},"loadavg_max":${lds.max},"unconfirmed":${unconfirmed(name)}}"""
         }
         val ratiosJson = ratios
           .map { case (name, b, _, x, _, _) => f""""$name":${x / b}%.2f""" }
           .mkString("{", ",", "}")
-        (s""""simjoin_lane":{"n_base":$nBase,"passes":$passes,"load_retry_passes":$laneRetry,"min_validation_passes":$minRetry,"unconfirmed_before_reprobe":${unconfirmedBefore.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"lane_reprobe_passes":$laneReprobe,"unconfirmed_entries":${unconfirmed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},${entries.mkString(",")},"note":"linear-output fixtures (disjoint 20-doc group vocabularies / fixed block occupancy); contract fixtures are quadratic by construction so these are the scale signals for the similarity joins; min over interleaved + b2b samples, per-entry loadavg_at_min recorded; an entry is confirmed when each scale's min either started below the load threshold or is corroborated by a clean-start sample within 20% (the lane self-heats, so cache-hot b2b minima inherit its own loadavg); entries still uncorroborated after re-sampling are flagged unconfirmed:true; the raw x10/base ratio carries a ~2s fixed plan floor at base (a linear operator reads ~6x there) - judge linearity by flat krows_per_sec from x3 to x10 and ratio_x10_vs_x3 <= ~3.3"}""",
+        (s""""simjoin_lane":{"n_base":$nBase,"passes":$passes,"load_retry_passes":$laneRetry,"min_validation_passes":$minRetry,"unconfirmed_before_reprobe":${unconfirmedBefore.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"lane_reprobe_rounds":$laneReprobeRounds,"lane_reprobe_passes":$laneReprobe,"unconfirmed_entries":${unconfirmed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},${entries.mkString(",")},"note":"linear-output fixtures (disjoint 20-doc group vocabularies / fixed block occupancy); contract fixtures are quadratic by construction so these are the scale signals for the similarity joins; min over interleaved + b2b samples, per-entry loadavg_at_min recorded; an entry is confirmed when each scale's min either started below the load threshold or is corroborated by a clean-start sample within 20% (the lane self-heats, so cache-hot b2b minima inherit its own loadavg); entries still uncorroborated after re-sampling are flagged unconfirmed:true; the raw x10/base ratio carries a ~2s fixed plan floor at base (a linear operator reads ~6x there) - judge linearity by flat krows_per_sec from x3 to x10 and ratio_x10_vs_x3 <= ~3.3"}""",
           Some(ratiosJson))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] simjoin lane failed: ${e.getMessage}")
@@ -788,7 +855,17 @@ object Bench {
     // cache-eviction overhead, the same effect the b2b anchor exists
     // to remove for the r5 subset.
     val q28Note = "\"q28_sf1_note\":\"stage-linear by measurement (MinhashProfile r18): sig 0.24->0.94s, max bucket occupancy 22->25, candidates 7617->74600 (9.8x), full pipeline 1.29->2.58s at 10x docs; tier readings above ~2x are interleave cache-eviction, not operator scaling\""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",$simJson,$verdictJson,"total_median":$totalMed,"total_r5_subset":$subtotal,"total_r5_subset_median":$subtotalMed,"total_r5_subset_b2b":$subtotalB2b,"queries_r5_b2b":$b2bJson,$q33Note,$q28Note,"load_retry_passes":$retryPasses,"load_retry_threshold":$loadMax,"queries":$qs,"queries_median":$qsMed,"iters":$iters,$sf1Json,"sf":"$sfDir","iterations":$iterations,"timing":"min and median of $iterations passes interleaved round-robin across queries, after 1 warm-up pass; load-retry passes appended for queries with no clean-start sample; _b2b = min of $iterations consecutive passes (rounds<=11 methodology, comparable to the r11 anchor)"}"""
+    // r20 attribution for the sf1 tier's only >4x entry, two rounds
+    // unexplained: the profile is ONE map-only pass (no shuffle, no
+    // driver state), so its sf0.1 reading (~0.2s) is nearly pure job
+    // overhead; at 10x data the overhead amortizes and the real per-row
+    // cost surfaces, reading as a "ratio" even though throughput RISES.
+    // The fixed-shape scale signal is ScaleSmoke's textProfile lane
+    // (5k -> 100k docs = 20x), which asserts rising krows/s.
+    val q34Note = "\"q34_sf1_note\":\"fixed-cost amortization, not a scaling stage: the profile is one map-only pass and its sf0.1 min (~0.2s) is mostly job overhead; the r20 ScaleSmoke textProfile lane measured 5k docs 0.11s (44.9 krows/s) -> 100k docs 0.15s (679.2 krows/s) - wall 1.32x at 20x docs with throughput RISING 15x, the opposite signature of a superlinear stage (the lane asserts both invariants every run)\""
+    val headUnconfJson = headlineUnconfirmed.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",$simJson,$verdictJson,"total_median":$totalMed,"total_r5_subset":$subtotal,"total_r5_subset_median":$subtotalMed,"total_r5_subset_b2b":$subtotalB2b,"queries_r5_b2b":$b2bJson,$q33Note,$q28Note,$q34Note,"load_retry_passes":$retryPasses,"load_retry_threshold":$loadMax,"headline_min_validation_passes":$minValPasses,"headline_unconfirmed":$headUnconfJson,"queries":$qs,"queries_median":$qsMed,"iters":$iters,$sf1Json,"sf":"$sfDir","iterations":$iterations,"timing":"min and median of $iterations passes interleaved round-robin across queries, after 1 warm-up pass; load-retry passes appended for queries with no clean-start sample; a query whose MIN-defining sample started above the load threshold and has no clean-start sample within 20% got cooldown + min-validation passes (headline_unconfirmed lists any that never confirmed); _b2b = min of $iterations consecutive passes (rounds<=11 methodology, comparable to the r11 anchor)"}"""
     println(json)
     // The gate records only a 2 kB stdout TAIL, and the full JSON leads
     // with its totals — so a tail capture of the line above holds the
@@ -826,7 +903,16 @@ object Bench {
         // the totals fields reuse the stdout-totals-line vals verbatim,
         // so the committed history can never drift from what the tail
         // capture shows
+        // the history is only history if it's comparable: `quiet` is
+        // true iff EVERY headline min confirmed against the load
+        // threshold (the r19 lesson — a loaded run's totals read +17%
+        // against a flat b2b anchor and poisoned the round-over-round
+        // comparison the file exists for). quiet:false history is
+        // loudly marked, never silently comparable.
         val hist = s"""{"round":"$r","sf":"$sfDir","iterations":$iterations,""" +
+          s""""quiet":${headlineUnconfirmed.isEmpty},""" +
+          s""""headline_unconfirmed":$headUnconfJson,""" +
+          s""""load_threshold":$loadMax,""" +
           s""""total":$total,"total_median":$totalMed,""" +
           s""""total_r5_subset_b2b":$subtotalB2b,""" +
           s""""sf1_total":$sf1TotalStr,""" +

@@ -3452,7 +3452,12 @@ object SparkEntry {
     // straight into the persisted graph (forward + back edges), batch
     // 0 deliberately replayed — node/edge rows are facts every read
     // distincts and the append dedupes its union by id, so the beam
-    // search must still return exactly the analytic co-member set
+    // search must still return exactly the analytic co-member set.
+    // (The compaction CADENCE under streaming — autoCompactAfter
+    // firing mid-stream, searches green through two self-compactions
+    // — is pinned by NavGraphSpec's "streaming maintenance rides the
+    // cadence" test; this contract row keeps the cadence at its
+    // default so the replay exactness is isolated from version flips.)
     "q239_stream_nav_index" -> ((spark, dir) => {
       prep(spark, dir)
       import org.apache.spark.sql.functions.col

@@ -391,13 +391,21 @@ object StreamOps {
     * union by id before computing the batch's neighbors, so a replayed
     * batch re-derives the same forward and back edges — duplicate rows
     * on disk, identical search results (the q239 gate replays batch 0
-    * against the analytic co-member oracle). Compaction stays an
-    * offline single-writer job like every index family here. */
+    * against the analytic co-member oracle). COMPACTION RIDES THE
+    * APPEND CADENCE: every `autoCompactAfter`-th micro-batch's append
+    * self-compacts, which is safe mid-stream because foreachBatch
+    * serializes batches (the appending stream IS the single writer)
+    * and the self-compaction publishes with max(keepVersions, 2), so
+    * a concurrent search planned against the pre-flip version
+    * survives. Pass `autoCompactAfter <= 0` to keep compaction an
+    * offline job and own the cadence. */
   def navAppendBatch(state: String, batch: DataFrame, nlist: Int = -1,
       nProbe: Int = 4, iters: Int = 5, seed: Long = 42L,
-      bruteMax: Long = 4096L): Unit =
+      bruteMax: Long = 4096L, autoCompactAfter: Int = 16,
+      keepVersions: Int = 1): Unit =
     graft.operators.NavGraph.appendToNavGraph(
-      batch.sparkSession, state, batch, nlist, nProbe, iters, seed, bruteMax)
+      batch.sparkSession, state, batch, nlist, nProbe, iters, seed, bruteMax,
+      autoCompactAfter, keepVersions)
 
   /** The COMPLETE incremental-dedup loop as ONE `foreachBatch` body —
     * the 100 TB recipe executed per micro-batch: (1) probe the

@@ -720,6 +720,69 @@ class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(json.contains(""""appends":1"""), json)
   }
 
+  test("streaming maintenance rides the cadence: mid-stream self-compactions keep searches green") {
+    val n = 128; val cSize = 8
+    val work = java.nio.file.Files.createTempDirectory("navstream").toString
+    val path = s"$work/idx"
+    graft.operators.NavGraph.buildNavGraph(
+      corpusDf(n, cSize, keep = _ % 8 <= 3), path, m = 8, maxLevel = 1)
+    // stage four single-mm micro-batch files (mtime-ordered so the file
+    // source triggers them in mm order)
+    val inDir = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(work, "in"))
+    for (mm <- 4 to 7) {
+      val tmp = s"$work/stage_$mm"
+      corpusDf(n, cSize, keep = _ % 8 == mm).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = inDir.resolve(s"b$mm.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mm * 1000000L))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    // cadence 2 over 4 micro-batches = TWO self-compactions mid-stream;
+    // a search runs INSIDE foreachBatch right after each append, so a
+    // compaction-induced breakage would fail here, not just at the end
+    val midStream = collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ck")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.streaming.StreamOps.navAppendBatch(path, b,
+          autoCompactAfter = 2)
+        midStream += graft.operators.NavGraph.navSearch(spark, path,
+          corpusDf(n, cSize).where("vec_id % 8 = 5"), k = 7, ef = 16,
+          rounds = 2).count()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(midStream.size == 4 && midStream.forall(_ > 0L),
+      s"every mid-stream search must return rows: $midStream")
+    // two cadence compactions happened (v1 -> v3) and the final state
+    // searches exactly: all co-members, lists pruned back to m
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    assert(dataDir.endsWith("v3"), dataDir)
+    val got = pairs(graft.operators.NavGraph.navSearch(spark, path,
+      corpusDf(n, cSize).where("vec_id % 8 = 5"), k = 7, ef = 16, rounds = 2))
+    assert(got == coMembers((0L until n.toLong).filter(_ % 8 == 5), n, cSize))
+    val maxList = spark.read.parquet(s"$dataDir/edges")
+      .groupBy("level", "src").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    assert(maxList <= 8L, s"the last cadence compaction prunes lists to m: $maxList")
+  }
+
   test("self-compaction retains the prior version even at keepVersions = 1") {
     val n = 64; val cSize = 8
     val path = scratch()

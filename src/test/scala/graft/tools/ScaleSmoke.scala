@@ -126,6 +126,36 @@ object ScaleSmoke {
       println(f"[scale]   bigram rows: 5k=$t5k 100k=$t100k (20x docs)")
     }
 
+    // ---- text profile at FIXED shape: q34's sf1-ratio attribution.
+    // The profile is ONE map-only pass (token/char/BPE counts, the
+    // lang heuristic, the quality formula — no shuffle, no driver
+    // state), so its only honest scale number is throughput. The sf1
+    // tier's 3.7-4.1x reading on q34 comes from the sf0.1 side being
+    // ~0.2 s of almost pure job overhead — at 10x data the overhead
+    // amortizes and the REAL per-row cost surfaces, which reads as a
+    // "ratio" even though throughput RISES. This lane pins that: 5k ->
+    // 100k (20x docs) with krows/s printed at both points; rising
+    // krows/s = sublinear wall growth = fixed-cost amortization, the
+    // opposite signature of a scaling stage.
+    {
+      def profCount(d: org.apache.spark.sql.DataFrame): Long =
+        graft.operators.TextAnalysis.profile(d, "doc_id", "text").count()
+      profCount(docs0.limit(500)) // plan + codegen warm
+      val t0a = System.nanoTime()
+      val n5 = profCount(docs0)
+      val s5 = (System.nanoTime() - t0a) / 1e9
+      val t0b = System.nanoTime()
+      val n100 = profCount(docs)
+      val s100 = (System.nanoTime() - t0b) / 1e9
+      println(f"[scale] textProfile 5k docs: $s5%.2f s (${n5 / 1000.0 / s5}%.1f krows/s), " +
+        f"100k docs: $s100%.2f s (${n100 / 1000.0 / s100}%.1f krows/s), " +
+        f"wall ${s100 / s5}%.2fx at 20x docs")
+      assert(s100 / s5 < 20.0,
+        f"map-only profile must scale sublinearly in wall clock: ${s100 / s5}%.2fx at 20x")
+      assert(n100 / 1000.0 / s100 > n5 / 1000.0 / s5,
+        "throughput must RISE with scale (fixed-cost amortization)")
+    }
+
     // ---- selection scoring at 100k docs: DSIR, quality LR, CCNet ----
     // All three share the fixed-width model property: DSIR's ratio table
     // is exactly B rows, the LR model B+1 doubles, the bigram reference
@@ -983,12 +1013,42 @@ object ScaleSmoke {
       assert(app300k / app100k < 2.0,
         f"append must track the BATCH: 3x corpus cost ${app300k / app100k}%.2fx")
       vecs3.unpersist()
+      var search100k = 0.0
       val found = withShuffle("navGraph search 200 queries, k=10, ef=32, 2 rounds") {
-        graft.operators.NavGraph.navSearch(spark, path,
+        val t0 = System.nanoTime()
+        val c = graft.operators.NavGraph.navSearch(spark, path,
           vecs.where(col("vec_id") % 500 === 7), k = 10, ef = 32, rounds = 2)
           .count()
+        search100k = (System.nanoTime() - t0) / 1e9
+        c
       }
       println(s"[scale]   nav results: $found")
+
+      // ---- SEARCH COST TRACKS THE QUERY BATCH, NOT THE CORPUS ----
+      // The bucketed-edge claim, measured at two corpus sizes (r19
+      // asserted only the plan shape): the SAME 200-query batch against
+      // the 3x graph. The entry scan is corpus/4^maxLevel rows (3x here
+      // — maxLevel pinned at 3 for both builds; the auto law would hold
+      // it at ~256), and each beam round scans only the frontier's
+      // (level, ept) bucket directories — a 200-query frontier covers
+      // most of the 64 buckets, so the bound is a map-only pass over 3x
+      // the edge rows amortized across bounded rounds, with all joins
+      // frontier-sized. Walltime must read near-flat, nowhere near 3x.
+      val q300 = spark.range(300000L).selectExpr("id AS vec_id",
+        "transform(sequence(0, 63), d -> CAST(sin(id * 1.7 + d * 0.13) AS FLOAT)) AS embedding")
+        .where(col("vec_id") % 1500 === 7)
+      var search300k = 0.0
+      val found3 = withShuffle("navGraph search 200 queries on 300k graph") {
+        val t0 = System.nanoTime()
+        val c = graft.operators.NavGraph.navSearch(spark, path3, q300,
+          k = 10, ef = 32, rounds = 2).count()
+        search300k = (System.nanoTime() - t0) / 1e9
+        c
+      }
+      println(f"[scale]   navGraph search at 3x corpus: $search300k%.2f s " +
+        f"($found3 rows, ${search300k / search100k}%.2fx the 100k search)")
+      assert(search300k / search100k < 1.6,
+        f"search must track the batch: 3x corpus read ${search300k / search100k}%.2fx")
       val rec = time("navRecallFrame 50 queries vs brute force") {
         graft.operators.NavGraph.navRecallFrame(spark, path,
           vecs.where(col("vec_id") % 2000 === 7), k = 10, ef = 32, rounds = 2)

@@ -689,34 +689,49 @@ object Bench {
         // uncorroborated after the re-sample budget ship with
         // "unconfirmed": true so the artifact carries its own caveat
         // instead of needing a human quiet-box cross-check.
-        def minCorroborated(name: String): Boolean =
-          scalesOf(name).map(_._1).forall { t =>
+        // validation work is per (lane, SCALE), not per lane: re-running
+        // a lane's already-confirmed scales just heats the box the dirty
+        // ones then start in
+        def dirtyScaleTags(name: String): Seq[String] =
+          scalesOf(name).map(_._1).filter { t =>
             val samples = lt(s"$name.$t")
             val (mn, mnLd) = samples.minBy(_._1)
-            mnLd <= loadMax ||
-              samples.exists { case (s, ld) => ld <= loadMax && s <= mn * 1.2 }
+            mnLd > loadMax &&
+              !samples.exists { case (s, ld) => ld <= loadMax && s <= mn * 1.2 }
           }
+        def minCorroborated(name: String): Boolean = dirtyScaleTags(name).isEmpty
         def dirtyMinLanes = lanes.map(_._1).filterNot(minCorroborated)
+        val builtMap = builtLanes.toMap
+        // cooldown before EACH validation sample: the first r20 gate
+        // showed one cooldown per pass is self-defeating — the pass's
+        // own earlier scales push the 1-min average past the threshold
+        // before the later (slowest, most heat-generating) scales
+        // sample, so the x10/x30 mins kept "starting loaded" by their
+        // own doing and never confirmed even after three escalation
+        // rounds. What the confirmation rule needs is a clean START,
+        // so buy it per sample: only the still-dirty scales re-run,
+        // each behind its own bounded wait, on an otherwise-idle box
+        // where the decayed average means full instantaneous CPU.
+        def cooledDirtyPass(): Unit =
+          for ((name, _) <- lanes; t <- dirtyScaleTags(name)) {
+            coolDown(180)
+            lanePass(s"$name.$t", builtMap(s"$name.$t"))
+          }
         var minRetry = 0
         while (minRetry < passes * 2 && dirtyMinLanes.nonEmpty) {
           minRetry += 1
-          coolDown(120)
           System.err.println(
             s"[bench] simlane min-validation pass $minRetry: ${dirtyMinLanes.mkString(",")}")
-          val names = dirtyMinLanes.toSet
-          for ((key, df) <- builtLanes if names.exists(n => key.startsWith(n + ".")))
-            lanePass(key, df)
+          cooledDirtyPass()
         }
         // AUTOMATED QUIET RE-PROBE for entries STILL unconfirmed after
         // the min-validation budget — the r18 gate shipped 3 entries
         // unconfirmed that a hand-run dedicated quiet pass then
-        // confirmed. ESCALATING rounds since r20: the r19 final gate
-        // shipped all four entries unconfirmed because its single
-        // 300 s cooldown wasn't enough for the self-heated 1-min
-        // average to decay — so re-attempt with longer waits (300,
-        // 600, 600 s) until every entry confirms or the budget is out,
-        // and record both the before-state and the rounds spent, so
-        // the FINAL artifact carries its own confirmation instead of
+        // confirmed. ESCALATING rounds since r20: longer waits (300,
+        // 600, 600 s) before each round, per-scale cooldowns inside
+        // it, until every entry confirms or the budget is out; both
+        // the before-state and the rounds spent are recorded, so the
+        // FINAL artifact carries its own confirmation instead of
         // pointing a reader at an earlier run.
         val unconfirmedBefore = dirtyMinLanes.toSet
         var laneReprobe = 0
@@ -726,12 +741,9 @@ object Bench {
           coolDown(wait)
           System.err.println(s"[bench] simlane reprobe round " +
             s"$laneReprobeRounds: ${dirtyMinLanes.mkString(",")}")
-          val names = dirtyMinLanes.toSet
-          for (_ <- 1 to 4) {
+          for (_ <- 1 to 2) {
             laneReprobe += 1
-            for ((key, df) <- builtLanes
-                 if names.exists(n => key.startsWith(n + ".")))
-              lanePass(key, df)
+            cooledDirtyPass()
           }
         }
         val unconfirmed = dirtyMinLanes.toSet

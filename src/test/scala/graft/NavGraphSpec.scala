@@ -642,6 +642,46 @@ class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lists.subsetOf(Set(1, 3)), s"pruned scan leaked lists: $lists")
   }
 
+  // The ListPushLimit boundary, both sides. Fixture: assigned rows in
+  // lists {0, 64, 320000} (lb 0) and {1, 65} (lb 1); probes over
+  // multiples of 64 — every probed list has lb 0, and 320000 sits past
+  // the largest probed multiple (64·ListPushLimit = 262144), so it is
+  // bucket-colocated with probed lists but never probed itself. Which
+  // side of the cap the probe lands on decides its fate: the push path
+  // filters to the probed LISTS (320000 dropped), the fallback only to
+  // the probed BUCKETS (320000 kept — the documented bucket-granular
+  // residue a wide batch pays).
+  private def capFixture(): (DataFrame, Int => DataFrame) = {
+    val assigned = spark.createDataFrame(Seq(
+      (10L, 0, 0), (11L, 64, 0), (12L, 320000, 0),
+      (13L, 1, 1), (14L, 65, 1)))
+      .toDF("nid", "list", "lb")
+      .selectExpr("nid", "array(CAST(0.5 AS FLOAT)) AS cv", "list", "lb")
+    val probed = (nLists: Int) => spark.range(0, nLists)
+      .selectExpr("id AS qid", "CAST(id * 64 AS INT) AS list")
+    (assigned, probed)
+  }
+
+  test("assign probe prune at EXACTLY the push cap stays list-granular") {
+    val (assigned, probed) = capFixture()
+    val kept = graft.operators.NavGraph
+      .pruneAssignForProbe(assigned, probed(graft.operators.NavGraph.ListPushLimit))
+      .select("list").collect().map(_.getInt(0)).toSet
+    assert(kept == Set(0, 64), s"push path must keep exactly the probed lists: $kept")
+  }
+
+  test("assign probe prune past the push cap falls back to bucket granularity") {
+    val (assigned, probed) = capFixture()
+    val kept = graft.operators.NavGraph
+      .pruneAssignForProbe(assigned, probed(graft.operators.NavGraph.ListPushLimit + 1))
+      .select("list").collect().map(_.getInt(0)).toSet
+    // completeness: every bucket-colocated row survives (the join on
+    // `list` downstream drops 320000 — the prune itself must not be
+    // the thing that loses a probed list's rows)
+    assert(kept == Set(0, 64, 320000),
+      s"fallback must keep the probed BUCKETS whole: $kept")
+  }
+
   test("compaction folds ORPHAN facts from a crashed append (assign + edge ghosts)") {
     val n = 128; val cSize = 8
     val corpus = corpusDf(n, cSize)

@@ -935,7 +935,21 @@ object Bench {
           s""""sf1_min":${sf1QJsonOpt.getOrElse("null")}}"""
         val hp = java.nio.file.Paths.get(s"bench_history/r$r.json")
         java.nio.file.Files.createDirectories(hp.getParent)
-        java.nio.file.Files.write(hp, hist.getBytes("UTF-8"))
+        // never DEGRADE the round's history: a quiet entry (every
+        // headline min confirmed) is the comparable artifact the file
+        // exists for, and a later loaded run of the same round — a
+        // gate re-run on a warm box — must not replace it with a
+        // quiet:false entry. The loaded run still ships whole in
+        // target/bench.json and target/bench_runs/.
+        val existingQuiet = java.nio.file.Files.exists(hp) && new String(
+          java.nio.file.Files.readAllBytes(hp), "UTF-8")
+          .contains("\"quiet\":true")
+        if (existingQuiet && headlineUnconfirmed.nonEmpty)
+          System.err.println(s"[bench] bench_history/r$r.json KEPT: the " +
+            "existing entry is quiet and this run is not (see " +
+            "target/bench_runs/ for this run)")
+        else
+          java.nio.file.Files.write(hp, hist.getBytes("UTF-8"))
       }
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()

@@ -64,14 +64,36 @@ object Dissolve {
     require(factor >= 2, "factor must be >= 2")
     GeoFunctions.register(df.sparkSession)
     val keys = keyCols.map(col)
+    // BYTE-IDENTICAL geometries collapse BEFORE any union work: union is
+    // idempotent, so dissolving each distinct (cell, geometry) once and
+    // carrying its multiplicity in `__n` returns the identical region
+    // and the identical `n_in` while the expensive st_union_agg kernel
+    // sees only the distinct rows. The dedup itself is a plain codegen
+    // hash aggregate (count over the serialized geometry bytes) with
+    // map-side partial aggregation — on duplicate-free input it costs
+    // one combined exchange of rows the pyramid's first level was going
+    // to shuffle anyway (as partial-union buffers of the same payload),
+    // and on duplicate-heavy input (dissolves of gridded/tiled layers)
+    // it cuts the JTS union calls by the duplication factor (measured
+    // q149: 600k input envelopes -> 35k distinct, r21).
+    // NO eager `__g IS NOT NULL` filter: a predicate on a projected
+    // geometry pushes below the projection by SUBSTITUTION, so the
+    // upstream geometry expression (often a constructor like
+    // ST_MakeEnvelope) evaluates TWICE per row — once in the pushed
+    // filter, once in the projection (measured +0.35 s of the q149
+    // fixture's 2.2 s, r21). Null geometries instead ride the pyramid
+    // as their own (null cell, null geom) group: `count(__g)` keeps
+    // them out of `n_in`, st_union_agg skips null inputs by contract
+    // (UnionAggSpec), and the keyed path drops all-null keys at the
+    // end where the frame is rows-per-key sized.
     var cur = df.select(keys :+ col(geomCol).as("__g"): _*)
-      .where(col("__g").isNotNull)
       .withColumn("__b", GeoFunctions.box2d(col("__g")))
       .withColumn("__cx",
         floor((col("__b.xmin") + col("__b.xmax")) / 2 / cellSize).cast("long"))
       .withColumn("__cy",
         floor((col("__b.ymin") + col("__b.ymax")) / 2 / cellSize).cast("long"))
-      .withColumn("__n", lit(1L))
+      .groupBy(keys ++ Seq(col("__cx"), col("__cy"), col("__g")): _*)
+      .agg(count(col("__g")).as("__n"))
       .select(keys ++ Seq(col("__cx"), col("__cy"), col("__n"), col("__g")): _*)
     for (_ <- 1 to levels) {
       cur = cur.groupBy(keys ++ Seq(col("__cx"), col("__cy")): _*)
@@ -82,8 +104,14 @@ object Dissolve {
           floor(col("__cy") / factor).cast("long").as("__cy"),
           col("__n"), col("__g")): _*)
     }
-    cur.groupBy(keys: _*)
+    val out = cur.groupBy(keys: _*)
       .agg(sum("__n").as("n_in"),
         GeoFunctions.st_union_agg(col("__g")).as("geom"))
+    // keyed path: a key whose geometries were ALL null emitted no row
+    // before (the old eager filter removed its rows entirely) — keep
+    // that contract with a rows-per-key-sized filter. Global path: the
+    // single aggregate row always emits (n_in null, geom null on empty
+    // input — the pinned gridDissolve empty-input shape).
+    if (keyCols.isEmpty) out else out.where(col("n_in") > 0)
   }
 }

@@ -58,22 +58,34 @@ object Freq {
     * membership-ish probes where [[heavyHitterTokens]]'s top-k shape
     * doesn't fit.
     *
-    * Scale design (100 TB): one map-only ×`depth` fan-out, then a
-    * partial+final hash aggregation whose FINAL size is at most
-    * `depth·width` rows no matter the input — each task pre-aggregates
-    * to its own ≤ depth·width summary, so the shuffle payload is
-    * sketch-sized per task, never data-sized. Shards sketch
+    * Scale design (100 TB): keys first collapse to per-distinct-key
+    * counts — a plain codegen hash aggregation with map-side partial
+    * combine, the only pass over full data — so the md5 bucket law
+    * runs `depth` times per DISTINCT key, not per row (the r21
+    * rewrite: the sketch exists because keys repeat, and on the q187
+    * fixture this cut the md5 work 30×; on duplicate-free keys the
+    * pre-count costs one combined exchange of (key, 1) rows, about
+    * what the removed per-row ×depth fan-out of those same keys
+    * weighed). The ×`depth` fan-out then feeds a partial+final hash
+    * aggregation summing the per-key counts, whose FINAL size is at
+    * most `depth·width` rows no matter the input — each task
+    * pre-aggregates to its own ≤ depth·width summary, so the second
+    * shuffle is sketch-sized per task, never data-sized. Shards sketch
     * independently and [[cmsMerge]] adds counts cell-wise (the CM
     * sketch is a linear projection, so merge ≡ build-on-union
     * exactly). Deterministic by construction: the md5 law has no seed
     * state, so any engine, partitioning, or merge order yields the
-    * identical table. */
+    * identical table (summing per-key counts is the same cell
+    * arithmetic as counting rows). */
   def cmsBuild(df: DataFrame, keyCol: String, width: Int, depth: Int): DataFrame = {
     require(width > 0 && depth > 0, s"need width/depth > 0 (got $width/$depth)")
     df.select(col(keyCol).as("__k"))
-      .select(col("__k"), explode(sequence(lit(0), lit(depth - 1))).as("row"))
-      .select(col("row"), cmsBucket(col("row"), col("__k"), width).as("bucket"))
-      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+      .groupBy("__k").agg(count(lit(1)).as("__kc"))
+      .select(col("__k"), col("__kc"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("row"), cmsBucket(col("row"), col("__k"), width).as("bucket"),
+        col("__kc"))
+      .groupBy("row", "bucket").agg(sum("__kc").as("cnt"))
   }
 
   /** Merge two sketches built with the SAME (width, depth): cell-wise

@@ -91,8 +91,10 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
-    val adj = und.select(col("a").as("v"), col("b").as("u"))
-      .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+    val adj = und.select(explode(array(
+        struct(col("a").as("v"), col("b").as("u")),
+        struct(col("b").as("v"), col("a").as("u")))).as("__e"))
+      .select(col("__e.v").as("v"), col("__e.u").as("u"))
       .localCheckpoint()
     val nodes = adj.select(col("v")).distinct()
     var dist = nodes
@@ -170,8 +172,10 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
-    val adj = und.select(col("a").as("v"), col("b").as("u"))
-      .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+    val adj = und.select(explode(array(
+        struct(col("a").as("v"), col("b").as("u")),
+        struct(col("b").as("v"), col("a").as("u")))).as("__e"))
+      .select(col("__e.v").as("v"), col("__e.u").as("u"))
       .localCheckpoint()
     var labels = adj.select(col("v")).distinct()
       .withColumn("lbl", col("v"))
@@ -217,7 +221,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct().localCheckpoint()
     for (_ <- 1 to rounds) {
-      val keep = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      val keep = e.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k)
         .select("v")
@@ -226,7 +230,7 @@ object Graph {
         .select("a", "b")
         .localCheckpoint()
     }
-    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+    e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("degree"))
       .select(col("v").as("node"), col("degree"))
   }
@@ -238,8 +242,12 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
-    val deg = und.select(col("a").as("v"))
-      .unionAll(und.select(col("b").as("v")))
+    // endpoint fan-out via explode, NOT unionAll: each unionAll branch
+    // duplicates the whole edge-builder subtree in the plan (the caller
+    // may pass a derived frame — q189 feeds a self-join — and only the
+    // exchanges under the copies reuse at runtime; the operators above
+    // them re-execute per branch). One explode keeps one copy. (r21)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // orient a->b when (deg(a), a) < (deg(b), b): u = the edge's apex
     val ord = und
@@ -259,9 +267,13 @@ object Graph {
     val tri = e1.join(e2, Seq("u")).where(col("v") < col("w"))
       .join(und, col("v") === col("a") && col("w") === col("b"))
       .select("u", "v", "w")
-    val perVertex = tri.select(col("u").as("x"))
-      .unionAll(tri.select(col("v").as("x")))
-      .unionAll(tri.select(col("w").as("x")))
+    // same explode-over-unionAll rationale as `deg`, and it matters
+    // 3× more here: each of the three unionAll branches re-ran the
+    // whole wedge-join + closing-join pipeline above its reused
+    // exchanges (r21: the q189 plan carried three copies of the
+    // triangle subtree; now one)
+    val perVertex = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("triangles"))
     deg.join(perVertex, col("v") === col("x"), "left")
       .select(col("v").as("vertex"), col("deg").as("degree"),

@@ -194,14 +194,17 @@ object Sessionize {
     * only pass over full data; the grid is bounded by |keys|·|days|,
     * not event volume. Each grid row then fans out map-only to the
     * `max(windows)` target days it contributes to, and one hash
-    * aggregation by target day computes every window's count-distinct
-    * in a single pass (`gap < w` predicates over the shared fan-out —
-    * NOT one fan-out per window). The day spine explodes from the
-    * 1-row bounds aggregate and broadcast-joins the per-day counts:
-    * nothing after the first distinct touches event-scale data. A
-    * count-distinct per window adds one expand branch each; windows
-    * lists are 2-4 entries in practice, so the expand factor stays
-    * small next to the ×maxW fan-out. */
+    * aggregation keyed (target day, key) reduces each key's fan-out
+    * rows to its MINIMUM day-gap — map-side partially combined — and a
+    * second, day-keyed aggregation turns the min-gaps into every
+    * window's count in one pass (`min_gap < w` is exactly "key had
+    * some activity within the trailing w days", so a plain conditional
+    * SUM replaces a count-DISTINCT per window: no Expand fan-out by
+    * windows+1, no distinct-dedup state — the r21 rewrite; the
+    * multi-countDistinct form shuffled (windows+1)× the grid through
+    * the Expand). The day spine explodes from the 1-row bounds
+    * aggregate and broadcast-joins the per-day counts: nothing after
+    * the first distinct touches event-scale data. */
   def rollingActives(df: DataFrame, dayCol: String, keyCol: String,
       windows: Seq[Int]): DataFrame = {
     require(windows.nonEmpty && windows.forall(_ >= 1),
@@ -224,10 +227,15 @@ object Sessionize {
     val fan = dk.select(col("__d0"), col("__k"),
       explode(sequence(col("__d0"), col("__d0") + lit(maxW - 1).cast("long")))
         .as("day"))
+    // min gap per (day, key): gap < w  <=>  the key was active within
+    // the trailing w-day window ending `day` — so each window's count
+    // is a plain conditional sum over the (day, key) grid, identical to
+    // countDistinct(when(gap < w, key)) but with no Expand
+    val gaps = fan.groupBy("day", "__k")
+      .agg(min(col("day") - col("__d0")).as("__gap"))
     val aggs = windows.map(w =>
-      countDistinct(when(col("day") - col("__d0") < w, col("__k")))
-        .as(s"actives_$w"))
-    val counted = fan.groupBy("day").agg(aggs.head, aggs.tail: _*)
+      sum(when(col("__gap") < w, 1L).otherwise(0L)).as(s"actives_$w"))
+    val counted = gaps.groupBy("day").agg(aggs.head, aggs.tail: _*)
     val spine = dk.agg(min("__d0").as("__lo"), max("__d0").as("__hi"))
       .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
     // fan-out days past __hi fall off here: the spine stops at __hi

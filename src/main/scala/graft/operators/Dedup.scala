@@ -1904,18 +1904,34 @@ object Dedup {
     * map-side partial aggregation. Verification joins candidates back
     * to the grid doc-keyed (cost linear in Σ|candidate docs|). Per-doc
     * prefix selection is a doc-partitioned window (millions of tiny
-    * partitions — distributed), never a global sort. */
+    * partitions — distributed), never a global sort. Verification
+    * joins candidates to one-row-per-doc token arrays (each doc's
+    * payload moves once) and counts the intersection with a codegen'd
+    * array_intersect on the pair row — no exploded pair×token rows,
+    * no pair-keyed aggregation (r21). */
   def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1] (got $threshold)")
     val rz6 = graft.util.Round6.rz6 _
     val (grid, cand) = jaccardCandidates(df, idCol, textCol, threshold)
+    // verification via per-doc token ARRAYS, not a second exploded-token
+    // join: the old shape joined candidates back to the (doc, token)
+    // grid twice and pair-aggregated the exploded intersection — a
+    // (pair × tokens) shuffle plus a pair-keyed hash agg that measured
+    // over half the q202 runtime (r21). One collect_set per doc moves
+    // each doc's token payload ONCE (a row per doc, bounded by doc
+    // length), the two candidate joins stay doc-id-keyed hash joins of
+    // one-row-per-doc frames, and the intersection count is a codegen'd
+    // array_intersect on the pair row (the [[refineJaccard]] kernel) —
+    // no exploded rows, no pair aggregation. collect_set over the
+    // already-distinct grid is set-exact, so `inter` is unchanged.
+    val toks = grid.groupBy("__id").agg(collect_set(col("__tok")).as("__ts"))
     cand
-      .join(grid.select(col("__id").as("ida"), col("__tok")), Seq("ida"))
-      .join(grid.select(col("__id").as("idb"), col("__tok")), Seq("idb", "__tok"))
-      .groupBy("ida", "idb", "size_a", "size_b")
-      .agg(count(lit(1)).as("inter"))
+      .join(toks.select(col("__id").as("ida"), col("__ts").as("__ta")), Seq("ida"))
+      .join(toks.select(col("__id").as("idb"), col("__ts").as("__tb")), Seq("idb"))
+      .withColumn("inter",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
       .where(col("inter").cast("double") >=
         lit(threshold) * (col("size_a") + col("size_b") - col("inter"))
           - lit(JaccardEps))

@@ -211,7 +211,16 @@ object NavGraph {
       .write.mode(mode).partitionBy(keys: _*).parquet(dir)
   private def writeEdges(edges: DataFrame, dir: String,
       mode: String = "error"): Unit =
-    writeClustered(withEpt(edges), Seq("level", "ept"), dir, mode)
+    // the in-bucket sort by `src` is load-bearing, the writeAssign
+    // recipe applied to edges: it gives every row group tight `src`
+    // min/max stats, so beamCore's frontier-src data filter prunes
+    // row groups WITHIN the surviving (level, ept) directories — the
+    // search-side twin of the append fix that took the assign-scan
+    // slope 1.27x -> 0.93x (r20); without it each beam round reads the
+    // frontier's whole buckets, which grow with the corpus at fixed
+    // bucket count (the r20 search slope was 1.45x at 3x corpus)
+    writeClustered(withEpt(edges), Seq("level", "ept"), dir, mode,
+      sortExtra = Seq("src"))
   private def writeNodes(nodes: DataFrame, dir: String,
       mode: String = "error"): Unit =
     writeClustered(nodes, Seq("level", "pt"), dir, mode)
@@ -258,6 +267,17 @@ object NavGraph {
     * documented map-only full scan. One collect either way, bounded by
     * min(nlist, batch·nProbe) ≤ ListPushLimit+1 ints on the push path. */
   private[graft] val ListPushLimit = 4096
+
+  /** Cap on the frontier-id `src` data-filter push in [[beamCore]]'s
+    * edge scans — the edge-table twin of [[ListPushLimit]], sized for
+    * its own collect: the frontier is ≤ |Q|·(ef+1) rows BY
+    * CONSTRUCTION (each round's topEf re-prunes it), already
+    * checkpointed, so collecting its (nid, ept) pairs is reading back
+    * driver-bounded state, not a corpus scan — 32k pairs ≈ 0.5 MB.
+    * A 200-query ef=32 batch is ~6.6k ids; batches past the cap fall
+    * back to the `ept` partition filter alone (the documented
+    * whole-bucket read). */
+  private[graft] val SrcPushLimit = 32768
   private[graft] def pruneAssignForProbe(assigned: DataFrame,
       probed: DataFrame): DataFrame = {
     val lists = probed.select(col("list").cast("int").as("list"))
@@ -790,10 +810,15 @@ object NavGraph {
     val rawNodes = readTable(spark, dataDir, "nodes")
     val nodeIds = rawNodes.select("nid")
     val nodes = dedupNodesMaxLevel(rawNodes)
+    // ghost fold BEFORE the fact dedup: a semi-join is indifferent to
+    // duplicates, so filtering orphan endpoints first means ghost edges
+    // never enter the dedup's (level, src, dst)-keyed shuffle at all —
+    // strictly less I/O for the same result (r21, the r20 verdict's
+    // reorder note)
     val edges = readTable(spark, dataDir, "edges")
-      .dropDuplicates("level", "src", "dst")
       .join(nodeIds.withColumnRenamed("nid", "src"), Seq("src"), "left_semi")
       .join(nodeIds.withColumnRenamed("nid", "dst"), Seq("dst"), "left_semi")
+      .dropDuplicates("level", "src", "dst")
     val w = Window.partitionBy("level", "src")
       .orderBy(col("cos").desc, col("dst").asc)
     val pruned = edges.withColumn("__rk", row_number().over(w))
@@ -882,6 +907,42 @@ object NavGraph {
     beamCore(spark, path, queries, k, ef, rounds, selfExclude, Some(allowIds))
   }
 
+  /** Prune one beam round's edge scan to the frontier, at TWO
+    * granularities (the [[pruneAssignForProbe]] recipe on the search
+    * path, r21). Always (bucketed graphs): the frontier's `ept` hash
+    * buckets fall out as a STATIC partition filter. Additionally, for
+    * frontiers within [[SrcPushLimit]] ids — every sane |Q|·beam, the
+    * frontier is ≤ |Q|·(ef+1) rows by construction — the frontier's
+    * node ids are pushed as a `src` DATA filter: [[writeEdges]] sorts
+    * rows by `src` within each (level, ept) directory, so parquet
+    * row-group min/max stats prune WITHIN the surviving buckets
+    * instead of scanning them whole (whole-bucket reads grow with the
+    * corpus at fixed bucket count — the r20 1.45× search slope at 3×
+    * corpus). ONE bounded collect serves both granularities; past the
+    * cap the second collect's bucket-only filter is the documented
+    * fallback. Pre-bucketing graphs scan the level partition whole
+    * until compaction upgrades the layout. */
+  private[graft] def pruneEdgesForFrontier(base: DataFrame,
+      frontier: DataFrame, bucketed: Boolean): DataFrame = {
+    if (!bucketed) base
+    else {
+      val pairs = frontier.select(col("nid"),
+          pmod(xxhash64(col("nid")), lit(NodeBuckets)).cast("int").as("ept"))
+        .distinct().limit(SrcPushLimit + 1).collect()
+      if (pairs.length <= SrcPushLimit) {
+        val epts = pairs.map(_.getInt(1)).distinct
+        val srcs = pairs.map(_.getLong(0))
+        base.where(col("ept").isin(epts.map(Int.box): _*) &&
+          col("src").isin(srcs.map(Long.box): _*))
+      } else {
+        val epts = frontier.select(pmod(xxhash64(col("nid")),
+            lit(NodeBuckets)).cast("int").as("ept"))
+          .distinct().collect().map(_.getInt(0))
+        base.where(col("ept").isin(epts.map(Int.box): _*))
+      }
+    }
+  }
+
   private def beamCore(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, ef: Int, rounds: Int,
       selfExclude: Boolean, allow: Option[DataFrame]): DataFrame = {
@@ -930,25 +991,14 @@ object NavGraph {
       if (allow.isEmpty) frontier
       else topEf(keepAllowed(entryScored)).localCheckpoint()
     // bucketed graphs (the stored DDL carries `ept`) prune each round's
-    // edge scan to the FRONTIER's src hash buckets with a STATIC
-    // partition filter — the node table's pt discipline applied to
-    // edges: a small frontier touches a handful of the NodeBuckets
-    // directories per level instead of the whole ~n·m-row level-0
-    // partition. Decided at plan time from the checkpointed frontier
-    // (≤ NodeBuckets ints per round). Pre-bucketing graphs skip the
-    // filter until compaction upgrades them.
+    // edge scan to the frontier — `ept` partition filter + `src`
+    // row-group data filter, see [[pruneEdgesForFrontier]]; decided at
+    // plan time from the checkpointed frontier. Pre-bucketing graphs
+    // skip the filter until compaction upgrades them.
     val edgeBucketed = edges.columns.contains("ept")
     for (l <- maxLevel to 0 by -1; _ <- 1 to (if (l == 0) rounds else 1)) {
-      val lvlEdges = {
-        val base = edges.where(col("level") === l)
-        if (!edgeBucketed) base
-        else {
-          val epts = frontier.select(pmod(xxhash64(col("nid")),
-              lit(NodeBuckets)).cast("int").as("ept"))
-            .distinct().collect().map(_.getInt(0))
-          base.where(col("ept").isin(epts.map(Int.box): _*))
-        }
-      }
+      val lvlEdges = pruneEdgesForFrontier(
+        edges.where(col("level") === l), frontier, edgeBucketed)
       val cand = frontier.select(col("qid"), col("qv"), col("nid").as("src"))
         .join(lvlEdges.select("src", "dst"), Seq("src"))
         .select(col("qid"), col("qv"), col("dst").as("nid"))

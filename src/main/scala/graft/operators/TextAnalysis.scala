@@ -890,21 +890,28 @@ object TextAnalysis {
           split(coalesce(col(qtextCol).cast("string"), lit("")), " "))).as("__tok"))
       .where(col("__tok") =!= "")
     // distributed df-counts semi-joined down to the query vocabulary,
-    // THEN broadcast: |q terms| rows, never the corpus vocabulary
-    val dfreq = postings.groupBy("__tok").agg(count(lit(1)).as("__df"))
-      .join(broadcast(qterms.select("__tok").distinct()), Seq("__tok"))
-    val qidf = broadcast(
-      qterms.join(broadcast(dfreq), Seq("__tok")).crossJoin(nDf)
-        .select(col("__qid"), col("__tok"),
-          rz6(log(lit(1.0) +
-            (col("__n") - col("__df") + lit(0.5)) /
-              (col("__df") + lit(0.5)))).as("__idf")))
+    // THEN broadcast: |q terms| rows, never the corpus vocabulary.
+    // (qid, tok, df) ship together — the idf is computed INLINE on the
+    // contrib row from (df, n) rather than in a separate broadcast
+    // frame layered over this one: idf is a deterministic rz6'd
+    // function of (df, n), so per-row evaluation is value-identical
+    // and one nested broadcast build job disappears (r21)
+    val qdf = broadcast(
+      qterms.join(
+        broadcast(postings.groupBy("__tok").agg(count(lit(1)).as("__df"))
+          .join(broadcast(qterms.select("__tok").distinct()), Seq("__tok"))),
+        Seq("__tok")))
+    // avgdl mass from the POSTINGS frame, not the windowed one: the sum
+    // is the same, and this branch then skips the window's doc-keyed
+    // exchange + sort entirely (r21)
     val avgdlDf = broadcast(
-      withDl.groupBy().agg(sum("__tf").as("__mass")).crossJoin(nDf)
+      postings.groupBy().agg(sum("__tf").as("__mass")).crossJoin(nDf)
         .select(rz6(col("__mass") / col("__n")).as("__avgdl")))
-    val contrib = withDl.join(qidf, Seq("__tok")).crossJoin(avgdlDf)
+    val contrib = withDl.join(qdf, Seq("__tok")).crossJoin(avgdlDf).crossJoin(nDf)
       .select(col("__qid"), col("__id"),
-        rz6(col("__idf") *
+        rz6(rz6(log(lit(1.0) +
+            (col("__n") - col("__df") + lit(0.5)) /
+              (col("__df") + lit(0.5)))) *
           rz6(col("__tf") * lit(k1 + 1.0) /
             (col("__tf") + lit(k1) * (lit(1.0 - b) +
               lit(b) * rz6(col("__dl") / col("__avgdl")))))).as("__c"))

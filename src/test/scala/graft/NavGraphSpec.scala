@@ -682,6 +682,62 @@ class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fallback must keep the probed BUCKETS whole: $kept")
   }
 
+  test("beam edge prune pushes frontier SRC ids into the parquet scan") {
+    val n = 128; val cSize = 8
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpusDf(n, cSize), path, m = 8,
+      maxLevel = 1)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val edges = spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "`src` BIGINT,`dst` BIGINT,`cos` DOUBLE,`level` INT,`ept` INT"))
+      .parquet(s"$dataDir/edges")
+    val sp = spark
+    import sp.implicits._
+    val frontier = Seq(5L, 13L).toDF("nid")
+    val pruned = graft.operators.NavGraph.pruneEdgesForFrontier(
+      edges.where(org.apache.spark.sql.functions.col("level") === 0),
+      frontier, bucketed = true)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // ept partition filter survives (static, non-empty) ...
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(!plan.matches("(?s).*PartitionFilters: \\[\\s*\\].*"), plan)
+    // ... AND the frontier ids reach the scan as a pushed `src` data
+    // filter, so row-group stats (rows are src-sorted within each
+    // (level, ept) directory) prune within buckets — the search-side
+    // twin of the assign-table list push
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*src[^\\]]*\\].*"), plan)
+    // and the prune is semantically a pure filter: exactly those srcs
+    val srcs = pruned.select("src").distinct().collect().map(_.getLong(0)).toSet
+    assert(srcs == Set(5L, 13L), s"pruned edge scan leaked srcs: $srcs")
+  }
+
+  test("beam edge prune past SrcPushLimit falls back to bucket granularity") {
+    // synthetic edge frame (no build needed): srcs 0..9 hashed into ept
+    val edges = spark.range(10).selectExpr("id AS src", "id + 1 AS dst",
+      "0.5 AS cos", "0 AS level",
+      "CAST(pmod(xxhash64(id), 64) AS INT) AS ept")
+    val over = spark.range(
+        graft.operators.NavGraph.SrcPushLimit.toLong + 1)
+      .selectExpr("id AS nid")
+    val kept = graft.operators.NavGraph
+      .pruneEdgesForFrontier(edges, over, bucketed = true)
+      .select("src").distinct().collect().map(_.getLong(0)).toSet
+    // completeness: with > cap frontier ids, every bucket-colocated
+    // edge survives (frontier covers ids 0..9, so all 10 src buckets
+    // are probed; the downstream frontier join drops non-frontier
+    // srcs — the prune itself must not lose a frontier src's edges)
+    assert(kept == (0L until 10L).toSet, s"fallback lost edges: $kept")
+    // and under the cap, the src data filter keeps only frontier srcs
+    val sp = spark
+    import sp.implicits._
+    val under = Seq(3L, 7L).toDF("nid")
+    val keptUnder = graft.operators.NavGraph
+      .pruneEdgesForFrontier(edges, under, bucketed = true)
+      .select("src").distinct().collect().map(_.getLong(0)).toSet
+    assert(keptUnder == Set(3L, 7L), s"push path leaked srcs: $keptUnder")
+  }
+
   test("compaction folds ORPHAN facts from a crashed append (assign + edge ghosts)") {
     val n = 128; val cSize = 8
     val corpus = corpusDf(n, cSize)

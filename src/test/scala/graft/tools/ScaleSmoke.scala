@@ -1013,13 +1013,18 @@ object ScaleSmoke {
       assert(app300k / app100k < 2.0,
         f"append must track the BATCH: 3x corpus cost ${app300k / app100k}%.2fx")
       vecs3.unpersist()
+      // min-of-2 per side (r20 ADVICE): a single cold sample is
+      // load-sensitive on a shared box and the ratio below is asserted
       var search100k = 0.0
       val found = withShuffle("navGraph search 200 queries, k=10, ef=32, 2 rounds") {
-        val t0 = System.nanoTime()
-        val c = graft.operators.NavGraph.navSearch(spark, path,
-          vecs.where(col("vec_id") % 500 === 7), k = 10, ef = 32, rounds = 2)
-          .count()
-        search100k = (System.nanoTime() - t0) / 1e9
+        var c = 0L
+        search100k = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          c = graft.operators.NavGraph.navSearch(spark, path,
+            vecs.where(col("vec_id") % 500 === 7), k = 10, ef = 32, rounds = 2)
+            .count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
         c
       }
       println(s"[scale]   nav results: $found")
@@ -1039,15 +1044,21 @@ object ScaleSmoke {
         .where(col("vec_id") % 1500 === 7)
       var search300k = 0.0
       val found3 = withShuffle("navGraph search 200 queries on 300k graph") {
-        val t0 = System.nanoTime()
-        val c = graft.operators.NavGraph.navSearch(spark, path3, q300,
-          k = 10, ef = 32, rounds = 2).count()
-        search300k = (System.nanoTime() - t0) / 1e9
+        var c = 0L
+        search300k = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          c = graft.operators.NavGraph.navSearch(spark, path3, q300,
+            k = 10, ef = 32, rounds = 2).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
         c
       }
       println(f"[scale]   navGraph search at 3x corpus: $search300k%.2f s " +
         f"($found3 rows, ${search300k / search100k}%.2fx the 100k search)")
-      assert(search300k / search100k < 1.6,
+      // tightened 1.6 -> 1.25 after the r21 edge row-group prune
+      // (frontier src ids pushed into the src-sorted edge scan): the
+      // cooled min-of-2 measurement reads 1.07x at 3x corpus
+      assert(search300k / search100k < 1.25,
         f"search must track the batch: 3x corpus read ${search300k / search100k}%.2fx")
       val rec = time("navRecallFrame 50 queries vs brute force") {
         graft.operators.NavGraph.navRecallFrame(spark, path,

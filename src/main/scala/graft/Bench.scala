@@ -362,13 +362,21 @@ object Bench {
     def unconfirmedHead = built.collect {
       case (name, Some(df)) if samples(name).nonEmpty && !minConfirmed(name) =>
         (name, df) }
+    // cool down before EACH query's validation sample, not once per
+    // pass (the r20 ADVICE note, mirroring the simjoin lane's
+    // cooledDirtyPass): with many unconfirmed queries, earlier
+    // measurements in a pass heat the box the later ones start in, so
+    // late-list minima could never confirm and the history got a
+    // spurious quiet:false
     var minValPasses = 0
     while (minValPasses < iterations && unconfirmedHead.nonEmpty) {
       minValPasses += 1
-      coolDown(120)
       System.err.println(
         s"[bench] headline min-validation pass $minValPasses: ${unconfirmedHead.map(_._1).mkString(",")}")
-      for ((name, df) <- unconfirmedHead) measure(name, df)
+      for ((name, df) <- unconfirmedHead) {
+        coolDown(120)
+        measure(name, df)
+      }
     }
     val headlineUnconfirmed = built.collect {
       case (name, Some(_)) if samples(name).nonEmpty && !minConfirmed(name) =>
@@ -510,10 +518,22 @@ object Bench {
           val ts = sf1Samples(name).map(_._1)
           if (ts.isEmpty) -1.0 else ts.min
         }
-        val flagged = sf1Sel.filter { n =>
+        // ABSOLUTE FLOOR on the trigger denominator (r20 verdict item):
+        // a sub-~0.3 s sf0.1 min is mostly fixed job overhead, so its
+        // ratio is amortization noise, not a scaling signal — those
+        // entries are ANNOTATED (fixed_cost_denominator, with both
+        // readings) instead of burning 4-pass reprobes every round
+        // (17 reprobe passes in r20, q151/q34-class)
+        val reprobeFloor = sys.env.getOrElse(
+          "SPARK_GRAFT_SF1_REPROBE_FLOOR", "0.3").toDouble
+        val overRatio = sf1Sel.filter { n =>
           val b = headMin(n); val s = tierMin(n)
           b > 0 && s > 0 && s / b > reprobeThreshold
         }
+        val (flagged, fixedCost) = overRatio.partition(headMin(_) >= reprobeFloor)
+        val fixedCostJson = fixedCost.map { n =>
+          f""""$n":{"sf01_min":${headMin(n)},"sf1_min":${tierMin(n)},"ratio":${tierMin(n) / headMin(n)}%.2f,"note":"sf0.1 min under the ${reprobeFloor}s floor - ratio is fixed-cost amortization, not operator scaling"}"""
+        }.mkString("{", ",", "}")
         val reprobeBefore = flagged.map(n => n -> (headMin(n), tierMin(n))).toMap
         val re01 = collection.mutable.Map[String, Double]()
         if (flagged.nonEmpty) {
@@ -555,7 +575,7 @@ object Bench {
         val sTotal = sf1Times.map(_._2).filter(_ >= 0).sum
         val excl = sf1Excluded.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-        (s""""sf1":{"dir":"$dst","gen_sec":$genSec,"total":$sTotal,"queries":$sq,"iters":$sIters,"load_retry_passes":$sf1Retry,"reprobe_threshold":$reprobeThreshold,"sf1_reprobe":$reprobeJson,"excluded":$excl,"timing":"min of $sf1Iters interleaved passes (JIT-warm from sf0.1 phase), load-retry appended for queries with no clean-start sample; queries whose sf1/sf0.1 ratio read > threshold got an automatic cooldown + $reprobePasses-pass quiet re-probe at both scales (sf1_reprobe carries both readings; the tier min includes the re-probe)"}""",
+        (s""""sf1":{"dir":"$dst","gen_sec":$genSec,"total":$sTotal,"queries":$sq,"iters":$sIters,"load_retry_passes":$sf1Retry,"reprobe_threshold":$reprobeThreshold,"reprobe_floor":$reprobeFloor,"sf1_reprobe":$reprobeJson,"fixed_cost_denominator":$fixedCostJson,"excluded":$excl,"timing":"min of $sf1Iters interleaved passes (JIT-warm from sf0.1 phase), load-retry appended for queries with no clean-start sample; queries whose sf1/sf0.1 ratio read > threshold AND whose sf0.1 min clears the reprobe_floor got an automatic cooldown + $reprobePasses-pass quiet re-probe at both scales (sf1_reprobe carries both readings; the tier min includes the re-probe); over-ratio entries under the floor are annotated in fixed_cost_denominator instead - their sf0.1 min is job overhead and the ratio measures amortization, not scaling"}""",
           Some(sTotal), Some(sq))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 tier failed: ${e.getMessage}")
@@ -879,15 +899,9 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec",$simJson,$verdictJson,"total_median":$totalMed,"total_r5_subset":$subtotal,"total_r5_subset_median":$subtotalMed,"total_r5_subset_b2b":$subtotalB2b,"queries_r5_b2b":$b2bJson,$q33Note,$q28Note,$q34Note,"load_retry_passes":$retryPasses,"load_retry_threshold":$loadMax,"headline_min_validation_passes":$minValPasses,"headline_unconfirmed":$headUnconfJson,"queries":$qs,"queries_median":$qsMed,"iters":$iters,$sf1Json,"sf":"$sfDir","iterations":$iterations,"timing":"min and median of $iterations passes interleaved round-robin across queries, after 1 warm-up pass; load-retry passes appended for queries with no clean-start sample; a query whose MIN-defining sample started above the load threshold and has no clean-start sample within 20% got cooldown + min-validation passes (headline_unconfirmed lists any that never confirmed); _b2b = min of $iterations consecutive passes (rounds<=11 methodology, comparable to the r11 anchor)"}"""
     println(json)
-    // The gate records only a 2 kB stdout TAIL, and the full JSON leads
-    // with its totals — so a tail capture of the line above holds the
-    // exclusion strings, not the numbers (every BENCH_r*.json through
-    // r14 parsed null for this reason). Print a compact totals line
-    // LAST so the tail always contains the round's headline figures.
     val sf1TotalStr = sf1TotalOpt.map(_.toString).getOrElse("null")
     val simRatiosStr = simRatiosOpt.getOrElse("null")
     val verdictRatioStr = verdictRatioOpt.map(r => f"$r%.2f").getOrElse("null")
-    println(s"""{"graft_bench_totals":{"total":$total,"total_median":$totalMed,"total_r5_subset_b2b":$subtotalB2b,"sf1_total":$sf1TotalStr,"simjoin_ratios":$simRatiosStr,"verdict_lane_ratio":$verdictRatioStr,"queries_n":${selected.size},"load_retry_passes":$retryPasses,"full_json":"target/bench.json"}}""")
     // The full JSON is also written to files the driver (or the judge)
     // can pick up whole: `target/bench.json` (latest run, historically
     // overwritten by any later run — including judge re-measures) PLUS a
@@ -952,6 +966,26 @@ object Bench {
           java.nio.file.Files.write(hp, hist.getBytes("UTF-8"))
       }
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    // The gate records only a 2 kB stdout TAIL, and the full JSON leads
+    // with its totals — so a tail capture of the first line holds the
+    // exclusion strings, not the numbers (every BENCH_r*.json through
+    // r14 parsed null for this reason). Print a compact totals line
+    // LAST so the tail always contains the round's headline figures —
+    // including `quiet` and the COMMITTED history's total (r20 verdict
+    // item: the driver tail read 77.36 s while the committed quiet
+    // history read 68.52 s, and a tail-only reader saw a phantom +9%;
+    // now the one comparable number travels in the tail itself).
+    val historyTotal = sys.env.get("SPARK_GRAFT_ROUND").flatMap { r =>
+      try {
+        val hp = java.nio.file.Paths.get(s"bench_history/r$r.json")
+        if (!java.nio.file.Files.exists(hp)) None
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(hp), "UTF-8")
+          "\"total\":([0-9.eE+-]+)".r.findFirstMatchIn(txt).map(_.group(1))
+        }
+      } catch { case _: Throwable => None }
+    }.getOrElse("null")
+    println(s"""{"graft_bench_totals":{"total":$total,"total_median":$totalMed,"quiet":${headlineUnconfirmed.isEmpty},"history_total":$historyTotal,"total_r5_subset_b2b":$subtotalB2b,"sf1_total":$sf1TotalStr,"simjoin_ratios":$simRatiosStr,"verdict_lane_ratio":$verdictRatioStr,"queries_n":${selected.size},"load_retry_passes":$retryPasses,"full_json":"target/bench.json"}}""")
     spark.stop()
   }
 }

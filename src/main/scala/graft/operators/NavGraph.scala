@@ -167,7 +167,9 @@ object NavGraph {
     require(est <= cap,
       f"nav-graph brute-force pass would materialize ~$est%.2e scored rows " +
         f"($leftCount x $rightCount; cap $cap%.1e, override with " +
-        s"candRowsPerCore / -Dgraft.nav.candRowsPerCore). Lower bruteMax " +
+        s"candRowsPerCore / -Dgraft.nav.candRowsPerCore — volumes at or " +
+        s"under DefaultBruteMax^2 = ${DefaultBruteMax}^2 rows are always " +
+        s"admitted regardless of the knob). Lower bruteMax " +
         s"to route this layer through the IVF-probed path, shrink the " +
         s"batch, or add cores.")
   }
@@ -262,10 +264,20 @@ object NavGraph {
     * wide-batch case where the probes touch all [[ListBuckets]]
     * directories and the `lb` filter alone degrades to a full
     * assign-table read. Past the limit (a corpus-sized "batch") the id
-    * list would be the collect bottleneck itself, so fall back to the
-    * bucket filter alone — and say nothing silently: that path is the
-    * documented map-only full scan. One collect either way, bounded by
-    * min(nlist, batch·nProbe) ≤ ListPushLimit+1 ints on the push path. */
+    * list would be the collect bottleneck itself, so fall back to a
+    * `list` RANGE push: rows are list-sorted within each bucket
+    * directory, so `list BETWEEN min AND max` of the probed lists
+    * still prunes row groups even when the exact id set is too big to
+    * ship. The range is global, not per-bucket, deliberately: with
+    * `lb = list mod ListBuckets` every bucket holds an interleaved
+    * arithmetic progression of the list space, so per-bucket (min,
+    * max) collapse to the global pair anyway — and a per-bucket
+    * OR-of-(lb AND list) predicate would mix partition and data
+    * columns in one disjunction, which defeats BOTH the static `lb`
+    * partition prune and the parquet pushdown. Collects: one bounded
+    * id collect (≤ ListPushLimit+1 ints) on the push path; that plus
+    * one ≤ [[ListBuckets]]-row (lb, min, max) aggregate collect on the
+    * fallback path. */
   private[graft] val ListPushLimit = 4096
 
   /** Cap on the frontier-id `src` data-filter push in [[beamCore]]'s
@@ -287,10 +299,17 @@ object NavGraph {
       assigned.where(col("lb").isin(lbs.map(Int.box): _*) &&
         col("list").isin(lists.map(Int.box): _*))
     } else {
-      val lbs = probed.select(pmod(col("list").cast("long"),
-          lit(ListBuckets)).cast("int").as("lb"))
-        .distinct().collect().map(_.getInt(0))
-      assigned.where(col("lb").isin(lbs.map(Int.box): _*))
+      val byBucket = probed
+        .select(col("list").cast("int").as("list"),
+          pmod(col("list").cast("long"), lit(ListBuckets)).cast("int").as("lb"))
+        .groupBy(col("lb"))
+        .agg(min(col("list")).as("mn"), max(col("list")).as("mx"))
+        .collect()
+      val lbs = byBucket.map(_.getInt(0))
+      val gMin = byBucket.map(_.getInt(1)).min
+      val gMax = byBucket.map(_.getInt(2)).max
+      assigned.where(col("lb").isin(lbs.map(Int.box): _*) &&
+        col("list") >= gMin && col("list") <= gMax)
     }
   }
 

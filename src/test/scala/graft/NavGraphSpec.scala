@@ -647,10 +647,13 @@ class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
   // multiples of 64 — every probed list has lb 0, and 320000 sits past
   // the largest probed multiple (64·ListPushLimit = 262144), so it is
   // bucket-colocated with probed lists but never probed itself. Which
-  // side of the cap the probe lands on decides its fate: the push path
-  // filters to the probed LISTS (320000 dropped), the fallback only to
-  // the probed BUCKETS (320000 kept — the documented bucket-granular
-  // residue a wide batch pays).
+  // side of the cap the probe lands on decides the push's GRANULARITY:
+  // the push path filters to the probed LIST ids; past the cap the id
+  // set is too big to ship, but the sorted-range fallback still pushes
+  // `list BETWEEN min AND max` of the probed lists — 320000 > 262144,
+  // so it is dropped on BOTH sides of the cap (the old bucket-granular
+  // fallback kept it; the in-bucket `list` sort makes the range prune
+  // row groups a whole-bucket read would pay for).
   private def capFixture(): (DataFrame, Int => DataFrame) = {
     val assigned = spark.createDataFrame(Seq(
       (10L, 0, 0), (11L, 64, 0), (12L, 320000, 0),
@@ -670,16 +673,45 @@ class NavGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(0, 64), s"push path must keep exactly the probed lists: $kept")
   }
 
-  test("assign probe prune past the push cap falls back to bucket granularity") {
+  test("assign probe prune past the push cap falls back to a sorted-range push") {
     val (assigned, probed) = capFixture()
-    val kept = graft.operators.NavGraph
+    val pruned = graft.operators.NavGraph
       .pruneAssignForProbe(assigned, probed(graft.operators.NavGraph.ListPushLimit + 1))
-      .select("list").collect().map(_.getInt(0)).toSet
-    // completeness: every bucket-colocated row survives (the join on
-    // `list` downstream drops 320000 — the prune itself must not be
-    // the thing that loses a probed list's rows)
-    assert(kept == Set(0, 64, 320000),
-      s"fallback must keep the probed BUCKETS whole: $kept")
+    val kept = pruned.select("list").collect().map(_.getInt(0)).toSet
+    // completeness: every PROBED list's rows survive; 320000 is never
+    // probed and sits past the probed range [0, 64·ListPushLimit], so
+    // the range push drops it (the old bucket-granular fallback kept
+    // it — strictly more I/O for the same downstream join)
+    assert(kept == Set(0, 64),
+      s"range fallback must keep exactly the in-range rows: $kept")
+  }
+
+  test("assign probe range fallback pushes the list range into the parquet scan") {
+    // real parquet-backed assign table so the plan shows PushedFilters
+    val n = 128; val cSize = 8
+    val path = scratch()
+    graft.operators.NavGraph.buildNavGraph(corpusDf(n, cSize), path, m = 8,
+      maxLevel = 1, nlist = 4, nProbe = 4, bruteMax = 1L)
+    val dataDir = graft.util.FsIO.indexDataDir(spark, path)
+    val assigned = spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "`nid` BIGINT,`cv` ARRAY<FLOAT>,`list` INT,`lb` INT"))
+      .parquet(s"$dataDir/assign_l0")
+    val probed = spark.range(0,
+        graft.operators.NavGraph.ListPushLimit.toLong + 1)
+      .selectExpr("id AS qid", "CAST(id * 64 AS INT) AS list")
+    val plan = graft.operators.NavGraph.pruneAssignForProbe(assigned, probed)
+      .queryExecution.executedPlan.toString
+    // static lb partition filter survives the fallback ...
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(!plan.matches("(?s).*PartitionFilters: \\[\\s*\\].*"), plan)
+    // ... AND the probed-list range reaches the scan as pushed
+    // GreaterThanOrEqual/LessThanOrEqual data filters on `list`, so
+    // row-group min/max stats prune within the surviving buckets
+    assert(plan.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(list[^\\]]*\\].*"), plan)
+    assert(plan.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*LessThanOrEqual\\(list[^\\]]*\\].*"), plan)
   }
 
   test("beam edge prune pushes frontier SRC ids into the parquet scan") {

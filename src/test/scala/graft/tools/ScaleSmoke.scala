@@ -1210,12 +1210,17 @@ object ScaleSmoke {
         f"(${civf300 / civf100}%.2fx the 100k compact)")
 
       // ---- 1M-VECTOR TIER (r20 verdict item 2): the log-depth claim
-      // across TWO level increments. Auto sizing derives maxLevel 6
+      // across TWO level increments. maxLevel stays AUTO and derives 6
       // (log4(1M/256)) vs 5 at 100k — entry scans stay ~EntryTarget
       // rows at BOTH corpora, so the same 200-query batch must search
       // in ~the 100k auto build's time, nowhere near 10x. Recall is
-      // measured against brute force. The build is the expensive part
-      // (~10x the 100k build's candidate join); skippable via
+      // measured against brute force. The LIST sizing is explicit,
+      // exactly as the volume guard's scaladoc prescribes: the auto
+      // rows/400 law keeps the build's candidate join LINEAR
+      // (nProbe·400·rows = 1.6e9 rows at 1M, past this box's measured
+      // 4.8e8 budget), so the 1M build takes the documented remedy —
+      // nlist above the law (200-row lists) + nProbe 2 → 1e6·2·200 =
+      // 4e8 candidate rows, inside budget. Skippable via
       // SPARK_GRAFT_SMOKE_1M=skip when iterating on other lanes.
       if (!sys.env.get("SPARK_GRAFT_SMOKE_1M").contains("skip")) {
         val vecs1m = spark.range(1000000L).selectExpr("id AS vec_id",
@@ -1224,9 +1229,9 @@ object ScaleSmoke {
         vecs1m.count()
         val path1m = java.nio.file.Files.createTempDirectory("scale_nav1m")
           .toString + "/idx"
-        withShuffle("navGraph AUTO build 1M vectors (no explicit sizing)") {
+        withShuffle("navGraph build 1M vectors (auto maxLevel, nlist=5000, nProbe=2)") {
           graft.operators.NavGraph.buildNavGraph(vecs1m, path1m, m = 16,
-            iters = 3)
+            nlist = 5000, nProbe = 2, iters = 3)
         }
         val q1m = vecs1m.where(col("vec_id") % 5000 === 7)
         var search1m = 0.0
